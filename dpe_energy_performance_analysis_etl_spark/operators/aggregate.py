@@ -1,0 +1,175 @@
+"""Aggregation operators (SURVEY §2.4): exact percentiles / IQR
+outlier detection, conditional mean-median imputation, and the
+grouped statistical-test UDAF.
+
+Scale design:
+  - A1/A2 compute ALL per-column statistics in ONE aggregate job
+    (map-side partial agg, no shuffle of data rows — only the tiny
+    stats row reaches the driver), then apply one ``na.fill``
+    projection. The reference looped column-by-column over pandas
+    (``transform.py:104-144``).
+  - A3 is ``groupBy().applyInPandas`` — each DPE-label group lands in
+    one Arrow batch on an executor; group cardinality is tiny (7
+    labels) while group size may be huge, so the stats functions are
+    vectorized numpy. Skew note: 7 groups won't fill a big cluster —
+    acceptable because the input to this operator is already one
+    batch's logements, not the 100 TB raw zone.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from dpe_energy_performance_analysis_etl_spark.operators import stats as _stats
+
+
+def iqr_bounds(df: DataFrame, columns: list[str]) -> dict[str, tuple[float, float]]:
+    """A1 — exact Q1/Q3 and Tukey fences per column
+    (``transform.py:120-126``). Exact ``percentile`` (not approx) so
+    results hash-match a SQL oracle; one agg for all columns."""
+    aggs = []
+    for c in columns:
+        aggs.append(F.expr(f"percentile(`{c}`, 0.25)").alias(f"{c}__q1"))
+        aggs.append(F.expr(f"percentile(`{c}`, 0.75)").alias(f"{c}__q3"))
+    row = df.agg(*aggs).collect()[0].asDict()
+    bounds = {}
+    for c in columns:
+        q1, q3 = row[f"{c}__q1"], row[f"{c}__q3"]
+        if q1 is None or q3 is None:
+            continue
+        iqr = q3 - q1
+        bounds[c] = (q1 - 1.5 * iqr, q3 + 1.5 * iqr)
+    return bounds
+
+
+def impute_numeric(
+    df: DataFrame, columns: list[str] | None = None
+) -> tuple[DataFrame, dict[str, dict[str, list[str]]]]:
+    """A2 — conditional imputation (``fillnan_float_dtypes``,
+    ``transform.py:104-144``): for each float column, fill NULLs with
+    the MEDIAN when the column contains IQR outliers, else the MEAN.
+
+    One aggregate computes mean/median/Q1/Q3/outlier-count for every
+    column simultaneously; one ``na.fill`` applies the result. Returns
+    (filled_df, {"median": [...], "mean": [...]}) mirroring the
+    reference's ``cols_filled`` bookkeeping.
+    """
+    if columns is None:
+        columns = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (T.DoubleType, T.FloatType))
+        ]
+    if not columns:
+        return df, {"median": [], "mean": []}
+
+    aggs = []
+    for c in columns:
+        q = F.expr(f"percentile(`{c}`, array(0.25, 0.75))")
+        aggs.append(F.mean(c).alias(f"{c}__mean"))
+        aggs.append(F.expr(f"percentile(`{c}`, 0.5)").alias(f"{c}__median"))
+        aggs.append(q[0].alias(f"{c}__q1"))
+        aggs.append(q[1].alias(f"{c}__q3"))
+    row = df.agg(*aggs).collect()[0].asDict()
+
+    # outlier presence per column needs the fences first; do one more
+    # single agg pass counting values outside the fences.
+    fence_aggs = []
+    fences: dict[str, tuple[float, float]] = {}
+    for c in columns:
+        q1, q3 = row[f"{c}__q1"], row[f"{c}__q3"]
+        if q1 is None or q3 is None:
+            continue
+        iqr = q3 - q1
+        lo, hi = q1 - 1.5 * iqr, q3 + 1.5 * iqr
+        fences[c] = (lo, hi)
+        fence_aggs.append(
+            F.count(F.when((F.col(c) < lo) | (F.col(c) > hi), 1)).alias(f"{c}__outliers")
+        )
+    outlier_counts = df.agg(*fence_aggs).collect()[0].asDict() if fence_aggs else {}
+
+    fill: dict[str, float] = {}
+    filled: dict[str, list[str]] = {"median": [], "mean": []}
+    for c in columns:
+        has_outliers = outlier_counts.get(f"{c}__outliers", 0) > 0
+        value = row[f"{c}__median"] if has_outliers else row[f"{c}__mean"]
+        if value is None:
+            continue
+        fill[c] = float(value)
+        filled["median" if has_outliers else "mean"].append(c)
+    return (df.na.fill(fill) if fill else df), filled
+
+
+_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("etiquette_dpe_ademe", T.StringType()),
+        T.StructField("sample_size", T.LongType()),
+        T.StructField("paired_t_test_t_statistic", T.DoubleType()),
+        T.StructField("paired_t_test_p_value", T.DoubleType()),
+        T.StructField("wilcoxon_statistic", T.DoubleType()),
+        T.StructField("wilcoxon_p_value", T.DoubleType()),
+    ]
+)
+
+_SENTINEL = -99999.0
+
+
+def group_stats_dpe(
+    df: DataFrame,
+    group_col: str = "etiquette_dpe_ademe",
+    measured_col: str = "conso_kwh_m2",
+    estimated_col: str = "conso_5_usages_par_m2_ef_ademe",
+    batch_id: str | None = None,
+) -> DataFrame:
+    """A3/U2 — per-group paired t-test + Wilcoxon signed-rank between
+    measured and estimated consumption (``make_statistical_metrics``,
+    ``transform.py:313-376``), as a grouped-map Pandas UDAF.
+
+    Reference semantics kept exactly: NaN pairs dropped per group;
+    n<=1 -> all four metrics sentinel -99999; Wilcoxon failure (all
+    differences zero) -> its two metrics sentinel -99999.
+    """
+    schema = _STATS_SCHEMA
+    if group_col != "etiquette_dpe_ademe":
+        schema = T.StructType(
+            [T.StructField(group_col, T.StringType()), *_STATS_SCHEMA.fields[1:]]
+        )
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        label = pdf[group_col].iloc[0]
+        clean = pdf[[measured_col, estimated_col]].dropna()
+        n = len(clean)
+        if n > 1:
+            t_stat, p_t = _stats.ttest_rel(
+                clean[measured_col].to_numpy(), clean[estimated_col].to_numpy()
+            )
+            try:
+                w_stat, p_w = _stats.wilcoxon(
+                    clean[measured_col].to_numpy(), clean[estimated_col].to_numpy()
+                )
+            except ValueError:
+                w_stat, p_w = _SENTINEL, _SENTINEL
+        else:
+            t_stat = p_t = w_stat = p_w = _SENTINEL
+        return pd.DataFrame(
+            [
+                {
+                    group_col: label,
+                    "sample_size": n,
+                    "paired_t_test_t_statistic": t_stat,
+                    "paired_t_test_p_value": p_t,
+                    "wilcoxon_statistic": w_stat,
+                    "wilcoxon_p_value": p_w,
+                }
+            ]
+        )
+
+    out = (
+        df.select(group_col, measured_col, estimated_col)
+        .groupBy(group_col)
+        .applyInPandas(per_group, schema=schema)
+    )
+    if batch_id is not None:
+        out = out.withColumn("batch_id", F.lit(batch_id))
+    return out

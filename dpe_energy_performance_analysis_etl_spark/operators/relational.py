@@ -1,0 +1,159 @@
+"""Generic relational operators (SURVEY §2.2, §2.3, §2.4 A4-A7, §2.5,
+§2.6) as composable DataFrame->DataFrame functions.
+
+Design rule: every function returns a LAZY DataFrame built from
+declarative expressions so Catalyst can push filters into scans, prune
+columns, reorder joins and pick physical join strategies. Nothing here
+collects, loops rows, or fixes a physical plan — the only physical
+hints are explicit ``broadcast`` opt-ins for known-small dimensions.
+"""
+
+from __future__ import annotations
+
+import functools
+
+from pyspark.sql import DataFrame, Window, functions as F, types as T
+
+
+# ------------------------------------------------------------- projections / filters
+
+def select_columns(df: DataFrame, columns: list[str]) -> DataFrame:
+    """P5 — entity column-subset projection (``transform.py:264-268``)."""
+    return df.select(*columns)
+
+
+def rename_columns(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
+    """P1 — header canonicalization (``extract.py:337-344``)."""
+    return df.withColumnsRenamed(mapping)
+
+
+def suffix_columns(df: DataFrame, suffix: str, exclude: list[str] | None = None) -> DataFrame:
+    """F12 — provenance suffixing pre-join (``extract.py:506,527-528``)."""
+    excl = set(exclude or [])
+    return df.select(*[F.col(c).alias(c if c in excl else c + suffix) for c in df.columns])
+
+
+def drop_columns(df: DataFrame, *columns: str) -> DataFrame:
+    """P9 — column drop (``transform.py:157``)."""
+    return df.drop(*columns)
+
+
+def equality_filter(df: DataFrame, column: str, value) -> DataFrame:
+    """P3 — equality predicate (``extract.py:410-411``); Catalyst
+    pushes it into the parquet/JDBC scan."""
+    return df.filter(F.col(column) == F.lit(value))
+
+
+def null_row_filter(df: DataFrame, subset: list[str]) -> DataFrame:
+    """P7 — drop rows with NULLs in the subset (``transform.py:341``)."""
+    return df.na.drop(subset=subset)
+
+
+def limit_rows(df: DataFrame, n: int) -> DataFrame:
+    """W1 — head-N (``extract.py:412``)."""
+    return df.limit(n)
+
+
+def columns_of_type(df: DataFrame, dtype: type[T.DataType]) -> list[str]:
+    """P6 — dtype-based projection helper (``transform.py:93,120``)."""
+    return [f.name for f in df.schema.fields if isinstance(f.dataType, dtype)]
+
+
+# ------------------------------------------------------------- joins
+
+def equi_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str | list[str],
+    right_on: str | list[str] | None = None,
+    how: str = "inner",
+    broadcast_right: bool = False,
+    cast_keys_to_string: bool = False,
+) -> DataFrame:
+    """Generalized equi-join covering J1 (inner Enedis x BAN,
+    ``extract.py:517-546``) and J2 (left ADEME x merged with key
+    pre-cast to string, ``extract.py:570-576``); ``how`` accepts the
+    full Spark set {inner,left,right,outer,left_semi,left_anti,cross}.
+
+    ``broadcast_right=True`` for known-small dimensions (BAN lookup,
+    key sets) — skips the shuffle entirely. Otherwise Catalyst/AQE
+    picks broadcast vs sort-merge from size stats.
+    """
+    lk = [left_on] if isinstance(left_on, str) else list(left_on)
+    rk = lk if right_on is None else ([right_on] if isinstance(right_on, str) else list(right_on))
+    if cast_keys_to_string:
+        for k in lk:
+            left = left.withColumn(k, F.col(k).cast("string"))
+        for k in rk:
+            right = right.withColumn(k, F.col(k).cast("string"))
+    if broadcast_right:
+        right = F.broadcast(right)
+    if lk == rk:
+        return left.join(right, on=lk, how=how)
+    cond = functools.reduce(
+        lambda a, b: a & b, [left[l] == right[r] for l, r in zip(lk, rk)]
+    )
+    return left.join(right, on=cond, how=how)
+
+
+def anti_join_new_rows(
+    batch: DataFrame,
+    existing: DataFrame,
+    key_cols: list[str],
+    broadcast_existing: bool = False,
+) -> DataFrame:
+    """J3/J4 — idempotent-append filter: keep only batch rows whose
+    key is NOT already present (single-key ``isin`` variant
+    ``load.py:139-149``; composite merge+indicator variant
+    ``load.py:150-160`` — one left_anti covers both).
+
+    At scale: ``existing`` should already be pruned to the key columns
+    (see ``read_jdbc_table(columns=key_cols)``); if the key set is
+    small, broadcast it and no shuffle happens at all.
+    """
+    keys = existing.select(*key_cols).dropDuplicates(key_cols)
+    if broadcast_existing:
+        keys = F.broadcast(keys)
+    return batch.join(keys, on=key_cols, how="left_anti")
+
+
+# ------------------------------------------------------------- dedup / distinct
+
+def dedup_full(df: DataFrame) -> DataFrame:
+    """A4 — full-row distinct (``extract.py:576``)."""
+    return df.dropDuplicates()
+
+
+def dedup_keys_keep_first(
+    df: DataFrame, key_cols: list[str], order_by: list[str] | None = None
+) -> DataFrame:
+    """A5 — keep-first dedup on a key subset (``load.py:188-210``,
+    ``drop_duplicates(subset=pk, keep='first')``).
+
+    pandas "first" depends on row order; distributed execution has no
+    implicit order, so with ``order_by`` this is the deterministic
+    window variant (row_number()==1 over the stable ordering); without
+    it, ``dropDuplicates(key_cols)`` (any-row semantics, cheaper: AQE
+    partial-agg instead of a full sort)."""
+    if order_by is None:
+        return df.dropDuplicates(key_cols)
+    w = Window.partitionBy(*key_cols).orderBy(*[F.col(c) for c in order_by])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def distinct_values(df: DataFrame, column: str) -> DataFrame:
+    """A6 — distinct values of one column (``extract.py:435``,
+    ``load.py:143``); used as the dedup-before-API-fanout step."""
+    return df.select(column).where(F.col(column).isNotNull()).distinct()
+
+
+# ------------------------------------------------------------- set ops
+
+def union_all(*dfs: DataFrame, by_name: bool = True) -> DataFrame:
+    """SO1 — union of N page/batch results (``extract.py:360-365``)."""
+    op = DataFrame.unionByName if by_name else DataFrame.union
+    return functools.reduce(op, dfs)

@@ -1,0 +1,162 @@
+"""Pure-numpy statistical tests for the grouped-stats operator.
+
+The reference calls ``scipy.stats.ttest_rel`` / ``scipy.stats.wilcoxon``
+(``transform.py:346-359``). scipy is not a dependency of this engine,
+so the two tests are implemented from their published definitions:
+
+  - paired t-test: t = mean(d) / (s_d / sqrt(n)); two-sided p from the
+    Student-t survival function, computed with the regularized
+    incomplete beta function I_x(a,b) (continued-fraction evaluation,
+    Numerical Recipes §6.4 'betacf' — public algorithm).
+  - Wilcoxon signed-rank (zero_method='wilcox', two-sided, like the
+    scipy defaults): drop zero differences, mid-rank ties, statistic
+    = min(T+, T-); exact p by the standard counting DP when n <= 25
+    and there are no ties (scipy's 'auto' mode), else the normal
+    approximation with tie correction.
+
+These run inside Arrow batches on executors (vectorized numpy per
+group), never per-row Python in a Spark expression.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+
+def _betacf(a: float, b: float, x: float, max_iter: int = 200, eps: float = 3e-12) -> float:
+    """Continued fraction for the incomplete beta function."""
+    qab, qap, qam = a + b, a + 1.0, a - 1.0
+    c = 1.0
+    d = 1.0 - qab * x / qap
+    if abs(d) < 1e-300:
+        d = 1e-300
+    d = 1.0 / d
+    h = d
+    for m in range(1, max_iter + 1):
+        m2 = 2 * m
+        aa = m * (b - m) * x / ((qam + m2) * (a + m2))
+        d = 1.0 + aa * d
+        if abs(d) < 1e-300:
+            d = 1e-300
+        c = 1.0 + aa / c
+        if abs(c) < 1e-300:
+            c = 1e-300
+        d = 1.0 / d
+        h *= d * c
+        aa = -(a + m) * (qab + m) * x / ((a + m2) * (qap + m2))
+        d = 1.0 + aa * d
+        if abs(d) < 1e-300:
+            d = 1e-300
+        c = 1.0 + aa / c
+        if abs(c) < 1e-300:
+            c = 1e-300
+        d = 1.0 / d
+        delta = d * c
+        h *= delta
+        if abs(delta - 1.0) < eps:
+            break
+    return h
+
+
+def betainc_reg(a: float, b: float, x: float) -> float:
+    """Regularized incomplete beta I_x(a, b)."""
+    if x <= 0.0:
+        return 0.0
+    if x >= 1.0:
+        return 1.0
+    ln_front = (
+        math.lgamma(a + b)
+        - math.lgamma(a)
+        - math.lgamma(b)
+        + a * math.log(x)
+        + b * math.log1p(-x)
+    )
+    front = math.exp(ln_front)
+    if x < (a + 1.0) / (a + b + 2.0):
+        return front * _betacf(a, b, x) / a
+    return 1.0 - front * _betacf(b, a, 1.0 - x) / b
+
+
+def t_sf_two_sided(t: float, df: float) -> float:
+    """Two-sided p-value for a Student-t statistic."""
+    if not math.isfinite(t):
+        return 0.0
+    return betainc_reg(df / 2.0, 0.5, df / (df + t * t))
+
+
+def ttest_rel(x: np.ndarray, y: np.ndarray) -> tuple[float, float]:
+    """Paired two-sided t-test (scipy.stats.ttest_rel semantics)."""
+    d = np.asarray(x, dtype=np.float64) - np.asarray(y, dtype=np.float64)
+    n = d.size
+    if n < 2:
+        return float("nan"), float("nan")
+    mean = d.mean()
+    sd = d.std(ddof=1)
+    if sd == 0.0:
+        t = float("inf") if mean > 0 else float("-inf") if mean < 0 else float("nan")
+        p = 0.0 if mean != 0 else float("nan")
+        return t, p
+    t = mean / (sd / math.sqrt(n))
+    return float(t), float(t_sf_two_sided(t, n - 1))
+
+
+def _rankdata_average(a: np.ndarray) -> np.ndarray:
+    """Mid-ranks (average method), 1-based."""
+    order = np.argsort(a, kind="mergesort")
+    ranks = np.empty(a.size, dtype=np.float64)
+    sorted_a = a[order]
+    i = 0
+    while i < a.size:
+        j = i
+        while j + 1 < a.size and sorted_a[j + 1] == sorted_a[i]:
+            j += 1
+        ranks[order[i : j + 1]] = 0.5 * (i + j) + 1.0
+        i = j + 1
+    return ranks
+
+
+def _wilcoxon_exact_sf(w_min: float, n: int) -> float:
+    """Exact two-sided p for the signed-rank statistic via the
+    counting DP over sums of rank subsets (no ties)."""
+    max_sum = n * (n + 1) // 2
+    counts = np.zeros(max_sum + 1, dtype=np.float64)
+    counts[0] = 1.0
+    for r in range(1, n + 1):
+        counts[r:] += counts[: max_sum - r + 1].copy()
+    total = counts.sum()
+    # two-sided: P(T <= w_min) * 2, capped at 1 (scipy exact mode)
+    cdf = counts[: int(w_min) + 1].sum() / total
+    return min(1.0, 2.0 * cdf)
+
+
+def wilcoxon(x: np.ndarray, y: np.ndarray) -> tuple[float, float]:
+    """Wilcoxon signed-rank test, scipy default semantics
+    (zero_method='wilcox', correction=False, two-sided, mode='auto').
+    Raises ValueError when all differences are zero, matching scipy —
+    callers map that to the reference's -99999 sentinel
+    (``transform.py:355-358``)."""
+    d = np.asarray(x, dtype=np.float64) - np.asarray(y, dtype=np.float64)
+    d = d[d != 0.0]
+    n = d.size
+    if n == 0:
+        raise ValueError("zero_method 'wilcox' and all differences zero")
+    absd = np.abs(d)
+    ranks = _rankdata_average(absd)
+    t_plus = float(ranks[d > 0].sum())
+    t_minus = float(ranks[d < 0].sum())
+    w = min(t_plus, t_minus)
+    has_ties = np.unique(absd).size != n
+    if n <= 25 and not has_ties:
+        return w, float(_wilcoxon_exact_sf(w, n))
+    mn = n * (n + 1) / 4.0
+    var = n * (n + 1) * (2 * n + 1) / 24.0
+    # tie correction
+    _, tie_counts = np.unique(absd, return_counts=True)
+    var -= (tie_counts**3 - tie_counts).sum() / 48.0
+    if var <= 0:
+        return w, float("nan")
+    z = (w - mn) / math.sqrt(var)
+    p = 2.0 * 0.5 * math.erfc(abs(z) / math.sqrt(2.0))
+    return w, float(min(1.0, p))

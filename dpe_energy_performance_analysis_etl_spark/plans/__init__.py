@@ -1,0 +1,7 @@
+from dpe_energy_performance_analysis_etl_spark.plans.queries import (
+    QUERIES,
+    ORACLE_SQL,
+    load_tables,
+)
+
+__all__ = ["QUERIES", "ORACLE_SQL", "load_tables"]

@@ -1,0 +1,797 @@
+"""Query registry: every operator family from SURVEY.md §2 exercised
+as a (PySpark builder, DuckDB oracle SQL) pair over the driver's
+TPC-H-ish tables.
+
+Conventions that make the oracle hash-match bit-exact:
+  - every computed column is aliased IDENTICALLY in Spark and SQL;
+  - double aggregations go through ``decimal(30,8)`` partial values
+    (exact, associative — immune to float summation order across
+    partitions) and are cast back to double at the end — helper
+    ``dsum``;
+  - averages are ``CAST(decimal_sum AS DOUBLE) / count`` so both
+    engines do one identical IEEE-754 division;
+  - top-k queries always carry a unique tiebreaker in the ORDER BY.
+
+Each builder takes ``(spark, sf_dir)`` and returns a lazy DataFrame.
+The physical plans these produce are the ones you'd want at 100 TB:
+filters/projections sit against the parquet scan (pushdown + pruning),
+small dimensions broadcast, aggregations partial-agg map-side, and no
+driver-side row loops exist anywhere.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:
+    return {t: spark.read.parquet(f"{sf_dir}/{t}.parquet") for t in (names or TABLES)}
+
+
+def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table is written with TIMESTAMP(NANOS) parquet, which
+    Spark reads only as long (``nanosAsLong`` — set in the session
+    factory). The data carries no sub-microsecond precision, so the
+    ns→µs conversion is lossless."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return ev
+
+
+def dsum(col) -> F.Column:
+    """Exact, order-independent sum of a double expression: accumulate
+    as decimal(30,8), return double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast("decimal(30,8)")).cast("double")
+
+
+def davg(col, count_col=None) -> F.Column:
+    """Exact-sum average: decimal sum cast to double, one double
+    division by the count."""
+    c = F.col(col) if isinstance(col, str) else col
+    cnt = F.count(c) if count_col is None else F.count(count_col)
+    return (F.sum(c.cast("decimal(30,8)")).cast("double") / cnt)
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+
+    return deco
+
+
+# =====================================================================
+# Aggregations / filters (SURVEY §2.4, §2.2)
+# =====================================================================
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,8))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(30,8))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship scan→filter→groupBy→agg (TPC-H Q1 shape; reference
+    analogue: silver→gold aggregate step, ``transform.py:313-376``).
+    Filter pushes to parquet; partial aggregation is map-side."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "filter_project",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_quantity > 45 AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+    """,
+)
+def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3+P5 — predicate + column-subset projection
+    (``extract.py:410-412``, ``transform.py:264-268``); both reach the
+    parquet scan (PushedFilters + ReadSchema)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.filter(
+        (F.col("l_quantity") > 45)
+        & (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+
+@register(
+    "percentile_iqr",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS q1,
+           quantile_cont(l_quantity, 0.50) AS med,
+           quantile_cont(l_quantity, 0.75) AS q3,
+           quantile_cont(l_quantity, 0.25) - 1.5 * (quantile_cont(l_quantity, 0.75) - quantile_cont(l_quantity, 0.25)) AS lower_fence,
+           quantile_cont(l_quantity, 0.75) + 1.5 * (quantile_cont(l_quantity, 0.75) - quantile_cont(l_quantity, 0.25)) AS upper_fence
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def percentile_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 — exact quartiles + Tukey fences (``transform.py:120-126``),
+    grouped. Exact ``percentile`` (one shuffle), not approx, for
+    oracle equality."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    q1 = F.expr("percentile(l_quantity, 0.25)")
+    q3 = F.expr("percentile(l_quantity, 0.75)")
+    return li.groupBy("l_returnflag").agg(
+        q1.alias("q1"),
+        F.expr("percentile(l_quantity, 0.50)").alias("med"),
+        q3.alias("q3"),
+        (q1 - 1.5 * (q3 - q1)).alias("lower_fence"),
+        (q3 + 1.5 * (q3 - q1)).alias("upper_fence"),
+    )
+
+
+@register(
+    "count_distinct_agg",
+    """
+    SELECT c_mktsegment,
+           COUNT(DISTINCT c_nationkey) AS n_nations,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(30,8))) AS DOUBLE) AS total_balance
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def count_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6/A7 — distinct-count + row-count per group
+    (``extract.py:435``, ``load.py:143,148``)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return cust.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.count(F.lit(1)).alias("n_customers"),
+        dsum("c_acctbal").alias("total_balance"),
+    )
+
+
+@register(
+    "rollup_agg",
+    """
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-native generalization of A-class aggs (SURVEY §2.4 notes):
+    hierarchical totals in one pass."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"), dsum("l_quantity").alias("sum_qty")
+    )
+
+
+@register(
+    "cube_agg",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("revenue")
+    )
+
+
+@register(
+    "pivot_agg",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS qty_open,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_filled
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (Spark-native generalization; conditional aggregation)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(dsum("l_quantity"))
+        .withColumnsRenamed({"O": "qty_open", "F": "qty_filled"})
+    )
+
+
+# =====================================================================
+# Joins (SURVEY §2.3)
+# =====================================================================
+
+@register(
+    "join_inner_broadcast",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation_name, r.r_name AS region_name
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def join_inner_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 — inner equi-join against small dimensions
+    (Enedis×BAN, ``extract.py:517-546``); dims explicitly broadcast so
+    the fact side never shuffles."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey, "inner")
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey, "inner")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("n_name").alias("nation_name"),
+            F.col("r_name").alias("region_name"),
+        )
+    )
+
+
+@register(
+    "join_left_cast_keys",
+    """
+    SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+    FROM orders o
+    LEFT JOIN customer c ON CAST(o.o_custkey AS VARCHAR) = CAST(c.c_custkey AS VARCHAR)
+    """,
+)
+def join_left_cast_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 — left outer join with keys pre-cast to string
+    (ADEME×merged, ``extract.py:570-576``), via the generic
+    ``equi_join`` operator."""
+    from dpe_energy_performance_analysis_etl_spark.operators import equi_join
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    joined = equi_join(
+        orders,
+        cust,
+        left_on="o_custkey",
+        right_on="c_custkey",
+        how="left",
+        cast_keys_to_string=True,
+        broadcast_right=True,
+    )
+    return joined.select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
+
+
+@register(
+    "join_anti_new_rows",
+    """
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+    )
+    """,
+)
+def join_anti_new_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3/J4 — left anti-join (idempotent-append key filter,
+    ``load.py:133-160``): customers with no completed ('F') orders —
+    the complement set the idempotent loader would append."""
+    from dpe_energy_performance_analysis_etl_spark.operators import anti_join_new_rows
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    existing = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return anti_join_new_rows(cust, existing, ["c_custkey"]).select("c_custkey", "c_name")
+
+
+@register(
+    "join_semi_exists",
+    """
+    SELECT c.c_custkey, c.c_acctbal
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O'
+    )
+    """,
+)
+def join_semi_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi (EXISTS) — Spark-native superset of the reference's
+    join surface (SURVEY §2.3 note)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    open_orders = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return cust.join(
+        open_orders, cust.c_custkey == open_orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_acctbal")
+
+
+@register(
+    "q3_shipping_priority",
+    """
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,8))) AS DOUBLE) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-join + agg + deterministic top-k (TPC-H Q3 shape; W1
+    limit ``extract.py:412`` + W2 source-side order). Customer filter
+    prunes before the join; unique tiebreaker makes LIMIT stable."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cutoff = F.lit("1995-03-15 00:00:00").cast("timestamp")
+    return (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, cust.c_custkey == orders.o_custkey)
+        .filter(F.col("o_orderdate") < cutoff)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > cutoff)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_regional_revenue",
+    """
+    SELECT n.n_name AS nation_name,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,8))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six-way join + agg (TPC-H Q5 shape): Catalyst/AQE reorders and
+    broadcasts the dimension chain; only customer⋈orders⋈lineitem
+    shuffles."""
+    t = load_tables(spark, sf_dir, ["customer", "orders", "lineitem", "supplier", "nation", "region"])
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            t["supplier"],
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+# =====================================================================
+# Dedup / distinct / set ops (SURVEY §2.4 A4-A6, §2.6)
+# =====================================================================
+
+@register(
+    "dedup_full_rows",
+    "SELECT DISTINCT l_returnflag, l_linestatus, l_shipdate FROM lineitem",
+)
+def dedup_full_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 — full-row distinct (``extract.py:576``) on a projection."""
+    from dpe_energy_performance_analysis_etl_spark.operators import dedup_full
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return dedup_full(li.select("l_returnflag", "l_linestatus", "l_shipdate"))
+
+
+@register(
+    "dedup_keep_first",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+    FROM (
+      SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 — deterministic keep-first dedup (``load.py:188-210``):
+    each customer's earliest order, via the window variant of
+    ``dedup_keys_keep_first`` (stable ordering replaces pandas'
+    implicit row order)."""
+    from dpe_energy_performance_analysis_etl_spark.operators import dedup_keys_keep_first
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return dedup_keys_keep_first(
+        orders.select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"),
+        key_cols=["o_custkey"],
+        order_by=["o_orderdate", "o_orderkey"],
+    )
+
+
+@register(
+    "distinct_values",
+    "SELECT DISTINCT c_mktsegment FROM customer WHERE c_mktsegment IS NOT NULL",
+)
+def distinct_values_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 — distinct key harvest (dedup-before-fanout,
+    ``extract.py:435``)."""
+    from dpe_energy_performance_analysis_etl_spark.operators import distinct_values
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return distinct_values(cust, "c_mktsegment")
+
+
+@register(
+    "union_pages",
+    """
+    SELECT DISTINCT o_orderkey, o_custkey, o_totalprice FROM (
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderstatus = 'F'
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_totalprice > 200000
+    )
+    """,
+)
+def union_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SO1 — union of page/batch results then distinct
+    (``extract.py:360-365``)."""
+    from dpe_energy_performance_analysis_etl_spark.operators import union_all
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    a = orders.filter(F.col("o_orderstatus") == "F").select(*cols)
+    b = orders.filter(F.col("o_totalprice") > 200000).select(*cols)
+    return union_all(a, b).distinct()
+
+
+@register(
+    "except_set",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def except_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level EXCEPT (Spark-native set-op generalization,
+    SURVEY §2.6)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    open_cust = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return building.exceptAll(open_cust.distinct()).distinct()
+
+
+@register(
+    "intersect_set",
+    """
+    SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    INTERSECT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 150000
+    """,
+)
+def intersect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    rich = cust.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    big = orders.filter(F.col("o_totalprice") > 150000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return rich.intersect(big)
+
+
+# =====================================================================
+# Window functions (SURVEY §2.5 generalization)
+# =====================================================================
+
+@register(
+    "window_rank_lag",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           row_number() OVER w AS rn,
+           rank() OVER w AS rnk,
+           lag(o_totalprice) OVER w AS prev_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def window_rank_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking + lag analytics (generalized W-class; deterministic A5
+    building block)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+    )
+
+
+@register(
+    "window_running_sum",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_spend
+    FROM orders
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregate over an explicit frame."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(30,8)")).over(w).cast("double").alias("running_spend"),
+    )
+
+
+@register(
+    "topk_per_group",
+    """
+    SELECT c_mktsegment, c_custkey, c_acctbal
+    FROM (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer
+    ) WHERE rn <= 3
+    """,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group — W1 head-N generalized to grouped data."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        cust.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("c_mktsegment", "c_custkey", "c_acctbal")
+    )
+
+
+# =====================================================================
+# Scalar functions (SURVEY §2.7)
+# =====================================================================
+
+@register(
+    "scalar_functions",
+    """
+    SELECT p_partkey,
+           upper(p_brand) AS brand_upper,
+           TRY_CAST(regexp_replace(p_brand, '\\D', '', 'g') AS BIGINT) AS brand_num,
+           concat_ws(' ', p_name, p_type) AS label,
+           substr(p_type, 1, 5) AS type_prefix,
+           p_retailprice / nullif(p_size, 0) AS price_per_size,
+           abs(p_retailprice - 1000.0) AS abs_from_1k,
+           TRY_CAST(replace('1234,56', ',', '.') AS DOUBLE) AS parsed_decimal_comma
+    FROM part
+    """,
+)
+def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F8 gallery (``extract.py:348-351``, ``transform.py:96,146-
+    213``) — all codegen'd JVM expressions, zero Python in the row
+    path."""
+    from dpe_energy_performance_analysis_etl_spark.functions import (
+        abs_diff,
+        concat_with_sep,
+        decimal_comma_to_double,
+        extract_digits,
+        safe_divide,
+    )
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    return part.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        extract_digits("p_brand").try_cast("bigint").alias("brand_num"),
+        concat_with_sep(" ", "p_name", "p_type").alias("label"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        safe_divide("p_retailprice", F.col("p_size").cast("double")).alias("price_per_size"),
+        abs_diff("p_retailprice", F.lit(1000.0)).alias("abs_from_1k"),
+        decimal_comma_to_double(F.lit("1234,56")).alias("parsed_decimal_comma"),
+    )
+
+
+@register(
+    "date_functions",
+    """
+    SELECT event_id,
+           date_trunc('hour', ts) AS ts_hour,
+           CAST(year(ts) AS BIGINT) AS y,
+           CAST(month(ts) AS BIGINT) AS m,
+           CAST(dayofweek(ts) AS BIGINT) + 1 AS dow,
+           strftime(ts, '%Y_%m_%d') AS date_slug
+    FROM events
+    WHERE event_id < 100
+    """,
+)
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9/F13 — timestamp parts + file-naming date slug
+    (``utils/fonctions.py:75-79``). DuckDB dayofweek is 0-based
+    Sunday; Spark dayofweek is 1-based Sunday — oracle adds 1."""
+    ev = read_events(spark, sf_dir)
+    return ev.filter(F.col("event_id") < 100).select(
+        "event_id",
+        F.date_trunc("hour", "ts").alias("ts_hour"),
+        F.year("ts").cast("bigint").alias("y"),
+        F.month("ts").cast("bigint").alias("m"),
+        F.dayofweek("ts").cast("bigint").alias("dow"),
+        F.date_format("ts", "yyyy_MM_dd").alias("date_slug"),
+    )
+
+
+@register(
+    "json_extract_props",
+    """
+    SELECT event_id, event_type,
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+    FROM events
+    WHERE event_id < 200
+    """,
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction (generalizes the reference's file-level
+    JSON handling S8/S10 to column level)."""
+    ev = read_events(spark, sf_dir)
+    return ev.filter(F.col("event_id") < 200).select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").try_cast("bigint").alias("prop_k"),
+    )
+
+
+# =====================================================================
+# Events: time-window aggregation + sessionization (SURVEY §2.8
+# generalization — same logic the streaming surface runs incrementally)
+# =====================================================================
+
+@register(
+    "events_tumbling_window",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window aggregate — the batch shape of the
+    Structured-Streaming rollup (§2.8)."""
+    ev = read_events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").start.alias("window_start"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("total_value"))
+    )
+
+
+@register(
+    "events_sessionize",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session,
+             event_id
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min inactivity gap) via gaps-and-islands —
+    the batch analogue of a session window with state (§2.8/U-class).
+    Two window passes + one agg; all JVM-side."""
+    ev = read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return sessions.groupBy("user_id", F.col("session_id").cast("bigint").alias("session_id")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )

@@ -1,0 +1,29 @@
+from dpe_energy_performance_analysis_etl_spark.sources.io import (
+    read_csv,
+    read_parquet,
+    read_json_lines,
+    write_parquet,
+    write_json_lines,
+    read_jdbc_table,
+    append_jdbc_table,
+    purge_dir,
+)
+from dpe_energy_performance_analysis_etl_spark.sources.rest import (
+    RateLimiter,
+    rest_lookup_join,
+    paged_rest_scan,
+)
+
+__all__ = [
+    "read_csv",
+    "read_parquet",
+    "read_json_lines",
+    "write_parquet",
+    "write_json_lines",
+    "read_jdbc_table",
+    "append_jdbc_table",
+    "purge_dir",
+    "RateLimiter",
+    "rest_lookup_join",
+    "paged_rest_scan",
+]

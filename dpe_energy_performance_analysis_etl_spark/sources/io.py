@@ -1,0 +1,132 @@
+"""File and JDBC sources/sinks (SURVEY §2.1, S1-S14).
+
+All readers/writers take any Hadoop-compatible URI — local paths in
+tests, ``s3a://bucket/key`` in object-store deployments (replacing the
+reference's hand-rolled minio client, ``filestorage_helper.py:44-61``,
+with zero custom transfer code), ``hdfs://`` on a cluster.
+
+Scale notes baked in:
+  - explicit schemas on CSV/JSON (no sampling pass over 100 TB);
+  - parquet with configurable codec (reference used gzip,
+    ``filestorage_helper.py:99``; snappy/zstd better at scale);
+  - JDBC reads prune to the needed columns and can parallelize via
+    ``partitionColumn`` — the reference read whole tables single-
+    threaded (``load.py:127-131``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, types as T
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    sep: str = ";",
+    header: bool = True,
+) -> DataFrame:
+    """S1/S2 — `;`-separated CSV scan (``extract.py:129-135``)."""
+    reader = spark.read.option("sep", sep).option("header", header)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """S9 — parquet scan (``filestorage_helper.py:130-156``)."""
+    return spark.read.parquet(path)
+
+
+def read_json_lines(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """S10 — JSON-lines scan (``filestorage_helper.py:138-151``)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    compression: str = "snappy",
+    partition_by: list[str] | None = None,
+) -> None:
+    """S7 — parquet sink (``filestorage_helper.py:83-128`` wrote gzip;
+    default here is snappy — faster scans at scale — with the codec
+    still a knob). ``partition_by`` enables partition pruning on read
+    (e.g. by ``code_departement`` / date)."""
+    writer = df.write.mode(mode).option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_json_lines(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S8 — JSON-lines sink (``filestorage_helper.py:101-123``)."""
+    df.write.mode(mode).json(path)
+
+
+def read_jdbc_table(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    properties: dict[str, str],
+    columns: list[str] | None = None,
+    predicate: str | None = None,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+) -> DataFrame:
+    """S11 — JDBC scan (``load.py:127-131`` read the ENTIRE target
+    table into pandas just to get existing keys). Here column pruning
+    and predicates push down into the database, and large tables read
+    in ``num_partitions`` parallel range slices."""
+    projection = ", ".join(columns) if columns else "*"
+    where = f" WHERE {predicate}" if predicate else ""
+    dbtable = f"(SELECT {projection} FROM {table}{where}) AS src"
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", dbtable)
+    for k, v in properties.items():
+        reader = reader.option(k, v)
+    if partition_column and lower_bound is not None and upper_bound is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", lower_bound)
+            .option("upperBound", upper_bound)
+            .option("numPartitions", num_partitions)
+        )
+    return reader.load()
+
+
+def append_jdbc_table(
+    df: DataFrame, url: str, table: str, properties: dict[str, str], batchsize: int = 10_000
+) -> None:
+    """S12 — JDBC append sink (``load.py:170-176``)."""
+    (
+        df.write.format("jdbc")
+        .mode("append")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", batchsize)
+        .options(**properties)
+        .save()
+    )
+
+
+def purge_dir(spark: SparkSession, path: str) -> bool:
+    """S14 — archive purge via the Hadoop FS API (works for local,
+    s3a, hdfs uniformly; ``purge_archive_dir``,
+    ``filestorage_helper.py:63-81``)."""
+    jvm = spark._jvm
+    jsc = spark._jsc
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+    if fs.exists(hpath):
+        return bool(fs.delete(hpath, True))
+    return False
