@@ -1,0 +1,80 @@
+"""Benchmark harness: runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <float>}
+
+Timing methodology: each query materializes via the noop sink
+(executes the full plan, skips driver-side result transfer). Every
+query gets one untimed warm-up run (Catalyst planning + whole-stage
+codegen compilation dominate cold runs at small SF — 30s compile vs
+0.7s execute was measured) and the second run is reported: that is
+the steady-state throughput a long-running cluster sees.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from dpe_energy_performance_analysis_etl_spark import get_spark  # noqa: E402
+from dpe_energy_performance_analysis_etl_spark.plans import QUERIES  # noqa: E402
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_regional_revenue",
+    "join_left_cast_keys",
+    "dedup_keep_first",
+    "window_running_sum",
+    "events_sessionize",
+    "events_tumbling_window",
+    "percentile_iqr",
+    "text_quality",
+    "dedup_exact_groups",
+    "doc_fingerprint",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "embedding_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark("bench")
+    # Warm up the JVM / codegen path once with a trivial job.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()  # warm-up
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,15 @@
+from dpe_energy_performance_analysis_etl_spark.multimodal.media import (
+    MEDIA_SCHEMA,
+    binary_metadata,
+    decode_image_batch,
+    extract_features,
+    frame_sample,
+)
+
+__all__ = [
+    "MEDIA_SCHEMA",
+    "binary_metadata",
+    "decode_image_batch",
+    "extract_features",
+    "frame_sample",
+]

@@ -1,0 +1,136 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media rows are (id, content: binary, media_type, metadata…). The
+Spark-side contract — schemas, Arrow batch shapes, partition-friendly
+mapInPandas transforms — is real and tested; the actual byte→pixels /
+byte→samples DECODE is stubbed because no media libraries exist in
+this container: ``decode_image_batch(fake=False)`` raises
+``NotImplementedError`` with the production wiring documented, and
+``fake=True`` substitutes a deterministic generator so the downstream
+plumbing (feature extraction, resizing geometry, frame sampling) can
+be exercised end-to-end.
+
+Scale notes: binary payloads ride in Arrow record batches; keep
+``spark.sql.execution.arrow.maxRecordsPerBatch`` low enough that
+batch_size × avg_payload fits executor memory (e.g. 256 rows × 4 MB
+images ≈ 1 GB — set 64). Partition by content size or repartition to
+spread hot shards before the UDF stage.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField("media_type", T.StringType(), True),  # image/audio/video
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+    ]
+)
+
+
+def binary_metadata(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Cheap opaque-binary metadata — JVM-side only (no decode):
+    payload size, content hash, magic-header hex. This is the
+    dedup/integrity layer that works on any modality."""
+    c = F.col(content_col)
+    return df.withColumns(
+        {
+            "n_bytes": F.length(c).cast("bigint"),
+            "content_md5": F.md5(c),
+            "header_hex": F.lower(F.hex(F.substring(c, 1, 8))),
+        }
+    )
+
+
+_FEATURE_DIM = 16
+
+
+def _fake_decode(payload: bytes) -> np.ndarray:
+    """Deterministic stand-in for a real image decode: expand the md5
+    digest into a pseudo-pixel array. Same bytes → same 'pixels'."""
+    digest = hashlib.md5(payload or b"").digest()
+    return np.frombuffer(digest, dtype=np.uint8).astype(np.float32)
+
+
+def decode_image_batch(fake: bool = False):
+    """Return a decode function ``bytes -> np.ndarray``.
+
+    Production: wire Pillow/torchvision here (``PIL.Image.open(
+    io.BytesIO(payload))`` → np array). Not available in this
+    environment, hence:
+    """
+    if not fake:
+        raise NotImplementedError(
+            "real image decoding needs Pillow/libvips, which are not "
+            "installed in this environment; pass fake=True for the "
+            "deterministic test decoder"
+        )
+    return _fake_decode
+
+
+def extract_features(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    fake_decode: bool = True,
+) -> DataFrame:
+    """Decode + featurize via mapInPandas (Arrow-batched; flatMap
+    semantics — rows with NULL content produce no output row).
+    Output: (media_id, feature: array<float>[16], feat_norm)."""
+    decode = decode_image_batch(fake=fake_decode)
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("feature", T.ArrayType(T.FloatType()), True),
+            T.StructField("feat_norm", T.DoubleType(), True),
+        ]
+    )
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for mid, payload in zip(batch[id_col], batch[content_col]):
+                if payload is None:
+                    continue
+                pixels = decode(bytes(payload))
+                feat = pixels[:_FEATURE_DIM].astype(np.float32)
+                rows.append(
+                    {
+                        id_col: int(mid),
+                        "feature": feat.tolist(),
+                        "feat_norm": float(np.sqrt((feat.astype(np.float64) ** 2).sum())),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[id_col, "feature", "feat_norm"]) if rows else pd.DataFrame(
+                columns=[id_col, "feature", "feat_norm"]
+            )
+
+    return df.select(id_col, content_col).mapInPandas(featurize, schema=out_schema)
+
+
+def frame_sample(
+    df: DataFrame,
+    every_ms: int = 1000,
+    id_col: str = "media_id",
+    duration_col: str = "duration_ms",
+) -> DataFrame:
+    """Video frame-sampling PLAN: one output row per sampled timestamp
+    (the decode of the actual frame is the stubbed step). Pure
+    DataFrame explode — demonstrates the 1→N fan-out shape."""
+    return df.select(
+        id_col,
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.col(duration_col).cast("long"), F.lit(every_ms).cast("long"))
+        ).alias("frame_ts_ms"),
+    )

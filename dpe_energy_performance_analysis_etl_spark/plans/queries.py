@@ -795,3 +795,294 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
     )
+
+
+# =====================================================================
+# Training-data operators: text analysis, dedup families, similarity
+# search, multimodal plumbing (build mandate beyond the reference)
+# =====================================================================
+
+@register(
+    "text_quality",
+    """
+    WITH tok AS (
+      SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+      CAST(len(toks) AS BIGINT) AS n_tokens,
+      CAST(length(text) AS BIGINT) AS n_chars_obs,
+      CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS punct_count,
+      CAST(len(list_filter(toks, t -> t IN ('the','a','and','of','to','is','in','that','it','for'))) AS BIGINT) AS stopword_count,
+      CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
+      CAST(len(list_filter(toks, t -> t IN ('the','a','and','of','to','is','in','that','it','for'))) AS DOUBLE) / CAST(greatest(len(toks), 1) AS DOUBLE) AS stopword_ratio,
+      CAST(list_sum(list_transform(toks, t -> CAST(length(t) AS BIGINT))) AS DOUBLE) / CAST(greatest(len(toks), 1) AS DOUBLE) AS avg_token_len,
+      least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.5
+        + (1.0 - least(CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE) * 5.0, 1.0)) * 0.25
+        + least(CAST(len(list_filter(toks, t -> t IN ('the','a','and','of','to','is','in','that','it','for'))) AS DOUBLE) / CAST(greatest(len(toks), 1) AS DOUBLE) * 5.0, 1.0) * 0.25
+        AS quality_score
+    FROM tok
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring (length/punctuation/stopword signals)
+    — all codegen'd expressions, no Python in the row path."""
+    from dpe_energy_performance_analysis_etl_spark.text import quality_metrics
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    m = quality_metrics("text")
+    return docs.select("doc_id", *[expr.alias(name) for name, expr in m.items()])
+
+
+@register(
+    "lang_id",
+    """
+    WITH tok AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents
+    ), scores AS (
+      SELECT doc_id,
+        CAST(len(list_filter(toks, t -> t IN ('the','and','of','to','is'))) AS BIGINT) AS en_score,
+        CAST(len(list_filter(toks, t -> t IN ('le','la','les','et','des'))) AS BIGINT) AS fr_score,
+        CAST(len(list_filter(toks, t -> t IN ('der','die','das','und','ist'))) AS BIGINT) AS de_score,
+        CAST(len(list_filter(toks, t -> t IN ('el','los','las','y','es'))) AS BIGINT) AS es_score
+      FROM tok
+    )
+    SELECT doc_id, en_score, fr_score, de_score, es_score,
+      CASE WHEN en_score >= fr_score AND en_score >= de_score AND en_score >= es_score THEN 'en'
+           WHEN fr_score >= de_score AND fr_score >= es_score THEN 'fr'
+           WHEN de_score >= es_score THEN 'de'
+           ELSE 'es' END AS predicted_lang
+    FROM scores
+    """,
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: marker function-word hit counts with a
+    deterministic argmax."""
+    from dpe_energy_performance_analysis_etl_spark.text import language_scores, predicted_language
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s = language_scores("text")
+    return docs.select(
+        "doc_id",
+        *[expr.alias(name) for name, expr in s.items()],
+        predicted_language("text").alias("predicted_lang"),
+    )
+
+
+@register(
+    "token_counts",
+    r"""
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_word_tokens,
+      CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_ish_tokens
+    FROM documents
+    """,
+)
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace-word tokens + BPE-ish subword class
+    count (letters / digits / punctuation split)."""
+    from dpe_energy_performance_analysis_etl_spark.text import bpe_ish_token_count, token_count
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_word_tokens"),
+        bpe_ish_token_count("text").alias("n_bpe_ish_tokens"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    """
+    WITH norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm_text
+      FROM documents
+    )
+    SELECT doc_id,
+           md5(norm_text) AS md5_fp,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(regexp_extract_all(norm_text, '.'), c -> CAST(ascii(c) AS BIGINT))),
+             (acc, x) -> (acc * 131 + x) % 1000000000000000
+           ) AS rolling_fp
+    FROM norm
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 of normalized text + polynomial
+    rolling hash (base 131, mod 1e15) over its characters."""
+    from dpe_energy_performance_analysis_etl_spark.text import md5_fingerprint, rolling_hash_fingerprint
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        md5_fingerprint("text").alias("md5_fp"),
+        rolling_hash_fingerprint("text").alias("rolling_fp"),
+    )
+
+
+@register(
+    "dedup_exact_groups",
+    """
+    SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS content_fp,
+           min(doc_id) AS representative_id,
+           count(*) AS n_docs
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the content fingerprint; one
+    uniform-key shuffle regardless of corpus size."""
+    from dpe_energy_performance_analysis_etl_spark.dedup import exact_dup_groups
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return exact_dup_groups(docs)
+
+
+@register(
+    "ngram_jaccard_pairs",
+    """
+    WITH tok AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+      FROM tok WHERE len(t) >= 3
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_common,
+           CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) >= 0.05
+    """,
+)
+def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs (the correctness
+    baseline the MinHash-LSH path is validated against)."""
+    from dpe_energy_performance_analysis_etl_spark.dedup import shingle_pairs_jaccard
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return shingle_pairs_jaccard(docs, threshold=0.05)
+
+
+@register(
+    "embedding_cosine_topk",
+    """
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), n AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM base
+    ), scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cosine
+      FROM n q JOIN n c ON q.vec_id != c.vec_id
+      WHERE q.vec_id < 10
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for query vectors (vec_id <
+    10): broadcast queries, scan corpus once, window top-k. Exact —
+    the ANN baseline."""
+    from dpe_energy_performance_analysis_etl_spark.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    out = brute_force_topk(emb, queries_df, k=5)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+@register(
+    "embedding_near_dup",
+    """
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), n AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM base
+    )
+    SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+           list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.5
+    """,
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact all-pairs
+    baseline)."""
+    from dpe_energy_performance_analysis_etl_spark.dedup import embedding_near_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_dup_pairs(emb, threshold=0.5)
+
+
+@register(
+    "binary_metadata",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5,
+           lower(hex(encode(substring(text, 1, 8)))) AS header_hex
+    FROM documents
+    """,
+)
+def binary_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: opaque-binary metadata (size, content
+    hash, magic-header hex) — the modality-agnostic dedup/integrity
+    layer, computed here over text-as-bytes."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bin_col = F.encode(F.col("text"), "utf-8")
+    return docs.select(
+        "doc_id",
+        F.length(bin_col).cast("bigint").alias("n_bytes"),
+        F.md5(bin_col).alias("content_md5"),
+        F.lower(F.hex(F.encode(F.substring("text", 1, 8), "utf-8"))).alias("header_hex"),
+    )
+
+
+# ---- rows-only queries (hash-based algorithms not expressible in
+# portable SQL; the driver records row-count checks, and tests/
+# validate them against the exact baselines) ----
+
+@register("minhash_lsh_pairs")
+def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates verified by exact Jaccard —
+    the shuffle-bounded scale path (64 perms × 16 bands)."""
+    from dpe_energy_performance_analysis_etl_spark.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_lsh_pairs(docs, threshold=0.05)
+
+
+@register("simhash_near_dups")
+def simhash_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming ≤ 3 over 64-bit signatures,
+    pigeonhole candidate generation)."""
+    from dpe_energy_performance_analysis_etl_spark.dedup import simhash_near_dup_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_near_dup_pairs(docs)
+
+
+@register("ann_lsh_topk")
+def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH buckets (recall
+    measured against brute force in tests)."""
+    from dpe_energy_performance_analysis_etl_spark.similarity import lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return lsh_topk(emb, queries_df, dim=64, k=5, num_planes=4, num_tables=12)

@@ -30,6 +30,12 @@ _DEFAULTS = {
     # Auto-broadcast threshold: small dims (nation/region/BAN lookups)
     # should broadcast; 64 MB is safe with multi-GB executors.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Split size: Spark's 128 MB default leaves small-SF test files as
+    # ONE task — every scan-side stage runs serial. 8 MB keeps the
+    # local harness parallel; cluster deployments against TB-scale
+    # inputs override via ENGINE_MAX_PARTITION_BYTES (128m there).
+    "spark.sql.files.maxPartitionBytes": os.environ.get("ENGINE_MAX_PARTITION_BYTES", "8m"),
+    "spark.sql.files.openCostInBytes": "1m",
     # TIMESTAMP(NANOS) parquet (events table) is unreadable by default;
     # read as long and convert with timestamp_micros(ns div 1000).
     "spark.sql.legacy.parquet.nanosAsLong": "true",

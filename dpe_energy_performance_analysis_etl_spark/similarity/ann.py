@@ -1,0 +1,162 @@
+"""Similarity search over embedding columns.
+
+``brute_force_topk`` — exact cosine top-k: broadcast the (small) query
+set against the corpus; one pass over the corpus per batch of queries,
+top-k via window. This is the oracle-checkable baseline and is also
+the right plan whenever |queries| is small: the corpus never shuffles.
+
+``hyperplane_lsh_buckets`` / ``lsh_topk`` — the scale path: random-
+hyperplane (sign) LSH with ``num_tables`` independent tables of
+``num_planes`` planes each; candidates are the union of same-bucket
+pairs across tables (multi-table is what makes recall usable: one
+table of 8 planes has P[all planes agree] ≈ 0.025 for a 0.4-cosine
+neighbor — measured ZERO recall; 12 tables × 4 planes ≈ 0.87).
+The hyperplanes are a deterministic ±1 matrix derived from a seeded
+generator and baked into the plan as literals, so bucket ids are
+reproducible across runs and engines. Tune planes ↑ as corpus grows
+(selectivity) and tables ↑ for recall; tests measure recall against
+brute force.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from dpe_energy_performance_analysis_etl_spark.dedup.embedding import dot_double, norm2_double
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k neighbors (excluding self) for each query
+    vector. Queries are broadcast; the corpus is scanned once."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        F.sqrt(norm2_double(F.col(vec_col))).alias("cnorm"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.sqrt(norm2_double(F.col(vec_col))).alias("qnorm"),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", dot_double(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm")))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _plane_signs(num_planes: int, dim: int, seed: int = 7) -> list[list[int]]:
+    rng = random.Random(seed)
+    return [[1 if rng.random() < 0.5 else -1 for _ in range(dim)] for _ in range(num_planes)]
+
+
+def hyperplane_lsh_buckets(
+    df: DataFrame,
+    dim: int,
+    num_planes: int = 12,
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """Add a ``bucket`` column: bit p = [dot(vec, plane_p) > 0].
+    The ±1 plane matrix is constant-folded into the projection."""
+    planes = _plane_signs(num_planes, dim, seed)
+
+    def plane_bit(p: int) -> Column:
+        signed = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.array(*[F.lit(float(s)) for s in planes[p]]),
+                lambda x, s: x.cast("double") * s,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return F.when(signed > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(
+            F.lit(0).cast("long")
+        )
+
+    bucket = plane_bit(0)
+    for p in range(1, num_planes):
+        bucket = bucket.bitwiseOR(plane_bit(p))
+    return df.withColumn("bucket", bucket)
+
+
+def _multi_table_buckets(
+    df: DataFrame,
+    dim: int,
+    num_tables: int,
+    num_planes: int,
+    vec_col: str,
+    seed: int,
+) -> DataFrame:
+    """Explode each row into (table, bucket) pairs — one bucket per
+    LSH table, each table's planes independently seeded."""
+    tables = []
+    for t in range(num_tables):
+        bucketed = hyperplane_lsh_buckets(df, dim, num_planes, vec_col, seed + 1000 * t)
+        tables.append(
+            bucketed.withColumn("table", F.lit(t)).withColumnRenamed("bucket", "tbucket")
+        )
+    out = tables[0]
+    for nxt in tables[1:]:
+        out = out.unionByName(nxt)
+    return out
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    num_planes: int = 4,
+    num_tables: int = 12,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate top-k: candidates limited to vectors sharing an LSH
+    bucket with the query in ≥1 of ``num_tables`` tables (equi-join on
+    (table, bucket) — shuffle volume O(n·L), never O(n²))."""
+    c = _multi_table_buckets(corpus, dim, num_tables, num_planes, vec_col, seed).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        F.sqrt(norm2_double(F.col(vec_col))).alias("cnorm"),
+        "table",
+        "tbucket",
+    )
+    q = _multi_table_buckets(queries, dim, num_tables, num_planes, vec_col, seed).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.sqrt(norm2_double(F.col(vec_col))).alias("qnorm"),
+        "table",
+        "tbucket",
+    )
+    candidates = (
+        c.join(F.broadcast(q), on=["table", "tbucket"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "qvec", "qnorm", "cvec", "cnorm")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = candidates.withColumn(
+        "cosine", dot_double(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm"))
+    ).select("query_id", "neighbor_id", "cosine")
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
