@@ -25,12 +25,20 @@ def read_csv(
     schema: T.StructType | None = None,
     sep: str = ";",
     header: bool = True,
+    infer: bool = False,
 ) -> DataFrame:
-    """S1/S2 — `;`-separated CSV scan (``extract.py:129-135``)."""
+    """S1/S2 — `;`-separated CSV scan (``extract.py:129-135``).
+
+    Default is STRING columns (no inference): inference silently
+    corrupts code-like fields (``code_iris`` '060290100' → int 60290100
+    loses the leading zero that encodes the département) and costs an
+    extra full pass over the data at scale. Pass an explicit schema,
+    or let the transform layer's autocast type the columns safely.
+    """
     reader = spark.read.option("sep", sep).option("header", header)
     if schema is not None:
         reader = reader.schema(schema)
-    else:
+    elif infer:
         reader = reader.option("inferSchema", True)
     return reader.csv(path)
 

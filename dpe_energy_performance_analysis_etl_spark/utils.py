@@ -33,14 +33,19 @@ _NON_ALNUM = re.compile(r"[^0-9a-zA-Z]+")
 
 @functools.lru_cache(maxsize=4096)
 def normalize_name(name: str) -> str:
-    """ASCII-fold, collapse runs of non-alphanumerics to ``_``, strip
-    edge underscores, lowercase. Matches ``utils/fonctions.py:59-67``.
+    """ASCII-fold, collapse runs of non-alphanumerics to ``_``,
+    lowercase. Matches ``utils/fonctions.py:59-67`` exactly — edge
+    underscores are KEPT (``_id_ademe`` is a primary key in the gold
+    schema; stripping it silently detaches the golden config from the
+    normalized silver columns).
 
     >>> normalize_name("Consommation annuelle (MWh) ÉTÉ")
     'consommation_annuelle_mwh_ete'
+    >>> normalize_name("_id_ademe")
+    '_id_ademe'
     """
     folded = unicodedata.normalize("NFKD", name).encode("ascii", "ignore").decode("ascii")
-    return _NON_ALNUM.sub("_", folded).strip("_").lower()
+    return _NON_ALNUM.sub("_", folded).lower()
 
 
 def today_str(days_back: int = 0, fmt: str = "%Y_%m_%d") -> str:

@@ -1,0 +1,45 @@
+"""Similarity search: brute-force correctness vs numpy, LSH recall."""
+
+import numpy as np
+import pytest
+
+from dpe_energy_performance_analysis_etl_spark.similarity import brute_force_topk, lsh_topk
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_brute_force_matches_numpy(spark, emb):
+    queries = emb.filter("vec_id < 3")
+    got = brute_force_topk(emb, queries, k=3).collect()
+    pdf = emb.toPandas()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    norms = np.linalg.norm(mat, axis=1)
+    for qid in range(3):
+        qi = int(np.where(ids == qid)[0][0])
+        cos = (mat @ mat[qi]) / (norms * norms[qi])
+        cos[qi] = -np.inf
+        order = np.argsort(np.stack([-cos, ids], axis=1), axis=0)[:, 0][:3]
+        expect = [int(ids[i]) for i in order]
+        mine = [r.neighbor_id for r in sorted((r for r in got if r.query_id == qid), key=lambda r: r.rank)]
+        assert mine == expect, f"query {qid}: {mine} != {expect}"
+
+
+def test_lsh_recall_reasonable(spark, emb):
+    queries = emb.filter("vec_id < 10")
+    exact = {(r.query_id, r.neighbor_id) for r in brute_force_topk(emb, queries, k=5).collect()}
+    approx = {(r.query_id, r.neighbor_id) for r in lsh_topk(emb, queries, dim=64, k=5, num_planes=4, num_tables=12).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"LSH recall degraded: {recall}"
+
+
+def test_lsh_deterministic(spark, emb):
+    queries = emb.filter("vec_id < 5")
+    a = {(r.query_id, r.neighbor_id, r.rank) for r in lsh_topk(emb, queries, dim=64, k=3).collect()}
+    b = {(r.query_id, r.neighbor_id, r.rank) for r in lsh_topk(emb, queries, dim=64, k=3).collect()}
+    assert a == b

@@ -1,0 +1,91 @@
+"""Text analysis + dedup family tests, incl. LSH recall vs the exact
+baselines (the property that justifies the approximate scale paths)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from dpe_energy_performance_analysis_etl_spark.dedup import (
+    exact_dedup,
+    exact_dup_groups,
+    minhash_lsh_pairs,
+    shingle_pairs_jaccard,
+    simhash_near_dup_pairs,
+)
+from dpe_energy_performance_analysis_etl_spark.text import (
+    md5_fingerprint,
+    predicted_language,
+    quality_metrics,
+    rolling_hash_fingerprint,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden trees"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact duplicate of 0
+        (2, BASE.replace("quick", "swift")),  # near-dup of 0
+        (3, "completely different text about spark dataframes and shuffles and joins and aggregations running on large clusters"),
+        (4, "le chat noir dort sur le canapé et les oiseaux chantent dans le jardin des voisins"),
+        (5, ""),  # empty doc
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_exact_dedup_finds_planted_duplicate(spark, docs):
+    groups = exact_dup_groups(docs)
+    dup = groups.filter(F.col("n_docs") > 1).collect()
+    assert len(dup) == 1 and dup[0].representative_id == 0 and dup[0].n_docs == 2
+    kept = exact_dedup(docs)
+    assert kept.count() == 5  # 6 docs, one dup collapsed
+    assert {r.doc_id for r in kept.select("doc_id").collect()} == {0, 2, 3, 4, 5}
+
+
+def test_fingerprints_deterministic(spark, docs):
+    a = docs.select("doc_id", md5_fingerprint("text").alias("fp"), rolling_hash_fingerprint("text").alias("rh"))
+    one = {(r.doc_id, r.fp, r.rh) for r in a.collect()}
+    two = {(r.doc_id, r.fp, r.rh) for r in a.collect()}
+    assert one == two
+    by_id = {r.doc_id: (r.fp, r.rh) for r in a.collect()}
+    assert by_id[0] == by_id[1]  # identical content, identical prints
+    assert by_id[0] != by_id[2]
+
+
+def test_exact_jaccard_and_minhash_agree(spark, docs):
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in shingle_pairs_jaccard(docs, threshold=0.3).collect()
+    }
+    assert (0, 1) in exact and exact[(0, 1)] == 1.0
+    assert (0, 2) in exact  # near-dup shares most shingles
+    lsh = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(docs, threshold=0.3).collect()}
+    assert lsh <= set(exact)
+    assert (0, 1) in lsh  # identical docs can never be missed
+
+
+def test_simhash_flags_identical_and_near(spark, docs):
+    # a 1-of-24-token change measures hamming 4 — threshold scales
+    # with how much of the doc changed (chunks must stay > max_hamming)
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_near_dup_pairs(docs, max_hamming=7, chunks=8).collect()
+    }
+    assert pairs.get((0, 1)) == 0  # identical docs: distance 0
+    assert (0, 2) in pairs and pairs[(0, 2)] <= 7
+    assert (0, 3) not in pairs  # unrelated doc stays out
+
+
+def test_quality_and_language(spark, docs):
+    m = quality_metrics("text")
+    out = docs.select("doc_id", *[e.alias(k) for k, e in m.items()], predicted_language("text").alias("lang"))
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[0].n_tokens == len(BASE.split())
+    assert rows[0].lang == "en"
+    assert rows[4].lang == "fr"
+    assert rows[5].n_tokens == 0 and rows[5].quality_score is not None
