@@ -19,6 +19,10 @@ from dpe_energy_performance_analysis_etl_spark.operators.aggregate import (
     impute_numeric,
     group_stats_dpe,
 )
+from dpe_energy_performance_analysis_etl_spark.operators.temporal import (
+    asof_join,
+    range_join_bucketed,
+)
 
 __all__ = [
     "select_columns",
@@ -38,4 +42,6 @@ __all__ = [
     "iqr_bounds",
     "impute_numeric",
     "group_stats_dpe",
+    "asof_join",
+    "range_join_bucketed",
 ]

@@ -1086,3 +1086,301 @@ def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries_df = emb.filter(F.col("vec_id") < 10)
     return lsh_topk(emb, queries_df, dim=64, k=5, num_planes=4, num_tables=12)
+
+
+# =====================================================================
+# Temporal joins (custom operators Spark lacks natively) + extended
+# function/window/SQL-API coverage
+# =====================================================================
+
+@register(
+    "asof_join_events",
+    """
+    SELECT l.user_id, l.ts, l.event_id, l.click_value, r.view_value
+    FROM (SELECT user_id, ts, event_id, value AS click_value
+          FROM events WHERE event_type = 'click') l
+    ASOF LEFT JOIN (SELECT user_id, ts AS rts, value AS view_value
+                    FROM events WHERE event_type = 'view') r
+    ON l.user_id = r.user_id AND l.ts >= r.rts
+    """,
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click gets the user's most recent prior view.
+    Union-and-window implementation — one shuffle+sort, no nested
+    loop (operators/temporal.py); oracle is DuckDB's native ASOF."""
+    from dpe_energy_performance_analysis_etl_spark.operators import asof_join
+
+    ev = read_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", F.col("value").alias("click_value")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("value").alias("view_value")
+    )
+    return asof_join(clicks, views, on="user_id", right_payload=["view_value"], suffix="")
+
+
+@register(
+    "range_join_events",
+    """
+    SELECT a.user_id, a.event_id AS event_a, b.event_id AS event_b,
+           epoch(b.ts) - epoch(a.ts) AS delta_sec
+    FROM events a
+    JOIN events b ON a.user_id = b.user_id
+      AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
+      AND a.event_id != b.event_id
+    """,
+)
+def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: same-user event pairs within 10 minutes,
+    via time-bucketed candidates (operators/temporal.py) instead of a
+    per-key cross product."""
+    from dpe_energy_performance_analysis_etl_spark.operators import range_join_bucketed
+
+    ev = read_events(spark, sf_dir)
+    left = ev.select("user_id", "ts", F.col("event_id").alias("event_a"))
+    right = ev.select(
+        "user_id", F.col("ts").alias("ts_b"), F.col("event_id").alias("event_b")
+    )
+    joined = range_join_bucketed(left, right, on="user_id", window_seconds=600, right_ts="ts_b")
+    return joined.filter(F.col("event_a") != F.col("event_b")).select(
+        "user_id",
+        "event_a",
+        "event_b",
+        (F.col("ts_b").cast("double") - F.col("ts").cast("double")).alias("delta_sec"),
+    )
+
+
+@register(
+    "string_functions",
+    """
+    SELECT p_partkey,
+           lpad(p_brand, 12, '*') AS brand_padded,
+           split_part(p_type, ' ', 1) AS type_head,
+           replace(p_brand, '#', '-') AS brand_dashed,
+           reverse(p_name) AS name_rev,
+           strpos(p_name, 'a') AS first_a,
+           p_name LIKE '%green%' AS has_green,
+           trim(concat('  ', p_brand, '  ')) AS trimmed,
+           repeat(p_brand, 2) AS brand_twice
+    FROM part
+    """,
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended string surface (F-class generalization)."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    return part.select(
+        "p_partkey",
+        F.lpad("p_brand", 12, "*").alias("brand_padded"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_head"),
+        F.replace(F.col("p_brand"), F.lit("#"), F.lit("-")).alias("brand_dashed"),
+        F.reverse(F.col("p_name")).alias("name_rev"),
+        F.instr(F.col("p_name"), "a").cast("bigint").alias("first_a"),
+        F.col("p_name").like("%green%").alias("has_green"),
+        F.trim(F.concat(F.lit("  "), F.col("p_brand"), F.lit("  "))).alias("trimmed"),
+        F.repeat(F.col("p_brand"), 2).alias("brand_twice"),
+    )
+
+
+@register(
+    "null_conditional_functions",
+    """
+    SELECT c_custkey,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS segment_or_other,
+           greatest(c_acctbal, 0.0) AS bal_floor0,
+           least(c_acctbal, 5000.0) AS bal_cap5k,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 5000 THEN 'mid'
+                ELSE 'rich' END AS bal_band,
+           c_acctbal IS NULL AS bal_is_null,
+           ifnull(c_name, 'anon') AS name_or_anon
+    FROM customer
+    """,
+)
+def null_conditional_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL handling + conditional surface (coalesce/nullif/case —
+    the machinery behind the reference's default-fill SO2)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return cust.select(
+        "c_custkey",
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")).alias(
+            "segment_or_other"
+        ),
+        F.greatest(F.col("c_acctbal"), F.lit(0.0)).alias("bal_floor0"),
+        F.least(F.col("c_acctbal"), F.lit(5000.0)).alias("bal_cap5k"),
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("rich")
+        .alias("bal_band"),
+        F.col("c_acctbal").isNull().alias("bal_is_null"),
+        F.ifnull(F.col("c_name"), F.lit("anon")).alias("name_or_anon"),
+    )
+
+
+@register(
+    "math_functions",
+    """
+    SELECT p_partkey,
+           round(p_retailprice, 1) AS price_round1,
+           floor(p_retailprice) AS price_floor,
+           ceil(p_retailprice) AS price_ceil,
+           abs(p_retailprice - 1500.0) AS price_dist,
+           sign(p_retailprice - 1500.0) AS price_sign,
+           p_partkey % 7 AS key_mod7,
+           CAST(power(p_size, 2) AS DOUBLE) AS size_sq,
+           sqrt(CAST(p_size AS DOUBLE)) AS size_sqrt
+    FROM part
+    """,
+)
+def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-result math surface (round/floor/ceil/abs/sign/mod/
+    integer powers/sqrt — all IEEE-deterministic; transcendentals are
+    deliberately excluded from oracle checks: libm last-ulp variance)."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    return part.select(
+        "p_partkey",
+        F.round("p_retailprice", 1).alias("price_round1"),
+        F.floor("p_retailprice").alias("price_floor"),
+        F.ceil("p_retailprice").alias("price_ceil"),
+        F.abs(F.col("p_retailprice") - 1500.0).alias("price_dist"),
+        F.signum(F.col("p_retailprice") - 1500.0).alias("price_sign"),
+        (F.col("p_partkey") % 7).alias("key_mod7"),
+        F.pow(F.col("p_size"), 2).alias("size_sq"),
+        F.sqrt(F.col("p_size").cast("double")).alias("size_sqrt"),
+    )
+
+
+@register(
+    "grouping_sets_sql",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+           CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+    """,
+)
+def grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via the SQL API (same Catalyst plan as the
+    DataFrame rollup/cube path; shows the engine's SQL surface)."""
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+               CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+               COUNT(*) AS n_rows
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+        """
+    )
+
+
+@register(
+    "sql_in_subquery",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+      AND o_orderstatus = 'F'
+    """,
+)
+def sql_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery through the SQL API (planned as a left-semi join)."""
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView("orders_sq")
+    spark.read.parquet(f"{sf_dir}/customer.parquet").createOrReplaceTempView("customer_sq")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders_sq
+        WHERE o_custkey IN (SELECT c_custkey FROM customer_sq WHERE c_acctbal > 9000)
+          AND o_orderstatus = 'F'
+        """
+    )
+
+
+@register(
+    "window_analytics_extended",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume,
+           lead(o_totalprice, 1, -1.0) OVER w AS next_price,
+           first_value(o_totalprice) OVER w AS smallest_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_analytics_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile / percent_rank / cume_dist / lead-with-default /
+    first_value — the full analytic window surface."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.lead("o_totalprice", 1, -1.0).over(w).alias("next_price"),
+        F.first("o_totalprice").over(w).alias("smallest_price"),
+    )
+
+
+@register(
+    "pandas_udf_parity",
+    """
+    SELECT doc_id, CAST(length(text) * 2 + 1 AS BIGINT) AS udf_feature
+    FROM documents
+    """,
+)
+def pandas_udf_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 — Arrow-vectorized scalar pandas UDF with an oracle check:
+    proves the Python batch path computes exactly what the SQL says
+    (the reference's row-wise ``apply`` lambdas, done right)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # real (non-stringified) annotations: this module uses
+    # `from __future__ import annotations`, which would turn the hints
+    # into strings pandas_udf can't resolve
+    def _feature(s):
+        return s.str.len() * 2 + 1
+
+    _feature.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    udf_feature = pandas_udf(_feature, "bigint")
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", udf_feature(F.col("text")).alias("udf_feature"))
+
+
+@register("grouped_stats_udaf")
+def grouped_stats_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 — grouped-map applyInPandas UDAF (paired t-test + Wilcoxon
+    per event_type, reference ``make_statistical_metrics``
+    semantics). Rows-only: scipy-style p-values aren't SQL."""
+    from dpe_energy_performance_analysis_etl_spark.operators import group_stats_dpe
+
+    ev = read_events(spark, sf_dir).withColumn(
+        "value_estimate", F.col("value") * 0.9 + 1.0
+    )
+    return group_stats_dpe(
+        ev,
+        group_col="event_type",
+        measured_col="value",
+        estimated_col="value_estimate",
+    )
+
+
+@register("approx_distinct")
+def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog approximate distinct (rows-only: sketch estimates
+    are engine-specific; tests bound the error vs exact count)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+    )

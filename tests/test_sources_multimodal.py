@@ -1,0 +1,108 @@
+"""REST source layer (paged scan, lookup join) and multimodal
+plumbing (binary metadata, Arrow-batched feature extraction)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from dpe_energy_performance_analysis_etl_spark.multimodal import (
+    binary_metadata,
+    decode_image_batch,
+    extract_features,
+    frame_sample,
+)
+from dpe_energy_performance_analysis_etl_spark.sources import paged_rest_scan, rest_lookup_join
+
+
+def test_paged_rest_scan_unions_all_pages(spark):
+    schema = T.StructType(
+        [T.StructField("row_id", T.LongType()), T.StructField("val", T.StringType())]
+    )
+
+    def fetch_page(limit, offset):
+        return [{"row_id": offset + i, "val": f"v{offset + i}"} for i in range(limit)]
+
+    out = paged_rest_scan(spark, fetch_page, schema, total_pages=7, page_size=10,
+                          rate_limit_per_sec=10_000)
+    rows = out.collect()
+    assert len(rows) == 70
+    assert {r.row_id for r in rows} == set(range(70))
+
+
+def test_rest_lookup_join_dedups_and_flattens(spark):
+    def fetch(key):
+        return [{"v": f"{key}-{j}"} for j in range(2)]  # 1 -> N
+
+    keys = spark.createDataFrame(pd.DataFrame({"k": ["a", "b", "a", None, "b"]}))
+    schema = T.StructType([T.StructField("v", T.StringType())])
+    out = rest_lookup_join(keys, "k", fetch, schema, rate_limit_per_sec=10_000)
+    rows = out.collect()
+    # dedup-before-fanout: duplicated keys fetched once (8 rows if not),
+    # NULL key dropped, 1->N flattening preserved
+    assert len(rows) == 4
+    assert {(r.k, r.v) for r in rows} == {
+        ("a", "a-0"), ("a", "a-1"), ("b", "b-0"), ("b", "b-1")
+    }
+
+
+def test_rest_lookup_join_survives_fetch_errors(spark):
+    def fetch(key):
+        if key == "boom":
+            raise RuntimeError("api down")
+        return [{"v": key.upper()}]
+
+    keys = spark.createDataFrame(pd.DataFrame({"k": ["ok", "boom"]}))
+    schema = T.StructType([T.StructField("v", T.StringType())])
+    out = rest_lookup_join(keys, "k", fetch, schema, max_retries=1, backoff_seconds=0.01,
+                           rate_limit_per_sec=10_000)
+    rows = {r.k: r.v for r in out.collect()}
+    assert rows == {"ok": "OK"}  # failed key dropped (P8 None-filter parity)
+
+
+@pytest.fixture()
+def media(spark):
+    pdf = pd.DataFrame(
+        {
+            "media_id": [1, 2, 3],
+            "content": [b"fake-image-bytes-1", b"fake-image-bytes-2", None],
+            "media_type": ["image", "image", "image"],
+            "duration_ms": [0, 0, 0],
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+def test_binary_metadata(spark, media):
+    out = binary_metadata(media)
+    rows = {r.media_id: r for r in out.collect()}
+    assert rows[1].n_bytes == 18
+    assert rows[1].content_md5 != rows[2].content_md5
+    assert rows[1].header_hex == b"fake-ima".hex()
+    assert rows[3].n_bytes is None
+
+
+def test_decode_stub_contract():
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        decode_image_batch(fake=False)
+    decode = decode_image_batch(fake=True)
+    a, b = decode(b"same"), decode(b"same")
+    assert (a == b).all() and a.dtype.name == "float32"
+
+
+def test_extract_features_batch_shape(spark, media):
+    out = extract_features(media)
+    rows = {r.media_id: r for r in out.collect()}
+    assert set(rows) == {1, 2}  # NULL-content row produces no output
+    assert len(rows[1].feature) == 16
+    assert rows[1].feat_norm > 0
+    # determinism: same bytes -> same features
+    again = {r.media_id: r.feature for r in extract_features(media).collect()}
+    assert again[1] == rows[1].feature
+
+
+def test_frame_sample_explodes_timeline(spark):
+    vids = spark.createDataFrame(
+        pd.DataFrame({"media_id": [7], "duration_ms": [3500]})
+    )
+    out = frame_sample(vids, every_ms=1000)
+    assert [r.frame_ts_ms for r in out.orderBy("frame_ts_ms").collect()] == [0, 1000, 2000, 3000]

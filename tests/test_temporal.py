@@ -1,0 +1,89 @@
+"""Temporal join operators: as-of and bucketed range joins."""
+
+import datetime as dt
+
+import pandas as pd
+
+from dpe_energy_performance_analysis_etl_spark.operators import asof_join, range_join_bucketed
+
+
+def _ts(minute, second=0):
+    return dt.datetime(2024, 1, 1, 0, minute, second)
+
+
+def test_asof_backward_semantics(spark):
+    trades = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "sym": ["A", "A", "A", "B"],
+                "ts": [_ts(5), _ts(10), _ts(2), _ts(5)],
+                "qty": [1, 2, 3, 4],
+            }
+        )
+    )
+    quotes = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "sym": ["A", "A", "B"],
+                "ts": [_ts(4), _ts(10), _ts(6)],
+                "px": [100.0, 101.0, 50.0],
+            }
+        )
+    )
+    out = asof_join(trades, quotes, on="sym", right_payload=["px"], suffix="")
+    got = {(r.sym, r.qty): r.px for r in out.collect()}
+    assert got[("A", 1)] == 100.0  # 00:05 -> quote at 00:04
+    assert got[("A", 2)] == 101.0  # 00:10 -> quote AT 00:10 (tie matches)
+    assert got[("A", 3)] is None   # 00:02 -> no prior quote
+    assert got[("B", 4)] is None   # B's only quote is later
+
+
+def test_asof_forward_direction(spark):
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": ["x", "x"], "ts": [_ts(1), _ts(8)], "v": [1, 2]})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": ["x", "x"], "ts": [_ts(5), _ts(20)], "w": [10.0, 20.0]})
+    )
+    out = asof_join(left, right, on="k", right_payload=["w"], direction="forward", suffix="")
+    got = {r.v: r.w for r in out.collect()}
+    assert got[1] == 10.0  # next right at 00:05
+    assert got[2] == 20.0  # next right at 00:20
+
+
+def test_range_join_bucket_boundaries(spark):
+    # pairs crossing a bucket boundary must still be found
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": ["u"] * 3, "ts": [_ts(0, 50), _ts(9), _ts(20)], "a": [1, 2, 3]})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": ["u"] * 3, "ts_b": [_ts(1, 10), _ts(9, 30), _ts(31)], "b": [10, 20, 30]})
+    )
+    out = range_join_bucketed(left, right, on="k", window_seconds=60, right_ts="ts_b")
+    pairs = {(r.a, r.b) for r in out.collect()}
+    # 00:00:50 -> 00:01:10 is 20s apart but crosses the minute bucket
+    assert (1, 10) in pairs
+    assert (2, 20) in pairs  # same-bucket pair
+    assert (3, 30) not in pairs  # 11 min apart > 60s window
+    assert (1, 20) not in pairs  # 8:40 apart
+
+
+def test_range_join_matches_naive(spark):
+    from dpe_energy_performance_analysis_etl_spark.plans.queries import read_events
+
+    ev = read_events(spark, "/root/testdata/sf0.001")
+    left = ev.select("user_id", "ts", ev.event_id.alias("a"))
+    right = ev.select("user_id", ev.ts.alias("ts_b"), ev.event_id.alias("b"))
+    bucketed = {
+        (r.a, r.b)
+        for r in range_join_bucketed(left, right, on="user_id", window_seconds=600, right_ts="ts_b")
+        .filter("a != b")
+        .collect()
+    }
+    naive = {
+        (r.a, r.b)
+        for r in left.join(right, on="user_id")
+        .filter("ts_b >= ts AND CAST(ts_b AS DOUBLE) - CAST(ts AS DOUBLE) <= 600 AND a != b")
+        .collect()
+    }
+    assert bucketed == naive
