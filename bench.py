@@ -41,6 +41,8 @@ HEADLINE = [
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
     "embedding_cosine_topk",
+    "asof_join_events",
+    "stats_moments",
 ]
 
 

@@ -112,9 +112,11 @@ def minhash_lsh_pairs(
             for i in range(bands)
         ]
     )
+    # materialize: the candidate self-join reads this twice, and the
+    # signature aggregation upstream is the expensive part
     banded = sigs.select("doc", "shingles", F.explode(band_structs).alias("bh")).select(
         "doc", "shingles", F.col("bh.band").alias("band"), F.col("bh.band_hash").alias("band_hash")
-    )
+    ).cache()
 
     a = banded.alias("a")
     b = banded.alias("b")

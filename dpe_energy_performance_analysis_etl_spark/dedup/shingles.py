@@ -46,9 +46,12 @@ def shingle_pairs_jaccard(
     if fanout is None:
         fanout = df.sparkSession.sparkContext.defaultParallelism
     df = df.repartition(fanout)
+    # cache the posting list: the self-join consumes it twice, and
+    # without materialization Spark recomputes the shingle explosion
+    # for both sides (at cluster scale: checkpoint to storage instead)
     sh = df.select(
         F.col(id_col).alias("doc"), F.explode(word_shingles(text_col, n)).alias("shingle")
-    )
+    ).cache()
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")

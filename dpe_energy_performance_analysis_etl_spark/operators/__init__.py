@@ -23,6 +23,7 @@ from dpe_energy_performance_analysis_etl_spark.operators.temporal import (
     asof_join,
     range_join_bucketed,
 )
+from dpe_energy_performance_analysis_etl_spark.operators.skew import salted_join
 
 __all__ = [
     "select_columns",
@@ -44,4 +45,5 @@ __all__ = [
     "group_stats_dpe",
     "asof_join",
     "range_join_bucketed",
+    "salted_join",
 ]

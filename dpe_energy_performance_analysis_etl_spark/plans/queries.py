@@ -4,9 +4,10 @@ TPC-H-ish tables.
 
 Conventions that make the oracle hash-match bit-exact:
   - every computed column is aliased IDENTICALLY in Spark and SQL;
-  - double aggregations go through ``decimal(30,8)`` partial values
-    (exact, associative — immune to float summation order across
-    partitions) and are cast back to double at the end — helper
+  - double aggregations go through decimal partial values at the
+    SMALLEST exact scale (exact + associative => immune to float
+    summation order across partitions; small scale keeps the final
+    decimal->double rounding unambiguous across engines) — helper
     ``dsum``;
   - averages are ``CAST(decimal_sum AS DOUBLE) / count`` so both
     engines do one identical IEEE-754 division;
@@ -54,19 +55,27 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev
 
 
-def dsum(col) -> F.Column:
+def dsum(col, scale: int = 2) -> F.Column:
     """Exact, order-independent sum of a double expression: accumulate
-    as decimal(30,8), return double."""
+    as decimal(30,scale), return double.
+
+    ``scale`` must cover the values' exact decimal places (money = 2,
+    price*discount = 4, *(1+tax) = 6) and should be NO LARGER: the
+    decimal sum is exact, but engines disagree on the final
+    decimal->double rounding once the scaled integer exceeds 2^53
+    (DuckDB converts int128 then divides; Spark rounds the BigDecimal
+    directly) — measured 1-ulp mismatches at scale 8, exact at the
+    minimal scale."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast("decimal(30,8)")).cast("double")
+    return F.sum(c.cast(f"decimal(30,{scale})")).cast("double")
 
 
-def davg(col, count_col=None) -> F.Column:
+def davg(col, count_col=None, scale: int = 2) -> F.Column:
     """Exact-sum average: decimal sum cast to double, one double
     division by the count."""
     c = F.col(col) if isinstance(col, str) else col
     cnt = F.count(c) if count_col is None else F.count(count_col)
-    return (F.sum(c.cast("decimal(30,8)")).cast("double") / cnt)
+    return (F.sum(c.cast(f"decimal(30,{scale})")).cast("double") / cnt)
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -91,13 +100,13 @@ def register(name: str, oracle: str | None = None):
     "q1_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,8))) AS DOUBLE) AS sum_charge,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
-           CAST(SUM(CAST(l_discount AS DECIMAL(30,8))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,6))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(30,2))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -117,8 +126,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             dsum("l_quantity").alias("sum_qty"),
             dsum("l_extendedprice").alias("sum_base_price"),
-            dsum(disc_price).alias("sum_disc_price"),
-            dsum(charge).alias("sum_charge"),
+            dsum(disc_price, 4).alias("sum_disc_price"),
+            dsum(charge, 6).alias("sum_charge"),
             davg("l_quantity").alias("avg_qty"),
             davg("l_extendedprice").alias("avg_price"),
             davg("l_discount").alias("avg_disc"),
@@ -181,7 +190,7 @@ def percentile_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_mktsegment,
            COUNT(DISTINCT c_nationkey) AS n_nations,
            COUNT(*) AS n_customers,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(30,8))) AS DOUBLE) AS total_balance
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE) AS total_balance
     FROM customer
     GROUP BY c_mktsegment
     """,
@@ -202,7 +211,7 @@ def count_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_returnflag, l_linestatus,
            COUNT(*) AS n_rows,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS sum_qty
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
@@ -220,7 +229,7 @@ def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cube_agg",
     """
     SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS revenue
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS revenue
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
@@ -236,8 +245,8 @@ def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot_agg",
     """
     SELECT l_returnflag,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS qty_open,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_filled
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS qty_open,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_filled
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -364,7 +373,7 @@ def join_semi_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     """
     SELECT l.l_orderkey,
-           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,8))) AS DOUBLE) AS revenue,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,4))) AS DOUBLE) AS revenue,
            o.o_orderdate, o.o_orderpriority
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -392,7 +401,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .filter(F.col("l_shipdate") > cutoff)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
@@ -403,7 +412,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_regional_revenue",
     """
     SELECT n.n_name AS nation_name,
-           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,8))) AS DOUBLE) AS revenue
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,4))) AS DOUBLE) AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -432,7 +441,7 @@ def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
         .filter(F.col("r_name") == "ASIA")
         .groupBy(F.col("n_name").alias("nation_name"))
-        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
     )
 
 
@@ -587,7 +596,7 @@ def window_rank_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_running_sum",
     """
     SELECT o_custkey, o_orderkey, o_orderdate,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) OVER (
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
            ) AS DOUBLE) AS running_spend
@@ -606,7 +615,7 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         "o_orderdate",
-        F.sum(F.col("o_totalprice").cast("decimal(30,8)")).over(w).cast("double").alias("running_spend"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,2)")).over(w).cast("double").alias("running_spend"),
     )
 
 
@@ -733,7 +742,7 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT date_trunc('hour', ts) AS window_start, event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS total_value
+           CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -1383,4 +1392,115 @@ def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
         F.countDistinct("l_orderkey").alias("exact_orders"),
+    )
+
+
+# =====================================================================
+# Statistical moments from exact sums, binning, reshaping (unpivot /
+# posexplode) — final §2-generalization batch
+# =====================================================================
+
+@register(
+    "stats_moments",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           n,
+           sx / n AS mean_qty,
+           (sxx - sx * sx / n) / (n - 1) AS var_qty,
+           sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_qty,
+           (sxy - sx * sy / n) / (n - 1) AS covar_qty_price
+    FROM s
+    """,
+)
+def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance / stddev / covariance computed FROM EXACT decimal sums
+    (sum, sum-of-squares, cross-sum) — deterministic across partition
+    orders and engines, unlike the streaming variance built-ins. One
+    aggregate pass, same cost shape as the native fns."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("l_quantity").alias("sx"),
+        dsum(F.col("l_quantity") * F.col("l_quantity")).alias("sxx"),
+        dsum("l_extendedprice").alias("sy"),
+        dsum(F.col("l_quantity") * F.col("l_extendedprice")).alias("sxy"),
+    )
+    n, sx, sxx, sy, sxy = (F.col(c) for c in ("n", "sx", "sxx", "sy", "sxy"))
+    return s.select(
+        "l_returnflag",
+        "n",
+        (sx / n).alias("mean_qty"),
+        ((sxx - sx * sx / n) / (n - 1)).alias("var_qty"),
+        F.sqrt((sxx - sx * sx / n) / (n - 1)).alias("stddev_qty"),
+        ((sxy - sx * sy / n) / (n - 1)).alias("covar_qty_price"),
+    )
+
+
+@register(
+    "histogram_bins",
+    """
+    SELECT CAST(floor(value / 5.0) AS BIGINT) AS bin,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS bin_sum
+    FROM events
+    GROUP BY 1
+    """,
+)
+def histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value binning (histogram) — groupBy on a computed
+    bucket key; the at-scale shape for distribution profiling."""
+    ev = read_events(spark, sf_dir)
+    return (
+        ev.groupBy(F.floor(F.col("value") / 5.0).cast("bigint").alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("bin_sum"))
+    )
+
+
+@register(
+    "unpivot_melt",
+    """
+    SELECT l_orderkey, l_linenumber, name, value
+    FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax FROM lineitem)
+    UNPIVOT (value FOR name IN (l_quantity, l_discount, l_tax))
+    """,
+)
+def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshaping (melt): native ``unpivot`` — the inverse of
+    the pivot surface."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax").unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_discount", "l_tax"],
+        variableColumnName="name",
+        valueColumnName="value",
+    )
+
+
+@register(
+    "posexplode_embeddings",
+    """
+    SELECT vec_id,
+           CAST(unnest(range(0, len(embedding))) AS BIGINT) AS pos,
+           CAST(unnest(embedding) AS DOUBLE) AS val
+    FROM embeddings
+    WHERE vec_id < 20
+    """,
+)
+def posexplode_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array→rows with ordinality (posexplode) — the long-format view
+    of an embedding column (DuckDB oracle zips parallel unnests)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return (
+        emb.filter(F.col("vec_id") < 20)
+        .select("vec_id", F.posexplode("embedding").alias("pos", "val"))
+        .select("vec_id", F.col("pos").cast("bigint").alias("pos"), F.col("val").cast("double").alias("val"))
     )

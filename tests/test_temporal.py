@@ -87,3 +87,22 @@ def test_range_join_matches_naive(spark):
         .collect()
     }
     assert bucketed == naive
+
+
+def test_salted_join_matches_plain_join(spark):
+    import pandas as pd
+    from dpe_energy_performance_analysis_etl_spark.operators import salted_join
+
+    # heavily skewed left: 900 rows on one key
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": ["hot"] * 900 + ["a", "b"] * 50, "v": list(range(1000))})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": ["hot", "a", "c"], "w": [1.0, 2.0, 3.0]})
+    )
+    plain = {(r.k, r.v, r.w) for r in left.join(right, on="k", how="inner").collect()}
+    salted = {(r.k, r.v, r.w) for r in salted_join(left, right, on="k", salt_buckets=8).collect()}
+    assert salted == plain
+    plain_l = {(r.k, r.v, r.w) for r in left.join(right, on="k", how="left").collect()}
+    salted_l = {(r.k, r.v, r.w) for r in salted_join(left, right, on="k", how="left", salt_buckets=8).collect()}
+    assert salted_l == plain_l
