@@ -112,29 +112,32 @@ def minhash_lsh_pairs(
             for i in range(bands)
         ]
     )
-    # materialize: the candidate self-join reads this twice, and the
-    # signature aggregation upstream is the expensive part
-    banded = sigs.select("doc", "shingles", F.explode(band_structs).alias("bh")).select(
-        "doc", "shingles", F.col("bh.band").alias("band"), F.col("bh.band_hash").alias("band_hash")
-    ).cache()
+    # materialize signatures once: the candidate self-join reads the
+    # band table twice and the verification re-reads the shingle sets.
+    # The band table carries ONLY (doc, band, band_hash) — shipping the
+    # shingle arrays through the bands explode ×bands was the dominant
+    # shuffle cost; candidates are few, so the sets join back cheaply.
+    sigs = sigs.cache()
+    banded = sigs.select("doc", F.explode(band_structs).alias("bh")).select(
+        "doc", F.col("bh.band").alias("band"), F.col("bh.band_hash").alias("band_hash")
+    )
 
     a = banded.alias("a")
     b = banded.alias("b")
     candidates = (
         a.join(b, on=["band", "band_hash"])
         .where(F.col("a.doc") < F.col("b.doc"))
-        .select(
-            F.col("a.doc").alias("doc_a"),
-            F.col("b.doc").alias("doc_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
-        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    sets = sigs.select("doc", "shingles")
+    sa = sets.select(F.col("doc").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sets.select(F.col("doc").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    verified = candidates.join(sa, on="doc_a").join(sb, on="doc_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     return (
-        candidates.withColumn("jaccard", inter / union)
+        verified.withColumn("jaccard", inter / union)
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )

@@ -1504,3 +1504,16 @@ def posexplode_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.posexplode("embedding").alias("pos", "val"))
         .select("vec_id", F.col("pos").cast("bigint").alias("pos"), F.col("val").cast("double").alias("val"))
     )
+
+
+@register("ann_ivf_topk")
+def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via IVF (k-means coarse quantizer, exact-
+    decimal centroid training, nprobe cluster probing) — the second
+    scale path next to hyperplane LSH. Rows-only: k-means assignments
+    aren't portable SQL."""
+    from dpe_energy_performance_analysis_etl_spark.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(emb, queries_df, k=5, n_clusters=16, nprobe=6)

@@ -3,5 +3,12 @@ from dpe_energy_performance_analysis_etl_spark.similarity.ann import (
     hyperplane_lsh_buckets,
     lsh_topk,
 )
+from dpe_energy_performance_analysis_etl_spark.similarity.ivf import train_ivf_centroids, ivf_topk
 
-__all__ = ["brute_force_topk", "hyperplane_lsh_buckets", "lsh_topk"]
+__all__ = [
+    "brute_force_topk",
+    "hyperplane_lsh_buckets",
+    "lsh_topk",
+    "train_ivf_centroids",
+    "ivf_topk",
+]

@@ -7,6 +7,7 @@ from dpe_energy_performance_analysis_etl_spark.sources.io import (
     read_jdbc_table,
     append_jdbc_table,
     purge_dir,
+    write_bucketed_table,
 )
 from dpe_energy_performance_analysis_etl_spark.sources.rest import (
     RateLimiter,
@@ -23,6 +24,7 @@ __all__ = [
     "read_jdbc_table",
     "append_jdbc_table",
     "purge_dir",
+    "write_bucketed_table",
     "RateLimiter",
     "rest_lookup_join",
     "paged_rest_scan",

@@ -1,0 +1,70 @@
+"""Property-based tests (hypothesis) for the pure-Python layers —
+the reference has no property tests at all (SURVEY §5); these cover
+the invariants the example-based tests can't enumerate."""
+
+import math
+import re
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from dpe_energy_performance_analysis_etl_spark.operators.stats import (
+    betainc_reg,
+    t_sf_two_sided,
+    ttest_rel,
+    wilcoxon,
+)
+from dpe_energy_performance_analysis_etl_spark.utils import normalize_name
+
+
+@given(st.text(max_size=60))
+def test_normalize_name_idempotent_and_clean(name):
+    once = normalize_name(name)
+    assert normalize_name(once) == once  # idempotent
+    assert re.fullmatch(r"[0-9a-z_]*", once)  # slug alphabet only
+    assert "__" not in once  # runs collapsed
+
+
+@given(st.floats(0.01, 100), st.floats(1, 500))
+def test_t_sf_is_probability_and_monotone(t, df):
+    p = t_sf_two_sided(t, df)
+    assert 0.0 <= p <= 1.0
+    assert t_sf_two_sided(t + 1.0, df) <= p + 1e-12  # larger |t| -> smaller p
+
+
+@given(st.floats(0.1, 20), st.floats(0.1, 20), st.floats(0.001, 0.999))
+def test_betainc_bounds_and_symmetry(a, b, x):
+    v = betainc_reg(a, b, x)
+    assert -1e-12 <= v <= 1 + 1e-12
+    assert abs(v + betainc_reg(b, a, 1 - x) - 1.0) < 1e-9
+
+
+@given(
+    st.lists(st.floats(-100, 100, allow_nan=False), min_size=2, max_size=40),
+)
+@settings(max_examples=50)
+def test_ttest_symmetry(diffs):
+    x = np.array(diffs)
+    y = np.zeros_like(x)
+    t1, p1 = ttest_rel(x, y)
+    t2, p2 = ttest_rel(y, x)  # swapping sides flips t, keeps p
+    if not math.isnan(t1):
+        assert t1 == -t2 or (math.isinf(t1) and math.isinf(t2))
+        if not math.isnan(p1):
+            assert abs(p1 - p2) < 1e-12
+
+
+@given(
+    st.lists(
+        st.floats(-50, 50, allow_nan=False).filter(lambda v: abs(v) > 1e-6),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=50)
+def test_wilcoxon_statistic_bounds(diffs):
+    x = np.array(diffs)
+    w, p = wilcoxon(x, np.zeros_like(x))
+    n = len(diffs)
+    assert 0 <= w <= n * (n + 1) / 2
+    assert (0.0 <= p <= 1.0) or math.isnan(p)

@@ -43,3 +43,15 @@ def test_lsh_deterministic(spark, emb):
     a = {(r.query_id, r.neighbor_id, r.rank) for r in lsh_topk(emb, queries, dim=64, k=3).collect()}
     b = {(r.query_id, r.neighbor_id, r.rank) for r in lsh_topk(emb, queries, dim=64, k=3).collect()}
     assert a == b
+
+
+def test_ivf_recall_and_determinism(spark, emb):
+    from dpe_energy_performance_analysis_etl_spark.similarity import ivf_topk
+
+    queries = emb.filter("vec_id < 10")
+    exact = {(r.query_id, r.neighbor_id) for r in brute_force_topk(emb, queries, k=5).collect()}
+    a = {(r.query_id, r.neighbor_id) for r in ivf_topk(emb, queries, k=5, n_clusters=8, nprobe=4).collect()}
+    b = {(r.query_id, r.neighbor_id) for r in ivf_topk(emb, queries, k=5, n_clusters=8, nprobe=4).collect()}
+    assert a == b  # exact-decimal centroid training => reproducible
+    recall = len(exact & a) / len(exact)
+    assert recall >= 0.4, f"IVF recall degraded: {recall}"  # nprobe=4 of 8 clusters

@@ -106,3 +106,30 @@ def test_frame_sample_explodes_timeline(spark):
     )
     out = frame_sample(vids, every_ms=1000)
     assert [r.frame_ts_ms for r in out.orderBy("frame_ts_ms").collect()] == [0, 1000, 2000, 3000]
+
+
+def test_bucketed_join_needs_no_exchange(spark, tmp_path):
+    """Co-located join: two tables bucketed on the join key produce a
+    plan with ZERO Exchange operators — the pay-the-shuffle-once
+    contract that matters at fact-table scale."""
+    from dpe_energy_performance_analysis_etl_spark.sources import write_bucketed_table
+
+    # (warehouse dir is a static conf — tables land in ./spark-warehouse,
+    # which is gitignored; dropped in the finally block)
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    lineitem = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    write_bucketed_table(orders, "orders_b", ["o_orderkey"], num_buckets=8)
+    write_bucketed_table(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"), "li_b", ["o_orderkey"], num_buckets=8
+    )
+    joined = spark.table("orders_b").join(spark.table("li_b"), on="o_orderkey")
+    # disable broadcast so the join strategy is the bucket-aware one
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() == lineitem.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS li_b")
