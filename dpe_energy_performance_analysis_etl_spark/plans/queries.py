@@ -1517,3 +1517,202 @@ def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries_df = emb.filter(F.col("vec_id") < 10)
     return ivf_topk(emb, queries_df, k=5, n_clusters=16, nprobe=6)
+
+
+# =====================================================================
+# TPC-H-shaped query-pattern breadth: correlated EXISTS, conditional
+# ratios, HAVING, OR-of-ANDs, scalar subqueries
+# =====================================================================
+
+@register(
+    "q4_priority_exists",
+    """
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS with an inequality on both relations (TPC-H
+    Q4 shape) — planned as a left-semi join, no subquery re-execution."""
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView("q4_orders")
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").createOrReplaceTempView("q4_lineitem")
+    return spark.sql(
+        """
+        SELECT o.o_orderpriority, COUNT(*) AS order_count
+        FROM q4_orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND EXISTS (
+            SELECT 1 FROM q4_lineitem l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+          )
+        GROUP BY o.o_orderpriority
+        """
+    )
+
+
+@register(
+    "q12_priority_case_sum",
+    """
+    SELECT l.l_linestatus,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l.l_linestatus
+    """,
+)
+def q12_priority_case_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional counting via CASE inside SUM (TPC-H Q12 shape)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .filter(F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q14_promo_ratio",
+    """
+    SELECT 100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                     THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,4))
+                     ELSE CAST(0 AS DECIMAL(30,4)) END) AS DOUBLE)
+           / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,4))) AS DOUBLE)
+           AS promo_revenue_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1997-07-01 00:00:00'
+    """,
+)
+def q14_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional revenue ratio (TPC-H Q14 shape) — both the guarded
+    and total sums go through exact decimals before ONE double
+    division."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(30,4)")
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(30,4)"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
+        )
+        .agg(
+            (100.0 * F.sum(promo).cast("double") / F.sum(rev).cast("double")).alias(
+                "promo_revenue_pct"
+            )
+        )
+    )
+
+
+@register(
+    "q18_large_orders_having",
+    """
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, t.total_qty
+    FROM orders o
+    JOIN (
+      SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(30,2))) > 150
+    ) t ON o.o_orderkey = t.l_orderkey
+    """,
+)
+def q18_large_orders_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate + HAVING + join back (TPC-H Q18 shape)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(30,2)")).alias("q"))
+        .filter(F.col("q") > 150)
+        .select("l_orderkey", F.col("q").cast("double").alias("total_qty"))
+    )
+    return orders.join(big, orders.o_orderkey == big.l_orderkey).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "total_qty"
+    )
+
+
+@register(
+    "q19_or_of_ands",
+    """
+    SELECT CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,4))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 21)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 30 AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 50 AND l.l_quantity BETWEEN 20 AND 50)
+    """,
+)
+def q19_or_of_ands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunction of conjunctive ranges (TPC-H Q19 shape) — Catalyst
+    pushes the common parts and plans one join."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    b = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 21))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 30) & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 50) & F.col("l_quantity").between(20, 50))
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(30,4)")
+    return j.filter(b).agg(
+        F.sum(rev).cast("double").alias("revenue"), F.count(F.lit(1)).alias("n_lines")
+    )
+
+
+@register(
+    "q22_balance_subquery",
+    """
+    WITH avg_bal AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE) / COUNT(c_acctbal) AS v
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT substring(c.c_name, 1, 9) AS name_prefix,
+           COUNT(*) AS n_custs,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(30,2))) AS DOUBLE) AS total_bal
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.v
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderstatus = 'F')
+    GROUP BY 1
+    """,
+)
+def q22_balance_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery threshold + anti-join + grouped aggregate
+    (TPC-H Q22 shape); the average is computed from exact sums so the
+    threshold comparison is engine-identical."""
+    spark.read.parquet(f"{sf_dir}/customer.parquet").createOrReplaceTempView("q22_customer")
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView("q22_orders")
+    return spark.sql(
+        """
+        WITH avg_bal AS (
+          SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE) / COUNT(c_acctbal) AS v
+          FROM q22_customer WHERE c_acctbal > 0
+        )
+        SELECT substring(c.c_name, 1, 9) AS name_prefix,
+               COUNT(*) AS n_custs,
+               CAST(SUM(CAST(c.c_acctbal AS DECIMAL(30,2))) AS DOUBLE) AS total_bal
+        FROM q22_customer c, avg_bal
+        WHERE c.c_acctbal > avg_bal.v
+          AND NOT EXISTS (SELECT 1 FROM q22_orders o WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderstatus = 'F')
+        GROUP BY 1
+        """
+    )

@@ -133,3 +133,21 @@ def test_bucketed_join_needs_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS li_b")
+
+
+def test_json_lines_roundtrip_and_purge(spark, tmp_path):
+    from dpe_energy_performance_analysis_etl_spark.sources import (
+        purge_dir,
+        read_json_lines,
+        write_json_lines,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    path = str(tmp_path / "nation_jsonl")
+    write_json_lines(df, path)
+    back = read_json_lines(spark, path, schema=df.schema)
+    assert {(r.n_nationkey, r.n_name) for r in back.collect()} == {
+        (r.n_nationkey, r.n_name) for r in df.collect()
+    }
+    assert purge_dir(spark, path) is True
+    assert purge_dir(spark, path) is False  # already gone
