@@ -2,5 +2,14 @@ from dpe_energy_performance_analysis_etl_spark.streaming.incremental import (
     incremental_append_stream,
     windowed_event_counts,
 )
+from dpe_energy_performance_analysis_etl_spark.streaming.stateful import (
+    sessionize_stream,
+    batch_closed_sessions,
+)
 
-__all__ = ["incremental_append_stream", "windowed_event_counts"]
+__all__ = [
+    "incremental_append_stream",
+    "windowed_event_counts",
+    "sessionize_stream",
+    "batch_closed_sessions",
+]

@@ -72,3 +72,38 @@ def test_windowed_stream_matches_batch(spark, events, tmp_path):
     assert len(got_c) > 0
     for key, n in got_c.items():
         assert batch_c[key] == n
+
+
+def test_stateful_sessionization_across_batches(spark, events, tmp_path):
+    """applyInPandasWithState sessionizer: state carries OPEN sessions
+    across micro-batches; closed sessions match the batch reference."""
+    from dpe_energy_performance_analysis_etl_spark.streaming import (
+        batch_closed_sessions,
+        sessionize_stream,
+    )
+    from pyspark.sql import functions as F
+
+    landing = str(tmp_path / "landing")
+    target = str(tmp_path / "sessions")
+    ckpt = str(tmp_path / "ckpt3")
+    # two strictly time-ordered batches (late data would be a different test)
+    cutoff = events.agg(F.expr("percentile(CAST(ts AS DOUBLE), 0.5)")).collect()[0][0]
+    events.filter(F.col("ts").cast("double") <= cutoff).write.parquet(f"{landing}/b1")
+    q = sessionize_stream(spark, f"{landing}/b1", EVENT_SCHEMA, target, ckpt, gap_seconds=1800)
+    q.awaitTermination(180)
+    events.filter(F.col("ts").cast("double") > cutoff).write.parquet(f"{landing}/b1", mode="append")
+    q2 = sessionize_stream(spark, f"{landing}/b1", EVENT_SCHEMA, target, ckpt, gap_seconds=1800)
+    q2.awaitTermination(180)
+
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.read.parquet(target).collect()
+    }
+    expect = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in batch_closed_sessions(events, gap_seconds=1800).collect()
+    }
+    assert len(got) > 0
+    assert got == expect, (
+        f"missing={sorted(expect - got)[:3]} extra={sorted(got - expect)[:3]}"
+    )
