@@ -46,9 +46,12 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
 
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events table is written with TIMESTAMP(NANOS) parquet, which
-    Spark reads only as long (``nanosAsLong`` — set in the session
-    factory). The data carries no sub-microsecond precision, so the
+    Spark reads only as long. ``nanosAsLong`` is set HERE (runtime
+    conf, not only in the session factory) so the queries also work
+    under a caller-provided plain SparkSession — e.g. the driver's
+    harness. The data carries no sub-microsecond precision, so the
     ns→µs conversion is lossless."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(ev.dtypes).get("ts") == "bigint":
         ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
