@@ -1,0 +1,165 @@
+"""Single-node pandas baseline for a subset of the headline queries —
+the reference's execution engine is eager pandas (SURVEY §1), so this
+is the apples-to-apples throughput comparison BASELINE.md lacks.
+
+Implements the same semantics as the Spark queries (same filters,
+groupings, outputs) in idiomatic pandas; prints one JSON line shaped
+like bench.py for side-by-side reading.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+
+import numpy as np
+import pandas as pd
+
+
+def q1_pricing_summary(dfs):
+    li = dfs["lineitem"]
+    f = li[li["l_shipdate"] <= pd.Timestamp("1998-09-02")]
+    g = f.assign(
+        disc_price=f["l_extendedprice"] * (1 - f["l_discount"]),
+        charge=f["l_extendedprice"] * (1 - f["l_discount"]) * (1 + f["l_tax"]),
+    ).groupby(["l_returnflag", "l_linestatus"])
+    return g.agg(
+        sum_qty=("l_quantity", "sum"),
+        sum_base_price=("l_extendedprice", "sum"),
+        sum_disc_price=("disc_price", "sum"),
+        sum_charge=("charge", "sum"),
+        avg_qty=("l_quantity", "mean"),
+        avg_price=("l_extendedprice", "mean"),
+        avg_disc=("l_discount", "mean"),
+        count_order=("l_quantity", "size"),
+    ).reset_index()
+
+
+def q3_shipping_priority(dfs):
+    cutoff = pd.Timestamp("1995-03-15")
+    c = dfs["customer"]
+    o = dfs["orders"]
+    l = dfs["lineitem"]
+    cb = c[c["c_mktsegment"] == "BUILDING"]
+    oo = o[o["o_orderdate"] < cutoff].merge(cb, left_on="o_custkey", right_on="c_custkey")
+    ll = l[l["l_shipdate"] > cutoff].merge(oo, left_on="l_orderkey", right_on="o_orderkey")
+    ll = ll.assign(rev=ll["l_extendedprice"] * (1 - ll["l_discount"]))
+    g = (
+        ll.groupby(["l_orderkey", "o_orderdate", "o_orderpriority"])["rev"]
+        .sum()
+        .reset_index(name="revenue")
+    )
+    return g.sort_values(["revenue", "l_orderkey"], ascending=[False, True]).head(10)
+
+
+def dedup_exact_groups(dfs):
+    docs = dfs["documents"]
+    import hashlib
+
+    norm = (
+        docs["text"].str.lower().str.replace(r"[^a-z0-9]+", " ", regex=True).str.strip()
+    )
+    fp = norm.map(lambda s: hashlib.md5(s.encode()).hexdigest())
+    return (
+        docs.assign(content_fp=fp)
+        .groupby("content_fp")
+        .agg(representative_id=("doc_id", "min"), n_docs=("doc_id", "size"))
+        .reset_index()
+    )
+
+
+def text_quality(dfs):
+    docs = dfs["documents"]
+    toks = docs["text"].str.lower().str.findall(r"[a-z0-9]+")
+    n_tokens = toks.str.len()
+    n_chars = docs["text"].str.len()
+    punct = docs["text"].str.count(r"[.,;:!?]")
+    stop = toks.map(lambda ts: sum(t in {"the", "a", "and", "of", "to", "is", "in", "that", "it", "for"} for t in ts))
+    return pd.DataFrame(
+        {
+            "doc_id": docs["doc_id"],
+            "n_tokens": n_tokens,
+            "punct_ratio": punct / np.maximum(n_chars, 1),
+            "stopword_ratio": stop / np.maximum(n_tokens, 1),
+        }
+    )
+
+
+def ngram_jaccard_pairs(dfs):
+    docs = dfs["documents"]
+    shingle_sets = {}
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        ts = re.findall(r"[a-z0-9]+", text.lower())
+        shingle_sets[did] = {" ".join(ts[i : i + 3]) for i in range(len(ts) - 2)}
+    postings: dict[str, list] = {}
+    for did, sh in shingle_sets.items():
+        for s in sh:
+            postings.setdefault(s, []).append(did)
+    from collections import Counter
+
+    common = Counter()
+    for ids in postings.values():
+        ids.sort()
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                common[(ids[i], ids[j])] += 1
+    rows = []
+    for (a, b), n in common.items():
+        jac = n / (len(shingle_sets[a]) + len(shingle_sets[b]) - n)
+        if jac >= 0.05:
+            rows.append((a, b, n, jac))
+    return pd.DataFrame(rows, columns=["doc_a", "doc_b", "n_common", "jaccard"])
+
+
+def embedding_cosine_topk(dfs):
+    emb = dfs["embeddings"]
+    mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    ids = emb["vec_id"].to_numpy()
+    norms = np.linalg.norm(mat, axis=1)
+    out = []
+    for qpos in np.flatnonzero(ids < 10):
+        cos = (mat @ mat[qpos]) / (norms * norms[qpos])
+        cos[qpos] = -np.inf
+        top = np.argsort(-cos, kind="stable")[:5]
+        out.extend((int(ids[qpos]), int(ids[t]), float(cos[t]), r + 1) for r, t in enumerate(top))
+    return pd.DataFrame(out, columns=["query_id", "neighbor_id", "cosine", "rank"])
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "dedup_exact_groups": dedup_exact_groups,
+    "text_quality": text_quality,
+    "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "embedding_cosine_topk": embedding_cosine_topk,
+}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    tables = ["lineitem", "orders", "customer", "documents", "embeddings"]
+    dfs = {t: pd.read_parquet(f"{sf_dir}/{t}.parquet") for t in tables}
+    timings = {}
+    for name, fn in QUERIES.items():
+        fn(dfs)  # warm-up (match bench.py methodology)
+        t0 = time.perf_counter()
+        fn(dfs)
+        timings[name] = round(time.perf_counter() - t0, 3)
+    print(
+        json.dumps(
+            {
+                "metric": "pandas_single_node_baseline",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(m.group(1)) if m else -1.0,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
