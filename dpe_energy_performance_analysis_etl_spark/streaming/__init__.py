@@ -1,6 +1,7 @@
 from dpe_energy_performance_analysis_etl_spark.streaming.incremental import (
     incremental_append_stream,
     windowed_event_counts,
+    streaming_dedup,
 )
 from dpe_energy_performance_analysis_etl_spark.streaming.stateful import (
     sessionize_stream,
@@ -10,6 +11,7 @@ from dpe_energy_performance_analysis_etl_spark.streaming.stateful import (
 __all__ = [
     "incremental_append_stream",
     "windowed_event_counts",
+    "streaming_dedup",
     "sessionize_stream",
     "batch_closed_sessions",
 ]

@@ -88,3 +88,32 @@ def windowed_event_counts(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_dedup(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    target_dir: str,
+    checkpoint_dir: str,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming exact deduplication: first occurrence of each key
+    wins, duplicates within the watermark horizon are dropped by the
+    engine's dedup state store. The incremental twin of the batch
+    ``dedup`` family — state is bounded by (keys seen within the
+    watermark), so it runs forever on an unbounded stream."""
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    deduped = stream.withWatermark(ts_col, watermark).dropDuplicates(key_cols)
+    writer = (
+        deduped.writeStream.format("parquet")
+        .option("path", target_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

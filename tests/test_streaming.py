@@ -107,3 +107,20 @@ def test_stateful_sessionization_across_batches(spark, events, tmp_path):
     assert got == expect, (
         f"missing={sorted(expect - got)[:3]} extra={sorted(got - expect)[:3]}"
     )
+
+
+def test_streaming_dedup_drops_duplicates(spark, events, tmp_path):
+    from dpe_energy_performance_analysis_etl_spark.streaming import streaming_dedup
+    from pyspark.sql import functions as F
+
+    landing = str(tmp_path / "landing")
+    target = str(tmp_path / "deduped")
+    ckpt = str(tmp_path / "ckpt4")
+    subset = events.filter("event_id < 300")
+    subset.write.parquet(landing)
+    subset.limit(120).write.mode("append").parquet(landing)  # planted dups
+    q = streaming_dedup(spark, landing, EVENT_SCHEMA, target, ckpt, key_cols=["event_id"])
+    q.awaitTermination(120)
+    out = spark.read.parquet(target)
+    assert out.count() == 300
+    assert out.select("event_id").distinct().count() == 300
