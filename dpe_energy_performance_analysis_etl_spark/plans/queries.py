@@ -1793,3 +1793,75 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
+
+
+@register(
+    "json_struct_parse",
+    """
+    SELECT event_id,
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed,
+           json_extract_string(props, '$.missing') AS absent_field
+    FROM events
+    WHERE event_id < 300
+    """,
+)
+def json_struct_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON parsing: ``from_json`` with a declared schema (the
+    production path for semi-structured columns — parse once into a
+    struct, then columnar access; missing fields are NULL)."""
+    ev = read_events(spark, sf_dir)
+    parsed = F.from_json("props", "k BIGINT, missing STRING")
+    return ev.filter(F.col("event_id") < 300).select(
+        "event_id",
+        parsed.getField("k").alias("k_typed"),
+        parsed.getField("missing").alias("absent_field"),
+    )
+
+
+@register(
+    "deterministic_sample",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE ((l_orderkey * 2654435761 + l_linenumber) % 100 + 100) % 100 < 10
+    """,
+)
+def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible ~10% sample via multiplicative key hashing —
+    unlike ``df.sample``, independent of partitioning and engine, so
+    train/eval splits are stable across runs and reruns (a
+    training-data-pipeline requirement)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    bucket = F.pmod(F.col("l_orderkey") * 2654435761 + F.col("l_linenumber"), F.lit(100))
+    return li.filter(bucket < 10).select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+@register(
+    "array_functions",
+    """
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           CAST(embedding[1] AS DOUBLE) AS first_val,
+           CAST(embedding[len(embedding)] AS DOUBLE) AS last_val,
+           CAST(list_max(embedding) AS DOUBLE) AS max_val,
+           CAST(list_min(embedding) AS DOUBLE) AS min_val,
+           len(list_filter(embedding, x -> x > 0)) AS n_positive
+    FROM embeddings
+    WHERE vec_id < 50
+    """,
+)
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-column surface: size / element access / min-max /
+    filtered counts — the building blocks under the embedding
+    operators, exposed directly."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = F.col("embedding")
+    return emb.filter(F.col("vec_id") < 50).select(
+        "vec_id",
+        F.size(e).cast("bigint").alias("dim"),
+        F.element_at(e, 1).cast("double").alias("first_val"),
+        F.element_at(e, -1).cast("double").alias("last_val"),
+        F.array_max(e).cast("double").alias("max_val"),
+        F.array_min(e).cast("double").alias("min_val"),
+        F.size(F.filter(e, lambda x: x > 0)).cast("bigint").alias("n_positive"),
+    )

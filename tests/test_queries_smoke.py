@@ -26,3 +26,10 @@ def test_query_runs(spark, name):
     assert df.count() >= 0
     df2 = entry_mod.queries()[name](spark, SF)
     assert [f.name for f in df2.schema.fields] == schema1
+
+
+def test_approx_distinct_error_bounded(spark):
+    rows = entry_mod.queries()["approx_distinct"](spark, SF).collect()
+    for r in rows:
+        rel_err = abs(r.approx_orders - r.exact_orders) / max(r.exact_orders, 1)
+        assert rel_err < 0.05, f"{r.l_returnflag}: {r.approx_orders} vs {r.exact_orders}"
