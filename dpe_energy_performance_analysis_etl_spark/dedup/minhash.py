@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from dpe_energy_performance_analysis_etl_spark.dedup.shingles import word_shingles
 

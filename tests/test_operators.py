@@ -1,7 +1,6 @@
 """Relational + aggregate operator tests (SURVEY §2)."""
 
 import pandas as pd
-from pyspark.sql import functions as F
 
 from dpe_energy_performance_analysis_etl_spark.operators import (
     anti_join_new_rows,

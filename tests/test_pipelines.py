@@ -1,9 +1,7 @@
 """End-to-end pipeline tests — offline (injected fetch fakes and an
 in-memory sink; the reference's equivalent tests hit live APIs)."""
 
-import pandas as pd
 import pytest
-from pyspark.sql import functions as F
 
 from dpe_energy_performance_analysis_etl_spark.pipelines import (
     DataExtractor,
@@ -82,3 +80,36 @@ def test_transform_and_load_idempotent(extractor, enedis_csv, spark, zones):
     loader2 = DataLoader(spark, zones, read_existing_keys=read_existing, append=append)
     second = loader2.run(entities)
     assert sum(second.values()) == 0, f"second run appended rows: {second}"
+
+
+def test_transform_declared_schema_roundtrip(extractor, enedis_csv, spark, zones, tmp_path):
+    """The declared-schema cast path (apply_schema via persisted JSON),
+    reference flow: infer once, persist, re-apply on later batches."""
+    from dpe_energy_performance_analysis_etl_spark.schema import save_schema_json
+
+    silver = extractor.extract(enedis_csv)
+    t1 = DataTransformer(spark, silver, zones)
+    t1.cast(None)  # autocast infers types
+    schema_path = str(tmp_path / "silver_schema.json")
+    save_schema_json(t1.df, schema_path)
+
+    t2 = DataTransformer(spark, silver, zones)
+    t2.cast(types_schema_fpath=schema_path)
+    # declared-schema cast reproduces the autocast run's types exactly
+    assert dict(t2.df.dtypes) == dict(t1.df.dtypes)
+    entities = t2.impute().derive().select_and_split().make_statistical_metrics().save_all()
+    assert entities["logements"].count() > 0
+
+
+def test_loader_respects_fk_order(extractor, enedis_csv, spark, zones):
+    silver = extractor.extract(enedis_csv)
+    entities = DataTransformer(spark, silver, zones).run()
+    order_seen = []
+
+    def append(df, table):
+        order_seen.append(table)
+        df.count()
+
+    DataLoader(spark, zones, read_existing_keys=lambda t, k: None, append=append).run(entities)
+    assert order_seen == [t for t in LOAD_ORDER if t in entities]
+    assert order_seen[0] == "tests_statistiques_dpe" and order_seen[-1] == "logements"

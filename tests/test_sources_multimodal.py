@@ -151,3 +151,19 @@ def test_json_lines_roundtrip_and_purge(spark, tmp_path):
     }
     assert purge_dir(spark, path) is True
     assert purge_dir(spark, path) is False  # already gone
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """partitionBy + filter ⇒ partition pruning: the scan must read
+    only the matching directory (visible as PartitionFilters and in
+    the input file count)."""
+    from dpe_energy_performance_analysis_etl_spark.sources import read_parquet, write_parquet
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    path = str(tmp_path / "orders_by_status")
+    write_parquet(orders, path, partition_by=["o_orderstatus"])
+    pruned = read_parquet(spark, path).filter(F.col("o_orderstatus") == "F")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(o_orderstatus" in plan
+    expect = orders.filter("o_orderstatus = 'F'").count()
+    assert pruned.count() == expect
