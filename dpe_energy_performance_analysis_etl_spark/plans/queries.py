@@ -1865,3 +1865,33 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min(e).cast("double").alias("min_val"),
         F.size(F.filter(e, lambda x: x > 0)).cast("bigint").alias("n_positive"),
     )
+
+
+@register(
+    "window_range_frame",
+    """
+    SELECT event_id, user_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(30,2))) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS rolling_1h_value
+    FROM events
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per-user rolling 1-hour sum — the
+    value-based frame (vs the row-based frames elsewhere). Frame
+    boundaries computed on microsecond epochs so both engines bound
+    identically."""
+    ev = read_events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(F.col("value").cast("decimal(30,2)")).over(w).cast("double").alias("rolling_1h_value"),
+    )

@@ -89,3 +89,18 @@ def test_group_stats_sentinels_and_values(spark):
     assert 0.0 <= a.paired_t_test_p_value <= 1.0
     assert 0.0 <= a.wilcoxon_p_value <= 1.0
     assert a.batch_id == "b1"
+
+
+def test_equi_join_broadcast_hint_in_plan(spark):
+    left = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    right = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # no auto-broadcast
+    try:
+        hinted = equi_join(left, right, "o_custkey", "c_custkey", broadcast_right=True)
+        plan = hinted._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        unhinted = equi_join(left, right, "o_custkey", "c_custkey")
+        plan2 = unhinted._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan2  # hint is what made the difference
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
