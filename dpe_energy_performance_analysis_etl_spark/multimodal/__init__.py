@@ -4,6 +4,8 @@ from dpe_energy_performance_analysis_etl_spark.multimodal.media import (
     decode_image_batch,
     extract_features,
     frame_sample,
+    decode_audio_batch,
+    audio_features,
 )
 
 __all__ = [
@@ -12,4 +14,6 @@ __all__ = [
     "decode_image_batch",
     "extract_features",
     "frame_sample",
+    "decode_audio_batch",
+    "audio_features",
 ]

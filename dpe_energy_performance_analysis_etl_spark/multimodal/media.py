@@ -134,3 +134,65 @@ def frame_sample(
             F.sequence(F.lit(0).cast("long"), F.col(duration_col).cast("long"), F.lit(every_ms).cast("long"))
         ).alias("frame_ts_ms"),
     )
+
+
+def decode_audio_batch(fake: bool = False):
+    """Return an audio decode fn ``bytes -> np.ndarray`` (mono PCM
+    float32). Production wiring: soundfile/librosa/ffmpeg — not
+    available in this environment."""
+    if not fake:
+        raise NotImplementedError(
+            "real audio decoding needs soundfile/librosa/ffmpeg, which "
+            "are not installed in this environment; pass fake=True for "
+            "the deterministic test decoder"
+        )
+
+    def _fake(payload: bytes) -> np.ndarray:
+        digest = hashlib.md5(payload or b"").digest() * 4
+        return (np.frombuffer(digest, dtype=np.uint8).astype(np.float32) - 127.5) / 127.5
+
+    return _fake
+
+
+def audio_features(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    frame_size: int = 16,
+    fake_decode: bool = True,
+) -> DataFrame:
+    """Audio feature extraction: decode → frame → per-frame RMS energy
+    (the spectrogram-shaped plumbing; real STFT drops in where the
+    decode stub does). One output row per frame — 1→N mapInPandas,
+    same shape as the video frame sampler."""
+    decode = decode_audio_batch(fake=fake_decode)
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("frame_idx", T.IntegerType(), False),
+            T.StructField("rms_energy", T.DoubleType(), True),
+        ]
+    )
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for mid, payload in zip(batch[id_col], batch[content_col]):
+                if payload is None:
+                    continue
+                samples = decode(bytes(payload))
+                n_frames = len(samples) // frame_size
+                for i in range(n_frames):
+                    frame = samples[i * frame_size : (i + 1) * frame_size].astype(np.float64)
+                    rows.append(
+                        {
+                            id_col: int(mid),
+                            "frame_idx": i,
+                            "rms_energy": float(np.sqrt((frame**2).mean())),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[id_col, "frame_idx", "rms_energy"]) if rows else pd.DataFrame(
+                columns=[id_col, "frame_idx", "rms_energy"]
+            )
+
+    return df.select(id_col, content_col).mapInPandas(featurize, schema=out_schema)

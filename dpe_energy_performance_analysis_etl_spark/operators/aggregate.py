@@ -24,14 +24,22 @@ from pyspark.sql import DataFrame, functions as F, types as T
 from dpe_energy_performance_analysis_etl_spark.operators import stats as _stats
 
 
-def iqr_bounds(df: DataFrame, columns: list[str]) -> dict[str, tuple[float, float]]:
-    """A1 — exact Q1/Q3 and Tukey fences per column
-    (``transform.py:120-126``). Exact ``percentile`` (not approx) so
-    results hash-match a SQL oracle; one agg for all columns."""
+def iqr_bounds(
+    df: DataFrame, columns: list[str], approx: bool = False
+) -> dict[str, tuple[float, float]]:
+    """A1 — Q1/Q3 and Tukey fences per column
+    (``transform.py:120-126``); one agg for all columns.
+
+    ``approx=False`` (default): exact ``percentile`` — hash-matches a
+    SQL oracle, needs a per-group sort. ``approx=True``: t-digest
+    ``percentile_approx`` — the 100 TB path (single streaming pass,
+    bounded memory; fences are heuristics anyway, 1% quantile error
+    doesn't change which values are outliers materially)."""
+    fn = "percentile_approx" if approx else "percentile"
     aggs = []
     for c in columns:
-        aggs.append(F.expr(f"percentile(`{c}`, 0.25)").alias(f"{c}__q1"))
-        aggs.append(F.expr(f"percentile(`{c}`, 0.75)").alias(f"{c}__q3"))
+        aggs.append(F.expr(f"{fn}(`{c}`, 0.25)").alias(f"{c}__q1"))
+        aggs.append(F.expr(f"{fn}(`{c}`, 0.75)").alias(f"{c}__q3"))
     row = df.agg(*aggs).collect()[0].asDict()
     bounds = {}
     for c in columns:
@@ -44,7 +52,7 @@ def iqr_bounds(df: DataFrame, columns: list[str]) -> dict[str, tuple[float, floa
 
 
 def impute_numeric(
-    df: DataFrame, columns: list[str] | None = None
+    df: DataFrame, columns: list[str] | None = None, approx: bool = False
 ) -> tuple[DataFrame, dict[str, dict[str, list[str]]]]:
     """A2 — conditional imputation (``fillnan_float_dtypes``,
     ``transform.py:104-144``): for each float column, fill NULLs with
@@ -64,11 +72,14 @@ def impute_numeric(
     if not columns:
         return df, {"median": [], "mean": []}
 
+    # exact percentile for oracle parity; percentile_approx (t-digest,
+    # one streaming pass) as the opt-in 100 TB path
+    fn = "percentile_approx" if approx else "percentile"
     aggs = []
     for c in columns:
-        q = F.expr(f"percentile(`{c}`, array(0.25, 0.75))")
+        q = F.expr(f"{fn}(`{c}`, array(0.25, 0.75))")
         aggs.append(F.mean(c).alias(f"{c}__mean"))
-        aggs.append(F.expr(f"percentile(`{c}`, 0.5)").alias(f"{c}__median"))
+        aggs.append(F.expr(f"{fn}(`{c}`, 0.5)").alias(f"{c}__median"))
         aggs.append(q[0].alias(f"{c}__q1"))
         aggs.append(q[1].alias(f"{c}__q3"))
     row = df.agg(*aggs).collect()[0].asDict()

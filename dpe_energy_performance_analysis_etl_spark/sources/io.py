@@ -64,11 +64,20 @@ def write_parquet(
     mode: str = "overwrite",
     compression: str = "snappy",
     partition_by: list[str] | None = None,
+    sort_by: list[str] | None = None,
 ) -> None:
     """S7 — parquet sink (``filestorage_helper.py:83-128`` wrote gzip;
     default here is snappy — faster scans at scale — with the codec
-    still a knob). ``partition_by`` enables partition pruning on read
-    (e.g. by ``code_departement`` / date)."""
+    still a knob).
+
+    ``partition_by`` enables directory-level partition pruning on read
+    (e.g. by ``code_departement`` / date). ``sort_by`` range-partitions
+    and sorts rows WITHIN files on those columns, so parquet row-group
+    min/max statistics prune at a finer grain — the data-skipping
+    layout for columns too high-cardinality to directory-partition
+    (timestamps, ids)."""
+    if sort_by:
+        df = df.repartitionByRange(*sort_by).sortWithinPartitions(*sort_by)
     writer = df.write.mode(mode).option("compression", compression)
     if partition_by:
         writer = writer.partitionBy(*partition_by)

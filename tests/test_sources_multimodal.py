@@ -167,3 +167,39 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     assert "PartitionFilters: [isnotnull(o_orderstatus" in plan
     expect = orders.filter("o_orderstatus = 'F'").count()
     assert pruned.count() == expect
+
+
+def test_audio_features_framing(spark, media):
+    from dpe_energy_performance_analysis_etl_spark.multimodal import audio_features, decode_audio_batch
+
+    with pytest.raises(NotImplementedError, match="soundfile"):
+        decode_audio_batch(fake=False)
+    out = audio_features(media, frame_size=16).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r.media_id, []).append(r)
+    assert set(by_id) == {1, 2}  # NULL content row skipped
+    assert len(by_id[1]) == 4  # 64 fake samples / 16 per frame
+    assert all(0.0 <= r.rms_energy <= 1.0 for r in out)
+
+
+def test_write_parquet_sorted_rowgroups(spark, tmp_path):
+    from dpe_energy_performance_analysis_etl_spark.sources import read_parquet, write_parquet
+    from dpe_energy_performance_analysis_etl_spark.plans.queries import read_events
+
+    ev = read_events(spark, "/root/testdata/sf0.001")
+    path = str(tmp_path / "ev_sorted")
+    write_parquet(ev, path, sort_by=["ts"])
+    back = read_parquet(spark, path)
+    assert back.count() == ev.count()
+    # each file covers a disjoint ts range (range partitioning)
+    import pyspark.sql.functions as F
+    per_file = (
+        back.withColumn("f", F.input_file_name())
+        .groupBy("f")
+        .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+        .collect()
+    )
+    spans = sorted([(r.lo, r.hi) for r in per_file])
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges: {hi1} > {lo2}"
