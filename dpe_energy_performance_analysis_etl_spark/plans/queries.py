@@ -2163,11 +2163,11 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     unit_cost is a single IEEE division in both engines, so the
     double equality is exact."""
     t = load_tables(spark, sf_dir, ["lineitem", "supplier", "nation", "region", "part"])
-    cost = (
-        t["lineitem"]
-        .groupBy("l_partkey", "l_suppkey")
-        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
-    )
+    # Filter pushdown BEFORE the expensive agg: the correlated MIN is
+    # probed only at filtered partkeys, and restricting eu's rows to
+    # those parts leaves every probed per-part min unchanged, so the
+    # (broadcast) part filter can jump in front of the aggregation.
+    pt = t["part"].filter((F.col("p_size") <= 15) & (F.col("p_type") == "LARGE")).select("p_partkey")
     eu_dim = (
         t["supplier"]
         .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
@@ -2177,17 +2177,19 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_suppkey", "s_acctbal", "s_name", "n_name")
     )
-    eu = cost.join(F.broadcast(eu_dim), F.col("l_suppkey") == F.col("s_suppkey"))
-    min_cost = eu.groupBy(F.col("l_partkey").alias("mc_partkey")).agg(
-        F.min("unit_cost").alias("min_cost")
+    cost = (
+        t["lineitem"]
+        .join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
     )
-    pt = t["part"].filter((F.col("p_size") <= 15) & (F.col("p_type") == "LARGE")).select("p_partkey")
+    # argmin per part via a window (one shuffle, no self-join — the
+    # grouped rows are already partitioned compatibly)
+    w = Window.partitionBy("p_partkey")
     return (
-        eu.join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
-        .join(
-            min_cost,
-            (F.col("l_partkey") == F.col("mc_partkey")) & (F.col("unit_cost") == F.col("min_cost")),
-        )
+        cost.join(F.broadcast(eu_dim), F.col("l_suppkey") == F.col("s_suppkey"))
+        .withColumn("min_cost", F.min("unit_cost").over(w))
+        .filter(F.col("unit_cost") == F.col("min_cost"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "unit_cost")
         .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
         .limit(100)
