@@ -2,6 +2,8 @@ from dpe_energy_performance_analysis_etl_spark.streaming.incremental import (
     incremental_append_stream,
     windowed_event_counts,
     streaming_dedup,
+    stream_to_jdbc,
+    continuous_projection_stream,
 )
 from dpe_energy_performance_analysis_etl_spark.streaming.stateful import (
     sessionize_stream,
@@ -12,6 +14,8 @@ __all__ = [
     "incremental_append_stream",
     "windowed_event_counts",
     "streaming_dedup",
+    "stream_to_jdbc",
+    "continuous_projection_stream",
     "sessionize_stream",
     "batch_closed_sessions",
 ]

@@ -117,3 +117,86 @@ def streaming_dedup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_to_jdbc(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    url: str,
+    table: str,
+    properties: dict[str, str],
+    key_cols: list[str],
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming idempotent load into a live database: per micro-batch,
+    anti-join the batch against the CURRENT table keys and append only
+    the complement (J3/J4 + S12, ``load.py:133-176``, as a stream).
+
+    Spark has no native JDBC streaming sink, so ``foreachBatch``
+    supplies one; combined with the anti-join the write is
+    effectively exactly-once even though plain JDBC appends are only
+    at-least-once under retries — a replayed batch finds its keys
+    already present and appends nothing."""
+    from dpe_energy_performance_analysis_etl_spark.sources import append_jdbc_table, read_jdbc_table
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+
+    def load_batch(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.dropDuplicates(key_cols)
+        sess = batch.sparkSession
+        try:
+            existing = read_jdbc_table(sess, url, table, properties, columns=key_cols)
+            existing = existing.toDF(*key_cols).dropDuplicates(key_cols)
+            batch = batch.join(F.broadcast(existing), on=key_cols, how="left_anti")
+        except Exception:
+            pass  # first batch: table doesn't exist yet — append creates it
+        append_jdbc_table(batch, url, table, properties)
+
+    writer = (
+        stream.writeStream.foreachBatch(load_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def continuous_projection_stream(
+    spark: SparkSession,
+    query_name: str,
+    rows_per_second: int = 100,
+    checkpoint_ms: int = 1000,
+    num_partitions: int = 2,
+) -> StreamingQuery:
+    """Continuous-trigger (epoch-based, ~ms latency) processing over
+    the rate source into an in-memory sink. Continuous mode supports
+    only map-side operations (projection/filter — no shuffles), which
+    is exactly the shape of a low-latency enrichment hop; aggregations
+    belong in micro-batch mode upstream/downstream.
+
+    ``num_partitions`` must be sized deliberately: continuous tasks
+    are LONG-RUNNING and pin one core each for the stream's lifetime
+    (unsized, the rate source defaults to the cluster parallelism and
+    starves every other job — observed as a whole-cluster deadlock on
+    local[32])."""
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .option("numPartitions", num_partitions)
+        .load()
+        .filter(F.col("value") % 2 == 0)
+        .select(
+            "timestamp",
+            "value",
+            (F.col("value") * 2).alias("doubled"),
+        )
+    )
+    return (
+        stream.writeStream.format("memory")
+        .queryName(query_name)
+        .trigger(continuous=f"{checkpoint_ms} milliseconds")
+        .start()
+    )
