@@ -36,6 +36,21 @@ def _hash_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
     return [(rng.randrange(1, _MERSENNE_P), rng.randrange(0, _MERSENNE_P)) for _ in range(num_perm)]
 
 
+def rolling_shingle_hash(shingle_col) -> F.Column:
+    """Portable shingle hash: polynomial rolling hash (base 131) mod
+    the Mersenne prime, SQL-expressible in any engine with a list
+    reduction (DuckDB ``list_reduce``). Slower than xxhash64 (the hot
+    path) — used by the oracle-checked portable LSH variant so the
+    WHOLE minhash+banding pipeline can be replayed bit-exactly in
+    another engine."""
+    chars = F.regexp_extract_all(shingle_col, F.lit("."), 0)
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("bigint"),
+        lambda acc, ch: (acc * 131 + F.ascii(ch)) % _MERSENNE_P,
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -44,6 +59,7 @@ def minhash_signatures(
     shingle_n: int = 3,
     seed: int = 42,
     fanout: int | None = None,
+    portable: bool = False,
 ) -> DataFrame:
     """(doc, shingles array<string>, signature array<bigint>[num_perm]).
 
@@ -56,10 +72,11 @@ def minhash_signatures(
     params = _hash_params(num_perm, seed)
     if fanout is None:
         fanout = df.sparkSession.sparkContext.defaultParallelism
+    x = rolling_shingle_hash(F.col("shingle")) if portable else F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE_P))
     tok = (
         df.repartition(fanout)
         .select(F.col(id_col).alias("doc"), F.explode(word_shingles(text_col, shingle_n)).alias("shingle"))
-        .withColumn("x", F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE_P)))
+        .withColumn("x", x)
     )
     sigs = tok.groupBy("doc").agg(
         F.collect_set("shingle").alias("shingles"),
@@ -84,31 +101,37 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     threshold: float = 0.2,
     seed: int = 42,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup pairs via banded LSH, verified with exact Jaccard.
     Returns (doc_a, doc_b, jaccard), doc_a < doc_b, jaccard ≥ threshold.
 
     b bands × r = num_perm/b rows tunes the S-curve: candidate
     probability at similarity s is 1-(1-s^r)^b.
+
+    ``portable=True`` swaps both engine-specific hashes for
+    SQL-expressible ones (rolling shingle hash; band key = the plain
+    comma-joined signature slice instead of its xxhash64) so an
+    external engine can replay the IDENTICAL pipeline — the
+    oracle-checked correctness twin of the fast path.
     """
     rows_per_band = num_perm // bands
     assert rows_per_band * bands == num_perm, "num_perm must be divisible by bands"
-    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_n, seed)
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_n, seed, portable=portable)
+
+    def band_key(i: int) -> F.Column:
+        joined = F.concat_ws(
+            ",",
+            *[
+                F.element_at("signature", i * rows_per_band + j + 1).cast("string")
+                for j in range(rows_per_band)
+            ],
+        )
+        return joined if portable else F.xxhash64(joined)
 
     band_structs = F.array(
         *[
-            F.struct(
-                F.lit(i).alias("band"),
-                F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.element_at("signature", i * rows_per_band + j + 1).cast("string")
-                            for j in range(rows_per_band)
-                        ],
-                    )
-                ).alias("band_hash"),
-            )
+            F.struct(F.lit(i).alias("band"), band_key(i).alias("band_hash"))
             for i in range(bands)
         ]
     )

@@ -2371,3 +2371,138 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
+
+
+# =====================================================================
+# Oracle-checked twins of the sketch/ANN operators: the SAME pipeline
+# (minhash permutations + banding; IVF assign/probe) expressed with
+# engine-neutral hashes / deterministic seeds so DuckDB can replay it
+# bit-exactly — upgrading these families from rows-only to value-
+# hash-checked in the driver gate.
+# =====================================================================
+
+from dpe_energy_performance_analysis_etl_spark.dedup.minhash import _hash_params as _mh_params  # noqa: E402
+
+_PMH_PERMS = 16
+_PMH_BANDS = 4
+_PMH_ROWS = _PMH_PERMS // _PMH_BANDS
+
+
+def _portable_minhash_oracle() -> str:
+    params = _mh_params(_PMH_PERMS, seed=42)
+    mins = ",\n             ".join(
+        f"MIN(({a} * x + {b}) % 2147483647) AS h{i}" for i, (a, b) in enumerate(params)
+    )
+    band_rows = "\n      UNION ALL ".join(
+        "SELECT doc_id, {band} AS band, {key} AS key FROM sig".format(
+            band=i,
+            key=" || ',' || ".join(
+                f"CAST(h{i * _PMH_ROWS + j} AS VARCHAR)" for j in range(_PMH_ROWS)
+            ),
+        )
+        for i in range(_PMH_BANDS)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+      FROM tok WHERE len(t) >= 3
+    ), hx AS (
+      SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(regexp_extract_all(shingle, '.'), c -> CAST(ascii(c) AS BIGINT))),
+               (acc, ch) -> (acc * 131 + ch) % 2147483647
+             ) AS x
+      FROM sh
+    ), sig AS (
+      SELECT doc_id,
+             {mins}
+      FROM hx GROUP BY doc_id
+    ), bands AS (
+      {band_rows}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), common AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_common
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND a.shingle = b.shingle
+      GROUP BY 1, 2
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) AS jaccard
+    FROM common c
+    JOIN sizes sa ON sa.doc_id = c.doc_a
+    JOIN sizes sb ON sb.doc_id = c.doc_b
+    WHERE CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) >= 0.05
+    """
+
+
+@register("minhash_lsh_portable_pairs", _portable_minhash_oracle())
+def minhash_lsh_portable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable MinHash-LSH near-dup pairs: the identical permutation/
+    banding pipeline as ``minhash_lsh_pairs`` with engine-neutral
+    hashes (rolling shingle hash, plain-string band keys), so the
+    DuckDB oracle replays every candidate and verification decision
+    bit-exactly. 16 perms × 4 bands keeps the oracle SQL finite."""
+    from dpe_energy_performance_analysis_etl_spark.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_lsh_pairs(
+        docs, num_perm=_PMH_PERMS, bands=_PMH_BANDS, threshold=0.05, portable=True
+    )
+
+
+@register(
+    "ann_ivf_seeded_topk",
+    """
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), n AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM base
+    ), cents AS (
+      SELECT vec_id AS cluster, v AS centroid, nrm AS centnorm FROM n WHERE vec_id < 8
+    ), assigned AS (
+      SELECT vec_id AS neighbor_id, v AS cvec, nrm AS cnorm, cluster FROM (
+        SELECT c.vec_id, c.v, c.nrm, ct.cluster,
+               row_number() OVER (PARTITION BY c.vec_id
+                 ORDER BY list_dot_product(c.v, ct.centroid) / (c.nrm * ct.centnorm) DESC, ct.cluster) AS ar
+        FROM n c CROSS JOIN cents ct
+      ) WHERE ar = 1
+    ), probed AS (
+      SELECT query_id, qvec, qnorm, cluster FROM (
+        SELECT q.vec_id AS query_id, q.v AS qvec, q.nrm AS qnorm, ct.cluster,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_dot_product(q.v, ct.centroid) / (q.nrm * ct.centnorm) DESC, ct.cluster) AS qr
+        FROM n q CROSS JOIN cents ct WHERE q.vec_id < 10
+      ) WHERE qr <= 2
+    ), scored AS (
+      SELECT p.query_id, a.neighbor_id,
+             list_dot_product(p.qvec, a.cvec) / (p.qnorm * a.cnorm) AS cosine
+      FROM probed p JOIN assigned a ON p.cluster = a.cluster
+      WHERE p.query_id <> a.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def ann_ivf_seeded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic-seed IVF ANN (centroids = vectors with id < 8,
+    nprobe=2): same plan shape as the k-means ``ann_ivf_topk`` but
+    fully replayable in SQL — the oracle checks assignment, probing,
+    and top-k bit-exactly."""
+    from dpe_energy_performance_analysis_etl_spark.similarity import seeded_ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    out = seeded_ivf_topk(emb, queries_df, k=5, n_clusters=8, nprobe=2)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))

@@ -3,7 +3,7 @@ from dpe_energy_performance_analysis_etl_spark.similarity.ann import (
     hyperplane_lsh_buckets,
     lsh_topk,
 )
-from dpe_energy_performance_analysis_etl_spark.similarity.ivf import train_ivf_centroids, ivf_topk
+from dpe_energy_performance_analysis_etl_spark.similarity.ivf import train_ivf_centroids, ivf_topk, seeded_ivf_topk
 
 __all__ = [
     "brute_force_topk",
@@ -11,4 +11,5 @@ __all__ = [
     "lsh_topk",
     "train_ivf_centroids",
     "ivf_topk",
+    "seeded_ivf_topk",
 ]

@@ -135,3 +135,73 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def seeded_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_clusters: int = 8,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Deterministic IVF: centroids are the raw vectors with
+    ``id < n_clusters`` (no Lloyd iterations), assignment and probing
+    by cosine with (cosine DESC, cluster) tie-break. Every step is a
+    pure function of the input — replayable bit-exactly in portable
+    SQL, making this the oracle-checked correctness twin of
+    ``ivf_topk`` (whose k-means training is Spark-specific). The plan
+    shape is identical: broadcast centroids, argmax assignment,
+    cluster-probed candidate join, windowed top-k."""
+    cents = corpus.filter(F.col(id_col) < n_clusters).select(
+        F.col(id_col).alias("cluster"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("centroid"),
+        F.sqrt(norm2_double(F.col(vec_col))).alias("centnorm"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        F.sqrt(norm2_double(F.col(vec_col))).alias("cnorm"),
+    )
+    # argmax via partial-aggregating max(struct): (cosine, -cluster)
+    # orders identically to the oracle's (cosine DESC, cluster)
+    # row_number — no per-vector window sort needed.
+    ccos = dot_double(F.col("cvec"), F.col("centroid")) / (F.col("cnorm") * F.col("centnorm"))
+    indexed = (
+        c.crossJoin(F.broadcast(cents))
+        .groupBy("neighbor_id")
+        .agg(
+            (-F.max(F.struct(ccos.alias("s"), (-F.col("cluster")).alias("nc"))).getField("nc")).alias("cluster"),
+            F.first("cvec").alias("cvec"),
+            F.first("cnorm").alias("cnorm"),
+        )
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.sqrt(norm2_double(F.col(vec_col))).alias("qnorm"),
+    )
+    qcos = dot_double(F.col("qvec"), F.col("centroid")) / (F.col("qnorm") * F.col("centnorm"))
+    wq = Window.partitionBy("query_id").orderBy(F.col("qcos").desc(), "cluster")
+    probed = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("qcos", qcos)
+        .withColumn("qr", F.row_number().over(wq))
+        .filter(F.col("qr") <= nprobe)
+        .select("query_id", "qvec", "qnorm", "cluster")
+    )
+    scored = (
+        indexed.join(F.broadcast(probed), on="cluster")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine", dot_double(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm"))
+        )
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
