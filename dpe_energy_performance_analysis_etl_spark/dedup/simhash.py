@@ -23,27 +23,38 @@ from pyspark.sql import DataFrame, functions as F
 from dpe_energy_performance_analysis_etl_spark.text import tokens_expr
 
 
-def simhash_64(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", fanout: int | None = None
+def simhash_sig(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    portable: bool = False,
+    fanout: int | None = None,
 ) -> DataFrame:
-    """(doc, simhash bigint) — 64-bit SimHash of each document's token
-    multiset."""
+    """(doc, simhash bigint) — ``bits``-wide SimHash of each document's
+    token multiset. ``portable=True`` swaps xxhash64 for the rolling
+    polynomial token hash (31 usable bits — ``bits`` must be ≤ 31) so
+    the signature is replayable in portable SQL."""
+    assert not (portable and bits > 31), "rolling hash yields 31 bits"
     if fanout is None:
         fanout = df.sparkSession.sparkContext.defaultParallelism
     df = df.repartition(fanout)
+    from dpe_energy_performance_analysis_etl_spark.dedup.minhash import rolling_shingle_hash
+
+    h = rolling_shingle_hash(F.col("t")) if portable else F.xxhash64("t")
     tok = df.select(
         F.col(id_col).alias("doc"), F.explode(tokens_expr(text_col)).alias("t")
-    ).withColumn("h", F.xxhash64("t"))
+    ).withColumn("h", h)
     votes = tok.groupBy("doc").agg(
         *[
             F.sum(
                 F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
             ).alias(f"v{j}")
-            for j in range(64)
+            for j in range(bits)
         ]
     )
     sig = F.lit(0).cast("long")
-    for j in range(64):
+    for j in range(bits):
         sig = sig.bitwiseOR(
             F.when(F.col(f"v{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
                 F.lit(0).cast("long")
@@ -52,18 +63,32 @@ def simhash_64(
     return votes.select("doc", sig.alias("simhash"))
 
 
+def simhash_64(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", fanout: int | None = None
+) -> DataFrame:
+    """(doc, simhash bigint) — 64-bit SimHash of each document's token
+    multiset."""
+    return simhash_sig(df, text_col, id_col, bits=64, fanout=fanout)
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
     chunks: int = 4,
+    bits: int = 64,
+    portable: bool = False,
 ) -> DataFrame:
     """Pairs with Hamming(simhash_a, simhash_b) ≤ max_hamming.
-    Requires max_hamming < chunks for the pigeonhole guarantee."""
+    Requires max_hamming < chunks for the pigeonhole guarantee.
+    ``portable=True`` (with ``bits`` ≤ 31) makes every hash decision
+    replayable in portable SQL — the oracle-checked twin of the
+    64-bit xxhash64 fast path."""
     assert max_hamming < chunks, "pigeonhole needs max_hamming < chunks"
-    bits_per_chunk = 64 // chunks
-    sigs = simhash_64(df, text_col, id_col)
+    assert bits % chunks == 0, "bits must divide evenly into chunks"
+    bits_per_chunk = bits // chunks
+    sigs = simhash_sig(df, text_col, id_col, bits=bits, portable=portable)
 
     chunk_structs = F.array(
         *[

@@ -2506,3 +2506,116 @@ def ann_ivf_seeded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = emb.filter(F.col("vec_id") < 10)
     out = seeded_ivf_topk(emb, queries_df, k=5, n_clusters=8, nprobe=2)
     return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+_PSH_BITS = 28
+_PSH_CHUNKS = 4
+_PSH_MAXHAM = 3
+
+
+def _portable_simhash_oracle() -> str:
+    bpc = _PSH_BITS // _PSH_CHUNKS
+    vsums = ",\n             ".join(
+        f"SUM(CASE WHEN ((h >> {j}) & 1) = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(_PSH_BITS)
+    )
+    bitsum = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(_PSH_BITS)
+    )
+    chunked = "\n      UNION ALL ".join(
+        f"SELECT doc, simhash, {i} AS chunk, (simhash >> {i * bpc}) & {(1 << bpc) - 1} AS chunk_val FROM sig"
+        for i in range(_PSH_CHUNKS)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id AS doc, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+      FROM documents
+    ), hx AS (
+      SELECT doc,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(regexp_extract_all(t, '.'), c -> CAST(ascii(c) AS BIGINT))),
+               (acc, ch) -> (acc * 131 + ch) % 2147483647
+             ) AS h
+      FROM tok
+    ), votes AS (
+      SELECT doc, {vsums}
+      FROM hx GROUP BY doc
+    ), sig AS (
+      SELECT doc, CAST({bitsum} AS BIGINT) AS simhash FROM votes
+    ), chunked AS (
+      {chunked}
+    ), cand AS (
+      SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+      FROM chunked a
+      JOIN chunked b ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val AND a.doc < b.doc
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+    FROM cand c
+    JOIN sig sa ON sa.doc = c.doc_a
+    JOIN sig sb ON sb.doc = c.doc_b
+    WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {_PSH_MAXHAM}
+    """
+
+
+@register("simhash_portable_near_dups", _portable_simhash_oracle())
+def simhash_portable_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable SimHash near-dup pairs: identical vote/pigeonhole
+    pipeline as ``simhash_near_dups`` with the rolling token hash over
+    a 28-bit signature (4 chunks × 7 bits), so the DuckDB oracle
+    replays every signature bit and candidate decision bit-exactly."""
+    from dpe_energy_performance_analysis_etl_spark.dedup import simhash_near_dup_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = simhash_near_dup_pairs(
+        docs, max_hamming=_PSH_MAXHAM, chunks=_PSH_CHUNKS, bits=_PSH_BITS, portable=True
+    )
+    return out.withColumn("hamming", F.col("hamming").cast("bigint"))
+
+
+def _lsh_topk_oracle(num_planes: int = 4, num_tables: int = 12, seed: int = 7, k: int = 5) -> str:
+    from dpe_energy_performance_analysis_etl_spark.similarity.ann import _plane_signs
+
+    table_selects = []
+    for t in range(num_tables):
+        planes = _plane_signs(num_planes, 64, seed + 1000 * t)
+        bucket = " + ".join(
+            "(CASE WHEN list_dot_product(v, [{c}]) > 0 THEN {w} ELSE 0 END)".format(
+                c=", ".join(f"{float(s)}" for s in plane), w=1 << p
+            )
+            for p, plane in enumerate(planes)
+        )
+        table_selects.append(
+            f"SELECT vec_id, {t} AS tbl, CAST({bucket} AS BIGINT) AS bucket FROM n"
+        )
+    buckets = "\n      UNION ALL ".join(table_selects)
+    return f"""
+    WITH n AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), nn AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM n
+    ), bk AS (
+      {buckets}
+    ), cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM bk c JOIN bk q ON c.tbl = q.tbl AND c.bucket = q.bucket
+      WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+    ), scored AS (
+      SELECT query_id, neighbor_id,
+             list_dot_product(qq.v, cc.v) / (qq.nrm * cc.nrm) AS cosine
+      FROM cand
+      JOIN nn qq ON qq.vec_id = query_id
+      JOIN nn cc ON cc.vec_id = neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+ORACLE_SQL["ann_lsh_topk"] = _lsh_topk_oracle()
+QUERIES["ann_lsh_topk"] = lambda spark, sf_dir: ann_lsh_topk_q(spark, sf_dir).withColumn(
+    "rank", F.col("rank").cast("bigint")
+)
