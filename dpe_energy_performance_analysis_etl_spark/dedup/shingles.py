@@ -35,6 +35,7 @@ def shingle_pairs_jaccard(
     n: int = 3,
     threshold: float = 0.2,
     fanout: int | None = None,
+    hash_shingle_key: bool = True,
 ) -> DataFrame:
     """Exact all-pairs n-gram Jaccard ≥ threshold.
 
@@ -42,6 +43,12 @@ def shingle_pairs_jaccard(
     (this is the only shuffle; Catalyst hashes on the shingle) →
     per-pair intersection counts → join tiny per-doc size table →
     filter. Returns (doc_a, doc_b, n_common, jaccard), doc_a < doc_b.
+
+    ``hash_shingle_key`` (default) replaces the shingle string with
+    its xxhash64 before the self-join: the shuffle moves 8-byte longs
+    instead of ~n-word strings (~3× fewer shuffle bytes, cheaper key
+    compare). Exact up to 64-bit collisions — negligible below ~10⁹
+    distinct shingles; pass False for strict string equality.
     """
     if fanout is None:
         fanout = df.sparkSession.sparkContext.defaultParallelism
@@ -51,7 +58,10 @@ def shingle_pairs_jaccard(
     # for both sides (at cluster scale: checkpoint to storage instead)
     sh = df.select(
         F.col(id_col).alias("doc"), F.explode(word_shingles(text_col, n)).alias("shingle")
-    ).cache()
+    )
+    if hash_shingle_key:
+        sh = sh.select("doc", F.xxhash64("shingle").alias("shingle"))
+    sh = sh.cache()
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
