@@ -8,8 +8,10 @@ Timing methodology: each query materializes via the noop sink
 (executes the full plan, skips driver-side result transfer). Every
 query gets one untimed warm-up run (Catalyst planning + whole-stage
 codegen compilation dominate cold runs at small SF — 30s compile vs
-0.7s execute was measured) and the second run is reported: that is
-the steady-state throughput a long-running cluster sees.
+0.7s execute was measured), then the MIN of two timed runs is
+reported: the steady-state throughput a long-running cluster sees,
+with single-run scheduling noise (measured ±30% on a loaded host)
+suppressed.
 """
 
 from __future__ import annotations
@@ -59,9 +61,12 @@ def main() -> None:
     for name in HEADLINE:
         fn = QUERIES[name]
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()  # warm-up
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(min(runs), 3)
 
     total = round(sum(timings.values()), 3)
     print(
