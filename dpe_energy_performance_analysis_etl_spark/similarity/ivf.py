@@ -41,6 +41,10 @@ def train_ivf_centroids(
 ) -> DataFrame:
     """Lloyd's k-means; returns (cluster, centroid array<double>)."""
     vecs = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+    # orderBy+limit compiles to TakeOrderedAndProject (per-partition
+    # top-k + driver merge of k rows — no global sort of the corpus);
+    # the unpartitioned row_number then numbers only these k seed rows,
+    # so the single-partition WindowExec warning it triggers is benign.
     seeds = (
         vecs.orderBy(F.xxhash64(F.col("vid").cast("string")))
         .limit(k)
