@@ -55,3 +55,17 @@ def test_ivf_recall_and_determinism(spark, emb):
     assert a == b  # exact-decimal centroid training => reproducible
     recall = len(exact & a) / len(exact)
     assert recall >= 0.4, f"IVF recall degraded: {recall}"  # nprobe=4 of 8 clusters
+
+
+def test_seeded_ivf_recall_and_determinism(spark, emb):
+    """The oracle-checkable seeded IVF (no Lloyd iterations) keeps
+    usable recall and is bit-reproducible by construction."""
+    from dpe_energy_performance_analysis_etl_spark.similarity import seeded_ivf_topk
+
+    queries = emb.filter("vec_id < 10")
+    exact = {(r.query_id, r.neighbor_id) for r in brute_force_topk(emb, queries, k=5).collect()}
+    a = {(r.query_id, r.neighbor_id) for r in seeded_ivf_topk(emb, queries, k=5, n_clusters=8, nprobe=4).collect()}
+    b = {(r.query_id, r.neighbor_id) for r in seeded_ivf_topk(emb, queries, k=5, n_clusters=8, nprobe=4).collect()}
+    assert a == b
+    recall = len(exact & a) / len(exact)
+    assert recall >= 0.4, f"seeded IVF recall degraded: {recall}"

@@ -89,3 +89,44 @@ def test_quality_and_language(spark, docs):
     assert rows[0].lang == "en"
     assert rows[4].lang == "fr"
     assert rows[5].n_tokens == 0 and rows[5].quality_score is not None
+
+
+def test_portable_paths_agree_with_fast_paths(spark, docs):
+    """The portable (SQL-replayable) hash variants must make the same
+    dedup decisions as the engine-native fast paths on planted dups —
+    same pipeline, different hash family."""
+    fast = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(docs, threshold=0.3).collect()}
+    portable = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(docs, threshold=0.3, portable=True).collect()
+    }
+    assert (0, 1) in portable  # identical docs never missed
+    assert (0, 1) in fast
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in shingle_pairs_jaccard(docs, threshold=0.3).collect()
+    }
+    assert portable <= exact  # LSH candidates verified by exact jaccard
+
+    sim = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_near_dup_pairs(
+            docs, max_hamming=6, chunks=7, bits=28, portable=True
+        ).collect()
+    }
+    assert sim.get((0, 1)) == 0
+    assert (0, 3) not in sim
+
+
+def test_hash_shingle_key_matches_string_key(spark, docs):
+    """hash_shingle_key=True must produce identical pairs/jaccard to
+    strict string equality (no collisions at test scale)."""
+    hashed = {
+        (r.doc_a, r.doc_b): (r.n_common, round(r.jaccard, 12))
+        for r in shingle_pairs_jaccard(docs, threshold=0.1).collect()
+    }
+    strict = {
+        (r.doc_a, r.doc_b): (r.n_common, round(r.jaccard, 12))
+        for r in shingle_pairs_jaccard(docs, threshold=0.1, hash_shingle_key=False).collect()
+    }
+    assert hashed == strict
