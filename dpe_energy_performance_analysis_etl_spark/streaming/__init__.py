@@ -1,5 +1,6 @@
 from dpe_energy_performance_analysis_etl_spark.streaming.incremental import (
     incremental_append_stream,
+    interval_join_streams,
     windowed_event_counts,
     streaming_dedup,
     stream_to_jdbc,
@@ -12,6 +13,7 @@ from dpe_energy_performance_analysis_etl_spark.streaming.stateful import (
 
 __all__ = [
     "incremental_append_stream",
+    "interval_join_streams",
     "windowed_event_counts",
     "streaming_dedup",
     "stream_to_jdbc",

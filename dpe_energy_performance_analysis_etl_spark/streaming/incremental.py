@@ -164,6 +164,61 @@ def stream_to_jdbc(
     return writer.start()
 
 
+def interval_join_streams(
+    spark: SparkSession,
+    left_dir: str,
+    right_dir: str,
+    left_schema: T.StructType,
+    right_schema: T.StructType,
+    target_dir: str,
+    checkpoint_dir: str,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    upper: str = "10 minutes",
+    watermark: str = "1 hour",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Stream-stream event-time interval join: for each left row,
+    right rows with the same ``key_col`` whose timestamp falls in
+    [left_ts, left_ts + ``upper``]. Both sides carry a watermark, so
+    the join state store evicts rows once they can no longer match —
+    bounded state on unbounded streams (state ≈ one watermark horizon
+    per side, regardless of total stream length).
+
+    Columns are disambiguated as l_*/r_* (shared ``key_col`` kept
+    once). Results append to parquet as matches become final."""
+    left = spark.readStream.schema(left_schema).parquet(left_dir)
+    right = spark.readStream.schema(right_schema).parquet(right_dir)
+
+    def prefixed(df: DataFrame, p: str) -> DataFrame:
+        cols = [F.col(key_col)] if p == "l" else []
+        cols += [
+            F.col(c).alias(f"{p}_{c}")
+            for c in df.columns
+            if c != key_col
+        ]
+        return df.select(*cols) if p == "l" else df.select(F.col(key_col).alias("r_key"), *cols)
+
+    l = prefixed(left.withWatermark(ts_col, watermark), "l")
+    r = prefixed(right.withWatermark(ts_col, watermark), "r")
+    joined = l.join(
+        r,
+        F.expr(
+            f"{key_col} = r_key AND r_{ts_col} >= l_{ts_col} "
+            f"AND r_{ts_col} <= l_{ts_col} + INTERVAL {upper}"
+        ),
+    ).drop("r_key")
+    writer = (
+        joined.writeStream.format("parquet")
+        .option("path", target_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def continuous_projection_stream(
     spark: SparkSession,
     query_name: str,

@@ -177,3 +177,47 @@ def test_continuous_trigger_projection(spark):
         assert bad == 0
     finally:
         q.stop()
+
+
+def test_interval_join_streams_matches_batch(spark, events, tmp_path):
+    """Stream-stream interval join (watermarked both sides) emits
+    exactly the rows the equivalent batch range-join produces."""
+    from dpe_energy_performance_analysis_etl_spark.streaming import interval_join_streams
+
+    left_dir = str(tmp_path / "left")
+    right_dir = str(tmp_path / "right")
+    target = str(tmp_path / "joined")
+    ckpt = str(tmp_path / "ckpt_ij")
+
+    left = events.filter("event_id % 2 = 0")
+    right = events.filter("event_id % 2 = 1")
+    left.write.parquet(left_dir)
+    right.write.parquet(right_dir)
+
+    q = interval_join_streams(
+        spark, left_dir, right_dir, EVENT_SCHEMA, EVENT_SCHEMA,
+        target, ckpt, key_col="user_id", upper="10 minutes",
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.l_event_id, r.r_event_id)
+        for r in spark.read.parquet(target).collect()
+    }
+
+    batch = (
+        left.alias("a")
+        .join(
+            right.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.ts") >= F.col("a.ts"))
+            & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 10 minutes")),
+        )
+        .select(
+            F.col("a.user_id").alias("user_id"),
+            F.col("a.event_id").alias("l_event_id"),
+            F.col("b.event_id").alias("r_event_id"),
+        )
+    )
+    want = {(r.user_id, r.l_event_id, r.r_event_id) for r in batch.collect()}
+    assert len(want) > 0
+    assert got == want
