@@ -2619,3 +2619,318 @@ ORACLE_SQL["ann_lsh_topk"] = _lsh_topk_oracle()
 QUERIES["ann_lsh_topk"] = lambda spark, sf_dir: ann_lsh_topk_q(spark, sf_dir).withColumn(
     "rank", F.col("rank").cast("bigint")
 )
+
+
+# =====================================================================
+# Training-data pipeline breadth, batch 2: dedup clustering, TF-IDF,
+# corpus cleaning, time-series resampling, cohort/funnel analytics
+# =====================================================================
+
+_JACCARD_EDGES_SQL = """
+    tok AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+      FROM tok WHERE len(t) >= 3
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), edges AS (
+      SELECT doc_a, doc_b FROM common
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) >= 0.05
+    )
+"""
+
+
+@register(
+    "dedup_clusters_cc",
+    f"""
+    WITH RECURSIVE {_JACCARD_EDGES_SQL},
+    und AS (
+      SELECT doc_a AS s, doc_b AS d FROM edges
+      UNION ALL
+      SELECT doc_b, doc_a FROM edges
+    ), reach(node, comp) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT u.d, r.comp FROM reach r JOIN und u ON u.s = r.node WHERE r.comp < u.d
+    ), labels AS (
+      SELECT node AS doc_id, MIN(comp) AS component FROM reach GROUP BY node
+    )
+    SELECT l.doc_id, l.component,
+           COUNT(*) OVER (PARTITION BY l.component) AS cluster_size,
+           l.doc_id = l.component AS is_canonical
+    FROM labels l
+    """,
+)
+def dedup_clusters_cc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clustering: word-3-gram Jaccard pairs as
+    edges, connected components via iterative min-label propagation
+    (dedup/cluster.py), canonical survivor = min doc_id per component.
+    Oracle is a recursive CTE computing the same closure. This is the
+    missing step between pair generation and actual corpus dedup
+    (reference stops at full-row drop_duplicates, load.py:188-210)."""
+    from dpe_energy_performance_analysis_etl_spark.dedup import (
+        dedup_clusters,
+        shingle_pairs_jaccard,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    edges = shingle_pairs_jaccard(docs, threshold=0.05).select("doc_a", "doc_b")
+    return dedup_clusters(docs, edges)
+
+
+@register(
+    "tfidf_top_terms",
+    """
+    WITH tokens AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tokens GROUP BY 1, 2
+    ), dfreq AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+    ), scored AS (
+      SELECT doc_id, t.term, tf, df,
+             CAST(tf AS DOUBLE) / CAST(df AS DOUBLE) AS score
+      FROM tf t JOIN dfreq d ON t.term = d.term
+    )
+    SELECT doc_id, term, tf, df, score, CAST(rn AS BIGINT) AS rn FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 salient terms by tf/df weighting (rational
+    idf — exact in IEEE double on both engines, unlike log-based idf
+    which can differ by 1 ulp across libm implementations). Plan:
+    explode → (doc,term) partial-agg → tiny vocab agg broadcast back
+    → window top-k. The vocab table is orders of magnitude smaller
+    than the corpus, so the join is a broadcast at any scale."""
+    from dpe_energy_performance_analysis_etl_spark.text import tokens_expr
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tokens = docs.select("doc_id", F.explode(tokens_expr("text")).alias("term"))
+    tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(dfreq), on="term").withColumn(
+        "score", F.col("tf").cast("double") / F.col("df").cast("double")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "df", "score", "rn")
+    )
+
+
+@register(
+    "text_clean_corpus",
+    """
+    WITH cleaned AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      FROM documents
+    ), kept AS (
+      SELECT doc_id, toks,
+             list_filter(toks, x -> x NOT IN ('the','a','and','of','to','is','in','that','it','for')) AS keep
+      FROM cleaned
+    )
+    SELECT doc_id,
+           array_to_string(keep, ' ') AS clean_text,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(toks) - len(keep) AS BIGINT) AS n_stop_removed
+    FROM kept
+    """,
+)
+def text_clean_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus cleaning: normalize case/punctuation, drop stopwords,
+    emit cleaned text + removal counts. Pure codegen'd column
+    expressions (no Python in the row path) — runs at scan speed on
+    a 100 TB corpus."""
+    from dpe_energy_performance_analysis_etl_spark.text import STOPWORDS, tokens_expr
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = tokens_expr("text")
+    stop_lit = F.array(*[F.lit(s) for s in STOPWORDS])
+    kept = F.filter(toks, lambda x: ~F.array_contains(stop_lit, x))
+    return docs.select(
+        "doc_id",
+        F.array_join(kept, " ").alias("clean_text"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        (F.size(toks) - F.size(kept)).cast("bigint").alias("n_stop_removed"),
+    )
+
+
+@register(
+    "events_resample_gapfill",
+    """
+    WITH bounds AS (
+      SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+      FROM events
+    ), spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM bounds
+    ), types AS (
+      SELECT DISTINCT event_type FROM events
+    ), counts AS (
+      SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT s.hour, t.event_type, COALESCE(c.n, 0) AS n_events
+    FROM spine s
+    CROSS JOIN types t
+    LEFT JOIN counts c ON c.hour = s.hour AND c.event_type = t.event_type
+    """,
+)
+def events_resample_gapfill_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with gap fill: dense (hour × type)
+    spine via sequence+explode, left-joined against the hourly
+    counts, zeros where no events. The spine is generated, never
+    scanned — at 100 TB only the one groupBy over the raw events
+    shuffles; the spine and type dim both broadcast."""
+    ev = read_events(spark, sf_dir)
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    counts = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        spine.crossJoin(F.broadcast(types))
+        .join(counts, on=["hour", "event_type"], how="left")
+        .select("hour", "event_type", F.coalesce(F.col("n"), F.lit(0)).alias("n_events"))
+    )
+
+
+@register(
+    "cohort_retention",
+    """
+    WITH first_order AS (
+      SELECT o_custkey, date_trunc('month', MIN(o_orderdate)) AS cohort_month
+      FROM orders GROUP BY 1
+    ), activity AS (
+      SELECT DISTINCT o_custkey, date_trunc('month', o_orderdate) AS active_month
+      FROM orders
+    )
+    SELECT f.cohort_month,
+           CAST(datediff('month', f.cohort_month, a.active_month) AS BIGINT) AS month_offset,
+           COUNT(*) AS n_customers
+    FROM activity a JOIN first_order f ON a.o_custkey = f.o_custkey
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: customers bucketed by first-order
+    month, counted per month-offset of later activity. Both inputs
+    derive from one scan partitioned by o_custkey; the cohort side is
+    per-customer (small) and broadcasts."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    first_order = orders.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort_month")
+    )
+    activity = orders.select(
+        "o_custkey", F.date_trunc("month", F.col("o_orderdate")).alias("active_month")
+    ).distinct()
+    return (
+        activity.join(first_order, on="o_custkey")
+        .groupBy(
+            "cohort_month",
+            F.months_between(F.col("active_month"), F.col("cohort_month"))
+            .cast("bigint")
+            .alias("month_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@register(
+    "funnel_stages",
+    """
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) FILTER (WHERE event_type = 'signup') AS t1
+      FROM events GROUP BY user_id
+    ), s2 AS (
+      SELECT s1.user_id, MAX(s1.t1) AS t1,
+             MIN(CASE WHEN e.event_type = 'view' AND e.ts > s1.t1 THEN e.ts END) AS t2
+      FROM s1 JOIN events e ON e.user_id = s1.user_id
+      GROUP BY s1.user_id
+    ), s3 AS (
+      SELECT s2.user_id, MAX(s2.t2) AS t2,
+             MIN(CASE WHEN e.event_type = 'purchase' AND e.ts > s2.t2 THEN e.ts END) AS t3
+      FROM s2 JOIN events e ON e.user_id = s2.user_id
+      GROUP BY s2.user_id
+    )
+    SELECT 'signup' AS stage, CAST(1 AS BIGINT) AS stage_ord, COUNT(t1) AS n_users FROM s1
+    UNION ALL
+    SELECT 'view', CAST(2 AS BIGINT), COUNT(t2) FROM s2
+    UNION ALL
+    SELECT 'purchase', CAST(3 AS BIGINT), COUNT(t3) FROM s3
+    """,
+)
+def funnel_stages_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel signup → view → purchase: stage k
+    time = earliest stage-k event strictly after the user's stage-k-1
+    time (true sequential funnel, not independent mins).
+
+    Plan: ONE hash exchange on user_id, then three unbounded-frame
+    window mins over that same partitioning (stage k's predicate
+    references stage k-1's window result — legal because each window
+    pass sees the previous pass's column) and a per-user collapse
+    that also reuses the partitioning. The naive join-per-stage
+    formulation (the oracle SQL's shape) costs 18 exchanges; this one
+    costs 1 + the three single-row final aggregates. Per-user state
+    never leaves the executors."""
+    ev = read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id")
+    staged = (
+        ev.withColumn(
+            "t1", F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w)
+        )
+        .withColumn(
+            "t2",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "view") & (F.col("ts") > F.col("t1")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    counts = per_user.agg(
+        F.count("t1").alias("n_signup"),
+        F.count("t2").alias("n_view"),
+        F.count("t3").alias("n_purchase"),
+    )
+    # one aggregate, unpivoted to (stage, ord, count) rows — referencing
+    # the per-user subtree three times would re-plan it three times
+    return counts.select(
+        F.expr(
+            "stack(3, 'signup', 1L, n_signup, 'view', 2L, n_view, "
+            "'purchase', 3L, n_purchase) AS (stage, stage_ord, n_users)"
+        )
+    )

@@ -130,3 +130,44 @@ def test_hash_shingle_key_matches_string_key(spark, docs):
         for r in shingle_pairs_jaccard(docs, threshold=0.1, hash_shingle_key=False).collect()
     }
     assert hashed == strict
+
+
+def test_connected_components_chain_and_singletons(spark):
+    """A transitive chain collapses to one component labeled by its
+    min id; nodes absent from the edge set stay singletons."""
+    from dpe_energy_performance_analysis_etl_spark.dedup import (
+        connected_components,
+        dedup_clusters,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 5), (5, 9), (9, 3), (20, 21)], ["doc_a", "doc_b"]
+    )
+    nodes = spark.createDataFrame([(i,) for i in [1, 3, 5, 9, 20, 21, 42]], ["doc_id"])
+
+    labels = {
+        r["node"]: r["comp"]
+        for r in connected_components(edges, nodes=nodes).collect()
+    }
+    assert labels == {1: 1, 5: 1, 9: 1, 3: 1, 20: 20, 21: 20, 42: 42}
+
+    clusters = dedup_clusters(nodes, edges).collect()
+    by_id = {r["doc_id"]: r for r in clusters}
+    assert by_id[9]["component"] == 1 and by_id[9]["cluster_size"] == 4
+    assert not by_id[9]["is_canonical"] and by_id[1]["is_canonical"]
+    assert by_id[42]["cluster_size"] == 1 and by_id[42]["is_canonical"]
+    # exactly one canonical survivor per component
+    canon = [r for r in clusters if r["is_canonical"]]
+    assert len(canon) == 3
+
+
+def test_connected_components_on_near_dup_graph(spark, docs):
+    """End-to-end: Jaccard edges over the fixture docs put the exact
+    dup and near-dup in one cluster with doc 0 canonical."""
+    from dpe_energy_performance_analysis_etl_spark.dedup import dedup_clusters
+
+    edges = shingle_pairs_jaccard(docs, threshold=0.3).select("doc_a", "doc_b")
+    out = {r["doc_id"]: r for r in dedup_clusters(docs, edges).collect()}
+    assert out[0]["component"] == out[1]["component"] == out[2]["component"] == 0
+    assert out[0]["is_canonical"] and not out[1]["is_canonical"]
+    assert out[3]["cluster_size"] == 1
