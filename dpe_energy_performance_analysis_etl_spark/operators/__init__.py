@@ -24,6 +24,11 @@ from dpe_energy_performance_analysis_etl_spark.operators.temporal import (
     range_join_bucketed,
 )
 from dpe_energy_performance_analysis_etl_spark.operators.skew import salted_join
+from dpe_energy_performance_analysis_etl_spark.operators.incremental import (
+    scd2_merge,
+    agg_state,
+    merge_agg_state,
+)
 
 __all__ = [
     "select_columns",
@@ -46,4 +51,7 @@ __all__ = [
     "asof_join",
     "range_join_bucketed",
     "salted_join",
+    "scd2_merge",
+    "agg_state",
+    "merge_agg_state",
 ]

@@ -2934,3 +2934,170 @@ def funnel_stages_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "'purchase', 3L, n_purchase) AS (stage, stage_ord, n_users)"
         )
     )
+
+
+# =====================================================================
+# Incremental warehouse maintenance (operators/incremental.py)
+# =====================================================================
+
+@register(
+    "scd2_customer_segments",
+    """
+    WITH dim AS (
+      SELECT c_custkey, c_mktsegment AS segment,
+             TIMESTAMP '1990-01-01 00:00:00' AS valid_from,
+             CAST(NULL AS TIMESTAMP) AS valid_to,
+             TRUE AS is_current
+      FROM customer WHERE c_custkey % 3 != 0
+    ), upd AS (
+      SELECT o_custkey AS c_custkey,
+             o_orderpriority AS segment,
+             o_orderdate AS change_ts
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders
+      ) WHERE rn = 1
+    )
+    SELECT d.c_custkey, d.segment, d.valid_from,
+           CASE WHEN u.c_custkey IS NOT NULL AND u.segment IS DISTINCT FROM d.segment
+                THEN u.change_ts ELSE d.valid_to END AS valid_to,
+           CASE WHEN u.c_custkey IS NOT NULL AND u.segment IS DISTINCT FROM d.segment
+                THEN FALSE ELSE d.is_current END AS is_current
+    FROM dim d LEFT JOIN upd u ON d.c_custkey = u.c_custkey
+    UNION ALL
+    SELECT u.c_custkey, u.segment, u.change_ts, CAST(NULL AS TIMESTAMP), TRUE
+    FROM upd u JOIN dim d ON d.c_custkey = u.c_custkey
+    WHERE u.segment IS DISTINCT FROM d.segment
+    UNION ALL
+    SELECT u.c_custkey, u.segment, u.change_ts, CAST(NULL AS TIMESTAMP), TRUE
+    FROM upd u WHERE NOT EXISTS (SELECT 1 FROM dim d WHERE d.c_custkey = u.c_custkey)
+    """,
+)
+def scd2_customer_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 merge exercise: a segment dimension (seeded from 2/3 of
+    customers so the new-key insert path is non-empty) updated with
+    each customer's latest order priority. All three paths fire:
+    close+reopen on change, pass-through on no-op, insert on new key.
+    One shuffle on the key; history rows never re-shuffle."""
+    from dpe_energy_performance_analysis_etl_spark.operators import scd2_merge
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    dim = cust.filter(F.col("c_custkey") % 3 != 0).select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("1990-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    updates = (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.col("o_orderpriority").alias("segment"),
+            F.col("o_orderdate").alias("change_ts"),
+        )
+    )
+    return scd2_merge(dim, updates, key="c_custkey", tracked=["segment"])
+
+
+@register(
+    "incremental_agg_merge",
+    """
+    SELECT o_custkey,
+           COUNT(o_orderkey) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_spend,
+           MIN(o_orderdate) AS first_order,
+           MAX(o_orderdate) AS last_order
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def incremental_agg_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: per-customer order stats
+    kept as mergeable state (count/decimal-sum/min/max are
+    commutative monoids). Spark computes state for pre-1997 orders,
+    state for the 1997+ delta, and MERGES them; the oracle recomputes
+    from scratch — bit-equality proves merge == recompute, the
+    property that lets a 100 TB aggregate absorb a daily batch at
+    delta cost."""
+    from dpe_energy_performance_analysis_etl_spark.operators import (
+        agg_state,
+        merge_agg_state,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    specs = {
+        "n_orders": ("count", "o_orderkey"),
+        "sum_spend": ("sum_dec2", "o_totalprice"),
+        "first_order": ("min", "o_orderdate"),
+        "last_order": ("max", "o_orderdate"),
+    }
+    cutoff = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    state = agg_state(orders.filter(F.col("o_orderdate") < cutoff), ["o_custkey"], specs)
+    delta = agg_state(orders.filter(F.col("o_orderdate") >= cutoff), ["o_custkey"], specs)
+    merged = merge_agg_state(state, delta, ["o_custkey"], specs)
+    return merged.select(
+        "o_custkey",
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.col("sum_spend").cast("double").alias("sum_spend"),
+        "first_order",
+        "last_order",
+    )
+
+
+@register(
+    "unpivot_measures",
+    """
+    WITH base AS (
+      SELECT c_custkey, c_acctbal, CAST(c_nationkey AS DOUBLE) AS nation_d
+      FROM customer
+    )
+    SELECT c_custkey, measure, val
+    FROM base UNPIVOT (val FOR measure IN (c_acctbal, nation_d))
+    """,
+)
+def unpivot_measures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshaping via native unpivot (the inverse of
+    pivot_agg) — a projection-only operator, no shuffle."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    base = cust.select(
+        "c_custkey", "c_acctbal", F.col("c_nationkey").cast("double").alias("nation_d")
+    )
+    return base.unpivot(
+        ids=["c_custkey"],
+        values=["c_acctbal", "nation_d"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+
+
+@register(
+    "conditional_agg_functions",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           count_if(o_totalprice > 200000) AS n_big,
+           bool_and(o_totalprice > 0) AS all_positive,
+           bool_or(o_orderstatus = 'F') AS any_final,
+           COUNT(DISTINCT o_custkey) AS n_customers
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def conditional_agg_functions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional/boolean aggregate surface (count_if, bool_and,
+    bool_or, distinct count) — generalizes the reference's count
+    reporting (A7)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_final"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )

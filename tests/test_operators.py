@@ -104,3 +104,94 @@ def test_equi_join_broadcast_hint_in_plan(spark):
         assert "BroadcastHashJoin" not in plan2  # hint is what made the difference
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_scd2_merge_paths(spark):
+    """All four SCD2 paths: no-op on equal attrs (idempotent
+    redelivery), close+reopen on change, insert on new key,
+    pass-through of closed history."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F, types as T
+
+    from dpe_energy_performance_analysis_etl_spark.operators import scd2_merge
+
+    ts = lambda s: dt.datetime.fromisoformat(s)
+    dim_schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("attr", T.StringType()),
+            T.StructField("valid_from", T.TimestampType()),
+            T.StructField("valid_to", T.TimestampType()),
+            T.StructField("is_current", T.BooleanType()),
+        ]
+    )
+    dim = spark.createDataFrame(
+        [
+            (1, "gold", ts("2020-01-01"), None, True),       # will change
+            (2, "silver", ts("2020-01-01"), None, True),     # no-op update
+            (3, "bronze", ts("2020-01-01"), None, True),     # no update at all
+            (1, "old", ts("2019-01-01"), ts("2020-01-01"), False),  # history
+        ],
+        dim_schema,
+    )
+    updates = spark.createDataFrame(
+        [
+            (1, "platinum", ts("2024-06-01")),
+            (2, "silver", ts("2024-06-01")),
+            (9, "new", ts("2024-06-01")),
+        ],
+        ["k", "attr", "change_ts"],
+    )
+    out = scd2_merge(dim, updates, key="k", tracked=["attr"])
+    rows = {(r["k"], r["attr"]): r for r in out.collect()}
+    assert len(rows) == 6
+    # changed key: old version closed, new version open
+    assert rows[(1, "gold")]["valid_to"] == ts("2024-06-01")
+    assert not rows[(1, "gold")]["is_current"]
+    assert rows[(1, "platinum")]["is_current"] and rows[(1, "platinum")]["valid_to"] is None
+    assert rows[(1, "platinum")]["valid_from"] == ts("2024-06-01")
+    # no-op and untouched keys stay open
+    assert rows[(2, "silver")]["is_current"] and rows[(2, "silver")]["valid_to"] is None
+    assert rows[(3, "bronze")]["is_current"]
+    # new key inserted open; history row untouched
+    assert rows[(9, "new")]["is_current"]
+    assert rows[(1, "old")]["valid_to"] == ts("2020-01-01")
+    # applying the same batch again is a no-op (idempotent)
+    again = scd2_merge(out, updates, key="k", tracked=["attr"])
+    assert again.count() == 6
+    assert again.filter(F.col("is_current")).count() == out.filter(F.col("is_current")).count()
+
+
+def test_merge_agg_state_equals_recompute(spark):
+    """Merging partial states over an arbitrary split == full
+    recompute, including keys present on only one side."""
+    from pyspark.sql import functions as F
+
+    from dpe_energy_performance_analysis_etl_spark.operators import (
+        agg_state,
+        merge_agg_state,
+    )
+
+    df = spark.range(1000).select(
+        (F.col("id") % 37).alias("k"),
+        (F.col("id") % 101).cast("double").alias("v"),
+        F.col("id").alias("ord"),
+    )
+    specs = {
+        "n": ("count", "v"),
+        "s": ("sum_dec2", "v"),
+        "lo": ("min", "ord"),
+        "hi": ("max", "ord"),
+    }
+    # split so some keys exist only in one part
+    left = df.filter((F.col("ord") < 700) | (F.col("k") == 5))
+    right = df.subtract(left)
+    merged = merge_agg_state(
+        agg_state(left, ["k"], specs), agg_state(right, ["k"], specs), ["k"], specs
+    )
+    full = agg_state(df, ["k"], specs)
+    cols = ["k", "n", "s", "lo", "hi"]
+    a = sorted(map(tuple, merged.select(*[F.col(c).cast("string") for c in cols]).collect()))
+    b = sorted(map(tuple, full.select(*[F.col(c).cast("string") for c in cols]).collect()))
+    assert a == b
