@@ -14,6 +14,14 @@ from dpe_energy_performance_analysis_etl_spark.sources.rest import (
     rest_lookup_join,
     paged_rest_scan,
 )
+from dpe_energy_performance_analysis_etl_spark.sources.jdbc_dialect import (
+    JdbcDialect,
+    POSTGRES,
+    DERBY,
+    GENERIC,
+    dialect_for_url,
+    upsert_jdbc_table,
+)
 
 __all__ = [
     "read_csv",
@@ -28,4 +36,10 @@ __all__ = [
     "RateLimiter",
     "rest_lookup_join",
     "paged_rest_scan",
+    "JdbcDialect",
+    "POSTGRES",
+    "DERBY",
+    "GENERIC",
+    "dialect_for_url",
+    "upsert_jdbc_table",
 ]

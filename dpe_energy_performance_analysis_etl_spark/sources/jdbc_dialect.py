@@ -1,0 +1,178 @@
+"""JDBC server-dialect layer: DDL type mapping, identifier quoting,
+and idempotent UPSERT (the reference's loader is append-only with an
+anti-join pre-filter, ``load.py:123-165`` — an upsert collapses its
+read-existing-keys + anti-join + append into one round trip and also
+handles UPDATEs, which the reference cannot).
+
+Spark's built-in JDBC writer handles INSERTs; what it does NOT give
+you portably: (a) server-specific column DDL when auto-creating
+tables (e.g. Spark maps StringType to Derby CLOB / Postgres TEXT —
+both unindexable-by-default; a sized VARCHAR is usually wanted for
+key columns), (b) conflict-resolution semantics. Both are dialect
+concerns, centralized here.
+
+Upsert strategy (classic warehouse pattern, scales with the delta):
+  1. write the batch to a staging table via the normal parallel
+     JDBC writer (executors stream partitions concurrently);
+  2. one server-side set-based statement merges staging into the
+     target — Postgres ``INSERT ... ON CONFLICT DO UPDATE``,
+     standard ``MERGE INTO`` elsewhere (Derby 10.11+, Oracle, SQL
+     Server, DB2);
+  3. drop staging.
+The merge is executed ONCE on the driver via java.sql.DriverManager
+(Spark ships the JDBC driver jar already); the bulk data path stays
+distributed.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+
+@dataclass(frozen=True)
+class JdbcDialect:
+    """Quoting + type-mapping + upsert-SQL rules for one server."""
+
+    name: str
+    quote: str = '"'
+    # Spark simpleString -> server DDL type; unlisted types use
+    # Spark's own default mapping.
+    type_overrides: dict[str, str] = field(default_factory=dict)
+    string_ddl: str = "VARCHAR(1024)"
+    supports_merge: bool = True
+
+    def q(self, ident: str) -> str:
+        return f"{self.quote}{ident}{self.quote}"
+
+    def ddl_type(self, dt: T.DataType) -> str | None:
+        if isinstance(dt, T.StringType):
+            return self.string_ddl
+        return self.type_overrides.get(dt.simpleString())
+
+    def create_table_column_types(self, schema: T.StructType) -> str | None:
+        """Value for the Spark writer's ``createTableColumnTypes``
+        option: only the columns whose default mapping this dialect
+        overrides (others keep Spark's mapping)."""
+        parts = [
+            f"{f.name} {self.ddl_type(f.dataType)}"
+            for f in schema.fields
+            if self.ddl_type(f.dataType) is not None
+        ]
+        return ", ".join(parts) if parts else None
+
+    def upsert_sql(self, table: str, staging: str, cols: list[str], keys: list[str]) -> str:
+        non_keys = [c for c in cols if c not in keys]
+        if self.name == "postgresql":
+            col_list = ", ".join(self.q(c) for c in cols)
+            conflict = ", ".join(self.q(k) for k in keys)
+            sets = ", ".join(f"{self.q(c)} = EXCLUDED.{self.q(c)}" for c in non_keys)
+            action = f"DO UPDATE SET {sets}" if non_keys else "DO NOTHING"
+            return (
+                f"INSERT INTO {table} ({col_list}) "
+                f"SELECT {col_list} FROM {staging} "
+                f"ON CONFLICT ({conflict}) {action}"
+            )
+        if not self.supports_merge:
+            raise NotImplementedError(f"dialect {self.name}: no upsert support")
+        on = " AND ".join(f"t.{self.q(k)} = s.{self.q(k)}" for k in keys)
+        col_list = ", ".join(self.q(c) for c in cols)
+        values = ", ".join(f"s.{self.q(c)}" for c in cols)
+        merge = (
+            f"MERGE INTO {table} t USING {staging} s ON {on} "
+        )
+        if non_keys:
+            sets = ", ".join(f"{self.q(c)} = s.{self.q(c)}" for c in non_keys)
+            merge += f"WHEN MATCHED THEN UPDATE SET {sets} "
+        merge += f"WHEN NOT MATCHED THEN INSERT ({col_list}) VALUES ({values})"
+        return merge
+
+
+POSTGRES = JdbcDialect(
+    name="postgresql",
+    string_ddl="VARCHAR(1024)",
+    type_overrides={
+        # Spark's default maps DoubleType->DOUBLE PRECISION (fine),
+        # ByteType->BYTE (invalid in PG) — force SMALLINT.
+        "tinyint": "SMALLINT",
+        "binary": "BYTEA",
+    },
+)
+
+DERBY = JdbcDialect(
+    name="derby",
+    # Spark maps StringType to Derby CLOB, which Derby refuses to
+    # compare/index; sized VARCHAR restores predicates on strings.
+    string_ddl="VARCHAR(1024)",
+    type_overrides={"binary": "BLOB"},
+)
+
+GENERIC = JdbcDialect(name="generic", string_ddl="VARCHAR(1024)")
+
+_DIALECTS = {d.name: d for d in (POSTGRES, DERBY, GENERIC)}
+
+
+def dialect_for_url(url: str) -> JdbcDialect:
+    """jdbc:postgresql://... -> POSTGRES, jdbc:derby:... -> DERBY,
+    else GENERIC (standard MERGE)."""
+    scheme = url.split(":")[1] if url.startswith("jdbc:") and ":" in url[5:] else ""
+    return _DIALECTS.get(scheme, GENERIC)
+
+
+def execute_statements(spark, url: str, properties: dict[str, str], statements: list[str]) -> None:
+    """Run DDL/DML statements on the server from the driver through
+    the same JDBC driver jar Spark's executors use."""
+    jvm = spark._jvm
+    props = jvm.java.util.Properties()
+    for k, v in properties.items():
+        if k != "driver":
+            props.setProperty(k, v)
+    if "driver" in properties:
+        jvm.java.lang.Class.forName(properties["driver"])
+    conn = jvm.java.sql.DriverManager.getConnection(url, props)
+    try:
+        stmt = conn.createStatement()
+        for sql in statements:
+            stmt.execute(sql)
+        stmt.close()
+    finally:
+        conn.close()
+
+
+def upsert_jdbc_table(
+    df: DataFrame,
+    url: str,
+    table: str,
+    key_cols: list[str],
+    properties: dict[str, str],
+    dialect: JdbcDialect | None = None,
+    staging_table: str | None = None,
+    batchsize: int = 10_000,
+) -> None:
+    """Distributed upsert: parallel-write ``df`` to a staging table,
+    one server-side merge into ``table``, drop staging. The target
+    must already exist (create it with ``append_jdbc_table`` +
+    ``createTableColumnTypes`` from the dialect, or your own DDL) and
+    have a unique/PK constraint on ``key_cols`` for Postgres
+    ON CONFLICT to engage."""
+    dialect = dialect or dialect_for_url(url)
+    staging = staging_table or f"{table}_STG"
+    spark = df.sparkSession
+
+    writer = (
+        df.write.format("jdbc")
+        .mode("overwrite")
+        .option("url", url)
+        .option("dbtable", staging)
+        .option("batchsize", batchsize)
+        .options(**{k: v for k, v in properties.items()})
+    )
+    ddl = dialect.create_table_column_types(df.schema)
+    if ddl:
+        writer = writer.option("createTableColumnTypes", ddl)
+    writer.save()
+
+    merge = dialect.upsert_sql(table, staging, df.columns, key_cols)
+    execute_statements(spark, url, properties, [merge, f"DROP TABLE {staging}"])
