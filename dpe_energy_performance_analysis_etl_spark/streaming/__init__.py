@@ -5,6 +5,8 @@ from dpe_energy_performance_analysis_etl_spark.streaming.incremental import (
     streaming_dedup,
     stream_to_jdbc,
     continuous_projection_stream,
+    maintained_agg_stream,
+    read_agg_state,
 )
 from dpe_energy_performance_analysis_etl_spark.streaming.stateful import (
     sessionize_stream,
@@ -18,6 +20,8 @@ __all__ = [
     "streaming_dedup",
     "stream_to_jdbc",
     "continuous_projection_stream",
+    "maintained_agg_stream",
+    "read_agg_state",
     "sessionize_stream",
     "batch_closed_sessions",
 ]

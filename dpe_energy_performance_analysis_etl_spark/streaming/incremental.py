@@ -255,3 +255,106 @@ def continuous_projection_stream(
         .trigger(continuous=f"{checkpoint_ms} milliseconds")
         .start()
     )
+
+
+def maintained_agg_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    state_dir: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    specs: dict[str, tuple[str, str]],
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Continuously-maintained aggregate: the streaming face of
+    ``operators/incremental.py::merge_agg_state``.
+
+    Each micro-batch is partially aggregated (count/decimal-sum/
+    min/max per key) and MERGED into the state table — cost
+    proportional to the batch, never a rescan of history.
+
+    Exactly-once without a transactional table format: state is
+    written to VERSIONED directories ``{state_dir}/v=<batch_id>``.
+    Batch B always merges onto the newest complete version < B, so
+    a crash mid-write (no ``_SUCCESS`` marker) or a checkpoint
+    replay of batch B deterministically rebuilds ``v=B`` from the
+    same predecessor — rerunning is idempotent. Superseded versions
+    are garbage-collected after each successful merge. Read the
+    current state with ``read_agg_state``. (At warehouse scale the
+    same merge targets a transactional format or the JDBC upsert
+    sink, ``sources/jdbc_dialect.py``.)
+    """
+    from dpe_energy_performance_analysis_etl_spark.operators import (
+        agg_state,
+        merge_agg_state,
+    )
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        sess = batch.sparkSession
+        delta = agg_state(batch, keys, specs)
+        prev = _state_versions(sess, state_dir, below=batch_id)
+        if prev:
+            state = sess.read.parquet(f"{state_dir}/v={prev[-1]}")
+            # align decimal widths: merged sums widen by one digit
+            merged = merge_agg_state(
+                state.select(delta.schema.names), delta, keys, specs
+            ).select(
+                *[F.col(c).cast(delta.schema[c].dataType) for c in delta.schema.names]
+            )
+        else:
+            merged = delta
+        merged.write.mode("overwrite").parquet(f"{state_dir}/v={batch_id}")
+        _gc_state_versions(sess, state_dir, keep=prev[-1:] + [batch_id])
+
+    writer = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def _state_fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return jvm, fs, hpath
+
+
+def _state_versions(spark: SparkSession, state_dir: str, below: int | None = None) -> list[int]:
+    """Complete (``_SUCCESS``-marked) state versions, ascending."""
+    jvm, fs, root = _state_fs(spark, state_dir)
+    if not fs.exists(root):
+        return []
+    versions = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not name.startswith("v="):
+            continue
+        v = int(name[2:])
+        if below is not None and v >= below:
+            continue
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")):
+            versions.append(v)
+    return sorted(versions)
+
+
+def _gc_state_versions(spark: SparkSession, state_dir: str, keep: list[int]) -> None:
+    jvm, fs, root = _state_fs(spark, state_dir)
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if name.startswith("v=") and int(name[2:]) not in keep:
+            fs.delete(st.getPath(), True)
+
+
+def read_agg_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Current (latest complete) maintained-aggregate state."""
+    versions = _state_versions(spark, state_dir)
+    if not versions:
+        raise FileNotFoundError(f"no complete state under {state_dir}")
+    return spark.read.parquet(f"{state_dir}/v={versions[-1]}")

@@ -221,3 +221,61 @@ def test_interval_join_streams_matches_batch(spark, events, tmp_path):
     want = {(r.user_id, r.l_event_id, r.r_event_id) for r in batch.collect()}
     assert len(want) > 0
     assert got == want
+
+
+def test_maintained_agg_stream_matches_recompute(spark, tmp_path):
+    """Stream-maintained aggregate state == batch recompute over all
+    files, and a second availableNow run over new files merges only
+    the delta (versions advance, old ones GC'd)."""
+    from pyspark.sql import functions as F, types as T
+
+    from dpe_energy_performance_analysis_etl_spark.operators import agg_state
+    from dpe_energy_performance_analysis_etl_spark.streaming import (
+        maintained_agg_stream,
+        read_agg_state,
+    )
+
+    src = str(tmp_path / "landing")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("v", T.DoubleType()),
+            T.StructField("ord", T.LongType()),
+        ]
+    )
+    specs = {
+        "n": ("count", "v"),
+        "s": ("sum_dec2", "v"),
+        "lo": ("min", "ord"),
+        "hi": ("max", "ord"),
+    }
+
+    def mkbatch(lo, hi, part):
+        df = spark.range(lo, hi).select(
+            (F.col("id") % 13).alias("k"),
+            (F.col("id") % 7).cast("double").alias("v"),
+            F.col("id").alias("ord"),
+        )
+        df.write.mode("append").parquet(src)
+
+    def run():
+        q = maintained_agg_stream(spark, src, schema, state, ckpt, ["k"], specs)
+        q.awaitTermination(120)
+
+    mkbatch(0, 500, 1)
+    run()
+    first = {r["k"]: r["n"] for r in read_agg_state(spark, state).collect()}
+    assert sum(first.values()) == 500
+
+    mkbatch(500, 800, 2)
+    run()
+    cur = read_agg_state(spark, state)
+    full = agg_state(
+        spark.read.schema(schema).parquet(src), ["k"], specs
+    )
+    cols = ["k", "n", "s", "lo", "hi"]
+    a = sorted(map(tuple, cur.select(*[F.col(c).cast("string") for c in cols]).collect()))
+    b = sorted(map(tuple, full.select(*[F.col(c).cast("string") for c in cols]).collect()))
+    assert a == b
