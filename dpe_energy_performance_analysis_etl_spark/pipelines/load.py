@@ -34,11 +34,23 @@ class DataLoader:
         config: EngineConfig | None = None,
         read_existing_keys: Callable[[str, list[str]], DataFrame | None] | None = None,
         append: Callable[[DataFrame, str], None] | None = None,
+        strategy: str = "append",
+        upsert: Callable[[DataFrame, str, list[str]], None] | None = None,
     ):
+        """``strategy="append"`` reproduces the reference exactly:
+        read existing keys, anti-join, append the complement
+        (existing rows are never modified). ``strategy="upsert"``
+        uses the dialect layer's staging-table MERGE instead — one
+        server round trip, no key read, and changed rows UPDATE in
+        place (requires a PK on the target for Postgres)."""
+        if strategy not in ("append", "upsert"):
+            raise ValueError(f"unknown load strategy: {strategy}")
         self.spark = spark
         self.config = config or EngineConfig()
+        self.strategy = strategy
         self._read_existing = read_existing_keys or self._jdbc_read_keys
         self._append = append or self._jdbc_append
+        self._upsert = upsert or self._jdbc_upsert
         self.loaded_counts: dict[str, int] = {}
 
     # ------------------------------------------------- default JDBC sink
@@ -57,6 +69,13 @@ class DataLoader:
         assert cfg.jdbc_url, "ENGINE_JDBC_URL not configured"
         append_jdbc_table(df, cfg.jdbc_url, table, cfg.jdbc_properties)
 
+    def _jdbc_upsert(self, df: DataFrame, table: str, pk: list[str]) -> None:
+        from dpe_energy_performance_analysis_etl_spark.sources import upsert_jdbc_table
+
+        cfg = self.config
+        assert cfg.jdbc_url, "ENGINE_JDBC_URL not configured"
+        upsert_jdbc_table(df, cfg.jdbc_url, table, pk, cfg.jdbc_properties)
+
     # ------------------------------------------------- per-table
     @log_run()
     def save_one_table(self, df: DataFrame, table: str) -> int:
@@ -64,6 +83,15 @@ class DataLoader:
         pk = ENTITY_PKS[table]
         for k in pk:
             df = df.withColumn(k, F.col(k).cast("string"))  # load.py:110-120
+        if self.strategy == "upsert":
+            df = df.dropDuplicates(pk)
+            n = df.count()
+            if n == 0:
+                self.loaded_counts[table] = 0
+                return 0
+            self._upsert(df, table, pk)
+            self.loaded_counts[table] = n
+            return n
         existing = self._read_existing(table, pk)
         if existing is not None:
             df = anti_join_new_rows(df, existing, pk, broadcast_existing=True)

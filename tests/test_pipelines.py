@@ -113,3 +113,28 @@ def test_loader_respects_fk_order(extractor, enedis_csv, spark, zones):
     DataLoader(spark, zones, read_existing_keys=lambda t, k: None, append=append).run(entities)
     assert order_seen == [t for t in LOAD_ORDER if t in entities]
     assert order_seen[0] == "tests_statistiques_dpe" and order_seen[-1] == "logements"
+
+
+def test_loader_upsert_strategy(extractor, enedis_csv, spark, zones):
+    """strategy='upsert' routes every table through the injected
+    upsert callable with its PK — no key read, no anti-join."""
+    from dpe_energy_performance_analysis_etl_spark.pipelines.transform import ENTITY_PKS
+
+    silver = extractor.extract(enedis_csv)
+    entities = DataTransformer(spark, silver, zones).run()
+    calls = []
+
+    def upsert(df, table, pk):
+        calls.append((table, tuple(pk), df.count()))
+
+    def no_read(table, key_cols):  # must never be consulted
+        raise AssertionError("upsert strategy must not read existing keys")
+
+    loader = DataLoader(
+        spark, zones, read_existing_keys=no_read, strategy="upsert", upsert=upsert
+    )
+    counts = loader.run(entities)
+    assert sum(counts.values()) > 0
+    assert {t for t, _, _ in calls} == {t for t, n in counts.items() if n > 0}
+    for table, pk, n in calls:
+        assert pk == tuple(ENTITY_PKS[table]) and n > 0
