@@ -3101,3 +3101,36 @@ def conditional_agg_functions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_or(F.col("o_orderstatus") == "F").alias("any_final"),
         F.countDistinct("o_custkey").alias("n_customers"),
     )
+
+
+@register(
+    "value_histogram",
+    """
+    WITH bucketed AS (
+      SELECT LEAST(CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT), 9) AS bucket,
+             o_totalprice
+      FROM orders
+    )
+    SELECT bucket,
+           COUNT(*) AS n,
+           MIN(o_totalprice) AS lo,
+           MAX(o_totalprice) AS hi,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total
+    FROM bucketed GROUP BY bucket
+    """,
+)
+def value_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram (distribution profiling — the
+    at-scale replacement for the reference's df.shape debugging
+    probes). Bucket arithmetic is one identical IEEE floor-division
+    in both engines; one partial-agg shuffle total."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    bucket = F.least(
+        F.floor(F.col("o_totalprice") / F.lit(50000.0)).cast("bigint"), F.lit(9)
+    ).alias("bucket")
+    return orders.select(bucket, "o_totalprice").groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+        dsum("o_totalprice").alias("total"),
+    )

@@ -171,3 +171,45 @@ def test_connected_components_on_near_dup_graph(spark, docs):
     assert out[0]["component"] == out[1]["component"] == out[2]["component"] == 0
     assert out[0]["is_canonical"] and not out[1]["is_canonical"]
     assert out[3]["cluster_size"] == 1
+
+
+def test_connected_components_random_graphs_vs_union_find(spark):
+    """Seeded random graphs: Spark min-label propagation must equal a
+    pure-Python union-find on every node (including isolates)."""
+    import random
+
+    from dpe_energy_performance_analysis_etl_spark.dedup import connected_components
+
+    for seed, n_nodes, n_edges in [(1, 40, 25), (2, 60, 80), (3, 30, 5)]:
+        rng = random.Random(seed)
+        edges = [
+            (rng.randrange(n_nodes), rng.randrange(n_nodes)) for _ in range(n_edges)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # canonical label = min node id in the component
+        comp_min: dict[int, int] = {}
+        for v in range(n_nodes):
+            r = find(v)
+            comp_min[r] = min(comp_min.get(r, v), v)
+        expected = {v: comp_min[find(v)] for v in range(n_nodes)}
+
+        edges_df = spark.createDataFrame(edges or [(0, 0)], ["doc_a", "doc_b"])
+        nodes_df = spark.createDataFrame([(i,) for i in range(n_nodes)], ["doc_id"])
+        got = {
+            r["node"]: r["comp"]
+            for r in connected_components(edges_df, nodes=nodes_df).collect()
+        }
+        assert got == expected, f"seed={seed}"
