@@ -7,6 +7,7 @@ from dpe_energy_performance_analysis_etl_spark.streaming.incremental import (
     continuous_projection_stream,
     maintained_agg_stream,
     read_agg_state,
+    enrich_stream_static,
 )
 from dpe_energy_performance_analysis_etl_spark.streaming.stateful import (
     sessionize_stream,
@@ -22,6 +23,7 @@ __all__ = [
     "continuous_projection_stream",
     "maintained_agg_stream",
     "read_agg_state",
+    "enrich_stream_static",
     "sessionize_stream",
     "batch_closed_sessions",
 ]

@@ -358,3 +358,35 @@ def read_agg_state(spark: SparkSession, state_dir: str) -> DataFrame:
     if not versions:
         raise FileNotFoundError(f"no complete state under {state_dir}")
     return spark.read.parquet(f"{state_dir}/v={versions[-1]}")
+
+
+def enrich_stream_static(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    dim: DataFrame,
+    on: list[str],
+    output_dir: str,
+    checkpoint_dir: str,
+    how: str = "left",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Stream-static enrichment join: every micro-batch joins the
+    (small, slowly-changing) dimension — the streaming face of J1/J2
+    (Enedis×BAN / ADEME lookups, ``extract.py:517-585``).
+
+    The static side is explicitly broadcast: no shuffle of the
+    stream, no stream-stream state store, and the dimension is
+    re-resolved per micro-batch (a dim refresh is picked up without
+    restarting the query — standard Spark stream-static semantics)."""
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    enriched = stream.join(F.broadcast(dim), on=on, how=how)
+    writer = (
+        enriched.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -279,3 +279,37 @@ def test_maintained_agg_stream_matches_recompute(spark, tmp_path):
     a = sorted(map(tuple, cur.select(*[F.col(c).cast("string") for c in cols]).collect()))
     b = sorted(map(tuple, full.select(*[F.col(c).cast("string") for c in cols]).collect()))
     assert a == b
+
+
+def test_enrich_stream_static_matches_batch_join(spark, tmp_path):
+    """Stream-static broadcast enrichment == the batch join, and the
+    plan never shuffles the stream side."""
+    from pyspark.sql import functions as F, types as T
+
+    from dpe_energy_performance_analysis_etl_spark.streaming import enrich_stream_static
+
+    src = str(tmp_path / "landing")
+    out = str(tmp_path / "enriched")
+    ckpt = str(tmp_path / "ckpt")
+    facts = spark.range(300).select(
+        F.col("id").alias("fact_id"), (F.col("id") % 7).alias("dim_key")
+    )
+    facts.write.parquet(src)
+    dim = spark.createDataFrame(
+        [(i, f"name_{i}") for i in range(5)], ["dim_key", "dim_name"]  # keys 5,6 unmatched
+    )
+    schema = T.StructType(
+        [T.StructField("fact_id", T.LongType()), T.StructField("dim_key", T.LongType())]
+    )
+    q = enrich_stream_static(spark, src, schema, dim, ["dim_key"], out, ckpt)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    want = spark.read.parquet(src).join(F.broadcast(dim), on=["dim_key"], how="left")
+    cols = ["fact_id", "dim_key", "dim_name"]
+    assert sorted(map(tuple, got.select(cols).collect())) == sorted(
+        map(tuple, want.select(cols).collect())
+    )
+    assert got.filter(F.col("dim_name").isNull()).count() == want.filter(
+        F.col("dim_name").isNull()
+    ).count() > 0
