@@ -29,6 +29,11 @@ from dpe_energy_performance_analysis_etl_spark.operators.incremental import (
     agg_state,
     merge_agg_state,
 )
+from dpe_energy_performance_analysis_etl_spark.operators.quality import (
+    observed,
+    assert_metrics,
+    non_empty_gate,
+)
 
 __all__ = [
     "select_columns",
@@ -54,4 +59,7 @@ __all__ = [
     "scd2_merge",
     "agg_state",
     "merge_agg_state",
+    "observed",
+    "assert_metrics",
+    "non_empty_gate",
 ]

@@ -14,6 +14,10 @@ from dpe_energy_performance_analysis_etl_spark.sources.rest import (
     rest_lookup_join,
     paged_rest_scan,
 )
+from dpe_energy_performance_analysis_etl_spark.sources.datasource import (
+    PagedRestDataSource,
+    register_datasources,
+)
 from dpe_energy_performance_analysis_etl_spark.sources.jdbc_dialect import (
     JdbcDialect,
     POSTGRES,
@@ -42,4 +46,6 @@ __all__ = [
     "GENERIC",
     "dialect_for_url",
     "upsert_jdbc_table",
+    "PagedRestDataSource",
+    "register_datasources",
 ]

@@ -195,3 +195,35 @@ def test_merge_agg_state_equals_recompute(spark):
     a = sorted(map(tuple, merged.select(*[F.col(c).cast("string") for c in cols]).collect()))
     b = sorted(map(tuple, full.select(*[F.col(c).cast("string") for c in cols]).collect()))
     assert a == b
+
+
+def test_observation_quality_gate(spark):
+    """Metrics ride along the real action (no extra count job) and
+    bounds violations name every failing metric."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dpe_energy_performance_analysis_etl_spark.operators import (
+        assert_metrics,
+        non_empty_gate,
+        observed,
+    )
+
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id")).alias("v"),
+    )
+    gated, obs = observed(
+        df,
+        rows=F.count(F.lit(1)),
+        null_v=F.count_if(F.col("v").isNull()),
+        max_k=F.max("k"),
+    )
+    gated.write.mode("overwrite").format("noop").save()  # the "real" action
+    vals = assert_metrics(obs, {"rows": (100, 100), "null_v": (None, 10), "max_k": (99, 99)})
+    assert vals["null_v"] == 10
+
+    gated2, obs2 = non_empty_gate(spark.range(5).filter(F.col("id") > 99))
+    gated2.write.mode("overwrite").format("noop").save()
+    with pytest.raises(ValueError, match="rows=0 below minimum 1"):
+        assert_metrics(obs2, {"rows": (1, None)})
