@@ -28,6 +28,7 @@ from dpe_energy_performance_analysis_etl_spark.operators.incremental import (
     scd2_merge,
     agg_state,
     merge_agg_state,
+    apply_changelog,
 )
 from dpe_energy_performance_analysis_etl_spark.operators.quality import (
     observed,
@@ -59,6 +60,7 @@ __all__ = [
     "scd2_merge",
     "agg_state",
     "merge_agg_state",
+    "apply_changelog",
     "observed",
     "assert_metrics",
     "non_empty_gate",

@@ -24,7 +24,7 @@ they run unchanged at cluster scale.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def scd2_merge(
@@ -154,3 +154,49 @@ def merge_agg_state(
             raise ValueError(f"unknown agg kind: {kind}")
         out_cols.append(expr.alias(out))
     return merged.select(*out_cols)
+
+
+def apply_changelog(
+    base: DataFrame,
+    changes: DataFrame,
+    key: str,
+    op_col: str = "op",
+    ts_col: str = "ts",
+    ord_col: str | None = None,
+) -> DataFrame:
+    """Apply a CDC changelog (I/U/D records) to a keyed snapshot —
+    the change-data-capture generalization of the reference's
+    append-only load: upserts overwrite, deletes remove, and only
+    the LATEST change per key (by ``ts_col``, tie-broken by
+    ``ord_col``) matters.
+
+    ``changes`` columns: key, payload columns matching ``base``'s
+    non-key columns, ``op_col`` in {'I','U','D'}, ``ts_col`` (+
+    optional ``ord_col`` unique tiebreaker for deterministic
+    last-write-wins under equal timestamps).
+
+    Plan: window keep-latest over the changelog (shuffle 1, on key),
+    full-outer merge with the snapshot (shuffle 2 reuses the key
+    partitioning), delete filter. The changelog side is typically the
+    small daily delta — AQE broadcasts it when it fits."""
+    order = [F.desc(ts_col)] + ([F.desc(ord_col)] if ord_col else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    latest = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", *( [ord_col] if ord_col else [] ))
+    )
+    payload = [c for c in base.columns if c != key]
+    merged = base.alias("b").join(latest.alias("c"), on=key, how="full_outer")
+    kept = merged.filter(
+        F.col(f"c.{op_col}").isNull() | (F.col(f"c.{op_col}") != "D")
+    )
+    return kept.select(
+        F.col(key),
+        *[
+            F.when(F.col(f"c.{op_col}").isNotNull(), F.col(f"c.{c}"))
+            .otherwise(F.col(f"b.{c}"))
+            .alias(c)
+            for c in payload
+        ],
+    )

@@ -3134,3 +3134,59 @@ def value_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_totalprice").alias("hi"),
         dsum("o_totalprice").alias("total"),
     )
+
+
+@register(
+    "cdc_apply_changelog",
+    """
+    WITH base AS (
+      SELECT c_custkey, c_acctbal AS bal, c_mktsegment AS seg FROM customer
+    ), changelog AS (
+      SELECT o_custkey AS c_custkey,
+             CASE WHEN o_orderstatus = 'O' THEN 'U'
+                  WHEN o_orderstatus = 'P' THEN 'D'
+                  ELSE 'I' END AS op,
+             o_totalprice AS bal,
+             o_orderpriority AS seg,
+             o_orderdate AS ts,
+             o_orderkey AS ord
+      FROM orders
+    ), latest AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY c_custkey ORDER BY ts DESC, ord DESC) AS rn
+        FROM changelog
+      ) WHERE rn = 1
+    )
+    SELECT COALESCE(b.c_custkey, c.c_custkey) AS c_custkey,
+           CASE WHEN c.op IS NOT NULL THEN c.bal ELSE b.bal END AS bal,
+           CASE WHEN c.op IS NOT NULL THEN c.seg ELSE b.seg END AS seg
+    FROM base b FULL OUTER JOIN latest c ON b.c_custkey = c.c_custkey
+    WHERE c.op IS NULL OR c.op != 'D'
+    """,
+)
+def cdc_apply_changelog_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply: a synthetic I/U/D changelog (derived from orders)
+    merged into the customer snapshot — last-write-wins per key with
+    a deterministic tiebreaker, deletes drop the row, inserts add
+    new keys (operators/incremental.py::apply_changelog)."""
+    from dpe_energy_performance_analysis_etl_spark.operators import apply_changelog
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    base = cust.select(
+        "c_custkey", F.col("c_acctbal").alias("bal"), F.col("c_mktsegment").alias("seg")
+    )
+    changes = orders.select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.when(F.col("o_orderstatus") == "O", "U")
+        .when(F.col("o_orderstatus") == "P", "D")
+        .otherwise("I")
+        .alias("op"),
+        F.col("o_totalprice").alias("bal"),
+        F.col("o_orderpriority").alias("seg"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderkey").alias("ord"),
+    )
+    out = apply_changelog(base, changes, key="c_custkey", ord_col="ord")
+    return out.select("c_custkey", "bal", "seg")

@@ -227,3 +227,33 @@ def test_observation_quality_gate(spark):
     gated2.write.mode("overwrite").format("noop").save()
     with pytest.raises(ValueError, match="rows=0 below minimum 1"):
         assert_metrics(obs2, {"rows": (1, None)})
+
+
+def test_apply_changelog_semantics(spark):
+    """Last-write-wins with tiebreak, delete drops, insert adds,
+    delete-then-reinsert resolves by latest, unknown-key delete is a
+    no-op."""
+    import datetime as dt
+
+    from dpe_energy_performance_analysis_etl_spark.operators import apply_changelog
+
+    ts = lambda s: dt.datetime.fromisoformat(s)
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["k", "v"]
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "U", "a2", ts("2024-01-02"), 10),
+            (1, "U", "a1", ts("2024-01-01"), 11),  # older — ignored
+            (2, "D", None, ts("2024-01-01"), 12),
+            (4, "I", "d", ts("2024-01-01"), 13),
+            (5, "D", None, ts("2024-01-01"), 14),  # unknown key delete
+            (6, "D", None, ts("2024-01-01"), 15),  # delete then reinsert (later)
+            (6, "I", "f", ts("2024-01-02"), 16),
+            (7, "U", "x1", ts("2024-01-03"), 17),  # equal ts: ord breaks tie
+            (7, "U", "x2", ts("2024-01-03"), 18),
+        ],
+        ["k", "op", "v", "ts", "ord"],
+    )
+    out = {r["k"]: r["v"] for r in apply_changelog(base, changes, key="k", ord_col="ord").collect()}
+    assert out == {1: "a2", 3: "c", 4: "d", 6: "f", 7: "x2"}
