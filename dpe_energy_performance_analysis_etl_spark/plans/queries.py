@@ -3190,3 +3190,110 @@ def cdc_apply_changelog_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = apply_changelog(base, changes, key="c_custkey", ord_col="ord")
     return out.select("c_custkey", "bal", "seg")
+
+
+@register(
+    "time_weighted_avg",
+    """
+    WITH seq AS (
+      SELECT user_id, value, ts,
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+      FROM events
+    ), seg AS (
+      SELECT user_id,
+             CAST(CAST(value AS DECIMAL(30,2)) * 100 AS BIGINT) AS cents,
+             epoch_us(next_ts) - epoch_us(ts) AS dur_us
+      FROM seq WHERE next_ts IS NOT NULL
+    )
+    SELECT user_id,
+           SUM(cents * dur_us) AS weighted_cents_us,
+           SUM(dur_us) AS total_us,
+           (CAST(SUM(cents * dur_us) AS DOUBLE) / CAST(SUM(dur_us) AS DOUBLE)) / 100.0
+             AS time_weighted_value
+    FROM seg GROUP BY user_id
+    """,
+)
+def time_weighted_avg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of a sensor-style value per user (each
+    reading holds until the next one — the TimescaleDB
+    ``time_weight('LOCF')`` semantics). All weighting arithmetic is
+    INTEGER (exact cents × exact microsecond durations, summed as
+    bigint — order-independent), with one final double division; the
+    lead() pass and the aggregate share the user_id partitioning."""
+    ev = read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "value",
+        "ts",
+        F.lead("ts").over(w).alias("next_ts"),
+    ).filter(F.col("next_ts").isNotNull())
+    seg = seq.select(
+        "user_id",
+        (F.col("value").cast("decimal(30,2)") * 100).cast("bigint").alias("cents"),
+        (
+            F.unix_micros(F.col("next_ts")) - F.unix_micros(F.col("ts"))
+        ).alias("dur_us"),
+    )
+    return seg.groupBy("user_id").agg(
+        F.sum(F.col("cents") * F.col("dur_us")).alias("weighted_cents_us"),
+        F.sum("dur_us").alias("total_us"),
+        (
+            (
+                F.sum(F.col("cents") * F.col("dur_us")).cast("double")
+                / F.sum("dur_us").cast("double")
+            )
+            / 100.0
+        ).alias("time_weighted_value"),
+    )
+
+
+@register(
+    "percent_of_total_window",
+    """
+    WITH base AS (
+      SELECT o_orderpriority, o_custkey % 10 AS cohort,
+             CAST(o_totalprice AS DECIMAL(30,2)) AS price
+      FROM orders
+    ), agg AS (
+      SELECT o_orderpriority, cohort,
+             SUM(price) AS grp_dec
+      FROM base GROUP BY 1, 2
+    )
+    SELECT o_orderpriority, cohort,
+           CAST(grp_dec AS DOUBLE) AS grp_total,
+           CAST(grp_dec AS DOUBLE) / CAST(SUM(grp_dec) OVER (PARTITION BY o_orderpriority) AS DOUBLE)
+             AS share_of_priority,
+           CAST(grp_dec AS DOUBLE) / CAST(SUM(grp_dec) OVER () AS DOUBLE)
+             AS share_of_total
+    FROM agg
+    """,
+)
+def percent_of_total_window_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each (priority, cohort) revenue as a share of
+    its priority and of the grand total — windowed sums over the
+    pre-aggregated (small) frame, so the wide scan aggregates once
+    and the unpartitioned window only ever sees group rows."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    agg = (
+        orders.select(
+            "o_orderpriority",
+            (F.col("o_custkey") % 10).alias("cohort"),
+            F.col("o_totalprice").cast("decimal(30,2)").alias("price"),
+        )
+        .groupBy("o_orderpriority", "cohort")
+        .agg(F.sum("price").alias("grp_dec"))
+    )
+    w_pri = Window.partitionBy("o_orderpriority")
+    w_all = Window.partitionBy()
+    return agg.select(
+        "o_orderpriority",
+        "cohort",
+        F.col("grp_dec").cast("double").alias("grp_total"),
+        (F.col("grp_dec").cast("double") / F.sum("grp_dec").over(w_pri).cast("double")).alias(
+            "share_of_priority"
+        ),
+        (F.col("grp_dec").cast("double") / F.sum("grp_dec").over(w_all).cast("double")).alias(
+            "share_of_total"
+        ),
+    )
