@@ -34,6 +34,7 @@ from dpe_energy_performance_analysis_etl_spark.operators.quality import (
     observed,
     assert_metrics,
     non_empty_gate,
+    profile_columns,
 )
 
 __all__ = [
@@ -64,4 +65,5 @@ __all__ = [
     "observed",
     "assert_metrics",
     "non_empty_gate",
+    "profile_columns",
 ]

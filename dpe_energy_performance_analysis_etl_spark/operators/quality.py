@@ -54,3 +54,29 @@ def assert_metrics(
 def non_empty_gate(df: DataFrame) -> tuple[DataFrame, Observation]:
     """The reference's is-empty check as a free-rider metric."""
     return observed(df, rows=F.count(F.lit(1)))
+
+
+def profile_columns(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Single-pass column profile: (column, n_rows, n_nulls,
+    n_distinct) per column, in long form.
+
+    All per-column aggregates are computed in ONE aggregation job —
+    Spark expands the multi-distinct into one shuffle — then the
+    single result row unpivots to long form driver-free. The at-scale
+    replacement for looping ``df[col].nunique()`` column by column
+    (each a full pass in pandas)."""
+    cols = columns or df.columns
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for c in cols:
+        aggs.append(F.count(F.lit(1)).alias(f"__t_{c}"))
+        aggs.append(F.count_if(F.col(c).isNull()).alias(f"__n_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"__d_{c}"))
+    one = df.agg(*aggs)
+    stacked = ", ".join(
+        f"'{c}', __t_{c}, __n_{c}, __d_{c}" for c in cols
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(cols)}, {stacked}) AS (column, n_rows, n_nulls, n_distinct)"
+        )
+    )

@@ -3297,3 +3297,31 @@ def percent_of_total_window_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share_of_total"
         ),
     )
+
+
+@register(
+    "column_profile",
+    """
+    SELECT 'doc_id' AS column, COUNT(*) AS n_rows,
+           count_if(doc_id IS NULL) AS n_nulls,
+           COUNT(DISTINCT doc_id) AS n_distinct
+    FROM documents
+    UNION ALL
+    SELECT 'text', COUNT(*), count_if(text IS NULL), COUNT(DISTINCT text) FROM documents
+    UNION ALL
+    SELECT 'lang', COUNT(*), count_if(lang IS NULL), COUNT(DISTINCT lang) FROM documents
+    UNION ALL
+    SELECT 'source', COUNT(*), count_if(source IS NULL), COUNT(DISTINCT source) FROM documents
+    UNION ALL
+    SELECT 'n_chars', COUNT(*), count_if(n_chars IS NULL), COUNT(DISTINCT n_chars) FROM documents
+    """,
+)
+def column_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass corpus profile (operators/quality.py::profile_columns):
+    per-column null and exact-distinct counts in a single aggregation
+    (Spark's expand handles the multi-distinct in one shuffle; the
+    oracle's five table scans are the shape it replaces)."""
+    from dpe_energy_performance_analysis_etl_spark.operators import profile_columns
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return profile_columns(docs)
