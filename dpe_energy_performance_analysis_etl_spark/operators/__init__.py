@@ -36,6 +36,10 @@ from dpe_energy_performance_analysis_etl_spark.operators.quality import (
     non_empty_gate,
     profile_columns,
 )
+from dpe_energy_performance_analysis_etl_spark.operators.layout import (
+    zorder_key,
+    write_zorder_parquet,
+)
 
 __all__ = [
     "select_columns",
@@ -66,4 +70,6 @@ __all__ = [
     "assert_metrics",
     "non_empty_gate",
     "profile_columns",
+    "zorder_key",
+    "write_zorder_parquet",
 ]

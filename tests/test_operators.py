@@ -257,3 +257,43 @@ def test_apply_changelog_semantics(spark):
     )
     out = {r["k"]: r["v"] for r in apply_changelog(base, changes, key="k", ord_col="ord").collect()}
     assert out == {1: "a2", 3: "c", 4: "d", 6: "f", 7: "x2"}
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
+    """Z-order clustering: a range predicate on EITHER dimension
+    touches a strict subset of files; an x-sorted layout only prunes
+    on x. Compares files-read via input_file_name under identical
+    predicates."""
+    from pyspark.sql import functions as F
+
+    from dpe_energy_performance_analysis_etl_spark.operators import write_zorder_parquet
+
+    n, n_files = 50_000, 16
+    df = spark.range(n).select(
+        (F.xxhash64("id") % 1000).alias("x"),
+        (F.xxhash64("id", F.lit(1)) % 1000).alias("y"),
+        F.col("id").alias("payload"),
+    )
+    zpath, xpath = str(tmp_path / "zorder"), str(tmp_path / "xsort")
+    write_zorder_parquet(df, zpath, ["x", "y"], n_files=n_files)
+    df.repartitionByRange(n_files, "x").sortWithinPartitions("x").write.parquet(xpath)
+
+    def files_touched(path, cond):
+        d = spark.read.parquet(path).filter(cond)
+        return d.select(F.input_file_name()).distinct().count()
+
+    # edge deciles: their rank-normalized values share the curve's
+    # top bits, the regime min/max file stats can actually prune
+    y_pred = F.col("y") >= 800
+    x_pred = F.col("x") >= 800
+
+    # y-predicate: x-sorted layout spreads y everywhere (all files);
+    # z-order confines it to a subset
+    z_y, x_y = files_touched(zpath, y_pred), files_touched(xpath, y_pred)
+    assert x_y == n_files
+    assert z_y < n_files
+    # x-predicate: both layouts prune
+    assert files_touched(zpath, x_pred) < n_files
+    assert files_touched(xpath, x_pred) < n_files
+    # and the data is identical
+    assert spark.read.parquet(zpath).count() == n
