@@ -8,6 +8,8 @@ from dpe_energy_performance_analysis_etl_spark.streaming.incremental import (
     maintained_agg_stream,
     read_agg_state,
     enrich_stream_static,
+    versioned_merge_stream,
+    cdc_apply_stream,
 )
 from dpe_energy_performance_analysis_etl_spark.streaming.stateful import (
     sessionize_stream,
@@ -24,6 +26,8 @@ __all__ = [
     "maintained_agg_stream",
     "read_agg_state",
     "enrich_stream_static",
+    "versioned_merge_stream",
+    "cdc_apply_stream",
     "sessionize_stream",
     "batch_closed_sessions",
 ]

@@ -290,33 +290,21 @@ def maintained_agg_stream(
         merge_agg_state,
     )
 
-    stream = spark.readStream.schema(schema).parquet(source_dir)
-
-    def merge_batch(batch: DataFrame, batch_id: int) -> None:
-        sess = batch.sparkSession
+    def merge(state: DataFrame | None, batch: DataFrame) -> DataFrame:
         delta = agg_state(batch, keys, specs)
-        prev = _state_versions(sess, state_dir, below=batch_id)
-        if prev:
-            state = sess.read.parquet(f"{state_dir}/v={prev[-1]}")
-            # align decimal widths: merged sums widen by one digit
-            merged = merge_agg_state(
-                state.select(delta.schema.names), delta, keys, specs
-            ).select(
-                *[F.col(c).cast(delta.schema[c].dataType) for c in delta.schema.names]
-            )
-        else:
-            merged = delta
-        merged.write.mode("overwrite").parquet(f"{state_dir}/v={batch_id}")
-        _gc_state_versions(sess, state_dir, keep=prev[-1:] + [batch_id])
+        if state is None:
+            return delta
+        # align decimal widths: merged sums widen by one digit
+        return merge_agg_state(
+            state.select(delta.schema.names), delta, keys, specs
+        ).select(
+            *[F.col(c).cast(delta.schema[c].dataType) for c in delta.schema.names]
+        )
 
-    writer = (
-        stream.writeStream.foreachBatch(merge_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("update")
+    return versioned_merge_stream(
+        spark, source_dir, schema, state_dir, checkpoint_dir, merge,
+        available_now=available_now,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
 
 
 def _state_fs(spark: SparkSession, path: str):
@@ -390,3 +378,77 @@ def enrich_stream_static(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def versioned_merge_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    state_dir: str,
+    checkpoint_dir: str,
+    merge,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Generic incrementally-maintained materialized view: per
+    micro-batch, ``merge(prev_state_or_None, batch) -> new_state``
+    is written to ``{state_dir}/v=<batch_id>`` with the same
+    crash/replay-idempotent versioning contract as
+    ``maintained_agg_stream`` (which is this, specialized to monoid
+    aggregate merging). ``apply_changelog`` and ``scd2_merge`` slot
+    in directly — the streaming faces of the incremental operator
+    trio share one state discipline."""
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+
+    def do_merge(batch: DataFrame, batch_id: int) -> None:
+        sess = batch.sparkSession
+        prev = _state_versions(sess, state_dir, below=batch_id)
+        state = sess.read.parquet(f"{state_dir}/v={prev[-1]}") if prev else None
+        new_state = merge(state, batch)
+        new_state.write.mode("overwrite").parquet(f"{state_dir}/v={batch_id}")
+        _gc_state_versions(sess, state_dir, keep=prev[-1:] + [batch_id])
+
+    writer = (
+        stream.writeStream.foreachBatch(do_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def cdc_apply_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    base: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    key: str,
+    op_col: str = "op",
+    ts_col: str = "ts",
+    ord_col: str | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming CDC materialization: each micro-batch of I/U/D
+    records folds into the maintained snapshot via
+    ``operators.incremental.apply_changelog`` (first batch applies to
+    ``base``). Last-write-wins ACROSS batches holds because
+    micro-batches arrive in source order and within-batch order is
+    resolved by (ts, ord)."""
+    from dpe_energy_performance_analysis_etl_spark.operators import apply_changelog
+
+    base_cols = base.columns
+
+    def merge(state: DataFrame | None, batch: DataFrame) -> DataFrame:
+        snapshot = state if state is not None else base
+        return apply_changelog(
+            snapshot.select(base_cols), batch, key=key,
+            op_col=op_col, ts_col=ts_col, ord_col=ord_col,
+        )
+
+    return versioned_merge_stream(
+        spark, source_dir, schema, state_dir, checkpoint_dir, merge,
+        available_now=available_now,
+    )

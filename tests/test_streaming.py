@@ -313,3 +313,50 @@ def test_enrich_stream_static_matches_batch_join(spark, tmp_path):
     assert got.filter(F.col("dim_name").isNull()).count() == want.filter(
         F.col("dim_name").isNull()
     ).count() > 0
+
+
+def test_cdc_apply_stream_matches_batch_apply(spark, tmp_path):
+    """Streamed CDC folds (two availableNow runs) == one batch
+    apply_changelog over the full changelog."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F, types as T
+
+    from dpe_energy_performance_analysis_etl_spark.operators import apply_changelog
+    from dpe_energy_performance_analysis_etl_spark.streaming import (
+        cdc_apply_stream,
+        read_agg_state,
+    )
+
+    src = str(tmp_path / "changes")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(20)], ["k", "v"]
+    )
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("v", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("ord", T.LongType()),
+        ]
+    )
+    ts = lambda d: dt.datetime(2024, 1, d)
+    batch1 = [(1, "U", "b1", ts(1), 1), (2, "D", None, ts(1), 2), (30, "I", "new30", ts(1), 3)]
+    batch2 = [(1, "U", "b2", ts(2), 4), (30, "D", None, ts(2), 5), (3, "U", "b2x", ts(2), 6)]
+
+    def run(rows):
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(src)
+        q = cdc_apply_stream(spark, src, schema, base, state, ckpt, key="k", ord_col="ord")
+        q.awaitTermination(120)
+
+    run(batch1)
+    run(batch2)
+    got = sorted(map(tuple, read_agg_state(spark, state).collect()))
+
+    full_changes = spark.createDataFrame(batch1 + batch2, schema)
+    want = sorted(map(tuple, apply_changelog(base, full_changes, key="k", ord_col="ord").collect()))
+    assert got == want
+    assert dict(got)[1] == "b2" and 2 not in dict(got) and 30 not in dict(got)
