@@ -138,3 +138,32 @@ def test_loader_upsert_strategy(extractor, enedis_csv, spark, zones):
     assert {t for t, _, _ in calls} == {t for t, n in counts.items() if n > 0}
     for table, pk, n in calls:
         assert pk == tuple(ENTITY_PKS[table]) and n > 0
+
+
+def test_pandas_api_on_spark_migration_path(spark):
+    """The reference's users write pandas; pyspark.pandas runs that
+    style unchanged on this engine's session and agrees with the
+    DataFrame API — the incremental migration path for reference
+    pipelines (eager pandas idioms, distributed execution)."""
+    import warnings
+
+    warnings.filterwarnings("ignore", category=FutureWarning)
+    import pyspark.pandas as ps
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    pdf = ps.read_parquet(f"{sf}/orders.parquet")
+    # reference-style chain: filter → derive → groupby → agg
+    pdf = pdf[pdf["o_totalprice"] > 0]
+    pdf["big"] = pdf["o_totalprice"] > 200_000
+    got = pdf.groupby("o_orderpriority")["big"].sum().sort_index()
+
+    want = {
+        r["o_orderpriority"]: r["n"]
+        for r in spark.read.parquet(f"{sf}/orders.parquet")
+        .filter(F.col("o_totalprice") > 0)
+        .groupBy("o_orderpriority")
+        .agg(F.count_if(F.col("o_totalprice") > 200_000).alias("n"))
+        .collect()
+    }
+    assert {k: int(v) for k, v in got.items()} == want
