@@ -58,6 +58,10 @@ def connected_components(
         universe = und.select(F.col("s").alias("node")).distinct()
     und = und.localCheckpoint()
     labels = universe.select("node", F.col("node").alias("comp")).localCheckpoint()
+    # Convergence probe: labels only ever DECREASE, so the total
+    # sum(comp) is strictly monotone until fixpoint — an O(1)-row
+    # aggregate replaces a per-round join-and-compare job.
+    prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
 
     for _ in range(max_rounds):
         # Neighbor messages: my comp, proposed to each neighbor.
@@ -67,15 +71,11 @@ def connected_components(
         new_labels = (
             labels.unionAll(msgs).groupBy("node").agg(F.min("comp").alias("comp"))
         ).localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="node")
-            .where(F.col("n.comp") != F.col("o.comp"))
-            .isEmpty()
-        )
         labels = new_labels
-        if changed:
+        new_sum = labels.agg(F.sum("comp")).collect()[0][0]
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels
 
 
