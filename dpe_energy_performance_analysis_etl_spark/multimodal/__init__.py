@@ -6,6 +6,7 @@ from dpe_energy_performance_analysis_etl_spark.multimodal.media import (
     frame_sample,
     decode_audio_batch,
     audio_features,
+    read_media_dir,
 )
 
 __all__ = [
@@ -16,4 +17,5 @@ __all__ = [
     "frame_sample",
     "decode_audio_batch",
     "audio_features",
+    "read_media_dir",
 ]

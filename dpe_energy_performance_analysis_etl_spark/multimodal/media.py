@@ -196,3 +196,30 @@ def audio_features(
             )
 
     return df.select(id_col, content_col).mapInPandas(featurize, schema=out_schema)
+
+
+def read_media_dir(
+    spark,
+    path: str,
+    glob: str | None = None,
+    with_metadata: bool = True,
+) -> DataFrame:
+    """Ingest raw media files via Spark's built-in ``binaryFile``
+    source: one row per file with (path, modificationTime, length,
+    content) — the real on-disk entry point for the multimodal layer
+    (images/audio/video land as files; this turns a directory into
+    the opaque-binary DataFrame every operator here consumes).
+
+    Scale notes: the source parallelizes by file (one task per split
+    set of files), prunes on the ``pathGlobFilter``, and NEVER decodes
+    — pair with ``binary_metadata`` for integrity/dedup and the
+    ``mapInPandas`` featurizers for decode. Filters on length/path
+    push down to the file index, so "skip files > 100 MB" costs a
+    listing, not a read."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    if with_metadata:
+        df = binary_metadata(df)
+    return df

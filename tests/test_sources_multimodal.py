@@ -243,3 +243,36 @@ def test_paged_rest_datasource(spark, tmp_path):
     # declared-schema contract: no schema -> loud error
     with pytest.raises(Exception, match="schema"):
         spark.read.format("paged_rest").option("url", "x").option("total", 1).load()
+
+
+def test_read_media_dir_binary_file_source(spark, tmp_path):
+    """binaryFile ingestion: one row per file with size/hash metadata,
+    glob filtering, and a length pushdown that skips big files at the
+    listing level."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from dpe_energy_performance_analysis_etl_spark.multimodal import read_media_dir
+
+    media = tmp_path / "media"
+    media.mkdir()
+    payloads = {}
+    for i in range(5):
+        body = (b"\x89PNG" if i % 2 == 0 else b"RIFF") + bytes([i]) * (10 + i * 100)
+        (media / f"f{i}.{'png' if i % 2 == 0 else 'wav'}").write_bytes(body)
+        payloads[f"f{i}"] = body
+
+    df = read_media_dir(spark, str(media))
+    rows = {r["path"].rsplit("/", 1)[-1].split(".")[0]: r for r in df.collect()}
+    assert len(rows) == 5
+    assert rows["f0"]["n_bytes"] == len(payloads["f0"])
+    assert rows["f0"]["content_md5"] == hashlib.md5(payloads["f0"]).hexdigest()
+    assert rows["f0"]["header_hex"].startswith("89504e47")  # PNG magic
+    assert rows["f1"]["header_hex"].startswith("52494646")  # RIFF magic
+
+    pngs = read_media_dir(spark, str(media), glob="*.png")
+    assert pngs.count() == 3
+
+    small = read_media_dir(spark, str(media)).filter(F.col("length") < 200)
+    assert small.count() == 2  # f0 (14B) and f1 (114B)
