@@ -3325,3 +3325,21 @@ def column_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return profile_columns(docs)
+
+
+def register_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:
+    """SQL front door: register every zone table as a temp view so
+    ``spark.sql`` works directly over the lakehouse — the query-
+    language surface the reference never had. Events get the
+    TIMESTAMP(NANOS) handling of ``read_events``."""
+    for t in names or TABLES:
+        df = read_events(spark, sf_dir) if t == "events" else spark.read.parquet(
+            f"{sf_dir}/{t}.parquet"
+        )
+        df.createOrReplaceTempView(t)
+
+
+def run_sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
+    """Register the tables and run one ANSI-SQL query over them."""
+    register_tables(spark, sf_dir)
+    return spark.sql(query)
