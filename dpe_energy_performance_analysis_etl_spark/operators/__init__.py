@@ -40,6 +40,11 @@ from dpe_energy_performance_analysis_etl_spark.operators.layout import (
     zorder_key,
     write_zorder_parquet,
 )
+from dpe_energy_performance_analysis_etl_spark.operators.sketch import (
+    cms_build,
+    cms_merge,
+    cms_lookup,
+)
 
 __all__ = [
     "select_columns",
@@ -72,4 +77,7 @@ __all__ = [
     "profile_columns",
     "zorder_key",
     "write_zorder_parquet",
+    "cms_build",
+    "cms_merge",
+    "cms_lookup",
 ]

@@ -3343,3 +3343,79 @@ def run_sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
     """Register the tables and run one ANSI-SQL query over them."""
     register_tables(spark, sf_dir)
     return spark.sql(query)
+
+
+@register(
+    "cms_token_frequency",
+    """
+    WITH tok AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      FROM documents
+    ), h AS (
+      SELECT term,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(regexp_extract_all(term, '.'),
+                                c -> CAST(ascii(c) AS BIGINT))),
+               (acc, x) -> (acc * 131 + x) % 1000000000000000
+             ) % 999999937 AS hp
+      FROM tok
+    ), cells AS (
+      SELECT term, 0 AS row, ((31 * hp + 7) % 999999937) % 512 AS cell FROM h
+      UNION ALL
+      SELECT term, 1, ((37 * hp + 11) % 999999937) % 512 FROM h
+      UNION ALL
+      SELECT term, 2, ((41 * hp + 13) % 999999937) % 512 FROM h
+    ), sketch AS (
+      SELECT row, cell, COUNT(*) AS cnt FROM cells GROUP BY 1, 2
+    ), q AS (
+      SELECT DISTINCT term FROM (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        FROM documents WHERE doc_id = 0
+      )
+    ), qh AS (
+      SELECT term,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(regexp_extract_all(term, '.'),
+                                c -> CAST(ascii(c) AS BIGINT))),
+               (acc, x) -> (acc * 131 + x) % 1000000000000000
+             ) % 999999937 AS hp
+      FROM q
+    ), qcells AS (
+      SELECT term, 0 AS row, ((31 * hp + 7) % 999999937) % 512 AS cell FROM qh
+      UNION ALL
+      SELECT term, 1, ((37 * hp + 11) % 999999937) % 512 FROM qh
+      UNION ALL
+      SELECT term, 2, ((41 * hp + 13) % 999999937) % 512 FROM qh
+    ), est AS (
+      SELECT qc.term, MIN(COALESCE(s.cnt, 0)) AS est
+      FROM qcells qc LEFT JOIN sketch s ON s.row = qc.row AND s.cell = qc.cell
+      GROUP BY qc.term
+    ), exact AS (
+      SELECT term, COUNT(*) AS exact_n FROM tok GROUP BY term
+    )
+    SELECT e.term, e.est, x.exact_n
+    FROM est e JOIN exact x ON e.term = x.term
+    """,
+)
+def cms_token_frequency_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (operators/sketch.py): corpus-wide token
+    frequencies compressed into 3×512 counters, probed for doc 0's
+    vocabulary, alongside exact counts (est >= exact always; equality
+    whenever no cell collides). The sketch is bit-reproduced by the
+    oracle — portable polynomial hashing, unlike engine HLL."""
+    from dpe_energy_performance_analysis_etl_spark.operators import cms_build, cms_lookup
+    from dpe_energy_performance_analysis_etl_spark.text import tokens_expr
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tok = docs.select(F.explode(tokens_expr("text")).alias("term"))
+    sketch = cms_build(tok, "term", width=512)
+    queries_df = (
+        docs.filter(F.col("doc_id") == 0)
+        .select(F.explode(tokens_expr("text")).alias("term"))
+        .distinct()
+    )
+    est = cms_lookup(sketch, queries_df, "term", width=512)
+    exact = tok.groupBy("term").agg(F.count(F.lit(1)).alias("exact_n"))
+    return est.join(exact, on="term").select("term", "est", "exact_n")

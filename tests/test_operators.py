@@ -297,3 +297,47 @@ def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
     assert files_touched(xpath, x_pred) < n_files
     # and the data is identical
     assert spark.read.parquet(zpath).count() == n
+
+
+def test_count_min_sketch_properties(spark):
+    """CMS invariants: estimates never undercount; sketches over a
+    split merge to the full-corpus sketch exactly; estimate error is
+    bounded for a skewed distribution."""
+    from pyspark.sql import functions as F
+
+    from dpe_energy_performance_analysis_etl_spark.operators import (
+        cms_build,
+        cms_lookup,
+        cms_merge,
+    )
+
+    # Skewed: item_j appears ~4j times
+    base = spark.range(5000).select(
+        "id",
+        F.concat(F.lit("tok"), (F.floor(F.sqrt(F.col("id") / 2))).cast("string")).alias(
+            "term"
+        ),
+    )
+    items = base.select("term")
+    sketch = cms_build(items, "term", width=256)
+    exact = items.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    est = cms_lookup(sketch, exact, "term", width=256)
+    joined = est.join(exact, on="term").collect()
+    assert len(joined) > 10
+    errors = []
+    for r in joined:
+        assert r["est"] >= r["n"], f'{r["term"]} undercounted'
+        errors.append(r["est"] - r["n"])
+    errors.sort()
+    # eN/w additive error holds per-item with high probability, not
+    # deterministically — assert the distribution, not every item
+    assert errors[len(errors) // 2] <= 2 * 5000 / 256  # median within 2N/w
+    assert errors[-1] <= 5000 / 10  # no catastrophic outlier
+
+    # merge of disjoint halves == sketch of the whole
+    left = base.filter(F.col("id") < 2500).select("term")
+    right = base.filter(F.col("id") >= 2500).select("term")
+    merged = cms_merge(cms_build(left, "term", width=256), cms_build(right, "term", width=256))
+    a = sorted(map(tuple, merged.collect()))
+    b = sorted(map(tuple, sketch.collect()))
+    assert a == b
