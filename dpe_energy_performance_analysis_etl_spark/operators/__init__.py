@@ -44,6 +44,9 @@ from dpe_energy_performance_analysis_etl_spark.operators.sketch import (
     cms_build,
     cms_merge,
     cms_lookup,
+    kmv_build,
+    kmv_merge,
+    kmv_estimate,
 )
 
 __all__ = [
@@ -80,4 +83,7 @@ __all__ = [
     "cms_build",
     "cms_merge",
     "cms_lookup",
+    "kmv_build",
+    "kmv_merge",
+    "kmv_estimate",
 ]

@@ -95,3 +95,80 @@ def cms_lookup(
     return joined.groupBy(item_col).agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est")
     )
+
+
+# ---------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch — the portable counterpart of
+# HLL approx_count_distinct. State = the k smallest item hashes; a
+# monoid under (union, keep k smallest). With hashes uniform on
+# [0, M), E[distinct] ≈ (k-1) · M / h_(k); all arithmetic here is
+# deterministic integer/one-double-division, so the oracle reproduces
+# the ESTIMATE bit-exactly (engine HLL sketches never can).
+# ---------------------------------------------------------------------
+
+KMV_MOD = 10**15  # range of the rolling hash
+# Items are right-padded to this length before hashing: the
+# polynomial accumulator must WRAP the modulus a couple of times to
+# mix — unpadded short strings hash far below KMV_MOD and the
+# uniformity assumption (hence the estimator) breaks. 16 chars ≈ two
+# wraps of the 1e15 modulus at base 131.
+KMV_PAD = 16
+
+
+def _raw_rolling_hash(col: Column, base: int = 131, mod: int = KMV_MOD) -> Column:
+    """Rolling hash over the RAW characters (no normalization —
+    ``rolling_hash_fingerprint`` canonicalizes first, which would
+    strip the uniformity padding)."""
+    chars = F.regexp_extract_all(col, F.lit("."), 0)
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("bigint"),
+        lambda acc, ch: (acc * base + F.ascii(ch)) % mod,
+    )
+
+
+def kmv_build(df: DataFrame, item_col: str, k: int = 64) -> DataFrame:
+    """Sketch = k smallest distinct hashes of ``df[item_col]`` →
+    (pos, h), pos 1..k ascending. One distinct-shuffle + a global
+    top-k (takeOrdered — only k rows ever reach the driver side of
+    the sort)."""
+    hashes = df.select(
+        _raw_rolling_hash(F.rpad(F.col(item_col), KMV_PAD, "#")).alias("h")
+    ).distinct()
+    from pyspark.sql import Window
+
+    w = Window.orderBy("h")
+    return (
+        hashes.withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= k)
+        .select("pos", "h")
+    )
+
+
+def kmv_merge(s1: DataFrame, s2: DataFrame, k: int = 64) -> DataFrame:
+    """Union the hash sets, keep the k smallest — associative and
+    commutative, so per-batch/per-partition sketches combine."""
+    from pyspark.sql import Window
+
+    u = s1.select("h").unionAll(s2.select("h")).distinct()
+    w = Window.orderBy("h")
+    return (
+        u.withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= k)
+        .select("pos", "h")
+    )
+
+
+def kmv_estimate(sketch: DataFrame, k: int = 64) -> DataFrame:
+    """Distinct-count estimate: exact when the sketch holds fewer
+    than k hashes (we saw everything), else (k-1)·M / h_(k)."""
+    agg = sketch.agg(
+        F.count(F.lit(1)).alias("n_held"), F.max("h").alias("h_k")
+    )
+    return agg.select(
+        F.when(F.col("n_held") < k, F.col("n_held").cast("double"))
+        .otherwise(
+            (F.lit(float(k - 1)) * F.lit(float(KMV_MOD))) / F.col("h_k").cast("double")
+        )
+        .alias("est_distinct")
+    )

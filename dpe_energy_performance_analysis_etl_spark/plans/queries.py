@@ -3419,3 +3419,56 @@ def cms_token_frequency_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = cms_lookup(sketch, queries_df, "term", width=512)
     exact = tok.groupBy("term").agg(F.count(F.lit(1)).alias("exact_n"))
     return est.join(exact, on="term").select("term", "est", "exact_n")
+
+
+@register(
+    "kmv_distinct_tokens",
+    """
+    WITH tok AS (
+      SELECT DISTINCT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      FROM documents
+    ), h AS (
+      SELECT DISTINCT list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(regexp_extract_all(rpad(term, 16, '#'), '.'),
+                                c -> CAST(ascii(c) AS BIGINT))),
+               (acc, x) -> (acc * 131 + x) % 1000000000000000
+             ) AS h
+      FROM tok
+    ), sk AS (
+      SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS pos FROM h
+    ), kept AS (
+      SELECT pos, h FROM sk WHERE pos <= 16
+    ), agg AS (
+      SELECT COUNT(*) AS n_held, MAX(h) AS h_k FROM kept
+    ), est AS (
+      SELECT CASE WHEN n_held < 16 THEN CAST(n_held AS DOUBLE)
+                  ELSE CAST(1.5e16 AS DOUBLE) / CAST(h_k AS DOUBLE) END
+             AS est_distinct
+      FROM agg
+    )
+    SELECT e.est_distinct, x.exact_distinct
+    FROM est e CROSS JOIN (
+      SELECT COUNT(*) AS exact_distinct FROM tok
+    ) x
+    """,
+)
+def kmv_distinct_tokens_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct sketch (operators/sketch.py): vocabulary-size
+    estimate from the 16 smallest token hashes, next to the exact
+    count (k=16 < the fixture vocabulary so the gate checks the
+    ESTIMATOR branch, not the trivially-exact under-k path; accuracy
+    at k=64/3000 distinct is unit-tested). The portable,
+    oracle-BIT-EXACT counterpart of the rows-only HLL
+    `approx_distinct` — one deterministic double division."""
+    from dpe_energy_performance_analysis_etl_spark.operators import (
+        kmv_build,
+        kmv_estimate,
+    )
+    from dpe_energy_performance_analysis_etl_spark.text import tokens_expr
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tok = docs.select(F.explode(tokens_expr("text")).alias("term")).distinct()
+    est = kmv_estimate(kmv_build(tok, "term", k=16), k=16)
+    exact = tok.agg(F.count(F.lit(1)).alias("exact_distinct"))
+    return est.crossJoin(exact)

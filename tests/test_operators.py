@@ -341,3 +341,34 @@ def test_count_min_sketch_properties(spark):
     a = sorted(map(tuple, merged.collect()))
     b = sorted(map(tuple, sketch.collect()))
     assert a == b
+
+
+def test_kmv_sketch_accuracy_and_merge(spark):
+    """KMV estimates the true distinct count within the standard
+    ~1/sqrt(k) relative error; merging split sketches equals the
+    whole-data sketch; under-k cardinalities are exact."""
+    from pyspark.sql import functions as F
+
+    from dpe_energy_performance_analysis_etl_spark.operators import (
+        kmv_build,
+        kmv_estimate,
+        kmv_merge,
+    )
+
+    base = spark.range(20_000).select(
+        "id", F.concat(F.lit("item"), (F.col("id") % 3000).cast("string")).alias("term")
+    )
+    items = base.select("term")
+    k = 64
+    est = kmv_estimate(kmv_build(items, "term", k=k), k=k).collect()[0]["est_distinct"]
+    assert abs(est - 3000) / 3000 < 4 / (k ** 0.5)  # ~4 sigma
+
+    left = base.filter(F.col("id") < 10_000).select("term")
+    right = base.filter(F.col("id") >= 10_000).select("term")
+    merged = kmv_merge(kmv_build(left, "term", k=k), kmv_build(right, "term", k=k), k=k)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, kmv_build(items, "term", k=k).collect())
+    )
+
+    tiny = spark.createDataFrame([(f"t{i}",) for i in range(10)], ["term"])
+    assert kmv_estimate(kmv_build(tiny, "term", k=k), k=k).collect()[0]["est_distinct"] == 10.0
