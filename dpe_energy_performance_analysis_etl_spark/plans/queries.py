@@ -3472,3 +3472,78 @@ def kmv_distinct_tokens_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = kmv_estimate(kmv_build(tok, "term", k=16), k=16)
     exact = tok.agg(F.count(F.lit(1)).alias("exact_distinct"))
     return est.crossJoin(exact)
+
+
+@register(
+    "moving_zscore_anomalies",
+    """
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ), win AS (
+      SELECT event_type, day, cnt,
+             COUNT(*) OVER w AS n_win,
+             SUM(cnt) OVER w AS s1,
+             SUM(cnt * cnt) OVER w AS s2
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, day, cnt,
+           CAST(s1 AS DOUBLE) / n_win AS mean7,
+           (CAST(cnt AS DOUBLE) - CAST(s1 AS DOUBLE) / n_win)
+             / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n_win) / (n_win - 1))
+             AS zscore,
+           abs(CAST(cnt AS DOUBLE) - CAST(s1 AS DOUBLE) / n_win)
+             > 2 * sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n_win) / (n_win - 1))
+             AS is_anomaly
+    FROM win
+    WHERE n_win >= 3
+      AND (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n_win) > 0
+    """,
+)
+def moving_zscore_anomalies_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-monitoring shape as a batch query: per event type,
+    each day's count scored against its own trailing 7-day window
+    (RANGE frame over event-time). Sums are INTEGER (exact, order-
+    free); mean/var/sqrt are the same double ops in both engines.
+    One shuffle on event_type; the frame never leaves the sort."""
+    ev = read_events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("day").cast("timestamp").cast("long"))
+        .rangeBetween(-6 * 86400, 0)
+    )
+    win = daily.select(
+        "event_type",
+        "day",
+        "cnt",
+        F.count(F.lit(1)).over(w).alias("n_win"),
+        F.sum("cnt").over(w).alias("s1"),
+        F.sum(F.col("cnt") * F.col("cnt")).over(w).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n_win")
+    var = (
+        F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1") / F.col("n_win")
+    ) / (F.col("n_win") - 1)
+    dev = F.col("cnt").cast("double") - mean
+    return (
+        win.filter(
+            (F.col("n_win") >= 3)
+            & (
+                (F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1") / F.col("n_win"))
+                > 0
+            )
+        )
+        .select(
+            "event_type",
+            "day",
+            "cnt",
+            mean.alias("mean7"),
+            (dev / F.sqrt(var)).alias("zscore"),
+            (F.abs(dev) > 2 * F.sqrt(var)).alias("is_anomaly"),
+        )
+    )
