@@ -3547,3 +3547,42 @@ def moving_zscore_anomalies_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(dev) > 2 * F.sqrt(var)).alias("is_anomaly"),
         )
     )
+
+
+@register(
+    "interarrival_percentiles",
+    """
+    WITH gaps AS (
+      SELECT event_type,
+             epoch_us(ts) - epoch_us(LAG(ts) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id)) AS gap_us
+      FROM events
+    )
+    SELECT event_type,
+           COUNT(gap_us) AS n_gaps,
+           quantile_cont(gap_us, 0.5) AS p50_us,
+           quantile_cont(gap_us, 0.9) AS p90_us,
+           quantile_cont(gap_us, 0.99) AS p99_us
+    FROM gaps WHERE gap_us IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def interarrival_percentiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time distribution per event type: lag() gaps in
+    exact integer microseconds, EXACT interpolated percentiles (the
+    approx-percentile sketch is the scale path; this is its
+    correctness baseline — same pairing as percentile_iqr). Window
+    and aggregate share the event_type partitioning."""
+    ev = read_events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "event_type",
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    pct = F.percentile(F.col("gap_us"), F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    return gaps.groupBy("event_type").agg(
+        F.count("gap_us").alias("n_gaps"),
+        pct.getItem(0).alias("p50_us"),
+        pct.getItem(1).alias("p90_us"),
+        pct.getItem(2).alias("p99_us"),
+    )
