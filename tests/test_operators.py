@@ -372,3 +372,56 @@ def test_kmv_sketch_accuracy_and_merge(spark):
 
     tiny = spark.createDataFrame([(f"t{i}",) for i in range(10)], ["term"])
     assert kmv_estimate(kmv_build(tiny, "term", k=k), k=k).collect()[0]["est_distinct"] == 10.0
+
+
+def test_scd2_merge_random_vs_reference(spark):
+    """Seeded random dims/updates: scd2_merge must equal a
+    dictionary-based reference implementation on every path mix."""
+    import datetime as dt
+    import random
+
+    from pyspark.sql import types as T
+
+    from dpe_energy_performance_analysis_etl_spark.operators import scd2_merge
+
+    dim_schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("attr", T.StringType()),
+            T.StructField("valid_from", T.TimestampType()),
+            T.StructField("valid_to", T.TimestampType()),
+            T.StructField("is_current", T.BooleanType()),
+        ]
+    )
+    t0, t1 = dt.datetime(2020, 1, 1), dt.datetime(2024, 6, 1)
+    for seed in (11, 23):
+        rng = random.Random(seed)
+        keys = list(range(30))
+        dim_rows = [
+            (k, rng.choice("abc"), t0, None, True) for k in keys if rng.random() < 0.8
+        ]
+        upd_rows = [
+            (k, rng.choice("abc"), t1)
+            for k in range(40)  # some keys new, some dim keys unmatched
+            if rng.random() < 0.7
+        ]
+        dim = spark.createDataFrame(dim_rows, dim_schema)
+        upd = spark.createDataFrame(upd_rows, ["k", "attr", "change_ts"])
+
+        # reference: plain python over the same rows
+        want = []
+        dim_by_key = {r[0]: r for r in dim_rows}
+        upd_by_key = {r[0]: r for r in upd_rows}
+        for k, attr, vf, vt, cur in dim_rows:
+            u = upd_by_key.get(k)
+            if u and u[1] != attr:
+                want.append((k, attr, vf, t1, False))
+                want.append((k, u[1], t1, None, True))
+            else:
+                want.append((k, attr, vf, vt, cur))
+        for k, attr, ts in upd_rows:
+            if k not in dim_by_key:
+                want.append((k, attr, t1, None, True))
+
+        got = sorted(map(tuple, scd2_merge(dim, upd, key="k", tracked=["attr"]).collect()))
+        assert got == sorted(want), f"seed={seed}"
