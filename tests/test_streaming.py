@@ -360,3 +360,52 @@ def test_cdc_apply_stream_matches_batch_apply(spark, tmp_path):
     want = sorted(map(tuple, apply_changelog(base, full_changes, key="k", ord_col="ord").collect()))
     assert got == want
     assert dict(got)[1] == "b2" and 2 not in dict(got) and 30 not in dict(got)
+
+
+def test_windowed_stream_drops_late_data(spark, tmp_path):
+    """Watermark semantics under restart: rows older than the
+    checkpointed watermark are DROPPED — a finalized window's count
+    never changes, and no duplicate window rows appear."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from dpe_energy_performance_analysis_etl_spark.streaming import windowed_event_counts
+
+    landing = str(tmp_path / "landing")
+    target = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    t = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)
+
+    def run(rows):
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(landing)
+        q = windowed_event_counts(
+            spark, landing, schema, target, ckpt, window="1 hour", watermark="2 hours"
+        )
+        q.awaitTermination(120)
+
+    # batch 1: 3 events in the 10:00 window; max ts 13:59 -> watermark 11:59,
+    # so the 10:00 window (ends 11:00) finalizes and is emitted
+    run([(t(10, 5), "click", 1.0), (t(10, 20), "click", 1.0),
+         (t(10, 40), "view", 1.0), (t(13, 59), "view", 1.0)])
+    first = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in spark.read.parquet(target).collect()
+    }
+    assert first[(t(10), "click")] == 2
+
+    # batch 2: a LATE click at 10:30 (behind the checkpointed watermark)
+    # plus an on-time event advancing the clock
+    run([(t(10, 30), "click", 1.0), (t(15, 30), "view", 1.0)])
+    rows = spark.read.parquet(target).collect()
+    clicks_10 = [r for r in rows if r["window_start"] == t(10) and r["event_type"] == "click"]
+    # exactly one finalized row for that window, count unchanged — the
+    # late row was dropped, not re-aggregated or double-emitted
+    assert len(clicks_10) == 1 and clicks_10[0]["n_events"] == 2
