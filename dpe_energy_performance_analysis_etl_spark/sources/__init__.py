@@ -25,6 +25,7 @@ from dpe_energy_performance_analysis_etl_spark.sources.jdbc_dialect import (
     GENERIC,
     dialect_for_url,
     upsert_jdbc_table,
+    jdbc_table_exists,
 )
 
 __all__ = [
@@ -46,6 +47,7 @@ __all__ = [
     "GENERIC",
     "dialect_for_url",
     "upsert_jdbc_table",
+    "jdbc_table_exists",
     "PagedRestDataSource",
     "register_datasources",
 ]

@@ -121,9 +121,9 @@ def dialect_for_url(url: str) -> JdbcDialect:
     return _DIALECTS.get(scheme, GENERIC)
 
 
-def execute_statements(spark, url: str, properties: dict[str, str], statements: list[str]) -> None:
-    """Run DDL/DML statements on the server from the driver through
-    the same JDBC driver jar Spark's executors use."""
+def _connect(spark, url: str, properties: dict[str, str]):
+    """Driver-side java.sql connection through the same JDBC driver
+    jar Spark's executors use."""
     jvm = spark._jvm
     props = jvm.java.util.Properties()
     for k, v in properties.items():
@@ -131,12 +131,52 @@ def execute_statements(spark, url: str, properties: dict[str, str], statements: 
             props.setProperty(k, v)
     if "driver" in properties:
         jvm.java.lang.Class.forName(properties["driver"])
-    conn = jvm.java.sql.DriverManager.getConnection(url, props)
+    return jvm.java.sql.DriverManager.getConnection(url, props)
+
+
+def execute_statements(spark, url: str, properties: dict[str, str], statements: list[str]) -> None:
+    """Run DDL/DML statements on the server from the driver."""
+    conn = _connect(spark, url, properties)
     try:
         stmt = conn.createStatement()
-        for sql in statements:
-            stmt.execute(sql)
-        stmt.close()
+        try:
+            for sql in statements:
+                stmt.execute(sql)
+        finally:
+            stmt.close()
+    finally:
+        conn.close()
+
+
+def jdbc_table_exists(spark, url: str, table: str, properties: dict[str, str]) -> bool:
+    """Explicit table-existence probe via JDBC DatabaseMetaData — the
+    replacement for read-and-catch existence checks (a connectivity
+    failure here RAISES instead of reading as 'absent', so callers
+    doing create-if-missing never double-create on a network blip).
+
+    Unquoted identifiers are case-folded differently per server
+    (Derby/Oracle upper, Postgres lower), so the probe tries the name
+    as given, upper, and lower. ``table`` may be schema-qualified."""
+    schema_pat = None
+    name = table
+    if "." in table:
+        schema_pat, name = table.rsplit(".", 1)
+    conn = _connect(spark, url, properties)
+    try:
+        meta = conn.getMetaData()
+        for cand in dict.fromkeys((name, name.upper(), name.lower())):
+            sp = schema_pat
+            if sp is not None:
+                sp = sp.upper() if cand == name.upper() else (
+                    sp.lower() if cand == name.lower() else sp
+                )
+            rs = meta.getTables(None, sp, cand, None)
+            try:
+                if rs.next():
+                    return True
+            finally:
+                rs.close()
+        return False
     finally:
         conn.close()
 

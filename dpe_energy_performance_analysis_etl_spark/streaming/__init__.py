@@ -10,6 +10,9 @@ from dpe_energy_performance_analysis_etl_spark.streaming.incremental import (
     enrich_stream_static,
     versioned_merge_stream,
     cdc_apply_stream,
+    key_bounds,
+    pruned_existing_keys,
+    bounds_predicate_sql,
 )
 from dpe_energy_performance_analysis_etl_spark.streaming.stateful import (
     sessionize_stream,
@@ -28,6 +31,9 @@ __all__ = [
     "enrich_stream_static",
     "versioned_merge_stream",
     "cdc_apply_stream",
+    "key_bounds",
+    "pruned_existing_keys",
+    "bounds_predicate_sql",
     "sessionize_stream",
     "batch_closed_sessions",
 ]

@@ -409,3 +409,95 @@ def test_windowed_stream_drops_late_data(spark, tmp_path):
     # exactly one finalized row for that window, count unchanged — the
     # late row was dropped, not re-aggregated or double-emitted
     assert len(clicks_10) == 1 and clicks_10[0]["n_events"] == 2
+
+
+def test_pruned_existing_keys_pushes_range_into_scan(spark, events, tmp_path):
+    """The idempotence anti-join's existing-side read must carry the
+    batch's key range as a PUSHED parquet filter (row-group skipping),
+    not a full-target scan — the 100 TB guard (VERDICT r1 #2)."""
+    from dpe_energy_performance_analysis_etl_spark.streaming import (
+        key_bounds,
+        pruned_existing_keys,
+    )
+
+    target = str(tmp_path / "target")
+    events.write.parquet(target)
+    batch = events.filter("event_id >= 100 AND event_id < 200")
+    bounds = key_bounds(batch, ["event_id"])
+    assert bounds["event_id"] == (100, 199, False)
+
+    existing = pruned_existing_keys(spark, target, ["event_id"], bounds)
+    plan = existing._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(event_id,100)" in plan
+    assert "LessThanOrEqual(event_id,199)" in plan
+    # and the prune is exact: precisely the overlapping keys
+    assert existing.count() == 100
+
+
+def test_incremental_append_null_keys_and_range(spark, events, tmp_path):
+    """Null keys in the batch widen the prune with IS NULL; existing
+    null-key rows still dedupe across restarts."""
+    from dpe_energy_performance_analysis_etl_spark.streaming import (
+        incremental_append_stream,
+        key_bounds,
+    )
+
+    landing = str(tmp_path / "landing")
+    target = str(tmp_path / "target")
+    with_null = events.filter("event_id < 100").withColumn(
+        "event_id", F.when(F.col("event_id") == 0, F.lit(None)).otherwise(F.col("event_id"))
+    )
+    bounds = key_bounds(with_null, ["event_id"])
+    assert bounds["event_id"][2] is True and bounds["event_id"][0] == 1
+
+    with_null.write.parquet(landing)
+    q = incremental_append_stream(
+        spark, landing, EVENT_SCHEMA, target, str(tmp_path / "c1"), key_cols=["event_id"]
+    )
+    q.awaitTermination(120)
+    # overlapping redelivery incl. the null key, fresh checkpoint
+    with_null.write.mode("append").parquet(landing)
+    q2 = incremental_append_stream(
+        spark, landing, EVENT_SCHEMA, target, str(tmp_path / "c2"), key_cols=["event_id"]
+    )
+    q2.awaitTermination(120)
+    out = spark.read.parquet(target)
+    assert out.count() == 100
+    assert out.filter("event_id IS NULL").count() == 1
+
+
+def test_bounds_predicate_sql_rendering():
+    from dpe_energy_performance_analysis_etl_spark.streaming import bounds_predicate_sql
+
+    # int range
+    assert bounds_predicate_sql(["k"], {"k": (3, 17, False)}) == "(k BETWEEN 3 AND 17)"
+    # string with embedded quote, escaped; plus null widening
+    assert bounds_predicate_sql(["s"], {"s": ("a'b", "zz", True)}) == (
+        "((s BETWEEN 'a''b' AND 'zz' OR s IS NULL))"
+    )
+    # all-null column
+    assert bounds_predicate_sql(["k"], {"k": (None, None, True)}) == "(k IS NULL)"
+    # empty batch reads nothing
+    assert bounds_predicate_sql(["k"], {"k": (None, None, False)}) == "1=0"
+    # composite keys conjoin
+    got = bounds_predicate_sql(["a", "b"], {"a": (1, 2, False), "b": (5, 9, False)})
+    assert got == "(a BETWEEN 1 AND 2) AND (b BETWEEN 5 AND 9)"
+
+
+def test_jdbc_table_exists_probe(spark, tmp_path):
+    """Explicit metadata probe replaces read-and-catch existence
+    checks (ADVICE r1: a transient failure must not read as 'absent')."""
+    from dpe_energy_performance_analysis_etl_spark.sources import (
+        append_jdbc_table,
+        jdbc_table_exists,
+    )
+
+    url = f"jdbc:derby:{tmp_path}/probedb;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    assert jdbc_table_exists(spark, url, "NOPE_T", props) is False
+    df = spark.range(3).withColumnRenamed("id", "K")
+    append_jdbc_table(df, url, "PROBE_T", props)
+    assert jdbc_table_exists(spark, url, "PROBE_T", props) is True
+    # case-folding: unquoted DDL is stored upper-case in Derby
+    assert jdbc_table_exists(spark, url, "probe_t", props) is True
