@@ -48,7 +48,8 @@ def scd2_merge(
         no-op (idempotent re-delivery is safe);
       - differing attrs → current version closes at change_ts, a new
         open version starts at change_ts;
-      - brand-new key → new open version;
+      - brand-new key, or key present only as closed history (a
+        retired entity reappearing) → new open version;
       - historical (already closed) rows always pass through.
 
     One shuffle on the key (the join); closed history never moves
@@ -83,8 +84,11 @@ def scd2_merge(
         .select(*dim.columns)
     )
 
+    # anti-join against CURRENT keys only: a key whose versions are all
+    # closed (entity retired, then reappears) gets a fresh open version
+    # — anti-joining all dim keys would silently drop its update
     inserts = (
-        upd.join(dim.select(key).distinct(), on=key, how="left_anti")
+        upd.join(current.select(key).distinct(), on=key, how="left_anti")
         .select(
             F.col(key),
             *[F.col(f"__new_{c}").alias(c) for c in tracked],

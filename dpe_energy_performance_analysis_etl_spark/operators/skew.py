@@ -20,7 +20,19 @@ pin a single reducer:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _salt_expr(salt_buckets: int) -> Column:
+    """Per-ROW salt in [0, buckets): hash of the row's position
+    (``monotonically_increasing_id`` = partition id + offset), never of
+    its content. Salting by any function of the row's VALUES degrades
+    to a constant when the hot key's rows are identical (e.g. a left
+    side holding only the key columns) — the hot key then lands in one
+    bucket and the salt buys nothing. Position-derived salt spreads
+    identical rows uniformly; the join result is salt-independent, so
+    recomputation under a different partitioning stays correct."""
+    return F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets)).cast("int")
 
 
 def salted_join(
@@ -36,11 +48,7 @@ def salted_join(
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports how='inner'|'left'")
     keys = [on] if isinstance(on, str) else list(on)
-    non_key = [c for c in left.columns if c not in keys] or keys
-    salted_left = left.withColumn(
-        "__salt",
-        F.pmod(F.xxhash64(*[F.col(c) for c in non_key]), F.lit(salt_buckets)).cast("int"),
-    )
+    salted_left = left.withColumn("__salt", _salt_expr(salt_buckets))
     replicated_right = right.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
     )

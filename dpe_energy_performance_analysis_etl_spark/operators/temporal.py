@@ -109,12 +109,24 @@ def range_join_bucketed(
     buckets b and b-1, so the left side is exploded into (bucket,
     bucket+1) — candidate pairs come from an equi-join on
     (key, bucket), never a full per-key cross product.
+
+    When ``left_ts == right_ts`` (e.g. both sides use the default
+    ``ts``) the right timestamp comes back as ``{right_ts}_right`` so
+    the output never carries duplicate column names.
     """
     bucket = lambda c: F.floor(F.col(c).cast("double") / window_seconds)  # noqa: E731
     lhs = left.withColumn("__lb", bucket(left_ts)).withColumn(
         "__bucket", F.explode(F.array(F.col("__lb"), F.col("__lb") + 1))
     )
-    rhs = right.withColumn("__bucket", bucket(right_ts))
+    # alias the right timestamp to an internal name: with identical
+    # left/right ts names the post-join delta would otherwise hit
+    # AMBIGUOUS_REFERENCE
+    rhs = right.withColumnRenamed(right_ts, "__rts").withColumn("__bucket", bucket("__rts"))
     joined = lhs.join(rhs, on=[on, "__bucket"])
-    delta = F.col(right_ts).cast("double") - F.col(left_ts).cast("double")
-    return joined.filter((delta >= 0) & (delta <= window_seconds)).drop("__lb", "__bucket")
+    delta = F.col("__rts").cast("double") - F.col(left_ts).cast("double")
+    out_ts = right_ts if right_ts != left_ts else f"{right_ts}_right"
+    return (
+        joined.filter((delta >= 0) & (delta <= window_seconds))
+        .drop("__lb", "__bucket")
+        .withColumnRenamed("__rts", out_ts)
+    )

@@ -11,6 +11,7 @@ from dpe_energy_performance_analysis_etl_spark.sources.io import (
 )
 from dpe_energy_performance_analysis_etl_spark.sources.rest import (
     RateLimiter,
+    shared_limiter,
     rest_lookup_join,
     paged_rest_scan,
 )
@@ -26,6 +27,7 @@ from dpe_energy_performance_analysis_etl_spark.sources.jdbc_dialect import (
     dialect_for_url,
     upsert_jdbc_table,
     jdbc_table_exists,
+    check_table_ident,
 )
 
 __all__ = [
@@ -39,6 +41,7 @@ __all__ = [
     "purge_dir",
     "write_bucketed_table",
     "RateLimiter",
+    "shared_limiter",
     "rest_lookup_join",
     "paged_rest_scan",
     "JdbcDialect",
@@ -48,6 +51,7 @@ __all__ = [
     "dialect_for_url",
     "upsert_jdbc_table",
     "jdbc_table_exists",
+    "check_table_ident",
     "PagedRestDataSource",
     "register_datasources",
 ]

@@ -26,10 +26,24 @@ distributed.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
+
+_IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_$]*(\.[A-Za-z_][A-Za-z0-9_$]*)?$")
+
+
+def check_table_ident(name: str) -> str:
+    """Validate a (possibly schema-qualified) table name used UNQUOTED
+    in generated SQL. Table names stay unquoted on purpose — Spark's
+    JDBC writer emits ``dbtable`` unquoted, so the server's case
+    folding must apply identically in our MERGE/DROP statements — so
+    the injection guard is a whitelist, not quoting."""
+    if not _IDENT_RE.match(name):
+        raise ValueError(f"invalid SQL table identifier: {name!r}")
+    return name
 
 
 @dataclass(frozen=True)
@@ -45,7 +59,9 @@ class JdbcDialect:
     supports_merge: bool = True
 
     def q(self, ident: str) -> str:
-        return f"{self.quote}{ident}{self.quote}"
+        """Quote one identifier, doubling embedded quote chars so a
+        hostile column name can't terminate the quoting."""
+        return f"{self.quote}{ident.replace(self.quote, self.quote * 2)}{self.quote}"
 
     def ddl_type(self, dt: T.DataType) -> str | None:
         if isinstance(dt, T.StringType):
@@ -198,7 +214,8 @@ def upsert_jdbc_table(
     have a unique/PK constraint on ``key_cols`` for Postgres
     ON CONFLICT to engage."""
     dialect = dialect or dialect_for_url(url)
-    staging = staging_table or f"{table}_STG"
+    table = check_table_ident(table)
+    staging = check_table_ident(staging_table or f"{table}_STG")
     spark = df.sparkSession
 
     writer = (
@@ -215,4 +232,16 @@ def upsert_jdbc_table(
     writer.save()
 
     merge = dialect.upsert_sql(table, staging, df.columns, key_cols)
-    execute_statements(spark, url, properties, [merge, f"DROP TABLE {staging}"])
+    merge_ok = False
+    try:
+        execute_statements(spark, url, properties, [merge])
+        merge_ok = True
+    finally:
+        # drop staging even when the merge fails — an orphaned staging
+        # table would make the next run's overwrite-vs-DDL ambiguous —
+        # but never let a cleanup failure mask the merge error
+        try:
+            execute_statements(spark, url, properties, [f"DROP TABLE {staging}"])
+        except Exception:
+            if merge_ok:
+                raise

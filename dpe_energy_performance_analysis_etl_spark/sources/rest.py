@@ -34,9 +34,11 @@ from pyspark.sql import DataFrame, SparkSession, types as T
 
 
 class RateLimiter:
-    """Token-bucket limiter, one instance per executor process
-    (reference ``extract.py:44-71`` — theirs was per-driver-thread).
-    Thread-safe because local-mode executors share one process."""
+    """Token-bucket limiter (reference ``extract.py:44-71`` — theirs
+    was per-driver-thread). Thread-safe; get one via
+    ``shared_limiter`` so every concurrent task in the same executor
+    process shares ONE bucket — instantiating per task would multiply
+    the aggregate request rate by the task concurrency."""
 
     def __init__(self, max_calls_per_second: float = 30.0):
         self.min_interval = 1.0 / max_calls_per_second
@@ -52,6 +54,25 @@ class RateLimiter:
             time.sleep(wait)
 
 
+_LIMITERS: dict[tuple[str, float], RateLimiter] = {}
+_LIMITERS_LOCK = threading.Lock()
+
+
+def shared_limiter(endpoint: str, max_calls_per_second: float) -> RateLimiter:
+    """Process-wide limiter registry, keyed by (endpoint, rate). The
+    module lives once per executor python worker, so all tasks it runs
+    concurrently share the bucket and the configured rate bounds that
+    PROCESS's aggregate request rate. On a multi-executor cluster the
+    global rate is ``rate × executors`` — size ``rate_limit_per_sec``
+    as ``provider_quota / num_executors``."""
+    key = (endpoint, max_calls_per_second)
+    with _LIMITERS_LOCK:
+        lim = _LIMITERS.get(key)
+        if lim is None:
+            lim = _LIMITERS[key] = RateLimiter(max_calls_per_second)
+        return lim
+
+
 def rest_lookup_join(
     keys: DataFrame,
     key_col: str,
@@ -61,6 +82,7 @@ def rest_lookup_join(
     fanout_partitions: int | None = None,
     max_retries: int = 3,
     backoff_seconds: float = 2.0,
+    endpoint_key: str | None = None,
 ) -> DataFrame:
     """Keyed-lookup API scan: one distinct key -> 0..N result rows
     (S5 BAN geocoder ``extract.py:157-177,418-463``; S6 ADEME
@@ -79,8 +101,10 @@ def rest_lookup_join(
     )
     result_fields = [f.name for f in result_schema.fields]
 
+    limiter_key = endpoint_key or f"lookup:{key_col}"
+
     def fetch_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        limiter = RateLimiter(rate_limit_per_sec)
+        limiter = shared_limiter(limiter_key, rate_limit_per_sec)
         for batch in batches:
             rows: list[dict] = []
             for key in batch[key_col].astype(str):
@@ -114,6 +138,7 @@ def paged_rest_scan(
     page_size: int = 100,
     fanout_partitions: int | None = None,
     rate_limit_per_sec: float = 30.0,
+    endpoint_key: str | None = None,
 ) -> DataFrame:
     """Paged API scan (S4, ``extract.py:353-365`` — limit/offset loop,
     100x100 pages): a page-id DataFrame fans the offsets out across
@@ -125,8 +150,10 @@ def paged_rest_scan(
 
     result_fields = [f.name for f in result_schema.fields]
 
+    limiter_key = endpoint_key or "paged_rest_scan"
+
     def fetch_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        limiter = RateLimiter(rate_limit_per_sec)
+        limiter = shared_limiter(limiter_key, rate_limit_per_sec)
         for batch in batches:
             rows: list[dict] = []
             for page in batch["page"]:

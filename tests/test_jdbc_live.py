@@ -181,3 +181,102 @@ def test_dialect_for_url_and_ddl_overrides(spark):
     assert POSTGRES.create_table_column_types(schema) == (
         "name VARCHAR(1024), flag SMALLINT"
     )
+
+
+def test_upsert_merge_failure_drops_staging(spark, derby_url, props):
+    """ADVICE r1: a failed MERGE must still drop the staging table
+    (orphaned staging makes the next run's overwrite ambiguous) and
+    propagate the merge error."""
+    from dpe_energy_performance_analysis_etl_spark.sources import (
+        DERBY,
+        jdbc_table_exists,
+        upsert_jdbc_table,
+    )
+
+    df = spark.createDataFrame([(1, "x")], ["K", "V"])
+    with pytest.raises(Exception):
+        # target table does not exist -> MERGE fails after staging write
+        upsert_jdbc_table(df, derby_url, "NO_SUCH_TGT", ["K"], props, dialect=DERBY)
+    assert jdbc_table_exists(spark, derby_url, "NO_SUCH_TGT_STG", props) is False
+
+
+def test_table_ident_whitelist():
+    """Table/staging names are interpolated unquoted (matching Spark's
+    own dbtable handling) — the injection guard is a whitelist."""
+    from dpe_energy_performance_analysis_etl_spark.sources import check_table_ident
+
+    assert check_table_ident("tgt") == "tgt"
+    assert check_table_ident("myschema.My_Table2") == "myschema.My_Table2"
+    for bad in ("t;DROP TABLE x", 'a"b', "t t", "1t", "a.b.c", ""):
+        with pytest.raises(ValueError):
+            check_table_ident(bad)
+
+
+def test_quote_escapes_embedded_quotes():
+    from dpe_energy_performance_analysis_etl_spark.sources import GENERIC, POSTGRES
+
+    assert POSTGRES.q('we"ird') == '"we""ird"'
+    assert GENERIC.q("plain") == '"plain"'
+
+
+def test_postgres_upsert_sql_executes_on_duckdb():
+    """No Postgres server in this environment, but DuckDB implements
+    the same INSERT .. ON CONFLICT (..) DO UPDATE SET .. = EXCLUDED..
+    surface — execute the generated statements for real, covering
+    mixed-case and reserved-word (quoted) columns and a composite
+    conflict target (VERDICT r1 next#6)."""
+    import duckdb
+
+    from dpe_energy_performance_analysis_etl_spark.sources import POSTGRES
+
+    con = duckdb.connect()
+    con.execute('CREATE TABLE tgt ("Key" INTEGER PRIMARY KEY, "order" VARCHAR, "v" DOUBLE)')
+    con.execute('CREATE TABLE tgt_stg ("Key" INTEGER, "order" VARCHAR, "v" DOUBLE)')
+    con.execute("INSERT INTO tgt VALUES (1, 'a', 1.0), (2, 'b', 2.0)")
+    con.execute("INSERT INTO tgt_stg VALUES (2, 'B*', 2.5), (3, 'c', 3.0)")
+    sql = POSTGRES.upsert_sql("tgt", "tgt_stg", ["Key", "order", "v"], ["Key"])
+    con.execute(sql)
+    con.execute(sql.replace("tgt_stg", "tgt_stg"))  # idempotent redelivery
+    got = dict(
+        (k, (o, v)) for k, o, v in con.execute('SELECT "Key", "order", "v" FROM tgt').fetchall()
+    )
+    assert got == {1: ("a", 1.0), 2: ("B*", 2.5), 3: ("c", 3.0)}
+
+    # composite conflict target
+    con.execute('CREATE TABLE c_tgt ("a" INT, "b" INT, "n" INT, PRIMARY KEY ("a","b"))')
+    con.execute('CREATE TABLE c_stg ("a" INT, "b" INT, "n" INT)')
+    con.execute("INSERT INTO c_tgt VALUES (1, 1, 10)")
+    con.execute("INSERT INTO c_stg VALUES (1, 1, 99), (1, 2, 12)")
+    con.execute(POSTGRES.upsert_sql("c_tgt", "c_stg", ["a", "b", "n"], ["a", "b"]))
+    assert sorted(con.execute("SELECT * FROM c_tgt").fetchall()) == [(1, 1, 99), (1, 2, 12)]
+
+
+def test_shared_rate_limiter_is_per_process():
+    """ADVICE r1: concurrent tasks must share ONE bucket per endpoint
+    — the aggregate rate is the configured rate, not rate x tasks."""
+    import threading
+    import time
+
+    from dpe_energy_performance_analysis_etl_spark.sources import shared_limiter
+
+    a = shared_limiter("ep1", 100.0)
+    assert shared_limiter("ep1", 100.0) is a          # same endpoint+rate -> same bucket
+    assert shared_limiter("ep2", 100.0) is not a      # distinct endpoints isolated
+
+    lim = shared_limiter("timing-test", 200.0)  # 5 ms spacing
+    n_threads, calls_each = 4, 10
+
+    def worker():
+        for _ in range(calls_each):
+            lim.acquire()
+
+    threads = [threading.Thread(target=worker) for _ in range(n_threads)]
+    t0 = time.monotonic()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    elapsed = time.monotonic() - t0
+    # 40 calls through one shared 200/s bucket need >= 39 * 5 ms;
+    # per-thread buckets would finish in ~45 ms
+    assert elapsed >= 0.19

