@@ -2,13 +2,15 @@
 
 Media rows are (id, content: binary, media_type, metadata…). The
 Spark-side contract — schemas, Arrow batch shapes, partition-friendly
-mapInPandas transforms — is real and tested; the actual byte→pixels /
-byte→samples DECODE is stubbed because no media libraries exist in
-this container: ``decode_image_batch(fake=False)`` raises
-``NotImplementedError`` with the production wiring documented, and
-``fake=True`` substitutes a deterministic generator so the downstream
-plumbing (feature extraction, resizing geometry, frame sampling) can
-be exercised end-to-end.
+mapInPandas transforms — is real and tested, and so is the default
+decode path: ``multimodal.codecs`` implements PNG (stdlib zlib),
+BMP, PPM/PGM and PCM-WAV from their public specs with no third-party
+dependency, so ``decode_image_batch()`` / ``decode_audio_batch()``
+return REAL byte→pixels / byte→samples decoders. Formats beyond
+those containers (JPEG, MP3, H.264…) still need Pillow/libvips/
+ffmpeg — swap the decoder callable in one place. ``fake=True``
+substitutes a deterministic md5-expansion generator for tests that
+want payload-agnostic plumbing checks.
 
 Scale notes: binary payloads ride in Arrow record batches; keep
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` low enough that
@@ -66,16 +68,16 @@ def _fake_decode(payload: bytes) -> np.ndarray:
 def decode_image_batch(fake: bool = False):
     """Return a decode function ``bytes -> np.ndarray``.
 
-    Production: wire Pillow/torchvision here (``PIL.Image.open(
-    io.BytesIO(payload))`` → np array). Not available in this
-    environment, hence:
-    """
+    Default: the real dependency-free decoder (PNG/BMP/PPM/PGM via
+    ``multimodal.codecs.sniff_decode_image``, uint8 (H, W, C)).
+    Formats outside those containers raise ``ValueError`` — wire
+    Pillow/torchvision in their place for JPEG/WebP/etc."""
     if not fake:
-        raise NotImplementedError(
-            "real image decoding needs Pillow/libvips, which are not "
-            "installed in this environment; pass fake=True for the "
-            "deterministic test decoder"
+        from dpe_energy_performance_analysis_etl_spark.multimodal.codecs import (
+            sniff_decode_image,
         )
+
+        return sniff_decode_image
     return _fake_decode
 
 
@@ -104,7 +106,7 @@ def extract_features(
                 if payload is None:
                     continue
                 pixels = decode(bytes(payload))
-                feat = pixels[:_FEATURE_DIM].astype(np.float32)
+                feat = np.asarray(pixels).ravel()[:_FEATURE_DIM].astype(np.float32)
                 rows.append(
                     {
                         id_col: int(mid),
@@ -137,15 +139,17 @@ def frame_sample(
 
 
 def decode_audio_batch(fake: bool = False):
-    """Return an audio decode fn ``bytes -> np.ndarray`` (mono PCM
-    float32). Production wiring: soundfile/librosa/ffmpeg — not
-    available in this environment."""
+    """Return an audio decode fn ``bytes -> np.ndarray`` (mono
+    float32 in [-1, 1]). Default: real PCM-WAV decode
+    (``multimodal.codecs.sniff_decode_audio``, stdlib ``wave``);
+    compressed codecs (MP3/AAC/Opus) need soundfile/librosa/ffmpeg —
+    swap the callable here."""
     if not fake:
-        raise NotImplementedError(
-            "real audio decoding needs soundfile/librosa/ffmpeg, which "
-            "are not installed in this environment; pass fake=True for "
-            "the deterministic test decoder"
+        from dpe_energy_performance_analysis_etl_spark.multimodal.codecs import (
+            sniff_decode_audio,
         )
+
+        return sniff_decode_audio
 
     def _fake(payload: bytes) -> np.ndarray:
         digest = hashlib.md5(payload or b"").digest() * 4

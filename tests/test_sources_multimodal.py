@@ -81,9 +81,12 @@ def test_binary_metadata(spark, media):
     assert rows[3].n_bytes is None
 
 
-def test_decode_stub_contract():
-    with pytest.raises(NotImplementedError, match="Pillow"):
-        decode_image_batch(fake=False)
+def test_decode_contract():
+    # fake=False is the REAL dependency-free decoder now (PNG/BMP/PPM);
+    # unsupported containers raise ValueError, not NotImplementedError
+    real = decode_image_batch(fake=False)
+    with pytest.raises(ValueError, match="unrecognized image container"):
+        real(b"not-an-image")
     decode = decode_image_batch(fake=True)
     a, b = decode(b"same"), decode(b"same")
     assert (a == b).all() and a.dtype.name == "float32"
@@ -172,8 +175,9 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
 def test_audio_features_framing(spark, media):
     from dpe_energy_performance_analysis_etl_spark.multimodal import audio_features, decode_audio_batch
 
-    with pytest.raises(NotImplementedError, match="soundfile"):
-        decode_audio_batch(fake=False)
+    real = decode_audio_batch(fake=False)
+    with pytest.raises(ValueError, match="unrecognized audio container"):
+        real(b"not-audio")
     out = audio_features(media, frame_size=16).collect()
     by_id = {}
     for r in out:
