@@ -3,10 +3,11 @@ from dpe_energy_performance_analysis_etl_spark.dedup.shingles import word_shingl
 from dpe_energy_performance_analysis_etl_spark.dedup.minhash import minhash_signatures, minhash_lsh_pairs
 from dpe_energy_performance_analysis_etl_spark.dedup.simhash import simhash_64, simhash_sig, simhash_near_dup_pairs
 from dpe_energy_performance_analysis_etl_spark.dedup.embedding import embedding_near_dup_pairs
-from dpe_energy_performance_analysis_etl_spark.dedup.cluster import connected_components, dedup_clusters
+from dpe_energy_performance_analysis_etl_spark.dedup.cluster import connected_components, connected_components_star, dedup_clusters
 
 __all__ = [
     "connected_components",
+    "connected_components_star",
     "dedup_clusters",
     "exact_dedup",
     "exact_dup_groups",

@@ -24,11 +24,14 @@ Scale notes (100 TB / 10^9+ nodes):
     plan doesn't grow by two joins per iteration (at cluster scale
     with dynamic executors, prefer ``checkpoint`` to survive
     executor loss);
-  - for adversarial diameters (long chains), switch to the
-    alternating small-star/large-star algorithm (Kiveris et al.,
-    "Connected Components in MapReduce and Beyond") which converges
-    in O(log^2 n) rounds; min-label is the right default for dedup
-    graphs and is exactly reproducible in SQL (recursive CTE oracle).
+  - for adversarial diameters (long chains), use
+    ``connected_components_star`` — the alternating
+    large-star/small-star algorithm (Kiveris et al., "Connected
+    Components in MapReduce and Beyond"), which contracts long paths
+    exponentially and converges in O(log^2 n) rounds instead of
+    O(diameter); min-label stays the default for dedup graphs (dense,
+    tiny diameters) and is exactly reproducible in SQL (recursive CTE
+    oracle). Both return the same (node, comp) labeling.
 """
 
 from __future__ import annotations
@@ -77,6 +80,90 @@ def connected_components(
             break
         prev_sum = new_sum
     return labels
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star round: every node connects its STRICTLY LARGER
+    neighbors to the minimum of its closed neighborhood. Self-loop
+    free by construction (emitted edges go larger -> smaller)."""
+    sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
+    mins = mins.select("u", F.least(F.col("mv"), F.col("u")).alias("m"))
+    return (
+        sym.join(mins, on="u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star round: direct every edge child(larger) ->
+    parent(smaller); every child and its non-minimal parents connect
+    to the child's minimal parent. Output edges are canonical
+    (u > v)."""
+    d = e.select(F.greatest("u", "v").alias("c"), F.least("u", "v").alias("p"))
+    j = d.join(d.groupBy("c").agg(F.min("p").alias("m")), on="c")
+    return (
+        j.select(F.col("c").alias("u"), F.col("m").alias("v"))
+        .unionAll(
+            j.filter(F.col("p") != F.col("m")).select(
+                F.col("p").alias("u"), F.col("m").alias("v")
+            )
+        )
+        .distinct()
+    )
+
+
+def _star_contract(edges: DataFrame, src: str, dst: str, max_rounds: int):
+    """Alternate large-star/small-star until the canonical edge set is
+    a fixpoint (then it is a star forest: every edge is node ->
+    component minimum). Returns (star_edges, rounds_used)."""
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for rounds in range(1, max_rounds + 1):
+        new_e = _small_star(_large_star(e)).localCheckpoint()
+        # exact fixpoint test on canonical sets: equal counts + empty
+        # difference (both sides are distinct()ed)
+        if new_e.count() == e.count() and new_e.exceptAll(e).isEmpty():
+            return new_e, rounds
+        e = new_e
+    raise RuntimeError(f"star contraction did not converge in {max_rounds} rounds")
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    nodes: DataFrame | None = None,
+    node_col: str = "doc_id",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    (Kiveris et al.) — same (node, comp) contract as
+    ``connected_components`` but O(log^2 n) rounds on ADVERSARIAL
+    diameters (a 1000-node chain contracts in ~a dozen rounds where
+    min-label propagation needs 999). Each round is two
+    groupBy+join pairs on node id — the same shuffle shape as one
+    min-label round, so the per-round cost at 100 TB is comparable
+    and the round COUNT is the win."""
+    star, _rounds = _star_contract(edges, src, dst, max_rounds)
+    members = star.select(F.col("u").alias("node"), F.col("v").alias("comp"))
+    roots = members.select(F.col("comp").alias("node")).distinct()
+    labels = members.unionAll(roots.select("node", F.col("node").alias("comp")))
+    if nodes is not None:
+        universe = nodes.select(F.col(node_col).alias("node")).distinct()
+        isolated = universe.join(labels.select("node"), on="node", how="left_anti")
+        labels = labels.unionAll(isolated.select("node", F.col("node").alias("comp")))
+    # a node can appear both as a root and as a member while the star
+    # forest still carries (root, root)-free structure; group to one
+    # row per node with the minimal component label
+    return labels.groupBy("node").agg(F.min("comp").alias("comp"))
 
 
 def dedup_clusters(
