@@ -57,12 +57,16 @@ class DataLoader:
     def _jdbc_read_keys(self, table: str, key_cols: list[str]) -> DataFrame | None:
         cfg = self.config
         assert cfg.jdbc_url, "ENGINE_JDBC_URL not configured"
-        try:
-            return read_jdbc_table(
-                self.spark, cfg.jdbc_url, table, cfg.jdbc_properties, columns=key_cols
-            )
-        except Exception:
+        # explicit metadata probe: a transient connectivity failure
+        # must raise (run retries), not read as "table absent" — that
+        # would skip the anti-join and append duplicates
+        from dpe_energy_performance_analysis_etl_spark.sources import jdbc_table_exists
+
+        if not jdbc_table_exists(self.spark, cfg.jdbc_url, table, cfg.jdbc_properties):
             return None  # table absent yet → everything is new
+        return read_jdbc_table(
+            self.spark, cfg.jdbc_url, table, cfg.jdbc_properties, columns=key_cols
+        )
 
     def _jdbc_append(self, df: DataFrame, table: str) -> None:
         cfg = self.config

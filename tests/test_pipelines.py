@@ -167,3 +167,43 @@ def test_pandas_api_on_spark_migration_path(spark):
         .collect()
     }
     assert {k: int(v) for k, v in got.items()} == want
+
+
+def test_cli_entry_point_smoke(spark, enedis_csv, tmp_path, monkeypatch):
+    """VERDICT r1 next#8: the runnable deployment entry point — the
+    thing an external cron invokes (reference: etl_app.py:84-95) —
+    runs the whole flow on offline fetchers with the parquet sink,
+    prints a JSON summary, and is idempotent across invocations."""
+    import json
+
+    from dpe_energy_performance_analysis_etl_spark.pipelines.etl import main
+
+    monkeypatch.setenv("ENGINE_DATA_ROOT", str(tmp_path / "data"))
+    gold_db = str(tmp_path / "gold_db")
+    argv = ["--input", enedis_csv, "--rows", "6", "--gold-db", gold_db]
+
+    counts = main(argv)
+    assert sum(counts.values()) > 0
+    assert {"logements", "adresses"} <= set(counts)
+    back = spark.read.parquet(f"{gold_db}/logements")
+    assert back.count() == counts["logements"]
+
+    # second invocation: anti-join idempotence — entity tables append
+    # nothing; only tests_statistiques_dpe grows, because its PK
+    # includes batch_id (per the reference PK map, load.py:45-52) and
+    # each run is a new batch
+    counts2 = main(argv)
+    entity_only = {t: n for t, n in counts2.items() if t != "tests_statistiques_dpe"}
+    assert sum(entity_only.values()) == 0, counts2
+    assert counts2["tests_statistiques_dpe"] > 0
+
+
+def test_cli_offline_fetchers_deterministic():
+    from dpe_energy_performance_analysis_etl_spark.pipelines.etl import offline_fetchers
+
+    ban1, ademe1 = offline_fetchers()
+    ban2, ademe2 = offline_fetchers()
+    assert ban1("10 RUE LACOUR 06029 Cannes") == ban2("10 RUE LACOUR 06029 Cannes")
+    recs = ademe1("ban_123")
+    assert recs == ademe2("ban_123") and len(recs) == 2
+    assert all(r["identifiant_ban"] == "ban_123" for r in recs)
