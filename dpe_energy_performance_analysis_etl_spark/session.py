@@ -77,6 +77,15 @@ def get_spark(
     for k, v in _DEFAULTS.items():
         builder = builder.config(k, v)
     builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    if master.startswith("local"):
+        # In local mode the driver JVM IS every executor, yet Spark's
+        # default heap is 1g — a single 64 MB-threshold broadcast
+        # build dies on it once inputs grow (measured: TPC-H Q5 at a
+        # 6 M-row lineitem). Static conf: applies only when this call
+        # actually launches the JVM.
+        builder = builder.config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+        )
 
     endpoint = os.environ.get("ENGINE_S3_ENDPOINT")
     if endpoint:
