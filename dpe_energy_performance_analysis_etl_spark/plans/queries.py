@@ -3586,3 +3586,205 @@ def interarrival_percentiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         pct.getItem(1).alias("p90_us"),
         pct.getItem(2).alias("p99_us"),
     )
+
+
+# =====================================================================
+# Corpus curation (text/curation.py — Gopher/C4-style filtering,
+# decontamination, sampling, survivorship)
+# =====================================================================
+
+@register(
+    "gopher_repetition",
+    """
+    WITH tok AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+    ), tagged AS (
+      SELECT doc_id, 1 AS n, unnest(t) AS gram FROM tok
+      UNION ALL
+      SELECT doc_id, 2, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))
+      FROM tok WHERE len(t) >= 2
+      UNION ALL
+      SELECT doc_id, 3, unnest(list_transform(range(1, len(t) - 1),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+      FROM tok WHERE len(t) >= 3
+    ), gc AS (
+      SELECT doc_id, n, gram, count(*) AS c FROM tagged GROUP BY 1, 2, 3
+    ), pern AS (
+      SELECT doc_id, n, count(*) AS n_distinct, sum(c) AS total, max(c) AS mx,
+             sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_occ
+      FROM gc GROUP BY 1, 2
+    ), stats AS (
+      SELECT doc_id,
+             max(CASE WHEN n = 1 THEN total END) AS n_tokens,
+             CAST(1 AS DOUBLE) - CAST(max(CASE WHEN n = 1 THEN n_distinct END) AS DOUBLE)
+               / CAST(max(CASE WHEN n = 1 THEN total END) AS DOUBLE) AS dup_unigram_frac,
+             CAST(max(CASE WHEN n = 2 THEN mx END) AS DOUBLE)
+               / CAST(max(CASE WHEN n = 2 THEN total END) AS DOUBLE) AS top_bigram_frac,
+             CAST(max(CASE WHEN n = 3 THEN dup_occ END) AS DOUBLE)
+               / CAST(max(CASE WHEN n = 3 THEN total END) AS DOUBLE) AS dup_trigram_frac
+      FROM pern GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+           s.dup_unigram_frac, s.top_bigram_frac, s.dup_trigram_frac,
+           coalesce(s.dup_unigram_frac <= 0.6, TRUE)
+             AND coalesce(s.top_bigram_frac <= 0.05, TRUE)
+             AND coalesce(s.dup_trigram_frac <= 0.05, TRUE) AS keep
+    FROM documents d LEFT JOIN stats s USING (doc_id)
+    """,
+)
+def gopher_repetition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter (Rae et al. 2021 §A1.1):
+    duplicate-unigram fraction, top-bigram occupancy, duplicate-trigram
+    occupancy, and the keep verdict. One tagged n-gram explode feeding
+    two map-side-combinable aggregations — shuffle is O(tokens), never
+    O(pairs). (Reference has no text domain; build-mandate extension.)"""
+    from dpe_energy_performance_analysis_etl_spark.text import gopher_repetition_filter
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return gopher_repetition_filter(docs)
+
+
+@register(
+    "quality_filter_heuristic",
+    """
+    WITH tok AS (
+      SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_words,
+           CAST(coalesce(list_sum(list_transform(t, x -> len(x))), 0) AS DOUBLE)
+             / CAST(greatest(len(t), 1) AS DOUBLE) AS mean_word_len,
+           CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE)
+             / CAST(greatest(len(text), 1) AS DOUBLE) AS symbol_ratio,
+           (contains(lower(text), 'lorem ipsum') OR contains(lower(text), 'javascript')
+             OR contains(lower(text), '{')) AS has_boilerplate,
+           (len(t) >= 20 AND len(t) <= 80
+             AND CAST(coalesce(list_sum(list_transform(t, x -> len(x))), 0) AS DOUBLE)
+               / CAST(greatest(len(t), 1) AS DOUBLE) >= 4.0
+             AND CAST(coalesce(list_sum(list_transform(t, x -> len(x))), 0) AS DOUBLE)
+               / CAST(greatest(len(t), 1) AS DOUBLE) <= 5.0
+             AND CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE)
+               / CAST(greatest(len(text), 1) AS DOUBLE) <= 0.1
+             AND NOT (contains(lower(text), 'lorem ipsum')
+               OR contains(lower(text), 'javascript') OR contains(lower(text), '{')))
+             AS keep
+    FROM tok
+    """,
+)
+def quality_filter_heuristic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style structural quality gate (Raffel et al. 2020 §2.2):
+    word-count window, mean-word-length window, symbol ratio,
+    boilerplate markers. Pure row-local expressions — runs inside
+    whole-stage codegen at scan speed, zero shuffle."""
+    from dpe_energy_performance_analysis_etl_spark.text import heuristic_quality_filter
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return heuristic_quality_filter(docs)
+
+
+@register(
+    "decontaminate_overlap",
+    """
+    WITH tok AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+    ), g AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(t) - 2),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS gram
+      FROM tok WHERE len(t) >= 4
+    ), bench AS (
+      SELECT doc_id AS bench_id, gram FROM g WHERE doc_id % 97 = 0
+    ), corpus AS (
+      SELECT doc_id, gram FROM g WHERE doc_id % 97 <> 0
+    )
+    SELECT doc_id,
+           CAST(count(DISTINCT gram) AS BIGINT) AS n_shared_ngrams,
+           CAST(count(DISTINCT bench_id) AS BIGINT) AS n_benchmark_docs
+    FROM corpus JOIN bench USING (gram)
+    GROUP BY doc_id
+    """,
+)
+def decontaminate_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination by word-4-gram overlap (the public
+    GPT-3/PaLM recipe, gram size scaled to these short docs): which
+    corpus docs share any 4-gram with the held-out set (deterministic
+    stand-in: doc_id % 97 == 0). Fixed-width md5 join keys; the
+    benchmark side broadcasts — corpus never shuffles its text."""
+    from dpe_energy_performance_analysis_etl_spark.text import ngram_decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return ngram_decontaminate(corpus, bench, n=4)
+
+
+@register(
+    "stratified_sample_mix",
+    """
+    SELECT doc_id, source,
+           CAST(((doc_id * 2654435761) % 4294967296) % 10000 AS BIGINT) AS bucket
+    FROM documents
+    WHERE ((doc_id * 2654435761) % 4294967296) % 10000 <
+          CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 THEN 7500 ELSE 2500 END
+    """,
+)
+def stratified_sample_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling for training-mix construction:
+    even-numbered sources kept at 75%, odd at 25%, decided by a
+    portable multiplicative hash of doc_id (not rand()) — reproducible
+    across runs, engines, and partitionings. Row-local expression,
+    zero shuffle."""
+    from dpe_energy_performance_analysis_etl_spark.text import sampling_hash, stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rates = {f"src{i}": (0.75 if i % 2 == 0 else 0.25) for i in range(20)}
+    sampled = stratified_sample(docs, rates, strata_col="source", key_col="doc_id")
+    return sampled.select(
+        "doc_id", "source", sampling_hash(F.col("doc_id")).cast("bigint").alias("bucket")
+    )
+
+
+@register(
+    "cluster_canonical_survivors",
+    f"""
+    WITH RECURSIVE {_JACCARD_EDGES_SQL},
+    und AS (
+      SELECT doc_a AS s, doc_b AS d FROM edges
+      UNION ALL
+      SELECT doc_b, doc_a FROM edges
+    ), reach(node, comp) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT u.d, r.comp FROM reach r JOIN und u ON u.s = r.node WHERE r.comp < u.d
+    ), labels AS (
+      SELECT node AS doc_id, MIN(comp) AS component FROM reach GROUP BY node
+    ), dq AS (
+      SELECT l.doc_id, l.component, CAST(d.n_chars AS BIGINT) AS n_chars
+      FROM labels l JOIN documents d USING (doc_id)
+    )
+    SELECT doc_id, component, n_chars, canonical_id,
+           doc_id = canonical_id AS is_kept
+    FROM (
+      SELECT doc_id, component, n_chars,
+             first_value(doc_id) OVER (
+               PARTITION BY component ORDER BY n_chars DESC, doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS canonical_id
+      FROM dq
+    )
+    """,
+)
+def cluster_canonical_survivors_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship after near-dup clustering: connected components
+    over word-3-gram Jaccard edges (same edge set as
+    ``dedup_clusters_cc``), then per cluster keep the highest-quality
+    doc (n_chars, ties → min doc_id). This is the step that turns
+    pair/cluster output into an actually deduplicated corpus; one
+    window over the cluster assignment."""
+    from dpe_energy_performance_analysis_etl_spark.dedup import dedup_clusters, shingle_pairs_jaccard
+    from dpe_energy_performance_analysis_etl_spark.text import canonical_per_cluster
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    edges = shingle_pairs_jaccard(docs, threshold=0.05).select("doc_a", "doc_b")
+    clusters = dedup_clusters(docs, edges)
+    return canonical_per_cluster(docs, clusters)

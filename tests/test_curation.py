@@ -1,0 +1,181 @@
+"""Corpus-curation operators (text/curation.py): repetition metrics
+against hand-computed values, quality-gate branches, decontamination
+overlap, deterministic stratified sampling, cluster survivorship.
+
+The registry twins of these (gopher_repetition,
+quality_filter_heuristic, decontaminate_overlap, stratified_sample_mix,
+cluster_canonical_survivors) are oracle-checked bit-exact against
+DuckDB by tools/check_queries.py; these tests pin the semantics on
+adversarial micro-inputs the random corpus can't guarantee to contain.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dpe_energy_performance_analysis_etl_spark.text import (
+    canonical_per_cluster,
+    gopher_repetition_filter,
+    heuristic_quality_filter,
+    ngram_decontaminate,
+    repetition_metrics,
+    sampling_hash,
+    stratified_sample,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestRepetitionMetrics:
+    def test_hand_computed_fractions(self, spark):
+        # tokens [a a a b]: 4 tokens, 2 distinct -> dup_uni = 0.5
+        # bigrams [a a, a a, a b]: top = 2/3
+        # trigrams [a a a, a a b]: both unique -> dup_tri = 0.0
+        row = repetition_metrics(_docs(spark, [(1, "a a a b")])).collect()[0]
+        assert row.n_tokens == 4
+        assert row.dup_unigram_frac == pytest.approx(0.5)
+        assert row.top_bigram_frac == pytest.approx(2 / 3)
+        assert row.dup_trigram_frac == 0.0
+
+    def test_short_docs_null_not_dropped(self, spark):
+        out = {
+            r.doc_id: r
+            for r in repetition_metrics(
+                _docs(spark, [(1, "solo"), (2, "two words"), (3, "")])
+            ).collect()
+        }
+        assert set(out) == {1, 2, 3}  # spine join keeps every doc
+        assert out[1].n_tokens == 1
+        assert out[1].top_bigram_frac is None  # < 2 tokens
+        assert out[2].top_bigram_frac == pytest.approx(1.0)  # one bigram
+        assert out[2].dup_trigram_frac is None
+        assert out[3].n_tokens == 0
+        assert out[3].dup_unigram_frac is None
+
+    def test_filter_rejects_degenerate_loop(self, spark):
+        df = _docs(
+            spark,
+            [
+                (1, "spam spam spam spam spam"),  # dup_uni=0.8, top_bi=1.0
+                # all-unique tokens, long enough that the top-bigram
+                # floor 1/(n-1) sits under the 0.05 threshold
+                (2, " ".join(f"w{i}" for i in range(30))),
+            ],
+        )
+        out = {r.doc_id: r.keep for r in gopher_repetition_filter(df).collect()}
+        assert out == {1: False, 2: True}
+
+    def test_too_short_for_gram_passes(self, spark):
+        # NULL metrics must not reject (Gopher convention)
+        out = gopher_repetition_filter(_docs(spark, [(1, "one")])).collect()[0]
+        assert out.keep is True
+
+
+class TestHeuristicQualityFilter:
+    def test_branches(self, spark):
+        good = " ".join(["word"] * 25)  # 25 words, mean len 4.0
+        df = _docs(
+            spark,
+            [
+                (1, good),
+                (2, "too short"),  # < 20 words
+                (3, good + " lorem ipsum dolor"),  # boilerplate marker
+                (4, " ".join(["hi"] * 30)),  # mean word len 2.0 < 4
+                (5, good + " @@@@@@@@@@@@@@@@@@@@@@@@@@@@@@"),  # symbols
+            ],
+        )
+        out = {r.doc_id: r for r in heuristic_quality_filter(df).collect()}
+        assert out[1].keep is True
+        assert out[1].n_words == 25
+        assert out[1].mean_word_len == pytest.approx(4.0)
+        assert out[2].keep is False
+        assert out[3].keep is False and out[3].has_boilerplate is True
+        assert out[4].keep is False
+        assert out[5].keep is False and out[5].symbol_ratio > 0.1
+
+    def test_empty_doc(self, spark):
+        row = heuristic_quality_filter(_docs(spark, [(1, "")])).collect()[0]
+        assert row.n_words == 0 and row.keep is False
+        assert row.mean_word_len == 0.0  # guarded division
+
+
+class TestDecontamination:
+    def test_overlap_counts(self, spark):
+        bench = _docs(spark, [(100, "alpha beta gamma delta epsilon")])
+        corpus = _docs(
+            spark,
+            [
+                # shares 2 distinct 4-grams: [alpha beta gamma delta], [beta gamma delta epsilon]
+                (1, "x alpha beta gamma delta epsilon y"),
+                (2, "completely different words here now"),  # clean
+                (3, "alpha beta gamma delta"),  # shares 1
+            ],
+        )
+        out = {r.doc_id: r for r in ngram_decontaminate(corpus, bench, n=4).collect()}
+        assert set(out) == {1, 3}  # clean doc absent
+        assert out[1].n_shared_ngrams == 2
+        assert out[1].n_benchmark_docs == 1
+        assert out[3].n_shared_ngrams == 1
+
+    def test_repeated_gram_counted_once(self, spark):
+        bench = _docs(spark, [(100, "a b c d")])
+        corpus = _docs(spark, [(1, "a b c d a b c d")])
+        out = ngram_decontaminate(corpus, bench, n=4).collect()[0]
+        assert out.n_shared_ngrams == 1  # distinct grams, not occurrences
+
+
+class TestStratifiedSample:
+    def _mix(self, spark, n=400):
+        rows = [(i, "A" if i % 2 == 0 else "B") for i in range(n)]
+        return spark.createDataFrame(rows, "doc_id long, source string")
+
+    def test_extreme_rates(self, spark):
+        df = self._mix(spark)
+        out = stratified_sample(df, {"A": 1.0, "B": 0.0}).collect()
+        assert len(out) == 200
+        assert all(r.source == "A" for r in out)
+
+    def test_deterministic_and_hash_consistent(self, spark):
+        df = self._mix(spark)
+        a = sorted(r.doc_id for r in stratified_sample(df, {"A": 0.5, "B": 0.25}).collect())
+        b = sorted(r.doc_id for r in stratified_sample(df, {"A": 0.5, "B": 0.25}).collect())
+        assert a == b
+        # decisions match the documented hash predicate exactly
+        buckets = {
+            r.doc_id: r.b
+            for r in df.select("doc_id", sampling_hash(F.col("doc_id")).alias("b")).collect()
+        }
+        expect = sorted(
+            i for i, s in ((r.doc_id, r.source) for r in df.collect())
+            if buckets[i] < (5000 if s == "A" else 2500)
+        )
+        assert a == expect
+
+    def test_default_rate_drops_unlisted_strata(self, spark):
+        df = self._mix(spark)
+        out = stratified_sample(df, {"A": 1.0}).collect()  # B falls to default 0.0
+        assert {r.source for r in out} == {"A"}
+
+    def test_rate_validation(self, spark):
+        with pytest.raises(ValueError):
+            stratified_sample(self._mix(spark), {"A": 1.5})
+
+
+class TestCanonicalPerCluster:
+    def test_survivor_by_quality_then_id(self, spark):
+        docs = spark.createDataFrame(
+            [(1, 10), (2, 20), (3, 5), (4, 20), (5, 20)],
+            "doc_id long, n_chars long",
+        )
+        clusters = spark.createDataFrame(
+            [(1, 1), (2, 1), (3, 3), (4, 4), (5, 4)],
+            "doc_id long, component long",
+        )
+        out = {r.doc_id: r for r in canonical_per_cluster(docs, clusters).collect()}
+        assert out[1].canonical_id == 2 and out[1].is_kept is False  # quality wins
+        assert out[2].is_kept is True
+        assert out[3].is_kept is True  # singleton survives
+        assert out[4].canonical_id == 4 and out[5].canonical_id == 4  # tie -> min id
