@@ -40,6 +40,10 @@ from dpe_energy_performance_analysis_etl_spark.operators.layout import (
     zorder_key,
     write_zorder_parquet,
 )
+from dpe_energy_performance_analysis_etl_spark.operators.spatial import (
+    haversine_km,
+    grid_radius_join,
+)
 from dpe_energy_performance_analysis_etl_spark.operators.sketch import (
     cms_build,
     cms_merge,
@@ -86,4 +90,6 @@ __all__ = [
     "kmv_build",
     "kmv_merge",
     "kmv_estimate",
+    "haversine_km",
+    "grid_radius_join",
 ]

@@ -1,0 +1,141 @@
+"""Spatial radius joins without a cartesian product.
+
+The reference's domain is geocoded addresses — its BAN lookup
+(`/root/reference/src/dpe_enedis_ademe_etl_engine/external/fetchers.py`
+returns lat/lon per address) stops at point enrichment. The natural
+next operator a user needs is "which points lie within distance d of
+each other" (nearest station, dedup of geocoded sites, spatial
+blocking for record linkage). Naively that is an O(n·m) cross join; at
+100 TB it must not be.
+
+Scale design — grid-bucketed band join:
+  - every point maps to a square grid cell of side >= the search
+    radius; one side additionally explodes to its 3x3 cell
+    neighborhood (a fixed 9x fan-out, independent of data size);
+  - candidate generation is then a plain EQUI-JOIN on the cell id —
+    Catalyst hashes/shuffles on it like any key; no
+    BroadcastNestedLoopJoin, no CartesianProduct anywhere in the plan;
+  - the exact distance predicate refines candidates. Any true match
+    sits at most one cell apart in each axis, so the 3x3 neighborhood
+    is exhaustive (no recall loss);
+  - cost: shuffle O(n + 9m) rows + per-cell pair work — the spatial
+    analogue of the banded-LSH candidate bound in ``dedup/minhash.py``.
+
+Two metrics:
+  - ``euclidean_deg``: plain euclidean distance in coordinate units.
+    IEEE-exact (mul/add/sqrt are correctly-rounded), hence usable in
+    bit-exact oracles; correct for small extents / projected coords.
+  - ``haversine_km``: great-circle km (trig via JVM libm — correct to
+    ~1 ulp but NOT oracle-portable; verified against numpy in tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+EARTH_RADIUS_KM = 6371.0088  # IUGG mean Earth radius
+
+
+def haversine_km(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    """Great-circle distance in km between two (degree) coordinates."""
+    rlat1, rlat2 = F.radians(lat1), F.radians(lat2)
+    dlat = F.radians(lat2 - lat1)
+    dlon = F.radians(lon2 - lon1)
+    a = (
+        F.sin(dlat / 2) * F.sin(dlat / 2)
+        + F.cos(rlat1) * F.cos(rlat2) * F.sin(dlon / 2) * F.sin(dlon / 2)
+    )
+    # asin form is ill-conditioned near antipodes; atan2 form is stable
+    return 2 * EARTH_RADIUS_KM * F.atan2(F.sqrt(a), F.sqrt(1 - a))
+
+
+def _euclidean_deg(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    return F.sqrt(
+        (lat1 - lat2) * (lat1 - lat2) + (lon1 - lon2) * (lon1 - lon2)
+    )
+
+
+def grid_radius_join(
+    left: DataFrame,
+    right: DataFrame,
+    radius: float,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    right_lat_col: str | None = None,
+    right_lon_col: str | None = None,
+    metric: str = "euclidean_deg",
+    cell_deg: float | None = None,
+    max_abs_lat: float = 66.0,
+    distance_col: str = "distance",
+) -> DataFrame:
+    """All (left, right) pairs within ``radius`` of each other, joined
+    through a grid-cell equi-join (see module docstring; never a
+    cartesian product).
+
+    ``radius`` is in the metric's unit: degrees for ``euclidean_deg``,
+    km for ``haversine_km``. ``cell_deg`` is the LATITUDE cell side in
+    degrees; it defaults to the radius (euclidean) or the radius's
+    latitude-degree equivalent (haversine, 1° lat ≈ 111 km — latitude
+    degrees never shrink, so this is conservative).
+
+    Longitude degrees DO shrink toward the poles (1° lon ≈
+    111·cos(lat) km), so for ``haversine_km`` the longitude cell is
+    widened by 1/cos(``max_abs_lat``): recall is exhaustive for data
+    within ±``max_abs_lat`` latitude (default 66° covers everything
+    south of the Arctic Circle; raise it — at 9×-fan-out-stays-9× but
+    wider-cells cost — for polar data). ``euclidean_deg`` needs no
+    correction: the per-axis degree bound is exact.
+
+    Returns every non-coordinate column of both inputs (right side
+    suffixed ``_r`` on collision) plus ``distance_col``. Left/right
+    with distinct coordinate column names are supported via
+    ``right_lat_col``/``right_lon_col``.
+    """
+    import math
+
+    if metric not in ("euclidean_deg", "haversine_km"):
+        raise ValueError(f"unknown metric: {metric}")
+    rlat = right_lat_col or lat_col
+    rlon = right_lon_col or lon_col
+    if cell_deg is None:
+        cell_deg = radius if metric == "euclidean_deg" else radius / 111.0
+    if cell_deg <= 0:
+        raise ValueError(f"cell_deg must be positive: {cell_deg}")
+    if metric == "haversine_km":
+        lon_cell_deg = cell_deg / math.cos(math.radians(max_abs_lat))
+    else:
+        lon_cell_deg = cell_deg
+
+    def cell(c: Column, size: float) -> Column:
+        return F.floor(c / F.lit(float(size))).cast("long")
+
+    # suffix colliding right-side columns before the join
+    r = right
+    renames = {}
+    for c in right.columns:
+        if c in left.columns:
+            renames[c] = f"{c}_r"
+            r = r.withColumnRenamed(c, f"{c}_r")
+    rlat_eff = renames.get(rlat, rlat)
+    rlon_eff = renames.get(rlon, rlon)
+
+    l_tag = left.withColumn("__cx", cell(F.col(lat_col), cell_deg)).withColumn(
+        "__cy", cell(F.col(lon_col), lon_cell_deg)
+    )
+    offsets = F.array(*[F.lit(i) for i in (-1, 0, 1)])
+    r_tag = (
+        r.withColumn("__ox", F.explode(offsets))
+        .withColumn("__oy", F.explode(offsets))
+        .withColumn("__cx", cell(F.col(rlat_eff), cell_deg) + F.col("__ox"))
+        .withColumn("__cy", cell(F.col(rlon_eff), lon_cell_deg) + F.col("__oy"))
+        .drop("__ox", "__oy")
+    )
+    dist_fn = _euclidean_deg if metric == "euclidean_deg" else haversine_km
+    dist = dist_fn(F.col(lat_col), F.col(lon_col), F.col(rlat_eff), F.col(rlon_eff))
+    joined = (
+        l_tag.join(r_tag, on=["__cx", "__cy"])
+        .withColumn(distance_col, dist)
+        .where(F.col(distance_col) <= F.lit(float(radius)))
+        .drop("__cx", "__cy")
+    )
+    return joined

@@ -3788,3 +3788,52 @@ def cluster_canonical_survivors_q(spark: SparkSession, sf_dir: str) -> DataFrame
     edges = shingle_pairs_jaccard(docs, threshold=0.05).select("doc_a", "doc_b")
     clusters = dedup_clusters(docs, edges)
     return canonical_per_cluster(docs, clusters)
+
+
+@register(
+    "spatial_radius_join",
+    """
+    WITH c AS (
+      SELECT c_custkey,
+             CAST(c_custkey % 100 AS DOUBLE) / 10 AS lat,
+             CAST((c_custkey // 100) % 100 AS DOUBLE) / 10 AS lon
+      FROM customer
+    ), s AS (
+      SELECT s_suppkey,
+             CAST(s_suppkey % 100 AS DOUBLE) / 10 AS lat,
+             CAST((s_suppkey * 7) % 100 AS DOUBLE) / 10 AS lon
+      FROM supplier
+    )
+    SELECT c_custkey, s_suppkey,
+           sqrt((c.lat - s.lat) * (c.lat - s.lat)
+              + (c.lon - s.lon) * (c.lon - s.lon)) AS dist_deg
+    FROM c JOIN s
+      ON sqrt((c.lat - s.lat) * (c.lat - s.lat)
+            + (c.lon - s.lon) * (c.lon - s.lon)) <= 0.15
+    """,
+)
+def spatial_radius_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial radius join (customers to suppliers within 0.15° on
+    deterministic key-derived coordinates — the tables carry no geo
+    columns, so the coordinates are synthesized identically in both
+    engines). The Spark plan is the grid-bucketed band join
+    (operators/spatial.py): cell equi-join + 9x neighbor fan-out +
+    exact refine — no cartesian product; the oracle states the naive
+    O(n·m) semantics. Euclidean-degree metric: mul/add/sqrt are
+    IEEE-correctly-rounded, so both engines agree bit-exactly."""
+    from dpe_energy_performance_analysis_etl_spark.operators.spatial import grid_radius_join
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey",
+        ((F.col("c_custkey") % 100).cast("double") / 10).alias("lat"),
+        ((F.expr("c_custkey div 100") % 100).cast("double") / 10).alias("lon"),
+    )
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey",
+        ((F.col("s_suppkey") % 100).cast("double") / 10).alias("lat"),
+        (((F.col("s_suppkey") * 7) % 100).cast("double") / 10).alias("lon"),
+    )
+    pairs = grid_radius_join(
+        cust, supp, radius=0.15, metric="euclidean_deg", distance_col="dist_deg"
+    )
+    return pairs.select("c_custkey", "s_suppkey", "dist_deg")
