@@ -35,6 +35,7 @@ from dpe_energy_performance_analysis_etl_spark.operators.quality import (
     assert_metrics,
     non_empty_gate,
     profile_columns,
+    partition_skew_report,
 )
 from dpe_energy_performance_analysis_etl_spark.operators.layout import (
     zorder_key,
@@ -82,6 +83,7 @@ __all__ = [
     "assert_metrics",
     "non_empty_gate",
     "profile_columns",
+    "partition_skew_report",
     "zorder_key",
     "write_zorder_parquet",
     "cms_build",

@@ -17,7 +17,7 @@ Usage:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Observation, functions as F
+from pyspark.sql import DataFrame, Observation, Window, functions as F
 
 
 def observed(df: DataFrame, **metrics: F.Column) -> tuple[DataFrame, Observation]:
@@ -79,4 +79,32 @@ def profile_columns(df: DataFrame, columns: list[str] | None = None) -> DataFram
         F.expr(
             f"stack({len(cols)}, {stacked}) AS (column, n_rows, n_nulls, n_distinct)"
         )
+    )
+
+
+def partition_skew_report(df: DataFrame) -> DataFrame:
+    """Physical-partition balance diagnostic: rows per Spark partition
+    plus the skew ratio (max/mean). A ratio near 1 means even task
+    sizes; >> 1 means one straggler task dominates the stage — the
+    first thing to check when a 1000-executor job is waiting on one
+    task (hot key, bad custom partitioner, or unsplittable input).
+
+    One row per partition: (partition_id, n_rows, frac_of_total,
+    skew_ratio — the global max/mean repeated per row for easy
+    filtering). Built on ``spark_partition_id()`` + one aggregation;
+    the report is at most #partitions rows, so the final window over
+    a single global partition is trivially small (the data itself is
+    never re-shuffled)."""
+    per = df.groupBy(F.spark_partition_id().alias("partition_id")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    w = Window.partitionBy()
+    return per.select(
+        "partition_id",
+        "n_rows",
+        (F.col("n_rows").cast("double") / F.sum("n_rows").over(w)).alias("frac_of_total"),
+        (
+            F.max("n_rows").over(w).cast("double")
+            / (F.sum("n_rows").over(w) / F.count(F.lit(1)).over(w))
+        ).alias("skew_ratio"),
     )

@@ -167,3 +167,87 @@ def write_bucketed_table(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table)
+
+
+def dir_stats(spark: SparkSession, path: str, suffix: str = ".parquet") -> dict:
+    """File count + total bytes of the data files under ``path`` via
+    the Hadoop FS API (local/s3a/hdfs uniformly) — the input to
+    compaction sizing decisions."""
+    jvm = spark._jvm
+    jsc = spark._jsc
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+    n_files, total = 0, 0
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if st.isFile() and name.endswith(suffix) and not name.startswith("_"):
+            n_files += 1
+            total += st.getLen()
+    return {"n_files": n_files, "total_bytes": total}
+
+
+def compact_parquet_dir(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files_to_compact: int = 2,
+) -> dict:
+    """Small-file compaction: rewrite a parquet directory into
+    ``ceil(total_bytes / target_file_bytes)`` files.
+
+    The small-files problem is a first-order 100 TB failure mode: a
+    streaming/incremental writer (e.g. ``streaming/incremental.py``'s
+    per-micro-batch appends) accretes thousands of KB-sized files, and
+    every downstream scan then pays per-file open/footer/seek costs
+    plus driver-side listing memory. Periodic compaction is the
+    standard maintenance op (what table formats schedule as
+    OPTIMIZE / rewrite_data_files).
+
+    Semantics: read → ``repartition(n)`` (round-robin — even output
+    sizes) → write to a sibling temp dir → atomic-ish swap via Hadoop
+    FS renames (old dir is moved aside and deleted only after the new
+    one is in place, so a crash leaves either the old or the new dir,
+    never a partial mix). NOT safe under concurrent writers — pause
+    the writer or compact into a new snapshot path in that case (the
+    rename-swap is the single-writer variant; table formats solve the
+    concurrent case with manifest commits).
+
+    Returns {files_before, files_after, total_bytes, skipped}.
+    """
+    stats = dir_stats(spark, path)
+    if stats["n_files"] < min_files_to_compact:
+        return {**stats, "files_before": stats["n_files"], "files_after": stats["n_files"], "skipped": True}
+    n_out = max(1, -(-stats["total_bytes"] // target_file_bytes))  # ceil
+    if n_out >= stats["n_files"]:
+        return {**stats, "files_before": stats["n_files"], "files_after": stats["n_files"], "skipped": True}
+
+    jvm = spark._jvm
+    jsc = spark._jsc
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+    tmp = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__compacting")
+    bak = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__precompact")
+    for stale in (tmp, bak):
+        if fs.exists(stale):
+            fs.delete(stale, True)
+
+    df = spark.read.parquet(path)
+    df.repartition(int(n_out)).write.mode("overwrite").parquet(tmp.toString())
+
+    if not fs.rename(hpath, bak):
+        fs.delete(tmp, True)
+        raise IOError(f"compaction swap failed: could not move {path} aside")
+    if not fs.rename(tmp, hpath):
+        fs.rename(bak, hpath)  # roll back
+        raise IOError(f"compaction swap failed: could not move new data into {path}")
+    fs.delete(bak, True)
+
+    after = dir_stats(spark, path)
+    return {
+        "files_before": stats["n_files"],
+        "files_after": after["n_files"],
+        "total_bytes": after["total_bytes"],
+        "skipped": False,
+    }

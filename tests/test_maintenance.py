@@ -1,0 +1,86 @@
+"""Table-maintenance ops: small-file compaction (sources/io.py) and
+partition-skew reporting (operators/quality.py)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dpe_energy_performance_analysis_etl_spark.operators import partition_skew_report
+from dpe_energy_performance_analysis_etl_spark.sources import compact_parquet_dir, dir_stats
+
+
+def _write_fragmented(spark, path, n_files=40, rows_per_file=50):
+    df = spark.range(n_files * rows_per_file).withColumn("v", F.col("id") * 2)
+    df.repartition(n_files).write.mode("overwrite").parquet(path)
+    return df
+
+
+class TestCompaction:
+    def test_compacts_and_preserves_data(self, spark, tmp_path):
+        path = str(tmp_path / "frag")
+        _write_fragmented(spark, path, n_files=40)
+        before = dir_stats(spark, path)
+        assert before["n_files"] == 40
+
+        # target = total size -> one output file
+        res = compact_parquet_dir(spark, path, target_file_bytes=before["total_bytes"] + 1)
+        assert res["skipped"] is False
+        assert res["files_before"] == 40
+        assert res["files_after"] < 40
+
+        got = spark.read.parquet(path)
+        assert got.count() == 2000
+        assert got.agg(F.sum("v")).collect()[0][0] == sum(2 * i for i in range(2000))
+        # no leftover temp/backup dirs
+        assert not os.path.exists(path + "__compacting")
+        assert not os.path.exists(path + "__precompact")
+
+    def test_sized_output_count(self, spark, tmp_path):
+        path = str(tmp_path / "sized")
+        _write_fragmented(spark, path, n_files=30)
+        total = dir_stats(spark, path)["total_bytes"]
+        # ask for ~4 files
+        res = compact_parquet_dir(spark, path, target_file_bytes=max(1, total // 4))
+        assert res["skipped"] is False
+        assert 3 <= res["files_after"] <= 5
+        assert len(glob.glob(path + "/*.parquet")) == res["files_after"]
+
+    def test_skips_already_compact(self, spark, tmp_path):
+        path = str(tmp_path / "compact")
+        spark.range(100).coalesce(1).write.mode("overwrite").parquet(path)
+        res = compact_parquet_dir(spark, path)
+        assert res["skipped"] is True
+        assert spark.read.parquet(path).count() == 100
+
+    def test_stale_temp_dirs_cleaned(self, spark, tmp_path):
+        path = str(tmp_path / "stale")
+        _write_fragmented(spark, path, n_files=10)
+        os.makedirs(path + "__compacting")  # crashed prior run
+        res = compact_parquet_dir(spark, path, target_file_bytes=10**9)
+        assert res["skipped"] is False
+        assert spark.read.parquet(path).count() == 500
+
+
+class TestPartitionSkewReport:
+    def test_even_partitions(self, spark):
+        df = spark.range(8000).repartition(8)  # round-robin -> even
+        rows = partition_skew_report(df).collect()
+        assert len(rows) == 8
+        assert sum(r.n_rows for r in rows) == 8000
+        assert all(r.skew_ratio == pytest.approx(1.0, abs=0.05) for r in rows)
+        assert sum(r.frac_of_total for r in rows) == pytest.approx(1.0)
+
+    def test_detects_hot_partition(self, spark):
+        # hash-partition a constant key: every row lands in ONE partition
+        df = spark.range(4000).withColumn("k", F.lit(1)).repartition(8, "k")
+        rows = partition_skew_report(df).collect()
+        assert max(r.n_rows for r in rows) == 4000
+        # only non-empty partitions appear; with one partition holding
+        # all rows the ratio is max/mean = 1.0 only if it's the sole
+        # group — otherwise > 1
+        if len(rows) > 1:
+            assert rows[0].skew_ratio > 1.0
