@@ -3837,3 +3837,63 @@ def spatial_radius_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust, supp, radius=0.15, metric="euclidean_deg", distance_col="dist_deg"
     )
     return pairs.select("c_custkey", "s_suppkey", "dist_deg")
+
+
+@register(
+    "chunk_documents",
+    """
+    WITH tok AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+    ), st AS (
+      SELECT doc_id, t, unnest(range(0, len(t), 24)) AS s FROM tok WHERE len(t) > 0
+    )
+    SELECT doc_id,
+           CAST(s // 24 AS BIGINT) AS chunk_id,
+           array_to_string(t[s+1 : s+32], ' ') AS chunk_text,
+           CAST(len(t[s+1 : s+32]) AS BIGINT) AS n_chunk_tokens
+    FROM st
+    """,
+)
+def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (32-token chunks, 8-token
+    overlap → stride 24): the RAG/max-length chunker. Per-row
+    sequence→explode→slice — zero shuffle, runs at scan speed."""
+    from dpe_energy_performance_analysis_etl_spark.text.packing import chunk_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return chunk_documents(docs, chunk_tokens=32, overlap_tokens=8)
+
+
+@register(
+    "sequence_pack_bins",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), cum AS (
+      SELECT doc_id, n_tokens,
+             CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT)
+               AS start_token
+      FROM tok
+    )
+    SELECT doc_id, n_tokens, start_token,
+           CAST(start_token // 256 AS BIGINT) AS bin_id,
+           CAST(start_token % 256 AS BIGINT) AS offset_in_bin,
+           (start_token % 256) + n_tokens > 256 AS spans_boundary
+    FROM cum
+    """,
+)
+def sequence_pack_bins_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk token packing (T5-style) at budget 256:
+    which bin each document starts in and at what offset. The global
+    running sum is a TWO-LEVEL scan (within-bucket window + tiny
+    bucket-prefix broadcast) — no single-partition global window, the
+    at-scale replacement for the oracle's ORDER BY window."""
+    from dpe_energy_performance_analysis_etl_spark.text import token_count
+    from dpe_energy_performance_analysis_etl_spark.text.packing import sequence_pack
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    counted = docs.select("doc_id", token_count("text").alias("n_tokens"))
+    return sequence_pack(counted, budget=256, token_count_col="n_tokens", order_col="doc_id")
