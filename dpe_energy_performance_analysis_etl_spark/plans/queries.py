@@ -3897,3 +3897,54 @@ def sequence_pack_bins_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     counted = docs.select("doc_id", token_count("text").alias("n_tokens"))
     return sequence_pack(counted, budget=256, token_count_col="n_tokens", order_col="doc_id")
+
+
+@register(
+    "temperature_mixture_sample",
+    """
+    WITH counts AS (
+      SELECT lang, count(*) AS n_rows FROM documents GROUP BY 1
+    ), m AS (
+      SELECT min(n_rows) AS mn FROM counts
+    ), rates AS (
+      SELECT lang, sqrt(CAST(mn AS DOUBLE) / CAST(n_rows AS DOUBLE)) AS keep_rate
+      FROM counts, m
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN rates r USING (lang)
+    WHERE CAST(((d.doc_id * 2654435761) % 4294967296) % 10000 AS DOUBLE)
+          < r.keep_rate * 10000
+    """,
+)
+def temperature_mixture_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source rebalancing (T5 §3.4.3 family) at
+    T=2 over the lang strata: the smallest language is kept whole,
+    larger ones downsampled at sqrt(min/n) — deterministic via the
+    portable key hash, so the sampled set is bit-reproducible. The
+    rate table is #strata rows, broadcast; the decision is row-local
+    (zero extra shuffle). T=2 is the oracle-exact temperature: sqrt
+    is IEEE-correctly-rounded, general pow is not."""
+    from dpe_energy_performance_analysis_etl_spark.text.mixing import temperature_mixture_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return temperature_mixture_sample(docs, strata_col="lang", key_col="doc_id").select(
+        "doc_id", "lang"
+    )
+
+
+@register(
+    "pseudonymize_pii",
+    """
+    SELECT c_custkey, sha256('k1:' || c_name) AS c_name_pseud
+    FROM customer
+    """,
+)
+def pseudonymize_pii_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic salted-sha256 pseudonymization of a direct
+    identifier: equality joins/dedup still work on the pseudonym
+    (same salt => same digest) while the raw value is dropped.
+    Row-local JVM sha2 — codegen'd, zero shuffle."""
+    from dpe_energy_performance_analysis_etl_spark.text.mixing import pseudonymize
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_custkey", "c_name")
+    return pseudonymize(cust, ["c_name"], salt="k1")

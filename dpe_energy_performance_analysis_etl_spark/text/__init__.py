@@ -15,6 +15,11 @@ from dpe_energy_performance_analysis_etl_spark.text.packing import (
     chunk_documents,
     sequence_pack,
 )
+from dpe_energy_performance_analysis_etl_spark.text.mixing import (
+    temperature_rates,
+    temperature_mixture_sample,
+    pseudonymize,
+)
 from dpe_energy_performance_analysis_etl_spark.text.curation import (
     repetition_metrics,
     gopher_repetition_filter,
@@ -48,4 +53,7 @@ __all__ = [
     "BOILERPLATE_MARKERS",
     "chunk_documents",
     "sequence_pack",
+    "temperature_rates",
+    "temperature_mixture_sample",
+    "pseudonymize",
 ]

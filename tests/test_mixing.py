@@ -1,0 +1,81 @@
+"""Temperature mixture sampling + pseudonymization (text/mixing.py)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from dpe_energy_performance_analysis_etl_spark.text.mixing import (
+    pseudonymize,
+    temperature_mixture_sample,
+    temperature_rates,
+)
+
+
+def _mix(spark, sizes: dict[str, int]):
+    rows, i = [], 0
+    for src, n in sizes.items():
+        for _ in range(n):
+            rows.append((i, src))
+            i += 1
+    return spark.createDataFrame(rows, "doc_id long, source string")
+
+
+class TestTemperatureRates:
+    def test_t2_rates_are_sqrt(self, spark):
+        df = _mix(spark, {"small": 100, "big": 400})
+        rates = {r.source: r.keep_rate for r in temperature_rates(df).collect()}
+        assert rates["small"] == pytest.approx(1.0)
+        assert rates["big"] == pytest.approx(0.5)  # sqrt(100/400)
+
+    def test_t1_equalizes(self, spark):
+        df = _mix(spark, {"small": 100, "big": 400})
+        rates = {
+            r.source: r.keep_rate
+            for r in temperature_rates(df, temperature=1.0).collect()
+        }
+        assert rates["big"] == pytest.approx(0.25)
+
+    def test_bad_temperature(self, spark):
+        with pytest.raises(ValueError):
+            temperature_rates(_mix(spark, {"a": 1}), temperature=0)
+
+
+class TestTemperatureMixtureSample:
+    def test_smallest_stratum_kept_whole(self, spark):
+        df = _mix(spark, {"small": 50, "big": 800})
+        out = temperature_mixture_sample(df).groupBy("source").count().collect()
+        got = {r.source: r["count"] for r in out}
+        assert got["small"] == 50
+        # big kept at ~sqrt(50/800)=25%, hash-uniform within ~5pp
+        assert 0.18 * 800 <= got["big"] <= 0.32 * 800
+
+    def test_deterministic(self, spark):
+        df = _mix(spark, {"a": 200, "b": 600})
+        a = sorted(r.doc_id for r in temperature_mixture_sample(df).collect())
+        b = sorted(r.doc_id for r in temperature_mixture_sample(df).collect())
+        assert a == b
+
+
+class TestPseudonymize:
+    def test_deterministic_and_salted(self, spark):
+        df = spark.createDataFrame([(1, "alice"), (2, "alice"), (3, "bob")], "id long, name string")
+        out = {r.id: r.name_pseud for r in pseudonymize(df, ["name"], salt="s1").collect()}
+        assert out[1] == out[2]  # same value -> same pseudonym (joins survive)
+        assert out[1] != out[3]
+        other = {r.id: r.name_pseud for r in pseudonymize(df, ["name"], salt="s2").collect()}
+        assert out[1] != other[1]  # salt changes the mapping
+        assert len(out[1]) == 64  # sha256 hex
+
+    def test_original_dropped_or_kept(self, spark):
+        df = spark.createDataFrame([(1, "alice")], "id long, name string")
+        assert "name" not in pseudonymize(df, ["name"], salt="s").columns
+        kept = pseudonymize(df, ["name"], salt="s", drop_original=False)
+        assert {"name", "name_pseud"} <= set(kept.columns)
+
+    def test_empty_salt_rejected(self, spark):
+        df = spark.createDataFrame([(1, "x")], "id long, name string")
+        with pytest.raises(ValueError):
+            pseudonymize(df, ["name"], salt="")
