@@ -54,7 +54,10 @@ def _raw_grams(toks: Column, n: int) -> Column:
 
 
 def repetition_metrics(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fanout: int | None = None,
 ) -> DataFrame:
     """Per-document repetition signals (Gopher §A1.1 family):
 
@@ -72,9 +75,19 @@ def repetition_metrics(
     Plan: ONE explode of (gram_size, gram) structs → count by
     (doc, n, gram) → roll up to (doc, n) → conditional-agg pivot to
     one row per doc, left-joined back to the id spine. Two shuffles,
-    both map-side combinable, no pair blowup.
+    both map-side combinable, no pair blowup. ``fanout`` repartitions
+    the input first (default: cluster parallelism) — a handful of
+    input files must not serialize the gram expression onto a handful
+    of tasks (measured 27× on a single-file scan, NOTES.md); the
+    tokens array is materialized once so the tokenizer regex runs
+    once per doc, not once per gram size.
     """
-    toks = tokens_expr(F.col(text_col))
+    if fanout is None:
+        fanout = df.sparkSession.sparkContext.defaultParallelism
+    base = df.repartition(fanout).select(
+        F.col(id_col), tokens_expr(F.col(text_col)).alias("__toks")
+    )
+    toks = F.col("__toks")
 
     # NB: the tag closure must stay single-arg — F.transform treats a
     # two-arg lambda (incl. one with a default!) as (element, index).
@@ -82,7 +95,7 @@ def repetition_metrics(
         return lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram"))
 
     tagged = F.concat(*[F.transform(_raw_grams(toks, n), _tag(n)) for n in (1, 2, 3)])
-    exploded = df.select(F.col(id_col), F.explode(tagged).alias("t")).select(
+    exploded = base.select(F.col(id_col), F.explode(tagged).alias("t")).select(
         id_col, F.col("t.n").alias("n"), F.col("t.gram").alias("gram")
     )
     gram_counts = exploded.groupBy(id_col, "n", "gram").agg(F.count(F.lit(1)).alias("c"))
@@ -201,6 +214,7 @@ def ngram_decontaminate(
     bench_text_col: str | None = None,
     bench_id_col: str | None = None,
     broadcast_benchmark: bool = True,
+    fanout: int | None = None,
 ) -> DataFrame:
     """Benchmark decontamination: which corpus documents share any
     word ``n``-gram with an eval/benchmark set (the public recipe —
@@ -218,7 +232,9 @@ def ngram_decontaminate(
     """
     bench_text = bench_text_col or text_col
     bench_id = bench_id_col or id_col
-    left = df.select(
+    if fanout is None:
+        fanout = df.sparkSession.sparkContext.defaultParallelism
+    left = df.repartition(fanout).select(
         F.col(id_col),
         F.explode(F.array_distinct(_raw_grams(tokens_expr(F.col(text_col)), n))).alias("g"),
     ).select(id_col, F.md5("g").alias("gh"))

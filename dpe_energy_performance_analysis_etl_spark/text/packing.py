@@ -39,6 +39,7 @@ def chunk_documents(
     overlap_tokens: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    fanout: int | None = None,
 ) -> DataFrame:
     """Split each document into overlapping token-window chunks.
 
@@ -47,8 +48,10 @@ def chunk_documents(
     final chunk may be shorter. Documents with zero tokens produce no
     chunks. Output: (id, chunk_id, chunk_text, n_chunk_tokens).
 
-    Pure per-row expressions (sequence → explode → slice): no shuffle,
-    output volume ≈ input tokens × (1 + overlap/stride).
+    Per-row expressions (sequence → explode → slice); ``fanout``
+    repartitions first (default: cluster parallelism) so a
+    few-files scan doesn't serialize the explode onto a few tasks.
+    Output volume ≈ input tokens × (1 + overlap/stride).
     """
     if chunk_tokens <= 0:
         raise ValueError(f"chunk_tokens must be positive: {chunk_tokens}")
@@ -56,13 +59,18 @@ def chunk_documents(
         raise ValueError(
             f"overlap_tokens must be in [0, chunk_tokens): {overlap_tokens}"
         )
+    if fanout is None:
+        fanout = df.sparkSession.sparkContext.defaultParallelism
     stride = chunk_tokens - overlap_tokens
-    toks = tokens_expr(F.col(text_col))
+    base = df.repartition(fanout).select(
+        F.col(id_col), tokens_expr(F.col(text_col)).alias("__toks")
+    )
+    toks = F.col("__toks")
     starts = F.when(
         F.size(toks) > 0, F.sequence(F.lit(0), F.size(toks) - 1, F.lit(stride))
     ).otherwise(F.array().cast("array<int>"))
-    exploded = df.select(
-        F.col(id_col), toks.alias("__toks"), F.explode(starts).alias("__start")
+    exploded = base.select(
+        F.col(id_col), toks, F.explode(starts).alias("__start")
     )
     chunk = F.slice(F.col("__toks"), F.col("__start") + 1, chunk_tokens)
     return exploded.select(
