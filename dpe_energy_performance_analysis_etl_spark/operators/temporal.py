@@ -114,7 +114,9 @@ def range_join_bucketed(
     ``ts``) the right timestamp comes back as ``{right_ts}_right`` so
     the output never carries duplicate column names.
     """
-    bucket = lambda c: F.floor(F.col(c).cast("double") / window_seconds)  # noqa: E731
+    from dpe_energy_performance_analysis_etl_spark.functions.temporal import epoch_double
+
+    bucket = lambda c: F.floor(epoch_double(c) / window_seconds)  # noqa: E731
     lhs = left.withColumn("__lb", bucket(left_ts)).withColumn(
         "__bucket", F.explode(F.array(F.col("__lb"), F.col("__lb") + 1))
     )
@@ -123,7 +125,7 @@ def range_join_bucketed(
     # AMBIGUOUS_REFERENCE
     rhs = right.withColumnRenamed(right_ts, "__rts").withColumn("__bucket", bucket("__rts"))
     joined = lhs.join(rhs, on=[on, "__bucket"])
-    delta = F.col("__rts").cast("double") - F.col(left_ts).cast("double")
+    delta = epoch_double("__rts") - epoch_double(left_ts)
     out_ts = right_ts if right_ts != left_ts else f"{right_ts}_right"
     return (
         joined.filter((delta >= 0) & (delta <= window_seconds))

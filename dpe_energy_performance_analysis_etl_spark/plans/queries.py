@@ -26,6 +26,12 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from dpe_energy_performance_analysis_etl_spark.functions.temporal import (
+    epoch_double,
+    epoch_micros,
+    epoch_seconds,
+)
+
 TABLES = [
     "region",
     "nation",
@@ -45,17 +51,22 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
 
 
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events table is written with TIMESTAMP(NANOS) parquet, which
-    Spark reads only as long. ``nanosAsLong`` is set HERE (runtime
-    conf, not only in the session factory) so the queries also work
+    """Read the events table with ``ts`` normalized to TIMESTAMP (LTZ)
+    regardless of the parquet physical encoding the testdata generator
+    chose this time: TIMESTAMP(NANOS) read as BIGINT nanoseconds
+    (``nanosAsLong``), timestamp[us] UTC-adjusted (already LTZ), or
+    timestamp[us] naive (TIMESTAMP_NTZ — Spark refuses numeric casts on
+    it, which killed five queries in round 2). Runtime confs are set
+    HERE, not only in the session factory, so the queries also work
     under a caller-provided plain SparkSession — e.g. the driver's
-    harness. The data carries no sub-microsecond precision, so the
-    ns→µs conversion is lossless."""
+    harness. The session tz is pinned to UTC so the NTZ→LTZ cast is
+    value-preserving against DuckDB's naive-timestamp oracle."""
+    from dpe_energy_performance_analysis_etl_spark.functions.temporal import normalize_event_time
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(ev.dtypes).get("ts") == "bigint":
-        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return ev
+    return normalize_event_time(ev, "ts", bigint_unit="ns")
 
 
 def dsum(col, scale: int = 2) -> F.Column:
@@ -793,7 +804,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     Two window passes + one agg; all JVM-side."""
     ev = read_events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    gap = epoch_seconds("ts") - F.lag(epoch_seconds("ts")).over(w)
     flagged = ev.withColumn(
         "new_session",
         F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0),
@@ -1159,7 +1170,7 @@ def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_a",
         "event_b",
-        (F.col("ts_b").cast("double") - F.col("ts").cast("double")).alias("delta_sec"),
+        (epoch_double("ts_b") - epoch_double("ts")).alias("delta_sec"),
     )
 
 
@@ -1234,10 +1245,10 @@ def null_conditional_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT p_partkey,
            round(p_retailprice, 1) AS price_round1,
-           floor(p_retailprice) AS price_floor,
-           ceil(p_retailprice) AS price_ceil,
+           CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+           CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
            abs(p_retailprice - 1500.0) AS price_dist,
-           sign(p_retailprice - 1500.0) AS price_sign,
+           CAST(sign(p_retailprice - 1500.0) AS DOUBLE) AS price_sign,
            p_partkey % 7 AS key_mod7,
            CAST(power(p_size, 2) AS DOUBLE) AS size_sq,
            sqrt(CAST(p_size AS DOUBLE)) AS size_sqrt
@@ -1247,7 +1258,12 @@ def null_conditional_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-result math surface (round/floor/ceil/abs/sign/mod/
     integer powers/sqrt — all IEEE-deterministic; transcendentals are
-    deliberately excluded from oracle checks: libm last-ulp variance)."""
+    deliberately excluded from oracle checks: libm last-ulp variance).
+
+    The oracle casts align DuckDB's output types with Spark's, not the
+    values: DuckDB floor/ceil return DOUBLE where Spark returns BIGINT,
+    and DuckDB sign returns TINYINT where Spark signum returns DOUBLE —
+    a type-sensitive value hash differs even when every value matches."""
     part = spark.read.parquet(f"{sf_dir}/part.parquet")
     return part.select(
         "p_partkey",
@@ -1886,7 +1902,7 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events(spark, sf_dir)
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_micros("ts"))
+        .orderBy(epoch_micros("ts"))
         .rangeBetween(-3_600_000_000, 0)
     )
     return ev.select(
@@ -3232,7 +3248,7 @@ def time_weighted_avg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         (F.col("value").cast("decimal(30,2)") * 100).cast("bigint").alias("cents"),
         (
-            F.unix_micros(F.col("next_ts")) - F.unix_micros(F.col("ts"))
+            epoch_micros("next_ts") - epoch_micros("ts")
         ).alias("dur_us"),
     )
     return seg.groupBy("user_id").agg(
@@ -3577,7 +3593,7 @@ def interarrival_percentiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("event_type").orderBy("ts", "event_id")
     gaps = ev.select(
         "event_type",
-        (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+        (epoch_micros("ts") - epoch_micros(F.lag("ts").over(w))).alias("gap_us"),
     ).filter(F.col("gap_us").isNotNull())
     pct = F.percentile(F.col("gap_us"), F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
     return gaps.groupBy("event_type").agg(

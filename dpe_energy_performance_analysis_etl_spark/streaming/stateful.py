@@ -123,8 +123,10 @@ def batch_closed_sessions(events: DataFrame, gap_seconds: int = 1800) -> DataFra
     closed (each user's final session is still open)."""
     from pyspark.sql import Window, functions as F
 
+    from dpe_energy_performance_analysis_etl_spark.functions.temporal import epoch_double
+
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    gap = epoch_double("ts") - F.lag(epoch_double("ts")).over(w)
     flagged = events.withColumn(
         "new_session", F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
     )
