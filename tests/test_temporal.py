@@ -144,3 +144,79 @@ def test_salted_join_spreads_key_only_left(spark):
     right = spark.createDataFrame(pd.DataFrame({"k": ["hot", "cold"], "w": [1.0, 2.0]}))
     salted = salted_join(left, right, on="k", salt_buckets=buckets).collect()
     assert len(salted) == 1600 and all(r.w == 1.0 for r in salted)
+
+
+# ---------------------------------------------------------------------
+# Physical-format contract: the events ts column has shipped as
+# TIMESTAMP(NANOS)-read-as-bigint, timestamp[us] naive (TIMESTAMP_NTZ),
+# and timestamp[us] UTC-adjusted (TIMESTAMP LTZ) across testdata
+# generations; round 2 lost five queries to an unhandled NTZ. Every
+# event-time query must run and agree on ALL encodings.
+# ---------------------------------------------------------------------
+
+_EVENT_TIME_QUERIES = [
+    "events_sessionize",
+    "events_tumbling_window",
+    "range_join_events",
+    "window_range_frame",
+    "time_weighted_avg",
+    "interarrival_percentiles",
+    "asof_join_events",
+]
+
+
+def _write_events_encodings(tmp_path):
+    """One sf-dir per physical encoding, same logical rows."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(7)
+    n = 400
+    base_us = 1_700_000_000_000_000
+    ts_us = base_us + np.sort(rng.integers(0, 3_600_000_000, n))
+    tbl = {
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 12, n).astype(np.int64),
+        "event_type": np.array(["click", "view", "buy"])[rng.integers(0, 3, n)],
+        "value": np.round(rng.uniform(0, 100, n), 2),
+        "props": np.array(['{"k": 1}'] * n),
+    }
+    encodings = {
+        "ns": pa.timestamp("ns"),
+        "us_ntz": pa.timestamp("us"),
+        "us_ltz": pa.timestamp("us", tz="UTC"),
+    }
+    dirs = {}
+    for name, typ in encodings.items():
+        d = tmp_path / name
+        d.mkdir()
+        arr = pa.array(ts_us, type=pa.timestamp("us")).cast(typ)
+        t = pa.table({**{k: pa.array(v) for k, v in tbl.items()}, "ts": arr})
+        # version 2.6 preserves nanos physically (older coerces to us)
+        pq.write_table(t, d / "events.parquet", version="2.6")
+        dirs[name] = str(d)
+    return dirs
+
+
+def test_event_queries_agree_across_ts_encodings(spark, tmp_path):
+    import pyarrow.parquet as pq
+    from dpe_energy_performance_analysis_etl_spark.plans.queries import QUERIES
+
+    dirs = _write_events_encodings(tmp_path)
+    # confirm the fixtures really are three distinct physical types
+    assert str(pq.ParquetFile(dirs["ns"] + "/events.parquet").schema_arrow.field("ts").type) == "timestamp[ns]"
+    assert str(pq.ParquetFile(dirs["us_ntz"] + "/events.parquet").schema_arrow.field("ts").type) == "timestamp[us]"
+    assert str(pq.ParquetFile(dirs["us_ltz"] + "/events.parquet").schema_arrow.field("ts").type) == "timestamp[us, tz=UTC]"
+
+    for qname in _EVENT_TIME_QUERIES:
+        results = {}
+        for enc, d in dirs.items():
+            pdf = QUERIES[qname](spark, d).toPandas()
+            pdf = pdf[sorted(pdf.columns)]
+            key = sorted(map(tuple, pdf.astype(str).itertuples(index=False)))
+            results[enc] = key
+        assert results["ns"] == results["us_ntz"] == results["us_ltz"], (
+            f"{qname} disagrees across ts encodings"
+        )
+        assert len(results["ns"]) > 0, f"{qname} returned no rows on the fixture"
