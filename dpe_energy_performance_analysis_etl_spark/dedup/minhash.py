@@ -26,6 +26,8 @@ import random
 
 from pyspark.sql import DataFrame, functions as F
 
+from dpe_energy_performance_analysis_etl_spark.operators.scaling import scan_fanout
+
 from dpe_energy_performance_analysis_etl_spark.dedup.shingles import word_shingles
 
 _MERSENNE_P = (1 << 31) - 1
@@ -72,7 +74,7 @@ def minhash_signatures(
     params = _hash_params(num_perm, seed)
     if fanout is None:
         fanout = df.sparkSession.sparkContext.defaultParallelism
-    tok = df.repartition(fanout).select(
+    tok = scan_fanout(df, fanout).select(
         F.col(id_col).alias("doc"),
         F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),
     )

@@ -13,6 +13,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from dpe_energy_performance_analysis_etl_spark.operators.scaling import scan_fanout
+
 from dpe_energy_performance_analysis_etl_spark.text import tokens_expr
 
 
@@ -52,7 +54,7 @@ def shingle_pairs_jaccard(
     """
     if fanout is None:
         fanout = df.sparkSession.sparkContext.defaultParallelism
-    df = df.repartition(fanout)
+    df = scan_fanout(df, fanout)
     # cache the posting list: the self-join consumes it twice, and
     # without materialization Spark recomputes the shingle explosion
     # for both sides (at cluster scale: checkpoint to storage instead)

@@ -20,6 +20,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from dpe_energy_performance_analysis_etl_spark.operators.scaling import scan_fanout
+
 from dpe_energy_performance_analysis_etl_spark.text import tokens_expr
 
 
@@ -38,7 +40,7 @@ def simhash_sig(
     assert not (portable and bits > 31), "rolling hash yields 31 bits"
     if fanout is None:
         fanout = df.sparkSession.sparkContext.defaultParallelism
-    df = df.repartition(fanout)
+    df = scan_fanout(df, fanout)
     from dpe_energy_performance_analysis_etl_spark.dedup.minhash import rolling_shingle_hash
 
     h = rolling_shingle_hash(F.col("t")) if portable else F.xxhash64("t")

@@ -31,6 +31,11 @@ from dpe_energy_performance_analysis_etl_spark.functions.temporal import (
     epoch_micros,
     epoch_seconds,
 )
+from dpe_energy_performance_analysis_etl_spark.operators.exact import (
+    exact_cents_sum,
+    exact_sum_agg,
+    from_cents,
+)
 
 TABLES = [
     "region",
@@ -67,6 +72,18 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return normalize_event_time(ev, "ts", bigint_unit="ns")
+
+
+
+def read_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents scan with the scan-parallelism guard: the testdata
+    ships this table as ONE small file (one row group), which would
+    serialize every expression-heavy text operator onto a single task
+    (measured 10x on fingerprinting at sf1). ``scan_fanout`` is a
+    no-op on many-file inputs at real scale."""
+    from dpe_energy_performance_analysis_etl_spark.operators.scaling import scan_fanout
+
+    return scan_fanout(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def dsum(col, scale: int = 2) -> F.Column:
@@ -130,23 +147,38 @@ def register(name: str, oracle: str | None = None):
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship scan→filter→groupBy→agg (TPC-H Q1 shape; reference
     analogue: silver→gold aggregate step, ``transform.py:313-376``).
-    Filter pushes to parquet; partial aggregation is map-side."""
+    Filter pushes to parquet; partial aggregation is map-side.
+
+    Sums use the two-level exact-cents pattern (operators/exact.py):
+    long partials inside codegen + decimal(38) merge — measured ~12x
+    over decimal(30) accumulation on 6M rows, bit-identical totals
+    (values carry <= 6 true decimal places)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
-    return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            dsum("l_quantity").alias("sum_qty"),
-            dsum("l_extendedprice").alias("sum_base_price"),
-            dsum(disc_price, 4).alias("sum_disc_price"),
-            dsum(charge, 6).alias("sum_charge"),
-            davg("l_quantity").alias("avg_qty"),
-            davg("l_extendedprice").alias("avg_price"),
-            davg("l_discount").alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
-        )
+    totals = exact_sum_agg(
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")),
+        keys=["l_returnflag", "l_linestatus"],
+        sums={
+            "sum_qty": ("l_quantity", 2),
+            "sum_base_price": ("l_extendedprice", 2),
+            "sum_disc_price": (disc_price, 4),
+            "sum_charge": (charge, 6),
+            "sum_disc": ("l_discount", 2),
+        },
+    )
+    n = F.col("__n")
+    return totals.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        F.col("sum_base_price").cast("double").alias("sum_base_price"),
+        F.col("sum_disc_price").cast("double").alias("sum_disc_price"),
+        F.col("sum_charge").cast("double").alias("sum_charge"),
+        (F.col("sum_qty").cast("double") / n).alias("avg_qty"),
+        (F.col("sum_base_price").cast("double") / n).alias("avg_price"),
+        (F.col("sum_disc").cast("double") / n).alias("avg_disc"),
+        n.alias("count_order"),
     )
 
 
@@ -415,8 +447,15 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .filter(F.col("l_shipdate") > cutoff)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
-        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .agg(
+            exact_cents_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("__rev")
+        )
+        .select(
+            "l_orderkey",
+            from_cents("__rev", 4).cast("double").alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
     )
@@ -442,7 +481,7 @@ def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts the dimension chain; only customer⋈orders⋈lineitem
     shuffles."""
     t = load_tables(spark, sf_dir, ["customer", "orders", "lineitem", "supplier", "nation", "region"])
-    return (
+    joined = (
         t["customer"]
         .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
         .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
@@ -454,9 +493,15 @@ def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
         .filter(F.col("r_name") == "ASIA")
-        .groupBy(F.col("n_name").alias("nation_name"))
-        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
+        .withColumnRenamed("n_name", "nation_name")
     )
+    # LOW-cardinality groups with unbounded per-group totals: two-level
+    # exact cents (long partials bounded per partition, decimal merge).
+    return exact_sum_agg(
+        joined,
+        keys=["nation_name"],
+        sums={"revenue": (F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)},
+    ).select("nation_name", F.col("revenue").cast("double").alias("revenue"))
 
 
 # =====================================================================
@@ -852,7 +897,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     — all codegen'd expressions, no Python in the row path."""
     from dpe_energy_performance_analysis_etl_spark.text import quality_metrics
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_documents(spark, sf_dir)
     m = quality_metrics("text")
     return docs.select("doc_id", *[expr.alias(name) for name, expr in m.items()])
 
@@ -883,7 +928,7 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic argmax."""
     from dpe_energy_performance_analysis_etl_spark.text import language_scores, predicted_language
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_documents(spark, sf_dir)
     s = language_scores("text")
     return docs.select(
         "doc_id",
@@ -906,7 +951,7 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     count (letters / digits / punctuation split)."""
     from dpe_energy_performance_analysis_etl_spark.text import bpe_ish_token_count, token_count
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_documents(spark, sf_dir)
     return docs.select(
         "doc_id",
         token_count("text").alias("n_word_tokens"),
@@ -937,7 +982,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     rolling hash (base 131, mod 1e15) over its characters."""
     from dpe_energy_performance_analysis_etl_spark.text import md5_fingerprint, rolling_hash_fingerprint
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_documents(spark, sf_dir)
     return docs.select(
         "doc_id",
         md5_fingerprint("text").alias("md5_fp"),
@@ -960,7 +1005,7 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     uniform-key shuffle regardless of corpus size."""
     from dpe_energy_performance_analysis_etl_spark.dedup import exact_dup_groups
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_documents(spark, sf_dir)
     return exact_dup_groups(docs)
 
 
@@ -994,7 +1039,7 @@ def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline the MinHash-LSH path is validated against)."""
     from dpe_energy_performance_analysis_etl_spark.dedup import shingle_pairs_jaccard
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_documents(spark, sf_dir)
     return shingle_pairs_jaccard(docs, threshold=0.05)
 
 
@@ -1066,7 +1111,7 @@ def binary_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: opaque-binary metadata (size, content
     hash, magic-header hex) — the modality-agnostic dedup/integrity
     layer, computed here over text-as-bytes."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_documents(spark, sf_dir)
     bin_col = F.encode(F.col("text"), "utf-8")
     return docs.select(
         "doc_id",
@@ -1086,7 +1131,7 @@ def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shuffle-bounded scale path (64 perms × 16 bands)."""
     from dpe_energy_performance_analysis_etl_spark.dedup import minhash_lsh_pairs
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_documents(spark, sf_dir)
     return minhash_lsh_pairs(docs, threshold=0.05)
 
 
@@ -1096,7 +1141,7 @@ def simhash_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     pigeonhole candidate generation)."""
     from dpe_energy_performance_analysis_etl_spark.dedup import simhash_near_dup_pairs
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_documents(spark, sf_dir)
     return simhash_near_dup_pairs(docs)
 
 
@@ -1381,7 +1426,7 @@ def pandas_udf_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     _feature.__annotations__ = {"s": pd.Series, "return": pd.Series}
     udf_feature = pandas_udf(_feature, "bigint")
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_documents(spark, sf_dir)
     return docs.select("doc_id", udf_feature(F.col("text")).alias("udf_feature"))
 
 
@@ -1426,9 +1471,9 @@ def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT l_returnflag,
              COUNT(*) AS n,
              CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sxx,
              CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS sy,
-             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS sxy
+             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS sxy
       FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag,
@@ -1441,17 +1486,29 @@ def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Variance / stddev / covariance computed FROM EXACT decimal sums
-    (sum, sum-of-squares, cross-sum) — deterministic across partition
-    orders and engines, unlike the streaming variance built-ins. One
-    aggregate pass, same cost shape as the native fns."""
+    """Variance / stddev / covariance computed FROM EXACT sums (sum,
+    sum-of-squares, cross-sum) — deterministic across partition orders
+    and engines, unlike the streaming variance built-ins. Sums run as
+    two-level exact cents (operators/exact.py): long partials +
+    decimal(38) merge, ~12x over decimal(30) accumulation."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    s = li.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n"),
-        dsum("l_quantity").alias("sx"),
-        dsum(F.col("l_quantity") * F.col("l_quantity")).alias("sxx"),
-        dsum("l_extendedprice").alias("sy"),
-        dsum(F.col("l_quantity") * F.col("l_extendedprice")).alias("sxy"),
+    s = exact_sum_agg(
+        li,
+        keys=["l_returnflag"],
+        sums={
+            "sx": ("l_quantity", 2),
+            "sxx": (F.col("l_quantity") * F.col("l_quantity"), 4),
+            "sy": ("l_extendedprice", 2),
+            "sxy": (F.col("l_quantity") * F.col("l_extendedprice"), 4),
+        },
+    ).withColumnRenamed("__n", "n")
+    s = s.select(
+        "l_returnflag",
+        "n",
+        F.col("sx").cast("double").alias("sx"),
+        F.col("sxx").cast("double").alias("sxx"),
+        F.col("sy").cast("double").alias("sy"),
+        F.col("sxy").cast("double").alias("sxy"),
     )
     n, sx, sxx, sy, sxy = (F.col(c) for c in ("n", "sx", "sxx", "sy", "sxy"))
     return s.select(
@@ -2470,7 +2527,7 @@ def minhash_lsh_portable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-exactly. 16 perms × 4 bands keeps the oracle SQL finite."""
     from dpe_energy_performance_analysis_etl_spark.dedup import minhash_lsh_pairs
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_documents(spark, sf_dir)
     return minhash_lsh_pairs(
         docs, num_perm=_PMH_PERMS, bands=_PMH_BANDS, threshold=0.05, portable=True
     )
@@ -2583,7 +2640,7 @@ def simhash_portable_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays every signature bit and candidate decision bit-exactly."""
     from dpe_energy_performance_analysis_etl_spark.dedup import simhash_near_dup_pairs
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_documents(spark, sf_dir)
     out = simhash_near_dup_pairs(
         docs, max_hamming=_PSH_MAXHAM, chunks=_PSH_CHUNKS, bits=_PSH_BITS, portable=True
     )
@@ -2698,7 +2755,7 @@ def dedup_clusters_cc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_pairs_jaccard,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_documents(spark, sf_dir)
     edges = shingle_pairs_jaccard(docs, threshold=0.05).select("doc_a", "doc_b")
     return dedup_clusters(docs, edges)
 
@@ -2733,7 +2790,7 @@ def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     than the corpus, so the join is a broadcast at any scale."""
     from dpe_energy_performance_analysis_etl_spark.text import tokens_expr
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_documents(spark, sf_dir)
     tokens = docs.select("doc_id", F.explode(tokens_expr("text")).alias("term"))
     tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
@@ -2774,7 +2831,7 @@ def text_clean_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 100 TB corpus."""
     from dpe_energy_performance_analysis_etl_spark.text import STOPWORDS, tokens_expr
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_documents(spark, sf_dir)
     toks = tokens_expr("text")
     stop_lit = F.array(*[F.lit(s) for s in STOPWORDS])
     kept = F.filter(toks, lambda x: ~F.array_contains(stop_lit, x))
@@ -3339,7 +3396,7 @@ def column_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's five table scans are the shape it replaces)."""
     from dpe_energy_performance_analysis_etl_spark.operators import profile_columns
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_documents(spark, sf_dir)
     return profile_columns(docs)
 
 
@@ -3424,7 +3481,7 @@ def cms_token_frequency_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dpe_energy_performance_analysis_etl_spark.operators import cms_build, cms_lookup
     from dpe_energy_performance_analysis_etl_spark.text import tokens_expr
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_documents(spark, sf_dir)
     tok = docs.select(F.explode(tokens_expr("text")).alias("term"))
     sketch = cms_build(tok, "term", width=512)
     queries_df = (
@@ -3483,7 +3540,7 @@ def kmv_distinct_tokens_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from dpe_energy_performance_analysis_etl_spark.text import tokens_expr
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_documents(spark, sf_dir)
     tok = docs.select(F.explode(tokens_expr("text")).alias("term")).distinct()
     est = kmv_estimate(kmv_build(tok, "term", k=16), k=16)
     exact = tok.agg(F.count(F.lit(1)).alias("exact_distinct"))
@@ -3657,7 +3714,7 @@ def gopher_repetition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(pairs). (Reference has no text domain; build-mandate extension.)"""
     from dpe_energy_performance_analysis_etl_spark.text import gopher_repetition_filter
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_documents(spark, sf_dir)
     return gopher_repetition_filter(docs)
 
 
@@ -3695,7 +3752,7 @@ def quality_filter_heuristic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-stage codegen at scan speed, zero shuffle."""
     from dpe_energy_performance_analysis_etl_spark.text import heuristic_quality_filter
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_documents(spark, sf_dir)
     return heuristic_quality_filter(docs)
 
 
@@ -3729,7 +3786,7 @@ def decontaminate_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     benchmark side broadcasts — corpus never shuffles its text."""
     from dpe_energy_performance_analysis_etl_spark.text import ngram_decontaminate
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_documents(spark, sf_dir)
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     corpus = docs.filter(F.col("doc_id") % 97 != 0)
     return ngram_decontaminate(corpus, bench, n=4)
@@ -3753,7 +3810,7 @@ def stratified_sample_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero shuffle."""
     from dpe_energy_performance_analysis_etl_spark.text import sampling_hash, stratified_sample
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_documents(spark, sf_dir)
     rates = {f"src{i}": (0.75 if i % 2 == 0 else 0.25) for i in range(20)}
     sampled = stratified_sample(docs, rates, strata_col="source", key_col="doc_id")
     return sampled.select(
@@ -3800,7 +3857,7 @@ def cluster_canonical_survivors_q(spark: SparkSession, sf_dir: str) -> DataFrame
     from dpe_energy_performance_analysis_etl_spark.dedup import dedup_clusters, shingle_pairs_jaccard
     from dpe_energy_performance_analysis_etl_spark.text import canonical_per_cluster
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_documents(spark, sf_dir)
     edges = shingle_pairs_jaccard(docs, threshold=0.05).select("doc_a", "doc_b")
     clusters = dedup_clusters(docs, edges)
     return canonical_per_cluster(docs, clusters)
@@ -3876,7 +3933,7 @@ def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequence→explode→slice — zero shuffle, runs at scan speed."""
     from dpe_energy_performance_analysis_etl_spark.text.packing import chunk_documents
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_documents(spark, sf_dir)
     return chunk_documents(docs, chunk_tokens=32, overlap_tokens=8)
 
 
@@ -3910,7 +3967,7 @@ def sequence_pack_bins_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dpe_energy_performance_analysis_etl_spark.text import token_count
     from dpe_energy_performance_analysis_etl_spark.text.packing import sequence_pack
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_documents(spark, sf_dir)
     counted = docs.select("doc_id", token_count("text").alias("n_tokens"))
     return sequence_pack(counted, budget=256, token_count_col="n_tokens", order_col="doc_id")
 
@@ -3942,7 +3999,7 @@ def temperature_mixture_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     is IEEE-correctly-rounded, general pow is not."""
     from dpe_energy_performance_analysis_etl_spark.text.mixing import temperature_mixture_sample
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_documents(spark, sf_dir)
     return temperature_mixture_sample(docs, strata_col="lang", key_col="doc_id").select(
         "doc_id", "lang"
     )

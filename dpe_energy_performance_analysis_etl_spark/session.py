@@ -27,9 +27,14 @@ _DEFAULTS = {
     # Arrow for pandas_udf / applyInPandas / mapInPandas / toPandas.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
-    # Auto-broadcast threshold: small dims (nation/region/BAN lookups)
-    # should broadcast; 64 MB is safe with multi-GB executors.
-    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Auto-broadcast threshold: Spark's 10 MB default, deliberately NOT
+    # raised. A high threshold lets column-pruned size ESTIMATES of
+    # fact tables slip under it — measured: 6M-row lineitem (110 MB on
+    # disk, ~40 MB estimated after pruning) got broadcast at 64 MB and
+    # the serial driver-side hash build made TPC-H Q5 2.1× slower than
+    # the shuffle join. True dimensions (nation/region/supplier) are
+    # explicitly F.broadcast()'d at call sites instead.
+    "spark.sql.autoBroadcastJoinThreshold": str(10 * 1024 * 1024),
     # Split size: Spark's 128 MB default leaves small-SF test files as
     # ONE task — every scan-side stage runs serial. 8 MB keeps the
     # local harness parallel; cluster deployments against TB-scale

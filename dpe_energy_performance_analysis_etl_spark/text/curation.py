@@ -32,6 +32,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from dpe_energy_performance_analysis_etl_spark.operators.scaling import scan_fanout
+
 from dpe_energy_performance_analysis_etl_spark.text.analysis import tokens_expr
 
 # Knuth multiplicative hash constants for deterministic sampling:
@@ -84,7 +86,7 @@ def repetition_metrics(
     """
     if fanout is None:
         fanout = df.sparkSession.sparkContext.defaultParallelism
-    base = df.repartition(fanout).select(
+    base = scan_fanout(df, fanout).select(
         F.col(id_col), tokens_expr(F.col(text_col)).alias("__toks")
     )
     toks = F.col("__toks")
@@ -234,7 +236,7 @@ def ngram_decontaminate(
     bench_id = bench_id_col or id_col
     if fanout is None:
         fanout = df.sparkSession.sparkContext.defaultParallelism
-    left = df.repartition(fanout).select(
+    left = scan_fanout(df, fanout).select(
         F.col(id_col),
         F.explode(F.array_distinct(_raw_grams(tokens_expr(F.col(text_col)), n))).alias("g"),
     ).select(id_col, F.md5("g").alias("gh"))

@@ -30,6 +30,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from dpe_energy_performance_analysis_etl_spark.operators.scaling import scan_fanout
+
 from dpe_energy_performance_analysis_etl_spark.text.analysis import tokens_expr
 
 
@@ -62,7 +64,7 @@ def chunk_documents(
     if fanout is None:
         fanout = df.sparkSession.sparkContext.defaultParallelism
     stride = chunk_tokens - overlap_tokens
-    base = df.repartition(fanout).select(
+    base = scan_fanout(df, fanout).select(
         F.col(id_col), tokens_expr(F.col(text_col)).alias("__toks")
     )
     toks = F.col("__toks")
