@@ -115,10 +115,27 @@ def _small_star(e: DataFrame) -> DataFrame:
     )
 
 
+def _edge_checksum(e: DataFrame):
+    """(count, two independent 64-bit hash sums) of the canonical edge
+    set — one job. Sums accumulate in decimal(38) so they can never
+    overflow (ANSI would abort a long sum); set equality via two
+    independent hash families has ~2^-128 collision odds, far below
+    any hardware error rate."""
+    h1 = F.xxhash64("u", "v").cast("decimal(38,0)")
+    h2 = F.xxhash64(F.lit(0x5F37), "v", "u").cast("decimal(38,0)")
+    return tuple(e.agg(F.count(F.lit(1)), F.sum(h1), F.sum(h2)).first())
+
+
 def _star_contract(edges: DataFrame, src: str, dst: str, max_rounds: int):
     """Alternate large-star/small-star until the canonical edge set is
     a fixpoint (then it is a star forest: every edge is node ->
-    component minimum). Returns (star_edges, rounds_used)."""
+    component minimum). Returns (star_edges, rounds_used).
+
+    Fixpoint test is ONE action per round: a (count, hash-sum x2)
+    checksum of the checkpointed edge set compared to the previous
+    round's (carried, not recomputed) — replacing the former
+    count+count+exceptAll trio, which cost three jobs per round on
+    big graphs."""
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
@@ -126,13 +143,13 @@ def _star_contract(edges: DataFrame, src: str, dst: str, max_rounds: int):
         .distinct()
         .localCheckpoint()
     )
+    prev_sum = _edge_checksum(e)
     for rounds in range(1, max_rounds + 1):
         new_e = _small_star(_large_star(e)).localCheckpoint()
-        # exact fixpoint test on canonical sets: equal counts + empty
-        # difference (both sides are distinct()ed)
-        if new_e.count() == e.count() and new_e.exceptAll(e).isEmpty():
+        new_sum = _edge_checksum(new_e)
+        if new_sum == prev_sum:
             return new_e, rounds
-        e = new_e
+        e, prev_sum = new_e, new_sum
     raise RuntimeError(f"star contraction did not converge in {max_rounds} rounds")
 
 

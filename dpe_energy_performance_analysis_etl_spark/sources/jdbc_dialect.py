@@ -71,9 +71,13 @@ class JdbcDialect:
     def create_table_column_types(self, schema: T.StructType) -> str | None:
         """Value for the Spark writer's ``createTableColumnTypes``
         option: only the columns whose default mapping this dialect
-        overrides (others keep Spark's mapping)."""
+        overrides (others keep Spark's mapping). Names are backtick-
+        quoted — Spark parses this option with its own SQL parser, so
+        a mixed-case or space-bearing column name is a syntax error
+        unquoted (backticks are Spark-side only; the writer re-quotes
+        with the server dialect when emitting DDL)."""
         parts = [
-            f"{f.name} {self.ddl_type(f.dataType)}"
+            f"`{f.name.replace('`', '``')}` {self.ddl_type(f.dataType)}"
             for f in schema.fields
             if self.ddl_type(f.dataType) is not None
         ]

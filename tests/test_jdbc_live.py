@@ -178,8 +178,10 @@ def test_dialect_for_url_and_ddl_overrides(spark):
             T.StructField("flag", T.ByteType()),
         ]
     )
+    # backtick-quoted: Spark parses createTableColumnTypes with its
+    # own SQL parser, so special-char names need Spark-side quoting
     assert POSTGRES.create_table_column_types(schema) == (
-        "name VARCHAR(1024), flag SMALLINT"
+        "`name` VARCHAR(1024), `flag` SMALLINT"
     )
 
 
@@ -280,3 +282,97 @@ def test_shared_rate_limiter_is_per_process():
     # 40 calls through one shared 200/s bucket need >= 39 * 5 ms;
     # per-thread buckets would finish in ~45 ms
     assert elapsed >= 0.19
+
+
+def test_upsert_merge_composite_key_live_derby(spark, derby_url, props):
+    """VERDICT r2 #7: MERGE with a composite primary-key conflict
+    target — both key columns participate in the ON clause; a row
+    matching on only one key must INSERT, not UPDATE."""
+    from dpe_energy_performance_analysis_etl_spark.sources import (
+        DERBY,
+        append_jdbc_table,
+        read_jdbc_table,
+        upsert_jdbc_table,
+    )
+    from dpe_energy_performance_analysis_etl_spark.sources.jdbc_dialect import (
+        execute_statements,
+    )
+
+    execute_statements(
+        spark,
+        derby_url,
+        props,
+        [
+            'CREATE TABLE UPS_CK ("K1" BIGINT NOT NULL, "K2" VARCHAR(8) NOT NULL, '
+            '"V" DOUBLE, PRIMARY KEY ("K1", "K2"))'
+        ],
+    )
+    base = spark.createDataFrame(
+        [(1, "a", 1.0), (1, "b", 2.0), (2, "a", 3.0)], ["K1", "K2", "V"]
+    )
+    append_jdbc_table(base, derby_url, "UPS_CK", props)
+
+    # (1,"a") matches both keys -> update; (2,"b") matches K1 only ->
+    # insert; (3,"c") matches nothing -> insert
+    delta = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], ["K1", "K2", "V"]
+    )
+    upsert_jdbc_table(delta, derby_url, "UPS_CK", ["K1", "K2"], props, dialect=DERBY)
+    upsert_jdbc_table(delta, derby_url, "UPS_CK", ["K1", "K2"], props, dialect=DERBY)
+
+    back = read_jdbc_table(spark, derby_url, "UPS_CK", props)
+    rows = {(r["K1"], r["K2"]): r["V"] for r in back.collect()}
+    assert rows == {
+        (1, "a"): 10.0,
+        (1, "b"): 2.0,
+        (2, "a"): 3.0,
+        (2, "b"): 20.0,
+        (3, "c"): 30.0,
+    }
+
+
+def test_upsert_merge_mixed_case_identifiers_live_derby(spark, derby_url, props):
+    """VERDICT r2 #7: quoted mixed-case column names survive the whole
+    staged-upsert path. Spark's JDBC writer CREATEs/INSERTs columns
+    quoted case-exactly, and the dialect's MERGE quotes every column
+    reference, so a target created with "Id"/"Val Ue" (unreachable
+    from unquoted SQL in Derby) still round-trips."""
+    from dpe_energy_performance_analysis_etl_spark.sources import (
+        DERBY,
+        append_jdbc_table,
+        read_jdbc_table,
+        upsert_jdbc_table,
+    )
+    from dpe_energy_performance_analysis_etl_spark.sources.jdbc_dialect import (
+        execute_statements,
+    )
+
+    execute_statements(
+        spark,
+        derby_url,
+        props,
+        ['CREATE TABLE UPS_MC ("Id" BIGINT PRIMARY KEY, "Val Ue" VARCHAR(16))'],
+    )
+    append_jdbc_table(
+        spark.createDataFrame([(1, "old")], ["Id", "Val Ue"]), derby_url, "UPS_MC", props
+    )
+    delta = spark.createDataFrame([(1, "new"), (2, "ins")], ["Id", "Val Ue"])
+    upsert_jdbc_table(delta, derby_url, "UPS_MC", ["Id"], props, dialect=DERBY)
+
+    back = read_jdbc_table(spark, derby_url, "UPS_MC", props)
+    assert back.columns == ["Id", "Val Ue"]
+    rows = {r["Id"]: r["Val Ue"] for r in back.collect()}
+    assert rows == {1: "new", 2: "ins"}
+
+
+def test_postgres_upsert_sql_mixed_case_pin():
+    """Keep the Postgres string-pin in sync with the quoting the live
+    Derby tests prove: mixed-case and space-bearing identifiers stay
+    quoted everywhere they appear."""
+    from dpe_energy_performance_analysis_etl_spark.sources import POSTGRES
+
+    sql = POSTGRES.upsert_sql("tgt", "tgt_stg", ["Id", "Val Ue"], ["Id"])
+    assert sql == (
+        'INSERT INTO tgt ("Id", "Val Ue") SELECT "Id", "Val Ue" FROM tgt_stg '
+        'ON CONFLICT ("Id") DO UPDATE SET "Val Ue" = EXCLUDED."Val Ue"'
+    )
