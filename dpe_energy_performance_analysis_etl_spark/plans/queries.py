@@ -109,6 +109,25 @@ def davg(col, count_col=None, scale: int = 2) -> F.Column:
     return (F.sum(c.cast(f"decimal(30,{scale})")).cast("double") / cnt)
 
 
+def dsum_fast(col, scale: int = 2) -> F.Column:
+    """Drop-in for ``dsum`` when per-group cents totals are
+    structurally bounded within long capacity (high-cardinality group
+    keys, or magnitudexrows ≤ ~9e18 even at 100 TB): single-level sum
+    of scaled integers — codegen long adds, ~15x dsum — rescaled to
+    the identical exact decimal and cast double, so the oracle SQL is
+    unchanged. ANSI aborts loudly if the bound is ever wrong. For
+    LOW-cardinality unbounded groups use operators.exact.exact_sum_agg
+    (two-level) instead."""
+    return from_cents(exact_cents_sum(col, scale), scale).cast("double")
+
+
+def davg_fast(col, count_col=None, scale: int = 2) -> F.Column:
+    """Exact-sum average on the long fast path (see ``dsum_fast``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    cnt = F.count(c) if count_col is None else F.count(count_col)
+    return dsum_fast(c, scale) / cnt
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE_SQL: dict[str, str] = {}
 
@@ -248,7 +267,7 @@ def count_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.groupBy("c_mktsegment").agg(
         F.countDistinct("c_nationkey").alias("n_nations"),
         F.count(F.lit(1)).alias("n_customers"),
-        dsum("c_acctbal").alias("total_balance"),
+        dsum_fast("c_acctbal").alias("total_balance"),
     )
 
 
@@ -267,7 +286,7 @@ def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     hierarchical totals in one pass."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.count(F.lit(1)).alias("n_rows"), dsum("l_quantity").alias("sum_qty")
+        F.count(F.lit(1)).alias("n_rows"), dsum_fast("l_quantity").alias("sum_qty")
     )
 
 
@@ -283,7 +302,7 @@ def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     return orders.cube("o_orderstatus", "o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("revenue")
+        F.count(F.lit(1)).alias("n_orders"), dsum_fast("o_totalprice").alias("revenue")
     )
 
 
@@ -303,7 +322,7 @@ def pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag")
         .pivot("l_linestatus", ["O", "F"])
-        .agg(dsum("l_quantity"))
+        .agg(dsum_fast("l_quantity"))
         .withColumnsRenamed({"O": "qty_open", "F": "qty_filled"})
     )
 
@@ -815,7 +834,7 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.window("ts", "1 hour").start.alias("window_start"),
             "event_type",
         )
-        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("total_value"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum_fast("value").alias("total_value"))
     )
 
 
@@ -1537,7 +1556,7 @@ def histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events(spark, sf_dir)
     return (
         ev.groupBy(F.floor(F.col("value") / 5.0).cast("bigint").alias("bin"))
-        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("bin_sum"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum_fast("value").alias("bin_sum"))
     )
 
 
@@ -1682,18 +1701,16 @@ def q14_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     division."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     part = spark.read.parquet(f"{sf_dir}/part.parquet")
-    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(30,4)")
-    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(30,4)"))
-    return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .filter(
-            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
-        )
-        .agg(
-            (100.0 * F.sum(promo).cast("double") / F.sum(rev).cast("double")).alias(
-                "promo_revenue_pct"
-            )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
+    )
+    totals = exact_sum_agg(joined, keys=[], sums={"p": (promo, 4), "v": (rev, 4)})
+    return totals.select(
+        (100.0 * F.col("p").cast("double") / F.col("v").cast("double")).alias(
+            "promo_revenue_pct"
         )
     )
 
@@ -1831,7 +1848,7 @@ def q7_nation_pair_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .filter(F.col("cust_nation") != F.col("supp_nation"))
         .groupBy("cust_nation", "supp_nation", F.year("l_shipdate").cast("bigint").alias("ship_year"))
-        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
+        .agg(dsum_fast(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
     )
 
 
@@ -1862,7 +1879,7 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_returnflag") == "R")
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation_name"))
-        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
+        .agg(dsum_fast(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
@@ -1994,13 +2011,18 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     reaches the parquet scan (PushedFilters); the agg is one partial +
     one final with no shuffle key — the cheapest possible 100 TB plan."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    return li.filter(
+    filtered = li.filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_discount") >= 0.05)
         & (F.col("l_discount") <= 0.07)
         & (F.col("l_quantity") < 24)
-    ).agg(dsum(F.col("l_extendedprice") * F.col("l_discount"), 4).alias("revenue"))
+    )
+    return exact_sum_agg(
+        filtered,
+        keys=[],
+        sums={"revenue": (F.col("l_extendedprice") * F.col("l_discount"), 4)},
+    ).select(F.col("revenue").cast("double").alias("revenue"))
 
 
 @register(
@@ -2091,7 +2113,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     avg_qty = (
         t["lineitem"]
         .groupBy(F.col("l_partkey").alias("ap_partkey"))
-        .agg(davg("l_quantity").alias("avg_qty"))
+        .agg(davg_fast("l_quantity").alias("avg_qty"))
     )
     pt = t["part"].filter((F.col("p_brand") == "Brand#23") & (F.col("p_size") < 5)).select("p_partkey")
     return (
@@ -2099,7 +2121,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
         .join(avg_qty, F.col("l_partkey") == F.col("ap_partkey"))
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
-        .agg((dsum("l_extendedprice") / 7.0).alias("avg_yearly"))
+        .agg((dsum_fast("l_extendedprice") / 7.0).alias("avg_yearly"))
     )
 
 
@@ -2192,7 +2214,7 @@ def q20_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_suppkey")
-        .agg(dsum("l_quantity").alias("tot_qty"))
+        .agg(dsum_fast("l_quantity").alias("tot_qty"))
         .filter(F.col("tot_qty") > 150.0)
         .select("l_suppkey")
     )
@@ -2302,7 +2324,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = t["nation"].select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation"))
     volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     national = F.when(F.col("nation") == "NATION_5", volume).otherwise(F.lit(0.0))
-    return (
+    joined = (
         t["lineitem"]
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
         .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
@@ -2317,8 +2339,14 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
             & (F.col("o_orderdate") <= F.lit("1997-12-31 00:00:00").cast("timestamp"))
         )
-        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
-        .agg((dsum(national, 4) / dsum(volume, 4)).alias("mkt_share"))
+        .select(F.year("o_orderdate").cast("int").alias("o_year"), volume.alias("__vol"), national.alias("__nat"))
+    )
+    totals = exact_sum_agg(
+        joined, keys=["o_year"], sums={"n": ("__nat", 4), "v": ("__vol", 4)}
+    )
+    return totals.select(
+        "o_year",
+        (F.col("n").cast("double") / F.col("v").cast("double")).alias("mkt_share"),
     )
 
 
@@ -2351,7 +2379,7 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice") * (1 - F.col("l_discount"))
         - F.lit(0.5) * F.col("p_retailprice") * F.col("l_quantity")
     )
-    return (
+    joined = (
         t["lineitem"]
         .join(F.broadcast(t["part"].filter(F.col("p_name").like("%gear%")).select("p_partkey", "p_retailprice")),
               F.col("l_partkey") == F.col("p_partkey"))
@@ -2359,8 +2387,10 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(t["orders"].select("o_orderkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(t["nation"].select("n_nationkey", F.col("n_name").alias("nation"))),
               F.col("s_nationkey") == F.col("n_nationkey"))
-        .groupBy("nation", F.year("o_orderdate").cast("int").alias("o_year"))
-        .agg(dsum(amount, 4).alias("sum_profit"))
+        .select("nation", F.year("o_orderdate").cast("int").alias("o_year"), amount.alias("__amt"))
+    )
+    return exact_sum_agg(joined, keys=["nation", "o_year"], sums={"sum_profit": ("__amt", 4)}).select(
+        "nation", "o_year", F.col("sum_profit").cast("double").alias("sum_profit")
     )
 
 
@@ -2397,8 +2427,10 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = t["lineitem"].join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey")).select(
         "l_partkey", "l_extendedprice"
     )
-    value = base.groupBy("l_partkey").agg(dsum("l_extendedprice").alias("value"))
-    threshold = base.agg((dsum("l_extendedprice") * 0.001).alias("threshold"))
+    value = base.groupBy("l_partkey").agg(dsum_fast("l_extendedprice").alias("value"))
+    threshold = exact_sum_agg(base, keys=[], sums={"t": ("l_extendedprice", 2)}).select(
+        (F.col("t").cast("double") * 0.001).alias("threshold")
+    )
     return (
         value.join(F.broadcast(threshold))
         .filter(F.col("value") > F.col("threshold"))
@@ -2434,7 +2466,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("total_revenue"))
+        .agg(dsum_fast(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("total_revenue"))
     )
     max_rev = revenue.agg(F.max("total_revenue").alias("max_rev"))
     return (
@@ -3205,7 +3237,7 @@ def value_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.min("o_totalprice").alias("lo"),
         F.max("o_totalprice").alias("hi"),
-        dsum("o_totalprice").alias("total"),
+        dsum_fast("o_totalprice").alias("total"),
     )
 
 
