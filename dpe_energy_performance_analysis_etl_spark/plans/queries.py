@@ -35,6 +35,7 @@ from dpe_energy_performance_analysis_etl_spark.operators.exact import (
     exact_cents_sum,
     exact_sum_agg,
     from_cents,
+    scaled_long,
 )
 
 TABLES = [
@@ -693,7 +694,7 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         "o_orderdate",
-        F.sum(F.col("o_totalprice").cast("decimal(30,2)")).over(w).cast("double").alias("running_spend"),
+        from_cents(F.sum(scaled_long("o_totalprice", 2)).over(w), 2).cast("double").alias("running_spend"),
     )
 
 
@@ -1733,7 +1734,7 @@ def q18_large_orders_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(30,2)")).alias("q"))
+        .agg(from_cents(F.sum(scaled_long("l_quantity", 2)), 2).alias("q"))
         .filter(F.col("q") > 150)
         .select("l_orderkey", F.col("q").cast("double").alias("total_qty"))
     )
@@ -1764,9 +1765,10 @@ def q19_or_of_ands(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 30) & F.col("l_quantity").between(10, 30))
         | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 50) & F.col("l_quantity").between(20, 50))
     )
-    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(30,4)")
-    return j.filter(b).agg(
-        F.sum(rev).cast("double").alias("revenue"), F.count(F.lit(1)).alias("n_lines")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    totals = exact_sum_agg(j.filter(b), keys=[], sums={"revenue": (rev, 4)})
+    return totals.select(
+        F.col("revenue").cast("double").alias("revenue"), F.col("__n").alias("n_lines")
     )
 
 
@@ -1983,7 +1985,7 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "ts",
-        F.sum(F.col("value").cast("decimal(30,2)")).over(w).cast("double").alias("rolling_1h_value"),
+        from_cents(F.sum(scaled_long("value", 2)).over(w), 2).cast("double").alias("rolling_1h_value"),
     )
 
 
@@ -3384,10 +3386,10 @@ def percent_of_total_window_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.select(
             "o_orderpriority",
             (F.col("o_custkey") % 10).alias("cohort"),
-            F.col("o_totalprice").cast("decimal(30,2)").alias("price"),
+            scaled_long("o_totalprice", 2).alias("price_c"),
         )
         .groupBy("o_orderpriority", "cohort")
-        .agg(F.sum("price").alias("grp_dec"))
+        .agg(from_cents(F.sum("price_c"), 2).alias("grp_dec"))
     )
     w_pri = Window.partitionBy("o_orderpriority")
     w_all = Window.partitionBy()
@@ -4053,3 +4055,125 @@ def pseudonymize_pii_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_custkey", "c_name")
     return pseudonymize(cust, ["c_name"], salt="k1")
+
+
+# =====================================================================
+# Round-3 additions: native session windows, free-text PII redaction,
+# deterministic epoch sharding
+# =====================================================================
+
+@register(
+    "events_session_window_native",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, sid
+    """,
+)
+def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window operator (§2.8) — the same
+    gaps-and-islands result as ``events_sessionize`` but via the
+    built-in merging session assigner, which also runs unchanged under
+    Structured Streaming with watermark-based state eviction (the
+    scale path for infinite streams; the window() variant of
+    ``streaming/stateful.py``'s applyInPandasWithState sessionizer).
+
+    Boundary semantics: session_window treats [start, last+gap) as
+    half-open, so a gap of EXACTLY the timeout starts a new session —
+    the oracle's CASE uses >= to match."""
+    ev = read_events(spark, sf_dir)
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events")
+    )
+
+
+@register(
+    "pii_redact",
+    """
+    WITH seeded AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id || '@example.com or 10.0.' ||
+             (doc_id % 256) || '.7 tel +33 6 ' || (10000000 + doc_id) AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+')) AS email_n,
+           len(regexp_extract_all(
+             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+', '[email]', 'g'),
+             '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) AS ipv4_n,
+           len(regexp_extract_all(
+             regexp_replace(
+               regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+', '[email]', 'g'),
+               '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '[ipv4]', 'g'),
+             '\\+?[0-9][0-9 ()-]{7,}[0-9]')) AS phone_n,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+', '[email]', 'g'),
+               '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '[ipv4]', 'g'),
+             '\\+?[0-9][0-9 ()-]{7,}[0-9]', '[phone]', 'g') AS text
+    FROM seeded
+    """,
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Free-text PII redaction (text/mixing.py redact_pii): class
+    tokens replace emails / IPv4s / phone numbers, with per-class
+    match counts. The fixture seeds synthetic identifiers from doc_id
+    (both engines build the identical string) so redaction does real
+    work on every row; patterns are engine-portable regex. Counts are
+    taken class-AFTER-class on the progressively scrubbed text
+    (emails first), so digits inside an address are never double-
+    counted as a phone — mirrored exactly in the oracle's nesting.
+    Row-local, zero shuffle."""
+    from dpe_energy_performance_analysis_etl_spark.text.mixing import redact_pii
+
+    docs = read_documents(spark, sf_dir)
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or 10.0."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 tel +33 6 "), (F.col("doc_id") + 10_000_000).cast("string"),
+        ).alias("text"),
+    )
+    return redact_pii(seeded).select("doc_id", "email_n", "ipv4_n", "phone_n", "text")
+
+
+@register(
+    "epoch_shard_assign",
+    """
+    SELECT doc_id,
+           CAST(((((doc_id + 1 * 1000003) % 2147483647) * 2654435761 % 4294967296) % 10000) % 8 AS INTEGER) AS shard,
+           ((((doc_id + 1 * 1000003) % 2147483647) * 2654435761 % 4294967296) % 10000) * 10007 % 100000 AS shuffle_key
+    FROM documents
+    """,
+)
+def epoch_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch-N shuffle/shard assignment for training
+    data loaders (text/mixing.py epoch_shard): reproducible
+    pseudo-random shard in [0,8) and per-epoch shuffle key, portable
+    integer hashing, no global sort — the writer repartitions by
+    shard and sorts WITHIN partitions only."""
+    from dpe_energy_performance_analysis_etl_spark.text.mixing import epoch_shard
+
+    docs = read_documents(spark, sf_dir)
+    return epoch_shard(docs, n_shards=8, epoch=1).select("doc_id", "shard", "shuffle_key")

@@ -95,3 +95,70 @@ def pseudonymize(
         if drop_original:
             out = out.drop(c)
     return out
+
+
+# Identifier classes every shared corpus must scrub. Deliberately
+# engine-portable regex (no lookaround, no \b): the same pattern
+# string runs identically under Java regex (Spark) and RE2-style
+# engines (DuckDB), so redaction is oracle-checkable bit-for-bit.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+",
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+    "phone": r"\+?[0-9][0-9 ()-]{7,}[0-9]",
+}
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    patterns: dict[str, str] | None = None,
+    token_fmt: str = "[{label}]",
+) -> DataFrame:
+    """Replace every PII match with a class token (``[email]``,
+    ``[ipv4]``, ``[phone]``) and count the matches per class.
+
+    Unlike ``pseudonymize`` (which transforms identifier COLUMNS for
+    joinability), this scrubs identifiers embedded in free TEXT — the
+    pre-training-corpus step. Row-local regexp_replace chains, fully
+    codegen'd, zero shuffle; patterns apply in a fixed order (emails
+    before phones so a number inside an address is counted once).
+    Adds ``{label}_n`` counts and rewrites ``text_col`` in place.
+    """
+    patterns = patterns or PII_PATTERNS
+    out = df
+    scrubbed = F.col(text_col)
+    counts = []
+    for label, pat in patterns.items():
+        # count on the text as the PREVIOUS classes left it, then
+        # scrub — digits consumed by an earlier class (an address's
+        # local part) must not count again as a later one (a phone)
+        counts.append(F.size(F.regexp_extract_all(scrubbed, F.lit(pat), 0)).alias(f"{label}_n"))
+        scrubbed = F.regexp_replace(scrubbed, pat, token_fmt.format(label=label))
+    other = [c for c in df.columns if c != text_col]
+    return df.select(*other, *counts, scrubbed.alias(text_col))
+
+
+def epoch_shard(
+    df: DataFrame,
+    n_shards: int,
+    epoch: int = 0,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic training-epoch shuffle + shard assignment: every
+    row gets a pseudo-random but reproducible ``shard`` in
+    [0, n_shards) and a ``shuffle_key`` that orders rows within the
+    shard differently each epoch. The standard data-loader contract —
+    epoch N of a 100 TB corpus is the same permutation on every rerun,
+    with no global sort: writers repartition by ``shard`` and
+    sort WITHIN partitions by ``shuffle_key`` (sortWithinPartitions),
+    so the only shuffle is the 1-pass bucket exchange.
+
+    Portable integer hash (Knuth multiplicative, same as the sampling
+    path) — any engine reproduces the identical assignment."""
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    mixed = (F.col(key_col).cast("bigint") + F.lit(epoch) * F.lit(1_000_003)) % F.lit(2_147_483_647)
+    h = sampling_hash(mixed) * F.lit(10_007) % F.lit(_RATE_DENOM * 10)
+    return df.withColumn("shard", (sampling_hash(mixed) % F.lit(n_shards)).cast("int")).withColumn(
+        "shuffle_key", h.cast("bigint")
+    )

@@ -79,3 +79,65 @@ class TestPseudonymize:
         df = spark.createDataFrame([(1, "x")], "id long, name string")
         with pytest.raises(ValueError):
             pseudonymize(df, ["name"], salt="")
+
+
+class TestRedactPii:
+    def test_classes_replaced_and_counted(self, spark):
+        from dpe_energy_performance_analysis_etl_spark.text.mixing import redact_pii
+
+        df = spark.createDataFrame(
+            [(1, "mail a@b.org and b@c.io from 192.168.0.1 call +1 555 123 4567 ok")],
+            "id long, text string",
+        )
+        r = redact_pii(df).collect()[0]
+        assert r.email_n == 2 and r.ipv4_n == 1 and r.phone_n == 1
+        assert "[email]" in r.text and "[ipv4]" in r.text and "[phone]" in r.text
+        assert "a@b.org" not in r.text and "192.168" not in r.text and "555" not in r.text
+
+    def test_clean_text_untouched(self, spark):
+        from dpe_energy_performance_analysis_etl_spark.text.mixing import redact_pii
+
+        df = spark.createDataFrame([(1, "nothing sensitive here")], "id long, text string")
+        r = redact_pii(df).collect()[0]
+        assert r.text == "nothing sensitive here"
+        assert r.email_n == 0 and r.ipv4_n == 0 and r.phone_n == 0
+
+    def test_email_digits_not_double_counted_as_phone(self, spark):
+        from dpe_energy_performance_analysis_etl_spark.text.mixing import redact_pii
+
+        df = spark.createDataFrame(
+            [(1, "reach 123456789012@corp.com today")], "id long, text string"
+        )
+        r = redact_pii(df).collect()[0]
+        # the long digit run inside the address is consumed by the
+        # email pass and must not ALSO count as a phone number
+        assert r.email_n == 1 and r.phone_n == 0
+
+
+class TestEpochShard:
+    def test_deterministic_across_runs_and_balanced(self, spark):
+        from dpe_energy_performance_analysis_etl_spark.text.mixing import epoch_shard
+
+        df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+        a = {r.doc_id: (r.shard, r.shuffle_key) for r in epoch_shard(df, 8, epoch=3).collect()}
+        b = {r.doc_id: (r.shard, r.shuffle_key) for r in epoch_shard(df, 8, epoch=3).collect()}
+        assert a == b  # reproducible
+        counts = {}
+        for s, _ in a.values():
+            counts[s] = counts.get(s, 0) + 1
+        assert set(counts) == set(range(8))
+        assert max(counts.values()) < 2 * 2000 / 8  # no shard grossly overloaded
+
+    def test_epoch_changes_permutation(self, spark):
+        from dpe_energy_performance_analysis_etl_spark.text.mixing import epoch_shard
+
+        df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+        e0 = {r.doc_id: r.shuffle_key for r in epoch_shard(df, 4, epoch=0).collect()}
+        e1 = {r.doc_id: r.shuffle_key for r in epoch_shard(df, 4, epoch=1).collect()}
+        assert e0 != e1  # a new epoch reorders
+
+    def test_invalid_shards_rejected(self, spark):
+        from dpe_energy_performance_analysis_etl_spark.text.mixing import epoch_shard
+
+        with pytest.raises(ValueError):
+            epoch_shard(spark.range(1).withColumnRenamed("id", "doc_id"), 0)
