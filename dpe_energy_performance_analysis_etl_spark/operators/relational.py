@@ -131,18 +131,20 @@ def dedup_keys_keep_first(
     ``drop_duplicates(subset=pk, keep='first')``).
 
     pandas "first" depends on row order; distributed execution has no
-    implicit order, so with ``order_by`` this is the deterministic
-    window variant (row_number()==1 over the stable ordering); without
-    it, ``dropDuplicates(key_cols)`` (any-row semantics, cheaper: AQE
-    partial-agg instead of a full sort)."""
+    implicit order, so with ``order_by`` the winner is the row minimal
+    under the (ascending, lexicographic) ordering — computed with a
+    ``min_by(payload, order_key)`` aggregate rather than a
+    row_number() window: the aggregate gets MAP-SIDE partial
+    combining, so at most one row per key per input partition reaches
+    the shuffle, where the window variant sorts every duplicate across
+    the wire. Pass a unique tiebreaker in ``order_by`` for
+    deterministic results (same contract the window variant had).
+    Without ``order_by``: ``dropDuplicates`` (any-row semantics)."""
     if order_by is None:
         return df.dropDuplicates(key_cols)
-    w = Window.partitionBy(*key_cols).orderBy(*[F.col(c) for c in order_by])
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    payload = F.struct(*[F.col(c) for c in df.columns])
+    order_key = F.struct(*[F.col(c) for c in order_by])
+    return df.groupBy(*key_cols).agg(F.min_by(payload, order_key).alias("__w")).select("__w.*")
 
 
 def distinct_values(df: DataFrame, column: str) -> DataFrame:

@@ -501,3 +501,50 @@ def test_jdbc_table_exists_probe(spark, tmp_path):
     assert jdbc_table_exists(spark, url, "PROBE_T", props) is True
     # case-folding: unquoted DDL is stored upper-case in Derby
     assert jdbc_table_exists(spark, url, "probe_t", props) is True
+
+
+def test_native_session_window_stream_matches_batch(spark, events, tmp_path):
+    """§2.8: the NATIVE session_window assigner under Structured
+    Streaming (watermark + availableNow) must produce the same closed
+    sessions as the batch twin (query events_session_window_native's
+    shape). Watermark far past the data means every session closes and
+    is emitted in the final batch."""
+    landing = str(tmp_path / "landing")
+    target = str(tmp_path / "target")
+    ckpt = str(tmp_path / "ckpt")
+    sample = events.filter("user_id < 20")
+    sample.write.parquet(landing)
+
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(landing)
+    sessions = (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("w_start"), "n_events")
+    )
+    q = (
+        sessions.writeStream.format("parquet")
+        .option("path", target)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r.user_id, r.w_start, r.n_events)
+        for r in spark.read.parquet(target).collect()
+    }
+    # the stream only emits sessions CLOSED by the final watermark
+    # (= max event time): a session still inside its gap when the
+    # input drains stays in state, exactly like a live stream
+    max_ts = sample.agg(F.max("ts")).collect()[0][0]
+    batch = (
+        sample.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .filter(F.col("w.end") <= F.lit(max_ts))
+        .select("user_id", F.col("w.start").alias("w_start"), "n_events")
+    )
+    expect = {(r.user_id, r.w_start, r.n_events) for r in batch.collect()}
+    assert got == expect and len(expect) > 0
