@@ -4177,3 +4177,49 @@ def epoch_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_documents(spark, sf_dir)
     return epoch_shard(docs, n_shards=8, epoch=1).select("doc_id", "shard", "shuffle_key")
+
+
+@register(
+    "c4_line_filter",
+    """
+    WITH seeded AS (
+      SELECT doc_id,
+             'Header fragment without ending' || chr(10) ||
+             'This line has enough words and ends well, doc ' || doc_id || '.' || chr(10) ||
+             'short.' || chr(10) ||
+             substr(text, 1, 40) || ' closes the document here!' AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           len(string_split(text, chr(10))) AS n_lines,
+           len(list_filter(string_split(text, chr(10)),
+               ln -> regexp_matches(ln, '[.!?]$') AND len(string_split(ln, ' ')) >= 5)) AS n_kept_lines,
+           len(list_filter(string_split(text, chr(10)),
+               ln -> regexp_matches(ln, '[.!?]$') AND len(string_split(ln, ' ')) >= 5)) >= 1 AS keep_doc,
+           list_aggregate(list_filter(string_split(text, chr(10)),
+               ln -> regexp_matches(ln, '[.!?]$') AND len(string_split(ln, ' ')) >= 5),
+             'string_agg', chr(10)) AS clean_text
+    FROM seeded
+    """,
+)
+def c4_line_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level C4 cleaning (text/curation.py c4_line_filter): the
+    fixture seeds each doc with four deterministic lines — an
+    unterminated header (dropped), a long terminated line (kept), a
+    short terminated line (dropped: under the word floor), and a
+    terminated closing line built from the doc text (kept) — so the
+    filter exercises every branch on every row."""
+    from dpe_energy_performance_analysis_etl_spark.text.curation import c4_line_filter
+
+    docs = read_documents(spark, sf_dir)
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("Header fragment without ending\n"),
+            F.lit("This line has enough words and ends well, doc "),
+            F.col("doc_id").cast("string"), F.lit(".\n"),
+            F.lit("short.\n"),
+            F.substring("text", 1, 40), F.lit(" closes the document here!"),
+        ).alias("text"),
+    )
+    return c4_line_filter(seeded)

@@ -324,3 +324,38 @@ def canonical_per_cluster(
         "canonical_id",
         (F.col(id_col) == F.col("canonical_id")).alias("is_kept"),
     )
+
+
+_TERMINAL_PUNCT_RE = "[.!?]$"
+
+
+def c4_line_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_line_words: int = 5,
+    min_kept_lines: int = 1,
+) -> DataFrame:
+    """C4 §2.2 LINE-level cleaning (the half of the recipe
+    ``heuristic_quality_filter`` doesn't cover): split each document
+    into lines, keep only lines that end in terminal punctuation AND
+    carry at least ``min_line_words`` words, rejoin, and flag
+    documents left with fewer than ``min_kept_lines`` lines.
+
+    Pure per-row array expressions (split → filter → array_join) —
+    scan-speed, zero shuffle, and engine-portable: the same
+    split/regex/length semantics exist in any SQL engine, so the
+    whole transform is oracle-checkable."""
+    lines = F.split(F.col(text_col), "\n")
+    kept = F.filter(
+        lines,
+        lambda ln: ln.rlike(_TERMINAL_PUNCT_RE)
+        & (F.size(F.split(ln, " ")) >= F.lit(min_line_words)),
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept_lines"),
+        (F.size(kept) >= F.lit(min_kept_lines)).alias("keep_doc"),
+        F.array_join(kept, "\n").alias("clean_text"),
+    )

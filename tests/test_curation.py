@@ -179,3 +179,27 @@ class TestCanonicalPerCluster:
         assert out[2].is_kept is True
         assert out[3].is_kept is True  # singleton survives
         assert out[4].canonical_id == 4 and out[5].canonical_id == 4  # tie -> min id
+
+
+class TestC4LineFilter:
+    def test_branches(self, spark):
+        from dpe_energy_performance_analysis_etl_spark.text.curation import c4_line_filter
+
+        df = spark.createDataFrame(
+            [
+                (1, "no terminal punct\nKeep this five word line.\nshort.\nAnother good line stays here too!"),
+                (2, "only fragments\nand more fragments"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in c4_line_filter(df).collect()}
+        assert out[1].n_lines == 4 and out[1].n_kept_lines == 2 and out[1].keep_doc
+        assert out[1].clean_text == "Keep this five word line.\nAnother good line stays here too!"
+        assert out[2].n_kept_lines == 0 and not out[2].keep_doc and out[2].clean_text == ""
+
+    def test_word_floor_configurable(self, spark):
+        from dpe_energy_performance_analysis_etl_spark.text.curation import c4_line_filter
+
+        df = spark.createDataFrame([(1, "Tiny line.")], "doc_id long, text string")
+        assert c4_line_filter(df, min_line_words=2).collect()[0].n_kept_lines == 1
+        assert c4_line_filter(df, min_line_words=3).collect()[0].n_kept_lines == 0
