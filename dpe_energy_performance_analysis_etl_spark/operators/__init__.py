@@ -24,6 +24,13 @@ from dpe_energy_performance_analysis_etl_spark.operators.temporal import (
     range_join_bucketed,
 )
 from dpe_energy_performance_analysis_etl_spark.operators.skew import salted_join
+from dpe_energy_performance_analysis_etl_spark.operators.exact import (
+    exact_cents_sum,
+    exact_sum_agg,
+    from_cents,
+    scaled_long,
+)
+from dpe_energy_performance_analysis_etl_spark.operators.scaling import scan_fanout
 from dpe_energy_performance_analysis_etl_spark.operators.incremental import (
     scd2_merge,
     agg_state,
@@ -94,4 +101,9 @@ __all__ = [
     "kmv_estimate",
     "haversine_km",
     "grid_radius_join",
+    "exact_cents_sum",
+    "exact_sum_agg",
+    "from_cents",
+    "scaled_long",
+    "scan_fanout",
 ]

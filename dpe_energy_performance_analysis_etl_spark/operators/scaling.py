@@ -1,30 +1,69 @@
 """Scan-parallelism guard for expression-heavy operators.
 
-A few-file parquet input (one 7 MB documents file, one row group)
-yields one or two scan tasks, and any expensive per-row expression
-chained onto it — rolling hashes, gram explodes, char aggregates —
-runs serial no matter how many cores exist (measured 27× on the gram
-tagger, 10× on document fingerprinting). At real scale the same table
-arrives as thousands of files and needs no help.
+A few-file parquet input (one 35 MB documents file, one row group)
+yields byte-range splits that LOOK parallel — Spark plans
+``totalSize / defaultParallelism`` splits — but a parquet row group
+belongs entirely to the split containing its start offset, so a
+1-row-group file does all its work in ONE task no matter how many
+splits the planner prints. Any expensive per-row expression chained
+onto that scan runs serial (measured 28 s vs 4 s for document
+fingerprinting at 250k docs). At real scale the same table arrives as
+thousands of files and needs no help.
 
 ``scan_fanout`` bridges both regimes: round-robin repartition ONLY
-when the current scan parallelism is below the cluster's, a no-op
-(zero shuffle) otherwise. The shuffle it may introduce moves just the
-raw input bytes — strictly cheaper than serializing the downstream
-expression onto a handful of tasks.
+when the REAL scan parallelism — estimated from the file list, not
+the split count — is below the cluster's; a no-op (zero shuffle)
+otherwise. The shuffle it may introduce moves just the raw input
+bytes of a small table — strictly cheaper than serializing the
+downstream expression onto a handful of tasks.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+# Spark and pyarrow both target ~128 MB row groups by default; a file
+# contributes roughly size/128MB schedulable units of scan work.
+_ROWGROUP_BYTES = 128 * 1024 * 1024
+
+
+def _estimated_file_parallelism(df: DataFrame, files: list[str], cap: int) -> int:
+    """Real schedulable scan units: one per ~128 MB of each file
+    (byte-splits beyond that are no-ops for single-row-group files).
+    Driver-side metadata lookups, capped — with >= cap files the
+    answer is already 'parallel enough'."""
+    spark = df.sparkSession
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    est = 0
+    for f in files:
+        path = jvm.org.apache.hadoop.fs.Path(f)
+        fs = path.getFileSystem(conf)
+        size = fs.getFileStatus(path).getLen()
+        est += max(1, int(size) // _ROWGROUP_BYTES)
+        if est >= cap:
+            break
+    return est
+
 
 def scan_fanout(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
-    """Repartition ``df`` to cluster parallelism iff it currently has
-    fewer partitions than that (e.g. a small-file scan); otherwise
-    return it untouched — many-file scans at scale must not pay an
-    extra shuffle."""
+    """Repartition ``df`` to cluster parallelism iff its REAL scan
+    parallelism (file count x ~128 MB units, not the planner's
+    byte-split count) is below that; otherwise return it untouched —
+    many-file scans at scale must not pay an extra shuffle."""
+    if df.isStreaming:
+        # no .rdd on streaming plans; micro-batch parallelism is the
+        # source's concern (maxFilesPerTrigger etc.), not a repartition
+        return df
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    files = df.inputFiles()
+    if files:
+        if len(files) >= target:
+            return df
+        if _estimated_file_parallelism(df, files, target) >= target:
+            return df
+        return df.repartition(target)
+    # derived / in-memory input: the partition count is honest
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)

@@ -87,6 +87,17 @@ def read_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scan_fanout(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+
+def read_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings scan with the same parallelism guard as
+    ``read_documents`` — the table ships as one small file whose
+    byte-splits don't parallelize a single row group, and every
+    consumer chains expensive per-row vector arithmetic."""
+    from dpe_energy_performance_analysis_etl_spark.operators.scaling import scan_fanout
+
+    return scan_fanout(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+
+
 def dsum(col, scale: int = 2) -> F.Column:
     """Exact, order-independent sum of a double expression: accumulate
     as decimal(30,scale), return double.
@@ -1088,7 +1099,7 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ANN baseline."""
     from dpe_energy_performance_analysis_etl_spark.similarity import brute_force_topk
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_embeddings(spark, sf_dir)
     queries_df = emb.filter(F.col("vec_id") < 10)
     out = brute_force_topk(emb, queries_df, k=5)
     return out.withColumn("rank", F.col("rank").cast("bigint"))
@@ -1113,7 +1124,7 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline)."""
     from dpe_energy_performance_analysis_etl_spark.dedup import embedding_near_dup_pairs
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_embeddings(spark, sf_dir)
     return embedding_near_dup_pairs(emb, threshold=0.5)
 
 
@@ -1171,7 +1182,7 @@ def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured against brute force in tests)."""
     from dpe_energy_performance_analysis_etl_spark.similarity import lsh_topk
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_embeddings(spark, sf_dir)
     queries_df = emb.filter(F.col("vec_id") < 10)
     return lsh_topk(emb, queries_df, dim=64, k=5, num_planes=4, num_tables=12)
 
@@ -1594,7 +1605,7 @@ def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
 def posexplode_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array→rows with ordinality (posexplode) — the long-format view
     of an embedding column (DuckDB oracle zips parallel unnests)."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_embeddings(spark, sf_dir)
     return (
         emb.filter(F.col("vec_id") < 20)
         .select("vec_id", F.posexplode("embedding").alias("pos", "val"))
@@ -1610,7 +1621,7 @@ def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     aren't portable SQL."""
     from dpe_energy_performance_analysis_etl_spark.similarity import ivf_topk
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_embeddings(spark, sf_dir)
     queries_df = emb.filter(F.col("vec_id") < 10)
     return ivf_topk(emb, queries_df, k=5, n_clusters=16, nprobe=6)
 
@@ -1946,7 +1957,7 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-column surface: size / element access / min-max /
     filtered counts — the building blocks under the embedding
     operators, exposed directly."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_embeddings(spark, sf_dir)
     e = F.col("embedding")
     return emb.filter(F.col("vec_id") < 50).select(
         "vec_id",
@@ -2609,7 +2620,7 @@ def ann_ivf_seeded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     and top-k bit-exactly."""
     from dpe_energy_performance_analysis_etl_spark.similarity import seeded_ivf_topk
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_embeddings(spark, sf_dir)
     queries_df = emb.filter(F.col("vec_id") < 10)
     out = seeded_ivf_topk(emb, queries_df, k=5, n_clusters=8, nprobe=2)
     return out.withColumn("rank", F.col("rank").cast("bigint"))

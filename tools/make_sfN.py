@@ -171,8 +171,16 @@ def main() -> None:
     )
 
     os.makedirs(args.out, exist_ok=True)
+    # Realistic file layout: any production table at this size is
+    # many files, and single-file parquet serializes scans (byte-range
+    # splits beyond a row group do no work). Dims stay single-file;
+    # fact/corpus tables get cluster-parallelism files so benchmark
+    # scan behavior matches a real deployment, not a generator quirk.
+    parallel_files = spark.sparkContext.defaultParallelism
+    single_file = {"region", "nation"}
     for table, df in out.items():
-        df.write.mode("overwrite").parquet(f"{args.out}/{table}.parquet")
+        writer = df if table in single_file else df.repartition(parallel_files)
+        writer.write.mode("overwrite").parquet(f"{args.out}/{table}.parquet")
         print(f"{table}: {spark.read.parquet(f'{args.out}/{table}.parquet').count()} rows")
 
 
