@@ -359,3 +359,29 @@ def c4_line_filter(
         (F.size(kept) >= F.lit(min_kept_lines)).alias("keep_doc"),
         F.array_join(kept, "\n").alias("clean_text"),
     )
+
+
+_HTML_ENTITIES = [
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),  # LAST: otherwise double-unescapes &amp;lt;
+]
+
+
+def html_strip(
+    df: DataFrame, text_col: str = "text", out_col: str = "clean_text"
+) -> DataFrame:
+    """Web-corpus boilerplate step: drop tags, unescape the common
+    entities, collapse whitespace. Tag removal first (entities inside
+    attributes vanish with the tag); ``&amp;`` unescapes LAST so
+    ``&amp;lt;`` yields the literal ``&lt;`` instead of a ``<`` —
+    the standard single-pass unescape order. Pure regexp/replace
+    chain, scan-speed, portable to any SQL engine."""
+    c = F.regexp_replace(F.col(text_col), "<[^>]*>", " ")
+    for ent, ch in _HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return df.withColumn(out_col, c)

@@ -203,3 +203,28 @@ class TestC4LineFilter:
         df = spark.createDataFrame([(1, "Tiny line.")], "doc_id long, text string")
         assert c4_line_filter(df, min_line_words=2).collect()[0].n_kept_lines == 1
         assert c4_line_filter(df, min_line_words=3).collect()[0].n_kept_lines == 0
+
+
+class TestHtmlStrip:
+    def test_tags_entities_whitespace(self, spark):
+        from dpe_energy_performance_analysis_etl_spark.text.curation import html_strip
+
+        df = spark.createDataFrame(
+            [(1, '<div class="a">Hello &amp; <b>world</b>&nbsp;&lt;tag&gt;</div>')],
+            "doc_id long, text string",
+        )
+        r = html_strip(df).collect()[0]
+        assert r.clean_text == "Hello & world <tag>"
+
+    def test_amp_unescapes_last(self, spark):
+        from dpe_energy_performance_analysis_etl_spark.text.curation import html_strip
+
+        df = spark.createDataFrame([(1, "a &amp;lt; b")], "doc_id long, text string")
+        # &amp;lt; must become the LITERAL "&lt;", not "<"
+        assert html_strip(df).collect()[0].clean_text == "a &lt; b"
+
+    def test_plain_text_passthrough(self, spark):
+        from dpe_energy_performance_analysis_etl_spark.text.curation import html_strip
+
+        df = spark.createDataFrame([(1, "no markup   here")], "doc_id long, text string")
+        assert html_strip(df).collect()[0].clean_text == "no markup here"

@@ -68,3 +68,40 @@ def test_wilcoxon_statistic_bounds(diffs):
     n = len(diffs)
     assert 0 <= w <= n * (n + 1) / 2
     assert (0.0 <= p <= 1.0) or math.isnan(p)
+
+
+# ---------------------------------------------------------------------
+# Exact-cents aggregation invariants (operators/exact.py): the scaled-
+# integer path must agree with the decimal-cast path for any value
+# whose true decimal expansion fits the scale — including negatives,
+# zero, and values adjacent to rounding boundaries.
+# ---------------------------------------------------------------------
+
+
+@given(
+    st.integers(min_value=-(10**13), max_value=10**13),
+    st.integers(min_value=0, max_value=6),
+)
+@settings(max_examples=300, deadline=None)
+def test_scaled_long_matches_exact_decimal(unscaled, scale):
+    """For x = unscaled / 10^scale (exact s-dp value), floor(x*10^s+.5)
+    recovers unscaled — same result the DECIMAL(p,s) cast would give —
+    despite x's binary representation being off by ~1 ulp."""
+    x = unscaled / (10**scale)
+    got = math.floor(x * float(10**scale) + 0.5)
+    assert got == unscaled, (unscaled, scale, x, got)
+
+
+@given(
+    st.lists(st.integers(min_value=-(10**9), max_value=10**9), min_size=1, max_size=50),
+    st.integers(min_value=0, max_value=4),
+)
+@settings(max_examples=100, deadline=None)
+def test_cents_sum_is_partition_order_free(cents, scale):
+    """Integer sums are associative/commutative: any partitioning and
+    ordering of the partials reproduces the same total — the property
+    that makes exact_sum_agg deterministic across cluster layouts."""
+    total = sum(cents)
+    for cut in range(1, len(cents)):
+        assert sum(cents[:cut]) + sum(cents[cut:]) == total
+    assert sum(reversed(cents)) == total
