@@ -460,3 +460,46 @@ def test_scd2_merge_reopens_closed_history_key(spark):
     assert rows[(7, "reborn")]["is_current"]
     assert rows[(7, "reborn")]["valid_from"] == ts("2024-06-01")
     assert rows[(7, "reborn")]["valid_to"] is None
+
+
+class TestScanFanout:
+    def test_small_single_file_rebalances(self, spark, tmp_path):
+        from dpe_energy_performance_analysis_etl_spark.operators import scan_fanout
+
+        p = str(tmp_path / "one")
+        spark.range(0, 10_000).coalesce(1).write.parquet(p)
+        df = spark.read.parquet(p)
+        target = spark.sparkContext.defaultParallelism
+        out = scan_fanout(df)
+        assert out.rdd.getNumPartitions() >= target
+        assert out.count() == 10_000
+
+    def test_many_files_untouched(self, spark, tmp_path):
+        from dpe_energy_performance_analysis_etl_spark.operators import scan_fanout
+
+        p = str(tmp_path / "many")
+        target = spark.sparkContext.defaultParallelism
+        spark.range(0, 10_000).repartition(target).write.parquet(p)
+        df = spark.read.parquet(p)
+        # same plan object back — no shuffle inserted
+        assert scan_fanout(df) is df
+
+    def test_streaming_frame_untouched(self, spark, tmp_path):
+        from pyspark.sql import types as T
+
+        from dpe_energy_performance_analysis_etl_spark.operators import scan_fanout
+
+        p = str(tmp_path / "stream_src")
+        spark.range(0, 10).write.parquet(p)
+        schema = T.StructType([T.StructField("id", T.LongType())])
+        sdf = spark.readStream.schema(schema).parquet(p)
+        assert scan_fanout(sdf) is sdf
+
+    def test_derived_input_uses_partition_count(self, spark):
+        from dpe_energy_performance_analysis_etl_spark.operators import scan_fanout
+
+        target = spark.sparkContext.defaultParallelism
+        small = spark.range(0, 100).coalesce(1)
+        assert scan_fanout(small).rdd.getNumPartitions() >= target
+        wide = spark.range(0, 100).repartition(target)
+        assert scan_fanout(wide) is wide
