@@ -4277,3 +4277,38 @@ def html_strip_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return html_strip(seeded).select("doc_id", "clean_text")
+
+
+@register(
+    "bloom_prune_join",
+    """
+    SELECT l.l_orderkey, l.l_linenumber, l.l_extendedprice, o.o_totalprice
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_totalprice > 400000
+    """,
+)
+def bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter-style bloom join pruning
+    (operators/bloomjoin.py): the selective orders subset builds a
+    bitset filter that drops non-matching lineitem rows BEFORE the
+    join's exchange — the explicit form of Spark's
+    runtime.bloomFilter / Trino dynamic filtering, and the 100 TB
+    play for fact-vs-filtered-dim joins (reference analogue: the
+    enriched-frame lookups in transform.py:154-210). Exact because
+    blooms have no false negatives; the oracle is the PLAIN join."""
+    from dpe_energy_performance_analysis_etl_spark.operators.bloomjoin import (
+        bloom_pruned_join,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_totalprice") > 400000)
+        .select("o_orderkey", "o_totalprice")
+    )
+    joined = bloom_pruned_join(li, orders, "l_orderkey", "o_orderkey")
+    return joined.select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "o_totalprice"
+    )
