@@ -4312,3 +4312,46 @@ def bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "l_orderkey", "l_linenumber", "l_extendedprice", "o_totalprice"
     )
+
+
+@register(
+    "semantic_dedup_survivors",
+    """
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), n AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM base
+    ), cents AS (
+      SELECT vec_id AS cluster, v AS centroid, nrm AS centnorm
+      FROM n WHERE vec_id < 8
+    ), assigned AS (
+      SELECT vec_id, v, nrm, cluster FROM (
+        SELECT n.vec_id, n.v, n.nrm, c.cluster,
+               row_number() OVER (PARTITION BY n.vec_id
+                 ORDER BY list_dot_product(n.v, c.centroid) / (n.nrm * c.centnorm) DESC,
+                          c.cluster) AS rn
+        FROM n CROSS JOIN cents c
+      ) WHERE rn = 1
+    ), dominated AS (
+      SELECT a.vec_id AS id,
+             max(list_dot_product(b.v, a.v) / (b.nrm * a.nrm)) AS dup_cosine
+      FROM assigned a JOIN assigned b
+        ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+      WHERE list_dot_product(b.v, a.v) / (b.nrm * a.nrm) >= 0.35
+      GROUP BY a.vec_id
+    )
+    SELECT a.vec_id AS id, a.cluster, d.id IS NULL AS kept, d.dup_cosine
+    FROM assigned a LEFT JOIN dominated d ON a.vec_id = d.id
+    """,
+)
+def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (dedup/semantic.py; Abbas et al.
+    2023): seeded coarse quantizer -> within-cluster cosine pairs ->
+    keep-lowest-id survivors. All-pairs O(n^2) becomes O(n^2/k) via
+    the cluster equi-join — the embedding-space sibling of the
+    MinHash band-bucket bound. One row per vector (kept flag + the
+    dominating cosine), bit-replayed by the oracle."""
+    from dpe_energy_performance_analysis_etl_spark.dedup.semantic import semantic_dedup
+
+    emb = read_embeddings(spark, sf_dir)
+    return semantic_dedup(emb, n_clusters=8, threshold=0.35)
