@@ -4355,3 +4355,50 @@ def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = read_embeddings(spark, sf_dir)
     return semantic_dedup(emb, n_clusters=8, threshold=0.35)
+
+
+@register(
+    "dsir_importance_scores",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      FROM documents
+    ), ttoks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      FROM documents WHERE lang = 'en'
+    ), tvoc AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS tc FROM ttoks GROUP BY tok
+    ), rvoc AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS rc FROM toks GROUP BY tok
+    ), joined AS (
+      SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(coalesce(tv.tc, 0)) AS BIGINT) AS target_mass,
+             CAST(sum(coalesce(rv.rc, 0)) AS BIGINT) AS ref_mass
+      FROM toks t
+      LEFT JOIN tvoc tv USING (tok)
+      LEFT JOIN rvoc rv USING (tok)
+      GROUP BY t.doc_id
+    ), totals AS (
+      SELECT CAST((SELECT sum(tc) FROM tvoc) AS BIGINT) AS t_total,
+             CAST((SELECT sum(rc) FROM rvoc) AS BIGINT) AS r_total
+    )
+    SELECT doc_id, n_tokens, target_mass, ref_mass,
+           (CAST(target_mass AS DOUBLE) * CAST(r_total AS DOUBLE))
+           / (CAST(ref_mass AS DOUBLE) * CAST(t_total AS DOUBLE)) AS affinity
+    FROM joined CROSS JOIN totals
+    """,
+)
+def dsir_importance_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-family importance scoring (text/importance.py; Xie et al.
+    2023): candidates scored by target-corpus (lang='en') unigram
+    affinity vs the full-pool reference. Exact-integer aggregates +
+    one IEEE-determined double expression — the oracle-hashable twin
+    of the log-likelihood-ratio scorer (``dsir_log_ratio``, verified
+    vs numpy in tests). Vocab tables broadcast; the corpus explodes
+    once and never re-shuffles."""
+    from dpe_energy_performance_analysis_etl_spark.text.importance import (
+        importance_score,
+    )
+
+    docs = read_documents(spark, sf_dir)
+    return importance_score(docs, target=docs.filter(F.col("lang") == "en"))
