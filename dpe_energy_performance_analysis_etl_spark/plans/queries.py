@@ -4402,3 +4402,62 @@ def dsir_importance_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_documents(spark, sf_dir)
     return importance_score(docs, target=docs.filter(F.col("lang") == "en"))
+
+
+@register(
+    "paragraph_dedup_corpus",
+    """
+    WITH seeded AS (
+      SELECT doc_id,
+             'Shared boilerplate: all rights reserved.' || chr(10) ||
+             'Doc ' || doc_id || ' body: ' || substr(text, 1, 60) || chr(10) ||
+             'Group banner ' || (doc_id % 7) || chr(10) ||
+             'Doc ' || doc_id || ' closing line.' AS text
+      FROM documents
+    ), paras AS (
+      SELECT doc_id,
+             unnest(generate_series(1, len(ps))) - 1 AS pos,
+             unnest(ps) AS para
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS ps FROM seeded)
+    ), tagged AS (
+      SELECT doc_id, pos, para,
+             row_number() OVER (PARTITION BY md5(para)
+                                ORDER BY doc_id, pos) = 1 AS kept
+      FROM paras
+    )
+    SELECT doc_id,
+           coalesce(string_agg(para, chr(10) ORDER BY pos) FILTER (kept), '')
+             AS clean_text,
+           CAST(count(*) FILTER (kept) AS BIGINT) AS n_kept,
+           CAST(count(*) FILTER (NOT kept) AS BIGINT) AS n_dropped
+    FROM tagged GROUP BY doc_id
+    """,
+)
+def paragraph_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide exact paragraph dedup (text/curation.py
+    ``paragraph_dedup``; the Dolma/CCNet boilerplate-stripping stage)
+    over a seeded 4-paragraph wrapper: one paragraph shared by ALL
+    docs (survives only in doc 0), one shared per doc_id%7 group
+    (survives in each group's min doc), two unique per doc (always
+    survive). First-occurrence resolution is one md5-keyed groupBy +
+    co-partitioned join — O(paragraphs), never O(pairs)."""
+    from dpe_energy_performance_analysis_etl_spark.text.curation import paragraph_dedup
+
+    docs = read_documents(spark, sf_dir)
+    seeded = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("Shared boilerplate: all rights reserved."),
+            F.concat(
+                F.lit("Doc "), F.col("doc_id").cast("string"), F.lit(" body: "),
+                F.substring("text", 1, 60),
+            ),
+            F.concat(F.lit("Group banner "), (F.col("doc_id") % 7).cast("string")),
+            F.concat(
+                F.lit("Doc "), F.col("doc_id").cast("string"),
+                F.lit(" closing line."),
+            ),
+        ).alias("text"),
+    )
+    return paragraph_dedup(seeded)

@@ -385,3 +385,57 @@ def html_strip(
         c = F.replace(c, F.lit(ent), F.lit(ch))
     c = F.trim(F.regexp_replace(c, r"\s+", " "))
     return df.withColumn(out_col, c)
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-WIDE exact paragraph deduplication (the Dolma / CCNet
+    paragraph-dedup stage): every paragraph that already occurred
+    earlier in the corpus — in a lower doc id, or earlier in the same
+    document — is removed, and documents are reassembled from their
+    surviving paragraphs. This is what strips boilerplate
+    (cookie banners, license footers, nav text) that repeats across
+    millions of pages while document-level dedup sees "different"
+    documents.
+
+    Shape at scale: paragraphs explode once; the first-occurrence
+    resolution is ONE hash-groupBy on the paragraph's md5 (fixed-width
+    key, min(struct(doc,pos)) partially aggregates map-side) + an
+    equi-join back on that same key (co-partitioned with the groupBy,
+    so AQE typically plans it shuffle-free), then one groupBy(doc) to
+    reassemble. Nothing is quadratic and no state outlives the join.
+
+    One row per input document: (id, clean_text, n_kept, n_dropped)
+    — clean_text is '' when every paragraph was a duplicate."""
+    paras = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+    )
+    keyed = paras.withColumn("pk", F.md5(F.col("para")))
+    firsts = keyed.groupBy("pk").agg(
+        F.min(F.struct("doc_id", "pos")).alias("first")
+    )
+    tagged = keyed.join(firsts, on="pk").withColumn(
+        "kept",
+        (F.col("doc_id") == F.col("first.doc_id"))
+        & (F.col("pos") == F.col("first.pos")),
+    )
+    return tagged.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("kept"), F.struct("pos", "para"))
+                    )
+                ),
+                lambda s: s["para"],
+            ),
+            sep,
+        ).alias("clean_text"),
+        F.sum(F.col("kept").cast("long")).alias("n_kept"),
+        F.sum((~F.col("kept")).cast("long")).alias("n_dropped"),
+    )
