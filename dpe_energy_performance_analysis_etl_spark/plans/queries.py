@@ -4461,3 +4461,44 @@ def paragraph_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return paragraph_dedup(seeded)
+
+
+@register(
+    "basket_cooccurrence_lift",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+    ), n AS (
+      SELECT CAST(count(DISTINCT basket) AS BIGINT) AS n_baskets FROM items
+    ), supp AS (
+      SELECT item, CAST(count(*) AS BIGINT) AS s FROM items GROUP BY item
+    ), pairs AS (
+      SELECT a.item AS item_a, b.item AS item_b,
+             CAST(count(*) AS BIGINT) AS support
+      FROM items a JOIN items b
+        ON a.basket = b.basket AND a.item < b.item
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    )
+    SELECT item_a, item_b, support,
+           sa.s AS supp_a, sb.s AS supp_b,
+           CAST(support AS DOUBLE) * CAST(n_baskets AS DOUBLE)
+             / (CAST(sa.s AS DOUBLE) * CAST(sb.s AS DOUBLE)) AS lift
+    FROM pairs
+    JOIN supp sa ON pairs.item_a = sa.item
+    JOIN supp sb ON pairs.item_b = sb.item
+    CROSS JOIN n
+    """,
+)
+def basket_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair support + lift (operators/basket.py) over
+    orders-as-baskets of parts: basket-keyed self-join (per-basket m²,
+    m bounded by order width), hash-agg supports, independence-
+    normalized lift. The association-analytics staple the reference
+    lacks; mega-basket capping documented in the operator."""
+    from dpe_energy_performance_analysis_etl_spark.operators.basket import (
+        cooccurrence_lift,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return cooccurrence_lift(li, "l_orderkey", "l_partkey", min_support=2)
