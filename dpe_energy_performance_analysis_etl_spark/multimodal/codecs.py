@@ -285,3 +285,43 @@ def sniff_decode_audio(payload: bytes) -> np.ndarray:
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return decode_wav(payload)
     raise ValueError(f"unrecognized audio container (header {payload[:8]!r})")
+
+
+# ---------------------------------------------------------------------
+# resize kernels (pure numpy — the preprocessing every vision pipeline
+# runs between decode and the model; Pillow/opencv drop in here when
+# available, these keep the Spark plumbing real and dependency-free)
+# ---------------------------------------------------------------------
+
+
+def resize_nearest(pixels: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize of (H, W[, C]) uint8 pixels — the
+    pixel-center convention (same grid as Pillow NEAREST): source
+    index = floor((i + 0.5) * H / out_h)."""
+    h, w = pixels.shape[:2]
+    rows = np.minimum(((np.arange(out_h) + 0.5) * h / out_h).astype(np.int64), h - 1)
+    cols = np.minimum(((np.arange(out_w) + 0.5) * w / out_w).astype(np.int64), w - 1)
+    return pixels[rows][:, cols]
+
+
+def resize_bilinear(pixels: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Bilinear resize, align_corners=False convention (the TF/torch
+    default): source coord = (i + 0.5) * scale - 0.5, edges clamped.
+    Float math in float64, rounded half-up to uint8 at the end."""
+    h, w = pixels.shape[:2]
+    img = pixels.astype(np.float64)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    ys = np.clip((np.arange(out_h) + 0.5) * h / out_h - 0.5, 0, h - 1)
+    xs = np.clip((np.arange(out_w) + 0.5) * w / out_w - 0.5, 0, w - 1)
+    y0 = np.floor(ys).astype(np.int64)
+    x0 = np.floor(xs).astype(np.int64)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = (ys - y0)[:, None, None]
+    wx = (xs - x0)[None, :, None]
+    top = img[y0][:, x0] * (1 - wx) + img[y0][:, x1] * wx
+    bot = img[y1][:, x0] * (1 - wx) + img[y1][:, x1] * wx
+    out = top * (1 - wy) + bot * wy
+    out = np.floor(out + 0.5).clip(0, 255).astype(np.uint8)
+    return out[:, :, 0] if pixels.ndim == 2 else out

@@ -227,3 +227,65 @@ def read_media_dir(
     if with_metadata:
         df = binary_metadata(df)
     return df
+
+
+def resize_images(
+    df: DataFrame,
+    out_h: int,
+    out_w: int,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    method: str = "bilinear",
+    fake_decode: bool = False,
+) -> DataFrame:
+    """Batch image resize (the decode→resize→re-encode preprocessing
+    stage of every vision-model pipeline): mapInPandas over the
+    binary column, pure-numpy bilinear/nearest kernels
+    (``codecs.resize_bilinear``/``resize_nearest``; Pillow/opencv
+    swap in behind the same decode hook), output re-encoded as PNG
+    plus the new dims. Arrow-batched, no driver involvement; rows
+    with NULL or undecodable content are dropped (flatMap semantics,
+    same contract as ``extract_features``)."""
+    from dpe_energy_performance_analysis_etl_spark.multimodal.codecs import (
+        encode_png,
+        resize_bilinear,
+        resize_nearest,
+    )
+
+    if method not in ("bilinear", "nearest"):
+        raise ValueError(f"unknown resize method {method!r}")
+    kernel = resize_bilinear if method == "bilinear" else resize_nearest
+    decode = decode_image_batch(fake=fake_decode)
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("content", T.BinaryType(), True),
+            T.StructField("height", T.IntegerType(), False),
+            T.StructField("width", T.IntegerType(), False),
+        ]
+    )
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for mid, payload in zip(batch[id_col], batch[content_col]):
+                if payload is None:
+                    continue
+                try:
+                    pixels = decode(bytes(payload))
+                except ValueError:
+                    continue
+                resized = kernel(np.asarray(pixels), out_h, out_w)
+                rows.append(
+                    {
+                        id_col: int(mid),
+                        "content": encode_png(resized),
+                        "height": out_h,
+                        "width": out_w,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[id_col, "content", "height", "width"]) if rows else pd.DataFrame(
+                columns=[id_col, "content", "height", "width"]
+            )
+
+    return df.select(id_col, content_col).mapInPandas(work, schema=out_schema)
