@@ -188,14 +188,28 @@ def streaming_dedup(
     ts_col: str = "ts",
     watermark: str = "1 hour",
     available_now: bool = True,
+    within_watermark: bool = False,
 ) -> StreamingQuery:
     """Streaming exact deduplication: first occurrence of each key
     wins, duplicates within the watermark horizon are dropped by the
     engine's dedup state store. The incremental twin of the batch
     ``dedup`` family — state is bounded by (keys seen within the
-    watermark), so it runs forever on an unbounded stream."""
+    watermark), so it runs forever on an unbounded stream.
+
+    ``within_watermark=True`` switches to
+    ``dropDuplicatesWithinWatermark`` (Spark 3.5+): dedup keys expire
+    ``watermark`` after their FIRST sighting rather than by event-time
+    watermark comparison — the operating mode for at-least-once
+    sources (Kafka redelivery, replayed batches) where duplicates
+    arrive with *different* event times but within a bounded delay;
+    state stays bounded even when the key column itself never
+    repeats organically."""
     stream = spark.readStream.schema(schema).parquet(source_dir)
-    deduped = stream.withWatermark(ts_col, watermark).dropDuplicates(key_cols)
+    marked = stream.withWatermark(ts_col, watermark)
+    if within_watermark:
+        deduped = marked.dropDuplicatesWithinWatermark(key_cols)
+    else:
+        deduped = marked.dropDuplicates(key_cols)
     writer = (
         deduped.writeStream.format("parquet")
         .option("path", target_dir)

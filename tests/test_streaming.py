@@ -548,3 +548,31 @@ def test_native_session_window_stream_matches_batch(spark, events, tmp_path):
     )
     expect = {(r.user_id, r.w_start, r.n_events) for r in batch.collect()}
     assert got == expect and len(expect) > 0
+
+
+def test_dedup_within_watermark_drops_redelivery_with_shifted_ts(spark, events, tmp_path):
+    """dropDuplicatesWithinWatermark: redelivered records carry a
+    DIFFERENT event time (the at-least-once reality) — plain
+    watermarked dropDuplicates state-matches on the original ts and
+    can miss these; within-watermark dedup expires keys a fixed delay
+    after first sighting and drops them regardless."""
+    from dpe_energy_performance_analysis_etl_spark.streaming import streaming_dedup
+
+    landing = str(tmp_path / "landing")
+    target = str(tmp_path / "deduped_ww")
+    ckpt = str(tmp_path / "ckpt_ww")
+    subset = events.filter("event_id < 300")
+    subset.write.parquet(landing)
+    # redelivery: same keys, event time nudged 90 s later (inside the
+    # 1 h horizon) — duplicates a ts-keyed system would treat as new
+    subset.limit(120).withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 90 SECONDS")
+    ).write.mode("append").parquet(landing)
+    q = streaming_dedup(
+        spark, landing, EVENT_SCHEMA, target, ckpt,
+        key_cols=["event_id"], within_watermark=True,
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(target)
+    assert out.count() == 300
+    assert out.select("event_id").distinct().count() == 300
