@@ -4502,3 +4502,35 @@ def basket_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return cooccurrence_lift(li, "l_orderkey", "l_partkey", min_support=2)
+
+
+@register(
+    "heavy_hitters_tokens",
+    """
+    SELECT tok AS item, CAST(count(*) AS BIGINT) AS cnt
+    FROM (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      FROM documents
+    )
+    GROUP BY tok
+    """,
+)
+def heavy_hitters_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy hitters (operators/heavyhitters.py) over the
+    corpus token stream, run in the exact regime (k=256 >= distinct
+    tokens — no decrement fires, so the bounded-state pipeline equals
+    the exact count table deterministically; same exact-under-k
+    contract as the KMV sketch). The sub-k regime's undercount /
+    presence guarantees are property-tested in
+    tests/test_heavyhitters.py."""
+    from dpe_energy_performance_analysis_etl_spark.operators.heavyhitters import (
+        heavy_hitters,
+    )
+
+    docs = read_documents(spark, sf_dir)
+    toks = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+        ).alias("tok")
+    )
+    return heavy_hitters(toks, "tok", k=256)

@@ -1,0 +1,69 @@
+"""Misra–Gries heavy hitters (operators/heavyhitters.py): exact
+regime, undercount guarantee, frequent-item presence, bounded output,
+and summary merge."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from dpe_energy_performance_analysis_etl_spark.operators.heavyhitters import (
+    heavy_hitters,
+    mg_compress,
+    mg_merge,
+    mg_partials,
+)
+
+# zipf-ish stream: item i appears 2000/(i+1) times
+ZIPF = [f"w{i}" for i in range(40) for _ in range(2000 // (i + 1))]
+
+
+def _df(spark, items, parts=8):
+    return spark.createDataFrame(
+        [(x,) for x in items], "item string"
+    ).repartition(parts)
+
+
+def test_exact_when_k_exceeds_distinct(spark):
+    """No decrement ever fires → exact counts, independent of
+    partitioning — the driver-gate regime."""
+    got = {r["item"]: r["cnt"] for r in heavy_hitters(_df(spark, ZIPF), "item", k=64).collect()}
+    assert got == dict(Counter(ZIPF))
+
+
+def test_undercount_and_error_bound(spark):
+    k = 8
+    got = {r["item"]: r["cnt"] for r in heavy_hitters(_df(spark, ZIPF), "item", k=k).collect()}
+    true = Counter(ZIPF)
+    n = len(ZIPF)
+    assert len(got) <= k
+    for item, c_hat in got.items():
+        assert c_hat <= true[item]                  # never overcounts
+        assert true[item] - c_hat <= 2 * n / (k + 1)  # two-level bound
+
+
+def test_guaranteed_presence_of_heavy_items(spark):
+    """Any item with c(x) > 2n/(k+1) must survive."""
+    k = 8
+    got = {r["item"] for r in heavy_hitters(_df(spark, ZIPF), "item", k=k).collect()}
+    n = len(ZIPF)
+    for item, c in Counter(ZIPF).items():
+        if c > 2 * n / (k + 1):
+            assert item in got, item
+
+
+def test_partials_bounded_per_partition(spark):
+    k = 8
+    partials = mg_partials(_df(spark, ZIPF, parts=4), "item", k=k)
+    import pyspark.sql.functions as F
+
+    per_part = partials.groupBy(F.spark_partition_id().alias("p")).count().collect()
+    assert all(r["count"] <= k for r in per_part)
+
+
+def test_merge_matches_whole_in_exact_regime(spark):
+    half = len(ZIPF) // 2
+    k = 64
+    s1 = mg_partials(_df(spark, ZIPF[:half]), "item", k).groupBy("item").sum("cnt").withColumnRenamed("sum(cnt)", "cnt")
+    s2 = mg_partials(_df(spark, ZIPF[half:]), "item", k).groupBy("item").sum("cnt").withColumnRenamed("sum(cnt)", "cnt")
+    merged = {r["item"]: r["cnt"] for r in mg_merge(mg_compress(s1, k), mg_compress(s2, k), k).collect()}
+    assert merged == dict(Counter(ZIPF))
