@@ -4534,3 +4534,62 @@ def heavy_hitters_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tok")
     )
     return heavy_hitters(toks, "tok", k=256)
+
+
+@register(
+    "correlation_matrix_lineitem",
+    """
+    WITH hat AS (
+      SELECT CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS q,
+             CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS d,
+             CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS t
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+        AND l_tax IS NOT NULL
+    ), m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(d) AS BIGINT) AS s_d,
+             CAST(sum(q) AS BIGINT) AS s_q,
+             CAST(sum(t) AS BIGINT) AS s_t,
+             CAST(sum(d*d) AS BIGINT) AS s_dd,
+             CAST(sum(d*q) AS BIGINT) AS s_dq,
+             CAST(sum(d*t) AS BIGINT) AS s_dt,
+             CAST(sum(q*q) AS BIGINT) AS s_qq,
+             CAST(sum(q*t) AS BIGINT) AS s_qt,
+             CAST(sum(t*t) AS BIGINT) AS s_tt
+      FROM hat
+    )
+    SELECT 'l_discount' AS col_a, 'l_quantity' AS col_b, n,
+           (CAST(n AS DOUBLE)*CAST(s_dq AS DOUBLE) - CAST(s_d AS DOUBLE)*CAST(s_q AS DOUBLE))
+           / (sqrt(CAST(n AS DOUBLE)*CAST(s_dd AS DOUBLE) - CAST(s_d AS DOUBLE)*CAST(s_d AS DOUBLE))
+            * sqrt(CAST(n AS DOUBLE)*CAST(s_qq AS DOUBLE) - CAST(s_q AS DOUBLE)*CAST(s_q AS DOUBLE))) AS corr
+    FROM m
+    UNION ALL
+    SELECT 'l_discount', 'l_tax', n,
+           (CAST(n AS DOUBLE)*CAST(s_dt AS DOUBLE) - CAST(s_d AS DOUBLE)*CAST(s_t AS DOUBLE))
+           / (sqrt(CAST(n AS DOUBLE)*CAST(s_dd AS DOUBLE) - CAST(s_d AS DOUBLE)*CAST(s_d AS DOUBLE))
+            * sqrt(CAST(n AS DOUBLE)*CAST(s_tt AS DOUBLE) - CAST(s_t AS DOUBLE)*CAST(s_t AS DOUBLE))) AS corr
+    FROM m
+    UNION ALL
+    SELECT 'l_quantity', 'l_tax', n,
+           (CAST(n AS DOUBLE)*CAST(s_qt AS DOUBLE) - CAST(s_q AS DOUBLE)*CAST(s_t AS DOUBLE))
+           / (sqrt(CAST(n AS DOUBLE)*CAST(s_qq AS DOUBLE) - CAST(s_q AS DOUBLE)*CAST(s_q AS DOUBLE))
+            * sqrt(CAST(n AS DOUBLE)*CAST(s_tt AS DOUBLE) - CAST(s_t AS DOUBLE)*CAST(s_t AS DOUBLE))) AS corr
+    FROM m
+    """,
+)
+def correlation_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass pairwise Pearson matrix (operators/correlate.py) over
+    lineitem's small-magnitude money columns: all moment sums in a
+    single map-side-combinable aggregate (one scan, one single-row
+    exchange), correlations assembled in-plan. Exact bigint moments +
+    fixed-order IEEE double assembly = engine-portable values
+    (reference analogue: pandas .corr() on the gold frame)."""
+    from dpe_energy_performance_analysis_etl_spark.operators.correlate import (
+        correlation_matrix,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return correlation_matrix(
+        li, {"l_quantity": 2, "l_discount": 2, "l_tax": 2}
+    )
