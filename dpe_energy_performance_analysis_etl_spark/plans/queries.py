@@ -4593,3 +4593,78 @@ def correlation_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return correlation_matrix(
         li, {"l_quantity": 2, "l_discount": 2, "l_tax": 2}
     )
+
+
+@register(
+    "pagerank_supplier_graph",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ), e AS (
+      SELECT 'c' || c AS src, 's' || s AS dst FROM pairs
+      UNION ALL
+      SELECT 's' || s AS src, 'c' || c AS dst FROM pairs
+    ), nodes AS (
+      SELECT DISTINCT src AS node FROM e
+      UNION
+      SELECT DISTINCT dst AS node FROM e
+    ), deg AS (
+      SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src
+    ), r0 AS (
+      SELECT node, CAST(1000000000000 AS BIGINT) AS r FROM nodes
+    ), i1 AS (
+      SELECT n.node,
+             CAST(150000000000 + (85 * coalesce(x.inc, 0)) // 100 AS BIGINT) AS r
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, CAST(sum(r0.r // deg.deg) AS BIGINT) AS inc
+        FROM r0 JOIN deg ON r0.node = deg.src JOIN e ON e.src = deg.src
+        GROUP BY e.dst
+      ) x ON n.node = x.node
+    ), i2 AS (
+      SELECT n.node,
+             CAST(150000000000 + (85 * coalesce(x.inc, 0)) // 100 AS BIGINT) AS r
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, CAST(sum(i1.r // deg.deg) AS BIGINT) AS inc
+        FROM i1 JOIN deg ON i1.node = deg.src JOIN e ON e.src = deg.src
+        GROUP BY e.dst
+      ) x ON n.node = x.node
+    ), i3 AS (
+      SELECT n.node,
+             CAST(150000000000 + (85 * coalesce(x.inc, 0)) // 100 AS BIGINT) AS r
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, CAST(sum(i2.r // deg.deg) AS BIGINT) AS inc
+        FROM i2 JOIN deg ON i2.node = deg.src JOIN e ON e.src = deg.src
+        GROUP BY e.dst
+      ) x ON n.node = x.node
+    )
+    SELECT node, r AS rank_scaled FROM i3
+    """,
+)
+def pagerank_supplier_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer PageRank (operators/graph.py), 3 rounds over the
+    customer<->supplier trade graph (distinct orders x lineitem
+    pairs, symmetric edges). Scaled-integer ranks + true int64 `div`
+    make every round a pure function of the input — bit-identical
+    across partitionings AND engines, which is how an ITERATIVE
+    numeric algorithm can sit behind the value-hash gate at all (the
+    float formulation never could). Per round: one src-keyed join +
+    one dst-keyed agg, both O(|E|)."""
+    from dpe_energy_performance_analysis_etl_spark.operators.graph import (
+        pagerank_fixed,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pairs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    return pagerank_fixed(edges, iterations=3)
