@@ -102,26 +102,44 @@ def bloom_merge(f1: DataFrame, f2: DataFrame) -> DataFrame:
     return u.groupBy("word").agg(F.bit_or("bits").alias("bits"))
 
 
-def packed_words(bloom: DataFrame, n_bits: int) -> list[int]:
-    """Materialize the bitset as a dense word list. This is the ONE
-    driver-side action in the module and it pulls the bounded sketch
-    (≤ n_bits/64 rows), never data rows — the same driver-materialize-
-    and-replan step Spark's runtime bloom filter / DPP subqueries
-    perform internally."""
+def packed_bitset(bloom: DataFrame, n_bits: int) -> DataFrame:
+    """ONE row holding the dense bitset as array<long> (missing words
+    zero-filled): a range-join against the word index, then one
+    sorted collect_list. Fully lazy — no driver action, no literal.
+
+    This replaced a packed-LITERAL design that was measured 78x
+    slower than the plain join it was supposed to beat: a Python-list
+    ``F.lit`` becomes one Literal EXPRESSION PER ELEMENT, so a 2^20-bit
+    filter injected 6 x 16384 expressions into codegen and every probe
+    recompiled a megabyte of generated code. An array COLUMN riding a
+    single-row broadcast keeps the probe at six O(1) ``element_at``
+    calls whatever the filter size."""
     n_words = (n_bits + 63) // 64
-    dense = [0] * n_words
-    for row in bloom.collect():
-        dense[int(row["word"])] = int(row["bits"])
-    return dense
+    idx = bloom.sparkSession.range(n_words).select(F.col("id").alias("word"))
+    dense = idx.join(bloom, on="word", how="left").select(
+        "word", F.coalesce("bits", F.lit(0).cast("long")).alias("bits")
+    )
+    return dense.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("word", "bits"))),
+            lambda s: s["bits"],
+        ).alias("__bloom_words")
+    )
 
 
-def might_contain(key: Column, words: list[int], n_bits: int, k: int) -> Column:
-    """Codegen-only membership test against the packed literal: all k
-    probe bits set. ``element_at`` on an array literal is O(1)."""
-    arr = F.lit(words)
+def packed_words(bloom: DataFrame, n_bits: int) -> list[int]:
+    """Driver-side dense word list (tests / persistence); the join
+    path itself stays lazy via ``packed_bitset``."""
+    row = packed_bitset(bloom, n_bits).collect()[0]
+    return [int(w) for w in row["__bloom_words"]]
+
+
+def might_contain(key: Column, words_col: Column, n_bits: int, k: int) -> Column:
+    """Membership test against the packed array column: all k probe
+    bits set — six O(1) ``element_at`` + shift/AND, codegen-only."""
     cond = F.lit(True)
     for pos in _positions(key, n_bits, k):
-        word = F.element_at(arr, F.floor(pos / 64).cast("int") + 1)
+        word = F.element_at(words_col, F.floor(pos / 64).cast("int") + 1)
         cond = cond & (word.bitwiseAND(_bit_mask(pos)) != 0)
     return cond
 
@@ -135,13 +153,17 @@ def bloom_prefilter(
     k: int = 6,
 ) -> DataFrame:
     """Rows of ``fact`` whose key MIGHT appear in ``dim[dim_key]`` — a
-    superset of the semi-join (no false negatives), evaluated as a
-    scan-adjacent filter before any fact-side shuffle. Note: building
-    the filter runs a (dim-side-only) job when called, like every
-    runtime filter."""
+    superset of the semi-join (no false negatives), evaluated before
+    any fact-side shuffle. The packed bitset rides a single-row
+    broadcast crossJoin: the fact side sees a scan-adjacent filter,
+    never an exchange, and the whole plan stays lazy."""
     dim_key = dim_key or fact_key
-    words = packed_words(bloom_build(dim, dim_key, n_bits, k), n_bits)
-    return fact.filter(might_contain(F.col(fact_key), words, n_bits, k))
+    packed = packed_bitset(bloom_build(dim, dim_key, n_bits, k), n_bits)
+    return (
+        fact.crossJoin(F.broadcast(packed))
+        .filter(might_contain(F.col(fact_key), F.col("__bloom_words"), n_bits, k))
+        .drop("__bloom_words")
+    )
 
 
 def bloom_pruned_join(

@@ -1,7 +1,8 @@
 """Bloom-filter join pruning (operators/bloomjoin.py): no false
 negatives, bounded false-positive rate, merge == whole, end-to-end
 join equality, and the at-scale plan property (the probe is a
-scan-adjacent filter, not an extra join)."""
+broadcast-riding filter on the fact side — no shuffle join, no
+Python)."""
 
 from __future__ import annotations
 
@@ -13,7 +14,6 @@ from dpe_energy_performance_analysis_etl_spark.operators.bloomjoin import (
     bloom_merge,
     bloom_prefilter,
     bloom_pruned_join,
-    might_contain,
     packed_words,
 )
 
@@ -25,18 +25,16 @@ def test_no_false_negatives(spark):
     """Every build-side key passes its own filter — the property that
     makes prefilter->join exact."""
     dim = spark.range(0, 2000, 3).withColumnRenamed("id", "key")
-    words = packed_words(bloom_build(dim, "key", N_BITS, K), N_BITS)
-    missed = dim.filter(~might_contain(F.col("key"), words, N_BITS, K)).count()
-    assert missed == 0
+    kept = bloom_prefilter(dim, dim, "key", n_bits=N_BITS, k=K).count()
+    assert kept == dim.count()
 
 
 def test_false_positive_rate_bounded(spark):
     """667 keys in 2^14 bits ≈ 3.9 bits set per key-hash → theoretical
     fpp ~2.4%; assert a loose 10% ceiling on disjoint probe keys."""
     dim = spark.range(0, 2000, 3).withColumnRenamed("id", "key")
-    words = packed_words(bloom_build(dim, "key", N_BITS, K), N_BITS)
     probes = spark.range(100_000, 110_000).withColumnRenamed("id", "key")
-    fp = probes.filter(might_contain(F.col("key"), words, N_BITS, K)).count()
+    fp = bloom_prefilter(probes, dim, "key", n_bits=N_BITS, k=K).count()
     assert fp / 10_000 < 0.10
 
 
@@ -86,17 +84,19 @@ def test_outer_join_rejected(spark):
         bloom_pruned_join(fact, fact, "key", how="left")
 
 
-def test_prefilter_is_scan_adjacent_filter(spark, tmp_path):
-    """The at-scale reason this operator exists: the probe compiles to
-    a Filter over the fact scan — no join, no exchange, no Python —
-    so pruning happens before any fact-side shuffle."""
+def test_prefilter_plan_shape(spark, tmp_path):
+    """The at-scale contract: the probe rides a single-row
+    BroadcastNestedLoopJoin + Filter — the fact side is never
+    shuffle-joined and no Python evaluation appears; the only hash
+    exchange in the plan is the bounded dim-side bitset build."""
     path = str(tmp_path / "fact.parquet")
     spark.range(10_000).withColumnRenamed("id", "key").write.parquet(path)
     fact = spark.read.parquet(path)
     dim = spark.range(0, 100).withColumnRenamed("id", "key")
     plan = bloom_prefilter(fact, dim, "key", n_bits=N_BITS)._jdf.queryExecution().executedPlan().toString()
-    assert "Join" not in plan and "Exchange" not in plan
-    assert "Filter" in plan and "BatchEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
 def test_selectivity_prunes_most_rows(spark):
