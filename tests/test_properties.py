@@ -105,3 +105,60 @@ def test_cents_sum_is_partition_order_free(cents, scale):
     for cut in range(1, len(cents)):
         assert sum(cents[:cut]) + sum(cents[cut:]) == total
     assert sum(reversed(cents)) == total
+
+
+# ---------------------------------------------------------------------
+# Misra-Gries fold (operators/heavyhitters._mg_fold) — the per-batch
+# kernel the distributed pipeline is built from
+# ---------------------------------------------------------------------
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=20), min_size=1, max_size=400),
+    st.integers(min_value=1, max_value=12),
+)
+@settings(max_examples=60, deadline=None)
+def test_mg_fold_guarantees(stream, k):
+    """∀ streams and capacities: ≤ k counters survive, no counter
+    overcounts, and the undercount is ≤ n/(k+1) — the MG invariants
+    the distributed error bound is assembled from."""
+    import pandas as pd
+    from collections import Counter
+    from dpe_energy_performance_analysis_etl_spark.operators.heavyhitters import _mg_fold
+
+    counts: dict = {}
+    # fold in a few uneven batches to exercise the batched decrement
+    for i in range(0, len(stream), 37):
+        batch = pd.Series(stream[i : i + 37]).value_counts()
+        _mg_fold(counts, batch, k)
+    true = Counter(stream)
+    assert len(counts) <= k
+    for item, c_hat in counts.items():
+        assert c_hat <= true[item]
+        assert true[item] - c_hat <= len(stream) / (k + 1)
+
+
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=10),
+    st.integers(min_value=1, max_value=10),
+)
+@settings(max_examples=40, deadline=None)
+def test_resize_kernels_shape_and_range(h, w, oh, ow):
+    """∀ sizes: output shape is exactly (oh, ow[, C]), dtype uint8,
+    and every output pixel lies within the input's [min, max] (both
+    kernels interpolate, never extrapolate)."""
+    import numpy as np
+    from dpe_energy_performance_analysis_etl_spark.multimodal.codecs import (
+        resize_bilinear,
+        resize_nearest,
+    )
+
+    rng = np.random.default_rng(h * 131 + w * 7 + oh * 3 + ow)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    for kernel in (resize_nearest, resize_bilinear):
+        out = kernel(img, oh, ow)
+        assert out.shape == (oh, ow, 3)
+        assert out.dtype == np.uint8
+        assert out.min() >= img.min() and out.max() <= img.max()
