@@ -1,0 +1,127 @@
+"""Histogram-based distributed quantiles: a mergeable, deterministic
+approximate-percentile path whose error is bounded by bucket width.
+
+Exact percentiles (``percentile``, used by ``percentile_iqr``) sort —
+fine per group, expensive for a global quantile over 100 TB. Spark's
+built-in ``approx_percentile`` (Greenwald–Khanna) is sequential-merge
+order-dependent, so its exact output is engine- and partitioning-
+specific — it can never sit behind a value-hash gate. The equi-width
+histogram sketch gives up adaptivity for determinism: bucket counts
+are a pure function of (bounds, n_buckets, data), addition-mergeable
+across batches/partitions (the same monoid contract as the CMS / KMV /
+bloom / MG sketches), and the quantile estimate interpolates inside
+the hit bucket with one fixed-order double expression — bit-identical
+on any engine.
+
+Cost: one pass for bounds (skippable when the domain is known — pass
+``bounds``) + one pass of codegen arithmetic + a groupBy over ≤
+n_buckets fixed-width keys. Error: ≤ (hi-lo)/n_buckets per quantile,
+versus GK's rank-based ε — coarser on heavy-tailed data (docstring
+over-promises nothing: pick n_buckets from the needed resolution, or
+iterate: re-histogram inside the hit bucket for another /n_buckets
+refinement per pass).
+
+The cumulative scan runs over the ≤ n_buckets bucket table in a
+single-partition window — the same "serial window over the TINY
+table" shape as ``sequence_pack_bins``, benign by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def histogram_buckets(
+    df: DataFrame,
+    col: str,
+    n_buckets: int = 1024,
+    bounds: tuple[float, float] | None = None,
+) -> DataFrame:
+    """(bucket, cnt) over the clamped equi-width grid, plus the grid
+    itself as (lo, width) columns on every row (so downstream steps —
+    and merges, which must agree on the grid — stay self-describing).
+    One bounded-key shuffle; NULLs are excluded like every SQL
+    percentile."""
+    vals = df.select(F.col(col).alias("v")).where(F.col("v").isNotNull())
+    if bounds is not None:
+        lo, hi = float(bounds[0]), float(bounds[1])
+        b = vals.select(F.lit(lo).alias("lo"), F.lit(hi).alias("hi"), "v")
+    else:
+        agg = vals.agg(
+            F.min("v").cast("double").alias("lo"),
+            F.max("v").cast("double").alias("hi"),
+        )
+        b = vals.crossJoin(F.broadcast(agg))
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(n_buckets))
+    bucket = F.least(
+        F.greatest(
+            F.floor((F.col("v") - F.col("lo")) / width).cast("long"), F.lit(0)
+        ),
+        F.lit(n_buckets - 1),
+    )
+    return (
+        b.select(bucket.alias("bucket"), "lo", width.alias("width"))
+        .groupBy("bucket", "lo", "width")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def merge_histograms(h1: DataFrame, h2: DataFrame) -> DataFrame:
+    """Add bucket counts — exact for histograms built on the SAME
+    (bounds, n_buckets) grid; the caller pins explicit ``bounds`` for
+    cross-batch merges (data-derived bounds differ per batch)."""
+    return (
+        h1.unionByName(h2)
+        .groupBy("bucket", "lo", "width")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    col: str,
+    probs: list[float],
+    n_buckets: int = 1024,
+    bounds: tuple[float, float] | None = None,
+) -> DataFrame:
+    """(prob, q_est) per requested quantile: find the bucket where the
+    running count crosses ceil(p·n), interpolate uniformly inside it.
+    Deterministic: every arithmetic step is a fixed-order IEEE double
+    op over exact integer counts."""
+    hist = histogram_buckets(df, col, n_buckets, bounds)
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "bucket",
+        "lo",
+        "width",
+        "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+    ).crossJoin(F.broadcast(hist.agg(F.sum("cnt").alias("n"))))
+
+    p = F.explode(
+        F.array(*[F.lit(float(x)) for x in probs])
+    ).alias("prob")
+    targets = cum.select("*", p).withColumn(
+        "target", F.greatest(F.ceil(F.col("prob") * F.col("n")), F.lit(1))
+    )
+    hit = (
+        targets.where(F.col("cum") >= F.col("target"))
+        .groupBy("prob")
+        .agg(
+            F.min_by(
+                F.struct("bucket", "lo", "width", "cnt", "cum", "target"),
+                F.col("bucket"),
+            ).alias("h")
+        )
+    )
+    frac = (
+        F.col("h.target").cast("double")
+        - (F.col("h.cum") - F.col("h.cnt")).cast("double")
+    ) / F.col("h.cnt").cast("double")
+    return hit.select(
+        "prob",
+        (
+            F.col("h.lo")
+            + F.col("h.width") * (F.col("h.bucket").cast("double") + frac)
+        ).alias("q_est"),
+    )

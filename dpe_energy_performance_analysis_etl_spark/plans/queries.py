@@ -4668,3 +4668,54 @@ def pagerank_supplier_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
     return pagerank_fixed(edges, iterations=3)
+
+
+@register(
+    "histogram_quantiles_price",
+    """
+    WITH vals AS (
+      SELECT l_extendedprice AS v FROM lineitem WHERE l_extendedprice IS NOT NULL
+    ), b AS (
+      SELECT CAST(min(v) AS DOUBLE) AS lo, CAST(max(v) AS DOUBLE) AS hi FROM vals
+    ), hist AS (
+      SELECT least(greatest(CAST(floor((v - lo) / ((hi - lo) / 1024)) AS BIGINT), 0), 1023) AS bucket,
+             lo, (hi - lo) / 1024 AS width, CAST(count(*) AS BIGINT) AS cnt
+      FROM vals CROSS JOIN b
+      GROUP BY 1, 2, 3
+    ), cum AS (
+      SELECT bucket, lo, width, cnt,
+             CAST(sum(cnt) OVER (ORDER BY bucket) AS BIGINT) AS cum,
+             CAST((SELECT sum(cnt) FROM hist) AS BIGINT) AS n
+      FROM hist
+    ), t AS (
+      SELECT cum.*, p.prob,
+             greatest(CAST(ceil(prob * n) AS BIGINT), 1) AS target
+      FROM cum CROSS JOIN (VALUES (0.25), (0.5), (0.9), (0.99)) p(prob)
+    ), hit AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY prob ORDER BY bucket) AS rn
+        FROM t WHERE cum >= target
+      ) WHERE rn = 1
+    )
+    SELECT prob,
+           lo + width * (CAST(bucket AS DOUBLE)
+             + (CAST(target AS DOUBLE) - CAST(cum - cnt AS DOUBLE)) / CAST(cnt AS DOUBLE))
+             AS q_est
+    FROM hit
+    """,
+)
+def histogram_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable histogram quantiles (operators/quantiles.py) over
+    l_extendedprice: the deterministic scale path for global
+    percentiles — bucket counts are addition-mergeable and every step
+    is fixed-order IEEE arithmetic, unlike GK approx_percentile whose
+    merge order makes its exact output engine-specific (the reason it
+    can only ever be rows-only in this gate)."""
+    from dpe_energy_performance_analysis_etl_spark.operators.quantiles import (
+        histogram_quantiles,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return histogram_quantiles(
+        li, "l_extendedprice", probs=[0.25, 0.5, 0.9, 0.99], n_buckets=1024
+    )
