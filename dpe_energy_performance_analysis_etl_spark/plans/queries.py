@@ -4719,3 +4719,65 @@ def histogram_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     return histogram_quantiles(
         li, "l_extendedprice", probs=[0.25, 0.5, 0.9, 0.99], n_buckets=1024
     )
+
+
+@register(
+    "snapshot_diff_orders",
+    """
+    WITH old AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    ), new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 13 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+             CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 1 ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 97 != 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey < 300
+    ), j AS (
+      SELECT o.o_orderkey AS ok, n.o_orderkey AS nk,
+             o.o_orderstatus AS os, n.o_orderstatus AS ns,
+             o.o_totalprice AS op, n.o_totalprice AS np
+      FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    )
+    SELECT coalesce(ok, nk) AS o_orderkey,
+           CASE WHEN ok IS NULL THEN 'added'
+                WHEN nk IS NULL THEN 'removed'
+                WHEN (os IS DISTINCT FROM ns) OR (op IS DISTINCT FROM np)
+                  THEN 'changed' END AS change,
+           CASE WHEN ok IS NULL OR nk IS NULL THEN []
+                ELSE list_filter(
+                  [CASE WHEN os IS DISTINCT FROM ns THEN 'o_orderstatus' END,
+                   CASE WHEN op IS DISTINCT FROM np THEN 'o_totalprice' END],
+                  x -> x IS NOT NULL) END AS changed_cols
+    FROM j
+    WHERE (ok IS NULL) OR (nk IS NULL)
+       OR (os IS DISTINCT FROM ns) OR (op IS DISTINCT FROM np)
+    """,
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (operators/diff.py) between orders and a seeded
+    mutation of it (every 97th key removed, every 11th price bumped,
+    every 13th status flipped, keys < 300 re-added under shifted ids):
+    one co-partitioned full-outer join, null-safe per-column change
+    attribution, unchanged majority filtered in-plan."""
+    from dpe_energy_performance_analysis_etl_spark.operators.diff import snapshot_diff
+
+    old = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    new = (
+        old.where(k % 97 != 0)
+        .select(
+            "o_orderkey",
+            F.when(k % 13 == 0, F.lit("X")).otherwise(F.col("o_orderstatus")).alias("o_orderstatus"),
+            F.when(k % 11 == 0, F.col("o_totalprice") + 1).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+        )
+        .unionAll(
+            old.where(k < 300).select(
+                (k + 100000000).alias("o_orderkey"), "o_orderstatus", "o_totalprice"
+            )
+        )
+    )
+    return snapshot_diff(old, new, ["o_orderkey"])

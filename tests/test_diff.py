@@ -1,0 +1,64 @@
+"""Snapshot diff (operators/diff.py): change classification,
+null-safe attribution, composite keys, and the changelog round-trip
+(old + diff ≡ new)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dpe_energy_performance_analysis_etl_spark.operators.diff import snapshot_diff
+
+
+def _pair(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None), (4, "d", 40.0)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0),        # unchanged
+         (2, "B", 21.0),        # both columns changed
+         (3, "c", 30.0),        # NULL -> value
+         (5, "e", 50.0)],       # added; 4 removed
+        "k long, s string, v double",
+    )
+    return old, new
+
+
+def test_classification_and_attribution(spark):
+    old, new = _pair(spark)
+    out = {r["k"]: r for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert set(out) == {2, 3, 4, 5}  # 1 unchanged: absent
+    assert out[2]["change"] == "changed" and out[2]["changed_cols"] == ["s", "v"]
+    assert out[3]["change"] == "changed" and out[3]["changed_cols"] == ["v"]
+    assert out[4]["change"] == "removed" and out[4]["changed_cols"] == []
+    assert out[5]["change"] == "added" and out[5]["changed_cols"] == []
+
+
+def test_value_to_null_is_a_change(spark):
+    old = spark.createDataFrame([(1, 10.0)], "k long, v double")
+    new = spark.createDataFrame([(1, None)], "k long, v double")
+    out = snapshot_diff(old, new, ["k"]).collect()
+    assert out[0]["change"] == "changed" and out[0]["changed_cols"] == ["v"]
+
+
+def test_composite_key(spark):
+    old = spark.createDataFrame([(1, "x", 5.0), (1, "y", 6.0)], "a long, b string, v double")
+    new = spark.createDataFrame([(1, "x", 7.0), (1, "y", 6.0)], "a long, b string, v double")
+    out = snapshot_diff(old, new, ["a", "b"]).collect()
+    assert len(out) == 1 and out[0]["b"] == "x" and out[0]["change"] == "changed"
+
+
+def test_diff_round_trips_through_changelog(spark):
+    """old + diff ≡ new: the diff IS a changelog. Rebuild new by
+    dropping removed keys, overwriting changed keys from new, and
+    appending added keys."""
+    old, new = _pair(spark)
+    d = snapshot_diff(old, new, ["k"])
+    gone = d.where(F.col("change") == "removed").select("k")
+    touched = d.where(F.col("change") != "removed").select("k")
+    rebuilt = (
+        old.join(gone, on="k", how="left_anti")
+        .join(touched, on="k", how="left_anti")
+        .unionByName(new.join(touched, on="k", how="left_semi"))
+    )
+    assert sorted(rebuilt.collect()) == sorted(new.collect())
