@@ -122,7 +122,10 @@ def semantic_dedup(
     cents = centroids
     if cents is None:
         cents = seeded_centroids(vectors, n_clusters, id_col, vec_col)
-    assigned = assign_clusters(vectors, cents, id_col, vec_col)
+    # assignment feeds three consumers (both pair sides + the final
+    # join) — uncached, each re-runs the broadcast-argmax over the
+    # corpus (plan audit: 18 static exchanges, 3x the scan)
+    assigned = assign_clusters(vectors, cents, id_col, vec_col).cache()
 
     lo = assigned.select(
         F.col("cluster"),

@@ -88,7 +88,9 @@ def histogram_quantiles(
     running count crosses ceil(p·n), interpolate uniformly inside it.
     Deterministic: every arithmetic step is a fixed-order IEEE double
     op over exact integer counts."""
-    hist = histogram_buckets(df, col, n_buckets, bounds)
+    # the ≤ n_buckets-row bucket table feeds the cumulative scan AND
+    # the grand total — cache it or the full data scan runs twice
+    hist = histogram_buckets(df, col, n_buckets, bounds).cache()
     w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
     cum = hist.select(
         "bucket",

@@ -80,8 +80,16 @@ def importance_score(
     single final division is the only float op. ``reference``
     defaults to the candidate corpus itself (the DSIR raw pool)."""
     ref = reference if reference is not None else candidates
-    tvoc = unigram_counts(target, text_col, id_col).withColumnRenamed("cnt", "tc")
-    rvoc = unigram_counts(ref, text_col, id_col).withColumnRenamed("cnt", "rc")
+    # each vocab table feeds both the token join and its grand-total —
+    # cache so the corpus tokenization runs once per side, not twice
+    tvoc = (
+        unigram_counts(target, text_col, id_col)
+        .withColumnRenamed("cnt", "tc")
+        .cache()
+    )
+    rvoc = (
+        unigram_counts(ref, text_col, id_col).withColumnRenamed("cnt", "rc").cache()
+    )
 
     toks = _tokens(candidates, id_col, text_col)
     joined = (

@@ -31,6 +31,12 @@ EXPECTED_MULTISTAGE = {
     "tfidf_top_terms": "tf subtree feeds tf and df branches; 7 exchanges at runtime",
     "cms_token_frequency": "sketch + exact-count + probe branches share the token explode; 8 at runtime",
     "temperature_mixture_sample": "rate-table agg + decision branch share the scan; 8 at runtime",
+    # round-3 additions (all with cached hot intermediates)
+    "pagerank_supplier_graph": "3 fixed iterations; edge/deg/node tables cached (uncached 19.1 s -> 5.2 s at sf1)",
+    "semantic_dedup_survivors": "cached cluster assignment feeds both pair sides + final join",
+    "dsir_importance_scores": "cached vocab tables feed token join + grand totals",
+    "basket_cooccurrence_lift": "cached item set feeds supports, pairs, and basket count",
+    "histogram_quantiles_price": "cached <=n_buckets bucket table feeds cum-scan + total",
 }
 
 
