@@ -37,6 +37,7 @@ EXPECTED_MULTISTAGE = {
     "dsir_importance_scores": "cached vocab tables feed token join + grand totals",
     "basket_cooccurrence_lift": "cached item set feeds supports, pairs, and basket count",
     "histogram_quantiles_price": "cached <=n_buckets bucket table feeds cum-scan + total",
+    "ann_ivf_seeded_topk": "centroid subtree (8-row pushed-filter scan) appears in assign + probe branches; corpus read once per consumer, both broadcast-joined",
 }
 
 

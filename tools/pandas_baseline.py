@@ -127,6 +127,48 @@ def embedding_cosine_topk(dfs):
     return pd.DataFrame(out, columns=["query_id", "neighbor_id", "cosine", "rank"])
 
 
+
+
+def basket_cooccurrence_lift(dfs):
+    li = dfs["lineitem"]
+    items = li[["l_orderkey", "l_partkey"]].drop_duplicates()
+    n_baskets = items["l_orderkey"].nunique()
+    supp = items.groupby("l_partkey").size().rename("s")
+    pairs = items.merge(items, on="l_orderkey")
+    pairs = pairs[pairs["l_partkey_x"] < pairs["l_partkey_y"]]
+    pc = pairs.groupby(["l_partkey_x", "l_partkey_y"]).size().rename("support").reset_index()
+    pc = pc[pc["support"] >= 2]
+    pc = pc.merge(supp.rename("supp_a"), left_on="l_partkey_x", right_index=True)
+    pc = pc.merge(supp.rename("supp_b"), left_on="l_partkey_y", right_index=True)
+    pc["lift"] = pc["support"].astype(float) * float(n_baskets) / (
+        pc["supp_a"].astype(float) * pc["supp_b"].astype(float)
+    )
+    return pc
+
+
+def paragraph_dedup_corpus(dfs):
+    d = dfs["documents"]
+    text = (
+        "Shared boilerplate: all rights reserved.\n"
+        + "Doc " + d["doc_id"].astype(str) + " body: " + d["text"].str.slice(0, 60) + "\n"
+        + "Group banner " + (d["doc_id"] % 7).astype(str) + "\n"
+        + "Doc " + d["doc_id"].astype(str) + " closing line."
+    )
+    paras = (
+        pd.DataFrame({"doc_id": d["doc_id"], "para": text.str.split("\n")})
+        .explode("para")
+        .reset_index(drop=True)
+    )
+    paras["pos"] = paras.groupby("doc_id").cumcount()
+    paras = paras.sort_values(["doc_id", "pos"], kind="stable")
+    kept = ~paras.duplicated(subset="para", keep="first")
+    paras["kept"] = kept
+    out = paras.groupby("doc_id").agg(
+        clean_text=("para", lambda g: "\n".join(g[paras.loc[g.index, "kept"]])),
+        n_kept=("kept", "sum"),
+    )
+    return out
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -134,6 +176,8 @@ QUERIES = {
     "text_quality": text_quality,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "embedding_cosine_topk": embedding_cosine_topk,
+    "basket_cooccurrence_lift": basket_cooccurrence_lift,
+    "paragraph_dedup_corpus": paragraph_dedup_corpus,
 }
 
 
