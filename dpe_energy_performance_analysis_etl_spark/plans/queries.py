@@ -4781,3 +4781,141 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return snapshot_diff(old, new, ["o_orderkey"])
+
+
+# =====================================================================
+# Retrieval & model-based scoring (text/retrieval.py)
+# =====================================================================
+
+@register(
+    "bm25_topk_docs",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, unnest(toks) AS term
+      FROM toks
+    ), tfc AS (
+      SELECT doc_id, dl, term, COUNT(*) AS tf FROM tf GROUP BY 1, 2, 3
+    ), dfreq AS (
+      SELECT term, COUNT(*) AS df FROM tfc GROUP BY 1
+    ), corpus AS (
+      SELECT COUNT(*) AS n_docs, SUM(dl) AS total_tokens
+      FROM (SELECT DISTINCT doc_id, dl FROM tfc)
+    ), scored AS (
+      SELECT doc_id, term,
+             ((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+             * ((CAST(tf AS DOUBLE) * 2.2) /
+                (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+                 (CAST(dl AS DOUBLE) / (CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+             AS term_score
+      FROM tfc JOIN dfreq USING (term) CROSS JOIN corpus
+      WHERE term IN ('spark', 'join', 'window')
+    ), per_doc AS (
+      SELECT doc_id,
+             SUM(CASE WHEN term = 'spark'  THEN term_score END) AS s_0,
+             SUM(CASE WHEN term = 'join'   THEN term_score END) AS s_1,
+             SUM(CASE WHEN term = 'window' THEN term_score END) AS s_2
+      FROM scored GROUP BY 1
+    ), totaled AS (
+      SELECT doc_id,
+             0.0 + COALESCE(s_0, 0.0) + COALESCE(s_1, 0.0) + COALESCE(s_2, 0.0) AS score
+      FROM per_doc
+    )
+    SELECT doc_id, score, CAST(rn AS BIGINT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rn FROM totaled
+    ) WHERE rn <= 10
+    """,
+)
+def bm25_topk_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 for a fixed 3-term query (text/retrieval.py).
+    Rational idf (no ln — libm 1-ulp skew breaks cross-engine hashes)
+    and a fixed-order per-document sum via one conditional aggregate
+    per query term. Plan: explode -> (doc,term) agg -> broadcast df/
+    corpus stats -> conditional agg -> global top-k window over the
+    ALREADY-FILTERED query-term rows (tiny), never the corpus."""
+    from dpe_energy_performance_analysis_etl_spark.text.retrieval import bm25_topk
+
+    return bm25_topk(read_documents(spark, sf_dir), ["spark", "join", "window"], k=10)
+
+
+@register(
+    "unigram_lm_quality",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, unnest(toks) AS term
+      FROM toks
+    ), tfc AS (
+      SELECT doc_id, dl, term, COUNT(*) AS tf FROM tf GROUP BY 1, 2, 3
+    ), vocab AS (
+      SELECT term, SUM(tf) AS c_term FROM tfc GROUP BY 1
+    ), total AS (
+      SELECT CAST(SUM(c_term) AS BIGINT) AS c_total FROM vocab
+    ), weighted AS (
+      SELECT doc_id, dl, tf,
+             (c_total * 1000000) // CAST(c_term AS BIGINT) AS w
+      FROM tfc JOIN vocab USING (term) CROSS JOIN total
+    )
+    SELECT doc_id, dl AS n_tokens,
+           CAST(CAST(SUM(tf * w) AS BIGINT) AS DOUBLE)
+             / (CAST(dl AS DOUBLE) * 1000000.0) AS mean_inv_prob
+    FROM weighted GROUP BY doc_id, dl
+    """,
+)
+def unigram_lm_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM surprisal proxy (text/retrieval.py): per-token
+    weight = integer-scaled inverse relative corpus frequency, so the
+    per-doc accumulation is an exact order-independent BIGINT sum and
+    only the final mean divides as double. Vocab + corpus total are
+    broadcast; the corpus shuffles once for the tf agg."""
+    from dpe_energy_performance_analysis_etl_spark.text.retrieval import unigram_lm_scores
+
+    return unigram_lm_scores(read_documents(spark, sf_dir))
+
+
+@register(
+    "hashed_classifier_gate",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, unnest(toks) AS term
+      FROM toks
+    ), tfc AS (
+      SELECT doc_id, dl, term, COUNT(*) AS tf FROM tf GROUP BY 1, 2, 3
+    ), weighted AS (
+      SELECT doc_id, dl, tf,
+             CAST(((list_reduce(
+                      list_prepend(CAST(0 AS BIGINT),
+                        list_transform(regexp_extract_all(term, '.'),
+                                       c -> CAST(ascii(c) AS BIGINT))),
+                      (acc, x) -> (acc * 131 + x) % 1000000000000000)
+                    % 1024) * 2654435761) % 2001 AS BIGINT) - 1000 AS w
+      FROM tfc
+    ), per_doc AS (
+      SELECT doc_id, dl, CAST(SUM(tf * w) AS BIGINT) AS margin_scaled
+      FROM weighted GROUP BY doc_id, dl
+    )
+    SELECT doc_id, dl AS n_tokens,
+           CAST(margin_scaled AS DOUBLE) / (CAST(dl AS DOUBLE) * 1000.0) AS margin,
+           0.5 + 0.5 * (CAST(margin_scaled AS DOUBLE) / (CAST(dl AS DOUBLE) * 1000.0))
+               / (1.0 + abs(CAST(margin_scaled AS DOUBLE) / (CAST(dl AS DOUBLE) * 1000.0))) AS prob,
+           CAST(margin_scaled AS DOUBLE) / (CAST(dl AS DOUBLE) * 1000.0) >= 0 AS keep
+    FROM per_doc
+    """,
+)
+def hashed_classifier_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed bag-of-words linear classifier (text/retrieval.py):
+    portable rolling-hash token buckets, Knuth-multiplicative integer
+    weights, exact BIGINT margins, rational sigmoid (no exp). The
+    weight is computed inline per row — zero joins beyond the tf agg,
+    which is the shape a real exported hashed linear model runs at
+    on a 100 TB corpus."""
+    from dpe_energy_performance_analysis_etl_spark.text.retrieval import hashed_classifier_scores
+
+    return hashed_classifier_scores(read_documents(spark, sf_dir))
