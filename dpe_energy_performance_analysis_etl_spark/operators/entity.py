@@ -1,0 +1,81 @@
+"""Entity resolution: edit-distance-1 fuzzy matching via the
+deletion-neighborhood (FastSS / SymSpell) candidate scheme.
+
+Naive fuzzy joins are quadratic (every pair levenshtein'd) and
+prefix-blocking collapses on skewed key distributions (a shared
+prefix like ``Customer#0000`` puts the whole table in one block —
+measured as the difference between O(n·L) and O(n²) candidates on
+the synthetic customer table). The deletion neighborhood fixes both
+structurally: a string of length L expands to L+1 keys (itself plus
+every single-character deletion), two strings within edit distance 1
+ALWAYS share at least one key (s itself for equality, del(s) for
+deletion/insertion, a common variant for substitution), and the
+candidate join is a plain equi-join whose fan-out is linear in
+corpus size — exactly the property that survives a 1000-executor
+shuffle. Levenshtein verification then removes the rare hash-key
+coincidences.
+
+Public references: Bocek et al., "Fast Similarity Search in Large
+Dictionaries" (FastSS, 2007); the SymSpell family. (The reference
+repo has no fuzzy-matching surface; this extends its dedup domain
+per the build mandate.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def deletion_variants(col: Column | str) -> Column:
+    """Array of the string itself plus every single-deletion variant.
+
+    ``transform`` over a 0..L index sequence stays fully inside
+    whole-stage codegen — no UDF, no Python in the row path. Index 0
+    maps to the unmodified string; index i (1-based) deletes
+    character i.
+    """
+    s = F.col(col) if isinstance(col, str) else col
+    return F.transform(
+        F.sequence(F.lit(0), F.length(s)),
+        lambda i: F.when(i == 0, s).otherwise(
+            F.concat(F.substring(s, F.lit(1), i - 1), F.substr(s, i + 1))
+        ),
+    )
+
+
+def fuzzy_join_ed1(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    block: list[str] | None = None,
+) -> DataFrame:
+    """All (left, right) row pairs whose strings are within edit
+    distance 1, plus exact matches — deletion-neighborhood candidate
+    generation, levenshtein verification.
+
+    ``block`` columns (present on both sides, e.g. a region key) are
+    added to the equi-join key: they shrink candidate volume AND give
+    the shuffle a compound key, which spreads hot variant keys across
+    partitions. Output keeps every column of both inputs (right-side
+    name-collisions suffixed ``_r``) plus ``edit_dist``.
+
+    Scale shape: explode(L+1) on each side → one equi-join on
+    (block…, variant) → distinct on the pair key. Candidates are
+    bounded by sum over variant keys of |L_k|·|R_k| — with near-unique
+    variants this is O(matches), never O(n²).
+    """
+    block = block or []
+    lcols = left.columns
+    rename = {c: f"{c}_r" for c in right.columns if c in lcols and c not in block}
+    r = right
+    for old, new in rename.items():
+        r = r.withColumnRenamed(old, new)
+    rcol = rename.get(right_col, right_col)
+
+    lv = left.withColumn("__variant", F.explode(deletion_variants(left_col)))
+    rv = r.withColumn("__variant", F.explode(deletion_variants(rcol)))
+    cand = lv.join(rv, on=block + ["__variant"]).drop("__variant").distinct()
+    return cand.withColumn("edit_dist", F.levenshtein(F.col(left_col), F.col(rcol))).filter(
+        F.col("edit_dist") <= 1
+    )

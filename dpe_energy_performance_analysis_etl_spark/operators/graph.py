@@ -94,3 +94,71 @@ def pagerank_fixed(
         if (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks
+
+
+def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node triangle counts over an undirected simple graph.
+
+    Degree-oriented enumeration (the standard MPC/MapReduce algorithm
+    — Suri & Vassilvitskii, "Counting Triangles and the Curse of the
+    Last Reducer", WWW'11): orient every edge from the lower-ranked
+    endpoint to the higher, rank = (degree, id). Each triangle
+    {a,b,c} is then enumerated EXACTLY once from its lowest-ranked
+    vertex, and the join fan-out per vertex is its out-degree under
+    the orientation, which is O(sqrt(|E|)) for any graph (arboricity
+    bound) — this is what kills the "curse of the last reducer" that
+    a naive adjacency self-join has on hub nodes.
+
+    Plan shape: degree agg (one shuffle) → broadcast-or-shuffle rank
+    join → oriented wedge self-join on the middle vertex → edge
+    existence semi-join → per-corner count aggregation. Everything is
+    equi-keyed; nothing is quadratic in a hub's degree.
+
+    Input may contain both directions or duplicates; it is
+    canonicalized to distinct undirected pairs first. Self-loops are
+    dropped.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    both = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = both.groupBy("a").agg(F.count(F.lit(1)).alias("deg")).withColumnRenamed("a", "v")
+
+    # Orient u -> w iff (deg(u), u) < (deg(w), w).
+    dl = deg.withColumnRenamed("v", "a").withColumnRenamed("deg", "deg_a")
+    dr = deg.withColumnRenamed("v", "b").withColumnRenamed("deg", "deg_b")
+    ranked = e.join(dl, "a").join(dr, "b")
+    lower_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ranked.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("w"),
+    )
+
+    # Wedges centered at the lowest-ranked vertex u: (u -> w1, u -> w2).
+    o1 = oriented.select(F.col("u"), F.col("w").alias("w1"))
+    o2 = oriented.select(F.col("u"), F.col("w").alias("w2"))
+    wedges = o1.join(o2, "u").filter(F.col("w1") < F.col("w2"))
+
+    # A wedge closes iff the undirected edge {w1, w2} exists.
+    closing = e.select(F.col("a").alias("w1"), F.col("b").alias("w2"))
+    triangles = wedges.join(closing, ["w1", "w2"])
+
+    per_corner = (
+        triangles.select(F.col("u").alias("v"))
+        .unionAll(triangles.select(F.col("w1").alias("v")))
+        .unionAll(triangles.select(F.col("w2").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return deg.join(per_corner, "v", "left").select(
+        "v",
+        "deg",
+        F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+    )

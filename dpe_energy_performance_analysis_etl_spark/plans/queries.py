@@ -4919,3 +4919,113 @@ def hashed_classifier_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dpe_energy_performance_analysis_etl_spark.text.retrieval import hashed_classifier_scores
 
     return hashed_classifier_scores(read_documents(spark, sf_dir))
+
+
+# =====================================================================
+# Entity resolution & graph analytics (operators/entity.py, graph.py)
+# =====================================================================
+
+@register(
+    "entity_match_ed1",
+    """
+    WITH dirty AS (
+      SELECT c_custkey AS r_id, c_nationkey,
+             substr(c_name, 1, 9 + (c_custkey % 9))
+               || substr(c_name, 11 + (c_custkey % 9)) AS r_name
+      FROM customer WHERE c_custkey % 3 = 1
+    ), lv AS (
+      SELECT c_custkey, c_name, c_nationkey,
+             unnest(list_transform(range(0, len(c_name) + 1),
+               i -> CASE WHEN i = 0 THEN c_name
+                         ELSE substr(c_name, 1, CAST(i - 1 AS INT))
+                              || substr(c_name, CAST(i + 1 AS INT)) END)) AS variant
+      FROM customer
+    ), rv AS (
+      SELECT r_id, r_name, c_nationkey,
+             unnest(list_transform(range(0, len(r_name) + 1),
+               i -> CASE WHEN i = 0 THEN r_name
+                         ELSE substr(r_name, 1, CAST(i - 1 AS INT))
+                              || substr(r_name, CAST(i + 1 AS INT)) END)) AS variant
+      FROM dirty
+    ), cand AS (
+      SELECT DISTINCT c_custkey, c_name, lv.c_nationkey, r_id, r_name
+      FROM lv JOIN rv ON lv.c_nationkey = rv.c_nationkey AND lv.variant = rv.variant
+    )
+    SELECT c_custkey, c_name, c_nationkey, r_id, r_name,
+           CAST(levenshtein(c_name, r_name) AS INT) AS edit_dist
+    FROM cand
+    WHERE levenshtein(c_name, r_name) <= 1
+    """,
+)
+def entity_match_ed1_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity resolution (operators/entity.py): match clean
+    customer names against a deterministically corrupted registry
+    (digit deleted at position custkey%9) using deletion-neighborhood
+    candidates (FastSS) + levenshtein verification, blocked on
+    nationkey. Candidates are O(n*L) explode + one equi-join — never
+    the O(n^2) cartesian a naive fuzzy join needs, and immune to the
+    prefix-skew trap (every name here shares 'Customer#0000…')."""
+    from dpe_energy_performance_analysis_etl_spark.operators.entity import fuzzy_join_ed1
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    p = F.col("c_custkey") % 9
+    dirty = cust.filter(F.col("c_custkey") % 3 == 1).select(
+        F.col("c_custkey").alias("r_id"),
+        "c_nationkey",
+        F.concat(
+            F.substring(F.col("c_name"), F.lit(1), F.lit(9) + p),
+            F.substr(F.col("c_name"), F.lit(11) + p),
+        ).alias("r_name"),
+    )
+    matched = fuzzy_join_ed1(cust, dirty, "c_name", "r_name", block=["c_nationkey"])
+    return matched.select(
+        "c_custkey", "c_name", "c_nationkey", "r_id", "r_name",
+        F.col("edit_dist").cast("int").alias("edit_dist"),
+    )
+
+
+@register(
+    "triangle_count_parts",
+    """
+    WITH e AS (
+      SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS a,
+                      greatest(a.l_partkey, b.l_partkey) AS b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), deg AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e
+      ) GROUP BY 1
+    ), tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e e1 JOIN e e2 ON e1.b = e2.a
+                JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ), corners AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+        SELECT x AS v FROM tri UNION ALL SELECT y AS v FROM tri
+        UNION ALL SELECT z AS v FROM tri
+      ) GROUP BY 1
+    )
+    SELECT deg.v, deg.deg, COALESCE(n_triangles, 0) AS n_triangles
+    FROM deg LEFT JOIN corners ON deg.v = corners.v
+    """,
+)
+def triangle_count_parts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle counts over the order-co-occurrence graph
+    (operators/graph.py triangle_counts): degree-oriented wedge
+    enumeration (Suri & Vassilvitskii WWW'11) — each triangle found
+    once from its lowest-degree corner, join fan-out bounded by
+    arboricity, so hub parts cannot create a quadratic reducer. The
+    oracle enumerates triangles the canonical a<b<c way; results are
+    identical, orientation is purely the scale strategy."""
+    from dpe_energy_performance_analysis_etl_spark.operators.graph import triangle_counts
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = a.join(b, "l_orderkey").filter(F.col("a.l_partkey") < F.col("b.l_partkey")).select(
+        F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+    )
+    return triangle_counts(edges)

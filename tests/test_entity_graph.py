@@ -1,0 +1,80 @@
+"""Deletion-neighborhood fuzzy join (operators/entity.py) and
+degree-oriented triangle counting (operators/graph.py) on
+hand-checkable inputs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dpe_energy_performance_analysis_etl_spark.operators.entity import (
+    deletion_variants,
+    fuzzy_join_ed1,
+)
+from dpe_energy_performance_analysis_etl_spark.operators.graph import triangle_counts
+
+
+def test_deletion_variants(spark):
+    row = (
+        spark.createDataFrame([("abc",)], "s string")
+        .select(deletion_variants("s").alias("v"))
+        .collect()[0]
+    )
+    assert row.v == ["abc", "bc", "ac", "ab"]
+
+
+def test_fuzzy_join_ed1_all_edit_kinds(spark):
+    left = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma")], "lid long, name string"
+    )
+    right = spark.createDataFrame(
+        [
+            (10, "alpha"),   # exact (dist 0)
+            (11, "alpa"),    # deletion (dist 1)
+            (12, "betas"),   # insertion (dist 1)
+            (13, "gamba"),   # substitution (dist 1)
+            (14, "delta"),   # no match
+            (15, "alphxx"),  # dist 2 -> must NOT match
+        ],
+        "rid long, rname string",
+    )
+    got = {
+        (r.lid, r.rid): r.edit_dist
+        for r in fuzzy_join_ed1(left, right, "name", "rname").collect()
+    }
+    assert got == {(1, 10): 0, (1, 11): 1, (2, 12): 1, (3, 13): 1}
+
+
+def test_fuzzy_join_blocking_prevents_cross_block(spark):
+    left = spark.createDataFrame([(1, "k", "aaa")], "lid long, blk string, name string")
+    right = spark.createDataFrame(
+        [(2, "k", "aab"), (3, "other", "aab")], "rid long, blk string, rname string"
+    )
+    got = [
+        (r.lid, r.rid)
+        for r in fuzzy_join_ed1(left, right, "name", "rname", block=["blk"]).collect()
+    ]
+    assert got == [(1, 2)]
+
+
+def test_triangle_counts_known_graph(spark):
+    # 4-clique on 1..4 (4 triangles, 3 per node) plus a pendant 5-6
+    # edge and an isolated wedge 7-8-9 (no triangle).
+    edges = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+        (5, 6),
+        (7, 8), (8, 9),
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.v: (r.deg, r.n_triangles) for r in triangle_counts(df).collect()}
+    assert got[1] == (3, 3) and got[2] == (3, 3) and got[3] == (3, 3) and got[4] == (3, 3)
+    assert got[5] == (1, 0) and got[6] == (1, 0)
+    assert got[7] == (1, 0) and got[8] == (2, 0) and got[9] == (1, 0)
+
+
+def test_triangle_counts_canonicalizes_input(spark):
+    # Duplicate edges, reversed directions, and self-loops must not
+    # change the answer.
+    edges = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 1), (2, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.v: r.n_triangles for r in triangle_counts(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
