@@ -5029,3 +5029,99 @@ def triangle_count_parts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
     )
     return triangle_counts(edges)
+
+
+# =====================================================================
+# Splits, per-group sampling, n-gram counts (text/mixing.py, analysis.py)
+# =====================================================================
+
+@register(
+    "split_assign_docs",
+    """
+    WITH b AS (
+      SELECT doc_id, source,
+             ((doc_id * 2654435761) % 4294967296) % 10000 AS bucket
+      FROM documents
+    )
+    SELECT doc_id, source,
+           CASE WHEN bucket < 8000 THEN 'train'
+                WHEN bucket < 9000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+)
+def split_assign_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (text/mixing.py
+    split_assign): hash-bucketed by doc_id, zero shuffle, stable
+    under corpus growth — a document can never silently migrate
+    between splits on rerun (the re-randomization leakage bug)."""
+    from dpe_energy_performance_analysis_etl_spark.text.mixing import split_assign
+
+    docs = read_documents(spark, sf_dir).select("doc_id", "source")
+    return split_assign(docs, "doc_id")
+
+
+@register(
+    "group_sample_reservoir",
+    """
+    WITH h AS (
+      SELECT doc_id, lang, source,
+             ((doc_id * 2654435761) % 4294967296) % 10000 AS hb
+      FROM documents
+    )
+    SELECT doc_id, lang, source, CAST(rn AS BIGINT) AS sample_rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hb, doc_id) AS rn
+      FROM h
+    ) WHERE rn <= 5
+    """,
+)
+def group_sample_reservoir_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language 5-doc sample (text/mixing.py
+    group_sample_topk): reservoir semantics with a portable hash in
+    place of the RNG — reproducible across engines/partitionings,
+    one hash-partitioned window, hot-group cap documented."""
+    from dpe_energy_performance_analysis_etl_spark.text.mixing import group_sample_topk
+
+    docs = read_documents(spark, sf_dir).select("doc_id", "lang", "source")
+    return group_sample_topk(docs, ["lang"], "doc_id", k=5)
+
+
+@register(
+    "ngram_counts_pruned",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                    i -> t[i] || ' ' || t[i + 1])) AS gram
+      FROM toks
+    )
+    SELECT gram,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM grams
+    GROUP BY 1
+    HAVING COUNT(*) >= 5
+    """,
+)
+def ngram_counts_pruned_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pruned bigram count table (text/analysis.py ngrams_expr) — the
+    LM-count-table build step: explode bigrams, count occurrences +
+    document frequency, min-count prune (count >= 5, the standard
+    KenLM-style threshold that drops the singleton long tail, which
+    at 100 TB is ~80% of distinct grams and pure noise). One explode
+    + one partial-aggregated shuffle on the gram key."""
+    from dpe_energy_performance_analysis_etl_spark.text.analysis import ngrams_expr
+
+    docs = read_documents(spark, sf_dir)
+    grams = docs.select("doc_id", F.explode(ngrams_expr("text", 2)).alias("gram"))
+    return (
+        grams.groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_occurrences") >= 5)
+    )

@@ -134,3 +134,20 @@ def rolling_hash_fingerprint(col: str | Column, base: int = 131, mod: int = 10**
         F.lit(0).cast("bigint"),
         lambda acc, ch: (acc * base + F.ascii(ch)) % mod,
     )
+
+
+def ngrams_expr(col: str | Column, n: int) -> Column:
+    """Token n-grams as space-joined strings, via an index-sequence
+    transform over the token array (codegen'd, no UDF). Empty result
+    for documents shorter than ``n`` tokens."""
+    toks = tokens_expr(col)
+    count = F.size(toks) - (n - 1)
+    # Guard: Spark's sequence(1, 0) counts DOWN ([1, 0]) rather than
+    # producing an empty list — short documents need the explicit
+    # empty-array branch.
+    return F.when(count < 1, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+        )
+    )

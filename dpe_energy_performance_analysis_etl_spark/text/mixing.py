@@ -162,3 +162,58 @@ def epoch_shard(
     return df.withColumn("shard", (sampling_hash(mixed) % F.lit(n_shards)).cast("int")).withColumn(
         "shuffle_key", h.cast("bigint")
     )
+
+
+def split_assign(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    train: float = 0.8,
+    val: float = 0.1,
+) -> DataFrame:
+    """Deterministic train/val/test assignment by key hash — the
+    split every training pipeline needs, done WITHOUT rand() so it is
+    reproducible across reruns, engines, and corpus repartitionings,
+    and so a document can never migrate between splits when the
+    corpus grows (leakage via re-randomization is the classic bug).
+
+    Row-local expression, zero shuffle: bucket = sampling_hash(key)
+    in [0, 10000); < train*10000 -> 'train', < (train+val)*10000 ->
+    'val', else 'test'. Remaining fraction is the test share.
+    """
+    b = sampling_hash(F.col(key_col))
+    t_hi = int(round(train * _RATE_DENOM))
+    v_hi = int(round((train + val) * _RATE_DENOM))
+    return df.withColumn(
+        "split",
+        F.when(b < t_hi, F.lit("train")).when(b < v_hi, F.lit("val")).otherwise(F.lit("test")),
+    )
+
+
+def group_sample_topk(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Deterministic k-per-group sample (reservoir-sampling semantics
+    with a hash in place of the RNG): rank rows inside each group by
+    (sampling_hash(key), key) and keep the first k. Equivalent to a
+    uniform random sample per group, but reproducible and stable —
+    adding rows to a group can evict an old pick only the way a real
+    reservoir would, never reshuffle the whole sample.
+
+    One hash-partitioned window per group. For pathologically hot
+    groups, pre-filter with ``sampling_hash(key) < threshold`` sized
+    from an approximate group count before ranking — that caps the
+    window's per-partition row count while preserving the top-k by
+    hash order (the same two-phase trick as the packing operator).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(
+        sampling_hash(F.col(key_col)).asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("sample_rank") <= k)
+    )
