@@ -5125,3 +5125,47 @@ def ngram_counts_pruned_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_occurrences") >= 5)
     )
+
+
+# =====================================================================
+# Embedding compression (similarity/projection.py)
+# =====================================================================
+
+def _proj_oracle_sql(d_in: int = 64, d_out: int = 8) -> str:
+    """Build the projection oracle: one list-fold per output coord,
+    mirroring the Spark fold's summation order term for term."""
+    def coord(j: int) -> str:
+        return (
+            "list_reduce(list_prepend(0.0, list_transform(range(0, %d), "
+            "i -> CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE) * "
+            "(CASE WHEN (i * 2654435761 + %d) %% 2 = 0 THEN 1.0 ELSE -1.0 END))), "
+            "(acc, x) -> acc + x) / sqrt(%s)" % (d_in, j * 40503, float(d_out))
+        )
+    p_cols = ",\n             ".join(f"{coord(j)} AS p_{j}" for j in range(d_out))
+    sq = " + ".join(f"p_{j} * p_{j}" for j in range(d_out))
+    return f"""
+    WITH proj AS (
+      SELECT vec_id, label,
+             {p_cols},
+             list_reduce(list_prepend(0.0, list_transform(range(0, {d_in}),
+               i -> CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE)
+                    * CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE))),
+               (acc, x) -> acc + x) AS orig_sq
+      FROM embeddings
+    )
+    SELECT vec_id, label, {", ".join(f"p_{j}" for j in range(d_out))},
+           CASE WHEN orig_sq > 0 THEN (0.0 + {sq}) / orig_sq ELSE 0.0 END AS norm_ratio
+    FROM proj
+    """
+
+
+@register("random_projection_compress", _proj_oracle_sql())
+def random_projection_compress_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-dim -> 8-dim Rademacher JL projection
+    (similarity/projection.py): seedless integer sign formula, ordered
+    double folds, zero shuffle — compresses a 100 TB embedding table
+    at scan speed as the front-end to ANN/dedup. norm_ratio is the JL
+    distortion diagnostic."""
+    from dpe_energy_performance_analysis_etl_spark.similarity.projection import project_embeddings
+
+    return project_embeddings(read_embeddings(spark, sf_dir), "embedding", 64, 8)
