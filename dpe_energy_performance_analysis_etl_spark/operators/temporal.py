@@ -132,3 +132,94 @@ def range_join_bucketed(
         .drop("__lb", "__bucket")
         .withColumnRenamed("__rts", out_ts)
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition counts + probabilities between
+    consecutive event types per user — the sequence-model summary
+    behind funnel diagnostics and next-event prediction baselines.
+
+    One window pass per user (lag), one (prev, curr) aggregation; the
+    per-prev totals come from a second aggregation over the ALREADY
+    tiny transition table (|types|^2 rows), broadcast back — the
+    event-scale data is shuffled exactly once, on the user key.
+    ``prob = n / total`` divides two exact BIGINTs, so the double is
+    engine-exact. Ordering ties broken by ``order_tiebreak`` for
+    reproducibility on equal timestamps.
+    """
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc(), F.col(order_tiebreak).asc())
+    pairs = (
+        events.withColumn("prev_type", F.lag(type_col).over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy(F.col("prev_type"), F.col(type_col).alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("prev_type").agg(F.sum("n").alias("total"))
+    return (
+        pairs.join(F.broadcast(totals), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            (F.col("n").cast("double") / F.col("total").cast("double")).alias("prob"),
+        )
+    )
+
+
+def conversion_attribution(
+    events: DataFrame,
+    convert_type: str = "purchase",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """First-touch / last-touch attribution: for each user's FIRST
+    conversion event, the earliest and the latest non-conversion
+    event strictly before it (by the (ts, tiebreak) order).
+
+    Everything reduces on the user key in one shuffle: the first
+    conversion per user is a min-struct aggregate, prior events are a
+    filtered join back on the user key (the conversion table is one
+    row per converting user — broadcast when users fit, shuffle-join
+    otherwise; Spark's AQE picks), and first/last touch are
+    min/max-struct aggregates — no window over the full event table.
+    Users whose conversion has no prior events keep NULL touches.
+    """
+    ev = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(ts_col).alias("ts"),
+        F.col(type_col).alias("event_type"),
+        F.col(order_tiebreak).alias("tb"),
+    )
+    conv = (
+        ev.filter(F.col("event_type") == convert_type)
+        .groupBy("user_id")
+        .agg(F.min(F.struct("ts", "tb")).alias("c"))
+        .select("user_id", F.col("c.ts").alias("conv_ts"), F.col("c.tb").alias("conv_tb"))
+    )
+    prior = ev.join(conv, "user_id").filter(
+        (F.col("ts") < F.col("conv_ts"))
+        | ((F.col("ts") == F.col("conv_ts")) & (F.col("tb") < F.col("conv_tb")))
+    )
+    touches = prior.groupBy("user_id").agg(
+        F.min(F.struct("ts", "tb", "event_type")).alias("f"),
+        F.max(F.struct("ts", "tb", "event_type")).alias("l"),
+        F.count(F.lit(1)).alias("n_prior_events"),
+    )
+    return (
+        conv.join(touches, "user_id", "left")
+        .select(
+            "user_id",
+            "conv_ts",
+            F.col("f.event_type").alias("first_touch"),
+            F.col("l.event_type").alias("last_touch"),
+            F.coalesce("n_prior_events", F.lit(0)).alias("n_prior_events"),
+        )
+    )

@@ -5169,3 +5169,68 @@ def random_projection_compress_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dpe_energy_performance_analysis_etl_spark.similarity.projection import project_embeddings
 
     return project_embeddings(read_embeddings(spark, sf_dir), "embedding", 64, 8)
+
+
+# =====================================================================
+# Sequence analytics: transitions & attribution (operators/temporal.py)
+# =====================================================================
+
+@register(
+    "event_transition_matrix",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), pairs AS (
+      SELECT prev_type, event_type AS next_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM ordered WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT prev_type, next_type, n,
+           CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS prob
+    FROM pairs
+    """,
+)
+def event_transition_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (operators/temporal.py event_transitions): one
+    user-keyed window pass + one aggregation; row-count output is
+    |types|^2. prob divides two exact BIGINTs — engine-exact."""
+    from dpe_energy_performance_analysis_etl_spark.operators.temporal import event_transitions
+
+    return event_transitions(read_events(spark, sf_dir))
+
+
+@register(
+    "attribution_first_last",
+    """
+    WITH conv AS (
+      SELECT user_id, ts AS conv_ts, event_id AS conv_tb FROM (
+        SELECT user_id, ts, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events WHERE event_type = 'purchase'
+      ) WHERE rn = 1
+    ), prior AS (
+      SELECT e.user_id, e.ts, e.event_id, e.event_type
+      FROM events e JOIN conv c ON e.user_id = c.user_id
+      WHERE e.ts < c.conv_ts OR (e.ts = c.conv_ts AND e.event_id < c.conv_tb)
+    ), touches AS (
+      SELECT user_id,
+             (list(event_type ORDER BY ts, event_id))[1] AS first_touch,
+             (list(event_type ORDER BY ts DESC, event_id DESC))[1] AS last_touch,
+             CAST(COUNT(*) AS BIGINT) AS n_prior_events
+      FROM prior GROUP BY 1
+    )
+    SELECT c.user_id, c.conv_ts, first_touch, last_touch,
+           COALESCE(n_prior_events, 0) AS n_prior_events
+    FROM conv c LEFT JOIN touches t ON c.user_id = t.user_id
+    """,
+)
+def attribution_first_last_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last-touch conversion attribution
+    (operators/temporal.py conversion_attribution): min-struct
+    aggregates on the user key, no full-table window; the
+    one-row-per-converting-user table joins back broadcast/AQE."""
+    from dpe_energy_performance_analysis_etl_spark.operators.temporal import conversion_attribution
+
+    return conversion_attribution(read_events(spark, sf_dir), "purchase")
