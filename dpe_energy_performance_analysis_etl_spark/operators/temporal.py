@@ -223,3 +223,53 @@ def conversion_attribution(
             F.coalesce("n_prior_events", F.lit(0)).alias("n_prior_events"),
         )
     )
+
+
+def threshold_run_segments(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    threshold: float,
+    min_len: int = 1,
+    below: bool = True,
+) -> DataFrame:
+    """Maximal runs of consecutive below-threshold (or above-) rows
+    per key — the gaps-and-islands pattern behind audio silence
+    detection (RMS frames under a floor), sensor dead-zones, and
+    low-activity window mining.
+
+    Two row_numbers over the SAME (key, order) window — Catalyst
+    plans them in one sort within one shuffle — then ``island =
+    rn_all - rn_matching`` is constant exactly for consecutive
+    matching rows, and one aggregation per (key, island) emits the
+    segments. Output per segment: first/last order position, length,
+    min/max value (order-independent aggregates only — a double mean
+    would be partition-order-nondeterministic).
+    """
+    order = [F.col(c).asc() for c in order_cols]
+    w_all = Window.partitionBy(key_col).orderBy(*order)
+    matches = F.col(value_col) < threshold if below else F.col(value_col) > threshold
+    with_rn = df.withColumn("__rn", F.row_number().over(w_all)).withColumn(
+        "__m", matches
+    )
+    w_match = Window.partitionBy(key_col, "__m").orderBy(*order)
+    runs = (
+        with_rn.withColumn("__rm", F.row_number().over(w_match))
+        .filter(F.col("__m"))
+        .withColumn("__island", F.col("__rn") - F.col("__rm"))
+    )
+    firsts = [F.min(F.struct(*order_cols)).alias("__first"), F.max(F.struct(*order_cols)).alias("__last")]
+    seg = (
+        runs.groupBy(key_col, "__island")
+        .agg(
+            *firsts,
+            F.count(F.lit(1)).alias("run_len"),
+            F.min(value_col).alias("min_value"),
+            F.max(value_col).alias("max_value"),
+        )
+        .filter(F.col("run_len") >= min_len)
+    )
+    first_cols = [F.col(f"__first.{c}").alias(f"start_{c}") for c in order_cols]
+    last_cols = [F.col(f"__last.{c}").alias(f"end_{c}") for c in order_cols]
+    return seg.select(key_col, *first_cols, *last_cols, "run_len", "min_value", "max_value")

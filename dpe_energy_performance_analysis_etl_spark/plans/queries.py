@@ -5234,3 +5234,46 @@ def attribution_first_last_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dpe_energy_performance_analysis_etl_spark.operators.temporal import conversion_attribution
 
     return conversion_attribution(read_events(spark, sf_dir), "purchase")
+
+
+@register(
+    "low_value_runs",
+    """
+    WITH rn AS (
+      SELECT user_id, ts, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn_all,
+             value < 30.0 AS m
+      FROM events
+    ), matched AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, m ORDER BY ts, event_id) AS rn_m
+      FROM rn
+    ), islands AS (
+      SELECT user_id, ts, event_id, value, rn_all - rn_m AS island
+      FROM matched WHERE m
+    )
+    SELECT user_id,
+           (list(ts ORDER BY ts, event_id))[1] AS start_ts,
+           (list(event_id ORDER BY ts, event_id))[1] AS start_event_id,
+           (list(ts ORDER BY ts DESC, event_id DESC))[1] AS end_ts,
+           (list(event_id ORDER BY ts DESC, event_id DESC))[1] AS end_event_id,
+           CAST(COUNT(*) AS BIGINT) AS run_len,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM islands
+    GROUP BY user_id, island
+    HAVING COUNT(*) >= 3
+    """,
+)
+def low_value_runs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands run segmentation (operators/temporal.py
+    threshold_run_segments): maximal runs of >= 3 consecutive
+    below-threshold events per user — the same operator that does
+    audio silence detection over RMS frame tables (see
+    tests/test_media_segments.py for the WAV end-to-end). Both
+    row_numbers share one (user) shuffle + one sort."""
+    from dpe_energy_performance_analysis_etl_spark.operators.temporal import threshold_run_segments
+
+    ev = read_events(spark, sf_dir).select("user_id", "ts", "event_id", "value")
+    return threshold_run_segments(
+        ev, "user_id", ["ts", "event_id"], "value", threshold=30.0, min_len=3
+    )
