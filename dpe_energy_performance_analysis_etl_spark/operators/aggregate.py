@@ -184,3 +184,38 @@ def group_stats_dpe(
     if batch_id is not None:
         out = out.withColumn("batch_id", F.lit(batch_id))
     return out
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    lo: float = 0.01,
+    hi: float = 0.99,
+    approx: bool = False,
+) -> DataFrame:
+    """Winsorization: clip ``value_col`` to its [lo, hi] quantiles
+    (per group when ``group_cols`` given) — the outlier treatment
+    that keeps every row, unlike the IQR fence FILTER above.
+
+    Two-pass shape: one aggregate for the bounds (a tiny per-group
+    table, broadcast back), one row-local clip via
+    greatest/least — the clipped value is bit-exact because the
+    quantile is computed once and compared, never re-derived per row.
+    ``approx=True`` switches to t-digest percentile_approx, the
+    single-pass bounded-memory path for 100 TB (same trade as
+    ``iqr_bounds``)."""
+    fn = "percentile_approx" if approx else "percentile"
+    aggs = [
+        F.expr(f"{fn}(`{value_col}`, {lo})").alias("__lo"),
+        F.expr(f"{fn}(`{value_col}`, {hi})").alias("__hi"),
+    ]
+    if group_cols:
+        bounds = df.groupBy(*group_cols).agg(*aggs)
+        joined = df.join(F.broadcast(bounds), group_cols)
+    else:
+        joined = df.crossJoin(F.broadcast(df.agg(*aggs)))
+    return joined.withColumn(
+        f"{value_col}_winsorized",
+        F.greatest(F.least(F.col(value_col), F.col("__hi")), F.col("__lo")),
+    ).drop("__lo", "__hi")

@@ -78,3 +78,24 @@ def cooccurrence_lift(
             ).alias("lift"),
         )
     )
+
+
+def item_item_cosine(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+    max_basket_size: int | None = None,
+) -> DataFrame:
+    """Item-item cosine similarity from co-occurrence counts — the
+    classic neighborhood recommender weight (Sarwar et al. WWW'01):
+    cos(a, b) = support(a, b) / sqrt(supp_a * supp_b) over binary
+    basket membership. Rides on ``cooccurrence_lift``'s bounded
+    pair generation (per-basket fan-out, never all-pairs); sqrt is
+    IEEE-exact so the score is engine-reproducible."""
+    pairs = cooccurrence_lift(df, basket_col, item_col, min_support, max_basket_size)
+    return pairs.withColumn(
+        "cosine",
+        F.col("support").cast("double")
+        / F.sqrt(F.col("supp_a").cast("double") * F.col("supp_b").cast("double")),
+    )

@@ -160,3 +160,49 @@ def wilcoxon(x: np.ndarray, y: np.ndarray) -> tuple[float, float]:
     z = (w - mn) / math.sqrt(var)
     p = 2.0 * 0.5 * math.erfc(abs(z) / math.sqrt(2.0))
     return w, float(min(1.0, p))
+
+
+def contingency_cells(df, row_col: str, col_col: str):
+    """Chi-square contingency analysis, emitted per CELL: observed
+    count, marginals, expected count under independence, and the
+    cell's chi-square contribution (obs - exp)^2 / exp.
+
+    Per-cell output keeps every number an exact rational of BIGINTs
+    (expected = row_total * col_total / n in one double division), so
+    the result is engine-reproducible — the global statistic is the
+    caller's fixed-order sum over |rows|x|cols| cells (tiny), kept
+    out of this operator because a parallel SUM over doubles is
+    order-nondeterministic in the last ulp.
+
+    Scale shape: one groupBy on (row, col); the marginal tables are
+    aggregates OF the cell table (|cells| rows, broadcast back) — the
+    data-scale table shuffles once.
+    """
+    from pyspark.sql import functions as F
+
+    cells = df.groupBy(
+        F.col(row_col).alias("row_val"), F.col(col_col).alias("col_val")
+    ).agg(F.count(F.lit(1)).alias("obs"))
+    row_tot = cells.groupBy("row_val").agg(F.sum("obs").alias("row_total"))
+    col_tot = cells.groupBy("col_val").agg(F.sum("obs").alias("col_total"))
+    n = cells.groupBy().agg(F.sum("obs").alias("n"))
+    out = (
+        cells.join(F.broadcast(row_tot), "row_val")
+        .join(F.broadcast(col_tot), "col_val")
+        .crossJoin(F.broadcast(n))
+    )
+    expected = (F.col("row_total") * F.col("col_total")).cast("double") / F.col("n").cast("double")
+    return out.select(
+        "row_val",
+        "col_val",
+        "obs",
+        "row_total",
+        "col_total",
+        "n",
+        expected.alias("expected"),
+        (
+            (F.col("obs").cast("double") - expected)
+            * (F.col("obs").cast("double") - expected)
+            / expected
+        ).alias("chi2_contrib"),
+    )

@@ -273,3 +273,33 @@ def threshold_run_segments(
     first_cols = [F.col(f"__first.{c}").alias(f"start_{c}") for c in order_cols]
     last_cols = [F.col(f"__last.{c}").alias(f"end_{c}") for c in order_cols]
     return seg.select(key_col, *first_cols, *last_cols, "run_len", "min_value", "max_value")
+
+
+def common_event_paths(
+    events: DataFrame,
+    k: int = 3,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """Frequency table of each user's FIRST k event types as an
+    ordered path string ("view>click>purchase") — the entry-path
+    mining behind onboarding/funnel dashboards.
+
+    collect_list is partition-order-nondeterministic, so the path is
+    built by collecting (ts, tiebreak, type) STRUCTS and
+    ``sort_array``-ing them row-locally — deterministic under any
+    shuffle, one aggregation on the user key, then a count over the
+    tiny path table."""
+    structs = F.collect_list(F.struct(ts_col, order_tiebreak, type_col)).alias("evs")
+    per_user = events.groupBy(user_col).agg(structs)
+    path = F.concat_ws(
+        ">",
+        F.slice(F.transform(F.sort_array("evs"), lambda s: s[type_col]), 1, k),
+    )
+    return (
+        per_user.select(path.alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

@@ -5277,3 +5277,188 @@ def low_value_runs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return threshold_run_segments(
         ev, "user_id", ["ts", "event_id"], "value", threshold=30.0, min_len=3
     )
+
+
+# =====================================================================
+# Analytics widening: recommender, binning, chi2, paths, winsorize,
+# inverted index
+# =====================================================================
+
+@register(
+    "item_item_cosine_sim",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+    ), n AS (
+      SELECT CAST(count(DISTINCT basket) AS BIGINT) AS n_baskets FROM items
+    ), supp AS (
+      SELECT item, CAST(count(*) AS BIGINT) AS s FROM items GROUP BY item
+    ), pairs AS (
+      SELECT a.item AS item_a, b.item AS item_b,
+             CAST(count(*) AS BIGINT) AS support
+      FROM items a JOIN items b
+        ON a.basket = b.basket AND a.item < b.item
+      GROUP BY 1, 2
+      HAVING count(*) >= 3
+    )
+    SELECT item_a, item_b, support,
+           sa.s AS supp_a, sb.s AS supp_b,
+           CAST(support AS DOUBLE) * CAST(n_baskets AS DOUBLE)
+             / (CAST(sa.s AS DOUBLE) * CAST(sb.s AS DOUBLE)) AS lift,
+           CAST(support AS DOUBLE)
+             / sqrt(CAST(sa.s AS DOUBLE) * CAST(sb.s AS DOUBLE)) AS cosine
+    FROM pairs
+    JOIN supp sa ON pairs.item_a = sa.item
+    JOIN supp sb ON pairs.item_b = sb.item
+    CROSS JOIN n
+    """,
+)
+def item_item_cosine_sim_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item cosine recommender weights (operators/basket.py
+    item_item_cosine) over orders-as-baskets: bounded per-basket pair
+    generation + IEEE-exact sqrt normalization (Sarwar et al. WWW'01
+    neighborhood CF)."""
+    from dpe_energy_performance_analysis_etl_spark.operators.basket import item_item_cosine
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return item_item_cosine(li, "l_orderkey", "l_partkey", min_support=3)
+
+
+@register(
+    "equi_depth_bins_price",
+    """
+    WITH t AS (
+      SELECT o_totalprice,
+             ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bin
+      FROM orders
+    )
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(o_totalprice) AS lo,
+           MAX(o_totalprice) AS hi
+    FROM t GROUP BY 1
+    """,
+)
+def equi_depth_bins_price_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency decile binning of order prices
+    (operators/quantiles.py equi_depth_bins): rank-based ntile with a
+    unique tiebreak, skew-proof histogram boundaries. The global sort
+    is the exact-path cost; histogram_quantiles is the sortless
+    approximate twin."""
+    from dpe_energy_performance_analysis_etl_spark.operators.quantiles import equi_depth_bins
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_totalprice", "o_orderkey")
+    return equi_depth_bins(orders, "o_totalprice", n_bins=10, order_tiebreak="o_orderkey")
+
+
+@register(
+    "contingency_chi2_cells",
+    """
+    WITH cells AS (
+      SELECT o_orderpriority AS row_val, o_orderstatus AS col_val,
+             CAST(COUNT(*) AS BIGINT) AS obs
+      FROM orders GROUP BY 1, 2
+    ), rt AS (
+      SELECT row_val, CAST(SUM(obs) AS BIGINT) AS row_total FROM cells GROUP BY 1
+    ), ct AS (
+      SELECT col_val, CAST(SUM(obs) AS BIGINT) AS col_total FROM cells GROUP BY 1
+    ), nn AS (
+      SELECT CAST(SUM(obs) AS BIGINT) AS n FROM cells
+    )
+    SELECT row_val, col_val, obs, row_total, col_total, n,
+           CAST(row_total * col_total AS DOUBLE) / CAST(n AS DOUBLE) AS expected,
+           (CAST(obs AS DOUBLE) - CAST(row_total * col_total AS DOUBLE) / CAST(n AS DOUBLE))
+           * (CAST(obs AS DOUBLE) - CAST(row_total * col_total AS DOUBLE) / CAST(n AS DOUBLE))
+           / (CAST(row_total * col_total AS DOUBLE) / CAST(n AS DOUBLE)) AS chi2_contrib
+    FROM cells JOIN rt USING (row_val) JOIN ct USING (col_val) CROSS JOIN nn
+    """,
+)
+def contingency_chi2_cells_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square contingency cells for order priority x status
+    (operators/stats.py contingency_cells): per-cell expected counts
+    and chi2 contributions in exact rational arithmetic; the global
+    statistic is the caller's fixed-order sum over the tiny cell
+    table (a parallel double SUM is last-ulp nondeterministic)."""
+    from dpe_energy_performance_analysis_etl_spark.operators.stats import contingency_cells
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return contingency_cells(orders, "o_orderpriority", "o_orderstatus")
+
+
+@register(
+    "user_event_paths",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             array_to_string((list(event_type ORDER BY ts, event_id))[1:3], '>') AS path
+      FROM events GROUP BY user_id
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM per_user GROUP BY 1
+    """,
+)
+def user_event_paths_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry-path mining (operators/temporal.py common_event_paths):
+    each user's first 3 event types as an ordered path string, counted
+    across users. Struct-sort makes collect_list deterministic; one
+    user-key aggregation + a count over the tiny path table."""
+    from dpe_energy_performance_analysis_etl_spark.operators.temporal import common_event_paths
+
+    return common_event_paths(read_events(spark, sf_dir), k=3)
+
+
+@register(
+    "winsorize_acctbal",
+    """
+    WITH bounds AS (
+      SELECT c_mktsegment,
+             quantile_cont(c_acctbal, 0.05) AS lo,
+             quantile_cont(c_acctbal, 0.95) AS hi
+      FROM customer GROUP BY 1
+    )
+    SELECT c_custkey, c.c_mktsegment, c_acctbal,
+           greatest(least(c_acctbal, hi), lo) AS c_acctbal_winsorized
+    FROM customer c JOIN bounds b ON c.c_mktsegment = b.c_mktsegment
+    """,
+)
+def winsorize_acctbal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment winsorization of account balances
+    (operators/aggregate.py winsorize): exact 5%/95% quantiles in a
+    tiny per-group table broadcast back, row-local clip. approx=True
+    is the documented single-pass 100 TB path."""
+    from dpe_energy_performance_analysis_etl_spark.operators.aggregate import winsorize
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    return winsorize(cust, "c_acctbal", ["c_mktsegment"], lo=0.05, hi=0.95).select(
+        "c_custkey", "c_mktsegment", "c_acctbal", "c_acctbal_winsorized"
+    )
+
+
+@register(
+    "inverted_index_postings",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      FROM documents
+    ), flat AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t) + 1),
+                    i -> struct_pack(term := t[i], pos := CAST(i - 1 AS BIGINT)))) AS o
+      FROM toks
+    )
+    SELECT o.term AS term, doc_id,
+           CAST(COUNT(*) AS BIGINT) AS tf,
+           list(o.pos ORDER BY o.pos) AS positions
+    FROM flat GROUP BY 1, 2
+    """,
+)
+def inverted_index_postings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional inverted index over the corpus
+    (text/retrieval.py inverted_postings): posexplode inside codegen,
+    one (term, doc) aggregation, row-local sort_array for
+    deterministic posting lists."""
+    from dpe_energy_performance_analysis_etl_spark.text.retrieval import inverted_postings
+
+    return inverted_postings(read_documents(spark, sf_dir))

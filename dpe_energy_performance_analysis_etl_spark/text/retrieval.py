@@ -221,3 +221,29 @@ def hashed_classifier_scores(
         (F.lit(0.5) + F.lit(0.5) * margin / (F.lit(1.0) + F.abs(margin))).alias("prob"),
         (margin >= 0).alias("keep"),
     )
+
+
+def inverted_postings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Positional inverted index: one row per (term, doc) with the
+    sorted 0-based token positions and tf — the build step under
+    phrase search and proximity scoring.
+
+    ``posexplode`` emits (position, term) pairs inside codegen;
+    ``collect_list`` is partition-order-nondeterministic so positions
+    are ``sort_array``-ed row-locally after the aggregation. One
+    shuffle on the (term, doc) key; a real deployment bucket-sorts
+    the output by term so each posting list lands contiguously.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens_expr(text_col)).alias("pos", "term"),
+    )
+    return (
+        toks.groupBy("term", "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.sort_array(F.collect_list(F.col("pos").cast("bigint"))).alias("positions"),
+        )
+    )

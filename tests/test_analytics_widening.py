@@ -1,0 +1,91 @@
+"""Item-item cosine, equi-depth bins, contingency chi2, event paths,
+winsorize (this round's analytics widening) on hand-checkable data."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pytest
+
+from dpe_energy_performance_analysis_etl_spark.operators.aggregate import winsorize
+from dpe_energy_performance_analysis_etl_spark.operators.basket import item_item_cosine
+from dpe_energy_performance_analysis_etl_spark.operators.quantiles import equi_depth_bins
+from dpe_energy_performance_analysis_etl_spark.operators.stats import contingency_cells
+from dpe_energy_performance_analysis_etl_spark.operators.temporal import common_event_paths
+from dpe_energy_performance_analysis_etl_spark.text.retrieval import inverted_postings
+
+
+def test_item_item_cosine(spark):
+    baskets = [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (3, "c"), (4, "a")]
+    df = spark.createDataFrame(baskets, "basket long, item string")
+    got = {(r.item_a, r.item_b): r for r in
+           item_item_cosine(df, "basket", "item", min_support=1).collect()}
+    ab = got[("a", "b")]
+    assert ab.support == 2 and ab.supp_a == 4 and ab.supp_b == 2
+    assert ab.cosine == pytest.approx(2 / math.sqrt(8))
+    ac = got[("a", "c")]
+    assert ac.cosine == pytest.approx(1 / math.sqrt(4))
+
+
+def test_equi_depth_bins_balanced_on_skew(spark):
+    # 90 identical values + 10 spread: equal-WIDTH binning would dump
+    # 90% in one bucket; equi-depth keeps 20 rows in each of 5 bins.
+    vals = [(i, 1.0 if i < 90 else float(i)) for i in range(100)]
+    df = spark.createDataFrame(vals, "id long, v double")
+    got = {r.bin: r for r in equi_depth_bins(df, "v", 5, "id").collect()}
+    assert sorted(got) == [1, 2, 3, 4, 5]
+    assert all(got[b].n_rows == 20 for b in got)
+    assert got[5].hi == 99.0 and got[1].lo == 1.0
+
+
+def test_contingency_cells_exact(spark):
+    rows = [("x", "p")] * 30 + [("x", "q")] * 10 + [("y", "p")] * 20 + [("y", "q")] * 40
+    df = spark.createDataFrame(rows, "r string, c string")
+    got = {(r.row_val, r.col_val): r for r in contingency_cells(df, "r", "c").collect()}
+    cell = got[("x", "p")]
+    assert cell.obs == 30 and cell.row_total == 40 and cell.col_total == 50 and cell.n == 100
+    assert cell.expected == pytest.approx(20.0)
+    assert cell.chi2_contrib == pytest.approx((30 - 20.0) ** 2 / 20.0)
+    chi2 = sum(r.chi2_contrib for r in got.values())
+    # Hand-computed chi2 for this 2x2 table: 100*(30*40-10*20)^2/(40*60*50*50).
+    assert chi2 == pytest.approx(100 * (30 * 40 - 10 * 20) ** 2 / (40 * 60 * 50 * 50))
+
+
+def test_common_event_paths(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 1, t0, "view"), (2, 1, t0 + dt.timedelta(minutes=1), "click"),
+        (3, 1, t0 + dt.timedelta(minutes=2), "purchase"),
+        (4, 2, t0, "view"), (5, 2, t0 + dt.timedelta(minutes=1), "click"),
+        (6, 2, t0 + dt.timedelta(minutes=2), "purchase"),
+        (7, 2, t0 + dt.timedelta(minutes=3), "view"),  # beyond k=3, ignored
+        (8, 3, t0, "error"),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp, event_type string")
+    got = {r.path: r.n_users for r in common_event_paths(df, k=3).collect()}
+    assert got == {"view>click>purchase": 2, "error": 1}
+
+
+def test_winsorize_grouped(spark):
+    rows = [("g", float(v), i) for i, v in enumerate([1, 2, 3, 4, 5, 6, 7, 8, 9, 1000])]
+    df = spark.createDataFrame(rows, "grp string, v double, id long")
+    out = winsorize(df, "v", ["grp"], lo=0.1, hi=0.9).collect()
+    clipped = {r.id: r.v_winsorized for r in out}
+    # Exact 10%/90% quantiles of 10 points: 1.9 and 9*0.9+... the
+    # linear-interpolation values; extremes must be clipped to them.
+    assert max(clipped.values()) < 1000
+    assert min(clipped.values()) > 1
+    # Interior values untouched.
+    assert clipped[4] == 5.0
+
+
+def test_inverted_postings(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a c"), (2, "b b")], "doc_id long, text string"
+    )
+    got = {(r.term, r.doc_id): r for r in inverted_postings(df).collect()}
+    assert got[("a", 1)].tf == 2 and got[("a", 1)].positions == [0, 2]
+    assert got[("b", 1)].positions == [1]
+    assert got[("c", 1)].positions == [3]
+    assert got[("b", 2)].tf == 2 and got[("b", 2)].positions == [0, 1]
