@@ -303,3 +303,50 @@ def common_event_paths(
         .groupBy("path")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+def ewma_dyadic(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    window: int = 8,
+) -> DataFrame:
+    """Exponentially-weighted moving average with alpha = 1/2 over a
+    bounded trailing window — time-series smoothing whose weights
+    (2^-1, 2^-2, …) are exact powers of two, so every arithmetic step
+    is an EXACT IEEE operation and the result is bit-reproducible
+    across engines (a general-alpha EWMA goes through libm ``pow``
+    and drifts by ulps; the dyadic special case is the reproducible
+    default, like sqrt-only temperature mixing in text/mixing.py).
+
+    smoothed_t = sum_{j=0..w-1} x_{t-j} * 2^-(j+1), renormalized by
+    the finite weight mass (1 - 2^-n) so short prefixes average
+    correctly. One collect_list over a rows-frame window (frame order
+    = window order, deterministic), then a row-local ordered fold —
+    a single shuffle on the key, state bounded by ``window``.
+    """
+    order = [F.col(c).asc() for c in order_cols]
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(-(window - 1), Window.currentRow)
+    )
+    clean = df.filter(F.col(value_col).isNotNull()).withColumn(
+        "__arr", F.reverse(F.collect_list(F.col(value_col).cast("double")).over(w))
+    )
+    # SQL shiftleft accepts a column bit count (the Python helper
+    # doesn't), so the dyadic weights stay integer-derived.
+    weighted = F.expr(
+        "aggregate(transform(__arr, (x, i) -> x / cast(shiftleft(cast(1 as bigint), i + 1) as double)), "
+        "cast(0.0 as double), (acc, x) -> acc + x)"
+    )
+    norm = F.expr(
+        "1.0 - 1.0 / cast(shiftleft(cast(1 as bigint), size(__arr)) as double)"
+    )
+    return clean.select(
+        key_col,
+        *order_cols,
+        F.col(value_col),
+        (weighted / norm).alias("ewma"),
+    )

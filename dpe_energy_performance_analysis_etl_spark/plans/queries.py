@@ -5462,3 +5462,70 @@ def inverted_index_postings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dpe_energy_performance_analysis_etl_spark.text.retrieval import inverted_postings
 
     return inverted_postings(read_documents(spark, sf_dir))
+
+
+@register(
+    "phrase_search_docs",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      FROM documents
+    ), flat AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t) + 1),
+                    i -> struct_pack(term := t[i], pos := CAST(i - 1 AS BIGINT)))) AS o
+      FROM toks
+    ), post AS (
+      SELECT o.term AS term, doc_id, list(o.pos ORDER BY o.pos) AS positions
+      FROM flat GROUP BY 1, 2
+    ), p0 AS (
+      SELECT doc_id, positions AS a FROM post WHERE term = 'spark'
+    ), p1 AS (
+      SELECT doc_id, positions AS b FROM post WHERE term = 'join'
+    )
+    SELECT p0.doc_id,
+           CAST(len(list_intersect(a, list_transform(b, x -> x - 1))) AS BIGINT) AS n_matches
+    FROM p0 JOIN p1 ON p0.doc_id = p1.doc_id
+    WHERE len(list_intersect(a, list_transform(b, x -> x - 1))) > 0
+    """,
+)
+def phrase_search_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase search for the adjacent pair 'spark join'
+    (text/retrieval.py phrase_search): term-filtered posting lists,
+    one doc-keyed equi-join, adjacency via shifted position-set
+    intersection — entirely row-local after the join."""
+    from dpe_energy_performance_analysis_etl_spark.text.retrieval import phrase_search
+
+    return phrase_search(read_documents(spark, sf_dir), ["spark", "join"])
+
+
+@register(
+    "ewma_user_values",
+    """
+    WITH clean AS (
+      SELECT user_id, ts, event_id, value FROM events WHERE value IS NOT NULL
+    ), arrs AS (
+      SELECT user_id, ts, event_id, value,
+             list_reverse(list(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)) AS arr
+      FROM clean
+    )
+    SELECT user_id, ts, event_id, value,
+           list_reduce(list_prepend(0.0,
+             list_transform(range(1, len(arr) + 1),
+                            i -> arr[i] / CAST((1::BIGINT << i) AS DOUBLE))),
+             (acc, x) -> acc + x)
+           / (1.0 - 1.0 / CAST((1::BIGINT << len(arr)) AS DOUBLE)) AS ewma
+    FROM arrs
+    """,
+)
+def ewma_user_values_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dyadic EWMA smoothing of per-user event values
+    (operators/temporal.py ewma_dyadic): alpha = 1/2 trailing-8
+    window; every weight an exact power of two so the smoothed series
+    is bit-identical across engines. One user-key shuffle."""
+    from dpe_energy_performance_analysis_etl_spark.operators.temporal import ewma_dyadic
+
+    ev = read_events(spark, sf_dir).select("user_id", "ts", "event_id", "value")
+    return ewma_dyadic(ev, "user_id", ["ts", "event_id"], "value", window=8)

@@ -247,3 +247,47 @@ def inverted_postings(
             F.sort_array(F.collect_list(F.col("pos").cast("bigint"))).alias("positions"),
         )
     )
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Documents containing ``phrase`` as ADJACENT tokens, with the
+    match count — positional-index phrase search: per-term posting
+    lists joined on doc_id, then adjacency resolved row-locally by
+    intersecting position sets shifted by the term offset
+    (pos(term_i) == pos(term_0) + i). The classic reason an inverted
+    index stores positions at all.
+
+    Plan: |phrase| filtered posting scans (each a tiny slice of the
+    (term, doc) table — the term filter prunes before the shuffle),
+    |phrase| - 1 doc-keyed equi-joins, no window, no explode beyond
+    the index build."""
+    if len(phrase) < 2:
+        raise ValueError("phrase needs >= 2 terms")
+    post = inverted_postings(docs, id_col, text_col)
+    base = (
+        post.filter(F.col("term") == phrase[0])
+        .select("doc_id", F.col("positions").alias("p_0"))
+    )
+    for i, term in enumerate(phrase[1:], start=1):
+        nxt = post.filter(F.col("term") == term).select(
+            "doc_id", F.col("positions").alias(f"p_{i}")
+        )
+        base = base.join(nxt, "doc_id")
+    def _shifted(col_name: str, off: int):
+        # NB: a two-parameter lambda would be bound as (element, index)
+        # by F.transform — the offset must be closed over, not defaulted.
+        return F.transform(F.col(col_name), lambda x: x - F.lit(off))
+
+    starts = F.col("p_0")
+    for i in range(1, len(phrase)):
+        starts = F.array_intersect(starts, _shifted(f"p_{i}", i))
+    return (
+        base.withColumn("n_matches", F.size(starts).cast("bigint"))
+        .filter(F.col("n_matches") > 0)
+        .select("doc_id", "n_matches")
+    )
