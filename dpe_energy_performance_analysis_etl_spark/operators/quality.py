@@ -108,3 +108,75 @@ def partition_skew_report(df: DataFrame) -> DataFrame:
             / (F.sum("n_rows").over(w) / F.count(F.lit(1)).over(w))
         ).alias("skew_ratio"),
     )
+
+
+def expectation_report(df: DataFrame, rules: list[dict]) -> DataFrame:
+    """Declarative data-quality expectations, evaluated in ONE
+    aggregation pass (the Great-Expectations-shaped API this engine's
+    gates compose into). Each rule dict:
+
+      {"rule": "not_null", "col": c}
+      {"rule": "unique",   "col": c}
+      {"rule": "range",    "col": c, "min": x, "max": y}   (violation: outside [x, y]; NULLs ignored)
+      {"rule": "in_set",   "col": c, "values": [...]}       (NULLs ignored)
+
+    Output: one row per rule — rule, col, n_rows, n_violations,
+    violation_rate (rational BIGINT/BIGINT division), passed.
+
+    Scale shape: every rule compiles to a conditional count inside a
+    single agg (unique additionally a count_distinct, which Spark
+    plans as one expand) — the table is scanned once no matter how
+    many expectations are attached, the report is |rules| rows.
+    """
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, r in enumerate(rules):
+        c = F.col(r["col"])
+        kind = r["rule"]
+        if kind == "not_null":
+            v = F.count_if(c.isNull())
+        elif kind == "unique":
+            v = F.count(c) - F.count_distinct(c)
+        elif kind == "range":
+            v = F.count_if(c.isNotNull() & ((c < r["min"]) | (c > r["max"])))
+        elif kind == "in_set":
+            vals = F.array(*[F.lit(x) for x in r["values"]])
+            v = F.count_if(c.isNotNull() & ~F.array_contains(vals, c))
+        else:
+            raise ValueError(f"unknown rule: {kind}")
+        aggs.append(v.cast("bigint").alias(f"__v{i}"))
+    row = df.agg(*aggs)
+    per_rule = []
+    for i, r in enumerate(rules):
+        per_rule.append(
+            row.select(
+                F.lit(r["rule"]).alias("rule"),
+                F.lit(r["col"]).alias("col"),
+                F.col("__n").alias("n_rows"),
+                F.col(f"__v{i}").alias("n_violations"),
+                (
+                    F.col(f"__v{i}").cast("double")
+                    / F.greatest(F.col("__n"), F.lit(1)).cast("double")
+                ).alias("violation_rate"),
+                (F.col(f"__v{i}") == 0).alias("passed"),
+            )
+        )
+    out = per_rule[0]
+    for p in per_rule[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def k_anonymity_violations(
+    df: DataFrame, quasi_cols: list[str], k: int = 5
+) -> DataFrame:
+    """Quasi-identifier groups smaller than ``k`` — the k-anonymity
+    audit a shareable dataset needs before release: any combination
+    of quasi-identifiers matching fewer than k individuals
+    re-identifies them. One groupBy on the quasi key; output is the
+    violating groups with their sizes (the rows to suppress or
+    generalize)."""
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .filter(F.col("group_size") < k)
+    )

@@ -206,3 +206,50 @@ def contingency_cells(df, row_col: str, col_col: str):
             / expected
         ).alias("chi2_contrib"),
     )
+
+
+def two_proportion_ztest(df, arm_col: str, success_col: str):
+    """Two-sample proportion z-test cells for an A/B experiment:
+    per-arm trials/successes/rate plus the pooled z statistic.
+
+    Counts are exact BIGINTs; every double op (rates, pooled rate,
+    the z denominator's sqrt) is a single correctly-rounded IEEE
+    operation written in a fixed order, so the statistic is
+    engine-reproducible without libm involvement beyond sqrt. The
+    aggregation is one pass; the output is one row.
+
+    Expects exactly two arm values (lexicographically a < b).
+    """
+    from pyspark.sql import functions as F
+
+    arms = (
+        df.groupBy(arm_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_if(F.col(success_col)).alias("succ"),
+        )
+    )
+    a = arms.orderBy(arm_col).limit(1).select(
+        F.col(arm_col).alias("arm_a"), F.col("n").alias("n_a"), F.col("succ").alias("succ_a")
+    )
+    b = arms.orderBy(F.col(arm_col).desc()).limit(1).select(
+        F.col(arm_col).alias("arm_b"), F.col("n").alias("n_b"), F.col("succ").alias("succ_b")
+    )
+    j = a.crossJoin(b)
+    p_a = F.col("succ_a").cast("double") / F.col("n_a").cast("double")
+    p_b = F.col("succ_b").cast("double") / F.col("n_b").cast("double")
+    pooled = (F.col("succ_a") + F.col("succ_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    se = F.sqrt(
+        pooled
+        * (F.lit(1.0) - pooled)
+        * (F.lit(1.0) / F.col("n_a").cast("double") + F.lit(1.0) / F.col("n_b").cast("double"))
+    )
+    return j.select(
+        "arm_a", "arm_b", "n_a", "n_b", "succ_a", "succ_b",
+        p_a.alias("rate_a"), p_b.alias("rate_b"),
+        # Degenerate experiments (0% or 100% pooled conversion) have
+        # zero pooled variance: report NULL, don't divide by zero.
+        F.when(se > 0, (p_a - p_b) / se).alias("z"),
+    )

@@ -5529,3 +5529,162 @@ def ewma_user_values_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_events(spark, sf_dir).select("user_id", "ts", "event_id", "value")
     return ewma_dyadic(ev, "user_id", ["ts", "event_id"], "value", window=8)
+
+
+# =====================================================================
+# Periodic analytics, experimentation, governance (operators/quality.py,
+# stats.py)
+# =====================================================================
+
+@register(
+    "month_over_month_revenue",
+    """
+    WITH monthly AS (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT month, revenue,
+           lag(revenue) OVER (ORDER BY month) AS prev_revenue,
+           CASE WHEN lag(revenue) OVER (ORDER BY month) IS NULL THEN NULL
+                ELSE (revenue - lag(revenue) OVER (ORDER BY month))
+                     / lag(revenue) OVER (ORDER BY month) END AS mom_change
+    FROM monthly
+    """,
+)
+def month_over_month_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue with percent change: exact decimal
+    monthly sums (dsum), one lag window over the tiny month table —
+    the period-over-period reporting staple. The window runs over
+    ~|months| rows, never the fact table."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    monthly = orders.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month")).agg(
+        dsum("o_totalprice").alias("revenue")
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "month",
+        "revenue",
+        prev.alias("prev_revenue"),
+        F.when(prev.isNull(), F.lit(None).cast("double"))
+        .otherwise((F.col("revenue") - prev) / prev)
+        .alias("mom_change"),
+    )
+
+
+@register(
+    "expectations_orders",
+    """
+    WITH m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(count_if(o_custkey IS NULL) AS BIGINT) AS v0,
+             CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS v1,
+             CAST(count_if(o_totalprice IS NOT NULL
+                           AND (o_totalprice < 0 OR o_totalprice > 300000)) AS BIGINT) AS v2,
+             CAST(count_if(o_orderstatus IS NOT NULL
+                           AND o_orderstatus NOT IN ('F', 'O', 'P')) AS BIGINT) AS v3
+      FROM orders
+    )
+    SELECT 'not_null' AS rule, 'o_custkey' AS col, n AS n_rows, v0 AS n_violations,
+           CAST(v0 AS DOUBLE) / CAST(greatest(n, 1) AS DOUBLE) AS violation_rate,
+           v0 = 0 AS passed FROM m
+    UNION ALL
+    SELECT 'unique', 'o_orderkey', n, v1,
+           CAST(v1 AS DOUBLE) / CAST(greatest(n, 1) AS DOUBLE), v1 = 0 FROM m
+    UNION ALL
+    SELECT 'range', 'o_totalprice', n, v2,
+           CAST(v2 AS DOUBLE) / CAST(greatest(n, 1) AS DOUBLE), v2 = 0 FROM m
+    UNION ALL
+    SELECT 'in_set', 'o_orderstatus', n, v3,
+           CAST(v3 AS DOUBLE) / CAST(greatest(n, 1) AS DOUBLE), v3 = 0 FROM m
+    """,
+)
+def expectations_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative expectation report (operators/quality.py
+    expectation_report): four rules — not-null key, unique PK, price
+    range (deliberately tight so the report shows real violations),
+    status domain — all evaluated in ONE aggregation pass over the
+    table regardless of rule count."""
+    from dpe_energy_performance_analysis_etl_spark.operators.quality import expectation_report
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    rules = [
+        {"rule": "not_null", "col": "o_custkey"},
+        {"rule": "unique", "col": "o_orderkey"},
+        {"rule": "range", "col": "o_totalprice", "min": 0, "max": 300000},
+        {"rule": "in_set", "col": "o_orderstatus", "values": ["F", "O", "P"]},
+    ]
+    return expectation_report(orders, rules)
+
+
+@register(
+    "k_anonymity_customers",
+    """
+    SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS group_size
+    FROM customer
+    GROUP BY 1, 2
+    HAVING COUNT(*) < 5
+    """,
+)
+def k_anonymity_customers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (operators/quality.py
+    k_anonymity_violations): quasi-identifier groups (nation,
+    segment) smaller than k=5 — the re-identifiable cohorts to
+    suppress before sharing. One groupBy on the quasi key."""
+    from dpe_energy_performance_analysis_etl_spark.operators.quality import k_anonymity_violations
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return k_anonymity_violations(cust, ["c_nationkey", "c_mktsegment"], k=5)
+
+
+@register(
+    "ab_test_conversion",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             CASE WHEN ((user_id * 2654435761) % 4294967296) % 2 = 0
+                  THEN 'A' ELSE 'B' END AS arm,
+             count_if(event_type = 'purchase') >= 15 AS converted
+      FROM events GROUP BY user_id
+    ), arms AS (
+      SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(count_if(converted) AS BIGINT) AS succ
+      FROM per_user GROUP BY 1
+    ), a AS (
+      SELECT arm AS arm_a, n AS n_a, succ AS succ_a FROM arms ORDER BY arm LIMIT 1
+    ), b AS (
+      SELECT arm AS arm_b, n AS n_b, succ AS succ_b FROM arms ORDER BY arm DESC LIMIT 1
+    )
+    SELECT arm_a, arm_b, n_a, n_b, succ_a, succ_b,
+           CAST(succ_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
+           CAST(succ_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
+           CASE WHEN sqrt((CAST(succ_a + succ_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                  * (1.0 - CAST(succ_a + succ_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                  * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) > 0
+           THEN (CAST(succ_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+            - CAST(succ_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+           / sqrt((CAST(succ_a + succ_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                  * (1.0 - CAST(succ_a + succ_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                  * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) END AS z
+    FROM a CROSS JOIN b
+    """,
+)
+def ab_test_conversion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout (operators/stats.py
+    two_proportion_ztest): users hash-split into two arms (the same
+    portable Knuth hash as split_assign — assignment is reproducible
+    and growth-stable), conversion = any purchase event, pooled
+    two-proportion z statistic in fixed-order IEEE arithmetic."""
+    from dpe_energy_performance_analysis_etl_spark.operators.stats import two_proportion_ztest
+
+    ev = read_events(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        (F.count_if(F.col("event_type") == "purchase") >= 15).alias("converted")
+    ).withColumn(
+        "arm",
+        F.when(((F.col("user_id") * 2654435761) % 4294967296) % 2 == 0, F.lit("A")).otherwise(
+            F.lit("B")
+        ),
+    )
+    return two_proportion_ztest(per_user, "arm", "converted")

@@ -1,0 +1,83 @@
+"""Expectation report, k-anonymity audit (operators/quality.py) and
+the two-proportion z-test (operators/stats.py)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from dpe_energy_performance_analysis_etl_spark.operators.quality import (
+    expectation_report,
+    k_anonymity_violations,
+)
+from dpe_energy_performance_analysis_etl_spark.operators.stats import (
+    two_proportion_ztest,
+)
+
+
+def test_expectation_report_all_rules(spark):
+    df = spark.createDataFrame(
+        [
+            (1, 10.0, "F", None),
+            (2, 20.0, "O", 5),
+            (2, 999.0, "X", 6),   # duplicate key, out-of-range, bad status
+            (3, None, "P", 7),
+        ],
+        "k long, v double, status string, opt int",
+    )
+    rules = [
+        {"rule": "not_null", "col": "opt"},
+        {"rule": "unique", "col": "k"},
+        {"rule": "range", "col": "v", "min": 0, "max": 100},
+        {"rule": "in_set", "col": "status", "values": ["F", "O", "P"]},
+    ]
+    got = {r.rule: r for r in expectation_report(df, rules).collect()}
+    assert got["not_null"].n_violations == 1 and not got["not_null"].passed
+    assert got["unique"].n_violations == 1 and not got["unique"].passed
+    assert got["range"].n_violations == 1  # NULL v ignored
+    assert got["in_set"].n_violations == 1
+    assert all(r.n_rows == 4 for r in got.values())
+    assert got["range"].violation_rate == pytest.approx(0.25)
+
+
+def test_expectation_report_passing(spark):
+    df = spark.createDataFrame([(1, "F"), (2, "O")], "k long, s string")
+    got = expectation_report(
+        df,
+        [{"rule": "unique", "col": "k"},
+         {"rule": "in_set", "col": "s", "values": ["F", "O"]}],
+    ).collect()
+    assert all(r.passed and r.n_violations == 0 for r in got)
+
+
+def test_expectation_report_unknown_rule(spark):
+    df = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError):
+        expectation_report(df, [{"rule": "nope", "col": "k"}])
+
+
+def test_k_anonymity(spark):
+    rows = [("us", "a")] * 6 + [("us", "b")] * 2 + [("fr", "a")] * 1
+    df = spark.createDataFrame(rows, "country string, seg string")
+    got = {(r.country, r.seg): r.group_size
+           for r in k_anonymity_violations(df, ["country", "seg"], k=5).collect()}
+    assert got == {("us", "b"): 2, ("fr", "a"): 1}
+
+
+def test_two_proportion_ztest_exact(spark):
+    rows = [("A", True)] * 30 + [("A", False)] * 70 + [("B", True)] * 20 + [("B", False)] * 80
+    df = spark.createDataFrame(rows, "arm string, ok boolean")
+    r = two_proportion_ztest(df, "arm", "ok").collect()[0]
+    assert (r.arm_a, r.arm_b) == ("A", "B")
+    assert (r.n_a, r.succ_a, r.n_b, r.succ_b) == (100, 30, 100, 20)
+    pooled = 50 / 200
+    se = math.sqrt(pooled * (1 - pooled) * (1 / 100 + 1 / 100))
+    assert r.z == pytest.approx((0.3 - 0.2) / se, abs=1e-15)
+
+
+def test_two_proportion_ztest_degenerate(spark):
+    rows = [("A", True)] * 5 + [("B", True)] * 5
+    df = spark.createDataFrame(rows, "arm string, ok boolean")
+    r = two_proportion_ztest(df, "arm", "ok").collect()[0]
+    assert r.z is None  # zero pooled variance -> NULL, not a crash
