@@ -5688,3 +5688,45 @@ def ab_test_conversion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return two_proportion_ztest(per_user, "arm", "converted")
+
+
+@register(
+    "weighted_sample_docs",
+    """
+    WITH p AS (
+      SELECT doc_id, source, n_chars,
+             (((((doc_id * 2654435761) % 4294967296) % 10000) + 1) * 1000000) // n_chars
+               AS priority
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars, priority, CAST(rn AS BIGINT) AS sample_rank FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY priority, doc_id) AS rn FROM p
+    ) WHERE rn <= 20
+    """,
+)
+def weighted_sample_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-biased document sample (text/mixing.py
+    weighted_sample_topk): integer priority hash DIV weight — longer
+    documents preferentially selected, bit-reproducible, no RNG/pow.
+    The global window ranks |corpus| rows; the documented hash
+    pre-filter caps it at extreme scale."""
+    from dpe_energy_performance_analysis_etl_spark.text.mixing import weighted_sample_topk
+
+    docs = read_documents(spark, sf_dir).select("doc_id", "source", "n_chars")
+    return weighted_sample_topk(docs, k=20, weight_col="n_chars")
+
+
+@register("wordpiece_tokens")  # rows-only: greedy longest-match is not SQL
+def wordpiece_tokens_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece subword tokenization (text/tokenizer.py): greedy
+    longest-match pandas UDF (Arrow-batched — the legitimate Python
+    path; per-word iteration isn't expressible in Catalyst), vocab
+    indexed once per executor. Rows-only in the driver gate, same
+    class as the UDAF stats; exactness pinned by the pure-Python
+    reference tests."""
+    from dpe_energy_performance_analysis_etl_spark.text.tokenizer import wordpiece_tokenize
+
+    docs = read_documents(spark, sf_dir)
+    return wordpiece_tokenize(docs, "text").select(
+        "doc_id", "n_pieces", "n_unk", F.slice("pieces", 1, 8).alias("head_pieces")
+    )

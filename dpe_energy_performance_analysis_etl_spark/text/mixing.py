@@ -217,3 +217,38 @@ def group_sample_topk(
         df.withColumn("sample_rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("sample_rank") <= k)
     )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    key_col: str = "doc_id",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Deterministic weight-biased top-k sample: rank rows by the
+    integer priority ``((hash(key) + 1) * 1e6) DIV weight`` ascending
+    — heavier rows draw systematically smaller priorities, so the
+    selection is biased toward weight (size-biased sampling by token
+    count is the standard corpus-mixing move) while staying exactly
+    reproducible: pure BIGINT arithmetic, no RNG, no libm pow (the
+    textbook A-ES key ``u^(1/w)`` is engine-nondeterministic).
+
+    Weights must be positive integers (token counts, byte sizes).
+    One window per group (global window when ``group_cols`` is None —
+    cap with a hash pre-filter at extreme scale, as in
+    ``group_sample_topk``).
+    """
+    from pyspark.sql import Window
+
+    prio = F.expr(
+        f"((((({key_col} * 2654435761) % 4294967296) % 10000) + 1) * 1000000) DIV {weight_col}"
+    )
+    w = (
+        Window.partitionBy(*group_cols) if group_cols else Window.partitionBy()
+    ).orderBy(prio.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("priority", prio)
+        .withColumn("sample_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("sample_rank") <= k)
+    )
