@@ -219,3 +219,46 @@ def winsorize(
         f"{value_col}_winsorized",
         F.greatest(F.least(F.col(value_col), F.col("__hi")), F.col("__lo")),
     ).drop("__lo", "__hi")
+
+
+
+def target_encode_loo(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    scale: int = 2,
+) -> DataFrame:
+    """Leave-one-out target (mean) encoding — the categorical feature
+    every tabular-ML pipeline wants, with the LOO correction that
+    stops a row from leaking its own label into its feature:
+
+        enc_i = (sum(target in group) - target_i) / (n_group - 1)
+
+    Exactness: the group sum runs as integer cents
+    (``operators/exact.py``), so the subtraction is exact and only
+    the final division produces a double — engine-reproducible, no
+    partition-order drift. Groups of one get NULL (no peer evidence).
+
+    Scale shape: one groupBy over the category key (tiny output,
+    broadcast back) + a row-local expression — two scans, no window.
+    """
+    from dpe_energy_performance_analysis_etl_spark.operators.exact import (
+        exact_cents_sum,
+        scaled_long,
+    )
+
+    stats = df.groupBy(cat_col).agg(
+        exact_cents_sum(target_col, scale).alias("__sum_cents"),
+        F.count(target_col).alias("__n"),
+    )
+    joined = df.join(F.broadcast(stats), cat_col)
+    denom = F.lit(10 ** scale * 1.0)
+    loo = (
+        (F.col("__sum_cents") - scaled_long(target_col, scale)).cast("double")
+        / (F.col("__n") - 1).cast("double")
+        / denom
+    )
+    return joined.withColumn(
+        f"{cat_col}_target_enc",
+        F.when(F.col("__n") > 1, loo),
+    ).drop("__sum_cents", "__n")

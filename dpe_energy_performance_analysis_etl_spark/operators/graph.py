@@ -125,6 +125,12 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        # The canonical edge table feeds FOUR subtrees (degrees, rank
+        # join, wedge closing, per-corner counts) — uncached, Catalyst
+        # re-derives it from the raw input each time (measured 17.3 s
+        # -> the edge build dominated; same lesson as the PageRank
+        # edge cache). MEMORY_AND_DISK, |E| rows.
+        .cache()
     )
     both = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     deg = both.groupBy("a").agg(F.count(F.lit(1)).alias("deg")).withColumnRenamed("a", "v")

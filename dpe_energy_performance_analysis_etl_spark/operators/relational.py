@@ -159,3 +159,30 @@ def union_all(*dfs: DataFrame, by_name: bool = True) -> DataFrame:
     """SO1 — union of N page/batch results (``extract.py:360-365``)."""
     op = DataFrame.unionByName if by_name else DataFrame.union
     return functools.reduce(op, dfs)
+
+
+
+def feature_hash_indices(
+    df: DataFrame,
+    cat_cols: list[str],
+    n_features: int = 256,
+) -> DataFrame:
+    """Feature hashing (the "hashing trick", Weinberger et al. 2009):
+    map categorical columns into a fixed-width sparse index space via
+    the engine-portable rolling hash of "col:value" — no vocabulary
+    pass, no fit/transform state, unbounded category domains become a
+    bounded vector. Output adds ``feature_idx`` (sorted distinct
+    BIGINT array). Collisions are the accepted trade; widen
+    ``n_features`` to tame them.
+
+    Entirely row-local column expressions — zero shuffle, scan-speed
+    at any corpus size."""
+    from dpe_energy_performance_analysis_etl_spark.text.retrieval import token_bucket
+
+    idxs = [
+        token_bucket(
+            F.concat(F.lit(c + ":"), F.col(c).cast("string")), n_features
+        ).cast("bigint")
+        for c in cat_cols
+    ]
+    return df.withColumn("feature_idx", F.array_sort(F.array_distinct(F.array(*idxs))))

@@ -5730,3 +5730,70 @@ def wordpiece_tokens_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wordpiece_tokenize(docs, "text").select(
         "doc_id", "n_pieces", "n_unk", F.slice("pieces", 1, 8).alias("head_pieces")
     )
+
+
+@register(
+    "target_encode_loo_acctbal",
+    """
+    WITH cents AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal,
+             CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM customer
+    ), g AS (
+      SELECT c_mktsegment, CAST(SUM(cents) AS BIGINT) AS s,
+             CAST(COUNT(c_acctbal) AS BIGINT) AS n
+      FROM cents GROUP BY 1
+    )
+    SELECT c_custkey, c.c_mktsegment, c_acctbal,
+           CASE WHEN n > 1
+                THEN CAST(s - cents AS DOUBLE) / CAST(n - 1 AS DOUBLE) / 100.0
+           END AS c_mktsegment_target_enc
+    FROM cents c JOIN g USING (c_mktsegment)
+    """,
+)
+def target_encode_loo_acctbal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of market segment by account
+    balance (operators/aggregate.py target_encode_loo): integer-cents
+    group sums so the LOO subtraction is exact; one tiny broadcast
+    join, no window, no label leakage."""
+    from dpe_energy_performance_analysis_etl_spark.operators.aggregate import target_encode_loo
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    return target_encode_loo(cust, "c_mktsegment", "c_acctbal").select(
+        "c_custkey", "c_mktsegment", "c_acctbal", "c_mktsegment_target_enc"
+    )
+
+
+@register(
+    "feature_hash_customers",
+    """
+    WITH h AS (
+      SELECT c_custkey, c_mktsegment, c_nationkey,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(regexp_extract_all('c_mktsegment:' || c_mktsegment, '.'),
+                              x -> CAST(ascii(x) AS BIGINT))),
+               (acc, x) -> (acc * 131 + x) % 1000000000000000) % 256 AS h1,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(regexp_extract_all('c_nationkey:' || CAST(c_nationkey AS VARCHAR), '.'),
+                              x -> CAST(ascii(x) AS BIGINT))),
+               (acc, x) -> (acc * 131 + x) % 1000000000000000) % 256 AS h2
+      FROM customer
+    )
+    SELECT c_custkey, c_mktsegment, c_nationkey,
+           list_sort(list_distinct([h1, h2])) AS feature_idx
+    FROM h
+    """,
+)
+def feature_hash_customers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing of categoricals into a 256-slot index space
+    (operators/relational.py feature_hash_indices): vocabulary-free,
+    state-free, portable rolling hash — zero shuffle, the sparse-ML
+    input prep at scan speed."""
+    from dpe_energy_performance_analysis_etl_spark.operators.relational import feature_hash_indices
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment", "c_nationkey"
+    )
+    return feature_hash_indices(cust, ["c_mktsegment", "c_nationkey"], 256)

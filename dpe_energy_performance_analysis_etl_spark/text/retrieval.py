@@ -71,6 +71,10 @@ def bm25_per_term(tf: DataFrame) -> DataFrame:
     sides broadcast, the corpus-sized table never reshuffles after
     the tf aggregation.
     """
+    # tf feeds three subtrees (scoring join, document frequencies,
+    # corpus stats) — cache it or the corpus tokenizes three times.
+    # Bounded by distinct (doc, term) pairs; spills to disk at scale.
+    tf = tf.cache()
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     # Corpus stats (N, avgdl) from the already-aggregated tf table —
     # one distinct over (doc, dl), never a second corpus tokenization.
@@ -148,7 +152,8 @@ def unigram_lm_scores(
     cross-engine hashes; the ranking induced by the inverse-frequency
     mean is the same signal for gating purposes).
     """
-    tf = term_frequencies(docs, id_col, text_col)
+    # tf feeds both the vocab aggregation and the scoring join.
+    tf = term_frequencies(docs, id_col, text_col).cache()
     vocab = tf.groupBy("term").agg(F.sum("tf").alias("c_term"))
     total = vocab.groupBy().agg(F.sum("c_term").alias("c_total"))
     weighted = (
