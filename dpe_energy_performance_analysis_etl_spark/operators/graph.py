@@ -156,10 +156,12 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
     closing = e.select(F.col("a").alias("w1"), F.col("b").alias("w2"))
     triangles = wedges.join(closing, ["w1", "w2"])
 
+    # One explode, not a 3-way unionAll of the same subtree — the
+    # union form re-evaluates the wedge join three times (measured 3x
+    # the whole operator's cost; Catalyst does not share non-cached
+    # subtrees across union branches).
     per_corner = (
-        triangles.select(F.col("u").alias("v"))
-        .unionAll(triangles.select(F.col("w1").alias("v")))
-        .unionAll(triangles.select(F.col("w2").alias("v")))
+        triangles.select(F.explode(F.array("u", "w1", "w2")).alias("v"))
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
