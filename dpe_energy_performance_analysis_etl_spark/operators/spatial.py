@@ -139,3 +139,50 @@ def grid_radius_join(
         .drop("__cx", "__cy")
     )
     return joined
+
+
+def point_in_polygon_tag(
+    points: DataFrame,
+    polygons: DataFrame,
+    x_col: str = "lon",
+    y_col: str = "lat",
+    poly_id_col: str = "poly_id",
+    vertices_col: str = "vertices",
+) -> DataFrame:
+    """Tag each point with the polygons containing it — even-odd ray
+    casting evaluated as a codegen'd fold over the polygon's vertex
+    ring (no UDF, no geo library): a rightward ray from the point
+    crosses edge (i, j) iff the edge spans the point's y and the
+    x-intercept lies right of the point; odd crossing count = inside.
+
+    ``polygons`` is (poly_id, vertices: array<struct<x, y>>) — the
+    admin-boundary / geofence table, small by nature, BROADCAST to
+    every executor: the join is each point against each polygon
+    (bounded fan-out |polys|), with a row-local bounding-box
+    prefilter so the full ring fold runs only for bbox hits. The
+    point table never shuffles. Boundary points follow raw IEEE
+    comparison (deterministic, engine-identical; not a topological
+    on-edge guarantee)."""
+    v = F.col(vertices_col)
+    x, y = F.col(x_col), F.col(y_col)
+    n = F.size(v)
+    xs = F.transform(v, lambda s: s["x"])
+    ys = F.transform(v, lambda s: s["y"])
+    bbox_hit = (
+        (x >= F.array_min(xs)) & (x <= F.array_max(xs))
+        & (y >= F.array_min(ys)) & (y <= F.array_max(ys))
+    )
+    # Fold i = 1..n over edges (v[i], v[i % n + 1]) counting crossings.
+    def crossing(acc, i):
+        xi, yi = F.element_at(v, i)["x"], F.element_at(v, i)["y"]
+        nxt = (i % n) + 1
+        xj, yj = F.element_at(v, nxt)["x"], F.element_at(v, nxt)["y"]
+        spans = (yi > y) != (yj > y)
+        hit = spans & (x < (xj - xi) * (y - yi) / (yj - yi) + xi)
+        return acc + F.when(hit, F.lit(1)).otherwise(F.lit(0))
+
+    crossings = F.aggregate(F.sequence(F.lit(1), n), F.lit(0), crossing)
+    tagged = points.crossJoin(F.broadcast(polygons))
+    return tagged.filter(bbox_hit & (crossings % 2 == 1)).select(
+        *points.columns, poly_id_col
+    )

@@ -5809,3 +5809,99 @@ def feature_hash_customers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_mktsegment", "c_nationkey"
     )
     return feature_hash_indices(cust, ["c_mktsegment", "c_nationkey"], 256)
+
+
+@register(
+    "vocab_id_assignment",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+    ), tf AS (
+      SELECT doc_id, unnest(t) AS term FROM toks
+    ), tfc AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tf GROUP BY 1, 2
+    ), vocab AS (
+      SELECT term, CAST(SUM(tf) AS BIGINT) AS n_occurrences,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM tfc GROUP BY 1
+    )
+    SELECT term, n_occurrences, n_docs,
+           CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, term) - 1 AS BIGINT)
+             AS token_id
+    FROM vocab
+    """,
+)
+def vocab_id_assignment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-ordered vocabulary with contiguous 0-based token ids
+    (text/retrieval.py vocab_with_ids) — the tokenizer/embedding
+    lookup artifact. Corpus aggregates once; the ranking window runs
+    over the tiny vocab table only."""
+    from dpe_energy_performance_analysis_etl_spark.text.retrieval import vocab_with_ids
+
+    return vocab_with_ids(read_documents(spark, sf_dir)).select(
+        "term", "n_occurrences", "n_docs", "token_id"
+    )
+
+
+@register(
+    "point_in_polygon_tags",
+    """
+    WITH pts AS (
+      SELECT c_custkey,
+             CAST((c_custkey // 100) % 100 AS DOUBLE) / 10 AS lon,
+             CAST(c_custkey % 100 AS DOUBLE) / 10 AS lat
+      FROM customer
+    ), polys AS (
+      SELECT 'square' AS poly_id,
+             [struct_pack(x := 2.0, y := 2.0), struct_pack(x := 2.0, y := 6.0),
+              struct_pack(x := 6.0, y := 6.0), struct_pack(x := 6.0, y := 2.0)] AS v
+      UNION ALL
+      SELECT 'triangle',
+             [struct_pack(x := 5.0, y := 1.0), struct_pack(x := 9.0, y := 1.0),
+              struct_pack(x := 7.0, y := 8.0)]
+      UNION ALL
+      SELECT 'lshape',
+             [struct_pack(x := 0.0, y := 0.0), struct_pack(x := 4.0, y := 0.0),
+              struct_pack(x := 4.0, y := 2.0), struct_pack(x := 2.0, y := 2.0),
+              struct_pack(x := 2.0, y := 4.0), struct_pack(x := 0.0, y := 4.0)]
+    ), tagged AS (
+      SELECT c_custkey, lon, lat, poly_id,
+             list_reduce(list_prepend(0,
+               list_transform(range(1, len(v) + 1), i ->
+                 CASE WHEN ((v[i].y > lat) <> (v[(i % len(v)) + 1].y > lat))
+                       AND (lon < (v[(i % len(v)) + 1].x - v[i].x) * (lat - v[i].y)
+                                  / (v[(i % len(v)) + 1].y - v[i].y) + v[i].x)
+                      THEN 1 ELSE 0 END)),
+               (acc, c) -> acc + c) AS crossings,
+             lon >= list_min(list_transform(v, s -> s.x))
+               AND lon <= list_max(list_transform(v, s -> s.x))
+               AND lat >= list_min(list_transform(v, s -> s.y))
+               AND lat <= list_max(list_transform(v, s -> s.y)) AS bbox_hit
+      FROM pts CROSS JOIN polys
+    )
+    SELECT c_custkey, lon, lat, poly_id
+    FROM tagged WHERE bbox_hit AND crossings % 2 = 1
+    """,
+)
+def point_in_polygon_tags_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon geofencing (operators/spatial.py
+    point_in_polygon_tag): even-odd ray casting as a codegen'd fold
+    over broadcast polygon rings (square, triangle, concave L) on the
+    synthesized customer coordinates — bbox prefilter, |polys|
+    bounded fan-out, the point table never shuffles."""
+    from dpe_energy_performance_analysis_etl_spark.operators.spatial import point_in_polygon_tag
+
+    pts = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey",
+        ((F.expr("c_custkey div 100") % 100).cast("double") / 10).alias("lon"),
+        ((F.col("c_custkey") % 100).cast("double") / 10).alias("lat"),
+    )
+    polys = spark.createDataFrame(
+        [
+            ("square", [(2.0, 2.0), (2.0, 6.0), (6.0, 6.0), (6.0, 2.0)]),
+            ("triangle", [(5.0, 1.0), (9.0, 1.0), (7.0, 8.0)]),
+            ("lshape", [(0.0, 0.0), (4.0, 0.0), (4.0, 2.0), (2.0, 2.0), (2.0, 4.0), (0.0, 4.0)]),
+        ],
+        "poly_id string, vertices array<struct<x: double, y: double>>",
+    )
+    return point_in_polygon_tag(pts, polys)

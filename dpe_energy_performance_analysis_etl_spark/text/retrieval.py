@@ -296,3 +296,26 @@ def phrase_search(
         .filter(F.col("n_matches") > 0)
         .select("doc_id", "n_matches")
     )
+
+
+def vocab_with_ids(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Vocabulary induction with contiguous integer ids — the
+    token→id artifact a tokenizer/embedding table consumes: terms
+    ranked by (corpus count desc, term asc), id = rank - 1 (0-based,
+    frequency-ordered like every standard vocab file).
+
+    One corpus aggregation to the term table, then a single window
+    over the VOCAB (|vocab| rows — orders of magnitude below corpus
+    scale; the single-partition window warning on it is the same
+    benign tiny-table case as the packing operator's bucket table)."""
+    from pyspark.sql import Window
+
+    tf = term_frequencies(docs, id_col, text_col)
+    vocab = tf.groupBy("term").agg(
+        F.sum("tf").alias("n_occurrences"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("term"))
+    return vocab.withColumn("token_id", F.row_number().over(w).cast("bigint") - 1)
