@@ -251,3 +251,34 @@ def compact_parquet_dir(
         "total_bytes": after["total_bytes"],
         "skipped": False,
     }
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same pushdown/pruning properties as parquet (both
+    columnar with min/max stats; Catalyst pushes predicates and prunes
+    columns identically). Here for source-format completeness: a user
+    switching from an engine with ORC inputs keeps their files."""
+    return spark.read.orc(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    compression: str = "zlib",
+    partition_by: list[str] | None = None,
+) -> None:
+    """ORC sink with codec + partitioning knobs (mirrors
+    ``write_parquet``)."""
+    writer = df.write.mode(mode).option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
+def read_text_lines(spark: SparkSession, path: str) -> DataFrame:
+    """Raw text scan: one row per line, single ``value`` column — the
+    ingest shape for log files and line-delimited corpora before any
+    parsing. Splittable like any text source; pair with
+    ``text/curation.py`` cleaning for raw-crawl pipelines."""
+    return spark.read.text(path)
