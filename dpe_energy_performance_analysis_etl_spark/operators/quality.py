@@ -145,25 +145,25 @@ def expectation_report(df: DataFrame, rules: list[dict]) -> DataFrame:
             raise ValueError(f"unknown rule: {kind}")
         aggs.append(v.cast("bigint").alias(f"__v{i}"))
     row = df.agg(*aggs)
-    per_rule = []
-    for i, r in enumerate(rules):
-        per_rule.append(
-            row.select(
-                F.lit(r["rule"]).alias("rule"),
-                F.lit(r["col"]).alias("col"),
-                F.col("__n").alias("n_rows"),
-                F.col(f"__v{i}").alias("n_violations"),
-                (
-                    F.col(f"__v{i}").cast("double")
-                    / F.greatest(F.col("__n"), F.lit(1)).cast("double")
-                ).alias("violation_rate"),
-                (F.col(f"__v{i}") == 0).alias("passed"),
-            )
+    # One explode over per-rule structs, NOT a unionAll of N selects
+    # from the same aggregated row — union branches each contain the
+    # full-table aggregation subtree and Catalyst re-evaluates it per
+    # branch (the triangle-counting lesson); explode keeps it one pass.
+    structs = [
+        F.struct(
+            F.lit(r["rule"]).alias("rule"),
+            F.lit(r["col"]).alias("col"),
+            F.col("__n").alias("n_rows"),
+            F.col(f"__v{i}").alias("n_violations"),
+            (
+                F.col(f"__v{i}").cast("double")
+                / F.greatest(F.col("__n"), F.lit(1)).cast("double")
+            ).alias("violation_rate"),
+            (F.col(f"__v{i}") == 0).alias("passed"),
         )
-    out = per_rule[0]
-    for p in per_rule[1:]:
-        out = out.unionAll(p)
-    return out
+        for i, r in enumerate(rules)
+    ]
+    return row.select(F.explode(F.array(*structs)).alias("r")).select("r.*")
 
 
 def k_anonymity_violations(

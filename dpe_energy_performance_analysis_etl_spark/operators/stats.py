@@ -182,7 +182,10 @@ def contingency_cells(df, row_col: str, col_col: str):
 
     cells = df.groupBy(
         F.col(row_col).alias("row_val"), F.col(col_col).alias("col_val")
-    ).agg(F.count(F.lit(1)).alias("obs"))
+    ).agg(F.count(F.lit(1)).alias("obs")).cache()
+    # cache: the |cells|-row table feeds FOUR subtrees (marginals x2,
+    # total, output join) — uncached, the full-table groupBy re-runs
+    # per branch.
     row_tot = cells.groupBy("row_val").agg(F.sum("obs").alias("row_total"))
     col_tot = cells.groupBy("col_val").agg(F.sum("obs").alias("col_total"))
     n = cells.groupBy().agg(F.sum("obs").alias("n"))
@@ -229,13 +232,21 @@ def two_proportion_ztest(df, arm_col: str, success_col: str):
             F.count_if(F.col(success_col)).alias("succ"),
         )
     )
-    a = arms.orderBy(arm_col).limit(1).select(
-        F.col(arm_col).alias("arm_a"), F.col("n").alias("n_a"), F.col("succ").alias("succ_a")
+    # Fold the two arms into one row with min/max-struct aggregates —
+    # NOT two orderBy().limit(1) branches, which would each re-run the
+    # full-table arm aggregation (union/branch subtrees are not shared
+    # unless cached; struct order sorts on the arm label first).
+    j = arms.groupBy().agg(
+        F.min(F.struct(arm_col, "n", "succ")).alias("a"),
+        F.max(F.struct(arm_col, "n", "succ")).alias("b"),
+    ).select(
+        F.col(f"a.{arm_col}").alias("arm_a"),
+        F.col("a.n").alias("n_a"),
+        F.col("a.succ").alias("succ_a"),
+        F.col(f"b.{arm_col}").alias("arm_b"),
+        F.col("b.n").alias("n_b"),
+        F.col("b.succ").alias("succ_b"),
     )
-    b = arms.orderBy(F.col(arm_col).desc()).limit(1).select(
-        F.col(arm_col).alias("arm_b"), F.col("n").alias("n_b"), F.col("succ").alias("succ_b")
-    )
-    j = a.crossJoin(b)
     p_a = F.col("succ_a").cast("double") / F.col("n_a").cast("double")
     p_b = F.col("succ_b").cast("double") / F.col("n_b").cast("double")
     pooled = (F.col("succ_a") + F.col("succ_b")).cast("double") / (

@@ -159,6 +159,9 @@ def event_transitions(
         .filter(F.col("prev_type").isNotNull())
         .groupBy(F.col("prev_type"), F.col(type_col).alias("next_type"))
         .agg(F.count(F.lit(1)).alias("n"))
+        # |types|^2 rows, but derived from a full event window pass —
+        # cached because it feeds both the totals agg and the join.
+        .cache()
     )
     totals = pairs.groupBy("prev_type").agg(F.sum("n").alias("total"))
     return (
@@ -203,6 +206,9 @@ def conversion_attribution(
         .groupBy("user_id")
         .agg(F.min(F.struct("ts", "tb")).alias("c"))
         .select("user_id", F.col("c.ts").alias("conv_ts"), F.col("c.tb").alias("conv_tb"))
+        # One row per converting user; feeds the prior-events join AND
+        # the final left join — cached so the event filter+agg runs once.
+        .cache()
     )
     prior = ev.join(conv, "user_id").filter(
         (F.col("ts") < F.col("conv_ts"))

@@ -4,6 +4,7 @@ from dpe_energy_performance_analysis_etl_spark.similarity.ann import (
     lsh_topk,
 )
 from dpe_energy_performance_analysis_etl_spark.similarity.ivf import train_ivf_centroids, ivf_topk, seeded_ivf_topk
+from dpe_energy_performance_analysis_etl_spark.similarity.projection import project_embeddings
 
 __all__ = [
     "brute_force_topk",
@@ -12,4 +13,5 @@ __all__ = [
     "train_ivf_centroids",
     "ivf_topk",
     "seeded_ivf_topk",
+    "project_embeddings",
 ]
