@@ -38,6 +38,12 @@ EXPECTED_MULTISTAGE = {
     "basket_cooccurrence_lift": "cached item set feeds supports, pairs, and basket count",
     "histogram_quantiles_price": "cached <=n_buckets bucket table feeds cum-scan + total",
     "ann_ivf_seeded_topk": "centroid subtree (8-row pushed-filter scan) appears in assign + probe branches; corpus read once per consumer, both broadcast-joined",
+    # round-3 third wave (runtime InMemoryTableScan verified for each)
+    "bm25_topk_docs": "cached tf feeds scoring join + df agg + corpus stats; 3 cache reads at runtime",
+    "unigram_lm_quality": "cached tf feeds vocab agg + weighted join",
+    "triangle_count_parts": "cached canonical edge table feeds degree/rank/wedge-close/corner subtrees (13 cache reads at runtime); static print re-expands it per consumer",
+    "item_item_cosine_sim": "same cached item set as basket_cooccurrence_lift (cosine adds one column)",
+    "contingency_chi2_cells": "cached cell table feeds marginals x2 + total + output join (4 cache reads)",
 }
 
 
