@@ -162,3 +162,107 @@ def test_resize_kernels_shape_and_range(h, w, oh, ow):
         assert out.shape == (oh, ow, 3)
         assert out.dtype == np.uint8
         assert out.min() >= img.min() and out.max() <= img.max()
+
+
+# ---- round-3 third-wave invariants (pure-Python mirrors of the
+# column-expression formulas) ----
+
+def _del_variants(s: str) -> set:
+    return {s} | {s[:i] + s[i + 1:] for i in range(len(s))}
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@given(st.text(alphabet="abc", max_size=8), st.text(alphabet="abc", max_size=8))
+@settings(max_examples=300)
+def test_deletion_neighborhood_never_misses_ed1(s, t):
+    """Completeness of the FastSS candidate scheme
+    (operators/entity.py): strings within edit distance 1 ALWAYS
+    share a deletion variant — the equi-join can't lose a match."""
+    if _lev(s, t) <= 1:
+        assert _del_variants(s) & _del_variants(t)
+
+
+@given(st.text(alphabet="ab", min_size=1, max_size=10))
+@settings(max_examples=200)
+def test_wordpiece_pieces_rejoin(word):
+    from dpe_energy_performance_analysis_etl_spark.text.tokenizer import (
+        UNK,
+        _index_vocab,
+        wordpiece_word,
+    )
+
+    vocab = ["a", "##a", "##b", "ab", "##ba"]  # no start 'b': some words UNK
+    starts, conts, max_len = _index_vocab(vocab)
+    pieces = wordpiece_word(word, starts, conts, max_len)
+    if pieces != [UNK]:
+        assert "".join(p.removeprefix("##") for p in pieces) == word
+        # Greedy: the first piece is the longest vocab prefix.
+        prefixes = [v for v in ("ab", "a") if word.startswith(v)]
+        assert pieces[0] == max(prefixes, key=len)
+
+
+@given(
+    st.lists(
+        st.floats(-1e6, 1e6, allow_nan=False, allow_subnormal=False).filter(
+            lambda v: v == 0.0 or abs(v) > 1e-300  # halving subnormals underflows
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=200)
+def test_dyadic_ewma_constant_series_fixed_point(values):
+    """The renormalized dyadic EWMA of a CONSTANT series equals the
+    constant exactly (weights are powers of two -> exact floats)."""
+    c = values[0]
+    n = len(values)
+    wsum = sum(c / (1 << (i + 1)) for i in range(n))
+    norm = 1.0 - 1.0 / (1 << n)
+    if norm > 0:
+        assert wsum / norm == c or abs(wsum / norm - c) <= abs(c) * 1e-15
+
+
+@given(st.integers(0, 10**9))
+def test_sampling_hash_and_weights_in_range(key):
+    from dpe_energy_performance_analysis_etl_spark.text.retrieval import (
+        WEIGHT_MOD,
+        WEIGHT_MULT,
+    )
+
+    bucket = ((key * 2654435761) % 2**32) % 10000
+    assert 0 <= bucket < 10000
+    w = (bucket % 1024) * WEIGHT_MULT % WEIGHT_MOD - 1000
+    assert -1000 <= w <= 1000
+
+
+@given(
+    st.floats(-5, 15, allow_nan=False),
+    st.floats(-5, 15, allow_nan=False),
+    st.floats(1, 8),
+    st.floats(1, 8),
+)
+@settings(max_examples=300)
+def test_ray_cast_matches_halfplane_on_rectangles(px, py, w, h):
+    """The even-odd crossing fold (operators/spatial.py) agrees with
+    the direct interval test on axis-aligned rectangles (skipping
+    exact-boundary points, where IEEE comparison order decides)."""
+    verts = [(0.0, 0.0), (0.0, h), (w, h), (w, 0.0)]
+    n = len(verts)
+    crossings = 0
+    for i in range(n):
+        xi, yi = verts[i]
+        xj, yj = verts[(i + 1) % n]
+        if (yi > py) != (yj > py) and px < (xj - xi) * (py - yi) / (yj - yi) + xi:
+            crossings += 1
+    on_boundary = px in (0.0, w) or py in (0.0, h)
+    if not on_boundary:
+        assert (crossings % 2 == 1) == (0.0 < px < w and 0.0 < py < h)
