@@ -181,6 +181,103 @@ QUERIES = {
 }
 
 
+
+def bm25_topk_docs(dfs):
+    """Same rational-idf BM25 as text/retrieval.py, eager pandas."""
+    import re as _re
+    from collections import Counter
+
+    docs = dfs["documents"]
+    q = ["spark", "join", "window"]
+    tok = docs["text"].str.lower().map(lambda t: _re.findall(r"[a-z0-9]+", t or ""))
+    dl = tok.map(len)
+    n = len(docs)
+    avgdl = dl.sum() / n
+    dfreq = Counter()
+    tfs = tok.map(Counter)
+    for c in tfs:
+        dfreq.update(c.keys())
+    scores = []
+    for c, l in zip(tfs, dl):
+        sc = 0.0
+        for t in q:
+            tf = c.get(t, 0)
+            if tf:
+                idf = (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5)
+                sc += idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (l / avgdl)))
+        scores.append(sc)
+    out = docs.assign(score=scores)[["doc_id", "score"]]
+    return out.sort_values(["score", "doc_id"], ascending=[False, True]).head(10)
+
+
+def entity_match_ed1(dfs):
+    """FastSS deletion-neighborhood ED<=1 match, eager pandas."""
+    c = dfs["customer"]
+    dirty = c[c["c_custkey"] % 3 == 1].copy()
+    p = dirty["c_custkey"] % 9
+    dirty["r_name"] = [
+        nm[: 9 + int(pp)] + nm[10 + int(pp):] for nm, pp in zip(dirty["c_name"], p)
+    ]
+    def variants(s):
+        return {s} | {s[:i] + s[i + 1:] for i in range(len(s))}
+    left_idx = {}
+    for key, nm, nk in zip(c["c_custkey"], c["c_name"], c["c_nationkey"]):
+        for v in variants(nm):
+            left_idx.setdefault((nk, v), []).append((key, nm))
+    pairs = set()
+    for rid, rnm, nk in zip(dirty["c_custkey"], dirty["r_name"], dirty["c_nationkey"]):
+        for v in variants(rnm):
+            for key, nm in left_idx.get((nk, v), ()):
+                pairs.add((key, nm, rid, rnm))
+    def lev1(a, b):
+        if a == b:
+            return 0
+        la, lb = len(a), len(b)
+        if abs(la - lb) > 1:
+            return 2
+        if la == lb:
+            return 1 if sum(x != y for x, y in zip(a, b)) == 1 else 2
+        if la > lb:
+            a, b, la, lb = b, a, lb, la
+        i = j = diff = 0
+        while i < la and j < lb:
+            if a[i] != b[j]:
+                diff += 1
+                if diff > 1:
+                    return 2
+                j += 1
+            else:
+                i += 1; j += 1
+        return 1
+    rows = [(k, nm, rid, rnm) for (k, nm, rid, rnm) in pairs if lev1(nm, rnm) <= 1]
+    return pd.DataFrame(rows, columns=["c_custkey", "c_name", "r_id", "r_name"])
+
+
+def triangle_count_parts(dfs):
+    """Recurring co-purchase triangles, eager pandas."""
+    li = dfs["lineitem"][["l_orderkey", "l_partkey"]]
+    m = li.merge(li, on="l_orderkey")
+    m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+    cnt = m.groupby(["l_partkey_x", "l_partkey_y"]).size()
+    e = cnt[cnt >= 2].reset_index()[["l_partkey_x", "l_partkey_y"]]
+    e.columns = ["a", "b"]
+    e1 = e.rename(columns={"a": "x", "b": "y"})
+    e2 = e.rename(columns={"a": "y", "b": "z"})
+    tri = e1.merge(e2, on="y").merge(
+        e.rename(columns={"a": "x", "b": "z"}), on=["x", "z"]
+    )
+    corners = pd.concat([tri["x"], tri["y"], tri["z"]]).value_counts()
+    deg = pd.concat([e["a"], e["b"]]).value_counts()
+    out = deg.rename("deg").to_frame()
+    out["n_triangles"] = corners.reindex(out.index).fillna(0).astype(int)
+    return out.reset_index(names="v")
+
+
+QUERIES["bm25_topk_docs"] = bm25_topk_docs
+QUERIES["entity_match_ed1"] = entity_match_ed1
+QUERIES["triangle_count_parts"] = triangle_count_parts
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([\d.]+)", sf_dir)
