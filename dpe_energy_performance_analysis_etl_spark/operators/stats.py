@@ -264,3 +264,127 @@ def two_proportion_ztest(df, arm_col: str, success_col: str):
         # zero pooled variance: report NULL, don't divide by zero.
         F.when(se > 0, (p_a - p_b) / se).alias("z"),
     )
+
+
+def group_linregress(
+    df,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+    x_scale: int = 2,
+    y_scale: int = 2,
+):
+    """Per-group simple OLS (closed form) with EXACT integer moment
+    sums — the distributed, engine-reproducible analogue of
+    ``scipy.stats.linregress`` per group.
+
+    Both variables are converted to scaled integers (``x * 10^s``, the
+    exact representation of values with <= s true decimal places) and
+    every moment sum (Sx, Sy, Sxx, Sxy, Syy) accumulates in
+    decimal(38,0): integer addition is associative, so the sums are
+    bit-identical across partitionings. The closed-form pieces
+
+        slope_num = n*Sxy - Sx*Sy      (covariance numerator)
+        den_x     = n*Sxx - Sx^2       (variance numerators)
+        den_y     = n*Syy - Sy^2
+
+    stay exact integers; each is cast to double ONCE and the final
+    slope / intercept / r2 are fixed-shape row-local IEEE expressions,
+    identical in any engine. (Cast exactness needs |integer| < 2^53 —
+    holds for money-scale inputs through ~sf10 per group; past that,
+    lower the scales or center the inputs first.)
+
+    One groupBy = one shuffle of 5 long partials per group; partial
+    aggregation is map-side. Zero-variance groups report NULL slope.
+    """
+    from pyspark.sql import functions as F
+
+    from dpe_energy_performance_analysis_etl_spark.operators.exact import scaled_long
+
+    sx = scaled_long(F.col(x_col), x_scale).cast("decimal(19,0)")
+    sy = scaled_long(F.col(y_col), y_scale).cast("decimal(19,0)")
+    g = df.groupBy(F.col(key_col)).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum(sx).alias("sx"),
+        F.sum(sy).alias("sy"),
+        F.sum((sx * sx).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((sx * sy).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((sy * sy).cast("decimal(38,0)")).alias("syy"),
+    )
+    n = F.col("n_obs").cast("decimal(38,0)")
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den_x = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    den_y = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    # slope in ORIGINAL units: slope_scaled * 10^(x_scale - y_scale).
+    unit = F.lit(float(10 ** x_scale) / float(10 ** y_scale))
+    slope = F.when(den_x > 0, num / den_x * unit)
+    mean_x = F.col("sx").cast("double") / F.lit(float(10 ** x_scale)) / F.col("n_obs").cast("double")
+    mean_y = F.col("sy").cast("double") / F.lit(float(10 ** y_scale)) / F.col("n_obs").cast("double")
+    r2 = F.when(
+        (den_x > 0) & (den_y > 0), (num * num) / (den_x * den_y)
+    )
+    return g.select(
+        F.col(key_col),
+        "n_obs",
+        slope.alias("slope"),
+        F.when(den_x > 0, mean_y - num / den_x * unit * mean_x).alias("intercept"),
+        r2.alias("r2"),
+    )
+
+
+def mad_outlier_report(
+    df,
+    key_col: str,
+    value_col: str,
+    scale: int = 2,
+    k_num: int = 3,
+    k_den: int = 2,
+):
+    """Per-group robust outlier report via the Median Absolute
+    Deviation: median, MAD, and the count of points with
+    |x - median| > (k_num/k_den) * MAD.
+
+    Works in the SCALED-INTEGER domain (cents): group medians of
+    integers interpolate to exact half-integers, deviations and their
+    median to exact dyadic rationals — every intermediate is exactly
+    representable in double, so the report is bit-identical across
+    engines and partitionings regardless of how each engine phrases
+    its quantile interpolation. k defaults to 3/2 (a dyadic rational
+    on purpose; the textbook 1.4826 approximates sigma-consistency
+    and is NOT exactly representable).
+
+    Cost: exact medians need a sort per pass and the deviation pass
+    re-reads the (column-pruned) source — three scans total, zero
+    caches of data-scale tables. The approximate single-pass twin at
+    scale is approx_percentile / histogram_quantiles.
+    """
+    from pyspark.sql import functions as F
+
+    from dpe_energy_performance_analysis_etl_spark.operators.exact import scaled_long
+
+    cents = scaled_long(F.col(value_col), scale).cast("double")
+    base = df.select(F.col(key_col), cents.alias("cents"))
+    # med and mad are #groups-row tables consumed by 2+ branches each;
+    # uncached, every consumer re-runs the full scan+sort beneath them
+    # (the repeated-subtree rule) — ~9 scans instead of 3.
+    med = base.groupBy(key_col).agg(F.percentile("cents", 0.5).alias("median_cents")).cache()
+    dev = base.join(F.broadcast(med), key_col).withColumn(
+        "dev", F.abs(F.col("cents") - F.col("median_cents"))
+    )
+    mad = dev.groupBy(key_col).agg(F.percentile("dev", 0.5).alias("mad_cents")).cache()
+    k = F.lit(float(k_num) / float(k_den))
+    flagged = (
+        dev.join(F.broadcast(mad), key_col)
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.sum(
+                F.when(F.col("dev") > k * F.col("mad_cents"), 1).otherwise(0)
+            ).alias("n_outliers"),
+        )
+    )
+    return (
+        med.join(mad, key_col)
+        .join(flagged, key_col)
+        .select(key_col, "n_obs", "median_cents", "mad_cents", "n_outliers")
+    )

@@ -5905,3 +5905,162 @@ def point_in_polygon_tags_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "poly_id string, vertices array<struct<x: double, y: double>>",
     )
     return point_in_polygon_tag(pts, polys)
+
+
+# =====================================================================
+# Wave 4 — grouped OLS, robust outliers, hopping windows, hard negatives
+# =====================================================================
+
+@register(
+    "group_linregress_qty_disc",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS sxi,
+             CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS syi
+      FROM lineitem
+    ), g AS (
+      SELECT l_returnflag, COUNT(*) AS n_obs,
+             SUM(CAST(sxi AS HUGEINT)) AS sx, SUM(CAST(syi AS HUGEINT)) AS sy,
+             SUM(CAST(sxi AS HUGEINT) * sxi) AS sxx,
+             SUM(CAST(sxi AS HUGEINT) * syi) AS sxy,
+             SUM(CAST(syi AS HUGEINT) * syi) AS syy
+      FROM s GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n_obs,
+           CASE WHEN CAST(n_obs * sxx - sx * sx AS DOUBLE) > 0
+                THEN CAST(n_obs * sxy - sx * sy AS DOUBLE)
+                     / CAST(n_obs * sxx - sx * sx AS DOUBLE) * 1.0
+           END AS slope,
+           CASE WHEN CAST(n_obs * sxx - sx * sx AS DOUBLE) > 0
+                THEN CAST(sy AS DOUBLE) / 100 / CAST(n_obs AS DOUBLE)
+                     - CAST(n_obs * sxy - sx * sy AS DOUBLE)
+                       / CAST(n_obs * sxx - sx * sx AS DOUBLE) * 1.0
+                       * (CAST(sx AS DOUBLE) / 100 / CAST(n_obs AS DOUBLE))
+           END AS intercept,
+           CASE WHEN CAST(n_obs * sxx - sx * sx AS DOUBLE) > 0
+                 AND CAST(n_obs * syy - sy * sy AS DOUBLE) > 0
+                THEN (CAST(n_obs * sxy - sx * sy AS DOUBLE) * CAST(n_obs * sxy - sx * sy AS DOUBLE))
+                     / (CAST(n_obs * sxx - sx * sx AS DOUBLE) * CAST(n_obs * syy - sy * sy AS DOUBLE))
+           END AS r2
+    FROM g
+    """,
+)
+def group_linregress_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group closed-form OLS (operators/stats.py group_linregress):
+    quantity → discount per returnflag. Exact integer moment sums in
+    decimal(38) (order-free), one double cast per closed-form piece,
+    fixed-shape IEEE finals — engine-reproducible without any libm.
+    One map-side-partial groupBy shuffle of 5 long partials/group.
+    Generalizes the reference's per-group statistics step
+    (``transform.py:313-376``) to a regression."""
+    from dpe_energy_performance_analysis_etl_spark.operators.stats import group_linregress
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return group_linregress(li, "l_returnflag", "l_quantity", "l_discount", 2, 2)
+
+
+@register(
+    "robust_outliers_mad",
+    """
+    WITH base AS (
+      SELECT l_returnflag,
+             CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS DOUBLE) AS cents
+      FROM lineitem
+    ), med AS (
+      SELECT l_returnflag, quantile_cont(cents, 0.5) AS median_cents
+      FROM base GROUP BY 1
+    ), dev AS (
+      SELECT b.l_returnflag, abs(b.cents - m.median_cents) AS dev
+      FROM base b JOIN med m USING (l_returnflag)
+    ), mad AS (
+      SELECT l_returnflag, quantile_cont(dev, 0.5) AS mad_cents
+      FROM dev GROUP BY 1
+    ), f AS (
+      SELECT d.l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_obs,
+             CAST(SUM(CASE WHEN d.dev > 1.5 * a.mad_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      FROM dev d JOIN mad a USING (l_returnflag) GROUP BY 1
+    )
+    SELECT m.l_returnflag, f.n_obs, m.median_cents, a.mad_cents, f.n_outliers
+    FROM med m JOIN mad a USING (l_returnflag) JOIN f USING (l_returnflag)
+    """,
+)
+def robust_outliers_mad_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-Absolute-Deviation outlier report
+    (operators/stats.py mad_outlier_report) on extendedprice per
+    returnflag. Integer-cents domain keeps every quantile
+    interpolation exactly representable (dyadic), so the report is
+    bit-identical across engines; k = 3/2 is dyadic by design. The
+    robust counterpart of the IQR fences (``transform.py:120-126``)."""
+    from dpe_energy_performance_analysis_etl_spark.operators.stats import mad_outlier_report
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return mad_outlier_report(li, "l_returnflag", "l_extendedprice", 2)
+
+
+@register(
+    "events_hopping_window",
+    """
+    WITH w AS (
+      SELECT unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR, date_trunc('hour', ts)]) AS window_start,
+             event_type, value
+      FROM events
+    )
+    SELECT window_start, event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS total_value
+    FROM w GROUP BY 1, 2
+    """,
+)
+def events_hopping_window_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) event-time windows: 2-hour windows advancing
+    every hour, so each event lands in exactly two overlapping
+    windows. ``F.window(slide=...)`` explodes to the |window/slide|
+    assignments BEFORE the shuffle, keeping aggregation map-side
+    partial — the streaming-native sibling of events_tumbling_window
+    (identical groupBy works under readStream with a watermark)."""
+    ev = read_events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", 2).alias("total_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "hard_negative_mining",
+    """
+    WITH base AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), n AS (
+      SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM base
+    ), scored AS (
+      SELECT q.vec_id AS query_id, q.label AS query_label,
+             c.vec_id AS neighbor_id, c.label AS neg_label,
+             list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cosine
+      FROM n q JOIN n c ON q.vec_id != c.vec_id AND q.label <> c.label
+      WHERE q.vec_id < 10
+    )
+    SELECT query_id, query_label, neighbor_id, neg_label, cosine,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def hard_negative_mining_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training
+    (similarity/ann.py hard_negative_topk): per query vector, the 5
+    most-cosine-similar corpus vectors with a DIFFERENT label. Query
+    set broadcasts with labels; the corpus streams past once and never
+    shuffles; label inequality prunes pairs inside the join condition
+    before any scoring."""
+    from dpe_energy_performance_analysis_etl_spark.similarity.ann import hard_negative_topk
+
+    emb = read_embeddings(spark, sf_dir)
+    return hard_negative_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)

@@ -175,3 +175,56 @@ def lsh_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def hard_negative_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive / retrieval training: for
+    each query vector, the top-k most-similar corpus vectors with a
+    DIFFERENT label (the negatives closest to the decision boundary —
+    the ones worth training on).
+
+    Same plan shape as ``brute_force_topk``: the (small) query set is
+    broadcast with its labels, the corpus streams past it once, never
+    shuffling; per-query top-k via window over the scored pairs. The
+    label inequality rides the broadcast join condition, so mismatched
+    pairs are dropped before any scoring fan-out materializes. At
+    corpus scale the same label-aware scoring rides the LSH/IVF
+    candidate generators instead of the cross score.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neg_label"),
+        F.col(vec_col).alias("cvec"),
+        F.sqrt(norm2_double(F.col(vec_col))).alias("cnorm"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        F.col(vec_col).alias("qvec"),
+        F.sqrt(norm2_double(F.col(vec_col))).alias("qnorm"),
+    )
+    scored = (
+        c.join(
+            F.broadcast(q),
+            (F.col("query_id") != F.col("neighbor_id"))
+            & (F.col("query_label") != F.col("neg_label")),
+        )
+        .withColumn(
+            "cosine",
+            dot_double(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm")),
+        )
+        .select("query_id", "query_label", "neighbor_id", "neg_label", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "query_label", "neighbor_id", "neg_label", "cosine", "rank")
+    )

@@ -1,0 +1,132 @@
+"""Wave-4 operators: grouped OLS, MAD outliers, hopping windows,
+hard-negative mining — hand-computed expectations on tiny inputs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dpe_energy_performance_analysis_etl_spark.operators.stats import (
+    group_linregress,
+    mad_outlier_report,
+)
+from dpe_energy_performance_analysis_etl_spark.similarity.ann import hard_negative_topk
+
+
+class TestGroupLinregress:
+    def test_perfect_line(self, spark):
+        df = spark.createDataFrame(
+            [("a", 1.0, 2.0), ("a", 2.0, 4.0), ("a", 3.0, 6.0)], "k string, x double, y double"
+        )
+        row = group_linregress(df, "k", "x", "y", 2, 2).collect()[0]
+        assert row["n_obs"] == 3
+        assert row["slope"] == pytest.approx(2.0, abs=1e-12)
+        assert row["intercept"] == pytest.approx(0.0, abs=1e-12)
+        assert row["r2"] == pytest.approx(1.0, abs=1e-12)
+
+    def test_flat_y_and_degenerate_group(self, spark):
+        df = spark.createDataFrame(
+            [("b", 1.0, 1.0), ("b", 2.0, 1.0), ("b", 3.0, 1.0), ("c", 5.0, 9.0)],
+            "k string, x double, y double",
+        )
+        out = {r["k"]: r for r in group_linregress(df, "k", "x", "y", 2, 2).collect()}
+        # zero y-variance: slope exactly 0, r2 undefined (0/0) -> NULL
+        assert out["b"]["slope"] == 0.0
+        assert out["b"]["intercept"] == pytest.approx(1.0, abs=1e-12)
+        assert out["b"]["r2"] is None
+        # single point: zero x-variance -> all NULL
+        assert out["c"]["slope"] is None and out["c"]["r2"] is None
+
+    def test_known_slope(self, spark):
+        # y = 3x + 1 with one perturbed point: x=[0,1,2,3], y=[1,4,8,10]
+        # Sx=6 Sy=23 Sxy=[0+4+16+30]=50 Sxx=14; slope=(4*50-6*23)/(4*14-36)=62/20=3.1
+        df = spark.createDataFrame(
+            [("g", 0.0, 1.0), ("g", 1.0, 4.0), ("g", 2.0, 8.0), ("g", 3.0, 10.0)],
+            "k string, x double, y double",
+        )
+        row = group_linregress(df, "k", "x", "y", 2, 2).collect()[0]
+        assert row["slope"] == pytest.approx(3.1, abs=1e-12)
+        assert row["intercept"] == pytest.approx(23 / 4 - 3.1 * 1.5, abs=1e-12)
+
+    def test_scale_conversion(self, spark):
+        # x_scale != y_scale must still report original-unit slope
+        df = spark.createDataFrame(
+            [("s", 1.0, 10.0), ("s", 2.0, 20.0), ("s", 3.0, 30.0)],
+            "k string, x double, y double",
+        )
+        row = group_linregress(df, "k", "x", "y", 1, 3).collect()[0]
+        assert row["slope"] == pytest.approx(10.0, abs=1e-9)
+
+
+class TestMadOutliers:
+    def test_hand_computed(self, spark):
+        df = spark.createDataFrame(
+            [("a", v) for v in [1.0, 2.0, 3.0, 4.0, 100.0]], "k string, v double"
+        )
+        row = mad_outlier_report(df, "k", "v", 2).collect()[0]
+        # cents: [100,200,300,400,10000]; median 300
+        assert row["median_cents"] == 300.0
+        # devs: [200,100,0,100,9700] -> sorted [0,100,100,200,9700], MAD=100
+        assert row["mad_cents"] == 100.0
+        # threshold 1.5*100=150: devs 200 and 9700 exceed -> 2 outliers
+        assert row["n_outliers"] == 2
+        assert row["n_obs"] == 5
+
+    def test_even_count_interpolation_exact(self, spark):
+        df = spark.createDataFrame(
+            [("e", v) for v in [1.0, 2.0, 3.0, 10.0]], "k string, v double"
+        )
+        row = mad_outlier_report(df, "k", "v", 2).collect()[0]
+        # cents [100,200,300,1000]: median = (200+300)/2 = 250 exactly
+        assert row["median_cents"] == 250.0
+        # devs [150,50,50,750] sorted [50,50,150,750] -> MAD = (50+150)/2 = 100 exactly
+        assert row["mad_cents"] == 100.0
+        # threshold 1.5*100 = 150, strict >: dev 150 is NOT flagged, 750 is
+        assert row["n_outliers"] == 1
+
+    def test_no_outliers_uniform(self, spark):
+        df = spark.createDataFrame([("u", 5.0)] * 4, "k string, v double")
+        row = mad_outlier_report(df, "u".replace("u", "k"), "v", 2).collect()[0]
+        assert row["mad_cents"] == 0.0 and row["n_outliers"] == 0
+
+
+class TestHardNegatives:
+    def test_excludes_same_label_and_ranks(self, spark):
+        rows = [
+            (0, 0, [1.0, 0.0]),
+            (1, 0, [1.0, 0.01]),   # same label: never a negative for 0
+            (2, 1, [1.0, 0.1]),    # different label, very close: top negative
+            (3, 1, [0.0, 1.0]),    # different label, orthogonal
+            (4, 2, [0.9, 0.2]),
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
+        out = hard_negative_topk(df, df.filter(F.col("vec_id") == 0), k=3)
+        got = [(r["neighbor_id"], r["rank"]) for r in out.orderBy("rank").collect()]
+        ids = [g[0] for g in got]
+        assert 1 not in ids  # same-label excluded
+        assert ids[0] == 2  # closest different-label vector ranks first
+        assert set(ids) == {2, 3, 4}
+
+    def test_k_truncation(self, spark):
+        rows = [(i, i % 2, [float(i + 1), 1.0]) for i in range(6)]
+        df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
+        out = hard_negative_topk(df, df.filter(F.col("vec_id") == 0), k=2).collect()
+        assert len(out) == 2
+        assert all(r["neg_label"] != r["query_label"] for r in out)
+
+
+class TestHoppingWindow:
+    def test_each_event_in_two_windows(self, spark):
+        df = spark.createDataFrame(
+            [(1, "2024-01-01 10:30:00", "click", 2.0)],
+            "event_id long, ts string, event_type string, value double",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        out = (
+            df.groupBy(F.window("ts", "2 hours", "1 hour"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("window.start").cast("string").alias("ws"), "n")
+            .orderBy("ws")
+            .collect()
+        )
+        assert [r["ws"] for r in out] == ["2024-01-01 09:00:00", "2024-01-01 10:00:00"]
+        assert all(r["n"] == 1 for r in out)
