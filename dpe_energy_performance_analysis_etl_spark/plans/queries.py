@@ -6064,3 +6064,53 @@ def hard_negative_mining_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = read_embeddings(spark, sf_dir)
     return hard_negative_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@register(
+    "bpe_pair_stats",
+    """
+    WITH tok AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word FROM documents
+    ), vocab AS (
+      SELECT word, COUNT(*) AS wcount FROM tok GROUP BY word
+    ), inner_pairs AS (
+      SELECT substr(word, i, 1) || ' ' || substr(word, i + 1, 1) AS pair, wcount
+      FROM (SELECT word, wcount, unnest(generate_series(1, length(word) - 1)) AS i FROM vocab)
+    ), eow_pairs AS (
+      SELECT substr(word, length(word), 1) || ' </w>' AS pair, wcount FROM vocab
+    ), counts AS (
+      SELECT pair, SUM(wcount) AS pair_count FROM (
+        SELECT * FROM inner_pairs UNION ALL SELECT * FROM eow_pairs
+      ) GROUP BY pair
+    )
+    SELECT pair, CAST(pair_count AS BIGINT) AS pair_count, rank FROM (
+      SELECT pair, pair_count,
+             row_number() OVER (ORDER BY pair_count DESC, pair) AS rank
+      FROM counts
+    ) WHERE rank <= 20
+    """,
+)
+def bpe_pair_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE iteration-0 pair statistics (text/tokenizer.py
+    bpe_pair_counts): corpus-weighted adjacent character-pair counts
+    incl. the terminal (char, </w>) pair; the top-1 row IS the first
+    BPE merge. One corpus-scale explode+groupBy (the word-count
+    table); all pair math runs over |vocab| rows, and the global
+    ranking window covers only the |alphabet|^2-bounded pair table."""
+    from dpe_energy_performance_analysis_etl_spark.text.tokenizer import bpe_pair_counts
+
+    return bpe_pair_counts(read_documents(spark, sf_dir), "text", top_k=20)
+
+
+@register("bpe_learn_merges")
+def bpe_learn_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 6 learned BPE merges (text/tokenizer.py
+    bpe_learn_merges): greedy argmax of exact integer pair counts per
+    round, lexicographic tiebreak — deterministic across
+    partitionings. Rows-only by design: the merge chosen each round
+    depends on the previous round's output (iterative control flow,
+    not a SQL shape); correctness is pinned by the pure-Python
+    reference tests in tests/test_tokenizer.py."""
+    from dpe_energy_performance_analysis_etl_spark.text.tokenizer import bpe_learn_merges
+
+    return bpe_learn_merges(read_documents(spark, sf_dir), "text", n_merges=6)

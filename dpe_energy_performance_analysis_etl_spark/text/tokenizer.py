@@ -25,7 +25,7 @@ from __future__ import annotations
 from typing import Iterable
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame, functions as F, types as T
+from pyspark.sql import Column, DataFrame, Window, functions as F, types as T
 
 UNK = "[UNK]"
 CONT = "##"
@@ -116,4 +116,160 @@ def wordpiece_tokenize(
             "n_unk",
             F.size(F.filter("pieces", lambda p: p == UNK)).cast("bigint"),
         )
+    )
+
+
+# =====================================================================
+# BPE (byte-pair encoding) corpus statistics and merge learning
+# (Sennrich et al. 2016 — the vocabulary-training side of subword
+# tokenization; WordPiece above is the inference side.)
+# =====================================================================
+
+EOW = "</w>"
+
+
+def word_count_table(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The BPE trainer's working set: distinct words with corpus
+    frequencies. This is the aggregation that makes corpus-scale BPE
+    tractable — every later pass runs over |vocab| rows (bounded by
+    the language, not the corpus), exactly how production trainers
+    (subword-nmt, HuggingFace tokenizers) structure it."""
+    from dpe_energy_performance_analysis_etl_spark.text.analysis import tokens_expr
+
+    return (
+        df.select(F.explode(tokens_expr(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wcount"))
+    )
+
+
+def bpe_pair_counts(df: DataFrame, text_col: str = "text", top_k: int = 20) -> DataFrame:
+    """Corpus-weighted adjacent symbol-pair frequencies at the
+    character stage (BPE iteration 0): for every vocabulary word,
+    each adjacent character pair plus the terminal (last-char, </w>)
+    pair, weighted by the word's corpus frequency. The top-1 row is
+    by definition the first BPE merge.
+
+    Plan: one corpus-scale explode+groupBy builds the word-count
+    table; everything after runs over |vocab| rows. Pair generation is
+    codegen'd substr over an index sequence (guarded: Spark's
+    sequence(1,0) counts DOWN for 1-char words).
+
+    Returns (pair, pair_count, rank) for the top_k pairs,
+    rank-ordered with a lexicographic tiebreak.
+    """
+    vocab = word_count_table(df, text_col)
+    w = F.col("word")
+    inner = F.when(
+        F.length(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.length(w) - 1),
+            lambda i: F.concat(w.substr(i, F.lit(1)), F.lit(" "), w.substr(i + 1, F.lit(1))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    eow_pair = F.concat(w.substr(F.length(w), F.lit(1)), F.lit(" " + EOW))
+    pairs = vocab.select(
+        F.explode(F.concat(inner, F.array(eow_pair))).alias("pair"), "wcount"
+    )
+    counts = pairs.groupBy("pair").agg(F.sum("wcount").alias("pair_count"))
+    win = Window.orderBy(F.col("pair_count").desc(), F.col("pair"))
+    return (
+        counts.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= top_k)
+        .select("pair", "pair_count", "rank")
+    )
+
+
+def _merge_symbols_udf(a: str, b: str):
+    """Pandas UDF applying one learned merge (a,b) -> a+b to symbol
+    arrays, leftmost-first non-overlapping (the standard BPE rule)."""
+    merged = a + b
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def apply_merge(col: pd.Series) -> pd.Series:
+        def one(syms):
+            out = []
+            i, n = 0, len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            return out
+
+        return col.map(one)
+
+    return apply_merge
+
+
+def bpe_learn_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+) -> "DataFrame":
+    """Learn the first ``n_merges`` BPE merges from a corpus: greedy
+    argmax of the corpus-weighted adjacent-pair count each round,
+    ties broken lexicographically (deterministic across partitionings
+    — counts are exact integers).
+
+    Distribution shape: the corpus is touched ONCE (word-count
+    aggregation); every training round runs over the |vocab|-row
+    symbol table — one explode+groupBy for pair counts, a single-ROW
+    driver pull for the argmax (the same bounded-collect class as the
+    imputation stats), and one Arrow-batched pandas UDF pass applying
+    the merge (per-word iteration is genuinely not Catalyst-
+    expressible — same justification as WordPiece above). The symbol
+    table is re-cached per round and the previous round unpersisted,
+    so lineage stays one round deep, and rounds cost O(|vocab|)
+    regardless of corpus size.
+
+    Returns a driver-assembled DataFrame of
+    (merge_rank, left, right, merged, pair_count) — |n_merges| rows.
+    Registry entry is rows-only by design (iterative data-dependent
+    control flow is not a SQL oracle shape); correctness is pinned by
+    pure-Python reference tests.
+    """
+    spark = df.sparkSession
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.col("word").substr(i, F.lit(1)),
+    )
+    syms = word_count_table(df, text_col).select(
+        F.concat(chars, F.array(F.lit(EOW))).alias("syms"), "wcount"
+    )
+    syms = syms.cache()
+    merges: list[tuple[int, str, str, str, int]] = []
+    prev = syms
+    for step in range(1, n_merges + 1):
+        pair_struct = F.transform(
+            F.sequence(F.lit(0), F.size("syms") - 2),
+            lambda i: F.struct(
+                F.element_at(F.col("syms"), i + 1).alias("a"),
+                F.element_at(F.col("syms"), i + 2).alias("b"),
+            ),
+        )
+        top = (
+            prev.where(F.size("syms") >= 2)
+            .select(F.explode(pair_struct).alias("p"), "wcount")
+            .groupBy("p")
+            .agg(F.sum("wcount").alias("pair_count"))
+            .orderBy(F.col("pair_count").desc(), F.col("p.a"), F.col("p.b"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, cnt = top[0]["p"]["a"], top[0]["p"]["b"], top[0]["pair_count"]
+        merges.append((step, a, b, a + b, int(cnt)))
+        nxt = prev.select(
+            _merge_symbols_udf(a, b)(F.col("syms")).alias("syms"), "wcount"
+        ).cache()
+        nxt.count()  # materialize before dropping the parent cache
+        prev.unpersist()
+        prev = nxt
+    prev.unpersist()
+    return spark.createDataFrame(
+        merges, "merge_rank int, left string, right string, merged string, pair_count bigint"
     )

@@ -66,3 +66,95 @@ def test_weighted_sample_bias(spark):
     # Deterministic across partitionings.
     again = weighted_sample_topk(df.repartition(7), k=10, weight_col="w").collect()
     assert sorted(r.doc_id for r in got) == sorted(r.doc_id for r in again)
+
+
+# =====================================================================
+# BPE pair statistics + merge learning vs a pure-Python reference
+# =====================================================================
+
+def _ref_bpe(words: dict[str, int], n_merges: int):
+    """Textbook BPE trainer (Sennrich et al. 2016, alg. 1) on a
+    word-count dict; returns [(rank, a, b, merged, count)]."""
+    syms = {w: list(w) + ["</w>"] for w in words}
+    merges = []
+    for step in range(1, n_merges + 1):
+        counts: dict[tuple, int] = {}
+        for w, c in words.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + c
+        if not counts:
+            break
+        (a, b), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((step, a, b, a + b, cnt))
+        for w in syms:
+            s, out, i = syms[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    return merges
+
+
+class TestBPE:
+    CORPUS = [
+        "low low low low low",
+        "lower lower newest newest",
+        "newest newest newest newest",
+        "widest widest widest",
+    ]
+
+    def _df(self, spark):
+        return spark.createDataFrame([(i, t) for i, t in enumerate(self.CORPUS)], "doc_id long, text string")
+
+    def test_pair_counts_match_reference(self, spark):
+        from dpe_energy_performance_analysis_etl_spark.text.tokenizer import bpe_pair_counts
+
+        words: dict[str, int] = {}
+        for t in self.CORPUS:
+            for w in t.split():
+                words[w] = words.get(w, 0) + 1
+        ref: dict[str, int] = {}
+        for w, c in words.items():
+            s = list(w) + ["</w>"]
+            for i in range(len(s) - 1):
+                ref[f"{s[i]} {s[i+1]}"] = ref.get(f"{s[i]} {s[i+1]}", 0) + c
+        expected = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+        got = [
+            (r["pair"], r["pair_count"])
+            for r in bpe_pair_counts(self._df(spark), top_k=20).orderBy("rank").collect()
+        ]
+        assert got == expected
+
+    def test_learned_merges_match_reference(self, spark):
+        from dpe_energy_performance_analysis_etl_spark.text.tokenizer import bpe_learn_merges
+
+        words: dict[str, int] = {}
+        for t in self.CORPUS:
+            for w in t.split():
+                words[w] = words.get(w, 0) + 1
+        ref = _ref_bpe(words, 5)
+        got = [
+            (r["merge_rank"], r["left"], r["right"], r["merged"], r["pair_count"])
+            for r in bpe_learn_merges(self._df(spark), n_merges=5).orderBy("merge_rank").collect()
+        ]
+        assert got == ref
+        # sanity on the classic corpus: 'es'/'est'-family merges appear early
+        merged_tokens = [m[3] for m in ref]
+        assert any("es" in m or "est" in m for m in merged_tokens)
+
+    def test_merge_is_nonoverlapping_leftmost(self, spark):
+        from dpe_energy_performance_analysis_etl_spark.text.tokenizer import bpe_learn_merges
+
+        # 'aaaa' x3: first merge (a,a) must apply non-overlapping:
+        # a a a a </w> -> aa aa </w> (2 per word), not 3 overlapping.
+        df = spark.createDataFrame([(0, "aaaa aaaa aaaa")], "doc_id long, text string")
+        got = bpe_learn_merges(df, n_merges=2).orderBy("merge_rank").collect()
+        assert (got[0]["left"], got[0]["right"], got[0]["pair_count"]) == ("a", "a", 9)
+        # second round pairs tie at 3: (aa,aa) and (aa,</w>); the
+        # lexicographic tiebreak picks '</w>' (0x3C sorts before 'a')
+        assert (got[1]["left"], got[1]["right"], got[1]["pair_count"]) == ("aa", "</w>", 3)
