@@ -1,0 +1,89 @@
+"""Prefix-filtered exact set-similarity self-join (AllPairs/PPJoin
+family — Bayardo et al. WWW'07, Xiao et al. WWW'08).
+
+The third candidate-generation strategy in this engine's dedup suite,
+complementing the full posting-list join (``shingles.py`` — exact,
+joins on EVERY shingle) and MinHash LSH (``minhash.py`` — approximate,
+probabilistic bands):
+
+  For Jaccard >= t, sort each record's token set by a GLOBAL order
+  (ascending document frequency, then token — rarest first) and keep
+  only the first  |x| - ceil(t*|x|) + 1  tokens (the *prefix*). Two
+  sets with J(a,b) >= t MUST share at least one prefix token under any
+  common total order (pigeonhole: a disjoint prefix leaves fewer than
+  ceil(t*|x|) shareable tokens on one side, capping the overlap below
+  the t threshold), so equi-joining on prefix tokens alone finds every
+  qualifying pair — exactly, not probabilistically, while posting only
+  the rarest ~(1-t) fraction of each set.
+
+Shuffle story at 100 TB: candidate volume is sum over PREFIX tokens of
+postings^2 — the frequency-ascending order deliberately puts the
+rarest tokens in prefixes, so hot tokens (the quadratic killers in the
+naive join) never generate candidates at t >= ~0.3. All stages are
+equi-keyed (token df join, per-doc window, prefix equi-join); nothing
+is all-pairs and no global rank table is materialized (the order is
+used only WITHIN each record's sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from dpe_energy_performance_analysis_etl_spark.dedup.shingles import word_shingles
+from dpe_energy_performance_analysis_etl_spark.operators.scaling import scan_fanout
+
+
+def prefix_filter_jaccard_join(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard >= ``threshold`` self-join over word ``n``-gram
+    shingle sets, with AllPairs prefix filtering for candidate
+    generation. Returns (doc_a, doc_b, n_common, jaccard), doc_a <
+    doc_b — identical semantics to ``shingle_pairs_jaccard`` at the
+    same threshold, at a fraction of the candidate volume."""
+    df = scan_fanout(df)
+    sh = df.select(
+        F.col(id_col).alias("doc_id"), word_shingles(text_col, n).alias("shset")
+    ).where(F.size("shset") > 0)
+    # posting list + global token document frequencies
+    post = sh.select("doc_id", F.explode("shset").alias("shingle"))
+    # cache: consumed by the df-aggregation AND the ordered re-join
+    post = post.cache()
+    dfreq = post.groupBy("shingle").agg(F.count(F.lit(1)).alias("dfreq"))
+    ordered = post.join(dfreq, "shingle")
+    # rarest-first position within each record; no global rank table
+    w = Window.partitionBy("doc_id").orderBy("dfreq", "shingle")
+    ranked = ordered.select(
+        "doc_id",
+        "shingle",
+        F.row_number().over(w).alias("pos"),
+        F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("n"),
+    )
+    prefix = ranked.where(
+        F.col("pos") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+    ).select("doc_id", "shingle")
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # exact verification on the full sets
+    verified = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("shset").alias("set_a")), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("shset").alias("set_b")), "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("set_a", "set_b")))
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.size("set_a") + F.size("set_b") - F.col("n_common")).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+    return verified

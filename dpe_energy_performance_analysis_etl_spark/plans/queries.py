@@ -6114,3 +6114,53 @@ def bpe_learn_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dpe_energy_performance_analysis_etl_spark.text.tokenizer import bpe_learn_merges
 
     return bpe_learn_merges(read_documents(spark, sf_dir), "text", n_merges=6)
+
+
+@register(
+    "setsim_prefix_pairs",
+    """
+    WITH tok AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shset
+      FROM tok WHERE len(t) >= 3
+    ), post AS (
+      SELECT doc_id, unnest(shset) AS shingle FROM sh
+    ), dfreq AS (
+      SELECT shingle, COUNT(*) AS dfreq FROM post GROUP BY shingle
+    ), ranked AS (
+      SELECT p.doc_id, p.shingle,
+             row_number() OVER (PARTITION BY p.doc_id ORDER BY d.dfreq, p.shingle) AS pos,
+             COUNT(*) OVER (PARTITION BY p.doc_id) AS n
+      FROM post p JOIN dfreq d USING (shingle)
+    ), prefix AS (
+      SELECT doc_id, shingle FROM ranked
+      WHERE pos <= n - CAST(ceil(0.5 * n) AS BIGINT) + 1
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM prefix a JOIN prefix b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ), verified AS (
+      SELECT doc_a, doc_b,
+             len(list_intersect(sa.shset, sb.shset)) AS n_common,
+             CAST(len(list_intersect(sa.shset, sb.shset)) AS DOUBLE)
+               / CAST(len(sa.shset) + len(sb.shset) - len(list_intersect(sa.shset, sb.shset)) AS DOUBLE) AS jaccard
+      FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b
+    )
+    SELECT doc_a, doc_b, CAST(n_common AS BIGINT) AS n_common, jaccard
+    FROM verified WHERE jaccard >= 0.5
+    """,
+)
+def setsim_prefix_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AllPairs/PPJoin prefix-filtered EXACT Jaccard >= 0.5 self-join
+    (dedup/setsim.py): identical output to the full posting-list join
+    at this threshold, but only the rarest |x|-ceil(t|x|)+1 tokens of
+    each record generate candidates — the frequency-ascending prefix
+    order keeps hot tokens (the quadratic killers) out of the join.
+    Third dedup candidate strategy next to posting-list-exact and
+    MinHash-LSH-approximate."""
+    from dpe_energy_performance_analysis_etl_spark.dedup.setsim import prefix_filter_jaccard_join
+
+    return prefix_filter_jaccard_join(
+        read_documents(spark, sf_dir), "text", "doc_id", n=3, threshold=0.5
+    ).withColumn("n_common", F.col("n_common").cast("bigint"))

@@ -130,3 +130,69 @@ class TestHoppingWindow:
         )
         assert [r["ws"] for r in out] == ["2024-01-01 09:00:00", "2024-01-01 10:00:00"]
         assert all(r["n"] == 1 for r in out)
+
+
+class TestPrefixFilterSetSim:
+    def test_agrees_with_full_posting_join(self, spark):
+        """Prefix filtering is EXACT: same pairs as the full
+        posting-list join at the same threshold on real testdata."""
+        from dpe_energy_performance_analysis_etl_spark.dedup.setsim import prefix_filter_jaccard_join
+        from dpe_energy_performance_analysis_etl_spark.dedup.shingles import shingle_pairs_jaccard
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        got = {
+            (r["doc_a"], r["doc_b"], r["n_common"])
+            for r in prefix_filter_jaccard_join(docs, threshold=0.5).collect()
+        }
+        ref = {
+            (r["doc_a"], r["doc_b"], r["n_common"])
+            for r in shingle_pairs_jaccard(docs, threshold=0.5, hash_shingle_key=False).collect()
+        }
+        assert got == ref and len(got) > 0
+
+    def test_completeness_adversarial(self, spark):
+        """Hand-built corpus where every pair's Jaccard is known:
+        no qualifying pair may be lost to the prefix filter."""
+        import itertools
+
+        from dpe_energy_performance_analysis_etl_spark.dedup.setsim import prefix_filter_jaccard_join
+
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        texts = [
+            base,
+            base + " extra",                      # very high overlap
+            "alpha beta gamma delta epsilon zeta omega psi chi phi",  # ~half
+            "one two three four five six seven eight nine ten",       # disjoint
+            base,                                  # exact duplicate
+        ]
+        df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+
+        def shingles(t):
+            ws = t.split()
+            return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+
+        expected = set()
+        ss = [shingles(t) for t in texts]
+        for a, b in itertools.combinations(range(len(texts)), 2):
+            inter = len(ss[a] & ss[b])
+            union = len(ss[a] | ss[b])
+            if union and inter / union >= 0.5:
+                expected.add((a, b))
+        got = {
+            (r["doc_a"], r["doc_b"])
+            for r in prefix_filter_jaccard_join(df, threshold=0.5).collect()
+        }
+        assert got == expected and (0, 4) in got
+
+    def test_prefix_posts_fewer_tokens(self, spark):
+        """The scale claim: prefixes post ~(1-t) of each set."""
+        from pyspark.sql import functions as F
+        from dpe_energy_performance_analysis_etl_spark.dedup.shingles import word_shingles
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        sh = docs.select(word_shingles("text", 3).alias("s")).where(F.size("s") > 0)
+        sizes = sh.select(
+            F.size("s").alias("n"),
+            (F.size("s") - F.ceil(F.lit(0.5) * F.size("s")) + 1).alias("p"),
+        ).agg(F.sum("n").alias("total"), F.sum("p").alias("prefix")).collect()[0]
+        assert sizes["prefix"] < 0.6 * sizes["total"]
