@@ -6164,3 +6164,59 @@ def setsim_prefix_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_filter_jaccard_join(
         read_documents(spark, sf_dir), "text", "doc_id", n=3, threshold=0.5
     ).withColumn("n_common", F.col("n_common").cast("bigint"))
+
+
+@register(
+    "pq_adc_seeded_topk",
+    """
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), ss AS (
+      SELECT unnest(generate_series(0, 7)) AS s
+    ), subs AS (
+      SELECT vec_id, s, v[s*8+1 : s*8+8] AS sv FROM base CROSS JOIN ss
+    ), cents AS (
+      SELECT vec_id AS cid, s, sv AS cv FROM subs WHERE vec_id < 16
+    ), dists AS (
+      SELECT sub.vec_id, sub.s, c.cid,
+             list_dot_product(
+               list_transform(range(1, 9), i -> sub.sv[i] - c.cv[i]),
+               list_transform(range(1, 9), i -> sub.sv[i] - c.cv[i])) AS d2
+      FROM subs sub JOIN cents c USING (s)
+    ), codes AS (
+      SELECT vec_id, s, cid AS code FROM (
+        SELECT vec_id, s, cid,
+               row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) AS r
+        FROM dists
+      ) WHERE r = 1
+    ), luts AS (
+      SELECT vec_id AS query_id, s, cid, d2 FROM dists WHERE vec_id < 10
+    ), terms AS (
+      SELECT l.query_id, c.vec_id AS neighbor_id, c.s, l.d2 AS term
+      FROM codes c JOIN luts l ON l.s = c.s AND l.cid = c.code
+      WHERE l.query_id <> c.vec_id
+    ), scored AS (
+      SELECT query_id, neighbor_id,
+             list_dot_product(list(term ORDER BY s),
+                              list_transform(list(term ORDER BY s), t -> 1.0)) AS adist
+      FROM terms GROUP BY query_id, neighbor_id
+    )
+    SELECT query_id, neighbor_id, adist, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def pq_adc_seeded_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric-distance scoring
+    (similarity/pq.py): 64-dim vectors -> 8 subspace codes against a
+    16-centroid seeded codebook (32x memory compression); per-query
+    full-precision LUTs broadcast; corpus CODES stream past the
+    scorer — raw vectors are never touched after encoding. Seeded
+    twin of the Lloyd-trained pq_topk (same split as IVF), replayed
+    bit-exactly by the SQL oracle; the ADC fold is dot-with-ones so
+    both engines sum subspace terms in identical order."""
+    from dpe_energy_performance_analysis_etl_spark.similarity.pq import seeded_pq_topk
+
+    emb = read_embeddings(spark, sf_dir)
+    return seeded_pq_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)

@@ -1,0 +1,261 @@
+"""Product Quantization (PQ) for embedding compression + ANN scoring
+(Jégou, Douze, Schmid TPAMI 2011 — the FAISS `PQ` building block).
+
+Why this exists at 100 TB: a 64-dim float corpus is 256 bytes/vector;
+PQ with m=8 subspaces and 16 centroids each stores ONE byte-scale code
+per subspace — 32x compression — and asymmetric-distance (ADC) scoring
+never touches the raw corpus vectors again. The table that streams
+through the scorer is (id, 8 small ints); the full-precision side
+lives only in the (tiny, broadcast) query lookup tables. Compose with
+the IVF coarse quantizer (`ivf.py`) for the standard IVFPQ layout.
+
+Determinism: every step is argmin over exact expression-shaped doubles
+with id tie-breaks, so encoding and scoring are reproducible across
+engines — ``seeded_pq_topk`` (centroids = subvectors of the first
+``ksub`` corpus vectors, no Lloyd iterations) replays bit-exactly in
+portable SQL and is the oracle-checked twin of the trained path, the
+same pattern as ``ivf.seeded_ivf_topk``.
+
+Summation order: the ADC distance folds the per-subspace terms in
+subspace order via a dot-with-ones (`sum_ordered`) — sequential
+left-to-right adds, matching DuckDB's ``list_dot_product`` fold, so
+approximate distances hash-match the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from dpe_energy_performance_analysis_etl_spark.dedup.embedding import dot_double
+
+
+def _sq_dist(a: Column, b: Column) -> Column:
+    """||a-b||^2 as dot(diff, diff) — the proven cross-engine shape."""
+    diff = F.zip_with(a, b, lambda x, y: x.cast("double") - y.cast("double"))
+    return dot_double(diff, diff)
+
+
+def sum_ordered(terms: Column) -> Column:
+    """Sequential left-to-right sum of a double array, phrased as
+    dot(terms, ones) so it matches DuckDB's list_dot_product fold
+    bit-for-bit (x*1.0 is exact for every x)."""
+    return dot_double(terms, F.transform(terms, lambda _: F.lit(1.0)))
+
+
+def explode_subspaces(
+    df: DataFrame, m: int, dsub: int, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """(id, s, sv): each vector split into m contiguous dsub-dim
+    subvectors (cast double). Pure projection, zero shuffle."""
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("s"),
+                F.transform(
+                    F.slice(F.col(vec_col), s * dsub + 1, dsub),
+                    lambda x: x.cast("double"),
+                ).alias("sv"),
+            )
+            for s in range(m)
+        ]
+    )
+    return df.select(F.col(id_col).alias("vid"), F.explode(subs).alias("sub")).select(
+        "vid", F.col("sub.s").alias("s"), F.col("sub.sv").alias("sv")
+    )
+
+
+def seeded_pq_centroids(
+    corpus: DataFrame, m: int, dsub: int, ksub: int, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Deterministic codebook: subspace s's centroids are the s-th
+    subvectors of the first ``ksub`` corpus vectors. (cid, s, cv)."""
+    seeds = corpus.filter(F.col(id_col) < ksub)
+    return explode_subspaces(seeds, m, dsub, vec_col, id_col).select(
+        F.col("vid").alias("cid"), "s", F.col("sv").alias("cv")
+    )
+
+
+def pq_encode(
+    corpus: DataFrame, cents: DataFrame, m: int, dsub: int, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """(id, codes array<int>): per-subspace argmin-distance centroid
+    ids, assembled in subspace order. The codebook is broadcast
+    (m*ksub rows); assignment is a map-side min_by aggregation — the
+    corpus shuffles once on its own id to assemble the code array."""
+    subs = explode_subspaces(corpus, m, dsub, vec_col, id_col)
+    assigned = (
+        subs.join(F.broadcast(cents), "s")
+        .groupBy("vid", "s")
+        .agg(
+            F.min_by(
+                "cid", F.struct(_sq_dist(F.col("sv"), F.col("cv")).alias("d"), F.col("cid").alias("c"))
+            ).alias("code")
+        )
+    )
+    return (
+        assigned.groupBy("vid")
+        .agg(F.array_sort(F.collect_list(F.struct("s", "code"))).alias("sc"))
+        .select(
+            F.col("vid").alias("neighbor_id"),
+            F.transform("sc", lambda x: x.getField("code")).alias("codes"),
+        )
+    )
+
+
+def pq_query_luts(
+    queries: DataFrame, cents: DataFrame, m: int, dsub: int, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """(query_id, luts array<array<double>>): luts[s][cid+1] =
+    ||q_s - cent_{s,cid}||^2 — the full-precision side of ADC, one
+    m x ksub table per query, tiny and broadcastable."""
+    qsubs = explode_subspaces(queries, m, dsub, vec_col, id_col)
+    per_s = (
+        qsubs.join(F.broadcast(cents), "s")
+        .withColumn("d2", _sq_dist(F.col("sv"), F.col("cv")))
+        .groupBy("vid", "s")
+        .agg(F.array_sort(F.collect_list(F.struct("cid", "d2"))).alias("cd"))
+        .select("vid", "s", F.transform("cd", lambda x: x.getField("d2")).alias("lut"))
+    )
+    return (
+        per_s.groupBy("vid")
+        .agg(F.array_sort(F.collect_list(F.struct("s", "lut"))).alias("sl"))
+        .select(
+            F.col("vid").alias("query_id"),
+            F.transform("sl", lambda x: x.getField("lut")).alias("luts"),
+        )
+    )
+
+
+def adc_topk(codes: DataFrame, luts: DataFrame, k: int = 5) -> DataFrame:
+    """Asymmetric-distance top-k: the coded corpus streams past the
+    broadcast query LUTs; per pair, distance = ordered fold of
+    luts[s][code_s] over subspaces. No raw vectors touched."""
+    terms = F.zip_with(
+        F.col("codes"), F.col("luts"), lambda code, lut: F.element_at(lut, code.cast("int") + 1)
+    )
+    scored = (
+        codes.join(F.broadcast(luts), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("adist", sum_ordered(terms))
+        .select("query_id", "neighbor_id", "adist")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adist"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adist", "rank")
+    )
+
+
+def seeded_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    dsub: int = 8,
+    ksub: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Oracle-checkable PQ/ADC pipeline with the seeded codebook."""
+    cents = seeded_pq_centroids(corpus, m, dsub, ksub, vec_col, id_col)
+    cents = cents.cache()  # consumed by encode AND query LUTs
+    codes = pq_encode(corpus, cents, m, dsub, vec_col, id_col)
+    luts = pq_query_luts(queries, cents, m, dsub, vec_col, id_col)
+    return adc_topk(codes, luts, k)
+
+
+def train_pq_centroids(
+    corpus: DataFrame,
+    m: int = 8,
+    dsub: int = 8,
+    ksub: int = 16,
+    iterations: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Lloyd-refined codebook: seeded init, then per-subspace k-means
+    rounds (assign via broadcast argmin, re-center via mean). Float
+    means are engine-specific, so the trained path is covered by
+    recall tests against brute force rather than the SQL oracle —
+    same split as ivf.train_ivf_centroids."""
+    cents = seeded_pq_centroids(corpus, m, dsub, ksub, vec_col, id_col)
+    subs = explode_subspaces(corpus, m, dsub, vec_col, id_col)
+    for _ in range(iterations):
+        assigned = (
+            subs.join(F.broadcast(cents), "s")
+            .groupBy("vid", "s")
+            .agg(
+                F.min_by(
+                    "cid",
+                    F.struct(_sq_dist(F.col("sv"), F.col("cv")).alias("d"), F.col("cid").alias("c")),
+                ).alias("cid"),
+                F.first("sv").alias("sv"),
+            )
+        )
+        dim_idx = F.sequence(F.lit(0), F.lit(dsub - 1))
+        cents = (
+            assigned.groupBy("s", "cid")
+            .agg(
+                F.array_agg(F.col("sv")).alias("members"),
+            )
+            .select(
+                F.col("cid"),
+                F.col("s"),
+                F.transform(
+                    dim_idx,
+                    lambda d: F.aggregate(
+                        F.col("members"), F.lit(0.0), lambda acc, v: acc + F.element_at(v, d + 1)
+                    )
+                    / F.size("members"),
+                ).alias("cv"),
+            )
+        )
+    return cents
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    dsub: int = 8,
+    ksub: int = 16,
+    iterations: int = 2,
+    rerank: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Trained-codebook PQ top-k with exact refinement (the
+    production layout, FAISS's IndexRefine): ADC shortlists
+    ``k * rerank`` candidates per query from the coded corpus, then
+    exact L2 re-ranks ONLY the shortlist — raw vectors are fetched
+    for |queries| * k * rerank rows, not the corpus. ``rerank`` trades
+    one bounded exact pass for the ADC ranking noise (dominant on
+    near-equidistant high-dim data, where quantization error rivals
+    neighbor-distance gaps). Set ``rerank=1`` for pure ADC."""
+    cents = train_pq_centroids(corpus, m, dsub, ksub, iterations, vec_col, id_col).cache()
+    codes = pq_encode(corpus, cents, m, dsub, vec_col, id_col)
+    luts = pq_query_luts(queries, cents, m, dsub, vec_col, id_col)
+    shortlist = adc_topk(codes, luts, k * rerank).select("query_id", "neighbor_id")
+    if rerank <= 1:
+        return adc_topk(codes, luts, k)
+    qvec = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
+    )
+    cvec = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv"),
+    )
+    refined = (
+        shortlist.join(F.broadcast(qvec), "query_id")
+        .join(cvec, "neighbor_id")
+        .withColumn("dist", _sq_dist(F.col("qv"), F.col("cv")))
+        .select("query_id", "neighbor_id", "dist")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dist"), F.col("neighbor_id"))
+    return (
+        refined.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "dist", "rank")
+    )

@@ -69,3 +69,91 @@ def test_seeded_ivf_recall_and_determinism(spark, emb):
     assert a == b
     recall = len(exact & a) / len(exact)
     assert recall >= 0.4, f"seeded IVF recall degraded: {recall}"
+
+
+# =====================================================================
+# Product quantization (similarity/pq.py)
+# =====================================================================
+
+def test_pq_encode_exact_centroid_vectors(spark):
+    """A vector equal to a codebook seed must encode to that seed's
+    code in every subspace (distance 0 beats everything; id tiebreak)."""
+    from pyspark.sql import functions as F
+    from dpe_energy_performance_analysis_etl_spark.similarity.pq import (
+        pq_encode,
+        seeded_pq_centroids,
+    )
+
+    rows = [(i, [float(i * 8 + d) for d in range(16)]) for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = seeded_pq_centroids(df, m=2, dsub=8, ksub=4)
+    codes = {r["neighbor_id"]: r["codes"] for r in pq_encode(df, cents, m=2, dsub=8).collect()}
+    for i in range(4):
+        assert codes[i] == [i, i]
+
+
+def test_pq_adc_matches_numpy_reference(spark, emb):
+    """ADC distances equal the numpy LUT computation bit-for-bat on
+    the seeded codebook."""
+    import numpy as np
+    from dpe_energy_performance_analysis_etl_spark.similarity.pq import seeded_pq_topk
+
+    queries = emb.filter("vec_id < 3")
+    got = seeded_pq_topk(emb, queries, k=3, m=8, dsub=8, ksub=16).collect()
+
+    pdf = emb.toPandas().sort_values("vec_id")
+    ids = pdf["vec_id"].to_numpy()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    cents = mat[ids < 16].reshape(16, 8, 8)  # (cid, s, d)
+    # encode: per vector per subspace argmin ||v_s - c_s||^2, id tiebreak
+    subv = mat.reshape(len(ids), 8, 8)
+    d2 = ((subv[:, None, :, :] - cents[None, :, :, :]) ** 2).sum(axis=3)  # (v, cid, s)
+    codes = d2.argmin(axis=1)  # numpy argmin takes first min -> same tiebreak
+    for r in got:
+        qi = int(np.where(ids == r.query_id)[0][0])
+        ni = int(np.where(ids == r.neighbor_id)[0][0])
+        expect = sum(d2[qi, codes[ni, s], s] for s in range(8))
+        assert r.adist == pytest.approx(expect, rel=1e-12)
+
+
+def test_pq_trained_recall(spark, emb):
+    """Lloyd-trained PQ recall@5 against EXACT L2 neighbors — PQ
+    quantizes Euclidean distance, so that is the metric it must
+    approximate (cosine top-k is a different objective on these
+    unnormalized vectors)."""
+    import numpy as np
+    from dpe_energy_performance_analysis_etl_spark.similarity.pq import pq_topk
+
+    queries = emb.filter("vec_id < 10")
+    pdf = emb.toPandas().sort_values("vec_id")
+    ids = pdf["vec_id"].to_numpy()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    exact = set()
+    for qid in range(10):
+        qi = int(np.where(ids == qid)[0][0])
+        d = ((mat - mat[qi]) ** 2).sum(axis=1)
+        d[qi] = np.inf
+        for ni in np.argsort(d, kind="stable")[:5]:
+            exact.add((qid, int(ids[ni])))
+    approx = {(r.query_id, r.neighbor_id) for r in pq_topk(emb, queries, k=5, iterations=1).collect()}
+    recall = len(exact & approx) / len(exact)
+    # ADC shortlist + exact refine measured 0.82 here (pure ADC: 0.22 —
+    # near-random vectors are the adversarial case for quantized ranking)
+    assert recall >= 0.6, f"PQ recall vs exact L2 degraded: {recall}"
+
+
+def test_pq_code_compression_bound(spark, emb):
+    """Codes use at most ksub distinct values per subspace — the
+    32x memory story depends on it."""
+    from pyspark.sql import functions as F
+    from dpe_energy_performance_analysis_etl_spark.similarity.pq import (
+        pq_encode,
+        seeded_pq_centroids,
+    )
+
+    cents = seeded_pq_centroids(emb, m=8, dsub=8, ksub=16)
+    codes = pq_encode(emb, cents, m=8, dsub=8)
+    stats = codes.select(
+        F.explode("codes").alias("c")
+    ).agg(F.min("c"), F.max("c"), F.count_distinct("c")).collect()[0]
+    assert stats[0] >= 0 and stats[1] < 16 and stats[2] <= 16
