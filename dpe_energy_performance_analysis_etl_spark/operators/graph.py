@@ -170,3 +170,78 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
         "deg",
         F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
     )
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int = 3,
+    iterations: int | None = None,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """k-core peeling (Seidman 1983; the Batagelj-Zaversnik bulk
+    variant): repeatedly delete vertices of degree < k together with
+    their edges. Returns (v, core_degree) for vertices still holding
+    degree >= k after the final round.
+
+    ``iterations=None`` peels to the FIXPOINT — one edge-count action
+    per round as the convergence probe (counts can only shrink, and an
+    unchanged edge count implies an unchanged vertex set, so the count
+    doubles as a checksum — the single-action lesson from the star-CC
+    operator). A fixed ``iterations`` runs exactly that many rounds —
+    the deterministic prefix an external replayer (the SQL oracle's
+    chained CTEs) can reproduce, since peeling is confluent: bulk
+    rounds are a pure function of the input graph.
+
+    Scale shape per round: one degree aggregation (explode both
+    endpoints — NOT a unionAll of two selects, which would evaluate
+    the edge subtree twice) and two vertex-keyed semi-joins, all
+    equi-keyed on vertex ids; |E| can only shrink. The edge table is
+    re-cached per round and the parent uncached (lineage one round
+    deep; localCheckpoint/checkpoint on a real cluster for very deep
+    peels).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .cache()
+    )
+
+    def degrees(ed: DataFrame) -> DataFrame:
+        return (
+            ed.select(F.explode(F.array("a", "b")).alias("v"))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+
+    prev_count = e.count()
+    rounds = 0
+    while True:
+        # keep feeds both semi-joins: its degree-agg re-runs per
+        # consumer, but over the CACHED edge table — two cheap scans
+        # of memory, not two rebuilds of the peel lineage.
+        keep = degrees(e).where(F.col("deg") >= k).select("v")
+        nxt = (
+            e.join(keep.withColumnRenamed("v", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("v", "b"), "b", "left_semi")
+            .select("a", "b")
+            .cache()
+        )
+        n = nxt.count()
+        e.unpersist()
+        e = nxt
+        rounds += 1
+        if iterations is not None:
+            if rounds >= iterations:
+                break
+        elif n == prev_count:
+            break
+        prev_count = n
+    out = degrees(e).where(F.col("deg") >= k).select(
+        F.col("v"), F.col("deg").alias("core_degree")
+    )
+    return out

@@ -6220,3 +6220,73 @@ def pq_adc_seeded_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = read_embeddings(spark, sf_dir)
     return seeded_pq_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+def _kcore_oracle(k: int, iterations: int) -> str:
+    """Chained-CTE replay of ``iterations`` bulk peel rounds — each
+    round is a pure function of the previous edge set, so a fixed
+    unrolling is bit-identical to the Spark loop's prefix.
+
+    Every CTE is AS MATERIALIZED: each e_i is referenced three times
+    by round i+1, so DuckDB's default inlining re-evaluates the whole
+    peel prefix per reference — measured 150 s vs 0.6 s materialized
+    at sf0.01 (the SQL mirror of the Spark loop's per-round cache)."""
+    blocks = [
+        """
+    WITH e0 AS MATERIALIZED (
+      SELECT least(a.l_partkey, b.l_partkey) AS a,
+             greatest(a.l_partkey, b.l_partkey) AS b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    )"""
+    ]
+    for i in range(iterations):
+        blocks.append(
+            f""", k{i} AS MATERIALIZED (
+      SELECT v FROM (SELECT a AS v FROM e{i} UNION ALL SELECT b FROM e{i})
+      GROUP BY v HAVING COUNT(*) >= {k}
+    ), e{i + 1} AS MATERIALIZED (
+      SELECT e{i}.a, e{i}.b FROM e{i}
+      JOIN k{i} x ON e{i}.a = x.v JOIN k{i} y ON e{i}.b = y.v
+    )"""
+        )
+    last = iterations
+    blocks.append(
+        f"""
+    SELECT v, CAST(deg AS BIGINT) AS core_degree FROM (
+      SELECT v, COUNT(*) AS deg
+      FROM (SELECT a AS v FROM e{last} UNION ALL SELECT b AS v FROM e{last})
+      GROUP BY v
+    ) WHERE deg >= {k}"""
+    )
+    return "".join(blocks)
+
+
+@register("kcore_membership", _kcore_oracle(k=3, iterations=4))
+def kcore_membership_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core membership after 4 bulk peel rounds
+    (operators/graph.py kcore_peel) on the recurring-pair part graph
+    (same scale-stable support>=2 graph as triangle_count_parts).
+    Fixed-round prefix registered for oracle parity — peeling is
+    confluent, so the unrolled CTE replay matches the loop exactly;
+    the operator's iterations=None mode runs the same rounds to
+    fixpoint with one count-action per round."""
+    from dpe_energy_performance_analysis_etl_spark.operators.graph import kcore_peel
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pairs = (
+        li.alias("x")
+        .join(
+            li.alias("y"),
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .groupBy(
+            F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 2)
+        .select("src", "dst")
+    )
+    return kcore_peel(pairs, k=3, iterations=4)

@@ -55,3 +55,47 @@ def test_duplicate_edges_collapse(spark):
         pagerank_fixed(_edges(spark, [("a", "b"), ("a", "b"), ("b", "a")]), 2)
     )
     assert once == dup
+
+
+class TestKCorePeel:
+    def _edges(self, spark, pairs):
+        return spark.createDataFrame(pairs, "src long, dst long")
+
+    def test_clique_survives_pendants_peel(self, spark):
+        from dpe_energy_performance_analysis_etl_spark.operators.graph import kcore_peel
+
+        # K4 on {1,2,3,4} (each degree 3) + chain 4-5-6 (degrees < 3)
+        k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+        edges = self._edges(spark, k4 + [(4, 5), (5, 6)])
+        got = {r["v"]: r["core_degree"] for r in kcore_peel(edges, k=3).collect()}
+        assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+    def test_cascading_peel_needs_multiple_rounds(self, spark):
+        from dpe_energy_performance_analysis_etl_spark.operators.graph import kcore_peel
+
+        # path 1-2-3-4-5: 2-core is empty, but only after cascading
+        # rounds (endpoints peel first, exposing new endpoints).
+        edges = self._edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+        assert kcore_peel(edges, k=2).count() == 0
+        # a cycle is its own 2-core: nothing peels
+        cyc = self._edges(spark, [(1, 2), (2, 3), (3, 1)])
+        got = {r["v"]: r["core_degree"] for r in kcore_peel(cyc, k=2).collect()}
+        assert got == {1: 2, 2: 2, 3: 2}
+
+    def test_fixed_prefix_matches_fixpoint_when_converged(self, spark):
+        from dpe_energy_performance_analysis_etl_spark.operators.graph import kcore_peel
+
+        k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+        edges = self._edges(spark, k4 + [(4, 5), (5, 6), (6, 7)])
+        fixed = {(r["v"], r["core_degree"]) for r in kcore_peel(edges, k=3, iterations=4).collect()}
+        conv = {(r["v"], r["core_degree"]) for r in kcore_peel(edges, k=3).collect()}
+        assert fixed == conv
+
+    def test_direction_and_duplicate_insensitive(self, spark):
+        from dpe_energy_performance_analysis_etl_spark.operators.graph import kcore_peel
+
+        tri = [(1, 2), (2, 3), (3, 1)]
+        rev = [(b, a) for a, b in tri]
+        got1 = {(r["v"], r["core_degree"]) for r in kcore_peel(self._edges(spark, tri + rev), k=2).collect()}
+        got2 = {(r["v"], r["core_degree"]) for r in kcore_peel(self._edges(spark, tri), k=2).collect()}
+        assert got1 == got2
