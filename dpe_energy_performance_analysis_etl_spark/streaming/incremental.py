@@ -157,13 +157,19 @@ def windowed_event_counts(
     window: str = "1 hour",
     watermark: str = "2 hours",
     available_now: bool = True,
+    slide: str | None = None,
 ) -> StreamingQuery:
     """Tumbling-window counts/sums with late-data watermark, appended
-    to parquet once each window closes."""
+    to parquet once each window closes. ``slide`` < ``window`` makes
+    the windows HOPPING (each event lands in window/slide overlapping
+    windows — assignment explodes before the shuffle, state is one row
+    per open window, and the watermark closes them in start order);
+    the batch twin is the events_hopping_window registry query."""
     stream = spark.readStream.schema(schema).parquet(source_dir)
+    win = F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
     agg = (
         stream.withWatermark(ts_col, watermark)
-        .groupBy(F.window(ts_col, window).alias("w"), "event_type")
+        .groupBy(win.alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
         .select(F.col("w").start.alias("window_start"), "event_type", "n_events", "total_value")
     )

@@ -576,3 +576,33 @@ def test_dedup_within_watermark_drops_redelivery_with_shifted_ts(spark, events, 
     out = spark.read.parquet(target)
     assert out.count() == 300
     assert out.select("event_id").distinct().count() == 300
+
+
+def test_hopping_window_stream_matches_batch(spark, events, tmp_path):
+    """Hopping (2h window / 1h slide) streaming agg must equal the
+    batch F.window(slide) aggregation on every closed window —
+    the streaming twin of the events_hopping_window registry query."""
+    from dpe_energy_performance_analysis_etl_spark.streaming import windowed_event_counts
+
+    landing = str(tmp_path / "landing")
+    target = str(tmp_path / "out_hop")
+    ckpt = str(tmp_path / "ckpt_hop")
+    events.write.parquet(landing)
+
+    q = windowed_event_counts(
+        spark, landing, EVENT_SCHEMA, target, ckpt, window="2 hours", slide="1 hour"
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(target)
+    batch = (
+        events.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w").start.alias("window_start"), "event_type", "n_events")
+    )
+    got_c = {(r.window_start, r.event_type): r.n_events for r in got.collect()}
+    batch_c = {(r.window_start, r.event_type): r.n_events for r in batch.collect()}
+    assert len(got_c) > 0
+    for key, n in got_c.items():
+        assert batch_c[key] == n
+    # every event is in exactly two windows: totals must double-count
+    assert sum(batch_c.values()) == 2 * events.count()
