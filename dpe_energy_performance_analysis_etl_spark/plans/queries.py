@@ -6290,3 +6290,66 @@ def kcore_membership_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
     )
     return kcore_peel(pairs, k=3, iterations=4)
+
+
+@register(
+    "source_overlap_matrix",
+    """
+    WITH tok AS (
+      SELECT source, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+    ), sg AS MATERIALIZED (
+      SELECT DISTINCT source,
+             unnest(list_distinct(list_transform(range(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS gram
+      FROM tok WHERE len(t) >= 3
+    ), sizes AS (
+      SELECT source, COUNT(*) AS n_grams FROM sg GROUP BY source
+    ), pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM sg a JOIN sg b ON a.gram = b.gram AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, n_shared,
+           CAST(n_shared AS DOUBLE) / CAST(least(sa.n_grams, sb.n_grams) AS DOUBLE) AS overlap_coef
+    FROM pairs
+    JOIN sizes sa ON sa.source = source_a
+    JOIN sizes sb ON sb.source = source_b
+    """,
+)
+def source_overlap_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix (text/curation.py
+    source_overlap_matrix): distinct 3-gram overlap counts + overlap
+    coefficient per source pair. Per-gram join fan-out bounded by
+    |sources| after the distinct; per-source sizes broadcast."""
+    from dpe_energy_performance_analysis_etl_spark.text.curation import source_overlap_matrix
+
+    return source_overlap_matrix(read_documents(spark, sf_dir))
+
+
+@register(
+    "length_bucket_batches",
+    """
+    WITH seqs AS (
+      SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens
+      FROM documents
+    ), assigned AS (
+      SELECT doc_id, n_tokens, n_tokens // 64 AS bucket,
+             (row_number() OVER (PARTITION BY (n_tokens // 64) ORDER BY doc_id) - 1) // 8 AS batch_id
+      FROM seqs
+    )
+    SELECT bucket, batch_id, CAST(COUNT(*) AS BIGINT) AS n_seqs,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_len,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_len,
+           CAST(COUNT(*) * MAX(n_tokens) - SUM(n_tokens) AS BIGINT) AS pad_waste
+    FROM assigned GROUP BY 1, 2
+    """,
+)
+def length_bucket_batches_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch planning (text/packing.py
+    length_bucket_batches): token-length buckets of width 64,
+    deterministic batches of 8 within each bucket, per-batch padding
+    bill. One bucket-keyed exchange; batches stable across
+    partitionings (window ordered by the unique doc id)."""
+    from dpe_energy_performance_analysis_etl_spark.text.packing import length_bucket_batches
+
+    return length_bucket_batches(read_documents(spark, sf_dir))

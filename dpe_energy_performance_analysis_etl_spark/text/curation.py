@@ -439,3 +439,49 @@ def paragraph_dedup(
         F.sum(F.col("kept").cast("long")).alias("n_kept"),
         F.sum((~F.col("kept")).cast("long")).alias("n_dropped"),
     )
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    n: int = 3,
+) -> DataFrame:
+    """Cross-source contamination matrix: for every source pair, how
+    many distinct word n-grams they share, plus the overlap
+    coefficient shared / min(|A|, |B|) — the corpus-curation view of
+    decontamination (is sourceX leaking into sourceY's shard?).
+
+    Plan: one distinct (source, gram) aggregation, then a gram-keyed
+    self-join whose per-gram fan-out is bounded by |sources| (each
+    gram appears once per source after the distinct) — candidate
+    volume is O(|grams| x |sources|^2) worst case and in practice the
+    shared tail; never all-pairs over documents. The per-source gram
+    counts are a |sources|-row broadcast.
+    """
+    from dpe_energy_performance_analysis_etl_spark.dedup.shingles import word_shingles
+
+    sg = (
+        df.select(F.col(source_col).alias("source"), word_shingles(text_col, n).alias("grams"))
+        .select("source", F.explode("grams").alias("gram"))
+        .distinct()
+        .cache()  # feeds the per-source counts AND both join sides
+    )
+    sizes = sg.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
+    pairs = (
+        sg.alias("a")
+        .join(sg.alias("b"), "gram")
+        .where(F.col("a.source") < F.col("b.source"))
+        .groupBy(F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        pairs.join(F.broadcast(sizes.withColumnRenamed("source", "source_a").withColumnRenamed("n_grams", "na")), "source_a")
+        .join(F.broadcast(sizes.withColumnRenamed("source", "source_b").withColumnRenamed("n_grams", "nb")), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            (F.col("n_shared").cast("double") / F.least("na", "nb").cast("double")).alias("overlap_coef"),
+        )
+    )

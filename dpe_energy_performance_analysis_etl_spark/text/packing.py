@@ -142,3 +142,40 @@ def sequence_pack(
             (F.col("start_token") % budget) + F.col(token_count_col) > F.lit(budget)
         ).alias("spans_boundary"),
     )
+
+
+def length_bucket_batches(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_width: int = 64,
+    batch_size: int = 8,
+) -> DataFrame:
+    """Length-bucketed batch planning (the data-loader step between
+    packing and training): sequences grouped into token-length
+    buckets, deterministic batch ids within each bucket, and the
+    per-batch padding bill — n_seqs * max_len - sum_len is exactly
+    the wasted pad tokens a naive unbucketed batcher would multiply.
+
+    Plan: one shuffle keyed on the bucket id; the per-bucket window
+    orders by the stable id (deterministic batches across
+    partitionings and engines). Bucket count is bounded by
+    max_len / bucket_width, but rows per bucket are corpus-scale, so
+    the window sorts within real partitions — not a single-partition
+    global window.
+    """
+    from dpe_energy_performance_analysis_etl_spark.text.analysis import token_count
+
+    w = Window.partitionBy("bucket").orderBy(id_col)
+    seqs = (
+        df.select(F.col(id_col), token_count(F.col(text_col)).alias("n_tokens"))
+        .withColumn("bucket", F.expr(f"n_tokens div {bucket_width}"))
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("batch_id", F.expr(f"(rn - 1) div {batch_size}"))
+    )
+    return seqs.groupBy("bucket", "batch_id").agg(
+        F.count(F.lit(1)).alias("n_seqs"),
+        F.max("n_tokens").alias("max_len"),
+        F.sum("n_tokens").alias("sum_len"),
+        (F.count(F.lit(1)) * F.max("n_tokens") - F.sum("n_tokens")).alias("pad_waste"),
+    )

@@ -228,3 +228,35 @@ class TestHtmlStrip:
 
         df = spark.createDataFrame([(1, "no markup   here")], "doc_id long, text string")
         assert html_strip(df).collect()[0].clean_text == "no markup here"
+
+
+class TestSourceOverlapMatrix:
+    def test_hand_computed_overlap(self, spark):
+        from dpe_energy_performance_analysis_etl_spark.text.curation import source_overlap_matrix
+
+        # srcA doc: grams {a b c, b c d}; srcB doc shares exactly one
+        # of them; srcC is disjoint.
+        rows = [
+            (0, "a b c d", "srcA"),
+            (1, "x a b c y", "srcB"),   # grams {x a b, a b c, b c y}
+            (2, "p q r s", "srcC"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        got = {
+            (r["source_a"], r["source_b"]): (r["n_shared"], r["overlap_coef"])
+            for r in source_overlap_matrix(df).collect()
+        }
+        # only the A-B pair shares grams: {a b c}; |A|=2, |B|=3 -> 1/2
+        assert got == {("srcA", "srcB"): (1, 0.5)}
+
+    def test_duplicate_grams_counted_once(self, spark):
+        from dpe_energy_performance_analysis_etl_spark.text.curation import source_overlap_matrix
+
+        rows = [
+            (0, "a b c", "s1"),
+            (1, "a b c", "s1"),   # same gram again in same source
+            (2, "a b c z", "s2"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        row = source_overlap_matrix(df).collect()[0]
+        assert row["n_shared"] == 1 and row["overlap_coef"] == 1.0

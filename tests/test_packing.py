@@ -88,3 +88,37 @@ class TestSequencePack:
         df = spark.createDataFrame([(1, 1)], "doc_id long, n_tokens long")
         with pytest.raises(ValueError):
             sequence_pack(df, budget=0)
+
+
+class TestLengthBucketBatches:
+    def test_bucket_and_batch_assignment(self, spark):
+        from dpe_energy_performance_analysis_etl_spark.text.packing import length_bucket_batches
+
+        # 10 docs of 3 tokens (bucket 0 at width 4) + 2 docs of 5 (bucket 1)
+        rows = [(i, "a b c") for i in range(10)] + [(100, "a b c d e"), (101, "a b c d f")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r["bucket"], r["batch_id"]): (r["n_seqs"], r["max_len"], r["pad_waste"])
+            for r in length_bucket_batches(df, bucket_width=4, batch_size=4).collect()
+        }
+        # bucket 0: 10 seqs -> batches of 4,4,2; all len 3 -> zero waste
+        assert got[(0, 0)] == (4, 3, 0) and got[(0, 1)] == (4, 3, 0) and got[(0, 2)] == (2, 3, 0)
+        assert got[(1, 0)] == (2, 5, 0)
+
+    def test_pad_waste_formula(self, spark):
+        from dpe_energy_performance_analysis_etl_spark.text.packing import length_bucket_batches
+
+        # one batch with lens 5 and 7 -> max 7, waste = 2*7-12 = 2
+        df = spark.createDataFrame(
+            [(0, "a b c d e"), (1, "a b c d e f g")], "doc_id long, text string"
+        )
+        row = length_bucket_batches(df, bucket_width=64, batch_size=8).collect()[0]
+        assert (row["n_seqs"], row["max_len"], row["sum_len"], row["pad_waste"]) == (2, 7, 12, 2)
+
+    def test_deterministic_across_partitionings(self, spark):
+        from dpe_energy_performance_analysis_etl_spark.text.packing import length_bucket_batches
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        a = sorted(map(tuple, length_bucket_batches(docs).collect()))
+        b = sorted(map(tuple, length_bucket_batches(docs.repartition(13)).collect()))
+        assert a == b
