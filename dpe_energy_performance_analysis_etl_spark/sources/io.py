@@ -43,9 +43,21 @@ def read_csv(
     return reader.csv(path)
 
 
-def read_parquet(spark: SparkSession, path: str) -> DataFrame:
-    """S9 — parquet scan (``filestorage_helper.py:130-156``)."""
-    return spark.read.parquet(path)
+def read_parquet(
+    spark: SparkSession, path: str, merge_schema: bool = False
+) -> DataFrame:
+    """S9 — parquet scan (``filestorage_helper.py:130-156``).
+
+    ``merge_schema=True`` unions the footers of every file so a zone
+    written across schema generations (columns added over time — the
+    normal life of a bronze directory) reads as ONE evolved schema,
+    older files null-filling the new columns. Off by default: footer
+    merging reads every file's metadata up front, which matters at
+    many-thousand-file scale; flip it per read, not globally."""
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(path)
 
 
 def read_json_lines(

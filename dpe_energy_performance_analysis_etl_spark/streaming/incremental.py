@@ -623,3 +623,35 @@ def cdc_apply_stream(
         spark, source_dir, schema, state_dir, checkpoint_dir, merge,
         available_now=available_now,
     )
+
+
+def enrich_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    dim: DataFrame,
+    on: str | list[str],
+    target_dir: str,
+    checkpoint_dir: str,
+    how: str = "left",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Stream-static dimension enrichment: every micro-batch of the
+    file stream joins the (bounded) static dimension, broadcast so
+    the stream side never shuffles — the streaming face of the
+    reference's lookup-join (J5/S5: BAN enrichment of the Enedis
+    feed). The static side is re-resolved per micro-batch, so a
+    dimension backed by a table picks up updates between batches;
+    stateless, no watermark needed (unlike stream-stream interval
+    joins, which bound state instead)."""
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    joined = stream.join(F.broadcast(dim), on=on, how=how)
+    writer = (
+        joined.writeStream.format("parquet")
+        .option("path", target_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

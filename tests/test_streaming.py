@@ -606,3 +606,28 @@ def test_hopping_window_stream_matches_batch(spark, events, tmp_path):
         assert batch_c[key] == n
     # every event is in exactly two windows: totals must double-count
     assert sum(batch_c.values()) == 2 * events.count()
+
+
+def test_stream_static_enrichment_matches_batch(spark, events, tmp_path):
+    """Stream-static broadcast join (J5's streaming face): enriched
+    stream rows equal the batch join, unmatched keys null-fill."""
+    from dpe_energy_performance_analysis_etl_spark.streaming import enrich_stream
+
+    landing = str(tmp_path / "landing_e")
+    target = str(tmp_path / "out_enrich")
+    ckpt = str(tmp_path / "ckpt_enrich")
+    events.write.parquet(landing)
+    # dimension covering only half the users
+    dim = (
+        events.select("user_id").distinct().filter("user_id % 2 = 0")
+        .withColumn("segment", F.concat(F.lit("seg"), (F.col("user_id") % 3).cast("string")))
+    )
+    q = enrich_stream(spark, landing, EVENT_SCHEMA, dim, "user_id", target, ckpt)
+    q.awaitTermination(120)
+    got = spark.read.parquet(target)
+    batch = events.join(dim, "user_id", "left")
+    assert got.count() == events.count() == batch.count()
+    g = {(r.event_id): r.segment for r in got.collect()}
+    for r in batch.collect():
+        assert g[r.event_id] == r.segment
+    assert any(v is None for v in g.values()) and any(v is not None for v in g.values())
