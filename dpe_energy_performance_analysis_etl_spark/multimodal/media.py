@@ -289,3 +289,54 @@ def resize_images(
             )
 
     return df.select(id_col, content_col).mapInPandas(work, schema=out_schema)
+
+
+def extract_raw_frames(
+    df: DataFrame,
+    width: int,
+    height: int,
+    every_n: int = 5,
+    content_col: str = "content",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """REAL frame extraction for rawvideo payloads (RGB24 frames
+    concatenated back-to-back — ffmpeg's ``rawvideo`` / ``-pix_fmt
+    rgb24`` format, the one video container decodable with zero
+    dependencies): every ``every_n``-th frame is sliced out and
+    re-encoded as PPM so it flows straight into the existing image
+    pipeline (``resize_images``, ``extract_features``). Compressed
+    containers (H.264/VP9) need PyAV/ffmpeg — swap the slicer behind
+    the same mapInPandas hook; the Spark-side contract (binary in,
+    1→N frame rows out, Arrow-batched, no driver involvement) is
+    what this operator pins down.
+
+    Truncated trailing bytes are dropped (a partial frame is not a
+    frame); NULL/short payloads yield zero rows (flatMap contract).
+    """
+    from dpe_energy_performance_analysis_etl_spark.multimodal.codecs import encode_ppm
+
+    frame_bytes = width * height * 3
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("frame_idx", T.IntegerType(), False),
+            T.StructField("content", T.BinaryType(), True),
+            T.StructField("height", T.IntegerType(), False),
+            T.StructField("width", T.IntegerType(), False),
+        ]
+    )
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for mid, payload in zip(batch[id_col], batch[content_col]):
+                if payload is None:
+                    continue
+                n_frames = len(payload) // frame_bytes
+                for idx in range(0, n_frames, every_n):
+                    raw = payload[idx * frame_bytes : (idx + 1) * frame_bytes]
+                    pixels = np.frombuffer(raw, dtype=np.uint8).reshape(height, width, 3)
+                    rows.append((mid, idx, encode_ppm(pixels), height, width))
+            yield pd.DataFrame(rows, columns=[id_col, "frame_idx", "content", "height", "width"])
+
+    return df.select(id_col, content_col).mapInPandas(work, out_schema)

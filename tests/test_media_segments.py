@@ -69,3 +69,54 @@ def test_min_len_filters_short_runs(spark):
         threshold=0.02, min_len=2,
     ).collect()
     assert segs == []
+
+
+class TestRawVideoFrames:
+    def _video(self, frames):
+        import numpy as np
+
+        return b"".join(f.astype(np.uint8).tobytes() for f in frames)
+
+    def test_every_nth_frame_pixel_exact(self, spark):
+        import numpy as np
+        from dpe_energy_performance_analysis_etl_spark.multimodal.codecs import decode_ppm
+        from dpe_energy_performance_analysis_etl_spark.multimodal.media import extract_raw_frames
+
+        h, w = 4, 6
+        frames = [np.full((h, w, 3), i * 10, dtype=np.uint8) for i in range(12)]
+        df = spark.createDataFrame(
+            [(1, self._video(frames))], "media_id long, content binary"
+        )
+        out = extract_raw_frames(df, width=w, height=h, every_n=5).collect()
+        assert [r["frame_idx"] for r in sorted(out, key=lambda r: r["frame_idx"])] == [0, 5, 10]
+        for r in out:
+            pix = decode_ppm(bytes(r["content"]))
+            assert pix.shape == (h, w, 3)
+            assert (pix == frames[r["frame_idx"]]).all()
+
+    def test_truncated_tail_and_null_dropped(self, spark):
+        import numpy as np
+        from dpe_energy_performance_analysis_etl_spark.multimodal.media import extract_raw_frames
+
+        h, w = 2, 2
+        frames = [np.zeros((h, w, 3), dtype=np.uint8)] * 2
+        payload = self._video(frames) + b"\x01\x02\x03"  # partial frame tail
+        df = spark.createDataFrame(
+            [(1, payload), (2, None), (3, b"xx")], "media_id long, content binary"
+        )
+        out = extract_raw_frames(df, width=w, height=h, every_n=1).collect()
+        assert {(r["media_id"], r["frame_idx"]) for r in out} == {(1, 0), (1, 1)}
+
+    def test_frames_feed_resize_pipeline(self, spark):
+        import numpy as np
+        from dpe_energy_performance_analysis_etl_spark.multimodal.media import (
+            extract_raw_frames,
+            resize_images,
+        )
+
+        h, w = 8, 8
+        frames = [np.arange(h * w * 3, dtype=np.uint8).reshape(h, w, 3) % 256 for _ in range(3)]
+        df = spark.createDataFrame([(7, self._video(frames))], "media_id long, content binary")
+        fr = extract_raw_frames(df, width=w, height=h, every_n=2)
+        small = resize_images(fr, out_h=4, out_w=4, id_col="media_id").collect()
+        assert len(small) == 2 and all(r["height"] == 4 and r["width"] == 4 for r in small)
