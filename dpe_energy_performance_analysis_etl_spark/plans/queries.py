@@ -6353,3 +6353,39 @@ def length_bucket_batches_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dpe_energy_performance_analysis_etl_spark.text.packing import length_bucket_batches
 
     return length_bucket_batches(read_documents(spark, sf_dir))
+
+
+@register(
+    "negative_sampling_words",
+    """
+    WITH tok AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word FROM documents
+    ), vocab AS (
+      SELECT word, COUNT(*) AS wcount FROM tok GROUP BY word
+    ), scored AS (
+      SELECT word, wcount,
+             sqrt(sqrt(CAST(wcount AS DOUBLE) * CAST(wcount AS DOUBLE) * CAST(wcount AS DOUBLE))) AS weight,
+             CAST(((list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list_transform(regexp_extract_all(word, '.'),
+                                    c -> CAST(ascii(c) AS BIGINT))),
+                   (acc, x) -> (acc * 131 + x) % 1000000000000000) % 10000) + 1) AS DOUBLE)
+               / sqrt(sqrt(CAST(wcount AS DOUBLE) * CAST(wcount AS DOUBLE) * CAST(wcount AS DOUBLE))) AS priority
+      FROM vocab
+    )
+    SELECT word, wcount, weight, CAST(rank AS BIGINT) AS sample_rank FROM (
+      SELECT word, wcount, weight,
+             row_number() OVER (ORDER BY priority, word) AS rank
+      FROM scored
+    ) WHERE rank <= 25
+    """,
+)
+def negative_sampling_words_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SGNS negative-sampling table (text/mixing.py
+    negative_sampling_table): unigram^(3/4) weights computed as
+    sqrt(sqrt(cnt^3)) — the libm-free exact form — and a deterministic
+    25-word weight-biased draw via portable-hash/weight priorities.
+    One corpus explode+groupBy; the ranking window covers only the
+    bounded vocab table."""
+    from dpe_energy_performance_analysis_etl_spark.text.mixing import negative_sampling_table
+
+    return negative_sampling_table(read_documents(spark, sf_dir), k=25)

@@ -22,7 +22,7 @@ shuffle anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from dpe_energy_performance_analysis_etl_spark.text.curation import _RATE_DENOM, sampling_hash
 
@@ -251,4 +251,48 @@ def weighted_sample_topk(
         df.withColumn("priority", prio)
         .withColumn("sample_rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("sample_rank") <= k)
+    )
+
+
+def negative_sampling_table(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 25,
+) -> DataFrame:
+    """word2vec/SGNS negative-sampling table (Mikolov et al. 2013):
+    unigram counts raised to the 3/4 power, plus a deterministic
+    k-word draw biased by that weight.
+
+    The 3/4 power is the one place the published recipe wants libm —
+    dodged exactly: cnt^(3/4) = sqrt(sqrt(cnt^3)), two correctly-
+    rounded IEEE sqrts over a fixed-shape product, identical in any
+    engine (the dyadic-EWMA trick applied to a fractional exponent
+    with a power-of-two denominator). The draw ranks words by
+    portable_hash(word) / weight — heavier words draw systematically
+    smaller priorities — with no RNG and no engine-specific hash
+    (polynomial rolling hash, base 131 mod 1e15, same as the hashed
+    classifier).
+
+    Plan: one corpus-scale explode+groupBy (the word-count table);
+    weight and priority are row-local; the ranking window covers only
+    the |vocab| table.
+    """
+    from dpe_energy_performance_analysis_etl_spark.text.retrieval import token_bucket
+    from dpe_energy_performance_analysis_etl_spark.text.tokenizer import word_count_table
+
+    vocab = word_count_table(df, text_col)
+    cd = F.col("wcount").cast("double")
+    weight = F.sqrt(F.sqrt(cd * cd * cd))
+    h = (token_bucket(F.col("word"), 10000) + 1).cast("double")
+    out = vocab.select(
+        "word",
+        "wcount",
+        weight.alias("weight"),
+        (h / weight).alias("priority"),
+    )
+    w = Window.orderBy(F.col("priority").asc(), F.col("word").asc())
+    return (
+        out.withColumn("sample_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("sample_rank") <= k)
+        .select("word", "wcount", "weight", "sample_rank")
     )

@@ -273,3 +273,66 @@ def bpe_learn_merges(
     return spark.createDataFrame(
         merges, "merge_rank int, left string, right string, merged string, pair_count bigint"
     )
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a learned merge list (the output of ``bpe_learn_merges``,
+    or any merges.txt) to tokenize text — the inference side of BPE,
+    closing the train→apply loop.
+
+    The merge ranks ARE the algorithm: each word is split to
+    characters + </w>, then the lowest-rank applicable merge is
+    applied repeatedly (the standard BPE encoder, equivalent to
+    replaying the training merges in order). Per-word iteration is
+    not Catalyst-expressible — Arrow pandas UDF like WordPiece, with
+    the rank table indexed once per executor, O(|merges|) memory.
+    Adds ``pieces`` (array<string>) and ``n_pieces``.
+    """
+    import re
+
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+    word_re = re.compile(r"[a-z0-9]+")
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def encode(col: pd.Series) -> pd.Series:
+
+        def encode_word(word: str) -> list[str]:
+            syms = list(word) + [EOW]
+            while len(syms) >= 2:
+                best = None
+                best_rank = None
+                for i in range(len(syms) - 1):
+                    r = ranks.get((syms[i], syms[i + 1]))
+                    if r is not None and (best_rank is None or r < best_rank):
+                        best_rank, best = r, (syms[i], syms[i + 1])
+                if best is None:
+                    break
+                a, b = best
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            return syms
+
+        def one(text):
+            if text is None:
+                return []
+            pieces: list[str] = []
+            for w in word_re.findall(text.lower()):
+                pieces.extend(encode_word(w))
+            return pieces
+
+        return col.map(one)
+
+    return df.withColumn("pieces", encode(F.col(text_col))).withColumn(
+        "n_pieces", F.size("pieces").cast("bigint")
+    )

@@ -141,3 +141,43 @@ class TestEpochShard:
 
         with pytest.raises(ValueError):
             epoch_shard(spark.range(1).withColumnRenamed("id", "doc_id"), 0)
+
+
+class TestNegativeSamplingTable:
+    def test_weight_is_three_quarter_power(self, spark):
+        import math
+        from dpe_energy_performance_analysis_etl_spark.text.mixing import negative_sampling_table
+
+        df = spark.createDataFrame(
+            [(0, "aa aa aa aa bb bb cc")], "doc_id long, text string"
+        )
+        got = {r["word"]: r for r in negative_sampling_table(df, k=10).collect()}
+        for word, cnt in [("aa", 4), ("bb", 2), ("cc", 1)]:
+            c = float(cnt)
+            assert got[word]["wcount"] == cnt
+            assert got[word]["weight"] == math.sqrt(math.sqrt(c * c * c))
+
+    def test_draw_biased_toward_heavy_words(self, spark):
+        from dpe_energy_performance_analysis_etl_spark.text.mixing import negative_sampling_table
+
+        # 5 heavy words (x100, weight 100^.75 ~= 32) + 20 singletons:
+        # heavy priorities land in [hash/32] <= ~312 while a singleton
+        # needs hash <= 312 (a ~3% event), so a 10-draw is mostly
+        # heavy. (With hash/weight ranking the bias is linear in
+        # weight per word — a large light population can still crowd
+        # the draw, which is why the operator is a weighted sample of
+        # WORDS, not a with-replacement unigram table.)
+        heavy = " ".join(f"h{i} " * 100 for i in range(5))
+        light = " ".join(f"w{i:03d}" for i in range(20))
+        df = spark.createDataFrame([(0, heavy + " " + light)], "doc_id long, text string")
+        got = negative_sampling_table(df, k=10).collect()
+        n_heavy = sum(1 for r in got if r["wcount"] == 100)
+        assert n_heavy >= 4
+
+    def test_deterministic_across_partitionings(self, spark):
+        from dpe_energy_performance_analysis_etl_spark.text.mixing import negative_sampling_table
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        a = [tuple(r) for r in negative_sampling_table(docs, k=15).collect()]
+        b = [tuple(r) for r in negative_sampling_table(docs.repartition(9), k=15).collect()]
+        assert a == b

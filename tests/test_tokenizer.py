@@ -158,3 +158,62 @@ class TestBPE:
         # second round pairs tie at 3: (aa,aa) and (aa,</w>); the
         # lexicographic tiebreak picks '</w>' (0x3C sorts before 'a')
         assert (got[1]["left"], got[1]["right"], got[1]["pair_count"]) == ("aa", "</w>", 3)
+
+
+class TestBPEEncode:
+    def test_roundtrip_with_learned_merges(self, spark):
+        """Encoding the training corpus with its own learned merges
+        must reproduce the trainer's final symbol state per word."""
+        from dpe_energy_performance_analysis_etl_spark.text.tokenizer import (
+            bpe_encode,
+            bpe_learn_merges,
+        )
+
+        corpus = TestBPE.CORPUS
+        df = spark.createDataFrame(list(enumerate(corpus)), "doc_id long, text string")
+        merges = [
+            (r["left"], r["right"])
+            for r in bpe_learn_merges(df, n_merges=5).orderBy("merge_rank").collect()
+        ]
+        # reference: replay _ref_bpe's final symbols per word
+        words: dict[str, int] = {}
+        for t in corpus:
+            for w in t.split():
+                words[w] = words.get(w, 0) + 1
+        syms = {w: list(w) + ["</w>"] for w in words}
+        for a, b in merges:
+            for w in syms:
+                s, out, i = syms[w], [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                syms[w] = out
+        got = bpe_encode(df, merges).select("doc_id", "pieces").collect()
+        for r in got:
+            expected = []
+            for w in corpus[r["doc_id"]].split():
+                expected.extend(syms[w])
+            assert r["pieces"] == expected
+
+    def test_rank_order_beats_position(self, spark):
+        """The LOWEST-rank merge applies first even if a higher-rank
+        pair appears earlier in the word (the classic BPE subtlety)."""
+        from dpe_energy_performance_analysis_etl_spark.text.tokenizer import bpe_encode
+
+        # merges: rank0 (b,c), rank1 (a,b). For 'abc': (a,b) appears
+        # first positionally, but (b,c) has lower rank -> a + bc, then
+        # no (a,bc) merge exists -> pieces [a, bc, </w>]
+        df = spark.createDataFrame([(0, "abc")], "doc_id long, text string")
+        row = bpe_encode(df, [("b", "c"), ("a", "b")]).collect()[0]
+        assert row["pieces"] == ["a", "bc", "</w>"]
+
+    def test_empty_and_null(self, spark):
+        from dpe_energy_performance_analysis_etl_spark.text.tokenizer import bpe_encode
+
+        df = spark.createDataFrame([(0, ""), (1, None)], "doc_id long, text string")
+        out = {r["doc_id"]: r["pieces"] for r in bpe_encode(df, [("a", "b")]).collect()}
+        assert out[0] == [] and out[1] == []
