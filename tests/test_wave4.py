@@ -196,3 +196,83 @@ class TestPrefixFilterSetSim:
             (F.size("s") - F.ceil(F.lit(0.5) * F.size("s")) + 1).alias("p"),
         ).agg(F.sum("n").alias("total"), F.sum("p").alias("prefix")).collect()[0]
         assert sizes["prefix"] < 0.6 * sizes["total"]
+
+
+class TestRandomizedAgainstNumpy:
+    def test_linregress_matches_numpy_over_random_groups(self, spark):
+        """30 random groups in ONE Spark call vs numpy's closed form
+        (tolerance: the operator is exact-integer; numpy is float)."""
+        import numpy as np
+
+        rng = np.random.default_rng(42)
+        rows = []
+        expect = {}
+        for g in range(30):
+            n = int(rng.integers(2, 40))
+            x = np.round(rng.uniform(-50, 50, n), 2)
+            y = np.round(rng.uniform(-50, 50, n), 2)
+            rows += [(f"g{g:02d}", float(a), float(b)) for a, b in zip(x, y)]
+            den = n * (x * x).sum() - x.sum() ** 2
+            if den > 1e-9:
+                slope = (n * (x * y).sum() - x.sum() * y.sum()) / den
+                expect[f"g{g:02d}"] = (slope, y.mean() - slope * x.mean())
+        df = spark.createDataFrame(rows, "k string, x double, y double")
+        got = {r["k"]: r for r in group_linregress(df, "k", "x", "y", 2, 2).collect()}
+        assert len(got) == 30
+        for k, (slope, intercept) in expect.items():
+            assert got[k]["slope"] == pytest.approx(slope, rel=1e-9, abs=1e-9)
+            assert got[k]["intercept"] == pytest.approx(intercept, rel=1e-9, abs=1e-9)
+            if got[k]["r2"] is not None:
+                assert -1e-12 <= got[k]["r2"] <= 1 + 1e-12
+
+    def test_mad_matches_numpy_over_random_groups(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        rows = []
+        expect = {}
+        for g in range(20):
+            n = int(rng.integers(1, 60))
+            v = np.round(rng.uniform(0, 1000, n), 2)
+            rows += [(f"g{g:02d}", float(x)) for x in v]
+            cents = np.round(v * 100)
+            med = np.median(cents)
+            dev = np.abs(cents - med)
+            mad = np.median(dev)
+            expect[f"g{g:02d}"] = (med, mad, int((dev > 1.5 * mad).sum()))
+        df = spark.createDataFrame(rows, "k string, v double")
+        got = {r["k"]: r for r in mad_outlier_report(df, "k", "v", 2).collect()}
+        for k, (med, mad, n_out) in expect.items():
+            assert got[k]["median_cents"] == med
+            assert got[k]["mad_cents"] == mad
+            assert got[k]["n_outliers"] == n_out
+
+    def test_kcore_matches_python_peeling_on_random_graph(self, spark):
+        import numpy as np
+        from dpe_energy_performance_analysis_etl_spark.operators.graph import kcore_peel
+
+        rng = np.random.default_rng(11)
+        edges = {tuple(sorted(p)) for p in rng.integers(0, 40, (220, 2)) if p[0] != p[1]}
+
+        def ref_kcore(es, k):
+            es = set(es)
+            while True:
+                deg = {}
+                for a, b in es:
+                    deg[a] = deg.get(a, 0) + 1
+                    deg[b] = deg.get(b, 0) + 1
+                keep = {v for v, d in deg.items() if d >= k}
+                nxt = {(a, b) for a, b in es if a in keep and b in keep}
+                if nxt == es:
+                    break
+                es = nxt
+            deg = {}
+            for a, b in es:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+            return {v: d for v, d in deg.items() if d >= k}
+
+        df = spark.createDataFrame([(int(a), int(b)) for a, b in edges], "src long, dst long")
+        for k in (2, 3, 4):
+            got = {r["v"]: r["core_degree"] for r in kcore_peel(df, k=k).collect()}
+            assert got == ref_kcore(edges, k), f"k={k}"
