@@ -278,6 +278,51 @@ QUERIES["entity_match_ed1"] = entity_match_ed1
 QUERIES["triangle_count_parts"] = triangle_count_parts
 
 
+def bpe_pair_stats(dfs):
+    """Eager-pandas BPE iteration-0 pair counts (mirrors the
+    registered query: word-count table, char pairs + </w>, top 20)."""
+    import collections
+
+    words = collections.Counter()
+    for t in dfs["documents"]["text"]:
+        words.update(re.findall(r"[a-z0-9]+", t.lower()))
+    pairs = collections.Counter()
+    for w, c in words.items():
+        for i in range(len(w) - 1):
+            pairs[w[i] + " " + w[i + 1]] += c
+        pairs[w[-1] + " </w>"] += c
+    return sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+
+
+def kcore_membership(dfs):
+    """Eager-pandas 3-core over the recurring-pair part graph
+    (merge-based edges, dict-based peel to fixpoint)."""
+    li = dfs["lineitem"][["l_orderkey", "l_partkey"]]
+    m = li.merge(li, on="l_orderkey")
+    m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+    cnt = m.groupby(["l_partkey_x", "l_partkey_y"]).size()
+    edges = set(cnt[cnt >= 2].index)
+    while True:
+        deg = {}
+        for a, b in edges:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        keep = {v for v, d in deg.items() if d >= 3}
+        nxt = {(a, b) for a, b in edges if a in keep and b in keep}
+        if nxt == edges:
+            break
+        edges = nxt
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    return {v: d for v, d in deg.items() if d >= 3}
+
+
+QUERIES["bpe_pair_stats"] = bpe_pair_stats
+QUERIES["kcore_membership"] = kcore_membership
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([\d.]+)", sf_dir)
