@@ -388,3 +388,88 @@ def mad_outlier_report(
         .join(flagged, key_col)
         .select(key_col, "n_obs", "median_cents", "mad_cents", "n_outliers")
     )
+
+
+def bootstrap_mean_ci(
+    df,
+    key_col: str,
+    value_col: str,
+    id_col: str,
+    scale: int = 2,
+    n_replicas: int = 32,
+):
+    """Per-group bootstrap confidence interval for the mean — the
+    deterministic Poisson-bootstrap formulation (Chamandy et al.,
+    'Estimating Uncertainty for Massive Data Streams', Google 2012):
+    each row's multiplicity in replica b is a pseudo-Poisson(1) draw
+    derived from a PORTABLE hash of (row id, b), so every engine and
+    every partitioning reproduces the identical resamples — no RNG,
+    no per-replica data copy.
+
+    Replica means use exact integer-cents sums (one double division
+    each); the interval is RANK-based (2nd-smallest / 2nd-largest
+    replica mean, ~93.75% coverage at B=32) rather than interpolated
+    percentiles — order statistics of doubles are engine-exact where
+    interpolation formulas are not (the MAD lesson, applied to the
+    one place it can't be dodged with integers).
+
+    Scale shape: the explode is B rows per input row BEFORE the
+    shuffle, but partial aggregation collapses them map-side to
+    (group x B) partials; the final per-group window runs over B=32
+    rows. Bootstrap at 100 TB costs one B-fold map-side pass — the
+    honest price of distribution-free uncertainty; subsample first if
+    that is too much.
+    """
+    from pyspark.sql import Window, functions as F
+
+    from dpe_energy_performance_analysis_etl_spark.operators.exact import scaled_long
+
+    # Poisson(1) pmf as cumulative 1e4-bucket thresholds:
+    # P(0)=.3679 P(1)=.3679 P(2)=.1839 P(3)=.0613 P(4)=.0153 P(5)=.0031
+    thresholds = [3679, 7358, 9197, 9810, 9963, 9994, 9999]
+    b = F.col("b")
+    h = (
+        (F.col(id_col).cast("bigint") * F.lit(2654435761) + b * F.lit(2246822519))
+        % F.lit(4294967296)
+    ) % F.lit(10000)
+    weight = F.lit(len(thresholds))
+    for w in range(len(thresholds) - 1, -1, -1):
+        weight = F.when(h < thresholds[w], w).otherwise(weight)
+    cents = scaled_long(F.col(value_col), scale)
+    rep = (
+        df.select(F.col(key_col), F.col(id_col), cents.alias("cents"))
+        .withColumn("b", F.explode(F.sequence(F.lit(0), F.lit(n_replicas - 1))))
+        .withColumn("w", weight)
+        .groupBy(key_col, "b")
+        .agg(
+            F.sum(F.col("w").cast("decimal(38,0)") * F.col("cents")).alias("wsum"),
+            F.sum("w").alias("wn"),
+        )
+        .where(F.col("wn") > 0)
+        .withColumn("rep_mean", F.col("wsum").cast("double") / F.col("wn").cast("double"))
+    )
+    w_asc = Window.partitionBy(key_col).orderBy(F.col("rep_mean").asc(), F.col("b"))
+    w_desc = Window.partitionBy(key_col).orderBy(F.col("rep_mean").desc(), F.col("b"))
+    ranked = rep.select(
+        F.col(key_col),
+        "rep_mean",
+        F.row_number().over(w_asc).alias("r_lo"),
+        F.row_number().over(w_desc).alias("r_hi"),
+    )
+    ci = (
+        ranked.groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_replicas"),
+            F.max(F.when(F.col("r_lo") == 2, F.col("rep_mean"))).alias("ci_lo"),
+            F.max(F.when(F.col("r_hi") == 2, F.col("rep_mean"))).alias("ci_hi"),
+        )
+    )
+    point = df.groupBy(key_col).agg(
+        (
+            F.sum(cents.cast("decimal(38,0)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mean_cents")
+    )
+    return point.join(ci, key_col).select(
+        key_col, "mean_cents", "n_replicas", "ci_lo", "ci_hi"
+    )

@@ -6389,3 +6389,60 @@ def negative_sampling_words_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dpe_energy_performance_analysis_etl_spark.text.mixing import negative_sampling_table
 
     return negative_sampling_table(read_documents(spark, sf_dir), k=25)
+
+
+@register(
+    "bootstrap_mean_ci",
+    """
+    WITH base AS (
+      SELECT l_returnflag AS k, l_orderkey * 10 + l_linenumber AS rid,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM lineitem
+    ), weighted AS (
+      SELECT k, b, cents,
+             CASE WHEN h < 3679 THEN 0 WHEN h < 7358 THEN 1 WHEN h < 9197 THEN 2
+                  WHEN h < 9810 THEN 3 WHEN h < 9963 THEN 4 WHEN h < 9994 THEN 5
+                  WHEN h < 9999 THEN 6 ELSE 7 END AS w
+      FROM (
+        SELECT k, cents, b,
+               ((rid * 2654435761 + b * 2246822519) % 4294967296) % 10000 AS h
+        FROM base, (SELECT unnest(generate_series(0, 31)) AS b)
+      )
+    ), rep AS (
+      SELECT k, b, SUM(CAST(w AS HUGEINT) * cents) AS wsum, SUM(w) AS wn
+      FROM weighted GROUP BY k, b HAVING SUM(w) > 0
+    ), means AS (
+      SELECT k, b, CAST(wsum AS DOUBLE) / CAST(wn AS DOUBLE) AS rep_mean FROM rep
+    ), ranked AS (
+      SELECT k, b, rep_mean,
+             row_number() OVER (PARTITION BY k ORDER BY rep_mean ASC, b) AS r_lo,
+             row_number() OVER (PARTITION BY k ORDER BY rep_mean DESC, b) AS r_hi
+      FROM means
+    ), ci AS (
+      SELECT k, CAST(COUNT(*) AS BIGINT) AS n_replicas,
+             MAX(CASE WHEN r_lo = 2 THEN rep_mean END) AS ci_lo,
+             MAX(CASE WHEN r_hi = 2 THEN rep_mean END) AS ci_hi
+      FROM ranked GROUP BY k
+    ), pt AS (
+      SELECT k, CAST(SUM(CAST(cents AS HUGEINT)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_cents
+      FROM base GROUP BY k
+    )
+    SELECT pt.k AS l_returnflag, mean_cents, n_replicas, ci_lo, ci_hi
+    FROM pt JOIN ci USING (k)
+    """,
+)
+def bootstrap_mean_ci_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson-bootstrap CI for the per-returnflag mean
+    price (operators/stats.py bootstrap_mean_ci): portable-hash
+    pseudo-Poisson(1) multiplicities, exact-integer replica sums,
+    rank-based interval (2nd/2nd-last of 32 replica means — order
+    statistics are engine-exact where percentile interpolation is
+    not). Replicas collapse map-side before the (group x B) shuffle."""
+    from dpe_energy_performance_analysis_etl_spark.operators.stats import bootstrap_mean_ci
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").withColumn(
+        "rid", F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    )
+    return bootstrap_mean_ci(li, "l_returnflag", "l_extendedprice", "rid", 2, 32).withColumnRenamed(
+        "k", "l_returnflag"
+    )

@@ -276,3 +276,39 @@ class TestRandomizedAgainstNumpy:
         for k in (2, 3, 4):
             got = {r["v"]: r["core_degree"] for r in kcore_peel(df, k=k).collect()}
             assert got == ref_kcore(edges, k), f"k={k}"
+
+
+class TestBootstrapMeanCI:
+    def test_interval_brackets_mean_and_is_deterministic(self, spark):
+        import numpy as np
+        from dpe_energy_performance_analysis_etl_spark.operators.stats import bootstrap_mean_ci
+
+        rng = np.random.default_rng(3)
+        vals = np.round(rng.normal(500, 50, 400), 2)
+        df = spark.createDataFrame(
+            [("g", i, float(v)) for i, v in enumerate(vals)], "k string, rid long, v double"
+        )
+        row = bootstrap_mean_ci(df, "k", "v", "rid", 2).collect()[0]
+        assert row["n_replicas"] == 32
+        assert row["ci_lo"] < row["mean_cents"] < row["ci_hi"]
+        # interval width should be within a few standard errors
+        se = 50 * 100 / np.sqrt(400)
+        assert row["ci_hi"] - row["ci_lo"] < 8 * se
+        again = bootstrap_mean_ci(df.repartition(11), "k", "v", "rid", 2).collect()[0]
+        assert (row["ci_lo"], row["ci_hi"], row["mean_cents"]) == (
+            again["ci_lo"], again["ci_hi"], again["mean_cents"]
+        )
+
+    def test_pseudo_poisson_weights_mean_one(self, spark):
+        """The hash-derived multiplicities must average ~1 so replica
+        sample sizes match the original (the Poisson bootstrap
+        contract)."""
+        import numpy as np
+        from dpe_energy_performance_analysis_etl_spark.operators.stats import bootstrap_mean_ci
+
+        df = spark.createDataFrame(
+            [("g", i, 100.0) for i in range(2000)], "k string, rid long, v double"
+        )
+        row = bootstrap_mean_ci(df, "k", "v", "rid", 2).collect()[0]
+        # constant values: every replica mean is exactly 10000 cents
+        assert row["ci_lo"] == row["ci_hi"] == row["mean_cents"] == 10000.0
