@@ -6446,3 +6446,69 @@ def bootstrap_mean_ci_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bootstrap_mean_ci(li, "l_returnflag", "l_extendedprice", "rid", 2, 32).withColumnRenamed(
         "k", "l_returnflag"
     )
+
+
+@register(
+    "fim_transform_docs",
+    """
+    SELECT doc_id,
+           CASE WHEN pick AND n >= 3 THEN 'psm' ELSE 'plain' END AS mode,
+           CASE WHEN pick AND n >= 3
+                THEN '<PRE>' || substr(text, 1, lo) || '<SUF>' || substr(text, hi + 1, n)
+                     || '<MID>' || substr(text, lo + 1, hi - lo)
+                ELSE text END AS fim_text
+    FROM (
+      SELECT doc_id, text, n,
+             ((doc_id * 2654435761) % 4294967296) % 100 < 50 AS pick,
+             1 + least(h1, h2) AS lo, 1 + greatest(h1, h2) AS hi
+      FROM (
+        SELECT doc_id, text, length(text) AS n,
+               ((doc_id * 2654435761) % 4294967296) % greatest(length(text) - 1, 1) AS h1,
+               ((doc_id * 2246822519) % 4294967296) % greatest(length(text) - 1, 1) AS h2
+        FROM documents
+      )
+    )
+    """,
+)
+def fim_transform_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle PSM rewrite (text/mixing.py fim_transform):
+    hash-deterministic 50% selection and split points — the published
+    RNG recipe made reproducible. Entirely row-local codegen: zero
+    shuffles, zero joins."""
+    from dpe_energy_performance_analysis_etl_spark.text.mixing import fim_transform
+
+    return fim_transform(read_documents(spark, sf_dir))
+
+
+@register(
+    "preference_pairs_quality",
+    """
+    WITH scored AS (
+      SELECT source, doc_id,
+             CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE) AS score
+      FROM documents
+    ), ranked AS (
+      SELECT source, doc_id, score,
+             row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id DESC) AS rb,
+             row_number() OVER (PARTITION BY source ORDER BY score ASC, doc_id ASC) AS rw
+      FROM scored
+    )
+    SELECT b.source, b.doc_id AS chosen_id, w.doc_id AS rejected_id,
+           b.score AS chosen_score, w.score AS rejected_score
+    FROM (SELECT * FROM ranked WHERE rb = 1) b
+    JOIN (SELECT * FROM ranked WHERE rw = 1) w USING (source)
+    WHERE b.doc_id <> w.doc_id
+    """,
+)
+def preference_pairs_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO/RLHF preference-pair construction (text/mixing.py
+    preference_pairs_by_quality): per source, extreme-quality docs
+    paired as chosen/rejected via min/max-struct aggregates — two
+    partial-aggregatable extremes instead of a per-group sort, ids
+    break ties deterministically. Score here = token count (any
+    row-local quality signal slots in)."""
+    from dpe_energy_performance_analysis_etl_spark.text.analysis import token_count
+    from dpe_energy_performance_analysis_etl_spark.text.mixing import preference_pairs_by_quality
+
+    docs = read_documents(spark, sf_dir)
+    return preference_pairs_by_quality(docs, token_count(F.col("text")).cast("double"))

@@ -296,3 +296,77 @@ def negative_sampling_table(
         .filter(F.col("sample_rank") <= k)
         .select("word", "wcount", "weight", "sample_rank")
     )
+
+
+def fim_transform(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rate_pct: int = 50,
+) -> DataFrame:
+    """Fill-in-the-middle training transform (Bavarian et al. 2022):
+    a deterministic ``rate_pct``% of documents are rewritten in PSM
+    order — <PRE>prefix<SUF>suffix<MID>middle — with the two split
+    points drawn from portable hashes of the document id, so the
+    exact same corpus rewrite falls out of every engine, run, and
+    partitioning (the published recipe uses RNG; hashing the id is
+    the reproducible equivalent). Character-level splits; run after
+    chunking so spans are token-budget-bounded.
+
+    Zero shuffle, zero joins: selection, split points, and the
+    rewrite are all row-local codegen. Adds ``mode`` ('psm'/'plain')
+    and ``fim_text``.
+    """
+    rid = F.col(id_col).cast("bigint")
+    n = F.length(F.col(text_col))
+    pick = ((rid * F.lit(2654435761)) % F.lit(4294967296)) % 100 < rate_pct
+    h1 = ((rid * F.lit(2654435761)) % F.lit(4294967296)) % F.greatest(n - 1, F.lit(1))
+    h2 = ((rid * F.lit(2246822519)) % F.lit(4294967296)) % F.greatest(n - 1, F.lit(1))
+    lo = F.lit(1) + F.least(h1, h2)
+    hi = F.lit(1) + F.greatest(h1, h2)
+    prefix = F.col(text_col).substr(F.lit(1), lo)
+    middle = F.col(text_col).substr(lo + 1, hi - lo)
+    suffix = F.col(text_col).substr(hi + 1, n)
+    psm = F.concat(F.lit("<PRE>"), prefix, F.lit("<SUF>"), suffix, F.lit("<MID>"), middle)
+    use_fim = pick & (n >= 3)
+    return df.select(
+        F.col(id_col),
+        F.when(use_fim, F.lit("psm")).otherwise(F.lit("plain")).alias("mode"),
+        F.when(use_fim, psm).otherwise(F.col(text_col)).alias("fim_text"),
+    )
+
+
+def preference_pairs_by_quality(
+    df: DataFrame,
+    score: Column,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Preference-pair construction for DPO/RLHF-style training: per
+    group, the highest-scoring document becomes ``chosen`` and the
+    lowest ``rejected`` (ids break score ties, so pairs are
+    deterministic). ``score`` is any row-local quality expression —
+    the heuristic quality score, a classifier margin, surprisal.
+
+    One aggregation: min/max-struct per group (no windows, no
+    per-group sort — the two extremes are partial-aggregatable), then
+    a row-local unpack. Groups with a single document pair with
+    themselves and are dropped.
+    """
+    tagged = df.select(
+        F.col(group_col).alias("grp"), F.col(id_col).alias("rid"), score.alias("score")
+    )
+    ext = tagged.groupBy("grp").agg(
+        F.max(F.struct(F.col("score").alias("s"), F.col("rid").alias("i"))).alias("best"),
+        F.min(F.struct(F.col("score").alias("s"), F.col("rid").alias("i"))).alias("worst"),
+    )
+    return (
+        ext.where(F.col("best.i") != F.col("worst.i"))
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("best.i").alias("chosen_id"),
+            F.col("worst.i").alias("rejected_id"),
+            F.col("best.s").alias("chosen_score"),
+            F.col("worst.s").alias("rejected_score"),
+        )
+    )

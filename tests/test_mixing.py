@@ -181,3 +181,51 @@ class TestNegativeSamplingTable:
         a = [tuple(r) for r in negative_sampling_table(docs, k=15).collect()]
         b = [tuple(r) for r in negative_sampling_table(docs.repartition(9), k=15).collect()]
         assert a == b
+
+
+class TestFimTransform:
+    def test_psm_reassembles_to_original(self, spark):
+        """prefix+middle+suffix must reconstruct the exact text."""
+        from dpe_energy_performance_analysis_etl_spark.text.mixing import fim_transform
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        out = fim_transform(docs).join(docs.select("doc_id", "text"), "doc_id")
+        psm = out.where("mode = 'psm'").collect()
+        assert len(psm) > 0
+        for r in psm:
+            t = r["fim_text"]
+            assert t.startswith("<PRE>")
+            pre, rest = t[5:].split("<SUF>", 1)
+            suf, mid = rest.split("<MID>", 1)
+            assert pre + mid + suf == r["text"]
+        plain = out.where("mode = 'plain'").collect()
+        assert all(r["fim_text"] == r["text"] for r in plain)
+
+    def test_deterministic_rate(self, spark):
+        from dpe_energy_performance_analysis_etl_spark.text.mixing import fim_transform
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        a = {(r["doc_id"], r["mode"]) for r in fim_transform(docs).collect()}
+        b = {(r["doc_id"], r["mode"]) for r in fim_transform(docs.repartition(5)).collect()}
+        assert a == b
+        n_psm = sum(1 for _, m in a if m == "psm")
+        assert 0.3 < n_psm / len(a) < 0.7  # ~50% selection
+
+
+class TestPreferencePairs:
+    def test_extremes_and_tie_break(self, spark):
+        from pyspark.sql import functions as F
+        from dpe_energy_performance_analysis_etl_spark.text.mixing import preference_pairs_by_quality
+
+        rows = [
+            ("s1", 1, 5.0), ("s1", 2, 9.0), ("s1", 3, 1.0),
+            ("s2", 4, 7.0), ("s2", 5, 7.0),      # tie: ids decide
+            ("s3", 6, 2.0),                        # singleton: dropped
+        ]
+        df = spark.createDataFrame(rows, "source string, doc_id long, q double")
+        got = {r["source"]: r for r in preference_pairs_by_quality(df, F.col("q")).collect()}
+        assert set(got) == {"s1", "s2"}
+        assert (got["s1"]["chosen_id"], got["s1"]["rejected_id"]) == (2, 3)
+        # tie at 7.0: chosen = larger id (desc,desc), rejected = smaller
+        assert (got["s2"]["chosen_id"], got["s2"]["rejected_id"]) == (5, 4)
+        assert got["s2"]["chosen_score"] == got["s2"]["rejected_score"] == 7.0
