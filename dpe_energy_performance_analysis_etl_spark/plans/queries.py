@@ -6512,3 +6512,23 @@ def preference_pairs_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_documents(spark, sf_dir)
     return preference_pairs_by_quality(docs, token_count(F.col("text")).cast("double"))
+
+
+@register("bpe_encode_pieces")
+def bpe_encode_pieces_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE train -> apply, end to end: learn 6 merges from the corpus
+    (bpe_learn_merges) and tokenize the same corpus with them
+    (bpe_encode). Rows-only like the trainer (the merge list is
+    data-dependent iterative state); the encoder itself is pinned by
+    the trainer-roundtrip reference tests."""
+    from dpe_energy_performance_analysis_etl_spark.text.tokenizer import (
+        bpe_encode,
+        bpe_learn_merges,
+    )
+
+    docs = read_documents(spark, sf_dir)
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_learn_merges(docs, n_merges=6).orderBy("merge_rank").collect()
+    ]
+    return bpe_encode(docs, merges).select("doc_id", "pieces", "n_pieces")
