@@ -157,6 +157,7 @@ def test_salted_join_spreads_key_only_left(spark):
 _EVENT_TIME_QUERIES = [
     "events_sessionize",
     "events_tumbling_window",
+    "events_hopping_window",
     "range_join_events",
     "window_range_frame",
     "time_weighted_avg",
