@@ -180,3 +180,56 @@ def k_anonymity_violations(
         .agg(F.count(F.lit(1)).alias("group_size"))
         .filter(F.col("group_size") < k)
     )
+
+
+# Benford first-digit probabilities log10(1 + 1/d) as literal doubles:
+# literals are bit-identical across engines, so no libm runs anywhere.
+BENFORD_P = [
+    0.3010299956639812, 0.17609125905568124, 0.12493873660829993,
+    0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+    0.05799194697768673, 0.05115252244738129, 0.04575749056067514,
+]
+
+
+def benford_digit_report(df, key_col: str, value_col: str, scale: int = 2):
+    """First-significant-digit audit against Benford's law — the
+    classic fraud/data-quality screen for naturally-occurring
+    positive amounts. Per (group, digit): observed count, expected
+    count n*P(d), and the chi-square contribution (obs-exp)^2/exp;
+    the global statistic is the caller's fixed-order sum over the
+    9*|groups| rows (same contract as contingency_cells).
+
+    The value is scaled to exact integer cents first, so the leading
+    digit is a string op on an exact integer, not float formatting.
+    One groupBy; per-group totals broadcast back.
+    """
+    from pyspark.sql import functions as F
+
+    from dpe_energy_performance_analysis_etl_spark.operators.exact import scaled_long
+
+    cents = scaled_long(F.col(value_col), scale)
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    obs = (
+        df.where(cents > 0)
+        .select(F.col(key_col).alias("grp"), digit.alias("digit"))
+        .groupBy("grp", "digit")
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    tot = obs.groupBy("grp").agg(F.sum("obs").alias("n"))
+    p = F.element_at(F.array(*[F.lit(x) for x in BENFORD_P]), F.col("digit"))
+    expected = F.col("n").cast("double") * p
+    return (
+        obs.join(F.broadcast(tot), "grp")
+        .select(
+            F.col("grp").alias(key_col),
+            "digit",
+            "obs",
+            "n",
+            expected.alias("expected"),
+            (
+                (F.col("obs").cast("double") - expected)
+                * (F.col("obs").cast("double") - expected)
+                / expected
+            ).alias("chi2_contrib"),
+        )
+    )

@@ -6532,3 +6532,84 @@ def bpe_encode_pieces_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in bpe_learn_merges(docs, n_merges=6).orderBy("merge_rank").collect()
     ]
     return bpe_encode(docs, merges).select("doc_id", "pieces", "n_pieces")
+
+
+@register(
+    "distinctive_terms_source",
+    """
+    WITH tf AS MATERIALIZED (
+      SELECT source AS grp, term, COUNT(*) AS tf FROM (
+        SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        FROM documents
+      ) GROUP BY 1, 2
+    ), gt AS (
+      SELECT grp, SUM(tf) AS grp_total FROM tf GROUP BY grp
+    ), tt AS (
+      SELECT term, SUM(tf) AS term_total FROM tf GROUP BY term
+    ), sc AS (
+      SELECT COUNT(DISTINCT term) AS vocab, SUM(tf) AS grand_total FROM tf
+    ), scored AS (
+      SELECT tf.grp, tf.term, tf.tf,
+             (CAST(tf.tf + 1 AS DOUBLE) / CAST(gt.grp_total + sc.vocab AS DOUBLE))
+             / (CAST(tt.term_total - tf.tf + 1 AS DOUBLE)
+                / CAST(sc.grand_total - gt.grp_total + sc.vocab AS DOUBLE)) AS score
+      FROM tf JOIN gt USING (grp) JOIN tt USING (term) CROSS JOIN sc
+    )
+    SELECT grp AS source, term, CAST(tf AS BIGINT) AS tf, score, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY grp ORDER BY score DESC, term) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def distinctive_terms_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinctive vocabulary (text/analysis.py
+    distinctive_terms_by_source): add-one-smoothed frequency-ratio
+    ranking — the log-odds family with the monotone log dropped, so
+    the score stays an exact-integer rational in three fixed IEEE
+    divisions. One token explode; totals are broadcast aggregates of
+    the cached tf table."""
+    from dpe_energy_performance_analysis_etl_spark.text.analysis import distinctive_terms_by_source
+
+    return distinctive_terms_by_source(read_documents(spark, sf_dir), k=5)
+
+
+@register(
+    "benford_digit_audit",
+    """
+    WITH base AS (
+      SELECT l_returnflag AS grp,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM lineitem
+    ), obs AS (
+      SELECT grp, CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+             CAST(COUNT(*) AS BIGINT) AS obs
+      FROM base WHERE cents > 0 GROUP BY 1, 2
+    ), tot AS (
+      SELECT grp, CAST(SUM(obs) AS BIGINT) AS n FROM obs GROUP BY grp
+    ), expd AS (
+      SELECT obs.grp, digit, obs, n,
+             -- e-notation literals parse as DOUBLE; plain decimals
+             -- parse as DECIMAL(17,16) whose double conversion is
+             -- double-rounded (measured 1-ulp skew on 19926 * P(3))
+             CAST(n AS DOUBLE) * ([3.010299956639812e-1, 1.7609125905568124e-1,
+               1.2493873660829993e-1, 9.691001300805642e-2, 7.918124604762482e-2,
+               6.694678963061322e-2, 5.799194697768673e-2, 5.115252244738129e-2,
+               4.575749056067514e-2][digit]) AS expected
+      FROM obs JOIN tot USING (grp)
+    )
+    SELECT grp AS l_returnflag, digit, obs, n, expected,
+           (CAST(obs AS DOUBLE) - expected) * (CAST(obs AS DOUBLE) - expected) / expected AS chi2_contrib
+    FROM expd
+    """,
+)
+def benford_digit_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit (operators/quality.py
+    benford_digit_report) on extendedprice per returnflag: leading
+    digit of the exact integer cents vs literal Benford
+    probabilities (literals are bit-identical across engines — no
+    libm evaluated anywhere). Per-cell chi-square contributions; the
+    global statistic is the caller's fixed-order sum."""
+    from dpe_energy_performance_analysis_etl_spark.operators.quality import benford_digit_report
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return benford_digit_report(li, "l_returnflag", "l_extendedprice", 2)

@@ -312,3 +312,73 @@ class TestBootstrapMeanCI:
         row = bootstrap_mean_ci(df, "k", "v", "rid", 2).collect()[0]
         # constant values: every replica mean is exactly 10000 cents
         assert row["ci_lo"] == row["ci_hi"] == row["mean_cents"] == 10000.0
+
+
+class TestDistinctiveTerms:
+    def test_exclusive_term_tops_its_group(self, spark):
+        from dpe_energy_performance_analysis_etl_spark.text.analysis import (
+            distinctive_terms_by_source,
+        )
+
+        rows = [
+            (0, "common words here plus zebra zebra zebra", "sA"),
+            (1, "common words here plus yonder yonder", "sB"),
+            (2, "common words here again", "sB"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        got = {}
+        for r in distinctive_terms_by_source(df, k=2).collect():
+            got.setdefault(r["source"], []).append((r["rank"], r["term"]))
+        assert sorted(got["sA"])[0][1] == "zebra"
+        assert sorted(got["sB"])[0][1] == "yonder"
+
+    def test_score_is_exact_rational(self, spark):
+        from dpe_energy_performance_analysis_etl_spark.text.analysis import (
+            distinctive_terms_by_source,
+        )
+
+        rows = [(0, "aa aa bb", "x"), (1, "bb cc", "y")]
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        got = {(r["source"], r["term"]): r["score"] for r in distinctive_terms_by_source(df, k=3).collect()}
+        # vocab=3, grand=5; x: total 3, rest 2. score(aa|x): tf=2,
+        # rest=0 -> ((2+1)/(3+3)) / ((0+1)/(2+3)) = .5/.2 = 2.5
+        assert got[("x", "aa")] == (3 / 6) / (1 / 5)
+
+
+class TestBenfordAudit:
+    def test_synthetic_benford_sample_fits(self, spark):
+        import numpy as np
+        from dpe_energy_performance_analysis_etl_spark.operators.quality import (
+            BENFORD_P,
+            benford_digit_report,
+        )
+
+        # log-uniform values follow Benford closely
+        rng = np.random.default_rng(5)
+        vals = np.round(10 ** rng.uniform(0, 4, 5000), 2)
+        df = spark.createDataFrame([("g", float(v)) for v in vals], "k string, v double")
+        rows = benford_digit_report(df, "k", "v", 2).collect()
+        assert {r["digit"] for r in rows} == set(range(1, 10))
+        chi2 = sum(r["chi2_contrib"] for r in rows)
+        assert chi2 < 30  # 8 dof; a uniform-digit sample would be >> 1000
+        for r in rows:
+            assert r["expected"] == r["n"] * BENFORD_P[r["digit"] - 1]
+
+    def test_uniform_sample_rejected(self, spark):
+        import numpy as np
+        from dpe_energy_performance_analysis_etl_spark.operators.quality import benford_digit_report
+
+        rng = np.random.default_rng(6)
+        vals = np.round(rng.uniform(100, 999, 5000), 0)  # flat first digits
+        df = spark.createDataFrame([("g", float(v)) for v in vals], "k string, v double")
+        chi2 = sum(r["chi2_contrib"] for r in benford_digit_report(df, "k", "v", 0).collect())
+        assert chi2 > 500
+
+    def test_zero_and_negative_excluded(self, spark):
+        from dpe_energy_performance_analysis_etl_spark.operators.quality import benford_digit_report
+
+        df = spark.createDataFrame(
+            [("g", 0.0), ("g", 12.0), ("g", 91.0)], "k string, v double"
+        )
+        rows = benford_digit_report(df, "k", "v", 2).collect()
+        assert sum(r["obs"] for r in rows) == 2
