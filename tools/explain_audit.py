@@ -49,6 +49,8 @@ EXPECTED_MULTISTAGE = {
     "setsim_prefix_pairs": "cached posting list feeds df-agg + ordered rejoin + verify (4 cache reads)",
     "pq_adc_seeded_topk": "cached seeded codebook feeds encode + query-LUT branches (2 cache reads)",
     "kcore_membership": "iterative peel: per-round cached edge table, final action reads ONLY the last cache (print re-expands all rounds; warm runtime 6.4 s engine-session)",
+    "source_overlap_matrix": "cached (source, gram) distinct feeds sizes + both join sides (4 cache reads at runtime)",
+    "distinctive_terms_source": "cached tf table feeds group totals, term totals, vocab scalars, output (4 cache reads at runtime)",
 }
 
 
