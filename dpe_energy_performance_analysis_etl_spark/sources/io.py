@@ -294,3 +294,38 @@ def read_text_lines(spark: SparkSession, path: str) -> DataFrame:
     parsing. Splittable like any text source; pair with
     ``text/curation.py`` cleaning for raw-crawl pipelines."""
     return spark.read.text(path)
+
+
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str = "row",
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """XML scan (Spark 4 built-in source, the former spark-xml
+    package): one row per ``row_tag`` element, attributes as ``_attr``
+    columns. Schema inference runs a full extra pass — pass ``schema``
+    in production exactly as with CSV/JSON. Source-format
+    completeness: the common shape for legacy enterprise feeds."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
+def write_xml(
+    df: DataFrame,
+    path: str,
+    row_tag: str = "row",
+    root_tag: str = "rows",
+    mode: str = "overwrite",
+) -> None:
+    """XML sink (one file per partition, ``root_tag`` wrapping
+    ``row_tag`` elements)."""
+    (
+        df.write.mode(mode)
+        .format("xml")
+        .option("rowTag", row_tag)
+        .option("rootTag", root_tag)
+        .save(path)
+    )

@@ -118,3 +118,33 @@ class TestSchemaEvolutionScan:
         zone = str(tmp_path / "zone2")
         spark.createDataFrame([(1, "a")], "id long, name string").write.parquet(zone)
         assert read_parquet(spark, zone).count() == 1
+
+
+class TestXmlSource:
+    def test_roundtrip_and_schema(self, spark, tmp_path):
+        from pyspark.sql import types as T
+        from dpe_energy_performance_analysis_etl_spark.sources.io import read_xml, write_xml
+
+        df = spark.createDataFrame(
+            [(1, "alpha", 9.5), (2, "beta", -1.0)], "id long, name string, score double"
+        )
+        p = str(tmp_path / "xmlzone")
+        write_xml(df, p, row_tag="rec", root_tag="recs")
+        schema = T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("name", T.StringType()),
+                T.StructField("score", T.DoubleType()),
+            ]
+        )
+        back = read_xml(spark, p, row_tag="rec", schema=schema)
+        assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+    def test_inference_path(self, spark, tmp_path):
+        from dpe_energy_performance_analysis_etl_spark.sources.io import read_xml, write_xml
+
+        df = spark.createDataFrame([(7, "x")], "id long, name string")
+        p = str(tmp_path / "xmlzone2")
+        write_xml(df, p)
+        back = read_xml(spark, p)
+        assert back.count() == 1 and set(back.columns) == {"id", "name"}
