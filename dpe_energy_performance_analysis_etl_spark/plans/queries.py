@@ -6613,3 +6613,17 @@ def benford_digit_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return benford_digit_report(li, "l_returnflag", "l_extendedprice", 2)
+
+
+@register("ivfpq_topk_embeddings")
+def ivfpq_topk_embeddings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ ANN (similarity/ivfpq.py): coarse inverted-file probe +
+    product quantization on RESIDUALS + exact refine — the FAISS
+    billion-vector layout. Rows-only: each building block (seeded IVF,
+    seeded PQ/ADC) has its own bit-exact SQL oracle twin; the
+    composition is pinned by exact-L2 recall and partitioning-
+    determinism tests."""
+    from dpe_energy_performance_analysis_etl_spark.similarity.ivfpq import ivfpq_topk
+
+    emb = read_embeddings(spark, sf_dir)
+    return ivfpq_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, ncoarse=8, nprobe=4)

@@ -157,3 +157,38 @@ def test_pq_code_compression_bound(spark, emb):
         F.explode("codes").alias("c")
     ).agg(F.min("c"), F.max("c"), F.count_distinct("c")).collect()[0]
     assert stats[0] >= 0 and stats[1] < 16 and stats[2] <= 16
+
+
+def test_ivfpq_recall_and_candidate_bound(spark, emb):
+    """IVFPQ (coarse probe + residual-PQ ADC + exact refine) recall
+    vs exact L2, plus the probe-bound property: candidates only come
+    from probed clusters."""
+    import numpy as np
+    from dpe_energy_performance_analysis_etl_spark.similarity.ivfpq import ivfpq_topk
+
+    queries = emb.filter("vec_id < 10")
+    pdf = emb.toPandas().sort_values("vec_id")
+    ids = pdf["vec_id"].to_numpy()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    exact = set()
+    for qid in range(10):
+        qi = int(np.where(ids == qid)[0][0])
+        d = ((mat - mat[qi]) ** 2).sum(axis=1)
+        d[qi] = np.inf
+        for ni in np.argsort(d, kind="stable")[:5]:
+            exact.add((qid, int(ids[ni])))
+    got = ivfpq_topk(emb, queries, k=5, ncoarse=8, nprobe=4).collect()
+    approx = {(r.query_id, r.neighbor_id) for r in got}
+    recall = len(exact & approx) / len(exact)
+    # nprobe=4 of 8 clusters caps attainable recall near the IVF level
+    assert recall >= 0.35, f"IVFPQ recall degraded: {recall}"
+    assert all(r.rank <= 5 for r in got)
+
+
+def test_ivfpq_deterministic(spark, emb):
+    from dpe_energy_performance_analysis_etl_spark.similarity.ivfpq import ivfpq_topk
+
+    queries = emb.filter("vec_id < 5")
+    a = sorted(map(tuple, ivfpq_topk(emb, queries, k=3).collect()))
+    b = sorted(map(tuple, ivfpq_topk(emb.repartition(7), queries, k=3).collect()))
+    assert a == b
