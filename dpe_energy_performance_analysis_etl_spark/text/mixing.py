@@ -290,10 +290,14 @@ def negative_sampling_table(
         weight.alias("weight"),
         (h / weight).alias("priority"),
     )
+    # top-k via orderBy+limit => TakeOrderedAndProject (per-partition
+    # heaps + driver merge of k rows) — NOT a global row_number
+    # window, which would single-partition the full vocabulary; the
+    # rank is then a window over the k-row result only.
+    topk = out.orderBy(F.col("priority").asc(), F.col("word").asc()).limit(k)
     w = Window.orderBy(F.col("priority").asc(), F.col("word").asc())
     return (
-        out.withColumn("sample_rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("sample_rank") <= k)
+        topk.withColumn("sample_rank", F.row_number().over(w).cast("bigint"))
         .select("word", "wcount", "weight", "sample_rank")
     )
 
