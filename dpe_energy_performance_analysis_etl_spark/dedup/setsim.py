@@ -70,10 +70,14 @@ def prefix_filter_jaccard_join(
     sh = df.select(
         F.col(id_col).alias("doc_id"), shingles.alias("shset")
     ).where(F.size("shset") > 0)
-    # posting list + global token document frequencies
+    # cache the SHINGLE-SET table, not the exploded postings: sh feeds
+    # four consumers (both posting derivations below and both sides of
+    # the verify join) — caching only the postings left verify
+    # re-running tokenize+shingle+distinct over the corpus twice.
+    sh = sh.cache()
+    # posting list + global token document frequencies (cheap explodes
+    # over the cached sets)
     post = sh.select("doc_id", F.explode("shset").alias("shingle"))
-    # cache: consumed by the df-aggregation AND the ordered re-join
-    post = post.cache()
     dfreq = post.groupBy("shingle").agg(F.count(F.lit(1)).alias("dfreq"))
     ordered = post.join(dfreq, "shingle")
     # rarest-first position within each record; no global rank table

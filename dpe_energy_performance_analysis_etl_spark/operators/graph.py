@@ -220,7 +220,7 @@ def kcore_peel(
 
     prev_count = e.count()
     rounds = 0
-    while True:
+    while iterations is None or rounds < iterations:
         # keep feeds both semi-joins: its degree-agg re-runs per
         # consumer, but over the CACHED edge table — two cheap scans
         # of memory, not two rebuilds of the peel lineage.
@@ -235,10 +235,7 @@ def kcore_peel(
         e.unpersist()
         e = nxt
         rounds += 1
-        if iterations is not None:
-            if rounds >= iterations:
-                break
-        elif n == prev_count:
+        if iterations is None and n == prev_count:
             break
         prev_count = n
     out = degrees(e).where(F.col("deg") >= k).select(

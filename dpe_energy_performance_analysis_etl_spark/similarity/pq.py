@@ -177,7 +177,15 @@ def train_pq_centroids(
     rounds (assign via broadcast argmin, re-center via mean). Float
     means are engine-specific, so the trained path is covered by
     recall tests against brute force rather than the SQL oracle —
-    same split as ivf.train_ivf_centroids."""
+    same split as ivf.train_ivf_centroids.
+
+    Clusters that end a round EMPTY disappear from the codebook, so
+    cids can come out non-contiguous — and downstream ADC looks codes
+    up POSITIONALLY in the cid-sorted LUT arrays. The returned
+    codebook therefore re-indexes cids densely per subspace (a cheap
+    window over the <= m*ksub-row table); without it, an empty mid-
+    range cluster crashes element_at under ANSI or silently reads the
+    wrong LUT slot."""
     cents = seeded_pq_centroids(corpus, m, dsub, ksub, vec_col, id_col)
     subs = explode_subspaces(corpus, m, dsub, vec_col, id_col)
     for _ in range(iterations):
@@ -210,7 +218,10 @@ def train_pq_centroids(
                 ).alias("cv"),
             )
         )
-    return cents
+    dense = Window.partitionBy("s").orderBy("cid")
+    return cents.select(
+        (F.row_number().over(dense) - 1).alias("cid"), "s", "cv"
+    )
 
 
 def pq_topk(
@@ -236,9 +247,24 @@ def pq_topk(
     cents = train_pq_centroids(corpus, m, dsub, ksub, iterations, vec_col, id_col).cache()
     codes = pq_encode(corpus, cents, m, dsub, vec_col, id_col)
     luts = pq_query_luts(queries, cents, m, dsub, vec_col, id_col)
-    shortlist = adc_topk(codes, luts, k * rerank).select("query_id", "neighbor_id")
     if rerank <= 1:
         return adc_topk(codes, luts, k)
+    shortlist = adc_topk(codes, luts, k * rerank).select("query_id", "neighbor_id")
+    return exact_refine(shortlist, queries, corpus, k, vec_col, id_col)
+
+
+def exact_refine(
+    shortlist: DataFrame,
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact-L2 re-rank of an ANN shortlist (FAISS IndexRefine): raw
+    vectors are fetched only for the |queries| x shortlist rows.
+    Shared by the PQ and IVFPQ paths — one definition of the refine
+    join, distance shape, and (dist, neighbor_id) tie-break."""
     qvec = queries.select(
         F.col(id_col).alias("query_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),

@@ -17,7 +17,11 @@ from __future__ import annotations
 from pyspark.sql import Column, functions as F
 
 # Tokens: lowercase alphanumeric runs.
-_TOKEN_PATTERN = "[a-z0-9]+"
+# Single source of truth for the engine's word-token class — the SQL
+# oracles and pandas baselines mirror this literal; Python-side
+# tokenizers must import it rather than re-compiling their own copy.
+TOKEN_PATTERN = "[a-z0-9]+"
+_TOKEN_PATTERN = TOKEN_PATTERN
 # BPE-ish: letter runs, digit runs, or single punctuation marks —
 # approximates subword pre-tokenization (GPT-2-style split classes).
 _BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"

@@ -82,8 +82,10 @@ def wordpiece_udf(vocab: Iterable[str] | None = None) -> Column:
     ``tokens_expr``), then greedy WordPiece per word."""
     import re
 
+    from dpe_energy_performance_analysis_etl_spark.text.analysis import TOKEN_PATTERN
+
     starts, conts, max_len = _index_vocab(vocab or DEFAULT_VOCAB)
-    word_re = re.compile(r"[a-z0-9]+")
+    word_re = re.compile(TOKEN_PATTERN)
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def tokenize(texts: pd.Series) -> pd.Series:
@@ -294,8 +296,13 @@ def bpe_encode(
     """
     import re
 
+    from dpe_energy_performance_analysis_etl_spark.text.analysis import TOKEN_PATTERN
+
     ranks = {tuple(m): i for i, m in enumerate(merges)}
-    word_re = re.compile(r"[a-z0-9]+")
+    # the same token class the trainer (word_count_table/tokens_expr)
+    # splits on — imported, not re-compiled, so train and apply can't
+    # drift apart if the pattern is ever widened
+    word_re = re.compile(TOKEN_PATTERN)
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def encode(col: pd.Series) -> pd.Series:

@@ -192,3 +192,18 @@ def test_ivfpq_deterministic(spark, emb):
     a = sorted(map(tuple, ivfpq_topk(emb, queries, k=3).collect()))
     b = sorted(map(tuple, ivfpq_topk(emb.repartition(7), queries, k=3).collect()))
     assert a == b
+
+
+def test_pq_trained_survives_empty_lloyd_cluster(spark):
+    """Review-found crash: duplicate vectors among the seeds give a
+    Lloyd round an EMPTY centroid; the codebook must re-index densely
+    so positional code->LUT lookup stays valid (was: ANSI
+    INVALID_ARRAY_INDEX_IN_ELEMENT_AT)."""
+    from dpe_energy_performance_analysis_etl_spark.similarity.pq import pq_topk
+
+    rows = [(0, [1.0] * 8), (1, [1.0] * 8)]  # identical seeds
+    rows += [(i, [float(i % 7) + d * 0.1 for d in range(8)]) for i in range(2, 30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = pq_topk(df, df.filter("vec_id < 3"), k=3, m=2, dsub=4, ksub=4, iterations=1).collect()
+    assert len(out) == 9
+    assert all(r["rank"] <= 3 for r in out)

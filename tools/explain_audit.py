@@ -46,7 +46,7 @@ EXPECTED_MULTISTAGE = {
     "contingency_chi2_cells": "cached cell table feeds marginals x2 + total + output join (4 cache reads)",
     # wave 4 (runtime cache reads verified for each)
     "robust_outliers_mad": "cached med/mad per-group tables feed dev + flag + output branches (10 cache reads; 3 scans by design — exact medians)",
-    "setsim_prefix_pairs": "cached posting list feeds df-agg + ordered rejoin + verify (4 cache reads)",
+    "setsim_prefix_pairs": "cached shingle-set table feeds both posting derivations + both verify sides (explodes re-run from memory, not from the corpus scan)",
     "pq_adc_seeded_topk": "cached seeded codebook feeds encode + query-LUT branches (2 cache reads)",
     "kcore_membership": "iterative peel: per-round cached edge table, final action reads ONLY the last cache (print re-expands all rounds; warm runtime 6.4 s engine-session)",
     "source_overlap_matrix": "cached (source, gram) distinct feeds sizes + both join sides (4 cache reads at runtime)",
