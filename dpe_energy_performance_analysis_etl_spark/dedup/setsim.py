@@ -27,6 +27,8 @@ used only WITHIN each record's sort).
 
 from __future__ import annotations
 
+from fractions import Fraction
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 from dpe_energy_performance_analysis_etl_spark.dedup.shingles import word_shingles
@@ -88,9 +90,20 @@ def prefix_filter_jaccard_join(
         F.row_number().over(w).alias("pos"),
         F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("n"),
     )
-    prefix = ranked.where(
-        F.col("pos") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
-    ).select("doc_id", "shingle")
+    # Prefix bound in INTEGER arithmetic from the rational threshold:
+    # ceil(t*n) = (num*n + den - 1) div den. Float F.ceil(t * n) is
+    # double-rounded — e.g. 0.57 * 100 = 57.000000000000006 ceils to
+    # 58, shortening the prefix by one token and silently DROPPING
+    # qualifying pairs. Fraction(str(t)) reads the threshold as the
+    # decimal the caller wrote, not the nearest binary double.
+    frac = Fraction(str(threshold))
+    num, den = F.lit(frac.numerator), F.lit(frac.denominator)
+    ceil_tn = F.floor(
+        (num * F.col("n") + F.lit(frac.denominator - 1)) / den
+    ).cast("bigint")
+    prefix = ranked.where(F.col("pos") <= F.col("n") - ceil_tn + 1).select(
+        "doc_id", "shingle"
+    )
     cand = (
         prefix.alias("a")
         .join(prefix.alias("b"), "shingle")
@@ -108,7 +121,12 @@ def prefix_filter_jaccard_join(
             F.col("n_common").cast("double")
             / (F.size("set_a") + F.size("set_b") - F.col("n_common")).cast("double"),
         )
-        .where(F.col("jaccard") >= threshold)
+        # exact rational comparison: c/(|a|+|b|-c) >= num/den
+        # <=> c*den >= num*(|a|+|b|-c) — no float threshold round trip
+        .where(
+            F.col("n_common") * den
+            >= num * (F.size("set_a") + F.size("set_b") - F.col("n_common"))
+        )
         .select("doc_a", "doc_b", "n_common", "jaccard")
     )
     return verified

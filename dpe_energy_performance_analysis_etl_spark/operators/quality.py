@@ -202,6 +202,13 @@ def benford_digit_report(df, key_col: str, value_col: str, scale: int = 2):
     The value is scaled to exact integer cents first, so the leading
     digit is a string op on an exact integer, not float formatting.
     One groupBy; per-group totals broadcast back.
+
+    Every (group, digit in 1..9) cell is emitted, with obs = 0 where
+    the digit never occurs: a MISSING digit is the strongest possible
+    Benford violation, and an observed-only report would contribute
+    no (0-exp)^2/exp term to the caller's chi-square sum exactly when
+    the deviation is most extreme. The 9-digit fan-out rides on the
+    per-group totals table (one row per group before the explode).
     """
     from pyspark.sql import functions as F
 
@@ -216,10 +223,16 @@ def benford_digit_report(df, key_col: str, value_col: str, scale: int = 2):
         .agg(F.count(F.lit(1)).alias("obs"))
     )
     tot = obs.groupBy("grp").agg(F.sum("obs").alias("n"))
+    cells = tot.withColumn(
+        "digit", F.explode(F.sequence(F.lit(1), F.lit(9)))
+    )
     p = F.element_at(F.array(*[F.lit(x) for x in BENFORD_P]), F.col("digit"))
     expected = F.col("n").cast("double") * p
+    # left join broadcasts the RIGHT side (obs: |groups| x <=9 rows) —
+    # Spark cannot build-side the stream side of a left outer join
     return (
-        obs.join(F.broadcast(tot), "grp")
+        cells.join(F.broadcast(obs), ["grp", "digit"], "left")
+        .withColumn("obs", F.coalesce(F.col("obs"), F.lit(0)))
         .select(
             F.col("grp").alias(key_col),
             "digit",

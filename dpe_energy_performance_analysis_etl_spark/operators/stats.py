@@ -428,10 +428,23 @@ def bootstrap_mean_ci(
     # P(0)=.3679 P(1)=.3679 P(2)=.1839 P(3)=.0613 P(4)=.0153 P(5)=.0031
     thresholds = [3679, 7358, 9197, 9810, 9963, 9994, 9999]
     b = F.col("b")
-    h = (
-        (F.col(id_col).cast("bigint") * F.lit(2654435761) + b * F.lit(2246822519))
-        % F.lit(4294967296)
-    ) % F.lit(10000)
+    # Portable NONLINEAR (rid, b) mix — xor-shift-multiply finalizer
+    # (the public-domain 32-bit "hash32"/lowbias mix: h ^= h>>16;
+    # h *= 0x45d9f3b; twice). A purely affine h = (rid*A + b*B) mod m
+    # makes each row's B replica multiplicities a fixed stride walk —
+    # strongly correlated draws that break the independent-resample
+    # assumption behind the rank interval's coverage. The xor-shift
+    # between multiplies destroys the stride. All intermediates stay
+    # below 2^32 * 0x45d9f3b ≈ 3.1e17 < 2^63 — ANSI-safe at any rid
+    # (rid reduced mod 2^32 first).
+    M = F.lit(73244475)  # 0x45d9f3b
+    s0 = (
+        (F.col(id_col).cast("bigint") % F.lit(4294967296)) * M
+        + b * F.lit(2246822519)
+    ) % F.lit(4294967296)
+    s1 = (s0.bitwiseXOR(F.shiftright(s0, 16)) * M) % F.lit(4294967296)
+    s2 = (s1.bitwiseXOR(F.shiftright(s1, 16)) * M) % F.lit(4294967296)
+    h = s2.bitwiseXOR(F.shiftright(s2, 16)) % F.lit(10000)
     weight = F.lit(len(thresholds))
     for w in range(len(thresholds) - 1, -1, -1):
         weight = F.when(h < thresholds[w], w).otherwise(weight)

@@ -1671,8 +1671,8 @@ def q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_priority_case_sum",
     """
     SELECT l.l_linestatus,
-           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
     GROUP BY l.l_linestatus
@@ -3199,7 +3199,7 @@ def unpivot_measures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderpriority,
            COUNT(*) AS n_orders,
-           count_if(o_totalprice > 200000) AS n_big,
+           CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_big,
            bool_and(o_totalprice > 0) AS all_positive,
            bool_or(o_orderstatus = 'F') AS any_final,
            COUNT(DISTINCT o_custkey) AS n_customers
@@ -3324,8 +3324,8 @@ def cdc_apply_changelog_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM seq WHERE next_ts IS NOT NULL
     )
     SELECT user_id,
-           SUM(cents * dur_us) AS weighted_cents_us,
-           SUM(dur_us) AS total_us,
+           CAST(SUM(cents * dur_us) AS BIGINT) AS weighted_cents_us,
+           CAST(SUM(dur_us) AS BIGINT) AS total_us,
            (CAST(SUM(cents * dur_us) AS DOUBLE) / CAST(SUM(dur_us) AS DOUBLE)) / 100.0
              AS time_weighted_value
     FROM seg GROUP BY user_id
@@ -3421,17 +3421,17 @@ def percent_of_total_window_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "column_profile",
     """
     SELECT 'doc_id' AS column, COUNT(*) AS n_rows,
-           count_if(doc_id IS NULL) AS n_nulls,
+           CAST(count_if(doc_id IS NULL) AS BIGINT) AS n_nulls,
            COUNT(DISTINCT doc_id) AS n_distinct
     FROM documents
     UNION ALL
-    SELECT 'text', COUNT(*), count_if(text IS NULL), COUNT(DISTINCT text) FROM documents
+    SELECT 'text', COUNT(*), CAST(count_if(text IS NULL) AS BIGINT), COUNT(DISTINCT text) FROM documents
     UNION ALL
-    SELECT 'lang', COUNT(*), count_if(lang IS NULL), COUNT(DISTINCT lang) FROM documents
+    SELECT 'lang', COUNT(*), CAST(count_if(lang IS NULL) AS BIGINT), COUNT(DISTINCT lang) FROM documents
     UNION ALL
-    SELECT 'source', COUNT(*), count_if(source IS NULL), COUNT(DISTINCT source) FROM documents
+    SELECT 'source', COUNT(*), CAST(count_if(source IS NULL) AS BIGINT), COUNT(DISTINCT source) FROM documents
     UNION ALL
-    SELECT 'n_chars', COUNT(*), count_if(n_chars IS NULL), COUNT(DISTINCT n_chars) FROM documents
+    SELECT 'n_chars', COUNT(*), CAST(count_if(n_chars IS NULL) AS BIGINT), COUNT(DISTINCT n_chars) FROM documents
     """,
 )
 def column_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4690,7 +4690,7 @@ def pagerank_supplier_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), t AS (
       SELECT cum.*, p.prob,
              greatest(CAST(ceil(prob * n) AS BIGINT), 1) AS target
-      FROM cum CROSS JOIN (VALUES (0.25), (0.5), (0.9), (0.99)) p(prob)
+      FROM cum CROSS JOIN (VALUES (2.5e-1), (5.0e-1), (9.0e-1), (9.9e-1)) p(prob)
     ), hit AS (
       SELECT * FROM (
         SELECT *, row_number() OVER (PARTITION BY prob ORDER BY bucket) AS rn
@@ -6135,20 +6135,23 @@ def bpe_learn_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
              COUNT(*) OVER (PARTITION BY p.doc_id) AS n
       FROM post p JOIN dfreq d USING (shingle)
     ), prefix AS (
+      -- integer ceil(t*n) with t = 1/2 rational: (1*n + 2 - 1) // 2
       SELECT doc_id, shingle FROM ranked
-      WHERE pos <= n - CAST(ceil(0.5 * n) AS BIGINT) + 1
+      WHERE pos <= n - ((1 * n + 1) // 2) + 1
     ), cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM prefix a JOIN prefix b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
     ), verified AS (
       SELECT doc_a, doc_b,
              len(list_intersect(sa.shset, sb.shset)) AS n_common,
+             len(sa.shset) AS len_a, len(sb.shset) AS len_b,
              CAST(len(list_intersect(sa.shset, sb.shset)) AS DOUBLE)
                / CAST(len(sa.shset) + len(sb.shset) - len(list_intersect(sa.shset, sb.shset)) AS DOUBLE) AS jaccard
       FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b
     )
     SELECT doc_a, doc_b, CAST(n_common AS BIGINT) AS n_common, jaccard
-    FROM verified WHERE jaccard >= 0.5
+    FROM verified
+    WHERE n_common * 2 >= 1 * (len_a + len_b - n_common)
     """,
 )
 def setsim_prefix_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6404,9 +6407,18 @@ def negative_sampling_words_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                   WHEN h < 9810 THEN 3 WHEN h < 9963 THEN 4 WHEN h < 9994 THEN 5
                   WHEN h < 9999 THEN 6 ELSE 7 END AS w
       FROM (
-        SELECT k, cents, b,
-               ((rid * 2654435761 + b * 2246822519) % 4294967296) % 10000 AS h
-        FROM base, (SELECT unnest(generate_series(0, 31)) AS b)
+        SELECT k, cents, b, xor(s2, s2 >> 16) % 10000 AS h
+        FROM (
+          SELECT k, cents, b, (xor(s1, s1 >> 16) * 73244475) % 4294967296 AS s2
+          FROM (
+            SELECT k, cents, b, (xor(s0, s0 >> 16) * 73244475) % 4294967296 AS s1
+            FROM (
+              SELECT k, cents, b,
+                     ((rid % 4294967296) * 73244475 + b * 2246822519) % 4294967296 AS s0
+              FROM base, (SELECT unnest(generate_series(0, 31)) AS b)
+            )
+          )
+        )
       )
     ), rep AS (
       SELECT k, b, SUM(CAST(w AS HUGEINT) * cents) AS wsum, SUM(w) AS wn
@@ -6459,7 +6471,7 @@ def bootstrap_mean_ci_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE text END AS fim_text
     FROM (
       SELECT doc_id, text, n,
-             ((doc_id * 2654435761) % 4294967296) % 100 < 50 AS pick,
+             (((doc_id % 4294967296) * 73244475) % 4294967296) % 100 < 50 AS pick,
              1 + least(h1, h2) AS lo, 1 + greatest(h1, h2) AS hi
       FROM (
         SELECT doc_id, text, length(text) AS n,
@@ -6586,16 +6598,22 @@ def distinctive_terms_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM base WHERE cents > 0 GROUP BY 1, 2
     ), tot AS (
       SELECT grp, CAST(SUM(obs) AS BIGINT) AS n FROM obs GROUP BY grp
+    ), cells AS (
+      -- every (group, digit 1..9) cell: a digit with ZERO occurrences
+      -- is the strongest Benford violation and must contribute its
+      -- (0-exp)^2/exp term
+      SELECT grp, n, CAST(d AS INTEGER) AS digit
+      FROM tot, (SELECT unnest(generate_series(1, 9)) AS d)
     ), expd AS (
-      SELECT obs.grp, digit, obs, n,
+      SELECT c.grp, c.digit, CAST(COALESCE(o.obs, 0) AS BIGINT) AS obs, c.n,
              -- e-notation literals parse as DOUBLE; plain decimals
              -- parse as DECIMAL(17,16) whose double conversion is
              -- double-rounded (measured 1-ulp skew on 19926 * P(3))
-             CAST(n AS DOUBLE) * ([3.010299956639812e-1, 1.7609125905568124e-1,
+             CAST(c.n AS DOUBLE) * ([3.010299956639812e-1, 1.7609125905568124e-1,
                1.2493873660829993e-1, 9.691001300805642e-2, 7.918124604762482e-2,
                6.694678963061322e-2, 5.799194697768673e-2, 5.115252244738129e-2,
-               4.575749056067514e-2][digit]) AS expected
-      FROM obs JOIN tot USING (grp)
+               4.575749056067514e-2][c.digit]) AS expected
+      FROM cells c LEFT JOIN obs o ON o.grp = c.grp AND o.digit = c.digit
     )
     SELECT grp AS l_returnflag, digit, obs, n, expected,
            (CAST(obs AS DOUBLE) - expected) * (CAST(obs AS DOUBLE) - expected) / expected AS chi2_contrib

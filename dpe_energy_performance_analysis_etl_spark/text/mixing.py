@@ -323,7 +323,13 @@ def fim_transform(
     """
     rid = F.col(id_col).cast("bigint")
     n = F.length(F.col(text_col))
-    pick = ((rid * F.lit(2654435761)) % F.lit(4294967296)) % 100 < rate_pct
+    # Selection uses an INDEPENDENT hash from the split points: if
+    # pick and h1 shared one value, conditioning on pick (value mod
+    # 100 < rate) would bias h1 = value mod (n-1) whenever n-1 shares
+    # factors with 100 (e.g. 101-char docs would always split in the
+    # first half). 0x45d9f3b on the 2^32-reduced id keeps the product
+    # < 3.1e17 — ANSI-safe at any id.
+    pick = (((rid % F.lit(4294967296)) * F.lit(73244475)) % F.lit(4294967296)) % 100 < rate_pct
     h1 = ((rid * F.lit(2654435761)) % F.lit(4294967296)) % F.greatest(n - 1, F.lit(1))
     h2 = ((rid * F.lit(2246822519)) % F.lit(4294967296)) % F.greatest(n - 1, F.lit(1))
     lo = F.lit(1) + F.least(h1, h2)
