@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from dpe_energy_performance_analysis_etl_spark.similarity.pq import (
     _sq_dist,
+    dense_reindex,
     exact_refine,
     explode_subspaces,
     pq_encode,
@@ -87,10 +88,14 @@ def ivfpq_topk(
         .cache()
     )
     # PQ codebook seeded from the residuals of the first ksub vectors
-    # (same seeded shape as pq.seeded_pq_centroids, over residuals)
-    cents = explode_subspaces(
-        assigned.filter(F.col("vid") < ksub), m, dsub, vec_col="resid", id_col="vid"
-    ).select(F.col("vid").alias("cid"), "s", F.col("sv").alias("cv")).cache()
+    # (same seeded shape as pq.seeded_pq_centroids, over residuals);
+    # densely re-indexed — ADC indexes LUT slots positionally, so a
+    # non-contiguous corpus id space must not leave cid gaps
+    cents = dense_reindex(
+        explode_subspaces(
+            assigned.filter(F.col("vid") < ksub), m, dsub, vec_col="resid", id_col="vid"
+        ).select(F.col("vid").alias("cid"), "s", F.col("sv").alias("cv"))
+    ).cache()
     codes = pq_encode(assigned, cents, m, dsub, vec_col="resid", id_col="vid").join(
         assigned.select(F.col("vid").alias("neighbor_id"), "cluster"), "neighbor_id"
     )

@@ -64,15 +64,30 @@ def explode_subspaces(
     )
 
 
+def dense_reindex(cents: DataFrame) -> DataFrame:
+    """Re-index a (cid, s, cv) codebook densely per subspace: ADC
+    looks LUT slots up POSITIONALLY in the cid-sorted arrays, so any
+    gap in the cid sequence (non-contiguous corpus ids at seed time,
+    a cluster emptied by a Lloyd round) silently misaligns code->LUT
+    lookups or crashes element_at under ANSI. A cheap window over the
+    <= m*ksub-row table; identity when cids are already 0..k-1."""
+    dense = Window.partitionBy("s").orderBy("cid")
+    return cents.select((F.row_number().over(dense) - 1).alias("cid"), "s", "cv")
+
+
 def seeded_pq_centroids(
     corpus: DataFrame, m: int, dsub: int, ksub: int, vec_col: str = "embedding", id_col: str = "vec_id"
 ) -> DataFrame:
     """Deterministic codebook: subspace s's centroids are the s-th
-    subvectors of the first ``ksub`` corpus vectors. (cid, s, cv)."""
+    subvectors of the corpus vectors with id < ``ksub``, re-indexed
+    densely (identity for the usual 0..ksub-1-contiguous corpus; for
+    sparse ids the codebook is smaller but ADC stays aligned).
+    (cid, s, cv)."""
     seeds = corpus.filter(F.col(id_col) < ksub)
-    return explode_subspaces(seeds, m, dsub, vec_col, id_col).select(
+    cents = explode_subspaces(seeds, m, dsub, vec_col, id_col).select(
         F.col("vid").alias("cid"), "s", F.col("sv").alias("cv")
     )
+    return dense_reindex(cents)
 
 
 def pq_encode(
@@ -218,10 +233,7 @@ def train_pq_centroids(
                 ).alias("cv"),
             )
         )
-    dense = Window.partitionBy("s").orderBy("cid")
-    return cents.select(
-        (F.row_number().over(dense) - 1).alias("cid"), "s", "cv"
-    )
+    return dense_reindex(cents)
 
 
 def pq_topk(

@@ -207,3 +207,49 @@ def test_pq_trained_survives_empty_lloyd_cluster(spark):
     out = pq_topk(df, df.filter("vec_id < 3"), k=3, m=2, dsub=4, ksub=4, iterations=1).collect()
     assert len(out) == 9
     assert all(r["rank"] <= 3 for r in out)
+
+
+def test_pq_seeded_noncontiguous_ids_stay_aligned(spark, emb):
+    """ADVICE r3: a corpus whose ids are NOT contiguous from 0 used to
+    yield a sparse seeded codebook with positionally-misaligned
+    code->LUT lookups. The seeded codebook now re-indexes densely, so
+    scoring a gapped-id corpus must equal scoring the same vectors
+    under contiguous ids (modulo the id values themselves)."""
+    from pyspark.sql import functions as F
+    from dpe_energy_performance_analysis_etl_spark.similarity.pq import seeded_pq_topk
+
+    # keep only even ids: seeds with vec_id<16 are {0,2,...,14} — 8
+    # vectors, so the dense codebook has ksub=8 centroids per subspace
+    gapped = emb.filter(F.col("vec_id") % 2 == 0)
+    queries = gapped.filter("vec_id < 6")
+    got = {
+        (r.query_id, r.rank): (r.neighbor_id, r.adist)
+        for r in seeded_pq_topk(gapped, queries, k=3, m=8, dsub=8, ksub=16).collect()
+    }
+
+    # same vectors with contiguous ids id/2, seeded on first 8 (= the
+    # same seed vectors): results must map 1:1 under id doubling
+    contig = gapped.select((F.col("vec_id") / 2).cast("long").alias("vec_id"), "embedding")
+    cq = contig.filter("vec_id < 3")
+    want = {
+        (r.query_id * 2, r.rank): (r.neighbor_id * 2, r.adist)
+        for r in seeded_pq_topk(contig, cq, k=3, m=8, dsub=8, ksub=8).collect()
+    }
+    assert got == want
+
+
+def test_ivfpq_noncontiguous_ids_run_and_rank(spark, emb):
+    """IVFPQ residual codebook on a gapped-id corpus: must not crash
+    (ANSI element_at) and must return a full, deterministic top-k."""
+    from pyspark.sql import functions as F
+    from dpe_energy_performance_analysis_etl_spark.similarity.ivfpq import ivfpq_topk
+
+    gapped = emb.filter(F.col("vec_id") % 2 == 0)
+    queries = gapped.filter("vec_id < 6")
+    rows = ivfpq_topk(gapped, queries, k=3, ncoarse=8, nprobe=4).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+        assert r.neighbor_id % 2 == 0  # only corpus ids can appear
+    assert set(by_q) == {0, 2, 4}
+    assert all(sorted(v) == [1, 2, 3] for v in by_q.values())
