@@ -48,6 +48,13 @@ HEADLINE = [
     "embedding_cosine_topk",
     "asof_join_events",
     "stats_moments",
+    # round-4 additions (VERDICT r3 ask #5): the wave-3/4 families,
+    # so new-family perf regressions get recorded, not just correctness
+    "bm25_topk_docs",
+    "setsim_prefix_pairs",
+    "pq_adc_seeded_topk",
+    "kcore_membership",
+    "pagerank_supplier_graph",
 ]
 
 

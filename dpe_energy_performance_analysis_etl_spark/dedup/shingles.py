@@ -38,6 +38,7 @@ def shingle_pairs_jaccard(
     threshold: float = 0.2,
     fanout: int | None = None,
     hash_shingle_key: bool = True,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact all-pairs n-gram Jaccard ≥ threshold.
 
@@ -51,10 +52,59 @@ def shingle_pairs_jaccard(
     instead of ~n-word strings (~3× fewer shuffle bytes, cheaper key
     compare). Exact up to 64-bit collisions — negligible below ~10⁹
     distinct shingles; pass False for strict string equality.
+
+    ``max_df`` — the skew guard. The posting join's cost is
+    Σ postings² per shingle: ONE boilerplate shingle shared by p
+    documents puts p² rows through a single reducer (p=10⁶ →
+    quadratic death at scale). With ``max_df`` set, shingles whose
+    document frequency exceeds the cap generate NO candidates;
+    candidate pairs come from the capped postings and ``n_common`` /
+    ``jaccard`` are then computed EXACTLY on the full shingle sets
+    (array_intersect verify, the setsim.py pattern). Every reducer is
+    bounded by max_df² rows per shingle regardless of corpus skew.
+    The only approximation: a pair whose ENTIRE overlap consists of
+    >max_df boilerplate shingles is missed — at any sane cap such
+    pairs share only corpus-wide boilerplate, which is exactly what
+    near-dup detection should not fire on (same rationale as
+    paragraph-dedup's boilerplate strip). Leave None for the fully
+    exact join on corpora without hot shingles; the regime choice vs
+    the prefix-filter join (setsim.py) is measured in NOTES.md.
     """
     if fanout is None:
         fanout = df.sparkSession.sparkContext.defaultParallelism
     df = scan_fanout(df, fanout)
+    if max_df is not None:
+        sets = df.select(
+            F.col(id_col).alias("doc"), word_shingles(text_col, n).alias("shset")
+        ).where(F.size("shset") > 0)
+        if hash_shingle_key:
+            sets = sets.select(
+                "doc", F.transform("shset", lambda s: F.xxhash64(s)).alias("shset")
+            )
+        # cached: feeds candidate postings AND both verify sides
+        sets = sets.cache()
+        post = sets.select("doc", F.explode("shset").alias("shingle"))
+        dfreq = post.groupBy("shingle").agg(F.count(F.lit(1)).alias("dfreq"))
+        capped = post.join(dfreq.where(F.col("dfreq") <= max_df), "shingle")
+        cand = (
+            capped.alias("a")
+            .join(capped.alias("b"), "shingle")
+            .where(F.col("a.doc") < F.col("b.doc"))
+            .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+            .distinct()
+        )
+        return (
+            cand.join(sets.select(F.col("doc").alias("doc_a"), F.col("shset").alias("set_a")), "doc_a")
+            .join(sets.select(F.col("doc").alias("doc_b"), F.col("shset").alias("set_b")), "doc_b")
+            .withColumn("n_common", F.size(F.array_intersect("set_a", "set_b")))
+            .withColumn(
+                "jaccard",
+                F.col("n_common").cast("double")
+                / (F.size("set_a") + F.size("set_b") - F.col("n_common")).cast("double"),
+            )
+            .where(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "n_common", "jaccard")
+        )
     # cache the posting list: the self-join consumes it twice, and
     # without materialization Spark recomputes the shingle explosion
     # for both sides (at cluster scale: checkpoint to storage instead)

@@ -492,26 +492,11 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q5_regional_revenue",
-    """
-    SELECT n.n_name AS nation_name,
-           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,4))) AS DOUBLE) AS revenue
-    FROM customer c
-    JOIN orders o ON c.c_custkey = o.o_custkey
-    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
-    JOIN nation n ON s.s_nationkey = n.n_nationkey
-    JOIN region r ON n.n_regionkey = r.r_regionkey
-    WHERE r.r_name = 'ASIA'
-    GROUP BY n.n_name
-    """,
-)
-def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Six-way join + agg (TPC-H Q5 shape): Catalyst/AQE reorders and
-    broadcasts the dimension chain; only customer⋈orders⋈lineitem
-    shuffles."""
-    t = load_tables(spark, sf_dir, ["customer", "orders", "lineitem", "supplier", "nation", "region"])
+def _q5_plan(t: dict[str, DataFrame]) -> DataFrame:
+    """The q5 logical plan over already-loaded tables — shared by the
+    parquet-scan registry entry and the bucketed-layout variant (the
+    two differ only in WHERE the facts come from, so there is exactly
+    one definition of the join/agg semantics)."""
     joined = (
         t["customer"]
         .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
@@ -533,6 +518,58 @@ def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["nation_name"],
         sums={"revenue": (F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)},
     ).select("nation_name", F.col("revenue").cast("double").alias("revenue"))
+
+
+@register(
+    "q5_regional_revenue",
+    """
+    SELECT n.n_name AS nation_name,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,4))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six-way join + agg (TPC-H Q5 shape): Catalyst/AQE reorders and
+    broadcasts the dimension chain; only customer⋈orders⋈lineitem
+    shuffles."""
+    t = load_tables(spark, sf_dir, ["customer", "orders", "lineitem", "supplier", "nation", "region"])
+    return _q5_plan(t)
+
+
+Q5_BUCKET_TABLES = ("orders", "lineitem")
+
+
+def q5_bucketed_layout(spark: SparkSession, sf_dir: str, num_buckets: int = 32) -> None:
+    """Materialize the q5 hot join's layout once: orders and lineitem
+    bucketed on the orderkey (the super-linear shuffle the sf5
+    measurement flagged — 30 M lineitem rows re-hashed every run).
+    Pay the exchange at write time; every subsequent q5 (and any
+    orderkey equi-join) plans a zero-Exchange sort-merge on those two
+    tables. The 100 TB version of this is the table-format default:
+    facts land bucketed/cluster-keyed at ingest."""
+    from dpe_energy_performance_analysis_etl_spark.sources.io import write_bucketed_table
+
+    tabs = load_tables(spark, sf_dir, list(Q5_BUCKET_TABLES))
+    write_bucketed_table(tabs["orders"], "q5_orders_b", ["o_orderkey"], num_buckets, ["o_orderkey"])
+    write_bucketed_table(tabs["lineitem"], "q5_lineitem_b", ["l_orderkey"], num_buckets, ["l_orderkey"])
+
+
+def q5_regional_revenue_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q5 over the bucketed layout written by ``q5_bucketed_layout``
+    (falls back to plain parquet for tables without a bucketed copy).
+    Identical results to ``q5_regional_revenue`` — same ``_q5_plan``
+    — with the orders⋈lineitem exchange eliminated."""
+    t = load_tables(spark, sf_dir, ["customer", "supplier", "nation", "region"])
+    t["orders"] = spark.table("q5_orders_b")
+    t["lineitem"] = spark.table("q5_lineitem_b")
+    return _q5_plan(t)
 
 
 # =====================================================================
