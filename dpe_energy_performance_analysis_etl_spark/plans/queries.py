@@ -6769,3 +6769,126 @@ def ivfpq_topk_embeddings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = read_embeddings(spark, sf_dir)
     return ivfpq_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, ncoarse=8, nprobe=4)
+
+
+# =====================================================================
+# Round 4: exact substring-span dedup (Lee et al. ACL'22 ExactSubstr)
+# =====================================================================
+
+_SUBSTRING_SPANS_SQL = """
+    WITH tok AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+    ), g AS MATERIALIZED (
+      SELECT doc_id,
+             unnest(range(0, greatest(len(t) - 8 + 1, 0))) AS pos,
+             unnest(list_transform(range(0, greatest(len(t) - 8 + 1, 0)),
+                    i -> array_to_string(t[i+1:i+8], ' '))) AS gram
+      FROM tok
+    ), hot AS (
+      SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+    ), cov AS (
+      SELECT doc_id, pos FROM g JOIN hot USING (gram)
+    ), isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+                  THEN 1 ELSE 0 END AS brk
+      FROM cov
+    ), grp AS (
+      SELECT doc_id, pos,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+      FROM isl
+    ), spans AS (
+      SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+             CAST(MAX(pos) + 7 AS BIGINT) AS span_end,
+             CAST(MAX(pos) + 8 - MIN(pos) AS BIGINT) AS span_tokens
+      FROM grp GROUP BY doc_id, gid
+    )"""
+
+
+@register(
+    "substring_dup_spans",
+    _SUBSTRING_SPANS_SQL
+    + """
+    SELECT doc_id, span_start, span_end, span_tokens FROM spans
+    """,
+)
+def substring_dup_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-span dedup (text/substring.py, the Lee et al.
+    ACL'22 ExactSubstr operator, Spark-first): maximal cross-document
+    duplicated token runs of length >= 8, found WITHOUT a suffix
+    array and WITHOUT enumerating document pairs — position-tagged
+    k-grams, one linear document-frequency groupBy, one equi-join
+    back, per-doc gaps-and-islands interval merge. Corpus-wide
+    boilerplate costs posting rows, never pair blowup."""
+    from dpe_energy_performance_analysis_etl_spark.text.substring import duplicated_spans
+
+    out = duplicated_spans(read_documents(spark, sf_dir), k=8)
+    return out.select(
+        "doc_id",
+        F.col("span_start").cast("bigint").alias("span_start"),
+        F.col("span_end").cast("bigint").alias("span_end"),
+        F.col("span_tokens").cast("bigint").alias("span_tokens"),
+    )
+
+
+@register(
+    "substring_dup_stats",
+    _SUBSTRING_SPANS_SQL
+    + """
+    , per_doc AS (
+      SELECT doc_id, CAST(SUM(span_tokens) AS BIGINT) AS dup_tokens
+      FROM spans GROUP BY doc_id
+    )
+    SELECT p.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens, p.dup_tokens,
+           CAST(p.dup_tokens AS DOUBLE) / CAST(len(t.t) AS DOUBLE) AS dup_fraction
+    FROM per_doc p JOIN tok t ON t.doc_id = p.doc_id
+    """,
+)
+def substring_dup_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplication profile over the substring spans —
+    the remove-or-filter decision input (integer token counts, one
+    final double division)."""
+    from dpe_energy_performance_analysis_etl_spark.text.substring import substring_dup_stats
+
+    out = substring_dup_stats(read_documents(spark, sf_dir), k=8)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("dup_tokens").cast("bigint").alias("dup_tokens"),
+        "dup_fraction",
+    )
+
+
+@register(
+    "substring_dedup_clean",
+    _SUBSTRING_SPANS_SQL
+    + """
+    , toks2 AS (
+      SELECT doc_id, unnest(range(0, len(t))) AS p, unnest(t) AS tok FROM tok
+    ), cut AS (
+      SELECT DISTINCT t2.doc_id, t2.p
+      FROM toks2 t2 JOIN spans s
+        ON s.doc_id = t2.doc_id AND t2.p BETWEEN s.span_start AND s.span_end
+    )
+    SELECT t2.doc_id,
+           COALESCE(string_agg(CASE WHEN c.p IS NULL THEN t2.tok END, ' ' ORDER BY t2.p), '') AS clean_text,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) FILTER (WHERE c.p IS NULL) AS BIGINT) AS kept_tokens
+    FROM toks2 t2
+    LEFT JOIN cut c ON c.doc_id = t2.doc_id AND c.p = t2.p
+    GROUP BY t2.doc_id
+    """,
+)
+def substring_dedup_clean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The paper's action applied: duplicated spans cut out of every
+    document, surrounding tokens kept (row-local reconstruction — the
+    span list per doc is bounded by n_tokens / k)."""
+    from dpe_energy_performance_analysis_etl_spark.text.substring import remove_duplicated_spans
+
+    out = remove_duplicated_spans(read_documents(spark, sf_dir), k=8)
+    return out.select(
+        "doc_id",
+        "clean_text",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("kept_tokens").cast("bigint").alias("kept_tokens"),
+    )
