@@ -242,3 +242,60 @@ def kcore_peel(
         F.col("v"), F.col("deg").alias("core_degree")
     )
     return out
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007, the LPA
+    community detector — GraphX/GraphFrames ship the same variant):
+    every node starts with its own id as label; each round it adopts
+    the most frequent label among its neighbors, ties broken by the
+    SMALLEST label. Returns (node, label) after ``iterations`` rounds.
+
+    Determinism: the textbook algorithm breaks ties randomly and
+    updates asynchronously — both engine-hostile. Synchronous rounds +
+    min-label tie-break make every round a pure function of the
+    previous labeling, so a fixed unrolling replays bit-identically in
+    SQL (the pagerank/k-core oracle pattern).
+
+    Scale shape per round: one edge⋈labels equi-join (|E| rows), one
+    (node, label) count aggregation — map-side combinable, hot
+    communities collapse early — and one min_by argmax per node. The
+    static symmetrized edge table is cached once; per-round label
+    tables are cached and the parent unpersisted (lineage one round
+    deep — the iterative-algorithm rule)."""
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .select(F.explode(F.array(F.struct(F.col("u").alias("s"), F.col("v").alias("d")),
+                                  F.struct(F.col("v").alias("s"), F.col("u").alias("d")))).alias("x"))
+        .select(F.col("x.s").alias("s"), F.col("x.d").alias("d"))
+        .distinct()
+        .cache()
+    )
+    nodes = e.select(F.col("s").alias("node")).distinct().cache()
+    labels = nodes.select("node", F.col("node").alias("label")).cache()
+    for _ in range(iterations):
+        counts = (
+            e.join(labels, e["s"] == labels["node"])
+            .select(F.col("d").alias("node"), "label")
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        nxt = (
+            counts.groupBy("node")
+            .agg(
+                F.min_by(
+                    "label", F.struct((-F.col("c")).alias("nc"), F.col("label").alias("l"))
+                ).alias("label")
+            )
+            .cache()
+        )
+        nxt.count()  # materialize before dropping the parent
+        labels.unpersist()
+        labels = nxt
+    return labels

@@ -246,3 +246,57 @@ def benford_digit_report(df, key_col: str, value_col: str, scale: int = 2):
             ).alias("chi2_contrib"),
         )
     )
+
+
+def calibration_report(
+    df,
+    prob_scaled_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    scale: int = 1_000_000,
+):
+    """Reliability / ECE audit for a probabilistic classifier (the
+    standard gate on model-scored training-data filters — a quality
+    classifier whose confidences don't match observed frequencies
+    mis-prices every document it gates).
+
+    ``prob_scaled_col`` is the predicted probability as an INTEGER in
+    [0, scale] (integer-scaled upstream — the engine-parity discipline:
+    per-bin sums stay BIGINT-exact in any engine and any order; the
+    only doubles are two final divisions per bin). Per equal-width
+    confidence bin: n, mean_conf, frac_pos, abs_gap, weight. The
+    scalar ECE = sum(weight * abs_gap) is the caller's fixed-order sum
+    over the <= n_bins rows (the benford/contingency contract).
+
+    One aggregation pass + one tiny window over n_bins rows.
+    """
+    from pyspark.sql import Window, functions as F
+
+    p = F.col(prob_scaled_col).cast("bigint")
+    # integer bin: floor((p * n_bins) / scale), clamped so p == scale
+    # lands in the top bin (p*n_bins <= scale*n_bins < 2^53: the
+    # double division floors exactly)
+    bin_col = F.least(
+        F.floor((p * n_bins) / F.lit(scale)).cast("bigint"), F.lit(n_bins - 1)
+    )
+    agg = (
+        df.select(bin_col.alias("bin"), p.alias("p"), F.col(label_col).cast("boolean").alias("y"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("p").alias("sum_p"),
+            F.count_if(F.col("y")).alias("n_pos"),
+        )
+    )
+    total = F.sum("n").over(Window.partitionBy())
+    mean_conf = F.col("sum_p").cast("double") / (F.col("n").cast("double") * float(scale))
+    frac_pos = F.col("n_pos").cast("double") / F.col("n").cast("double")
+    return agg.select(
+        "bin",
+        "n",
+        "n_pos",
+        mean_conf.alias("mean_conf"),
+        frac_pos.alias("frac_pos"),
+        F.abs(mean_conf - frac_pos).alias("abs_gap"),
+        (F.col("n").cast("double") / total.cast("double")).alias("weight"),
+    )

@@ -6892,3 +6892,148 @@ def substring_dedup_clean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
         F.col("kept_tokens").cast("bigint").alias("kept_tokens"),
     )
+
+
+@register(
+    "salted_join_supplier_revenue",
+    """
+    SELECT s.s_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_nationkey
+    """,
+)
+def salted_join_supplier_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join (operators/skew.py): the fact side spread
+    across 8 salt buckets per key, the dim side replicated 8x, join
+    on (key, salt) — results identical to the plain equi-join (the
+    oracle IS the plain join), with any hot supplier's reducer work
+    spread 8 ways. The explicit plan-time fix for hot keys AQE's
+    runtime skew-split can't reach (it only splits sort-merge
+    partitions after the fact)."""
+    from dpe_energy_performance_analysis_etl_spark.operators.skew import salted_join
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_suppkey").alias("s_suppkey"), "l_extendedprice"
+    )
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_nationkey"
+    )
+    joined = salted_join(li, sup, on="s_suppkey", salt_buckets=8)
+    return (
+        joined.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum_fast("l_extendedprice", 2).alias("revenue"),
+        )
+        .select("s_nationkey", "n_items", "revenue")
+    )
+
+
+@register(
+    "calibration_ece_orders",
+    """
+    WITH scored AS (
+      SELECT least((CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) // 50), 1000000) AS p,
+             o_orderstatus = 'F' AS y
+      FROM orders
+    ), binned AS (
+      SELECT least((p * 10) // 1000000, 9) AS bin, p, y FROM scored
+    ), agg AS (
+      SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(p) AS BIGINT) AS sum_p,
+             CAST(count_if(y) AS BIGINT) AS n_pos
+      FROM binned GROUP BY bin
+    )
+    SELECT bin, n, n_pos,
+           CAST(sum_p AS DOUBLE) / (CAST(n AS DOUBLE) * 1.0e6) AS mean_conf,
+           CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS frac_pos,
+           abs(CAST(sum_p AS DOUBLE) / (CAST(n AS DOUBLE) * 1.0e6)
+               - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)) AS abs_gap,
+           CAST(n AS DOUBLE) / CAST(CAST(SUM(n) OVER () AS BIGINT) AS DOUBLE) AS weight
+    FROM agg
+    """,
+)
+def calibration_ece_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability / ECE calibration audit (operators/quality.py
+    calibration_report): a price-derived integer-scaled 'probability'
+    that an order reaches final status, binned into 10 equal-width
+    confidence bins — per-bin mean confidence vs observed frequency,
+    gap, and weight (the scalar ECE is the caller's fixed-order
+    sum(weight*abs_gap), the benford/contingency contract). Per-bin
+    sums are BIGINT-exact in both engines; only the two final
+    divisions are doubles."""
+    from dpe_energy_performance_analysis_etl_spark.operators.quality import calibration_report
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+    # floor(cents/50) == cents // 50 exactly: cents < 2^53 so the
+    # double division floors to the true integer quotient
+    scored = orders.select(
+        F.least(F.floor(cents / 50).cast("bigint"), F.lit(1_000_000)).alias("p"),
+        (F.col("o_orderstatus") == "F").alias("y"),
+    )
+    return calibration_report(scored, "p", "y", n_bins=10, scale=1_000_000)
+
+
+def _lpa_oracle(iterations: int) -> str:
+    """Chained-CTE replay of synchronous min-tie-break label
+    propagation — each round is a pure function of the previous
+    labeling (same unrolling contract as the PageRank/k-core
+    oracles). Every CTE is MATERIALIZED: round i+1 references round i
+    once per aggregation but DuckDB's default inlining would
+    re-evaluate the whole prefix."""
+    blocks = [
+        """
+    WITH pairs AS MATERIALIZED (
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ), e AS MATERIALIZED (
+      SELECT 'c' || c AS s, 's' || s AS d FROM pairs
+      UNION ALL
+      SELECT 's' || s AS s, 'c' || c AS d FROM pairs
+    ), l0 AS MATERIALIZED (
+      SELECT DISTINCT s AS node, s AS label FROM e
+    )"""
+    ]
+    for i in range(iterations):
+        blocks.append(
+            f""", l{i + 1} AS MATERIALIZED (
+      SELECT node, label FROM (
+        SELECT x.node, x.label,
+               row_number() OVER (PARTITION BY x.node ORDER BY x.c DESC, x.label) AS rn
+        FROM (
+          SELECT e.d AS node, l{i}.label, COUNT(*) AS c
+          FROM e JOIN l{i} ON e.s = l{i}.node GROUP BY e.d, l{i}.label
+        ) x
+      ) WHERE rn = 1
+    )"""
+        )
+    blocks.append(f"\n    SELECT node, label FROM l{iterations}")
+    return "".join(blocks)
+
+
+@register("label_propagation_communities", _lpa_oracle(3))
+def label_propagation_communities_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LPA community detection (operators/graph.py label_propagation)
+    on the customer-supplier bipartite graph: 3 synchronous rounds,
+    most-frequent-neighbor label with min tie-break — the
+    deterministic variant of Raghavan et al. that a fixed SQL
+    unrolling replays bit-identically. Per round: one |E| equi-join +
+    one map-side-combinable (node,label) count + one min_by argmax;
+    static edge table cached, per-round labels cached with the parent
+    unpersisted."""
+    from dpe_energy_performance_analysis_etl_spark.operators.graph import label_propagation
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pairs = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    return label_propagation(pairs, iterations=3)

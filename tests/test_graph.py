@@ -99,3 +99,41 @@ class TestKCorePeel:
         got1 = {(r["v"], r["core_degree"]) for r in kcore_peel(self._edges(spark, tri + rev), k=2).collect()}
         got2 = {(r["v"], r["core_degree"]) for r in kcore_peel(self._edges(spark, tri), k=2).collect()}
         assert got1 == got2
+
+
+def test_lpa_two_cliques_converge_to_min_label(spark):
+    """Two disjoint triangles: every node must adopt its clique's
+    minimum label within 3 synchronous rounds."""
+    from dpe_energy_performance_analysis_etl_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12)],
+        "src long, dst long",
+    )
+    got = {r.node: r.label for r in label_propagation(edges, iterations=3).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_lpa_partitioning_invariance(spark):
+    from dpe_energy_performance_analysis_etl_spark.operators.graph import label_propagation
+
+    import random
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(30), rng.randrange(30)) for _ in range(80)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = sorted(map(tuple, label_propagation(df, iterations=3).collect()))
+    b = sorted(map(tuple, label_propagation(df.repartition(11), iterations=3).collect()))
+    assert a == b
+
+
+def test_lpa_star_adopts_hub_then_leaves(spark):
+    """Star graph 0-(1..5): after round 1 the hub takes the min leaf
+    label (1) and leaves take the hub's (0); synchronous semantics —
+    NOT the sequential variant where the first update leaks."""
+    from dpe_energy_performance_analysis_etl_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame([(0, i) for i in range(1, 6)], "src long, dst long")
+    got = {r.node: r.label for r in label_propagation(edges, iterations=1).collect()}
+    assert got[0] == 1
+    assert all(got[i] == 0 for i in range(1, 6))

@@ -81,3 +81,38 @@ def test_two_proportion_ztest_degenerate(spark):
     df = spark.createDataFrame(rows, "arm string, ok boolean")
     r = two_proportion_ztest(df, "arm", "ok").collect()[0]
     assert r.z is None  # zero pooled variance -> NULL, not a crash
+
+
+def test_calibration_report_perfect_and_biased(spark):
+    """A perfectly calibrated bin has abs_gap 0; an overconfident bin
+    reports the exact gap; weights sum to 1; per-bin sums are integer
+    exact."""
+    from dpe_energy_performance_analysis_etl_spark.operators.quality import (
+        calibration_report,
+    )
+    from pyspark.sql import functions as F
+
+    rows = []
+    # bin 9 (p=0.95): 20 rows, 19 positive -> frac 0.95, gap 0
+    rows += [(950_000, i < 19) for i in range(20)]
+    # bin 1 (p=0.15): 20 rows, 0 positive -> gap 0.15
+    rows += [(150_000, False) for _ in range(20)]
+    df = spark.createDataFrame(rows, "p long, y boolean")
+    out = {r.bin: r for r in calibration_report(df, "p", "y").collect()}
+    assert set(out) == {1, 9}
+    assert out[9].abs_gap == 0.0
+    assert out[9].mean_conf == 0.95
+    assert abs(out[1].abs_gap - 0.15) < 1e-15
+    assert out[1].weight == 0.5 and out[9].weight == 0.5
+    assert out[9].n_pos == 19
+
+
+def test_calibration_top_bin_clamp(spark):
+    """p == scale lands in the top bin, not an out-of-range bin 10."""
+    from dpe_energy_performance_analysis_etl_spark.operators.quality import (
+        calibration_report,
+    )
+
+    df = spark.createDataFrame([(1_000_000, True), (0, False)], "p long, y boolean")
+    bins = {r.bin for r in calibration_report(df, "p", "y").collect()}
+    assert bins == {0, 9}
