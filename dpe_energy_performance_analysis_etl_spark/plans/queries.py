@@ -7037,3 +7037,118 @@ def label_propagation_communities_q(spark: SparkSession, sf_dir: str) -> DataFra
         .distinct()
     )
     return label_propagation(pairs, iterations=3)
+
+
+# =====================================================================
+# Round 4: URL canonicalization + domain analytics (text/urls.py)
+# =====================================================================
+
+@register(
+    "url_canonical_dedup",
+    """
+    WITH raw AS (
+      SELECT doc_id,
+             'HTTPS://WWW.' || source || '.Example.COM:443/p' || (doc_id % 7)
+               || '?utm_source=feed&b=2&a=1&id=' || (doc_id % 5) || '#frag' AS url
+      FROM documents
+    ), nf AS (
+      SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM raw
+    ), parts AS (
+      SELECT doc_id,
+             lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
+             lower(regexp_extract(u, '^[^:]+://([^/?#]*)', 1)) AS hostport,
+             regexp_extract(u, '^[^:]+://[^/?#]*(.*)$', 1) AS rest
+      FROM nf
+    ), comps AS (
+      SELECT doc_id, scheme,
+             CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+                  WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+                  ELSE hostport END AS host,
+             CASE WHEN regexp_extract(rest, '^([^?]*)', 1) = '' THEN '/'
+                  ELSE regexp_extract(rest, '^([^?]*)', 1) END AS path,
+             list_sort(list_filter(string_split(regexp_extract(rest, '\\?(.*)$', 1), '&'),
+               p -> p <> '' AND NOT regexp_matches(p, '^(utm_[a-z0-9_]*|gclid|fbclid|msclkid|mc_eid|ref)=.*$'))) AS params
+      FROM parts
+    ), canon AS (
+      SELECT doc_id,
+             scheme || '://' || host || path ||
+             CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&') ELSE '' END AS canonical_url
+      FROM comps
+    )
+    SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS first_doc_id
+    FROM canon GROUP BY canonical_url
+    """,
+)
+def url_canonical_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup (text/urls.py) — the cheapest pass in a web
+    pipeline, run before any content hashing: lowercase scheme/host,
+    default port stripped, fragment dropped, tracking params removed,
+    remaining params sorted; keep-first per canonical URL. The messy
+    input URL is derived deterministically from the documents table
+    (mixed case, :443, utm_*, unsorted params, fragment) so both
+    engines normalize the identical strings. Pure codegen expressions
+    + one groupBy."""
+    from dpe_energy_performance_analysis_etl_spark.text.urls import canonical_url_dedup
+
+    docs = read_documents(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://WWW."),
+            F.col("source"),
+            F.lit(".Example.COM:443/p"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit("?utm_source=feed&b=2&a=1&id="),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit("#frag"),
+        ).alias("url"),
+    )
+    return canonical_url_dedup(docs)
+
+
+@register(
+    "domain_document_stats",
+    """
+    WITH raw AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'news.' || source || '.co.uk'
+                  ELSE 'www.' || source || '.example.com' END AS host
+      FROM documents
+    ), dom AS (
+      SELECT doc_id, host, string_split(host, '.') AS labels FROM raw
+    ), tagged AS (
+      SELECT doc_id, host,
+             CASE WHEN len(labels) >= 3
+                       AND (labels[-2] || '.' || labels[-1]) IN
+                           ('co.uk','ac.uk','gov.uk','com.au','co.jp','co.in','com.br','co.nz')
+                  THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
+                  WHEN len(labels) >= 2 THEN labels[-2] || '.' || labels[-1]
+                  ELSE host END AS domain
+      FROM dom
+    )
+    SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts
+    FROM tagged GROUP BY domain
+    """,
+)
+def domain_document_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered-domain analytics (text/urls.py): public-suffix
+    heuristic (last two labels, or three under co.uk-style
+    registries), per-domain doc + distinct-host counts — the input to
+    domain caps / blocklists / crawl-bias weighting. Hosts derived
+    deterministically from the documents table with a co.uk branch so
+    BOTH suffix rules are exercised."""
+    from dpe_energy_performance_analysis_etl_spark.text.urls import domain_document_stats
+
+    docs = read_documents(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit("news."), F.col("source"), F.lit(".co.uk")),
+            ).otherwise(F.concat(F.lit("www."), F.col("source"), F.lit(".example.com"))),
+            F.lit("/x"),
+        ).alias("url"),
+    )
+    return domain_document_stats(docs)
