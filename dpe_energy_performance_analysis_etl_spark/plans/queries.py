@@ -7152,3 +7152,93 @@ def domain_document_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("url"),
     )
     return domain_document_stats(docs)
+
+
+# =====================================================================
+# Round 4: winnowing fingerprints (Schleimer et al. SIGMOD'03 / MOSS)
+# =====================================================================
+
+_WINNOW_FP_SQL = """
+    WITH tok AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+    ), g AS (
+      SELECT doc_id,
+             unnest(range(0, greatest(len(t) - 4 + 1, 0))) AS pos,
+             unnest(list_transform(range(0, greatest(len(t) - 4 + 1, 0)),
+                    i -> array_to_string(t[i+1:i+4], ' '))) AS gram
+      FROM tok
+    ), hashed AS (
+      SELECT doc_id, pos,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(regexp_extract_all(gram, '.'), c -> CAST(ascii(c) AS BIGINT))),
+               (acc, x) -> (acc * 131 + x) % 2147483647
+             ) AS h
+      FROM g
+    ), sel AS (
+      -- rightmost-min of SOME full window: offset d = how many
+      -- window positions precede j (ties break rightward: prev >= h,
+      -- next > h); each offset is a (count, min) pair per side
+      SELECT doc_id, pos, h,
+             count(h) OVER w_p1 AS cp1, min(h) OVER w_p1 AS mp1,
+             count(h) OVER w_p2 AS cp2, min(h) OVER w_p2 AS mp2,
+             count(h) OVER w_p3 AS cp3, min(h) OVER w_p3 AS mp3,
+             count(h) OVER w_n1 AS cn1, min(h) OVER w_n1 AS mn1,
+             count(h) OVER w_n2 AS cn2, min(h) OVER w_n2 AS mn2,
+             count(h) OVER w_n3 AS cn3, min(h) OVER w_n3 AS mn3
+      FROM hashed
+      WINDOW
+        w_p1 AS (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN 1 PRECEDING AND 1 PRECEDING),
+        w_p2 AS (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING),
+        w_p3 AS (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING),
+        w_n1 AS (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN 1 FOLLOWING AND 1 FOLLOWING),
+        w_n2 AS (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING),
+        w_n3 AS (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING)
+    ), fp AS (
+      SELECT doc_id, pos, h AS fingerprint FROM sel
+      WHERE (cn3 = 3 AND h < mn3)
+         OR (cp1 = 1 AND mp1 >= h AND cn2 = 2 AND h < mn2)
+         OR (cp2 = 2 AND mp2 >= h AND cn1 = 1 AND h < mn1)
+         OR (cp3 = 3 AND mp3 >= h)
+    )"""
+
+
+@register(
+    "winnow_fingerprints_docs",
+    _WINNOW_FP_SQL
+    + """
+    SELECT doc_id, pos, fingerprint FROM fp
+    """,
+)
+def winnow_fingerprints_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (text/winnow.py — the MOSS scheme):
+    rightmost-minimum of every 4-hash window over 4-gram rolling
+    hashes, computed as ONE window-frame comparison (h < min of next
+    3) — no per-window explode. Guarantees a shared fingerprint for
+    any common run of >= window+k-1 = 7 tokens at ~2/(window+1)
+    sampling density. Portable polynomial hash = bit-exact SQL
+    replay."""
+    from dpe_energy_performance_analysis_etl_spark.text.winnow import winnowing_fingerprints
+
+    return winnowing_fingerprints(read_documents(spark, sf_dir), k=4, window=4)
+
+
+@register(
+    "winnow_match_pairs",
+    _WINNOW_FP_SQL
+    + """
+    , dfp AS (SELECT DISTINCT doc_id, fingerprint FROM fp)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM dfp a JOIN dfp b ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    """,
+)
+def winnow_match_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS candidate pairs: documents sharing >= 2 winnowed
+    fingerprints, joined on the ~40%-sampled fingerprint postings
+    (support threshold applied inside the aggregation — no
+    coincidental single-hit pairs leave the shuffle)."""
+    from dpe_energy_performance_analysis_etl_spark.text.winnow import winnow_match_pairs
+
+    return winnow_match_pairs(read_documents(spark, sf_dir), k=4, window=4, min_shared=2)

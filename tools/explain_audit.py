@@ -51,6 +51,11 @@ EXPECTED_MULTISTAGE = {
     "kcore_membership": "iterative peel: per-round cached edge table, final action reads ONLY the last cache (print re-expands all rounds; warm runtime 6.4 s engine-session)",
     "source_overlap_matrix": "cached (source, gram) distinct feeds sizes + both join sides (4 cache reads at runtime)",
     "distinctive_terms_source": "cached tf table feeds group totals, term totals, vocab scalars, output (4 cache reads at runtime)",
+    # round 4
+    "ivfpq_topk_embeddings": "cached residual/codebook tables feed coarse-assign + encode + LUT + refine branches; static print re-expands the composition (pq_adc pattern, one level deeper)",
+    "substring_dup_stats": "cached position-gram table feeds df-agg + cover join; the 9th exchange is the separate per-doc size scan (a fresh parquet read, not a cached-subtree re-run)",
+    "substring_dedup_clean": "same cached gram table; extra exchange is the token re-read for reconstruction",
+    "label_propagation_communities": "iterative: per-round cached label tables, final action reads ONLY the last cache (the kcore pattern — static print re-expands all rounds)",
 }
 
 
