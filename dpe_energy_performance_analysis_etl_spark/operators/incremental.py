@@ -204,3 +204,40 @@ def apply_changelog(
             for c in payload
         ],
     )
+
+
+def join_view_delta(
+    base_left: DataFrame,
+    delta_left: DataFrame,
+    base_right: DataFrame,
+    delta_right: DataFrame,
+    on: list[str] | str,
+) -> DataFrame:
+    """Incremental maintenance of an inner-join view under INSERTS:
+    the rows ADDED to ``(L ∪ dL) ⋈ (R ∪ dR)`` relative to ``L ⋈ R``,
+    by the delta-join identity
+
+        dV  =  dL ⋈ R  ∪  L ⋈ dR  ∪  dL ⋈ dR
+
+    — the three joins touch the (small) deltas on at least one side,
+    so refreshing the view costs O(|dL| + |dR|) probe work instead of
+    re-joining two 100 TB snapshots (the Delta/iceberg MERGE-refresh
+    pattern; classic view-maintenance algebra, Blakeley et al. 1986).
+
+    Multiset semantics: each union arm is disjoint from the others by
+    construction (an output row pairs a delta tuple with a base tuple
+    or two delta tuples — never two base tuples), so plain UNION ALL
+    is exact; duplicates WITHIN an arm are real join multiplicities.
+    Inserts-only by contract (deletes/updates route through
+    apply_changelog first, then a changelog-aware refresh).
+
+    Scale shape: at a real deployment L and R are table scans with the
+    join key clustered/bucketed (write_bucketed_table), so dL ⋈ R and
+    L ⋈ dR each broadcast the delta side; dL ⋈ dR is delta-sized on
+    both sides.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    arm1 = delta_left.join(base_right, on=keys)
+    arm2 = base_left.join(delta_right, on=keys)
+    arm3 = delta_left.join(delta_right, on=keys)
+    return arm1.unionByName(arm2).unionByName(arm3)

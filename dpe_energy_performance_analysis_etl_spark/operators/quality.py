@@ -182,6 +182,27 @@ def k_anonymity_violations(
     )
 
 
+def l_diversity_violations(
+    df: DataFrame, quasi_cols: list[str], sensitive_col: str, l: int = 3
+) -> DataFrame:
+    """Quasi-identifier groups whose SENSITIVE attribute takes fewer
+    than ``l`` distinct values — the l-diversity audit (Machanavajjhala
+    et al. 2007) that k-anonymity alone misses: a group of 50
+    identical quasi-rows that all share one diagnosis is 50-anonymous
+    and still leaks the diagnosis. One groupBy with a count_distinct
+    (Spark plans the distinct as one expand); output is the violating
+    groups with size and diversity (the rows to generalize or
+    suppress)."""
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.countDistinct(sensitive_col).alias("l_diversity"),
+        )
+        .filter(F.col("l_diversity") < l)
+    )
+
+
 # Benford first-digit probabilities log10(1 + 1/d) as literal doubles:
 # literals are bit-identical across engines, so no libm runs anywhere.
 BENFORD_P = [

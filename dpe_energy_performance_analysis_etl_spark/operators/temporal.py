@@ -356,3 +356,30 @@ def ewma_dyadic(
         F.col(value_col),
         (weighted / norm).alias("ewma"),
     )
+
+
+def time_embargo_split(
+    df: DataFrame,
+    ts_col: str = "ts",
+    cutoff_us: int = 0,
+    embargo_us: int = 0,
+) -> DataFrame:
+    """Leakage-safe temporal train/test split with an embargo gap
+    (the purged-split discipline from financial ML, de Prado 2018):
+    rows before ``cutoff_us`` train; rows inside the
+    ``[cutoff, cutoff + embargo)`` window are DISCARDED from both
+    sides (features computed over trailing windows straddle the
+    boundary — the embargo absorbs that lookahead contamination);
+    rows after test. Adds a ``split`` column ('train' / 'embargo' /
+    'test'). Row-local epoch comparison, zero shuffle; times compared
+    in integer microseconds (functions/temporal.py discipline — no
+    engine-specific timestamp arithmetic)."""
+    from dpe_energy_performance_analysis_etl_spark.functions.temporal import epoch_micros
+
+    us = epoch_micros(ts_col)
+    return df.withColumn(
+        "split",
+        F.when(us < cutoff_us, F.lit("train"))
+        .when(us < cutoff_us + embargo_us, F.lit("embargo"))
+        .otherwise(F.lit("test")),
+    )

@@ -7242,3 +7242,114 @@ def winnow_match_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dpe_energy_performance_analysis_etl_spark.text.winnow import winnow_match_pairs
 
     return winnow_match_pairs(read_documents(spark, sf_dir), k=4, window=4, min_shared=2)
+
+
+@register(
+    "l_diversity_customers",
+    """
+    SELECT c_nationkey, c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS group_size,
+           CAST(COUNT(DISTINCT c_acctbal) AS BIGINT) AS l_diversity
+    FROM customer
+    GROUP BY 1, 2
+    HAVING COUNT(DISTINCT c_acctbal) < 3
+    """,
+)
+def l_diversity_customers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (operators/quality.py l_diversity_violations,
+    Machanavajjhala 2007): quasi-groups (nation, segment) whose
+    sensitive attribute (account balance) takes < 3 distinct values —
+    the leak k-anonymity alone misses (a 50-anonymous cohort sharing
+    one balance still discloses it). One groupBy + count_distinct."""
+    from dpe_energy_performance_analysis_etl_spark.operators.quality import (
+        l_diversity_violations,
+    )
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return l_diversity_violations(cust, ["c_nationkey", "c_mktsegment"], "c_acctbal", l=3)
+
+
+@register(
+    "time_embargo_split_events",
+    """
+    WITH tagged AS (
+      SELECT user_id, event_id,
+             CASE WHEN epoch_us(ts) < 1705708800000000 THEN 'train'
+                  WHEN epoch_us(ts) < 1705881600000000 THEN 'embargo'
+                  ELSE 'test' END AS split
+      FROM events
+    )
+    SELECT split, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM tagged GROUP BY split
+    """,
+)
+def time_embargo_split_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe temporal split with embargo (operators/temporal.py
+    time_embargo_split, the purged-split discipline): train before
+    2024-01-20, a 2-day embargo absorbing trailing-window lookahead,
+    test after. Integer-microsecond comparisons on both engines;
+    per-split event and user counts."""
+    from dpe_energy_performance_analysis_etl_spark.operators.temporal import (
+        time_embargo_split,
+    )
+
+    ev = read_events(spark, sf_dir)
+    out = time_embargo_split(
+        ev, "ts", cutoff_us=1705708800000000, embargo_us=172800000000
+    )
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@register(
+    "join_view_delta_orders",
+    """
+    WITH bl AS (
+      SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice
+      FROM orders WHERE o_orderkey % 10 <> 0
+    ), dl AS (
+      SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice
+      FROM orders WHERE o_orderkey % 10 = 0
+    ), br AS (
+      SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 20 <> 0
+    ), dr AS (
+      SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 20 = 0
+    ), fullv AS (
+      SELECT o.c_custkey, o.o_orderkey, o.o_totalprice, c.c_mktsegment
+      FROM (SELECT * FROM bl UNION ALL SELECT * FROM dl) o
+      JOIN (SELECT * FROM br UNION ALL SELECT * FROM dr) c USING (c_custkey)
+    ), basev AS (
+      SELECT bl.c_custkey, bl.o_orderkey, bl.o_totalprice, br.c_mktsegment
+      FROM bl JOIN br USING (c_custkey)
+    )
+    SELECT * FROM fullv EXCEPT ALL SELECT * FROM basev
+    """,
+)
+def join_view_delta_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental inner-join view maintenance
+    (operators/incremental.py join_view_delta): the rows a batch of
+    order + customer inserts ADDS to the orders⋈customer view,
+    computed as dL⋈R ∪ L⋈dR ∪ dL⋈dR — O(|delta|) probe work instead
+    of re-joining the snapshots. The ORACLE is the spec: full
+    recompute EXCEPT ALL old view — equality proves the delta algebra
+    exact."""
+    from dpe_energy_performance_analysis_etl_spark.operators.incremental import (
+        join_view_delta,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_custkey").alias("c_custkey"), "o_orderkey", "o_totalprice"
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    bl = orders.where(F.col("o_orderkey") % 10 != 0)
+    dl = orders.where(F.col("o_orderkey") % 10 == 0)
+    br = cust.where(F.col("c_custkey") % 20 != 0)
+    dr = cust.where(F.col("c_custkey") % 20 == 0)
+    return join_view_delta(bl, dl, br, dr, on="c_custkey").select(
+        "c_custkey", "o_orderkey", "o_totalprice", "c_mktsegment"
+    )

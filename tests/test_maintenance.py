@@ -106,3 +106,33 @@ def test_orc_roundtrip_and_text_scan(spark, tmp_path):
     (tmp_path / "log.txt").write_text("alpha\nbeta\ngamma\n")
     lines = read_text_lines(spark, str(tmp_path / "log.txt"))
     assert [r.value for r in lines.orderBy("value").collect()] == ["alpha", "beta", "gamma"]
+
+
+def test_join_view_delta_equals_recompute_minus_old(spark):
+    """The delta algebra dL⋈R ∪ L⋈dR ∪ dL⋈dR must equal full
+    recompute minus the old view — including multiplicities."""
+    from dpe_energy_performance_analysis_etl_spark.operators.incremental import join_view_delta
+
+    L = spark.createDataFrame([(1, "l1"), (2, "l2"), (2, "l2b")], "k long, lv string")
+    dL = spark.createDataFrame([(2, "dl1"), (3, "dl2")], "k long, lv string")
+    R = spark.createDataFrame([(1, "r1"), (2, "r2")], "k long, rv string")
+    dR = spark.createDataFrame([(2, "dr1"), (3, "dr2"), (3, "dr2b")], "k long, rv string")
+
+    got = sorted(map(tuple, join_view_delta(L, dL, R, dR, on="k").collect()))
+
+    full = L.unionByName(dL).join(R.unionByName(dR), "k")
+    old = L.join(R, "k")
+    want = sorted(map(tuple, full.exceptAll(old).collect()))
+    assert got == want
+    # dL⋈dR pairs present (key 3 only exists in the deltas: 1 dl x 2 dr)
+    assert sum(1 for r in got if r[0] == 3) == 2
+
+
+def test_join_view_delta_empty_deltas_empty_output(spark):
+    from dpe_energy_performance_analysis_etl_spark.operators.incremental import join_view_delta
+
+    L = spark.createDataFrame([(1, "a")], "k long, lv string")
+    R = spark.createDataFrame([(1, "b")], "k long, rv string")
+    empty_l = spark.createDataFrame([], "k long, lv string")
+    empty_r = spark.createDataFrame([], "k long, rv string")
+    assert join_view_delta(L, empty_l, R, empty_r, on="k").count() == 0

@@ -116,3 +116,20 @@ def test_calibration_top_bin_clamp(spark):
     df = spark.createDataFrame([(1_000_000, True), (0, False)], "p long, y boolean")
     bins = {r.bin for r in calibration_report(df, "p", "y").collect()}
     assert bins == {0, 9}
+
+
+def test_l_diversity_catches_homogeneous_group(spark):
+    """A 50-anonymous group with ONE sensitive value violates
+    l-diversity while passing k-anonymity."""
+    from dpe_energy_performance_analysis_etl_spark.operators.quality import (
+        k_anonymity_violations,
+        l_diversity_violations,
+    )
+
+    rows = [("US", "A", "flu") for _ in range(50)]
+    rows += [("FR", "B", f"dx{i % 5}") for i in range(50)]
+    df = spark.createDataFrame(rows, "country string, seg string, diagnosis string")
+    assert k_anonymity_violations(df, ["country", "seg"], k=5).count() == 0
+    viol = l_diversity_violations(df, ["country", "seg"], "diagnosis", l=3).collect()
+    assert len(viol) == 1
+    assert (viol[0].country, viol[0].l_diversity) == ("US", 1)

@@ -221,3 +221,18 @@ def test_event_queries_agree_across_ts_encodings(spark, tmp_path):
             f"{qname} disagrees across ts encodings"
         )
         assert len(results["ns"]) > 0, f"{qname} returned no rows on the fixture"
+
+
+def test_time_embargo_split_boundaries(spark):
+    """Rows exactly at the cutoff go to embargo; exactly at
+    cutoff+embargo go to test — half-open [cutoff, cutoff+embargo)."""
+    from dpe_energy_performance_analysis_etl_spark.operators.temporal import time_embargo_split
+    from pyspark.sql import functions as F
+
+    cutoff, emb = 1_000_000_000, 500_000_000
+    df = spark.createDataFrame(
+        [(1, cutoff - 1), (2, cutoff), (3, cutoff + emb - 1), (4, cutoff + emb)],
+        "id long, us long",
+    ).select("id", F.timestamp_micros(F.col("us")).alias("ts"))
+    got = {r.id: r.split for r in time_embargo_split(df, "ts", cutoff, emb).collect()}
+    assert got == {1: "train", 2: "embargo", 3: "embargo", 4: "test"}
