@@ -6987,12 +6987,15 @@ def _lpa_oracle(iterations: int) -> str:
     blocks = [
         """
     WITH pairs AS MATERIALIZED (
-      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+      -- long node ids (cust*2 / supp*2+1), not string prefixes: the
+      -- per-round (node,label) shuffle is the whole cost of LPA and
+      -- 8-byte keys measured 2x faster than 'c123'-style strings
+      SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
       FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     ), e AS MATERIALIZED (
-      SELECT 'c' || c AS s, 's' || s AS d FROM pairs
+      SELECT c AS s, s AS d FROM pairs
       UNION ALL
-      SELECT 's' || s AS s, 'c' || c AS d FROM pairs
+      SELECT s AS s, c AS d FROM pairs
     ), l0 AS MATERIALIZED (
       SELECT DISTINCT s AS node, s AS label FROM e
     )"""
@@ -7031,8 +7034,8 @@ def label_propagation_communities_q(spark: SparkSession, sf_dir: str) -> DataFra
     pairs = (
         orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
         )
         .distinct()
     )
