@@ -44,6 +44,12 @@ from dpe_energy_performance_analysis_etl_spark.plans import QUERIES, ORACLE_SQL 
 # checks them. All 50 carry DuckDB oracles (the LSH entry here is
 # the deterministic portable twin, not the rows-only fast path).
 #
+# Round-4 wave-2 rotation: four more family-redundant slots
+# (dedup_full_rows, join_left_cast_keys, events_tumbling_window,
+# triangle_count_parts — each with 2+ same-family siblings still
+# in-window) swapped for four NEW round-4 families: substring-span
+# dedup, URL canonicalization, winnowing match pairs, ECE calibration.
+#
 # Round-4 rotation (VERDICT r3 ask #3): eight family-redundant slots
 # (rollup_agg, union_pages, json_extract_props, binary_metadata,
 # dedup_keep_first, ann_lsh_topk, range_join_events,
@@ -59,11 +65,11 @@ _FRONT_50 = [
     "count_distinct_agg",
     "pagerank_supplier_graph",
     "join_inner_broadcast",
-    "join_left_cast_keys",
+    "url_canonical_dedup",
     "join_anti_new_rows",
     "q3_shipping_priority",
     "q5_regional_revenue",
-    "dedup_full_rows",
+    "substring_dup_spans",
     "incremental_agg_merge",
     "kcore_membership",
     "window_running_sum",
@@ -72,7 +78,7 @@ _FRONT_50 = [
     "scalar_functions",
     "math_functions",
     "bloom_prune_join",
-    "events_tumbling_window",
+    "winnow_match_pairs",
     "events_sessionize",
     "asof_join_events",
     "paragraph_dedup_corpus",
@@ -99,7 +105,7 @@ _FRONT_50 = [
     "cdc_apply_changelog",
     "bm25_topk_docs",
     "entity_match_ed1",
-    "triangle_count_parts",
+    "calibration_ece_orders",
     "bpe_pair_stats",
     "random_projection_compress",
     "expectations_orders",
