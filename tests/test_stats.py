@@ -63,3 +63,69 @@ def test_wilcoxon_normal_approx_with_ties():
     y = x + rng.normal(0.5, 1, 40).round(0)
     w, p = wilcoxon(x, y)
     assert 0.0 <= p <= 1.0 and w >= 0.0
+
+
+def test_bootstrap_hash_mix_is_poisson_and_decorrelated():
+    """ADVICE r3 (medium): the old affine hash (rid*A + b*B) mod m
+    made each row's 32 replica multiplicities a fixed stride walk —
+    strongly correlated draws under the independent-resample
+    assumption of the rank CI. Pure-python replica of the shipped
+    xor-shift-multiply mix (the Spark/SQL twin is oracle-checked
+    separately): weights must approximate Poisson(1) and consecutive
+    replicas must be uncorrelated."""
+    M = 73244475
+    thresholds = [3679, 7358, 9197, 9810, 9963, 9994, 9999]
+
+    def weight(rid, b):
+        s = ((rid % 4294967296) * M + b * 2246822519) % 4294967296
+        s = ((s ^ (s >> 16)) * M) % 4294967296
+        s = ((s ^ (s >> 16)) * M) % 4294967296
+        h = (s ^ (s >> 16)) % 10000
+        for w, t in enumerate(thresholds):
+            if h < t:
+                return w
+        return 7
+
+    import math
+
+    rids = [i * 10 + 3 for i in range(400)]
+    grid = [[weight(r, b) for b in range(32)] for r in rids]
+    flat = [w for row in grid for w in row]
+    n = len(flat)
+    # pmf check: P(0)=P(1)=e^-1≈.3679, P(2)≈.1839
+    for k, p in [(0, 0.3679), (1, 0.3679), (2, 0.1839)]:
+        frac = sum(1 for w in flat if w == k) / n
+        assert abs(frac - p) < 0.02, (k, frac)
+    # lag-1 autocorrelation across b within each rid ~ 0
+    xs = [w for row in grid for w in row[:-1]]
+    ys = [w for row in grid for w in row[1:]]
+    mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
+    cov = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / len(xs)
+    vx = sum((x - mx) ** 2 for x in xs) / len(xs)
+    vy = sum((y - my) ** 2 for y in ys) / len(ys)
+    r = cov / math.sqrt(vx * vy)
+    assert abs(r) < 0.05, f"replica autocorrelation {r}"
+    # the OLD affine hash fails the same check — keep it failing
+    def old_weight(rid, b):
+        h = ((rid * 2654435761 + b * 2246822519) % 4294967296) % 10000
+        for w, t in enumerate(thresholds):
+            if h < t:
+                return w
+        return 7
+
+    og = [[old_weight(r, b) for b in range(32)] for r in rids]
+    # stride walk: successive h differ by a constant mod 1e4 -> the
+    # distribution conditional on the previous value is degenerate;
+    # detect via a much larger |autocorrelation| or pmf skew
+    oflat = [w for row in og for w in row]
+    op0 = sum(1 for w in oflat if w == 0) / len(oflat)
+    oxs = [w for row in og for w in row[:-1]]
+    oys = [w for row in og for w in row[1:]]
+    omx, omy = sum(oxs) / len(oxs), sum(oys) / len(oys)
+    ocov = sum((x - omx) * (y - omy) for x, y in zip(oxs, oys)) / len(oxs)
+    ovx = sum((x - omx) ** 2 for x in oxs) / len(oxs)
+    ovy = sum((y - omy) ** 2 for y in oys) / len(oys)
+    o_r = ocov / math.sqrt(ovx * ovy)
+    assert abs(o_r) > abs(r) or abs(op0 - 0.3679) > 0.02, (
+        "old affine hash unexpectedly passes the independence check"
+    )
