@@ -4636,12 +4636,15 @@ def correlation_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pagerank_supplier_graph",
     """
     WITH pairs AS (
-      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+      -- long node ids (cust*2 / supp*2+1): the per-round rank shuffle
+      -- is keyed on node — 8-byte keys, not 'c123' strings (the LPA
+      -- measurement: 1.5x at sf5 from key width alone)
+      SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
       FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     ), e AS (
-      SELECT 'c' || c AS src, 's' || s AS dst FROM pairs
+      SELECT c AS src, s AS dst FROM pairs
       UNION ALL
-      SELECT 's' || s AS src, 'c' || c AS dst FROM pairs
+      SELECT s AS src, c AS dst FROM pairs
     ), nodes AS (
       SELECT DISTINCT src AS node FROM e
       UNION
@@ -4696,8 +4699,8 @@ def pagerank_supplier_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         o.join(li, o["o_orderkey"] == li["l_orderkey"])
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
         )
         .distinct()
     )
