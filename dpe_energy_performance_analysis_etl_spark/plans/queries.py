@@ -7359,3 +7359,37 @@ def join_view_delta_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return join_view_delta(bl, dl, br, dr, on="c_custkey").select(
         "c_custkey", "o_orderkey", "o_totalprice", "c_mktsegment"
     )
+
+
+@register(
+    "target_mixture_weights_docs",
+    """
+    WITH sizes AS (
+      SELECT source, CAST(SUM(n_chars) AS BIGINT) AS size
+      FROM documents GROUP BY source
+    ), shares AS (
+      SELECT source, size,
+             CAST(size AS DOUBLE)
+               / CAST(CAST(SUM(size) OVER () AS BIGINT) AS DOUBLE) AS natural_share,
+             CASE source WHEN 'src0' THEN 3.0e-1 WHEN 'src1' THEN 3.0e-1
+                         WHEN 'src2' THEN 4.0e-1 ELSE 0.0e0 END AS target_share
+      FROM sizes
+    )
+    SELECT source, size, natural_share, target_share,
+           target_share / natural_share AS weight
+    FROM shares
+    """,
+)
+def target_mixture_weights_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target-mixture reweighting (text/mixing.py
+    target_mixture_weights — the DoReMi/data-mixing deployment step):
+    per-source token-budget sizes (n_chars), natural vs target share,
+    and the sampling weight that reshapes the corpus to the target.
+    Exact integer sums; two double divisions; sources outside the
+    target spec get weight 0 (dropped)."""
+    from dpe_energy_performance_analysis_etl_spark.text.mixing import target_mixture_weights
+
+    docs = read_documents(spark, sf_dir)
+    return target_mixture_weights(
+        docs, {"src0": 0.3, "src1": 0.3, "src2": 0.4}, "source", size_col="n_chars"
+    )

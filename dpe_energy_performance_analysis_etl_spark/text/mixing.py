@@ -380,3 +380,55 @@ def preference_pairs_by_quality(
             F.col("worst.s").alias("rejected_score"),
         )
     )
+
+
+def target_mixture_weights(
+    df: DataFrame,
+    target: dict[str, float],
+    source_col: str = "source",
+    size_col: str | None = None,
+) -> DataFrame:
+    """Per-source sampling weights that reshape the corpus toward a
+    TARGET mixture (the DoReMi/data-mixing deployment step: domain
+    weights come from a proxy-model run or a spec, and the pipeline
+    must translate them into per-source sampling rates).
+
+    Per source: size (rows, or sum of ``size_col`` — use token counts
+    for token-budget mixing), natural share, target share, and
+    ``weight = target_share / natural_share`` — the relative sampling
+    rate that makes the expected post-sampling mixture equal the
+    target; ``epochs_needed = max over sources of weight / max_weight
+    ... `` is left to the caller (weight > 1 after normalization means
+    that source must repeat). Sources absent from ``target`` get
+    target share 0 (dropped); weights are emitted un-normalized so
+    the caller picks the budget anchor (cap the max at 1 for
+    sub-sampling only, or anchor a reference source at 1 and let
+    rare sources repeat).
+
+    One aggregation; shares/weights are two double divisions over
+    exact integer sums — engine-portable. Target shares should be
+    passed as e-notation-safe decimals (they are emitted as given).
+    """
+    sizes = (
+        df.groupBy(F.col(source_col).alias("source"))
+        .agg(
+            (
+                F.count(F.lit(1))
+                if size_col is None
+                else F.sum(F.col(size_col).cast("bigint"))
+            ).alias("size")
+        )
+    )
+    total = F.sum("size").over(Window.partitionBy())
+    tmap = F.create_map(
+        *[x for kv in target.items() for x in (F.lit(kv[0]), F.lit(float(kv[1])))]
+    )
+    tshare = F.coalesce(tmap.getItem(F.col("source")), F.lit(0.0))
+    nshare = F.col("size").cast("double") / total.cast("double")
+    return sizes.select(
+        "source",
+        "size",
+        nshare.alias("natural_share"),
+        tshare.alias("target_share"),
+        (tshare / nshare).alias("weight"),
+    )

@@ -229,3 +229,31 @@ class TestPreferencePairs:
         # tie at 7.0: chosen = larger id (desc,desc), rejected = smaller
         assert (got["s2"]["chosen_id"], got["s2"]["rejected_id"]) == (5, 4)
         assert got["s2"]["chosen_score"] == got["s2"]["rejected_score"] == 7.0
+
+
+def test_target_mixture_weights_reshapes_to_target(spark):
+    """weight = target/natural: uniform resampling by these weights
+    yields the target mixture in expectation; absent sources drop."""
+    from dpe_energy_performance_analysis_etl_spark.text.mixing import target_mixture_weights
+
+    rows = [("a", 10)] * 6 + [("b", 10)] * 3 + [("c", 10)] * 1
+    df = spark.createDataFrame(rows, "source string, toks long")
+    out = {r.source: r for r in target_mixture_weights(
+        df, {"a": 0.5, "b": 0.5}, "source", size_col="toks").collect()}
+    assert out["a"].natural_share == 0.6 and out["b"].natural_share == 0.3
+    assert abs(out["a"].weight - 0.5 / 0.6) < 1e-15
+    assert abs(out["b"].weight - 0.5 / 0.3) < 1e-15
+    assert out["c"].weight == 0.0
+    # expected post-sampling mixture == target (up to the common norm)
+    post_a = out["a"].natural_share * out["a"].weight
+    post_b = out["b"].natural_share * out["b"].weight
+    assert abs(post_a - 0.5) < 1e-15 and abs(post_b - 0.5) < 1e-15
+
+
+def test_target_mixture_weights_rowcount_mode(spark):
+    from dpe_energy_performance_analysis_etl_spark.text.mixing import target_mixture_weights
+
+    df = spark.createDataFrame([("x",), ("x",), ("y",)], "source string")
+    out = {r.source: r for r in target_mixture_weights(df, {"y": 1.0}).collect()}
+    assert out["x"].size == 2 and out["y"].size == 1
+    assert out["y"].target_share == 1.0
