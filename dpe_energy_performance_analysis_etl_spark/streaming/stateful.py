@@ -19,7 +19,7 @@ from collections.abc import Iterator
 from typing import Any
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, types as T
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -145,4 +145,76 @@ def batch_closed_sessions(events: DataFrame, gap_seconds: int = 1800) -> DataFra
         agg.join(last, on="user_id")
         .filter(F.col("session_id") < F.col("last_sid"))
         .select("user_id", "session_start", "session_end", "n_events", "total_value")
+    )
+
+
+# ---------------------------------------------------------------------
+# Streaming Misra-Gries heavy hitters (bounded state per shard)
+# ---------------------------------------------------------------------
+
+MG_OUTPUT_SCHEMA = "shard int, item string, count_lb bigint"
+_MG_STATE_SCHEMA = "items array<string>, counts array<bigint>"
+
+
+def _mg_stream_fn(k: int):
+    """Per-shard stateful update: fold each micro-batch's value_counts
+    into the persisted <= k-entry summary (the batch operator's
+    `_mg_fold` — ONE definition of the decrement rule), emit the
+    current summary."""
+    from dpe_energy_performance_analysis_etl_spark.operators.heavyhitters import _mg_fold
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            items, counts = state.get
+            summary = dict(zip(items, (int(c) for c in counts)))
+        else:
+            summary = {}
+        for pdf in pdfs:
+            if len(pdf):
+                _mg_fold(summary, pdf["item"].value_counts(), k)
+        state.update((list(summary.keys()), [int(v) for v in summary.values()]))
+        yield pd.DataFrame(
+            {
+                "shard": [key[0]] * len(summary),
+                "item": list(summary.keys()),
+                "count_lb": list(summary.values()),
+            }
+        )
+
+    return fn
+
+
+def mg_heavy_hitters_stream(
+    stream: DataFrame, item_col: str, k: int = 64, n_shards: int = 8
+) -> DataFrame:
+    """Continuous heavy hitters over an unbounded stream with BOUNDED
+    state: items hash-shard across ``n_shards`` state groups, each
+    holding a <= k-counter Misra-Gries summary that every micro-batch
+    folds into (same decrement rule as the batch operator, so the
+    merge-and-compress algebra and error bound carry over:
+    ĉ(x) ≤ c(x), deficit ≤ n_shard/(k+1) per shard; k above the
+    shard's distinct count ⇒ exact — the deterministic test regime).
+
+    Why not a plain streaming groupBy count: that state is
+    VOCABULARY-sized (unbounded for URLs/n-grams); MG state is k
+    counters per shard, forever, no watermark eviction needed. Output
+    mode 'update': each trigger re-emits the shards that changed;
+    downstream reads the latest summary per shard and merges with
+    operators.heavyhitters.mg_merge. File sinks are append-only and
+    reject update mode — persist trigger history via
+    ``writeStream.foreachBatch(lambda b, _: b.write.mode("append")...)``
+    (the tested pattern) or use a memory/kafka sink."""
+    shard = F.pmod(F.xxhash64(F.col(item_col)), F.lit(n_shards)).cast("int")
+    return (
+        stream.select(shard.alias("shard"), F.col(item_col).alias("item"))
+        .groupBy("shard")
+        .applyInPandasWithState(
+            _mg_stream_fn(k),
+            outputStructType=MG_OUTPUT_SCHEMA,
+            stateStructType=_MG_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     )

@@ -631,3 +631,97 @@ def test_stream_static_enrichment_matches_batch(spark, events, tmp_path):
     for r in batch.collect():
         assert g[r.event_id] == r.segment
     assert any(v is None for v in g.values()) and any(v is not None for v in g.values())
+
+
+def test_mg_heavy_hitters_stream_exact_regime_and_restart(spark, tmp_path):
+    """Streaming Misra-Gries: with k above each shard's distinct item
+    count no decrement fires, so after draining all files the summary
+    equals the exact counts regardless of micro-batch boundaries; a
+    SECOND availableNow run over new files resumes from the state
+    store and keeps accumulating (crash-replay contract)."""
+    import pandas as pd
+    from dpe_energy_performance_analysis_etl_spark.streaming.stateful import (
+        mg_heavy_hitters_stream,
+    )
+
+    landing = str(tmp_path / "landing")
+    target = str(tmp_path / "target")
+    ckpt = str(tmp_path / "ckpt")
+
+    words1 = ["apple"] * 30 + ["banana"] * 20 + ["cherry"] * 5
+    df1 = spark.createDataFrame([(w,) for w in words1], "item string")
+    df1.write.mode("overwrite").parquet(landing)
+
+    def run_once():
+        stream = spark.readStream.schema("item string").parquet(landing)
+        out = mg_heavy_hitters_stream(stream, "item", k=16, n_shards=4)
+        # update-mode stateful output + file history: foreachBatch
+        # appends each trigger's changed summaries (file sinks are
+        # append-only and reject update mode directly)
+        q = (
+            out.writeStream.foreachBatch(
+                lambda bdf, _bid: bdf.write.mode("append").parquet(target)
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_once()
+    # latest summary row per (shard, item) = the final state emission
+    latest = (
+        spark.read.parquet(target)
+        .groupBy("item")
+        .agg(F.max("count_lb").alias("count_lb"))
+    )
+    got = {r.item: r.count_lb for r in latest.collect()}
+    assert got == {"apple": 30, "banana": 20, "cherry": 5}
+
+    # restart with MORE data: state resumes, counts accumulate
+    words2 = ["apple"] * 10 + ["durian"] * 7
+    spark.createDataFrame([(w,) for w in words2], "item string").write.mode(
+        "append"
+    ).parquet(landing)
+    run_once()
+    latest2 = (
+        spark.read.parquet(target)
+        .groupBy("item")
+        .agg(F.max("count_lb").alias("count_lb"))
+    )
+    got2 = {r.item: r.count_lb for r in latest2.collect()}
+    assert got2 == {"apple": 40, "banana": 20, "cherry": 5, "durian": 7}
+
+
+def test_mg_heavy_hitters_stream_bounded_state(spark, tmp_path):
+    """k below the distinct count: every emitted summary holds <= k
+    items per shard and count_lb never exceeds the true count (the MG
+    underestimate contract) while every true heavy item survives."""
+    from dpe_energy_performance_analysis_etl_spark.streaming.stateful import (
+        mg_heavy_hitters_stream,
+    )
+
+    landing = str(tmp_path / "landing")
+    target = str(tmp_path / "target")
+    ckpt = str(tmp_path / "ckpt")
+    rows = [("hot",)] * 200 + [(f"rare{i}",) for i in range(60)]
+    spark.createDataFrame(rows, "item string").write.parquet(landing)
+
+    stream = spark.readStream.schema("item string").parquet(landing)
+    out = mg_heavy_hitters_stream(stream, "item", k=4, n_shards=1)
+    q = (
+        out.writeStream.foreachBatch(
+            lambda bdf, _bid: bdf.write.mode("append").parquet(target)
+        )
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    res = spark.read.parquet(target)
+    per_trigger = res.groupBy("shard").count().collect()
+    assert all(r["count"] <= 4 * 10 for r in per_trigger)  # <= k rows per emission x triggers
+    hot = {r.item: r.count_lb for r in res.collect() if r.item == "hot"}
+    assert hot and max(hot.values()) <= 200  # underestimate, present
