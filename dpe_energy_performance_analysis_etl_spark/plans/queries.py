@@ -7393,3 +7393,125 @@ def target_mixture_weights_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame
     return target_mixture_weights(
         docs, {"src0": 0.3, "src1": 0.3, "src2": 0.4}, "source", size_col="n_chars"
     )
+
+
+@register(
+    "rrf_hybrid_retrieval",
+    """
+    WITH tok AS (
+      SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_toks,
+             len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS n_uniq
+      FROM documents
+    ), r1 AS (
+      SELECT 0 AS query_id, doc_id,
+             row_number() OVER (ORDER BY n_toks DESC, doc_id) AS rank
+      FROM tok QUALIFY rank <= 20
+    ), r2 AS (
+      SELECT 0 AS query_id, doc_id,
+             row_number() OVER (ORDER BY n_uniq DESC, doc_id) AS rank
+      FROM tok QUALIFY rank <= 20
+    ), slots AS (
+      SELECT query_id, doc_id,
+             MAX(CASE WHEN ranker = 0 THEN rank END) AS s0,
+             MAX(CASE WHEN ranker = 1 THEN rank END) AS s1
+      FROM (
+        SELECT query_id, doc_id, 0 AS ranker, rank FROM r1
+        UNION ALL
+        SELECT query_id, doc_id, 1 AS ranker, rank FROM r2
+      ) GROUP BY query_id, doc_id
+    ), scored AS (
+      SELECT query_id, doc_id,
+             (0.0e0 + (CASE WHEN s0 IS NOT NULL THEN 1.0e0 / (6.0e1 + s0) ELSE 0.0e0 END))
+               + (CASE WHEN s1 IS NOT NULL THEN 1.0e0 / (6.0e1 + s1) ELSE 0.0e0 END) AS rrf_score
+      FROM slots
+    )
+    SELECT query_id, doc_id, rrf_score,
+           CAST(fused_rank AS INTEGER) AS fused_rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_score DESC, doc_id) AS fused_rank
+      FROM scored
+    ) WHERE fused_rank <= 10
+    """,
+)
+def rrf_hybrid_retrieval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (text/retrieval.py, Cormack SIGIR'09 —
+    the hybrid sparse+dense merge that needs no score calibration) of
+    two document rankers (token-count and distinct-token top-20),
+    fused top-10. The RRF sum is an ORDERED row-local fold over
+    per-ranker slots (one pivot aggregation) — never a shuffle-order
+    SUM of doubles — so scores hash-match across engines."""
+    from dpe_energy_performance_analysis_etl_spark.text.retrieval import (
+        reciprocal_rank_fusion,
+    )
+    from dpe_energy_performance_analysis_etl_spark.text.analysis import tokens_expr
+
+    docs = read_documents(spark, sf_dir).select(
+        "doc_id",
+        F.size(tokens_expr("text")).alias("n_toks"),
+        F.size(F.array_distinct(tokens_expr("text"))).alias("n_uniq"),
+    )
+    w1 = Window.orderBy(F.col("n_toks").desc(), F.col("doc_id"))
+    w2 = Window.orderBy(F.col("n_uniq").desc(), F.col("doc_id"))
+    r1 = (
+        docs.withColumn("rank", F.row_number().over(w1))
+        .where(F.col("rank") <= 20)
+        .select(F.lit(0).alias("query_id"), "doc_id", "rank")
+    )
+    r2 = (
+        docs.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= 20)
+        .select(F.lit(0).alias("query_id"), "doc_id", "rank")
+    )
+    return reciprocal_rank_fusion([r1, r2], k=60, top_k=10)
+
+
+@register(
+    "ranking_metrics_by_source",
+    """
+    WITH ranked AS (
+      SELECT source AS query_id, doc_id,
+             row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rank
+      FROM documents
+    ), results AS (
+      SELECT query_id, doc_id, rank FROM ranked WHERE rank <= 10
+    ), qrels AS (
+      SELECT source AS query_id, doc_id FROM documents WHERE doc_id % 3 = 0
+    ), hits AS (
+      SELECT r.query_id, r.doc_id, r.rank
+      FROM results r JOIN qrels q ON q.query_id = r.query_id AND q.doc_id = r.doc_id
+    ), n_rel AS (
+      SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_relevant FROM qrels GROUP BY query_id
+    ), per_q AS (
+      SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+             CAST(MIN(rank) AS BIGINT) AS first_rel_rank
+      FROM hits GROUP BY query_id
+    )
+    SELECT n.query_id,
+           COALESCE(p.n_hits, 0) AS n_hits,
+           n.n_relevant,
+           CAST(COALESCE(p.n_hits, 0) AS DOUBLE) / CAST(n.n_relevant AS DOUBLE) AS recall_at_k,
+           CAST(COALESCE(p.n_hits, 0) AS DOUBLE) / 1.0e1 AS precision_at_k,
+           COALESCE(CAST(2520 // p.first_rel_rank AS BIGINT), 0) AS mrr_scaled,
+           COALESCE(1.0e0 / CAST(p.first_rel_rank AS DOUBLE), 0.0e0) AS reciprocal_rank
+    FROM n_rel n LEFT JOIN per_q p USING (query_id)
+    """,
+)
+def ranking_metrics_by_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact retrieval evaluation (text/retrieval.py ranking_metrics):
+    recall@10 / precision@10 / MRR per query (source) against
+    synthetic qrels. MRR's reciprocal is emitted integer-scaled by
+    lcm(1..10)=2520 — exact — beside the double convenience column;
+    counts are BIGINT-exact; the only doubles are final divisions."""
+    from dpe_energy_performance_analysis_etl_spark.text.retrieval import ranking_metrics
+
+    docs = read_documents(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    results = (
+        docs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select(F.col("source").alias("query_id"), "doc_id", "rank")
+    )
+    qrels = docs.where(F.col("doc_id") % 3 == 0).select(
+        F.col("source").alias("query_id"), "doc_id"
+    )
+    return ranking_metrics(results, qrels, k=10)

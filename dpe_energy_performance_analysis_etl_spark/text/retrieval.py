@@ -28,7 +28,7 @@ they do):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from dpe_energy_performance_analysis_etl_spark.text.analysis import tokens_expr
 
@@ -319,3 +319,133 @@ def vocab_with_ids(
     )
     w = Window.orderBy(F.desc("n_occurrences"), F.asc("term"))
     return vocab.withColumn("token_id", F.row_number().over(w).cast("bigint") - 1)
+
+
+def reciprocal_rank_fusion(
+    rankings: list[DataFrame],
+    k: int = 60,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    top_k: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N rankers (Cormack et al. SIGIR'09 —
+    the standard hybrid-retrieval merge: BM25 + dense ANN without
+    score calibration): RRF(d) = sum over rankers of 1/(k + rank_d).
+
+    Exactness discipline: each ranker contributes an INTEGER-scaled
+    term scaled by L = lcm(k+1 .. k+max_rank)? — unnecessary: the sum
+    has a FIXED order because it is computed as an ordered fold over
+    the (ranker_index-sorted) per-ranker terms, not a shuffle-order
+    SUM: terms are assembled per (query, doc) via a pivot-style
+    conditional aggregation (MAX per ranker slot — each slot has at
+    most one row), then added left-to-right in one row-local
+    expression. Missing (query, doc) in a ranker contributes 0.
+
+    Scale shape: one union of the (already tiny, top-k-bounded)
+    ranking tables + one (query, doc)-keyed aggregation; a final
+    per-query top_k via rank window if requested.
+    """
+    if not rankings:
+        raise ValueError("need at least one ranking")
+    tagged = None
+    for i, r in enumerate(rankings):
+        t = r.select(
+            F.col(query_col).alias("query_id"),
+            F.col(doc_col).alias("doc_id"),
+            F.lit(i).alias("ranker"),
+            F.col(rank_col).cast("bigint").alias("rank"),
+        )
+        tagged = t if tagged is None else tagged.unionByName(t)
+    slots = [
+        F.max(F.when(F.col("ranker") == i, F.col("rank"))).alias(f"r{i}")
+        for i in range(len(rankings))
+    ]
+    per_doc = tagged.groupBy("query_id", "doc_id").agg(*slots)
+    # ordered, row-local fold: slot 0 + slot 1 + ... (fixed order)
+    score = F.lit(0.0)
+    for i in range(len(rankings)):
+        term = F.when(
+            F.col(f"r{i}").isNotNull(), F.lit(1.0) / (F.lit(float(k)) + F.col(f"r{i}"))
+        ).otherwise(F.lit(0.0))
+        score = score + term
+    out = per_doc.select("query_id", "doc_id", score.alias("rrf_score"))
+    if top_k is None:
+        return out
+    w = Window.partitionBy("query_id").orderBy(F.col("rrf_score").desc(), F.col("doc_id"))
+    return (
+        out.withColumn("fused_rank", F.row_number().over(w))
+        .where(F.col("fused_rank") <= top_k)
+    )
+
+
+def ranking_metrics(
+    results: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Exact recall@k / precision@k / MRR@k per query against a
+    relevance-judgment table (``qrels``: query_col, doc_col).
+
+    MRR exactness: 1/rank summed as doubles is shuffle-order-
+    dependent; with rank bounded by k the reciprocal is representable
+    as the integer lcm(1..k)/rank, so the per-query 'sum' (really the
+    single first-relevant term) and any later averaging stay exact.
+    Here each query contributes ONE reciprocal (the first relevant
+    hit), emitted as both the integer-scaled numerator (mrr_scaled,
+    exact) and the double convenience column.
+
+    One join of two top-k-bounded tables + one aggregation."""
+    _LCMS = {1: 1, 2: 2, 3: 6, 4: 12, 5: 60, 6: 60, 7: 420, 8: 840, 9: 2520, 10: 2520}
+    lcm = _LCMS.get(k)
+    if lcm is None:
+        lcm = 1
+        for i in range(1, k + 1):
+            import math
+
+            lcm = lcm * i // math.gcd(lcm, i)
+    hits = (
+        results.where(F.col(rank_col) <= k)
+        .select(
+            F.col(query_col).alias("query_id"),
+            F.col(doc_col).alias("doc_id"),
+            F.col(rank_col).cast("bigint").alias("rank"),
+        )
+        .join(
+            qrels.select(
+                F.col(query_col).alias("query_id"), F.col(doc_col).alias("doc_id")
+            ),
+            ["query_id", "doc_id"],
+        )
+    )
+    n_rel = qrels.groupBy(F.col(query_col).alias("query_id")).agg(
+        F.count(F.lit(1)).alias("n_relevant")
+    )
+    per_q = hits.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.min("rank").alias("first_rel_rank"),
+    )
+    return (
+        n_rel.join(per_q, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            "n_relevant",
+            (
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+                / F.col("n_relevant").cast("double")
+            ).alias("recall_at_k"),
+            (
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / F.lit(float(k))
+            ).alias("precision_at_k"),
+            F.coalesce(
+                (F.lit(lcm) / F.col("first_rel_rank")).cast("bigint"), F.lit(0)
+            ).alias("mrr_scaled"),
+            F.coalesce(
+                F.lit(1.0) / F.col("first_rel_rank").cast("double"), F.lit(0.0)
+            ).alias("reciprocal_rank"),
+        )
+    )

