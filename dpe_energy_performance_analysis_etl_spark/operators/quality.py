@@ -321,3 +321,40 @@ def calibration_report(
         F.abs(mean_conf - frac_pos).alias("abs_gap"),
         (F.col("n").cast("double") / total.cast("double")).alias("weight"),
     )
+
+
+def fd_violation_report(
+    df,
+    lhs_cols: list[str],
+    rhs_col: str,
+):
+    """Functional-dependency audit: does ``lhs_cols -> rhs_col`` hold?
+    (the schema-inference / data-contract check: 'order key determines
+    ship mode', 'zip determines city' — violated FDs flag dirty joins
+    or mis-modeled keys before they corrupt a merge).
+
+    One row: n_groups, n_violating_groups (LHS values mapping to >1
+    RHS), n_violating_rows (rows inside those groups — the repair
+    workload), holds (boolean). One groupBy on the LHS + one
+    aggregation over the (bounded, one-row-per-LHS-value) group
+    table; NULL RHS counts as a value (two rows NULL/non-NULL under
+    one key violate)."""
+    from pyspark.sql import functions as F
+
+    groups = df.groupBy(*lhs_cols).agg(
+        F.count(F.lit(1)).alias("rows_in_group"),
+        # count_distinct skips NULLs; add the null-presence indicator
+        (
+            F.count_distinct(F.col(rhs_col))
+            + F.max(F.when(F.col(rhs_col).isNull(), 1).otherwise(0))
+        ).alias("n_rhs"),
+    )
+    viol = F.col("n_rhs") > 1
+    return groups.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.count_if(viol).alias("n_violating_groups"),
+        F.sum(F.when(viol, F.col("rows_in_group")).otherwise(0)).alias(
+            "n_violating_rows"
+        ),
+        (F.count_if(viol) == 0).alias("holds"),
+    )

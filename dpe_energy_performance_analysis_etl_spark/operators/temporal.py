@@ -383,3 +383,46 @@ def time_embargo_split(
         .when(us < cutoff_us + embargo_us, F.lit("embargo"))
         .otherwise(F.lit("test")),
     )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    period_col,
+    value_cents,
+) -> DataFrame:
+    """CUSUM change-point screen over a per-period integer series
+    (Page 1954): deviations from the period mean accumulate; the
+    |cumulative| maximum marks the most likely mean-shift point.
+
+    Exactness: with n periods and integer cents c_i, the scaled
+    deviation n*c_i - total is INTEGER (the mean never materializes as
+    a float), so the running sum S_i and the argmax are bit-exact on
+    any engine — the PageRank discipline applied to a classic control
+    chart. Returns one row per period: (period, cents,
+    cusum_scaled = Σ_{j<=i} (n*c_j - total), is_peak).
+
+    Scale shape: the raw table aggregates to one row per PERIOD
+    first (map-side combinable exact-cents sums); every window below
+    runs over that tiny series, so the single-partition window is
+    |periods| rows, never data."""
+    pcol = period_col if not isinstance(period_col, str) else F.col(period_col)
+    vcol = value_cents if not isinstance(value_cents, str) else F.col(value_cents)
+    per = df.groupBy(pcol.alias("period")).agg(
+        F.sum(vcol.cast("bigint")).alias("cents")
+    )
+    w_all = Window.partitionBy()
+    per = per.withColumn("n", F.count(F.lit(1)).over(w_all)).withColumn(
+        "total", F.sum("cents").over(w_all)
+    )
+    w_ord = Window.partitionBy().orderBy("period").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    dev = F.col("n") * F.col("cents") - F.col("total")
+    cum = per.withColumn("cusum_scaled", F.sum(dev).over(w_ord))
+    peak = F.max(F.abs(F.col("cusum_scaled"))).over(w_all)
+    return cum.select(
+        "period",
+        "cents",
+        "cusum_scaled",
+        (F.abs(F.col("cusum_scaled")) == peak).alias("is_peak"),
+    )

@@ -7515,3 +7515,70 @@ def ranking_metrics_by_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("source").alias("query_id"), "doc_id"
     )
     return ranking_metrics(results, qrels, k=10)
+
+
+@register(
+    "cusum_changepoint_revenue",
+    """
+    WITH per AS (
+      SELECT date_trunc('month', o_orderdate) AS period,
+             CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ), t AS (
+      SELECT period, cents,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n,
+             CAST(SUM(cents) OVER () AS BIGINT) AS total
+      FROM per
+    ), c AS (
+      SELECT period, cents,
+             CAST(SUM(n * cents - total) OVER (ORDER BY period) AS BIGINT) AS cusum_scaled
+      FROM t
+    )
+    SELECT period, cents, cusum_scaled,
+           abs(cusum_scaled) = CAST(MAX(abs(cusum_scaled)) OVER () AS BIGINT) AS is_peak
+    FROM c
+    """,
+)
+def cusum_changepoint_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point screen (operators/temporal.py, Page 1954)
+    over monthly revenue: integer-scaled deviations (n*c_i - total —
+    the mean never becomes a float) accumulate bit-exactly; the
+    |cumulative| peak flags the most likely mean shift. The raw table
+    collapses to one row per MONTH before any window, so the ordered
+    scan runs over ~80 rows, never the fact table."""
+    from dpe_energy_performance_analysis_etl_spark.operators.temporal import cusum_changepoint
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return cusum_changepoint(
+        orders,
+        F.date_trunc("month", F.col("o_orderdate")),
+        F.floor(F.col("o_totalprice") * 100 + 0.5),
+    )
+
+
+@register(
+    "fd_violation_orders",
+    """
+    WITH groups AS (
+      SELECT o_custkey,
+             CAST(COUNT(*) AS BIGINT) AS rows_in_group,
+             CAST(COUNT(DISTINCT o_orderpriority)
+                  + MAX(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_rhs
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(count_if(n_rhs > 1) AS BIGINT) AS n_violating_groups,
+           CAST(SUM(CASE WHEN n_rhs > 1 THEN rows_in_group ELSE 0 END) AS BIGINT) AS n_violating_rows,
+           count_if(n_rhs > 1) = 0 AS holds
+    FROM groups
+    """,
+)
+def fd_violation_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit (operators/quality.py
+    fd_violation_report): does o_custkey -> o_orderpriority hold?
+    (It doesn't — the violating-group and violating-row counts size
+    the repair.) One LHS groupBy + one bounded aggregation."""
+    from dpe_energy_performance_analysis_etl_spark.operators.quality import fd_violation_report
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return fd_violation_report(orders, ["o_custkey"], "o_orderpriority")

@@ -133,3 +133,26 @@ def test_l_diversity_catches_homogeneous_group(spark):
     viol = l_diversity_violations(df, ["country", "seg"], "diagnosis", l=3).collect()
     assert len(viol) == 1
     assert (viol[0].country, viol[0].l_diversity) == ("US", 1)
+
+
+def test_fd_violation_report(spark):
+    from dpe_energy_performance_analysis_etl_spark.operators.quality import fd_violation_report
+
+    df = spark.createDataFrame(
+        [
+            ("z1", "cityA"), ("z1", "cityA"),          # consistent
+            ("z2", "cityB"), ("z2", "cityC"),          # violating (2 rhs)
+            ("z3", None), ("z3", "cityD"),             # NULL counts as a value
+            ("z4", None), ("z4", None),                # only NULL: consistent
+        ],
+        "zip string, city string",
+    )
+    r = fd_violation_report(df, ["zip"], "city").collect()[0]
+    assert r.n_groups == 4
+    assert r.n_violating_groups == 2
+    assert r.n_violating_rows == 4
+    assert r.holds is False
+
+    clean = spark.createDataFrame([("a", 1), ("a", 1), ("b", 2)], "k string, v int")
+    r2 = fd_violation_report(clean, ["k"], "v").collect()[0]
+    assert r2.holds is True and r2.n_violating_rows == 0

@@ -236,3 +236,29 @@ def test_time_embargo_split_boundaries(spark):
     ).select("id", F.timestamp_micros(F.col("us")).alias("ts"))
     got = {r.id: r.split for r in time_embargo_split(df, "ts", cutoff, emb).collect()}
     assert got == {1: "train", 2: "embargo", 3: "embargo", 4: "test"}
+
+
+def test_cusum_changepoint_detects_level_shift(spark):
+    """Series 10,10,10,30,30,30: CUSUM peak (max |S|) lands at the
+    last pre-shift period; integer scaling keeps everything exact."""
+    from dpe_energy_performance_analysis_etl_spark.operators.temporal import cusum_changepoint
+    from pyspark.sql import functions as F
+
+    rows = [(p, 1000 if p < 3 else 3000) for p in range(6)]
+    df = spark.createDataFrame(rows, "period int, cents long")
+    out = {r.period: r for r in cusum_changepoint(df, "period", F.col("cents")).collect()}
+    # total=12000, n=6 -> dev = 6*c - 12000 = -6000 pre / +6000 post
+    assert [out[p].cusum_scaled for p in range(6)] == [
+        -6000, -12000, -18000, -12000, -6000, 0
+    ]
+    peaks = [p for p in range(6) if out[p].is_peak]
+    assert peaks == [2]  # last pre-shift period
+
+
+def test_cusum_flat_series_all_zero(spark):
+    from dpe_energy_performance_analysis_etl_spark.operators.temporal import cusum_changepoint
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(p, 500) for p in range(4)], "period int, cents long")
+    out = cusum_changepoint(df, "period", F.col("cents")).collect()
+    assert all(r.cusum_scaled == 0 and r.is_peak for r in out)
