@@ -33,7 +33,7 @@ standard Pregel-free relational PageRank.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 SCALE = 10**12
 
@@ -299,3 +299,71 @@ def label_propagation(
         labels.unpersist()
         labels = nxt
     return labels
+
+
+def _portable_mix32(*terms):
+    """Nonlinear 32-bit mix of integer column terms (the bootstrap
+    xor-shift-multiply finalizer) — SQL-replayable, ANSI-safe
+    (every intermediate < 2^32 * 0x45d9f3b ≈ 3.1e17)."""
+    M = F.lit(73244475)  # 0x45d9f3b
+    s = F.lit(0).cast("bigint")
+    muls = [F.lit(1), F.lit(2246822519), F.lit(2654435761), F.lit(40503)]
+    for i, t in enumerate(terms):
+        s = s + (t.cast("bigint") % F.lit(4294967296)) * muls[min(i, len(muls) - 1)]
+    s = s % F.lit(4294967296)
+    s = (s.bitwiseXOR(F.shiftright(s, 16)) * M) % F.lit(4294967296)
+    return s.bitwiseXOR(F.shiftright(s, 16))
+
+
+def deterministic_random_walks(
+    edges: DataFrame,
+    walk_len: int = 4,
+    walks_per_node: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """DeepWalk-style walk corpus (Perozzi et al. KDD'14) with HASHED
+    instead of random neighbor choices: walk w from node v picks, at
+    step k, neighbor index mix(cur, w, k) mod degree — every engine,
+    every rerun, every partitioning generates the IDENTICAL corpus
+    (the published recipe uses RNG; hashing the walk state is the
+    reproducible equivalent, the fim_transform pattern). Output rows
+    (start, walk, step, node), step 0 = the start node; feed to the
+    skip-gram/SGNS operators (negative_sampling_table) for embedding
+    training data.
+
+    Scale shape per step: the walker table joins (1) the degree table
+    on cur — computes the pick index — then (2) the indexed neighbor
+    table on the COMPOSITE key (cur, idx): both fully equi-keyed,
+    O(#walkers) probe rows per step, never O(|E|) fan-out (matching
+    all neighbors then filtering would touch deg rows per walker).
+    Walks stop early at sinks (no out-neighbors). The indexed
+    neighbor and degree tables are cached once and reused by every
+    step."""
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+    w_idx = Window.partitionBy("u").orderBy("v")
+    nbrs = e.select(
+        "u", "v", (F.row_number().over(w_idx) - 1).alias("idx")
+    ).cache()
+    degs = nbrs.groupBy("u").agg(F.count(F.lit(1)).alias("deg")).cache()
+    starts = degs.select(F.col("u").alias("start")).withColumn(
+        "walk", F.explode(F.array(*[F.lit(i) for i in range(walks_per_node)]))
+    )
+    cur = starts.select(
+        "start", "walk", F.lit(0).alias("step"), F.col("start").alias("node")
+    )
+    out = cur
+    for k in range(1, walk_len):
+        pick = _portable_mix32(F.col("node"), F.col("walk"), F.lit(k)) % F.col("deg")
+        walkers = (
+            cur.join(degs, cur["node"] == degs["u"])
+            .withColumn("pick", pick)
+            .select("start", "walk", F.col("node").alias("cur"), "pick")
+        )
+        stepped = walkers.join(
+            nbrs,
+            (walkers["cur"] == nbrs["u"]) & (walkers["pick"] == nbrs["idx"]),
+        ).select("start", "walk", F.lit(k).alias("step"), F.col("v").alias("node"))
+        out = out.unionByName(stepped)
+        cur = stepped
+    return out

@@ -7582,3 +7582,81 @@ def fd_violation_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     return fd_violation_report(orders, ["o_custkey"], "o_orderpriority")
+
+
+def _walk_mix_sql(node: str, walk: str, k: int) -> str:
+    """SQL twin of operators.graph._portable_mix32 for (node, walk, k)."""
+    s0 = (
+        f"((({node}) % 4294967296) + (({walk}) % 4294967296) * 2246822519"
+        f" + {k} * 2654435761) % 4294967296"
+    )
+    s1 = f"(xor({s0}, ({s0}) >> 16) * 73244475) % 4294967296"
+    return f"xor({s1}, ({s1}) >> 16)"
+
+
+def _walks_oracle(walk_len: int, walks_per_node: int) -> str:
+    blocks = [
+        f"""
+    WITH pairs AS MATERIALIZED (
+      SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ), e AS MATERIALIZED (
+      SELECT c AS u, s AS v FROM pairs
+      UNION ALL
+      SELECT s AS u, c AS v FROM pairs
+    ), nbrs AS MATERIALIZED (
+      SELECT u, v, row_number() OVER (PARTITION BY u ORDER BY v) - 1 AS idx FROM e
+    ), degs AS MATERIALIZED (
+      SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM nbrs GROUP BY u
+    ), x0 AS MATERIALIZED (
+      SELECT d.u AS start, CAST(w.walk AS INTEGER) AS walk, 0 AS step, d.u AS node
+      FROM degs d, (SELECT unnest(generate_series(0, {walks_per_node - 1})) AS walk) w
+    )"""
+    ]
+    for k in range(1, walk_len):
+        mix = _walk_mix_sql(f"x{k - 1}.node", f"x{k - 1}.walk", k)
+        blocks.append(
+            f""", x{k} AS MATERIALIZED (
+      SELECT x{k - 1}.start, x{k - 1}.walk, {k} AS step, n.v AS node
+      FROM x{k - 1}
+      JOIN degs d ON d.u = x{k - 1}.node
+      JOIN nbrs n ON n.u = x{k - 1}.node AND n.idx = ({mix}) % d.deg
+    )"""
+        )
+    union = "\n      UNION ALL\n      ".join(
+        f"SELECT start, walk, CAST(step AS INTEGER) AS step, node FROM x{k}"
+        for k in range(walk_len)
+    )
+    blocks.append(f"\n    {union}")
+    return "".join(blocks)
+
+
+@register("deterministic_walks_supplier", _walks_oracle(4, 2))
+def deterministic_walks_supplier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeepWalk-style walk corpus (operators/graph.py
+    deterministic_random_walks, Perozzi KDD'14) over the
+    customer-supplier bipartite graph: 2 walks of length 4 per node,
+    neighbor choice = portable-hash(node, walk, step) mod degree —
+    identical corpus on every engine/rerun/partitioning (the training
+    data feeding skip-gram/SGNS embedding ops). Every step is two
+    equi-keyed joins (degree lookup, indexed-neighbor lookup) on
+    O(#walkers) rows; the indexed neighbor/degree tables build once
+    and serve all steps (cached)."""
+    from dpe_energy_performance_analysis_etl_spark.operators.graph import (
+        deterministic_random_walks,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pairs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    return deterministic_random_walks(edges, walk_len=4, walks_per_node=2)

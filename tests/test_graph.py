@@ -137,3 +137,58 @@ def test_lpa_star_adopts_hub_then_leaves(spark):
     got = {r.node: r.label for r in label_propagation(edges, iterations=1).collect()}
     assert got[0] == 1
     assert all(got[i] == 0 for i in range(1, 6))
+
+
+def test_walks_follow_edges_and_stop_at_sinks(spark):
+    from dpe_energy_performance_analysis_etl_spark.operators.graph import (
+        deterministic_random_walks,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4)], "src long, dst long"  # 4 is a sink
+    )
+    rows = deterministic_random_walks(edges, walk_len=5, walks_per_node=2).collect()
+    eset = {(1, 2), (1, 3), (2, 3), (3, 4)}
+    byw = {}
+    for r in rows:
+        byw.setdefault((r.start, r.walk), {})[r.step] = r.node
+    for (start, _w), seq in byw.items():
+        assert seq[0] == start
+        steps = sorted(seq)
+        # consecutive steps traverse real edges; walks end at the sink
+        for a, b in zip(steps, steps[1:]):
+            assert b == a + 1
+            assert (seq[a], seq[b]) in eset
+        if max(steps) < 4:
+            assert seq[max(steps)] == 4  # only the sink truncates
+
+
+def test_walks_deterministic_across_partitioning(spark):
+    from dpe_energy_performance_analysis_etl_spark.operators.graph import (
+        deterministic_random_walks,
+    )
+
+    import random
+
+    rng = random.Random(3)
+    edges = list({(rng.randrange(20), rng.randrange(20)) for _ in range(60)})
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = sorted(map(tuple, deterministic_random_walks(df, 4, 2).collect()))
+    b = sorted(map(tuple, deterministic_random_walks(df.repartition(9), 4, 2).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_walks_visit_multiple_neighbors(spark):
+    """The hash choice must actually spread over neighbors: from a
+    hub with 8 out-edges, 16 walks should visit several distinct
+    first-step neighbors (a constant pick would visit one)."""
+    from dpe_energy_performance_analysis_etl_spark.operators.graph import (
+        deterministic_random_walks,
+    )
+
+    edges = [(0, i) for i in range(1, 9)] + [(i, 0) for i in range(1, 9)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = deterministic_random_walks(df, walk_len=2, walks_per_node=16).collect()
+    first = {r.node for r in rows if r.start == 0 and r.step == 1}
+    assert len(first) >= 4
