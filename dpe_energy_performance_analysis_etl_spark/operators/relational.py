@@ -186,3 +186,48 @@ def feature_hash_indices(
         for c in cat_cols
     ]
     return df.withColumn("feature_idx", F.array_sort(F.array_distinct(F.array(*idxs))))
+
+
+def pareto_front_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    id_col: str,
+    maximize_x: bool = True,
+    maximize_y: bool = True,
+) -> DataFrame:
+    """2-D skyline (Pareto front): rows not dominated in BOTH
+    dimensions (Börzsönyi et al. ICDE'01 — the multi-criteria
+    shortlist: cheapest-and-fastest suppliers, best
+    quality-per-token documents).
+
+    The 2-D case needs no block-nested-loop: within an x tier only
+    the y-maximum can survive (an x tie with larger y dominates), so
+    aggregate to one row per DISTINCT x first, then a point is on the
+    front iff its tier's y-max STRICTLY exceeds every better tier's —
+    a ROWS-frame running max over the (tiny) tier table ordered by x
+    descending. A ROWS frame on the deduplicated tiers is exact for
+    ANY x spacing; a RANGE -1 frame on the raw rows would silently
+    treat x values less than 1 apart as the same tier. Minimization
+    flips signs row-locally. The only global sort runs over distinct
+    x values, not data; d >= 3 needs a different algorithm by design
+    (documented non-goal)."""
+    from pyspark.sql import Window, functions as F
+
+    sx = F.col(x_col) if maximize_x else -F.col(x_col)
+    sy = F.col(y_col) if maximize_y else -F.col(y_col)
+    base = df.select(F.col(id_col), F.col(x_col), F.col(y_col), sx.alias("__x"), sy.alias("__y"))
+    tiers = base.groupBy("__x").agg(F.max("__y").alias("__ty"))
+    w = Window.orderBy(F.col("__x").desc()).rowsBetween(Window.unboundedPreceding, -1)
+    front_tiers = (
+        tiers.withColumn("__bp", F.max("__ty").over(w))
+        .where(F.col("__bp").isNull() | (F.col("__ty") > F.col("__bp")))
+        .select("__x", "__ty")
+    )
+    # no broadcast hint: the surviving tier table is usually tiny but
+    # adversarially |distinct x| (strictly staircase data) — let
+    # AQE pick the strategy from the runtime size
+    return base.join(
+        front_tiers,
+        (base["__x"] == front_tiers["__x"]) & (base["__y"] == front_tiers["__ty"]),
+    ).select(id_col, x_col, y_col)

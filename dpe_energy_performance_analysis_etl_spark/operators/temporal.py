@@ -426,3 +426,45 @@ def cusum_changepoint(
         "cusum_scaled",
         (F.abs(F.col("cusum_scaled")) == peak).alias("is_peak"),
     )
+
+
+def interval_coverage(
+    df: DataFrame,
+    start_col: str,
+    end_col: str,
+    by: list[str] | str | None = None,
+) -> DataFrame:
+    """Merged-interval coverage per key: overlapping/touching
+    [start, end] intervals union into islands; output per key the
+    merged interval count and TOTAL COVERED LENGTH (the dedup-aware
+    'total watch time' / machine-uptime / sensor-coverage measure —
+    a plain SUM(end - start) double-counts every overlap).
+
+    Gaps-and-islands with a running max: an interval starts a new
+    island iff its start exceeds the running max end of all previous
+    intervals (ordered by start; touching endpoints merge). One
+    window partitioned by key + one aggregation; integer or timestamp
+    bounds both work (length in the column's own units).
+    """
+    keys = [] if by is None else ([by] if isinstance(by, str) else list(by))
+    base = df.select(
+        *keys, F.col(start_col).alias("__s"), F.col(end_col).alias("__e")
+    )
+    w = Window.partitionBy(*keys).orderBy("__s", "__e")
+    prev_max_end = F.max("__e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    tagged = base.withColumn(
+        "__brk",
+        F.when(prev_max_end.isNull() | (F.col("__s") > prev_max_end), 1).otherwise(0),
+    ).withColumn(
+        "__gid",
+        F.sum("__brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    islands = tagged.groupBy(*keys, "__gid").agg(
+        F.min("__s").alias("island_start"), F.max("__e").alias("island_end")
+    )
+    agg_keys = keys if keys else []
+    out = islands.groupBy(*agg_keys).agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum(F.col("island_end") - F.col("island_start")).alias("covered_length"),
+    )
+    return out

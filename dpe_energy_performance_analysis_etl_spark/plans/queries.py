@@ -7660,3 +7660,83 @@ def deterministic_walks_supplier_q(spark: SparkSession, sf_dir: str) -> DataFram
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
     return deterministic_random_walks(edges, walk_len=4, walks_per_node=2)
+
+
+@register(
+    "pareto_front_parts",
+    """
+    WITH base AS (
+      SELECT p_partkey, p_retailprice, CAST(p_size AS BIGINT) AS p_size
+      FROM part
+    ), tiers AS (
+      SELECT p_retailprice AS x, MAX(p_size) AS ty FROM base GROUP BY 1
+    ), ft AS (
+      SELECT x, ty FROM (
+        SELECT x, ty,
+               MAX(ty) OVER (ORDER BY x DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS bp
+        FROM tiers
+      ) WHERE bp IS NULL OR ty > bp
+    )
+    SELECT b.p_partkey, b.p_retailprice, b.p_size
+    FROM base b JOIN ft ON b.p_retailprice = ft.x AND b.p_size = ft.ty
+    """,
+)
+def pareto_front_parts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (operators/relational.py pareto_front_2d,
+    Börzsönyi ICDE'01): parts not dominated on (retailprice, size)
+    maximizing both. Tier aggregation (one row per distinct x) + a
+    ROWS-frame running max over the tier table — exact for any x
+    spacing, global sort over distinct values only."""
+    from dpe_energy_performance_analysis_etl_spark.operators.relational import pareto_front_2d
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_retailprice", F.col("p_size").cast("bigint").alias("p_size")
+    )
+    return pareto_front_2d(part, "p_retailprice", "p_size", "p_partkey")
+
+
+@register(
+    "interval_coverage_users",
+    """
+    WITH iv AS (
+      SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 300000000 AS e FROM events
+    ), tagged AS (
+      SELECT user_id, s, e,
+             CASE WHEN MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       IS NULL
+                    OR s > MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS brk
+      FROM iv
+    ), grp AS (
+      SELECT user_id, s, e,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY s, e) AS gid
+      FROM tagged
+    ), islands AS (
+      SELECT user_id, gid, MIN(s) AS i_s, MAX(e) AS i_e
+      FROM grp GROUP BY user_id, gid
+    )
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(i_e - i_s) AS BIGINT) AS covered_length
+    FROM islands GROUP BY user_id
+    """,
+)
+def interval_coverage_users_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged-interval coverage (operators/temporal.py
+    interval_coverage): each event opens a 5-minute activity window;
+    per user, overlap-deduplicated total active time + merged-island
+    count (a plain SUM of window lengths double-counts every
+    overlap). Gaps-and-islands with a running max end; integer
+    microseconds throughout."""
+    from dpe_energy_performance_analysis_etl_spark.functions.temporal import epoch_micros
+    from dpe_energy_performance_analysis_etl_spark.operators.temporal import interval_coverage
+
+    ev = read_events(spark, sf_dir)
+    iv = ev.select(
+        "user_id",
+        epoch_micros("ts").alias("s"),
+        (epoch_micros("ts") + 300_000_000).alias("e"),
+    )
+    return interval_coverage(iv, "s", "e", "user_id")

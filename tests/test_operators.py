@@ -503,3 +503,37 @@ class TestScanFanout:
         assert scan_fanout(small).rdd.getNumPartitions() >= target
         wide = spark.range(0, 100).repartition(target)
         assert scan_fanout(wide) is wide
+
+
+def test_pareto_front_2d_all_quadrants(spark):
+    """Hand-checked fronts in max/max and min/min orientations,
+    including x ties (only the tier's y-max survives) and fractional
+    x spacing (the RANGE-frame trap the tier design avoids)."""
+    from dpe_energy_performance_analysis_etl_spark.operators.relational import pareto_front_2d
+
+    rows = [
+        (1, 5.0, 1.0), (2, 4.5, 3.0), (3, 4.5, 2.0),
+        (4, 3.0, 3.0), (5, 2.2, 5.0), (6, 1.0, 4.0),
+    ]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    mx = sorted(r.id for r in pareto_front_2d(df, "x", "y", "id").collect())
+    assert mx == [1, 2, 5]  # (4.5,3) dominates (4.5,2) and (3,3)
+    mn = sorted(
+        r.id
+        for r in pareto_front_2d(
+            df, "x", "y", "id", maximize_x=False, maximize_y=False
+        ).collect()
+    )
+    assert mn == [1, 3, 4, 6]
+
+
+def test_pareto_front_duplicated_optimum_kept(spark):
+    """Two identical nondominated points both survive (neither
+    strictly dominates the other)."""
+    from dpe_energy_performance_analysis_etl_spark.operators.relational import pareto_front_2d
+
+    df = spark.createDataFrame(
+        [(1, 2.0, 2.0), (2, 2.0, 2.0), (3, 1.0, 1.0)], "id long, x double, y double"
+    )
+    got = sorted(r.id for r in pareto_front_2d(df, "x", "y", "id").collect())
+    assert got == [1, 2]

@@ -262,3 +262,20 @@ def test_cusum_flat_series_all_zero(spark):
     df = spark.createDataFrame([(p, 500) for p in range(4)], "period int, cents long")
     out = cusum_changepoint(df, "period", F.col("cents")).collect()
     assert all(r.cusum_scaled == 0 and r.is_peak for r in out)
+
+
+def test_interval_coverage_merges_and_measures(spark):
+    from dpe_energy_performance_analysis_etl_spark.operators.temporal import interval_coverage
+
+    rows = [
+        ("a", 0, 10), ("a", 5, 15), ("a", 20, 30),   # overlap + gap
+        ("b", 0, 1), ("b", 1, 2),                    # touching endpoints merge
+        ("c", 0, 100), ("c", 10, 20),                # containment
+    ]
+    df = spark.createDataFrame(rows, "k string, s long, e long")
+    got = {r.k: (r.n_islands, r.covered_length) for r in interval_coverage(df, "s", "e", "k").collect()}
+    assert got == {"a": (2, 25), "b": (1, 2), "c": (1, 100)}
+    # partitioning invariance
+    again = {r.k: (r.n_islands, r.covered_length)
+             for r in interval_coverage(df.repartition(5), "s", "e", "k").collect()}
+    assert again == got
