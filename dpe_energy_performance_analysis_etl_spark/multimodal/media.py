@@ -340,3 +340,121 @@ def extract_raw_frames(
             yield pd.DataFrame(rows, columns=[id_col, "frame_idx", "content", "height", "width"])
 
     return df.select(id_col, content_col).mapInPandas(work, out_schema)
+
+
+def _dhash64(pixels: np.ndarray) -> int:
+    """Difference hash (dHash, 64-bit): grayscale-reduce, resize to
+    9x8 with the deterministic nearest-neighbor kernel, set bit (r,c)
+    iff pixel[r, c] < pixel[r, c+1]. INTEGER end to end (integer
+    grayscale via the BT.601 29/150/77 >> 8 fixed-point weights, no
+    float resampling), so the hash is bit-identical everywhere."""
+    from dpe_energy_performance_analysis_etl_spark.multimodal.codecs import resize_nearest
+
+    if pixels.ndim == 1:
+        # stub-decoder path (flat digest array): square it up
+        side = max(int(len(pixels) ** 0.5), 1)
+        pixels = pixels[: side * side].reshape(side, side)
+    if pixels.ndim == 3:
+        r = pixels[:, :, 0].astype(np.int64)
+        g = pixels[:, :, 1].astype(np.int64)
+        b = pixels[:, :, 2].astype(np.int64)
+        gray = (77 * r + 150 * g + 29 * b) >> 8
+    else:
+        gray = pixels.astype(np.int64)
+    small = resize_nearest(gray[:, :, None].astype(np.uint8), 8, 9)[:, :, 0].astype(
+        np.int64
+    )
+    h = 0
+    for r_ in range(8):
+        for c in range(8):
+            h = (h << 1) | int(small[r_, c] < small[r_, c + 1])
+    # two's-complement into int64 so Spark's bigint holds it
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def image_dhash(
+    df: DataFrame, content_col: str = "content", fake: bool = False
+) -> DataFrame:
+    """Adds ``dhash`` (bigint): the 64-bit difference hash of each
+    image payload — the standard perceptual near-dup key for image
+    corpora (small crops/recompressions/brightness shifts keep most
+    bits; exact byte-hash dedup catches none of those). Arrow-batched
+    mapInPandas over the stdlib codecs (``fake=True`` uses the
+    deterministic stub decoder, the no-image-libs test path)."""
+    decode = _fake_decode if fake else None
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from dpe_energy_performance_analysis_etl_spark.multimodal.codecs import (
+            sniff_decode_image,
+        )
+
+        dec = decode or sniff_decode_image
+        for pdf in batches:
+            hashes = []
+            for payload in pdf[content_col]:
+                try:
+                    hashes.append(_dhash64(dec(bytes(payload))))
+                except Exception:
+                    hashes.append(None)
+            out = pdf.copy()
+            out["dhash"] = pd.array(hashes, dtype="Int64")
+            yield out
+
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("dhash", T.LongType())]
+    )
+    return df.mapInPandas(work, schema=schema)
+
+
+def dhash_near_dup_groups(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "path",
+    max_hamming: int = 2,
+    fake: bool = False,
+) -> DataFrame:
+    """Near-duplicate image pairs by dHash hamming distance <=
+    ``max_hamming``: candidates come from BANDED equality (the 64-bit
+    hash splits into max_hamming+1 16-bit bands — pigeonhole: any
+    pair within the radius agrees on at least one band), verified
+    with an exact popcount on the XOR. The LSH discipline applied to
+    perceptual hashes: candidate volume is bounded per band bucket,
+    never all-pairs. Returns (id_a, id_b, hamming)."""
+    hashed = image_dhash(df, content_col, fake).select(
+        F.col(id_col).alias("iid"), "dhash"
+    ).where(F.col("dhash").isNotNull())
+    hashed = hashed.cache()
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(F.col("dhash"), b * width).bitwiseAND(
+                    F.lit((1 << width) - 1)
+                ).alias("key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    posted = hashed.select("iid", "dhash", F.explode(bands).alias("b")).select(
+        "iid", "dhash", F.col("b.band").alias("band"), F.col("b.key").alias("key")
+    )
+    cand = (
+        posted.alias("a")
+        .join(posted.alias("b"), ["band", "key"])
+        .where(F.col("a.iid") < F.col("b.iid"))
+        .select(
+            F.col("a.iid").alias("id_a"),
+            F.col("b.iid").alias("id_b"),
+            F.col("a.dhash").alias("h_a"),
+            F.col("b.dhash").alias("h_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

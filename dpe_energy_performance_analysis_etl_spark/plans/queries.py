@@ -7740,3 +7740,42 @@ def interval_coverage_users_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         (epoch_micros("ts") + 300_000_000).alias("e"),
     )
     return interval_coverage(iv, "s", "e", "user_id")
+
+
+@register("image_dhash_near_dups")
+def image_dhash_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup pairs (multimodal/media.py
+    image_dhash + dhash_near_dup_groups): documents render to small
+    deterministic PPM images (text bytes fill the pixel grid; docs
+    sharing a duplicated prefix produce near-identical images), then
+    64-bit dHash → 16-bit band candidates (pigeonhole over hamming
+    <= 2) → exact popcount verify. Rows-only by design — PNG/PPM
+    decode is not SQL — but the dHash integer pipeline and the banded
+    join are pinned by ground-truth hamming tests and the codecs by
+    pixel-exact roundtrips."""
+    import numpy as np
+    import pandas as pd
+
+    from dpe_energy_performance_analysis_etl_spark.multimodal.media import (
+        dhash_near_dup_groups,
+    )
+
+    docs = read_documents(spark, sf_dir)
+
+    def render(batches):
+        from dpe_energy_performance_analysis_etl_spark.multimodal.codecs import encode_ppm
+
+        for pdf in batches:
+            payloads = []
+            for t in pdf["text"]:
+                raw = t.encode()[: 24 * 24]
+                buf = np.zeros(24 * 24, dtype=np.uint8)
+                buf[: len(raw)] = np.frombuffer(raw, dtype=np.uint8)
+                img = np.stack([buf.reshape(24, 24)] * 3, axis=2)
+                payloads.append(encode_ppm(img))
+            yield pd.DataFrame({"path": pdf["doc_id"].astype(str), "content": payloads})
+
+    imgs = docs.select("doc_id", "text").mapInPandas(
+        render, schema="path string, content binary"
+    )
+    return dhash_near_dup_groups(imgs, id_col="path", max_hamming=2)

@@ -79,3 +79,71 @@ def test_unknown_method_rejected(spark):
     df = spark.createDataFrame([(0, b"")], "media_id long, content binary")
     with pytest.raises(ValueError, match="method"):
         resize_images(df, 2, 2, method="lanczos")
+
+
+def _grad_img(np, w=32, h=24, bump=None):
+    """Smooth horizontal gradient image; optional small local bump."""
+    x = np.tile(np.arange(w, dtype=np.uint8) * 8, (h, 1))
+    img = np.stack([x, x // 2, x // 3], axis=2).astype(np.uint8)
+    if bump:
+        r, c = bump
+        img[r : r + 2, c : c + 2, :] = 255
+    return img
+
+
+def test_dhash_stable_and_locality(spark):
+    """dHash: identical images hash identically; a 2x2-pixel bump
+    moves few bits; an inverted gradient is far away."""
+    import numpy as np
+    from dpe_energy_performance_analysis_etl_spark.multimodal.codecs import encode_ppm
+    from dpe_energy_performance_analysis_etl_spark.multimodal.media import image_dhash
+
+    a = encode_ppm(_grad_img(np))
+    a2 = encode_ppm(_grad_img(np))
+    near = encode_ppm(_grad_img(np, bump=(10, 10)))
+    far = encode_ppm(_grad_img(np)[:, ::-1].copy())
+    df = spark.createDataFrame(
+        [("a", a), ("a2", a2), ("near", near), ("far", far)],
+        "path string, content binary",
+    )
+    got = {r.path: r.dhash for r in image_dhash(df).collect()}
+    assert got["a"] == got["a2"]
+
+    def ham(x, y):
+        return bin((x ^ y) & ((1 << 64) - 1)).count("1")
+
+    assert ham(got["a"], got["near"]) <= 6
+    assert ham(got["a"], got["far"]) > 16
+
+
+def test_dhash_near_dup_groups_banded(spark):
+    """Banded candidate generation finds every pair within the radius
+    (pigeonhole) and the exact popcount verify drops the rest."""
+    import numpy as np
+    from dpe_energy_performance_analysis_etl_spark.multimodal.codecs import encode_ppm
+    from dpe_energy_performance_analysis_etl_spark.multimodal.media import (
+        dhash_near_dup_groups,
+        image_dhash,
+    )
+
+    imgs = {
+        "x1": encode_ppm(_grad_img(np)),
+        "x2": encode_ppm(_grad_img(np)),          # exact dup: hamming 0
+        "y": encode_ppm(_grad_img(np)[:, ::-1].copy()),
+        "z": encode_ppm(_grad_img(np).T.copy() if False else _grad_img(np, bump=(0, 0))),
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in imgs.items()], "path string, content binary"
+    )
+    pairs = {(r.id_a, r.id_b): r.hamming for r in dhash_near_dup_groups(df, max_hamming=2).collect()}
+    assert pairs.get(("x1", "x2")) == 0
+    # verify against ground truth: every <=2 pair appears, none above
+    hs = {r.path: r.dhash for r in image_dhash(df).collect()}
+    import itertools
+
+    for a, b in itertools.combinations(sorted(hs), 2):
+        d = bin((hs[a] ^ hs[b]) & ((1 << 64) - 1)).count("1")
+        if d <= 2:
+            assert (a, b) in pairs and pairs[(a, b)] == d
+        else:
+            assert (a, b) not in pairs
