@@ -241,3 +241,53 @@ def join_view_delta(
     arm2 = base_left.join(delta_right, on=keys)
     arm3 = delta_left.join(delta_right, on=keys)
     return arm1.unionByName(arm2).unionByName(arm3)
+
+
+def join_view_delta_signed(
+    base_left: DataFrame,
+    delta_left: DataFrame,
+    base_right: DataFrame,
+    delta_right: DataFrame,
+    on: list[str] | str,
+    weight_col: str = "w",
+) -> DataFrame:
+    """Incremental inner-join view maintenance under INSERTS AND
+    DELETES: deltas carry signed multiplicities (+1 insert, -1
+    delete, any integer for batched repeats) in ``weight_col``; the
+    bilinear identity
+
+        d(L ⋈ R)  =  dL ⋈ R  +  L ⋈ dR  +  dL ⋈ dR
+
+    holds for signed multisets exactly (the differential-dataflow /
+    DBSP Z-set algebra: join is bilinear in its inputs), with each
+    output row's weight the PRODUCT of the matched weights (base rows
+    weigh +1). Rows are then net-aggregated per value; net 0 rows
+    (e.g. a delete cancelling an insert) drop out. Downstream applies
+    the view change by adding weights per row value.
+
+    Same O(|delta|) probe cost as the inserts-only variant; the only
+    extra work is the weight product and the final per-value net
+    aggregation (map-side combinable)."""
+    keys = [on] if isinstance(on, str) else list(on)
+    lcols = [c for c in base_left.columns if c not in keys]
+    rcols = [c for c in base_right.columns if c not in keys]
+    bl = base_left.withColumn("__wl", F.lit(1))
+    br = base_right.withColumn("__wr", F.lit(1))
+    dl = delta_left.withColumnRenamed(weight_col, "__wl")
+    dr = delta_right.withColumnRenamed(weight_col, "__wr")
+    arms = [
+        dl.join(br, on=keys),
+        bl.join(dr, on=keys),
+        dl.join(dr.withColumnRenamed("__wr", "__wr2"), on=keys).withColumn(
+            "__wr", F.col("__wr2")
+        ).drop("__wr2"),
+    ]
+    out = None
+    for a in arms:
+        a = a.select(*keys, *lcols, *rcols, (F.col("__wl") * F.col("__wr")).alias("__w"))
+        out = a if out is None else out.unionByName(a)
+    return (
+        out.groupBy(*keys, *lcols, *rcols)
+        .agg(F.sum("__w").alias(weight_col))
+        .where(F.col(weight_col) != 0)
+    )

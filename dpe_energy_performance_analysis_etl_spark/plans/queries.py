@@ -7779,3 +7779,78 @@ def image_dhash_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         render, schema="path string, content binary"
     )
     return dhash_near_dup_groups(imgs, id_col="path", max_hamming=2)
+
+
+@register(
+    "join_view_delta_signed_orders",
+    """
+    WITH bl AS (
+      SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice
+      FROM orders WHERE o_orderkey % 10 <> 0
+    ), br AS (
+      SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 20 <> 0
+    ), dl AS (
+      SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice, 1 AS w
+      FROM orders WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT o_custkey, o_orderkey, o_totalprice, -1
+      FROM orders WHERE o_orderkey % 10 = 5
+    ), dr AS (
+      SELECT c_custkey, c_mktsegment, 1 AS w FROM customer WHERE c_custkey % 20 = 0
+    ), newl AS (
+      SELECT c_custkey, o_orderkey, o_totalprice, CAST(1 AS BIGINT) AS w FROM bl
+      UNION ALL SELECT c_custkey, o_orderkey, o_totalprice, CAST(w AS BIGINT) FROM dl
+    ), newr AS (
+      SELECT c_custkey, c_mktsegment, CAST(1 AS BIGINT) AS w FROM br
+      UNION ALL SELECT c_custkey, c_mktsegment, CAST(w AS BIGINT) FROM dr
+    ), newv AS (
+      SELECT l.c_custkey, l.o_orderkey, l.o_totalprice, r.c_mktsegment,
+             CAST(SUM(l.w * r.w) AS BIGINT) AS w
+      FROM newl l JOIN newr r USING (c_custkey)
+      GROUP BY 1, 2, 3, 4
+    ), oldv AS (
+      SELECT bl.c_custkey, bl.o_orderkey, bl.o_totalprice, br.c_mktsegment,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM bl JOIN br USING (c_custkey)
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT c_custkey, o_orderkey, o_totalprice, c_mktsegment,
+           CAST(SUM(w) AS BIGINT) AS w
+    FROM (
+      SELECT * FROM newv
+      UNION ALL
+      SELECT c_custkey, o_orderkey, o_totalprice, c_mktsegment, -w FROM oldv
+    ) GROUP BY 1, 2, 3, 4 HAVING SUM(w) <> 0
+    """,
+)
+def join_view_delta_signed_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed (insert + delete) incremental join-view maintenance
+    (operators/incremental.py join_view_delta_signed — the
+    differential-dataflow / DBSP Z-set identity: join is bilinear, so
+    d(L⋈R) = dL⋈R + L⋈dR + dL⋈dR with weight products). Deltas here
+    insert the %10==0 orders, DELETE the %10==5 ones, and insert a
+    customer batch; the oracle is the spec — new-view multiset minus
+    old-view multiset, net-nonzero rows only."""
+    from dpe_energy_performance_analysis_etl_spark.operators.incremental import (
+        join_view_delta_signed,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_custkey").alias("c_custkey"), "o_orderkey", "o_totalprice"
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    bl = orders.where(F.col("o_orderkey") % 10 != 0)
+    br = cust.where(F.col("c_custkey") % 20 != 0)
+    dl = (
+        orders.where(F.col("o_orderkey") % 10 == 0)
+        .withColumn("w", F.lit(1).cast("bigint"))
+        .unionByName(
+            orders.where(F.col("o_orderkey") % 10 == 5).withColumn(
+                "w", F.lit(-1).cast("bigint")
+            )
+        )
+    )
+    dr = cust.where(F.col("c_custkey") % 20 == 0).withColumn("w", F.lit(1).cast("bigint"))
+    return join_view_delta_signed(bl, dl, br, dr, on="c_custkey")

@@ -136,3 +136,48 @@ def test_join_view_delta_empty_deltas_empty_output(spark):
     empty_l = spark.createDataFrame([], "k long, lv string")
     empty_r = spark.createDataFrame([], "k long, rv string")
     assert join_view_delta(L, empty_l, R, empty_r, on="k").count() == 0
+
+
+def test_join_view_delta_signed_matches_recompute(spark):
+    """Signed Z-set identity: net view change under mixed
+    inserts/deletes equals full-recompute-minus-old, per row value."""
+    from dpe_energy_performance_analysis_etl_spark.operators.incremental import (
+        join_view_delta_signed,
+    )
+    from pyspark.sql import functions as F
+
+    L = spark.createDataFrame([(1, "l1"), (2, "l2")], "k long, lv string")
+    R = spark.createDataFrame([(1, "r1"), (2, "r2"), (2, "r2b")], "k long, rv string")
+    # delete (2,'l2'); insert (3,'l3') twice (weight 2)
+    dL = spark.createDataFrame([(2, "l2", -1), (3, "l3", 2)], "k long, lv string, w long")
+    # delete (2,'r2b'); insert (3,'r3')
+    dR = spark.createDataFrame([(2, "r2b", -1), (3, "r3", 1)], "k long, rv string, w long")
+
+    got = {
+        (r.k, r.lv, r.rv): r.w
+        for r in join_view_delta_signed(L, dL, R, dR, on="k").collect()
+    }
+
+    # ground truth: multiset counts of new view minus old view
+    newL = L.withColumn("w", F.lit(1)).unionByName(dL)
+    newR = R.withColumn("w", F.lit(1)).unionByName(dR)
+    new_view = (
+        newL.withColumnRenamed("w", "wl")
+        .join(newR.withColumnRenamed("w", "wr"), "k")
+        .groupBy("k", "lv", "rv")
+        .agg(F.sum(F.col("wl") * F.col("wr")).alias("w"))
+    )
+    old_view = L.join(R, "k").groupBy("k", "lv", "rv").agg(F.count(F.lit(1)).alias("w"))
+    want = {}
+    for r in new_view.collect():
+        want[(r.k, r.lv, r.rv)] = want.get((r.k, r.lv, r.rv), 0) + r.w
+    for r in old_view.collect():
+        key = (r.k, r.lv, r.rv)
+        want[key] = want.get(key, 0) - r.w
+    want = {k: v for k, v in want.items() if v != 0}
+    assert got == want
+    # spot-check the interesting cells: (2,l2,*) removed, (3,l3,r3) weight 2
+    assert got[(2, "l2", "r2")] == -1
+    assert got[(3, "l3", "r3")] == 2
+    # delete x delete: (2, l2, r2b) = -(base) -(base) +(del*del=+1) = net -1
+    assert got[(2, "l2", "r2b")] == -1
