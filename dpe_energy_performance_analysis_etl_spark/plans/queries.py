@@ -7854,3 +7854,49 @@ def join_view_delta_signed_orders_q(spark: SparkSession, sf_dir: str) -> DataFra
     )
     dr = cust.where(F.col("c_custkey") % 20 == 0).withColumn("w", F.lit(1).cast("bigint"))
     return join_view_delta_signed(bl, dl, br, dr, on="c_custkey")
+
+
+@register(
+    "flesch_readability_docs",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_words,
+             CAST(greatest(len(regexp_extract_all(lower(text), '[.!?]+')), 1) AS BIGINT) AS n_sentences,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS vg
+      FROM documents
+    )
+    SELECT doc_id, n_words, n_sentences,
+           greatest(vg, n_words) AS n_syllables,
+           2.06835e2
+             - 1.015e0 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+             - 8.46e1 * (CAST(greatest(vg, n_words) AS DOUBLE)
+                         / CAST(greatest(n_words, 1) AS DOUBLE)) AS flesch_score
+    FROM m
+    """,
+)
+def flesch_readability_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease quality gate (text/analysis.py
+    flesch_reading_ease): integer regexp counts (words, sentence
+    terminators, vowel-group syllables), one fixed-order double
+    expression — engine-portable readability scores (e-notation
+    constants in the oracle; plain decimals would parse as DECIMAL
+    and double-round)."""
+    from dpe_energy_performance_analysis_etl_spark.text.analysis import flesch_reading_ease
+
+    docs = read_documents(spark, sf_dir)
+    cols = flesch_reading_ease("text")
+    return docs.select("doc_id", *[v.alias(k) for k, v in cols.items()])
+
+
+@register("compression_ratio_docs")
+def compression_ratio_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression-ratio quality signal (text/analysis.py
+    compression_ratio — the Gopher/RedPajama repetitiveness screen:
+    both tails are filter candidates). Rows-only by design: zlib is
+    engine-external (deterministic for a fixed level, pinned by unit
+    tests on known-ratio fixtures); Arrow-batched mapInPandas, zero
+    shuffle."""
+    from dpe_energy_performance_analysis_etl_spark.text.analysis import compression_ratio
+
+    return compression_ratio(read_documents(spark, sf_dir))

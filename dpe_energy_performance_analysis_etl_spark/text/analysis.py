@@ -212,3 +212,75 @@ def distinctive_terms_by_source(
         .where(F.col("rank") <= k)
         .select(F.col("grp").alias(group_col), "term", "tf", "score", "rank")
     )
+
+
+def flesch_reading_ease(col: str | Column) -> dict[str, Column]:
+    """Flesch reading-ease inputs + score (the classic readability
+    quality gate), with the standard vowel-group syllable heuristic —
+    all INTEGER counts (regexp over lowercased text), one final
+    fixed-order double expression, so the score is engine-portable:
+
+        206.835 - 1.015 * words/sentences - 84.6 * syllables/words
+
+    Sentences = runs ending in [.!?] (min 1); syllables = vowel
+    groups [aeiouy]+ per word (min 1 per word via max(words,
+    groups)). Heuristic by design — the VALUE is the deterministic
+    pipeline gate, not linguistic truth. Returns the count columns
+    too so callers can re-weight."""
+    c = F.lower(_c(col))
+    words = F.size(tokens_expr(col))
+    sentences = F.greatest(
+        F.size(F.regexp_extract_all(c, F.lit(r"[.!?]+"), 0)), F.lit(1)
+    )
+    vowel_groups = F.size(F.regexp_extract_all(c, F.lit(r"[aeiouy]+"), 0))
+    syllables = F.greatest(vowel_groups, words)
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * (words.cast("double") / sentences.cast("double"))
+        - F.lit(84.6) * (syllables.cast("double") / F.greatest(words, F.lit(1)).cast("double"))
+    )
+    return {
+        "n_words": words.cast("bigint"),
+        "n_sentences": sentences.cast("bigint"),
+        "n_syllables": syllables.cast("bigint"),
+        "flesch_score": score,
+    }
+
+
+def compression_ratio(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", level: int = 6
+) -> DataFrame:
+    """zlib compression ratio per document — the Gopher/RedPajama
+    quality signal: highly repetitive or templated text compresses
+    far below natural prose, near-random noise barely compresses at
+    all; both tails are filter candidates. Arrow-batched mapInPandas
+    over stdlib zlib (deterministic for a fixed level — same bytes →
+    same compressed size; engine-external, so rows-only by design).
+    Returns (id, raw_bytes, compressed_bytes, ratio)."""
+    import pandas as pd
+
+    def work(batches):
+        import zlib
+
+        for pdf in batches:
+            raw, comp = [], []
+            for t in pdf[text_col]:
+                b = (t or "").encode()
+                raw.append(len(b))
+                comp.append(len(zlib.compress(b, level)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "raw_bytes": raw,
+                    "compressed_bytes": comp,
+                }
+            )
+
+    out = df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        work, schema="doc_id long, raw_bytes long, compressed_bytes long"
+    )
+    return out.withColumn(
+        "ratio",
+        F.col("compressed_bytes").cast("double")
+        / F.greatest(F.col("raw_bytes"), F.lit(1)).cast("double"),
+    )

@@ -260,3 +260,40 @@ class TestSourceOverlapMatrix:
         df = spark.createDataFrame(rows, "doc_id long, text string, source string")
         row = source_overlap_matrix(df).collect()[0]
         assert row["n_shared"] == 1 and row["overlap_coef"] == 1.0
+
+
+def test_flesch_reading_ease_hand_computed(spark):
+    from dpe_energy_performance_analysis_etl_spark.text.analysis import flesch_reading_ease
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran!"), (2, "a e i")], "doc_id long, text string"
+    )
+    cols = flesch_reading_ease("text")
+    out = {r.doc_id: r for r in df.select("doc_id", *[v.alias(k) for k, v in cols.items()]).collect()}
+    r1 = out[1]
+    # words=6, sentences=2, vowel groups: e,a,a,e,o,a = 6 -> syllables 6
+    assert (r1.n_words, r1.n_sentences, r1.n_syllables) == (6, 2, 6)
+    assert abs(r1.flesch_score - (206.835 - 1.015 * 3.0 - 84.6 * 1.0)) < 1e-12
+    # no terminator -> sentences floors at 1; syllables floor at words
+    assert out[2].n_sentences == 1 and out[2].n_syllables == 3
+
+
+def test_compression_ratio_separates_repetitive_from_noise(spark):
+    from dpe_energy_performance_analysis_etl_spark.text.analysis import compression_ratio
+
+    import random
+
+    rng = random.Random(5)
+    noise = "".join(rng.choice("abcdefghijklmnopqrstuvwxyz0123456789") for _ in range(4000))
+    df = spark.createDataFrame(
+        [(1, "spam " * 800), (2, noise)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in compression_ratio(df).collect()}
+    assert out[1].ratio < 0.05          # templated text collapses
+    assert out[2].ratio > 0.5           # noise barely compresses
+    assert out[1].raw_bytes == 4000
+    # deterministic across partitionings
+    again = {r.doc_id: r.compressed_bytes
+             for r in compression_ratio(df.repartition(3)).collect()}
+    assert again == {k: v.compressed_bytes for k, v in out.items()}
