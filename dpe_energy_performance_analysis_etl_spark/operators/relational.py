@@ -231,3 +231,96 @@ def pareto_front_2d(
         front_tiers,
         (base["__x"] == front_tiers["__x"]) & (base["__y"] == front_tiers["__ty"]),
     ).select(id_col, x_col, y_col)
+
+
+def numeric_range_lookup(
+    facts: DataFrame,
+    dims: DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    bucket_width: int | None = None,
+) -> DataFrame:
+    """Attach the dimension row whose [lo, hi] interval contains each
+    fact's value (IP→geo, tax brackets, grade bands, price tiers) —
+    WITHOUT the nested-loop a naive BETWEEN theta-join plans.
+
+    Each dim interval explodes into the integer buckets it spans
+    (width defaults to the median interval span, snapped to a power
+    of two); facts compute one bucket; the join is equi on bucket
+    with the exact BETWEEN applied after. Candidates per fact are
+    bounded by bucket occupancy, shuffle volume O(n + Σ spans/width).
+    Overlapping dim intervals produce one output row per match (the
+    caller disambiguates); facts outside every interval are dropped
+    (inner semantics).
+    """
+    from pyspark.sql import functions as F
+
+    if bucket_width is None:
+        med = (
+            dims.select((F.col(hi_col) - F.col(lo_col)).alias("span"))
+            .agg(F.expr("percentile_approx(span, 0.5)").alias("m"))
+            .collect()[0]["m"]
+        )
+        bucket_width = max(int(med or 1), 1)
+        # snap to power of two: stable across tiny median drift
+        bucket_width = 1 << (bucket_width.bit_length() - 1)
+    d = dims.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / bucket_width),
+                F.floor(F.col(hi_col) / bucket_width),
+            )
+        ),
+    )
+    f = facts.withColumn("__bucket", F.floor(F.col(value_col) / bucket_width))
+    return (
+        f.join(d, "__bucket")
+        .where(F.col(value_col).between(F.col(lo_col), F.col(hi_col)))
+        .drop("__bucket")
+    )
+
+
+def abc_classification(
+    df: DataFrame,
+    key_col: str,
+    value_cents,
+    a_pct: int = 80,
+    b_pct: int = 95,
+) -> DataFrame:
+    """ABC / Pareto-share classification (the 80/15/5 inventory
+    analysis): items ranked by value descending; class A while the
+    running share is <= a_pct%, B to b_pct%, C after. Returns
+    (key, value_cents, cum_cents, rank, abc_class).
+
+    Exactness: the class boundary compares ``cum * 100 <= pct *
+    total`` in INTEGER cents — no float share ever decides a
+    boundary. The window runs over the PER-KEY aggregate (bounded),
+    never raw rows; ties rank deterministically by key."""
+    from pyspark.sql import Window, functions as F
+
+    vcol = value_cents if not isinstance(value_cents, str) else F.col(value_cents)
+    per = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.sum(vcol.cast("bigint")).alias("value_cents")
+    )
+    w = Window.orderBy(F.col("value_cents").desc(), F.col("key"))
+    w_all = Window.partitionBy()
+    ranked = per.withColumn(
+        "cum_cents",
+        F.sum("value_cents").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    ).withColumn("rank", F.row_number().over(w)).withColumn(
+        "total", F.sum("value_cents").over(w_all)
+    )
+    cls = (
+        F.when(F.col("cum_cents") * 100 <= F.lit(a_pct) * F.col("total"), "A")
+        .when(F.col("cum_cents") * 100 <= F.lit(b_pct) * F.col("total"), "B")
+        .otherwise("C")
+    )
+    return ranked.select(
+        F.col("key").alias(key_col),
+        "value_cents",
+        "cum_cents",
+        F.col("rank").cast("bigint").alias("rank"),
+        cls.alias("abc_class"),
+    )

@@ -7900,3 +7900,92 @@ def compression_ratio_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dpe_energy_performance_analysis_etl_spark.text.analysis import compression_ratio
 
     return compression_ratio(read_documents(spark, sf_dir))
+
+
+_PRICE_TIERS = [
+    ("budget", 0, 4_999_999),
+    ("mid", 5_000_000, 14_999_999),
+    ("upper", 15_000_000, 29_999_999),
+    ("premium", 30_000_000, 44_999_999),
+    ("luxury", 45_000_000, 99_999_999),
+]
+
+
+@register(
+    "range_lookup_order_tiers",
+    """
+    WITH tiers(tier, lo, hi) AS (
+      VALUES ('budget', 0, 4999999), ('mid', 5000000, 14999999),
+             ('upper', 15000000, 29999999), ('premium', 30000000, 44999999),
+             ('luxury', 45000000, 99999999)
+    ), facts AS (
+      SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders
+    )
+    SELECT t.tier, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(f.cents) AS BIGINT) AS revenue_cents
+    FROM facts f JOIN tiers t ON f.cents BETWEEN t.lo AND t.hi
+    GROUP BY t.tier
+    """,
+)
+def range_lookup_order_tiers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric range-lookup join (operators/relational.py
+    numeric_range_lookup — IP→geo / tax-bracket / price-tier shape):
+    non-uniform [lo, hi] tiers explode into integer buckets, facts
+    equi-join on bucket, exact BETWEEN after — candidates bounded by
+    bucket occupancy, never the BroadcastNestedLoop a naive BETWEEN
+    theta-join plans. The oracle IS the BETWEEN spec."""
+    from dpe_energy_performance_analysis_etl_spark.operators.relational import (
+        numeric_range_lookup,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents")
+    )
+    tiers = spark.createDataFrame(_PRICE_TIERS, "tier string, lo long, hi long")
+    joined = numeric_range_lookup(
+        orders, tiers, "cents", bucket_width=1 << 22
+    )
+    return joined.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").alias("revenue_cents"),
+    )
+
+
+@register(
+    "abc_classification_brands",
+    """
+    WITH per AS (
+      SELECT p.p_brand AS key,
+             CAST(SUM(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1
+    ), r AS (
+      SELECT key, value_cents,
+             CAST(SUM(value_cents) OVER (ORDER BY value_cents DESC, key) AS BIGINT) AS cum_cents,
+             CAST(row_number() OVER (ORDER BY value_cents DESC, key) AS BIGINT) AS rank,
+             CAST(SUM(value_cents) OVER () AS BIGINT) AS total
+      FROM per
+    )
+    SELECT key AS p_brand, value_cents, cum_cents, rank,
+           CASE WHEN cum_cents * 100 <= 80 * total THEN 'A'
+                WHEN cum_cents * 100 <= 95 * total THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM r
+    """,
+)
+def abc_classification_brands_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto-share classification (operators/relational.py
+    abc_classification) of part brands by revenue: class boundaries
+    compared in INTEGER cents (cum*100 <= pct*total — no float share
+    ever decides a boundary); the window runs over the 25-brand
+    aggregate, never raw lineitem."""
+    from dpe_energy_performance_analysis_etl_spark.operators.relational import (
+        abc_classification,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select("p_partkey", "p_brand")
+    joined = li.join(part, li["l_partkey"] == part["p_partkey"])
+    return abc_classification(
+        joined, "p_brand", F.floor(F.col("l_extendedprice") * 100 + 0.5)
+    )

@@ -537,3 +537,50 @@ def test_pareto_front_duplicated_optimum_kept(spark):
     )
     got = sorted(r.id for r in pareto_front_2d(df, "x", "y", "id").collect())
     assert got == [1, 2]
+
+
+def test_numeric_range_lookup_nonuniform_tiers(spark):
+    from dpe_energy_performance_analysis_etl_spark.operators.relational import (
+        numeric_range_lookup,
+    )
+    from pyspark.sql import functions as F
+
+    dims = spark.createDataFrame(
+        [("a", 0, 9), ("b", 10, 99), ("c", 100, 1000)], "tier string, lo long, hi long"
+    )
+    facts = spark.createDataFrame([(5,), (10,), (99,), (100,), (2000,)], "v long")
+    got = {r.v: r.tier for r in numeric_range_lookup(facts, dims, "v").collect()}
+    assert got == {5: "a", 10: "b", 99: "b", 100: "c"}  # 2000 unmatched -> dropped
+    # explicit bucket width gives identical results
+    got2 = {
+        r.v: r.tier
+        for r in numeric_range_lookup(facts, dims, "v", bucket_width=7).collect()
+    }
+    assert got2 == got
+
+
+def test_numeric_range_lookup_overlapping_intervals(spark):
+    from dpe_energy_performance_analysis_etl_spark.operators.relational import (
+        numeric_range_lookup,
+    )
+
+    dims = spark.createDataFrame(
+        [("x", 0, 50), ("y", 40, 100)], "tier string, lo long, hi long"
+    )
+    facts = spark.createDataFrame([(45,)], "v long")
+    tiers = sorted(r.tier for r in numeric_range_lookup(facts, dims, "v").collect())
+    assert tiers == ["x", "y"]  # one row per overlapping match
+
+
+def test_abc_classification_boundaries_exact(spark):
+    """80/15/5 boundary compared in integer cents: an item landing
+    exactly ON the 80% line is class A (<=)."""
+    from dpe_energy_performance_analysis_etl_spark.operators.relational import (
+        abc_classification,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [("i1", 50), ("i2", 30), ("i3", 15), ("i4", 5)]  # cum: 50,80,95,100
+    df = spark.createDataFrame(rows, "item string, cents long")
+    out = {r.item: (r.abc_class, r.rank) for r in abc_classification(df, "item", F.col("cents")).collect()}
+    assert out == {"i1": ("A", 1), "i2": ("A", 2), "i3": ("B", 3), "i4": ("C", 4)}
