@@ -458,3 +458,69 @@ def dhash_near_dup_groups(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def dhash_dup_summary(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "path",
+    max_hamming: int = 2,
+    fake: bool = False,
+) -> DataFrame:
+    """Scale-sane form of the dHash near-dup report. Measured lesson
+    (sf5 synthetic corpus): emitting raw pairs is OUTPUT-bound — a
+    cluster of m visually identical images has ~m²/2 true pairs
+    (8.1 M pairs / 47 s at sf5, all honest work nobody wants). This
+    variant collapses exact-hash groups FIRST (one groupBy: the
+    representative id + member count), then runs the banded hamming
+    join over DISTINCT hashes only — output is one row per
+    near-duplicate HASH pair, weighted by the two cluster sizes
+    (pair_count = n_a * n_b tells downstream how many raw pairs the
+    row stands for). Feed the exact groups + these edges to the CC
+    operator for full clusters."""
+    hashed = (
+        image_dhash(df, content_col, fake)
+        .where(F.col("dhash").isNotNull())
+        .groupBy("dhash")
+        .agg(F.count(F.lit(1)).alias("n_members"), F.min(id_col).alias("rep_id"))
+        .cache()
+    )
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(F.col("dhash"), b * width).bitwiseAND(
+                    F.lit((1 << width) - 1)
+                ).alias("key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    posted = hashed.select("dhash", "n_members", "rep_id", F.explode(bands).alias("b")).select(
+        "dhash", "n_members", "rep_id", F.col("b.band").alias("band"), F.col("b.key").alias("key")
+    )
+    cand = (
+        posted.alias("a")
+        .join(posted.alias("b"), ["band", "key"])
+        .where(F.col("a.dhash") < F.col("b.dhash"))
+        .select(
+            F.col("a.dhash").alias("h_a"),
+            F.col("b.dhash").alias("h_b"),
+            F.col("a.rep_id").alias("rep_a"),
+            F.col("b.rep_id").alias("rep_b"),
+            F.col("a.n_members").alias("n_a"),
+            F.col("b.n_members").alias("n_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .select(
+            "rep_a", "rep_b", "hamming", "n_a", "n_b",
+            (F.col("n_a") * F.col("n_b")).alias("pair_count"),
+        )
+    )

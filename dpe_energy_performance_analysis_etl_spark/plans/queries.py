@@ -7748,8 +7748,11 @@ def image_dhash_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     image_dhash + dhash_near_dup_groups): documents render to small
     deterministic PPM images (text bytes fill the pixel grid; docs
     sharing a duplicated prefix produce near-identical images), then
-    64-bit dHash → 16-bit band candidates (pigeonhole over hamming
-    <= 2) → exact popcount verify. Rows-only by design — PNG/PPM
+    64-bit dHash → exact-hash clusters collapse first (a cluster of
+    m identical images has m²/2 raw pairs — the sf5 measurement:
+    8.1 M pairs, output-bound) → band candidates over DISTINCT
+    hashes (pigeonhole over hamming <= 2) → popcount verify;
+    output rows carry cluster sizes + the implied pair_count. Rows-only by design — PNG/PPM
     decode is not SQL — but the dHash integer pipeline and the banded
     join are pinned by ground-truth hamming tests and the codecs by
     pixel-exact roundtrips."""
@@ -7778,7 +7781,9 @@ def image_dhash_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     imgs = docs.select("doc_id", "text").mapInPandas(
         render, schema="path string, content binary"
     )
-    return dhash_near_dup_groups(imgs, id_col="path", max_hamming=2)
+    from dpe_energy_performance_analysis_etl_spark.multimodal.media import dhash_dup_summary
+
+    return dhash_dup_summary(imgs, id_col="path", max_hamming=2)
 
 
 @register(

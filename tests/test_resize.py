@@ -147,3 +147,37 @@ def test_dhash_near_dup_groups_banded(spark):
             assert (a, b) in pairs and pairs[(a, b)] == d
         else:
             assert (a, b) not in pairs
+
+
+def test_dhash_dup_summary_expands_to_pair_op(spark):
+    """The cluster-weighted summary stands for exactly the raw pairs:
+    sum(pair_count) over hamming-0 rows + exact-group internal pairs
+    == the pair operator's output count."""
+    import numpy as np
+    from dpe_energy_performance_analysis_etl_spark.multimodal.codecs import encode_ppm
+    from dpe_energy_performance_analysis_etl_spark.multimodal.media import (
+        dhash_dup_summary,
+        dhash_near_dup_groups,
+        image_dhash,
+    )
+
+    base = _grad_img(np)
+    imgs = [
+        ("a1", encode_ppm(base)), ("a2", encode_ppm(base)), ("a3", encode_ppm(base)),
+        ("b1", encode_ppm(_grad_img(np, bump=(5, 5)))),
+        ("c1", encode_ppm(base[:, ::-1].copy())),
+    ]
+    df = spark.createDataFrame(imgs, "path string, content binary")
+    raw_pairs = dhash_near_dup_groups(df, max_hamming=8).count()
+    summary = dhash_dup_summary(df, max_hamming=8).collect()
+    hs = {r.path: r.dhash for r in image_dhash(df).collect()}
+    from collections import Counter
+
+    sizes = Counter(hs.values())
+    within = sum(n * (n - 1) // 2 for n in sizes.values())
+    across = sum(r.pair_count for r in summary)
+    assert within + across == raw_pairs
+    # identical images collapsed into one hash group (the 2x2 bump at
+    # (5,5) is invisible to the 9x8 nearest-neighbor reduce, so b1
+    # joins the a* cluster: 4 members)
+    assert max(sizes.values()) >= 3
