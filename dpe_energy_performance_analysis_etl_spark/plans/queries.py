@@ -7994,3 +7994,35 @@ def abc_classification_brands_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return abc_classification(
         joined, "p_brand", F.floor(F.col("l_extendedprice") * 100 + 0.5)
     )
+
+
+@register(
+    "dictionary_encode_priority",
+    """
+    WITH mapping AS (
+      SELECT value, CAST(row_number() OVER (ORDER BY value) - 1 AS BIGINT) AS id
+      FROM (SELECT DISTINCT o_orderpriority AS value FROM orders
+            WHERE o_orderpriority IS NOT NULL)
+    )
+    SELECT m.value AS o_orderpriority, m.id AS o_orderpriority_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM orders o JOIN mapping m ON o.o_orderpriority = m.value
+    GROUP BY 1, 2
+    """,
+)
+def dictionary_encode_priority_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary encoding (operators/relational.py
+    encode_dictionary): string keys to dense sort-ordered longs —
+    the measured key-width lever (long ids 1.5x over strings per
+    iterative round at sf5). Ids assigned by a window over the
+    DISTINCT-value table only; the encode join broadcasts the
+    dictionary. Output: per (value, id) row counts."""
+    from dpe_energy_performance_analysis_etl_spark.operators.relational import (
+        encode_dictionary,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    encoded, _mapping = encode_dictionary(orders, "o_orderpriority")
+    return encoded.groupBy("o_orderpriority", "o_orderpriority_id").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )

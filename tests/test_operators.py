@@ -584,3 +584,21 @@ def test_abc_classification_boundaries_exact(spark):
     df = spark.createDataFrame(rows, "item string, cents long")
     out = {r.item: (r.abc_class, r.rank) for r in abc_classification(df, "item", F.col("cents")).collect()}
     assert out == {"i1": ("A", 1), "i2": ("A", 2), "i3": ("B", 3), "i4": ("C", 4)}
+
+
+def test_encode_dictionary_dense_deterministic(spark):
+    from dpe_energy_performance_analysis_etl_spark.operators.relational import (
+        encode_dictionary,
+    )
+
+    df = spark.createDataFrame(
+        [("b",), ("a",), ("c",), ("a",), (None,)], "v string"
+    )
+    enc, mapping = encode_dictionary(df, "v")
+    m = {r.value: r.id for r in mapping.collect()}
+    assert m == {"a": 0, "b": 1, "c": 2}  # dense, sort-ordered
+    rows = {(r.v, r.v_id) for r in enc.collect()}
+    assert ("a", 0) in rows and ("c", 2) in rows and (None, None) in rows
+    # partitioning invariance (no monotonically_increasing_id leakage)
+    _, m2 = encode_dictionary(df.repartition(4), "v")
+    assert {r.value: r.id for r in m2.collect()} == m
