@@ -218,17 +218,8 @@ def kcore_peel(
             .agg(F.count(F.lit(1)).alias("deg"))
         )
 
-    # Fixed-iteration mode runs ONE materializing action instead of
-    # one per round: rounds stay lazy-cached (within that single
-    # final count the per-round caches populate as the chain
-    # executes, and each round's two semi-join consumers reuse them),
-    # then every PARENT cache is released — only the last round's
-    # edge table stays cached for the returned plan. Fixpoint mode
-    # keeps the per-round count: it IS the convergence probe (and
-    # the checksum).
+    prev_count = e.count()
     rounds = 0
-    held: list[DataFrame] = []
-    prev_count = e.count() if iterations is None else None
     while iterations is None or rounds < iterations:
         # keep feeds both semi-joins: its degree-agg re-runs per
         # consumer, but over the CACHED edge table — two cheap scans
@@ -240,24 +231,17 @@ def kcore_peel(
             .select("a", "b")
             .cache()
         )
-        if iterations is None:
-            n = nxt.count()
-            e.unpersist()
-        else:
-            held.append(e)
+        n = nxt.count()
+        e.unpersist()
         e = nxt
         rounds += 1
-        if iterations is None:
-            if n == prev_count:
-                break
-            prev_count = n
-    if held:
-        e.count()  # materialize the final table (parents fill + serve)
-        for h in held:
-            h.unpersist()
-    return degrees(e).where(F.col("deg") >= k).select(
+        if iterations is None and n == prev_count:
+            break
+        prev_count = n
+    out = degrees(e).where(F.col("deg") >= k).select(
         F.col("v"), F.col("deg").alias("core_degree")
     )
+    return out
 
 
 def label_propagation(
