@@ -348,6 +348,7 @@ def interval_join_streams(
     upper: str = "10 minutes",
     watermark: str = "1 hour",
     available_now: bool = True,
+    how: str = "inner",
 ) -> StreamingQuery:
     """Stream-stream event-time interval join: for each left row,
     right rows with the same ``key_col`` whose timestamp falls in
@@ -356,8 +357,18 @@ def interval_join_streams(
     bounded state on unbounded streams (state ≈ one watermark horizon
     per side, regardless of total stream length).
 
+    ``how='left_outer'``: left rows that never matched emit with NULL
+    r_* columns — but only once the watermark PROVES no match can
+    still arrive (the time-bound is what makes streaming outer joins
+    decidable at all; Spark rejects unbounded stream-stream outers).
+    Under availableNow the final watermark = max event time seen, so
+    unmatched rows inside the last horizon stay in state for the next
+    run — the same end-of-input semantics as session windows.
+
     Columns are disambiguated as l_*/r_* (shared ``key_col`` kept
     once). Results append to parquet as matches become final."""
+    if how not in ("inner", "left_outer"):
+        raise ValueError("interval_join_streams supports inner | left_outer")
     left = spark.readStream.schema(left_schema).parquet(left_dir)
     right = spark.readStream.schema(right_schema).parquet(right_dir)
 
@@ -378,6 +389,7 @@ def interval_join_streams(
             f"{key_col} = r_key AND r_{ts_col} >= l_{ts_col} "
             f"AND r_{ts_col} <= l_{ts_col} + INTERVAL {upper}"
         ),
+        how,
     ).drop("r_key")
     writer = (
         joined.writeStream.format("parquet")

@@ -725,3 +725,70 @@ def test_mg_heavy_hitters_stream_bounded_state(spark, tmp_path):
     assert all(r["count"] <= 4 * 10 for r in per_trigger)  # <= k rows per emission x triggers
     hot = {r.item: r.count_lb for r in res.collect() if r.item == "hot"}
     assert hot and max(hot.values()) <= 200  # underestimate, present
+
+
+def test_interval_join_left_outer_emits_unmatched_after_watermark(spark, events, tmp_path):
+    """left_outer stream-stream interval join: unmatched left rows
+    emit with NULL right columns once the watermark proves no match
+    can arrive. Events older than (final watermark - horizon) must
+    all appear — matched or null-padded; the batch left join is the
+    reference for that closed region."""
+    from dpe_energy_performance_analysis_etl_spark.streaming import interval_join_streams
+
+    left_dir = str(tmp_path / "left")
+    right_dir = str(tmp_path / "right")
+    target = str(tmp_path / "joined_lo")
+    ckpt = str(tmp_path / "ckpt_lo")
+
+    # sparse right side => plenty of unmatched left rows
+    left = events.filter("event_id % 2 = 0 AND user_id < 30")
+    right = events.filter("event_id % 11 = 1 AND user_id < 30")
+    left.write.parquet(left_dir)
+    right.write.parquet(right_dir)
+
+    q = interval_join_streams(
+        spark, left_dir, right_dir, EVENT_SCHEMA, EVENT_SCHEMA,
+        target, ckpt, key_col="user_id", upper="10 minutes",
+        watermark="1 minute", how="left_outer",
+    )
+    q.awaitTermination(180)
+    out = spark.read.parquet(target)
+    got = {
+        (r.user_id, r.l_event_id, r.r_event_id)
+        for r in out.collect()
+    }
+    assert any(r_ev is None for _, _, r_ev in got), "no null-padded rows emitted"
+
+    # closed region: left rows whose full match window is behind the
+    # final watermark (max event time - 1 minute watermark delay)
+    # the GLOBAL watermark is the MIN over both inputs — the sparse
+    # right stream's max event time is what gates eviction, not the
+    # corpus max
+    lmax = left.agg(F.max("ts")).collect()[0][0]
+    rmax = right.agg(F.max("ts")).collect()[0][0]
+    import datetime
+
+    # generous margin past (upper + watermark): the engine's eviction
+    # math is trigger-lagged, so the theoretical 11-minute boundary is
+    # only eventually tight
+    closed_before = min(lmax, rmax) - datetime.timedelta(minutes=30)
+    closed_left = left.filter(F.col("ts") < F.lit(closed_before))
+    batch = (
+        closed_left.alias("a")
+        .join(
+            right.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.ts") >= F.col("a.ts"))
+            & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 10 minutes")),
+            "left",
+        )
+        .select(
+            F.col("a.user_id").alias("user_id"),
+            F.col("a.event_id").alias("l_event_id"),
+            F.col("b.event_id").alias("r_event_id"),
+        )
+    )
+    want = {(r.user_id, r.l_event_id, r.r_event_id) for r in batch.collect()}
+    closed_ids = {r.event_id for r in closed_left.collect()}
+    got_closed = {t for t in got if t[1] in closed_ids}
+    assert want and got_closed == want
