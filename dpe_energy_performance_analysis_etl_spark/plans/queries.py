@@ -8026,3 +8026,102 @@ def dictionary_encode_priority_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return encoded.groupBy("o_orderpriority", "o_orderpriority_id").agg(
         F.count(F.lit(1)).alias("n_rows")
     )
+
+
+@register(
+    "curation_funnel_docs",
+    """
+    WITH raw AS (
+      SELECT doc_id, text,
+             'HTTPS://WWW.' || source || '.Example.COM:443/p' || (doc_id % 7)
+               || '?utm_source=feed&b=2&a=1&id=' || (doc_id % 5) || '#frag' AS url
+      FROM documents
+    ), nf AS (
+      SELECT doc_id, text, regexp_replace(url, '#.*$', '') AS u FROM raw
+    ), parts AS (
+      SELECT doc_id, text,
+             lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
+             lower(regexp_extract(u, '^[^:]+://([^/?#]*)', 1)) AS hostport,
+             regexp_extract(u, '^[^:]+://[^/?#]*(.*)$', 1) AS rest
+      FROM nf
+    ), canon AS (
+      SELECT doc_id, text,
+             scheme || '://' ||
+             (CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+                   WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+                   ELSE hostport END) ||
+             (CASE WHEN regexp_extract(rest, '^([^?]*)', 1) = '' THEN '/'
+                   ELSE regexp_extract(rest, '^([^?]*)', 1) END) ||
+             (CASE WHEN len(list_sort(list_filter(string_split(regexp_extract(rest, '\\?(.*)$', 1), '&'),
+                     p -> p <> '' AND NOT regexp_matches(p, '^(utm_[a-z0-9_]*|gclid|fbclid|msclkid|mc_eid|ref)=.*$')))) > 0
+                   THEN '?' || array_to_string(list_sort(list_filter(string_split(regexp_extract(rest, '\\?(.*)$', 1), '&'),
+                     p -> p <> '' AND NOT regexp_matches(p, '^(utm_[a-z0-9_]*|gclid|fbclid|msclkid|mc_eid|ref)=.*$'))), '&')
+                   ELSE '' END) AS c
+      FROM parts
+    ), base AS (
+      SELECT doc_id, c,
+             md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS k,
+             CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_toks,
+             CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                                   t -> CAST(len(t) AS BIGINT))),
+                  (a, b) -> a + b) AS DOUBLE)
+               / CAST(greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')), 1) AS DOUBLE) AS mwl
+      FROM canon
+    ), f1 AS (
+      SELECT *, doc_id = MIN(doc_id) OVER (PARTITION BY c) AS url_ok FROM base
+    ), f2 AS (
+      SELECT *, url_ok AND doc_id = MIN(CASE WHEN url_ok THEN doc_id END)
+                            OVER (PARTITION BY k) AS exact_ok
+      FROM f1
+    ), f3 AS (
+      SELECT *, exact_ok AND n_toks >= 20 AND mwl < 12 AS quality_ok FROM f2
+    ), f4 AS (
+      SELECT *, quality_ok AND ((doc_id * 2654435761) % 4294967296) % 10000 < 8000 AS sample_ok
+      FROM f3
+    ), flags AS (
+      SELECT *, CASE WHEN sample_ok AND n_toks > 0
+                     THEN (n_toks - 1) // 24 + 1 ELSE 0 END AS n_chunks
+      FROM f4
+    ), agg AS MATERIALIZED (
+      SELECT CAST(COUNT(*) AS BIGINT) AS s_input,
+             CAST(count_if(url_ok) AS BIGINT) AS s_url,
+             CAST(count_if(exact_ok) AS BIGINT) AS s_exact,
+             CAST(count_if(quality_ok) AS BIGINT) AS s_quality,
+             CAST(count_if(sample_ok) AS BIGINT) AS s_sample,
+             CAST(SUM(n_chunks) AS BIGINT) AS s_chunks
+      FROM flags
+    )
+    SELECT 0 AS stage, 'input' AS stage_name, s_input AS n_rows FROM agg
+    UNION ALL SELECT 1, 'url_dedup', s_url FROM agg
+    UNION ALL SELECT 2, 'exact_dedup', s_exact FROM agg
+    UNION ALL SELECT 3, 'quality_gate', s_quality FROM agg
+    UNION ALL SELECT 4, 'subsample', s_sample FROM agg
+    UNION ALL SELECT 5, 'chunks', s_chunks FROM agg
+    """,
+)
+def curation_funnel_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation composition as one query
+    (pipelines/curation.py curation_funnel): URL keep-first dedup →
+    exact content dedup → quality gate → deterministic 80% subsample
+    → chunk accounting — the per-stage funnel every curation run is
+    judged by, computed as ONE aggregation over per-document survival
+    flags (keep-first winners via per-key window minima; no unionAll
+    of per-stage counts re-running the chain)."""
+    from dpe_energy_performance_analysis_etl_spark.pipelines.curation import curation_funnel
+
+    docs = read_documents(spark, sf_dir).select(
+        "doc_id",
+        "text",
+        F.concat(
+            F.lit("HTTPS://WWW."),
+            F.col("source"),
+            F.lit(".Example.COM:443/p"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit("?utm_source=feed&b=2&a=1&id="),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit("#frag"),
+        ).alias("url"),
+    )
+    _chunks, summary = curation_funnel(docs, url_col="url")
+    return summary
