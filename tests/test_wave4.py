@@ -382,3 +382,43 @@ class TestBenfordAudit:
         )
         rows = benford_digit_report(df, "k", "v", 2).collect()
         assert sum(r["obs"] for r in rows) == 2
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("threshold", [0.3, 0.34, 0.5, 0.57, 0.66, 0.71])
+def test_prefix_filter_exact_for_arbitrary_thresholds(spark, threshold):
+    """ADVICE r3 regression: the prefix bound is integer rational
+    arithmetic now — float ceil(0.57 * 100) = 58 used to shorten the
+    prefix and silently DROP qualifying pairs at non-dyadic
+    thresholds. The prefix join must equal the full posting join at
+    every threshold, including ones whose products double-round."""
+    from dpe_energy_performance_analysis_etl_spark.dedup import shingle_pairs_jaccard
+    from dpe_energy_performance_analysis_etl_spark.dedup.setsim import (
+        prefix_filter_jaccard_join,
+    )
+
+    rows = []
+    base = [f"tok{i}" for i in range(30)]
+    for d in range(24):
+        # graded mutations create pairs across the whole jaccard range
+        words = list(base)
+        for m in range(d % 7):
+            words[(5 * m + d) % len(words)] = f"mut{d}x{m}"
+        rows.append((d, " ".join(words)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    full = {
+        (r.doc_a, r.doc_b, r.n_common)
+        for r in shingle_pairs_jaccard(df, threshold=threshold).collect()
+    }
+    pref = {
+        (r.doc_a, r.doc_b, r.n_common)
+        for r in prefix_filter_jaccard_join(df, threshold=threshold).collect()
+    }
+    # the posting join uses a float >= compare, the prefix join an
+    # exact rational one; on this corpus no pair sits close enough to
+    # the boundary for that to differ — the sets must be identical
+    assert pref == full
+    assert full, f"degenerate fixture at t={threshold}"
