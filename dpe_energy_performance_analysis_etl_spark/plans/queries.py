@@ -8125,3 +8125,82 @@ def curation_funnel_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _chunks, summary = curation_funnel(docs, url_col="url")
     return summary
+
+
+@register(
+    "link_graph_domains",
+    """
+    WITH html AS (
+      SELECT doc_id,
+             '<a href="https://' || source || '.example.com/p' || (doc_id % 5) || '">x</a>'
+               || CASE WHEN doc_id % 3 = 0
+                       THEN '<a href=''https://news.' || source || '.co.uk/q''>y</a>'
+                       ELSE '' END
+               || '<a href="/relative/path">z</a>' AS h
+      FROM documents
+    ), links AS (
+      SELECT doc_id, unnest(regexp_extract_all(h, 'href\\s*=\\s*["'']([^"''<>]+)["'']', 1)) AS href
+      FROM html
+    ), absolute AS (
+      SELECT doc_id,
+             lower(regexp_extract(href, '^[^:]+://([^/?#]*)', 1)) AS host
+      FROM links WHERE href LIKE 'http%'
+    ), dom AS (
+      SELECT doc_id, host, string_split(host, '.') AS labels FROM absolute
+    ), tagged AS (
+      SELECT doc_id,
+             CASE WHEN len(labels) >= 3
+                       AND (labels[-2] || '.' || labels[-1]) IN
+                           ('co.uk','ac.uk','gov.uk','com.au','co.jp','co.in','com.br','co.nz')
+                  THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
+                  WHEN len(labels) >= 2 THEN labels[-2] || '.' || labels[-1]
+                  ELSE host END AS domain
+      FROM dom
+    )
+    SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_inlinks,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_linking_docs
+    FROM tagged GROUP BY domain
+    """,
+)
+def link_graph_domains_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph extraction (text/urls.py extract_links): hrefs
+    regexp-exploded from deterministic HTML, absolute links resolved
+    to registered domains (both suffix rules exercised), per-domain
+    inlink counts — the crawl-frontier / domain-authority input that
+    composes with pagerank_fixed for domain ranking. Relative links
+    pass through extraction and are excluded from the host graph."""
+    from dpe_energy_performance_analysis_etl_spark.text.urls import (
+        extract_links,
+        registered_domain,
+        url_host,
+    )
+
+    docs = read_documents(spark, sf_dir)
+    html = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit('<a href="https://'),
+            F.col("source"),
+            F.lit(".example.com/p"),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit('">x</a>'),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit("<a href='https://news."),
+                    F.col("source"),
+                    F.lit(".co.uk/q'>y</a>"),
+                ),
+            ).otherwise(F.lit("")),
+            F.lit('<a href="/relative/path">z</a>'),
+        ).alias("html"),
+    )
+    links = extract_links(html)
+    absolute = links.where(F.col("href").startswith("http"))
+    tagged = absolute.select(
+        "doc_id", registered_domain(url_host(F.col("href"))).alias("domain")
+    )
+    return tagged.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_inlinks"),
+        F.countDistinct("doc_id").alias("n_linking_docs"),
+    )

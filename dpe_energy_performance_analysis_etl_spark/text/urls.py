@@ -132,3 +132,26 @@ def filter_blocked_domains(
         "__domain",
         "left_anti",
     ).drop("__domain")
+
+
+HREF_RE = r"""href\s*=\s*["']([^"'<>]+)["']"""
+
+
+def extract_links(
+    df: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, href): every href attribute value in the document's
+    HTML, exploded — the link-graph extraction step between crawling
+    and ranking (feed hrefs through ``normalize_url`` /
+    ``registered_domain`` for the host graph, then the graph
+    operators: PageRank over domains is exactly
+    ``pagerank_fixed(domain_edges)``). Pure regexp explode, zero
+    shuffle; relative links pass through verbatim (resolution against
+    a base URL is string concat the caller owns)."""
+    d = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.regexp_extract_all(F.col(html_col), F.lit(HREF_RE), 1)
+        ).alias("href"),
+    )
+    return d.where(F.col("href") != "")

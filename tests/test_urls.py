@@ -100,3 +100,23 @@ def test_url_host_strips_any_port(spark):
         .collect()[0]["h"]
     )
     assert got == "x.y.z"
+
+
+def test_extract_links_both_quote_styles_and_relative(spark):
+    from dpe_energy_performance_analysis_etl_spark.text.urls import extract_links
+
+    df = spark.createDataFrame(
+        [
+            (1, '<a href="https://a.com/x">x</a> <a href=\'http://b.org\'>y</a>'
+                ' <a href="/rel">r</a> <a href = "https://c.net">spaced</a>'),
+            (2, "no links at all"),
+        ],
+        "doc_id long, html string",
+    )
+    got = {(r.doc_id, r.href) for r in extract_links(df).collect()}
+    assert got == {
+        (1, "https://a.com/x"),
+        (1, "http://b.org"),
+        (1, "/rel"),
+        (1, "https://c.net"),
+    }
