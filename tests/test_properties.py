@@ -266,3 +266,68 @@ def test_ray_cast_matches_halfplane_on_rectangles(px, py, w, h):
     on_boundary = px in (0.0, w) or py in (0.0, h)
     if not on_boundary:
         assert (crossings % 2 == 1) == (0.0 < px < w and 0.0 < py < h)
+
+
+# ---------------------------------------------------------------------
+# Round 4: brute-force equivalence properties for the new relational
+# analytics (pure-python references; Spark round-trips are covered by
+# their own suites — these pin the ALGEBRA on adversarial shapes).
+# ---------------------------------------------------------------------
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 15)), min_size=1, max_size=40
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_interval_islands_reference(pairs):
+    """The gaps-and-islands rule (start > running max end => break)
+    merges to exactly the union of intervals."""
+    iv = sorted((s, s + l) for s, l in pairs)
+    # reference: coverage by sweeping a boolean line
+    covered = set()
+    for s, e in iv:
+        covered.update(range(s, e))
+    # islands by the operator's rule
+    islands = []
+    for s, e in iv:
+        if islands and s <= islands[-1][1]:
+            islands[-1][1] = max(islands[-1][1], e)
+        else:
+            islands.append([s, e])
+    total = sum(e - s for s, e in islands)
+    assert total == len(covered)
+    # islands are maximal: gaps between consecutive islands nonempty
+    for (s1, e1), (s2, e2) in zip(islands, islands[1:]):
+        assert s2 > e1
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 8)), min_size=1, max_size=25
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_pareto_tier_rule_matches_brute_force(points):
+    """Tier-max + strictly-better running max == brute-force dominance
+    filter, including duplicates and dense ties."""
+    def dominated(p, q):  # q dominates p (maximizing both)
+        return q[0] >= p[0] and q[1] >= p[1] and q != p
+
+    brute = {
+        p
+        for p in points
+        if not any(dominated(p, q) for q in points if (q[0] > p[0] or q[1] > p[1]))
+    }
+    # the operator's rule
+    tiers = {}
+    for x, y in points:
+        tiers[x] = max(tiers.get(x, -1), y)
+    front = set()
+    best = -1
+    for x in sorted(tiers, reverse=True):
+        if tiers[x] > best:
+            front.add((x, tiers[x]))
+            best = tiers[x]
+    got = {p for p in points if p in front}
+    assert got == brute
