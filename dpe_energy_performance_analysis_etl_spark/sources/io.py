@@ -61,10 +61,28 @@ def read_parquet(
 
 
 def read_json_lines(
-    spark: SparkSession, path: str, schema: T.StructType | None = None
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    mode: str = "PERMISSIVE",
+    corrupt_col: str | None = None,
 ) -> DataFrame:
-    """S10 — JSON-lines scan (``filestorage_helper.py:138-151``)."""
-    reader = spark.read
+    """S10 — JSON-lines scan (``filestorage_helper.py:138-151``).
+
+    ``mode``: PERMISSIVE (default — malformed lines become NULL rows,
+    or land verbatim in ``corrupt_col`` when set with an explicit
+    schema), DROPMALFORMED, or FAILFAST. At 100 TB a crawl dump
+    ALWAYS contains broken lines; quarantining them into a corrupt
+    column (then routing to a dead-letter sink) beats both silently
+    dropping them and aborting a 6-hour job on line 40 billion."""
+    reader = spark.read.option("mode", mode)
+    if corrupt_col is not None:
+        if schema is None:
+            raise ValueError("corrupt_col requires an explicit schema")
+        schema = T.StructType(
+            list(schema.fields) + [T.StructField(corrupt_col, T.StringType())]
+        )
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_col)
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)

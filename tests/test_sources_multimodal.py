@@ -280,3 +280,31 @@ def test_read_media_dir_binary_file_source(spark, tmp_path):
 
     small = read_media_dir(spark, str(media)).filter(F.col("length") < 200)
     assert small.count() == 2  # f0 (14B) and f1 (114B)
+
+
+def test_jsonl_corrupt_record_quarantine(spark, tmp_path):
+    """PERMISSIVE + corrupt column: broken lines land verbatim in the
+    quarantine column instead of silently dropping or aborting;
+    DROPMALFORMED drops them; FAILFAST raises."""
+    import pytest
+    from pyspark.sql import types as T
+    from dpe_energy_performance_analysis_etl_spark.sources.io import read_json_lines
+
+    p = tmp_path / "dirty.jsonl"
+    p.write_text('{"a": 1, "b": "x"}\nTHIS IS NOT JSON\n{"a": 2, "b": "y"}\n')
+    schema = T.StructType(
+        [T.StructField("a", T.LongType()), T.StructField("b", T.StringType())]
+    )
+    df = read_json_lines(spark, str(p), schema=schema, corrupt_col="_bad")
+    rows = df.collect()
+    assert len(rows) == 3
+    bad = [r for r in rows if r["_bad"] is not None]
+    assert len(bad) == 1 and bad[0]["_bad"] == "THIS IS NOT JSON"
+    good = sorted(r.a for r in rows if r["_bad"] is None)
+    assert good == [1, 2]
+
+    dropped = read_json_lines(spark, str(p), schema=schema, mode="DROPMALFORMED")
+    assert sorted(r.a for r in dropped.collect()) == [1, 2]
+
+    with pytest.raises(Exception):
+        read_json_lines(spark, str(p), schema=schema, mode="FAILFAST").collect()
