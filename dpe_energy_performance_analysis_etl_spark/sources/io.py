@@ -26,6 +26,8 @@ def read_csv(
     sep: str = ";",
     header: bool = True,
     infer: bool = False,
+    mode: str = "PERMISSIVE",
+    corrupt_col: str | None = None,
 ) -> DataFrame:
     """S1/S2 — `;`-separated CSV scan (``extract.py:129-135``).
 
@@ -34,8 +36,20 @@ def read_csv(
     loses the leading zero that encodes the département) and costs an
     extra full pass over the data at scale. Pass an explicit schema,
     or let the transform layer's autocast type the columns safely.
+
+    ``mode``/``corrupt_col``: same dead-letter contract as
+    ``read_json_lines`` — malformed lines quarantine into
+    ``corrupt_col`` (requires an explicit schema), DROPMALFORMED
+    drops them, FAILFAST aborts.
     """
-    reader = spark.read.option("sep", sep).option("header", header)
+    reader = spark.read.option("sep", sep).option("header", header).option("mode", mode)
+    if corrupt_col is not None:
+        if schema is None:
+            raise ValueError("corrupt_col requires an explicit schema")
+        schema = T.StructType(
+            list(schema.fields) + [T.StructField(corrupt_col, T.StringType())]
+        )
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_col)
     if schema is not None:
         reader = reader.schema(schema)
     elif infer:

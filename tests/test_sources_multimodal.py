@@ -308,3 +308,21 @@ def test_jsonl_corrupt_record_quarantine(spark, tmp_path):
 
     with pytest.raises(Exception):
         read_json_lines(spark, str(p), schema=schema, mode="FAILFAST").collect()
+
+
+def test_csv_corrupt_record_quarantine(spark, tmp_path):
+    """CSV dead-letter parity with the JSONL scan: a row with the
+    wrong arity/type quarantines instead of dropping or aborting."""
+    from pyspark.sql import types as T
+    from dpe_energy_performance_analysis_etl_spark.sources.io import read_csv
+
+    p = tmp_path / "dirty.csv"
+    p.write_text("a;b\n1;x\nnot_an_int;y\n2;z\n")
+    schema = T.StructType(
+        [T.StructField("a", T.LongType()), T.StructField("b", T.StringType())]
+    )
+    df = read_csv(spark, str(p), schema=schema, corrupt_col="_bad")
+    rows = df.collect()
+    bad = [r for r in rows if r["_bad"] is not None]
+    assert len(bad) == 1 and "not_an_int" in bad[0]["_bad"]
+    assert sorted(r.a for r in rows if r["_bad"] is None) == [1, 2]
