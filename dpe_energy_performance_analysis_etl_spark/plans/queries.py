@@ -8204,3 +8204,38 @@ def link_graph_domains_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_inlinks"),
         F.countDistinct("doc_id").alias("n_linking_docs"),
     )
+
+
+@register(
+    "asof_join_forward_events",
+    """
+    SELECT l.user_id, l.ts, l.event_id, l.click_value, r.view_value
+    FROM (SELECT user_id, ts, event_id, value AS click_value,
+                 -epoch_us(ts) AS nts
+          FROM events WHERE event_type = 'click') l
+    ASOF LEFT JOIN (SELECT user_id, -epoch_us(ts) AS nts, value AS view_value
+                    FROM events WHERE event_type = 'view') r
+    ON l.user_id = r.user_id AND l.nts >= r.nts
+    """,
+)
+def asof_join_forward_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each click gets the user's EARLIEST view
+    AT-OR-AFTER it (the look-ahead direction — next-quote matching,
+    next-checkpoint attribution). Same union-and-window single-shuffle
+    implementation, descending order. DuckDB's native ASOF is
+    backward-only, so the oracle replays forward semantics by
+    negating epoch micros (l.nts >= r.nts ⟺ r.ts >= l.ts, and the
+    asof max over nts is the min over ts)."""
+    from dpe_energy_performance_analysis_etl_spark.operators import asof_join
+
+    ev = read_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", F.col("value").alias("click_value")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("value").alias("view_value")
+    )
+    return asof_join(
+        clicks, views, on="user_id", right_payload=["view_value"],
+        suffix="", direction="forward",
+    )
