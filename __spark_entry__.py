@@ -58,6 +58,24 @@ from dpe_energy_performance_analysis_etl_spark.plans import QUERIES, ORACLE_SQL 
 # families that had never had a driver row: PageRank, k-core, bloom
 # join pruning, snapshot diff, incremental agg merge, correlation
 # matrix, paragraph dedup, semantic dedup.
+#
+# Round-5 rotation (VERDICT r4 ask #3): twelve recorded-green,
+# family-redundant slots rotated out (url_canonical_dedup,
+# substring_dup_spans, setsim_prefix_pairs, winnow_match_pairs,
+# paragraph_dedup_corpus, semantic_dedup_survivors — six of the TEN
+# dedup slots, leaving exact/ngram/minhash/CC in-window;
+# incremental_agg_merge — the view-delta family replaces it;
+# bloom_prune_join — join family still has inner/anti/asof in-window;
+# pq_adc_seeded_topk — embedding_cosine_topk keeps ANN in-window;
+# correlation_matrix_lineitem + calibration_ece_orders — stats family
+# keeps stats_moments, eval arrives via ranking_metrics;
+# cms_token_frequency — sketch family re-filled by heavy_hitters/
+# histogram_quantiles) in favor of twelve never-recorded judge-green
+# families: label propagation, deterministic random walks, Pareto
+# skyline, interval coverage, RRF hybrid retrieval, ranking metrics,
+# CUSUM changepoints, FD violation audit, curation funnel,
+# incremental join-view delta, mergeable histogram quantiles, and
+# Misra-Gries heavy hitters.
 _FRONT_50 = [
     "q1_pricing_summary",
     "filter_project",
@@ -65,47 +83,47 @@ _FRONT_50 = [
     "count_distinct_agg",
     "pagerank_supplier_graph",
     "join_inner_broadcast",
-    "url_canonical_dedup",
+    "label_propagation_communities",
     "join_anti_new_rows",
     "q3_shipping_priority",
     "q5_regional_revenue",
-    "substring_dup_spans",
-    "incremental_agg_merge",
+    "deterministic_walks_supplier",
+    "pareto_front_parts",
     "kcore_membership",
     "window_running_sum",
     "topk_per_group",
-    "setsim_prefix_pairs",
+    "histogram_quantiles_price",
     "scalar_functions",
     "math_functions",
-    "bloom_prune_join",
-    "winnow_match_pairs",
+    "interval_coverage_users",
+    "rrf_hybrid_retrieval",
     "events_sessionize",
     "asof_join_events",
-    "paragraph_dedup_corpus",
+    "ranking_metrics_by_source",
     "time_weighted_avg",
-    "pq_adc_seeded_topk",
+    "cusum_changepoint_revenue",
     "text_quality",
     "dedup_exact_groups",
     "ngram_jaccard_pairs",
     "minhash_lsh_portable_pairs",
     "dedup_clusters_cc",
     "embedding_cosine_topk",
-    "correlation_matrix_lineitem",
+    "fd_violation_orders",
     "snapshot_diff_orders",
     "pandas_udf_parity",
     "stats_moments",
     "gopher_repetition",
     "decontaminate_overlap",
     "sequence_pack_bins",
-    "semantic_dedup_survivors",
+    "curation_funnel_docs",
     "pseudonymize_pii",
     "spatial_radius_join",
-    "cms_token_frequency",
+    "heavy_hitters_tokens",
     "scd2_customer_segments",
     "cdc_apply_changelog",
     "bm25_topk_docs",
     "entity_match_ed1",
-    "calibration_ece_orders",
+    "join_view_delta_orders",
     "bpe_pair_stats",
     "random_projection_compress",
     "expectations_orders",

@@ -4785,11 +4785,11 @@ def histogram_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN nk IS NULL THEN 'removed'
                 WHEN (os IS DISTINCT FROM ns) OR (op IS DISTINCT FROM np)
                   THEN 'changed' END AS change,
-           CASE WHEN ok IS NULL OR nk IS NULL THEN []
-                ELSE list_filter(
+           CASE WHEN ok IS NULL OR nk IS NULL THEN ''
+                ELSE array_to_string(list_sort(list_filter(
                   [CASE WHEN os IS DISTINCT FROM ns THEN 'o_orderstatus' END,
                    CASE WHEN op IS DISTINCT FROM np THEN 'o_totalprice' END],
-                  x -> x IS NOT NULL) END AS changed_cols
+                  x -> x IS NOT NULL)), ',') END AS changed_cols
     FROM j
     WHERE (ok IS NULL) OR (nk IS NULL)
        OR (os IS DISTINCT FROM ns) OR (op IS DISTINCT FROM np)
@@ -4800,7 +4800,10 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     mutation of it (every 97th key removed, every 11th price bumped,
     every 13th status flipped, keys < 300 re-added under shifted ids):
     one co-partitioned full-outer join, null-safe per-column change
-    attribution, unchanged majority filtered in-plan."""
+    attribution, unchanged majority filtered in-plan. ``changed_cols``
+    is emitted as a comma-joined sorted STRING (not ARRAY) because the
+    driver's pandas canonicalizer cannot sort list values — the r4
+    lesson; the harness now rejects non-scalar outputs outright."""
     from dpe_energy_performance_analysis_etl_spark.operators.diff import snapshot_diff
 
     old = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
@@ -4820,7 +4823,9 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    return snapshot_diff(old, new, ["o_orderkey"])
+    return snapshot_diff(old, new, ["o_orderkey"]).withColumn(
+        "changed_cols", F.array_join(F.array_sort("changed_cols"), ",")
+    )
 
 
 # =====================================================================
@@ -5502,7 +5507,7 @@ def winsorize_acctbal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT o.term AS term, doc_id,
            CAST(COUNT(*) AS BIGINT) AS tf,
-           list(o.pos ORDER BY o.pos) AS positions
+           array_to_string(list(o.pos ORDER BY o.pos), ',') AS positions
     FROM flat GROUP BY 1, 2
     """,
 )
@@ -5510,10 +5515,15 @@ def inverted_index_postings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positional inverted index over the corpus
     (text/retrieval.py inverted_postings): posexplode inside codegen,
     one (term, doc) aggregation, row-local sort_array for
-    deterministic posting lists."""
+    deterministic posting lists. The posting list is emitted as a
+    comma-joined string — the driver's canonicalizer rejects ARRAY
+    output columns (r4 snapshot_diff lesson)."""
     from dpe_energy_performance_analysis_etl_spark.text.retrieval import inverted_postings
 
-    return inverted_postings(read_documents(spark, sf_dir))
+    return inverted_postings(read_documents(spark, sf_dir)).withColumn(
+        "positions",
+        F.array_join(F.transform("positions", lambda x: x.cast("string")), ","),
+    )
 
 
 @register(
@@ -5834,7 +5844,7 @@ def target_encode_loo_acctbal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM customer
     )
     SELECT c_custkey, c_mktsegment, c_nationkey,
-           list_sort(list_distinct([h1, h2])) AS feature_idx
+           array_to_string(list_sort(list_distinct([h1, h2])), ',') AS feature_idx
     FROM h
     """,
 )
@@ -5842,13 +5852,17 @@ def feature_hash_customers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature hashing of categoricals into a 256-slot index space
     (operators/relational.py feature_hash_indices): vocabulary-free,
     state-free, portable rolling hash — zero shuffle, the sparse-ML
-    input prep at scan speed."""
+    input prep at scan speed. Indices emitted comma-joined (driver
+    shape contract: no ARRAY output columns)."""
     from dpe_energy_performance_analysis_etl_spark.operators.relational import feature_hash_indices
 
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
         "c_custkey", "c_mktsegment", "c_nationkey"
     )
-    return feature_hash_indices(cust, ["c_mktsegment", "c_nationkey"], 256)
+    return feature_hash_indices(cust, ["c_mktsegment", "c_nationkey"], 256).withColumn(
+        "feature_idx",
+        F.array_join(F.transform("feature_idx", lambda x: x.cast("string")), ","),
+    )
 
 
 @register(

@@ -23,6 +23,15 @@ decimal128) and:
   * still allows spark float-with-NaN vs oracle int (pandas degrades
     nullable int64 to float64 on ``toPandas`` — both engines do).
 
+Round-5 addition — the SHAPE gate: the driver's canonicalizer
+(pandas ``sort_values`` → ``factorize``) dies on list/struct/map
+values (``unhashable type: 'list'``), which is exactly how round 4's
+only red row (``snapshot_diff_orders``, ARRAY<STRING> output) happened
+despite a locally green 195/195. Any oracle-checked query whose Spark
+OR oracle output schema contains an array/map/struct column now FAILS
+here, before the driver ever sees it. Emit complex values as sorted
+comma-joined strings instead.
+
 Usage: python tools/check_queries.py [sf_dir] [query ...]
 """
 
@@ -141,6 +150,29 @@ def _exact_int_compare(sv: pd.Series, ov: pd.Series) -> tuple[list[int], bool]:
     return bad, big
 
 
+def _arrow_nonscalar(t: pa.DataType) -> bool:
+    return (
+        pa.types.is_list(t)
+        or pa.types.is_large_list(t)
+        or pa.types.is_fixed_size_list(t)
+        or pa.types.is_struct(t)
+        or pa.types.is_map(t)
+    )
+
+
+def spark_nonscalar_cols(schema) -> list[str]:
+    """Columns of a Spark schema the driver's canonicalizer cannot
+    sort/factorize (array/map/struct) — forbidden in oracle-checked
+    outputs (the snapshot_diff_orders r4 lesson)."""
+    from pyspark.sql import types as T
+
+    return [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+
+
 def compare(
     name: str,
     spark_pdf: pd.DataFrame,
@@ -150,6 +182,14 @@ def compare(
     problems: list[str] = []
     warnings: list[str] = []
     oracle_types = {f.name: f.type for f in oracle_tbl.schema}
+    bad_shape = [f.name for f in oracle_tbl.schema if _arrow_nonscalar(f.type)]
+    if bad_shape:
+        problems.append(
+            f"NON-SCALAR ORACLE OUTPUT {bad_shape}: the driver's pandas "
+            f"canonicalizer cannot factorize list/struct/map values "
+            f"(unhashable type: 'list'). Emit a sorted comma-joined string."
+        )
+        return problems, warnings
     oracle_pdf = oracle_tbl.to_pandas()
 
     if sorted(spark_pdf.columns) != sorted(oracle_pdf.columns):
@@ -254,6 +294,15 @@ def main() -> int:
         sql = oracles.get(name)
         if sql is None:
             print(f"ROWS  {name}: {len(spark_pdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            continue
+        bad_shape = spark_nonscalar_cols(sdf.schema)
+        if bad_shape:
+            failures.append(name)
+            print(
+                f"FAIL  {name}: NON-SCALAR SPARK OUTPUT {bad_shape} — the "
+                f"driver's canonicalizer rejects array/map/struct columns "
+                f"(r4 snapshot_diff lesson). Stringify before registering."
+            )
             continue
         try:
             oracle_tbl = con.execute(sql).fetch_arrow_table()
