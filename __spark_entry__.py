@@ -75,7 +75,11 @@ from dpe_energy_performance_analysis_etl_spark.plans import QUERIES, ORACLE_SQL 
 # skyline, interval coverage, RRF hybrid retrieval, ranking metrics,
 # CUSUM changepoints, FD violation audit, curation funnel,
 # incremental join-view delta, mergeable histogram quantiles, and
-# Misra-Gries heavy hitters.
+# Misra-Gries heavy hitters. Additionally (ask #5) the n-gram Jaccard
+# slot now runs the max_df-capped variant — same oracle (cap 64 >
+# corpus max df), but the hot-shingle skew guard actually executes
+# under the gate; the uncapped original (4× recorded green) sits just
+# past the window.
 _FRONT_50 = [
     "q1_pricing_summary",
     "filter_project",
@@ -104,7 +108,7 @@ _FRONT_50 = [
     "cusum_changepoint_revenue",
     "text_quality",
     "dedup_exact_groups",
-    "ngram_jaccard_pairs",
+    "ngram_jaccard_capped",
     "minhash_lsh_portable_pairs",
     "dedup_clusters_cc",
     "embedding_cosine_topk",

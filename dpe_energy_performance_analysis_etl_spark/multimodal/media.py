@@ -415,9 +415,11 @@ def dhash_near_dup_groups(
 ) -> DataFrame:
     """Near-duplicate image pairs by dHash hamming distance <=
     ``max_hamming``: candidates come from BANDED equality (the 64-bit
-    hash splits into max_hamming+1 16-bit bands — pigeonhole: any
-    pair within the radius agrees on at least one band), verified
-    with an exact popcount on the XOR. The LSH discipline applied to
+    hash splits into max_hamming+1 bands of 64//(max_hamming+1) bits;
+    the top remainder bits are uncovered — harmless for recall, since
+    a differing uncovered bit dirties no band — and pigeonhole
+    guarantees any pair within the radius agrees on at least one
+    band), verified with an exact popcount on the XOR. The LSH discipline applied to
     perceptual hashes: candidate volume is bounded per band bucket,
     never all-pairs. Returns (id_a, id_b, hamming)."""
     hashed = image_dhash(df, content_col, fake).select(

@@ -303,11 +303,15 @@ def label_propagation(
 
 def _portable_mix32(*terms):
     """Nonlinear 32-bit mix of integer column terms (the bootstrap
-    xor-shift-multiply finalizer) — SQL-replayable, ANSI-safe
-    (every intermediate < 2^32 * 0x45d9f3b ≈ 3.1e17)."""
+    xor-shift-multiply finalizer) — SQL-replayable, ANSI-safe: every
+    per-term multiplier is ≤ 0x45d9f3b, so a mod-2^32-reduced term
+    times its multiplier stays < 2^32 * 0x45d9f3b ≈ 3.1e17 and the
+    ≤4-term sum < 1.3e18, both well inside int64 (the earlier
+    2246822519/2654435761 multipliers could push a reduced term to
+    ~1.1e19 — an ANSI overflow; latent then, impossible now)."""
     M = F.lit(73244475)  # 0x45d9f3b
     s = F.lit(0).cast("bigint")
-    muls = [F.lit(1), F.lit(2246822519), F.lit(2654435761), F.lit(40503)]
+    muls = [F.lit(1), F.lit(40503), F.lit(73244475), F.lit(5381)]
     for i, t in enumerate(terms):
         s = s + (t.cast("bigint") % F.lit(4294967296)) * muls[min(i, len(muls) - 1)]
     s = s % F.lit(4294967296)

@@ -246,13 +246,22 @@ def numeric_range_lookup(
     WITHOUT the nested-loop a naive BETWEEN theta-join plans.
 
     Each dim interval explodes into the integer buckets it spans
-    (width defaults to the median interval span, snapped to a power
-    of two); facts compute one bucket; the join is equi on bucket
-    with the exact BETWEEN applied after. Candidates per fact are
-    bounded by bucket occupancy, shuffle volume O(n + Σ spans/width).
+    (width ALWAYS snapped to a power of two — an explicit non-pow2
+    width is floored to one; default is the median interval span);
+    facts compute one bucket; the join is equi on bucket with the
+    exact BETWEEN applied after. Candidates per fact are bounded by
+    bucket occupancy, shuffle volume O(n + Σ spans/width).
     Overlapping dim intervals produce one output row per match (the
     caller disambiguates); facts outside every interval are dropped
     (inner semantics).
+
+    Bucket assignment is pure INTEGER arithmetic: arithmetic
+    shiftright of the floored bigint value (== floor division for a
+    power-of-two width, negative-safe). The earlier
+    ``floor(value / width)`` DOUBLE division could round a bigint
+    above 2^53 across a bucket boundary, silently dropping the fact —
+    the exact BETWEEN only filters candidates, it cannot recover a
+    missed bucket (ADVICE r4).
     """
     from pyspark.sql import functions as F
 
@@ -263,18 +272,18 @@ def numeric_range_lookup(
             .collect()[0]["m"]
         )
         bucket_width = max(int(med or 1), 1)
-        # snap to power of two: stable across tiny median drift
-        bucket_width = 1 << (bucket_width.bit_length() - 1)
+    # snap to power of two: exact shift-based bucketing (and, for the
+    # default path, stability across tiny median drift)
+    shift = max(int(bucket_width).bit_length() - 1, 0)
+
+    def _bucket(col):
+        return F.shiftright(F.floor(col).cast("bigint"), shift)
+
     d = dims.withColumn(
         "__bucket",
-        F.explode(
-            F.sequence(
-                F.floor(F.col(lo_col) / bucket_width),
-                F.floor(F.col(hi_col) / bucket_width),
-            )
-        ),
+        F.explode(F.sequence(_bucket(F.col(lo_col)), _bucket(F.col(hi_col)))),
     )
-    f = facts.withColumn("__bucket", F.floor(F.col(value_col) / bucket_width))
+    f = facts.withColumn("__bucket", _bucket(F.col(value_col)))
     return (
         f.join(d, "__bucket")
         .where(F.col(value_col).between(F.col(lo_col), F.col(hi_col)))

@@ -559,6 +559,34 @@ def test_numeric_range_lookup_nonuniform_tiers(spark):
     assert got2 == got
 
 
+def test_numeric_range_lookup_beyond_2_53(spark):
+    """Bucket assignment must be exact INTEGER arithmetic: with the
+    old floor(value/width) DOUBLE division, a bigint near 2^60 could
+    round across a bucket boundary and the fact silently vanished
+    (the exact BETWEEN only filters candidates). Values chosen to sit
+    one unit either side of interval edges far past 2^53."""
+    from dpe_energy_performance_analysis_etl_spark.operators.relational import (
+        numeric_range_lookup,
+    )
+
+    base = 1 << 60
+    dims = spark.createDataFrame(
+        [("lo", base, base + (1 << 22) - 1), ("hi", base + (1 << 22), base + (1 << 24))],
+        "tier string, lo long, hi long",
+    )
+    facts = spark.createDataFrame(
+        [(base,), (base + (1 << 22) - 1,), (base + (1 << 22),), (base + (1 << 24),)],
+        "v long",
+    )
+    got = {r.v: r.tier for r in numeric_range_lookup(facts, dims, "v").collect()}
+    assert got == {
+        base: "lo",
+        base + (1 << 22) - 1: "lo",
+        base + (1 << 22): "hi",
+        base + (1 << 24): "hi",
+    }
+
+
 def test_numeric_range_lookup_overlapping_intervals(spark):
     from dpe_energy_performance_analysis_etl_spark.operators.relational import (
         numeric_range_lookup,

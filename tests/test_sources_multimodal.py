@@ -138,6 +138,38 @@ def test_bucketed_join_needs_no_exchange(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS li_b")
 
 
+def test_q5_bucketed_falls_back_then_uses_layout(spark):
+    """q5_regional_revenue_bucketed must run WITHOUT the bucketed
+    layout (plain-parquet fallback — the ADVICE r4 docstring/behavior
+    mismatch) and produce identical results once q5_bucketed_layout
+    has materialized the tables."""
+    from dpe_energy_performance_analysis_etl_spark.plans.queries import (
+        q5_bucketed_layout,
+        q5_regional_revenue_bucketed,
+    )
+    from dpe_energy_performance_analysis_etl_spark.plans import QUERIES
+
+    import shutil
+
+    sf = "/root/testdata/sf0.001"
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("q5_orders_b", "q5_lineitem_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)  # stale location w/o catalog entry
+    try:
+        plain = {tuple(r) for r in QUERIES["q5_regional_revenue"](spark, sf).collect()}
+        fallback = {tuple(r) for r in q5_regional_revenue_bucketed(spark, sf).collect()}
+        assert fallback == plain  # no layout -> plain parquet, same answer
+        q5_bucketed_layout(spark, sf, num_buckets=8)
+        bucketed = q5_regional_revenue_bucketed(spark, sf)
+        plan = bucketed._jdf.queryExecution().optimizedPlan().toString()
+        assert "q5_orders_b" in plan and "q5_lineitem_b" in plan
+        assert {tuple(r) for r in bucketed.collect()} == plain
+    finally:
+        spark.sql("DROP TABLE IF EXISTS q5_orders_b")
+        spark.sql("DROP TABLE IF EXISTS q5_lineitem_b")
+
+
 def test_json_lines_roundtrip_and_purge(spark, tmp_path):
     from dpe_energy_performance_analysis_etl_spark.sources import (
         purge_dir,
