@@ -166,18 +166,36 @@ def read_jdbc_table(
 
 
 def append_jdbc_table(
-    df: DataFrame, url: str, table: str, properties: dict[str, str], batchsize: int = 10_000
+    df: DataFrame,
+    url: str,
+    table: str,
+    properties: dict[str, str],
+    batchsize: int = 10_000,
+    dialect=None,
 ) -> None:
-    """S12 — JDBC append sink (``load.py:170-176``)."""
-    (
+    """S12 — JDBC append sink (``load.py:170-176``). Pass a
+    ``JdbcDialect`` (or ``dialect="auto"`` to resolve from the URL)
+    to apply its ``createTableColumnTypes`` overrides when Spark
+    auto-creates the table — e.g. sized VARCHAR instead of Derby
+    CLOB / Postgres TEXT on string key columns (the upsert layer's
+    documented create-the-target path)."""
+    writer = (
         df.write.format("jdbc")
         .mode("append")
         .option("url", url)
         .option("dbtable", table)
         .option("batchsize", batchsize)
         .options(**properties)
-        .save()
     )
+    if dialect is not None:
+        if dialect == "auto":
+            from dpe_energy_performance_analysis_etl_spark.sources.jdbc_dialect import dialect_for_url
+
+            dialect = dialect_for_url(url)
+        ddl = dialect.create_table_column_types(df.schema)
+        if ddl:
+            writer = writer.option("createTableColumnTypes", ddl)
+    writer.save()
 
 
 def purge_dir(spark: SparkSession, path: str) -> bool:

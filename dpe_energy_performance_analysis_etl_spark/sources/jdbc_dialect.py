@@ -52,8 +52,14 @@ class JdbcDialect:
 
     name: str
     quote: str = '"'
-    # Spark simpleString -> server DDL type; unlisted types use
-    # Spark's own default mapping.
+    # Spark simpleString -> override DDL type; unlisted types use
+    # Spark's own default mapping. Override VALUES must be types
+    # SPARK's SQL parser accepts (VARCHAR(n)/CHAR(n)/SMALLINT/...),
+    # because createTableColumnTypes is parsed Spark-side before the
+    # writer re-maps to server DDL — a server-only type like BLOB or
+    # BYTEA is an UNSUPPORTED_DATATYPE ParseException (measured on
+    # Derby; Spark's own JdbcDialects already map BinaryType to
+    # BLOB/BYTEA correctly, so no override is needed there).
     type_overrides: dict[str, str] = field(default_factory=dict)
     string_ddl: str = "VARCHAR(1024)"
     supports_merge: bool = True
@@ -114,10 +120,10 @@ POSTGRES = JdbcDialect(
     name="postgresql",
     string_ddl="VARCHAR(1024)",
     type_overrides={
-        # Spark's default maps DoubleType->DOUBLE PRECISION (fine),
-        # ByteType->BYTE (invalid in PG) — force SMALLINT.
+        # Spark's default maps DoubleType->DOUBLE PRECISION (fine)
+        # and BinaryType->BYTEA (fine); ByteType->BYTE is invalid in
+        # PG — force SMALLINT (a Spark-parseable type, see above).
         "tinyint": "SMALLINT",
-        "binary": "BYTEA",
     },
 )
 
@@ -125,8 +131,8 @@ DERBY = JdbcDialect(
     name="derby",
     # Spark maps StringType to Derby CLOB, which Derby refuses to
     # compare/index; sized VARCHAR restores predicates on strings.
+    # BinaryType already maps to BLOB via Spark's DerbyDialect.
     string_ddl="VARCHAR(1024)",
-    type_overrides={"binary": "BLOB"},
 )
 
 GENERIC = JdbcDialect(name="generic", string_ddl="VARCHAR(1024)")

@@ -376,3 +376,63 @@ def test_postgres_upsert_sql_mixed_case_pin():
         'INSERT INTO tgt ("Id", "Val Ue") SELECT "Id", "Val Ue" FROM tgt_stg '
         'ON CONFLICT ("Id") DO UPDATE SET "Val Ue" = EXCLUDED."Val Ue"'
     )
+
+
+def test_ddl_type_overrides_land_in_derby_catalog(spark, derby_url, props):
+    """Type-widening DDL overrides verified against the SERVER's
+    catalog (JDBC DatabaseMetaData), not a Spark-side readback: with
+    the dialect applied, strings land as sized VARCHAR instead of
+    Derby's default CLOB (unindexable), binary as BLOB, and a
+    per-call widened dialect (VARCHAR(4000)) is honored."""
+    import dataclasses
+
+    from pyspark.sql import types as T
+
+    from dpe_energy_performance_analysis_etl_spark.sources import DERBY
+    from dpe_energy_performance_analysis_etl_spark.sources.jdbc_dialect import _connect
+
+    schema = T.StructType(
+        [
+            T.StructField("ID", T.LongType()),
+            T.StructField("NAME", T.StringType()),
+            T.StructField("PAYLOAD", T.BinaryType()),
+        ]
+    )
+    df = spark.createDataFrame([(1, "a", bytearray(b"x"))], schema)
+
+    def column_types(table):
+        conn = _connect(spark, derby_url, props)
+        try:
+            rs = conn.getMetaData().getColumns(None, None, table, None)
+            out = {}
+            while rs.next():
+                out[rs.getString("COLUMN_NAME")] = (
+                    rs.getString("TYPE_NAME"),
+                    rs.getInt("COLUMN_SIZE"),
+                )
+            rs.close()
+            return out
+        finally:
+            conn.close()
+
+    # default Spark mapping: StringType -> CLOB (the problem)
+    append_jdbc_table(df, derby_url, "DDL_PLAIN", props)
+    plain = column_types("DDL_PLAIN")
+    assert plain["NAME"][0] == "CLOB"
+
+    # dialect="auto" resolves DERBY from the URL and fixes it
+    append_jdbc_table(df, derby_url, "DDL_DIALECT", props, dialect="auto")
+    fixed = column_types("DDL_DIALECT")
+    assert fixed["NAME"] == ("VARCHAR", 1024)
+    assert fixed["PAYLOAD"][0] == "BLOB"
+    assert fixed["ID"][0] == "BIGINT"  # unlisted types keep Spark's mapping
+
+    # per-call widened dialect: the override is data, not code
+    wide = dataclasses.replace(DERBY, string_ddl="VARCHAR(4000)")
+    append_jdbc_table(df, derby_url, "DDL_WIDE", props, dialect=wide)
+    assert column_types("DDL_WIDE")["NAME"] == ("VARCHAR", 4000)
+
+    # Postgres pin stays in sync with the live-proven shape
+    from dpe_energy_performance_analysis_etl_spark.sources import POSTGRES
+
+    assert POSTGRES.create_table_column_types(schema) == "`NAME` VARCHAR(1024)"

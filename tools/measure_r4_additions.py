@@ -1,0 +1,71 @@
+"""One-off scaling measurement for the round-4 iterative/graph
+additions (VERDICT r4 ask #4): label propagation, deterministic random
+walks, substring-span dedup, and the curation funnel at sf0.1 / sf1 /
+sf5 with a matched calibration stamp.
+
+Methodology matches bench.py (warm-up run, min of 3) with the round-4
+cold-cache discipline added: ``spark.catalog.clearCache()`` before
+every run, because iterative ops that return cached tables otherwise
+hit the CacheManager by logical-plan match and time ~0.
+
+Usage: python tools/measure_r4_additions.py [sf_dir ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from dpe_energy_performance_analysis_etl_spark import get_spark  # noqa: E402
+from dpe_energy_performance_analysis_etl_spark.plans import QUERIES  # noqa: E402
+
+TARGETS = [
+    "label_propagation_communities",
+    "deterministic_walks_supplier",
+    "substring_dup_spans",
+    "curation_funnel_docs",
+]
+
+
+def main() -> None:
+    dirs = sys.argv[1:] or ["/root/testdata/sf0.1", "/tmp/sparkgraft_sf1", "/tmp/sparkgraft_sf5"]
+    spark = get_spark("measure_r4")
+    spark.range(1000).selectExpr("sum(id)").collect()
+    spark.range(100_000_000).selectExpr("sum(id * 2 + 1)").collect()
+    t0 = time.perf_counter()
+    spark.range(100_000_000).selectExpr("sum(id * 2 + 1)").collect()
+    calib = round(time.perf_counter() - t0, 3)
+
+    out: dict[str, dict[str, float]] = {}
+    for sf_dir in dirs:
+        m = re.search(r"sf([\d.]+)", sf_dir)
+        label = f"sf{m.group(1)}" if m else sf_dir
+        res: dict[str, float] = {}
+        for name in TARGETS:
+            fn = QUERIES[name]
+            try:
+                spark.catalog.clearCache()
+                fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+                runs = []
+                for _ in range(3):
+                    spark.catalog.clearCache()
+                    t0 = time.perf_counter()
+                    fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+                    runs.append(time.perf_counter() - t0)
+                res[name] = round(min(runs), 3)
+            except Exception as exc:  # noqa: BLE001
+                res[name] = -1.0
+                print(f"{label} {name} FAILED: {exc}", file=sys.stderr)
+            print(f"{label} {name}: {res[name]}", file=sys.stderr)
+        out[label] = res
+    print(json.dumps({"calib_sec": calib, "results": out}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -347,5 +347,188 @@ def main() -> None:
     )
 
 
+
+
+# ---- round-5 additions: the round-4 iterative/graph families ---------
+
+
+def label_propagation_communities(dfs):
+    """Eager-pandas 3-iteration LPA over the customer-supplier
+    bipartite graph (merge + groupby count + tie-broken argmax)."""
+    o = dfs["orders"][["o_orderkey", "o_custkey"]]
+    li = dfs["lineitem"][["l_orderkey", "l_suppkey"]]
+    p = o.merge(li, left_on="o_orderkey", right_on="l_orderkey")
+    pairs = pd.DataFrame(
+        {"c": p["o_custkey"] * 2, "s": p["l_suppkey"] * 2 + 1}
+    ).drop_duplicates()
+    edges = pd.DataFrame(
+        {
+            "s": np.concatenate([pairs["c"].values, pairs["s"].values]),
+            "d": np.concatenate([pairs["s"].values, pairs["c"].values]),
+        }
+    )
+    nodes = np.unique(edges["s"].values)
+    labels = pd.DataFrame({"node": nodes, "label": nodes})
+    for _ in range(3):
+        j = edges.merge(labels, left_on="s", right_on="node")
+        cnt = j.groupby(["d", "label"]).size().reset_index(name="c")
+        cnt = cnt.sort_values(["d", "c", "label"], ascending=[True, False, True])
+        labels = (
+            cnt.drop_duplicates("d")[["d", "label"]]
+            .rename(columns={"d": "node"})
+            .reset_index(drop=True)
+        )
+    return labels
+
+
+def deterministic_walks_supplier(dfs):
+    """Eager-pandas deterministic random walks (2 walks x length 4),
+    hashed neighbor picks vectorized in numpy."""
+
+    def mix32(node, walk, k):
+        M = np.uint64(73244475)
+        s = (
+            node.astype(np.uint64) % np.uint64(2**32)
+            + (walk.astype(np.uint64) % np.uint64(2**32)) * np.uint64(40503)
+            + np.uint64(k) * np.uint64(73244475)
+        ) % np.uint64(2**32)
+        s = ((s ^ (s >> np.uint64(16))) * M) % np.uint64(2**32)
+        return (s ^ (s >> np.uint64(16))).astype(np.int64)
+
+    o = dfs["orders"][["o_orderkey", "o_custkey"]]
+    li = dfs["lineitem"][["l_orderkey", "l_suppkey"]]
+    p = o.merge(li, left_on="o_orderkey", right_on="l_orderkey")
+    pairs = pd.DataFrame(
+        {"c": p["o_custkey"] * 2, "s": p["l_suppkey"] * 2 + 1}
+    ).drop_duplicates()
+    e = pd.DataFrame(
+        {
+            "u": np.concatenate([pairs["c"].values, pairs["s"].values]),
+            "v": np.concatenate([pairs["s"].values, pairs["c"].values]),
+        }
+    ).drop_duplicates()
+    e = e.sort_values(["u", "v"]).reset_index(drop=True)
+    e["idx"] = e.groupby("u").cumcount()
+    degs = e.groupby("u").size().reset_index(name="deg")
+    starts = degs[["u"]].rename(columns={"u": "start"})
+    cur = pd.concat(
+        [starts.assign(walk=w) for w in range(2)], ignore_index=True
+    ).assign(step=0)
+    cur["node"] = cur["start"]
+    out = [cur]
+    for k in range(1, 4):
+        w = cur.merge(degs, left_on="node", right_on="u")
+        w["pick"] = mix32(w["node"].values, w["walk"].values, k) % w["deg"].values
+        stepped = w.merge(
+            e, left_on=["node", "pick"], right_on=["u", "idx"], suffixes=("", "_e")
+        )[["start", "walk", "v"]].rename(columns={"v": "node"})
+        stepped["step"] = k
+        out.append(stepped)
+        cur = stepped
+    return pd.concat(out, ignore_index=True)
+
+
+def substring_dup_spans(dfs):
+    """Eager-pandas ExactSubstr spans: per-position 8-gram table,
+    cross-doc df filter, gaps-and-islands merge."""
+    docs = dfs["documents"][["doc_id", "text"]]
+    toks = docs["text"].str.lower().str.findall(r"[a-z0-9]+")
+    rows_doc, rows_pos, rows_gram = [], [], []
+    for doc_id, t in zip(docs["doc_id"].values, toks.values):
+        for i in range(max(len(t) - 7, 0)):
+            rows_doc.append(doc_id)
+            rows_pos.append(i)
+            rows_gram.append(" ".join(t[i : i + 8]))
+    g = pd.DataFrame({"doc_id": rows_doc, "pos": rows_pos, "gram": rows_gram})
+    hot = g.groupby("gram")["doc_id"].nunique()
+    hot = set(hot[hot >= 2].index)
+    cov = g[g["gram"].isin(hot)].sort_values(["doc_id", "pos"])
+    brk = (cov.groupby("doc_id")["pos"].diff() > 8).astype(int)
+    cov = cov.assign(gid=brk.groupby(cov["doc_id"]).cumsum())
+    spans = (
+        cov.groupby(["doc_id", "gid"])["pos"]
+        .agg(["min", "max"])
+        .reset_index()
+        .rename(columns={"min": "span_start"})
+    )
+    spans["span_end"] = spans["max"] + 7
+    spans["span_tokens"] = spans["max"] + 8 - spans["span_start"]
+    return spans[["doc_id", "span_start", "span_end", "span_tokens"]]
+
+
+def curation_funnel_docs(dfs):
+    """Eager-pandas curation funnel: URL canonical keep-first, exact
+    content dedup, quality gate, hash subsample, chunk accounting."""
+    import hashlib
+
+    d = dfs["documents"][["doc_id", "text", "source"]].copy()
+    url = (
+        "HTTPS://WWW."
+        + d["source"].astype(str)
+        + ".Example.COM:443/p"
+        + (d["doc_id"] % 7).astype(str)
+        + "?utm_source=feed&b=2&a=1&id="
+        + (d["doc_id"] % 5).astype(str)
+        + "#frag"
+    )
+    u = url.str.replace(r"#.*$", "", regex=True)
+    scheme = u.str.extract(r"^([A-Za-z][A-Za-z0-9+.\-]*)://", expand=False).str.lower()
+    hostport = u.str.extract(r"^[^:]+://([^/?#]*)", expand=False).str.lower()
+    rest = u.str.extract(r"^[^:]+://[^/?#]*(.*)$", expand=False)
+    host = np.where(
+        scheme == "https",
+        hostport.str.replace(r":443$", "", regex=True),
+        np.where(scheme == "http", hostport.str.replace(r":80$", "", regex=True), hostport),
+    )
+    path = rest.str.extract(r"^([^?]*)", expand=False).replace("", "/")
+    qs = rest.str.extract(r"\?(.*)$", expand=False).fillna("")
+
+    def canon_qs(q):
+        ps = [
+            p
+            for p in q.split("&")
+            if p and not re.match(r"^(utm_[a-z0-9_]*|gclid|fbclid|msclkid|mc_eid|ref)=.*$", p)
+        ]
+        return "?" + "&".join(sorted(ps)) if ps else ""
+
+    d["c"] = scheme + "://" + host + path + qs.map(canon_qs)
+    norm = (
+        d["text"].str.lower().str.replace(r"[^a-z0-9]+", " ", regex=True).str.strip()
+    )
+    d["k"] = norm.map(lambda s: hashlib.md5(s.encode()).hexdigest())
+    tk = d["text"].str.lower().str.findall(r"[a-z0-9]+")
+    d["n_toks"] = tk.str.len()
+    d["mwl"] = tk.map(lambda t: sum(len(x) for x in t)) / d["n_toks"].clip(lower=1)
+    d["url_ok"] = d["doc_id"] == d.groupby("c")["doc_id"].transform("min")
+    first_exact = d[d["url_ok"]].groupby("k")["doc_id"].min()
+    d["exact_ok"] = d["url_ok"] & (d["doc_id"] == d["k"].map(first_exact))
+    d["quality_ok"] = d["exact_ok"] & (d["n_toks"] >= 20) & (d["mwl"] < 12)
+    h = (d["doc_id"].astype(np.uint64) * np.uint64(2654435761)) % np.uint64(2**32)
+    d["sample_ok"] = d["quality_ok"] & ((h % np.uint64(10000)) < 8000)
+    d["n_chunks"] = np.where(
+        d["sample_ok"] & (d["n_toks"] > 0), (d["n_toks"] - 1) // 24 + 1, 0
+    )
+    return pd.DataFrame(
+        {
+            "stage": range(6),
+            "stage_name": ["input", "url_dedup", "exact_dedup", "quality_gate", "subsample", "chunks"],
+            "n_rows": [
+                len(d),
+                int(d["url_ok"].sum()),
+                int(d["exact_ok"].sum()),
+                int(d["quality_ok"].sum()),
+                int(d["sample_ok"].sum()),
+                int(d["n_chunks"].sum()),
+            ],
+        }
+    )
+
+
+QUERIES["label_propagation_communities"] = label_propagation_communities
+QUERIES["deterministic_walks_supplier"] = deterministic_walks_supplier
+QUERIES["substring_dup_spans"] = substring_dup_spans
+QUERIES["curation_funnel_docs"] = curation_funnel_docs
+
+
 if __name__ == "__main__":
     main()
