@@ -277,6 +277,10 @@ def sniff_decode_image(payload: bytes) -> np.ndarray:
         return decode_bmp(payload)
     if payload[:2] in (b"P6", b"P5"):
         return decode_ppm(payload)
+    if payload[:2] == b"\xff\xd8":
+        from dpe_energy_performance_analysis_etl_spark.multimodal.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise ValueError(f"unrecognized image container (header {payload[:8]!r})")
 
 

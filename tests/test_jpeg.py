@@ -1,0 +1,102 @@
+"""Baseline-JPEG codec (VERDICT r4 ask #7): decoder correctness anchored
+by the quality=100 bit-exact case (all quantizers are 1, so a constant
+image has a DC-only spectrum that round-trips exactly — no "looks
+close" tolerance hiding a transform bug), plus structural coverage:
+gray/RGB, 4:2:0 subsampling, non-multiple-of-8 sizes, restart-interval
+rejection paths, and the sniffing front door."""
+
+import numpy as np
+import pytest
+
+from dpe_energy_performance_analysis_etl_spark.multimodal.codecs import sniff_decode_image
+from dpe_energy_performance_analysis_etl_spark.multimodal.jpeg import (
+    decode_jpeg,
+    encode_jpeg,
+    quality_tables,
+)
+
+
+def test_constant_gray_q100_bit_exact():
+    img = np.full((16, 24), 131, dtype=np.uint8)
+    back = decode_jpeg(encode_jpeg(img, quality=100))
+    assert back.shape == img.shape
+    assert (back == img).all()
+
+
+def test_constant_rgb_q100_bit_exact():
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    img[..., 0], img[..., 1], img[..., 2] = 200, 100, 50
+    back = decode_jpeg(encode_jpeg(img, quality=100))
+    # YCbCr forward+inverse is float; constant blocks survive within 1
+    assert np.abs(back.astype(int) - img.astype(int)).max() <= 1
+
+
+def test_gradient_gray_high_quality_close():
+    img = np.linspace(0, 255, 32 * 40).reshape(32, 40).astype(np.uint8)
+    back = decode_jpeg(encode_jpeg(img, quality=95))
+    assert back.shape == img.shape
+    assert np.abs(back.astype(int) - img.astype(int)).max() <= 2
+
+
+def test_rgb_444_odd_dimensions():
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (24, 17, 3), dtype=np.uint8)
+    back = decode_jpeg(encode_jpeg(img, quality=90))
+    assert back.shape == img.shape  # padding cropped back to (H, W)
+    # random noise is the JPEG worst case; mean error stays bounded
+    assert np.abs(back.astype(int) - img.astype(int)).mean() < 15
+
+
+def test_rgb_420_subsampled_smooth_image():
+    xx, yy = np.meshgrid(np.arange(40), np.arange(24))
+    img = np.stack(
+        [(xx * 3) % 256, (yy * 5) % 256, ((xx + yy) * 2) % 256], -1
+    ).astype(np.uint8)
+    back = decode_jpeg(encode_jpeg(img, quality=92, subsample_chroma=True))
+    assert back.shape == img.shape
+    assert np.abs(back.astype(int) - img.astype(int)).mean() < 4
+
+
+def test_restart_markers_roundtrip():
+    """DRI + RST0-7 every 2 MCUs: the decoder must resync (reset DC
+    predictors, realign to byte) at every marker — an 8x48 gray strip
+    is 6 MCUs = 2 restarts, bytes differ from the no-DRI stream but
+    pixels decode identically."""
+    img = (np.arange(8 * 48).reshape(8, 48) * 7 % 256).astype(np.uint8)
+    plain = encode_jpeg(img, quality=100)
+    with_rst = encode_jpeg(img, quality=100, restart_interval=2)
+    assert with_rst != plain
+    assert b"\xff\xdd" in with_rst  # DRI present
+    # same quantized coefficients either way -> identical decodes
+    # (non-constant blocks round ±1 vs the source even at q=100, so
+    # the anchor is plain==restart, not ==img)
+    assert (decode_jpeg(with_rst) == decode_jpeg(plain)).all()
+    assert np.abs(decode_jpeg(plain).astype(int) - img.astype(int)).max() <= 1
+
+
+def test_quality_tables_scale():
+    qy100, qc100 = quality_tables(100)
+    assert (qy100 == 1).all() and (qc100 == 1).all()
+    qy50, _ = quality_tables(50)
+    assert qy50[0] == 16  # Annex K base at quality 50
+    qy10, _ = quality_tables(10)
+    assert (qy10 >= qy50).all()
+    with pytest.raises(ValueError):
+        quality_tables(0)
+
+
+def test_rejects_progressive_and_garbage():
+    img = np.full((8, 8), 99, dtype=np.uint8)
+    payload = bytearray(encode_jpeg(img, quality=100))
+    idx = payload.find(b"\xff\xc0")
+    payload[idx + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
+    with pytest.raises(ValueError, match="SOF2"):
+        decode_jpeg(bytes(payload))
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"not a jpeg")
+
+
+def test_sniff_dispatches_jpeg():
+    img = np.full((8, 16), 77, dtype=np.uint8)
+    back = sniff_decode_image(encode_jpeg(img, quality=100))
+    assert (back == img).all()
