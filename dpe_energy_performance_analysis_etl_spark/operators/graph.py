@@ -371,3 +371,113 @@ def deterministic_random_walks(
         out = out.unionByName(stepped)
         cur = stepped
     return out
+
+
+def walk_skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
+    """Skip-gram (center, context) training pairs from a walk corpus
+    (the DeepWalk/node2vec step between ``deterministic_random_walks``
+    and SGNS embedding training — Perozzi KDD'14 §4.2): within each
+    walk, every ordered pair of nodes at step distance 1..window
+    becomes a pair; multiplicity is kept as a count (the SGNS loss
+    weights pairs by frequency).
+
+    Scale shape: one self-equi-join on the (start, walk) walk id —
+    fan-out bounded at walk_len² per walk, never corpus-wide — then a
+    (center, context) count aggregation. The walk table feeds both
+    join sides, so it is cached (bounded: walks_per_node * walk_len
+    rows per node; the subtree-re-evaluation rule).
+
+    Returns (center, context, n_pairs).
+    """
+    w = walks.select("start", "walk", "step", "node").cache()
+    a, b = w.alias("a"), w.alias("b")
+    dist = F.col("b.step") - F.col("a.step")
+    pairs = a.join(
+        b,
+        (F.col("a.start") == F.col("b.start"))
+        & (F.col("a.walk") == F.col("b.walk"))
+        & (dist != 0)
+        & (F.abs(dist) <= window),
+    ).select(
+        F.col("a.node").alias("center"), F.col("b.node").alias("context")
+    )
+    return pairs.groupBy("center", "context").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )
+
+
+LP_RA_SCALE = 10**9
+
+
+def link_prediction_scores(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    min_common: int = 2,
+    max_middle_degree: int | None = None,
+) -> DataFrame:
+    """Neighborhood-based link prediction (Liben-Nowell & Kleinberg,
+    CIKM'03) over an undirected simple graph: for every non-adjacent
+    pair at distance 2, the three classic scores —
+
+      * common_neighbors: |Γ(u) ∩ Γ(v)| (integer);
+      * preferential_attachment: deg(u)·deg(v) (integer);
+      * resource_allocation (Zhou et al. 2009): Σ_z 1/deg(z) over
+        common neighbors z, computed as the INTEGER-scaled
+        Σ (10^9 div deg(z)) — exact BIGINT, order-free addition, no
+        float accumulation anywhere (cross-engine hash-stable; the
+        floor error is < |common| units of 10^-9, far below any
+        ranking decision).
+
+    Candidate generation is the wedge join on the shared middle z —
+    equi-keyed, never all-pairs; a hub middle contributes deg(z)²
+    wedges, so ``max_middle_degree`` optionally drops super-hub
+    middles (the standard curse-of-the-last-reducer guard; RA itself
+    down-weights them to ~0, so the ranking is barely touched —
+    callers choose the cap knowingly). Existing edges are removed by
+    a left-anti join; ``min_common`` bounds the output.
+
+    Returns (u, v, common_neighbors, preferential_attachment,
+    ra_scaled) with u < v.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .cache()  # feeds adjacency, degrees, and the anti-join
+    )
+    adj = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).select(
+        F.col("a").alias("z"), F.col("b").alias("nbr")
+    )
+    deg = adj.groupBy("z").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    mids = adj.join(deg, "z")
+    if max_middle_degree is not None:
+        mids = mids.filter(F.col("deg") <= max_middle_degree)
+    left = mids.select("z", F.col("nbr").alias("u"), F.col("deg"))
+    right = mids.select("z", F.col("nbr").alias("v"))
+    wedges = left.join(right, "z").filter(F.col("u") < F.col("v"))
+    scored = wedges.groupBy("u", "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("common_neighbors"),
+        # SQL `div` = exact int64 floor division (a double `/` would
+        # round past 2^53 — same rule as the PageRank contributions)
+        F.sum(F.expr(f"{LP_RA_SCALE} div deg")).cast("bigint").alias("ra_scaled"),
+    )
+    non_edges = scored.join(
+        e,
+        (scored["u"] == e["a"]) & (scored["v"] == e["b"]),
+        "left_anti",
+    ).filter(F.col("common_neighbors") >= min_common)
+    du = deg.select(F.col("z").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("z").alias("v"), F.col("deg").alias("deg_v"))
+    return non_edges.join(du, "u").join(dv, "v").select(
+        "u",
+        "v",
+        "common_neighbors",
+        (F.col("deg_u") * F.col("deg_v")).cast("bigint").alias(
+            "preferential_attachment"
+        ),
+        "ra_scaled",
+    )

@@ -486,3 +486,49 @@ def bootstrap_mean_ci(
     return point.join(ci, key_col).select(
         key_col, "mean_cents", "n_replicas", "ci_lo", "ci_hi"
     )
+
+
+def roc_auc_exact(df, label_col: str, score_col: str, by=None):
+    """Exact ROC-AUC per group from Mann-Whitney rank sums — the
+    binary-classifier evaluation the sort-free trapezoid sketches
+    approximate, computed EXACTLY in integers (cross-engine
+    hash-stable: no curve interpolation, no float accumulation).
+
+    AUC = U / (n_pos * n_neg) with U = R_pos - n_pos(n_pos+1)/2,
+    where R_pos is the midrank sum of positives under an ascending
+    score ranking. Ties use midranks; with rank() = min rank of the
+    tie group and c = tie size, 2*midrank = 2*rank + c - 1, so the
+    doubled sums stay BIGINT until one final division of exact
+    integer operands (IEEE-correctly-rounded on every engine).
+
+    Scale shape: one rank window per group + one aggregation —
+    identical to any per-group ordered analytic; no pairwise O(n²)
+    comparisons (the naive AUC definition) ever materialize.
+
+    Returns (keys..., n_pos, n_neg, auc); auc is NULL for groups
+    missing a class (guarded — ANSI division).
+    """
+    from pyspark.sql import Window, functions as F
+
+    keys = [] if by is None else ([by] if isinstance(by, str) else list(by))
+    w_rank = Window.partitionBy(*keys).orderBy(F.col(score_col).asc())
+    w_tie = Window.partitionBy(*keys, F.col(score_col))
+    lab = F.col(label_col).cast("int")
+    ranked = df.select(
+        *keys,
+        lab.alias("__y"),
+        (
+            2 * F.rank().over(w_rank) + F.count(F.lit(1)).over(w_tie) - 1
+        ).cast("bigint").alias("__mr2"),
+    )
+    agg = ranked.groupBy(*keys).agg(
+        F.sum("__y").cast("bigint").alias("n_pos"),
+        F.sum(1 - F.col("__y")).cast("bigint").alias("n_neg"),
+        F.sum(F.col("__mr2") * F.col("__y")).cast("bigint").alias("__r2pos"),
+    )
+    u2 = F.col("__r2pos") - F.col("n_pos") * (F.col("n_pos") + 1)
+    auc = F.when(
+        (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+        u2.cast("double") / (2 * F.col("n_pos") * F.col("n_neg")).cast("double"),
+    )
+    return agg.select(*keys, "n_pos", "n_neg", auc.alias("auc"))

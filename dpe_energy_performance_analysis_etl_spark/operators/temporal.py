@@ -468,3 +468,56 @@ def interval_coverage(
         F.sum(F.col("island_end") - F.col("island_start")).alias("covered_length"),
     )
     return out
+
+
+def seasonal_naive_eval(
+    df,
+    time_col: str,
+    value_col: str,
+    season: int,
+    by=None,
+):
+    """Seasonal-naive forecast evaluation (forecast(t) = value(t -
+    season)) scored by MASE (Hyndman & Koehler 2006) — the standard
+    no-model baseline every demand/revenue forecasting pipeline must
+    beat, and the denominator MASE normalizes others by.
+
+    Expects ONE row per (key, period) with an INTEGER value (cents,
+    counts) so both error sums stay BIGINT; MASE is one final
+    division of exact integer products. Evaluation windows are
+    well-defined and engine-identical: seasonal errors over rows with
+    a t-season predecessor, naive (lag-1) errors over rows with a t-1
+    predecessor — both by ROW offset on the ordered per-key series.
+
+    Scale shape: two lag windows + one aggregation per key; series
+    arrive pre-aggregated (periods per key, not raw rows), so window
+    state is bounded by the series length.
+
+    Returns (keys..., n_eval, sae_seasonal, sae_naive, mase); mase is
+    NULL when either error window is empty or the naive error sum is
+    zero (guarded — ANSI division).
+    """
+    keys = [] if by is None else ([by] if isinstance(by, str) else list(by))
+    w = Window.partitionBy(*keys).orderBy(time_col)
+    v = F.col(value_col).cast("bigint")
+    lag_s = F.lag(v, season).over(w)
+    lag_1 = F.lag(v, 1).over(w)
+    per = df.select(
+        *keys,
+        F.abs(v - lag_s).alias("__es"),
+        F.abs(v - lag_1).alias("__en"),
+    )
+    agg = per.groupBy(*keys).agg(
+        F.count("__es").cast("bigint").alias("n_eval"),
+        F.sum("__es").cast("bigint").alias("sae_seasonal"),
+        F.count("__en").cast("bigint").alias("__n_naive"),
+        F.sum("__en").cast("bigint").alias("sae_naive"),
+    )
+    mase = F.when(
+        (F.col("n_eval") > 0) & (F.col("sae_naive") > 0),
+        (F.col("sae_seasonal") * F.col("__n_naive")).cast("double")
+        / (F.col("sae_naive") * F.col("n_eval")).cast("double"),
+    )
+    return agg.select(
+        *keys, "n_eval", "sae_seasonal", "sae_naive", mase.alias("mase")
+    )

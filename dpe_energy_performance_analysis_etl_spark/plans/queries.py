@@ -8286,3 +8286,257 @@ def asof_join_forward_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         clicks, views, on="user_id", right_payload=["view_value"],
         suffix="", direction="forward",
     )
+
+
+# =====================================================================
+# Round-5 wave: evaluation, forecasting, graph-embedding prep
+# =====================================================================
+
+@register(
+    "roc_auc_by_priority",
+    """
+    WITH r AS (
+      SELECT o_orderpriority,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+             2 * rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+               + count(*) OVER (PARTITION BY o_orderpriority, o_totalprice) - 1 AS mr2
+      FROM orders
+    ), a AS (
+      SELECT o_orderpriority,
+             CAST(SUM(y) AS BIGINT) AS n_pos,
+             CAST(SUM(1 - y) AS BIGINT) AS n_neg,
+             CAST(SUM(mr2 * y) AS BIGINT) AS r2
+      FROM r GROUP BY 1
+    )
+    SELECT o_orderpriority, n_pos, n_neg,
+           CASE WHEN n_pos > 0 AND n_neg > 0
+                THEN CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE)
+                     / CAST(2 * n_pos * n_neg AS DOUBLE) END AS auc
+    FROM a
+    """,
+)
+def roc_auc_by_priority_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC (operators/stats.py roc_auc_exact) of
+    o_totalprice as a separator of finished vs open orders, per
+    priority class: Mann-Whitney midrank sums in BIGINT (one rank
+    window + one aggregation per group — never the O(n²) pairwise
+    definition), one final exact-integer division."""
+    from dpe_energy_performance_analysis_etl_spark.operators.stats import roc_auc_exact
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return roc_auc_exact(
+        orders.select(
+            "o_orderpriority",
+            (F.col("o_orderstatus") == "F").alias("is_final"),
+            "o_totalprice",
+        ),
+        "is_final",
+        "o_totalprice",
+        by="o_orderpriority",
+    )
+
+
+@register(
+    "seasonal_naive_mase",
+    """
+    WITH m AS (
+      SELECT o_orderpriority, date_trunc('month', o_orderdate) AS mth,
+             CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v
+      FROM orders GROUP BY 1, 2
+    ), lagd AS (
+      SELECT o_orderpriority,
+             abs(v - lag(v, 12) OVER (PARTITION BY o_orderpriority ORDER BY mth)) AS es,
+             abs(v - lag(v, 1) OVER (PARTITION BY o_orderpriority ORDER BY mth)) AS en
+      FROM m
+    ), a AS (
+      SELECT o_orderpriority,
+             CAST(COUNT(es) AS BIGINT) AS n_eval,
+             CAST(SUM(es) AS BIGINT) AS sae_seasonal,
+             CAST(COUNT(en) AS BIGINT) AS nn,
+             CAST(SUM(en) AS BIGINT) AS sae_naive
+      FROM lagd GROUP BY 1
+    )
+    SELECT o_orderpriority, n_eval, sae_seasonal, sae_naive,
+           CASE WHEN n_eval > 0 AND sae_naive > 0
+                THEN CAST(sae_seasonal * nn AS DOUBLE)
+                     / CAST(sae_naive * n_eval AS DOUBLE) END AS mase
+    FROM a
+    """,
+)
+def seasonal_naive_mase_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast + MASE (operators/temporal.py
+    seasonal_naive_eval) over monthly revenue CENTS per priority:
+    the no-model forecasting baseline, error sums exact BIGINT, MASE
+    one division of integer products. Series are pre-aggregated to
+    one row per (key, month) before the lag windows, so window state
+    is bounded by series length, not raw row count."""
+    from dpe_energy_performance_analysis_etl_spark.operators.temporal import (
+        seasonal_naive_eval,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    monthly = orders.groupBy(
+        "o_orderpriority",
+        F.date_trunc("month", F.col("o_orderdate")).alias("mth"),
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("v")
+    )
+    return seasonal_naive_eval(
+        monthly, "mth", "v", season=12, by="o_orderpriority"
+    )
+
+
+@register(
+    "walk_skipgram_pairs",
+    f"""
+    WITH corpus AS MATERIALIZED (
+      SELECT * FROM ({_walks_oracle(4, 2)}
+      ) w
+    )
+    SELECT a.node AS center, b.node AS context,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM corpus a JOIN corpus b
+      ON a.start = b.start AND a.walk = b.walk
+     AND a.step != b.step AND abs(a.step - b.step) <= 2
+    GROUP BY 1, 2
+    """,
+)
+def walk_skipgram_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram (center, context, count) pairs from the
+    deterministic walk corpus (operators/graph.py walk_skipgram_pairs
+    — the DeepWalk step feeding SGNS embedding training): self-join
+    on the walk id with |Δstep| ≤ 2, fan-out bounded at walk_len² per
+    walk, walk table cached across both join sides."""
+    from dpe_energy_performance_analysis_etl_spark.operators.graph import (
+        deterministic_random_walks,
+        walk_skipgram_pairs,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pairs = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    walks = deterministic_random_walks(edges, walk_len=4, walks_per_node=2)
+    return walk_skipgram_pairs(walks, window=2)
+
+
+@register(
+    "t_closeness_customers",
+    """
+    WITH g AS (
+      SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_g FROM customer GROUP BY 1
+    ), v AS (
+      SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS c_v FROM customer GROUP BY 1
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM customer
+    ), gv AS (
+      SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS c_gv
+      FROM customer GROUP BY 1, 2
+    ), grid AS (
+      SELECT g.c_nationkey, g.n_g, v.c_mktsegment, v.c_v,
+             COALESCE(gv.c_gv, 0) AS c_gv, tot.n
+      FROM g CROSS JOIN v CROSS JOIN tot
+      LEFT JOIN gv ON gv.c_nationkey = g.c_nationkey
+                  AND gv.c_mktsegment = v.c_mktsegment
+    ), o AS (
+      SELECT c_nationkey, n_g, n,
+             CAST(SUM(abs(c_gv * n - c_v * n_g)) AS BIGINT) AS emd_num
+      FROM grid GROUP BY 1, 2, 3
+    )
+    SELECT c_nationkey, n_g AS group_size, emd_num,
+           CAST(emd_num AS DOUBLE) / CAST(2 * n AS DOUBLE)
+             / CAST(n_g AS DOUBLE) AS t_closeness,
+           emd_num * 20 > 2 * n_g * n AS violates
+    FROM o
+    """,
+)
+def t_closeness_customers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (operators/quality.py t_closeness_audit, Li
+    ICDE'07): per-nation market-segment distribution vs the global
+    one, EMD-as-total-variation decided ENTIRELY in integer
+    arithmetic (|c_gv·n − c_v·n_g| sums; threshold 1/20 compared
+    cross-multiplied) — the privacy leak k-anonymity and l-diversity
+    both miss. The group×value completion grid is a join of tiny
+    aggregate tables, never a fact-table cross."""
+    from dpe_energy_performance_analysis_etl_spark.operators.quality import (
+        t_closeness_audit,
+    )
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return t_closeness_audit(
+        cust, ["c_nationkey"], "c_mktsegment", t_num=1, t_den=20
+    )
+
+
+@register(
+    "link_prediction_parts",
+    """
+    WITH co AS (
+      SELECT x.l_partkey AS a, y.l_partkey AS b, COUNT(*) AS n
+      FROM lineitem x JOIN lineitem y
+        ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+      GROUP BY 1, 2
+    ), e AS MATERIALIZED (
+      SELECT a, b FROM co WHERE n >= 2
+    ), adj AS MATERIALIZED (
+      SELECT a AS z, b AS nbr FROM e UNION ALL SELECT b AS z, a AS nbr FROM e
+    ), deg AS MATERIALIZED (
+      SELECT z, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY 1
+    ), wedges AS (
+      SELECT l.nbr AS u, r.nbr AS v, d.deg
+      FROM adj l JOIN adj r ON l.z = r.z AND l.nbr < r.nbr
+      JOIN deg d ON d.z = l.z
+    ), scored AS (
+      SELECT u, v, CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+             CAST(SUM(1000000000 // deg) AS BIGINT) AS ra_scaled
+      FROM wedges GROUP BY 1, 2
+    ), non_edges AS (
+      SELECT s.* FROM scored s ANTI JOIN e ON s.u = e.a AND s.v = e.b
+    )
+    SELECT ne.u, ne.v, ne.common_neighbors,
+           CAST(du.deg * dv.deg AS BIGINT) AS preferential_attachment,
+           ne.ra_scaled
+    FROM non_edges ne
+    JOIN deg du ON du.z = ne.u
+    JOIN deg dv ON dv.z = ne.v
+    WHERE ne.common_neighbors >= 2
+    """,
+)
+def link_prediction_parts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction (operators/graph.py link_prediction_scores,
+    Liben-Nowell CIKM'03) on the recurring-pair part graph: common
+    neighbors / preferential attachment / integer-scaled resource
+    allocation for every non-adjacent distance-2 pair with >= 2
+    shared neighbors. Wedge join equi-keyed on the middle; RA sums
+    are BIGINT floor divisions (no float accumulation)."""
+    from dpe_energy_performance_analysis_etl_spark.operators.graph import (
+        link_prediction_scores,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pairs = (
+        li.alias("x")
+        .join(
+            li.alias("y"),
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .groupBy(
+            F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 2)
+        .select("src", "dst")
+    )
+    return link_prediction_scores(pairs, min_common=2)

@@ -1,0 +1,112 @@
+"""Round-5 wave operators: exact ROC-AUC, seasonal-naive MASE,
+skip-gram pairs, t-closeness, link prediction — hand-computed cases
+(the oracle gate checks them at corpus scale; these pin the semantics
+on inputs small enough to verify by hand)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_roc_auc_exact_separable_tied_and_degenerate(spark):
+    from dpe_energy_performance_analysis_etl_spark.operators.stats import roc_auc_exact
+
+    df = spark.createDataFrame(
+        [("a", 0, 1.0), ("a", 0, 2.0), ("a", 1, 3.0), ("a", 1, 4.0),
+         ("b", 0, 5.0), ("b", 1, 5.0), ("b", 0, 5.0), ("b", 1, 5.0),
+         ("c", 1, 1.0), ("c", 1, 2.0)],
+        "grp string, y int, s double",
+    )
+    rows = {r.grp: r for r in roc_auc_exact(df, "y", "s", by="grp").collect()}
+    assert rows["a"].auc == 1.0          # perfectly separated
+    assert rows["b"].auc == 0.5          # all tied -> chance
+    assert rows["c"].auc is None         # one class -> guarded NULL
+    assert (rows["a"].n_pos, rows["a"].n_neg) == (2, 2)
+    # a swapped ordering gives the complement
+    swapped = roc_auc_exact(
+        df.filter("grp = 'a'").withColumn("s", -F.col("s")), "y", "s"
+    ).collect()[0]
+    assert swapped.auc == 0.0
+
+
+def test_seasonal_naive_mase_hand_case(spark):
+    from dpe_energy_performance_analysis_etl_spark.operators.temporal import (
+        seasonal_naive_eval,
+    )
+
+    # series 10, 20, 12, 24, 14, 28 with season 2:
+    # seasonal errors |12-10|,|24-20|,|14-12|,|28-24| = 2,4,2,4 (sum 12, n 4)
+    # naive errors |20-10|,|12-20|,|24-12|,|14-24|,|28-14| = 10,8,12,10,14 (sum 54, n 5)
+    # mase = (12/4) / (54/5) = 3 / 10.8 = 15/54
+    df = spark.createDataFrame(
+        [(t, v) for t, v in enumerate([10, 20, 12, 24, 14, 28])], "t int, v long"
+    )
+    r = seasonal_naive_eval(df, "t", "v", season=2).collect()[0]
+    assert (r.n_eval, r.sae_seasonal, r.sae_naive) == (4, 12, 54)
+    assert r.mase == (12 * 5) / (54 * 4)
+    # constant series: naive error sum 0 -> guarded NULL
+    const = spark.createDataFrame([(t, 7) for t in range(6)], "t int, v long")
+    assert seasonal_naive_eval(const, "t", "v", season=2).collect()[0].mase is None
+
+
+def test_walk_skipgram_pairs_window(spark):
+    from dpe_energy_performance_analysis_etl_spark.operators.graph import (
+        walk_skipgram_pairs,
+    )
+
+    # one walk 0: A B C D -> window 2 ordered pairs:
+    # dist1: (A,B),(B,C),(C,D) + reverses; dist2: (A,C),(B,D) + reverses
+    walks = spark.createDataFrame(
+        [("A", 0, 0, "A"), ("A", 0, 1, "B"), ("A", 0, 2, "C"), ("A", 0, 3, "D")],
+        "start string, walk int, step int, node string",
+    )
+    got = {(r.center, r.context): r.n_pairs for r in walk_skipgram_pairs(walks).collect()}
+    expect_pairs = {("A", "B"), ("B", "C"), ("C", "D"), ("A", "C"), ("B", "D")}
+    expect = {p: 1 for p in expect_pairs} | {(b, a): 1 for a, b in expect_pairs}
+    assert got == expect
+
+
+def test_t_closeness_audit_hand_case(spark):
+    from dpe_energy_performance_analysis_etl_spark.operators.quality import (
+        t_closeness_audit,
+    )
+
+    # population: 4 of X, 4 of Y (p = 1/2 each); group g1 = 3X + 1Y
+    # EMD = 1/2 (|3/4 - 1/2| + |1/4 - 1/2|) = 1/4; g2 = 1X + 3Y same.
+    rows = [("g1", "X")] * 3 + [("g1", "Y")] + [("g2", "X")] + [("g2", "Y")] * 3
+    df = spark.createDataFrame(rows, "g string, s string")
+    out = {r.g: r for r in t_closeness_audit(df, ["g"], "s", t_num=1, t_den=5).collect()}
+    assert out["g1"].t_closeness == 0.25
+    assert out["g1"].violates and out["g2"].violates  # 1/4 > 1/5
+    strict = {r.g: r.violates for r in t_closeness_audit(df, ["g"], "s", t_num=1, t_den=4).collect()}
+    assert strict == {"g1": False, "g2": False}  # 1/4 > 1/4 is false
+    # absent value in a group still contributes: group of only X
+    df2 = spark.createDataFrame(
+        [("h1", "X"), ("h1", "X"), ("h2", "Y"), ("h2", "Y")], "g string, s string"
+    )
+    r = {r.g: r for r in t_closeness_audit(df2, ["g"], "s").collect()}
+    assert r["h1"].t_closeness == 0.5  # (|1-1/2| + |0-1/2|)/2
+
+
+def test_link_prediction_scores_square(spark):
+    from dpe_energy_performance_analysis_etl_spark.operators.graph import (
+        LP_RA_SCALE,
+        link_prediction_scores,
+    )
+
+    # square 1-2-3-4-1: diagonals (1,3) and (2,4) each share 2 common
+    # neighbors of degree 2; every deg = 2 -> PA = 4, RA = 2 * S//2
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], "src int, dst int"
+    )
+    got = {
+        (r.u, r.v): r
+        for r in link_prediction_scores(edges, min_common=1).collect()
+    }
+    assert set(got) == {(1, 3), (2, 4)}
+    for r in got.values():
+        assert r.common_neighbors == 2
+        assert r.preferential_attachment == 4
+        assert r.ra_scaled == 2 * (LP_RA_SCALE // 2)
+    # existing edges are anti-joined away even when they close wedges
+    tri = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "src int, dst int")
+    assert link_prediction_scores(tri, min_common=1).count() == 0
