@@ -79,3 +79,73 @@ def fuzzy_join_ed1(
     return cand.withColumn("edit_dist", F.levenshtein(F.col(left_col), F.col(rcol))).filter(
         F.col("edit_dist") <= 1
     )
+
+
+def fellegi_sunter_link(
+    left: DataFrame,
+    right: DataFrame,
+    block_cols: list[tuple[Column, Column]],
+    comparisons: list[tuple[str, Column, Column, int, int]],
+    left_id: Column | str = "left_id",
+    right_id: Column | str = "right_id",
+    upper: int = 50,
+    lower: int = 0,
+) -> DataFrame:
+    """Probabilistic record linkage scoring (Fellegi & Sunter, JASA
+    1969): candidate pairs from BLOCKING (an equi-join on one or more
+    block keys — never all-pairs), each scored by summing per-field
+    agreement/disagreement weights, then classified by the two
+    FS thresholds (``>= upper`` match, ``< lower`` non-match, else
+    possible/clerical-review).
+
+    Weights are INTEGERS (scaled log-odds log2(m/u) · 10, supplied by
+    the caller from known or estimated m-/u-probabilities), so the
+    score is an exact BIGINT sum and the same pair scores identically
+    on every engine — the cross-engine float rule applied to linkage.
+    Agreement is null-safe equality of the supplied field expressions
+    (the caller encodes normalization — prefixes, buckets, phonetic
+    keys — in the expressions themselves).
+
+    Scale shape: one equi-join on the block keys; candidate volume is
+    Σ_b |L_b|·|R_b| — the blocking design bounds it, exactly like
+    every other candidate-generation operator in this repo (LSH
+    bands, deletion variants, grid cells). Skewed blocks are the
+    caller's blocking-key design concern, the classic FS trade-off.
+
+    ``comparisons``: (name, left_expr, right_expr, w_agree,
+    w_disagree). Returns (left_id, right_id, score, n_agree,
+    link_class).
+    """
+    lid = F.col(left_id) if isinstance(left_id, str) else left_id
+    rid = F.col(right_id) if isinstance(right_id, str) else right_id
+    lsel = left.select(
+        lid.alias("__lid"),
+        *[b[0].alias(f"__bk{i}") for i, b in enumerate(block_cols)],
+        *[c[1].alias(f"__l{i}") for i, c in enumerate(comparisons)],
+    )
+    rsel = right.select(
+        rid.alias("__rid"),
+        *[b[1].alias(f"__bk{i}") for i, b in enumerate(block_cols)],
+        *[c[2].alias(f"__r{i}") for i, c in enumerate(comparisons)],
+    )
+    cand = lsel.join(rsel, [f"__bk{i}" for i in range(len(block_cols))])
+    score = F.lit(0).cast("bigint")
+    agree_cnt = F.lit(0)
+    for i, (_, _, _, w_a, w_d) in enumerate(comparisons):
+        agrees = F.col(f"__l{i}").eqNullSafe(F.col(f"__r{i}"))
+        score = score + F.when(agrees, F.lit(w_a)).otherwise(F.lit(w_d))
+        agree_cnt = agree_cnt + agrees.cast("int")
+    cls = (
+        F.when(F.col("score") >= upper, F.lit("match"))
+        .when(F.col("score") < lower, F.lit("non_match"))
+        .otherwise(F.lit("possible"))
+    )
+    return (
+        cand.select(
+            F.col("__lid").alias("left_id"),
+            F.col("__rid").alias("right_id"),
+            score.alias("score"),
+            agree_cnt.cast("bigint").alias("n_agree"),
+        )
+        .withColumn("link_class", cls)
+    )

@@ -8540,3 +8540,228 @@ def link_prediction_parts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
     )
     return link_prediction_scores(pairs, min_common=2)
+
+
+_RAKE_STOPS = "'the','a','an','and','or','of','to','in','is','on','for','with','at','by','from','as','it','this','that'"
+
+
+@register(
+    "rake_keywords_docs",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+    ), pos AS (
+      SELECT doc_id, unnest(range(1, len(t) + 1)) AS p, unnest(t) AS tok FROM tok
+    ), tagged AS (
+      SELECT doc_id, p, tok,
+             tok IN ({_RAKE_STOPS}) AS stop,
+             SUM(CASE WHEN tok IN ({_RAKE_STOPS}) THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY p) AS gid
+      FROM pos
+    ), ph AS MATERIALIZED (
+      SELECT doc_id, gid, string_agg(tok, ' ' ORDER BY p) AS phrase,
+             CAST(COUNT(*) AS BIGINT) AS n_words
+      FROM tagged WHERE NOT stop GROUP BY doc_id, gid
+      HAVING COUNT(*) <= 4
+    ), words AS (
+      SELECT unnest(string_split(phrase, ' ')) AS word, n_words FROM ph
+    ), stats AS MATERIALIZED (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(n_words) AS BIGINT) AS deg
+      FROM words GROUP BY 1
+    ), occ AS (
+      SELECT phrase, n_words, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+      FROM ph GROUP BY 1, 2
+    ), sw AS (
+      SELECT phrase, n_words, n_occurrences,
+             unnest(string_split(phrase, ' ')) AS word
+      FROM occ
+    )
+    SELECT sw.phrase, sw.n_words, sw.n_occurrences,
+           CAST(SUM((s.deg * 1000000) // s.freq) AS BIGINT) AS score_scaled
+    FROM sw JOIN stats s ON s.word = sw.word
+    GROUP BY 1, 2, 3
+    """,
+)
+def rake_keywords_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (text/analysis.py rake_keywords, Rose
+    2010): stopword-split candidate phrases, word degree/frequency
+    stats, phrase score = Σ integer-scaled deg·10^6 div freq — an
+    order-free BIGINT sum, no float accumulation. Phrase building is
+    one doc-bounded window; scoring re-joins a broadcast word-stat
+    table."""
+    from dpe_energy_performance_analysis_etl_spark.text.analysis import rake_keywords
+
+    return rake_keywords(read_documents(spark, sf_dir))
+
+
+_CDC_SPANS_SQL = """
+    WITH tok AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+    ), whs AS (
+      SELECT doc_id, t, len(t) AS n,
+             list_transform(t, w -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(regexp_extract_all(w, '.'), c -> CAST(ascii(c) AS BIGINT))),
+                 (acc, c) -> (acc * 131 + c) % 2147483647)) AS wh
+      FROM tok
+    ), cuts AS (
+      SELECT doc_id, t, n,
+             list_filter(CASE WHEN n >= 4 THEN range(3, n) ELSE [] END,
+               p -> (  (wh[p + 1] * 1 % 2147483647)
+                     + (wh[p] * 131 % 2147483647)
+                     + (wh[p - 1] * 17161 % 2147483647)
+                     + (wh[p - 2] * 2248091 % 2147483647)
+                    ) % 2147483647 % 16 = 0) AS cut
+      FROM whs
+    ), ends_t AS (
+      SELECT doc_id, t, n,
+             CASE WHEN n = 0 THEN []
+                  WHEN len(cut) > 0 AND cut[-1] = n - 1 THEN cut
+                  ELSE list_append(cut, n - 1) END AS ends
+      FROM cuts
+    ), se AS MATERIALIZED (
+      SELECT doc_id, t,
+             list_prepend(0, list_transform(ends[1:len(ends)-1], e -> e + 1)) AS starts,
+             ends
+      FROM ends_t WHERE n > 0
+    ), chunks AS (
+      SELECT doc_id, t, starts, ends, unnest(range(1, len(ends) + 1)) AS ci
+      FROM se
+    ), spans AS (
+      SELECT doc_id, CAST(ci - 1 AS BIGINT) AS chunk_idx,
+             CAST(starts[ci] AS BIGINT) AS start_tok,
+             CAST(ends[ci] - starts[ci] + 1 AS BIGINT) AS n_tokens,
+             md5(array_to_string(t[starts[ci]+1 : ends[ci]+1], ' ')) AS chunk_md5
+      FROM chunks
+    )"""
+
+
+@register(
+    "cdc_chunk_spans",
+    _CDC_SPANS_SQL
+    + """
+    SELECT doc_id, chunk_idx, start_tok, n_tokens, chunk_md5 FROM spans
+    """,
+)
+def cdc_chunk_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (text/chunking.py cdc_chunks, the
+    LBFS/rsync primitive at word granularity): boundaries where the
+    trailing-4-token rolling hash ≡ 0 mod 16, so chunk identity
+    survives insertions/deletions outside the edit — all row-local
+    array arithmetic (zero shuffle), Mersenne-2^31 modulus keeps
+    every product int64-safe under ANSI."""
+    from dpe_energy_performance_analysis_etl_spark.text.chunking import cdc_chunks
+
+    return cdc_chunks(read_documents(spark, sf_dir))
+
+
+@register(
+    "cdc_chunk_dedup",
+    _CDC_SPANS_SQL
+    + """
+    SELECT chunk_md5, n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM spans GROUP BY 1, 2
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+)
+def cdc_chunk_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated CDC chunks (text/chunking.py
+    cdc_chunk_dedup): shared boilerplate collapses to equal md5 keys,
+    found by ONE hash groupBy over the chunk table — sub-document
+    dedup at exact-dedup cost, no pair enumeration."""
+    from dpe_energy_performance_analysis_etl_spark.text.chunking import cdc_chunk_dedup
+
+    return cdc_chunk_dedup(read_documents(spark, sf_dir))
+
+
+@register(
+    "record_linkage_fs",
+    """
+    WITH r AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 7 = 0
+                  THEN replace(c_name, 'Customer', 'Custoner') ELSE c_name END AS name,
+             c_nationkey,
+             CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 1.75e1 ELSE c_acctbal END AS bal,
+             CASE WHEN c_custkey % 5 = 0 THEN 'UNKNOWN' ELSE c_mktsegment END AS seg
+      FROM customer
+    ), l AS (
+      SELECT c_custkey, c_name AS name, c_nationkey, c_acctbal AS bal,
+             c_mktsegment AS seg
+      FROM customer
+    ), cand AS (
+      SELECT l.c_custkey AS left_id, r.c_custkey AS right_id,
+             (l.name = r.name) AS a1, (l.seg = r.seg) AS a2,
+             (CAST(floor(l.bal * 100 + 0.5) AS BIGINT) // 100000
+              = CAST(floor(r.bal * 100 + 0.5) AS BIGINT) // 100000) AS a3
+      FROM l JOIN r ON l.c_nationkey = r.c_nationkey
+                   AND l.name[-3:] = r.name[-3:]
+    ), scored AS (
+      SELECT left_id, right_id,
+             CAST(CASE WHEN a1 THEN 40 ELSE -10 END
+                + CASE WHEN a2 THEN 10 ELSE -8 END
+                + CASE WHEN a3 THEN 20 ELSE -6 END AS BIGINT) AS score,
+             CAST(CAST(a1 AS INT) + CAST(a2 AS INT) + CAST(a3 AS INT) AS BIGINT) AS n_agree
+      FROM cand
+    )
+    SELECT left_id, right_id, score, n_agree,
+           CASE WHEN score >= 50 THEN 'match'
+                WHEN score < 0 THEN 'non_match'
+                ELSE 'possible' END AS link_class
+    FROM scored
+    """,
+)
+def record_linkage_fs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage (operators/entity.py
+    fellegi_sunter_link, FS JASA'69): customers linked to a
+    deterministically perturbed copy (1/7 corrupted names, 1/5 masked
+    segments, 1/3 shifted balances) — blocked on (nation, name digit
+    tail) so candidates stay equi-keyed, scored by integer log-odds
+    weights (name 40/-10, segment 10/-8, $1000-balance-bucket 20/-6),
+    classified at the 50/0 thresholds."""
+    from dpe_energy_performance_analysis_etl_spark.operators.entity import (
+        fellegi_sunter_link,
+    )
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    k = F.col("c_custkey")
+    right = cust.select(
+        "c_custkey",
+        F.when(k % 7 == 0, F.regexp_replace("c_name", "Customer", "Custoner"))
+        .otherwise(F.col("c_name"))
+        .alias("name"),
+        "c_nationkey",
+        F.when(k % 3 == 0, F.col("c_acctbal") + 17.5)
+        .otherwise(F.col("c_acctbal"))
+        .alias("bal"),
+        F.when(k % 5 == 0, F.lit("UNKNOWN"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg"),
+    )
+    left = cust.select(
+        "c_custkey",
+        F.col("c_name").alias("name"),
+        "c_nationkey",
+        F.col("c_acctbal").alias("bal"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    bucket = F.expr("floor(bal * 100 + 0.5) div 100000")
+    return fellegi_sunter_link(
+        left,
+        right,
+        block_cols=[
+            (F.col("c_nationkey"), F.col("c_nationkey")),
+            (F.substring("name", -3, 3), F.substring("name", -3, 3)),
+        ],
+        comparisons=[
+            ("name", F.col("name"), F.col("name"), 40, -10),
+            ("segment", F.col("seg"), F.col("seg"), 10, -8),
+            ("balance_bucket", bucket, bucket, 20, -6),
+        ],
+        left_id="c_custkey",
+        right_id="c_custkey",
+        upper=50,
+        lower=0,
+    )

@@ -284,3 +284,86 @@ def compression_ratio(
         F.col("compressed_bytes").cast("double")
         / F.greatest(F.col("raw_bytes"), F.lit(1)).cast("double"),
     )
+
+
+RAKE_STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "on",
+    "for", "with", "at", "by", "from", "as", "it", "this", "that",
+)
+RAKE_SCALE = 10**6
+
+
+def rake_keywords(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_phrase_len: int = 4,
+    stopwords: tuple[str, ...] = RAKE_STOPWORDS,
+):
+    """RAKE keyword extraction (Rose et al. 2010, "Automatic Keyword
+    Extraction from Individual Documents") over a corpus: candidate
+    phrases are maximal stopword-free token runs (length capped);
+    word degree = Σ phrase lengths containing the word (self
+    included), word frequency = occurrence count; phrase score =
+    Σ_w deg(w)/freq(w).
+
+    Exactness: word degrees/frequencies are BIGINT; the per-word
+    ratio is the INTEGER-scaled ``deg·10^6 div freq``, so phrase
+    scores are order-free integer sums — cross-engine hash-stable
+    with no float accumulation (floor error < words-per-phrase units
+    of 10^-6, irrelevant to any ranking).
+
+    Scale shape: phrase building is one per-doc window (sum of
+    stopword flags = phrase id) + one groupBy — document-bounded
+    state; word stats aggregate over exploded phrase words; scoring
+    re-joins the broadcast-sized word-stat table. The phrase table
+    feeds both the stats and the scoring subtrees, so it is cached
+    (bounded: ≤ token count rows).
+
+    Returns (phrase, n_words, n_occurrences, score_scaled).
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens_expr(text_col)).alias("pos", "tok"),
+    )
+    stop = F.col("tok").isin(*stopwords)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    tagged = tok.withColumn(
+        "gid", F.sum(stop.cast("int")).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    ).filter(~stop)
+    phrases = (
+        tagged.groupBy("doc_id", "gid")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        )
+        .filter(F.col("n_words") <= max_phrase_len)
+        .cache()
+    )
+    words = phrases.select(
+        F.explode(F.split("phrase", " ")).alias("word"), "n_words"
+    )
+    stats = words.groupBy("word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq"),
+        F.sum("n_words").cast("bigint").alias("deg"),
+    )
+    occ = phrases.groupBy("phrase", "n_words").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences")
+    )
+    scored_words = occ.select(
+        "phrase", "n_words", "n_occurrences",
+        F.explode(F.split("phrase", " ")).alias("word"),
+    ).join(F.broadcast(stats), "word")
+    return scored_words.groupBy("phrase", "n_words", "n_occurrences").agg(
+        F.sum(F.expr(f"(deg * {RAKE_SCALE}) div freq"))
+        .cast("bigint")
+        .alias("score_scaled")
+    )

@@ -110,3 +110,104 @@ def test_link_prediction_scores_square(spark):
     # existing edges are anti-joined away even when they close wedges
     tri = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "src int, dst int")
     assert link_prediction_scores(tri, min_common=1).count() == 0
+
+
+def test_cdc_chunks_survive_prefix_insertion(spark):
+    """The content-defined property itself: prepending tokens to a
+    document re-keys only the chunks up to the first unchanged
+    boundary — every later chunk keeps its md5 identity (fixed-size
+    blocks would re-key everything after the edit)."""
+    from dpe_energy_performance_analysis_etl_spark.text.chunking import cdc_chunks
+
+    # 200 varied tokens -> ~200 distinct 4-grams, so ~1/16 of them cut
+    words = " ".join(f"tok{i * i % 1009}" for i in range(200))
+    base = spark.createDataFrame([(1, words.strip())], "doc_id int, text string")
+    edited = spark.createDataFrame(
+        [(1, ("inserted preamble tokens " + words).strip())],
+        "doc_id int, text string",
+    )
+    h0 = [r.chunk_md5 for r in cdc_chunks(base).orderBy("chunk_idx").collect()]
+    h1 = [r.chunk_md5 for r in cdc_chunks(edited).orderBy("chunk_idx").collect()]
+    assert len(h0) >= 3, "fixture should produce several chunks"
+    shared = set(h0) & set(h1)
+    # all chunks after the first boundary resynchronize
+    assert set(h0[1:]) <= shared
+    # and the suffix ORDER is preserved
+    assert h1[-(len(h0) - 1):] == h0[1:]
+
+
+def test_cdc_chunks_partition_exactly(spark):
+    """Chunks tile each document: contiguous, gap-free, full cover."""
+    from dpe_energy_performance_analysis_etl_spark.text.chunking import cdc_chunks
+    from dpe_energy_performance_analysis_etl_spark.plans.queries import read_documents
+
+    docs = read_documents(spark, "/root/testdata/sf0.001")
+    spans = cdc_chunks(docs).orderBy("doc_id", "chunk_idx").collect()
+    from collections import defaultdict
+
+    per_doc = defaultdict(list)
+    for r in spans:
+        per_doc[r.doc_id].append((r.start_tok, r.n_tokens))
+    import re as _re
+
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    for doc_id, ch in per_doc.items():
+        n = len(_re.findall(r"[a-z0-9]+", texts[doc_id].lower()))
+        pos = 0
+        for start, ln in ch:
+            assert start == pos and ln >= 1
+            pos += ln
+        assert pos == n
+
+
+def test_fellegi_sunter_classes_hand_case(spark):
+    from dpe_energy_performance_analysis_etl_spark.operators.entity import (
+        fellegi_sunter_link,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "b1", "ann", "x"), (2, "b1", "bob", "y"), (3, "b2", "cat", "z")],
+        "id int, blk string, name string, city string",
+    )
+    right = spark.createDataFrame(
+        [(10, "b1", "ann", "x"),   # full agree with 1 -> 30 match
+         (20, "b1", "ann", "q"),   # name only: 20 - 5 = 15 possible
+         (30, "b2", "dog", "q")],  # nothing: -15 non_match
+        "id int, blk string, name string, city string",
+    )
+    out = fellegi_sunter_link(
+        left, right,
+        block_cols=[(F.col("blk"), F.col("blk"))],
+        comparisons=[
+            ("name", F.col("name"), F.col("name"), 20, -10),
+            ("city", F.col("city"), F.col("city"), 10, -5),
+        ],
+        left_id="id", right_id="id", upper=30, lower=0,
+    )
+    got = {(r.left_id, r.right_id): (r.score, r.n_agree, r.link_class)
+           for r in out.collect()}
+    assert got[(1, 10)] == (30, 2, "match")
+    assert got[(1, 20)] == (15, 1, "possible")
+    assert got[(3, 30)] == (-15, 0, "non_match")
+    # blocking: (3, 10) never becomes a candidate (different blocks)
+    assert (3, 10) not in got
+
+
+def test_rake_keywords_hand_case(spark):
+    from dpe_energy_performance_analysis_etl_spark.text.analysis import (
+        RAKE_SCALE,
+        rake_keywords,
+    )
+
+    # doc: "deep learning of deep nets" -> phrases "deep learning",
+    # "deep nets"; freq(deep)=2, deg(deep)=4; freq(learning)=1,
+    # deg(learning)=2; freq(nets)=1, deg(nets)=2
+    df = spark.createDataFrame(
+        [(1, "deep learning of deep nets")], "doc_id int, text string"
+    )
+    got = {r.phrase: r for r in rake_keywords(df).collect()}
+    assert set(got) == {"deep learning", "deep nets"}
+    expected = (4 * RAKE_SCALE) // 2 + (2 * RAKE_SCALE) // 1
+    assert got["deep learning"].score_scaled == expected
+    assert got["deep learning"].n_occurrences == 1
+    assert got["deep nets"].score_scaled == expected
