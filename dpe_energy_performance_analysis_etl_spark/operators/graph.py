@@ -229,7 +229,12 @@ def kcore_peel(
             e.join(keep.withColumnRenamed("v", "a"), "a", "left_semi")
             .join(keep.withColumnRenamed("v", "b"), "b", "left_semi")
             .select("a", "b")
-            .cache()
+            # eager localCheckpoint, NOT cache+unpersist-parent: the
+            # parent unpersist cascades into the child's cache entry
+            # (plan-subtree match) and every round then re-peels from
+            # scratch — the BFS/LPA fix applied here (measured 5.6 s →
+            # see NOTES round-5; checkpoint() on a real cluster)
+            .localCheckpoint()
         )
         n = nxt.count()
         e.unpersist()
@@ -265,9 +270,13 @@ def label_propagation(
     Scale shape per round: one edge⋈labels equi-join (|E| rows), one
     (node, label) count aggregation — map-side combinable, hot
     communities collapse early — and one min_by argmax per node. The
-    static symmetrized edge table is cached once; per-round label
-    tables are cached and the parent unpersisted (lineage one round
-    deep — the iterative-algorithm rule)."""
+    static symmetrized edge table is cached once; each round's label
+    table is an EAGER localCheckpoint — cache+unpersist-parent is a
+    trap here, because the child's plan contains the parent as a
+    subtree and the unpersist CASCADES into the child's cache, so
+    every round recomputed the whole chain (measured 19.9 s → 8.2 s
+    cold-cache at sf0.1 switching to checkpoints; checkpoint() on a
+    real cluster)."""
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .where(F.col("u") != F.col("v"))
@@ -278,7 +287,7 @@ def label_propagation(
         .cache()
     )
     nodes = e.select(F.col("s").alias("node")).distinct().cache()
-    labels = nodes.select("node", F.col("node").alias("label")).cache()
+    labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint()
     for _ in range(iterations):
         counts = (
             e.join(labels, e["s"] == labels["node"])
@@ -286,18 +295,17 @@ def label_propagation(
             .groupBy("node", "label")
             .agg(F.count(F.lit(1)).alias("c"))
         )
-        nxt = (
+        labels = (
             counts.groupBy("node")
             .agg(
                 F.min_by(
                     "label", F.struct((-F.col("c")).alias("nc"), F.col("label").alias("l"))
                 ).alias("label")
             )
-            .cache()
+            # eager: materializes AND truncates lineage, immune to the
+            # cascade invalidation cache+unpersist-parent suffers
+            .localCheckpoint()
         )
-        nxt.count()  # materialize before dropping the parent
-        labels.unpersist()
-        labels = nxt
     return labels
 
 
@@ -480,4 +488,67 @@ def link_prediction_scores(
             "preferential_attachment"
         ),
         "ra_scaled",
+    )
+
+
+def landmark_bfs_distances(
+    edges: DataFrame,
+    n_landmarks: int = 4,
+    max_depth: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Multi-source BFS from deterministic landmarks — the distance
+    primitive behind landmark/sketch-based shortest-path estimation
+    (Potamias et al., CIKM'09): exact hop distances from the
+    ``n_landmarks`` SMALLEST node ids (deterministic, portable — no
+    RNG) out to ``max_depth`` hops over the undirected graph.
+
+    Per round: the depth-(r-1) frontier equi-joins the adjacency list
+    and an anti-join against the visited set keeps first discoveries
+    only — O(Σ frontier degrees) per round, the textbook relational
+    BFS. Each round's visited set is an EAGER ``localCheckpoint`` —
+    not cache+unpersist-parent, because the new round's plan contains
+    the old visited as a subtree and unpersisting the parent CASCADES
+    the invalidation into the child's cache, recomputing the whole
+    chain every round (measured here: rounds 2.0 → 5.8 → 9.5 → 19.0 s
+    at sf0.01 before the fix, flat ~1 s after; checkpoint() on a real
+    cluster). The same trap NOTES records for repeat-timing caches.
+
+    All landmarks advance in ONE joined pass per round (the frontier
+    carries its landmark id), so the cost is rounds × |E|-bounded, not
+    landmarks × rounds. Returns (landmark, node, dist), dist ≤
+    max_depth, including the landmark itself at dist 0.
+    """
+    e = edges.select(
+        F.least(F.col(src), F.col(dst)).alias("a"),
+        F.greatest(F.col(src), F.col(dst)).alias("b"),
+    ).filter(F.col("a") != F.col("b")).distinct()
+    adj = (
+        e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .select(F.col("a").alias("z"), F.col("b").alias("nbr"))
+        .cache()
+    )
+    nodes = adj.select(F.col("z").alias("node")).distinct()
+    landmarks = nodes.orderBy("node").limit(n_landmarks).select(
+        F.col("node").alias("landmark")
+    )
+    visited = landmarks.select(
+        "landmark", F.col("landmark").alias("node"), F.lit(0).alias("dist")
+    ).localCheckpoint()
+    frontier = visited
+    for r in range(1, max_depth + 1):
+        discovered = (
+            frontier.join(adj, frontier["node"] == adj["z"])
+            .select("landmark", F.col("nbr").alias("node"))
+            .distinct()
+            .join(visited, ["landmark", "node"], "left_anti")
+            .withColumn("dist", F.lit(r))
+        )
+        # eager localCheckpoint: materializes AND truncates lineage, so
+        # no unpersist of a parent can cascade-invalidate this round
+        visited = visited.unionByName(discovered).localCheckpoint()
+        frontier = visited.where(F.col("dist") == r)
+    return visited.select(
+        "landmark", "node", F.col("dist").cast("bigint").alias("dist")
     )

@@ -532,3 +532,48 @@ def roc_auc_exact(df, label_col: str, score_col: str, by=None):
         u2.cast("double") / (2 * F.col("n_pos") * F.col("n_neg")).cast("double"),
     )
     return agg.select(*keys, "n_pos", "n_neg", auc.alias("auc"))
+
+
+def pass_at_k(df, group_col, success_col, k: int = 3):
+    """Unbiased pass@k (Chen et al. 2021, "Evaluating Large Language
+    Models Trained on Code", eq. 1): per problem with n samples and c
+    successes, pass@k = 1 − C(n−c, k)/C(n, k) — the probability a
+    random size-k subset contains a success, the standard LLM-eval
+    sampling metric.
+
+    Computed EXACTLY: C(n−c,k)/C(n,k) = Π_{i<k} (n−c−i)/(n−i), so
+    numerator/denominator are k-term BIGINT falling-factorial
+    products and pass@k is one division of exact integers (keep k
+    small and n bounded so the products stay in int64 — k=3, n≤10⁵
+    gives ≤10¹⁵; document limits rather than overflow silently: ANSI
+    aborts loudly). NULL when n < k (estimator undefined).
+
+    Scale shape: one count aggregation per group; the products are
+    per-row expressions over the tiny per-group table.
+
+    Returns (group, n_samples, n_success, pass_at_k).
+    """
+    from pyspark.sql import functions as F
+
+    agg = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_samples"),
+        F.sum(F.col(success_col).cast("int")).cast("bigint").alias("n_success"),
+    )
+    num = F.lit(1).cast("bigint")
+    den = F.lit(1).cast("bigint")
+    for i in range(k):
+        num = num * (F.col("n_samples") - F.col("n_success") - i)
+        den = den * (F.col("n_samples") - i)
+    ratio = F.when(
+        F.col("n_samples") >= k,
+        F.when(
+            F.col("n_samples") - F.col("n_success") >= k,
+            (den - num).cast("double") / den.cast("double"),
+        ).otherwise(F.lit(1.0)),
+    )
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "n_samples",
+        "n_success",
+        ratio.alias("pass_at_k"),
+    )

@@ -8765,3 +8765,104 @@ def record_linkage_fs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         upper=50,
         lower=0,
     )
+
+
+def _bfs_oracle(n_landmarks: int, max_depth: int) -> str:
+    blocks = [
+        f"""
+    WITH co AS (
+      SELECT x.l_partkey AS a, y.l_partkey AS b, COUNT(*) AS n
+      FROM lineitem x JOIN lineitem y
+        ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+      GROUP BY 1, 2
+    ), e AS MATERIALIZED (
+      SELECT a, b FROM co WHERE n >= 2
+    ), adj AS MATERIALIZED (
+      SELECT a AS z, b AS nbr FROM e UNION ALL SELECT b AS z, a AS nbr FROM e
+    ), lm AS MATERIALIZED (
+      SELECT z AS landmark FROM (SELECT DISTINCT z FROM adj ORDER BY z LIMIT {n_landmarks})
+    ), d0 AS MATERIALIZED (
+      SELECT landmark, landmark AS node, 0 AS dist FROM lm
+    )"""
+    ]
+    for r in range(1, max_depth + 1):
+        blocks.append(
+            f""", d{r} AS MATERIALIZED (
+      SELECT * FROM d{r - 1}
+      UNION ALL
+      SELECT DISTINCT f.landmark, a.nbr AS node, {r} AS dist
+      FROM d{r - 1} f JOIN adj a ON a.z = f.node
+      WHERE f.dist = {r - 1}
+        AND NOT EXISTS (SELECT 1 FROM d{r - 1} v
+                        WHERE v.landmark = f.landmark AND v.node = a.nbr)
+    )"""
+        )
+    blocks.append(
+        f"""
+    SELECT landmark, node, CAST(dist AS BIGINT) AS dist FROM d{max_depth}
+    """
+    )
+    return "".join(blocks)
+
+
+@register("landmark_bfs_parts", _bfs_oracle(4, 4))
+def landmark_bfs_parts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source landmark BFS (operators/graph.py
+    landmark_bfs_distances, Potamias CIKM'09) on the recurring-pair
+    part graph: exact hop distances from the 4 smallest node ids out
+    to 4 hops — frontier⋈adjacency + visited anti-join per round, all
+    landmarks advancing in one pass, per-round re-cache with bounded
+    lineage. The shortest-path family the graph suite lacked."""
+    from dpe_energy_performance_analysis_etl_spark.operators.graph import (
+        landmark_bfs_distances,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pairs = (
+        li.alias("x")
+        .join(
+            li.alias("y"),
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .groupBy(
+            F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 2)
+        .select("src", "dst")
+    )
+    return landmark_bfs_distances(pairs, n_landmarks=4, max_depth=4)
+
+
+@register(
+    "pass_at_k_customers",
+    """
+    WITH a AS (
+      SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_samples,
+             CAST(count_if(o_orderstatus = 'F') AS BIGINT) AS n_success
+      FROM orders GROUP BY 1
+    )
+    SELECT o_custkey, n_samples, n_success,
+           CASE WHEN n_samples >= 3 THEN
+             CASE WHEN n_samples - n_success >= 3 THEN
+               CAST(n_samples * (n_samples - 1) * (n_samples - 2)
+                    - (n_samples - n_success) * (n_samples - n_success - 1)
+                      * (n_samples - n_success - 2) AS DOUBLE)
+               / CAST(n_samples * (n_samples - 1) * (n_samples - 2) AS DOUBLE)
+             ELSE 1.0e0 END
+           END AS pass_at_k
+    FROM a
+    """,
+)
+def pass_at_k_customers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbiased pass@k estimator (operators/stats.py pass_at_k, Chen
+    2021 eq. 1) with k=3 over per-customer order outcomes: falling-
+    factorial products in BIGINT, one exact-integer division — the
+    LLM sampling-eval metric in its hash-stable form."""
+    from dpe_energy_performance_analysis_etl_spark.operators.stats import pass_at_k
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey", (F.col("o_orderstatus") == "F").alias("ok")
+    )
+    return pass_at_k(orders, "o_custkey", "ok", k=3)

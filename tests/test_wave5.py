@@ -211,3 +211,43 @@ def test_rake_keywords_hand_case(spark):
     assert got["deep learning"].score_scaled == expected
     assert got["deep learning"].n_occurrences == 1
     assert got["deep nets"].score_scaled == expected
+
+
+def test_pass_at_k_hand_cases(spark):
+    from dpe_energy_performance_analysis_etl_spark.operators.stats import pass_at_k
+
+    rows = (
+        [("p1", True)] + [("p1", False)] * 3          # n=4, c=1 -> 1 - C(3,3)/C(4,3) = 3/4
+        + [("p2", False)] * 3                           # n=3, c=0 -> 0
+        + [("p3", True), ("p3", True), ("p3", False)]  # n-c < k -> 1
+        + [("p4", True), ("p4", False)]                 # n < k -> NULL
+    )
+    df = spark.createDataFrame(rows, "prob string, ok boolean")
+    got = {r.prob: r for r in pass_at_k(df, "prob", "ok", k=3).collect()}
+    assert got["p1"].pass_at_k == 0.75
+    assert got["p2"].pass_at_k == 0.0
+    assert got["p3"].pass_at_k == 1.0
+    assert got["p4"].pass_at_k is None
+    assert (got["p1"].n_samples, got["p1"].n_success) == (4, 1)
+
+
+def test_landmark_bfs_path_graph(spark):
+    from dpe_energy_performance_analysis_etl_spark.operators.graph import (
+        landmark_bfs_distances,
+    )
+
+    # path 1-2-3-4-5-6, single landmark (smallest id = 1), depth 3
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)], "src int, dst int"
+    )
+    got = {
+        (r.landmark, r.node): r.dist
+        for r in landmark_bfs_distances(edges, n_landmarks=1, max_depth=3).collect()
+    }
+    assert got == {(1, 1): 0, (1, 2): 1, (1, 3): 2, (1, 4): 3}
+    # two landmarks advance together; first-discovery keeps min dist
+    got2 = {
+        (r.landmark, r.node): r.dist
+        for r in landmark_bfs_distances(edges, n_landmarks=2, max_depth=2).collect()
+    }
+    assert got2[(2, 4)] == 2 and got2[(1, 3)] == 2 and (1, 4) not in got2
