@@ -552,3 +552,54 @@ def landmark_bfs_distances(
     return visited.select(
         "landmark", "node", F.col("dist").cast("bigint").alias("dist")
     )
+
+
+def bounded_bellman_ford(
+    edges: DataFrame,
+    n_sources: int = 4,
+    rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+) -> DataFrame:
+    """Bounded multi-source Bellman-Ford: cheapest WEIGHTED path
+    within ``rounds`` hops from the ``n_sources`` smallest node ids —
+    the weighted sibling of ``landmark_bfs_distances`` (relaxation is
+    the textbook relational formulation; bounding the rounds makes it
+    a pure function of the input that an unrolled SQL replay
+    reproduces exactly).
+
+    Per round: dist ⋈ edges on the source endpoint (the ONLY shuffle,
+    |frontier|-keyed), then a (source, node) MIN aggregation over old
+    ∪ relaxed. Integer weights keep every distance BIGINT — exact.
+    Each round ends in an eager localCheckpoint (the cascade-
+    invalidation rule). Directed: pass both directions for an
+    undirected graph. Returns (source, node, dist), node reachable
+    within ``rounds`` hops, dist exact cheapest ≤-rounds-hop cost.
+    """
+    e = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v"),
+        F.col(weight).cast("bigint").alias("w"),
+    )
+    nodes = e.select(F.col("u").alias("node")).unionAll(
+        e.select(F.col("v").alias("node"))
+    ).distinct()
+    sources = nodes.orderBy("node").limit(n_sources).select(
+        F.col("node").alias("source")
+    )
+    dist = sources.select(
+        "source", F.col("source").alias("node"), F.lit(0).cast("bigint").alias("dist")
+    ).localCheckpoint()
+    e = e.cache()
+    for _ in range(rounds):
+        relaxed = (
+            dist.join(e, dist["node"] == e["u"])
+            .select("source", F.col("v").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("source", "node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+    return dist

@@ -8866,3 +8866,121 @@ def pass_at_k_customers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey", (F.col("o_orderstatus") == "F").alias("ok")
     )
     return pass_at_k(orders, "o_custkey", "ok", k=3)
+
+
+@register(
+    "hll_distinct_orders",
+    """
+    WITH items AS (
+      SELECT l_returnflag, rpad(CAST(l_orderkey AS VARCHAR), 16, '#') AS s
+      FROM lineitem
+    ), h AS (
+      SELECT l_returnflag,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(regexp_extract_all(s, '.'),
+                               c -> CAST(ascii(c) AS BIGINT))),
+                (acc, c) -> (acc * 131 + c) % 2147483647) AS h0
+      FROM items
+    ), mx AS (
+      SELECT l_returnflag, xor(s1, s1 >> 16) AS h32 FROM (
+        SELECT l_returnflag,
+               (xor(h0, h0 >> 16) * 73244475) % 4294967296 AS s1
+        FROM h)
+    ), br AS (
+      SELECT l_returnflag, h32 % 64 AS b,
+             CASE WHEN h32 // 64 = 0 THEN 27
+                  ELSE 27 - length(bin(h32 // 64)) END AS rho
+      FROM mx
+    ), regs AS (
+      SELECT l_returnflag, b, MAX(rho) AS mreg FROM br GROUP BY 1, 2
+    )
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets_hit,
+           CAST(SUM(1 << (27 - mreg)) AS BIGINT) AS register_sum_x2p,
+           (7.0937e-1 * 4096) /
+             (SUM(1.0e0 / CAST(1 << mreg AS DOUBLE))
+              + CAST(64 - COUNT(*) AS DOUBLE)) AS hll_estimate
+    FROM regs GROUP BY 1
+    """,
+)
+def hll_distinct_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable HyperLogLog (operators/sketch.py hll_portable,
+    Flajolet'07) distinct orders per returnflag — the oracle-checked
+    twin of the rows-only ``approx_distinct`` (engine sketch bytes):
+    char-fold hash → 32-bit finalizer, 64 registers, ranks via
+    length(bin(w)) (no libm log), 2^-M as exact dyadic doubles so the
+    register sum is order-free exact; one multiply + one divide."""
+    from dpe_energy_performance_analysis_etl_spark.operators.sketch import hll_portable
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return hll_portable(li, "l_orderkey", by="l_returnflag")
+
+
+def _bellman_oracle(n_sources: int, rounds: int) -> str:
+    blocks = [
+        f"""
+    WITH co AS (
+      SELECT x.l_partkey AS a, y.l_partkey AS b, COUNT(*) AS n
+      FROM lineitem x JOIN lineitem y
+        ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+      GROUP BY 1, 2
+    ), ew AS MATERIALIZED (
+      SELECT a AS u, b AS v, CAST(n AS BIGINT) AS w FROM co WHERE n >= 2
+      UNION ALL
+      SELECT b AS u, a AS v, CAST(n AS BIGINT) AS w FROM co WHERE n >= 2
+    ), srcs AS MATERIALIZED (
+      SELECT node AS source FROM (
+        SELECT DISTINCT u AS node FROM ew ORDER BY node LIMIT {n_sources})
+    ), d0 AS MATERIALIZED (
+      SELECT source, source AS node, CAST(0 AS BIGINT) AS dist FROM srcs
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        blocks.append(
+            f""", d{r} AS MATERIALIZED (
+      SELECT source, node, MIN(dist) AS dist FROM (
+        SELECT * FROM d{r - 1}
+        UNION ALL
+        SELECT d.source, e.v AS node, d.dist + e.w AS dist
+        FROM d{r - 1} d JOIN ew e ON e.u = d.node
+      ) GROUP BY 1, 2
+    )"""
+        )
+    blocks.append(f"\n    SELECT source, node, dist FROM d{rounds}\n    ")
+    return "".join(blocks)
+
+
+@register("bellman_ford_parts", _bellman_oracle(4, 4))
+def bellman_ford_parts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded multi-source Bellman-Ford (operators/graph.py
+    bounded_bellman_ford) on the recurring-pair part graph with the
+    co-occurrence support as the integer edge weight: cheapest
+    ≤4-hop cost from the 4 smallest nodes — per round ONE
+    frontier-keyed join + one (source, node) MIN aggregation,
+    BIGINT-exact distances, unrolled-CTE oracle replay."""
+    from dpe_energy_performance_analysis_etl_spark.operators.graph import (
+        bounded_bellman_ford,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    co = (
+        li.alias("x")
+        .join(
+            li.alias("y"),
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .groupBy(
+            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 2)
+    )
+    edges = co.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), F.col("n").alias("w")
+    ).unionAll(
+        co.select(
+            F.col("b").alias("src"), F.col("a").alias("dst"), F.col("n").alias("w")
+        )
+    )
+    return bounded_bellman_ford(edges, n_sources=4, rounds=4)

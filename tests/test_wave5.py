@@ -251,3 +251,41 @@ def test_landmark_bfs_path_graph(spark):
         for r in landmark_bfs_distances(edges, n_landmarks=2, max_depth=2).collect()
     }
     assert got2[(2, 4)] == 2 and got2[(1, 3)] == 2 and (1, 4) not in got2
+
+
+def test_hll_portable_accuracy_and_registers(spark):
+    from dpe_energy_performance_analysis_etl_spark.operators.sketch import hll_portable
+
+    # 5000 distinct values (well above the 2.5*m small-range regime)
+    df = spark.range(5000).select(F.col("id").cast("string").alias("v"))
+    r = hll_portable(df, "v").collect()[0]
+    assert r.n_buckets_hit == 64
+    assert abs(r.hll_estimate - 5000) / 5000 < 0.30  # ~13% RSE at m=64
+    # duplicates never move a register: estimate is a set function
+    dup = df.unionAll(df).unionAll(df)
+    r2 = hll_portable(dup, "v").collect()[0]
+    assert r2.hll_estimate == r.hll_estimate
+    assert r2.register_sum_x2p == r.register_sum_x2p
+
+
+def test_bounded_bellman_ford_weighted_shortcut(spark):
+    from dpe_energy_performance_analysis_etl_spark.operators.graph import (
+        bounded_bellman_ford,
+    )
+
+    # 1->2->3 costs 1+1=2; direct 1->3 costs 5: min wins; and the
+    # round bound is respected (path 1..5 needs 4 hops)
+    edges = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 1), (1, 3, 5), (3, 4, 1), (4, 5, 1)],
+        "src int, dst int, w int",
+    )
+    d = {
+        (r.source, r.node): r.dist
+        for r in bounded_bellman_ford(edges, n_sources=1, rounds=2).collect()
+    }
+    assert d[(1, 3)] == 2 and d[(1, 2)] == 1 and (1, 5) not in d
+    d4 = {
+        (r.source, r.node): r.dist
+        for r in bounded_bellman_ford(edges, n_sources=1, rounds=4).collect()
+    }
+    assert d4[(1, 5)] == 4
