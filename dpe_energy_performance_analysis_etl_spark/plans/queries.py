@@ -8984,3 +8984,61 @@ def bellman_ford_parts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return bounded_bellman_ford(edges, n_sources=4, rounds=4)
+
+
+def _coverage_oracle(k: int) -> str:
+    blocks = [
+        """
+    WITH tok AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+    ), p AS MATERIALIZED (
+      SELECT DISTINCT doc_id AS id,
+             unnest(list_distinct(list_transform(range(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS item
+      FROM tok WHERE len(t) >= 3
+    ), cov0 AS MATERIALIZED (
+      SELECT item FROM p WHERE 1 = 0
+    ), picked0 AS MATERIALIZED (
+      SELECT id FROM p WHERE 1 = 0
+    )"""
+    ]
+    for r in range(1, k + 1):
+        blocks.append(
+            f""", pick{r} AS MATERIALIZED (
+      SELECT {r} AS round, id, CAST(COUNT(*) AS BIGINT) AS gain
+      FROM p ANTI JOIN cov{r - 1} USING (item)
+      WHERE id NOT IN (SELECT id FROM picked{r - 1})
+      GROUP BY id
+      ORDER BY gain DESC, id LIMIT 1
+    ), cov{r} AS MATERIALIZED (
+      SELECT item FROM cov{r - 1}
+      UNION
+      SELECT item FROM p JOIN pick{r} USING (id)
+    ), picked{r} AS MATERIALIZED (
+      SELECT id FROM picked{r - 1} UNION SELECT id FROM pick{r}
+    )"""
+        )
+    union = "\n      UNION ALL\n      ".join(
+        f"SELECT CAST(round AS BIGINT) AS round, id AS doc_id, gain FROM pick{r} WHERE gain > 0"
+        for r in range(1, k + 1)
+    )
+    blocks.append(f"\n    {union}\n    ")
+    return "".join(blocks)
+
+
+@register("coverage_select_docs", _coverage_oracle(5))
+def coverage_select_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy maximum-coverage selection of 5 exemplar documents by
+    distinct word-3-gram coverage (text/curation.py
+    greedy_max_coverage — the (1-1/e) submodular greedy behind
+    coverage-driven training-data subset selection): per round one
+    anti-join + per-doc count + a 1-row argmax pull; covered set
+    checkpointed per round; unrolled-CTE oracle replays every pick."""
+    from dpe_energy_performance_analysis_etl_spark.text.curation import greedy_max_coverage
+    from dpe_energy_performance_analysis_etl_spark.text.analysis import ngrams_expr
+
+    docs = read_documents(spark, sf_dir)
+    pairs = docs.select(
+        "doc_id", F.explode(ngrams_expr("text", 3)).alias("item")
+    )
+    return greedy_max_coverage(pairs, k=5)

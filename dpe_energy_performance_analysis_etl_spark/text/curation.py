@@ -485,3 +485,64 @@ def source_overlap_matrix(
             (F.col("n_shared").cast("double") / F.least("na", "nb").cast("double")).alias("overlap_coef"),
         )
     )
+
+
+def greedy_max_coverage(
+    pairs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    item_col: str = "item",
+) -> DataFrame:
+    """Greedy maximum-coverage data selection (the classic (1−1/e)
+    greedy — Nemhauser/Wolsey/Fisher 1978; the submodular-selection
+    recipe behind coverage-driven training-data subset selection):
+    pick ``k`` documents one at a time, each maximizing the number of
+    NOT-YET-COVERED items (n-grams, topics, vocab) it contributes;
+    ties break to the smallest id, so the selection is a pure
+    function of the input on every engine.
+
+    Per round: one anti-join of the (id, item) pairs against the
+    covered-item set + one per-id count aggregation + a 1-row argmax
+    pull to the driver (a bounded scalar pull, the imputation-stats
+    precedent — never data). The covered set grows by one document's
+    items per round and is eagerly localCheckpoint'ed (the cascade
+    rule). Rounds stop early when no document adds coverage.
+
+    Scale: each round is O(|pairs|) equi-keyed work; k is small by
+    construction (you are SELECTING a handful of exemplars). Returns
+    (round, id, gain) — gain = newly covered items at pick time.
+    """
+    p = pairs.select(
+        F.col(id_col).alias("id"), F.col(item_col).alias("item")
+    ).distinct().cache()
+    covered = p.select("item").limit(0).localCheckpoint()
+    chosen: list = []
+    out = []
+    for r in range(1, k + 1):
+        gains = (
+            p.join(covered, "item", "left_anti")
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("gain"))
+        )
+        if chosen:
+            gains = gains.where(~F.col("id").isin(*chosen))
+        top = gains.orderBy(F.col("gain").desc(), F.col("id")).limit(1).collect()
+        if not top or top[0]["gain"] == 0:
+            break
+        pick_id, gain = top[0]["id"], top[0]["gain"]
+        chosen.append(pick_id)
+        out.append((r, pick_id, gain))
+        covered = (
+            covered.unionByName(p.where(F.col("id") == pick_id).select("item"))
+            .distinct()
+            .localCheckpoint()
+        )
+    spark = pairs.sparkSession
+    if not out:
+        return spark.createDataFrame([], f"round bigint, {id_col} bigint, gain bigint")
+    sel = spark.createDataFrame(out, ["round", id_col, "gain"])
+    return sel.select(
+        F.col("round").cast("bigint").alias("round"),
+        F.col(id_col),
+        F.col("gain").cast("bigint").alias("gain"),
+    )

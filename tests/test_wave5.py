@@ -289,3 +289,19 @@ def test_bounded_bellman_ford_weighted_shortcut(spark):
         for r in bounded_bellman_ford(edges, n_sources=1, rounds=4).collect()
     }
     assert d4[(1, 5)] == 4
+
+
+def test_greedy_max_coverage_hand_case(spark):
+    from dpe_energy_performance_analysis_etl_spark.text.curation import (
+        greedy_max_coverage,
+    )
+
+    # doc 1 covers {a,b,c}, doc 2 {c,d}, doc 3 {a,b} (subset of 1),
+    # doc 4 {e}: greedy picks 1 (3), then 2 (+1 d), then 4 (+1 e);
+    # doc 3 adds nothing and is never picked
+    rows = [(1, "a"), (1, "b"), (1, "c"), (2, "c"), (2, "d"),
+            (3, "a"), (3, "b"), (4, "e")]
+    pairs = spark.createDataFrame(rows, "doc_id long, item string")
+    got = [(r.round, r.doc_id, r.gain)
+           for r in greedy_max_coverage(pairs, k=5, id_col="doc_id").collect()]
+    assert sorted(got) == [(1, 1, 3), (2, 2, 1), (3, 4, 1)]
