@@ -305,3 +305,81 @@ def test_greedy_max_coverage_hand_case(spark):
     got = [(r.round, r.doc_id, r.gain)
            for r in greedy_max_coverage(pairs, k=5, id_col="doc_id").collect()]
     assert sorted(got) == [(1, 1, 3), (2, 2, 1), (3, 4, 1)]
+
+
+def test_wave5_randomized_brute_force_cross_checks(spark):
+    """One seeded random dataset per operator, checked against a
+    brute-force pure-Python reference — the semantics gate the
+    hand cases can't cover combinatorially."""
+    import itertools
+    import random
+
+    rng = random.Random(20260814)
+
+    # --- exact AUC vs the O(n^2) pairwise definition ----------------
+    from dpe_energy_performance_analysis_etl_spark.operators.stats import roc_auc_exact
+
+    data = [(rng.randint(0, 1), float(rng.randint(0, 19)) / 4) for _ in range(200)]
+    df = spark.createDataFrame(data, "y int, s double")
+    got = roc_auc_exact(df, "y", "s").collect()[0].auc
+    pos = [s for y, s in data if y == 1]
+    neg = [s for y, s in data if y == 0]
+    wins = sum(1.0 if p > n else 0.5 if p == n else 0.0
+               for p in pos for n in neg)
+    assert got == wins / (len(pos) * len(neg))
+
+    # --- Bellman-Ford vs dict relaxation ----------------------------
+    from dpe_energy_performance_analysis_etl_spark.operators.graph import (
+        bounded_bellman_ford,
+    )
+
+    edges = [(rng.randint(1, 14), rng.randint(1, 14), rng.randint(1, 9))
+             for _ in range(40)]
+    edges = [(u, v, w) for u, v, w in edges if u != v]
+    e_df = spark.createDataFrame(edges, "src int, dst int, w int")
+    got_d = {
+        (r.source, r.node): r.dist
+        for r in bounded_bellman_ford(e_df, n_sources=2, rounds=3).collect()
+    }
+    nodes = sorted({u for u, _, _ in edges} | {v for _, v, _ in edges})
+    ref = {}
+    for s in nodes[:2]:
+        dist = {s: 0}
+        for _ in range(3):
+            nd = dict(dist)
+            for u, v, w in edges:
+                if u in dist and dist[u] + w < nd.get(v, 1 << 60):
+                    nd[v] = dist[u] + w
+            dist = nd
+        for n, d in dist.items():
+            ref[(s, n)] = d
+    assert got_d == ref
+
+    # --- link prediction vs brute common-neighbor enumeration -------
+    from dpe_energy_performance_analysis_etl_spark.operators.graph import (
+        LP_RA_SCALE,
+        link_prediction_scores,
+    )
+
+    und = {tuple(sorted((u, v))) for u, v, _ in edges}
+    e2 = spark.createDataFrame(sorted(und), "src int, dst int")
+    got_lp = {
+        (r.u, r.v): (r.common_neighbors, r.preferential_attachment, r.ra_scaled)
+        for r in link_prediction_scores(e2, min_common=1).collect()
+    }
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    ref_lp = {}
+    for u, v in itertools.combinations(sorted(adj), 2):
+        if (u, v) in und:
+            continue
+        common = adj[u] & adj[v]
+        if common:
+            ref_lp[(u, v)] = (
+                len(common),
+                len(adj[u]) * len(adj[v]),
+                sum(LP_RA_SCALE // len(adj[z]) for z in common),
+            )
+    assert got_lp == ref_lp

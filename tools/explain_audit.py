@@ -38,6 +38,12 @@ EXPECTED_MULTISTAGE = {
     "basket_cooccurrence_lift": "cached item set feeds supports, pairs, and basket count",
     "histogram_quantiles_price": "cached <=n_buckets bucket table feeds cum-scan + total",
     "ann_ivf_seeded_topk": "centroid subtree (8-row pushed-filter scan) appears in assign + probe branches; corpus read once per consumer, both broadcast-joined",
+    # round-5 additions (static prints duplicate cached subtrees; all
+    # measured FLAT sf0.1 -> sf1 cold-cache, NOTES round-5 table)
+    "ngram_jaccard_capped": "uncapped pipeline + the df-count/cap subtree over the same CACHED posting list; 1.7->? s flat (shares ngram_jaccard_pairs' shape)",
+    "walk_skipgram_pairs": "walk corpus (6-join bounded chain, cached nbr/deg tables) feeds BOTH skipgram self-join sides via .cache(); 9.7 s -> 18.0 s at 10x data",
+    "link_prediction_parts": "cached canonical edge table feeds adjacency, degrees and the anti-join; wedge volume support-2-bounded; 4.0 -> 4.9 s at 10x",
+    "rake_keywords_docs": "cached phrase table feeds word stats + occurrence + scoring subtrees; 1.8 -> 1.3 s at 10x",
     # round-3 third wave (runtime InMemoryTableScan verified for each)
     "bm25_topk_docs": "cached tf feeds scoring join + df agg + corpus stats; 3 cache reads at runtime",
     "unigram_lm_quality": "cached tf feeds vocab agg + weighted join",
