@@ -530,5 +530,135 @@ QUERIES["substring_dup_spans"] = substring_dup_spans
 QUERIES["curation_funnel_docs"] = curation_funnel_docs
 
 
+
+
+# ---- round-5 additions -----------------------------------------------
+
+
+def cdc_chunk_dedup(dfs):
+    """Eager-pandas content-defined chunking + duplicated-chunk stats
+    (word-level rolling hash, same constants as the Spark op)."""
+    import hashlib
+
+    P, B, W, D = 2**31 - 1, 131, 4, 16
+    pw = [pow(B, j, P) for j in range(W)]
+    from collections import Counter, defaultdict
+
+    copies = Counter()
+    docs_per = defaultdict(set)
+    tok_lens = {}
+    docs = dfs["documents"][["doc_id", "text"]]
+    for doc_id, text in zip(docs["doc_id"].values, docs["text"].values):
+        t = re.findall(r"[a-z0-9]+", text.lower())
+        n = len(t)
+        if n == 0:
+            continue
+        wh = []
+        for w in t:
+            acc = 0
+            for ch in w:
+                acc = (acc * B + ord(ch)) % P
+            wh.append(acc)
+        ends = [
+            p
+            for p in range(W - 1, n)
+            if sum(wh[p - j] * pw[j] % P for j in range(W)) % P % D == 0
+        ]
+        if not ends or ends[-1] != n - 1:
+            ends.append(n - 1)
+        start = 0
+        for e in ends:
+            key = hashlib.md5(" ".join(t[start : e + 1]).encode()).hexdigest()
+            copies[key] += 1
+            docs_per[key].add(doc_id)
+            tok_lens[key] = e + 1 - start
+            start = e + 1
+    return pd.DataFrame(
+        [
+            (k, tok_lens[k], c, len(docs_per[k]))
+            for k, c in copies.items()
+            if len(docs_per[k]) >= 2
+        ],
+        columns=["chunk_md5", "n_tokens", "n_copies", "n_docs"],
+    )
+
+
+def rake_keywords_docs(dfs):
+    """Eager-pandas RAKE: stopword-split phrases, degree/frequency
+    word stats, integer-scaled phrase scores."""
+    from collections import Counter
+
+    STOPS = {
+        "the", "a", "an", "and", "or", "of", "to", "in", "is", "on",
+        "for", "with", "at", "by", "from", "as", "it", "this", "that",
+    }
+    SCALE = 10**6
+    phrases = Counter()
+    docs = dfs["documents"][["doc_id", "text"]]
+    for text in docs["text"].values:
+        t = re.findall(r"[a-z0-9]+", text.lower())
+        cur = []
+        for w in t + ["the"]:  # sentinel flush
+            if w in STOPS:
+                if cur and len(cur) <= 4:
+                    phrases[" ".join(cur)] += 1
+                cur = []
+            else:
+                cur.append(w)
+    freq, deg = Counter(), Counter()
+    for ph, c in phrases.items():
+        ws = ph.split(" ")
+        for w in ws:
+            freq[w] += c
+            deg[w] += c * len(ws)
+    rows = [
+        (ph, len(ph.split(" ")), c,
+         sum((deg[w] * SCALE) // freq[w] for w in ph.split(" ")))
+        for ph, c in phrases.items()
+    ]
+    return pd.DataFrame(
+        rows, columns=["phrase", "n_words", "n_occurrences", "score_scaled"]
+    )
+
+
+def link_prediction_parts(dfs):
+    """Eager-pandas link prediction over the recurring-pair part
+    graph: adjacency dicts + wedge enumeration."""
+    from collections import defaultdict, Counter
+
+    li = dfs["lineitem"][["l_orderkey", "l_partkey"]]
+    m = li.merge(li, on="l_orderkey")
+    m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+    cnt = m.groupby(["l_partkey_x", "l_partkey_y"]).size()
+    edges = set(cnt[cnt >= 2].index)
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    S = 10**9
+    cn, ra = Counter(), Counter()
+    for z, nbrs in adj.items():
+        ns = sorted(nbrs)
+        share = S // len(ns)
+        for i, u in enumerate(ns):
+            for v in ns[i + 1 :]:
+                cn[(u, v)] += 1
+                ra[(u, v)] += share
+    rows = [
+        (u, v, c, len(adj[u]) * len(adj[v]), ra[(u, v)])
+        for (u, v), c in cn.items()
+        if c >= 2 and (u, v) not in edges
+    ]
+    return pd.DataFrame(
+        rows,
+        columns=["u", "v", "common_neighbors", "preferential_attachment", "ra_scaled"],
+    )
+
+
+QUERIES["cdc_chunk_dedup"] = cdc_chunk_dedup
+QUERIES["rake_keywords_docs"] = rake_keywords_docs
+QUERIES["link_prediction_parts"] = link_prediction_parts
+
+
 if __name__ == "__main__":
     main()
