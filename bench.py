@@ -55,6 +55,12 @@ HEADLINE = [
     "pq_adc_seeded_topk",
     "kcore_membership",
     "pagerank_supplier_graph",
+    # round-5 additions: one representative per new family class —
+    # sub-document dedup (row-local CDC + hash groupBy), wedge-join
+    # candidate generation, and a checkpointed iterative traversal
+    "cdc_chunk_dedup",
+    "link_prediction_parts",
+    "landmark_bfs_parts",
 ]
 
 

@@ -9042,3 +9042,40 @@ def coverage_select_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(ngrams_expr("text", 3)).alias("item")
     )
     return greedy_max_coverage(pairs, k=5)
+
+
+@register(
+    "vocab_growth_docs",
+    """
+    WITH mx AS (
+      SELECT CAST(MAX(doc_id) AS BIGINT) // 20 + 1 AS width FROM documents
+    ), tok AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS term
+      FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+            FROM documents) WHERE len(t) >= 3
+    ), first AS (
+      SELECT term, MIN(doc_id) AS first_doc FROM tok GROUP BY 1
+    ), pb AS (
+      SELECT CAST(first_doc // mx.width AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_new_terms,
+             CAST(ANY_VALUE(mx.width) AS BIGINT) AS width
+      FROM first, mx GROUP BY 1
+    )
+    SELECT bucket, CAST(bucket * width AS BIGINT) AS bucket_start_doc,
+           n_new_terms,
+           CAST(SUM(n_new_terms) OVER (ORDER BY bucket) AS BIGINT) AS vocab_cum
+    FROM pb
+    """,
+)
+def vocab_growth_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth (text/analysis.py vocab_growth):
+    first occurrence per term = one term-keyed min aggregation over
+    word 3-grams (the synthetic unigram vocabulary saturates in the
+    first bucket); curve buckets into 20 doc-id ranges so the running
+    total windows over ≤ 20 rows — never a global per-document
+    window."""
+    from dpe_energy_performance_analysis_etl_spark.text.analysis import vocab_growth
+
+    return vocab_growth(read_documents(spark, sf_dir), n_buckets=20, ngram_n=3)

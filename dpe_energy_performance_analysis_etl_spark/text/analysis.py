@@ -367,3 +367,48 @@ def rake_keywords(
         .cast("bigint")
         .alias("score_scaled")
     )
+
+
+def vocab_growth(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 20,
+    ngram_n: int = 1,
+):
+    """Heaps'-law vocabulary growth curve: how many NEW distinct terms
+    each successive slice of the corpus contributes — the corpus-size
+    planning diagnostic (vocab ~ K·N^β; sublinear growth is what
+    makes larger corpora keep paying for tokenizer/embedding tables).
+
+    Scale-safe formulation: a term's first occurrence is min(doc_id)
+    (one term-keyed aggregation over the exploded corpus — the only
+    big shuffle); first occurrences bucket into ``n_buckets`` ordered
+    doc-id ranges, and the running vocabulary total is a window over
+    ≤ n_buckets ROWS — never a global window over documents or tokens
+    (the single-reducer trap a per-document curve would be).
+
+    ``ngram_n`` > 1 grows the vocabulary over word n-grams instead of
+    unigrams (the realistic regime for a small synthetic vocabulary).
+    Returns (bucket, bucket_start_doc, n_new_terms, vocab_cum).
+    """
+    from pyspark.sql import Window
+
+    max_id = df.agg(F.max(F.col(id_col)).alias("m")).collect()[0]["m"]
+    width = int(max_id) // n_buckets + 1
+    terms = tokens_expr(text_col) if ngram_n == 1 else ngrams_expr(text_col, ngram_n)
+    first = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(terms).alias("term"))
+        .groupBy("term")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    per_bucket = first.groupBy(
+        (F.col("first_doc") / width).cast("bigint").alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_new_terms"))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return per_bucket.select(
+        "bucket",
+        (F.col("bucket") * width).cast("bigint").alias("bucket_start_doc"),
+        "n_new_terms",
+        F.sum("n_new_terms").over(w).cast("bigint").alias("vocab_cum"),
+    )
