@@ -792,3 +792,38 @@ def test_interval_join_left_outer_emits_unmatched_after_watermark(spark, events,
     closed_ids = {r.event_id for r in closed_left.collect()}
     got_closed = {t for t in got if t[1] in closed_ids}
     assert want and got_closed == want
+
+
+def test_cdc_chunks_streaming_matches_batch(spark, tmp_path):
+    """cdc_chunks is pure column expressions, so it applies unchanged
+    to a streaming DataFrame: chunking a document stream
+    (AvailableNow) produces exactly the batch chunk table — the
+    sub-document dedup path works as an ingest-time transform."""
+    from pyspark.sql import functions as F, types as T
+
+    from dpe_energy_performance_analysis_etl_spark.text.chunking import cdc_chunks
+
+    src = str(tmp_path / "docs_landing")
+    out = str(tmp_path / "chunks_out")
+    ckpt = str(tmp_path / "chunks_ckpt")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    docs.write.parquet(src)
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        cdc_chunks(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    want = sorted(map(tuple, cdc_chunks(docs).collect()))
+    assert got == want and len(want) > 100
