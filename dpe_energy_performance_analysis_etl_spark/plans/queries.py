@@ -9079,3 +9079,117 @@ def vocab_growth_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dpe_energy_performance_analysis_etl_spark.text.analysis import vocab_growth
 
     return vocab_growth(read_documents(spark, sf_dir), n_buckets=20, ngram_n=3)
+
+
+@register(
+    "bigram_containment_pairs",
+    """
+    WITH paired AS (
+      SELECT doc_id, doc_id // 2 AS pair_id, doc_id % 2 AS side,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      FROM documents
+    ), g AS (
+      SELECT doc_id, pair_id, side,
+             unnest(list_transform(range(1, len(t)),
+                    i -> t[i] || ' ' || t[i+1])) AS gram
+      FROM paired WHERE len(t) >= 2
+    ), cnts AS MATERIALIZED (
+      SELECT pair_id, side, gram, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM g GROUP BY 1, 2, 3
+    ), c AS (
+      SELECT pair_id, gram, cnt FROM cnts WHERE side = 0
+    ), r AS (
+      SELECT pair_id, gram, cnt AS rcnt FROM cnts WHERE side = 1
+    ), agg AS (
+      SELECT c.pair_id,
+             CAST(SUM(LEAST(c.cnt, COALESCE(r.rcnt, 0))) AS BIGINT) AS pn_num,
+             CAST(SUM(c.cnt) AS BIGINT) AS pn_den
+      FROM c LEFT JOIN r ON r.pair_id = c.pair_id AND r.gram = c.gram
+      GROUP BY 1
+    )
+    SELECT pair_id AS doc_id, pn_num, pn_den,
+           CASE WHEN pn_den > 0
+                THEN CAST(pn_num AS DOUBLE) / CAST(pn_den AS DOUBLE) END AS precision
+    FROM agg
+    """,
+)
+def bigram_containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clipped bigram precision (text/evaluation.py ngram_precision —
+    the BLEU component, Papineni ACL'02; equivalently Broder's
+    directional CONTAINMENT on bigram multisets) of each even doc
+    against its odd pair: integer clipped-match sums, one guarded
+    division. BLEU's geometric mean is libm and stays out of checked
+    outputs by design — the components carry the information."""
+    from dpe_energy_performance_analysis_etl_spark.text.evaluation import ngram_precision
+
+    docs = read_documents(spark, sf_dir)
+    cand = docs.where(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") / 2).cast("bigint").alias("doc_id"), "text"
+    )
+    ref = docs.where(F.col("doc_id") % 2 == 1).select(
+        (F.col("doc_id") / 2).cast("bigint").alias("doc_id"), "text"
+    )
+    return ngram_precision(cand, ref, n=2)
+
+
+@register(
+    "distinct_n_docs",
+    """
+    WITH tok AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+    ), g AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                    i -> t[i] || ' ' || t[i+1])) AS gram
+      FROM tok WHERE len(t) >= 2
+    ), cnts AS (
+      SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(SUM(cnt) AS BIGINT) AS n_total,
+           CAST(COUNT(*) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS distinct_ratio
+    FROM cnts GROUP BY 1
+    """,
+)
+def distinct_n_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-2 diversity per document (text/evaluation.py
+    distinct_n, Li NAACL'16): distinct bigrams over total bigrams —
+    the degenerate-repetition screen for generated or crawled text.
+    One (doc, gram) count aggregation."""
+    from dpe_energy_performance_analysis_etl_spark.text.evaluation import distinct_n
+
+    return distinct_n(read_documents(spark, sf_dir), n=2)
+
+
+@register(
+    "simpson_user_events",
+    """
+    WITH counts AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ), agg AS (
+      SELECT user_id,
+             CAST(SUM(c) AS BIGINT) AS n_items,
+             CAST(COUNT(*) AS BIGINT) AS n_values,
+             CAST(SUM(c * (c - 1)) AS BIGINT) AS pairs
+      FROM counts GROUP BY 1
+    )
+    SELECT user_id, n_items, n_values,
+           CASE WHEN n_items > 1
+                THEN CAST(pairs AS DOUBLE)
+                     / CAST(n_items * (n_items - 1) AS DOUBLE) END AS simpson
+    FROM agg
+    """,
+)
+def simpson_user_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson concentration of event types per user
+    (text/evaluation.py simpson_concentration): Σ n_i(n_i−1)/(N(N−1))
+    — the log-free diversity index (Shannon entropy's ln is libm and
+    cross-engine-unsafe; Simpson is an exact rational). Behavioral
+    concentration screen over the events table."""
+    from dpe_energy_performance_analysis_etl_spark.text.evaluation import (
+        simpson_concentration,
+    )
+
+    ev = read_events(spark, sf_dir).select("user_id", "event_type")
+    return simpson_concentration(ev, "user_id", "event_type")

@@ -383,3 +383,39 @@ def test_wave5_randomized_brute_force_cross_checks(spark):
                 sum(LP_RA_SCALE // len(adj[z]) for z in common),
             )
     assert got_lp == ref_lp
+
+
+def test_ngram_precision_hand_case(spark):
+    from dpe_energy_performance_analysis_etl_spark.text.evaluation import ngram_precision
+
+    cand = spark.createDataFrame([(1, "a b a b c")], "doc_id long, text string")
+    ref = spark.createDataFrame([(1, "a b x a b")], "doc_id long, text string")
+    # cand bigrams: ab, ba, ab, bc -> counts {ab:2, ba:1, bc:1}, den 4
+    # ref bigrams: ab, bx, xa, ab -> {ab:2}; clipped num = min(2,2) = 2
+    r = ngram_precision(cand, ref, n=2).collect()[0]
+    assert (r.pn_num, r.pn_den, r.precision) == (2, 4, 0.5)
+    # candidate with no ref row: precision 0 (all grams unclipped)
+    cand2 = spark.createDataFrame([(9, "q r s")], "doc_id long, text string")
+    r2 = ngram_precision(cand2, ref, n=2).collect()[0]
+    assert (r2.pn_num, r2.pn_den) == (0, 2)
+
+
+def test_distinct_n_and_simpson_hand_cases(spark):
+    from dpe_energy_performance_analysis_etl_spark.text.evaluation import (
+        distinct_n,
+        simpson_concentration,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "x y x y x y"), (2, "a b c d")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in distinct_n(df, n=2).collect()}
+    assert (got[1].n_distinct, got[1].n_total) == (2, 5)  # xy, yx repeated
+    assert got[2].distinct_ratio == 1.0                   # all bigrams unique
+    ev = spark.createDataFrame(
+        [("u1", "click")] * 3 + [("u2", "click"), ("u2", "view")],
+        "user string, ev string",
+    )
+    s = {r.user: r.simpson for r in simpson_concentration(ev, "user", "ev").collect()}
+    assert s["u1"] == 1.0          # all same value
+    assert s["u2"] == 0.0          # two singletons, never match
