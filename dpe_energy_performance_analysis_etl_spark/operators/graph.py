@@ -321,7 +321,11 @@ def _portable_mix32(*terms):
     s = F.lit(0).cast("bigint")
     muls = [F.lit(1), F.lit(40503), F.lit(73244475), F.lit(5381)]
     for i, t in enumerate(terms):
-        s = s + (t.cast("bigint") % F.lit(4294967296)) * muls[min(i, len(muls) - 1)]
+        # pmod, not %: Spark's % keeps the dividend's sign, so a
+        # negative term would leak a negative value through the xor/
+        # shift chain. pmod == % on the non-negative inputs the SQL
+        # twin sees, so the oracle form is unchanged.
+        s = s + F.pmod(t.cast("bigint"), F.lit(4294967296)) * muls[min(i, len(muls) - 1)]
     s = s % F.lit(4294967296)
     s = (s.bitwiseXOR(F.shiftright(s, 16)) * M) % F.lit(4294967296)
     return s.bitwiseXOR(F.shiftright(s, 16))
@@ -603,3 +607,80 @@ def bounded_bellman_ford(
             .localCheckpoint()
         )
     return dist
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    n_seeds: int = 4,
+    iterations: int = 3,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Personalized PageRank (Jeh & Widom, WWW'03) in the same
+    exact-integer form as ``pagerank_fixed``: the teleport mass lands
+    ONLY on the seed set (here the ``n_seeds`` smallest node ids —
+    deterministic, the landmark convention), so ranks measure
+    proximity TO the seeds — the recommendation/expansion centrality,
+    not global importance.
+
+    Update: r'(v) = [v∈seeds]·((1−d)·S div |seeds|) + d·Σ_{u→v}
+    (r(u) div outdeg(u)), all int64 with true ``div`` — bit-identical
+    across engines/partitionings like the global variant. Init:
+    r₀ = S div |seeds| on seeds, 0 elsewhere. Same per-round shape:
+    one src-keyed join + one dst-keyed agg, |E|-bounded; static
+    edge/degree/node/seed tables cached once.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .cache()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .cache()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).cache()
+    seeds = nodes.orderBy("node").limit(n_seeds).select(
+        "node", F.lit(True).alias("__seed")
+    ).cache()
+
+    base_seed = (damping_den - damping_num) * SCALE // (damping_den * n_seeds)
+    init_seed = SCALE // n_seeds
+    tagged = nodes.join(seeds, "node", "left")
+    ranks = tagged.select(
+        "node",
+        F.when(F.col("__seed"), F.lit(init_seed))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("rank_scaled"),
+    )
+    for _ in range(iterations):
+        contrib = (
+            ranks.join(deg, ranks["node"] == deg["src"], "inner")
+            .join(e, on="src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank_scaled div deg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("inc"))
+        )
+        ranks = (
+            tagged.join(contrib, on="node", how="left")
+            .select(
+                "node",
+                (
+                    F.when(F.col("__seed"), F.lit(base_seed))
+                    .otherwise(F.lit(0))
+                    .cast("long")
+                    + F.expr(
+                        f"({damping_num} * coalesce(inc, 0L)) div {damping_den}"
+                    )
+                ).alias("rank_scaled"),
+            )
+        )
+    return ranks

@@ -9193,3 +9193,76 @@ def simpson_user_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_events(spark, sf_dir).select("user_id", "event_type")
     return simpson_concentration(ev, "user_id", "event_type")
+
+
+def _ppr_oracle(iterations: int, n_seeds: int) -> str:
+    base_seed = 15 * 10**12 // (100 * n_seeds)
+    init_seed = 10**12 // n_seeds
+    blocks = [
+        f"""
+    WITH pairs AS MATERIALIZED (
+      SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ), e AS MATERIALIZED (
+      SELECT c AS src, s AS dst FROM pairs
+      UNION ALL
+      SELECT s AS src, c AS dst FROM pairs
+    ), nodes AS MATERIALIZED (
+      SELECT DISTINCT src AS node FROM e
+      UNION
+      SELECT DISTINCT dst AS node FROM e
+    ), deg AS MATERIALIZED (
+      SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src
+    ), seeds AS MATERIALIZED (
+      SELECT node FROM (SELECT node FROM nodes ORDER BY node LIMIT {n_seeds})
+    ), r0 AS MATERIALIZED (
+      SELECT n.node,
+             CAST(CASE WHEN s.node IS NOT NULL THEN {init_seed} ELSE 0 END AS BIGINT) AS r
+      FROM nodes n LEFT JOIN seeds s ON n.node = s.node
+    )"""
+    ]
+    for i in range(1, iterations + 1):
+        blocks.append(
+            f""", r{i} AS MATERIALIZED (
+      SELECT n.node,
+             CAST(CASE WHEN s.node IS NOT NULL THEN {base_seed} ELSE 0 END
+                  + (85 * coalesce(x.inc, 0)) // 100 AS BIGINT) AS r
+      FROM nodes n
+      LEFT JOIN seeds s ON n.node = s.node
+      LEFT JOIN (
+        SELECT e.dst AS node, CAST(sum(r{i - 1}.r // deg.deg) AS BIGINT) AS inc
+        FROM r{i - 1} JOIN deg ON r{i - 1}.node = deg.src JOIN e ON e.src = deg.src
+        GROUP BY e.dst
+      ) x ON n.node = x.node
+    )"""
+        )
+    blocks.append(f"\n    SELECT node, r AS rank_scaled FROM r{iterations}\n    ")
+    return "".join(blocks)
+
+
+@register("ppr_supplier_graph", _ppr_oracle(3, 4))
+def ppr_supplier_graph_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (operators/graph.py personalized_pagerank,
+    Jeh & Widom WWW'03) on the customer-supplier trade graph, teleport
+    confined to the 4 smallest node ids: proximity-to-seeds
+    centrality in the same bit-portable scaled-integer arithmetic as
+    the global variant — per round one src-keyed join + one dst-keyed
+    agg, |E|-bounded."""
+    from dpe_energy_performance_analysis_etl_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pairs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    return personalized_pagerank(edges, n_seeds=4, iterations=3)

@@ -419,3 +419,23 @@ def test_distinct_n_and_simpson_hand_cases(spark):
     s = {r.user: r.simpson for r in simpson_concentration(ev, "user", "ev").collect()}
     assert s["u1"] == 1.0          # all same value
     assert s["u2"] == 0.0          # two singletons, never match
+
+
+def test_portable_mix32_extreme_inputs_no_overflow(spark):
+    """ADVICE r4 regression: with the old 2.6e9-scale multipliers a
+    mod-2^32-reduced term could overflow int64 under ANSI. Push
+    extreme int64 values through every term position and assert the
+    mix evaluates (no ANSI overflow) and stays in [0, 2^32)."""
+    from dpe_energy_performance_analysis_etl_spark.operators.graph import _portable_mix32
+
+    big = (1 << 62) + 12345
+    df = spark.createDataFrame(
+        [(big, big, big), (-big, -big, -big), (0, 0, 0),
+         (2**31 - 1, 2**32 - 1, 2**31)],
+        "a long, b long, c long",
+    )
+    rows = df.select(
+        _portable_mix32(F.col("a"), F.col("b"), F.col("c")).alias("m")
+    ).collect()
+    for r in rows:
+        assert 0 <= r.m < 1 << 32
