@@ -36,6 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 SCALE = 10**12
+HITS_SCALE = 10**6
 
 
 def pagerank_fixed(
@@ -684,3 +685,81 @@ def personalized_pagerank(
             )
         )
     return ranks
+
+
+def hits_fixed(
+    edges: DataFrame,
+    iterations: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg, JACM'99) in bit-portable
+    scaled-integer arithmetic: per round, authority(v) = Σ hub(u) over
+    u→v, then hub(u) = Σ authority(v) over u→v, each re-normalized so
+    the MAX score is exactly SCALE (integer floor division by the max
+    — the L∞ norm; the textbook L2 norm needs a sqrt of a sum whose
+    order would matter, L∞ is the exact-arithmetic choice and the
+    ranking is identical).
+
+    The per-round max is a single-row aggregate attached via a
+    broadcast crossJoin (the bloom-bitset pattern — scalar state, not
+    data, crosses the driver). Fixed iterations + integer arithmetic
+    = the same unrolled-SQL replay property as PageRank/PPR. Per
+    round: two |E|-keyed join+aggs + two scalar attaches. Returns
+    (node, hub_scaled, auth_scaled).
+
+    Scale: 10^6, NOT PageRank's 10^12 — the renorm multiplies a raw
+    sum (≤ max_degree·S) by S again, so S² · max_degree must stay
+    under int64: 10^6 gives headroom to ~9·10^6-degree hubs, and
+    10^-6 relative precision is far beyond ranking needs (10^12
+    overflowed on the sf0.01 graph — measured, ANSI aborted loudly
+    as designed).
+    """
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .cache()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .cache()
+    )
+    hubs = nodes.select("node", F.lit(HITS_SCALE).cast("long").alias("h"))
+
+    def _renorm(df: DataFrame, col: str) -> DataFrame:
+        # eager checkpoint FIRST: the raw table feeds both the max
+        # aggregate and the renormalized projection — uncached, the
+        # double consumption compounds through the h->a->h chain into
+        # 2^rounds re-evaluations (measured 28 s -> 7 s at sf0.01)
+        df = df.localCheckpoint()
+        mx = df.agg(F.max(col).alias("__mx"))
+        return df.crossJoin(F.broadcast(mx)).select(
+            "node",
+            F.expr(f"({col} * {HITS_SCALE}) div greatest(__mx, 1L)").alias(col),
+        )
+
+    auths = None
+    for _ in range(iterations):
+        auths = _renorm(
+            e.join(hubs, e["src"] == hubs["node"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("h").alias("a")),
+            "a",
+        )
+        hubs = _renorm(
+            e.join(auths, e["dst"] == auths["node"])
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("a").alias("h")),
+            "h",
+        )
+    return (
+        nodes.join(hubs, "node", "left")
+        .join(auths, "node", "left")
+        .select(
+            "node",
+            F.coalesce("h", F.lit(0)).cast("bigint").alias("hub_scaled"),
+            F.coalesce("a", F.lit(0)).cast("bigint").alias("auth_scaled"),
+        )
+    )

@@ -9266,3 +9266,75 @@ def ppr_supplier_graph_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
     return personalized_pagerank(edges, n_seeds=4, iterations=3)
+
+
+def _hits_oracle(iterations: int) -> str:
+    S = 10**6  # HITS_SCALE: S^2 * max_degree must stay in int64
+    blocks = [
+        f"""
+    WITH pairs AS MATERIALIZED (
+      SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ), e AS MATERIALIZED (
+      SELECT c AS src, s AS dst FROM pairs
+    ), nodes AS MATERIALIZED (
+      SELECT DISTINCT src AS node FROM e
+      UNION
+      SELECT DISTINCT dst AS node FROM e
+    ), h0 AS MATERIALIZED (
+      SELECT node, CAST({S} AS BIGINT) AS h FROM nodes
+    )"""
+    ]
+    for r in range(1, iterations + 1):
+        blocks.append(
+            f""", araw{r} AS MATERIALIZED (
+      SELECT e.dst AS node, CAST(SUM(h{r - 1}.h) AS BIGINT) AS a
+      FROM e JOIN h{r - 1} ON h{r - 1}.node = e.src GROUP BY e.dst
+    ), a{r} AS MATERIALIZED (
+      SELECT node,
+             CAST((a * {S}) // greatest((SELECT MAX(a) FROM araw{r}), 1) AS BIGINT) AS a
+      FROM araw{r}
+    ), hraw{r} AS MATERIALIZED (
+      SELECT e.src AS node, CAST(SUM(a{r}.a) AS BIGINT) AS h
+      FROM e JOIN a{r} ON a{r}.node = e.dst GROUP BY e.src
+    ), h{r} AS MATERIALIZED (
+      SELECT node,
+             CAST((h * {S}) // greatest((SELECT MAX(h) FROM hraw{r}), 1) AS BIGINT) AS h
+      FROM hraw{r}
+    )"""
+        )
+    blocks.append(
+        f"""
+    SELECT n.node,
+           CAST(COALESCE(h{iterations}.h, 0) AS BIGINT) AS hub_scaled,
+           CAST(COALESCE(a{iterations}.a, 0) AS BIGINT) AS auth_scaled
+    FROM nodes n
+    LEFT JOIN h{iterations} ON h{iterations}.node = n.node
+    LEFT JOIN a{iterations} ON a{iterations}.node = n.node
+    """
+    )
+    return "".join(blocks)
+
+
+@register("hits_supplier_graph", _hits_oracle(2))
+def hits_supplier_graph_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (operators/graph.py hits_fixed,
+    Kleinberg JACM'99) on the DIRECTED customer→supplier trade graph:
+    customers score as hubs, suppliers as authorities, re-normalized
+    to max = 10^12 per half-round by integer floor division (L∞ norm
+    — the exact-arithmetic choice; L2's sqrt-of-a-sum would be
+    order-sensitive). Two |E|-keyed join+aggs per round plus scalar
+    max attaches via broadcast crossJoin."""
+    from dpe_energy_performance_analysis_etl_spark.operators.graph import hits_fixed
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    edges = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    return hits_fixed(edges, iterations=2)

@@ -439,3 +439,38 @@ def test_portable_mix32_extreme_inputs_no_overflow(spark):
     ).collect()
     for r in rows:
         assert 0 <= r.m < 1 << 32
+
+
+def test_hits_fixed_star_hand_case(spark):
+    from dpe_energy_performance_analysis_etl_spark.operators.graph import (
+        HITS_SCALE as S,
+        hits_fixed,
+    )
+
+    # 1->10, 2->10, 3->10, 3->11: node 10 is the authority (3 in),
+    # node 3 the hub (2 out). After 1 round: a(10)=S, a(11)=S//3;
+    # h(3)=S, h(1)=h(2)=S*S div (S + S//3) = 750000.
+    edges = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (3, 11)], "src int, dst int"
+    )
+    got = {r.node: (r.hub_scaled, r.auth_scaled)
+           for r in hits_fixed(edges, iterations=1).collect()}
+    assert got[10] == (0, S)
+    assert got[11] == (0, S // 3)
+    assert got[3] == (S, 0)
+    assert got[1] == (750000, 0) and got[2] == (750000, 0)
+
+
+def test_vocab_growth_hand_case(spark):
+    from dpe_energy_performance_analysis_etl_spark.text.analysis import vocab_growth
+
+    # doc 0: a b; doc 5: a c; doc 9: d — width = 9//3+1 = 4 ->
+    # buckets 0 (docs 0-3), 1 (4-7), 2 (8-11)
+    df = spark.createDataFrame(
+        [(0, "a b"), (5, "a c"), (9, "d")], "doc_id long, text string"
+    )
+    rows = {r.bucket: r for r in vocab_growth(df, n_buckets=3).collect()}
+    assert rows[0].n_new_terms == 2 and rows[0].vocab_cum == 2      # a, b
+    assert rows[1].n_new_terms == 1 and rows[1].vocab_cum == 3      # c
+    assert rows[2].n_new_terms == 1 and rows[2].vocab_cum == 4      # d
+    assert rows[2].bucket_start_doc == 8
