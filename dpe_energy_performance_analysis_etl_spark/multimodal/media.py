@@ -526,3 +526,195 @@ def dhash_dup_summary(
             (F.col("n_a") * F.col("n_b")).alias("pair_count"),
         )
     )
+
+
+_DCT32 = None
+
+
+def _dct32_matrix() -> np.ndarray:
+    global _DCT32
+    if _DCT32 is None:
+        n = 32
+        m = np.zeros((n, n), dtype=np.float64)
+        for k in range(n):
+            a = np.sqrt(1.0 / n) if k == 0 else np.sqrt(2.0 / n)
+            for i in range(n):
+                m[k, i] = a * np.cos((2 * i + 1) * k * np.pi / (2 * n))
+        _DCT32 = m
+    return _DCT32
+
+
+def _phash64(pixels: np.ndarray) -> int:
+    """Perceptual hash (pHash, 64-bit): grayscale → 32×32 nearest
+    resize → 2-D DCT-II → top-left 8×8 low-frequency block minus the
+    DC term → bit = coefficient > median. Robust to blur/resize/
+    recompression where dHash's neighbor gradients get noisy; the
+    float DCT is deterministic per platform (this family is rows-only
+    by design, like dHash — decode isn't SQL)."""
+    from dpe_energy_performance_analysis_etl_spark.multimodal.codecs import resize_nearest
+
+    if pixels.ndim == 1:
+        side = max(int(len(pixels) ** 0.5), 1)
+        pixels = pixels[: side * side].reshape(side, side)
+    if pixels.ndim == 3:
+        r = pixels[:, :, 0].astype(np.int64)
+        g = pixels[:, :, 1].astype(np.int64)
+        b = pixels[:, :, 2].astype(np.int64)
+        gray = (77 * r + 150 * g + 29 * b) >> 8
+    else:
+        gray = pixels.astype(np.int64)
+    small = resize_nearest(gray[:, :, None].astype(np.uint8), 32, 32)[:, :, 0]
+    m = _dct32_matrix()
+    coeff = m @ small.astype(np.float64) @ m.T
+    block = coeff[:8, :8].flatten()[1:]  # drop DC
+    med = np.median(block)
+    h = 0
+    for v in block:
+        h = (h << 1) | int(v > med)
+    h <<= 1  # pad to 64 bits (63 comparisons)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def image_phash(
+    df: DataFrame, content_col: str = "content", fake: bool = False
+) -> DataFrame:
+    """Adds ``phash`` (bigint): the DCT perceptual hash — the blur/
+    rescale-robust sibling of ``image_dhash`` (same mapInPandas
+    contract, same codecs)."""
+    decode = _fake_decode if fake else None
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from dpe_energy_performance_analysis_etl_spark.multimodal.codecs import (
+            sniff_decode_image,
+        )
+
+        dec = decode or sniff_decode_image
+        for pdf in batches:
+            hashes = []
+            for payload in pdf[content_col]:
+                try:
+                    hashes.append(_phash64(dec(bytes(payload))))
+                except Exception:
+                    hashes.append(None)
+            out = pdf.copy()
+            out["phash"] = pd.array(hashes, dtype="Int64")
+            yield out
+
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("phash", T.LongType())]
+    )
+    return df.mapInPandas(work, schema=schema)
+
+
+def hash_near_dup_pairs(
+    hashed: DataFrame,
+    hash_col: str,
+    id_col: str = "path",
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Banded near-dup matcher over ANY 64-bit perceptual hash column
+    (dhash, phash, audio hashes): max_hamming+1 bands of
+    64//(max_hamming+1) bits (top remainder uncovered — harmless for
+    recall), pigeonhole candidates, exact popcount verify. The
+    generalization of the dHash-specific matcher so every hash family
+    shares one banding implementation."""
+    hashed = hashed.select(
+        F.col(id_col).alias("iid"), F.col(hash_col).alias("h")
+    ).where(F.col("h").isNotNull()).cache()
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(F.col("h"), b * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    posted = hashed.select("iid", "h", F.explode(bands).alias("b")).select(
+        "iid", "h", F.col("b.band").alias("band"), F.col("b.key").alias("key")
+    )
+    cand = (
+        posted.alias("a")
+        .join(posted.alias("b"), ["band", "key"])
+        .where(F.col("a.iid") < F.col("b.iid"))
+        .select(
+            F.col("a.iid").alias("id_a"),
+            F.col("b.iid").alias("id_b"),
+            F.col("a.h").alias("h_a"),
+            F.col("b.h").alias("h_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def frame_luma_features(
+    df: DataFrame,
+    width: int,
+    height: int,
+    content_col: str = "content",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Per-frame mean luma for rawvideo payloads, INTEGER end to end:
+    BT.601 fixed-point luma summed exactly, divided by the pixel count
+    with int64 floor division — (media_id, frame_idx, mean_luma), the
+    feature table scene-cut detection runs on. Every frame, one row
+    (no sampling — the cut detector needs adjacent frames)."""
+    frame_bytes = width * height * 3
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("frame_idx", T.IntegerType(), False),
+            T.StructField("mean_luma", T.LongType(), False),
+        ]
+    )
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for mid, payload in zip(batch[id_col], batch[content_col]):
+                if payload is None:
+                    continue
+                n_frames = len(payload) // frame_bytes
+                for idx in range(n_frames):
+                    raw = np.frombuffer(
+                        payload[idx * frame_bytes : (idx + 1) * frame_bytes],
+                        dtype=np.uint8,
+                    ).astype(np.int64).reshape(height, width, 3)
+                    luma = (
+                        77 * raw[:, :, 0] + 150 * raw[:, :, 1] + 29 * raw[:, :, 2]
+                    ) >> 8
+                    rows.append((mid, idx, int(luma.sum()) // (width * height)))
+            yield pd.DataFrame(rows, columns=[id_col, "frame_idx", "mean_luma"])
+
+    return df.select(id_col, content_col).mapInPandas(work, out_schema)
+
+
+def scene_cut_detect(
+    features: DataFrame,
+    threshold: int = 40,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Scene-cut detection over a per-frame feature table: a cut at
+    frame i when |feature(i) − feature(i−1)| > threshold — one lag
+    window per video, pure SQL over whatever features the decode
+    stage emitted (mean luma here; histograms/embeddings drop in).
+    Returns (media_id, frame_idx, delta) for cut frames."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("frame_idx")
+    delta = F.abs(F.col("mean_luma") - F.lag("mean_luma").over(w))
+    return (
+        features.withColumn("delta", delta)
+        .where(F.col("delta") > threshold)
+        .select(id_col, "frame_idx", F.col("delta").cast("bigint").alias("delta"))
+    )

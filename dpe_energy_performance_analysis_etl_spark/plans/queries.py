@@ -9338,3 +9338,71 @@ def hits_supplier_graph_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return hits_fixed(edges, iterations=2)
+
+
+@register("scene_cuts_rawvideo")
+def scene_cuts_rawvideo_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over REAL rawvideo bytes (multimodal/
+    media.py frame_luma_features + scene_cut_detect): deterministic
+    synthetic videos (hard level changes at known frames, drift
+    elsewhere), decoded by the rawvideo slicer, cuts found by a pure
+    SQL lag window over integer mean-luma. Rows-only by design —
+    byte decode isn't SQL (the dHash precedent); the detector layer
+    itself is relational and unit-tested against ground truth."""
+    import numpy as np
+
+    from dpe_energy_performance_analysis_etl_spark.multimodal.media import (
+        frame_luma_features,
+        scene_cut_detect,
+    )
+
+    w = h = 16
+    rows = []
+    for vid in range(6):
+        frames = []
+        for i in range(20):
+            seg = i // (4 + vid % 3)
+            level = (37 * (vid + 1) + 83 * seg) % 200 + 20
+            frames.append(np.full((h, w, 3), level, dtype=np.uint8))
+        rows.append((vid, bytearray(b"".join(f.tobytes() for f in frames))))
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    feats = frame_luma_features(df, width=w, height=h)
+    return scene_cut_detect(feats, threshold=20)
+
+
+@register("audio_fp_match_clip")
+def audio_fp_match_clip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shazam-style audio identity (multimodal/audiofp.py, Wang ISMIR
+    2003) over REAL WAV bytes: deterministic tone-sequence tracks, a
+    mid-track clip as the query, constellation hashes joined +
+    offset-voted. Rows-only by design — FFT/decode aren't SQL; the
+    join+vote matcher is relational and the tests pin the
+    correct-track/correct-offset ground truth."""
+    import numpy as np
+
+    from dpe_energy_performance_analysis_etl_spark.multimodal.audiofp import (
+        audio_fingerprints,
+        audio_match,
+    )
+    from dpe_energy_performance_analysis_etl_spark.multimodal.codecs import encode_wav
+
+    rate = 8000
+
+    def track(seed: int) -> np.ndarray:
+        rng = np.random.default_rng(seed)
+        t = np.arange(rate // 2) / rate
+        segs = []
+        for i in range(6):
+            freqs = rng.integers(200, 3600, 3)
+            seg = sum(
+                np.sin(2 * np.pi * f * t + rng.uniform(0, 6.28)) for f in freqs
+            )
+            segs.append(seg / 3.0)
+        return np.concatenate(segs)
+
+    db_rows = [(i, bytearray(encode_wav(track(i), rate))) for i in range(1, 4)]
+    clip = track(2)[rate : 2 * rate]
+    q_rows = [(99, bytearray(encode_wav(clip, rate)))]
+    db = spark.createDataFrame(db_rows, "media_id long, content binary")
+    q = spark.createDataFrame(q_rows, "media_id long, content binary")
+    return audio_match(audio_fingerprints(db), audio_fingerprints(q), min_votes=5)
