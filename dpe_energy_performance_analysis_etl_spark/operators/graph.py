@@ -763,3 +763,194 @@ def hits_fixed(
             F.coalesce("a", F.lit(0)).cast("bigint").alias("auth_scaled"),
         )
     )
+
+
+def clustering_coefficients(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node LOCAL clustering coefficient (Watts & Strogatz,
+    Nature'98): cc(v) = 2·T(v) / (deg(v)·(deg(v)−1)), the fraction of
+    a node's neighbor pairs that are themselves connected — the
+    standard "how clique-like is this node's neighborhood" measure a
+    co-occurrence graph audit reads next to raw triangle counts.
+
+    Built ON TOP of ``triangle_counts`` (degree-oriented wedge
+    enumeration — same arboricity-bounded scale shape; no new
+    shuffle beyond its plan). Exactness: 2·T and deg·(deg−1) are both
+    int64 (ANSI aborts loudly on overflow); ONE double division of
+    two exact integers is correctly rounded identically in any IEEE
+    engine, so the value sits behind the hash gate — no float sums
+    anywhere. deg < 2 ⇒ coefficient 0 by convention (guards the ANSI
+    division).
+
+    Returns (v, deg, n_triangles, clustering_coeff).
+    """
+    t = triangle_counts(edges, src, dst)
+    denom = F.col("deg") * (F.col("deg") - F.lit(1))
+    return t.select(
+        "v",
+        "deg",
+        "n_triangles",
+        F.when(F.col("deg") < 2, F.lit(0.0))
+        .otherwise(
+            (F.lit(2) * F.col("n_triangles")).cast("double") / denom.cast("double")
+        )
+        .alias("clustering_coeff"),
+    )
+
+
+def degree_assortativity(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman, PRL'02): the Pearson
+    correlation of endpoint degrees over the SYMMETRIZED edge list —
+    positive when hubs attach to hubs (social nets), negative when
+    hubs attach to leaves (supply/dependency nets). One number a
+    graph-health dashboard wants next to the degree histogram.
+
+    Exact-arithmetic form: over the 2|E| directed copies, with x the
+    source endpoint's degree and y the destination's, x and y are
+    identically distributed (every edge contributes both ways), so
+    Pearson's denominator √(M·Σx²−(Σx)²)·√(M·Σy²−(Σy)²) collapses to
+    M·Σx²−(Σx)² and
+
+        r = (M·Σxy − (Σx)²) / (M·Σx² − (Σx)²)
+
+    — every term an int64 SUM of integer products, ONE final double
+    division. No float accumulation, no sqrt: bit-portable across
+    engines. Overflow bound (ANSI aborts loudly past it):
+    M·Σxy ≤ (2|E|)²·maxdeg² must stay under 2^63 — holds to ~10^9
+    edges at maxdeg 10^4·√scale margins; swap the sums to
+    decimal(38,0) if a graph ever trips it.
+
+    Scale shape: one degree aggregation, two degree joins keyed on
+    the endpoints (broadcast when the degree table is small), one
+    global single-row aggregate. Returns a single row
+    (m_directed, sum_x, sum_xy, sum_x2, assortativity).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .cache()
+    )
+    both = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = (
+        e.select(F.explode(F.array("a", "b")).alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("deg").alias("dx"))
+    db = deg.select(F.col("v").alias("b"), F.col("deg").alias("dy"))
+    joined = both.join(da, "a").join(db, "b")
+    sums = joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m_directed"),
+        F.sum(F.col("dx").cast("bigint")).alias("sum_x"),
+        F.sum((F.col("dx") * F.col("dy")).cast("bigint")).alias("sum_xy"),
+        F.sum((F.col("dx") * F.col("dx")).cast("bigint")).alias("sum_x2"),
+    )
+    num = F.col("m_directed") * F.col("sum_xy") - F.col("sum_x") * F.col("sum_x")
+    den = F.col("m_directed") * F.col("sum_x2") - F.col("sum_x") * F.col("sum_x")
+    return sums.select(
+        "m_directed",
+        "sum_x",
+        "sum_xy",
+        "sum_x2",
+        F.when(den == 0, F.lit(0.0))
+        .otherwise(num.cast("double") / den.cast("double"))
+        .alias("assortativity"),
+    )
+
+
+def community_modularity(
+    edges: DataFrame,
+    communities: DataFrame,
+    node_col: str = "node",
+    community_col: str = "community",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-community modularity decomposition (Newman & Girvan,
+    PRE'04): for a partition of an undirected graph,
+
+        Q = Σ_c [ m_c/m − (d_c/2m)² ]
+
+    with m total edges, m_c intra-community edges, d_c the community's
+    degree sum — THE standard score for "did the community detector
+    (or a given attribute partition) beat random wiring".
+
+    Exact-arithmetic form: each community's contribution is
+    (4·m·m_c − d_c²) / 4m² — numerator and denominator int64, ONE
+    double division per community row. The global Q is the caller's
+    fixed-order sum over the tiny per-community table (the chi2-cells
+    contract: a parallel double SUM is last-ulp nondeterministic;
+    q_contrib_num/modularity_den are emitted exactly for callers that
+    want the integer route).
+
+    Scale shape: two community-label joins keyed on the endpoints
+    (broadcast when the labeling is a dimension), one groupBy
+    community — all equi-keyed, |E|-bounded. Nodes missing from
+    ``communities`` are dropped from the edge accounting (document
+    the labeling as total, or left-join beforehand).
+
+    Returns (community, n_nodes, degree_sum, intra_edges,
+    q_contrib_num, modularity_den, q_contrib).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .cache()
+    )
+    lab = communities.select(
+        F.col(node_col).alias("__n"), F.col(community_col).alias("__c")
+    )
+    la = lab.select(F.col("__n").alias("a"), F.col("__c").alias("ca"))
+    lb = lab.select(F.col("__n").alias("b"), F.col("__c").alias("cb"))
+    labeled = e.join(la, "a").join(lb, "b").cache()
+    m_row = labeled.agg(F.count(F.lit(1)).cast("bigint").alias("__m"))
+
+    # per-community degree sums: each labeled edge endpoint contributes
+    # 1 to its community — one explode, one groupBy
+    deg_c = (
+        labeled.select(F.explode(F.array("ca", "cb")).alias("community"))
+        .groupBy("community")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree_sum"))
+    )
+    intra = (
+        labeled.filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("community"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("intra_edges"))
+    )
+    n_nodes = (
+        labeled.select(F.explode(F.array("a", "b")).alias("__n"))
+        .distinct()
+        .join(lab, "__n")
+        .groupBy(F.col("__c").alias("community"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    )
+    out = (
+        deg_c.join(intra, "community", "left")
+        .join(n_nodes, "community", "left")
+        .crossJoin(F.broadcast(m_row))
+    )
+    mc = F.coalesce(F.col("intra_edges"), F.lit(0))
+    num = F.lit(4) * F.col("__m") * mc - F.col("degree_sum") * F.col("degree_sum")
+    den = F.lit(4) * F.col("__m") * F.col("__m")
+    return out.select(
+        "community",
+        F.coalesce("n_nodes", F.lit(0)).alias("n_nodes"),
+        "degree_sum",
+        mc.alias("intra_edges"),
+        num.cast("bigint").alias("q_contrib_num"),
+        den.cast("bigint").alias("modularity_den"),
+        F.when(den == 0, F.lit(0.0))
+        .otherwise(num.cast("double") / den.cast("double"))
+        .alias("q_contrib"),
+    )

@@ -9406,3 +9406,213 @@ def audio_fp_match_clip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     db = spark.createDataFrame(db_rows, "media_id long, content binary")
     q = spark.createDataFrame(q_rows, "media_id long, content binary")
     return audio_match(audio_fingerprints(db), audio_fingerprints(q), min_votes=5)
+
+
+# =====================================================================
+# Round 5, wave 11: graph structure analytics — clustering coefficient,
+# degree assortativity, community modularity (operators/graph.py)
+# =====================================================================
+
+@register(
+    "clustering_coeff_parts",
+    """
+    WITH e AS MATERIALIZED (
+      SELECT least(a.l_partkey, b.l_partkey) AS a,
+             greatest(a.l_partkey, b.l_partkey) AS b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ), deg AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e
+      ) GROUP BY 1
+    ), tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e e1 JOIN e e2 ON e1.b = e2.a
+                JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ), corners AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+        SELECT x AS v FROM tri UNION ALL SELECT y AS v FROM tri
+        UNION ALL SELECT z AS v FROM tri
+      ) GROUP BY 1
+    )
+    SELECT deg.v, deg.deg,
+           COALESCE(n_triangles, 0) AS n_triangles,
+           CASE WHEN deg.deg < 2 THEN CAST(0 AS DOUBLE)
+                ELSE CAST(2 * COALESCE(n_triangles, 0) AS DOUBLE)
+                     / CAST(deg.deg * (deg.deg - 1) AS DOUBLE) END
+             AS clustering_coeff
+    FROM deg LEFT JOIN corners ON deg.v = corners.v
+    """,
+)
+def clustering_coeff_parts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficients (operators/graph.py
+    clustering_coefficients) over the recurring co-purchase part
+    graph (same support>=2 edges as triangle_count_parts — the
+    scale-stable graph). 2T/(deg·(deg−1)) with both sides int64 and
+    ONE double division per node keeps an inherently fractional
+    statistic bit-portable across engines — no float sums exist in
+    the plan. Scale shape is triangle_counts' (arboricity-bounded
+    wedge join) plus a free projection."""
+    from dpe_energy_performance_analysis_etl_spark.operators.graph import (
+        clustering_coefficients,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("n_cooccur"))
+        .filter(F.col("n_cooccur") >= 2)
+        .select("src", "dst")
+    )
+    return clustering_coefficients(edges)
+
+
+@register(
+    "degree_assortativity_trade",
+    """
+    WITH pairs AS MATERIALIZED (
+      SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ), e AS MATERIALIZED (
+      SELECT DISTINCT least(c, s) AS a, greatest(c, s) AS b FROM pairs
+    ), deg AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e
+      ) GROUP BY 1
+    ), bidir AS (
+      SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e
+    ), j AS (
+      SELECT da.deg AS dx, db.deg AS dy
+      FROM bidir JOIN deg da ON da.v = bidir.a JOIN deg db ON db.v = bidir.b
+    ), s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m_directed,
+             CAST(SUM(dx) AS BIGINT) AS sum_x,
+             CAST(SUM(dx * dy) AS BIGINT) AS sum_xy,
+             CAST(SUM(dx * dx) AS BIGINT) AS sum_x2
+      FROM j
+    )
+    SELECT m_directed, sum_x, sum_xy, sum_x2,
+           CASE WHEN m_directed * sum_x2 - sum_x * sum_x = 0 THEN CAST(0 AS DOUBLE)
+                ELSE CAST(m_directed * sum_xy - sum_x * sum_x AS DOUBLE)
+                     / CAST(m_directed * sum_x2 - sum_x * sum_x AS DOUBLE) END
+             AS assortativity
+    FROM s
+    """,
+)
+def degree_assortativity_trade_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (operators/graph.py degree_assortativity)
+    of the customer<->supplier trade graph — bipartite trade networks
+    are canonically DISASSORTATIVE (big buyers connect to small
+    suppliers and vice versa); the single-row coefficient quantifies
+    it. All four Pearson sums are int64 over integer degree products;
+    the symmetric-edge identity removes the sqrt, so one double
+    division is the only float op — hash-gate exact."""
+    from dpe_energy_performance_analysis_etl_spark.operators.graph import (
+        degree_assortativity,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pairs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    return degree_assortativity(pairs)
+
+
+@register(
+    "community_modularity_nations",
+    """
+    WITH pairs AS MATERIALIZED (
+      SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ), e AS MATERIALIZED (
+      SELECT DISTINCT least(c, s) AS a, greatest(c, s) AS b FROM pairs
+    ), lab AS (
+      SELECT c_custkey * 2 AS n, c_nationkey AS com FROM customer
+      UNION ALL
+      SELECT s_suppkey * 2 + 1 AS n, s_nationkey AS com FROM supplier
+    ), labeled AS MATERIALIZED (
+      SELECT e.a, e.b, la.com AS ca, lb.com AS cb
+      FROM e JOIN lab la ON la.n = e.a JOIN lab lb ON lb.n = e.b
+    ), m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m FROM labeled
+    ), degc AS (
+      SELECT community, CAST(COUNT(*) AS BIGINT) AS degree_sum FROM (
+        SELECT ca AS community FROM labeled UNION ALL SELECT cb FROM labeled
+      ) GROUP BY 1
+    ), intra AS (
+      SELECT ca AS community, CAST(COUNT(*) AS BIGINT) AS intra_edges
+      FROM labeled WHERE ca = cb GROUP BY 1
+    ), nn AS (
+      SELECT com AS community, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM (
+        SELECT DISTINCT v FROM (
+          SELECT a AS v FROM labeled UNION ALL SELECT b FROM labeled
+        )
+      ) JOIN lab ON lab.n = v GROUP BY 1
+    )
+    SELECT d.community,
+           COALESCE(n_nodes, 0) AS n_nodes,
+           d.degree_sum,
+           COALESCE(intra_edges, 0) AS intra_edges,
+           CAST(4 * m.m * COALESCE(intra_edges, 0)
+                - d.degree_sum * d.degree_sum AS BIGINT) AS q_contrib_num,
+           CAST(4 * m.m * m.m AS BIGINT) AS modularity_den,
+           CASE WHEN m.m = 0 THEN CAST(0 AS DOUBLE)
+                ELSE CAST(4 * m.m * COALESCE(intra_edges, 0)
+                          - d.degree_sum * d.degree_sum AS DOUBLE)
+                     / CAST(4 * m.m * m.m AS DOUBLE) END AS q_contrib
+    FROM degc d LEFT JOIN intra USING (community)
+                LEFT JOIN nn USING (community)
+                CROSS JOIN m
+    """,
+)
+def community_modularity_nations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modularity decomposition (operators/graph.py
+    community_modularity) of the NATION partition over the trade
+    graph: does geography explain the wiring better than random? Per
+    community: intra-edge count, degree sum, and the exact-integer
+    contribution (4·m·m_c − d_c²); q_contrib is the one double
+    division. Global Q = the caller's fixed-order sum over ≤25 rows
+    (the chi2-cells contract). Labels join as a broadcast dimension;
+    everything else is |E|-keyed."""
+    from dpe_energy_performance_analysis_etl_spark.operators.graph import (
+        community_modularity,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    pairs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    communities = (
+        cust.select(
+            (F.col("c_custkey") * 2).alias("node"),
+            F.col("c_nationkey").alias("community"),
+        )
+        .unionAll(
+            supp.select(
+                (F.col("s_suppkey") * 2 + 1).alias("node"),
+                F.col("s_nationkey").alias("community"),
+            )
+        )
+    )
+    return community_modularity(pairs, communities)

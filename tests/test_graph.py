@@ -192,3 +192,117 @@ def test_walks_visit_multiple_neighbors(spark):
     rows = deterministic_random_walks(df, walk_len=2, walks_per_node=16).collect()
     first = {r.node for r in rows if r.start == 0 and r.step == 1}
     assert len(first) >= 4
+
+
+class TestClusteringCoefficients:
+    """cc = 2T/(deg·(deg−1)) — hand-checked triangle+pendant graph."""
+
+    def test_triangle_with_pendant(self, spark):
+        from dpe_energy_performance_analysis_etl_spark.operators.graph import (
+            clustering_coefficients,
+        )
+
+        edges = _edges(spark, [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")])
+        got = {
+            r["v"]: (r["deg"], r["n_triangles"], r["clustering_coeff"])
+            for r in clustering_coefficients(edges).collect()
+        }
+        assert got["a"] == (2, 1, 1.0)
+        assert got["b"] == (2, 1, 1.0)
+        assert got["c"] == (3, 1, 2 / 6)
+        assert got["d"] == (1, 0, 0.0)
+
+    def test_clique_is_all_ones(self, spark):
+        from dpe_energy_performance_analysis_etl_spark.operators.graph import (
+            clustering_coefficients,
+        )
+
+        nodes = ["a", "b", "c", "d"]
+        edges = _edges(
+            spark,
+            [(x, y) for x in nodes for y in nodes if x < y],
+        )
+        got = clustering_coefficients(edges).collect()
+        assert all(r["clustering_coeff"] == 1.0 for r in got)
+        assert all(r["n_triangles"] == 3 for r in got)
+
+
+class TestDegreeAssortativity:
+    def test_star_is_perfectly_disassortative(self, spark):
+        from dpe_energy_performance_analysis_etl_spark.operators.graph import (
+            degree_assortativity,
+        )
+
+        edges = _edges(spark, [("h", "l1"), ("h", "l2"), ("h", "l3")])
+        row = degree_assortativity(edges).collect()[0]
+        assert row["m_directed"] == 6
+        assert row["sum_x"] == 12
+        assert row["sum_xy"] == 18
+        assert row["sum_x2"] == 30
+        assert row["assortativity"] == -1.0
+
+    def test_regular_graph_degenerate_variance_is_zero(self, spark):
+        """Cycle: every degree equal → zero variance → guarded 0.0."""
+        from dpe_energy_performance_analysis_etl_spark.operators.graph import (
+            degree_assortativity,
+        )
+
+        edges = _edges(spark, [("a", "b"), ("b", "c"), ("c", "a")])
+        row = degree_assortativity(edges).collect()[0]
+        assert row["assortativity"] == 0.0
+
+    def test_direction_and_duplicates_ignored(self, spark):
+        from dpe_energy_performance_analysis_etl_spark.operators.graph import (
+            degree_assortativity,
+        )
+
+        a = degree_assortativity(
+            _edges(spark, [("h", "l1"), ("l1", "h"), ("h", "l2"), ("h", "l3")])
+        ).collect()[0]
+        assert a["assortativity"] == -1.0
+
+
+class TestCommunityModularity:
+    def test_two_triangles_bridge(self, spark):
+        """Two triangles joined by one bridge edge, communities = the
+        triangles: the textbook Q = 2·(4·7·3 − 7²)/(4·7²) = 5/14."""
+        from dpe_energy_performance_analysis_etl_spark.operators.graph import (
+            community_modularity,
+        )
+
+        edges = _edges(
+            spark,
+            [
+                ("a", "b"), ("b", "c"), ("c", "a"),
+                ("x", "y"), ("y", "z"), ("z", "x"),
+                ("c", "x"),
+            ],
+        )
+        comms = spark.createDataFrame(
+            [("a", 1), ("b", 1), ("c", 1), ("x", 2), ("y", 2), ("z", 2)],
+            "node string, community int",
+        )
+        rows = {r["community"]: r for r in community_modularity(edges, comms).collect()}
+        for c in (1, 2):
+            assert rows[c]["n_nodes"] == 3
+            assert rows[c]["intra_edges"] == 3
+            assert rows[c]["degree_sum"] == 7
+            assert rows[c]["q_contrib_num"] == 4 * 7 * 3 - 49
+            assert rows[c]["modularity_den"] == 4 * 49
+        q = sum(r["q_contrib"] for r in rows.values())
+        assert abs(q - 5 / 14) < 1e-15
+
+    def test_whole_graph_one_community_q_is_zero_minus_degree_term(self, spark):
+        """Single community: m_c = m, d_c = 2m → contribution
+        (4m² − 4m²)/4m² = 0 exactly."""
+        from dpe_energy_performance_analysis_etl_spark.operators.graph import (
+            community_modularity,
+        )
+
+        edges = _edges(spark, [("a", "b"), ("b", "c"), ("c", "a")])
+        comms = spark.createDataFrame(
+            [("a", 1), ("b", 1), ("c", 1)], "node string, community int"
+        )
+        row = community_modularity(edges, comms).collect()[0]
+        assert row["q_contrib_num"] == 0
+        assert row["q_contrib"] == 0.0
