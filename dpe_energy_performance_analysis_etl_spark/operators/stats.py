@@ -577,3 +577,292 @@ def pass_at_k(df, group_col, success_col, k: int = 3):
         "n_success",
         ratio.alias("pass_at_k"),
     )
+
+
+def lag_autocorrelation(
+    df,
+    value_col: str,
+    order_col: str,
+    lags: list[int] | None = None,
+):
+    """Pearson lag-k autocorrelation of an INTEGER-valued series
+    (Box & Jenkins' sample autocorrelation in its Pearson-over-pairs
+    form): for each lag k, correlate (x_t, x_{t−k}) over the pairs
+    both sides exist for. The caller quantizes the series to integers
+    first (e.g. revenue → k$ via floor-div) — that makes every Pearson
+    sum an exact int64 and the statistic bit-portable: the only float
+    ops are two sqrt (IEEE-exact) and one division.
+
+    Scale shape: ONE ordered window pass produces all lag columns
+    (the series table is an aggregate — months, days — orders of
+    magnitude smaller than the fact table; the partition-less window
+    is over that aggregate, never the raw data), then an
+    explode-unpivot and a per-lag aggregation. Overflow bound:
+    m·Σxy ≲ n²·x_max² must stay in int64 — quantize coarser if a
+    series ever trips ANSI.
+
+    Returns (lag_k, n_pairs, sum_x, sum_y, sum_xy, sum_x2, sum_y2,
+    autocorr).
+    """
+    from pyspark.sql import Window, functions as F
+
+    lags = lags or [1, 2, 3]
+    w = Window.orderBy(order_col)
+    lagged = df.select(
+        F.col(value_col).cast("bigint").alias("x"),
+        *[
+            F.lag(F.col(value_col).cast("bigint"), k).over(w).alias(f"__lag{k}")
+            for k in lags
+        ],
+    )
+    pairs = lagged.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("lag_k"),
+                        F.col("x").alias("x"),
+                        F.col(f"__lag{k}").alias("y"),
+                    )
+                    for k in lags
+                ]
+            )
+        ).alias("p")
+    ).select("p.lag_k", "p.x", "p.y").filter(F.col("y").isNotNull())
+    sums = pairs.groupBy("lag_k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("x").alias("sum_x"),
+        F.sum("y").alias("sum_y"),
+        F.sum(F.col("x") * F.col("y")).alias("sum_xy"),
+        F.sum(F.col("x") * F.col("x")).alias("sum_x2"),
+        F.sum(F.col("y") * F.col("y")).alias("sum_y2"),
+    )
+    m = F.col("n_pairs")
+    cov = (m * F.col("sum_xy") - F.col("sum_x") * F.col("sum_y")).cast("double")
+    vx = (m * F.col("sum_x2") - F.col("sum_x") * F.col("sum_x")).cast("double")
+    vy = (m * F.col("sum_y2") - F.col("sum_y") * F.col("sum_y")).cast("double")
+    return sums.select(
+        "lag_k",
+        "n_pairs",
+        "sum_x",
+        "sum_y",
+        "sum_xy",
+        "sum_x2",
+        "sum_y2",
+        F.when((vx <= 0) | (vy <= 0), F.lit(0.0))
+        .otherwise(cov / (F.sqrt(vx) * F.sqrt(vy)))
+        .alias("autocorr"),
+    )
+
+
+def mann_kendall(
+    df,
+    key_col: str,
+    value_col: str,
+    order_cols: list[str],
+):
+    """Mann-Kendall trend test per key (Mann'45, Kendall'75 — the
+    standard nonparametric "is this series monotonically trending"
+    monitor): S = Σ_{i<j} sign(x_j − x_i) over the time-ordered
+    series, variance with the tie correction
+    Var·18 = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5), and the continuity-
+    corrected z = (S∓1)/√Var.
+
+    Exactness: S and Var·18 are pure int64 (sign comparisons on the
+    raw values — no float arithmetic, so double inputs are safe);
+    z is one division by one sqrt of (Var18 / 18.0) — all IEEE-
+    deterministic single ops.
+
+    Scale shape: the pair enumeration is a SELF-JOIN EQUI-KEYED on
+    ``key_col`` — per-key series (users, sensors, SKUs) are bounded
+    (thousands of keys × hundreds of points), so the n² sits inside a
+    key's partition, never across the corpus; the tie table is one
+    (key, value) aggregation. For very long single series use a
+    rank-based O(n log n) reformulation instead.
+
+    Returns (key, n, s_stat, var_x18, z).
+    """
+    from pyspark.sql import functions as F
+
+    base = df.select(
+        F.col(key_col).alias("k"),
+        F.col(value_col).alias("v"),
+        *[F.col(c) for c in order_cols],
+    )
+    a = base.alias("a")
+    b = base.alias("b")
+    earlier = None
+    # lexicographic (order_cols) strict ordering a < b
+    for i, c in enumerate(order_cols):
+        eq_prefix = F.lit(True)
+        for p in order_cols[:i]:
+            eq_prefix = eq_prefix & (F.col(f"a.{p}") == F.col(f"b.{p}"))
+        this = eq_prefix & (F.col(f"a.{c}") < F.col(f"b.{c}"))
+        earlier = this if earlier is None else (earlier | this)
+    pairs = a.join(b, on=(F.col("a.k") == F.col("b.k")) & earlier)
+    s_tab = pairs.groupBy(F.col("a.k").alias("key")).agg(
+        F.sum(F.signum(F.col("b.v") - F.col("a.v")).cast("bigint")).alias("s_stat")
+    )
+    n_tab = base.groupBy(F.col("k").alias("key")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    ties = (
+        base.groupBy(F.col("k").alias("key"), "v")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .filter(F.col("t") > 1)
+        .groupBy("key")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("tie_term")
+        )
+    )
+    out = (
+        n_tab.join(s_tab, "key", "left")
+        .join(ties, "key", "left")
+        .select(
+            "key",
+            "n",
+            F.coalesce("s_stat", F.lit(0)).cast("bigint").alias("s_stat"),
+            (
+                F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+                - F.coalesce("tie_term", F.lit(0))
+            )
+            .cast("bigint")
+            .alias("var_x18"),
+        )
+    )
+    sd = F.sqrt(F.col("var_x18").cast("double") / F.lit(18.0))
+    z = (
+        F.when((F.col("var_x18") == 0) | (F.col("s_stat") == 0), F.lit(0.0))
+        .when(F.col("s_stat") > 0, (F.col("s_stat") - 1).cast("double") / sd)
+        .otherwise((F.col("s_stat") + 1).cast("double") / sd)
+    )
+    return out.select("key", "n", "s_stat", "var_x18", z.alias("z"))
+
+
+def gini_concentration(df, key_col: str):
+    """Gini coefficient of a key's row-count distribution — the
+    single number a shuffle-planning audit wants for "how skewed is
+    this join/group key" (0 = uniform, →1 = one hot key holds
+    everything). Standard sorted-rank form: with counts x_1 ≤ … ≤ x_n
+    and W = Σ i·x_i, G = (2W − (n+1)T) / (n·T).
+
+    Exactness: W, T, n are int64; ONE double division. Determinism of
+    the rank under count ties is irrelevant to W's value (equal x
+    swap ranks freely) but the window still orders (count, key) so
+    the PLAN is deterministic too.
+
+    Scale shape: one hash aggregation to the key histogram (the only
+    pass over data), then a global sort of the HISTOGRAM (n keys —
+    orders of magnitude smaller than rows; the partition-less window
+    is a deliberate single-reducer pass over it; for >10^8 distinct
+    keys switch to the two-level prefix-scan rank used by
+    sequence_pack_bins).
+
+    Returns a single row (n_keys, total_rows, rank_weighted_sum,
+    gini).
+    """
+    from pyspark.sql import Window, functions as F
+
+    counts = df.groupBy(F.col(key_col).alias("k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    w = Window.orderBy("c", "k")
+    ranked = counts.select("c", F.row_number().over(w).cast("bigint").alias("r"))
+    sums = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("c").alias("total_rows"),
+        F.sum(F.col("r") * F.col("c")).alias("rank_weighted_sum"),
+    )
+    num = (
+        F.lit(2) * F.col("rank_weighted_sum")
+        - (F.col("n_keys") + 1) * F.col("total_rows")
+    ).cast("double")
+    den = (F.col("n_keys") * F.col("total_rows")).cast("double")
+    return sums.select(
+        "n_keys",
+        "total_rows",
+        "rank_weighted_sum",
+        F.when(F.col("total_rows") == 0, F.lit(0.0))
+        .otherwise(num / den)
+        .alias("gini"),
+    )
+
+
+def cramers_v_quantized(df, row_col: str, col_col: str, scale: int = 1000):
+    """Cramér's V effect size for a categorical×categorical pair, on
+    an INTEGER-QUANTIZED chi² so the global statistic survives the
+    cross-engine hash gate: per cell, E_q = (r·c) div n and
+    contrib·K = (O−E_q)²·K div max(E_q,1) — all floor divisions of
+    positive int64 (identical in Spark's `div` and DuckDB's `//`),
+    summed EXACTLY as integers; only then V = √(chi²K / (K·n·
+    min(R−1,C−1))). A float chi² sum would be order-nondeterministic
+    (the chi2-cells caveat); the quantization error is ≤ cells·(1+1/K)
+    — irrelevant at count magnitudes — and, critically, DEFINED, so
+    both engines compute the identical number.
+
+    The (O−E_q)²·K product uses two-step long division
+    (q·K + rem·K div d) for headroom: (O−E_q)² ≤ n² must hold
+    (int64-safe to ~3·10⁹ observations); the ·K never multiplies the
+    big square directly.
+
+    Scale shape: one cell aggregation (R×C rows), broadcast marginal
+    attaches, a single-row sum. Returns (n, n_rowcats, n_colcats,
+    chi2_xscale, cramers_v).
+    """
+    from pyspark.sql import functions as F
+
+    # cells feeds FOUR subtrees (row totals, col totals, grand total,
+    # the cell join) — uncached the full-table aggregation re-runs per
+    # consumer (the repeated-subtree rule). R×C rows, trivially cached.
+    cells = (
+        df.groupBy(F.col(row_col).alias("rv"), F.col(col_col).alias("cv"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("obs"))
+        .cache()
+    )
+    rt = cells.groupBy("rv").agg(F.sum("obs").cast("bigint").alias("rtot"))
+    ct = cells.groupBy("cv").agg(F.sum("obs").cast("bigint").alias("ctot"))
+    nn = cells.agg(
+        F.sum("obs").cast("bigint").alias("n"),
+        F.countDistinct("rv").cast("bigint").alias("n_rowcats"),
+        F.countDistinct("cv").cast("bigint").alias("n_colcats"),
+    )
+    # the FULL R×C grid, not just observed cells: an unobserved combo
+    # still contributes its expected count to chi² (for strongly
+    # associated pairs the zero cells carry most of the signal)
+    grid = rt.crossJoin(ct)
+    joined = (
+        grid.join(cells, ["rv", "cv"], "left")
+        .withColumn("obs", F.coalesce("obs", F.lit(0).cast("bigint")))
+        .crossJoin(F.broadcast(nn))
+        # name the shared pieces once; dev2/d stay int64 (ANSI-guarded)
+        .withColumn("__eq", F.expr("(rtot * ctot) div n"))
+        .withColumn("__d", F.expr("greatest((rtot * ctot) div n, 1L)"))
+        .withColumn("__dev2", F.expr("(obs - __eq) * (obs - __eq)"))
+    )
+    # exact floor of dev2·K/d without the dev2·K overflow:
+    # (dev2 div d)·K + ((dev2 % d)·K) div d
+    contrib = F.expr(
+        f"(__dev2 div __d) * {scale} + ((__dev2 % __d) * {scale}) div __d"
+    )
+    agg = joined.select(
+        "n", "n_rowcats", "n_colcats", contrib.alias("contrib")
+    ).groupBy("n", "n_rowcats", "n_colcats").agg(
+        F.sum("contrib").cast("bigint").alias("chi2_xscale")
+    )
+    mindim = F.least(F.col("n_rowcats") - 1, F.col("n_colcats") - 1)
+    return agg.select(
+        "n",
+        "n_rowcats",
+        "n_colcats",
+        "chi2_xscale",
+        F.when(mindim <= 0, F.lit(0.0))
+        .otherwise(
+            F.sqrt(
+                F.col("chi2_xscale").cast("double")
+                / (F.lit(scale) * F.col("n") * mindim).cast("double")
+            )
+        )
+        .alias("cramers_v"),
+    )

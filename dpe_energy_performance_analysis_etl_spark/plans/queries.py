@@ -9616,3 +9616,213 @@ def community_modularity_nations_q(spark: SparkSession, sf_dir: str) -> DataFram
         )
     )
     return community_modularity(pairs, communities)
+
+
+# =====================================================================
+# Round 5, wave 12: exact-portable statistics — lag autocorrelation,
+# Mann-Kendall trend, key-skew Gini, quantized Cramér's V
+# (operators/stats.py)
+# =====================================================================
+
+@register(
+    "lag_autocorr_revenue",
+    """
+    WITH monthly AS (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) * 100 AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ), series AS (
+      SELECT month, cents // 100000 AS x FROM monthly
+    ), lagged AS (
+      SELECT x,
+             lag(x, 1) OVER (ORDER BY month) AS l1,
+             lag(x, 2) OVER (ORDER BY month) AS l2,
+             lag(x, 3) OVER (ORDER BY month) AS l3
+      FROM series
+    ), pairs AS (
+      SELECT 1 AS lag_k, x, l1 AS y FROM lagged WHERE l1 IS NOT NULL
+      UNION ALL SELECT 2, x, l2 FROM lagged WHERE l2 IS NOT NULL
+      UNION ALL SELECT 3, x, l3 FROM lagged WHERE l3 IS NOT NULL
+    ), s AS (
+      SELECT lag_k, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(x) AS BIGINT) AS sum_x, CAST(SUM(y) AS BIGINT) AS sum_y,
+             CAST(SUM(x * y) AS BIGINT) AS sum_xy,
+             CAST(SUM(x * x) AS BIGINT) AS sum_x2,
+             CAST(SUM(y * y) AS BIGINT) AS sum_y2
+      FROM pairs GROUP BY 1
+    )
+    SELECT lag_k, n_pairs, sum_x, sum_y, sum_xy, sum_x2, sum_y2,
+           CASE WHEN n_pairs * sum_x2 - sum_x * sum_x <= 0
+                  OR n_pairs * sum_y2 - sum_y * sum_y <= 0 THEN CAST(0 AS DOUBLE)
+                ELSE CAST(n_pairs * sum_xy - sum_x * sum_y AS DOUBLE)
+                     / (sqrt(CAST(n_pairs * sum_x2 - sum_x * sum_x AS DOUBLE))
+                        * sqrt(CAST(n_pairs * sum_y2 - sum_y * sum_y AS DOUBLE)))
+           END AS autocorr
+    FROM s
+    """,
+)
+def lag_autocorr_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1/2/3 autocorrelation of the monthly revenue series
+    (operators/stats.py lag_autocorrelation) — the seasonality probe a
+    forecasting pipeline runs before choosing a model. Revenue is
+    exact integer cents (scaled_long sum) quantized to k$ by floor
+    division, so every Pearson sum is int64 and the statistic is
+    bit-portable: two sqrt + one division are the only float ops. The
+    window runs over the 80-row MONTH table, not the fact scan."""
+    from dpe_energy_performance_analysis_etl_spark.operators.exact import exact_cents_sum
+    from dpe_energy_performance_analysis_etl_spark.operators.stats import (
+        lag_autocorrelation,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    monthly = (
+        o.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month"))
+        .agg(exact_cents_sum("o_totalprice", 2).alias("cents"))
+        .select("month", F.expr("cents div 100000").alias("x"))
+    )
+    return lag_autocorrelation(monthly, "x", "month", lags=[1, 2, 3])
+
+
+@register(
+    "mann_kendall_user_values",
+    """
+    WITH ev AS MATERIALIZED (
+      SELECT user_id, ts, event_id, value FROM events
+    ), pairs AS (
+      SELECT a.user_id AS k, CAST(sign(b.value - a.value) AS BIGINT) AS sg
+      FROM ev a JOIN ev b ON a.user_id = b.user_id
+       AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
+    ), s AS (
+      SELECT k, CAST(SUM(sg) AS BIGINT) AS s_stat FROM pairs GROUP BY 1
+    ), nt AS (
+      SELECT user_id AS k, CAST(COUNT(*) AS BIGINT) AS n FROM ev GROUP BY 1
+    ), ties AS (
+      SELECT k, CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+      FROM (
+        SELECT user_id AS k, value, CAST(COUNT(*) AS BIGINT) AS t
+        FROM ev GROUP BY 1, 2
+      ) WHERE t > 1 GROUP BY 1
+    ), out AS (
+      SELECT nt.k AS user_id, nt.n,
+             COALESCE(s_stat, 0) AS s_stat,
+             CAST(nt.n * (nt.n - 1) * (2 * nt.n + 5)
+                  - COALESCE(tie_term, 0) AS BIGINT) AS var_x18
+      FROM nt LEFT JOIN s ON s.k = nt.k LEFT JOIN ties ON ties.k = nt.k
+    )
+    SELECT user_id, n, s_stat, var_x18,
+           CASE WHEN var_x18 = 0 OR s_stat = 0 THEN CAST(0 AS DOUBLE)
+                WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+                     / sqrt(CAST(var_x18 AS DOUBLE) / 1.8e1)
+                ELSE CAST(s_stat + 1 AS DOUBLE)
+                     / sqrt(CAST(var_x18 AS DOUBLE) / 1.8e1)
+           END AS z
+    FROM out
+    """,
+)
+def mann_kendall_user_values_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotonic-trend test per user over the event-value
+    series (operators/stats.py mann_kendall) — the nonparametric
+    drift monitor. S and the tie-corrected Var·18 are pure int64
+    (sign comparisons only touch the raw doubles — no float
+    arithmetic); z is one division by one sqrt. The O(n²) pair
+    enumeration is a self-join EQUI-KEYED on user_id — per-user series
+    are bounded (~70 events), so the quadratic sits inside a key,
+    never across the corpus."""
+    from dpe_energy_performance_analysis_etl_spark.operators.stats import mann_kendall
+
+    ev = read_events(spark, sf_dir)
+    out = mann_kendall(ev, "user_id", "value", ["ts", "event_id"])
+    return out.select(
+        F.col("key").alias("user_id"), "n", "s_stat", "var_x18", "z"
+    )
+
+
+@register(
+    "key_skew_gini_partkey",
+    """
+    WITH counts AS (
+      SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1
+    ), ranked AS (
+      SELECT c, CAST(row_number() OVER (ORDER BY c, k) AS BIGINT) AS r
+      FROM counts
+    ), s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(c) AS BIGINT) AS total_rows,
+             CAST(SUM(r * c) AS BIGINT) AS rank_weighted_sum
+      FROM ranked
+    )
+    SELECT n_keys, total_rows, rank_weighted_sum,
+           CASE WHEN total_rows = 0 THEN CAST(0 AS DOUBLE)
+                ELSE CAST(2 * rank_weighted_sum - (n_keys + 1) * total_rows AS DOUBLE)
+                     / CAST(n_keys * total_rows AS DOUBLE)
+           END AS gini
+    FROM s
+    """,
+)
+def key_skew_gini_partkey_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of the l_partkey row distribution
+    (operators/stats.py gini_concentration) — the one-number skew
+    diagnostic a shuffle planner reads before picking salting/AQE
+    strategies for a join on this key. One histogram aggregation over
+    the fact table; the global rank-sort runs over the 2000-row
+    HISTOGRAM. Exact int64 sums, one double division."""
+    from dpe_energy_performance_analysis_etl_spark.operators.stats import (
+        gini_concentration,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return gini_concentration(li, "l_partkey")
+
+
+@register(
+    "cramers_v_priority_status",
+    """
+    WITH cells AS MATERIALIZED (
+      SELECT o_orderpriority AS rv, o_orderstatus AS cv,
+             CAST(COUNT(*) AS BIGINT) AS obs
+      FROM orders GROUP BY 1, 2
+    ), rt AS (
+      SELECT rv, CAST(SUM(obs) AS BIGINT) AS rtot FROM cells GROUP BY 1
+    ), ct AS (
+      SELECT cv, CAST(SUM(obs) AS BIGINT) AS ctot FROM cells GROUP BY 1
+    ), nn AS (
+      SELECT CAST(SUM(obs) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT rv) AS BIGINT) AS n_rowcats,
+             CAST(COUNT(DISTINCT cv) AS BIGINT) AS n_colcats
+      FROM cells
+    ), j AS (
+      SELECT COALESCE(obs, 0) AS obs, n, n_rowcats, n_colcats,
+             (rtot * ctot) // n AS eq,
+             greatest((rtot * ctot) // n, 1) AS d
+      FROM rt CROSS JOIN ct
+        LEFT JOIN cells ON cells.rv = rt.rv AND cells.cv = ct.cv
+        CROSS JOIN nn
+    ), kk AS (
+      SELECT n, n_rowcats, n_colcats,
+             CAST(SUM(((obs - eq) * (obs - eq) // d) * 1000
+                      + ((obs - eq) * (obs - eq) % d) * 1000 // d)
+                  AS BIGINT) AS chi2_xscale
+      FROM j GROUP BY 1, 2, 3
+    )
+    SELECT n, n_rowcats, n_colcats, chi2_xscale,
+           CASE WHEN least(n_rowcats - 1, n_colcats - 1) <= 0 THEN CAST(0 AS DOUBLE)
+                ELSE sqrt(CAST(chi2_xscale AS DOUBLE)
+                          / CAST(1000 * n * least(n_rowcats - 1, n_colcats - 1) AS DOUBLE))
+           END AS cramers_v
+    FROM kk
+    """,
+)
+def cramers_v_priority_status_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association strength for order priority × status
+    (operators/stats.py cramers_v_quantized) — the global effect-size
+    companion to contingency_chi2_cells, made hash-gate exact by
+    integer-quantizing each cell's chi² contribution (floor divisions
+    only, two-step long division for overflow headroom) so the SUM is
+    an integer; √ and one division are the only float ops."""
+    from dpe_energy_performance_analysis_etl_spark.operators.stats import (
+        cramers_v_quantized,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return cramers_v_quantized(o, "o_orderpriority", "o_orderstatus", scale=1000)
