@@ -186,3 +186,62 @@ def point_in_polygon_tag(
     return tagged.filter(bbox_hit & (crossings % 2 == 1)).select(
         *points.columns, poly_id_col
     )
+
+
+GEOHASH_BASE32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_encode_micro(
+    lat_micro: Column, lon_micro: Column, precision: int = 5
+) -> Column:
+    """Geohash (Niemeyer 2008 — the public base-32 Z-order cell code)
+    from INTEGER microdegree coordinates, in pure integer arithmetic:
+
+      cell_x = (lon_µ° + 180e6)·2^lon_bits div 360e6   (floor)
+      cell_y = (lat_µ° +  90e6)·2^lat_bits div 180e6
+      code   = bit-interleave MSB-first starting with longitude
+      chars  = base-32 digits of the 5·precision-bit code
+
+    Integer µ° in, integer divisions and literal shifts throughout —
+    no float binary-search refinement, so the SQL oracle replays the
+    cell assignment bit-exactly (a double-division formulation can
+    round across a cell boundary; the repo's numeric_range_lookup
+    lesson). Bound: (lon+180e6)·2^13 ≈ 3e12 — int64-safe to
+    precision 12 (60 bits), far past GPS resolution.
+
+    Everything is a row-local codegen expression — zero shuffle; cell
+    aggregation downstream is an ordinary groupBy on the string.
+    """
+    total_bits = 5 * precision
+    lon_bits = (total_bits + 1) // 2
+    lat_bits = total_bits // 2
+    # exact integer floor-div without a Column-level `div` operator:
+    # (a - pmod(a, b)) / b is an exact multiple's double division —
+    # exact below 2^53 (numerators are ≤ ~3e12 here)
+    x_num = (lon_micro.cast("bigint") + F.lit(180_000_000)) * F.lit(1 << lon_bits)
+    y_num = (lat_micro.cast("bigint") + F.lit(90_000_000)) * F.lit(1 << lat_bits)
+    cell_x = (
+        (x_num - F.pmod(x_num, F.lit(360_000_000))) / F.lit(360_000_000)
+    ).cast("bigint")
+    cell_y = (
+        (y_num - F.pmod(y_num, F.lit(180_000_000))) / F.lit(180_000_000)
+    ).cast("bigint")
+
+    code = F.lit(0).cast("bigint")
+    # interleave MSB-first, longitude first (even interleave positions)
+    for i in range(lon_bits):
+        bit = F.shiftright(cell_x, lon_bits - 1 - i) % F.lit(2)
+        code = code + bit * F.lit(1 << (total_bits - 1 - 2 * i))
+    for i in range(lat_bits):
+        bit = F.shiftright(cell_y, lat_bits - 1 - i) % F.lit(2)
+        code = code + bit * F.lit(1 << (total_bits - 2 - 2 * i))
+
+    chars = []
+    for d in range(precision):
+        digit = F.shiftright(code, total_bits - 5 * (d + 1)) % F.lit(32)
+        chars.append(
+            F.substring(
+                F.lit(GEOHASH_BASE32), F.lit(1) + digit.cast("int"), F.lit(1)
+            )
+        )
+    return F.concat(*chars)

@@ -9826,3 +9826,227 @@ def cramers_v_priority_status_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     return cramers_v_quantized(o, "o_orderpriority", "o_orderstatus", scale=1000)
+
+
+# =====================================================================
+# Round 5, wave 13: AMS F2 sketch, sorted-neighborhood blocking,
+# integer geohash cells (operators/sketch.py, entity.py, spatial.py)
+# =====================================================================
+
+@register(
+    "ams_f2_tokens",
+    """
+    WITH tok AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      FROM documents
+    ), counts AS MATERIALIZED (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1
+    ), h0t AS (
+      SELECT c,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(regexp_extract_all(rpad(term, 16, '#'), '.'),
+                               ch -> CAST(ascii(ch) AS BIGINT))),
+                (acc, ch) -> (acc * 131 + ch) % 2147483647) AS h0
+      FROM counts
+    ), h2 AS (
+      SELECT c, xor(s1, s1 >> 16) AS h32 FROM (
+        SELECT c, (xor(h0, h0 >> 16) * 73244475) % 4294967296 AS s1 FROM h0t
+      )
+    ), t0s AS (
+      SELECT c, j, (h32 + j * 40503) % 4294967296 AS t0
+      FROM h2 CROSS JOIN (SELECT unnest(range(16)) AS j)
+    ), sg AS (
+      SELECT c, j, 1 - 2 * (xor(t1, t1 >> 16) % 2) AS s FROM (
+        SELECT c, j, (xor(t0, t0 >> 16) * 73244475) % 4294967296 AS t1 FROM t0s
+      )
+    ), sk AS (
+      SELECT j, CAST(SUM(c * s) AS BIGINT) AS sv FROM sg GROUP BY 1
+    ), gs AS (
+      SELECT j // 4 AS g, CAST(SUM(sv * sv) AS BIGINT) AS gsum FROM sk GROUP BY 1
+    ), med AS (
+      SELECT gsum AS f2_est_x4 FROM (
+        SELECT gsum, row_number() OVER (ORDER BY gsum, g) AS rn FROM gs
+      ) WHERE rn = 2
+    ), ex AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+             CAST(SUM(c * c) AS BIGINT) AS exact_f2
+      FROM counts
+    )
+    SELECT n_terms, exact_f2, f2_est_x4,
+           CAST(f2_est_x4 AS DOUBLE) / (4.0e0 * CAST(exact_f2 AS DOUBLE))
+             AS est_over_exact
+    FROM ex CROSS JOIN med
+    """,
+)
+def ams_f2_tokens_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS tug-of-war F2 sketch (operators/sketch.py ams_f2,
+    Alon-Matias-Szegedy STOC'96) over the corpus token stream, next to
+    the exact second moment — the constant-state answer to "how big
+    is the self-join on this key". 16 deterministic sign-hash
+    estimators, 4 median-of-means groups, lower-median rank pick ×4
+    so nothing ever divides until the final calibration ratio; the
+    whole sketch is int64 and bit-portable."""
+    from dpe_energy_performance_analysis_etl_spark.operators.sketch import ams_f2
+
+    docs = read_documents(spark, sf_dir)
+    tok = docs.select(
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+        ).alias("term")
+    )
+    return ams_f2(tok, "term")
+
+
+@register(
+    "sorted_neighborhood_matches",
+    """
+    WITH clean AS (
+      SELECT c_custkey AS r_id, c_nationkey AS block, c_name AS name
+      FROM customer
+    ), dirty AS (
+      SELECT c_custkey + 1000000 AS r_id, c_nationkey AS block,
+             substring(c_name, 1, 9 + c_custkey % 9)
+               || substring(c_name, 11 + c_custkey % 9) AS name
+      FROM customer
+    ), rec AS (
+      SELECT * FROM clean UNION ALL SELECT * FROM dirty
+    ), ranked AS MATERIALIZED (
+      SELECT block, r_id, name,
+             row_number() OVER (PARTITION BY block ORDER BY name, r_id) AS rn
+      FROM rec
+    )
+    SELECT a.block, a.r_id AS id_a, b.r_id AS id_b,
+           CAST(b.rn - a.rn AS INT) AS rank_gap,
+           CAST(levenshtein(a.name, b.name) AS INT) AS edit_dist
+    FROM ranked a JOIN ranked b
+      ON a.block = b.block AND b.rn BETWEEN a.rn + 1 AND a.rn + 3
+    WHERE levenshtein(a.name, b.name) <= 2
+    """,
+)
+def sorted_neighborhood_matches_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood record linkage (operators/entity.py
+    sorted_neighborhood_candidates, Hernández-Stolfo SIGMOD'95):
+    clean + key-perturbed customer records, sorted by name WITHIN the
+    nation block, width-3 window candidates via 3 explode-built
+    equi-joins on (block, rank+k) — O(n·w) candidates, never a range
+    self-join — verified with levenshtein ≤ 2 (JVM codegen on both
+    engines). The complementary blocking strategy to the FastSS
+    deletion variants (entity_match_ed1) and FS blocking
+    (record_linkage_fs)."""
+    from dpe_energy_performance_analysis_etl_spark.operators.entity import (
+        sorted_neighborhood_candidates,
+    )
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    p = F.col("c_custkey") % 9
+    clean = cust.select(
+        F.col("c_custkey").alias("r_id"),
+        F.col("c_nationkey").alias("block"),
+        F.col("c_name").alias("name"),
+    )
+    dirty = cust.select(
+        (F.col("c_custkey") + 1000000).alias("r_id"),
+        F.col("c_nationkey").alias("block"),
+        F.concat(
+            F.substring(F.col("c_name"), F.lit(1), F.lit(9) + p),
+            F.substr(F.col("c_name"), F.lit(11) + p),
+        ).alias("name"),
+    )
+    rec = clean.unionAll(dirty)
+    return sorted_neighborhood_candidates(
+        rec, "r_id", ["name"], "block", window=3, verify_col="name", max_edit=2
+    ).select("block", "id_a", "id_b", "rank_gap", "edit_dist")
+
+
+def _geohash_oracle_sql(precision: int = 5) -> str:
+    """DuckDB twin of operators/spatial.py geohash_encode_micro: the
+    same integer cell math and MSB-first lon-lat bit interleave,
+    unrolled to explicit shift/mask terms."""
+    total_bits = 5 * precision
+    lon_bits = (total_bits + 1) // 2
+    lat_bits = total_bits // 2
+    terms = []
+    for i in range(lon_bits):
+        terms.append(f"((cx >> {lon_bits - 1 - i}) % 2) * {1 << (total_bits - 1 - 2 * i)}")
+    for i in range(lat_bits):
+        terms.append(f"((cy >> {lat_bits - 1 - i}) % 2) * {1 << (total_bits - 2 - 2 * i)}")
+    interleave = "\n               + ".join(terms)
+    chars = " || ".join(
+        f"substr('0123456789bcdefghjkmnpqrstuvwxyz',"
+        f" CAST((code >> {total_bits - 5 * (d + 1)}) % 32 AS INT) + 1, 1)"
+        for d in range(precision)
+    )
+    mix_lat = _walk_mix_sql("c_custkey", "7", 0)
+    mix_lon = _walk_mix_sql("c_custkey", "11", 0)
+    return f"""
+    WITH coords AS (
+      SELECT c_custkey,
+             CAST(({mix_lat}) % 180000000 - 90000000 AS BIGINT) AS lat_micro,
+             CAST(({mix_lon}) % 360000000 - 180000000 AS BIGINT) AS lon_micro
+      FROM customer
+    ), cells AS (
+      SELECT c_custkey, lat_micro, lon_micro,
+             ((lon_micro + 180000000) * {1 << lon_bits}) // 360000000 AS cx,
+             ((lat_micro + 90000000) * {1 << lat_bits}) // 180000000 AS cy
+      FROM coords
+    ), code AS (
+      SELECT c_custkey,
+             ({interleave}) AS code
+      FROM cells
+    ), gh AS (
+      SELECT c_custkey, {chars} AS geohash5
+      FROM code
+    )
+    SELECT substr(geohash5, 1, 2) AS geohash2,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(COUNT(DISTINCT geohash5) AS BIGINT) AS n_cells5,
+           min(geohash5) AS min_h5, max(geohash5) AS max_h5
+    FROM gh GROUP BY 1
+    """
+
+
+@register("geohash_cells_customers", _geohash_oracle_sql(5))
+def geohash_cells_customers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash spatial binning (operators/spatial.py
+    geohash_encode_micro): key-derived integer-microdegree customer
+    coordinates (the tables carry no geo columns — same synthesis
+    convention as spatial_radius_join, dispersed by the portable
+    mix32) encoded to geohash-5 cells in PURE integer arithmetic
+    (floor-div cells + unrolled bit interleave + base-32 chars), then
+    rolled up to geohash-2 regions with per-region cell stats. The
+    encode is a row-local codegen expression — zero shuffle before
+    the final cell aggregation — and the integer cell math cannot
+    round across a cell boundary (the numeric_range_lookup lesson
+    applied to geospatial bucketing)."""
+    from dpe_energy_performance_analysis_etl_spark.operators.graph import (
+        _portable_mix32,
+    )
+    from dpe_energy_performance_analysis_etl_spark.operators.spatial import (
+        geohash_encode_micro,
+    )
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    coords = cust.select(
+        "c_custkey",
+        (
+            _portable_mix32(F.col("c_custkey"), F.lit(7), F.lit(0))
+            % F.lit(180_000_000)
+            - F.lit(90_000_000)
+        ).alias("lat_micro"),
+        (
+            _portable_mix32(F.col("c_custkey"), F.lit(11), F.lit(0))
+            % F.lit(360_000_000)
+            - F.lit(180_000_000)
+        ).alias("lon_micro"),
+    )
+    gh = coords.select(
+        geohash_encode_micro(F.col("lat_micro"), F.col("lon_micro"), 5).alias(
+            "geohash5"
+        )
+    )
+    return gh.groupBy(F.substring("geohash5", 1, 2).alias("geohash2")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        F.countDistinct("geohash5").cast("bigint").alias("n_cells5"),
+        F.min("geohash5").alias("min_h5"),
+        F.max("geohash5").alias("max_h5"),
+    )
