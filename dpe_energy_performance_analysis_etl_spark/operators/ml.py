@@ -1,0 +1,248 @@
+"""Classic-ML training primitives in bit-portable exact arithmetic.
+
+Two operators a training-data pipeline runs ON the corpus (not a
+model-serving layer):
+
+- ``kmeans_lloyd_portable``: Lloyd's k-means (the float version
+  already powers IVF training — ``similarity/ivf.py
+  train_ivf_centroids``) reformulated over integer-scaled vectors so
+  a fixed number of rounds replays bit-identically in SQL — the
+  PageRank/LPA portability recipe applied to clustering. This is the
+  oracle-checkable twin; the float path remains the production
+  trainer.
+- ``decision_stump_binned``: exact best-split search for a one-level
+  decision tree over a binned numeric feature — the core inner loop
+  of gradient-boosting/quality-classifier training, and the
+  histogram-split trick (LightGBM's binning) is exactly what makes it
+  scale: cumulative class counts over a FIXED bin table, never a sort
+  of the raw rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def _int_vec(vec_col: Column, scale_pow2: int = 10, offset: int = 1024) -> Column:
+    """float array → NON-NEGATIVE integer array: floor(x·2^s) + off.
+
+    The 2^s scale is exact in binary floating point and the floor is
+    then engine-exact; the offset keeps every coordinate ≥ 0 so the
+    centroid mean's integer division truncates and floors identically
+    (Spark `div` truncates toward zero, DuckDB `//` floors — they
+    only agree on non-negatives; distances are shift-invariant so the
+    offset changes nothing else).
+    """
+    return F.transform(
+        vec_col,
+        lambda x: (
+            F.floor(x.cast("double") * F.lit(float(1 << scale_pow2)))
+            + F.lit(offset)
+        ).cast("bigint"),
+    )
+
+
+def _sq_dist_int(a: Column, b: Column) -> Column:
+    """Σ_d (a_d − b_d)² as int64 — exact, order-free."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def kmeans_lloyd_portable(
+    vectors: DataFrame,
+    k: int = 8,
+    iterations: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Lloyd's k-means (fixed rounds, deterministic seeds = the k
+    lowest-id vectors) in pure integer arithmetic:
+
+      assign: cluster = argmin_c Σ_d (x_d − c_d)², ties → smallest
+              cluster id (min-struct pick — engine-exact)
+      update: c_d = (Σ members x_d) div |members|  (non-negative
+              integer division — identical trunc/floor on both
+              engines thanks to the +offset shift in ``_int_vec``)
+
+    Every round is a pure function of the previous centroids, so an
+    unrolled SQL replay is bit-identical — the iterative-oracle
+    property PageRank/LPA/HITS use, now for clustering.
+
+    Scale shape per round: one broadcast of the k×dim centroid table,
+    one |V|-row argmin (array codegen, no explode of the corpus), one
+    (cluster, dim) aggregation of the EXPLODED members — |V|·dim rows
+    keyed on (cluster, dim), map-side combinable. Empty clusters drop
+    out (both engines agree). Distance bound: dim·(2·offset)² ≈ 2.7e8
+    per pair — int64 headroom to ~10^10-dim·count products.
+
+    Returns per surviving cluster: (cluster, n_members, inertia,
+    centroid_sum) — counts and integer sums only, scalar output for
+    the hash gate.
+    """
+    base = vectors.select(
+        F.col(id_col).alias("vid"), _int_vec(F.col(vec_col)).alias("v")
+    ).cache()
+    cents = (
+        base.orderBy("vid")
+        .limit(k)
+        .select(F.col("vid").cast("bigint").alias("cluster"), F.col("v").alias("c"))
+    )
+
+    assigned = None
+    for _ in range(iterations):
+        # argmin over k broadcast centroids; min-struct = (dist, id) pick
+        scored = base.crossJoin(F.broadcast(cents)).select(
+            "vid",
+            "v",
+            F.struct(
+                _sq_dist_int(F.col("v"), F.col("c")).alias("dist"),
+                F.col("cluster").alias("cluster"),
+            ).alias("dc"),
+        )
+        assigned = (
+            scored.groupBy("vid")
+            .agg(F.min("dc").alias("best"), F.first("v").alias("v"))
+            .select(
+                "vid",
+                "v",
+                F.col("best.cluster").alias("cluster"),
+                F.col("best.dist").alias("dist"),
+            )
+        )
+        dims = assigned.select(
+            "cluster", F.posexplode("v").alias("d", "x")
+        )
+        cents = (
+            dims.groupBy("cluster", "d")
+            .agg(F.expr("sum(x) div count(1)").alias("cd"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("d", "cd"))),
+                    lambda s: s["cd"],
+                ).alias("c")
+            )
+        )
+        # small (k×dim) table consumed by next round's broadcast AND
+        # the final centroid_sum — materialize eagerly, cut lineage
+        cents = cents.localCheckpoint()
+
+    cent_sums = cents.select(
+        "cluster",
+        F.aggregate(
+            F.col("c"), F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        ).alias("centroid_sum"),
+    )
+    stats = assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.sum("dist").cast("bigint").alias("inertia"),
+    )
+    return stats.join(cent_sums, "cluster").select(
+        "cluster", "n_members", "inertia", "centroid_sum"
+    )
+
+
+def decision_stump_binned(
+    df: DataFrame,
+    feature_col: str,
+    label_col: Column,
+    n_bins: int = 256,
+) -> DataFrame:
+    """Exact best binary split of a binned numeric feature against a
+    0/1 label — one boosting/tree inner step, scored by weighted Gini
+    impurity. Histogram trick (the LightGBM/XGBoost-hist recipe):
+
+      1. global (min, max) → ``n_bins`` equi-width bins — ONE
+         aggregation over the data, bin assignment is a row-local
+         expression (same floor form as histogram_quantiles, IEEE-
+         deterministic);
+      2. per-bin (pos, neg) counts — the only data-sized shuffle,
+         keyed on ≤ n_bins values, map-side combinable;
+      3. cumulative counts over the BIN table (window over ≤ n_bins
+         rows), candidate split after every non-terminal bin;
+      4. score = pos_l·neg_l/total_l + pos_r·neg_r/total_r — each
+         term ONE double division of int64 products, a two-term sum
+         (fixed order, deterministic); argmin via (score, bucket)
+         rank pick.
+
+    Returns one row: (split_bucket, split_value, pos_left, neg_left,
+    pos_right, neg_right, gini_score).
+    """
+    v = F.col(feature_col)
+    bounds = df.agg(
+        F.min(v).cast("double").alias("lo"), F.max(v).cast("double").alias("hi")
+    )
+    labeled = df.select(
+        v.alias("val"), label_col.cast("int").alias("y")
+    ).crossJoin(F.broadcast(bounds))
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(n_bins))
+    bucket = F.least(
+        F.greatest(
+            F.floor((F.col("val").cast("double") - F.col("lo")) / width).cast(
+                "bigint"
+            ),
+            F.lit(0),
+        ),
+        F.lit(n_bins - 1),
+    )
+    bins = labeled.groupBy(bucket.alias("bucket")).agg(
+        F.sum("y").cast("bigint").alias("pos"),
+        F.sum(1 - F.col("y")).cast("bigint").alias("neg"),
+        F.first("lo").alias("lo"),
+        F.first("hi").alias("hi"),
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = bins.select(
+        "bucket",
+        "lo",
+        "hi",
+        F.sum("pos").over(w).alias("pl"),
+        F.sum("neg").over(w).alias("nl"),
+    )
+    tot = bins.agg(
+        F.sum("pos").cast("bigint").alias("tp"), F.sum("neg").cast("bigint").alias("tn")
+    )
+    cand = cum.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "lo",
+        "hi",
+        "pl",
+        "nl",
+        (F.col("tp") - F.col("pl")).alias("pr"),
+        (F.col("tn") - F.col("nl")).alias("nr"),
+    )
+    tl = F.col("pl") + F.col("nl")
+    tr = F.col("pr") + F.col("nr")
+    score = (F.col("pl") * F.col("nl")).cast("double") / tl.cast("double") + (
+        F.col("pr") * F.col("nr")
+    ).cast("double") / tr.cast("double")
+    scored = cand.filter((tl > 0) & (tr > 0)).select(
+        "bucket",
+        "lo",
+        "hi",
+        "pl",
+        "nl",
+        "pr",
+        "nr",
+        score.alias("gini_score"),
+    )
+    w_pick = Window.orderBy("gini_score", "bucket")
+    best = scored.withColumn("rn", F.row_number().over(w_pick)).filter(
+        F.col("rn") == 1
+    )
+    return best.select(
+        F.col("bucket").alias("split_bucket"),
+        (
+            F.col("lo")
+            + (F.col("bucket") + 1).cast("double")
+            * ((F.col("hi") - F.col("lo")) / F.lit(float(n_bins)))
+        ).alias("split_value"),
+        F.col("pl").alias("pos_left"),
+        F.col("nl").alias("neg_left"),
+        F.col("pr").alias("pos_right"),
+        F.col("nr").alias("neg_right"),
+        "gini_score",
+    )

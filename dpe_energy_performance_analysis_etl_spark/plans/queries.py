@@ -10050,3 +10050,157 @@ def geohash_cells_customers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("geohash5").alias("min_h5"),
         F.max("geohash5").alias("max_h5"),
     )
+
+
+# =====================================================================
+# Round 5, wave 14: classic-ML primitives in exact arithmetic —
+# portable k-means Lloyd twin, histogram decision stump
+# (operators/ml.py)
+# =====================================================================
+
+@register(
+    "kmeans_lloyd_portable",
+    """
+    WITH vecs AS MATERIALIZED (
+      SELECT vec_id AS vid,
+             CAST(unnest(range(0, len(embedding))) AS BIGINT) AS d,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1024) + 1024
+                  AS BIGINT) AS x
+      FROM embeddings
+    ), seeds AS (
+      SELECT vid FROM (
+        SELECT vid, row_number() OVER (ORDER BY vid) AS rn
+        FROM (SELECT DISTINCT vid FROM vecs)
+      ) WHERE rn <= 8
+    ), c0 AS MATERIALIZED (
+      SELECT v.vid AS cluster, v.d, v.x AS cd
+      FROM vecs v JOIN seeds s ON s.vid = v.vid
+    ), a1 AS MATERIALIZED (
+      SELECT v.vid, c.cluster,
+             CAST(SUM((v.x - c.cd) * (v.x - c.cd)) AS BIGINT) AS dist
+      FROM vecs v JOIN c0 c ON v.d = c.d
+      GROUP BY 1, 2
+    ), b1 AS MATERIALIZED (
+      SELECT vid, cluster FROM (
+        SELECT vid, cluster,
+               row_number() OVER (PARTITION BY vid ORDER BY dist, cluster) AS rn
+        FROM a1
+      ) WHERE rn = 1
+    ), c1 AS MATERIALIZED (
+      SELECT b.cluster, v.d, CAST(SUM(v.x) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS cd
+      FROM b1 b JOIN vecs v ON v.vid = b.vid
+      GROUP BY 1, 2
+    ), a2 AS MATERIALIZED (
+      SELECT v.vid, c.cluster,
+             CAST(SUM((v.x - c.cd) * (v.x - c.cd)) AS BIGINT) AS dist
+      FROM vecs v JOIN c1 c ON v.d = c.d
+      GROUP BY 1, 2
+    ), b2 AS MATERIALIZED (
+      SELECT vid, cluster, dist FROM (
+        SELECT vid, cluster, dist,
+               row_number() OVER (PARTITION BY vid ORDER BY dist, cluster) AS rn
+        FROM a2
+      ) WHERE rn = 1
+    ), c2 AS MATERIALIZED (
+      SELECT b.cluster, v.d, CAST(SUM(v.x) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS cd
+      FROM b2 b JOIN vecs v ON v.vid = b.vid
+      GROUP BY 1, 2
+    ), stats AS (
+      SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members,
+             CAST(SUM(dist) AS BIGINT) AS inertia
+      FROM b2 GROUP BY 1
+    ), csum AS (
+      SELECT cluster, CAST(SUM(cd) AS BIGINT) AS centroid_sum
+      FROM c2 GROUP BY 1
+    )
+    SELECT cluster, n_members, inertia, centroid_sum
+    FROM stats JOIN csum USING (cluster)
+    """,
+)
+def kmeans_lloyd_portable_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd k-means rounds (operators/ml.py
+    kmeans_lloyd_portable, k=8) over integer-scaled embeddings — the
+    oracle-checkable twin of the float IVF trainer
+    (similarity/ivf.py train_ivf_centroids): floor(x·2^10)+offset
+    coordinates, int64 distances, min-struct argmin with id
+    tie-break, non-negative integer-division centroid means — every
+    round a pure function of the last, so the unrolled SQL replays
+    bit-identically (the PageRank portability recipe for
+    clustering)."""
+    from dpe_energy_performance_analysis_etl_spark.operators.ml import (
+        kmeans_lloyd_portable,
+    )
+
+    emb = read_embeddings(spark, sf_dir)
+    return kmeans_lloyd_portable(emb, k=8, iterations=2)
+
+
+@register(
+    "decision_stump_totalprice",
+    """
+    WITH b AS (
+      SELECT CAST(min(o_totalprice) AS DOUBLE) AS lo,
+             CAST(max(o_totalprice) AS DOUBLE) AS hi
+      FROM orders
+    ), lab AS (
+      SELECT o_totalprice AS val,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS y
+      FROM orders
+    ), bins AS (
+      SELECT least(greatest(CAST(floor((CAST(val AS DOUBLE) - lo)
+                                        / ((hi - lo) / 256)) AS BIGINT),
+                            0), 255) AS bucket,
+             lo, hi,
+             CAST(SUM(y) AS BIGINT) AS pos,
+             CAST(SUM(1 - y) AS BIGINT) AS neg
+      FROM lab CROSS JOIN b GROUP BY 1, 2, 3
+    ), cum AS (
+      SELECT bucket, lo, hi,
+             CAST(SUM(pos) OVER w AS BIGINT) AS pl,
+             CAST(SUM(neg) OVER w AS BIGINT) AS nl
+      FROM bins
+      WINDOW w AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    ), tot AS (
+      SELECT CAST(SUM(pos) AS BIGINT) AS tp, CAST(SUM(neg) AS BIGINT) AS tn
+      FROM bins
+    ), cand AS (
+      SELECT bucket, lo, hi, pl, nl, tp - pl AS pr, tn - nl AS nr
+      FROM cum CROSS JOIN tot
+    ), scored AS (
+      SELECT bucket, lo, hi, pl, nl, pr, nr,
+             CAST(pl * nl AS DOUBLE) / CAST(pl + nl AS DOUBLE)
+             + CAST(pr * nr AS DOUBLE) / CAST(pr + nr AS DOUBLE) AS gini_score
+      FROM cand WHERE pl + nl > 0 AND pr + nr > 0
+    )
+    SELECT bucket AS split_bucket,
+           lo + CAST(bucket + 1 AS DOUBLE) * ((hi - lo) / 256) AS split_value,
+           pl AS pos_left, nl AS neg_left, pr AS pos_right, nr AS neg_right,
+           gini_score
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY gini_score, bucket) AS rn
+      FROM scored
+    ) WHERE rn = 1
+    """,
+)
+def decision_stump_totalprice_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact best Gini split of o_totalprice against the urgent-order
+    label (operators/ml.py decision_stump_binned) — the histogram-
+    split inner loop of boosted-tree training (the LightGBM binning
+    trick is precisely what makes split search scale: cumulative
+    class counts over a 256-bin table, never a sort of the raw
+    rows). Counts are int64; each candidate's score is a fixed
+    two-term sum of single divisions — deterministic, so even the
+    argmin rank pick replays exactly."""
+    from dpe_energy_performance_analysis_etl_spark.operators.ml import (
+        decision_stump_binned,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return decision_stump_binned(
+        o,
+        "o_totalprice",
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+        n_bins=256,
+    )
