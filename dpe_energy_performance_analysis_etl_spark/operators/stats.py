@@ -866,3 +866,116 @@ def cramers_v_quantized(df, row_col: str, col_col: str, scale: int = 1000):
         )
         .alias("cramers_v"),
     )
+
+
+def theil_sen_slope(
+    df,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+    min_points: int = 3,
+):
+    """Theil-Sen robust trend slope per key (Theil'50/Sen'68 — the
+    median of all pairwise slopes; 29% breakdown point vs OLS's 0):
+    the outlier-proof "is this account's spend rising" estimator.
+
+    Exactness: each slope is ONE double division of two int64 deltas
+    (IEEE-identical everywhere); the median is a LOWER-median RANK
+    PICK over (slope, x_a, x_b)-ordered pairs — order statistics, not
+    interpolation, so engines agree bit-for-bit even on tied slopes
+    (the verify-skill order-statistics rule). Pairs with equal x are
+    excluded (undefined slope — scipy.theilslopes semantics).
+
+    Scale shape: the pair join is EQUI-KEYED on ``key_col`` (bounded
+    per-key series, the mann_kendall shape); the median rank is a
+    window over each key's pair list. Returns (key, n_points,
+    n_pairs, theil_slope).
+    """
+    from pyspark.sql import Window, functions as F
+
+    base = df.select(
+        F.col(key_col).alias("k"),
+        F.col(x_col).cast("bigint").alias("x"),
+        F.col(y_col).cast("bigint").alias("y"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.k") == F.col("b.k"))
+            & (
+                (F.col("a.x") < F.col("b.x"))
+                | ((F.col("a.x") == F.col("b.x")) & (F.col("a.y") < F.col("b.y")))
+            ),
+        )
+        .filter(F.col("a.x") != F.col("b.x"))
+        .select(
+            F.col("a.k").alias("key"),
+            F.col("a.x").alias("xa"),
+            F.col("b.x").alias("xb"),
+            (
+                (F.col("b.y") - F.col("a.y")).cast("double")
+                / (F.col("b.x") - F.col("a.x")).cast("double")
+            ).alias("slope"),
+        )
+    )
+    w_cnt = Window.partitionBy("key")
+    w_rank = Window.partitionBy("key").orderBy("slope", "xa", "xb")
+    ranked = pairs.select(
+        "key",
+        "slope",
+        F.count(F.lit(1)).over(w_cnt).alias("n_pairs"),
+        F.row_number().over(w_rank).alias("rn"),
+    )
+    # lower median: rn == (n_pairs + 1) div 2 — a rank pick, never an
+    # interpolation (engine-exact on tied/arbitrary doubles)
+    med = ranked.filter(F.col("rn") == F.expr("(n_pairs + 1) div 2")).select(
+        "key", F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        F.col("slope").alias("theil_slope")
+    )
+    npts = base.groupBy(F.col("k").alias("key")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points")
+    )
+    return (
+        npts.filter(F.col("n_points") >= min_points)
+        .join(med, "key")
+        .select("key", "n_points", "n_pairs", "theil_slope")
+    )
+
+
+def fano_factor(df, key_col: str, bucket_col):
+    """Fano factor (variance-to-mean ratio of bucketed counts) per
+    key — the standard burstiness index: 1 ⇒ Poisson-like arrivals,
+    > 1 ⇒ bursty, < 1 ⇒ regular. Computed on per-bucket counts with
+    the identity  F = (n·Σx² − S²) / ((n−1)·S)  — numerator and
+    denominator are int64, ONE double division (the unbiased sample
+    variance over the mean, algebraically collapsed so no float sum
+    ever happens).
+
+    Scale shape: one (key, bucket) count aggregation — the only
+    data-sized shuffle — then a per-key sum over its bucket counts.
+    Returns (key, n_buckets, total, sum_sq, fano).
+    """
+    from pyspark.sql import functions as F
+
+    counts = df.groupBy(F.col(key_col).alias("key"), bucket_col.alias("__b")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    sums = counts.groupBy("key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.sum("c").alias("total"),
+        F.sum(F.col("c") * F.col("c")).alias("sum_sq"),
+    )
+    num = (F.col("n_buckets") * F.col("sum_sq") - F.col("total") * F.col("total")).cast(
+        "double"
+    )
+    den = ((F.col("n_buckets") - 1) * F.col("total")).cast("double")
+    return sums.select(
+        "key",
+        "n_buckets",
+        "total",
+        "sum_sq",
+        F.when((F.col("n_buckets") < 2) | (F.col("total") == 0), F.lit(0.0))
+        .otherwise(num / den)
+        .alias("fano"),
+    )

@@ -521,3 +521,49 @@ def seasonal_naive_eval(
     return agg.select(
         *keys, "n_eval", "sae_seasonal", "sae_naive", mase.alias("mase")
     )
+
+
+def event_trigrams(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """Second-order Markov transitions: counts and conditional
+    probability of the NEXT event given the last TWO — the step from
+    ``event_transitions``' bigram model to the trigram model
+    next-event predictors actually use (a first-order chain cannot
+    distinguish 'view→cart' reached from 'search' vs from 'refund').
+
+    Same scale shape as the bigram operator: ONE window pass per user
+    (two lags in the same window — no second shuffle), one
+    (t0, t1, t2) aggregation, context totals aggregated from the
+    already-tiny trigram table and broadcast back. ``prob`` divides
+    two exact BIGINTs — engine-exact.
+
+    Returns (t0, t1, t2, n, context_n, prob).
+    """
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(order_tiebreak).asc()
+    )
+    tri = (
+        events.select(
+            F.lag(type_col, 2).over(w).alias("t0"),
+            F.lag(type_col, 1).over(w).alias("t1"),
+            F.col(type_col).alias("t2"),
+        )
+        .filter(F.col("t0").isNotNull() & F.col("t1").isNotNull())
+        .groupBy("t0", "t1", "t2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .cache()
+    )
+    ctx = tri.groupBy("t0", "t1").agg(F.sum("n").cast("bigint").alias("context_n"))
+    return tri.join(F.broadcast(ctx), ["t0", "t1"]).select(
+        "t0",
+        "t1",
+        "t2",
+        "n",
+        "context_n",
+        (F.col("n").cast("double") / F.col("context_n").cast("double")).alias("prob"),
+    )

@@ -10204,3 +10204,253 @@ def decision_stump_totalprice_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
         n_bins=256,
     )
+
+
+# =====================================================================
+# Round 5, wave 15: robust trend, burstiness, trigram transitions,
+# URL hierarchy rollup, categorical drift
+# =====================================================================
+
+@register(
+    "theil_sen_spend_trend",
+    """
+    WITH base AS MATERIALIZED (
+      SELECT o_custkey AS k,
+             CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT) AS x,
+             CAST(floor(CAST(o_totalprice AS DOUBLE) * 100 + 0.5) AS BIGINT) AS y
+      FROM orders
+    ), pairs AS (
+      SELECT a.k, a.x AS xa, b.x AS xb,
+             CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope
+      FROM base a JOIN base b ON a.k = b.k
+       AND (a.x < b.x OR (a.x = b.x AND a.y < b.y))
+      WHERE a.x <> b.x
+    ), ranked AS (
+      SELECT k, slope,
+             CAST(COUNT(*) OVER (PARTITION BY k) AS BIGINT) AS n_pairs,
+             row_number() OVER (PARTITION BY k ORDER BY slope, xa, xb) AS rn
+      FROM pairs
+    ), med AS (
+      SELECT k, n_pairs, slope AS theil_slope
+      FROM ranked WHERE rn = (n_pairs + 1) // 2
+    ), npts AS (
+      SELECT k, CAST(COUNT(*) AS BIGINT) AS n_points FROM base GROUP BY 1
+    )
+    SELECT npts.k AS c_custkey, n_points, n_pairs, theil_slope
+    FROM npts JOIN med ON med.k = npts.k
+    WHERE n_points >= 3
+    """,
+)
+def theil_sen_spend_trend_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust spend trend per customer (operators/stats.py
+    theil_sen_slope): median pairwise slope of order cents over order
+    day — outlier-proof where the per-group OLS
+    (group_linregress_qty_disc) is not. Slopes are single divisions
+    of int64 deltas; the median is a lower-median RANK PICK (order
+    statistics, never interpolation — the engine-parity rule); the
+    O(n²) pair join is equi-keyed on the customer (bounded ~10-order
+    series)."""
+    from dpe_energy_performance_analysis_etl_spark.operators.exact import scaled_long
+    from dpe_energy_performance_analysis_etl_spark.operators.stats import (
+        theil_sen_slope,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date")).alias(
+            "x"
+        ),
+        scaled_long("o_totalprice", 2).alias("y"),
+    )
+    return theil_sen_slope(o, "o_custkey", "x", "y", min_points=3).select(
+        F.col("key").alias("c_custkey"), "n_points", "n_pairs", "theil_slope"
+    )
+
+
+@register(
+    "fano_event_bursts",
+    """
+    WITH counts AS (
+      SELECT event_type AS key, date_trunc('day', ts) AS b,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ), sums AS (
+      SELECT key, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+             CAST(SUM(c) AS BIGINT) AS total,
+             CAST(SUM(c * c) AS BIGINT) AS sum_sq
+      FROM counts GROUP BY 1
+    )
+    SELECT key, n_buckets, total, sum_sq,
+           CASE WHEN n_buckets < 2 OR total = 0 THEN CAST(0 AS DOUBLE)
+                ELSE CAST(n_buckets * sum_sq - total * total AS DOUBLE)
+                     / CAST((n_buckets - 1) * total AS DOUBLE)
+           END AS fano
+    FROM sums
+    """,
+)
+def fano_event_bursts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (variance-to-mean of daily counts) per event type
+    (operators/stats.py fano_factor) — the burstiness index: ≈1
+    Poisson-like, >1 bursty. The variance/mean collapses to
+    (n·Σx²−S²)/((n−1)·S) — int64 numerator and denominator, ONE
+    double division, no float sums."""
+    from dpe_energy_performance_analysis_etl_spark.operators.stats import fano_factor
+
+    ev = read_events(spark, sf_dir)
+    return fano_factor(ev, "event_type", F.date_trunc("day", F.col("ts")))
+
+
+@register(
+    "event_trigram_probs",
+    """
+    WITH ordered AS (
+      SELECT event_type,
+             lag(event_type, 2) OVER w AS t0,
+             lag(event_type, 1) OVER w AS t1
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), tri AS MATERIALIZED (
+      SELECT t0, t1, event_type AS t2, CAST(COUNT(*) AS BIGINT) AS n
+      FROM ordered WHERE t0 IS NOT NULL AND t1 IS NOT NULL
+      GROUP BY 1, 2, 3
+    ), ctx AS (
+      SELECT t0, t1, CAST(SUM(n) AS BIGINT) AS context_n FROM tri GROUP BY 1, 2
+    )
+    SELECT tri.t0, tri.t1, tri.t2, n, context_n,
+           CAST(n AS DOUBLE) / CAST(context_n AS DOUBLE) AS prob
+    FROM tri JOIN ctx USING (t0, t1)
+    """,
+)
+def event_trigram_probs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-order Markov model of user event sequences
+    (operators/temporal.py event_trigrams): P(next | last two) — the
+    trigram upgrade of event_transition_matrix. One window pass (two
+    lags share the shuffle), one trigram aggregation; context totals
+    broadcast from the tiny trigram table; prob divides two exact
+    BIGINTs."""
+    from dpe_energy_performance_analysis_etl_spark.operators.temporal import (
+        event_trigrams,
+    )
+
+    return event_trigrams(read_events(spark, sf_dir))
+
+
+@register(
+    "url_path_rollup_docs",
+    """
+    WITH raw AS (
+      SELECT doc_id, source || '.example.com' AS host,
+             CASE WHEN doc_id % 4 = 0
+                  THEN '/cat' || (doc_id % 5) || '/sub' || (doc_id % 3)
+                  ELSE '/cat' || (doc_id % 5) || '/sub' || (doc_id % 3)
+                       || '/p' || (doc_id % 7) END AS path
+      FROM documents
+    ), segs AS (
+      SELECT host, list_filter(string_split(path, '/'), s -> s <> '') AS segs
+      FROM raw
+    ), pref AS (
+      SELECT host, d AS depth,
+             '/' || array_to_string(segs[1:d], '/') || '/' AS path_prefix,
+             CASE WHEN d = len(segs) THEN 1 ELSE 0 END AS is_leaf
+      FROM segs, (SELECT unnest(range(1, 20)) AS d) ds
+      WHERE d <= len(segs)
+    )
+    SELECT host, path_prefix, CAST(depth AS INT) AS depth,
+           CAST(COUNT(*) AS BIGINT) AS n_pages,
+           CAST(SUM(is_leaf) AS BIGINT) AS n_leaf_pages
+    FROM pref GROUP BY 1, 2, 3
+    """,
+)
+def url_path_rollup_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical URL path rollup (text/urls.py url_path_rollup):
+    every page aggregated into each ancestor directory — the crawl
+    site-structure audit. Pure codegen prefix explode (fan-out =
+    path depth, never a join), one (host, prefix) aggregation. URLs
+    are key-derived with mixed 2- and 3-segment paths so leaf/dir
+    accounting is exercised."""
+    from dpe_energy_performance_analysis_etl_spark.text.urls import url_path_rollup
+
+    docs = read_documents(spark, sf_dir)
+    path = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.concat(
+            F.lit("/cat"), (F.col("doc_id") % 5).cast("string"),
+            F.lit("/sub"), (F.col("doc_id") % 3).cast("string"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("/cat"), (F.col("doc_id") % 5).cast("string"),
+            F.lit("/sub"), (F.col("doc_id") % 3).cast("string"),
+            F.lit("/p"), (F.col("doc_id") % 7).cast("string"),
+        )
+    )
+    urls = docs.select(
+        F.concat(F.lit("https://"), F.col("source"), F.lit(".example.com"), path).alias(
+            "url"
+        )
+    )
+    return url_path_rollup(urls, "url")
+
+
+@register(
+    "category_drift_halves",
+    """
+    WITH cells AS MATERIALIZED (
+      SELECT CASE WHEN o_orderdate < TIMESTAMP '1995-06-17 00:00:00'
+                  THEN 'H1' ELSE 'H2' END AS rv,
+             o_orderpriority AS cv,
+             CAST(COUNT(*) AS BIGINT) AS obs
+      FROM orders GROUP BY 1, 2
+    ), rt AS (
+      SELECT rv, CAST(SUM(obs) AS BIGINT) AS rtot FROM cells GROUP BY 1
+    ), ct AS (
+      SELECT cv, CAST(SUM(obs) AS BIGINT) AS ctot FROM cells GROUP BY 1
+    ), nn AS (
+      SELECT CAST(SUM(obs) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT rv) AS BIGINT) AS n_rowcats,
+             CAST(COUNT(DISTINCT cv) AS BIGINT) AS n_colcats
+      FROM cells
+    ), j AS (
+      SELECT COALESCE(obs, 0) AS obs, n, n_rowcats, n_colcats,
+             (rtot * ctot) // n AS eq,
+             greatest((rtot * ctot) // n, 1) AS d
+      FROM rt CROSS JOIN ct
+        LEFT JOIN cells ON cells.rv = rt.rv AND cells.cv = ct.cv
+        CROSS JOIN nn
+    ), kk AS (
+      SELECT n, n_rowcats, n_colcats,
+             CAST(SUM(((obs - eq) * (obs - eq) // d) * 1000
+                      + ((obs - eq) * (obs - eq) % d) * 1000 // d)
+                  AS BIGINT) AS chi2_xscale
+      FROM j GROUP BY 1, 2, 3
+    )
+    SELECT n, n_rowcats, n_colcats, chi2_xscale,
+           CASE WHEN least(n_rowcats - 1, n_colcats - 1) <= 0 THEN CAST(0 AS DOUBLE)
+                ELSE sqrt(CAST(chi2_xscale AS DOUBLE)
+                          / CAST(1000 * n * least(n_rowcats - 1, n_colcats - 1) AS DOUBLE))
+           END AS cramers_v
+    FROM kk
+    """,
+)
+def category_drift_halves_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical distribution drift between the first and second
+    half of the order history — the production data-drift check,
+    computed as the quantized Cramér's V of (period × priority)
+    (operators/stats.py cramers_v_quantized composed over a derived
+    period label). V ≈ 0 means the priority mix is time-stable;
+    exact-integer chi² keeps the drift score hash-portable."""
+    from dpe_energy_performance_analysis_etl_spark.operators.stats import (
+        cramers_v_quantized,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.when(
+            F.col("o_orderdate")
+            < F.lit("1995-06-17 00:00:00").cast("timestamp"),
+            F.lit("H1"),
+        )
+        .otherwise(F.lit("H2"))
+        .alias("period"),
+        "o_orderpriority",
+    )
+    return cramers_v_quantized(o, "period", "o_orderpriority", scale=1000)

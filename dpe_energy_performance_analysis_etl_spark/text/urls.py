@@ -155,3 +155,55 @@ def extract_links(
         ).alias("href"),
     )
     return d.where(F.col("href") != "")
+
+
+def url_path_rollup(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Hierarchical rollup of URL path prefixes: every page count
+    aggregated into each ancestor directory — the site-structure view
+    ('/docs/ has 40k pages, /docs/api/ has 12k') a crawl audit reads
+    before deciding what to keep. Pure codegen: extract host + path,
+    split segments, explode the PREFIX list (depth ≤ path depth — a
+    bounded fan-out, not a join), one (host, prefix) aggregation.
+
+    Returns (host, path_prefix, depth, n_pages, n_leaf_pages) where
+    n_leaf_pages counts pages terminating exactly at the prefix.
+    """
+    host = url_host(F.col(url_col))
+    path = F.regexp_extract(F.col(url_col), r"^[a-z][a-z0-9+.\-]*://[^/?#]*([^?#]*)", 1)
+    segs = F.filter(F.split(path, "/"), lambda s: s != "")
+    base = df.select(
+        host.alias("host"),
+        segs.alias("segs"),
+        F.size(F.filter(F.split(path, "/"), lambda s: s != "")).alias("n_segs"),
+    )
+    # prefixes: depth 1..len(segs); slice is 1-indexed
+    prefixes = base.select(
+        "host",
+        "n_segs",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("segs")),
+                lambda d: F.struct(
+                    d.alias("depth"),
+                    F.concat(
+                        F.lit("/"),
+                        F.array_join(F.slice("segs", 1, d), "/"),
+                        F.lit("/"),
+                    ).alias("prefix"),
+                ),
+            )
+        ).alias("p"),
+    ).filter(F.col("n_segs") > 0)
+    return (
+        prefixes.select(
+            "host",
+            F.col("p.prefix").alias("path_prefix"),
+            F.col("p.depth").cast("int").alias("depth"),
+            (F.col("p.depth") == F.col("n_segs")).cast("int").alias("is_leaf"),
+        )
+        .groupBy("host", "path_prefix", "depth")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pages"),
+            F.sum("is_leaf").cast("bigint").alias("n_leaf_pages"),
+        )
+    )
