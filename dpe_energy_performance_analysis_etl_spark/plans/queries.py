@@ -10454,3 +10454,120 @@ def category_drift_halves_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
     )
     return cramers_v_quantized(o, "period", "o_orderpriority", scale=1000)
+
+
+# =====================================================================
+# Round 5, wave 16: bigram LM scoring (Stupid Backoff) + vocabulary
+# coverage curve (text/retrieval.py)
+# =====================================================================
+
+@register(
+    "stupid_backoff_docs",
+    """
+    WITH tok AS MATERIALIZED (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w,
+             CAST(unnest(range(0, len(regexp_extract_all(lower(text), '[a-z0-9]+'))))
+                  AS BIGINT) AS pos
+      FROM documents
+    ), trbg AS MATERIALIZED (
+      SELECT a.w AS w1, b.w AS w2, CAST(COUNT(*) AS BIGINT) AS c12
+      FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      WHERE a.doc_id % 10 <> 0
+      GROUP BY 1, 2
+    ), c1t AS MATERIALIZED (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok WHERE doc_id % 10 <> 0 GROUP BY 1
+    ), nt AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n_train FROM c1t
+    ), tebg AS (
+      SELECT a.doc_id, a.w AS w1, b.w AS w2
+      FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      WHERE a.doc_id % 10 = 0
+    ), j AS (
+      SELECT t.doc_id,
+             CASE WHEN c12 IS NOT NULL THEN (c12 * 1000000) // u1.c
+                  WHEN u2.c IS NOT NULL THEN (2 * u2.c * 1000000) // (5 * n_train)
+                  ELSE 0 END AS sq,
+             CASE WHEN c12 IS NULL AND u2.c IS NOT NULL THEN 1 ELSE 0 END AS bo,
+             CASE WHEN u2.c IS NULL THEN 1 ELSE 0 END AS oov
+      FROM tebg t
+      LEFT JOIN trbg ON trbg.w1 = t.w1 AND trbg.w2 = t.w2
+      LEFT JOIN c1t u1 ON u1.w = t.w1
+      LEFT JOIN c1t u2 ON u2.w = t.w2
+      CROSS JOIN nt
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(bo) AS BIGINT) AS n_backoff,
+           CAST(SUM(oov) AS BIGINT) AS n_oov,
+           CAST(SUM(sq) AS BIGINT) AS score_q_sum,
+           CAST(SUM(sq) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1000000)
+             AS mean_score
+    FROM j GROUP BY 1
+    """,
+)
+def stupid_backoff_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out document fluency under a Stupid Backoff bigram LM
+    (text/retrieval.py stupid_backoff_scores, Brants EMNLP'07) —
+    train on 90% of the corpus, score every 10th document: the
+    pretraining quality gate in its web-scale (unnormalized,
+    log-free) form. Scores are integer-quantized ((c₁₂·10⁶) div c₁ /
+    (2·c₂·10⁶) div (5N)) so per-doc sums are exact int64 — the
+    unigram_lm_scores recipe extended to a backoff chain. Test
+    bigrams join the train bigram table equi-keyed on (w1,w2); the
+    unigram vocab broadcasts."""
+    from dpe_energy_performance_analysis_etl_spark.text.retrieval import (
+        stupid_backoff_scores,
+    )
+
+    docs = read_documents(spark, sf_dir)
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    test = docs.filter(F.col("doc_id") % 10 == 0)
+    return stupid_backoff_scores(train, test)
+
+
+@register(
+    "vocab_coverage_curve",
+    """
+    WITH trv AS MATERIALIZED (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        FROM documents WHERE doc_id % 10 <> 0
+      ) GROUP BY 1
+    ), ranked AS (
+      SELECT w, CAST(row_number() OVER (ORDER BY c DESC, w) AS BIGINT) AS r
+      FROM trv
+    ), tev AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS tc FROM (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        FROM documents WHERE doc_id % 10 = 0
+      ) GROUP BY 1
+    ), j AS MATERIALIZED (
+      SELECT tc, r FROM tev LEFT JOIN ranked USING (w)
+    ), per_k AS (
+      SELECT k, tc, r
+      FROM j CROSS JOIN (SELECT unnest([100, 1000, 10000]) AS k)
+    )
+    SELECT CAST(k AS INT) AS k,
+           CAST(SUM(tc) AS BIGINT) AS n_test_tokens,
+           CAST(SUM(CASE WHEN r IS NOT NULL AND r <= k THEN tc ELSE 0 END)
+                AS BIGINT) AS n_covered,
+           CAST(SUM(CASE WHEN r IS NOT NULL AND r <= k THEN tc ELSE 0 END)
+                AS DOUBLE) / CAST(SUM(tc) AS DOUBLE) AS coverage
+    FROM per_k GROUP BY 1
+    """,
+)
+def vocab_coverage_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out token coverage of the top-k training vocabulary at
+    k ∈ {100, 1000, 10000} (text/retrieval.py vocab_coverage_curve) —
+    the curve that sizes a tokenizer vocab. Rank window runs over the
+    train VOCAB (never the corpus); the test side joins vocab-sized
+    tables; one exact division per k."""
+    from dpe_energy_performance_analysis_etl_spark.text.retrieval import (
+        vocab_coverage_curve,
+    )
+
+    docs = read_documents(spark, sf_dir)
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    test = docs.filter(F.col("doc_id") % 10 == 0)
+    return vocab_coverage_curve(train, test, ks=[100, 1000, 10000])

@@ -449,3 +449,175 @@ def ranking_metrics(
             ).alias("reciprocal_rank"),
         )
     )
+
+
+def _doc_bigrams(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, w1, w2) consecutive-token pairs — array transform over
+    an index sequence (guarded: Spark's sequence(0,-1) counts DOWN on
+    sub-2-token docs)."""
+    toks = F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+    base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+    bigrams = F.when(
+        F.size("toks") >= 2,
+        F.expr(
+            "transform(sequence(0, size(toks) - 2),"
+            " i -> struct(toks[i] AS w1, toks[i + 1] AS w2))"
+        ),
+    ).otherwise(F.expr("array()"))
+    return base.select(
+        "doc_id", F.explode(bigrams).alias("bg")
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+
+
+def stupid_backoff_scores(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-document bigram LM fluency under Stupid Backoff (Brants et
+    al., EMNLP'07 — the web-scale LM smoothing that deliberately drops
+    normalization): S(w₂|w₁) = c(w₁w₂)/c(w₁) when the bigram was seen
+    in training, else 0.4·c(w₂)/N, else 0 for OOV — the standard
+    held-out fluency gate a pretraining pipeline scores documents
+    with.
+
+    Log-free exactness: every score is INTEGER-QUANTIZED —
+    (c₁₂·scale) div c₁ on the bigram path, (2·c₂·scale) div (5·N) on
+    the backoff path (0.4 = 2/5 exactly) — so the per-document SUM is
+    an exact int64 (a float sum of per-token scores would be
+    order-nondeterministic; same design as unigram_lm_scores'
+    LM_SCALE weights and the Cramér's-V quantization).
+
+    Scale shape: train tables are one-pass aggregations; the test
+    bigram stream joins the bigram table EQUI-KEYED on (w1, w2) — the
+    one data-sized shuffle — and the unigram/total tables broadcast.
+
+    Returns (doc_id, n_bigrams, n_backoff, n_oov, score_q_sum,
+    mean_score).
+    """
+    tr_bg = _doc_bigrams(train, id_col, text_col)
+    c12 = tr_bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c12")
+    )
+    tr_tok = train.select(
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+        ).alias("w")
+    )
+    c1 = tr_tok.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    n_total = c1.agg(F.sum("c").cast("bigint").alias("n_train"))
+
+    te_bg = _doc_bigrams(test, id_col, text_col)
+    joined = (
+        te_bg.join(c12, ["w1", "w2"], "left")
+        .join(
+            F.broadcast(c1.select(F.col("w").alias("w1"), F.col("c").alias("c1"))),
+            "w1",
+            "left",
+        )
+        .join(
+            F.broadcast(c1.select(F.col("w").alias("w2"), F.col("c").alias("c2"))),
+            "w2",
+            "left",
+        )
+        .crossJoin(F.broadcast(n_total))
+    )
+    score_q = (
+        F.when(
+            F.col("c12").isNotNull(),
+            F.expr(f"(c12 * {scale}) div c1"),
+        )
+        .when(
+            F.col("c2").isNotNull(),
+            F.expr(f"(2 * c2 * {scale}) div (5 * n_train)"),
+        )
+        .otherwise(F.lit(0).cast("bigint"))
+    )
+    scored = joined.select(
+        "doc_id",
+        score_q.alias("sq"),
+        (F.col("c12").isNull() & F.col("c2").isNotNull()).cast("int").alias("bo"),
+        F.col("c2").isNull().cast("int").alias("oov"),
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.sum("bo").cast("bigint").alias("n_backoff"),
+        F.sum("oov").cast("bigint").alias("n_oov"),
+        F.sum("sq").cast("bigint").alias("score_q_sum"),
+        (
+            F.sum("sq").cast("double")
+            / (F.count(F.lit(1)).cast("double") * F.lit(float(scale)))
+        ).alias("mean_score"),
+    )
+
+
+def vocab_coverage_curve(
+    train: DataFrame,
+    test: DataFrame,
+    ks: list[int] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Held-out token coverage of the top-k training vocabulary for a
+    ladder of k's — the curve a tokenizer/vocab-size decision reads
+    ("32k vocab covers 97.2% of test tokens; 8k covers 91%"). Rank =
+    (count desc, term) over the TRAIN vocab (deterministic ties);
+    coverage(k) = test occurrences whose term ranks ≤ k.
+
+    One train-vocab aggregation + rank window over the VOCAB (not the
+    corpus), one test-vocab aggregation, a vocab-sized join, and a
+    |ks|-way conditional sum. Counts int64; one division per k.
+
+    Returns (k, n_test_tokens, n_covered, coverage).
+    """
+    ks = ks or [100, 1000, 10000]
+    from pyspark.sql import Window
+
+    tr = (
+        train.select(
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ranked = tr.select(
+        "w",
+        F.row_number()
+        .over(Window.orderBy(F.col("c").desc(), F.col("w")))
+        .cast("bigint")
+        .alias("r"),
+    )
+    te = (
+        test.select(
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tc"))
+    )
+    j = te.join(ranked, "w", "left")
+    per_k = j.select(
+        F.explode(F.array(*[F.lit(k) for k in ks])).alias("k"), "tc", "r"
+    )
+    agg = per_k.groupBy("k").agg(
+        F.sum("tc").cast("bigint").alias("n_test_tokens"),
+        F.sum(
+            F.when(F.col("r").isNotNull() & (F.col("r") <= F.col("k")), F.col("tc"))
+            .otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("n_covered"),
+    )
+    return agg.select(
+        F.col("k").cast("int").alias("k"),
+        "n_test_tokens",
+        "n_covered",
+        (F.col("n_covered").cast("double") / F.col("n_test_tokens").cast("double")).alias(
+            "coverage"
+        ),
+    )
