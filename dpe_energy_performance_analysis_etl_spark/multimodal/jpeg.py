@@ -224,7 +224,11 @@ class _BitReader:
         while self.pos + 1 < len(self.data) and self.data[self.pos] == 0xFF:
             m = self.data[self.pos + 1]
             if m == 0x00:
-                break
+                # stuffed 0xFF00 data byte (fill bits can legally
+                # produce a 0xFF byte immediately before RSTn) —
+                # skip the pair and keep scanning for the marker
+                self.pos += 2
+                continue
             self.pos += 2
             return m
         return None

@@ -27,11 +27,13 @@ def _int_vec(vec_col: Column, scale_pow2: int = 10, offset: int = 1024) -> Colum
     """float array → NON-NEGATIVE integer array: floor(x·2^s) + off.
 
     The 2^s scale is exact in binary floating point and the floor is
-    then engine-exact; the offset keeps every coordinate ≥ 0 so the
-    centroid mean's integer division truncates and floors identically
-    (Spark `div` truncates toward zero, DuckDB `//` floors — they
-    only agree on non-negatives; distances are shift-invariant so the
-    offset changes nothing else).
+    then engine-exact; the offset keeps every coordinate ≥ 0 as a
+    belt-and-braces guard for integer division semantics. (Measured
+    on the in-env DuckDB 1.x: BIGINT `//` also truncates toward zero,
+    -3 // 2 = -1, matching Spark `div` — so the engines agree on
+    negatives too; the offset is retained because it is free,
+    distance-invariant, and insulates against any engine/version
+    whose integer division floors.)
     """
     return F.transform(
         vec_col,
@@ -179,14 +181,21 @@ def decision_stump_binned(
         v.alias("val"), label_col.cast("int").alias("y")
     ).crossJoin(F.broadcast(bounds))
     width = (F.col("hi") - F.col("lo")) / F.lit(float(n_bins))
-    bucket = F.least(
-        F.greatest(
-            F.floor((F.col("val").cast("double") - F.col("lo")) / width).cast(
-                "bigint"
+    # degenerate constant feature (hi == lo): width is 0.0 and the
+    # floor sees 0.0/0.0 = NaN — Spark's (long)NaN is 0 but a SQL
+    # twin raises on CAST(NaN AS BIGINT). Pin bucket 0 explicitly so
+    # both engines agree (result is then empty: no right side exists,
+    # which is the correct "no split" answer for a constant feature).
+    bucket = F.when(F.col("hi") == F.col("lo"), F.lit(0).cast("bigint")).otherwise(
+        F.least(
+            F.greatest(
+                F.floor((F.col("val").cast("double") - F.col("lo")) / width).cast(
+                    "bigint"
+                ),
+                F.lit(0),
             ),
-            F.lit(0),
-        ),
-        F.lit(n_bins - 1),
+            F.lit(n_bins - 1),
+        )
     )
     bins = labeled.groupBy(bucket.alias("bucket")).agg(
         F.sum("y").cast("bigint").alias("pos"),

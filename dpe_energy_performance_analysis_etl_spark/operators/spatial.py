@@ -220,12 +220,22 @@ def geohash_encode_micro(
     # exact below 2^53 (numerators are ≤ ~3e12 here)
     x_num = (lon_micro.cast("bigint") + F.lit(180_000_000)) * F.lit(1 << lon_bits)
     y_num = (lat_micro.cast("bigint") + F.lit(90_000_000)) * F.lit(1 << lat_bits)
-    cell_x = (
-        (x_num - F.pmod(x_num, F.lit(360_000_000))) / F.lit(360_000_000)
-    ).cast("bigint")
-    cell_y = (
-        (y_num - F.pmod(y_num, F.lit(180_000_000))) / F.lit(180_000_000)
-    ).cast("bigint")
+    # clamp the inclusive upper boundary (lon=+180, lat=+90) into the
+    # last cell — without it cell_x = 2^lon_bits sets a bit above the
+    # interleave window and the point silently encodes as the
+    # -180/-90 cell (standard geohash clamps the boundary).
+    cell_x = F.least(
+        ((x_num - F.pmod(x_num, F.lit(360_000_000))) / F.lit(360_000_000)).cast(
+            "bigint"
+        ),
+        F.lit((1 << lon_bits) - 1),
+    )
+    cell_y = F.least(
+        ((y_num - F.pmod(y_num, F.lit(180_000_000))) / F.lit(180_000_000)).cast(
+            "bigint"
+        ),
+        F.lit((1 << lat_bits) - 1),
+    )
 
     code = F.lit(0).cast("bigint")
     # interleave MSB-first, longitude first (even interleave positions)

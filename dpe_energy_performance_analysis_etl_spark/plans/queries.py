@@ -9321,7 +9321,9 @@ def hits_supplier_graph_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS hubs & authorities (operators/graph.py hits_fixed,
     Kleinberg JACM'99) on the DIRECTED customer→supplier trade graph:
     customers score as hubs, suppliers as authorities, re-normalized
-    to max = 10^12 per half-round by integer floor division (L∞ norm
+    to max = 10^6 (HITS_SCALE; 10^12 overflowed int64 in the
+    score×weight products) per half-round by integer floor division
+    (L∞ norm
     — the exact-arithmetic choice; L2's sqrt-of-a-sum would be
     order-sensitive). Two |E|-keyed join+aggs per round plus scalar
     max attaches via broadcast crossJoin."""
@@ -9986,8 +9988,10 @@ def _geohash_oracle_sql(precision: int = 5) -> str:
       FROM customer
     ), cells AS (
       SELECT c_custkey, lat_micro, lon_micro,
-             ((lon_micro + 180000000) * {1 << lon_bits}) // 360000000 AS cx,
-             ((lat_micro + 90000000) * {1 << lat_bits}) // 180000000 AS cy
+             LEAST(((lon_micro + 180000000) * {1 << lon_bits}) // 360000000,
+                   {(1 << lon_bits) - 1}) AS cx,
+             LEAST(((lat_micro + 90000000) * {1 << lat_bits}) // 180000000,
+                   {(1 << lat_bits) - 1}) AS cy
       FROM coords
     ), code AS (
       SELECT c_custkey,
@@ -10148,9 +10152,10 @@ def kmeans_lloyd_portable_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                   THEN 1 ELSE 0 END AS y
       FROM orders
     ), bins AS (
-      SELECT least(greatest(CAST(floor((CAST(val AS DOUBLE) - lo)
-                                        / ((hi - lo) / 256)) AS BIGINT),
-                            0), 255) AS bucket,
+      SELECT CASE WHEN hi = lo THEN 0
+                  ELSE least(greatest(CAST(floor((CAST(val AS DOUBLE) - lo)
+                                           / ((hi - lo) / 256)) AS BIGINT),
+                             0), 255) END AS bucket,
              lo, hi,
              CAST(SUM(y) AS BIGINT) AS pos,
              CAST(SUM(1 - y) AS BIGINT) AS neg

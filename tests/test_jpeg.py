@@ -74,6 +74,17 @@ def test_restart_markers_roundtrip():
     assert np.abs(decode_jpeg(plain).astype(int) - img.astype(int)).max() <= 1
 
 
+def test_align_to_marker_skips_stuffed_ff00_before_rst():
+    # fill bits may legally produce a 0xFF data byte (byte-stuffed as
+    # FF 00) immediately before a restart marker; align must skip the
+    # stuffed pair and still find RST0.
+    from dpe_energy_performance_analysis_etl_spark.multimodal.jpeg import _BitReader
+
+    br = _BitReader(bytes([0xFF, 0x00, 0xFF, 0xD0, 0xAB]), 0)
+    assert br.align_to_marker() == 0xD0
+    assert br.pos == 4  # positioned on the byte after the marker
+
+
 def test_quality_tables_scale():
     qy100, qc100 = quality_tables(100)
     assert (qy100 == 1).all() and (qc100 == 1).all()

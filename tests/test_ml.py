@@ -85,6 +85,15 @@ class TestDecisionStump:
         assert r["gini_score"] == 0.0
         assert r["split_bucket"] == 0
 
+    def test_constant_feature_returns_empty_not_nan(self, spark):
+        # hi == lo makes bin width 0; the guard pins bucket 0 so the
+        # plan never evaluates floor(NaN) — the correct "no split
+        # exists" answer for a constant feature is an empty result.
+        rows = [(5.0, 1), (5.0, 0), (5.0, 1)]
+        df = spark.createDataFrame(rows, "val double, y int")
+        got = decision_stump_binned(df, "val", F.col("y") == 1, n_bins=8).collect()
+        assert got == []
+
     def test_hand_computed_mixed(self, spark):
         # left bin: 1 pos 3 neg, right bin: 3 pos 1 neg
         rows = [(0.0, 1)] + [(0.0, 0)] * 3 + [(10.0, 1)] * 3 + [(10.0, 0)]

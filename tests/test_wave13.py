@@ -119,6 +119,22 @@ class TestGeohash:
         ).collect()[0]["gh"]
         assert got == "s0000"
 
+    def test_boundary_coordinates_clamp_to_last_cell(self, spark):
+        # lat=+90 / lon=+180 are legal inputs; without the clamp the
+        # overflowing cell index encoded as the -90/-180 corner cell.
+        df = spark.createDataFrame(
+            [(90_000_000, 180_000_000), (-90_000_000, -180_000_000)],
+            "lat long, lon long",
+        )
+        got = [
+            r["gh"]
+            for r in df.select(
+                geohash_encode_micro(F.col("lat"), F.col("lon"), 5).alias("gh")
+            ).collect()
+        ]
+        assert got[0] == "zzzzz"  # NE corner -> last cell, not "00000"
+        assert got[1] == "00000"  # SW corner unchanged
+
     def test_precision_prefix_property(self, spark):
         # a finer geohash always extends the coarser one
         df = spark.createDataFrame(
