@@ -59,6 +59,26 @@ from dpe_energy_performance_analysis_etl_spark.plans import QUERIES, ORACLE_SQL 
 # join pruning, snapshot diff, incremental agg merge, correlation
 # matrix, paragraph dedup, semantic dedup.
 #
+# Round-6 rotation (VERDICT r5 ask #1): fourteen recorded-green,
+# family-redundant slots rotated out (label_propagation_communities,
+# deterministic_walks_supplier, kcore_membership — graph keeps
+# pagerank in-window and gains four NEW graph families;
+# pareto_front_parts; topk_per_group — window keeps running_sum;
+# interval_coverage_users — temporal keeps asof + time_weighted;
+# rrf_hybrid_retrieval — retrieval keeps bm25; cusum_changepoint_revenue
+# — stats family gains three new members; fd_violation_orders —
+# quality keeps expectations_orders; snapshot_diff_orders — diff
+# family keeps scd2 + cdc_apply_changelog; curation_funnel_docs —
+# curation keeps gopher + decontaminate and gains coverage_select;
+# spatial_radius_join — spatial re-filled by geohash cells;
+# entity_match_ed1 — entity re-filled by Fellegi-Sunter;
+# random_projection_compress — ANN keeps embedding_cosine_topk) in
+# favor of fourteen never-recorded judge-green families: ROC-AUC,
+# Mann-Kendall, Cramér's V, AMS F2, portable HLL, HITS, personalized
+# PageRank, Bellman-Ford, link prediction, portable k-means Lloyd,
+# histogram decision stump, Fellegi-Sunter record linkage, integer
+# geohash cells, and greedy max-coverage selection.
+#
 # Round-5 rotation (VERDICT r4 ask #3): twelve recorded-green,
 # family-redundant slots rotated out (url_canonical_dedup,
 # substring_dup_spans, setsim_prefix_pairs, winnow_match_pairs,
@@ -87,49 +107,49 @@ _FRONT_50 = [
     "count_distinct_agg",
     "pagerank_supplier_graph",
     "join_inner_broadcast",
-    "label_propagation_communities",
+    "hits_supplier_graph",
     "join_anti_new_rows",
     "q3_shipping_priority",
     "q5_regional_revenue",
-    "deterministic_walks_supplier",
-    "pareto_front_parts",
-    "kcore_membership",
+    "ppr_supplier_graph",
+    "bellman_ford_parts",
+    "link_prediction_parts",
     "window_running_sum",
-    "topk_per_group",
+    "roc_auc_by_priority",
     "histogram_quantiles_price",
     "scalar_functions",
     "math_functions",
-    "interval_coverage_users",
-    "rrf_hybrid_retrieval",
+    "mann_kendall_user_values",
+    "cramers_v_priority_status",
     "events_sessionize",
     "asof_join_events",
     "ranking_metrics_by_source",
     "time_weighted_avg",
-    "cusum_changepoint_revenue",
+    "ams_f2_tokens",
     "text_quality",
     "dedup_exact_groups",
     "ngram_jaccard_capped",
     "minhash_lsh_portable_pairs",
     "dedup_clusters_cc",
     "embedding_cosine_topk",
-    "fd_violation_orders",
-    "snapshot_diff_orders",
+    "hll_distinct_orders",
+    "kmeans_lloyd_portable",
     "pandas_udf_parity",
     "stats_moments",
     "gopher_repetition",
     "decontaminate_overlap",
     "sequence_pack_bins",
-    "curation_funnel_docs",
+    "coverage_select_docs",
     "pseudonymize_pii",
-    "spatial_radius_join",
+    "geohash_cells_customers",
     "heavy_hitters_tokens",
     "scd2_customer_segments",
     "cdc_apply_changelog",
     "bm25_topk_docs",
-    "entity_match_ed1",
-    "join_view_delta_orders",
+    "record_linkage_fs",
+    "decision_stump_totalprice",
     "bpe_pair_stats",
-    "random_projection_compress",
+    "join_view_delta_orders",
     "expectations_orders",
 ]
 

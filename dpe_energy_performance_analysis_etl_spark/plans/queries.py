@@ -3379,13 +3379,13 @@ def cdc_apply_changelog_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), seg AS (
       SELECT user_id,
              CAST(CAST(value AS DECIMAL(30,2)) * 100 AS BIGINT) AS cents,
-             epoch_us(next_ts) - epoch_us(ts) AS dur_us
+             (epoch_us(next_ts) - epoch_us(ts)) // 1000 AS dur_ms
       FROM seq WHERE next_ts IS NOT NULL
     )
     SELECT user_id,
-           CAST(SUM(cents * dur_us) AS BIGINT) AS weighted_cents_us,
-           CAST(SUM(dur_us) AS BIGINT) AS total_us,
-           (CAST(SUM(cents * dur_us) AS DOUBLE) / CAST(SUM(dur_us) AS DOUBLE)) / 100.0
+           CAST(SUM(cents * dur_ms) AS BIGINT) AS weighted_cents_ms,
+           CAST(SUM(dur_ms) AS BIGINT) AS total_ms,
+           (CAST(SUM(cents * dur_ms) AS DOUBLE) / CAST(SUM(dur_ms) AS DOUBLE)) / 100.0
              AS time_weighted_value
     FROM seg GROUP BY user_id
     """,
@@ -3394,9 +3394,13 @@ def time_weighted_avg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-weighted average of a sensor-style value per user (each
     reading holds until the next one — the TimescaleDB
     ``time_weight('LOCF')`` semantics). All weighting arithmetic is
-    INTEGER (exact cents × exact microsecond durations, summed as
-    bigint — order-independent), with one final double division; the
-    lead() pass and the aggregate share the user_id partitioning."""
+    INTEGER (exact cents × exact MILLISECOND durations, summed as
+    bigint — order-independent; ms not µs so the summed products keep
+    ~10 bits of headroom under 2^53 and survive any float round trip
+    in a downstream harness), with one final double division; the
+    lead() pass and the aggregate share the user_id partitioning.
+    The µs→ms floor uses the exact-multiple division pattern (both
+    engines' integer division agrees on the non-negative diffs)."""
     ev = read_events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
@@ -3405,20 +3409,21 @@ def time_weighted_avg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.lead("ts").over(w).alias("next_ts"),
     ).filter(F.col("next_ts").isNotNull())
+    dur_us = epoch_micros("next_ts") - epoch_micros("ts")
     seg = seq.select(
         "user_id",
         (F.col("value").cast("decimal(30,2)") * 100).cast("bigint").alias("cents"),
-        (
-            epoch_micros("next_ts") - epoch_micros("ts")
-        ).alias("dur_us"),
+        ((dur_us - F.pmod(dur_us, F.lit(1000))) / F.lit(1000))
+        .cast("bigint")
+        .alias("dur_ms"),
     )
     return seg.groupBy("user_id").agg(
-        F.sum(F.col("cents") * F.col("dur_us")).alias("weighted_cents_us"),
-        F.sum("dur_us").alias("total_us"),
+        F.sum(F.col("cents") * F.col("dur_ms")).alias("weighted_cents_ms"),
+        F.sum("dur_ms").alias("total_ms"),
         (
             (
-                F.sum(F.col("cents") * F.col("dur_us")).cast("double")
-                / F.sum("dur_us").cast("double")
+                F.sum(F.col("cents") * F.col("dur_ms")).cast("double")
+                / F.sum("dur_ms").cast("double")
             )
             / 100.0
         ).alias("time_weighted_value"),

@@ -512,26 +512,34 @@ def greedy_max_coverage(
     construction (you are SELECTING a handful of exemplars). Returns
     (round, id, gain) — gain = newly covered items at pick time.
     """
+    spark_s = pairs.sparkSession
     p = pairs.select(
         F.col(id_col).alias("id"), F.col(item_col).alias("item")
     ).distinct().cache()
+    # picked set as a DataFrame (anti-joined, like the covered set) —
+    # a growing `isin` literal list would bound selection depth by
+    # driver-side expression size; the anti-join keeps the plan O(1)
+    # per round regardless of k. (A fully-covered doc already drops
+    # out of `gains` — the anti-join is the defensive exact mirror.)
+    id_schema = p.select("id").schema
+    picked = spark_s.createDataFrame([], id_schema).localCheckpoint()
     covered = p.select("item").limit(0).localCheckpoint()
-    chosen: list = []
     out = []
     for r in range(1, k + 1):
         gains = (
             p.join(covered, "item", "left_anti")
             .groupBy("id")
             .agg(F.count(F.lit(1)).alias("gain"))
+            .join(F.broadcast(picked), "id", "left_anti")
         )
-        if chosen:
-            gains = gains.where(~F.col("id").isin(*chosen))
         top = gains.orderBy(F.col("gain").desc(), F.col("id")).limit(1).collect()
         if not top or top[0]["gain"] == 0:
             break
         pick_id, gain = top[0]["id"], top[0]["gain"]
-        chosen.append(pick_id)
         out.append((r, pick_id, gain))
+        picked = picked.unionByName(
+            spark_s.createDataFrame([(pick_id,)], id_schema)
+        ).localCheckpoint()
         covered = (
             covered.unionByName(p.where(F.col("id") == pick_id).select("item"))
             .distinct()

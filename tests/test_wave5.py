@@ -307,6 +307,22 @@ def test_greedy_max_coverage_hand_case(spark):
     assert sorted(got) == [(1, 1, 3), (2, 2, 1), (3, 4, 1)]
 
 
+def test_greedy_max_coverage_deep_k50(spark):
+    # selection depth must not be bounded by a driver-side literal
+    # list: 60 docs each uniquely covering one item → greedy picks 50
+    # of them (smallest-id tie-break), one per round.
+    from dpe_energy_performance_analysis_etl_spark.text.curation import (
+        greedy_max_coverage,
+    )
+
+    rows = [(d, f"item_{d}") for d in range(60)]
+    pairs = spark.createDataFrame(rows, "doc_id long, item string")
+    got = greedy_max_coverage(pairs, k=50, id_col="doc_id").collect()
+    assert len(got) == 50
+    assert [r.doc_id for r in sorted(got, key=lambda r: r.round)] == list(range(50))
+    assert all(r.gain == 1 for r in got)
+
+
 def test_wave5_randomized_brute_force_cross_checks(spark):
     """One seeded random dataset per operator, checked against a
     brute-force pure-Python reference — the semantics gate the

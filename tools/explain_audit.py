@@ -62,7 +62,64 @@ EXPECTED_MULTISTAGE = {
     "substring_dup_stats": "cached position-gram table feeds df-agg + cover join; the 9th exchange is the separate per-doc size scan (a fresh parquet read, not a cached-subtree re-run)",
     "substring_dedup_clean": "same cached gram table; extra exchange is the token re-read for reconstruction",
     "label_propagation_communities": "iterative: per-round cached label tables, final action reads ONLY the last cache (the kcore pattern — static print re-expands all rounds)",
+    # round 6 triage of waves 8-15 (runtime executedPlan measured at
+    # sf0.01: exchanges merge via per-round localCheckpoint/cache —
+    # cachereads/reused counts recorded per query)
+    "vocab_id_assignment": "static 10, runtime 6 — under budget once AQE merges the shared tf subtree",
+    "deterministic_walks_supplier": "8 fixed walk steps, cached nbr/deg tables; 108 cache reads + 52 reused exchanges at runtime, 5.3 s sf0.01",
+    "ppr_supplier_graph": "fixed power-iteration rounds over cached edge/deg; 228 cache reads + 114 reused exchanges, each round |E|-bounded",
+    "hits_supplier_graph": "per-half-round checkpointed scores; 15 cache reads, 0.35 s sf0.01",
+    "clustering_coeff_parts": "cached canonical edge table feeds degree/wedge/close subtrees; 39 cache reads",
+    "degree_assortativity_trade": "cached edge+degree tables feed joint/marginal moment branches; 12 cache reads",
+    "community_modularity_nations": "cached edge/community tables feed intra-edge + degree-sum branches; 36 cache reads",
+    "cramers_v_priority_status": "cached contingency cell table feeds marginals x2 + total (the chi2 pattern); 12 cache reads",
+    "ams_f2_tokens": "sketch + exact-F2 + relative-error branches share the cached token explode",
+    "decision_stump_totalprice": "bounds agg + bin table + cum/total branches; 11 runtime exchanges, all over <=256-row tables",
+    "category_drift_halves": "cached per-half distribution tables feed both drift-term branches; 12 cache reads",
+    "stupid_backoff_docs": "cached n-gram count tables (uni/bi/tri) feed backoff joins; 3 reused exchanges",
+    "vocab_coverage_curve": "static 10, runtime 8 — rank table feeds cumulative + total branches",
+    "equi_depth_bins_price": "cached range-partitioned table feeds the size pass + the ranked pass (the two-pass exact-rank minimum); static print re-expands the cache",
 }
+
+
+# Any UNPARTITIONED window moves its whole input to one partition —
+# benign only when that input is provably bounded (an aggregate /
+# distinct-value / top-k table). The audit COUNTS each global
+# window's child at the audit SF and fails past the bound, so a
+# future unbounded one can't hide among the ~114 known-benign
+# WindowExec warnings. Bound: 10^4 rows at sf0.01 (every legitimate
+# case is a bucket/month/distinct-tier table well under it);
+# exemptions must record their measured cardinality.
+WINDOW_CHILD_BOUND = 10_000
+WINDOW_BOUND_EXEMPT: dict[str, str] = {}
+
+
+def unpartitioned_window_children(df):
+    """(child_jplan, pretty_name) per global-window node in the
+    optimized logical plan."""
+    out = []
+    stack = [df._jdf.queryExecution().optimizedPlan()]
+    while stack:
+        node = stack.pop()
+        if (
+            node.getClass().getSimpleName() == "Window"
+            and node.partitionSpec().isEmpty()
+        ):
+            out.append(node.child())
+        kids = node.children()
+        for i in range(kids.length()):
+            stack.append(kids.apply(i))
+    return out
+
+
+def audit_global_windows(spark, df) -> list[int]:
+    """Row count of every unpartitioned window's input (executes the
+    child subtree — audit-time cost only)."""
+    D = spark._jvm.org.apache.spark.sql.classic.Dataset
+    counts = []
+    for child in unpartitioned_window_children(df):
+        counts.append(D.ofRows(spark._jsparkSession, child).count())
+    return counts
 
 
 def main() -> int:
@@ -71,7 +128,9 @@ def main() -> int:
     from dpe_energy_performance_analysis_etl_spark.plans import QUERIES
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[2:] if a != "--no-window-audit"]
+    window_audit = "--no-window-audit" not in sys.argv
+    only = set(argv)
     spark = get_spark("explain_audit")
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
 
@@ -110,6 +169,17 @@ def main() -> int:
                 flags.append(f"exchanges={n_exchange} expected: {EXPECTED_MULTISTAGE[name]}")
             else:
                 bad.append(f"EXCHANGES={n_exchange}")
+        if window_audit:
+            try:
+                gw = audit_global_windows(spark, df)
+            except Exception as exc:  # audit must not crash the sweep
+                gw = []
+                flags.append(f"window-audit-error: {exc}")
+            over = [c for c in gw if c > WINDOW_CHILD_BOUND]
+            if over and name not in WINDOW_BOUND_EXEMPT:
+                bad.append(f"GLOBAL_WINDOW_ROWS={max(over)}")
+            elif gw:
+                flags.append(f"gwin={len(gw)}x<=:{max(gw)}")
         flags = bad + flags
         if bad:
             suspicious.append(name)
