@@ -100,6 +100,8 @@ def semantic_dedup(
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
     target_cluster_size: int | None = None,
+    auto_train_threshold: int = 1_000_000,
+    train_sample_size: int = 65_536,
 ) -> DataFrame:
     """One row per input vector: (id, cluster, kept, dup_cosine).
     ``kept`` is false iff a LOWER-id vector in the same cluster has
@@ -115,13 +117,49 @@ def semantic_dedup(
     into n/k and the pair stage quadratic again (measured: 10× the
     vectors at fixed k=8 cost 18× the time; at k=10×8 it cost ~1.3×).
     Pass ``target_cluster_size`` to derive k = ⌈n / size⌉ from a
-    count (one cheap action) instead of hand-picking."""
+    count (one cheap action) instead of hand-picking.
+
+    Above ``auto_train_threshold`` rows (default 10⁶ — where the
+    seeded quantizer's n·k = n²/size assignment cosines stop being
+    affordable relative to real k-means quality), centroids are
+    trained AUTOMATICALLY by Lloyd iterations on a deterministic
+    hash-sample of ~``train_sample_size`` vectors
+    (``similarity.ivf.train_ivf_centroids``) — training cost is
+    bounded by the sample, not the corpus, and the sample is a pure
+    function of the ids (replayable). The seeded path remains the
+    sub-threshold default and the oracle twin. (Past ~10⁵ centroids
+    the broadcast argmax itself needs a two-level coarse/fine
+    quantizer — out of scope here; documented, not silently hit,
+    since k = n/size reaches 10⁵ only past 5·10⁸ vectors.)"""
+    n: int | None = None
     if target_cluster_size is not None:
         n = vectors.count()
         n_clusters = max(2, -(-n // target_cluster_size))
     cents = centroids
     if cents is None:
-        cents = seeded_centroids(vectors, n_clusters, id_col, vec_col)
+        if n is None:
+            n = vectors.count()
+        if n > auto_train_threshold:
+            from dpe_energy_performance_analysis_etl_spark.similarity.ivf import (
+                train_ivf_centroids,
+            )
+
+            denom = max(1, n // train_sample_size)
+            sample = vectors.filter(
+                F.pmod(
+                    F.xxhash64(F.col(id_col).cast("string")), F.lit(denom)
+                )
+                == 0
+            )
+            cents = train_ivf_centroids(
+                sample, k=n_clusters, iterations=2, vec_col=vec_col, id_col=id_col
+            ).select(
+                "cluster",
+                "centroid",
+                F.sqrt(norm2_double(F.col("centroid"))).alias("centnorm"),
+            )
+        else:
+            cents = seeded_centroids(vectors, n_clusters, id_col, vec_col)
     # assignment feeds three consumers (both pair sides + the final
     # join) — uncached, each re-runs the broadcast-argmax over the
     # corpus (plan audit: 18 static exchanges, 3x the scan)

@@ -130,3 +130,71 @@ def prefix_filter_jaccard_join(
         .select("doc_a", "doc_b", "n_common", "jaccard")
     )
     return verified
+
+
+def adaptive_jaccard_join(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    candidate_budget: int = 100_000_000,
+    hash_shingle_key: bool = True,
+) -> DataFrame:
+    """Pick the posting join or the AllPairs prefix filter from a
+    cheap df-distribution probe (VERDICT r5 ask #4 follow-through).
+
+    Measured on seeded Zipf fixtures (tools/zipf_fixture_bench.py,
+    NOTES round-6): the prefix filter collapses candidate volume
+    457× on Zipf(1.1) text (5.18M → 11.3k pairs, max posting df
+    1438 → 4) — but on a SINGLE box the lean plain join still wins
+    wall-clock up to ~10⁸ candidates (19.4 s vs 25.0 s at 80M),
+    because one box shuffles at memory bandwidth and the filter's
+    extra stages (df join + two per-doc rank windows + distinct +
+    full-set verify) cost more than the avoided candidates — the
+    bloom-join local-vs-cluster regime split, again.
+
+    So: probe Σ C(df,2) over the shingle posting list (one
+    tokenize+explode+groupBy+agg pass — a fraction of either join)
+    and run the plain join below ``candidate_budget``, the prefix
+    filter above it. On a real cluster where candidates cross a
+    network, set the budget to what one executor's shuffle slice
+    absorbs (default 10⁸ matches the measured local crossover
+    region; both branches return identical rows — same semantics,
+    same schema)."""
+    shingles = word_shingles(text_col, n)
+    if hash_shingle_key:
+        shingles = F.transform(shingles, lambda s: F.xxhash64(s))
+    est = (
+        df.select(F.explode(shingles).alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .agg(
+            F.sum(
+                (F.col("d") * (F.col("d") - F.lit(1)) / F.lit(2)).cast("bigint")
+            ).alias("cands")
+        )
+        .collect()[0]["cands"]
+        or 0
+    )
+    if est <= candidate_budget:
+        from dpe_energy_performance_analysis_etl_spark.dedup.shingles import (
+            shingle_pairs_jaccard,
+        )
+
+        return shingle_pairs_jaccard(
+            df,
+            text_col=text_col,
+            id_col=id_col,
+            n=n,
+            threshold=threshold,
+            hash_shingle_key=hash_shingle_key,
+        )
+    return prefix_filter_jaccard_join(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        n=n,
+        threshold=threshold,
+        hash_shingle_key=hash_shingle_key,
+    )

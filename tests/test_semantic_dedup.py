@@ -90,3 +90,48 @@ def test_trained_centroids_path(spark):
     out = semantic_dedup(vecs, threshold=0.99, centroids=cents)
     assert out.count() == 6
     assert out.filter("kept").count() < 6  # the exact dup still dies
+
+
+def test_auto_ivf_path_above_threshold(spark, monkeypatch):
+    """Past auto_train_threshold the quantizer must be TRAINED on a
+    bounded deterministic sample (not seeded with k ∝ n) — and the
+    result is still one row per input with near-dups removed."""
+    import dpe_energy_performance_analysis_etl_spark.similarity.ivf as ivf_mod
+
+    calls = {}
+    real_train = ivf_mod.train_ivf_centroids
+
+    def spy(df, k=16, iterations=3, vec_col="embedding", id_col="vec_id"):
+        calls["k"] = k
+        calls["n_train"] = df.count()
+        return real_train(df, k=k, iterations=iterations, vec_col=vec_col, id_col=id_col)
+
+    monkeypatch.setattr(ivf_mod, "train_ivf_centroids", spy)
+    vecs = _vecs(spark)
+    out = semantic_dedup(
+        vecs,
+        n_clusters=2,
+        threshold=0.99,
+        auto_train_threshold=0,   # force the large-n path on 6 rows
+        train_sample_size=4,      # ~4-row deterministic hash sample
+    )
+    rows = out.collect()
+    assert len(rows) == 6
+    assert calls["k"] == 2
+    # the trainer saw the hash-sample, not the full corpus
+    assert 0 < calls["n_train"] <= 6
+    kept = {r.id for r in rows if r.kept}
+    assert len(kept) < 6  # near-dups still die under trained centroids
+
+
+def test_auto_threshold_default_stays_seeded(spark, monkeypatch):
+    """Below the threshold nothing trains — the seeded oracle twin is
+    untouched by the auto-IVF wiring."""
+    import dpe_energy_performance_analysis_etl_spark.similarity.ivf as ivf_mod
+
+    def boom(*a, **k):
+        raise AssertionError("train_ivf_centroids must not run below threshold")
+
+    monkeypatch.setattr(ivf_mod, "train_ivf_centroids", boom)
+    out = semantic_dedup(_vecs(spark), n_clusters=2, threshold=0.99)
+    assert out.count() == 6

@@ -422,3 +422,47 @@ def test_prefix_filter_exact_for_arbitrary_thresholds(spark, threshold):
     # the boundary for that to differ — the sets must be identical
     assert pref == full
     assert full, f"degenerate fixture at t={threshold}"
+
+
+class TestAdaptiveJaccardJoin:
+    def test_both_branches_identical_pairs(self, spark):
+        """budget=∞ → plain join; budget=0 → prefix filter; same rows."""
+        from dpe_energy_performance_analysis_etl_spark.dedup.setsim import (
+            adaptive_jaccard_join,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plain = {
+            (r["doc_a"], r["doc_b"], r["n_common"])
+            for r in adaptive_jaccard_join(
+                docs, threshold=0.5, candidate_budget=10**15
+            ).collect()
+        }
+        pref = {
+            (r["doc_a"], r["doc_b"], r["n_common"])
+            for r in adaptive_jaccard_join(
+                docs, threshold=0.5, candidate_budget=0
+            ).collect()
+        }
+        assert plain == pref and len(plain) > 0
+
+    def test_probe_picks_expected_branch(self, spark, monkeypatch):
+        """The probe must route below-budget corpora to the plain
+        posting join (never the prefix pipeline) and vice versa."""
+        import dpe_energy_performance_analysis_etl_spark.dedup.setsim as setsim_mod
+        from dpe_energy_performance_analysis_etl_spark.dedup.setsim import (
+            adaptive_jaccard_join,
+        )
+
+        called = []
+        real = setsim_mod.prefix_filter_jaccard_join
+        monkeypatch.setattr(
+            setsim_mod,
+            "prefix_filter_jaccard_join",
+            lambda *a, **k: called.append("prefix") or real(*a, **k),
+        )
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        adaptive_jaccard_join(docs, threshold=0.5, candidate_budget=10**15).count()
+        assert called == []  # plain branch
+        adaptive_jaccard_join(docs, threshold=0.5, candidate_budget=0).count()
+        assert called == ["prefix"]
