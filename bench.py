@@ -61,6 +61,12 @@ HEADLINE = [
     "cdc_chunk_dedup",
     "link_prediction_parts",
     "landmark_bfs_parts",
+    # round-6 additions (VERDICT r5 ask #3): wave-8-15 representatives
+    # — the double-consumption-checkpoint pattern (HITS), broadcast-
+    # centroid Lloyd rounds, and the exact-integer stats family
+    "hits_supplier_graph",
+    "kmeans_lloyd_portable",
+    "cramers_v_priority_status",
 ]
 
 

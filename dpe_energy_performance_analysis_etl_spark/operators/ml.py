@@ -255,3 +255,95 @@ def decision_stump_binned(
         F.col("nr").alias("neg_right"),
         "gini_score",
     )
+
+
+def principal_direction_power(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iterations: int = 3,
+    scale_pow2: int = 10,
+    v_pow2: int = 20,
+) -> DataFrame:
+    """Top principal direction of an embedding column by fixed-round
+    power iteration over the EXACT integer Gram/covariance matrix —
+    the PageRank/HITS bit-portability recipe applied to PCA (the
+    classic von Mises iteration; at 100 TB this is how you get the
+    dominant axis of an embedding corpus without ever materializing
+    floats that two engines round differently).
+
+    Exact pipeline:
+      1. x = floor(v·2^s) int64 coords (``_int_vec`` scaling, no
+         offset needed — covariance is shift-invariant by
+         construction).
+      2. Scatter covariance: G_ij = n·Σ x_i x_j − S_i·S_j, computed
+         from a ROW-LOCAL d² pair explode (no join; explode →
+         groupBy(i,j), map-side combinable, d²=4096 cells bounded) —
+         all int64 exact.
+      3. Deterministic dynamic rescale: q_g = max|G| div 2^36 + 1,
+         G' = G div q_g (truncation toward zero — Spark `div` and
+         DuckDB `//` agree) so each matvec term stays in int64:
+         |G'·v·d| ≤ 2^36·2^20·2^6 = 2^62.
+      4. ``iterations`` rounds of v ← G'·v with renorm
+         v = w div (max|w| div 2^v_pow2 + 1) — the divide-FIRST
+         renorm, because w·2^20 would overflow where HITS's
+         (a·S) div max does not; costs ≤1 bit of precision per
+         round, irrelevant for direction convergence.
+
+    Every step is an integer expression over the d²-row matrix →
+    the unrolled SQL replays bit-identically. Returns
+    (dim, component_scaled) — d rows, |component| ≤ 2^v_pow2.
+    """
+    d2x = F.transform(vectors[vec_col], lambda x: F.floor(
+        x.cast("double") * F.lit(float(1 << scale_pow2))
+    ).cast("bigint"))
+    rows = vectors.select(d2x.alias("x"))
+    # row-local (i, j, xi*xj) triples: no join, one explode
+    pairs = rows.select(
+        F.explode(
+            F.flatten(
+                F.expr(
+                    "transform(x, (xi, i) -> transform(x, (xj, j) ->"
+                    " struct(i AS i, j AS j, xi * xj AS p)))"
+                )
+            )
+        ).alias("t")
+    ).select("t.i", "t.j", "t.p")
+    sums = rows.select(F.posexplode("x").alias("i", "xi")).groupBy("i").agg(
+        F.sum("xi").cast("bigint").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    gram = (
+        pairs.groupBy("i", "j")
+        .agg(F.sum("p").cast("bigint").alias("sxx"))
+        .join(F.broadcast(sums.select(F.col("i"), F.col("s").alias("si"), "n")), "i")
+        .join(F.broadcast(sums.select(F.col("i").alias("j"), F.col("s").alias("sj"))), "j")
+        .select(
+            "i",
+            "j",
+            (F.col("n") * F.col("sxx") - F.col("si") * F.col("sj")).alias("g"),
+        )
+        .cache()
+    )
+    qg = gram.agg(
+        F.expr(f"max(abs(g)) div {1 << 36} + 1").cast("bigint").alias("qg")
+    )
+    gq = gram.crossJoin(F.broadcast(qg)).selectExpr("i", "j", "g div qg AS g")
+    gq = gq.cache()
+    d_dims = sums.select(F.col("i").alias("dim"))
+    v = d_dims.select("dim", F.lit(1 << v_pow2).cast("bigint").alias("v"))
+    for _ in range(iterations):
+        w = (
+            gq.join(v.selectExpr("dim AS j", "v"), "j")
+            .groupBy("i")
+            .agg(F.sum(F.expr("g * v")).cast("bigint").alias("w"))
+        )
+        qw = w.agg(
+            F.expr(f"max(abs(w)) div {1 << v_pow2} + 1").cast("bigint").alias("qw")
+        )
+        v = (
+            w.crossJoin(F.broadcast(qw))
+            .selectExpr("i AS dim", "w div qw AS v")
+            .localCheckpoint()
+        )
+    return v.select("dim", F.col("v").alias("component_scaled"))

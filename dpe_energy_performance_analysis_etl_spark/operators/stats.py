@@ -979,3 +979,64 @@ def fano_factor(df, key_col: str, bucket_col):
         .otherwise(num / den)
         .alias("fano"),
     )
+
+
+def cohens_kappa_exact(df, label_a, label_b):
+    """Cohen's kappa inter-rater agreement between two categorical
+    label columns (Cohen 1960) — the standard answer to "do my two
+    quality heuristics / annotators / judge prompts actually agree
+    beyond chance", which an LLM data pipeline asks of every pair of
+    curation gates before trusting their intersection.
+
+    κ = (p_o − p_e)/(1 − p_e) is EXACT as one double division of
+    int64s: with n rows, A = #agreements, and
+    S = Σ_k rowtot_k·coltot_k (the chance-agreement numerator),
+
+        κ = (A·n − S) / (n² − S)
+
+    — no float intermediate at all, so the statistic is bit-identical
+    cross-engine (the Cramér's-V family recipe, with no quantization
+    needed because the rational collapses to one division). n² must
+    stay in int64 (n ≤ 3·10⁹ — document-scale safe; past that,
+    compute on a hash-sample). p_e = 1 (a degenerate single-category
+    pair) guards to κ = 0.
+
+    Scale shape: ONE cell aggregation over the bounded label
+    cross-product, marginal sums over the cell table, a single output
+    row. Returns (n, n_agree, pe_num, kappa).
+    """
+    from pyspark.sql import functions as F
+
+    cells = (
+        df.groupBy(label_a.alias("la"), label_b.alias("lb"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("obs"))
+        .cache()
+    )
+    rt = cells.groupBy("la").agg(F.sum("obs").cast("bigint").alias("rtot"))
+    ct = cells.groupBy("lb").agg(F.sum("obs").cast("bigint").alias("ctot"))
+    pe_num = (
+        rt.join(ct, rt["la"] == ct["lb"])
+        .agg(F.coalesce(F.sum(F.col("rtot") * F.col("ctot")), F.lit(0)).cast("bigint").alias("s"))
+    )
+    base = cells.agg(
+        F.sum("obs").cast("bigint").alias("n"),
+        F.coalesce(
+            F.sum(F.when(F.col("la") == F.col("lb"), F.col("obs"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n_agree"),
+    )
+    return (
+        base.crossJoin(F.broadcast(pe_num))
+        .select(
+            "n",
+            "n_agree",
+            F.col("s").alias("pe_num"),
+            F.when(F.col("n") * F.col("n") == F.col("s"), F.lit(0.0))
+            .otherwise(
+                (F.col("n_agree") * F.col("n") - F.col("s")).cast("double")
+                / (F.col("n") * F.col("n") - F.col("s")).cast("double")
+            )
+            .alias("kappa"),
+        )
+    )

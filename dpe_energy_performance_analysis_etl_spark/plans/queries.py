@@ -10581,3 +10581,226 @@ def vocab_coverage_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = docs.filter(F.col("doc_id") % 10 != 0)
     test = docs.filter(F.col("doc_id") % 10 == 0)
     return vocab_coverage_curve(train, test, ks=[100, 1000, 10000])
+
+
+# =====================================================================
+# Round 6, wave 1: inter-rater agreement, Kneser-Ney smoothing,
+# UniMax language budgets (operators/stats.py, text/retrieval.py,
+# text/mixing.py)
+# =====================================================================
+
+@register(
+    "cohens_kappa_raters",
+    """
+    WITH lab AS (
+      SELECT CASE WHEN length(text) >= 250 THEN 'keep' ELSE 'drop' END AS la,
+             CASE WHEN len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 45
+                  THEN 'keep' ELSE 'drop' END AS lb
+      FROM documents
+    ), cells AS MATERIALIZED (
+      SELECT la, lb, CAST(COUNT(*) AS BIGINT) AS obs FROM lab GROUP BY 1, 2
+    ), rt AS (
+      SELECT la, CAST(SUM(obs) AS BIGINT) AS rtot FROM cells GROUP BY 1
+    ), ct AS (
+      SELECT lb, CAST(SUM(obs) AS BIGINT) AS ctot FROM cells GROUP BY 1
+    ), s AS (
+      SELECT CAST(COALESCE(SUM(rtot * ctot), 0) AS BIGINT) AS s
+      FROM rt JOIN ct ON rt.la = ct.lb
+    ), b AS (
+      SELECT CAST(SUM(obs) AS BIGINT) AS n,
+             CAST(COALESCE(SUM(CASE WHEN la = lb THEN obs END), 0) AS BIGINT)
+               AS n_agree
+      FROM cells
+    )
+    SELECT n, n_agree, s AS pe_num,
+           CASE WHEN n * n = s THEN CAST(0 AS DOUBLE)
+                ELSE CAST(n_agree * n - s AS DOUBLE) / CAST(n * n - s AS DOUBLE)
+           END AS kappa
+    FROM b CROSS JOIN s
+    """,
+)
+def cohens_kappa_raters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two deterministic curation raters — a
+    char-length gate vs a token-count gate — over the documents
+    corpus (operators/stats.py cohens_kappa_exact): the
+    beyond-chance-agreement check a pipeline runs before trusting
+    two quality heuristics' intersection. κ = (A·n − S)/(n² − S) is
+    one double division of exact int64s — no quantization needed."""
+    from dpe_energy_performance_analysis_etl_spark.operators.stats import (
+        cohens_kappa_exact,
+    )
+
+    docs = read_documents(spark, sf_dir)
+    a = F.when(F.length("text") >= 250, "keep").otherwise("drop")
+    b = F.when(
+        F.size(F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")) >= 45,
+        "keep",
+    ).otherwise("drop")
+    return cohens_kappa_exact(docs, a, b)
+
+
+@register(
+    "kneser_ney_bigrams",
+    """
+    WITH tok AS MATERIALIZED (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w,
+             CAST(unnest(range(0, len(regexp_extract_all(lower(text), '[a-z0-9]+'))))
+                  AS BIGINT) AS pos
+      FROM documents
+    ), c12 AS MATERIALIZED (
+      SELECT a.w AS w1, b.w AS w2, CAST(COUNT(*) AS BIGINT) AS c12
+      FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      GROUP BY 1, 2
+    ), c1 AS MATERIALIZED (
+      SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+             CAST(COUNT(*) AS BIGINT) AS n1p_fwd
+      FROM c12 GROUP BY 1
+    ), nb AS MATERIALIZED (
+      SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1p_bwd FROM c12 GROUP BY 1
+    ), tt AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS t_types FROM c12
+    )
+    SELECT c12.w1, c12.w2, c12.c12, c1.c1, c1.n1p_fwd, nb.n1p_bwd,
+           CAST(((greatest(4 * c12.c12 - 3, 0) * t_types
+                  + 3 * c1.n1p_fwd * nb.n1p_bwd) * 1000000)
+                // (4 * c1.c1 * t_types) AS BIGINT) AS p_kn_scaled
+    FROM c12
+    JOIN c1 ON c1.w1 = c12.w1
+    JOIN nb ON nb.w2 = c12.w2
+    CROSS JOIN tt
+    WHERE c12.c12 >= 3
+    """,
+)
+def kneser_ney_bigrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities, discount 3/4
+    (text/retrieval.py kneser_ney_bigram_probs) — the
+    Chen-Goodman/KenLM-default smoothing next to the registry's
+    Stupid Backoff. The dyadic discount clears every fraction when
+    multiplied through by 4·c1·T, so p·10⁶ is one exact integer
+    floor division — bit-identical in SQL."""
+    from dpe_energy_performance_analysis_etl_spark.text.retrieval import (
+        kneser_ney_bigram_probs,
+    )
+
+    return kneser_ney_bigram_probs(read_documents(spark, sf_dir), min_count=3)
+
+
+@register(
+    "unimax_lang_budget",
+    """
+    WITH sizes AS MATERIALIZED (
+      SELECT lang AS grp, CAST(SUM(n_chars) AS BIGINT) AS available
+      FROM documents GROUP BY 1
+    ), ranked AS MATERIALIZED (
+      SELECT grp, available, CAST(available * 4 AS BIGINT) AS cap,
+             CAST(row_number() OVER (ORDER BY available * 4, grp) AS BIGINT) AS i,
+             CAST(COALESCE(SUM(available * 4) OVER (
+               ORDER BY available * 4, grp
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS cum_prev,
+             CAST(COUNT(*) OVER () AS BIGINT) AS g_total
+      FROM sizes
+    ), marked AS MATERIALIZED (
+      SELECT *,
+             cap * (g_total - i + 1) <= 500000 - cum_prev AS is_capped
+      FROM ranked
+    ), scal AS (
+      SELECT CAST(COALESCE(SUM(CASE WHEN is_capped THEN cap END), 0) AS BIGINT)
+               AS capped_sum,
+             CAST(COUNT(*) FILTER (WHERE NOT is_capped) AS BIGINT) AS n_uncapped
+      FROM marked
+    )
+    SELECT grp AS lang, available, cap,
+           CAST(CASE WHEN is_capped THEN cap
+                ELSE least(cap, (500000 - capped_sum)
+                           // greatest(n_uncapped, 1)) END AS BIGINT) AS allocated,
+           CAST(CASE WHEN is_capped THEN cap
+                ELSE least(cap, (500000 - capped_sum)
+                           // greatest(n_uncapped, 1)) END AS DOUBLE)
+             / CAST(greatest(available, 1) AS DOUBLE) AS epochs
+    FROM marked CROSS JOIN scal
+    """,
+)
+def unimax_lang_budget_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax character-budget allocation across the corpus languages
+    (text/mixing.py unimax_budget_allocation; Chung ICLR'23): cap
+    every language at 4 epochs of its available chars, waterfill the
+    500k-char budget as uniformly as possible among the rest — the
+    closed-form capped-prefix rule over the bounded language table,
+    all int64 floor divisions."""
+    from dpe_energy_performance_analysis_etl_spark.text.mixing import (
+        unimax_budget_allocation,
+    )
+
+    docs = read_documents(spark, sf_dir)
+    return unimax_budget_allocation(
+        docs, "lang", "n_chars", budget=500_000, max_epochs=4
+    )
+
+
+def _power_iter_oracle(iterations: int) -> str:
+    """DuckDB twin of operators/ml.py principal_direction_power:
+    exact integer Gram (n·Σxx − S·S'), deterministic dynamic rescale
+    (// 2^36 + 1), and unrolled matvec+renorm rounds. DuckDB BIGINT
+    `//` truncates toward zero like Spark `div` (measured −3//2 = −1
+    on the in-env build), so the negative Gram entries divide
+    identically."""
+    blocks = [
+        """
+    WITH vecs AS MATERIALIZED (
+      SELECT vec_id AS vid,
+             CAST(unnest(range(0, len(embedding))) AS BIGINT) AS d,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1024) AS BIGINT) AS x
+      FROM embeddings
+    ), sums AS MATERIALIZED (
+      SELECT d, CAST(SUM(x) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+      FROM vecs GROUP BY 1
+    ), sxx AS MATERIALIZED (
+      SELECT a.d AS i, b.d AS j, CAST(SUM(a.x * b.x) AS BIGINT) AS sxx
+      FROM vecs a JOIN vecs b ON a.vid = b.vid GROUP BY 1, 2
+    ), gram AS MATERIALIZED (
+      SELECT i, j, si.n * sxx.sxx - si.s * sj.s AS g
+      FROM sxx JOIN sums si ON si.d = sxx.i JOIN sums sj ON sj.d = sxx.j
+    ), gq AS MATERIALIZED (
+      SELECT i, j,
+             g // ((SELECT MAX(abs(g)) FROM gram) // 68719476736 + 1) AS g
+      FROM gram
+    ), v0 AS MATERIALIZED (
+      SELECT d AS dim, CAST(1048576 AS BIGINT) AS v FROM sums
+    )"""
+    ]
+    for r in range(1, iterations + 1):
+        blocks.append(
+            f""", w{r} AS MATERIALIZED (
+      SELECT gq.i AS dim, CAST(SUM(gq.g * v{r - 1}.v) AS BIGINT) AS w
+      FROM gq JOIN v{r - 1} ON v{r - 1}.dim = gq.j GROUP BY 1
+    ), v{r} AS MATERIALIZED (
+      SELECT dim,
+             CAST(w // ((SELECT MAX(abs(w)) FROM w{r}) // 1048576 + 1)
+                  AS BIGINT) AS v
+      FROM w{r}
+    )"""
+        )
+    blocks.append(
+        f"""
+    SELECT dim, v AS component_scaled FROM v{iterations}
+    """
+    )
+    return "".join(blocks)
+
+
+@register("principal_direction_power", _power_iter_oracle(3))
+def principal_direction_power_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus by 3 rounds of
+    bit-portable power iteration (operators/ml.py
+    principal_direction_power) — exact integer scatter covariance
+    from a row-local d² explode, deterministic dynamic rescales, the
+    HITS renorm recipe adapted to signed values (divide-FIRST renorm
+    to dodge the w·S overflow). 64 scalar rows."""
+    from dpe_energy_performance_analysis_etl_spark.operators.ml import (
+        principal_direction_power,
+    )
+
+    emb = read_embeddings(spark, sf_dir)
+    return principal_direction_power(emb, iterations=3)

@@ -432,3 +432,81 @@ def target_mixture_weights(
         tshare.alias("target_share"),
         (tshare / nshare).alias("weight"),
     )
+
+
+def unimax_budget_allocation(
+    df: DataFrame,
+    group_col,
+    size_col,
+    budget: int,
+    max_epochs: int = 4,
+) -> DataFrame:
+    """UniMax budget allocation (Chung et al., ICLR'23 — "UniMax:
+    Fairer and More Effective Language Sampling for Large-Scale
+    Multilingual Pretraining"): split a total training-token
+    ``budget`` across groups (languages/sources) as UNIFORMLY as
+    possible, capping each group at ``max_epochs`` passes over its
+    available data — the head languages stop hogging the mixture and
+    no tail language gets oversampled into memorization.
+
+    Waterfilling closed form, fully declarative over the BOUNDED
+    per-group table: sort groups by available capacity ascending;
+    the first k groups (those whose cap is below their fair share of
+    what's left) are capped, the rest split the remainder equally.
+    A group i is capped iff  cap_i·(G−i+1) ≤ budget − Σ_{j<i} cap_j
+    (prefix sums via one window over G rows); the pivot is the last
+    capped index, and the equal share is an integer floor division of
+    the remaining budget — all int64, replayable in SQL.
+
+    Scale shape: one groupBy over the corpus → G-row table; the
+    window/sort run over G rows (bounded: languages/sources, not
+    data). Returns (group, available, cap, allocated, epochs).
+    """
+    sizes = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.sum(size_col).cast("bigint").alias("available")
+    )
+    cap = (F.col("available") * F.lit(max_epochs)).cast("bigint")
+    w = Window.orderBy("cap", "grp")
+    wprev = w.rowsBetween(Window.unboundedPreceding, -1)
+    ranked = (
+        sizes.select("grp", "available", cap.alias("cap"))
+        .withColumn("i", F.row_number().over(w).cast("bigint"))
+        .withColumn(
+            "cum_prev", F.coalesce(F.sum("cap").over(wprev), F.lit(0)).cast("bigint")
+        )
+        .withColumn("g_total", F.count(F.lit(1)).over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).cast("bigint"))
+    )
+    capped = F.col("cap") * (F.col("g_total") - F.col("i") + 1) <= (
+        F.lit(budget) - F.col("cum_prev")
+    )
+    marked = ranked.withColumn("is_capped", capped)
+    # remaining budget after all capped groups, split equally among
+    # the uncapped ones (scalar via a bounded window — no collect)
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    marked = marked.withColumn(
+        "capped_sum",
+        F.coalesce(
+            F.sum(F.when(F.col("is_capped"), F.col("cap"))).over(wall), F.lit(0)
+        ).cast("bigint"),
+    ).withColumn(
+        "n_uncapped",
+        (F.col("g_total") - F.sum(F.col("is_capped").cast("bigint")).over(wall)).cast(
+            "bigint"
+        ),
+    )
+    share = F.expr(f"({budget}L - capped_sum) div greatest(n_uncapped, 1L)")
+    alloc = F.when(F.col("is_capped"), F.col("cap")).otherwise(
+        F.least(F.col("cap"), share)
+    )
+    return marked.select(
+        F.col("grp").alias(group_col),
+        "available",
+        "cap",
+        alloc.cast("bigint").alias("allocated"),
+        (
+            alloc.cast("double")
+            / F.greatest(F.col("available"), F.lit(1)).cast("double")
+        ).alias("epochs"),
+    )

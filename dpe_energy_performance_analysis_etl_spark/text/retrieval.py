@@ -621,3 +621,89 @@ def vocab_coverage_curve(
             "coverage"
         ),
     )
+
+
+def kneser_ney_bigram_probs(
+    train: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 3,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities with absolute
+    discount D = 3/4 (Kneser & Ney ICASSP'95; Chen & Goodman '98's
+    recommended smoothing — the KenLM default) — the principled
+    companion to ``stupid_backoff_scores``:
+
+      P(w2|w1) = max(c12 − D, 0)/c1 + (D·N1+(w1·)/c1) · N1+(·w2)/T
+
+    where c1 = Σ_w2 c12 (w1's CONTEXT count, so the distribution sums
+    to exactly 1), N1+(w1·)/N1+(·w2) are distinct-continuation
+    fan-outs, and T = total distinct bigram types (the continuation
+    unigram P_cont(w2) = N1+(·w2)/T — KN's insight that "Francisco"
+    is frequent but follows only "San").
+
+    Exactness: D = 3/4 is DYADIC, so multiplying through by 4·c1·T
+    clears every fraction —
+
+      P · (4·c1·T) = max(4·c12 − 3, 0)·T + 3·N1+(w1·)·N1+(·w2)
+
+    all int64 (num ≤ 4·c12·T·scale ~ 4e17 at a 10⁶-type corpus;
+    documented bound, ANSI aborts loudly past it), and
+    p_kn_scaled = (num·scale) div den replays bit-identically in SQL.
+    Per-context sanity: Σ_w2-seen P + N_unseen-mass = 1 by
+    construction (tested).
+
+    Scale shape: three one-pass aggregations over the bigram stream
+    (c12, fan-outs, T) + broadcast attaches onto the c12 table —
+    everything equi-keyed, output bounded by ``min_count``.
+
+    Returns (w1, w2, c12, c1, n1p_fwd, n1p_bwd, p_kn_scaled).
+    """
+    bg = _doc_bigrams(train, id_col, text_col)
+    c12 = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c12")
+    )
+    # cached: feeds the context-count, fan-out x2, and T aggregations
+    # plus the output join (the repeated-subtree rule)
+    c12 = c12.cache()
+    c1 = c12.groupBy("w1").agg(
+        F.sum("c12").cast("bigint").alias("c1"),
+        F.count(F.lit(1)).cast("bigint").alias("n1p_fwd"),
+    )
+    n_bwd = c12.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n1p_bwd")
+    )
+    tt = c12.agg(F.count(F.lit(1)).cast("bigint").alias("t_types"))
+    out = (
+        c12.filter(F.col("c12") >= min_count)
+        .join(F.broadcast(c1), "w1")
+        .join(F.broadcast(n_bwd), "w2")
+        .crossJoin(F.broadcast(tt))
+    )
+    num = (
+        F.greatest(F.lit(4) * F.col("c12") - F.lit(3), F.lit(0)).cast("bigint")
+        * F.col("t_types")
+        + F.lit(3) * F.col("n1p_fwd") * F.col("n1p_bwd")
+    )
+    den = F.lit(4) * F.col("c1") * F.col("t_types")
+    # num·scale reaches ~4e17 — past double's 2^53, so the floor MUST
+    # be integer `div`, not the pmod-divide double trick
+    return out.select(
+        "w1",
+        "w2",
+        "c12",
+        "c1",
+        "n1p_fwd",
+        "n1p_bwd",
+        num.alias("__num"),
+        den.alias("__den"),
+    ).selectExpr(
+        "w1",
+        "w2",
+        "c12",
+        "c1",
+        "n1p_fwd",
+        "n1p_bwd",
+        f"(__num * {scale}) div __den AS p_kn_scaled",
+    )

@@ -660,5 +660,196 @@ QUERIES["rake_keywords_docs"] = rake_keywords_docs
 QUERIES["link_prediction_parts"] = link_prediction_parts
 
 
+# ---- round-6 additions: wave-8-15 families (VERDICT r5 ask #2) -------
+
+
+def hits_supplier_graph(dfs):
+    """Eager-pandas HITS twin (2 rounds, 10^6 L∞ renorm, integer
+    floor division — mirrors plans/queries.py _hits_oracle(2))."""
+    S = 10**6
+    o = dfs["orders"][["o_orderkey", "o_custkey"]]
+    l = dfs["lineitem"][["l_orderkey", "l_suppkey"]]
+    p = o.merge(l, left_on="o_orderkey", right_on="l_orderkey")
+    pairs = pd.DataFrame(
+        {"src": p["o_custkey"] * 2, "dst": p["l_suppkey"] * 2 + 1}
+    ).drop_duplicates()
+    nodes = pd.unique(pd.concat([pairs["src"], pairs["dst"]], ignore_index=True))
+    h = pd.Series(S, index=nodes, dtype="int64")
+    a = pd.Series(dtype="int64")
+    for _ in range(2):
+        araw = (
+            pairs.assign(hv=h.reindex(pairs["src"]).to_numpy())
+            .groupby("dst")["hv"]
+            .sum()
+            .astype("int64")
+        )
+        a = (araw * S) // max(int(araw.max()), 1)
+        hraw = (
+            pairs.assign(av=a.reindex(pairs["dst"]).to_numpy())
+            .groupby("src")["av"]
+            .sum()
+            .astype("int64")
+        )
+        h = (hraw * S) // max(int(hraw.max()), 1)
+    return pd.DataFrame(
+        {
+            "node": nodes,
+            "hub_scaled": h.reindex(nodes).fillna(0).astype("int64").to_numpy(),
+            "auth_scaled": a.reindex(nodes).fillna(0).astype("int64").to_numpy(),
+        }
+    )
+
+
+def kmeans_lloyd_portable(dfs):
+    """numpy Lloyd twin: k=8 smallest-vid seeds, 2 rounds, int64
+    floor(x*1024)+1024 coords, argmin ties to smallest cluster id,
+    integer-division centroid means (mirrors operators/ml.py)."""
+    emb = dfs["embeddings"].sort_values("vec_id")
+    X = np.floor(np.stack(emb["embedding"].to_numpy()).astype("float64") * 1024).astype(
+        "int64"
+    ) + 1024
+    vids = emb["vec_id"].to_numpy()
+    seed_ids = vids[:8]
+    C = X[:8].copy()
+    labels = None
+    dists = None
+    for _ in range(2):
+        # (n, 8) int64 distances; argmin picks the FIRST min — C rows
+        # are ordered by ascending seed id, matching the tie-break
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        labels = d2.argmin(axis=1)
+        dists = d2[np.arange(len(X)), labels]
+        newC = np.zeros_like(C)
+        for ci in range(8):
+            members = X[labels == ci]
+            if len(members):
+                newC[ci] = members.sum(axis=0) // len(members)
+            else:
+                newC[ci] = C[ci]
+        C = newC
+    out = []
+    for ci in range(8):
+        mask = labels == ci
+        if mask.any():
+            out.append(
+                (
+                    int(seed_ids[ci]),
+                    int(mask.sum()),
+                    int(dists[mask].sum()),
+                    int(C[ci].sum()),
+                )
+            )
+    return pd.DataFrame(
+        out, columns=["cluster", "n_members", "inertia", "centroid_sum"]
+    )
+
+
+def mann_kendall_user_values(dfs):
+    """Per-user Mann-Kendall S + tie-corrected Var·18 + z, numpy
+    O(n²) per bounded series (mirrors operators/stats.py)."""
+    ev = dfs["events"][["user_id", "ts", "event_id", "value"]].sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    rows = []
+    for uid, g in ev.groupby("user_id", sort=False):
+        v = g["value"].to_numpy()
+        n = len(v)
+        diff = v[None, :] - v[:, None]
+        s = int(np.sign(np.triu(diff, k=1)).sum())
+        _, counts = np.unique(v, return_counts=True)
+        tie = int(sum(t * (t - 1) * (2 * t + 5) for t in counts if t > 1))
+        var18 = n * (n - 1) * (2 * n + 5) - tie
+        if var18 == 0 or s == 0:
+            z = 0.0
+        elif s > 0:
+            z = (s - 1) / np.sqrt(var18 / 18.0)
+        else:
+            z = (s + 1) / np.sqrt(var18 / 18.0)
+        rows.append((uid, n, s, var18, z))
+    return pd.DataFrame(rows, columns=["user_id", "n", "s_stat", "var_x18", "z"])
+
+
+def cramers_v_priority_status(dfs):
+    """Integer-quantized chi² / Cramér's V over the priority×status
+    contingency table (mirrors operators/stats.py
+    cramers_v_quantized, scale=1000)."""
+    o = dfs["orders"]
+    cells = (
+        o.groupby(["o_orderpriority", "o_orderstatus"]).size().astype("int64")
+    )
+    n = int(cells.sum())
+    rt = cells.groupby(level=0).sum()
+    ct = cells.groupby(level=1).sum()
+    r, c = len(rt), len(ct)
+    chi2_xscale = 0
+    for rv, rtot in rt.items():
+        for cv, ctot in ct.items():
+            obs = int(cells.get((rv, cv), 0))
+            eq = (int(rtot) * int(ctot)) // n
+            d = max(eq, 1)
+            dd = (obs - eq) * (obs - eq)
+            chi2_xscale += (dd // d) * 1000 + (dd % d) * 1000 // d
+    k = min(r - 1, c - 1)
+    v = 0.0 if k <= 0 else float(np.sqrt(chi2_xscale / (1000.0 * n * k)))
+    return pd.DataFrame(
+        [(n, r, c, chi2_xscale, v)],
+        columns=["n", "n_rowcats", "n_colcats", "chi2_xscale", "cramers_v"],
+    )
+
+
+def decision_stump_totalprice(dfs):
+    """Histogram best-Gini-split twin (mirrors operators/ml.py
+    decision_stump_binned, 256 bins, urgent-order label)."""
+    o = dfs["orders"]
+    val = o["o_totalprice"].to_numpy(dtype="float64")
+    y = o["o_orderpriority"].isin(["1-URGENT", "2-HIGH"]).to_numpy(dtype="int64")
+    lo, hi = float(val.min()), float(val.max())
+    width = (hi - lo) / 256.0
+    bucket = np.clip(np.floor((val - lo) / width).astype("int64"), 0, 255)
+    pos = np.bincount(bucket, weights=y, minlength=256).astype("int64")
+    neg = np.bincount(bucket, weights=1 - y, minlength=256).astype("int64")
+    present = np.where((pos + neg) > 0)[0]
+    pl = np.cumsum(pos[present])
+    nl = np.cumsum(neg[present])
+    tp, tn = int(pos.sum()), int(neg.sum())
+    pr, nr = tp - pl, tn - nl
+    tl, tr = pl + nl, pr + nr
+    ok = (tl > 0) & (tr > 0)
+    score = np.where(
+        ok, (pl * nl) / np.maximum(tl, 1) + (pr * nr) / np.maximum(tr, 1), np.inf
+    )
+    best = int(np.lexsort((present, score))[0])
+    b = int(present[best])
+    return pd.DataFrame(
+        [
+            (
+                b,
+                lo + (b + 1) * width,
+                int(pl[best]),
+                int(nl[best]),
+                int(pr[best]),
+                int(nr[best]),
+                float(score[best]),
+            )
+        ],
+        columns=[
+            "split_bucket",
+            "split_value",
+            "pos_left",
+            "neg_left",
+            "pos_right",
+            "neg_right",
+            "gini_score",
+        ],
+    )
+
+
+QUERIES["hits_supplier_graph"] = hits_supplier_graph
+QUERIES["kmeans_lloyd_portable"] = kmeans_lloyd_portable
+QUERIES["mann_kendall_user_values"] = mann_kendall_user_values
+QUERIES["cramers_v_priority_status"] = cramers_v_priority_status
+QUERIES["decision_stump_totalprice"] = decision_stump_totalprice
+
+
 if __name__ == "__main__":
     main()

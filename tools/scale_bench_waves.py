@@ -1,0 +1,82 @@
+"""Cold-cache scale table for the round-5 wave-8-15 operator
+families (VERDICT r5 ask #2): sf0.1 / sf1 / sf5 with matched calib.
+
+Discipline (NOTES round-4/5 lessons): `spark.catalog.clearCache()`
+before every timed run (operators that return cached tables otherwise
+time ~0 on repeats), min-of-2 cold runs per (query, sf), calib_sec
+sampled once at start on an otherwise idle box.
+
+Usage:
+  python tools/make_sfN.py --factor 10 --out /tmp/sparkgraft_sf1
+  python tools/make_sfN.py --factor 50 --out /tmp/sparkgraft_sf5
+  python tools/scale_bench_waves.py [query ...]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+QUERIES_TO_SCALE = [
+    "hits_supplier_graph",
+    "ppr_supplier_graph",
+    "bellman_ford_parts",
+    "coverage_select_docs",
+    "hll_distinct_orders",
+    "ams_f2_tokens",
+    "mann_kendall_user_values",
+    "theil_sen_spend_trend",
+    "cramers_v_priority_status",
+    "kmeans_lloyd_portable",
+    "decision_stump_totalprice",
+    "sorted_neighborhood_matches",
+    "image_dhash_near_dups",
+    "scene_cuts_rawvideo",
+    "audio_fp_match_clip",
+]
+
+SF_DIRS = [
+    ("sf0.1", "/root/testdata/sf0.1"),
+    ("sf1", "/tmp/sparkgraft_sf1"),
+    ("sf5", "/tmp/sparkgraft_sf5"),
+]
+
+
+def main() -> int:
+    sys.path.insert(0, "/root/repo")
+    from dpe_energy_performance_analysis_etl_spark import get_spark
+    from dpe_energy_performance_analysis_etl_spark.plans import QUERIES
+
+    only = sys.argv[1:]
+    names = only or QUERIES_TO_SCALE
+    spark = get_spark("scale_bench")
+    spark.range(100_000_000).selectExpr("sum(id * 2 + 1)").collect()  # warm
+    t0 = time.perf_counter()
+    spark.range(100_000_000).selectExpr("sum(id * 2 + 1)").collect()
+    calib = round(time.perf_counter() - t0, 3)
+
+    out: dict = {"calib_sec": calib, "queries": {}}
+    for name in names:
+        row = {}
+        for sf_label, sf_dir in SF_DIRS:
+            times = []
+            rows = None
+            try:
+                for _ in range(2):
+                    spark.catalog.clearCache()
+                    t0 = time.perf_counter()
+                    rows = QUERIES[name](spark, sf_dir).count()
+                    times.append(time.perf_counter() - t0)
+                row[sf_label] = {"sec": round(min(times), 2), "rows": rows}
+            except Exception as exc:
+                row[sf_label] = {"err": str(exc)[:200]}
+        out["queries"][name] = row
+        print(json.dumps({name: row}), flush=True)
+    print(json.dumps(out))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
