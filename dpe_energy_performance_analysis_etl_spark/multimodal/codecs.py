@@ -281,6 +281,10 @@ def sniff_decode_image(payload: bytes) -> np.ndarray:
         from dpe_energy_performance_analysis_etl_spark.multimodal.jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from dpe_energy_performance_analysis_etl_spark.multimodal.gif import decode_gif
+
+        return decode_gif(payload)
     raise ValueError(f"unrecognized image container (header {payload[:8]!r})")
 
 

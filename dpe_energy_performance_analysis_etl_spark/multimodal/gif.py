@@ -123,7 +123,13 @@ def _lzw_decode(payload: bytes, min_code_size: int) -> bytes:
             table.append(entry)
         else:
             raise ValueError("corrupt LZW stream: code beyond table")
-        if prev is not None and len(table) == (1 << width) and width < 12:
+        # the decoder's slot counter LEADS len(table) by one (the
+        # entry for the current code is only completed when the NEXT
+        # code arrives — giflib reserves the slot immediately), so
+        # width grows when len(table)+1 reaches 2^width; counting
+        # len(table) itself reads one code too late and desyncs from
+        # the encoder (measured: every >2-code stream corrupts)
+        if len(table) + 1 == (1 << width) and width < 12:
             width += 1
         out += entry
         prev = entry

@@ -10804,3 +10804,72 @@ def principal_direction_power_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = read_embeddings(spark, sf_dir)
     return principal_direction_power(emb, iterations=3)
+
+
+@register("gif_compression_stats")
+def gif_compression_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF/LZW compressibility as a per-document redundancy feature
+    (multimodal/gif.py — pure-numpy GIF87a codec, the fifth real
+    container after PNG/BMP/PPM/JPEG): documents render to
+    deterministic 24×24 16-color images (text bytes mod the palette),
+    encode through the variable-width LZW pipeline, decode back, and
+    report compressed size + bit-exact roundtrip per doc — LZW ratio
+    is the classic cheap proxy for repeated-content detection
+    (the compression_ratio zlib feature's sibling, exercising
+    dictionary coding instead of deflate). Rows-only by design (LZW
+    decode is not SQL); the codec itself is pinned by a hand-derived
+    spec byte anchor and width-change/KwKwK/table-reset roundtrips
+    (tests/test_gif.py)."""
+    import numpy as np
+    import pandas as pd
+
+    docs = read_documents(spark, sf_dir)
+
+    def work(batches):
+        from dpe_energy_performance_analysis_etl_spark.multimodal.gif import (
+            decode_gif,
+            encode_gif,
+        )
+
+        pal = (np.arange(16, dtype=np.uint8)[:, None] * np.array([17, 13, 7])).astype(
+            np.uint8
+        )
+        for pdf in batches:
+            rows = []
+            for did, t in zip(pdf["doc_id"], pdf["text"]):
+                raw = t.encode()[: 24 * 24]
+                buf = np.zeros(24 * 24, dtype=np.uint8)
+                buf[: len(raw)] = np.frombuffer(raw, dtype=np.uint8)
+                px = pal[(buf % 16).reshape(24, 24)]
+                payload = encode_gif(px)
+                ok = bool((decode_gif(payload) == px).all())
+                rows.append(
+                    (
+                        int(did),
+                        len(payload),
+                        24 * 24 * 3,
+                        int(np.unique(buf % 16).size),
+                        ok,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "gif_bytes", "raw_bytes", "n_colors", "roundtrip_ok"],
+            )
+
+    out = docs.select("doc_id", "text").mapInPandas(
+        work,
+        schema=(
+            "doc_id long, gif_bytes long, raw_bytes long,"
+            " n_colors long, roundtrip_ok boolean"
+        ),
+    )
+    return out.select(
+        "doc_id",
+        "gif_bytes",
+        "n_colors",
+        "roundtrip_ok",
+        (F.col("gif_bytes").cast("double") / F.col("raw_bytes").cast("double")).alias(
+            "lzw_ratio"
+        ),
+    )
