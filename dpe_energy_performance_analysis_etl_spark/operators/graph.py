@@ -954,3 +954,278 @@ def community_modularity(
         .otherwise(num.cast("double") / den.cast("double"))
         .alias("q_contrib"),
     )
+
+
+def ktruss_edges(
+    edges: DataFrame,
+    k: int = 4,
+    iterations: int | None = None,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """k-truss decomposition (Cohen 2008 "Trusses: cohesive subgraphs
+    for social network analysis"): keep exactly the edges embedded in
+    ≥ k−2 triangles OF THE SURVIVING SUBGRAPH — the edge-level
+    sibling of k-core (a k-truss is always inside a (k−1)-core but
+    much denser; the standard community-core extractor).
+
+    Per round: enumerate each triangle ONCE via the ordered wedge
+    join (neighbors u<x<y: wedge at u closed by (x,y)), explode it to
+    its 3 member edges (explode-of-array, not unionAll — the
+    repeated-subtree rule), aggregate per-edge support, semi-join
+    edges with support ≥ k−2, eager localCheckpoint (the cascade
+    rule), one edge-count action as convergence probe — identical
+    discipline to ``kcore_peel``, with the wedge join's Σdeg² cost
+    bounded by the id-ordered adjacency (each triangle generated
+    exactly once, hub middles never fan out twice).
+
+    ``iterations=None`` runs to the fixpoint; a fixed count gives the
+    deterministic prefix an unrolled SQL oracle replays (peeling is
+    confluent). Returns surviving (a, b, support).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev = e.count()
+    rounds = 0
+    support = None
+    while iterations is None or rounds < iterations:
+        tri = (
+            e.alias("e1")
+            .join(e.alias("e2"), F.col("e1.a") == F.col("e2.a"))
+            .where(F.col("e1.b") < F.col("e2.b"))
+            .select(
+                F.col("e1.a").alias("u"),
+                F.col("e1.b").alias("x"),
+                F.col("e2.b").alias("y"),
+            )
+            .join(
+                e.selectExpr("a AS x", "b AS y"),
+                ["x", "y"],
+                "left_semi",
+            )
+        )
+        sup = (
+            tri.select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("u").alias("a"), F.col("x").alias("b")),
+                        F.struct(F.col("u").alias("a"), F.col("y").alias("b")),
+                        F.struct(F.col("x").alias("a"), F.col("y").alias("b")),
+                    )
+                ).alias("ed")
+            )
+            .select("ed.a", "ed.b")
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+        )
+        nxt = (
+            e.join(sup, ["a", "b"], "left")
+            .where(F.coalesce(F.col("support"), F.lit(0)) >= k - 2)
+            .select("a", "b", F.coalesce(F.col("support"), F.lit(0)).alias("support"))
+            .localCheckpoint()
+        )
+        n = nxt.count()
+        support = nxt
+        e = nxt.select("a", "b").localCheckpoint()
+        rounds += 1
+        if iterations is None and n == prev:
+            break
+        prev = n
+    if support is None:
+        return e.withColumn("support", F.lit(0).cast("bigint"))
+    return support
+
+
+def boruvka_mst(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """Minimum spanning forest by Borůvka rounds (1926; THE
+    distributed MST algorithm — each round every component picks its
+    minimum outgoing edge and components merge, so the component
+    count at least halves: ≤ log₂|V| rounds) — the backbone of
+    single-linkage clustering at scale (cut the MST at a distance
+    threshold = the dendrogram cut; compose with the CC operator).
+
+    Determinism: edges order by (weight, a, b) struct-min — ties
+    break on endpoint ids, so the forest is a pure function of the
+    input on every engine (with distinct weights it is THE unique
+    MST).
+
+    Component merge per round runs hash-min + pointer-doubling over
+    the picked-link graph (neighbor-min alone is O(diameter);
+    doubling alone stalls on chains whose min is not a neighbor —
+    10—7—9—2 leaves 7 self-labeled; combined they resolve depth 2^h
+    in h hops) — and it must reach a FIXPOINT before the next round:
+    a half-merged tree would pass the ca≠cb filter and re-pick an
+    intra-tree edge, i.e. a cycle in the output.
+
+    Two measured perf lessons at sf0.01 (3.6k edges):
+      * ``localCheckpoint`` CARRIES the origin plan's ESTIMATED
+        statistics into the new leaf, and a size estimate of an
+        inner-join tree is the PRODUCT of its leaf estimates — so an
+        iterative step that references the previous round's leaf k≥2
+        times multiplies the carried ``sizeInBytes`` exponent by k
+        EVERY iteration (here the hop references cmap 3×: neighbor
+        join, stepped base, doubling lookup → 3^hops growth). The
+        estimate is a Scala ``BigInt``; by round 3 at sf0.01 the
+        optimizer (``SizeInBytesOnlyStatsPlanVisitor``) was grinding
+        through ~10⁸-bit ``BigInteger`` multiplies (hop 0 spent 97 s
+        in stats) and OOMed the driver. Per-round semi-joins (kcore)
+        and single-reference joins (pagerank) only grow the exponent
+        LINEARLY, which is why no other iterative operator hit this.
+        The fix is a STATS RE-BASE: ``cache()`` each checkpointed
+        leaf — the very next action (the checksum collect) populates
+        the cache, and every later plan sees the InMemoryRelation's
+        MEASURED byte size instead of the compounded estimate, so
+        per-hop estimates stay a bounded constant. Unpersisting the
+        2-generations-old leaf is cascade-safe (the r5 cache rule)
+        because every cached entry is a fresh ``LogicalRDD`` leaf —
+        no entry's plan contains another's subtree.
+      * Action economy: one eager checkpoint + one O(1)-row
+        sum-checksum per hop (labels only decrease, so an unchanged
+        ``sum(m)`` proves pointwise fixpoint — same probe as
+        ``dedup/cluster.py``); the forest accumulates as a Python
+        list of checkpointed picks, unioned once at the end; the
+        empty-picks guard doubles as the termination test, so no
+        per-round distinct-component count exists at all.
+
+    Returns the forest edges (a, b, weight).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+            F.col(weight).cast("bigint").alias("w"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.min("w").alias("w"))
+        .localCheckpoint()
+    )
+    labels = (
+        e.select(F.explode(F.array("a", "b")).alias("v"))
+        .distinct()
+        .select("v", F.col("v").alias("comp"))
+        .localCheckpoint()
+    )
+    spark = edges.sparkSession
+    labels.cache()
+    picked: list[DataFrame] = []
+    prev_labels: DataFrame | None = None
+    for _ in range(max_rounds):
+        le = (
+            e.join(
+                labels.withColumnRenamed("v", "a").withColumnRenamed("comp", "ca"),
+                "a",
+            )
+            .join(
+                labels.withColumnRenamed("v", "b").withColumnRenamed("comp", "cb"),
+                "b",
+            )
+            .where(F.col("ca") != F.col("cb"))
+        )
+        cand = le.select(
+            F.explode(F.array("ca", "cb")).alias("comp"),
+            F.struct("w", "a", "b", "ca", "cb").alias("edge"),
+        )
+        picks = (
+            cand.groupBy("comp")
+            .agg(F.min("edge").alias("e"))
+            .select("e.a", "e.b", "e.w", "e.ca", "e.cb")
+            .distinct()
+            .localCheckpoint()
+        )
+        # This count also materializes the new labels cache (the
+        # picks plan scans labels), completing the stats re-base;
+        # the previous round's labels leaf is then safe to drop.
+        if picks.count() == 0:
+            break
+        if prev_labels is not None:
+            prev_labels.unpersist()
+            prev_labels = None
+        picked.append(picks.select("a", "b", "w"))
+        # Undirected comp-level link graph of this round's picks —
+        # lazy: a cheap explode over the checkpointed picks, read
+        # once per hop.
+        links = picks.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("ca").alias("x"), F.col("cb").alias("y")),
+                    F.struct(F.col("cb").alias("x"), F.col("ca").alias("y")),
+                )
+            ).alias("l")
+        ).select("l.x", "l.y")
+
+        cmap = (
+            links.groupBy("x")
+            .agg(F.least(F.min("y"), F.min("x")).alias("m"))
+            .localCheckpoint()
+        )
+        cmap.cache()
+        prev_sum = cmap.agg(F.sum("m")).collect()[0][0]
+        prev_cmap: DataFrame | None = None
+        for _hop in range(32):
+            nbr = (
+                links.join(cmap.withColumnRenamed("x", "y"), "y")
+                .groupBy("x")
+                .agg(F.min("m").alias("nm"))
+            )
+            stepped = cmap.join(nbr, "x", "left").select(
+                "x",
+                F.least(F.col("m"), F.coalesce(F.col("nm"), F.col("m"))).alias("m"),
+            )
+            # Doubling through the MATERIALIZED cmap leaf (see
+            # docstring: self-joining the lazy `stepped` squares
+            # carried stats per hop → optimizer BigInteger OOM).
+            # cmap is unique per x, so no post-join groupBy needed.
+            nxt = (
+                stepped.join(
+                    cmap.selectExpr("x AS m", "m AS m2"), "m", "left"
+                )
+                .select(
+                    "x",
+                    F.least(F.col("m"), F.coalesce(F.col("m2"), F.col("m"))).alias(
+                        "m"
+                    ),
+                )
+                .localCheckpoint()
+            )
+            nxt.cache()
+            new_sum = nxt.agg(F.sum("m")).collect()[0][0]
+            if prev_cmap is not None:
+                prev_cmap.unpersist()
+            prev_cmap, cmap = cmap, nxt
+            if new_sum == prev_sum:
+                break
+            prev_sum = new_sum
+        if prev_cmap is not None:
+            prev_cmap.unpersist()
+        prev_labels = labels
+        labels = (
+            labels.join(cmap.withColumnRenamed("x", "comp"), "comp", "left")
+            .select("v", F.coalesce(F.col("m"), F.col("comp")).alias("comp"))
+            .localCheckpoint()
+        )
+        labels.cache()
+        # The eager labels checkpoint has consumed cmap; drop it.
+        cmap.unpersist()
+    for leftover in (labels, prev_labels):
+        if leftover is not None:
+            leftover.unpersist()
+    if not picked:
+        return spark.createDataFrame([], "a bigint, b bigint, weight bigint")
+    forest = picked[0]
+    for p in picked[1:]:
+        forest = forest.unionByName(p)
+    return forest.groupBy("a", "b").agg(F.min("w").alias("weight"))

@@ -255,3 +255,129 @@ def geohash_encode_micro(
             )
         )
     return F.concat(*chars)
+
+
+def dbscan_grid(
+    points: DataFrame,
+    eps: int,
+    min_pts: int,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """DBSCAN (Ester et al., KDD'96) over INTEGER 2-D coordinates,
+    distributed via the module's grid-cell candidate bound — the
+    density-clustering step a geocoded-dedup pipeline runs after
+    point enrichment (cluster sites, flag isolated records as noise).
+
+    Scale shape (no all-pairs anywhere):
+      - eps-neighbor candidates through the same 3x3 grid-cell
+        equi-join as ``grid_radius_join`` (cell side = eps, fixed 9x
+        fan-out); the exact predicate is the INTEGER squared
+        distance dx²+dy² <= eps² — engine-exact, no floats;
+      - core test |N_eps(p)| >= min_pts counts p itself (the paper's
+        definition);
+      - clusters = connected components of the core-core eps graph
+        via ``dedup.cluster.connected_components`` (hash-min label
+        propagation, O(1)-row checksum convergence probe) — the
+        component label is the MIN core id, a deterministic cluster
+        id;
+      - border points (non-core with >= 1 core neighbor) take the
+        MIN cluster label among their adjacent cores. Canonical
+        DBSCAN leaves border assignment scan-order-dependent; the
+        min rule makes it a pure function of the input, identical on
+        every engine and partitioning;
+      - noise gets cluster -1.
+
+    The candidate pair table is consumed by three branches (counts,
+    core edges, border attach) — cached while in scope (bounded by
+    the eps-neighbor pair count, the operator's true output-side
+    size; on a cluster prefer persist(DISK_ONLY) for huge densities).
+
+    Coordinates may be negative: the cell id uses a floor division
+    built from pmod ((c - pmod(c, eps)) / eps — the numerator is an
+    exact multiple of eps, so the double division is exact for
+    |c| < 2^53; plenty for projected/micro-degree coordinates).
+
+    Returns (id, role in {'core','border','noise'}, cluster).
+    """
+    from dpe_energy_performance_analysis_etl_spark.dedup.cluster import connected_components
+
+    if eps <= 0 or min_pts < 1:
+        raise ValueError(f"eps must be > 0 and min_pts >= 1: {eps}, {min_pts}")
+    p = points.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        F.col(x_col).cast("bigint").alias("x"),
+        F.col(y_col).cast("bigint").alias("y"),
+    )
+
+    def cell(c: Column) -> Column:
+        # floor division via pmod: exact for negatives on both engines
+        return ((c - F.pmod(c, F.lit(eps))) / F.lit(eps)).cast("bigint")
+
+    l_tag = p.select(
+        F.col("id").alias("a"),
+        F.col("x").alias("ax"),
+        F.col("y").alias("ay"),
+        cell(F.col("x")).alias("cx"),
+        cell(F.col("y")).alias("cy"),
+    )
+    offsets = F.array(*[F.lit(i) for i in (-1, 0, 1)])
+    r_tag = (
+        p.select(
+            F.col("id").alias("b"),
+            F.col("x").alias("bx"),
+            F.col("y").alias("by"),
+        )
+        .withColumn("ox", F.explode(offsets))
+        .withColumn("oy", F.explode(offsets))
+        .select(
+            "b",
+            "bx",
+            "by",
+            (cell(F.col("bx")) + F.col("ox")).alias("cx"),
+            (cell(F.col("by")) + F.col("oy")).alias("cy"),
+        )
+    )
+    d2 = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
+        F.col("ay") - F.col("by")
+    ) * (F.col("ay") - F.col("by"))
+    pairs = (
+        l_tag.join(r_tag, ["cx", "cy"])
+        .where(d2 <= F.lit(int(eps) * int(eps)))
+        .select("a", "b")
+        .cache()
+    )
+    ncount = pairs.groupBy("a").agg(F.count(F.lit(1)).alias("n"))
+    core = ncount.where(F.col("n") >= min_pts).select(F.col("a").alias("id")).cache()
+    core_edges = (
+        pairs.where(F.col("a") != F.col("b"))
+        .join(core.withColumnRenamed("id", "a"), "a", "semi")
+        .join(core.withColumnRenamed("id", "b"), "b", "semi")
+    )
+    labels = connected_components(
+        core_edges, src="a", dst="b", nodes=core, node_col="id"
+    )
+    core_out = labels.select(
+        F.col("node").alias("id"),
+        F.lit("core").alias("role"),
+        F.col("comp").alias("cluster"),
+    )
+    border_out = (
+        pairs.where(F.col("a") != F.col("b"))
+        .join(core.withColumnRenamed("id", "a"), "a", "anti")
+        .join(labels.withColumnRenamed("node", "b"), "b")
+        .groupBy("a")
+        .agg(F.min("comp").alias("cluster"))
+        .select(F.col("a").alias("id"), F.lit("border").alias("role"), "cluster")
+    )
+    assigned = core_out.select("id").unionByName(border_out.select("id"))
+    noise_out = (
+        p.select("id")
+        .join(assigned, "id", "anti")
+        .select("id", F.lit("noise").alias("role"), F.lit(-1).cast("bigint").alias("cluster"))
+    )
+    out = core_out.unionByName(border_out).unionByName(noise_out).localCheckpoint()
+    pairs.unpersist()
+    core.unpersist()
+    return out

@@ -1040,3 +1040,74 @@ def cohens_kappa_exact(df, label_a, label_b):
             .alias("kappa"),
         )
     )
+
+
+def kaplan_meier(
+    df,
+    time_col,
+    event_col,
+    scale: int = 1_000_000,
+):
+    """Kaplan-Meier product-limit survival estimator (Kaplan & Meier
+    JASA'58) over integer time tiers — survival analysis for churn /
+    retention / time-to-failure, exact across engines:
+
+        S(t) = Π_{s ≤ t} (n_s − d_s) / n_s
+
+    (n_s = at-risk count entering tier s, d_s = events at s; censored
+    subjects leave the risk set without an event). A float running
+    product is order-dependent and libm-free only by luck; here the
+    fold is INTEGER: S_q(t) = (S_q(t−1)·(n−d)) div n starting from
+    ``scale`` — a deterministic sequential fold that both engines
+    replay bit-identically. Sequential-over-what? The BOUNDED tier
+    table (distinct time buckets — ~80 rows for monthly tiers), never
+    the subjects: per-tier (d, c) is one data-sized aggregation;
+    tiers collect into ONE sorted array ((t, n·M+d) encoded structs,
+    M = 2^20 so acc·n stays ≤ scale·n < 2^53-safe int64 to ~10⁹
+    subjects) and each tier's prefix folds via the SQL `aggregate`
+    higher-order function — quadratic in TIERS (80² lambda steps,
+    nothing), zero extra shuffle.
+
+    Returns (t, n_at_risk, d_events, c_censored, surv_scaled) —
+    surv_scaled = ⌊S(t)·scale⌋ under per-step flooring.
+    """
+    from pyspark.sql import Window, functions as F
+
+    M = 1 << 20
+    t = F.col(time_col).cast("bigint")
+    ev = F.col(event_col).cast("int")
+    tiers = df.groupBy(t.alias("t")).agg(
+        F.sum(ev).cast("bigint").alias("d"),
+        F.sum(1 - ev).cast("bigint").alias("c"),
+    )
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    # at-risk entering tier t = total − everyone who left earlier
+    # (windows run over the bounded tier table — the audit rule)
+    tiers = tiers.withColumn(
+        "n",
+        F.sum(F.col("d") + F.col("c")).over(wall)
+        - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w), F.lit(0)),
+    ).withColumn("i", F.row_number().over(Window.orderBy("t")).cast("int"))
+    encs = tiers.agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("t"), (F.col("n") * M + F.col("d")).alias("e")))
+            ),
+            lambda s: s["e"],
+        ).alias("encs")
+    )
+    fold = (
+        f"aggregate(slice(encs, 1, i), CAST({scale} AS BIGINT),"
+        f" (acc, e) -> (acc * ((e div {M}) - (e % {M}))) div (e div {M}))"
+    )
+    return (
+        tiers.crossJoin(F.broadcast(encs))
+        .selectExpr(
+            "t",
+            "n AS n_at_risk",
+            "d AS d_events",
+            "c AS c_censored",
+            f"{fold} AS surv_scaled",
+        )
+    )

@@ -567,3 +567,130 @@ def event_trigrams(
         "context_n",
         (F.col("n").cast("double") / F.col("context_n").cast("double")).alias("prob"),
     )
+
+
+def gsp_frequent_sequences(
+    events: DataFrame,
+    key_col: str = "user_id",
+    item_col: str = "event_type",
+    order_cols: tuple = ("ts", "event_id"),
+    min_support: int = 10,
+    max_len: int = 3,
+) -> DataFrame:
+    """Frequent sequential patterns up to length ``max_len`` with
+    arbitrary gaps (GSP — Srikant & Agrawal, EDBT'96; the Apriori
+    level-wise recipe on SEQUENCES): a pattern ⟨i₁ → i₂ → i₃⟩ is
+    frequent iff ≥ ``min_support`` distinct keys contain the items in
+    that order (not necessarily adjacent — the difference from the
+    n-gram/trigram family, which only sees contiguous runs).
+
+    Candidate discipline (the house rule): level ℓ candidates come
+    ONLY from joining frequent (ℓ−1)-patterns — each level prunes by
+    the Apriori property before any data-sized join, so the ordered
+    pair/triple enumeration is equi-keyed per key and bounded by
+    frequent-item occurrences, never all-pairs over raw events.
+    Support counts DISTINCT keys (one count per key regardless of
+    how many times the pattern occurs inside it).
+
+    Per-key occurrence positions use a dense ordering rank; the
+    ℓ=2 join is (key)-keyed over frequent-item occurrences with a
+    rank inequality; ℓ=3 extends frequent 2-patterns by frequent
+    items with the same discipline. Returns
+    (pattern, length, support) — pattern as '→'-joined items.
+    """
+    rk = F.row_number().over(
+        Window.partitionBy(key_col).orderBy(*[F.col(c) for c in order_cols])
+    )
+    ev = events.select(
+        F.col(key_col).alias("k"), F.col(item_col).alias("it"), rk.alias("r")
+    ).cache()
+
+    f1 = (
+        ev.select("k", "it")
+        .distinct()
+        .groupBy("it")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+        .where(F.col("support") >= min_support)
+        .cache()
+    )
+    out = f1.select(
+        F.col("it").alias("pattern"),
+        F.lit(1).cast("bigint").alias("length"),
+        "support",
+    )
+    if max_len < 2:
+        return out
+
+    # occurrences of frequent items only (Apriori prune before join)
+    occ = ev.join(F.broadcast(f1.select("it")), "it", "left_semi").cache()
+    p2 = (
+        occ.alias("x")
+        .join(occ.alias("y"), F.col("x.k") == F.col("y.k"))
+        .where(F.col("x.r") < F.col("y.r"))
+        .select(
+            F.col("x.k").alias("k"),
+            F.col("x.it").alias("i1"),
+            F.col("y.it").alias("i2"),
+        )
+        .distinct()
+    )
+    f2 = (
+        p2.groupBy("i1", "i2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+        .where(F.col("support") >= min_support)
+        .cache()
+    )
+    out = out.unionByName(
+        f2.select(
+            F.concat_ws("→", "i1", "i2").alias("pattern"),
+            F.lit(2).cast("bigint").alias("length"),
+            "support",
+        )
+    )
+    if max_len < 3:
+        return out
+
+    # level 3: first occurrence-pair per (k, i1, i2) with the
+    # EARLIEST possible (min x.r, then min y.r > that) is enough for
+    # existence of an extension — the classic earliest-witness
+    # argument: if any (r1 < r2 < r3) embedding exists, one with the
+    # minimal r2 for some r1 exists, so joining the min-r2 witness
+    # per (k, i1, i2) against later frequent-item occurrences finds
+    # exactly the keys containing the 3-pattern
+    w2 = (
+        occ.alias("x")
+        .join(occ.alias("y"), F.col("x.k") == F.col("y.k"))
+        .where(F.col("x.r") < F.col("y.r"))
+        .join(
+            F.broadcast(f2.select("i1", "i2")),
+            (F.col("x.it") == F.col("i1")) & (F.col("y.it") == F.col("i2")),
+            "left_semi",
+        )
+        .groupBy(
+            F.col("x.k").alias("k"),
+            F.col("x.it").alias("i1"),
+            F.col("y.it").alias("i2"),
+        )
+        .agg(F.min(F.col("y.r")).cast("bigint").alias("r2"))
+    )
+    w2r = w2.withColumnRenamed("k", "wk")
+    p3 = (
+        w2r.join(
+            occ.alias("z"),
+            (F.col("wk") == F.col("z.k")) & (F.col("r2") < F.col("z.r")),
+        )
+        .select(F.col("wk").alias("k"), "i1", "i2", F.col("z.it").alias("i3"))
+        .distinct()
+    )
+    f3 = (
+        p3.groupBy("i1", "i2", "i3")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+        .where(F.col("support") >= min_support)
+    )
+    return out.unionByName(
+        f3.select(
+            F.concat_ws("→", "i1", "i2", "i3").alias("pattern"),
+            F.lit(3).cast("bigint").alias("length"),
+            "support",
+        )
+    )

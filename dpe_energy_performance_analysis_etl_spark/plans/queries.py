@@ -10873,3 +10873,441 @@ def gif_compression_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lzw_ratio"
         ),
     )
+
+
+@register(
+    "iblt_set_reconcile",
+    """
+    WITH l AS (
+      SELECT DISTINCT o_orderkey FROM orders WHERE o_orderkey % 7 <> 0
+    ), r AS (
+      SELECT DISTINCT o_orderkey FROM orders WHERE o_orderkey % 11 <> 0
+    )
+    SELECT o_orderkey, 'left_only' AS side
+    FROM l WHERE o_orderkey NOT IN (SELECT o_orderkey FROM r)
+    UNION ALL
+    SELECT o_orderkey, 'right_only' AS side
+    FROM r WHERE o_orderkey NOT IN (SELECT o_orderkey FROM l)
+    """,
+)
+def iblt_set_reconcile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set reconciliation via Invertible Bloom Lookup Table
+    (operators/diff.py iblt_set_diff; Eppstein SIGCOMM'11): two order
+    snapshots (keys mod-7 / mod-11 filtered) compress to 8192
+    mergeable (sum, bit_xor, bit_xor) cells each; subtracting cancels
+    the ~75% common keys and peeling recovers EXACTLY the differing
+    keys — work bounded by the diff, not the tables. The oracle is
+    the semantic ground truth (two anti-joins): peeling at this
+    cells/diff ratio (~2.4×, k=3) decodes completely, so the IBLT
+    output must equal the true set difference bit-for-bit."""
+    from dpe_energy_performance_analysis_etl_spark.operators.diff import iblt_set_diff
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    left = o.filter(F.col("o_orderkey") % 7 != 0)
+    right = o.filter(F.col("o_orderkey") % 11 != 0)
+    return iblt_set_diff(left, right, "o_orderkey", n_cells=8192, k=3)
+
+
+def _rendezvous_oracle() -> str:
+    def mix(salt: int) -> str:
+        inner = _walk_mix_sql("o_orderkey", str(salt), 0)
+        return _walk_mix_sql(f"({inner})", str(salt), 0)
+
+    w4 = ", ".join(f"({mix(i)}) AS w{i}" for i in range(5))
+    return f"""
+    WITH keys AS MATERIALIZED (
+      SELECT DISTINCT o_orderkey FROM orders
+    ), wts AS MATERIALIZED (
+      SELECT o_orderkey, {w4} FROM keys
+    ), shards AS MATERIALIZED (
+      SELECT o_orderkey,
+             (SELECT i FROM (SELECT unnest([0,1,2,3]) AS i,
+                                    unnest([w0,w1,w2,w3]) AS w)
+              ORDER BY w DESC, i LIMIT 1) AS shard4,
+             (SELECT i FROM (SELECT unnest([0,1,2,3,4]) AS i,
+                                    unnest([w0,w1,w2,w3,w4]) AS w)
+              ORDER BY w DESC, i LIMIT 1) AS shard5
+      FROM wts
+    )
+    SELECT CAST(shard4 AS BIGINT) AS shard4,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(CASE WHEN shard4 <> shard5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_moved,
+           CAST(SUM(CASE WHEN shard4 <> shard5 AND shard5 = 4 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_moved_to_new,
+           CAST(SUM(CASE WHEN shard4 <> shard5 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS moved_frac
+    FROM shards GROUP BY 1
+    """
+
+
+@register("rendezvous_shard_moves", _rendezvous_oracle())
+def rendezvous_shard_moves_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous-hash shard placement and the movement profile when
+    the cluster grows 4 → 5 nodes (operators/scaling.py
+    rendezvous_assign): per old shard, how many keys stay, how many
+    move, and that EVERY move lands on the new node (the HRW
+    minimal-movement property — expected 1/5 of keys move, all to
+    node 4; `hash % n` would reshuffle ~4/5). Row-local argmax over
+    the portable mix — zero shuffle before the bounded aggregate."""
+    from dpe_energy_performance_analysis_etl_spark.operators.scaling import (
+        rendezvous_assign,
+    )
+
+    keys = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_orderkey")
+        .distinct()
+    )
+    s4 = rendezvous_assign(keys, "o_orderkey", 4).withColumnRenamed("shard", "shard4")
+    s5 = rendezvous_assign(s4, "o_orderkey", 5).withColumnRenamed("shard", "shard5")
+    moved = F.col("shard4") != F.col("shard5")
+    return s5.groupBy("shard4").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum(moved.cast("int")).cast("bigint").alias("n_moved"),
+        F.sum((moved & (F.col("shard5") == 4)).cast("int"))
+        .cast("bigint")
+        .alias("n_moved_to_new"),
+        (
+            F.sum(moved.cast("int")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("moved_frac"),
+    )
+
+
+# =====================================================================
+# Round 6, wave 3: k-truss decomposition, GSP sequential patterns
+# =====================================================================
+
+def _ktruss_oracle(iterations: int, k: int) -> str:
+    blocks = [
+        """
+    WITH co AS (
+      SELECT x.l_partkey AS a, y.l_partkey AS b, COUNT(*) AS n
+      FROM lineitem x JOIN lineitem y
+        ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+      GROUP BY 1, 2
+    ), e0 AS MATERIALIZED (
+      SELECT a, b FROM co WHERE n >= 2
+    )"""
+    ]
+    for r in range(1, iterations + 1):
+        blocks.append(
+            f""", tri{r} AS MATERIALIZED (
+      SELECT e1.a AS u, e1.b AS x, e2.b AS y
+      FROM e{r - 1} e1 JOIN e{r - 1} e2 ON e1.a = e2.a AND e1.b < e2.b
+      WHERE EXISTS (SELECT 1 FROM e{r - 1} e3
+                    WHERE e3.a = e1.b AND e3.b = e2.b)
+    ), sup{r} AS MATERIALIZED (
+      SELECT a, b, CAST(COUNT(*) AS BIGINT) AS support FROM (
+        SELECT u AS a, x AS b FROM tri{r}
+        UNION ALL SELECT u, y FROM tri{r}
+        UNION ALL SELECT x, y FROM tri{r}
+      ) GROUP BY 1, 2
+    ), e{r} AS MATERIALIZED (
+      SELECT e.a, e.b, COALESCE(s.support, 0) AS support
+      FROM e{r - 1} e LEFT JOIN sup{r} s ON s.a = e.a AND s.b = e.b
+      WHERE COALESCE(s.support, 0) >= {k - 2}
+    )"""
+        )
+    blocks.append(
+        f"""
+    SELECT a, b, CAST(support AS BIGINT) AS support FROM e{iterations}
+    """
+    )
+    return "".join(blocks)
+
+
+@register("ktruss_parts_graph", _ktruss_oracle(3, 4))
+def ktruss_parts_graph_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-truss of the recurring part-copurchase graph
+    (operators/graph.py ktruss_edges, 3 fixed peel rounds): edges
+    surviving iff ≥2 triangles survive around them — the edge-level
+    cohesion core next to kcore_membership's vertex-level one. Per
+    round one ordered wedge join + explode-to-3-edges support agg +
+    semi-join, eager localCheckpoint (the cascade rule)."""
+    from dpe_energy_performance_analysis_etl_spark.operators.graph import ktruss_edges
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pairs = (
+        li.alias("x")
+        .join(
+            li.alias("y"),
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .groupBy(
+            F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 2)
+        .select("src", "dst")
+    )
+    return ktruss_edges(pairs, k=4, iterations=3)
+
+
+@register(
+    "gsp_event_sequences",
+    """
+    WITH ev0 AS MATERIALIZED (
+      SELECT user_id AS k, event_type AS it,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS r
+      FROM events
+    ), ev AS MATERIALIZED (
+      SELECT k, it, row_number() OVER (PARTITION BY k ORDER BY r) AS r
+      FROM ev0 WHERE r <= 5
+    ), f1 AS MATERIALIZED (
+      SELECT it, CAST(COUNT(*) AS BIGINT) AS support
+      FROM (SELECT DISTINCT k, it FROM ev) GROUP BY 1
+      HAVING COUNT(*) >= 40
+    ), occ AS MATERIALIZED (
+      SELECT ev.* FROM ev SEMI JOIN f1 ON ev.it = f1.it
+    ), p2 AS MATERIALIZED (
+      SELECT DISTINCT x.k, x.it AS i1, y.it AS i2
+      FROM occ x JOIN occ y ON x.k = y.k AND x.r < y.r
+    ), f2 AS MATERIALIZED (
+      SELECT i1, i2, CAST(COUNT(*) AS BIGINT) AS support
+      FROM p2 GROUP BY 1, 2 HAVING COUNT(*) >= 40
+    ), p3 AS MATERIALIZED (
+      SELECT DISTINCT x.k, x.it AS i1, y.it AS i2, z.it AS i3
+      FROM occ x
+      JOIN occ y ON x.k = y.k AND x.r < y.r
+      JOIN occ z ON x.k = z.k AND y.r < z.r
+      WHERE EXISTS (SELECT 1 FROM f2 WHERE f2.i1 = x.it AND f2.i2 = y.it)
+    ), f3 AS (
+      SELECT i1, i2, i3, CAST(COUNT(*) AS BIGINT) AS support
+      FROM p3 GROUP BY 1, 2, 3 HAVING COUNT(*) >= 40
+    )
+    SELECT it AS pattern, CAST(1 AS BIGINT) AS length, support FROM f1
+    UNION ALL
+    SELECT i1 || '→' || i2, CAST(2 AS BIGINT), support FROM f2
+    UNION ALL
+    SELECT i1 || '→' || i2 || '→' || i3, CAST(3 AS BIGINT), support FROM f3
+    """,
+)
+def gsp_event_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent event-type sequences with gaps over each user's FIRST
+    5 events (operators/temporal.py gsp_frequent_sequences — GSP,
+    Srikant-Agrawal EDBT'96): the sequential-pattern family the
+    contiguous trigram queries can't express (⟨signup→…→purchase⟩
+    counts however many events intervene). Restricting to the first
+    5 events makes supports discriminative on the uniform synthetic
+    stream; level-wise Apriori pruning keeps every join equi-keyed
+    and frequent-bounded."""
+    from dpe_energy_performance_analysis_etl_spark.operators.temporal import (
+        gsp_frequent_sequences,
+    )
+
+    ev = read_events(spark, sf_dir)
+    rk = F.row_number().over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+    )
+    first5 = ev.withColumn("__r", rk).where(F.col("__r") <= 5)
+    return gsp_frequent_sequences(
+        first5, min_support=40, max_len=3
+    )
+
+
+@register(
+    "kaplan_meier_orders",
+    """
+    WITH subj AS (
+      SELECT CAST(date_diff('month', DATE '1992-01-01',
+                            CAST(o_orderdate AS DATE)) AS BIGINT) AS t,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS ev
+      FROM orders
+    ), tiers AS MATERIALIZED (
+      SELECT t, CAST(SUM(ev) AS BIGINT) AS d,
+             CAST(SUM(1 - ev) AS BIGINT) AS c
+      FROM subj GROUP BY 1
+    ), ranked AS MATERIALIZED (
+      SELECT t, d, c,
+             CAST(SUM(d + c) OVER () -
+                  COALESCE(SUM(d + c) OVER (ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS n,
+             CAST(row_number() OVER (ORDER BY t) AS INT) AS i
+      FROM tiers
+    ), encs AS (
+      SELECT list(n * 1048576 + d ORDER BY t) AS encs FROM ranked
+    )
+    SELECT t, n AS n_at_risk, d AS d_events, c AS c_censored,
+           CAST(list_reduce(
+             list_prepend(CAST(1000000 AS BIGINT), encs[1:i]),
+             (acc, e) -> (acc * ((e // 1048576) - (e % 1048576)))
+                          // (e // 1048576)
+           ) AS BIGINT) AS surv_scaled
+    FROM ranked CROSS JOIN encs
+    """,
+)
+def kaplan_meier_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival over order lifetimes (operators/stats.py
+    kaplan_meier): month tiers since 1992-01, status 'F' = event,
+    else censored — S(t) per tier as an exact integer product-limit
+    fold (per-step floor at scale 10⁶), the survival-analysis family
+    (churn/retention/time-to-failure) in bit-portable form. Data-
+    sized work is ONE tier aggregation; the fold runs over the
+    ~80-row tier array via the SQL `aggregate` higher-order
+    function."""
+    from dpe_energy_performance_analysis_etl_spark.operators.stats import kaplan_meier
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    subj = o.select(
+        F.months_between(
+            F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+        )
+        .cast("bigint")
+        .alias("t"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("ev"),
+    )
+    return kaplan_meier(subj, "t", "ev")
+
+
+@register("mst_parts_forest")
+def mst_parts_forest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum spanning forest of the recurring part-copurchase graph
+    (operators/graph.py boruvka_mst — Borůvka rounds, ≤log₂|V|,
+    min-struct tie-break, hash-min + pointer-doubling component
+    merge): the backbone of single-linkage clustering at scale —
+    cutting this forest at weight θ equals the threshold clustering
+    the oracle-checked `dedup_clusters_cc` family computes directly.
+    Rows-only by design (nested iterative control flow — per-round
+    convergence loops inside rounds — is not unrollable SQL); the
+    algorithm is value-verified against a reference Kruskal with
+    distinct weights (unique-MST equality, tests/test_graph.py)."""
+    from dpe_energy_performance_analysis_etl_spark.operators.graph import boruvka_mst
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pairs = (
+        li.alias("x")
+        .join(
+            li.alias("y"),
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .groupBy(
+            F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 2)
+        # weight = inverse co-occurrence: the forest keeps the
+        # STRONGEST links needed to span (ties broken by endpoints)
+        .select("src", "dst", (F.lit(1000) - F.col("n")).alias("weight"))
+    )
+    return boruvka_mst(pairs)
+
+
+def _dbscan_oracle(eps: int, min_pts: int, cc_rounds: int) -> str:
+    def mx(expr: str, salt: int) -> str:
+        return f"({_walk_mix_sql(expr, str(salt), 0)})"
+
+    rounds = []
+    for r in range(cc_rounds):
+        rounds.append(
+            f"""lab{r + 1} AS MATERIALIZED (
+      SELECT l.node,
+             LEAST(l.lab,
+                   COALESCE(nb.m, l.lab),
+                   COALESCE(j.lab, l.lab)) AS lab
+      FROM lab{r} l
+      LEFT JOIN (SELECT e.a AS node, MIN(x.lab) AS m
+                 FROM core_edges e JOIN lab{r} x ON x.node = e.b
+                 GROUP BY e.a) nb ON nb.node = l.node
+      LEFT JOIN lab{r} j ON j.node = l.lab
+    )"""
+        )
+    labs = ", ".join(rounds)
+    last = f"lab{cc_rounds}"
+    return f"""
+    WITH pts AS MATERIALIZED (
+      SELECT c_custkey AS id,
+             CASE WHEN c_custkey % 9 = 0
+                  THEN {mx('c_custkey', 15)} % 1000000
+                  ELSE ({mx('(c_custkey % 30)', 11)} % 20) * 50000 + 10000
+                       + {mx('c_custkey', 13)} % 1200 END AS x,
+             CASE WHEN c_custkey % 9 = 0
+                  THEN {mx('c_custkey', 16)} % 1000000
+                  ELSE ({mx('(c_custkey % 30)', 12)} % 20) * 50000 + 10000
+                       + {mx('c_custkey', 14)} % 1200 END AS y
+      FROM customer
+    ), cells AS MATERIALIZED (
+      SELECT id, x, y, x // {eps} AS cx, y // {eps} AS cy FROM pts
+    ), pairs AS MATERIALIZED (
+      SELECT l.id AS a, r.id AS b
+      FROM cells l JOIN cells r
+        ON r.cx BETWEEN l.cx - 1 AND l.cx + 1
+       AND r.cy BETWEEN l.cy - 1 AND l.cy + 1
+       AND (l.x - r.x) * (l.x - r.x) + (l.y - r.y) * (l.y - r.y)
+           <= {eps * eps}
+    ), core AS MATERIALIZED (
+      SELECT a AS id FROM pairs GROUP BY a HAVING COUNT(*) >= {min_pts}
+    ), core_edges AS MATERIALIZED (
+      SELECT p.a, p.b FROM pairs p
+      JOIN core ca ON ca.id = p.a
+      JOIN core cb ON cb.id = p.b
+      WHERE p.a <> p.b
+    ), lab0 AS MATERIALIZED (
+      SELECT id AS node, id AS lab FROM core
+    ), {labs}, border AS MATERIALIZED (
+      SELECT p.a AS id, MIN(l.lab) AS cluster
+      FROM pairs p
+      JOIN {last} l ON l.node = p.b
+      LEFT JOIN core c ON c.id = p.a
+      WHERE p.a <> p.b AND c.id IS NULL
+      GROUP BY p.a
+    ), assigned AS MATERIALIZED (
+      SELECT node AS id, 'core' AS role, lab AS cluster FROM {last}
+      UNION ALL
+      SELECT id, 'border' AS role, cluster FROM border
+    )
+    SELECT CAST(id AS BIGINT) AS id, role,
+           CAST(cluster AS BIGINT) AS cluster
+    FROM assigned
+    UNION ALL
+    SELECT CAST(p.id AS BIGINT) AS id, 'noise' AS role,
+           CAST(-1 AS BIGINT) AS cluster
+    FROM pts p LEFT JOIN assigned s ON s.id = p.id
+    WHERE s.id IS NULL
+    """
+
+
+@register("dbscan_customer_sites", _dbscan_oracle(2500, 4, 8))
+def dbscan_customer_sites_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density clustering (DBSCAN, Ester KDD'96) of synthesized
+    customer site coordinates (operators/spatial.py dbscan_grid —
+    3x3 grid-cell candidate equi-join, integer squared distances,
+    core/border/noise roles, clusters = connected components of the
+    core graph labeled by min core id). Coordinates are planted
+    deterministically with the portable mix32: ~8/9 of customers in
+    tight blobs around 30 grid centers (spread 1200 << eps 2500,
+    centers 50000 apart), 1/9 scattered uniformly — so the output
+    exercises all three roles. The oracle mirrors the grid join in
+    SQL and unrolls 8 hash-min + pointer-jump rounds (MATERIALIZED;
+    reach 2^8 >> the blob diameters of 1-2 hops) — Spark runs the
+    real convergence loop, so equality also certifies the fixpoint.
+    Border points take the MIN adjacent core's cluster (canonical
+    DBSCAN is scan-order-dependent there; min is engine-exact)."""
+    from dpe_energy_performance_analysis_etl_spark.operators.graph import _portable_mix32
+    from dpe_energy_performance_analysis_etl_spark.operators.spatial import dbscan_grid
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+
+    def mx(col, salt: int):
+        return _portable_mix32(col, F.lit(salt), F.lit(0))
+
+    k = F.col("c_custkey") % 30
+    scatter = F.col("c_custkey") % 9 == 0
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        F.when(scatter, mx(F.col("c_custkey"), 15) % 1000000)
+        .otherwise(
+            (mx(k, 11) % 20) * 50000 + 10000 + mx(F.col("c_custkey"), 13) % 1200
+        )
+        .alias("x"),
+        F.when(scatter, mx(F.col("c_custkey"), 16) % 1000000)
+        .otherwise(
+            (mx(k, 12) % 20) * 50000 + 10000 + mx(F.col("c_custkey"), 14) % 1200
+        )
+        .alias("y"),
+    )
+    return dbscan_grid(pts, eps=2500, min_pts=4)

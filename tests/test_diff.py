@@ -62,3 +62,59 @@ def test_diff_round_trips_through_changelog(spark):
         .unionByName(new.join(touched, on="k", how="left_semi"))
     )
     assert sorted(rebuilt.collect()) == sorted(new.collect())
+
+
+class TestIbltSetDiff:
+    def _mk(self, spark, keys):
+        return spark.createDataFrame([(int(k),) for k in keys], "k long")
+
+    def test_recovers_exact_diff(self, spark):
+        from dpe_energy_performance_analysis_etl_spark.operators.diff import iblt_set_diff
+
+        left = self._mk(spark, range(0, 600))
+        right = self._mk(spark, range(100, 700))
+        got = {
+            (r["k"], r["side"])
+            for r in iblt_set_diff(left, right, "k", n_cells=512, k=3).collect()
+        }
+        want = {(k, "left_only") for k in range(0, 100)} | {
+            (k, "right_only") for k in range(600, 700)
+        }
+        assert got == want
+
+    def test_identical_sets_empty(self, spark):
+        from dpe_energy_performance_analysis_etl_spark.operators.diff import iblt_set_diff
+
+        df = self._mk(spark, range(500))
+        assert iblt_set_diff(df, df, "k", n_cells=256).count() == 0
+
+    def test_undersized_cells_partial_but_correct(self, spark):
+        from dpe_energy_performance_analysis_etl_spark.operators.diff import iblt_set_diff
+
+        left = self._mk(spark, range(0, 3000))
+        right = self._mk(spark, range(1000, 4000))
+        # 2000-key diff into 64 cells: cannot decode fully, but every
+        # recovered key must be a REAL diff member with the right side
+        got = iblt_set_diff(left, right, "k", n_cells=64, k=3).collect()
+        for r in got:
+            if r["side"] == "left_only":
+                assert 0 <= r["k"] < 1000
+            else:
+                assert 3000 <= r["k"] < 4000
+
+    def test_partitioning_invariance(self, spark):
+        from dpe_energy_performance_analysis_etl_spark.operators.diff import iblt_set_diff
+
+        left = self._mk(spark, range(0, 400))
+        right = self._mk(spark, range(50, 450))
+        a = {
+            (r["k"], r["side"])
+            for r in iblt_set_diff(
+                left.repartition(13), right.repartition(3), "k", n_cells=512
+            ).collect()
+        }
+        b = {
+            (r["k"], r["side"])
+            for r in iblt_set_diff(left, right, "k", n_cells=512).collect()
+        }
+        assert a == b and len(a) == 100

@@ -306,3 +306,143 @@ class TestCommunityModularity:
         row = community_modularity(edges, comms).collect()[0]
         assert row["q_contrib_num"] == 0
         assert row["q_contrib"] == 0.0
+
+
+class TestKtruss:
+    def test_k4_survives_pendant_dies(self, spark):
+        from dpe_energy_performance_analysis_etl_spark.operators.graph import ktruss_edges
+
+        # K4 (every edge in 2 triangles) + a pendant edge (4,5)
+        k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+        edges = spark.createDataFrame(k4 + [(4, 5)], "src long, dst long")
+        got = {(r["a"], r["b"]): r["support"] for r in ktruss_edges(edges, k=4).collect()}
+        assert set(got) == set(k4)
+        assert all(s == 2 for s in got.values())
+
+    def test_shared_edge_two_triangles(self, spark):
+        from dpe_energy_performance_analysis_etl_spark.operators.graph import ktruss_edges
+
+        tri2 = [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)]
+        edges = spark.createDataFrame(tri2 + [(4, 5)], "src long, dst long")
+        # 3-truss: every triangle edge survives, pendant dies
+        got3 = {(r["a"], r["b"]) for r in ktruss_edges(edges, k=3).collect()}
+        assert got3 == set(tri2)
+        # 4-truss: only (2,3) has support 2, but alone it closes no
+        # triangle -> fixpoint is empty
+        assert ktruss_edges(edges, k=4).count() == 0
+
+
+class TestGspSequences:
+    def test_hand_case_with_gaps(self, spark):
+        from dpe_energy_performance_analysis_etl_spark.operators.temporal import (
+            gsp_frequent_sequences,
+        )
+
+        rows = []
+        for uid, seq in [(1, "abc"), (2, "acb"), (3, "axb")]:
+            for i, it in enumerate(seq):
+                rows.append((uid, i, i, it))
+        ev = spark.createDataFrame(rows, "user_id long, ts long, event_id long, event_type string")
+        got = {
+            (r["pattern"], r["length"]): r["support"]
+            for r in gsp_frequent_sequences(ev, min_support=2, max_len=3).collect()
+        }
+        assert got[("a", 1)] == 3 and got[("b", 1)] == 3
+        # a→b holds for u1 (adjacent), u2 (a..b), u3 (gap over x)
+        assert got[("a→b", 2)] == 3
+        assert got[("a→c", 2)] == 2
+        assert ("b→c", 2) not in got and ("c→b", 2) not in got
+        assert not any(ln == 3 for (_, ln) in got)
+
+    def test_triple_found(self, spark):
+        from dpe_energy_performance_analysis_etl_spark.operators.temporal import (
+            gsp_frequent_sequences,
+        )
+
+        rows = []
+        for uid, seq in [(1, "aXbYc"), (2, "abc")]:
+            for i, it in enumerate(seq):
+                rows.append((uid, i, i, it))
+        ev = spark.createDataFrame(rows, "user_id long, ts long, event_id long, event_type string")
+        got = {
+            (r["pattern"], r["length"]): r["support"]
+            for r in gsp_frequent_sequences(ev, min_support=2, max_len=3).collect()
+        }
+        assert got[("a→b→c", 3)] == 2
+
+
+class TestBoruvkaMst:
+    def test_square_with_diagonal(self, spark):
+        from dpe_energy_performance_analysis_etl_spark.operators.graph import boruvka_mst
+
+        rows = [(1, 2, 1), (2, 3, 2), (3, 4, 4), (4, 1, 3), (1, 3, 10)]
+        e = spark.createDataFrame(rows, "src long, dst long, weight long")
+        got = {(r["a"], r["b"]): r["weight"] for r in boruvka_mst(e).collect()}
+        assert got == {(1, 2): 1, (2, 3): 2, (1, 4): 3}
+
+    def test_long_chain_merges_fully(self, spark):
+        from dpe_energy_performance_analysis_etl_spark.operators.graph import boruvka_mst
+
+        # path 0-1-2-...-30 with increasing weights + heavy chords:
+        # MST must be exactly the path (chain-merge stress for the
+        # hash-min convergence)
+        n = 31
+        path = [(i, i + 1, 100 + i) for i in range(n - 1)]
+        chords = [(i, i + 2, 10_000 + i) for i in range(n - 2)]
+        e = spark.createDataFrame(path + chords, "src long, dst long, weight long")
+        got = boruvka_mst(e).collect()
+        assert len(got) == n - 1
+        assert {(r["a"], r["b"]) for r in got} == {(i, i + 1) for i in range(n - 1)}
+
+    def test_forest_two_components(self, spark):
+        from dpe_energy_performance_analysis_etl_spark.operators.graph import boruvka_mst
+
+        rows = [(1, 2, 5), (2, 3, 6), (10, 11, 1), (11, 12, 2), (10, 12, 9)]
+        e = spark.createDataFrame(rows, "src long, dst long, weight long")
+        got = boruvka_mst(e).collect()
+        assert len(got) == 4  # 2 + 2 edges, no cross edges
+        assert sum(r["weight"] for r in got) == 5 + 6 + 1 + 2
+
+    def test_kruskal_cross_check_random(self, spark):
+        from dpe_energy_performance_analysis_etl_spark.operators.graph import boruvka_mst
+        import random
+
+        rng = random.Random(17)
+        n = 60
+        edges = set()
+        rows = []
+        wseen = set()
+        for _ in range(220):
+            a, b = rng.randrange(n), rng.randrange(n)
+            if a == b:
+                continue
+            a, b = min(a, b), max(a, b)
+            if (a, b) in edges:
+                continue
+            edges.add((a, b))
+            while True:  # distinct weights -> unique MST
+                w = rng.randrange(1, 10_000)
+                if w not in wseen:
+                    wseen.add(w)
+                    break
+            rows.append((a, b, w))
+        # reference Kruskal
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        ref_total, ref_edges = 0, 0
+        for a, b, w in sorted(rows, key=lambda r: r[2]):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+                ref_total += w
+                ref_edges += 1
+        e = spark.createDataFrame(rows, "src long, dst long, weight long")
+        got = boruvka_mst(e).collect()
+        assert len(got) == ref_edges
+        assert sum(r["weight"] for r in got) == ref_total

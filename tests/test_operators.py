@@ -630,3 +630,36 @@ def test_encode_dictionary_dense_deterministic(spark):
     # partitioning invariance (no monotonically_increasing_id leakage)
     _, m2 = encode_dictionary(df.repartition(4), "v")
     assert {r.value: r.id for r in m2.collect()} == m
+
+
+class TestRendezvousAssign:
+    def test_movement_bound_on_growth(self, spark):
+        from dpe_energy_performance_analysis_etl_spark.operators.scaling import (
+            rendezvous_assign,
+        )
+
+        keys = spark.range(5000).withColumnRenamed("id", "k")
+        a = rendezvous_assign(keys, "k", 4).withColumnRenamed("shard", "s4")
+        b = rendezvous_assign(a, "k", 5).withColumnRenamed("shard", "s5")
+        rows = b.collect()
+        moved = [r for r in rows if r["s4"] != r["s5"]]
+        # HRW: every move lands on the NEW node, ~1/5 of keys move
+        assert all(r["s5"] == 4 for r in moved)
+        assert 0.12 < len(moved) / len(rows) < 0.28
+        # balance: each of the 5 shards holds a sane share
+        from collections import Counter
+
+        c = Counter(r["s5"] for r in rows)
+        assert all(0.5 < v / 1000 < 1.5 for v in c.values())
+
+    def test_deterministic_and_shuffle_free(self, spark):
+        from dpe_energy_performance_analysis_etl_spark.operators.scaling import (
+            rendezvous_assign,
+        )
+
+        keys = spark.range(200).withColumnRenamed("id", "k")
+        a = sorted(map(tuple, rendezvous_assign(keys, "k", 7).collect()))
+        b = sorted(map(tuple, rendezvous_assign(keys.repartition(9), "k", 7).collect()))
+        assert a == b
+        plan = rendezvous_assign(keys, "k", 7)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hash" not in plan

@@ -132,3 +132,75 @@ class TestValidation:
         df = spark.createDataFrame([(1, 0.0, 0.0)], "id long, lat double, lon double")
         with pytest.raises(ValueError):
             grid_radius_join(df, df, radius=1.0, cell_deg=0.0)
+
+
+class TestDbscanGrid:
+    def _run(self, spark, rows, eps, min_pts):
+        from dpe_energy_performance_analysis_etl_spark.operators.spatial import dbscan_grid
+
+        df = spark.createDataFrame(rows, "id bigint, x bigint, y bigint")
+        out = dbscan_grid(df, eps=eps, min_pts=min_pts)
+        return {r["id"]: (r["role"], r["cluster"]) for r in out.collect()}
+
+    def test_textbook_core_border_noise(self, spark):
+        # Line A(0) B(10) C(20), eps=10, min_pts=3 (self-inclusive):
+        # B sees {A,B,C} -> core; A,C see 2 -> border on B's cluster;
+        # D at 100 is noise.
+        got = self._run(
+            spark,
+            [(1, 0, 0), (2, 10, 0), (3, 20, 0), (4, 100, 0)],
+            eps=10,
+            min_pts=3,
+        )
+        assert got[2] == ("core", 2)
+        assert got[1] == ("border", 2)
+        assert got[3] == ("border", 2)
+        assert got[4] == ("noise", -1)
+
+    def test_two_blobs_and_chain_merge(self, spark):
+        # Blob 1: clique at (0..2, 0); blob 2: clique at (1000..1002, 0);
+        # they must be distinct clusters labeled by min member id.
+        rows = [(i, j, 0) for i, j in [(1, 0), (2, 1), (3, 2)]] + [
+            (10, 1000, 0),
+            (11, 1001, 0),
+            (12, 1002, 0),
+        ]
+        got = self._run(spark, rows, eps=5, min_pts=3)
+        assert {got[i] for i in (1, 2, 3)} == {("core", 1)}
+        assert {got[i] for i in (10, 11, 12)} == {("core", 10)}
+        # Chain of cores merges transitively even when the ends are
+        # farther than eps apart.
+        rows = [(i, i * 4, 0) for i in range(1, 8)]
+        got = self._run(spark, rows, eps=5, min_pts=2)
+        assert {got[i] for i in range(1, 8)} == {("core", 1)}
+
+    def test_negative_coordinates_cross_cell(self, spark):
+        # A pair straddling the 0-cell boundary with negative coords:
+        # floor-division cell ids must keep them adjacent.
+        got = self._run(
+            spark,
+            [(1, -3, -3), (2, 3, 3), (3, 6, 6)],
+            eps=10,
+            min_pts=2,
+        )
+        assert got[1] == ("core", 1)
+        assert got[2] == ("core", 1)
+        assert got[3] == ("core", 1)
+
+    def test_min_pts_boundary_and_all_noise(self, spark):
+        # Exactly min_pts neighbors (incl. self) -> core; isolated
+        # points -> all noise.
+        got = self._run(spark, [(1, 0, 0), (2, 1, 0)], eps=2, min_pts=2)
+        assert got[1] == ("core", 1) and got[2] == ("core", 1)
+        got = self._run(
+            spark, [(1, 0, 0), (2, 500, 0), (3, 1000, 0)], eps=2, min_pts=2
+        )
+        assert all(v == ("noise", -1) for v in got.values())
+
+    def test_plan_no_cartesian(self, spark):
+        from dpe_energy_performance_analysis_etl_spark.operators.spatial import dbscan_grid
+
+        df = spark.createDataFrame([(i, i, i) for i in range(50)], "id bigint, x bigint, y bigint")
+        out = dbscan_grid(df, eps=7, min_pts=2)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan

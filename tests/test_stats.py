@@ -129,3 +129,38 @@ def test_bootstrap_hash_mix_is_poisson_and_decorrelated():
     assert abs(o_r) > abs(r) or abs(op0 - 0.3679) > 0.02, (
         "old affine hash unexpectedly passes the independence check"
     )
+
+
+class TestKaplanMeier:
+    def test_textbook_hand_case(self, spark):
+        from dpe_energy_performance_analysis_etl_spark.operators.stats import kaplan_meier
+
+        rows = [(1, 1), (2, 1), (2, 0), (3, 1)]
+        df = spark.createDataFrame(rows, "t long, ev int")
+        got = {r["t"]: r for r in kaplan_meier(df, "t", "ev").collect()}
+        assert (got[1]["n_at_risk"], got[1]["d_events"]) == (4, 1)
+        assert got[1]["surv_scaled"] == 750_000          # 3/4
+        assert (got[2]["n_at_risk"], got[2]["c_censored"]) == (3, 1)
+        assert got[2]["surv_scaled"] == 500_000          # 3/4 * 2/3
+        assert got[3]["n_at_risk"] == 1
+        assert got[3]["surv_scaled"] == 0                # 1/2 * 0
+
+    def test_all_censored_flat_survival(self, spark):
+        from dpe_energy_performance_analysis_etl_spark.operators.stats import kaplan_meier
+
+        rows = [(t, 0) for t in range(1, 6)]
+        df = spark.createDataFrame(rows, "t long, ev int")
+        got = kaplan_meier(df, "t", "ev").collect()
+        assert all(r["surv_scaled"] == 1_000_000 for r in got)
+
+    def test_monotone_nonincreasing(self, spark):
+        from dpe_energy_performance_analysis_etl_spark.operators.stats import kaplan_meier
+
+        rows = [(t % 7, t % 3 == 0) for t in range(200)]
+        df = spark.createDataFrame(
+            [(a, int(b)) for a, b in rows], "t long, ev int"
+        )
+        got = sorted(kaplan_meier(df, "t", "ev").collect(), key=lambda r: r["t"])
+        vals = [r["surv_scaled"] for r in got]
+        assert vals == sorted(vals, reverse=True)
+        assert got[0]["n_at_risk"] == 200

@@ -79,6 +79,10 @@ EXPECTED_MULTISTAGE = {
     "stupid_backoff_docs": "cached n-gram count tables (uni/bi/tri) feed backoff joins; 3 reused exchanges",
     "vocab_coverage_curve": "static 10, runtime 8 — rank table feeds cumulative + total branches",
     "equi_depth_bins_price": "cached range-partitioned table feeds the size pass + the ranked pass (the two-pass exact-rank minimum); static print re-expands the cache",
+    # round-6 wave 3/4 (runtime cache reads measured at sf0.01)
+    "cohens_kappa_raters": "cached cell table feeds marginals x2 + agree/total branches (9 cache reads)",
+    "kneser_ney_bigrams": "cached c12 table feeds context/fan-out/type-count aggs + output join (12 cache reads)",
+    "gsp_event_sequences": "cached ev/occ/f1/f2 tables re-expand per level in the static print; 312 cache reads at runtime, 4.1 s sf0.01",
 }
 
 
