@@ -211,3 +211,128 @@ def sorted_neighborhood_candidates(
     if verify_col:
         pairs = pairs.filter(F.col("edit_dist") <= max_edit)
     return pairs
+
+
+def jaro_winkler_micro(
+    df: DataFrame,
+    a: str = "a",
+    b: str = "b",
+    out: str = "jw_micro",
+) -> DataFrame:
+    """Jaro-Winkler similarity as an EXACT integer in micro-units
+    (0..1_000_000), computed entirely in whole-stage-codegen SQL
+    expressions — no UDF, no floats, hence bit-identical on every
+    engine (the float jaro_winkler built-ins disagree across engines
+    at the ulp level, which would break the oracle gate).
+
+    Method (Jaro 1989; Winkler 1990):
+      - greedy window matching is a SEQUENTIAL scan with mutable
+        "already matched" state — here a single int64 ``aggregate``
+        fold over the positions of ``a``: bit i (low 32) marks a[i]
+        matched, bit 32+j marks b[j] consumed. Strings are capped at
+        their first 30 characters (mask width; document or chunk
+        longer inputs);
+      - matched index sequences are recovered from the masks (both
+        ascending, exactly the orders the transposition count
+        needs); T = raw mismatch count between the two matched
+        character sequences (t = T/2 in the classic formula);
+      - similarity as one exact fraction: jaro = A/B with
+        A = 2m²·lb + 2m²·la + (2m−T)·la·lb and B = 6m·la·lb, and
+        jw = (10A + ℓ(B−A)) / 10B with ℓ = common-prefix length
+        capped at 4 (Winkler p = 0.1 exactly). The micro-unit output
+        is the integer division (10A + ℓ(B−A))·10⁶ div 10B — every
+        intermediate < 2^53, and both engines truncate non-negative
+        integer division identically.
+
+    Scale shape: a pure row-local projection — zero shuffle, zero
+    state; candidate pair generation stays the caller's job
+    (``fuzzy_join_ed1`` / ``sorted_neighborhood_candidates`` /
+    LSH), exactly like the other comparators in this module.
+    """
+    la, lb, w, mk = "__jw_la", "__jw_lb", "__jw_w", "__jw_mk"
+    m, t, pl = "__jw_m", "__jw_t", "__jw_l"
+    mi, mjs = "__jw_mi", "__jw_mjs"
+    ac, bc = "__jw_a", "__jw_b"
+    d = (
+        df.withColumn(ac, F.substring(F.col(a), 1, 30))
+        .withColumn(bc, F.substring(F.col(b), 1, 30))
+        .withColumn(la, F.length(ac))
+        .withColumn(lb, F.length(bc))
+        .withColumn(
+            w,
+            F.greatest(
+                F.shiftright(F.greatest(F.col(la), F.col(lb)), 1) - 1, F.lit(0)
+            ),
+        )
+    )
+    cands = (
+        f"filter(sequence(greatest(0, i - {w}), least({lb} - 1, i + {w})), "
+        f"j -> substr({bc}, j + 1, 1) = substr({ac}, i + 1, 1) "
+        f"AND (shiftright(acc, 32 + j) & 1) = 0)"
+    )
+    step = (
+        f"CASE WHEN least({lb} - 1, i + {w}) >= greatest(0, i - {w}) "
+        f"AND try_element_at({cands}, 1) IS NOT NULL "
+        f"THEN acc | shiftleft(1L, i) "
+        f"| shiftleft(1L, 32 + try_element_at({cands}, 1)) "
+        f"ELSE acc END"
+    )
+    d = d.withColumn(
+        mk,
+        F.expr(
+            f"CASE WHEN {la} = 0 OR {lb} = 0 THEN 0L ELSE "
+            f"aggregate(sequence(0, {la} - 1), 0L, (acc, i) -> {step}) END"
+        ),
+    )
+    d = (
+        d.withColumn(m, F.expr(f"bit_count({mk} & 4294967295)"))
+        .withColumn(
+            mi,
+            F.expr(
+                f"CASE WHEN {m} = 0 THEN array() ELSE "
+                f"filter(sequence(0, {la} - 1), "
+                f"i -> (shiftright({mk}, i) & 1) = 1) END"
+            ),
+        )
+        .withColumn(
+            mjs,
+            F.expr(
+                f"CASE WHEN {m} = 0 THEN array() ELSE "
+                f"filter(sequence(0, {lb} - 1), "
+                f"j -> (shiftright({mk}, 32 + j) & 1) = 1) END"
+            ),
+        )
+    )
+    d = d.withColumn(
+        t,
+        F.expr(
+            f"CASE WHEN {m} = 0 THEN 0 ELSE size(filter(sequence(1, {m}), "
+            f"k -> substr({ac}, element_at({mi}, k) + 1, 1) "
+            f"<> substr({bc}, element_at({mjs}, k) + 1, 1))) END"
+        ),
+    )
+    d = d.withColumn(
+        pl,
+        sum(
+            (
+                (F.col(la) >= k)
+                & (F.col(lb) >= k)
+                & (F.expr(f"substr({ac}, 1, {k}) = substr({bc}, 1, {k})"))
+            ).cast("int")
+            for k in range(1, 5)
+        ),
+    )
+    big_a = (
+        f"(2 * {m} * {m} * {lb} + 2 * {m} * {m} * {la} "
+        f"+ (2 * {m} - {t}) * {la} * {lb})"
+    )
+    big_b = f"(6 * {m} * {la} * {lb})"
+    d = d.withColumn(
+        out,
+        F.expr(
+            f"CASE WHEN {m} = 0 THEN 0L ELSE "
+            f"(CAST(10 * {big_a} + {pl} * ({big_b} - {big_a}) AS BIGINT) * 1000000) "
+            f"div (10 * {big_b}) END"
+        ),
+    )
+    return d.drop(ac, bc, la, lb, w, mk, m, t, pl, mi, mjs)

@@ -11311,3 +11311,133 @@ def dbscan_customer_sites_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("y"),
     )
     return dbscan_grid(pts, eps=2500, min_pts=4)
+
+
+def _jaro_winkler_oracle() -> str:
+    mixq = _walk_mix_sql("k", "21", 0)
+    cands = (
+        "list_filter(range(GREATEST(0, i - w), LEAST(lb - 1, i + w) + 1), "
+        "j -> substr(b, CAST(j + 1 AS INT), 1) = substr(a, CAST(i + 1 AS INT), 1) "
+        "AND ((acc >> CAST(32 + j AS INT)) & 1) = 0)[1]"
+    )
+    big_a = "(2*m*m*lb + 2*m*m*la + (2*m - t)*la*lb)"
+    big_b = "(6*m*la*lb)"
+    return f"""
+    WITH base AS MATERIALIZED (
+      SELECT p_partkey AS k, substr(p_name, 1, 30) AS nm FROM part
+    ), qs AS MATERIALIZED (
+      SELECT k, nm, ({mixq}) % (length(nm) - 1) AS q FROM base
+    ), pertd AS MATERIALIZED (
+      SELECT k, nm, CASE WHEN k % 4 = 0 THEN substr(pe, 1, CAST(length(pe) - 1 AS INT)) ELSE pe END AS pe
+      FROM (SELECT k, nm,
+              substr(nm, 1, CAST(q AS INT)) || substr(nm, CAST(q + 2 AS INT), 1)
+              || substr(nm, CAST(q + 1 AS INT), 1) || substr(nm, CAST(q + 3 AS INT)) AS pe
+            FROM qs)
+    ), pairs AS MATERIALIZED (
+      SELECT k, 'self' AS kind, nm AS a, pe AS b FROM pertd
+      UNION ALL
+      SELECT x.k, 'next' AS kind, x.nm AS a, y.pe AS b
+      FROM pertd x JOIN pertd y ON y.k = x.k + 1 WHERE x.k % 2 = 1
+    ), dims AS MATERIALIZED (
+      SELECT k, kind, a, b, length(a) AS la, length(b) AS lb,
+             GREATEST((GREATEST(length(a), length(b)) >> 1) - 1, 0) AS w
+      FROM pairs
+    ), folded AS MATERIALIZED (
+      SELECT *, CASE WHEN la = 0 OR lb = 0 THEN CAST(0 AS BIGINT) ELSE
+        list_reduce(list_prepend(CAST(0 AS BIGINT), range(0, la)),
+          (acc, i) -> CASE WHEN COALESCE({cands}, -1) >= 0
+            THEN acc | (CAST(1 AS BIGINT) << CAST(i AS INT))
+                     | (CAST(1 AS BIGINT) << CAST(32 + {cands} AS INT))
+            ELSE acc END)
+        END AS mk
+      FROM dims
+    ), masks AS MATERIALIZED (
+      SELECT *, CAST(bit_count(mk & 4294967295) AS BIGINT) AS m FROM folded
+    ), seqs AS MATERIALIZED (
+      SELECT *,
+        list_filter(range(0, la), i -> ((mk >> CAST(i AS INT)) & 1) = 1) AS mi,
+        list_filter(range(0, lb), j -> ((mk >> CAST(32 + j AS INT)) & 1) = 1) AS mjs
+      FROM masks
+    ), tcnt AS MATERIALIZED (
+      SELECT *, CASE WHEN m = 0 THEN 0 ELSE
+        len(list_filter(range(1, m + 1),
+          k2 -> substr(a, CAST(mi[CAST(k2 AS INT)] + 1 AS INT), 1)
+               <> substr(b, CAST(mjs[CAST(k2 AS INT)] + 1 AS INT), 1))) END AS t
+      FROM seqs
+    ), pre AS MATERIALIZED (
+      SELECT *,
+        (CASE WHEN la >= 1 AND lb >= 1 AND substr(a,1,1) = substr(b,1,1) THEN 1 ELSE 0 END
+       + CASE WHEN la >= 2 AND lb >= 2 AND substr(a,1,2) = substr(b,1,2) THEN 1 ELSE 0 END
+       + CASE WHEN la >= 3 AND lb >= 3 AND substr(a,1,3) = substr(b,1,3) THEN 1 ELSE 0 END
+       + CASE WHEN la >= 4 AND lb >= 4 AND substr(a,1,4) = substr(b,1,4) THEN 1 ELSE 0 END) AS l
+      FROM tcnt
+    )
+    SELECT CAST(k AS BIGINT) AS p_partkey, kind,
+      CAST(CASE WHEN m = 0 THEN 0 ELSE
+        (CAST(10*{big_a} + l*({big_b} - {big_a}) AS BIGINT) * 1000000)
+        // (10*{big_b}) END AS BIGINT) AS jw_micro
+    FROM pre
+    """
+
+
+@register("jaro_winkler_part_names", _jaro_winkler_oracle())
+def jaro_winkler_part_names_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaro-Winkler similarity as an EXACT integer (micro-units) —
+    operators/entity.py jaro_winkler_micro: the greedy window
+    matching runs as a single int64 bitmask `aggregate` fold (bit i
+    = a[i] matched, bit 32+j = b[j] consumed), transpositions are
+    recovered from the masks, and the Winkler boost is folded into
+    one exact fraction evaluated with truncating integer division —
+    no floats anywhere, so Spark and DuckDB agree bit-for-bit where
+    float jaro_winkler built-ins differ at the ulp level. Pairs:
+    each part name vs a deterministically perturbed copy of itself
+    (adjacent-char swap at a mix32-chosen position, plus a dropped
+    last char for every 4th key — the record-linkage 'self' class)
+    and vs the next key's perturbed name (the 'next' negatives).
+    Row-local projection — zero shuffle; candidate generation is the
+    blocking operators' job (fuzzy_join_ed1 / sorted-neighborhood)."""
+    from dpe_energy_performance_analysis_etl_spark.operators.entity import jaro_winkler_micro
+    from dpe_energy_performance_analysis_etl_spark.operators.graph import _portable_mix32
+
+    p = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        F.col("p_partkey").alias("k"), F.substring("p_name", 1, 30).alias("nm")
+    )
+    q = _portable_mix32(F.col("k"), F.lit(21), F.lit(0)) % (F.length("nm") - 1)
+    pe = F.concat(
+        F.expr("substr(nm, 1, CAST(q AS INT))"),
+        F.expr("substr(nm, CAST(q + 2 AS INT), 1)"),
+        F.expr("substr(nm, CAST(q + 1 AS INT), 1)"),
+        F.expr("substr(nm, CAST(q + 3 AS INT))"),
+    )
+    pertd = (
+        p.withColumn("q", q)
+        .withColumn("pe0", pe)
+        .select(
+            "k",
+            "nm",
+            F.when(
+                F.col("k") % 4 == 0,
+                F.expr("substr(pe0, 1, CAST(length(pe0) - 1 AS INT))"),
+            )
+            .otherwise(F.col("pe0"))
+            .alias("pe"),
+        )
+    )
+    self_pairs = pertd.select(
+        "k", F.lit("self").alias("kind"), F.col("nm").alias("a"), F.col("pe").alias("b")
+    )
+    nxt = pertd.select(F.col("k").alias("k2"), F.col("pe").alias("pe2"))
+    next_pairs = (
+        pertd.where(F.col("k") % 2 == 1)
+        .join(nxt, F.col("k2") == F.col("k") + 1)
+        .select(
+            "k",
+            F.lit("next").alias("kind"),
+            F.col("nm").alias("a"),
+            F.col("pe2").alias("b"),
+        )
+    )
+    pairs = self_pairs.unionByName(next_pairs)
+    return jaro_winkler_micro(pairs, "a", "b").select(
+        F.col("k").alias("p_partkey"), "kind", "jw_micro"
+    )

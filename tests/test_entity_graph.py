@@ -78,3 +78,91 @@ def test_triangle_counts_canonicalizes_input(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {r.v: r.n_triangles for r in triangle_counts(df).collect()}
     assert got == {1: 1, 2: 1, 3: 1}
+
+
+class TestJaroWinklerMicro:
+    def _jw_ref(self, s1: str, s2: str) -> int:
+        # textbook Jaro-Winkler (greedy window matching), exact
+        # integer micro-units — the operator's published contract
+        L1, L2 = len(s1), len(s2)
+        if L1 == 0 or L2 == 0:
+            return 0
+        w = max(max(L1, L2) // 2 - 1, 0)
+        used = [False] * L2
+        mi, mj = [], []
+        for i in range(L1):
+            for j in range(max(0, i - w), min(L2 - 1, i + w) + 1):
+                if not used[j] and s2[j] == s1[i]:
+                    used[j] = True
+                    mi.append(i)
+                    mj.append(j)
+                    break
+        m = len(mi)
+        if m == 0:
+            return 0
+        mjs = sorted(mj)
+        t = sum(1 for k in range(m) if s1[mi[k]] != s2[mjs[k]])
+        A = 2 * m * m * L2 + 2 * m * m * L1 + (2 * m - t) * L1 * L2
+        B = 6 * m * L1 * L2
+        l = 0
+        for k in range(min(4, L1, L2)):
+            if s1[k] != s2[k]:
+                break
+            l += 1
+        return (10 * A + l * (B - A)) * 1000000 // (10 * B)
+
+    def test_textbook_and_edge_cases(self, spark):
+        from dpe_energy_performance_analysis_etl_spark.operators.entity import (
+            jaro_winkler_micro,
+        )
+
+        cases = [
+            ("MARTHA", "MARHTA"),      # canonical 0.961111
+            ("DIXON", "DICKSONX"),     # canonical 0.813333
+            ("JELLYFISH", "SMELLYFISH"),
+            ("abc", "abc"),
+            ("abc", "xyz"),
+            ("a", "a"),
+            ("a", "b"),
+            ("CRATE", "TRACE"),        # transposition-heavy
+            ("kitten", "sitting"),
+            ("", "abc"),
+            ("ab", ""),
+            ("aaaaaaaaaaaaaaaaaaaaaaaaaaaaaa", "aaaaaaaaaaaaaaaaaaaaaaaaaaaaab"),
+        ]
+        df = spark.createDataFrame(cases, "a string, b string")
+        got = {(r["a"], r["b"]): r["jw_micro"] for r in jaro_winkler_micro(df).collect()}
+        assert got[("MARTHA", "MARHTA")] == 961111
+        assert got[("DIXON", "DICKSONX")] == 813333
+        for s1, s2 in cases:
+            assert got[(s1, s2)] == self._jw_ref(s1, s2), (s1, s2)
+
+    def test_random_strings_vs_reference(self, spark):
+        import random
+
+        from dpe_energy_performance_analysis_etl_spark.operators.entity import (
+            jaro_winkler_micro,
+        )
+
+        rng = random.Random(7)
+        alpha = "abcde"
+        cases = [
+            (
+                "".join(rng.choice(alpha) for _ in range(rng.randint(1, 30))),
+                "".join(rng.choice(alpha) for _ in range(rng.randint(1, 30))),
+            )
+            for _ in range(300)
+        ]
+        df = spark.createDataFrame(cases, "a string, b string")
+        rows = jaro_winkler_micro(df).collect()
+        for r in rows:
+            assert r["jw_micro"] == self._jw_ref(r["a"], r["b"]), (r["a"], r["b"])
+
+    def test_row_local_no_shuffle(self, spark):
+        from dpe_energy_performance_analysis_etl_spark.operators.entity import (
+            jaro_winkler_micro,
+        )
+
+        df = spark.createDataFrame([("abc", "abd")], "a string, b string")
+        plan = jaro_winkler_micro(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
