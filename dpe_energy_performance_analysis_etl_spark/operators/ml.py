@@ -347,3 +347,153 @@ def principal_direction_power(
             .localCheckpoint()
         )
     return v.select("dim", F.col("v").alias("component_scaled"))
+
+
+def als_rank1_rounds(
+    ratings: DataFrame,
+    user: str = "u",
+    item: str = "i",
+    rating: str = "r",
+    rounds: int = 2,
+) -> DataFrame:
+    """Rank-1 ALS (Zhou et al., AAIM'08 shape, k=1) with INTEGER
+    dyadic-scaled factors — the alternating-least-squares step a
+    recommender pipeline runs at scale, reduced to its exactly
+    reproducible core: for k=1 each alternation has the closed form
+    x_u = Σ_i r·y_i / Σ_i y_i², y_i = Σ_u r·x_u / Σ_u x_u² — two
+    aggregations per half-step, each one shuffle keyed on the
+    updating side.
+
+    Factors are stored ×2^20; each half-step computes
+    ``new = (Σ r·f << 20) div greatest(Σ f² >> 20, 1)`` — both
+    shifts and the truncating div are engine-exact on non-negative
+    int64, so the whole trajectory is bit-reproducible (the same
+    discipline as kmeans_lloyd_portable / HITS). With ratings ≤ ~2^14
+    per pair, per-key degree ≤ ~2^6 and factors ≤ ~2^25, every
+    intermediate stays ≤ ~2^59.
+
+    Scale shape: the factor tables are key-partitioned aggregates of
+    the ratings table (map-side combinable); no factor table is ever
+    collected or broadcast (k=1 keeps them columnar); ``rounds``
+    half-step PAIRS run, each re-reading the cached ratings.
+
+    Returns (kind 'user'|'item', id, factor_scaled).
+    """
+    r = (
+        ratings.select(
+            F.col(user).cast("bigint").alias("u"),
+            F.col(item).cast("bigint").alias("i"),
+            F.col(rating).cast("bigint").alias("r"),
+        )
+        .groupBy("u", "i")
+        .agg(F.sum("r").alias("r"))
+        .cache()
+    )
+    y = r.select("i").distinct().select(
+        "i", F.lit(1 << 20).cast("bigint").alias("f")
+    )
+    x = None
+    for _ in range(rounds):
+        x = (
+            r.join(y, "i")
+            .groupBy("u")
+            .agg(
+                F.expr(
+                    "shiftleft(sum(r * f), 20) div "
+                    "greatest(shiftright(sum(f * f), 20), 1L)"
+                ).alias("f")
+            )
+        ).localCheckpoint()
+        y = (
+            r.join(x, "u")
+            .groupBy("i")
+            .agg(
+                F.expr(
+                    "shiftleft(sum(r * f), 20) div "
+                    "greatest(shiftright(sum(f * f), 20), 1L)"
+                ).alias("f")
+            )
+        ).localCheckpoint()
+    out = (
+        x.select(F.lit("user").alias("kind"), F.col("u").alias("id"), F.col("f").alias("factor_scaled"))
+        .unionByName(
+            y.select(F.lit("item").alias("kind"), F.col("i").alias("id"), F.col("f").alias("factor_scaled"))
+        )
+        .localCheckpoint()
+    )
+    r.unpersist()
+    return out
+
+
+def isotonic_fit_minimax(
+    bins: DataFrame,
+    bin_col: str = "bin",
+    sum_col: str = "s",
+    cnt_col: str = "c",
+    scale: int = 10**12,
+) -> DataFrame:
+    """Isotonic regression (PAVA solution) of a BOUNDED pre-binned
+    table via the minimax identity fitted(k) = max_{i<=k} min_{j>=k}
+    mean(y[i..j]) (Robertson-Wright-Dykstra 1988, eq. 1.9 — the
+    closed form equal to pool-adjacent-violators) — the calibration
+    step behind monotone probability calibration (pairs with the
+    `calibration_ece_orders` family).
+
+    The identity enumerates O(B²) contiguous segments and a O(B³)
+    (i,j,k) association — deliberate: the input is a BIN table (B ≤
+    tens), never raw rows; the raw-data aggregation into (bin, Σy,
+    n) is the caller's one data-sized pass. Segment means are
+    integer-scaled truncating divisions (identical on both engines
+    for the non-negative sums), so max-of-min over them is
+    engine-exact; the result is the PAVA fit up to 1/scale.
+
+    Returns (bin, n, s, fitted_scaled), fitted monotone nondecreasing.
+    """
+    from pyspark.sql import Window
+
+    b = bins.select(
+        F.col(bin_col).cast("bigint").alias("bin"),
+        F.col(sum_col).cast("bigint").alias("s"),
+        F.col(cnt_col).cast("bigint").alias("c"),
+    )
+    # global window over the BIN table — bounded by construction
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    pref = b.select(
+        "bin",
+        "s",
+        "c",
+        F.sum("s").over(w).alias("cs"),
+        F.sum("c").over(w).alias("cc"),
+    ).cache()
+    lo = pref.select(
+        F.col("bin").alias("i"),
+        (F.col("cs") - F.col("s")).alias("cs0"),
+        (F.col("cc") - F.col("c")).alias("cc0"),
+    )
+    hi = pref.select(F.col("bin").alias("j"), "cs", "cc")
+    segs = (
+        lo.join(hi, F.col("i") <= F.col("j"))
+        .select(
+            "i",
+            "j",
+            F.expr(
+                f"(CAST({scale} AS BIGINT) * (cs - cs0)) div greatest(cc - cc0, 1L)"
+            ).alias("mean_scaled"),
+        )
+    )
+    ks = b.select(F.col("bin").alias("k"))
+    inner = (
+        segs.join(ks, F.col("j") >= F.col("k"))
+        .where(F.col("i") <= F.col("k"))
+        .groupBy("i", "k")
+        .agg(F.min("mean_scaled").alias("inner_min"))
+    )
+    fitted = inner.groupBy("k").agg(F.max("inner_min").alias("fitted_scaled"))
+    out = (
+        pref.select("bin", "c", "s")
+        .join(fitted.withColumnRenamed("k", "bin"), "bin")
+        .select("bin", F.col("c").alias("n"), "s", "fitted_scaled")
+        .localCheckpoint()
+    )
+    pref.unpersist()
+    return out

@@ -11441,3 +11441,128 @@ def jaro_winkler_part_names_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaro_winkler_micro(pairs, "a", "b").select(
         F.col("k").alias("p_partkey"), "kind", "jw_micro"
     )
+
+
+def _als_oracle(rounds: int) -> str:
+    half = (
+        "(CAST(SUM(r.r * {prev}.f) AS BIGINT) << 20) // "
+        "GREATEST(CAST(SUM({prev}.f * {prev}.f) AS BIGINT) >> 20, 1)"
+    )
+    steps = []
+    prev_y, prev_x = "y0", None
+    for t in range(1, rounds + 1):
+        steps.append(
+            f"""x{t} AS MATERIALIZED (
+      SELECT r.u, {half.format(prev=prev_y)} AS f
+      FROM r JOIN {prev_y} ON {prev_y}.i = r.i GROUP BY r.u
+    )"""
+        )
+        prev_x = f"x{t}"
+        steps.append(
+            f"""y{t} AS MATERIALIZED (
+      SELECT r.i, {half.format(prev=prev_x)} AS f
+      FROM r JOIN {prev_x} ON {prev_x}.u = r.u GROUP BY r.i
+    )"""
+        )
+        prev_y = f"y{t}"
+    body = ", ".join(steps)
+    return f"""
+    WITH r AS MATERIALIZED (
+      SELECT o.o_custkey AS u, l.l_partkey AS i,
+             CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS r
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2
+    ), y0 AS MATERIALIZED (
+      SELECT DISTINCT i, CAST(1048576 AS BIGINT) AS f FROM r
+    ), {body}
+    SELECT 'user' AS kind, CAST(u AS BIGINT) AS id,
+           CAST(f AS BIGINT) AS factor_scaled FROM {prev_x}
+    UNION ALL
+    SELECT 'item' AS kind, CAST(i AS BIGINT) AS id,
+           CAST(f AS BIGINT) AS factor_scaled FROM {prev_y}
+    """
+
+
+@register("als_rank1_factors", _als_oracle(2))
+def als_rank1_factors_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-1 ALS over the customer×part implicit-rating matrix
+    (operators/ml.py als_rank1_rounds — closed-form alternations as
+    keyed aggregations, factors ×2^20, every half-step a
+    shift/truncating-div over int64 so the trajectory is
+    bit-reproducible; 2 rounds unrolled in the oracle). The portable
+    twin of the float ALS a recommender would run (same join/agg
+    plan shape, engine-exact arithmetic)."""
+    from dpe_energy_performance_analysis_etl_spark.operators.ml import als_rank1_rounds
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    ratings = o.join(li, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        F.col("o_custkey").alias("u"),
+        F.col("l_partkey").alias("i"),
+        F.col("l_quantity").cast("bigint").alias("r"),
+    )
+    return als_rank1_rounds(ratings, rounds=2)
+
+
+def _isotonic_oracle() -> str:
+    return """
+    WITH pts AS MATERIALIZED (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT) AS cents,
+             CASE WHEN substr(o_orderpriority, 1, 1) IN ('1','2')
+                  THEN 1 ELSE 0 END AS y
+      FROM orders
+    ), bins AS MATERIALIZED (
+      SELECT LEAST(cents // 3000000, 19) AS bin,
+             CAST(SUM(y) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS c
+      FROM pts GROUP BY 1
+    ), pref AS MATERIALIZED (
+      SELECT bin, s, c,
+             CAST(SUM(s) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cs,
+             CAST(SUM(c) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cc
+      FROM bins
+    ), segs AS MATERIALIZED (
+      SELECT l.bin AS i, h.bin AS j,
+             (CAST(1000000000000 AS BIGINT) * (h.cs - (l.cs - l.s)))
+             // GREATEST(h.cc - (l.cc - l.c), 1) AS mean_scaled
+      FROM pref l JOIN pref h ON l.bin <= h.bin
+    ), inner_min AS MATERIALIZED (
+      SELECT s2.i, k.bin AS k, MIN(s2.mean_scaled) AS im
+      FROM segs s2 JOIN pref k ON s2.i <= k.bin AND s2.j >= k.bin
+      GROUP BY 1, 2
+    ), fitted AS MATERIALIZED (
+      SELECT k, MAX(im) AS fitted_scaled FROM inner_min GROUP BY k
+    )
+    SELECT CAST(p.bin AS BIGINT) AS bin, p.c AS n, p.s AS s,
+           CAST(f.fitted_scaled AS BIGINT) AS fitted_scaled
+    FROM pref p JOIN fitted f ON f.k = p.bin
+    """
+
+
+@register("isotonic_urgent_rate", _isotonic_oracle())
+def isotonic_urgent_rate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (monotone) calibration of urgent-priority rate vs
+    order-value bin (operators/ml.py isotonic_fit_minimax — the PAVA
+    solution via the minimax identity over a BOUNDED 20-bin table:
+    O(B²) contiguous segments, O(B³) association joins, all integer-
+    scaled truncating divisions so max-of-min is engine-exact). The
+    one data-sized pass is the binning aggregation (exact cents,
+    integer bin ids); everything after runs on ≤20 rows."""
+    from dpe_energy_performance_analysis_etl_spark.operators.exact import scaled_long
+    from dpe_energy_performance_analysis_etl_spark.operators.ml import isotonic_fit_minimax
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    binned = (
+        o.select(
+            F.least(
+                F.expr("CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT) div 3000000"),
+                F.lit(19).cast("bigint"),
+            ).alias("bin"),
+            F.substring("o_orderpriority", 1, 1)
+            .isin("1", "2")
+            .cast("int")
+            .alias("y"),
+        )
+        .groupBy("bin")
+        .agg(F.sum("y").alias("s"), F.count(F.lit(1)).alias("c"))
+    )
+    return isotonic_fit_minimax(binned)

@@ -102,3 +102,119 @@ class TestDecisionStump:
         assert (r["pos_left"], r["neg_left"]) == (1, 3)
         assert (r["pos_right"], r["neg_right"]) == (3, 1)
         assert r["gini_score"] == (1 * 3) / 4.0 + (3 * 1) / 4.0
+
+
+class TestAlsRank1:
+    def _als_ref(self, triples, rounds=2):
+        # eager integer twin of the operator's dyadic alternation
+        from collections import defaultdict
+
+        r = defaultdict(int)
+        for u, i, v in triples:
+            r[(u, i)] += v
+        users = sorted({u for u, _ in r})
+        items = sorted({i for _, i in r})
+        y = {i: 1 << 20 for i in items}
+        x = {}
+        for _ in range(rounds):
+            x = {}
+            for u in users:
+                num = sum(r[(u, i)] * y[i] for i in items if (u, i) in r) << 20
+                den = max(sum(y[i] * y[i] for i in items if (u, i) in r) >> 20, 1)
+                x[u] = num // den
+            y = {}
+            for i in items:
+                num = sum(r[(u, i)] * x[u] for u in users if (u, i) in r) << 20
+                den = max(sum(x[u] * x[u] for u in users if (u, i) in r) >> 20, 1)
+                y[i] = num // den
+        return x, y
+
+    def test_matches_eager_reference(self, spark):
+        import random
+
+        from dpe_energy_performance_analysis_etl_spark.operators.ml import als_rank1_rounds
+
+        rng = random.Random(11)
+        triples = [
+            (rng.randint(1, 20), rng.randint(1, 15), rng.randint(1, 50))
+            for _ in range(300)
+        ]
+        df = spark.createDataFrame(triples, "u bigint, i bigint, r bigint")
+        out = {(r["kind"], r["id"]): r["factor_scaled"] for r in als_rank1_rounds(df).collect()}
+        x, y = self._als_ref(triples)
+        for u, v in x.items():
+            assert out[("user", u)] == v
+        for i, v in y.items():
+            assert out[("item", i)] == v
+
+    def test_rank1_structure_recovered(self, spark):
+        # ratings EXACTLY rank-1 (r = a_u * b_i): after one
+        # alternation the factor ratios must match the planted ones.
+        from dpe_energy_performance_analysis_etl_spark.operators.ml import als_rank1_rounds
+
+        a = {1: 2, 2: 4, 3: 8}
+        b = {10: 3, 11: 6, 12: 9}
+        triples = [(u, i, a[u] * b[i]) for u in a for i in b]
+        df = spark.createDataFrame(triples, "u bigint, i bigint, r bigint")
+        out = {(r["kind"], r["id"]): r["factor_scaled"] for r in als_rank1_rounds(df).collect()}
+        xs = [out[("user", u)] for u in (1, 2, 3)]
+        # planted user ratios 1:2:4 (tolerate the dyadic truncation)
+        assert abs(xs[1] - 2 * xs[0]) <= 2 and abs(xs[2] - 4 * xs[0]) <= 4
+        ys = [out[("item", i)] for i in (10, 11, 12)]
+        assert abs(ys[1] - 2 * ys[0]) <= 2 and abs(ys[2] - 3 * ys[0]) <= 3
+
+
+class TestIsotonicMinimax:
+    def _pava_ref(self, s, c, scale=10**12):
+        # classic pool-adjacent-violators on scaled integer means
+        n = len(s)
+        means = []
+        for k in range(n):
+            best = None
+            for i in range(k + 1):
+                worst = None
+                for j in range(k, n):
+                    m = scale * sum(s[i : j + 1]) // max(sum(c[i : j + 1]), 1)
+                    worst = m if worst is None else min(worst, m)
+                best = worst if best is None else max(best, worst)
+            means.append(best)
+        return means
+
+    def test_matches_minimax_reference_and_monotone(self, spark):
+        from dpe_energy_performance_analysis_etl_spark.operators.ml import (
+            isotonic_fit_minimax,
+        )
+
+        s = [5, 3, 9, 2, 2, 8, 7, 20]
+        c = [10, 10, 12, 4, 9, 11, 8, 21]
+        df = spark.createDataFrame(
+            [(k, s[k], c[k]) for k in range(len(s))], "bin bigint, s bigint, c bigint"
+        )
+        rows = sorted(isotonic_fit_minimax(df).collect(), key=lambda r: r["bin"])
+        exp = self._pava_ref(s, c)
+        got = [r["fitted_scaled"] for r in rows]
+        assert got == exp
+        assert all(got[k] <= got[k + 1] for k in range(len(got) - 1))
+        # pooling: already-monotone input is returned as plain means
+        s2, c2 = [1, 5, 9], [10, 10, 10]
+        df2 = spark.createDataFrame(
+            [(k, s2[k], c2[k]) for k in range(3)], "bin bigint, s bigint, c bigint"
+        )
+        rows2 = sorted(isotonic_fit_minimax(df2).collect(), key=lambda r: r["bin"])
+        assert [r["fitted_scaled"] for r in rows2] == [
+            10**12 * s2[k] // c2[k] for k in range(3)
+        ]
+
+    def test_constant_violator_pools_to_weighted_mean(self, spark):
+        from dpe_energy_performance_analysis_etl_spark.operators.ml import (
+            isotonic_fit_minimax,
+        )
+
+        # strictly decreasing input -> one global pool
+        s, c = [9, 6, 3], [10, 10, 10]
+        df = spark.createDataFrame(
+            [(k, s[k], c[k]) for k in range(3)], "bin bigint, s bigint, c bigint"
+        )
+        rows = isotonic_fit_minimax(df).collect()
+        pooled = 10**12 * sum(s) // sum(c)
+        assert {r["fitted_scaled"] for r in rows} == {pooled}
