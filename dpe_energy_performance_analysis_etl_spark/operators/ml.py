@@ -497,3 +497,72 @@ def isotonic_fit_minimax(
     )
     pref.unpersist()
     return out
+
+
+def naive_bayes_odds_gate(
+    train: DataFrame,
+    score: DataFrame,
+    features: list[str],
+    label: str = "y",
+    lik_scale: int = 1000,
+) -> DataFrame:
+    """Bernoulli naive Bayes over BINARY features with the decision
+    made by an exact INTEGER odds comparison — no logs, no floats,
+    so train+score is bit-reproducible on any engine (the log-space
+    formulation every float NB uses is libm-dependent and would
+    break the oracle gate).
+
+    Train: one aggregation pass builds Laplace-smoothed likelihoods
+    l(j,c,v) = div(lik_scale·(n_{j,c,v}+1), n_c+2) — scaled to a
+    FIXED precision so the model is independent of the training-set
+    size (counts grow with data; the scaled fractions don't —
+    the 100 TB-safe form). The model is O(features) numbers: it is
+    pulled to the driver (a bounded scalar pull, same class as the
+    imputation stats) and scoring compiles to literal CASE
+    expressions — pure codegen, zero joins, zero shuffle per row.
+
+    Decision: predict 1 iff
+    prior1·Π_j l(j,1,v_j) >= prior0·Π_j l(j,0,v_j), with priors
+    div(lik_scale·n_c, n). With lik_scale=1000 and ≤5 features every
+    product stays <= 10^18 < 2^63.
+
+    Returns the confusion matrix (pred, actual, n).
+    """
+    if not 1 <= len(features) <= 5:
+        raise ValueError("naive_bayes_odds_gate supports 1..5 binary features")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in (0, 1):
+        aggs.append(
+            F.sum((F.col(label) == c).cast("bigint")).alias(f"n{c}")
+        )
+        for j, f in enumerate(features):
+            for v in (0, 1):
+                aggs.append(
+                    F.sum(
+                        ((F.col(label) == c) & (F.col(f) == v)).cast("bigint")
+                    ).alias(f"n_{j}_{c}_{v}")
+                )
+    m = train.agg(*aggs).collect()[0]
+    lik = {
+        (j, c, v): lik_scale * (m[f"n_{j}_{c}_{v}"] + 1) // (m[f"n{c}"] + 2)
+        for j in range(len(features))
+        for c in (0, 1)
+        for v in (0, 1)
+    }
+    prior = {c: lik_scale * m[f"n{c}"] // m["n"] for c in (0, 1)}
+    odds = {}
+    for c in (0, 1):
+        e = F.lit(prior[c]).cast("bigint")
+        for j, f in enumerate(features):
+            e = e * F.when(
+                F.col(f) == 1, F.lit(lik[(j, c, 1)]).cast("bigint")
+            ).otherwise(F.lit(lik[(j, c, 0)]).cast("bigint"))
+        odds[c] = e
+    return (
+        score.select(
+            (odds[1] >= odds[0]).cast("int").alias("pred"),
+            F.col(label).cast("int").alias("actual"),
+        )
+        .groupBy("pred", "actual")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

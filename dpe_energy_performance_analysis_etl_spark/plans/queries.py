@@ -11566,3 +11566,152 @@ def isotonic_urgent_rate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("y").alias("s"), F.count(F.lit(1)).alias("c"))
     )
     return isotonic_fit_minimax(binned)
+
+
+def _naive_bayes_oracle() -> str:
+    noise = _walk_mix_sql("k", "31", 0)
+    counts = []
+    liks = []
+    for j in range(4):
+        for c in (0, 1):
+            for v in (0, 1):
+                counts.append(
+                    f"CAST(SUM(CASE WHEN y = {c} AND f{j} = {v} THEN 1 ELSE 0 END)"
+                    f" AS BIGINT) AS c_{j}_{c}_{v}"
+                )
+                liks.append(
+                    f"1000 * (c_{j}_{c}_{v} + 1) // (n{c} + 2) AS l_{j}_{c}_{v}"
+                )
+    odds = {}
+    for c in (0, 1):
+        terms = [f"p{c}"]
+        for j in range(4):
+            terms.append(
+                f"(CASE WHEN f{j} = 1 THEN l_{j}_{c}_1 ELSE l_{j}_{c}_0 END)"
+            )
+        odds[c] = " * ".join(terms)
+    return f"""
+    WITH feat AS MATERIALIZED (
+      SELECT k, CASE WHEN f0 + f1 + f2 + {noise} % 2 >= 2
+                        THEN 1 ELSE 0 END AS y,
+             f0, f1, f2, f3
+      FROM (
+        SELECT o_orderkey AS k,
+               CASE WHEN CAST(o_totalprice AS DECIMAL(30,2)) > 150000
+                    THEN 1 ELSE 0 END AS f0,
+               CASE WHEN substr(o_orderpriority, 1, 1) IN ('1','2')
+                    THEN 1 ELSE 0 END AS f1,
+               CASE WHEN year(o_orderdate) <= 1997 THEN 1 ELSE 0 END AS f2,
+               CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END AS f3
+        FROM orders)
+    ), m AS MATERIALIZED (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS n1,
+             CAST(COUNT(*) - SUM(y) AS BIGINT) AS n0,
+             {", ".join(counts)}
+      FROM feat WHERE k % 3 <> 0
+    ), lik AS MATERIALIZED (
+      SELECT 1000 * n1 // n AS p1, 1000 * n0 // n AS p0,
+             {", ".join(liks)}
+      FROM m
+    )
+    SELECT pred, actual, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      SELECT CASE WHEN {odds[1]} >= {odds[0]} THEN 1 ELSE 0 END AS pred,
+             y AS actual
+      FROM feat CROSS JOIN lik WHERE k % 3 = 0
+    ) GROUP BY pred, actual
+    """
+
+
+@register("naive_bayes_status_gate", _naive_bayes_oracle())
+def naive_bayes_status_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bernoulli naive Bayes train+score with the decision as an
+    exact INTEGER odds product (operators/ml.py
+    naive_bayes_odds_gate — Laplace likelihoods scaled to fixed
+    precision div(1000·(n+1), n_c+2), so the model is independent of
+    training-set size; the O(features) model is a bounded scalar
+    pull and scoring compiles to literal CASE codegen, zero joins).
+    Train = orderkeys % 3 != 0, score = the rest; label = status F,
+    features: high value, urgent priority, early year, odd key. Output
+    is the confusion matrix."""
+    from dpe_energy_performance_analysis_etl_spark.operators.ml import naive_bayes_odds_gate
+
+    from dpe_energy_performance_analysis_etl_spark.operators.graph import _portable_mix32
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    feat = o.select(
+        F.col("o_orderkey").alias("k"),
+        (F.expr("CAST(o_totalprice AS DECIMAL(30,2))") > 150000)
+        .cast("int")
+        .alias("f0"),
+        F.substring("o_orderpriority", 1, 1).isin("1", "2").cast("int").alias("f1"),
+        (F.year("o_orderdate") <= 1997).cast("int").alias("f2"),
+        (F.col("o_orderkey") % 2 == 1).cast("int").alias("f3"),
+    ).withColumn(
+        # planted label: noisy majority vote of f0..f2 (f3 is a
+        # decoy) — the synthetic o_orderstatus is uniform hash noise
+        # with no learnable signal, so a real-data label would make
+        # "always predict majority" the correct model
+        "y",
+        (
+            F.col("f0")
+            + F.col("f1")
+            + F.col("f2")
+            + _portable_mix32(F.col("k"), F.lit(31), F.lit(0)) % 2
+            >= 2
+        ).cast("int"),
+    )
+    return naive_bayes_odds_gate(
+        feat.where(F.col("k") % 3 != 0),
+        feat.where(F.col("k") % 3 == 0),
+        ["f0", "f1", "f2", "f3"],
+    )
+
+
+@register(
+    "rolling_median_revenue",
+    """
+    WITH daily AS MATERIALIZED (
+      SELECT o_orderdate AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2)) * 100) AS BIGINT)
+               AS rev_cents
+      FROM orders GROUP BY 1
+    ), lists AS MATERIALIZED (
+      SELECT day, rev_cents,
+             list(rev_cents) OVER (ORDER BY day
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS l
+      FROM daily
+    )
+    SELECT day, rev_cents,
+           CAST(list_sort(l)[(len(l) + 1) // 2] AS BIGINT) AS roll_median_cents
+    FROM lists
+    """,
+)
+def rolling_median_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day LOWER-median of daily revenue — the robust
+    moving-average variant (median absolute to spikes). Daily
+    revenue is the one data-sized aggregation (exact integer cents);
+    the rolling median then runs over the BOUNDED day table (~2.4k
+    rows — the documented global-window-on-aggregate-table design
+    rule) as collect_list over a ROWS frame + array_sort + the
+    deterministic lower-median rank pick ((n+1) div 2 — order
+    statistics, not interpolation: the round-3 float-parity rule)."""
+    from pyspark.sql import Window
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.expr("CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT)"))
+        .cast("bigint")
+        .alias("rev_cents")
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return (
+        daily.withColumn("__l", F.collect_list("rev_cents").over(w))
+        .select(
+            "day",
+            "rev_cents",
+            F.expr(
+                "element_at(array_sort(__l), CAST((size(__l) + 1) div 2 AS INT))"
+            ).alias("roll_median_cents"),
+        )
+    )

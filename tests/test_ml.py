@@ -218,3 +218,66 @@ class TestIsotonicMinimax:
         rows = isotonic_fit_minimax(df).collect()
         pooled = 10**12 * sum(s) // sum(c)
         assert {r["fitted_scaled"] for r in rows} == {pooled}
+
+
+class TestNaiveBayesOddsGate:
+    def _ref(self, train, score, nf, lik_scale=1000):
+        n = len(train)
+        n1 = sum(r[-1] for r in train)
+        n0 = n - n1
+        prior = {0: lik_scale * n0 // n, 1: lik_scale * n1 // n}
+        lik = {}
+        for j in range(nf):
+            for c in (0, 1):
+                for v in (0, 1):
+                    cnt = sum(1 for r in train if r[-1] == c and r[j] == v)
+                    lik[(j, c, v)] = lik_scale * (cnt + 1) // ((n1 if c else n0) + 2)
+        from collections import Counter
+
+        cm = Counter()
+        for r in score:
+            o1 = prior[1]
+            o0 = prior[0]
+            for j in range(nf):
+                o1 *= lik[(j, 1, r[j])]
+                o0 *= lik[(j, 0, r[j])]
+            cm[(1 if o1 >= o0 else 0, r[-1])] += 1
+        return dict(cm)
+
+    def test_separable_and_reference_equality(self, spark):
+        import random
+
+        from dpe_energy_performance_analysis_etl_spark.operators.ml import (
+            naive_bayes_odds_gate,
+        )
+
+        rng = random.Random(3)
+        # y = f0 with 10% flip noise; f1 is a decoy coin
+        rows = []
+        for _ in range(400):
+            f0 = rng.randint(0, 1)
+            f1 = rng.randint(0, 1)
+            y = f0 if rng.random() > 0.1 else 1 - f0
+            rows.append((f0, f1, y))
+        train, score = rows[:300], rows[300:]
+        tdf = spark.createDataFrame(train, "f0 int, f1 int, y int")
+        sdf = spark.createDataFrame(score, "f0 int, f1 int, y int")
+        got = {
+            (r["pred"], r["actual"]): r["n"]
+            for r in naive_bayes_odds_gate(tdf, sdf, ["f0", "f1"]).collect()
+        }
+        assert got == self._ref(train, score, 2)
+        # the learned gate must track f0 (>85% accuracy on this noise)
+        acc = sum(v for (p, a), v in got.items() if p == a) / len(score)
+        assert acc > 0.8
+
+    def test_feature_count_guard(self, spark):
+        import pytest
+
+        from dpe_energy_performance_analysis_etl_spark.operators.ml import (
+            naive_bayes_odds_gate,
+        )
+
+        df = spark.createDataFrame([(1, 1)], "f0 int, y int")
+        with pytest.raises(ValueError):
+            naive_bayes_odds_gate(df, df, [f"f{i}" for i in range(6)])
