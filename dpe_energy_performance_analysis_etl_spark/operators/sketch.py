@@ -324,3 +324,66 @@ def ams_f2(df: DataFrame, item_col: str) -> DataFrame:
             / (F.lit(4).cast("double") * F.col("exact_f2").cast("double"))
         ).alias("est_over_exact"),
     )
+
+
+def kmv_set_ops(
+    a: DataFrame,
+    b: DataFrame,
+    item_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """KMV set-operation estimates (Beyer et al., SIGMOD'07 "On
+    synopses for distinct-value estimation under multiset
+    operations"): union size, Jaccard, and intersection size of two
+    sets from their k-min-value sketches ONLY — the mergeable
+    bounded-state path for cross-corpus overlap questions (the exact
+    `source_overlap_matrix` twin for when corpora are too large to
+    join exactly).
+
+    Estimators over the combined sketch su = k smallest of sa ∪ sb:
+      - union_est: (k−1)·M / h_(k) (the kmv_estimate form);
+      - jaccard: |{h ∈ su : h ∈ sa AND h ∈ sb}| / k — membership is
+        tested against the two SKETCHES, never the raw sets;
+      - inter_est = jaccard · union_est, evaluated as the single
+        double division shared·(k−1)·M / (k·h_k) (products ≤ ~4e18,
+        inside int64; one IEEE division is engine-exact).
+    When the combined sketch holds fewer than k hashes the universe
+    was fully seen: all three are exact (union = n_held, inter =
+    shared), and both engines take the same branch.
+
+    Scale shape: two distinct-shuffles + three k-row window picks;
+    only sketch rows (≤ 3k) move afterwards. Returns one row:
+    (n_held, shared, union_est, jaccard_ppm, inter_est).
+    """
+    sa = kmv_build(a, item_col, k=k)
+    sb = kmv_build(b, item_col, k=k)
+    su = kmv_merge(sa, sb, k=k)
+    shared = (
+        su.join(sa.select("h"), "h", "semi")
+        .join(sb.select("h"), "h", "semi")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    agg = su.agg(F.count(F.lit(1)).alias("n_held"), F.max("h").alias("h_k"))
+    j = agg.crossJoin(shared)
+    full = F.col("n_held") < k
+    return j.select(
+        F.col("n_held").cast("bigint").alias("n_held"),
+        F.col("shared").cast("bigint").alias("shared"),
+        F.when(full, F.col("n_held").cast("double"))
+        .otherwise(
+            (F.lit(float(k - 1)) * F.lit(float(KMV_MOD))) / F.col("h_k").cast("double")
+        )
+        .alias("union_est"),
+        F.when(
+            full,
+            F.expr(f"CAST(1000000 * shared AS BIGINT) div greatest(n_held, 1L)"),
+        )
+        .otherwise(F.expr(f"CAST(1000000 * shared AS BIGINT) div {k}"))
+        .alias("jaccard_ppm"),
+        F.when(full, F.col("shared").cast("double"))
+        .otherwise(
+            (F.col("shared") * F.lit(k - 1) * F.lit(KMV_MOD)).cast("double")
+            / (F.lit(k) * F.col("h_k")).cast("double")
+        )
+        .alias("inter_est"),
+    )

@@ -11715,3 +11715,144 @@ def rolling_median_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("roll_median_cents"),
         )
     )
+
+
+def _kmv_overlap_oracle(k: int) -> str:
+    hash_expr = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(regexp_extract_all(rpad(term, 16, '#'), '.'), "
+        "c -> CAST(ascii(c) AS BIGINT))), "
+        "(acc, x) -> (acc * 131 + x) % 1000000000000000)"
+    )
+    km1_m = float(k - 1) * 1e15
+    return f"""
+    WITH tokA AS MATERIALIZED (
+      SELECT DISTINCT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      FROM documents WHERE doc_id % 2 = 0
+    ), tokB AS MATERIALIZED (
+      SELECT DISTINCT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      FROM documents WHERE doc_id % 3 = 0
+    ), hA AS MATERIALIZED (SELECT DISTINCT {hash_expr} AS h FROM tokA),
+    hB AS MATERIALIZED (SELECT DISTINCT {hash_expr} AS h FROM tokB),
+    sA AS MATERIALIZED (
+      SELECT h FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS pos FROM hA)
+      WHERE pos <= {k}
+    ), sB AS MATERIALIZED (
+      SELECT h FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS pos FROM hB)
+      WHERE pos <= {k}
+    ), sU AS MATERIALIZED (
+      SELECT h FROM (
+        SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS pos
+        FROM (SELECT DISTINCT h FROM (SELECT h FROM sA UNION ALL SELECT h FROM sB))
+      ) WHERE pos <= {k}
+    ), sh AS MATERIALIZED (
+      SELECT CAST(COUNT(*) AS BIGINT) AS shared FROM sU
+      WHERE h IN (SELECT h FROM sA) AND h IN (SELECT h FROM sB)
+    ), ag AS MATERIALIZED (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_held, MAX(h) AS h_k FROM sU
+    ), ex AS MATERIALIZED (
+      SELECT CAST((SELECT COUNT(*) FROM (SELECT term FROM tokA UNION SELECT term FROM tokB)) AS BIGINT) AS exact_union,
+             CAST((SELECT COUNT(*) FROM tokA WHERE term IN (SELECT term FROM tokB)) AS BIGINT) AS exact_inter
+    )
+    SELECT n_held, shared,
+           CASE WHEN n_held < {k} THEN CAST(n_held AS DOUBLE)
+                ELSE CAST({km1_m} AS DOUBLE) / CAST(h_k AS DOUBLE) END AS union_est,
+           CASE WHEN n_held < {k}
+                THEN CAST(1000000 * shared AS BIGINT) // GREATEST(n_held, 1)
+                ELSE CAST(1000000 * shared AS BIGINT) // {k} END AS jaccard_ppm,
+           CASE WHEN n_held < {k} THEN CAST(shared AS DOUBLE)
+                ELSE CAST(shared * {k - 1} * 1000000000000000 AS DOUBLE)
+                     / CAST({k} * h_k AS DOUBLE) END AS inter_est,
+           exact_union, exact_inter
+    FROM ag CROSS JOIN sh CROSS JOIN ex
+    """
+
+
+@register("kmv_overlap_docs", _kmv_overlap_oracle(16))
+def kmv_overlap_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set-operation estimates between two token corpora
+    (operators/sketch.py kmv_set_ops — Beyer SIGMOD'07: union /
+    Jaccard / intersection from the k-min sketches ONLY, membership
+    tested sketch-against-sketch, one IEEE division per estimator)
+    next to the exact answers — the sketch-side counterpart of
+    `source_overlap_matrix` for corpora too large to join exactly.
+    k=16 < vocabulary so the gate exercises the estimator branch."""
+    from dpe_energy_performance_analysis_etl_spark.operators.sketch import kmv_set_ops
+    from dpe_energy_performance_analysis_etl_spark.text import tokens_expr
+
+    docs = read_documents(spark, sf_dir)
+    tok_a = (
+        docs.where(F.col("doc_id") % 2 == 0)
+        .select(F.explode(tokens_expr("text")).alias("term"))
+        .distinct()
+    )
+    tok_b = (
+        docs.where(F.col("doc_id") % 3 == 0)
+        .select(F.explode(tokens_expr("text")).alias("term"))
+        .distinct()
+    )
+    est = kmv_set_ops(tok_a, tok_b, "term", k=16)
+    exact_inter = tok_a.join(tok_b, "term", "semi").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_inter")
+    )
+    exact_union = (
+        tok_a.unionByName(tok_b)
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_union"))
+    )
+    return est.crossJoin(exact_union).crossJoin(exact_inter)
+
+
+@register(
+    "decayed_heavy_users",
+    """
+    WITH ev AS MATERIALIZED (
+      SELECT user_id, CAST(epoch(ts) AS BIGINT) // 86400 AS day FROM events
+    ), mx AS MATERIALIZED (
+      SELECT MAX(day) AS t FROM ev
+    ), wts AS MATERIALIZED (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN mx.t - day <= 40
+                           THEN CAST(1 AS BIGINT) << CAST(40 - (mx.t - day) AS INT)
+                           ELSE 0 END) AS BIGINT) AS decayed,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM ev CROSS JOIN mx GROUP BY user_id
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id, decayed, n_events
+    FROM wts ORDER BY decayed DESC, user_id ASC LIMIT 20
+    """,
+)
+def decayed_heavy_users_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed heavy hitters: per-user activity
+    weight Σ 2^(40 − age_days), zeroed past 40 days — the dyadic
+    half-life form (one-day half-life) that stays EXACT int64 where
+    a float e^{-λt} would diverge across engines. One data-sized
+    aggregation keyed on user, a broadcast 1-row max-day, and a
+    global top-20 via orderBy+limit (TakeOrdered — only 20 rows per
+    partition reach the driver-side merge; no global window, no full
+    sort). The streaming analogue decays per trigger with the same
+    shift arithmetic."""
+    ev = read_events(spark, sf_dir).select(
+        "user_id", (epoch_seconds("ts") / 86400).cast("bigint").alias("day")
+    )
+    mx = ev.agg(F.max("day").alias("t"))
+    wts = (
+        ev.crossJoin(F.broadcast(mx))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("t") - F.col("day") <= 40,
+                    F.expr("shiftleft(1L, CAST(40 - (t - day) AS INT))"),
+                ).otherwise(F.lit(0).cast("bigint"))
+            )
+            .cast("bigint")
+            .alias("decayed"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+    )
+    return (
+        wts.select(F.col("user_id").cast("bigint").alias("user_id"), "decayed", "n_events")
+        .orderBy(F.col("decayed").desc(), F.col("user_id").asc())
+        .limit(20)
+    )

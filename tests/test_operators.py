@@ -663,3 +663,46 @@ class TestRendezvousAssign:
         assert a == b
         plan = rendezvous_assign(keys, "k", 7)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange hash" not in plan
+
+
+class TestKmvSetOps:
+    def test_exact_branch_small_universe(self, spark):
+        from dpe_energy_performance_analysis_etl_spark.operators.sketch import kmv_set_ops
+
+        a = spark.createDataFrame([(f"tok{i}",) for i in range(10)], "term string")
+        b = spark.createDataFrame([(f"tok{i}",) for i in range(5, 15)], "term string")
+        r = kmv_set_ops(a, b, "term", k=64).collect()[0]
+        # 15 distinct union hashes < k: everything exact
+        assert r["n_held"] == 15
+        assert r["shared"] == 5
+        assert r["union_est"] == 15.0
+        assert r["inter_est"] == 5.0
+        assert r["jaccard_ppm"] == 1000000 * 5 // 15
+
+    def test_estimator_branch_tracks_truth(self, spark):
+        from dpe_energy_performance_analysis_etl_spark.operators.sketch import kmv_set_ops
+
+        # 600-token universes with 50% overlap; k=64 estimator
+        a = spark.createDataFrame(
+            [(f"alpha{i:04d}",) for i in range(600)], "term string"
+        )
+        b = spark.createDataFrame(
+            [(f"alpha{i:04d}",) for i in range(300, 900)], "term string"
+        )
+        r = kmv_set_ops(a, b, "term", k=64).collect()[0]
+        assert r["n_held"] == 64
+        # union truth 900, inter truth 300: KMV with k=64 should be
+        # within ~40% (loose, deterministic — fixed hash)
+        assert 500 < r["union_est"] < 1500
+        assert 100 < r["inter_est"] < 650
+        # jaccard estimate vs truth 1/3
+        assert 100000 < r["jaccard_ppm"] < 650000
+
+    def test_deterministic_across_partitionings(self, spark):
+        from dpe_energy_performance_analysis_etl_spark.operators.sketch import kmv_set_ops
+
+        a = spark.createDataFrame([(f"x{i}",) for i in range(200)], "term string")
+        b = spark.createDataFrame([(f"x{i}",) for i in range(100, 300)], "term string")
+        r1 = kmv_set_ops(a, b, "term", k=32).collect()[0]
+        r2 = kmv_set_ops(a.repartition(7), b.repartition(3), "term", k=32).collect()[0]
+        assert r1.asDict() == r2.asDict()
