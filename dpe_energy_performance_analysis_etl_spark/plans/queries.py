@@ -11781,15 +11781,20 @@ def kmv_overlap_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dpe_energy_performance_analysis_etl_spark.text import tokens_expr
 
     docs = read_documents(spark, sf_dir)
+    # each token set feeds THREE consumers (sketch build, exact
+    # intersection, exact union) — vocabulary-bounded, so cache per
+    # the repeated-subtree rule (else the scan+tokenize re-runs 3x)
     tok_a = (
         docs.where(F.col("doc_id") % 2 == 0)
         .select(F.explode(tokens_expr("text")).alias("term"))
         .distinct()
+        .cache()
     )
     tok_b = (
         docs.where(F.col("doc_id") % 3 == 0)
         .select(F.explode(tokens_expr("text")).alias("term"))
         .distinct()
+        .cache()
     )
     est = kmv_set_ops(tok_a, tok_b, "term", k=16)
     exact_inter = tok_a.join(tok_b, "term", "semi").agg(
@@ -11855,4 +11860,94 @@ def decayed_heavy_users_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         wts.select(F.col("user_id").cast("bigint").alias("user_id"), "decayed", "n_events")
         .orderBy(F.col("decayed").desc(), F.col("user_id").asc())
         .limit(20)
+    )
+
+
+def _cc_doubling_rounds_sql(edges: str, lab0: str, rounds: int) -> str:
+    """Unrolled hash-min + pointer-jump label rounds (MATERIALIZED):
+    reach 2^rounds, so `rounds`=12 certifies any component structure
+    up to 4096 nodes regardless of topology. `edges` must be a CTE
+    name with (a, b) BOTH directions; `lab0` a CTE (node, lab)."""
+    parts = []
+    prev = lab0
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""lab{r} AS MATERIALIZED (
+      SELECT l.node,
+             LEAST(l.lab, COALESCE(nb.m, l.lab), COALESCE(j.lab, l.lab)) AS lab
+      FROM {prev} l
+      LEFT JOIN (SELECT e.a AS node, MIN(x.lab) AS m
+                 FROM {edges} e JOIN {prev} x ON x.node = e.b
+                 GROUP BY e.a) nb ON nb.node = l.node
+      LEFT JOIN {prev} j ON j.node = l.lab
+    )"""
+        )
+        prev = f"lab{r}"
+    return ", ".join(parts), prev
+
+
+def _single_linkage_oracle(threshold: int, rounds: int = 12) -> str:
+    labs, last = _cc_doubling_rounds_sql("kept", "lab0", rounds)
+    return f"""
+    WITH pairs AS MATERIALIZED (
+      SELECT x.l_partkey AS src, y.l_partkey AS dst,
+             1000 - CAST(COUNT(*) AS BIGINT) AS weight
+      FROM lineitem x JOIN lineitem y
+        ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ), nodes AS MATERIALIZED (
+      SELECT DISTINCT v FROM (
+        SELECT src AS v FROM pairs UNION ALL SELECT dst FROM pairs)
+    ), kept AS MATERIALIZED (
+      SELECT src AS a, dst AS b FROM pairs WHERE weight <= {threshold}
+      UNION ALL
+      SELECT dst AS a, src AS b FROM pairs WHERE weight <= {threshold}
+    ), lab0 AS MATERIALIZED (
+      SELECT v AS node, v AS lab FROM nodes
+    ), {labs}
+    SELECT CAST(node AS BIGINT) AS part, CAST(lab AS BIGINT) AS cluster
+    FROM {last}
+    """
+
+
+@register("single_linkage_parts", _single_linkage_oracle(997))
+def single_linkage_parts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-linkage clustering as MST + dendrogram cut
+    (operators/graph.py boruvka_mst → drop forest edges above the
+    distance threshold → connected components): the scalable
+    hierarchical-clustering path — the MST is computed ONCE and any
+    number of thresholds replay as cheap filters + CC, instead of
+    re-running a threshold join per cut. The oracle computes the
+    clusters DIRECTLY as components of the θ-thresholded graph
+    (12 unrolled hash-min+jump rounds — reach 4096 ≥ |V|), so the
+    green row certifies the single-linkage/MST-cut equivalence
+    end-to-end on real data, not just the plumbing."""
+    from dpe_energy_performance_analysis_etl_spark.dedup.cluster import connected_components
+    from dpe_energy_performance_analysis_etl_spark.operators.graph import boruvka_mst
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pairs = (
+        li.alias("x")
+        .join(
+            li.alias("y"),
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .groupBy(
+            F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 2)
+        .select("src", "dst", (F.lit(1000) - F.col("n")).alias("weight"))
+        .localCheckpoint()
+    )
+    forest = boruvka_mst(pairs)
+    kept = forest.where(F.col("weight") <= 997)
+    nodes = pairs.select(
+        F.explode(F.array("src", "dst")).alias("part")
+    ).distinct()
+    labels = connected_components(kept, src="a", dst="b", nodes=nodes, node_col="part")
+    return labels.select(
+        F.col("node").cast("bigint").alias("part"),
+        F.col("comp").cast("bigint").alias("cluster"),
     )

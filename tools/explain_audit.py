@@ -83,6 +83,8 @@ EXPECTED_MULTISTAGE = {
     "cohens_kappa_raters": "cached cell table feeds marginals x2 + agree/total branches (9 cache reads)",
     "kneser_ney_bigrams": "cached c12 table feeds context/fan-out/type-count aggs + output join (12 cache reads)",
     "gsp_event_sequences": "cached ev/occ/f1/f2 tables re-expand per level in the static print; 312 cache reads at runtime, 4.1 s sf0.01",
+    # round-6 wave 10
+    "kmv_overlap_docs": "three k-min sketches (distinct + top-k window each) + exact union/inter over the two CACHED vocab-bounded token sets; the static print re-expands both caches per consumer",
 }
 
 
