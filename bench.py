@@ -67,6 +67,13 @@ HEADLINE = [
     "hits_supplier_graph",
     "kmeans_lloyd_portable",
     "cramers_v_priority_status",
+    # round-6 wave-2..11 representatives: sketch reconciliation
+    # (bit_xor cells + peel), ordered-wedge iterative truss, grid-cell
+    # density clustering + CC, and the pure-codegen bitmask fold
+    "iblt_set_reconcile",
+    "ktruss_parts_graph",
+    "dbscan_customer_sites",
+    "jaro_winkler_part_names",
 ]
 
 

@@ -11219,17 +11219,19 @@ def _dbscan_oracle(eps: int, min_pts: int, cc_rounds: int) -> str:
     labs = ", ".join(rounds)
     last = f"lab{cc_rounds}"
     return f"""
-    WITH pts AS MATERIALIZED (
+    WITH nc AS MATERIALIZED (
+      SELECT GREATEST(COUNT(*) // 44, 1) AS centers FROM customer
+    ), pts AS MATERIALIZED (
       SELECT c_custkey AS id,
-             CASE WHEN c_custkey % 9 = 0
-                  THEN {mx('c_custkey', 15)} % 1000000
-                  ELSE ({mx('(c_custkey % 30)', 11)} % 20) * 50000 + 10000
-                       + {mx('c_custkey', 13)} % 1200 END AS x,
-             CASE WHEN c_custkey % 9 = 0
-                  THEN {mx('c_custkey', 16)} % 1000000
-                  ELSE ({mx('(c_custkey % 30)', 12)} % 20) * 50000 + 10000
-                       + {mx('c_custkey', 14)} % 1200 END AS y
-      FROM customer
+             ({mx('(c_custkey % centers)', 11)} % 1000) * 50000 + 10000
+               + CASE WHEN c_custkey % 9 = 0
+                      THEN {mx('c_custkey', 15)} % 6000
+                      ELSE {mx('c_custkey', 13)} % 1200 END AS x,
+             ({mx('(c_custkey % centers)', 12)} % 1000) * 50000 + 10000
+               + CASE WHEN c_custkey % 9 = 0
+                      THEN {mx('c_custkey', 16)} % 6000
+                      ELSE {mx('c_custkey', 14)} % 1200 END AS y
+      FROM customer CROSS JOIN nc
     ), cells AS MATERIALIZED (
       SELECT id, x, y, x // {eps} AS cx, y // {eps} AS cy FROM pts
     ), pairs AS MATERIALIZED (
@@ -11271,46 +11273,58 @@ def _dbscan_oracle(eps: int, min_pts: int, cc_rounds: int) -> str:
     """
 
 
-@register("dbscan_customer_sites", _dbscan_oracle(2500, 4, 8))
+@register("dbscan_customer_sites", _dbscan_oracle(2500, 10, 8))
 def dbscan_customer_sites_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Density clustering (DBSCAN, Ester KDD'96) of synthesized
     customer site coordinates (operators/spatial.py dbscan_grid —
     3x3 grid-cell candidate equi-join, integer squared distances,
     core/border/noise roles, clusters = connected components of the
     core graph labeled by min core id). Coordinates are planted
-    deterministically with the portable mix32: ~8/9 of customers in
-    tight blobs around 30 grid centers (spread 1200 << eps 2500,
-    centers 50000 apart), 1/9 scattered uniformly — so the output
-    exercises all three roles. The oracle mirrors the grid join in
-    SQL and unrolls 8 hash-min + pointer-jump rounds (MATERIALIZED;
-    reach 2^8 >> the blob diameters of 1-2 hops) — Spark runs the
-    real convergence loop, so equality also certifies the fixpoint.
-    Border points take the MIN adjacent core's cluster (canonical
-    DBSCAN is scan-order-dependent there; min is engine-exact)."""
+    deterministically with the portable mix32, SCALE-AWARE: the
+    center count grows with the table (n div 44) so blobs stay a
+    CONSTANT ~40 points at every SF — candidate pairs stay linear in
+    data instead of quadratic-in-blob-size (the first layout's 500-
+    point sf0.1 cliques cost 9.2 s; constant blobs are the honest
+    DBSCAN shape, its cost is inherently density²). 8/9 of customers
+    sit in tight blobs (spread 1200 << eps 2500, min_pts 10 << blob size 40) on a 1000² grid of
+    50000 spacing; 1/9 scatter in a [0,6000)² ring around their own
+    blob center — near offsets join the cluster, mid offsets become
+    borders, far corners become noise, so all three roles appear at
+    every SF. The oracle mirrors the grid join in SQL and unrolls 8
+    hash-min + pointer-jump rounds (MATERIALIZED; reach 2^8 >> the
+    blob diameters of 1-2 hops) — Spark runs the real convergence
+    loop, so equality also certifies the fixpoint. Border points
+    take the MIN adjacent core's cluster (canonical DBSCAN is
+    scan-order-dependent there; min is engine-exact)."""
     from dpe_energy_performance_analysis_etl_spark.operators.graph import _portable_mix32
     from dpe_energy_performance_analysis_etl_spark.operators.spatial import dbscan_grid
 
     c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    centers = max(c.count() // 44, 1)  # bounded scalar pull
 
     def mx(col, salt: int):
         return _portable_mix32(col, F.lit(salt), F.lit(0))
 
-    k = F.col("c_custkey") % 30
+    k = F.col("c_custkey") % centers
     scatter = F.col("c_custkey") % 9 == 0
     pts = c.select(
         F.col("c_custkey").alias("id"),
-        F.when(scatter, mx(F.col("c_custkey"), 15) % 1000000)
-        .otherwise(
-            (mx(k, 11) % 20) * 50000 + 10000 + mx(F.col("c_custkey"), 13) % 1200
-        )
-        .alias("x"),
-        F.when(scatter, mx(F.col("c_custkey"), 16) % 1000000)
-        .otherwise(
-            (mx(k, 12) % 20) * 50000 + 10000 + mx(F.col("c_custkey"), 14) % 1200
-        )
-        .alias("y"),
+        (
+            (mx(k, 11) % 1000) * 50000
+            + 10000
+            + F.when(scatter, mx(F.col("c_custkey"), 15) % 6000).otherwise(
+                mx(F.col("c_custkey"), 13) % 1200
+            )
+        ).alias("x"),
+        (
+            (mx(k, 12) % 1000) * 50000
+            + 10000
+            + F.when(scatter, mx(F.col("c_custkey"), 16) % 6000).otherwise(
+                mx(F.col("c_custkey"), 14) % 1200
+            )
+        ).alias("y"),
     )
-    return dbscan_grid(pts, eps=2500, min_pts=4)
+    return dbscan_grid(pts, eps=2500, min_pts=10)
 
 
 def _jaro_winkler_oracle() -> str:
