@@ -100,6 +100,22 @@ from dpe_energy_performance_analysis_etl_spark.plans import QUERIES, ORACLE_SQL 
 # corpus max df), but the hot-shingle skew guard actually executes
 # under the gate; the uncapped original (4× recorded green) sits just
 # past the window.
+#
+# Round-6 mid-round rotation (waves 2-11): twelve more recorded-green,
+# family-redundant slots (q3 — q1/q5 keep TPC-H; ranking_metrics —
+# bm25 keeps retrieval; minhash_lsh_portable + dedup_clusters_cc —
+# dedup keeps exact/ngram-capped, and single-linkage carries the CC
+# machinery; events_sessionize — temporal keeps asof + time_weighted;
+# histogram_quantiles — sketch keeps heavy_hitters/AMS/HLL;
+# pseudonymize_pii; math_functions — scalar_functions stays;
+# join_view_delta — diff keeps scd2 + cdc; sequence_pack_bins;
+# pandas_udf_parity; stats_moments — stats keeps roc/MK/Cramér) make
+# room for the twelve new round-6 families, each oracle-green at
+# sf0.01 under tools/check_queries.py before rotation: IBLT set
+# reconciliation, rendezvous sharding, k-truss, GSP sequences,
+# Kaplan-Meier, grid DBSCAN, exact Jaro-Winkler, rank-1 ALS,
+# isotonic regression, single-linkage-via-MST, integer-odds naive
+# Bayes, and KMV set-operation estimates.
 _FRONT_50 = [
     "q1_pricing_summary",
     "filter_project",
@@ -109,38 +125,38 @@ _FRONT_50 = [
     "join_inner_broadcast",
     "hits_supplier_graph",
     "join_anti_new_rows",
-    "q3_shipping_priority",
+    "iblt_set_reconcile",
     "q5_regional_revenue",
     "ppr_supplier_graph",
     "bellman_ford_parts",
     "link_prediction_parts",
     "window_running_sum",
     "roc_auc_by_priority",
-    "histogram_quantiles_price",
+    "kaplan_meier_orders",
     "scalar_functions",
-    "math_functions",
+    "jaro_winkler_part_names",
     "mann_kendall_user_values",
     "cramers_v_priority_status",
-    "events_sessionize",
+    "gsp_event_sequences",
     "asof_join_events",
-    "ranking_metrics_by_source",
+    "rendezvous_shard_moves",
     "time_weighted_avg",
     "ams_f2_tokens",
     "text_quality",
     "dedup_exact_groups",
     "ngram_jaccard_capped",
-    "minhash_lsh_portable_pairs",
-    "dedup_clusters_cc",
+    "ktruss_parts_graph",
+    "single_linkage_parts",
     "embedding_cosine_topk",
     "hll_distinct_orders",
     "kmeans_lloyd_portable",
-    "pandas_udf_parity",
-    "stats_moments",
+    "naive_bayes_status_gate",
+    "kmv_overlap_docs",
     "gopher_repetition",
     "decontaminate_overlap",
-    "sequence_pack_bins",
+    "isotonic_urgent_rate",
     "coverage_select_docs",
-    "pseudonymize_pii",
+    "dbscan_customer_sites",
     "geohash_cells_customers",
     "heavy_hitters_tokens",
     "scd2_customer_segments",
@@ -149,7 +165,7 @@ _FRONT_50 = [
     "record_linkage_fs",
     "decision_stump_totalprice",
     "bpe_pair_stats",
-    "join_view_delta_orders",
+    "als_rank1_factors",
     "expectations_orders",
 ]
 

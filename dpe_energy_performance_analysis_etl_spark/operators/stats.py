@@ -1111,3 +1111,99 @@ def kaplan_meier(
             f"{fold} AS surv_scaled",
         )
     )
+
+
+def ransac_line_fit(
+    df: DataFrame,
+    x_col: str = "x",
+    y_col: str = "y",
+    n_models: int = 64,
+    tol_num: int = 1,
+    tol_den: int = 1,
+    id_col: str | None = None,
+) -> DataFrame:
+    """RANSAC line fit (Fischler-Bolles, CACM 1981) with DETERMINISTIC
+    seeded sampling and EXACT integer inlier tests — the robust
+    regression complement to `theil_sen_slope` (Theil-Sen is exact
+    but O(n²) per series; RANSAC is O(n_models·n) and tolerant to
+    >50% outliers).
+
+    Candidate models: for model m, the two seed points are the rows
+    MINIMIZING the portable mix32(x, y, 2m+s) — a per-model hash
+    argmin (seeded, replayable, no RNG, and crucially RANK-FREE: a
+    row_number seeding would need a data-sized global window). The
+    argmin aggregates map-side to n_models rows per partition, so
+    seeding costs one combinable pass.
+    For the line through (x1,y1),(x2,y2), the inlier test
+    |y − y1 − (x − x1)·(y2−y1)/(x2−x1)| ≤ tol is evaluated
+    CROSS-MULTIPLIED:  |(y − y1)(x2 − x1) − (x − x1)(y2 − y1)| ·
+    tol_den ≤ tol_num · |x2 − x1| — pure int64, no division, so
+    inlier counts are engine-exact. Degenerate pairs (x1 = x2) are
+    dropped. Winner = (max inliers, min model id).
+
+    Scale shape: the model table is ``n_models`` rows → broadcast
+    join against the data (one pass, no shuffle of the data side);
+    the count is a map-side-combinable agg keyed on model id.
+    Int64 bound: |xy products| ≤ |x|·|y| ranges — keep inputs within
+    ~2^30 each.
+
+    Returns one row: (model_id, x1, y1, x2, y2, n_inliers).
+    """
+    from pyspark.sql import functions as F
+
+    from dpe_energy_performance_analysis_etl_spark.operators.graph import _portable_mix32
+
+    pts = df.select(
+        F.col(x_col).cast("bigint").alias("x"),
+        F.col(y_col).cast("bigint").alias("y"),
+    ).cache()
+    mids = pts.sparkSession.range(n_models).withColumnRenamed("id", "mid")
+    cand = pts.crossJoin(F.broadcast(mids)).select(
+        "mid",
+        F.struct(
+            _portable_mix32(F.col("x"), F.col("y"), F.col("mid") * 2).alias("k"),
+            F.col("x"),
+            F.col("y"),
+        ).alias("s1"),
+        F.struct(
+            _portable_mix32(F.col("x"), F.col("y"), F.col("mid") * 2 + 1).alias("k"),
+            F.col("x"),
+            F.col("y"),
+        ).alias("s2"),
+    )
+    m = (
+        cand.groupBy("mid")
+        .agg(F.min("s1").alias("p1"), F.min("s2").alias("p2"))
+        .select(
+            "mid",
+            F.col("p1.x").alias("x1"),
+            F.col("p1.y").alias("y1"),
+            F.col("p2.x").alias("x2"),
+            F.col("p2.y").alias("y2"),
+        )
+        .where(F.col("x1") != F.col("x2"))
+    )
+    scored = (
+        pts.crossJoin(F.broadcast(m))
+        .where(
+            F.abs(
+                (F.col("y") - F.col("y1")) * (F.col("x2") - F.col("x1"))
+                - (F.col("x") - F.col("x1")) * (F.col("y2") - F.col("y1"))
+            )
+            * F.lit(tol_den)
+            <= F.lit(tol_num) * F.abs(F.col("x2") - F.col("x1"))
+        )
+        .groupBy("mid", "x1", "y1", "x2", "y2")
+        .agg(F.count(F.lit(1)).alias("n_inliers"))
+    )
+    best = scored.orderBy(F.col("n_inliers").desc(), F.col("mid").asc()).limit(1)
+    out = best.select(
+        F.col("mid").cast("bigint").alias("model_id"),
+        "x1",
+        "y1",
+        "x2",
+        "y2",
+        F.col("n_inliers").cast("bigint").alias("n_inliers"),
+    ).localCheckpoint()
+    pts.unpersist()
+    return out

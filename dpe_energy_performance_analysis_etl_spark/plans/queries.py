@@ -10893,19 +10893,26 @@ def gif_compression_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def iblt_set_reconcile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set reconciliation via Invertible Bloom Lookup Table
     (operators/diff.py iblt_set_diff; Eppstein SIGCOMM'11): two order
-    snapshots (keys mod-7 / mod-11 filtered) compress to 8192
-    mergeable (sum, bit_xor, bit_xor) cells each; subtracting cancels
-    the ~75% common keys and peeling recovers EXACTLY the differing
-    keys — work bounded by the diff, not the tables. The oracle is
-    the semantic ground truth (two anti-joins): peeling at this
-    cells/diff ratio (~2.4×, k=3) decodes completely, so the IBLT
-    output must equal the true set difference bit-for-bit."""
+    snapshots (keys mod-7 / mod-11 filtered) compress to mergeable
+    (sum, bit_xor, bit_xor) cells each; subtracting cancels the ~75%
+    common keys and peeling recovers EXACTLY the differing keys —
+    work bounded by the diff, not the tables. The cell count is
+    SIZED FROM THE DATA (next pow2 ≥ count/2 ≈ 2.4× the ~0.21·n
+    expected diff — a bounded count pull): the first fixed-8192
+    version silently decoded 1 then 0 rows at sf1/sf5 because
+    peeling collapses once cells < ~2·|diff| (the sweep caught it).
+    In a real deployment the sketch size is negotiated from the
+    expected churn, exactly like this. The oracle is the semantic
+    ground truth (two anti-joins), so decode must be complete and
+    bit-exact."""
     from dpe_energy_performance_analysis_etl_spark.operators.diff import iblt_set_diff
 
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    n = o.count()  # bounded scalar pull, sizes the sketch
+    n_cells = 1 << max((n // 2).bit_length(), 10)
     left = o.filter(F.col("o_orderkey") % 7 != 0)
     right = o.filter(F.col("o_orderkey") % 11 != 0)
-    return iblt_set_diff(left, right, "o_orderkey", n_cells=8192, k=3)
+    return iblt_set_diff(left, right, "o_orderkey", n_cells=n_cells, k=3)
 
 
 def _rendezvous_oracle() -> str:
@@ -11018,11 +11025,11 @@ def _ktruss_oracle(iterations: int, k: int) -> str:
     return "".join(blocks)
 
 
-@register("ktruss_parts_graph", _ktruss_oracle(3, 4))
+@register("ktruss_parts_graph", _ktruss_oracle(3, 3))
 def ktruss_parts_graph_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """4-truss of the recurring part-copurchase graph
+    """3-truss of the recurring part-copurchase graph
     (operators/graph.py ktruss_edges, 3 fixed peel rounds): edges
-    surviving iff ≥2 triangles survive around them — the edge-level
+    surviving iff ≥1 triangle survives around them — the edge-level
     cohesion core next to kcore_membership's vertex-level one. Per
     round one ordered wedge join + explode-to-3-edges support agg +
     semi-join, eager localCheckpoint (the cascade rule)."""
@@ -11043,7 +11050,7 @@ def ktruss_parts_graph_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n") >= 2)
         .select("src", "dst")
     )
-    return ktruss_edges(pairs, k=4, iterations=3)
+    return ktruss_edges(pairs, k=3, iterations=3)
 
 
 @register(
@@ -11965,3 +11972,67 @@ def single_linkage_parts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").cast("bigint").alias("part"),
         F.col("comp").cast("bigint").alias("cluster"),
     )
+
+
+def _ransac_oracle(n_models: int) -> str:
+    def mx(node: str, walk: str, k: str) -> str:
+        return f"({_walk_mix_sql(node, walk, k)})"
+
+    y_line = f"7 * c_custkey + 13 + {mx('c_custkey', '61', 0)} % 3 - 1"
+    y_out = f"{mx('c_custkey', '62', 0)} % 8000000"
+    return f"""
+    WITH pts AS MATERIALIZED (
+      SELECT CAST(c_custkey AS BIGINT) AS x,
+             CAST(CASE WHEN c_custkey % 5 = 0 THEN {y_out}
+                  ELSE {y_line} END AS BIGINT) AS y
+      FROM customer
+    ), mids AS MATERIALIZED (
+      SELECT unnest(generate_series(0, {n_models - 1})) AS mid
+    ), seeds AS MATERIALIZED (
+      SELECT mid,
+             MIN({{'k': {mx('p.x', 'p.y', '(2 * m.mid)')}, 'x': p.x, 'y': p.y}}) AS p1,
+             MIN({{'k': {mx('p.x', 'p.y', '(2 * m.mid + 1)')}, 'x': p.x, 'y': p.y}}) AS p2
+      FROM pts p CROSS JOIN mids m GROUP BY mid
+    ), models AS MATERIALIZED (
+      SELECT mid, p1.x AS x1, p1.y AS y1, p2.x AS x2, p2.y AS y2
+      FROM seeds WHERE p1.x <> p2.x
+    ), scored AS MATERIALIZED (
+      SELECT m.mid, m.x1, m.y1, m.x2, m.y2, CAST(COUNT(*) AS BIGINT) AS n_inliers
+      FROM pts p CROSS JOIN models m
+      WHERE ABS((p.y - m.y1) * (m.x2 - m.x1) - (p.x - m.x1) * (m.y2 - m.y1))
+            <= ABS(m.x2 - m.x1)
+      GROUP BY 1, 2, 3, 4, 5
+    )
+    SELECT CAST(mid AS BIGINT) AS model_id, x1, y1, x2, y2, n_inliers
+    FROM scored ORDER BY n_inliers DESC, mid ASC LIMIT 1
+    """
+
+
+@register("ransac_line_custkeys", _ransac_oracle(64))
+def ransac_line_custkeys_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANSAC robust line fit (operators/stats.py ransac_line_fit —
+    Fischler-Bolles 1981 with deterministic per-model hash-argmin
+    seeding instead of an RNG, and the inlier test cross-multiplied
+    to pure int64, no division). Planted data: y = 7x + 13 ± 1 for
+    80% of customers, uniform outliers for the rest — the winning
+    model must recover the line (n_inliers ≈ 0.8·n where Theil-Sen's
+    O(n²) pair enumeration would not scale past small series).
+    Model seeding is a map-side-combinable argmin pass — rank-free
+    (no data-sized global window)."""
+    from dpe_energy_performance_analysis_etl_spark.operators.graph import _portable_mix32
+    from dpe_energy_performance_analysis_etl_spark.operators.stats import ransac_line_fit
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    ck = F.col("c_custkey")
+    pts = c.select(
+        ck.cast("bigint").alias("x"),
+        F.when(
+            ck % 5 == 0, _portable_mix32(ck, F.lit(62), F.lit(0)) % 8000000
+        )
+        .otherwise(
+            7 * ck + 13 + _portable_mix32(ck, F.lit(61), F.lit(0)) % 3 - 1
+        )
+        .cast("bigint")
+        .alias("y"),
+    )
+    return ransac_line_fit(pts, n_models=64, tol_num=1, tol_den=1)

@@ -164,3 +164,46 @@ class TestKaplanMeier:
         vals = [r["surv_scaled"] for r in got]
         assert vals == sorted(vals, reverse=True)
         assert got[0]["n_at_risk"] == 200
+
+
+class TestRansacLineFit:
+    def test_recovers_planted_line(self, spark):
+        from dpe_energy_performance_analysis_etl_spark.operators.stats import (
+            ransac_line_fit,
+        )
+
+        # y = 3x + 5 for 40 points, 10 wild outliers
+        rows = [(x, 3 * x + 5) for x in range(1, 41)] + [
+            (x, 100000 + 917 * x) for x in range(41, 51)
+        ]
+        df = spark.createDataFrame(rows, "x bigint, y bigint")
+        r = ransac_line_fit(df, n_models=32, tol_num=0, tol_den=1).collect()[0]
+        assert (r["y2"] - r["y1"]) == 3 * (r["x2"] - r["x1"])
+        assert r["n_inliers"] == 40
+
+    def test_tolerance_band_and_determinism(self, spark):
+        from dpe_energy_performance_analysis_etl_spark.operators.stats import (
+            ransac_line_fit,
+        )
+
+        rows = [(x, 2 * x + (x % 3) - 1) for x in range(1, 61)]  # y = 2x +/- 1
+        df = spark.createDataFrame(rows, "x bigint, y bigint")
+        tight = ransac_line_fit(df, n_models=16, tol_num=0, tol_den=1).collect()[0]
+        loose = ransac_line_fit(df, n_models=16, tol_num=1, tol_den=1).collect()[0]
+        assert loose["n_inliers"] >= tight["n_inliers"]
+        again = ransac_line_fit(
+            df.repartition(5), n_models=16, tol_num=1, tol_den=1
+        ).collect()[0]
+        assert again.asDict() == loose.asDict()
+
+    def test_vertical_pairs_dropped(self, spark):
+        from dpe_energy_performance_analysis_etl_spark.operators.stats import (
+            ransac_line_fit,
+        )
+
+        # all x equal except two points: only non-degenerate pairs
+        # may become models; the call must not error
+        rows = [(5, y) for y in range(20)] + [(6, 1), (7, 2)]
+        df = spark.createDataFrame(rows, "x bigint, y bigint")
+        out = ransac_line_fit(df, n_models=8).collect()
+        assert len(out) <= 1

@@ -851,5 +851,211 @@ QUERIES["cramers_v_priority_status"] = cramers_v_priority_status
 QUERIES["decision_stump_totalprice"] = decision_stump_totalprice
 
 
+
+
+# ---- round-6 additions: MST, DBSCAN, Jaro-Winkler, ALS, IBLT --------
+
+
+def _mix32_np(x, salt, k=0):
+    """Vectorized twin of operators.graph._portable_mix32."""
+    x = np.asarray(x, dtype=np.uint64)
+    s = (x % 4294967296 + (salt % 4294967296) * 40503 + k * 73244475) % 4294967296
+    s = ((s ^ (s >> np.uint64(16))) * 73244475) % 4294967296
+    return (s ^ (s >> np.uint64(16))).astype(np.int64)
+
+
+def _part_pairs(dfs):
+    li = dfs["lineitem"][["l_orderkey", "l_partkey"]]
+    m = li.merge(li, on="l_orderkey")
+    m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+    cnt = m.groupby(["l_partkey_x", "l_partkey_y"]).size()
+    cnt = cnt[cnt >= 2]
+    return [(a, b, 1000 - int(n)) for (a, b), n in cnt.items()]
+
+
+def mst_parts_forest(dfs):
+    """Eager Kruskal with union-find over the recurring-pair part
+    graph — the single-node twin of the distributed Boruvka rounds
+    (same (w, a, b) tie-break => identical forest)."""
+    edges = sorted((w, a, b) for a, b, w in _part_pairs(dfs))
+    parent = {}
+
+    def find(v):
+        r = v
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(v, v) != v:
+            parent[v], v = r, parent[v]
+        return r
+
+    out = []
+    for w, a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+            out.append((a, b, w))
+    return out
+
+
+def dbscan_customer_sites(dfs):
+    """Eager grid DBSCAN (same planted layout, same min-label
+    border/cluster rules)."""
+    ck = dfs["customer"]["c_custkey"].values.astype(np.int64)
+    centers = max(len(ck) // 44, 1)
+    kk = ck % centers
+    scatter = ck % 9 == 0
+    x = (_mix32_np(kk, 11) % 1000) * 50000 + 10000 + np.where(
+        scatter, _mix32_np(ck, 15) % 6000, _mix32_np(ck, 13) % 1200
+    )
+    y = (_mix32_np(kk, 12) % 1000) * 50000 + 10000 + np.where(
+        scatter, _mix32_np(ck, 16) % 6000, _mix32_np(ck, 14) % 1200
+    )
+    eps, min_pts = 2500, 10
+    import collections
+
+    cell = collections.defaultdict(list)
+    for idx in range(len(ck)):
+        cell[(x[idx] // eps, y[idx] // eps)].append(idx)
+    nbrs = {}
+    for (cx, cy), members in cell.items():
+        cand = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                cand.extend(cell.get((cx + dx, cy + dy), ()))
+        ca = np.asarray(cand)
+        for idx in members:
+            d2 = (x[ca] - x[idx]) ** 2 + (y[ca] - y[idx]) ** 2
+            nbrs[idx] = ca[d2 <= eps * eps]
+    core = {i for i, nb in nbrs.items() if len(nb) >= min_pts}
+    # CC over core graph: BFS with min-id labels
+    label = {}
+    for seed in sorted(core, key=lambda i: ck[i]):
+        if seed in label:
+            continue
+        comp, stack = [], [seed]
+        seen = {seed}
+        while stack:
+            v = stack.pop()
+            comp.append(v)
+            for w in nbrs[v]:
+                w = int(w)
+                if w in core and w not in seen:
+                    seen.add(w)
+                    stack.append(w)
+        m = min(ck[v] for v in comp)
+        for v in comp:
+            label[v] = m
+    out = {}
+    for i in range(len(ck)):
+        if i in core:
+            out[int(ck[i])] = ("core", int(label[i]))
+        else:
+            cl = [label[int(w)] for w in nbrs.get(i, ()) if int(w) in core]
+            if cl:
+                out[int(ck[i])] = ("border", int(min(cl)))
+            else:
+                out[int(ck[i])] = ("noise", -1)
+    return out
+
+
+def _jw_micro(s1, s2):
+    L1, L2 = len(s1), len(s2)
+    if L1 == 0 or L2 == 0:
+        return 0
+    w = max(max(L1, L2) // 2 - 1, 0)
+    used = [False] * L2
+    mi, mj = [], []
+    for i in range(L1):
+        for j in range(max(0, i - w), min(L2 - 1, i + w) + 1):
+            if not used[j] and s2[j] == s1[i]:
+                used[j] = True
+                mi.append(i)
+                mj.append(j)
+                break
+    m = len(mi)
+    if m == 0:
+        return 0
+    mjs = sorted(mj)
+    t = sum(1 for k in range(m) if s1[mi[k]] != s2[mjs[k]])
+    A = 2 * m * m * L2 + 2 * m * m * L1 + (2 * m - t) * L1 * L2
+    B = 6 * m * L1 * L2
+    l = 0
+    for k in range(min(4, L1, L2)):
+        if s1[k] != s2[k]:
+            break
+        l += 1
+    return (10 * A + l * (B - A)) * 1000000 // (10 * B)
+
+
+def jaro_winkler_part_names(dfs):
+    """Eager twin of the registered pair synthesis + exact JW."""
+    # part table is not in the default load set; read lazily once
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    p = pd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"])
+    k = p["p_partkey"].values.astype(np.int64)
+    nm = p["p_name"].str.slice(0, 30).tolist()
+    q = _mix32_np(k, 21) % (np.array([len(s) for s in nm]) - 1)
+    pert = []
+    for s, qi, ki in zip(nm, q, k):
+        qi = int(qi)
+        t = s[:qi] + s[qi + 1 : qi + 2] + s[qi : qi + 1] + s[qi + 2 :]
+        if ki % 4 == 0:
+            t = t[:-1]
+        pert.append(t)
+    by_key = dict(zip(k.tolist(), zip(nm, pert)))
+    out = {}
+    for ki in k.tolist():
+        out[(ki, "self")] = _jw_micro(by_key[ki][0], by_key[ki][1])
+        if ki % 2 == 1 and ki + 1 in by_key:
+            out[(ki, "next")] = _jw_micro(by_key[ki][0], by_key[ki + 1][1])
+    return out
+
+
+def als_rank1_factors(dfs):
+    """Eager integer rank-1 ALS (2 rounds), same dyadic arithmetic."""
+    o = dfs["orders"][["o_orderkey", "o_custkey"]]
+    li = dfs["lineitem"][["l_orderkey", "l_partkey", "l_quantity"]]
+    j = o.merge(li, left_on="o_orderkey", right_on="l_orderkey")
+    r = (
+        j.assign(r=j["l_quantity"].astype(np.int64))
+        .groupby(["o_custkey", "l_partkey"])["r"]
+        .sum()
+        .reset_index()
+    )
+    r.columns = ["u", "i", "r"]
+    y = pd.Series(1 << 20, index=np.unique(r["i"].values), dtype=np.int64)
+    x = None
+    for _ in range(2):
+        ry = r.assign(f=y.loc[r["i"]].values)
+        g = ry.groupby("u")
+        num = g.apply(lambda d: int((d["r"] * d["f"]).sum()) << 20)
+        den = g.apply(lambda d: max(int((d["f"] * d["f"]).sum()) >> 20, 1))
+        x = (num // den).astype(np.int64)
+        rx = r.assign(f=x.loc[r["u"]].values)
+        g = rx.groupby("i")
+        num = g.apply(lambda d: int((d["r"] * d["f"]).sum()) << 20)
+        den = g.apply(lambda d: max(int((d["f"] * d["f"]).sum()) >> 20, 1))
+        y = (num // den).astype(np.int64)
+    return x, y
+
+
+def iblt_set_reconcile(dfs):
+    """Eager set-difference twin: the single-node answer the IBLT
+    reconciliation converges to (pandas index anti-joins)."""
+    keys = dfs["orders"]["o_orderkey"]
+    left = set(keys[keys % 7 != 0].tolist())
+    right = set(keys[keys % 11 != 0].tolist())
+    return sorted((k, "left_only") for k in left - right) + sorted(
+        (k, "right_only") for k in right - left
+    )
+
+
+QUERIES["mst_parts_forest"] = mst_parts_forest
+QUERIES["dbscan_customer_sites"] = dbscan_customer_sites
+QUERIES["jaro_winkler_part_names"] = jaro_winkler_part_names
+QUERIES["als_rank1_factors"] = als_rank1_factors
+QUERIES["iblt_set_reconcile"] = iblt_set_reconcile
+
+
 if __name__ == "__main__":
     main()
