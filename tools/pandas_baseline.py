@@ -1025,17 +1025,16 @@ def als_rank1_factors(dfs):
     r.columns = ["u", "i", "r"]
     y = pd.Series(1 << 20, index=np.unique(r["i"].values), dtype=np.int64)
     x = None
+
+    def half(side, f_key, f):
+        fv = f.loc[r[f_key]].values
+        num = pd.Series(r["r"].values * fv, index=r[side].values).groupby(level=0).sum() * (1 << 20)
+        den = pd.Series(fv * fv, index=r[side].values).groupby(level=0).sum() // (1 << 20)
+        return (num // den.clip(lower=1)).astype(np.int64)
+
     for _ in range(2):
-        ry = r.assign(f=y.loc[r["i"]].values)
-        g = ry.groupby("u")
-        num = g.apply(lambda d: int((d["r"] * d["f"]).sum()) << 20)
-        den = g.apply(lambda d: max(int((d["f"] * d["f"]).sum()) >> 20, 1))
-        x = (num // den).astype(np.int64)
-        rx = r.assign(f=x.loc[r["u"]].values)
-        g = rx.groupby("i")
-        num = g.apply(lambda d: int((d["r"] * d["f"]).sum()) << 20)
-        den = g.apply(lambda d: max(int((d["f"] * d["f"]).sum()) >> 20, 1))
-        y = (num // den).astype(np.int64)
+        x = half("u", "i", y)
+        y = half("i", "u", x)
     return x, y
 
 
