@@ -12036,3 +12036,75 @@ def ransac_line_custkeys_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("y"),
     )
     return ransac_line_fit(pts, n_models=64, tol_num=1, tol_den=1)
+
+
+@register(
+    "sq8_recall_embeddings",
+    """
+    WITH base AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), qz AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(v, x -> CAST(GREATEST(LEAST(FLOOR(x * 128), 127), -127)
+                                         AS DOUBLE)) AS qv
+      FROM base
+    ), sq_scored AS MATERIALIZED (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(list_dot_product(q.qv, c.qv) AS BIGINT) AS qscore
+      FROM qz q JOIN qz c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 10
+    ), sq_top AS MATERIALIZED (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY qscore DESC, neighbor_id) AS rank
+        FROM sq_scored) WHERE rank <= 5
+    ), n AS MATERIALIZED (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM base
+    ), ex_top AS MATERIALIZED (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_dot_product(q.v, c.v) / (q.nrm * c.nrm) DESC,
+                          c.vec_id) AS rank
+        FROM n q JOIN n c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < 10) WHERE rank <= 5
+    )
+    SELECT e.query_id,
+           CAST(COUNT(s.neighbor_id) AS BIGINT) AS sq8_hits,
+           CAST(COUNT(s.neighbor_id) * 20 AS BIGINT) AS recall_pct
+    FROM ex_top e LEFT JOIN sq_top s
+      ON s.query_id = e.query_id AND s.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    """,
+)
+def sq8_recall_embeddings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar-quantized search with recall@5 against the exact
+    float baseline (similarity/sq.py — floor(x·128) dyadic quantizer,
+    engine-exact; integer dot products; same broadcast+window plan
+    as brute force). The output is the quality gate a 4×-compressed
+    index must pass before it replaces float vectors at scale —
+    recall here is a DETERMINISTIC oracle-checkable quantity, not a
+    sampled estimate."""
+    from dpe_energy_performance_analysis_etl_spark.similarity import brute_force_topk
+    from dpe_energy_performance_analysis_etl_spark.similarity.sq import sq8_topk
+
+    emb = read_embeddings(spark, sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    sq = sq8_topk(emb, queries_df, k=5).select(
+        "query_id", F.col("neighbor_id").alias("sq_n")
+    )
+    ex = brute_force_topk(emb, queries_df, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    return (
+        ex.join(
+            sq,
+            (ex["query_id"] == sq["query_id"]) & (ex["neighbor_id"] == sq["sq_n"]),
+            "left",
+        )
+        .groupBy(ex["query_id"].alias("query_id"))
+        .agg(
+            F.count("sq_n").cast("bigint").alias("sq8_hits"),
+            (F.count("sq_n") * 20).cast("bigint").alias("recall_pct"),
+        )
+    )

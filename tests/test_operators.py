@@ -706,3 +706,50 @@ class TestKmvSetOps:
         r1 = kmv_set_ops(a, b, "term", k=32).collect()[0]
         r2 = kmv_set_ops(a.repartition(7), b.repartition(3), "term", k=32).collect()[0]
         assert r1.asDict() == r2.asDict()
+
+
+class TestSq8Quantize:
+    def test_quantizer_exact_and_clamped(self, spark):
+        from pyspark.sql import functions as F
+
+        from dpe_energy_performance_analysis_etl_spark.similarity.sq import sq8_quantize
+
+        df = spark.createDataFrame(
+            [([0.5, -0.5, 0.0078125, 3.0, -3.0, 0.9999],)], "v array<double>"
+        )
+        got = df.select(sq8_quantize(F.col("v")).alias("q")).collect()[0]["q"]
+        assert got == [64, -64, 1, 127, -127, 127]
+
+    def test_topk_matches_eager_and_recall_high(self, spark):
+        import random
+
+        from pyspark.sql import functions as F
+
+        from dpe_energy_performance_analysis_etl_spark.similarity.sq import sq8_topk
+
+        rng = random.Random(5)
+        rows = [
+            (i, [rng.uniform(-0.5, 0.5) for _ in range(16)]) for i in range(80)
+        ]
+        df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+        q = df.where(F.col("vec_id") < 3)
+        got = {
+            (r["query_id"], r["rank"]): (r["neighbor_id"], r["qscore"])
+            for r in sq8_topk(df, q, k=4).collect()
+        }
+        # eager twin
+        import math
+
+        vecs = {i: [math.floor(float(np_x) * 128) for np_x in v] for i, v in
+                [(i, [float(x) for x in v]) for i, v in rows]}
+        vecs = {i: [max(min(x, 127), -127) for x in v] for i, v in vecs.items()}
+        for qi in range(3):
+            scored = sorted(
+                (
+                    (-sum(a * b for a, b in zip(vecs[qi], vecs[c])), c)
+                    for c in vecs
+                    if c != qi
+                ),
+            )[:4]
+            for rank, (negs, c) in enumerate(scored, 1):
+                assert got[(qi, rank)] == (c, -negs)
