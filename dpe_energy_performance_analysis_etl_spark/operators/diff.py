@@ -99,6 +99,57 @@ def _iblt_mix(x, salt: int):
     return s.bitwiseXOR(F.shiftright(s, 16))
 
 
+def iblt_encode(
+    df: DataFrame, key_col: str, n_cells: int, k: int, weight: int
+) -> DataFrame:
+    """Per-key cell stream (cell, w, x, chk) — the pre-aggregation
+    form. k partitioned sub-tables: the k cells of a key are distinct
+    by construction (cleaner peeling than k draws over one range)."""
+    sub = n_cells // k
+    keys = df.select(F.col(key_col).cast("bigint").alias("x")).distinct()
+    exploded = keys.select(
+        "x", F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("i")
+    )
+    cell = F.col("i") * F.lit(sub) + F.pmod(
+        _iblt_mix(F.col("x"), 7) + F.col("i") * _iblt_mix(F.col("x"), 31),
+        F.lit(sub),
+    )
+    return exploded.select(
+        cell.alias("cell"),
+        F.lit(weight).cast("bigint").alias("w"),
+        "x",
+        _iblt_mix(F.col("x"), 999).alias("chk"),
+    )
+
+
+def iblt_summarize(stream: DataFrame) -> DataFrame:
+    """Cell stream -> cell summary (cell, cnt, xk, xc): SUM of ±1
+    plus two BIT_XORs — a commutative mergeable monoid."""
+    return stream.groupBy("cell").agg(
+        F.sum("w").cast("bigint").alias("cnt"),
+        F.expr("bit_xor(x)").cast("bigint").alias("xk"),
+        F.expr("bit_xor(chk)").cast("bigint").alias("xc"),
+    )
+
+
+def iblt_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two cell summaries (the monoid op): counts add, key/
+    checksum xors combine; all-zero cells drop out. Associative and
+    commutative — per-batch/per-partition/per-REPLICA sketches
+    combine in any order, which is what makes the IBLT a streaming
+    state and a cross-cluster reconciliation wire format."""
+    stream = a.select(
+        "cell", F.col("cnt").alias("w"), F.col("xk").alias("x"), F.col("xc").alias("chk")
+    ).unionAll(
+        b.select(
+            "cell", F.col("cnt").alias("w"), F.col("xk").alias("x"), F.col("xc").alias("chk")
+        )
+    )
+    return iblt_summarize(stream).filter(
+        (F.col("cnt") != 0) | (F.col("xk") != 0) | (F.col("xc") != 0)
+    )
+
+
 def iblt_set_diff(
     left: DataFrame,
     right: DataFrame,
@@ -138,41 +189,30 @@ def iblt_set_diff(
 
     Returns (key, side): side = 'left_only' | 'right_only'.
     """
-    sub = n_cells // k
-
-    def enc(df: DataFrame, w: int) -> DataFrame:
-        keys = df.select(F.col(key_col).cast("bigint").alias("x")).distinct()
-        exploded = keys.select(
-            "x", F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("i")
-        )
-        # k partitioned sub-tables -> the k cells of a key are
-        # distinct by construction (cleaner peeling than k draws
-        # over one table)
-        cell = F.col("i") * F.lit(sub) + F.pmod(
-            _iblt_mix(F.col("x"), 7) + F.col("i") * _iblt_mix(F.col("x"), 31),
-            F.lit(sub),
-        )
-        return exploded.select(
-            cell.alias("cell"),
-            F.lit(w).cast("bigint").alias("w"),
-            "x",
-            _iblt_mix(F.col("x"), 999).alias("chk"),
-        )
-
-    def summarize(stream: DataFrame) -> DataFrame:
-        return stream.groupBy("cell").agg(
-            F.sum("w").cast("bigint").alias("cnt"),
-            F.expr("bit_xor(x)").cast("bigint").alias("xk"),
-            F.expr("bit_xor(chk)").cast("bigint").alias("xc"),
-        )
-
-    cells0 = summarize(
-        enc(left, 1).unionAll(enc(right, -1))
-    ).filter(
-        (F.col("cnt") != 0) | (F.col("xk") != 0) | (F.col("xc") != 0)
+    cells0 = iblt_merge(
+        iblt_summarize(iblt_encode(left, key_col, n_cells, k, 1)),
+        iblt_summarize(iblt_encode(right, key_col, n_cells, k, -1)),
     ).localCheckpoint()
+    return iblt_decode(left.sparkSession, cells0, key_col, n_cells, k, peel_rounds)
 
-    spark = left.sparkSession
+
+def iblt_decode(
+    spark,
+    cells0: DataFrame,
+    key_col: str,
+    n_cells: int,
+    k: int,
+    peel_rounds: int = 20,
+) -> DataFrame:
+    """Peel a merged cell summary back into (key, side) rows. Per
+    round, pure cells (count ±1, checksum matches) reveal keys; the
+    revealed set re-encodes (bounded explode) and subtracts from the
+    ORIGINAL cells — recompute-from-recovered, not incremental
+    mutation, so a round is a pure function of (cells0, recovered)
+    and replays exactly. Early exit on a zero-new-reveals round (one
+    bounded count action per round — the kcore convergence pattern).
+    """
+    sub = n_cells // k
     recovered = spark.createDataFrame([], "x bigint, side bigint").localCheckpoint()
     n_rec = 0
     for _ in range(peel_rounds):
@@ -195,7 +235,7 @@ def iblt_set_diff(
                 _iblt_mix(F.col("k_x"), 999).alias("chk"),
             )
         )
-        residual = summarize(
+        residual = iblt_summarize(
             cells0.select(
                 "cell", F.col("cnt").alias("w"), F.col("xk").alias("x"), F.col("xc").alias("chk")
             ).unionAll(rec_stream.select("cell", (-F.col("w")).alias("w"), "x", "chk"))

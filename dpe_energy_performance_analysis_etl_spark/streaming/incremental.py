@@ -667,3 +667,83 @@ def enrich_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def maintained_iblt_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    state_dir: str,
+    checkpoint_dir: str,
+    key_col: str,
+    n_cells: int = 8192,
+    k: int = 3,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Continuously-maintained IBLT cell summary of every key ever
+    streamed — the streaming face of ``operators/diff.py``'s set
+    reconciliation. Each micro-batch encodes to (cell, cnt, xor,
+    xor) cells and MERGES into the state via the IBLT monoid (counts
+    add, xors combine): cost proportional to the batch, state
+    bounded by ``n_cells``, O(1) per replica regardless of history.
+
+    At any point `streaming_set_diff_vs` decodes the state against a
+    reference snapshot — "what diverged between this stream and that
+    table" for the cost of a summary, the replica-reconciliation
+    question a 100 TB ingest pipeline asks after every incident.
+    Exactly-once via the versioned-state recipe of
+    ``maintained_agg_stream`` (deterministic rebuild from the newest
+    complete predecessor version).
+
+    NOTE: the stream must deliver each key at most once across all
+    batches (e.g. the bronze landing flow where files are immutable
+    and batches partition arrivals) — xor cancels PAIRS, so a key
+    seen twice vanishes from the sketch, exactly like the batch
+    encoder's per-side ``distinct``. Enforce upstream with
+    ``streaming_dedup`` when arrivals can repeat.
+    """
+    from dpe_energy_performance_analysis_etl_spark.operators.diff import (
+        iblt_encode,
+        iblt_merge,
+        iblt_summarize,
+    )
+
+    def merge(state: DataFrame | None, batch: DataFrame) -> DataFrame:
+        delta = iblt_summarize(iblt_encode(batch, key_col, n_cells, k, 1))
+        if state is None:
+            return delta.filter(
+                (F.col("cnt") != 0) | (F.col("xk") != 0) | (F.col("xc") != 0)
+            )
+        return iblt_merge(state, delta)
+
+    return versioned_merge_stream(
+        spark, source_dir, schema, state_dir, checkpoint_dir, merge,
+        available_now=available_now,
+    )
+
+
+def streaming_set_diff_vs(
+    spark: SparkSession,
+    state_dir: str,
+    snapshot: DataFrame,
+    key_col: str,
+    n_cells: int = 8192,
+    k: int = 3,
+) -> DataFrame:
+    """Decode the maintained IBLT state against a reference snapshot:
+    returns (key, side) with side = 'left_only' (streamed, not in
+    snapshot) | 'right_only' (in snapshot, never streamed). The
+    snapshot side encodes with weight −1 and the merged cells peel
+    exactly as in the batch operator — work bounded by the DIFF."""
+    from dpe_energy_performance_analysis_etl_spark.operators.diff import (
+        iblt_decode,
+        iblt_encode,
+        iblt_merge,
+        iblt_summarize,
+    )
+
+    state = read_agg_state(spark, state_dir)
+    cells0 = iblt_merge(
+        state, iblt_summarize(iblt_encode(snapshot, key_col, n_cells, k, -1))
+    ).localCheckpoint()
+    return iblt_decode(spark, cells0, key_col, n_cells, k)

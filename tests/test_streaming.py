@@ -827,3 +827,74 @@ def test_cdc_chunks_streaming_matches_batch(spark, tmp_path):
     got = sorted(map(tuple, spark.read.parquet(out).collect()))
     want = sorted(map(tuple, cdc_chunks(docs).collect()))
     assert got == want and len(want) > 100
+
+
+def test_maintained_iblt_stream_reconciles_vs_snapshot(spark, tmp_path):
+    """Streamed IBLT state decoded against a snapshot == the batch
+    iblt_set_diff of (all streamed keys) vs snapshot == the true
+    anti-join diff; a second availableNow run merges only the new
+    file's cells (the monoid property across micro-batches)."""
+    from pyspark.sql import functions as F, types as T
+
+    from dpe_energy_performance_analysis_etl_spark.operators.diff import iblt_set_diff
+    from dpe_energy_performance_analysis_etl_spark.streaming import (
+        maintained_iblt_stream,
+        streaming_set_diff_vs,
+    )
+
+    src = str(tmp_path / "landing")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    schema = T.StructType([T.StructField("key", T.LongType())])
+
+    # stream keys 0..399 in two files (disjoint: at-most-once per key)
+    spark.range(0, 200).select(F.col("id").alias("key")).write.mode(
+        "append"
+    ).parquet(src)
+    spark.range(200, 400).select(F.col("id").alias("key")).write.mode(
+        "append"
+    ).parquet(src)
+    q = maintained_iblt_stream(
+        spark, src, schema, state, ckpt, "key", n_cells=1024, k=3
+    )
+    q.awaitTermination(120)
+
+    # snapshot: keys 100..499 -> left_only = 0..99, right_only = 400..499
+    snap = spark.range(100, 500).select(F.col("id").alias("key"))
+    got = {
+        (r["key"], r["side"])
+        for r in streaming_set_diff_vs(
+            spark, state, snap, "key", n_cells=1024, k=3
+        ).collect()
+    }
+    exp = {(k, "left_only") for k in range(100)} | {
+        (k, "right_only") for k in range(400, 500)
+    }
+    assert got == exp
+
+    # batch operator agrees on the same inputs
+    allkeys = spark.range(0, 400).select(F.col("id").alias("key"))
+    batch = {
+        (r["key"], r["side"])
+        for r in iblt_set_diff(allkeys, snap, "key", n_cells=1024, k=3).collect()
+    }
+    assert batch == exp
+
+    # new arrivals merge as a delta: stream 400..449, diff shrinks
+    spark.range(400, 450).select(F.col("id").alias("key")).write.mode(
+        "append"
+    ).parquet(src)
+    q = maintained_iblt_stream(
+        spark, src, schema, state, ckpt, "key", n_cells=1024, k=3
+    )
+    q.awaitTermination(120)
+    got2 = {
+        (r["key"], r["side"])
+        for r in streaming_set_diff_vs(
+            spark, state, snap, "key", n_cells=1024, k=3
+        ).collect()
+    }
+    exp2 = {(k, "left_only") for k in range(100)} | {
+        (k, "right_only") for k in range(450, 500)
+    }
+    assert got2 == exp2
