@@ -694,3 +694,123 @@ def gsp_frequent_sequences(
             "support",
         )
     )
+
+
+def markov_removal_attribution(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_col: str = "event_id",
+    conv_type: str = "purchase",
+    rounds: int = 25,
+    scale: int = 10**12,
+) -> DataFrame:
+    """Markov-chain (removal-effect) attribution over user event
+    paths (Anderl et al. 2014's data-driven alternative to
+    first/last-touch — compare `attribution_first_last`): build the
+    transition matrix START→…→{conversion, null}, compute the
+    absorption probability P(conv | start) by fixed-round value
+    iteration, then for each channel c the REMOVAL EFFECT
+    1 − P_c/P where P_c re-solves the chain with every transition
+    into c redirected to the null absorber.
+
+    Exactness discipline: transition probabilities are integer-
+    scaled q = div(cnt·10⁶, tot) — independent of data size — and
+    each iteration is p'(s) = div(Σ_t q(s,t)·p(t), 10⁶) with
+    p(conv) ≡ scale, p(null) ≡ 0: one truncating division per state
+    per round, every product ≤ 10⁶·scale = 10¹⁸ < 2⁶³. A FIXED
+    round count (the kmeans/pagerank recipe) makes the whole
+    trajectory bit-reproducible in unrolled SQL.
+
+    Scale shape: path extraction is the one data-sized pass (per-
+    user window, cut at first conversion, lag transitions, null
+    absorber for non-converters); the transition matrix is
+    O(states²) BOUNDED model state — pulled to the driver like the
+    naive-Bayes/imputation models, iterated in exact Python ints
+    (identical `//` semantics on non-negatives), and re-emitted as
+    literal rows. Returns one row per removed channel:
+    (channel, p_full_scaled, p_removed_scaled, removal_ppm,
+    attribution_ppm).
+    """
+    ev = events.select(
+        F.col(user_col).alias("u"),
+        F.col(ts_col).alias("t"),
+        F.col(order_col).alias("o"),
+        F.col(type_col).alias("d"),
+    )
+    w = Window.partitionBy("u").orderBy("t", "o")
+    r = ev.withColumn("rk", F.row_number().over(w))
+    conv = (
+        r.where(F.col("d") == conv_type)
+        .groupBy("u")
+        .agg(F.min("rk").alias("crk"))
+    )
+    kept = r.join(conv, "u", "left").where(
+        F.col("crk").isNull() | (F.col("rk") <= F.col("crk"))
+    )
+    wk = Window.partitionBy("u").orderBy("rk")
+    trans = kept.select(
+        F.coalesce(F.lag("d").over(wk), F.lit("start")).alias("src"),
+        F.col("d").alias("dst"),
+    )
+    tail = (
+        kept.groupBy("u")
+        .agg(F.max(F.struct("rk", "d")).alias("last"), F.max("crk").alias("crk"))
+        .where(F.col("crk").isNull())
+        .select(F.col("last.d").alias("src"), F.lit("null").alias("dst"))
+    )
+    counts = {
+        (row["src"], row["dst"]): row["n"]
+        for row in trans.unionByName(tail)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }  # bounded: O(states^2) model state
+
+    q_unit = 10**6
+
+    def solve(removed: str | None) -> int:
+        c = {}
+        for (s, d), n in counts.items():
+            if s == removed:
+                continue
+            d2 = "null" if d == removed else d
+            c[(s, d2)] = c.get((s, d2), 0) + n
+        tot = {}
+        for (s, _), n in c.items():
+            tot[s] = tot.get(s, 0) + n
+        q = {(s, d): q_unit * n // tot[s] for (s, d), n in c.items()}
+        states = sorted(tot)
+        p = {s: 0 for s in states}
+        for _ in range(rounds):
+            nxt = {}
+            for s in states:
+                acc = 0
+                for d in states:
+                    acc += q.get((s, d), 0) * p[d]
+                acc += q.get((s, conv_type), 0) * scale
+                nxt[s] = acc // q_unit
+            p = nxt
+        return p.get("start", 0)
+
+    p_full = solve(None)
+    channels = sorted(
+        ({s for (s, _) in counts} | {d for (_, d) in counts})
+        - {"start", "null", conv_type}
+    )
+    p_rem = {ch: solve(ch) for ch in channels}
+    rems = {
+        ch: max(q_unit - (p_rem[ch] * q_unit) // max(p_full, 1), 0)
+        for ch in channels
+    }
+    rem_sum = max(sum(rems.values()), 1)
+    rows = [
+        (ch, p_full, p_rem[ch], rems[ch], rems[ch] * q_unit // rem_sum)
+        for ch in channels
+    ]
+    return events.sparkSession.createDataFrame(
+        rows,
+        "channel string, p_full_scaled bigint, p_removed_scaled bigint, "
+        "removal_ppm bigint, attribution_ppm bigint",
+    )

@@ -12108,3 +12108,106 @@ def sq8_recall_embeddings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("sq_n") * 20).cast("bigint").alias("recall_pct"),
         )
     )
+
+
+def _markov_attr_oracle(rounds: int, channels: tuple[str, ...]) -> str:
+    scen = {"full": None, **{c: c for c in channels}}
+    parts = []
+    for name, rm in scen.items():
+        if rm is None:
+            csel = "SELECT src, dst, n FROM counts"
+        else:
+            csel = (
+                f"SELECT src, CASE WHEN dst = '{rm}' THEN 'null' ELSE dst END AS dst, "
+                f"CAST(SUM(n) AS BIGINT) AS n FROM counts WHERE src <> '{rm}' "
+                f"GROUP BY 1, 2"
+            )
+        parts.append(f"c_{name} AS MATERIALIZED ({csel})")
+        parts.append(
+            f"""q_{name} AS MATERIALIZED (
+      SELECT c.src, c.dst, (1000000 * c.n) // t.tot AS q
+      FROM c_{name} c JOIN (SELECT src, CAST(SUM(n) AS BIGINT) AS tot
+                            FROM c_{name} GROUP BY src) t ON t.src = c.src
+    )"""
+        )
+        parts.append(
+            f"p_{name}_0 AS MATERIALIZED (SELECT DISTINCT src AS state, "
+            f"CAST(0 AS BIGINT) AS p FROM q_{name})"
+        )
+        for r in range(1, rounds + 1):
+            parts.append(
+                f"""p_{name}_{r} AS MATERIALIZED (
+      SELECT q.src AS state,
+             CAST(SUM(q.q * COALESCE(pa.p,
+               CASE WHEN q.dst = 'purchase' THEN 1000000000000 ELSE 0 END))
+               // 1000000 AS BIGINT) AS p
+      FROM q_{name} q LEFT JOIN p_{name}_{r - 1} pa ON pa.state = q.dst
+      GROUP BY q.src
+    )"""
+            )
+        parts.append(
+            f"start_{name} AS MATERIALIZED (SELECT p FROM p_{name}_{rounds} "
+            f"WHERE state = 'start')"
+        )
+    chan_rows = " UNION ALL ".join(
+        f"SELECT '{c}' AS channel, (SELECT p FROM start_{c}) AS p_removed"
+        for c in channels
+    )
+    return f"""
+    WITH ev AS MATERIALIZED (
+      SELECT user_id AS u, event_type AS d,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS rk
+      FROM events
+    ), conv AS MATERIALIZED (
+      SELECT u, MIN(rk) AS crk FROM ev WHERE d = 'purchase' GROUP BY u
+    ), kept AS MATERIALIZED (
+      SELECT e.u, e.d, e.rk, c.crk FROM ev e LEFT JOIN conv c ON c.u = e.u
+      WHERE c.crk IS NULL OR e.rk <= c.crk
+    ), trans AS MATERIALIZED (
+      SELECT COALESCE(LAG(d) OVER (PARTITION BY u ORDER BY rk), 'start') AS src,
+             d AS dst
+      FROM kept
+      UNION ALL
+      SELECT arg_max(d, rk) AS src, 'null' AS dst
+      FROM kept GROUP BY u HAVING MAX(crk) IS NULL
+    ), counts AS MATERIALIZED (
+      SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n FROM trans GROUP BY 1, 2
+    ), {", ".join(parts)}, rems AS MATERIALIZED (
+      SELECT channel, p_removed,
+             GREATEST(1000000 - (p_removed * 1000000)
+               // GREATEST((SELECT p FROM start_full), 1), 0) AS rem
+      FROM ({chan_rows})
+    ), remsum AS MATERIALIZED (
+      SELECT GREATEST(CAST(SUM(rem) AS BIGINT), 1) AS s FROM rems
+    )
+    SELECT r.channel,
+           CAST((SELECT p FROM start_full) AS BIGINT) AS p_full_scaled,
+           CAST(r.p_removed AS BIGINT) AS p_removed_scaled,
+           CAST(r.rem AS BIGINT) AS removal_ppm,
+           CAST((r.rem * 1000000) // rs.s AS BIGINT) AS attribution_ppm
+    FROM rems r CROSS JOIN remsum rs
+    """
+
+
+@register(
+    "markov_attribution_events",
+    _markov_attr_oracle(25, ("click", "error", "signup", "view")),
+)
+def markov_attribution_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain removal-effect attribution over user event paths
+    (operators/temporal.py markov_removal_attribution — Anderl 2014
+    semantics, START→…→{purchase, null} absorbing chain, 25
+    fixed-round integer value iterations per scenario). The one
+    data-sized pass extracts transitions (per-user window, cut at
+    first purchase, null absorber for non-converters); the chain
+    solves on the O(states²) BOUNDED matrix — a driver-side exact-
+    int model like naive Bayes — and the oracle unrolls every
+    scenario's 25 rounds as MATERIALIZED CTEs, so the gate checks
+    the full trajectory, not just the plumbing."""
+    from dpe_energy_performance_analysis_etl_spark.operators.temporal import (
+        markov_removal_attribution,
+    )
+
+    ev = read_events(spark, sf_dir)
+    return markov_removal_attribution(ev)
