@@ -214,3 +214,154 @@ def equi_depth_bins(
             F.max(value_col).alias("hi"),
         )
     )
+
+
+def jenks_breaks_binned(
+    bins,
+    k: int = 4,
+    bin_col: str = "bin",
+    sum_col: str = "s",
+    sumsq_col: str = "ss",
+    cnt_col: str = "c",
+):
+    """Fisher-Jenks natural breaks (Fisher JASA'58; Jenks 1967) — the
+    OPTIMAL 1-D k-segmentation by within-class squared deviation,
+    solved exactly by dynamic programming over a BOUNDED bin table
+    (the histogram trick again: the data-sized pass is the caller's
+    (bin, Σy, Σy², n) aggregation; the DP is O(k·B²) on B ≤ hundreds
+    of bins). The exact complement to the iterative/heuristic
+    ``kmeans_lloyd_portable`` for one dimension.
+
+    Segment cost over contiguous bins i..j: SS − div(S², C)
+    (integer-scaled within-segment squared deviation; the single
+    truncating division per segment is engine-exact, so the DP's
+    min-of-sums — evaluated by lexicographic (total, i) struct-min,
+    ties to the smallest split — is bit-portable). Keep |y| values
+    small enough that S² fits int64 (bound the caller's unit: S² ≤
+    (n·max|y|)²).
+
+    DP: D₁(j) = cost(1..j); Dₘ(j) = min_{i} D_{m−1}(i−1) + cost(i..j)
+    — each level one bounded join; breaks recovered by walking the
+    stored argmins. Returns one row per class: (class, lo_bin,
+    hi_bin, n, s) with class 1 = lowest bins.
+    """
+    from pyspark.sql import Window, functions as F
+
+    b = bins.select(
+        F.col(bin_col).cast("bigint").alias("bin"),
+        F.col(sum_col).cast("bigint").alias("s"),
+        F.col(sumsq_col).cast("bigint").alias("ss"),
+        F.col(cnt_col).cast("bigint").alias("c"),
+    )
+    wr = Window.orderBy("bin")
+    wcum = wr.rowsBetween(Window.unboundedPreceding, 0)
+    pref = b.select(
+        "bin",
+        F.row_number().over(wr).alias("r"),
+        F.sum("s").over(wcum).alias("cs"),
+        F.sum("ss").over(wcum).alias("css"),
+        F.sum("c").over(wcum).alias("cc"),
+        "s",
+        "ss",
+        "c",
+    ).cache()
+    lo = pref.select(
+        F.col("r").alias("i"),
+        F.col("bin").alias("lo_bin"),
+        (F.col("cs") - F.col("s")).alias("cs0"),
+        (F.col("css") - F.col("ss")).alias("css0"),
+        (F.col("cc") - F.col("c")).alias("cc0"),
+    )
+    hi = pref.select(
+        F.col("r").alias("j"), F.col("bin").alias("hi_bin"), "cs", "css", "cc"
+    )
+    costs = (
+        lo.join(hi, F.col("i") <= F.col("j"))
+        .select(
+            "i",
+            "j",
+            "lo_bin",
+            "hi_bin",
+            (F.col("cs") - F.col("cs0")).alias("seg_s"),
+            (F.col("cc") - F.col("cc0")).alias("seg_c"),
+            F.expr(
+                "(css - css0) - (CAST((cs - cs0) AS BIGINT) * (cs - cs0))"
+                " div greatest(cc - cc0, 1L)"
+            ).alias("cost"),
+        )
+        .cache()
+    )
+    # D_1
+    d = costs.where(F.col("i") == 1).select(
+        "j", F.col("cost").alias("total"), F.lit(1).cast("bigint").alias("arg")
+    )
+    levels = {1: d}
+    for m in range(2, k + 1):
+        prev = levels[m - 1].select(
+            (F.col("j") + 1).alias("i"), F.col("total").alias("ptotal")
+        )
+        d = (
+            costs.join(prev, "i")
+            .groupBy("j")
+            .agg(
+                F.min(
+                    F.struct(
+                        (F.col("ptotal") + F.col("cost")).alias("total"),
+                        F.col("i").alias("arg"),
+                    )
+                ).alias("best")
+            )
+            .select("j", F.col("best.total").alias("total"), F.col("best.arg").alias("arg"))
+        )
+        levels[m] = d.cache()
+    n_bins = pref.count()
+    if n_bins <= k:
+        # each bin its own class — no DP needed
+        out = costs.where(F.col("i") == F.col("j")).select(
+            F.col("i").alias("class"),
+            "lo_bin",
+            "hi_bin",
+            F.col("seg_c").alias("n"),
+            F.col("seg_s").alias("s"),
+        ).localCheckpoint()
+        pref.unpersist()
+        costs.unpersist()
+        return out
+    # backtrace driver-side: k-1 one-row lookups on bounded tables
+    cuts = [n_bins]
+    for m in range(k, 1, -1):
+        arg = (
+            levels[m].where(F.col("j") == cuts[-1]).collect()[0]["arg"]
+        )
+        cuts.append(int(arg) - 1)
+    cuts = cuts[::-1]  # [e0=..., ..., e_{k-1}=n_bins], class m covers (cuts[m-1]+1-ish)
+    spans = []
+    start = 1
+    for cls, end in enumerate(cuts, 1):
+        if end >= start:
+            spans.append((cls, start, end))
+        start = end + 1
+    spark = bins.sparkSession
+    span_df = spark.createDataFrame(spans, "class bigint, lo_r bigint, hi_r bigint")
+    out = (
+        span_df.join(
+            costs.select("i", "j", "lo_bin", "hi_bin", "seg_s", "seg_c"),
+            (F.col("lo_r") == F.col("i")) & (F.col("hi_r") == F.col("j")),
+        )
+        .select(
+            "class",
+            "lo_bin",
+            "hi_bin",
+            F.col("seg_c").alias("n"),
+            F.col("seg_s").alias("s"),
+        )
+        .localCheckpoint()
+    )
+    pref.unpersist()
+    costs.unpersist()
+    for lv in levels.values():
+        try:
+            lv.unpersist()
+        except Exception:
+            pass
+    return out

@@ -1207,3 +1207,49 @@ def ransac_line_fit(
     ).localCheckpoint()
     pts.unpersist()
     return out
+
+
+def nelson_aalen(
+    df,
+    time_col,
+    event_col,
+    scale: int = 10**12,
+):
+    """Nelson-Aalen cumulative-hazard estimator (Nelson 1972, Aalen
+    1978) — Kaplan-Meier's additive sibling: H(t) = Σ_{s ≤ t} d_s/n_s
+    over the same bounded tier table. Where KM needs a sequential
+    product fold, the hazard is a plain CUMULATIVE SUM of per-tier
+    integer-scaled divisions div(d·scale, n) — each term exact on
+    both engines and addition order-free, so a windowed sum over the
+    ~80-row tier table is already bit-portable (no aggregate-HOF
+    machinery needed). Per-tier (d, c) is the one data-sized pass.
+
+    Returns (t, n_at_risk, d_events, hazard_scaled).
+    """
+    from pyspark.sql import Window, functions as F
+
+    t = F.col(time_col).cast("bigint")
+    ev = F.col(event_col).cast("int")
+    tiers = df.groupBy(t.alias("t")).agg(
+        F.sum(ev).cast("bigint").alias("d"),
+        F.sum(1 - ev).cast("bigint").alias("c"),
+    )
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    tiers = tiers.withColumn(
+        "n",
+        F.sum(F.col("d") + F.col("c")).over(wall)
+        - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w), F.lit(0).cast("bigint")),
+    )
+    return tiers.select(
+        "t",
+        F.col("n").alias("n_at_risk"),
+        F.col("d").alias("d_events"),
+        F.sum(
+            F.expr(f"CAST(d * {scale} AS BIGINT) div greatest(n, 1L)")
+        )
+        .over(wcum)
+        .cast("bigint")
+        .alias("hazard_scaled"),
+    )

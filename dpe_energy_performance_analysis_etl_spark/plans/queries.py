@@ -12211,3 +12211,157 @@ def markov_attribution_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_events(spark, sf_dir)
     return markov_removal_attribution(ev)
+
+
+@register(
+    "nelson_aalen_orders",
+    """
+    WITH subj AS (
+      SELECT CAST(date_diff('month', DATE '1992-01-01',
+                            CAST(o_orderdate AS DATE)) AS BIGINT) AS t,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS ev
+      FROM orders
+    ), tiers AS MATERIALIZED (
+      SELECT t, CAST(SUM(ev) AS BIGINT) AS d,
+             CAST(SUM(1 - ev) AS BIGINT) AS c
+      FROM subj GROUP BY 1
+    ), ranked AS MATERIALIZED (
+      SELECT t, d,
+             CAST(SUM(d + c) OVER () -
+                  COALESCE(SUM(d + c) OVER (ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS n
+      FROM tiers
+    )
+    SELECT t, n AS n_at_risk, d AS d_events,
+           CAST(SUM((d * 1000000000000) // GREATEST(n, 1)) OVER (
+             ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS hazard_scaled
+    FROM ranked
+    """,
+)
+def nelson_aalen_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard over the SAME order-lifetime
+    tiers as `kaplan_meier_orders` (operators/stats.py nelson_aalen):
+    H(t) = Σ d/n as a windowed sum of per-tier integer-scaled
+    divisions — KM's additive sibling, and the exactness argument is
+    even simpler (no sequential fold: each term is engine-exact and
+    addition is order-free)."""
+    from dpe_energy_performance_analysis_etl_spark.operators.stats import nelson_aalen
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    subj = o.select(
+        F.months_between(
+            F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+        )
+        .cast("bigint")
+        .alias("t"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("ev"),
+    )
+    return nelson_aalen(subj, "t", "ev")
+
+
+def _jenks_oracle(k: int, n_bins: int) -> str:
+    # DP levels unrolled: d1..dk over the bounded costs table
+    lvls = []
+    for m in range(2, k + 1):
+        lvls.append(
+            f"""d{m} AS MATERIALIZED (
+      SELECT c.j,
+             MIN({{'total': p.total + c.cost, 'arg': c.i}}) AS best
+      FROM costs c JOIN (SELECT j + 1 AS i, total FROM d{m - 1}f) p
+        ON p.i = c.i
+      GROUP BY c.j
+    ), d{m}f AS MATERIALIZED (
+      SELECT j, best.total AS total, best.arg AS arg FROM d{m}
+    )"""
+        )
+    # backtrace: e_k = B; e_{m-1} = arg_m(e_m) - 1
+    bt = ["eK AS MATERIALIZED (SELECT MAX(j) AS e FROM costs)"]
+    prev = "eK"
+    for m in range(k, 1, -1):
+        bt.append(
+            f"""e{m - 1} AS MATERIALIZED (
+      SELECT CAST(d.arg - 1 AS BIGINT) AS e
+      FROM d{m}f d JOIN {prev} p ON d.j = p.e
+    )"""
+        )
+        prev = f"e{m - 1}"
+    spans = []
+    for m in range(1, k + 1):
+        lo = "(SELECT 0 AS e)" if m == 1 else f"e{m - 1}"
+        hi = "eK" if m == k else f"e{m}"
+        spans.append(
+            f"SELECT {m} AS class, l.e + 1 AS lo_r, h.e AS hi_r "
+            f"FROM {lo} l CROSS JOIN {hi} h WHERE h.e >= l.e + 1"
+        )
+    return f"""
+    WITH vals AS MATERIALIZED (
+      SELECT LEAST(CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT)
+                   // 1000000, {n_bins - 1}) AS y
+      FROM orders
+    ), bins AS MATERIALIZED (
+      SELECT y AS bin, CAST(SUM(y) AS BIGINT) AS s,
+             CAST(SUM(y * y) AS BIGINT) AS ss,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM vals GROUP BY 1
+    ), pref AS MATERIALIZED (
+      SELECT bin, s, ss, c,
+             CAST(row_number() OVER (ORDER BY bin) AS BIGINT) AS r,
+             CAST(SUM(s) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cs,
+             CAST(SUM(ss) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS css,
+             CAST(SUM(c) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cc
+      FROM bins
+    ), costs AS MATERIALIZED (
+      SELECT l.r AS i, h.r AS j, l.bin AS lo_bin, h.bin AS hi_bin,
+             h.cs - (l.cs - l.s) AS seg_s, h.cc - (l.cc - l.c) AS seg_c,
+             (h.css - (l.css - l.ss))
+               - ((h.cs - (l.cs - l.s)) * (h.cs - (l.cs - l.s)))
+                 // GREATEST(h.cc - (l.cc - l.c), 1) AS cost
+      FROM pref l JOIN pref h ON l.r <= h.r
+    ), d1f AS MATERIALIZED (
+      SELECT j, cost AS total, CAST(1 AS BIGINT) AS arg
+      FROM costs WHERE i = 1
+    ), {", ".join(lvls)}, {", ".join(bt)}, spans AS MATERIALIZED (
+      {" UNION ALL ".join(spans)}
+    )
+    SELECT CAST(sp.class AS BIGINT) AS class, c.lo_bin, c.hi_bin,
+           c.seg_c AS n, c.seg_s AS s
+    FROM spans sp JOIN costs c ON c.i = sp.lo_r AND c.j = sp.hi_r
+    """
+
+
+@register("jenks_breaks_totalprice", _jenks_oracle(4, 24))
+def jenks_breaks_totalprice_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher-Jenks natural breaks of order value into 4 classes
+    (operators/quantiles.py jenks_breaks_binned — the OPTIMAL 1-D
+    k-segmentation by within-class squared deviation, exact DP over
+    a 24-bin table; segment cost SS − div(S², C) keeps the argmin
+    engine-exact with one truncating division per segment). The
+    histogram trick bounds everything after the one binning pass;
+    values are in 10k$ units so S² stays int64 at any SF. The exact
+    complement to the heuristic `kmeans_lloyd_portable` in 1-D."""
+    from dpe_energy_performance_analysis_etl_spark.operators.quantiles import (
+        jenks_breaks_binned,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    # exact cents first: a direct DECIMAL->BIGINT cast ROUNDS on
+    # DuckDB but TRUNCATES on Spark (caught by the gate: one order on
+    # a .5 boundary shifted a bin)
+    y = F.least(
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT) div 1000000"
+        ),
+        F.lit(23).cast("bigint"),
+    )
+    binned = (
+        o.select(y.alias("bin"), y.alias("y"))
+        .groupBy("bin")
+        .agg(
+            F.sum("y").alias("s"),
+            F.sum(F.col("y") * F.col("y")).alias("ss"),
+            F.count(F.lit(1)).alias("c"),
+        )
+    )
+    return jenks_breaks_binned(binned, k=4)

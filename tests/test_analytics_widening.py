@@ -89,3 +89,95 @@ def test_inverted_postings(spark):
     assert got[("b", 1)].positions == [1]
     assert got[("c", 1)].positions == [3]
     assert got[("b", 2)].tf == 2 and got[("b", 2)].positions == [0, 1]
+
+
+class TestJenksBreaks:
+    def _run(self, spark, ys, k):
+        from collections import Counter
+
+        from dpe_energy_performance_analysis_etl_spark.operators.quantiles import (
+            jenks_breaks_binned,
+        )
+
+        cnt = Counter(ys)
+        rows = [(y, y * n, y * y * n, n) for y, n in sorted(cnt.items())]
+        df = spark.createDataFrame(rows, "bin bigint, s bigint, ss bigint, c bigint")
+        return sorted(
+            (r["class"], r["lo_bin"], r["hi_bin"], r["n"], r["s"])
+            for r in jenks_breaks_binned(df, k=k).collect()
+        )
+
+    def _jenks_ref(self, ys, k):
+        # exact DP reference with the same truncated-div cost
+        from collections import Counter
+
+        cnt = sorted(Counter(ys).items())
+        B = len(cnt)
+        vals = [v for v, _ in cnt]
+
+        def cost(i, j):  # 0-based inclusive over cnt
+            seg = cnt[i : j + 1]
+            s = sum(v * n for v, n in seg)
+            ss = sum(v * v * n for v, n in seg)
+            c = sum(n for _, n in seg)
+            return ss - (s * s) // max(c, 1)
+
+        import functools
+
+        @functools.lru_cache(None)
+        def d(m, j):  # best (total, first_i) for m classes over bins 0..j
+            if m == 1:
+                return (cost(0, j), 0)
+            best = None
+            for i in range(m - 1, j + 1):
+                t = d(m - 1, i - 1)[0] + cost(i, j)
+                if best is None or (t, i) < best:
+                    best = (t, i)
+            return best
+
+        cuts = [B - 1]
+        for m in range(k, 1, -1):
+            cuts.append(d(m, cuts[-1])[1] - 1)
+        cuts = cuts[::-1]
+        out = []
+        start = 0
+        for cls, end in enumerate(cuts, 1):
+            if end >= start:
+                seg = cnt[start : end + 1]
+                out.append(
+                    (
+                        cls,
+                        vals[start],
+                        vals[end],
+                        sum(n for _, n in seg),
+                        sum(v * n for v, n in seg),
+                    )
+                )
+            start = end + 1
+        return sorted(out)
+
+    def test_obvious_gaps_recovered(self, spark):
+        # three tight groups with huge gaps: breaks must land on them
+        ys = [1, 1, 2, 2, 50, 51, 52, 100, 101, 101]
+        got = self._run(spark, ys, 3)
+        assert [(c, lo, hi) for c, lo, hi, _, _ in got] == [
+            (1, 1, 2),
+            (2, 50, 52),
+            (3, 100, 101),
+        ]
+
+    def test_matches_dp_reference(self, spark):
+        import random
+
+        rng = random.Random(17)
+        ys = [rng.randint(0, 23) for _ in range(400)]
+        for k in (2, 4):
+            assert self._run(spark, ys, k) == self._jenks_ref(ys, k)
+
+    def test_small_input_each_bin_own_class(self, spark):
+        got = self._run(spark, [3, 7, 9], 4)
+        assert [(c, lo, hi, n) for c, lo, hi, n, _ in got] == [
+            (1, 3, 3, 1),
+            (2, 7, 7, 1),
+            (3, 9, 9, 1),
+        ]

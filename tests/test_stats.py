@@ -207,3 +207,23 @@ class TestRansacLineFit:
         df = spark.createDataFrame(rows, "x bigint, y bigint")
         out = ransac_line_fit(df, n_models=8).collect()
         assert len(out) <= 1
+
+
+class TestNelsonAalen:
+    def test_textbook_hazard(self, spark):
+        from dpe_energy_performance_analysis_etl_spark.operators.stats import nelson_aalen
+
+        # tiers: t=1 n=5 d=1; t=2 n=4 d=2 (1 censored leaves at t=2? no:
+        # subjects: 5 total; t1: 1 event; t2: 2 events 1 censored; t3: 1 event
+        rows = [(1, 1), (2, 1), (2, 1), (2, 0), (3, 1)]
+        df = spark.createDataFrame(rows, "t bigint, ev int")
+        got = {r["t"]: r.asDict() for r in nelson_aalen(df, "t", "ev").collect()}
+        S = 10**12
+        assert got[1]["n_at_risk"] == 5 and got[1]["hazard_scaled"] == S // 5
+        assert got[2]["n_at_risk"] == 4
+        assert got[2]["hazard_scaled"] == S // 5 + 2 * S // 4
+        assert got[3]["n_at_risk"] == 1
+        assert got[3]["hazard_scaled"] == S // 5 + 2 * S // 4 + S
+        # monotone nondecreasing
+        hs = [got[t]["hazard_scaled"] for t in sorted(got)]
+        assert hs == sorted(hs)
