@@ -425,3 +425,74 @@ def t_closeness_audit(
             > F.lit(2 * t_num) * F.col("n_g") * F.lit(n_total)
         ).alias("violates"),
     )
+
+
+def encoding_advisor_int(
+    df: DataFrame,
+    part_col: str,
+    ord_col: str,
+    cols: list[str],
+) -> DataFrame:
+    """Storage-encoding advisor for integer columns — the profiling
+    pass a 100 TB lakehouse runs before choosing parquet encodings:
+    per column it measures cardinality (dictionary viability), the
+    bit width of the value RANGE (bit-packing win), and the RLE run
+    count under the table's natural sort (``part_col, ord_col`` —
+    runs are counted within each partition key, which mirrors how
+    row groups actually encode: a new group restarts the run).
+
+    All metrics are exact integers (bit width via length(bin(range))
+    — no log2/libm): one explode to (key, column, value) long form,
+    one partitioned window for the run flags, one aggregation.
+    Recommendation is a deterministic CASE over the measured stats.
+
+    Returns (column, n, n_distinct, bit_width, rle_runs,
+    recommendation).
+    """
+    from pyspark.sql import Window
+
+    long_form = df.select(
+        F.col(part_col).alias("pk"),
+        F.col(ord_col).alias("ok"),
+        F.explode(
+            F.map_from_arrays(
+                F.array(*[F.lit(c) for c in cols]),
+                F.array(*[F.col(c).cast("bigint") for c in cols]),
+            )
+        ).alias("col", "v"),
+    )
+    # order ties broken by the value itself: the synthetic data has
+    # duplicate (pk, ok) pairs and an unpinned tie order makes run
+    # counts engine-nondeterministic (gate-caught)
+    w = Window.partitionBy("pk", "col").orderBy("ok", "v")
+    flagged = long_form.withColumn(
+        "chg",
+        (
+            F.lag("v").over(w).isNull() | (F.lag("v").over(w) != F.col("v"))
+        ).cast("bigint"),
+    )
+    stats = flagged.groupBy("col").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.countDistinct("v").cast("bigint").alias("n_distinct"),
+        F.expr("CAST(length(bin(max(v) - min(v))) AS BIGINT)").alias("bit_width"),
+        F.sum("chg").cast("bigint").alias("rle_runs"),
+    )
+    rec = (
+        F.when(
+            (F.col("n_distinct") <= 256)
+            & (F.col("rle_runs") <= F.expr("n div 4")),
+            "rle-dict",
+        )
+        .when(F.col("n_distinct") <= 256, "dict")
+        .when(F.col("rle_runs") <= F.expr("n div 8"), "rle")
+        .when(F.col("bit_width") <= 20, "bitpack")
+        .otherwise("plain")
+    )
+    return stats.select(
+        F.col("col").alias("column"),
+        "n",
+        "n_distinct",
+        "bit_width",
+        "rle_runs",
+        rec.alias("recommendation"),
+    )

@@ -12365,3 +12365,154 @@ def jenks_breaks_totalprice_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return jenks_breaks_binned(binned, k=4)
+
+
+def _textrank_oracle(rounds: int, topk: int) -> str:
+    its = []
+    prev = "r0"
+    for i in range(1, rounds + 1):
+        its.append(
+            f"""i{i} AS MATERIALIZED (
+      SELECT n.node,
+             CAST(150000000000 + (85 * coalesce(x.inc, 0)) // 100 AS BIGINT) AS r
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, CAST(sum({prev}.r // deg.deg) AS BIGINT) AS inc
+        FROM {prev} JOIN deg ON {prev}.node = deg.src JOIN e ON e.src = deg.src
+        GROUP BY e.dst
+      ) x ON n.node = x.node
+    )"""
+        )
+        prev = f"i{i}"
+    return f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, unnest(ts) AS w,
+             unnest(range(1, len(ts) + 1)) AS pos
+      FROM (SELECT doc_id,
+                   regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+            FROM documents)
+    ), pairs AS MATERIALIZED (
+      SELECT DISTINCT a.w AS src, b.w AS dst
+      FROM toks a JOIN toks b
+        ON a.doc_id = b.doc_id
+       AND b.pos - a.pos BETWEEN 1 AND 2
+       AND a.w <> b.w
+    ), e AS MATERIALIZED (
+      SELECT src, dst FROM pairs
+      UNION
+      SELECT dst AS src, src AS dst FROM pairs
+    ), nodes AS MATERIALIZED (
+      SELECT DISTINCT src AS node FROM e
+    ), deg AS MATERIALIZED (
+      SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src
+    ), r0 AS MATERIALIZED (
+      SELECT node, CAST(1000000000000 AS BIGINT) AS r FROM nodes
+    ), {", ".join(its)}
+    SELECT node AS keyword, r AS rank_scaled
+    FROM {prev} ORDER BY r DESC, node ASC LIMIT {topk}
+    """
+
+
+@register("textrank_keywords_docs", _textrank_oracle(3, 20))
+def textrank_keywords_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea-Tarau EMNLP'04):
+    PageRank over the word co-occurrence graph (window 2, symmetric,
+    distinct) — the graph-centrality counterpart to the frequency-
+    based `rake_keywords_docs`, reusing operators/graph.py
+    pagerank_fixed verbatim (exact integer ranks, 3 rounds, so the
+    iterative trajectory sits behind the value-hash gate). Graph
+    build is one posexplode + position self-join per doc (window ≤2
+    keeps the join equi-keyed on doc with a 2-row band); top-20 via
+    orderBy+limit (TakeOrdered)."""
+    from dpe_energy_performance_analysis_etl_spark.operators.graph import pagerank_fixed
+    from dpe_energy_performance_analysis_etl_spark.text import tokens_expr
+
+    docs = read_documents(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.posexplode(tokens_expr("text")).alias("pos", "w")
+    )
+    a = toks.select("doc_id", F.col("pos").alias("pa"), F.col("w").alias("src"))
+    b = toks.select("doc_id", F.col("pos").alias("pb"), F.col("w").alias("dst"))
+    pairs = (
+        a.join(b, "doc_id")
+        .where(
+            (F.col("pb") - F.col("pa")).between(1, 2)
+            & (F.col("src") != F.col("dst"))
+        )
+        .select("src", "dst")
+        .distinct()
+    )
+    sym = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    ranks = pagerank_fixed(sym, iterations=3)
+    return (
+        ranks.select(F.col("node").alias("keyword"), "rank_scaled")
+        .orderBy(F.col("rank_scaled").desc(), F.col("keyword").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "encoding_advisor_lineitem",
+    """
+    WITH long_form AS MATERIALIZED (
+      SELECT l_orderkey AS pk, l_linenumber AS ok, kv.col, kv.v
+      FROM lineitem, LATERAL (
+        SELECT * FROM (VALUES
+          ('l_linenumber', CAST(l_linenumber AS BIGINT)),
+          ('l_suppkey', CAST(l_suppkey AS BIGINT)),
+          ('l_quantity', CAST(CAST(l_quantity AS DECIMAL(30,2)) * 100 AS BIGINT)),
+          ('l_discount', CAST(CAST(l_discount AS DECIMAL(30,2)) * 100 AS BIGINT))
+        ) AS t(col, v)
+      ) kv
+    ), flagged AS MATERIALIZED (
+      SELECT col, v,
+             CASE WHEN LAG(v) OVER (PARTITION BY pk, col ORDER BY ok, v) IS NULL
+                       OR LAG(v) OVER (PARTITION BY pk, col ORDER BY ok, v) <> v
+                  THEN 1 ELSE 0 END AS chg
+      FROM long_form
+    ), stats AS MATERIALIZED (
+      SELECT col, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct,
+             CAST(length(bin(MAX(v) - MIN(v))) AS BIGINT) AS bit_width,
+             CAST(SUM(chg) AS BIGINT) AS rle_runs
+      FROM flagged GROUP BY col
+    )
+    SELECT col AS column, n, n_distinct, bit_width, rle_runs,
+           CASE WHEN n_distinct <= 256 AND rle_runs <= n // 4 THEN 'rle-dict'
+                WHEN n_distinct <= 256 THEN 'dict'
+                WHEN rle_runs <= n // 8 THEN 'rle'
+                WHEN bit_width <= 20 THEN 'bitpack'
+                ELSE 'plain' END AS recommendation
+    FROM stats
+    """,
+)
+def encoding_advisor_lineitem_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-encoding advisor over lineitem (operators/quality.py
+    encoding_advisor_int): exact cardinality / range bit width (via
+    length(bin(range)) — no libm) / RLE runs under the table's
+    natural (orderkey, linenumber) sort, with a deterministic
+    recommendation CASE — the profiling pass that picks parquet
+    encodings before a 100 TB rewrite. Decimal columns enter as
+    exact cents (the DECIMAL→BIGINT cast-rounding trap)."""
+    from dpe_energy_performance_analysis_etl_spark.operators.quality import (
+        encoding_advisor_int,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_suppkey",
+        F.expr("CAST(CAST(l_quantity AS DECIMAL(30,2)) * 100 AS BIGINT)").alias(
+            "l_quantity"
+        ),
+        F.expr("CAST(CAST(l_discount AS DECIMAL(30,2)) * 100 AS BIGINT)").alias(
+            "l_discount"
+        ),
+    )
+    return encoding_advisor_int(
+        li,
+        "l_orderkey",
+        "l_linenumber",
+        ["l_linenumber", "l_suppkey", "l_quantity", "l_discount"],
+    )
