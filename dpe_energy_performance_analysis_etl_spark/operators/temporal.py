@@ -814,3 +814,46 @@ def markov_removal_attribution(
         "channel string, p_full_scaled bigint, p_removed_scaled bigint, "
         "removal_ppm bigint, attribution_ppm bigint",
     )
+
+
+DTW_INF = 1 << 40  # boundary sentinel; keep |values|·len << this
+
+
+def dtw_distance(a: Column, b: Column) -> Column:
+    """Dynamic Time Warping distance (Sakoe-Chiba 1978, unit costs
+    |aᵢ−bⱼ|) between two BIGINT array columns — full O(n·m) dynamic
+    programming evaluated ENTIRELY inside whole-stage codegen: the
+    outer `aggregate` folds DP rows over b, the inner `aggregate`
+    builds each row over a's positions (the (i−1, j) dependency is
+    the last element appended so far). No UDF, no floats, exact
+    integers — the same nested-fold trick replays in DuckDB with
+    single-item-list elements (its `list_reduce` requires acc and
+    element types to match), so a warped-similarity join can sit
+    behind the value-hash gate.
+
+    Intended for BOUNDED series (per-key windows of tens of points:
+    n·m lambda steps per row pair); candidate pair generation stays
+    the caller's job, as with every comparator in this repo.
+    """
+    inf = F.lit(DTW_INF).cast("bigint")
+    init = F.concat(
+        F.array(F.lit(0).cast("bigint")),
+        F.transform(a, lambda x: inf),
+    )
+    row = lambda acc, bj: F.aggregate(
+        F.sequence(F.lit(1), F.size(a)),
+        F.array(inf),
+        lambda acc2, i: F.concat(
+            acc2,
+            F.array(
+                F.abs(F.element_at(a, i.cast("int")) - bj)
+                + F.least(
+                    F.element_at(acc, i.cast("int")),
+                    F.element_at(acc, i.cast("int") + 1),
+                    F.element_at(acc2, F.size(acc2)),
+                )
+            ),
+        ),
+    )
+    final = F.aggregate(b, init, row)
+    return F.element_at(final, F.size(a) + 1)

@@ -12516,3 +12516,82 @@ def encoding_advisor_lineitem_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         ["l_linenumber", "l_suppkey", "l_quantity", "l_discount"],
     )
+
+
+@register(
+    "dtw_user_value_series",
+    """
+    WITH ev AS MATERIALIZED (
+      SELECT user_id AS u,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS rk
+      FROM events
+    ), series AS MATERIALIZED (
+      SELECT u, list(v ORDER BY rk) AS s
+      FROM ev WHERE rk <= 12 GROUP BY u
+    ), pairs AS MATERIALIZED (
+      SELECT x.u AS user_a, y.u AS user_b, x.s AS a, y.s AS b
+      FROM series x JOIN series y ON y.u = x.u + 1
+    )
+    SELECT CAST(user_a AS BIGINT) AS user_a, CAST(user_b AS BIGINT) AS user_b,
+           CAST(list_reduce(
+             list_prepend(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(1, len(a) + 1),
+                                i -> CAST(1099511627776 AS BIGINT))),
+               list_transform(b, x -> [x])
+             ),
+             (acc, bj) -> list_reduce(
+               list_prepend([CAST(1099511627776 AS BIGINT)],
+                            list_transform(range(1, len(a) + 1), i -> [i])),
+               (acc2, el) -> list_append(acc2,
+                 abs(a[CAST(el[1] AS INT)] - bj[1])
+                 + LEAST(acc[CAST(el[1] AS INT)],
+                         acc[CAST(el[1] AS INT) + 1],
+                         acc2[CAST(len(acc2) AS INT)]))
+             )
+           )[CAST(len(a) AS INT) + 1] AS BIGINT) AS dtw_cents
+    FROM pairs
+    """,
+)
+def dtw_user_value_series_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic Time Warping distance between consecutive users' event
+    value series (operators/temporal.py dtw_distance — the full
+    O(n·m) DP evaluated as NESTED `aggregate` folds inside
+    whole-stage codegen; DuckDB twin via nested list_reduce with
+    single-item-list elements to satisfy its acc/element type rule).
+    Series = each user's first 12 event values in exact cents; the
+    candidate pairing (consecutive user ids) stands in for whatever
+    blocking a real warped-similarity join would use — the point
+    under the gate is the bit-exact DP itself."""
+    from dpe_energy_performance_analysis_etl_spark.operators.temporal import dtw_distance
+
+    ev = read_events(spark, sf_dir).select(
+        F.col("user_id").alias("u"),
+        F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias("v"),
+        "ts",
+        "event_id",
+    )
+    w = Window.partitionBy("u").orderBy("ts", "event_id")
+    series = (
+        ev.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 12)
+        .groupBy("u")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rk", "v"))),
+                lambda s: s["v"],
+            ).alias("s")
+        )
+    )
+    a = series.select(F.col("u").alias("user_a"), F.col("s").alias("a"))
+    b = series.select(F.col("u").alias("user_b"), F.col("s").alias("b"))
+    return (
+        a.join(b, F.col("user_b") == F.col("user_a") + 1)
+        .select(
+            F.col("user_a").cast("bigint").alias("user_a"),
+            F.col("user_b").cast("bigint").alias("user_b"),
+            dtw_distance(F.col("a"), F.col("b")).alias("dtw_cents"),
+        )
+    )

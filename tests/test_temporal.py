@@ -383,3 +383,61 @@ class TestMarkovAttribution:
         for ch in ("view", "click", "signup"):
             ref = max(1 - solve(ch) / pf, 0)
             assert abs(got[ch]["removal_ppm"] / 10**6 - ref) < 0.02, ch
+
+
+class TestDtwDistance:
+    def test_textbook_and_random_vs_reference(self, spark):
+        import random
+
+        from pyspark.sql import functions as F
+
+        from dpe_energy_performance_analysis_etl_spark.operators.temporal import (
+            dtw_distance,
+        )
+
+        def ref(a, b):
+            INF = 1 << 40
+            n = len(a)
+            prev = [0] + [INF] * n
+            for bj in b:
+                cur = [INF]
+                for i in range(1, n + 1):
+                    cur.append(abs(a[i - 1] - bj) + min(prev[i - 1], prev[i], cur[-1]))
+                prev = cur
+            return prev[n]
+
+        rng = random.Random(13)
+        cases = [
+            ([1, 3, 4, 9], [1, 3, 4, 9]),       # identical -> 0
+            ([1, 2, 3, 4], [2, 3, 4, 5]),       # classic warp -> 2
+            ([0, 0, 0], [10, 10]),              # all-pairs cost -> 30
+            ([5], [5]),
+            ([5], [9]),
+        ] + [
+            (
+                [rng.randint(0, 60) for _ in range(rng.randint(1, 14))],
+                [rng.randint(0, 60) for _ in range(rng.randint(1, 14))],
+            )
+            for _ in range(80)
+        ]
+        df = spark.createDataFrame(cases, "a array<bigint>, b array<bigint>")
+        rows = df.select("a", "b", dtw_distance(F.col("a"), F.col("b")).alias("d")).collect()
+        assert rows[0]["d"] is not None
+        for r in rows:
+            assert r["d"] == ref(r["a"], r["b"]), (r["a"], r["b"])
+
+    def test_no_udf_in_plan(self, spark):
+        from pyspark.sql import functions as F
+
+        from dpe_energy_performance_analysis_etl_spark.operators.temporal import (
+            dtw_distance,
+        )
+
+        df = spark.createDataFrame([([1, 2], [2, 3])], "a array<bigint>, b array<bigint>")
+        plan = (
+            df.select(dtw_distance(F.col("a"), F.col("b")).alias("d"))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
