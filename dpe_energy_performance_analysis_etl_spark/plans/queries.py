@@ -12595,3 +12595,83 @@ def dtw_user_value_series_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             dtw_distance(F.col("a"), F.col("b")).alias("dtw_cents"),
         )
     )
+
+
+@register(
+    "emd_price_drift",
+    """
+    WITH pts AS MATERIALIZED (
+      SELECT o_orderkey % 2 AS side,
+             LEAST(CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT)
+                   // 3000000, 19) AS bin
+      FROM orders
+    ), hist AS MATERIALIZED (
+      SELECT bin,
+             CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+      FROM pts GROUP BY bin
+    ), tot AS MATERIALIZED (
+      SELECT CAST(SUM(na) AS BIGINT) AS ta, CAST(SUM(nb) AS BIGINT) AS tb
+      FROM hist
+    ), freq AS MATERIALIZED (
+      SELECT bin,
+             (na * 1000000) // GREATEST(ta, 1) AS fa,
+             (nb * 1000000) // GREATEST(tb, 1) AS fb
+      FROM hist CROSS JOIN tot
+    ), cum AS MATERIALIZED (
+      SELECT bin,
+             CAST(SUM(fa - fb) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cd
+      FROM freq
+    )
+    SELECT CAST(SUM(ABS(cd)) AS BIGINT) AS emd_ppm_bins,
+           CAST(MAX(ABS(cd)) AS BIGINT) AS ks_ppm,
+           CAST(COUNT(*) AS BIGINT) AS n_bins
+    FROM cum
+    """,
+)
+def emd_price_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D earth mover's distance (Wasserstein-1) between the order-
+    value distributions of the two orderkey-parity halves — in one
+    dimension EMD = Σ_bins |CDF_a − CDF_b|, so over ppm-scaled
+    20-bin histograms the whole metric is exact integers (and the
+    max of the same cumulative differences is the KS statistic for
+    free — both emitted). The distribution-shift monitor for training
+    mixtures, next to `category_drift_halves`' categorical form; the
+    parity halves of a uniform synthetic column give a near-zero
+    reading, i.e. the null baseline. One data-sized binning pass;
+    everything after runs on the bounded bin table."""
+    from pyspark.sql import Window
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    pts = o.select(
+        (F.col("o_orderkey") % 2).alias("side"),
+        F.least(
+            F.expr(
+                "CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT)"
+                " div 3000000"
+            ),
+            F.lit(19).cast("bigint"),
+        ).alias("bin"),
+    )
+    hist = pts.groupBy("bin").agg(
+        F.sum((F.col("side") == 0).cast("bigint")).alias("na"),
+        F.sum((F.col("side") == 1).cast("bigint")).alias("nb"),
+    )
+    tot = hist.agg(
+        F.sum("na").cast("bigint").alias("ta"), F.sum("nb").cast("bigint").alias("tb")
+    )
+    freq = hist.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        F.expr("(na * 1000000) div greatest(ta, 1L)").alias("fa"),
+        F.expr("(nb * 1000000) div greatest(tb, 1L)").alias("fb"),
+    )
+    wc = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = freq.select(
+        "bin", F.sum(F.col("fa") - F.col("fb")).over(wc).cast("bigint").alias("cd")
+    )
+    return cum.agg(
+        F.sum(F.abs(F.col("cd"))).cast("bigint").alias("emd_ppm_bins"),
+        F.max(F.abs(F.col("cd"))).cast("bigint").alias("ks_ppm"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+    )
