@@ -12441,9 +12441,23 @@ def textrank_keywords_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
         .distinct()
     )
-    sym = pairs.unionByName(
-        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    # symmetrize via explode(array(...)) — a unionAll of two selects
+    # over `pairs` would re-run the position join per branch (the
+    # repeated-subtree rule; audit measured 136 static exchanges)
+    sym = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src"), F.col("dst")),
+                    F.struct(
+                        F.col("dst").alias("src"), F.col("src").alias("dst")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .distinct()
+    )
     ranks = pagerank_fixed(sym, iterations=3)
     return (
         ranks.select(F.col("node").alias("keyword"), "rank_scaled")

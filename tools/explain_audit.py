@@ -85,6 +85,9 @@ EXPECTED_MULTISTAGE = {
     "gsp_event_sequences": "cached ev/occ/f1/f2 tables re-expand per level in the static print; 312 cache reads at runtime, 4.1 s sf0.01",
     # round-6 wave 10
     "kmv_overlap_docs": "three k-min sketches (distinct + top-k window each) + exact union/inter over the two CACHED vocab-bounded token sets; the static print re-expands both caches per consumer",
+    # round-6 waves 13/17
+    "sq8_recall_embeddings": "two deliberate scoring paths (quantized vs exact float brute force) — the query IS the comparison; each is broadcast+window over the 500-row embeddings table",
+    "textrank_keywords_docs": "pagerank_fixed caches e/nodes/deg internally; the static print re-expands the cached word-graph subtree per round (runtime reads the cache)",
 }
 
 
