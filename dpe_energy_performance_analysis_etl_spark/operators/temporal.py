@@ -857,3 +857,89 @@ def dtw_distance(a: Column, b: Column) -> Column:
     )
     final = F.aggregate(b, init, row)
     return F.element_at(final, F.size(a) + 1)
+
+
+def holt_linear_fitted(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    horizon: int = 3,
+) -> DataFrame:
+    """Holt's linear-trend (double) exponential smoothing with DYADIC
+    coefficients α=1/2, β=1/4 — the trend-aware forecasting step
+    between `ewma_user_values` (level only) and a seasonal model,
+    exact across engines because every update is shift arithmetic:
+
+        l_t = (y_t + l_{t−1} + b_{t−1}) div 2           (α = 1/2)
+        b_t = (l_t − l_{t−1} + 3·b_{t−1}) div 4         (β = 1/4)
+
+    init l₁ = y₁, b₁ = y₂ − y₁; one-step-ahead fit ŷ_t = l_{t−1} +
+    b_{t−1}; h-step forecast l_T + h·b_T. Truncating div agrees on
+    both engines for negative trends too (measured: DuckDB BIGINT //
+    truncates toward zero like Spark div).
+
+    The recurrence is sequential over the BOUNDED tier table (the
+    Kaplan-Meier discipline): per-tier aggregation is the one
+    data-sized pass, then ONE `aggregate` fold over the sorted tier
+    array carries (level, trend, fitted-trajectory) — the DuckDB
+    twin folds the same array with the acc-as-list trick.
+
+    Returns per tier (t, y, fitted, level, trend) plus `horizon`
+    forecast rows (t beyond the last tier, y NULL).
+    """
+    tiers = (
+        df.groupBy(F.col(time_col).cast("bigint").alias("t"))
+        .agg(F.sum(F.col(value_col).cast("bigint")).alias("y"))
+    )
+    arr = tiers.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("t", "y"))), lambda s: s["y"]
+        ).alias("ys"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("t", "y"))), lambda s: s["t"]
+        ).alias("ts"),
+    )
+    # acc: struct(l, b, fit: array) — fold over positions 2..n; the
+    # position-1 fit is defined as y1 (no history), position-2 fit
+    # uses the init state.
+    fold = F.expr(
+        """
+        aggregate(
+          CASE WHEN size(ys) >= 2 THEN sequence(2, size(ys))
+               ELSE array() END,
+          struct(
+            element_at(ys, 1) AS l,
+            coalesce(try_element_at(ys, 2) - element_at(ys, 1), 0L) AS b,
+            array(element_at(ys, 1)) AS fit
+          ),
+          (acc, i) -> struct(
+            (element_at(ys, CAST(i AS INT)) + acc.l + acc.b) div 2L AS l,
+            (((element_at(ys, CAST(i AS INT)) + acc.l + acc.b) div 2L)
+              - acc.l + 3L * acc.b) div 4L AS b,
+            concat(acc.fit, array(acc.l + acc.b)) AS fit
+          )
+        )
+        """
+    )
+    state = arr.select("ys", "ts", fold.alias("st")).localCheckpoint()
+    n = F.size("ys")
+    fitted = state.select(
+        "ts", "ys", F.col("st.fit").alias("fit")
+    ).select(
+        F.posexplode(F.arrays_zip("ts", "ys", "fit")).alias("i", "z")
+    ).select(
+        F.col("z.ts").alias("t"),
+        F.col("z.ys").alias("y"),
+        F.col("z.fit").alias("fitted"),
+    )
+    fc = state.select(
+        F.explode(F.sequence(F.lit(1), F.lit(horizon))).alias("h"),
+        F.element_at("ts", n).alias("t_last"),
+        F.col("st.l").alias("l"),
+        F.col("st.b").alias("b"),
+    ).select(
+        (F.col("t_last") + F.col("h")).alias("t"),
+        F.lit(None).cast("bigint").alias("y"),
+        (F.col("l") + F.col("h") * F.col("b")).alias("fitted"),
+    )
+    return fitted.unionByName(fc)

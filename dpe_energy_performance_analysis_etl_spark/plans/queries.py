@@ -12689,3 +12689,70 @@ def emd_price_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.abs(F.col("cd"))).cast("bigint").alias("ks_ppm"),
         F.count(F.lit(1)).cast("bigint").alias("n_bins"),
     )
+
+
+@register(
+    "holt_linear_revenue",
+    """
+    WITH tiers AS MATERIALIZED (
+      SELECT CAST(date_diff('month', DATE '1992-01-01',
+                            CAST(o_orderdate AS DATE)) AS BIGINT) AS t,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ), ranked AS MATERIALIZED (
+      SELECT t, y, CAST(row_number() OVER (ORDER BY t) AS BIGINT) AS i
+      FROM tiers
+    ), arrs AS MATERIALIZED (
+      SELECT list(y ORDER BY t) AS ys, list(t ORDER BY t) AS ts FROM ranked
+    ), folded AS MATERIALIZED (
+      SELECT ys, ts,
+        list_reduce(
+          list_prepend(
+            [ys[1], COALESCE(ys[2] - ys[1], CAST(0 AS BIGINT)), ys[1]],
+            list_transform(ys[2:], v -> [v])
+          ),
+          (acc, el) -> list_concat(
+            list_concat(
+              [(el[1] + acc[1] + acc[2]) // 2,
+               (((el[1] + acc[1] + acc[2]) // 2) - acc[1] + 3 * acc[2]) // 4],
+              acc[3:]
+            ),
+            [acc[1] + acc[2]]
+          )
+        ) AS st
+      FROM arrs
+    )
+    SELECT r.t, r.y, CAST(f.st[CAST(r.i + 2 AS INT)] AS BIGINT) AS fitted
+    FROM ranked r CROSS JOIN folded f
+    UNION ALL
+    SELECT ts[CAST(len(ts) AS INT)] + h.h AS t, CAST(NULL AS BIGINT) AS y,
+           CAST(st[1] + h.h * st[2] AS BIGINT) AS fitted
+    FROM folded CROSS JOIN (SELECT unnest([1, 2, 3]) AS h) h
+    """,
+)
+def holt_linear_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend smoothing of monthly revenue
+    (operators/temporal.py holt_linear_fitted — dyadic α=1/2, β=1/4
+    so every update is shift/div arithmetic, exact both engines;
+    one-step-ahead fitted values for every month plus a 3-month
+    forecast). The whole (level, trend, trajectory) state folds over
+    the BOUNDED month-tier array via the SQL `aggregate` HOF — the
+    Kaplan-Meier discipline applied to forecasting; the DuckDB twin
+    folds the same array with list-typed accumulator state."""
+    from dpe_energy_performance_analysis_etl_spark.operators.temporal import (
+        holt_linear_fitted,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    monthly = o.select(
+        F.months_between(
+            F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+        )
+        .cast("bigint")
+        .alias("m"),
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    return holt_linear_fitted(monthly, "m", "cents", horizon=3)

@@ -441,3 +441,45 @@ class TestDtwDistance:
             .toString()
         )
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestHoltLinear:
+    def test_matches_eager_reference_and_forecast(self, spark):
+        from dpe_energy_performance_analysis_etl_spark.operators.temporal import (
+            holt_linear_fitted,
+        )
+
+        ys = [100, 120, 145, 160, 150, 180, 210, 205]
+        rows = [(t, y) for t, y in enumerate(ys)]
+        df = spark.createDataFrame(rows, "t bigint, y bigint")
+        got = {r["t"]: (r["y"], r["fitted"]) for r in holt_linear_fitted(df, "t", "y").collect()}
+
+        # eager reference with identical integer arithmetic
+        l, b = ys[0], ys[1] - ys[0]
+        fit = [ys[0]]
+        for y in ys[1:]:
+            fit.append(l + b)
+            l2 = (y + l + b) // 2
+            b = (l2 - l + 3 * b) // 4
+            l = l2
+        for t in range(len(ys)):
+            assert got[t] == (ys[t], fit[t]), t
+        for h in (1, 2, 3):
+            assert got[len(ys) - 1 + h] == (None, l + h * b)
+
+    def test_trend_tracking_and_single_point(self, spark):
+        from dpe_energy_performance_analysis_etl_spark.operators.temporal import (
+            holt_linear_fitted,
+        )
+
+        # perfect line y = 10t: fitted converges onto the line and the
+        # forecast extrapolates it exactly
+        rows = [(t, 10 * t) for t in range(12)]
+        df = spark.createDataFrame(rows, "t bigint, y bigint")
+        got = {r["t"]: r["fitted"] for r in holt_linear_fitted(df, "t", "y").collect()}
+        assert got[11] == 110  # one-step fit on the line
+        assert got[12] == 120 and got[14] == 140  # exact extrapolation
+        # single tier: level only, zero trend
+        one = spark.createDataFrame([(5, 42)], "t bigint, y bigint")
+        g1 = {r["t"]: r["fitted"] for r in holt_linear_fitted(one, "t", "y").collect()}
+        assert g1[5] == 42 and g1[6] == 42 and g1[8] == 42
