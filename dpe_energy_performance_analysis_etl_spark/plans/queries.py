@@ -12756,3 +12756,68 @@ def holt_linear_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return holt_linear_fitted(monthly, "m", "cents", horizon=3)
+
+
+def _ring_oracle(vnodes: int) -> str:
+    hmix = _walk_mix_sql("x", "97", 0)
+    pmix = _walk_mix_sql("node", "vn", 0)
+
+    def assign(n: int, name: str) -> str:
+        return f"""pts{name} AS MATERIALIZED (
+      SELECT n.node, v.vn, CAST({pmix} AS BIGINT) AS pos
+      FROM (SELECT unnest(generate_series(0, {n - 1})) AS node) n
+      CROSS JOIN (SELECT unnest(generate_series(0, {vnodes - 1})) AS vn) v
+    ), a{name} AS MATERIALIZED (
+      SELECT h.x,
+             (MIN({{'d': ((p.pos - h.h) % 4294967296 + 4294967296) % 4294967296,
+                    'node': p.node, 'vn': p.vn}})).node AS shard{name}
+      FROM hk h CROSS JOIN pts{name} p
+      GROUP BY h.x
+    )"""
+
+    return f"""
+    WITH keys AS MATERIALIZED (
+      SELECT DISTINCT o_orderkey AS x FROM orders
+    ), hk AS MATERIALIZED (
+      SELECT x, CAST({hmix} AS BIGINT) AS h FROM keys
+    ), {assign(4, "4")}, {assign(5, "5")}
+    SELECT CAST(a4.shard4 AS BIGINT) AS shard4,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(CASE WHEN a4.shard4 <> a5.shard5 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_moved,
+           CAST(SUM(CASE WHEN a4.shard4 <> a5.shard5 AND a5.shard5 = 4
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_moved_to_new
+    FROM a4 JOIN a5 ON a5.x = a4.x
+    GROUP BY 1
+    """
+
+
+@register("ring_shard_moves", _ring_oracle(64))
+def ring_shard_moves_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent-hash RING placement and the 4 → 5 node movement
+    profile (operators/scaling.py ring_assign — Karger STOC'97 with
+    64 vnodes/node, the memcached/Dynamo scheme), side by side with
+    `rendezvous_shard_moves`: same minimal-movement property
+    (measured 23.1% moved, EVERY move to the new node — growing the
+    ring only claims arcs for the newcomer's points; 64 vnodes put
+    shard balance at max/avg 1.06 where 16 left 1.50), different
+    state trade-off (static precomputable point table vs per-node
+    hashing). Assignment is a row-local fold over the LITERAL point
+    array — zero shuffle before the bounded aggregate."""
+    from dpe_energy_performance_analysis_etl_spark.operators.scaling import ring_assign
+
+    keys = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_orderkey")
+        .distinct()
+    )
+    s4 = ring_assign(keys, "o_orderkey", 4).withColumnRenamed("shard", "shard4")
+    s5 = ring_assign(s4, "o_orderkey", 5).withColumnRenamed("shard", "shard5")
+    moved = F.col("shard4") != F.col("shard5")
+    return s5.groupBy("shard4").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum(moved.cast("int")).cast("bigint").alias("n_moved"),
+        F.sum((moved & (F.col("shard5") == 4)).cast("int"))
+        .cast("bigint")
+        .alias("n_moved_to_new"),
+    )

@@ -753,3 +753,38 @@ class TestSq8Quantize:
             )[:4]
             for rank, (negs, c) in enumerate(scored, 1):
                 assert got[(qi, rank)] == (c, -negs)
+
+
+class TestRingAssign:
+    def test_minimal_movement_and_balance(self, spark):
+        from pyspark.sql import functions as F
+
+        from dpe_energy_performance_analysis_etl_spark.operators.scaling import (
+            ring_assign,
+        )
+
+        keys = spark.range(8000).withColumnRenamed("id", "k")
+        s4 = ring_assign(keys, "k", 4).withColumnRenamed("shard", "s4")
+        s5 = ring_assign(s4, "k", 5).withColumnRenamed("shard", "s5")
+        rows = s5.collect()
+        moved = [r for r in rows if r["s4"] != r["s5"]]
+        # every move claims the NEW node's arcs
+        assert all(r["s5"] == 4 for r in moved)
+        assert 0.10 < len(moved) / len(rows) < 0.32
+        from collections import Counter
+
+        c = Counter(r["s5"] for r in rows)
+        avg = len(rows) / 5
+        assert all(0.7 < v / avg < 1.4 for v in c.values())
+
+    def test_deterministic_and_shuffle_free(self, spark):
+        from dpe_energy_performance_analysis_etl_spark.operators.scaling import (
+            ring_assign,
+        )
+
+        keys = spark.range(300).withColumnRenamed("id", "k")
+        a = sorted(map(tuple, ring_assign(keys, "k", 6).collect()))
+        b = sorted(map(tuple, ring_assign(keys.repartition(7), "k", 6).collect()))
+        assert a == b
+        plan = ring_assign(keys, "k", 6)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hash" not in plan
