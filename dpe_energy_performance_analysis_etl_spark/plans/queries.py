@@ -11833,7 +11833,7 @@ def kmv_overlap_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "decayed_heavy_users",
     """
     WITH ev AS MATERIALIZED (
-      SELECT user_id, CAST(epoch(ts) AS BIGINT) // 86400 AS day FROM events
+      SELECT user_id, (epoch_us(ts) // 1000000) // 86400 AS day FROM events
     ), mx AS MATERIALIZED (
       SELECT MAX(day) AS t FROM ev
     ), wts AS MATERIALIZED (
@@ -12820,4 +12820,124 @@ def ring_shard_moves_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((moved & (F.col("shard5") == 4)).cast("int"))
         .cast("bigint")
         .alias("n_moved_to_new"),
+    )
+
+
+@register(
+    "allen_relations_sessions",
+    """
+    WITH ev AS MATERIALIZED (
+      SELECT user_id AS u, epoch_us(ts) // 1000000 AS t,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rk
+      FROM events
+    ), flagged AS MATERIALIZED (
+      SELECT u, t, rk,
+             CASE WHEN t - LAG(t) OVER (PARTITION BY u ORDER BY rk) > 1800
+                       OR LAG(t) OVER (PARTITION BY u ORDER BY rk) IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+      FROM ev
+    ), sess AS MATERIALIZED (
+      SELECT u, SUM(new_s) OVER (PARTITION BY u ORDER BY rk
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid, t
+      FROM flagged
+    ), ivals AS MATERIALIZED (
+      SELECT u, sid, MIN(t) AS s, MAX(t) AS e FROM sess GROUP BY u, sid
+    ), tagged AS MATERIALIZED (
+      SELECT u, sid, s, e, s // 3600 AS hb FROM ivals
+    ), pairs AS MATERIALIZED (
+      SELECT a.s AS s1, a.e AS e1, b.s AS s2, b.e AS e2
+      FROM tagged a JOIN tagged b
+        ON b.hb BETWEEN a.hb AND a.hb + 1
+       AND a.u < b.u
+       AND b.s - a.s BETWEEN 0 AND 3600
+       AND (a.s < b.s OR (a.s = b.s AND (a.e < b.e
+            OR (a.e = b.e AND a.u < b.u))))
+    )
+    SELECT relation, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      SELECT CASE WHEN e1 < s2 THEN 'before'
+                  WHEN e1 = s2 THEN 'meets'
+                  WHEN s1 = s2 AND e1 = e2 THEN 'equals'
+                  WHEN s1 = s2 THEN 'starts'
+                  WHEN e1 = e2 THEN 'finished_by'
+                  WHEN e1 > e2 THEN 'contains'
+                  ELSE 'overlaps' END AS relation
+      FROM pairs
+    ) GROUP BY relation
+    """,
+)
+def allen_relations_sessions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allen's interval algebra (AI Journal 1983) over user sessions:
+    classify every cross-user session pair starting within the same
+    hour into the seven canonical relations (before / meets /
+    overlaps / starts / finished_by / contains / equals — the
+    inverses collapse under the lexicographic pair canonicalization)
+    and count each. Completes the temporal-join taxonomy next to
+    asof/range/interval-coverage: sessionization is the per-user
+    window pass; candidate pairs come from an hour-bucket equi-join
+    with a bounded 1-hour start gap — never an interval cross
+    product. Exact integer second arithmetic throughout."""
+    from pyspark.sql import Window
+
+    ev = read_events(spark, sf_dir).select(
+        F.col("user_id").alias("u"),
+        epoch_seconds("ts").alias("t"),
+        "ts",
+        "event_id",
+    )
+    wr = Window.partitionBy("u").orderBy("ts", "event_id")
+    flagged = ev.withColumn("rk", F.row_number().over(wr)).withColumn(
+        "new_s",
+        (
+            F.lag("t").over(wr).isNull()
+            | (F.col("t") - F.lag("t").over(wr) > 1800)
+        ).cast("int"),
+    )
+    # cumsum MUST order by the unique rank: epoch seconds tie within
+    # a user (microsecond ts truncates), and tie-ambiguous cumsums
+    # diverge across engines (gate-caught: 11 sessions differed)
+    wc = Window.partitionBy("u").orderBy("rk").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sess = flagged.withColumn("sid", F.sum("new_s").over(wc))
+    ivals = sess.groupBy("u", "sid").agg(
+        F.min("t").alias("s"), F.max("t").alias("e")
+    )
+    tagged = ivals.withColumn("hb", F.expr("s div 3600"))
+    a = tagged.select(
+        F.col("u").alias("u1"), F.col("s").alias("s1"), F.col("e").alias("e1"),
+        F.col("hb").alias("hb1"),
+    ).withColumn("hb", F.explode(F.array(F.col("hb1"), F.col("hb1") + 1)))
+    b = tagged.select(
+        F.col("u").alias("u2"), F.col("s").alias("s2"), F.col("e").alias("e2"),
+        F.col("hb").alias("hb"),
+    )
+    pairs = (
+        a.join(b, "hb")
+        .where(
+            (F.col("u1") < F.col("u2"))
+            & (F.col("s2") - F.col("s1")).between(0, 3600)
+            & (
+                (F.col("s1") < F.col("s2"))
+                | (
+                    (F.col("s1") == F.col("s2"))
+                    & (
+                        (F.col("e1") < F.col("e2"))
+                        | ((F.col("e1") == F.col("e2")) & (F.col("u1") < F.col("u2")))
+                    )
+                )
+            )
+        )
+        .select("s1", "e1", "s2", "e2")
+    )
+    rel = (
+        F.when(F.col("e1") < F.col("s2"), "before")
+        .when(F.col("e1") == F.col("s2"), "meets")
+        .when((F.col("s1") == F.col("s2")) & (F.col("e1") == F.col("e2")), "equals")
+        .when(F.col("s1") == F.col("s2"), "starts")
+        .when(F.col("e1") == F.col("e2"), "finished_by")
+        .when(F.col("e1") > F.col("e2"), "contains")
+        .otherwise("overlaps")
+    )
+    return pairs.select(rel.alias("relation")).groupBy("relation").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
     )
