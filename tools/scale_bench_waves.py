@@ -34,6 +34,23 @@ QUERIES_TO_SCALE = [
     "image_dhash_near_dups",
     "scene_cuts_rawvideo",
     "audio_fp_match_clip",
+    # round-6 families (NOTES round-6 scale tables)
+    "iblt_set_reconcile",
+    "ktruss_parts_graph",
+    "gsp_event_sequences",
+    "mst_parts_forest",
+    "dbscan_customer_sites",
+    "jaro_winkler_part_names",
+    "als_rank1_factors",
+    "single_linkage_parts",
+    "ransac_line_custkeys",
+    "markov_attribution_events",
+    "jenks_breaks_totalprice",
+    "textrank_keywords_docs",
+    "dtw_user_value_series",
+    "holt_linear_revenue",
+    "ring_shard_moves",
+    "allen_relations_sessions",
 ]
 
 SF_DIRS = [
