@@ -197,15 +197,29 @@ def _deinterlace(rows: np.ndarray) -> np.ndarray:
     return out
 
 
+def _byte_at(payload: bytes, pos: int) -> int:
+    """Bounds-checked byte read: truncated payloads must surface as
+    the module's ValueError contract (sniff_decode_image callers
+    dispatch on it), never as a raw IndexError from running a
+    sub-block scan off the end."""
+    if pos >= len(payload):
+        raise ValueError("truncated GIF")
+    return payload[pos]
+
+
 def decode_gif(payload: bytes) -> np.ndarray:
     """First frame of a GIF87a/89a -> uint8 (H, W, 3) RGB."""
     if payload[:6] not in (_GIF87, _GIF89):
         raise ValueError(f"not a GIF (header {payload[:6]!r})")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF")
     w, h, flags, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
     pos = 13
     gpal = None
     if flags & 0x80:
         n = 2 << (flags & 7)
+        if pos + 3 * n > len(payload):
+            raise ValueError("truncated GIF")
         gpal = np.frombuffer(payload[pos : pos + 3 * n], dtype=np.uint8).reshape(-1, 3)
         pos += 3 * n
     while pos < len(payload):
@@ -214,28 +228,34 @@ def decode_gif(payload: bytes) -> np.ndarray:
             break
         if b == 0x21:  # extension: label + sub-blocks
             pos += 2
-            while payload[pos] != 0:
+            while _byte_at(payload, pos) != 0:
                 pos += 1 + payload[pos]
             pos += 1
             continue
         if b != 0x2C:
             raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        if pos + 10 > len(payload):
+            raise ValueError("truncated GIF")
         ix, iy, iw, ih, iflags = struct.unpack("<HHHHB", payload[pos + 1 : pos + 10])
         pos += 10
         pal = gpal
         if iflags & 0x80:
             n = 2 << (iflags & 7)
+            if pos + 3 * n > len(payload):
+                raise ValueError("truncated GIF")
             pal = np.frombuffer(payload[pos : pos + 3 * n], dtype=np.uint8).reshape(
                 -1, 3
             )
             pos += 3 * n
         if pal is None:
             raise ValueError("GIF image with no palette")
-        min_code = payload[pos]
+        min_code = _byte_at(payload, pos)
         pos += 1
         lzw = bytearray()
-        while payload[pos] != 0:
+        while _byte_at(payload, pos) != 0:
             ln = payload[pos]
+            if pos + 1 + ln > len(payload):
+                raise ValueError("truncated GIF")
             lzw += payload[pos + 1 : pos + 1 + ln]
             pos += 1 + ln
         pos += 1

@@ -1,8 +1,9 @@
 """Spatial radius joins without a cartesian product.
 
 The reference's domain is geocoded addresses — its BAN lookup
-(`/root/reference/src/dpe_enedis_ademe_etl_engine/external/fetchers.py`
-returns lat/lon per address) stops at point enrichment. The natural
+(`/root/reference/src/dpe_enedis_ademe_etl_engine/scripts/extract.py:158-177`
+`call_ban_api_individually` returns lat/lon per address) stops at
+point enrichment. The natural
 next operator a user needs is "which points lie within distance d of
 each other" (nearest station, dedup of geocoded sites, spatial
 blocking for record linkage). Naively that is an O(n·m) cross join; at

@@ -1063,10 +1063,18 @@ def kaplan_meier(
     table (distinct time buckets — ~80 rows for monthly tiers), never
     the subjects: per-tier (d, c) is one data-sized aggregation;
     tiers collect into ONE sorted array ((t, n·M+d) encoded structs,
-    M = 2^20 so acc·n stays ≤ scale·n < 2^53-safe int64 to ~10⁹
-    subjects) and each tier's prefix folds via the SQL `aggregate`
+    M = 2^20) and each tier's prefix folds via the SQL `aggregate`
     higher-order function — quadratic in TIERS (80² lambda steps,
     nothing), zero extra shuffle.
+
+    Encoding bounds, GUARDED not assumed: the n·M+d pack requires
+    d < M = 2^20 (~1.05M events in ONE tier) — a tier past that
+    would silently corrupt surv_scaled, so the operator raises
+    ANSI-loud via `raise_error` the moment any tier violates it
+    (widen tiers or the encoding if a corpus legitimately does).
+    Total-subject bound: n·M < 2^63 → n ≲ 8.8·10¹² subjects, and
+    the fold's acc·(n−d) ≤ scale·n keeps scale=10⁶ exact to the
+    same n.
 
     Returns (t, n_at_risk, d_events, c_censored, surv_scaled) —
     surv_scaled = ⌊S(t)·scale⌋ under per-step flooring.
@@ -1079,6 +1087,20 @@ def kaplan_meier(
     tiers = df.groupBy(t.alias("t")).agg(
         F.sum(ev).cast("bigint").alias("d"),
         F.sum(1 - ev).cast("bigint").alias("c"),
+    )
+    # the n·M+d pack is only injective for d < M — fail loudly, not
+    # silently, on a tier dense enough to collide
+    tiers = tiers.withColumn(
+        "d",
+        F.when(F.col("d") < F.lit(M).cast("bigint"), F.col("d")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("kaplan_meier: tier "),
+                    F.col("t").cast("string"),
+                    F.lit(" has d_events >= 2^20; widen tiers"),
+                )
+            ).cast("bigint")
+        ),
     )
     w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
     wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
@@ -1224,6 +1246,15 @@ def nelson_aalen(
     ~80-row tier table is already bit-portable (no aggregate-HOF
     machinery needed). Per-tier (d, c) is the one data-sized pass.
 
+    Overflow-safe term: the naive d·scale int64 product aborts
+    (ANSI) once one tier holds ≥ ~9.2·10⁶ events at scale=10¹².
+    Instead each term is computed by the Euclidean split
+        div(d·scale, n) = d·div(scale, n) + div(d·mod(scale, n), n)
+    (exact: d·scale = d·n·q + d·r with q = scale div n, r < n) whose
+    intermediates are bounded by scale and n² respectively — safe to
+    ~3·10⁹ subjects PER TIER at scale=10¹², consistent with KM's
+    stated bound instead of 300× below it.
+
     Returns (t, n_at_risk, d_events, hazard_scaled).
     """
     from pyspark.sql import Window, functions as F
@@ -1247,7 +1278,11 @@ def nelson_aalen(
         F.col("n").alias("n_at_risk"),
         F.col("d").alias("d_events"),
         F.sum(
-            F.expr(f"CAST(d * {scale} AS BIGINT) div greatest(n, 1L)")
+            F.expr(
+                f"d * (CAST({scale} AS BIGINT) div greatest(n, 1L))"
+                f" + (d * (CAST({scale} AS BIGINT) % greatest(n, 1L)))"
+                f" div greatest(n, 1L)"
+            )
         )
         .over(wcum)
         .cast("bigint")

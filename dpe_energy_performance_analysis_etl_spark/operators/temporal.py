@@ -834,6 +834,12 @@ def dtw_distance(a: Column, b: Column) -> Column:
     Intended for BOUNDED series (per-key windows of tens of points:
     n·m lambda steps per row pair); candidate pair generation stays
     the caller's job, as with every comparator in this repo.
+
+    Empty inputs return NULL (DTW is undefined for an empty series)
+    — guarded explicitly, because `sequence(1, size(a))` with size 0
+    is the DESCENDING sequence [1, 0] and element_at(·, 0) aborts
+    under ANSI mode. CaseWhen branches evaluate lazily, so the DP
+    fold never runs for the empty case.
     """
     inf = F.lit(DTW_INF).cast("bigint")
     init = F.concat(
@@ -856,7 +862,9 @@ def dtw_distance(a: Column, b: Column) -> Column:
         ),
     )
     final = F.aggregate(b, init, row)
-    return F.element_at(final, F.size(a) + 1)
+    return F.when(
+        (F.size(a) == 0) | (F.size(b) == 0), F.lit(None).cast("bigint")
+    ).otherwise(F.element_at(final, F.size(a) + 1))
 
 
 def holt_linear_fitted(

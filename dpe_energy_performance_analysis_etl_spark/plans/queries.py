@@ -12234,7 +12234,9 @@ def markov_attribution_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM tiers
     )
     SELECT t, n AS n_at_risk, d AS d_events,
-           CAST(SUM((d * 1000000000000) // GREATEST(n, 1)) OVER (
+           CAST(SUM(d * (1000000000000 // GREATEST(n, 1))
+                    + (d * (1000000000000 % GREATEST(n, 1)))
+                      // GREATEST(n, 1)) OVER (
              ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              AS BIGINT) AS hazard_scaled
     FROM ranked
@@ -12843,13 +12845,13 @@ def ring_shard_moves_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), ivals AS MATERIALIZED (
       SELECT u, sid, MIN(t) AS s, MAX(t) AS e FROM sess GROUP BY u, sid
     ), tagged AS MATERIALIZED (
-      SELECT u, sid, s, e, s // 3600 AS hb FROM ivals
+      SELECT u, sid, s, e, s // 900 AS hb FROM ivals
     ), pairs AS MATERIALIZED (
       SELECT a.s AS s1, a.e AS e1, b.s AS s2, b.e AS e2
       FROM tagged a JOIN tagged b
         ON b.hb BETWEEN a.hb AND a.hb + 1
-       AND a.u < b.u
-       AND b.s - a.s BETWEEN 0 AND 3600
+       AND a.u <> b.u
+       AND b.s - a.s BETWEEN 0 AND 900
        AND (a.s < b.s OR (a.s = b.s AND (a.e < b.e
             OR (a.e = b.e AND a.u < b.u))))
     )
@@ -12867,15 +12869,26 @@ def ring_shard_moves_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def allen_relations_sessions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Allen's interval algebra (AI Journal 1983) over user sessions:
-    classify every cross-user session pair starting within the same
-    hour into the seven canonical relations (before / meets /
+    classify EVERY cross-user session pair whose starts lie within
+    900 s into the seven canonical relations (before / meets /
     overlaps / starts / finished_by / contains / equals — the
-    inverses collapse under the lexicographic pair canonicalization)
-    and count each. Completes the temporal-join taxonomy next to
+    inverses collapse because each unordered pair is oriented ONCE,
+    by (s, e, u) lexicographic order) and count each. Two round-7
+    corrections to the r6 version: (1) the old `u1 < u2` predicate
+    composed with `s1 <= s2` silently dropped every pair whose
+    earlier-starting session belonged to the higher user id (~half
+    of all pairs; the oracle mirrored the bug so the gate could not
+    see it) — the canonical orientation is now TIME-ONLY (`u1 <>
+    u2`, lex (s, e, u) as the sole dedup rule); (2) the start-gap
+    default shrank 3600 → 900 s so worst-case candidate volume in a
+    dense corpus stays bounded — cross-user pairs per bucket grow
+    with user density squared, and the gap is the knob that keeps
+    the growth O(sessions · density · gap), the r6 sf5 scale-table
+    lesson. Completes the temporal-join taxonomy next to
     asof/range/interval-coverage: sessionization is the per-user
-    window pass; candidate pairs come from an hour-bucket equi-join
-    with a bounded 1-hour start gap — never an interval cross
-    product. Exact integer second arithmetic throughout."""
+    window pass; candidate pairs come from a gap-bucket equi-join
+    with the bounded start gap — never an interval cross product.
+    Exact integer second arithmetic throughout."""
     from pyspark.sql import Window
 
     ev = read_events(spark, sf_dir).select(
@@ -12902,7 +12915,7 @@ def allen_relations_sessions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivals = sess.groupBy("u", "sid").agg(
         F.min("t").alias("s"), F.max("t").alias("e")
     )
-    tagged = ivals.withColumn("hb", F.expr("s div 3600"))
+    tagged = ivals.withColumn("hb", F.expr("s div 900"))
     a = tagged.select(
         F.col("u").alias("u1"), F.col("s").alias("s1"), F.col("e").alias("e1"),
         F.col("hb").alias("hb1"),
@@ -12914,8 +12927,8 @@ def allen_relations_sessions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         a.join(b, "hb")
         .where(
-            (F.col("u1") < F.col("u2"))
-            & (F.col("s2") - F.col("s1")).between(0, 3600)
+            (F.col("u1") != F.col("u2"))
+            & (F.col("s2") - F.col("s1")).between(0, 900)
             & (
                 (F.col("s1") < F.col("s2"))
                 | (

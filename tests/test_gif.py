@@ -157,3 +157,25 @@ def test_sniff_dispatches_gif():
     pal = np.array([[1, 2, 3], [4, 5, 6]], dtype=np.uint8)
     px = pal[np.zeros((3, 3), dtype=int)]
     assert (sniff_decode_image(encode_gif(px)) == px).all()
+
+
+def test_truncated_payloads_raise_valueerror_not_indexerror():
+    """Every truncation point must surface as the module's ValueError
+    contract (sniff_decode_image dispatches on it) — the r6 version
+    ran the sub-block scan loops off the end (IndexError)."""
+    pal = np.array([[10, 20, 30], [200, 100, 50]], dtype=np.uint8)
+    px = pal[np.eye(6, dtype=int)]
+    full = encode_gif(px)
+    # splice in an extension so the extension-scan loop is also covered
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    full = full[: 13 + 6] + gce + full[13 + 6 :]
+    assert (decode_gif(full) == px).all()
+    for cut in range(6, len(full)):  # header sniff handles < 6
+        # a cut past the image terminator but before the trailer still
+        # holds a complete first frame — decoding it is correct; every
+        # OTHER truncation must be ValueError, never Index/struct error
+        try:
+            got = decode_gif(full[:cut])
+        except ValueError:
+            continue
+        assert (got == px).all(), f"cut={cut} decoded wrong pixels"

@@ -788,3 +788,53 @@ class TestRingAssign:
         assert a == b
         plan = ring_assign(keys, "k", 6)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange hash" not in plan
+
+    def test_bisection_matches_python_ring_walk(self, spark):
+        """The round-7 binary-search rewrite must agree with a
+        direct Python evaluation of the ring rule (first sorted
+        point >= h, wrap to minimum) — including at a REALISTIC
+        ring size (256 nodes x 64 vnodes = 16384 points), the
+        regime the old linear F.filter scan was a scale-killer in."""
+        from dpe_energy_performance_analysis_etl_spark.operators.scaling import (
+            ring_assign,
+        )
+
+        def mix_py(*terms):
+            s = 0
+            muls = [1, 40503, 73244475, 5381]
+            for i, t in enumerate(terms):
+                s += (t % 4294967296) * muls[min(i, len(muls) - 1)]
+            s %= 4294967296
+            s = ((s ^ (s >> 16)) * 73244475) % 4294967296
+            return s ^ (s >> 16)
+
+        import bisect
+
+        for n_nodes, vnodes, n_keys in [(4, 64, 500), (256, 64, 500)]:
+            # rebuild the point table exactly as the operator does (salt=0)
+            def op_mix(node, vn, k=0):
+                s = (node % 2**32 + (vn % 2**32) * 40503 + k * 73244475) % 2**32
+                s = ((s ^ (s >> 16)) * 73244475) % 2**32
+                return s ^ (s >> 16)
+
+            points = sorted(
+                (op_mix(node, vn), node)
+                for node in range(n_nodes)
+                for vn in range(vnodes)
+            )
+            seen = set()
+            points = [p for p in points if p[0] not in seen and not seen.add(p[0])]
+            pos = [p for p, _ in points]
+            nodes = [n for _, n in points]
+
+            def expect(k):
+                h = mix_py(k, 97, 0)
+                i = bisect.bisect_left(pos, h)
+                return nodes[i % len(nodes)] if i < len(nodes) else nodes[0]
+
+            keys = spark.range(n_keys).withColumnRenamed("id", "k")
+            got = {
+                r["k"]: r["shard"]
+                for r in ring_assign(keys, "k", n_nodes, vnodes=vnodes).collect()
+            }
+            assert got == {k: expect(k) for k in range(n_keys)}

@@ -153,6 +153,17 @@ class TestKaplanMeier:
         got = kaplan_meier(df, "t", "ev").collect()
         assert all(r["surv_scaled"] == 1_000_000 for r in got)
 
+    def test_dense_tier_raises_not_corrupts(self, spark):
+        """d >= 2^20 in one tier would silently collide the n*M+d
+        encoding — the round-7 guard makes it an ANSI-loud error."""
+        import pytest
+
+        from dpe_energy_performance_analysis_etl_spark.operators.stats import kaplan_meier
+
+        df = spark.range(1_048_577).selectExpr("1L AS t", "1 AS ev")
+        with pytest.raises(Exception, match="d_events >= 2\\^20"):
+            kaplan_meier(df, "t", "ev").collect()
+
     def test_monotone_nonincreasing(self, spark):
         from dpe_energy_performance_analysis_etl_spark.operators.stats import kaplan_meier
 
@@ -227,3 +238,15 @@ class TestNelsonAalen:
         # monotone nondecreasing
         hs = [got[t]["hazard_scaled"] for t in sorted(got)]
         assert hs == sorted(hs)
+
+    def test_dense_tier_no_int64_overflow(self, spark):
+        """The naive d*scale product aborts (ANSI) past ~9.2e6 events
+        in one tier; the round-7 Euclidean-split term must stay exact
+        there: d = n = 10^7 -> hazard exactly = scale."""
+        from dpe_energy_performance_analysis_etl_spark.operators.stats import nelson_aalen
+
+        df = spark.range(10_000_000).selectExpr("1L AS t", "1 AS ev")
+        got = nelson_aalen(df, "t", "ev").collect()
+        assert len(got) == 1
+        assert got[0]["n_at_risk"] == 10_000_000
+        assert got[0]["hazard_scaled"] == 10**12

@@ -426,6 +426,23 @@ class TestDtwDistance:
         for r in rows:
             assert r["d"] == ref(r["a"], r["b"]), (r["a"], r["b"])
 
+    def test_empty_series_null_not_ansi_abort(self, spark):
+        """sequence(1, 0) is DESCENDING [1, 0] and element_at(·, 0)
+        aborts under ANSI — the round-7 guard returns NULL for an
+        empty side instead (DTW is undefined on empty series)."""
+        from pyspark.sql import functions as F
+
+        from dpe_energy_performance_analysis_etl_spark.operators.temporal import (
+            dtw_distance,
+        )
+
+        df = spark.createDataFrame(
+            [([], [1, 2]), ([3], []), ([], []), ([2, 4], [2, 4])],
+            "a array<bigint>, b array<bigint>",
+        )
+        rows = df.select(dtw_distance(F.col("a"), F.col("b")).alias("d")).collect()
+        assert [r["d"] for r in rows] == [None, None, None, 0]
+
     def test_no_udf_in_plan(self, spark):
         from pyspark.sql import functions as F
 
