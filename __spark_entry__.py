@@ -116,6 +116,26 @@ from dpe_energy_performance_analysis_etl_spark.plans import QUERIES, ORACLE_SQL 
 # Kaplan-Meier, grid DBSCAN, exact Jaro-Winkler, rank-1 ALS,
 # isotonic regression, single-linkage-via-MST, integer-odds naive
 # Bayes, and KMV set-operation estimates.
+#
+# Round-7 rotation (VERDICT r6 ask #1, drawn MECHANICALLY from the
+# generated ledger — tools/driver_ledger.py / COVERAGE.md appendix):
+# fourteen recorded-green (r6), family-redundant slots rotated out
+# (hits, ppr, bellman_ford, link_prediction, ktruss — graph keeps
+# pagerank in-window; kaplan_meier_orders — survival re-filled by its
+# additive sibling nelson_aalen; mann_kendall + cramers_v — stats
+# keeps roc_auc; ams_f2 + kmv_overlap — sketch keeps hll +
+# heavy_hitters; single_linkage — clustering keeps kmeans + dbscan;
+# decision_stump — ML keeps als + isotonic + naive_bayes;
+# rendezvous_shard_moves — sharding re-filled by the ring scheme;
+# embedding_cosine_topk — ANN re-filled by sq8_recall) in favor of
+# the fourteen never-recorded round-6 families the verdict names:
+# RANSAC line fit, SQ8 recall gate, Markov removal-effect
+# attribution, Nelson-Aalen hazard, Fisher-Jenks breaks, TextRank
+# keywords, encoding advisor, DTW series distance, EMD price drift,
+# Holt linear forecast, consistent-hash ring moves, Allen interval
+# relations, rolling median, and decayed heavy users — all
+# oracle-backed, all green at sf0.01 under tools/check_queries.py
+# before rotation.
 _FRONT_50 = [
     "q1_pricing_summary",
     "filter_project",
@@ -123,35 +143,35 @@ _FRONT_50 = [
     "count_distinct_agg",
     "pagerank_supplier_graph",
     "join_inner_broadcast",
-    "hits_supplier_graph",
+    "ring_shard_moves",
     "join_anti_new_rows",
     "iblt_set_reconcile",
     "q5_regional_revenue",
-    "ppr_supplier_graph",
-    "bellman_ford_parts",
-    "link_prediction_parts",
+    "allen_relations_sessions",
+    "dtw_user_value_series",
+    "emd_price_drift",
     "window_running_sum",
     "roc_auc_by_priority",
-    "kaplan_meier_orders",
+    "nelson_aalen_orders",
     "scalar_functions",
     "jaro_winkler_part_names",
-    "mann_kendall_user_values",
-    "cramers_v_priority_status",
+    "markov_attribution_events",
+    "jenks_breaks_totalprice",
     "gsp_event_sequences",
     "asof_join_events",
-    "rendezvous_shard_moves",
+    "decayed_heavy_users",
     "time_weighted_avg",
-    "ams_f2_tokens",
+    "rolling_median_revenue",
     "text_quality",
     "dedup_exact_groups",
     "ngram_jaccard_capped",
-    "ktruss_parts_graph",
-    "single_linkage_parts",
-    "embedding_cosine_topk",
+    "textrank_keywords_docs",
+    "ransac_line_custkeys",
+    "sq8_recall_embeddings",
     "hll_distinct_orders",
     "kmeans_lloyd_portable",
     "naive_bayes_status_gate",
-    "kmv_overlap_docs",
+    "holt_linear_revenue",
     "gopher_repetition",
     "decontaminate_overlap",
     "isotonic_urgent_rate",
@@ -163,7 +183,7 @@ _FRONT_50 = [
     "cdc_apply_changelog",
     "bm25_topk_docs",
     "record_linkage_fs",
-    "decision_stump_totalprice",
+    "encoding_advisor_lineitem",
     "bpe_pair_stats",
     "als_rank1_factors",
     "expectations_orders",

@@ -15,6 +15,17 @@ suppressed. A fixed JVM calibration workload is timed alongside
 (``calib_sec``) so records taken under different host load remain
 comparable; queries that fail are reported in ``failed`` without
 aborting the rest of the record.
+
+Drift auto-flag (round-7 verdict ask #3): manual adjudication of
+cross-round movement was the bench's weakest step once records
+straddled a 0.268→0.429 calib gap. After the timed sweep, every query
+whose CALIB-NORMALIZED time (sec / calib_sec) moved >30% vs the most
+recent ``BENCH_r*.json`` record is immediately re-measured SOLO —
+fresh calib sample, cleared cache, min-of-3 — inside the same
+process, and the verdict lands in the record's ``drift`` section:
+``reproduced`` (the solo units confirm the move; treat as real) or
+``noise`` (the solo re-run lands back within the 30% band of the
+prior round). This is the NOTES re-measure rule, mechanized.
 """
 
 from __future__ import annotations
@@ -77,6 +88,73 @@ HEADLINE = [
 ]
 
 
+def _latest_prior_record() -> dict | None:
+    """Most recent BENCH_r*.json beside this file, or None."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    paths = glob.glob(os.path.join(here, "BENCH_r*.json"))
+    if not paths:
+        return None
+    paths.sort(key=lambda p: int(re.search(r"r(\d+)\.json$", p).group(1)))
+    try:
+        return json.load(open(paths[-1]))
+    except Exception:  # noqa: BLE001
+        return None
+
+
+def _drift_check(
+    spark, sf_dir: str, timings: dict[str, float], calib: float
+) -> dict[str, dict]:
+    """Flag >30% calib-normalized movement vs the prior round record
+    and solo-re-measure each flagged query with a FRESH calib sample
+    (the NOTES drift rule, mechanized)."""
+    prior = _latest_prior_record()
+    if not prior or not prior.get("calib_sec") or not calib:
+        return {}
+    prev_q = prior.get("queries", {})
+    prev_calib = prior["calib_sec"]
+    flagged = []
+    for name, sec in timings.items():
+        if name not in prev_q:
+            continue
+        prev_u = prev_q[name] / prev_calib
+        cur_u = sec / calib
+        if prev_u > 0 and abs(cur_u / prev_u - 1) > 0.30:
+            flagged.append((name, prev_u, cur_u))
+    out: dict[str, dict] = {}
+    for name, prev_u, cur_u in flagged:
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        spark.range(100_000_000).selectExpr("sum(id * 2 + 1)").collect()
+        solo_calib = time.perf_counter() - t0
+        fn = QUERIES[name]
+        runs = []
+        try:
+            for _ in range(3):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+                runs.append(time.perf_counter() - t0)
+        except Exception:  # noqa: BLE001
+            continue
+        solo_u = min(runs) / solo_calib
+        verdict = "noise" if abs(solo_u / prev_u - 1) <= 0.30 else "reproduced"
+        out[name] = {
+            "prev_units": round(prev_u, 2),
+            "units": round(cur_u, 2),
+            "solo_units": round(solo_u, 2),
+            "solo_sec": round(min(runs), 3),
+            "solo_calib_sec": round(solo_calib, 3),
+            "verdict": verdict,
+        }
+        print(
+            f"bench drift: {name} {prev_u:.2f} -> {cur_u:.2f} units; "
+            f"solo re-measure {solo_u:.2f} -> {verdict}",
+            file=sys.stderr,
+        )
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([\d.]+)", sf_dir)
@@ -115,6 +193,8 @@ def main() -> None:
             failures[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"bench: {name} FAILED: {failures[name]}", file=sys.stderr)
 
+    drift = _drift_check(spark, sf_dir, timings, calib)
+
     total = round(sum(timings.values()), 3)
     record = {
         "metric": "headline_queries_total",
@@ -124,6 +204,8 @@ def main() -> None:
         "sf": sf,
         "calib_sec": calib,
     }
+    if drift:
+        record["drift"] = drift
     if failures:
         record["failed"] = failures
     print(json.dumps(record))

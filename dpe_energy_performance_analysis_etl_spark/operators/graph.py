@@ -1229,3 +1229,120 @@ def boruvka_mst(
     for p in picked[1:]:
         forest = forest.unionByName(p)
     return forest.groupBy("a", "b").agg(F.min("w").alias("weight"))
+
+
+def densest_subgraph(
+    edges: DataFrame,
+    eps_num: int = 1,
+    eps_den: int = 2,
+    iterations: int | None = None,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Densest-subgraph 2(1+ε)-approximation by parallel peeling
+    (Bahmani, Kumar & Vassilvitskii, VLDB'12 — the MapReduce-round
+    variant of Charikar's greedy): each round removes EVERY vertex
+    whose degree is ≤ 2(1+ε)·ρ where ρ = |E|/|V| is the current
+    density; the answer is the round prefix with the maximum density
+    seen. Finds the community-core / spam-cluster / hot-topic
+    subgraph that avg-degree or k-core misses (a k-core fixes the
+    threshold globally; this one ratchets it with the shrinking
+    graph).
+
+    Exactness and portability: the peel predicate is evaluated
+    CROSS-MULTIPLIED — deg·|V|·ε_den ≤ 2(ε_den+ε_num)·|E| — pure
+    int64, no ratio; the best round is the argmax of the
+    integer-scaled density key |E|·2²⁰ div |V| (ties → earliest
+    round), the same key an unrolled SQL replay computes, so a fixed
+    ``iterations`` prefix is bit-reproducible cross-engine (peeling
+    is confluent, like kcore_peel's).
+
+    Scale shape per round (the kcore_peel discipline): one degree
+    aggregation over the CACHED edge table (explode both endpoints,
+    never unionAll-of-selects), one anti-threshold filter, two
+    vertex-keyed semi-joins, an eager localCheckpoint (cascade rule)
+    — |E| and |V| only shrink, and each round removes at least an
+    ε/(1+ε) fraction of vertices at or below threshold, so rounds
+    are O(log |V|). Driver pulls exactly two scalars per round
+    (|V|, |E| — the convergence probe and the density bookkeeping).
+
+    Returns (v, deg, best_round, n_nodes, n_edges, density_scaled)
+    for every vertex of the best-round subgraph; density_scaled =
+    |E|·2²⁰ div |V| of that subgraph.
+    """
+    spark = edges.sparkSession
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    e.cache()
+
+    def degrees(ed: DataFrame) -> DataFrame:
+        return (
+            ed.select(F.explode(F.array("a", "b")).alias("v"))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+
+    def stats(ed: DataFrame) -> tuple[int, int]:
+        # two bounded scalar pulls per round (the convergence probe
+        # doubles as the density bookkeeping) over the cached table
+        return degrees(ed).count(), ed.count()
+
+    best_key = -1
+    best_round = -1
+    best_e_df = None
+    best_stats = (0, 0)
+    rounds = 0
+    nv, ne = stats(e)
+    while True:
+        if nv > 0:
+            key = (ne << 20) // nv
+            if key > best_key:
+                prev_best = best_e_df
+                best_key, best_round, best_stats = key, rounds, (nv, ne)
+                best_e_df = e
+                if prev_best is not None and prev_best is not e:
+                    prev_best.unpersist()
+        if (iterations is not None and rounds >= iterations) or ne == 0:
+            break
+        keep = degrees(e).where(
+            F.col("deg") * F.lit(nv) * F.lit(eps_den)
+            > F.lit(2 * (eps_den + eps_num) * ne)
+        ).select("v")
+        nxt = (
+            e.join(keep.withColumnRenamed("v", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("v", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint()
+        )
+        nxt.cache()
+        if e is not best_e_df:
+            e.unpersist()
+        e = nxt
+        rounds += 1
+        prev = (nv, ne)
+        nv, ne = stats(e)
+        if iterations is None and (nv, ne) == prev:
+            break
+    if best_e_df is None:
+        return spark.createDataFrame(
+            [],
+            "v bigint, deg bigint, best_round bigint, n_nodes bigint,"
+            " n_edges bigint, density_scaled bigint",
+        )
+    nv, ne = best_stats
+    out = degrees(best_e_df).select(
+        F.col("v"),
+        F.col("deg").cast("bigint").alias("deg"),
+        F.lit(best_round).cast("bigint").alias("best_round"),
+        F.lit(nv).cast("bigint").alias("n_nodes"),
+        F.lit(ne).cast("bigint").alias("n_edges"),
+        F.lit((ne << 20) // nv).cast("bigint").alias("density_scaled"),
+    )
+    return out

@@ -12954,3 +12954,108 @@ def allen_relations_sessions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(rel.alias("relation")).groupBy("relation").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
+
+
+# =====================================================================
+# Round 7, wave 1: densest subgraph (Bahmani parallel peeling)
+# =====================================================================
+
+def _densest_oracle(iterations: int, eps_num: int = 1, eps_den: int = 2) -> str:
+    """Chained-CTE replay of the Bahmani peel (operators/graph.py
+    densest_subgraph): per round a degree table, a 1-row stats table,
+    the cross-multiplied keep rule, then the argmax round by the
+    integer density key ne·2²⁰ div nv (ties → earliest round — the
+    same key the Spark loop tracks driver-side). Every CTE is
+    MATERIALIZED (the k-core lesson: default inlining re-evaluates
+    the whole peel prefix per reference)."""
+    thr = 2 * (eps_den + eps_num)
+    blocks = [
+        """
+    WITH e0 AS MATERIALIZED (
+      SELECT least(a.l_partkey, b.l_partkey) AS a,
+             greatest(a.l_partkey, b.l_partkey) AS b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    )"""
+    ]
+    for i in range(iterations + 1):
+        blocks.append(
+            f""", d{i} AS MATERIALIZED (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS deg
+      FROM (SELECT a AS v FROM e{i} UNION ALL SELECT b AS v FROM e{i})
+      GROUP BY v
+    ), s{i} AS MATERIALIZED (
+      SELECT {i} AS r,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM d{i}) AS nv,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM e{i}) AS ne
+    )"""
+        )
+        if i < iterations:
+            blocks.append(
+                f""", keep{i} AS MATERIALIZED (
+      SELECT v FROM d{i}, s{i}
+      WHERE deg * nv * {eps_den} > {thr} * ne
+    ), e{i + 1} AS MATERIALIZED (
+      SELECT e{i}.a, e{i}.b FROM e{i}
+      JOIN keep{i} x ON e{i}.a = x.v JOIN keep{i} y ON e{i}.b = y.v
+    )"""
+            )
+    stats_union = " UNION ALL ".join(
+        f"SELECT * FROM s{i}" for i in range(iterations + 1)
+    )
+    mem_union = " UNION ALL ".join(
+        f"SELECT {i} AS r, v, deg FROM d{i}" for i in range(iterations + 1)
+    )
+    blocks.append(
+        f""", stats AS MATERIALIZED ({stats_union})
+    , best AS MATERIALIZED (
+      SELECT r, nv, ne, CAST(ne * 1048576 // nv AS BIGINT) AS dens
+      FROM stats WHERE nv > 0
+      ORDER BY dens DESC, r ASC LIMIT 1
+    ), mem AS ({mem_union})
+    SELECT m.v, m.deg, CAST(b.r AS BIGINT) AS best_round,
+           b.nv AS n_nodes, b.ne AS n_edges, b.dens AS density_scaled
+    FROM mem m JOIN best b ON m.r = b.r"""
+    )
+    return "".join(blocks)
+
+
+@register("densest_subgraph_parts", _densest_oracle(8, eps_num=0, eps_den=1))
+def densest_subgraph_parts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Densest subgraph of the recurring part-copurchase graph
+    (operators/graph.py densest_subgraph — Bahmani et al. VLDB'12
+    parallel peeling, ε=0 → threshold = the current average degree,
+    2-approximation): the community core that avg-degree and
+    kcore_membership miss because their thresholds don't ratchet
+    with the shrinking graph. ε=0 chosen by measurement: on this
+    graph ε=1/2 peels 80% of nodes in round 1 and density only
+    falls (best = the input — a vacuous green, the k-truss lesson),
+    while ε=0's gentler avg-degree threshold finds a genuinely
+    denser 915-node core at round 1 (2.08 vs 1.92 edges/node at
+    sf0.01). Same support≥2 graph as kcore/ktruss; 8 fixed peel
+    rounds registered
+    for oracle parity (peeling is confluent, so the unrolled CTE
+    replay matches the loop's prefix; the operator's iterations=None
+    mode peels to the (nv, ne) fixpoint with two bounded scalar
+    pulls per round)."""
+    from dpe_energy_performance_analysis_etl_spark.operators.graph import (
+        densest_subgraph,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pairs = (
+        li.alias("x")
+        .join(
+            li.alias("y"),
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .groupBy(
+            F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 2)
+        .select("src", "dst")
+    )
+    return densest_subgraph(pairs, eps_num=0, eps_den=1, iterations=8)

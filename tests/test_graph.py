@@ -446,3 +446,50 @@ class TestBoruvkaMst:
         got = boruvka_mst(e).collect()
         assert len(got) == ref_edges
         assert sum(r["weight"] for r in got) == ref_total
+
+
+class TestDensestSubgraph:
+    def test_clique_core_beats_path_fringe(self, spark):
+        """K6 (density 15/6 = 2.5) with a 20-node path hanging off it:
+        the whole graph's density is lower, so peeling must recover
+        exactly the clique."""
+        from dpe_energy_performance_analysis_etl_spark.operators.graph import (
+            densest_subgraph,
+        )
+
+        clique = [(a, b) for a in range(6) for b in range(a + 1, 6)]
+        path = [(5 + i, 6 + i) for i in range(1, 20)]  # 6-7, 7-8, ...
+        edges = clique + [(5, 6)] + path
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = densest_subgraph(df, eps_num=0, eps_den=1, iterations=12).collect()
+        assert sorted(r["v"] for r in got) == list(range(6))
+        assert got[0]["n_nodes"] == 6 and got[0]["n_edges"] == 15
+        assert got[0]["density_scaled"] == (15 << 20) // 6
+        assert all(r["deg"] == 5 for r in got)
+
+    def test_fixpoint_mode_matches_fixed_prefix(self, spark):
+        from dpe_energy_performance_analysis_etl_spark.operators.graph import (
+            densest_subgraph,
+        )
+
+        edges = [(a, b) for a in range(5) for b in range(a + 1, 5)] + [
+            (4, 10), (10, 11), (11, 12), (12, 13),
+        ]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        fixed = sorted(map(tuple, densest_subgraph(df, 0, 1, iterations=10).collect()))
+        free = sorted(map(tuple, densest_subgraph(df, 0, 1, iterations=None).collect()))
+        assert fixed == free
+
+    def test_uniform_graph_returns_whole(self, spark):
+        """A pure cycle is its own densest subgraph (density 1
+        everywhere); best round must be 0 and include every node."""
+        from dpe_energy_performance_analysis_etl_spark.operators.graph import (
+            densest_subgraph,
+        )
+
+        cycle = [(i, (i + 1) % 8) for i in range(8)]
+        df = spark.createDataFrame(cycle, "src long, dst long")
+        got = densest_subgraph(df, 0, 1, iterations=5).collect()
+        assert len(got) == 8
+        assert got[0]["best_round"] == 0
+        assert got[0]["density_scaled"] == (8 << 20) // 8

@@ -1,0 +1,92 @@
+"""Round-7 measurement: ring_assign linear-scan vs binary-search at
+growing ring sizes (verdict ask #2 — prove log-not-linear growth at a
+realistic 256 nodes x 64 vnodes = 16 384 points).
+
+The linear variant below is a faithful reconstruction of the r6
+implementation (F.filter scan over the sorted literal position array
++ literal-map owner lookup) so both run in the same session at the
+same calib. Times are min-of-2 per cell over the same 1M-key input.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from dpe_energy_performance_analysis_etl_spark import get_spark  # noqa: E402
+from dpe_energy_performance_analysis_etl_spark.operators.scaling import ring_assign  # noqa: E402
+from dpe_energy_performance_analysis_etl_spark.operators.graph import _portable_mix32  # noqa: E402
+
+
+def _points(n_nodes: int, vnodes: int, salt: int = 0):
+    def mix_py(node, vn, k):
+        s = (node % 2**32 + (vn % 2**32) * 40503 + k * 73244475) % 2**32
+        s = ((s ^ (s >> 16)) * 73244475) % 2**32
+        return s ^ (s >> 16)
+
+    pts = sorted(
+        (mix_py(node, vn, salt), node, vn)
+        for node in range(n_nodes)
+        for vn in range(vnodes)
+    )
+    seen: set[int] = set()
+    return [p for p in pts if p[0] not in seen and not seen.add(p[0])]
+
+
+def ring_assign_linear_r6(df, key_col, n_nodes, vnodes=64, salt=0):
+    """The round-6 implementation, reconstructed for the comparison."""
+    points = _points(n_nodes, vnodes, salt)
+    pos_arr = F.array(*[F.lit(p).cast("bigint") for p, _, _ in points])
+    pos_to_node = F.create_map(
+        *[
+            x
+            for p, node, _ in points
+            for x in (F.lit(p).cast("bigint"), F.lit(node).cast("bigint"))
+        ]
+    )
+    h = _portable_mix32(F.col(key_col), F.lit(97), F.lit(salt))
+    owner_pos = F.coalesce(
+        F.try_element_at(F.filter(pos_arr, lambda p: p >= h), F.lit(1)),
+        F.lit(points[0][0]).cast("bigint"),
+    )
+    return df.withColumn("shard", pos_to_node[owner_pos])
+
+
+def main():
+    spark = get_spark()
+    keys = spark.range(1_000_000).withColumnRenamed("id", "k").cache()
+    keys.count()
+    sink = lambda df: df.groupBy("shard").count().collect()
+
+    print(f"{'ring':>12} {'points':>7} {'linear_r6':>10} {'bisect_r7':>10}")
+    for n_nodes, vnodes in [(4, 64), (16, 64), (64, 64), (256, 64)]:
+        pts = len(_points(n_nodes, vnodes))
+        bis = min(
+            _time(sink, ring_assign(keys, "k", n_nodes, vnodes=vnodes))
+            for _ in range(2)
+        )
+        lin = min(
+            _time(sink, ring_assign_linear_r6(keys, "k", n_nodes, vnodes))
+            for _ in range(2)
+        )
+        print(f"{n_nodes}x{vnodes:>8} {pts:>7} {lin:>10.2f} {bis:>10.2f}", flush=True)
+    # sanity: identical assignments at the largest ring
+    a = ring_assign_linear_r6(keys, "k", 256, 64).groupBy("shard").count()
+    b = ring_assign(keys, "k", 256, vnodes=64).groupBy("shard").count()
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    print("assignment parity at 256x64: OK")
+
+
+def _time(sink, df):
+    t0 = time.time()
+    sink(df)
+    return time.time() - t0
+
+
+if __name__ == "__main__":
+    main()

@@ -90,9 +90,37 @@ def main() -> int:
                 row[sf_label] = {"err": str(exc)[:200]}
         out["queries"][name] = row
         print(json.dumps({name: row}), flush=True)
+
+    # Row-count assertion (round-7 verdict ask #4, generalizing the
+    # IBLT lesson from a habit into a gate): a scale entry whose
+    # output is EMPTY, or whose row count COLLAPSES as data grows
+    # (smaller at a larger SF than at sf0.1, beyond fixed-size
+    # outputs), is how silent decode/threshold failures hide behind
+    # green-looking seconds. Flag both; nonzero exit when flagged.
+    flags: dict[str, str] = {}
+    for name, row in out["queries"].items():
+        counts = {
+            lbl: cell["rows"]
+            for lbl, cell in row.items()
+            if isinstance(cell, dict) and "rows" in cell
+        }
+        if not counts:
+            continue
+        if any(c == 0 for c in counts.values()):
+            flags[name] = f"empty output: {counts}"
+            continue
+        base = counts.get("sf0.1")
+        if base and base > 10:
+            for lbl, c in counts.items():
+                if lbl != "sf0.1" and c < base // 2:
+                    flags[name] = f"row-count collapse at {lbl}: {counts}"
+    if flags:
+        out["flags"] = flags
+        for name, why in flags.items():
+            print(f"SCALE FLAG {name}: {why}", file=sys.stderr)
     print(json.dumps(out))
     spark.stop()
-    return 0
+    return 1 if flags else 0
 
 
 if __name__ == "__main__":
