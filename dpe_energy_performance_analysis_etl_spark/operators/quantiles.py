@@ -365,3 +365,57 @@ def jenks_breaks_binned(
         except Exception:
             pass
     return out
+
+
+def grouped_kth_smallest(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k_df: DataFrame,
+) -> DataFrame:
+    """Exact k-th smallest ``value_col`` per group, where ``k_df``
+    supplies (group, k) — the per-group generalization of
+    ``equi_depth_bins``' distributed-ranking recipe, for when a
+    window `PARTITION BY group` would be a skew trap (few huge
+    groups → one executor sorts a data-sized partition).
+
+    Plan: ``repartitionByRange(group, value)`` (order-preserving
+    range partitioning, parallel), per-(partition, group) local
+    row_number windows, and a BOUNDED offset table (≤ partitions ×
+    groups rows, broadcast) carrying each group's cumulative count
+    from earlier partitions: global rank = offset + local rank. The
+    k-th smallest VALUE is well-defined under ties (any row at rank
+    k carries it). Rows where k exceeds the group size return no row
+    — guard k upstream.
+
+    Returns (group, kth_value).
+    """
+    order = [F.col(group_col).asc(), F.col(value_col).asc()]
+    ranged = (
+        df.select(group_col, value_col)
+        .repartitionByRange(*order)
+        .withColumn("_pid", F.spark_partition_id())
+        .cache()
+    )
+    sizes = ranged.groupBy("_pid", group_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    w_off = (
+        Window.partitionBy(group_col)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = sizes.select(
+        "_pid",
+        group_col,
+        F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).cast("bigint").alias("_off"),
+    )
+    w_loc = Window.partitionBy("_pid", group_col).orderBy(F.col(value_col).asc())
+    local = ranged.withColumn("_lrn", F.row_number().over(w_loc).cast("bigint"))
+    ranked = local.join(F.broadcast(offs), ["_pid", group_col]).withColumn(
+        "_rk", F.col("_off") + F.col("_lrn")
+    )
+    out = (
+        ranked.join(F.broadcast(k_df), group_col)
+        .where(F.col("_rk") == F.col("k"))
+        .select(group_col, F.col(value_col).alias("kth_value"))
+    )
+    return out

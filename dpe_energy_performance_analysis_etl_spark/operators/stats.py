@@ -1288,3 +1288,55 @@ def nelson_aalen(
         .cast("bigint")
         .alias("hazard_scaled"),
     )
+
+
+def conformal_qhat(
+    cal_df,
+    group_col: str,
+    score_col: str,
+    alpha_num: int = 1,
+    alpha_den: int = 10,
+):
+    """Split-conformal calibration quantile per group (Vovk et al.
+    2005; Lei et al. JASA'18 — distribution-free prediction
+    intervals): given held-out nonconformity scores s_i, the radius
+
+        q̂ = the ⌈(n+1)(1−α)⌉-th smallest score
+
+    guarantees P(|y − ŷ| ≤ q̂) ≥ 1−α on exchangeable test points —
+    the uncertainty-quantification step after any point model, with
+    NO distributional assumption and NO refit. Everything here is
+    rank-based, hence engine-exact (the order-statistics-over-
+    interpolation rule): k = ceil((n+1)(1−α)) is computed in integer
+    arithmetic with α = alpha_num/alpha_den, and the k-th smallest
+    score comes from ``grouped_kth_smallest`` (range-partitioned
+    parallel ranking — no per-group global sort window, so one huge
+    group cannot pin an executor).
+
+    Groups too small for the level (k > n: fewer than ~1/α points)
+    return qhat NULL — the honest "cannot certify at this α" answer
+    rather than an arbitrary max.
+
+    Returns (group, n_cal, k, qhat).
+    """
+    from pyspark.sql import functions as F
+
+    from dpe_energy_performance_analysis_etl_spark.operators.quantiles import (
+        grouped_kth_smallest,
+    )
+
+    counts = cal_df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cal")
+    )
+    # k = ceil((n+1) * (den-num) / den), exact in integers
+    keep = (alpha_den - alpha_num)
+    ks = counts.withColumn(
+        "k",
+        F.expr(f"((n_cal + 1) * {keep} + {alpha_den} - 1) div {alpha_den}"),
+    )
+    kth = grouped_kth_smallest(
+        cal_df, group_col, score_col, ks.select(group_col, "k")
+    ).withColumnRenamed("kth_value", "qhat")
+    return ks.join(kth, group_col, "left").select(
+        group_col, "n_cal", "k", "qhat"
+    )

@@ -13059,3 +13059,122 @@ def densest_subgraph_parts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
     )
     return densest_subgraph(pairs, eps_num=0, eps_den=1, iterations=8)
+
+
+# =====================================================================
+# Round 7, wave 2: split-conformal prediction intervals
+# =====================================================================
+
+@register(
+    "conformal_interval_orders",
+    """
+    WITH base AS MATERIALIZED (
+      SELECT o_orderpriority AS grp,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             xor((xor(o_orderkey % 4294967296,
+                      (o_orderkey % 4294967296) >> 16) * 73244475)
+                   % 4294967296,
+                 ((xor(o_orderkey % 4294967296,
+                       (o_orderkey % 4294967296) >> 16) * 73244475)
+                   % 4294967296) >> 16) % 4 AS sp
+      FROM orders
+    ), model AS MATERIALIZED (
+      SELECT grp, CAST(SUM(cents) // COUNT(*) AS BIGINT) AS m
+      FROM base WHERE sp = 0 GROUP BY grp
+    ), cal AS MATERIALIZED (
+      SELECT base.grp, ABS(cents - m) AS score
+      FROM base JOIN model ON base.grp = model.grp WHERE sp = 1
+    ), ks AS MATERIALIZED (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_cal,
+             CAST(((COUNT(*) + 1) * 9 + 9) // 10 AS BIGINT) AS k
+      FROM cal GROUP BY grp
+    ), ranked AS (
+      SELECT grp, score,
+             row_number() OVER (PARTITION BY grp ORDER BY score) AS rk
+      FROM cal
+    ), qh AS MATERIALIZED (
+      SELECT r.grp, ks.n_cal, ks.k, r.score AS qhat_cents
+      FROM ranked r JOIN ks ON r.grp = ks.grp AND r.rk = ks.k
+    ), test AS MATERIALIZED (
+      SELECT base.grp, ABS(cents - m) AS score
+      FROM base JOIN model ON base.grp = model.grp WHERE sp >= 2
+    ), cov AS (
+      SELECT t.grp, CAST(COUNT(*) AS BIGINT) AS n_test,
+             CAST(SUM(CASE WHEN t.score <= q.qhat_cents THEN 1 ELSE 0 END)
+                  AS BIGINT) AS covered
+      FROM test t JOIN qh q ON t.grp = q.grp GROUP BY t.grp
+    )
+    SELECT q.grp, q.n_cal, q.k, q.qhat_cents, c.n_test,
+           CAST(c.covered * 1000000 // GREATEST(c.n_test, 1) AS BIGINT)
+             AS covered_ppm
+    FROM qh q JOIN cov c ON q.grp = c.grp
+    """,
+)
+def conformal_interval_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals (operators/stats.py
+    conformal_qhat + operators/quantiles.py grouped_kth_smallest —
+    Vovk et al. 2005 / Lei et al. JASA'18) for order totals by
+    priority: a portable-hash 4-way split (train / calibration /
+    2x test), a train-half integer-mean model, nonconformity =
+    |cents − mean| in exact cents, q̂ = the ⌈(n+1)·0.9⌉-th smallest
+    calibration score via range-partitioned parallel ranking (no
+    per-group global sort window — 5 huge groups would otherwise pin
+    5 executors), and the empirical test-half coverage in ppm. The
+    conformal guarantee (coverage ≥ 90% in expectation) is itself
+    oracle-checked — everything is rank-based or exact-integer, so
+    both engines agree bit-for-bit."""
+    from dpe_energy_performance_analysis_etl_spark.operators.graph import (
+        _portable_mix32,
+    )
+    from dpe_energy_performance_analysis_etl_spark.operators.stats import (
+        conformal_qhat,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    base = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+        (_portable_mix32(F.col("o_orderkey")) % 4).alias("sp"),
+    ).cache()
+    model = (
+        base.where(F.col("sp") == 0)
+        .groupBy("grp")
+        .agg(F.expr("CAST(sum(cents) div count(*) AS BIGINT)").alias("m"))
+    )
+    cal = (
+        base.where(F.col("sp") == 1)
+        .join(F.broadcast(model), "grp")
+        .select("grp", F.abs(F.col("cents") - F.col("m")).alias("score"))
+    )
+    qh = conformal_qhat(cal, "grp", "score", alpha_num=1, alpha_den=10)
+    test = (
+        base.where(F.col("sp") >= 2)
+        .join(F.broadcast(model), "grp")
+        .select("grp", F.abs(F.col("cents") - F.col("m")).alias("score"))
+    )
+    cov = (
+        test.join(F.broadcast(qh), "grp")
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.sum(
+                F.when(F.col("score") <= F.col("qhat"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("covered"),
+        )
+    )
+    return (
+        qh.where(F.col("qhat").isNotNull())
+        .join(cov, "grp")
+        .select(
+            "grp",
+            "n_cal",
+            "k",
+            F.col("qhat").alias("qhat_cents"),
+            "n_test",
+            F.expr("CAST(covered * 1000000 div greatest(n_test, 1L) AS BIGINT)").alias(
+                "covered_ppm"
+            ),
+        )
+    )

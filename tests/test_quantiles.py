@@ -68,3 +68,36 @@ def test_nulls_excluded(spark):
     got = histogram_quantiles(df, "v", [0.5], 4).collect()
     # median of 1,2,3 (null ignored) within one bucket width (0.5)
     assert abs(got[0]["q_est"] - 2.0) <= 0.5
+
+
+class TestGroupedKthSmallest:
+    def test_matches_python_order_statistic(self, spark):
+        import random
+
+        from pyspark.sql import functions as F
+
+        from dpe_energy_performance_analysis_etl_spark.operators.quantiles import (
+            grouped_kth_smallest,
+        )
+
+        rng = random.Random(7)
+        rows = [(g, rng.randint(0, 50)) for g in ("a", "b", "c") for _ in range(200)]
+        rows += [("d", 9)]  # singleton group
+        df = spark.createDataFrame(rows, "g string, v long")
+        ks = [("a", 1), ("b", 100), ("c", 200), ("d", 1)]
+        k_df = spark.createDataFrame(ks, "g string, k long")
+        got = {r["g"]: r["kth_value"] for r in grouped_kth_smallest(df, "g", "v", k_df).collect()}
+        by_g = {}
+        for g, v in rows:
+            by_g.setdefault(g, []).append(v)
+        expect = {g: sorted(by_g[g])[k - 1] for g, k in ks}
+        assert got == expect
+
+    def test_k_beyond_group_size_returns_no_row(self, spark):
+        from dpe_energy_performance_analysis_etl_spark.operators.quantiles import (
+            grouped_kth_smallest,
+        )
+
+        df = spark.createDataFrame([("a", 1), ("a", 2)], "g string, v long")
+        k_df = spark.createDataFrame([("a", 3)], "g string, k long")
+        assert grouped_kth_smallest(df, "g", "v", k_df).count() == 0

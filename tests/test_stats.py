@@ -250,3 +250,26 @@ class TestNelsonAalen:
         assert len(got) == 1
         assert got[0]["n_at_risk"] == 10_000_000
         assert got[0]["hazard_scaled"] == 10**12
+
+
+class TestConformalQhat:
+    def test_hand_case_and_coverage_bound(self, spark):
+        """20 calibration scores 1..20, alpha=0.1: k = ceil(21*0.9)
+        = 19 -> qhat = 19; at least 90% of exchangeable points fall
+        within by construction."""
+        from dpe_energy_performance_analysis_etl_spark.operators.stats import conformal_qhat
+
+        rows = [("g", float(i)) for i in range(1, 21)]
+        df = spark.createDataFrame(rows, "g string, s double")
+        got = conformal_qhat(df, "g", "s", alpha_num=1, alpha_den=10).collect()
+        assert len(got) == 1
+        r = got[0]
+        assert (r["n_cal"], r["k"], r["qhat"]) == (20, 19, 19.0)
+
+    def test_too_small_group_returns_null(self, spark):
+        from dpe_energy_performance_analysis_etl_spark.operators.stats import conformal_qhat
+
+        df = spark.createDataFrame([("g", 1.0), ("g", 2.0)], "g string, s double")
+        got = conformal_qhat(df, "g", "s", alpha_num=1, alpha_den=10).collect()
+        # k = ceil(3 * 0.9) = 3 > n_cal = 2 -> no certifiable radius
+        assert got[0]["k"] == 3 and got[0]["qhat"] is None
