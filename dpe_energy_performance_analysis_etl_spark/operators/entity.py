@@ -336,3 +336,72 @@ def jaro_winkler_micro(
         ),
     )
     return d.drop(ac, bc, la, lb, w, mk, m, t, pl, mi, mjs)
+
+
+def smith_waterman_score(
+    a: Column,
+    b: Column,
+    match: int = 2,
+    mismatch: int = 1,
+    gap: int = 1,
+) -> Column:
+    """Smith-Waterman LOCAL alignment score (Smith & Waterman, JMB
+    1981) between two ARRAY columns — the best-scoring contiguous
+    subsequence alignment under +match / −mismatch / −gap, clamped at
+    0 (so unrelated flanks never drag a shared core below zero; this
+    is what global alignment and DTW both miss). The comparator for
+    near-duplicate fragments, plagiarized spans, and clickstream
+    motif matching.
+
+    Like ``dtw_distance``, the full O(n·m) DP runs ENTIRELY inside
+    whole-stage codegen as nested `aggregate` folds — no UDF, exact
+    integers. The local-alignment twist is that the answer is the max
+    over ALL cells, not a corner: rather than threading a running
+    best through the fold (which would force the inner fold to be
+    evaluated twice per row — lambdas cannot bind locals), the outer
+    accumulator CONCATENATES every DP row and the score is one
+    `array_max` at the end. Memory is O(n·m) per pair — intended for
+    BOUNDED series (per-key windows of tens of tokens), candidate
+    pair generation stays the caller's job, as with every comparator
+    in this repo. Elements may be any equality-comparable type.
+
+    Empty inputs score 0 (the empty local alignment), guarded before
+    the fold (`sequence(1, 0)` counts DOWN — the engine-wide rule).
+
+    The same nested fold replays in DuckDB with the list_reduce
+    prepend-the-initial-accumulator trick (see the
+    ``smith_waterman_events`` oracle in plans/queries.py).
+    """
+    zero = F.lit(0).cast("bigint")
+    n1 = F.size(a) + F.lit(1)  # row width: H(·, 0..n)
+    init = F.concat(
+        F.array(zero), F.transform(a, lambda _: zero)
+    )  # row 0: all zeros
+
+    def outer(acc, bj):
+        prev_base = F.size(acc) - n1  # prev row = last n+1 of acc
+        inner = F.aggregate(
+            F.sequence(F.lit(1), F.size(a)),
+            F.array(zero),  # H(j, 0) = 0
+            lambda acc2, i: F.concat(
+                acc2,
+                F.array(
+                    F.greatest(
+                        zero,
+                        F.element_at(acc, (prev_base + i).cast("int"))
+                        + F.when(
+                            F.element_at(a, i.cast("int")) == bj, F.lit(match)
+                        ).otherwise(F.lit(-mismatch)),
+                        F.element_at(acc, (prev_base + i + 1).cast("int"))
+                        - F.lit(gap),
+                        F.element_at(acc2, F.size(acc2)) - F.lit(gap),
+                    )
+                ),
+            ),
+        )
+        return F.concat(acc, inner)
+
+    final = F.aggregate(b, init, outer)
+    return F.when((F.size(a) == 0) | (F.size(b) == 0), zero).otherwise(
+        F.array_max(final).cast("bigint")
+    )

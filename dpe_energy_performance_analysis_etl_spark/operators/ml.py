@@ -566,3 +566,76 @@ def naive_bayes_odds_gate(
         .groupBy("pred", "actual")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def bradley_terry_mm(
+    matches: DataFrame,
+    winner_col: str = "winner",
+    loser_col: str = "loser",
+    rounds: int = 3,
+) -> DataFrame:
+    """Bradley-Terry pairwise-preference strengths (Bradley & Terry
+    1952) fitted with Hunter's MM algorithm (Annals of Statistics
+    2004) — the model behind arena-style LLM-eval leaderboards:
+    P(i beats j) = pᵢ/(pᵢ+pⱼ), updated as
+
+        pᵢ' = Wᵢ / Σ_j n_ij/(pᵢ+pⱼ)     (then renormalized)
+
+    Exactness discipline (the Markov-attribution pattern): the ONE
+    data-sized pass aggregates matches to the pairwise game matrix
+    n_ij and win totals Wᵢ — bounded by players², collected to the
+    driver where the MM rounds run in EXACT Python integers
+    (strengths in ppm; each term is (n_ij·10¹²) div (pᵢ+pⱼ); the
+    round ends with a Σp renormalization to players·10⁶). Both
+    engines replay the identical integer schedule, so an unrolled
+    SQL twin is bit-equal. Ties and self-matches must be excluded
+    upstream (a match needs a strict winner).
+
+    Returns (player, strength_ppm, games, wins) after ``rounds`` MM
+    rounds from the uniform start.
+    """
+    pair_counts = {
+        (r["w"], r["l"]): r["n"]
+        for r in matches.groupBy(
+            F.col(winner_col).alias("w"), F.col(loser_col).alias("l")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }  # bounded: O(players^2) model state
+    players = sorted({w for w, _ in pair_counts} | {l for _, l in pair_counts})
+    games: dict[tuple[str, str], int] = {}
+    wins = {p: 0 for p in players}
+    for (w, l), n in pair_counts.items():
+        games[(w, l)] = games.get((w, l), 0) + n
+        games[(l, w)] = games.get((l, w), 0) + n
+        wins[w] += n
+    UNIT = 10**6
+    S = 10**12
+    p = {pl: UNIT for pl in players}
+    for _ in range(rounds):
+        nxt = {}
+        for i in players:
+            d = 0
+            for j in players:
+                n_ij = games.get((i, j), 0)
+                if n_ij:
+                    # both-zero strengths (a winless pair playing only
+                    # each other) must not divide by zero
+                    d += (n_ij * S) // max(p[i] + p[j], 1)
+            nxt[i] = (wins[i] * S) // max(d, 1)
+        tot = max(sum(nxt.values()), 1)
+        p = {i: (v * len(players) * UNIT) // tot for i, v in nxt.items()}
+    spark = matches.sparkSession
+    rows = [
+        (
+            pl,
+            p[pl],
+            # each match involving pl lands in exactly one (pl, j) key
+            sum(n for (a, _), n in games.items() if a == pl),
+            wins[pl],
+        )
+        for pl in players
+    ]
+    return spark.createDataFrame(
+        rows, "player string, strength_ppm bigint, games bigint, wins bigint"
+    )

@@ -140,8 +140,10 @@ def ring_assign(
     linear `F.filter` scan + literal-map lookup cut that to 31.7 s
     at 320 points but stayed O(points) per row (a scale-killer at a
     realistic 256 nodes × 64 vnodes = 16 384 points); this bisection
-    is O(log points) — measured 17.6× faster than the linear scan at
-    16 384 points and FLAT in ring size (see NOTES round 7). Pairs
+    is O(log points) — measured 27.7× faster than the linear scan at
+    16 384 points (8.13 s vs 225.34 s over 1M keys) and near-flat in
+    ring size (4.11 → 8.13 s across a 64× point growth; NOTES round
+    7, tools/measure_ring_bisect.py). Pairs
     with `rendezvous_assign` (per-key-per-node hashing) at the same
     movement bound with precomputable state.
 

@@ -13178,3 +13178,222 @@ def conformal_interval_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# =====================================================================
+# Round 7, wave 3: Smith-Waterman local alignment
+# =====================================================================
+
+@register(
+    "smith_waterman_events",
+    """
+    WITH ids AS MATERIALIZED (
+      SELECT et, CAST(dense_rank() OVER (ORDER BY et) AS BIGINT) AS tid
+      FROM (SELECT DISTINCT event_type AS et FROM events)
+    ), ev AS MATERIALIZED (
+      SELECT user_id AS u, tid,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS rk
+      FROM events JOIN ids ON events.event_type = ids.et
+    ), series AS MATERIALIZED (
+      SELECT u, list(tid ORDER BY rk) AS s
+      FROM ev WHERE rk <= 10 GROUP BY u
+    ), pairs AS MATERIALIZED (
+      SELECT x.u AS user_a, y.u AS user_b, x.s AS a, y.s AS b
+      FROM series x JOIN series y ON y.u = x.u + 1
+    )
+    SELECT CAST(user_a AS BIGINT) AS user_a, CAST(user_b AS BIGINT) AS user_b,
+           CAST(list_max(
+             list_reduce(
+               list_prepend(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(a, x -> CAST(0 AS BIGINT))),
+                 list_transform(b, x -> [x])
+               ),
+               (acc, bj) -> list_concat(acc, list_reduce(
+                 list_prepend([CAST(0 AS BIGINT)],
+                              list_transform(range(1, len(a) + 1), i -> [i])),
+                 (acc2, el) -> list_append(acc2, GREATEST(
+                   CAST(0 AS BIGINT),
+                   acc[CAST(len(acc) AS INT) - CAST(len(a) AS INT) - 1
+                       + CAST(el[1] AS INT)]
+                     + CASE WHEN a[CAST(el[1] AS INT)] = bj[1]
+                            THEN CAST(2 AS BIGINT)
+                            ELSE CAST(-1 AS BIGINT) END,
+                   acc[CAST(len(acc) AS INT) - CAST(len(a) AS INT)
+                       + CAST(el[1] AS INT)] - 1,
+                   acc2[CAST(len(acc2) AS INT)] - 1))
+               ))
+             )
+           ) AS BIGINT) AS sw_score
+    FROM pairs
+    """,
+)
+def smith_waterman_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smith-Waterman local alignment score between consecutive
+    users' event-type sequences (operators/entity.py
+    smith_waterman_score — full O(n·m) local-alignment DP as nested
+    codegen `aggregate` folds, +2/−1/−1, max over ALL cells via the
+    concatenate-rows trick). The local variant finds the shared
+    clickstream MOTIF that DTW (global, distance) and the GSP
+    support counts (order-only) both miss. Event types are
+    dictionary-encoded to BIGINT through a bounded alphabetical
+    dense_rank dim (broadcast) so the DuckDB list_reduce twin keeps
+    one element type; series = first 10 events per user; candidate
+    pairing (consecutive user ids) stands in for real blocking, as
+    in dtw_user_value_series."""
+    from pyspark.sql import Window
+
+    from dpe_energy_performance_analysis_etl_spark.operators.entity import (
+        smith_waterman_score,
+    )
+
+    ev0 = read_events(spark, sf_dir)
+    ids = (
+        ev0.select(F.col("event_type").alias("et"))
+        .distinct()
+        .withColumn(
+            "tid", F.dense_rank().over(Window.orderBy("et")).cast("bigint")
+        )
+    )
+    wr = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = (
+        ev0.join(F.broadcast(ids), ev0["event_type"] == ids["et"])
+        .withColumn("rk", F.row_number().over(wr))
+        .where(F.col("rk") <= 10)
+    )
+    series = ev.groupBy(F.col("user_id").alias("u")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("rk", "tid"))),
+            lambda s: s["tid"],
+        ).alias("s")
+    )
+    x = series.select(F.col("u").alias("user_a"), F.col("s").alias("a"))
+    y = series.select((F.col("u") - 1).alias("user_a"), F.col("u").alias("user_b"), F.col("s").alias("b"))
+    pairs = x.join(y, "user_a")
+    return pairs.select(
+        F.col("user_a").cast("bigint").alias("user_a"),
+        F.col("user_b").cast("bigint").alias("user_b"),
+        smith_waterman_score(F.col("a"), F.col("b")).alias("sw_score"),
+    )
+
+
+# =====================================================================
+# Round 7, wave 4: Bradley-Terry preference strengths
+# =====================================================================
+
+def _bt_oracle(rounds: int = 3) -> str:
+    """Unrolled MM rounds over the bounded pairwise game matrix —
+    the SQL twin of operators/ml.py bradley_terry_mm's driver-side
+    exact-integer loop. Products that can exceed int64 at the 100 TB
+    framing (n·10¹², w·10¹², the renormalization p·players·10⁶) run
+    in HUGEINT and are cast back down; Python's ints are arbitrary-
+    precision, so both engines are exact."""
+    head = """
+    WITH ev AS MATERIALIZED (
+      SELECT user_id AS u, event_type AS et,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS rk
+      FROM events
+    ), wl AS MATERIALIZED (
+      SELECT CASE WHEN x.c > y.c THEN x.et ELSE y.et END AS w,
+             CASE WHEN x.c > y.c THEN y.et ELSE x.et END AS l
+      FROM ev x JOIN ev y ON x.u = y.u AND y.rk = x.rk + 1
+      WHERE x.et <> y.et AND x.c <> y.c
+    ), pc AS MATERIALIZED (
+      SELECT w, l, CAST(COUNT(*) AS BIGINT) AS n FROM wl GROUP BY 1, 2
+    ), g AS MATERIALIZED (
+      SELECT i, j, CAST(SUM(n) AS BIGINT) AS n FROM (
+        SELECT w AS i, l AS j, n FROM pc
+        UNION ALL SELECT l AS i, w AS j, n FROM pc
+      ) GROUP BY 1, 2
+    ), players AS MATERIALIZED (SELECT DISTINCT i FROM g
+    ), wns AS MATERIALIZED (
+      SELECT p.i, CAST(COALESCE(SUM(pc.n), 0) AS BIGINT) AS w
+      FROM players p LEFT JOIN pc ON pc.w = p.i GROUP BY p.i
+    ), np AS MATERIALIZED (
+      SELECT CAST(COUNT(*) AS BIGINT) AS c FROM players
+    ), p0 AS MATERIALIZED (
+      SELECT i, CAST(1000000 AS BIGINT) AS p FROM players
+    )"""
+    blocks = [head]
+    for k in range(rounds):
+        blocks.append(
+            f""", d{k} AS MATERIALIZED (
+      SELECT g.i,
+             SUM((CAST(g.n AS HUGEINT) * 1000000000000)
+                 // GREATEST(pi.p + pj.p, 1)) AS d
+      FROM g JOIN p{k} pi ON g.i = pi.i JOIN p{k} pj ON g.j = pj.i
+      GROUP BY g.i
+    ), r{k} AS MATERIALIZED (
+      SELECT w.i,
+             (CAST(w.w AS HUGEINT) * 1000000000000)
+               // GREATEST(COALESCE(d.d, 0), 1) AS p
+      FROM wns w LEFT JOIN d{k} d ON w.i = d.i
+    ), t{k} AS MATERIALIZED (
+      SELECT SUM(p) AS t FROM r{k}
+    ), p{k + 1} AS MATERIALIZED (
+      SELECT r.i,
+             CAST((r.p * np.c * 1000000) // GREATEST(t.t, 1) AS BIGINT) AS p
+      FROM r{k} r, np, t{k} t
+    )"""
+        )
+    blocks.append(
+        f"""
+    SELECT p.i AS player, p.p AS strength_ppm, gg.n AS games, w.w AS wins
+    FROM p{rounds} p
+    JOIN (SELECT i, CAST(SUM(n) AS BIGINT) AS n FROM g GROUP BY i) gg
+      ON gg.i = p.i
+    JOIN wns w ON w.i = p.i"""
+    )
+    return "".join(blocks)
+
+
+@register("bradley_terry_events", _bt_oracle(3))
+def bradley_terry_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry strengths (operators/ml.py bradley_terry_mm —
+    Hunter's MM, 3 rounds, exact ppm integers) over event types: a
+    'match' is each adjacent event pair within a user's timeline
+    whose types AND values differ, won by the higher exact-cents
+    value — the arena-leaderboard model (P(i beats j) =
+    pᵢ/(pᵢ+pⱼ)) applied to the synthetic clickstream. ONE data-sized
+    aggregation builds the players²-bounded game matrix; the MM
+    rounds run driver-side in exact Python ints (the Markov-
+    attribution precedent), and the unrolled HUGEINT SQL twin
+    certifies every round bit-for-bit."""
+    from pyspark.sql import Window
+
+    from dpe_energy_performance_analysis_etl_spark.operators.ml import (
+        bradley_terry_mm,
+    )
+
+    ev = read_events(spark, sf_dir).select(
+        "user_id",
+        F.col("event_type").alias("et"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("c"),
+        "ts",
+        "event_id",
+    )
+    wr = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    r = ev.withColumn("rk", F.row_number().over(wr))
+    x = r.select("user_id", F.col("et").alias("et_a"), F.col("c").alias("c_a"), F.col("rk"))
+    y = r.select(
+        "user_id",
+        F.col("et").alias("et_b"),
+        F.col("c").alias("c_b"),
+        (F.col("rk") - 1).alias("rk"),
+    )
+    matches = (
+        x.join(y, ["user_id", "rk"])
+        .where((F.col("et_a") != F.col("et_b")) & (F.col("c_a") != F.col("c_b")))
+        .select(
+            F.when(F.col("c_a") > F.col("c_b"), F.col("et_a"))
+            .otherwise(F.col("et_b"))
+            .alias("winner"),
+            F.when(F.col("c_a") > F.col("c_b"), F.col("et_b"))
+            .otherwise(F.col("et_a"))
+            .alias("loser"),
+        )
+    )
+    return bradley_terry_mm(matches, rounds=3)

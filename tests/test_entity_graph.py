@@ -166,3 +166,69 @@ class TestJaroWinklerMicro:
         df = spark.createDataFrame([("abc", "abd")], "a string, b string")
         plan = jaro_winkler_micro(df)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+class TestSmithWaterman:
+    @staticmethod
+    def _ref(a, b, match=2, mismatch=1, gap=1):
+        best = 0
+        prev = [0] * (len(a) + 1)
+        for bj in b:
+            cur = [0]
+            for i in range(1, len(a) + 1):
+                s = match if a[i - 1] == bj else -mismatch
+                h = max(0, prev[i - 1] + s, prev[i] - gap, cur[-1] - gap)
+                cur.append(h)
+                best = max(best, h)
+            prev = cur
+        return best
+
+    def test_hand_cases_and_random_against_reference(self, spark):
+        import random
+
+        from pyspark.sql import functions as F
+
+        from dpe_energy_performance_analysis_etl_spark.operators.entity import (
+            smith_waterman_score,
+        )
+
+        rng = random.Random(23)
+        cases = [
+            ([1, 2, 3], [1, 2, 3]),          # full match -> 6
+            ([1, 2, 3], [4, 5, 6]),          # disjoint -> 0
+            ([9, 9, 1, 2, 3, 8], [7, 1, 2, 3]),  # local motif -> 6
+            ([1, 2, 3], [1, 3]),             # one gap -> 3
+            ([], [1, 2]),
+            ([1], []),
+            ([], []),
+        ] + [
+            (
+                [rng.randint(0, 4) for _ in range(rng.randint(1, 12))],
+                [rng.randint(0, 4) for _ in range(rng.randint(1, 12))],
+            )
+            for _ in range(60)
+        ]
+        df = spark.createDataFrame(cases, "a array<bigint>, b array<bigint>")
+        rows = df.select(
+            "a", "b", smith_waterman_score(F.col("a"), F.col("b")).alias("s")
+        ).collect()
+        assert rows[0]["s"] == 6 and rows[1]["s"] == 0
+        assert rows[2]["s"] == 6 and rows[3]["s"] == 3
+        for r in rows:
+            assert r["s"] == self._ref(r["a"], r["b"]), (r["a"], r["b"])
+
+    def test_no_udf_in_plan(self, spark):
+        from pyspark.sql import functions as F
+
+        from dpe_energy_performance_analysis_etl_spark.operators.entity import (
+            smith_waterman_score,
+        )
+
+        df = spark.createDataFrame([([1, 2], [2, 3])], "a array<bigint>, b array<bigint>")
+        plan = (
+            df.select(smith_waterman_score(F.col("a"), F.col("b")).alias("s"))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

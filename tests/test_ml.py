@@ -281,3 +281,42 @@ class TestNaiveBayesOddsGate:
         df = spark.createDataFrame([(1, 1)], "f0 int, y int")
         with pytest.raises(ValueError):
             naive_bayes_odds_gate(df, df, [f"f{i}" for i in range(6)])
+
+
+class TestBradleyTerry:
+    def test_two_player_analytic_fixed_point(self, spark):
+        """A beats B 3:1 -> BT MLE is p_A/(p_A+p_B) = 3/4; the MM
+        update reaches it exactly in one round and stays (1.5e6 /
+        0.5e6 in ppm after renormalization to 2 players * 1e6)."""
+        from dpe_energy_performance_analysis_etl_spark.operators.ml import (
+            bradley_terry_mm,
+        )
+
+        rows = [("A", "B")] * 3 + [("B", "A")]
+        df = spark.createDataFrame(rows, "winner string, loser string")
+        got = {r["player"]: r for r in bradley_terry_mm(df, rounds=3).collect()}
+        assert got["A"]["strength_ppm"] == 1_500_000
+        assert got["B"]["strength_ppm"] == 500_000
+        assert got["A"]["games"] == 4 and got["A"]["wins"] == 3
+        assert got["B"]["games"] == 4 and got["B"]["wins"] == 1
+
+    def test_transitive_triple_orders_strengths(self, spark):
+        from dpe_energy_performance_analysis_etl_spark.operators.ml import (
+            bradley_terry_mm,
+        )
+
+        rows = [("A", "B")] * 7 + [("B", "A")] * 3 + [("B", "C")] * 7 + [
+            ("C", "B")
+        ] * 3 + [("A", "C")] * 8 + [("C", "A")] * 2
+        df = spark.createDataFrame(rows, "winner string, loser string")
+        got = {r["player"]: r["strength_ppm"] for r in bradley_terry_mm(df).collect()}
+        assert got["A"] > got["B"] > got["C"]
+
+    def test_winless_player_no_zero_division(self, spark):
+        from dpe_energy_performance_analysis_etl_spark.operators.ml import (
+            bradley_terry_mm,
+        )
+
+        df = spark.createDataFrame([("A", "B"), ("A", "B")], "winner string, loser string")
+        got = {r["player"]: r["strength_ppm"] for r in bradley_terry_mm(df).collect()}
+        assert got["B"] == 0 and got["A"] == 2_000_000
