@@ -951,3 +951,107 @@ def holt_linear_fitted(
         (F.col("l") + F.col("h") * F.col("b")).alias("fitted"),
     )
     return fitted.unionByName(fc)
+
+
+def holt_winters_fitted(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    period: int = 12,
+    horizon: int = 3,
+) -> DataFrame:
+    """Additive Holt-Winters (triple) exponential smoothing with
+    DYADIC coefficients α=1/2, β=1/4, γ=1/2 — `holt_linear_fitted`
+    plus a rotating seasonal buffer, exact across engines because
+    every update stays shift/div arithmetic:
+
+        l_t = (y_t − s_{t−m} + l_{t−1} + b_{t−1}) div 2    (α = 1/2)
+        b_t = (l_t − l_{t−1} + 3·b_{t−1}) div 4            (β = 1/4)
+        s_t = (y_t − l_t + s_{t−m}) div 2                  (γ = 1/2)
+
+    Init from the first season: l₀ = (Σ y_{1..m}) div m, b₀ = 0,
+    s_i = y_i − l₀. One-step-ahead fit ŷ_t = l_{t−1} + b_{t−1} +
+    s_{t−m} for t > m; h-step forecast l_T + h·b_T + s_{T+h−m}.
+    Truncating div agrees on both engines for negatives (measured,
+    the holt_linear rule).
+
+    The whole state — level, trend, the m-slot seasonal buffer in
+    rotation order (position 3 is always s_{t−m} for the NEXT step),
+    and the fitted trajectory — is ONE flat BIGINT array folded over
+    the sorted tier array (the Kaplan-Meier discipline: per-tier
+    aggregation is the one data-sized pass; the fold is over the
+    BOUNDED tier table). The DuckDB twin folds the same layout with
+    list_reduce (see the ``holt_winters_revenue`` oracle).
+
+    Returns per tier t > m (t, y, fitted) plus ``horizon`` forecast
+    rows (y NULL). Needs at least m+1 tiers; fewer yields only
+    forecast rows extrapolated from the init state.
+    """
+    m = period
+    tiers = (
+        df.groupBy(F.col(time_col).cast("bigint").alias("t"))
+        .agg(F.sum(F.col(value_col).cast("bigint")).alias("y"))
+    )
+    arr = tiers.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("t", "y"))), lambda s: s["y"]
+        ).alias("ys"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("t", "y"))), lambda s: s["t"]
+        ).alias("ts"),
+    )
+    l0 = f"(aggregate(slice(ys, 1, {m}), 0L, (a, x) -> a + x) div {m})"
+    init = (
+        f"concat(array({l0}, 0L),"
+        f" transform(slice(ys, 1, {m}), y -> y - {l0}))"
+    )
+    lp = (
+        "((y - element_at(acc, 3) + element_at(acc, 1)"
+        " + element_at(acc, 2)) div 2)"
+    )
+    step = (
+        "(acc, y) -> concat("
+        f"array({lp},"
+        f" (({lp}) - element_at(acc, 1) + 3 * element_at(acc, 2)) div 4),"
+        f" slice(acc, 4, {m - 1}),"
+        f" array((y - ({lp}) + element_at(acc, 3)) div 2),"
+        f" slice(acc, {m + 3}, greatest(size(acc) - {m + 2}, 0)),"
+        " array(element_at(acc, 1) + element_at(acc, 2)"
+        " + element_at(acc, 3)))"
+    )
+    folded = arr.selectExpr(
+        "ys",
+        "ts",
+        f"aggregate(slice(ys, {m + 1}, greatest(size(ys) - {m}, 0)),"
+        f" {init}, {step}) AS st",
+    ).cache()
+    ranked = tiers.withColumn(
+        "i", F.row_number().over(Window.orderBy("t")).cast("bigint")
+    )
+    fitted = (
+        ranked.crossJoin(F.broadcast(folded))
+        .where(F.col("i") > m)
+        .selectExpr(
+            "t",
+            "y",
+            f"CAST(element_at(st, CAST(i + 2 AS INT)) AS BIGINT) AS fitted",
+        )
+    )
+    fc = folded.selectExpr(
+        *[
+            f"CAST(element_at(ts, size(ts)) + {h} AS BIGINT) AS t{h}" for h in range(1, horizon + 1)
+        ],
+        *[
+            "CAST(element_at(st, 1) + "
+            f"{h} * element_at(st, 2) + "
+            f"element_at(st, CAST(3 + (({h} - 1) % {m}) AS INT)) AS BIGINT)"
+            f" AS f{h}"
+            for h in range(1, horizon + 1)
+        ],
+    ).selectExpr(
+        "explode(arrays_zip("
+        + f"array({', '.join(f't{h}' for h in range(1, horizon + 1))}),"
+        + f"array({', '.join(f'f{h}' for h in range(1, horizon + 1))})"
+        + ")) AS z"
+    ).selectExpr("z.`0` AS t", "CAST(NULL AS BIGINT) AS y", "z.`1` AS fitted")
+    return fitted.unionByName(fc)

@@ -13397,3 +13397,181 @@ def bradley_terry_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return bradley_terry_mm(matches, rounds=3)
+
+
+# =====================================================================
+# Round 7, wave 5: Holt-Winters seasonal smoothing
+# =====================================================================
+
+@register(
+    "holt_winters_revenue",
+    """
+    WITH tiers AS MATERIALIZED (
+      SELECT CAST(date_diff('month', DATE '1992-01-01',
+                            CAST(o_orderdate AS DATE)) AS BIGINT) AS t,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ), ranked AS MATERIALIZED (
+      SELECT t, y, CAST(row_number() OVER (ORDER BY t) AS BIGINT) AS i
+      FROM tiers
+    ), arrs AS MATERIALIZED (
+      SELECT list(y ORDER BY t) AS ys, list(t ORDER BY t) AS ts FROM ranked
+    ), folded AS MATERIALIZED (
+      SELECT ys, ts,
+        list_reduce(
+          list_prepend(
+            list_concat(
+              [list_reduce(ys[1:12], (a, x) -> a + x) // 12,
+               CAST(0 AS BIGINT)],
+              list_transform(ys[1:12],
+                y -> y - list_reduce(ys[1:12], (a, x) -> a + x) // 12)
+            ),
+            list_transform(ys[13:], v -> [v])
+          ),
+          (acc, el) -> list_concat(list_concat(list_concat(list_concat(
+            [(el[1] - acc[3] + acc[1] + acc[2]) // 2,
+             (((el[1] - acc[3] + acc[1] + acc[2]) // 2)
+               - acc[1] + 3 * acc[2]) // 4],
+            acc[4:14]),
+            [(el[1] - ((el[1] - acc[3] + acc[1] + acc[2]) // 2)
+              + acc[3]) // 2]),
+            acc[15:]),
+            [acc[1] + acc[2] + acc[3]])
+        ) AS st
+      FROM arrs
+    )
+    SELECT r.t, r.y, CAST(f.st[CAST(r.i + 2 AS INT)] AS BIGINT) AS fitted
+    FROM ranked r CROSS JOIN folded f WHERE r.i > 12
+    UNION ALL
+    SELECT ts[CAST(len(ts) AS INT)] + h.h AS t, CAST(NULL AS BIGINT) AS y,
+           CAST(st[1] + h.h * st[2]
+                + st[CAST(3 + (h.h - 1) % 12 AS INT)] AS BIGINT) AS fitted
+    FROM folded CROSS JOIN (SELECT unnest([1, 2, 3]) AS h) h
+    """,
+)
+def holt_winters_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters seasonal smoothing of monthly revenue
+    (operators/temporal.py holt_winters_fitted — dyadic α=1/2, β=1/4,
+    γ=1/2 over a 12-month season, init from the first season's mean
+    and offsets; one-step-ahead fits for every month past the first
+    season plus a 3-month forecast). Completes the smoothing ladder
+    ewma (level) → holt_linear (trend) → this (trend + seasonality);
+    the whole (level, trend, 12-slot rotating seasonal buffer,
+    trajectory) state is ONE flat BIGINT array folded over the
+    bounded month-tier array — the DuckDB twin replays it with
+    list_reduce and inclusive 1-based slices."""
+    from dpe_energy_performance_analysis_etl_spark.operators.temporal import (
+        holt_winters_fitted,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    monthly = o.select(
+        F.months_between(
+            F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+        )
+        .cast("bigint")
+        .alias("t"),
+        (F.col("o_totalprice").cast("decimal(30,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    return holt_winters_fitted(monthly, "t", "cents", period=12, horizon=3)
+
+
+# =====================================================================
+# Round 7, wave 6: Apriori frequent triples + rule confidence
+# =====================================================================
+
+@register(
+    "apriori_triples_suppliers",
+    """
+    WITH b AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey AS o, l_suppkey AS p FROM lineitem
+    ), f1 AS MATERIALIZED (
+      SELECT p FROM b GROUP BY p HAVING COUNT(*) >= 5
+    ), occ AS MATERIALIZED (
+      SELECT b.o, b.p FROM b SEMI JOIN f1 ON b.p = f1.p
+    ), pr AS MATERIALIZED (
+      SELECT x.o, x.p AS i, y.p AS j
+      FROM occ x JOIN occ y ON x.o = y.o AND x.p < y.p
+    ), f2 AS MATERIALIZED (
+      SELECT i, j, CAST(COUNT(*) AS BIGINT) AS sup2
+      FROM pr GROUP BY i, j HAVING COUNT(*) >= 5
+    ), pr2 AS MATERIALIZED (
+      SELECT pr.o, pr.i, pr.j FROM pr
+      SEMI JOIN f2 ON pr.i = f2.i AND pr.j = f2.j
+    ), t3 AS MATERIALIZED (
+      SELECT pr2.i AS i1, pr2.j AS i2, z.p AS i3,
+             CAST(COUNT(*) AS BIGINT) AS support
+      FROM pr2
+      JOIN occ z ON pr2.o = z.o AND pr2.j < z.p
+      WHERE EXISTS (SELECT 1 FROM f2 WHERE f2.i = pr2.j AND f2.j = z.p)
+        AND EXISTS (SELECT 1 FROM f2 WHERE f2.i = pr2.i AND f2.j = z.p)
+      GROUP BY 1, 2, 3 HAVING COUNT(*) >= 5
+    )
+    SELECT t3.i1, t3.i2, t3.i3, t3.support,
+           CAST(t3.support * 1000000 // f2.sup2 AS BIGINT) AS conf_ppm
+    FROM t3 JOIN f2 ON t3.i1 = f2.i AND t3.i2 = f2.j
+    """,
+)
+def apriori_triples_suppliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apriori frequent 3-itemsets over supplier baskets (Agrawal &
+    Srikant, VLDB'94) with rule confidence: baskets = the distinct
+    suppliers of each order, minsup 5; the unordered market-basket
+    sibling of gsp_event_sequences (ordered). The Apriori discipline
+    IS the scale story: items below minsup leave before any join
+    (support-threshold before wedge-style joins — the CLAUDE rule),
+    candidate triples extend only frequent-pair occurrences, and
+    BOTH closing sub-pairs must be frequent before the count —
+    every step an equi-join on order/pair keys, never a cube.
+    conf_ppm = support(i1,i2,i3)·10⁶ div support(i1,i2), the
+    {i1,i2}→{i3} rule confidence in exact ppm."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    b = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("p")
+    ).distinct()
+    f1 = b.groupBy("p").agg(F.count(F.lit(1)).alias("n")).where("n >= 5").select("p")
+    occ = b.join(f1, "p", "left_semi").cache()
+    x = occ.select("o", F.col("p").alias("i"))
+    y = occ.select("o", F.col("p").alias("j"))
+    pr = x.join(y, "o").where(F.col("i") < F.col("j")).cache()
+    f2 = (
+        pr.groupBy("i", "j")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("sup2"))
+        .where("sup2 >= 5")
+        .cache()
+    )
+    pr2 = pr.join(f2.select("i", "j"), ["i", "j"], "left_semi")
+    z = occ.select("o", F.col("p").alias("i3"))
+    cand = (
+        pr2.join(z, "o")
+        .where(F.col("j") < F.col("i3"))
+        .join(
+            f2.select(F.col("i").alias("j"), F.col("j").alias("i3")),
+            ["j", "i3"],
+            "left_semi",
+        )
+        .join(
+            f2.select(F.col("i"), F.col("j").alias("i3")),
+            ["i", "i3"],
+            "left_semi",
+        )
+    )
+    t3 = (
+        cand.groupBy(
+            F.col("i").alias("i1"), F.col("j").alias("i2"), F.col("i3")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+        .where("support >= 5")
+    )
+    return t3.join(
+        f2.select(F.col("i").alias("i1"), F.col("j").alias("i2"), "sup2"),
+        ["i1", "i2"],
+    ).select(
+        "i1",
+        "i2",
+        "i3",
+        "support",
+        F.expr("CAST(support * 1000000 div sup2 AS BIGINT)").alias("conf_ppm"),
+    )

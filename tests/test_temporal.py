@@ -500,3 +500,67 @@ class TestHoltLinear:
         one = spark.createDataFrame([(5, 42)], "t bigint, y bigint")
         g1 = {r["t"]: r["fitted"] for r in holt_linear_fitted(one, "t", "y").collect()}
         assert g1[5] == 42 and g1[6] == 42 and g1[8] == 42
+
+
+class TestHoltWinters:
+    @staticmethod
+    def _ref(ys, m=12, horizon=3):
+        def dv(a, b):
+            q = abs(a) // b
+            return q if a >= 0 else -q
+
+        l = dv(sum(ys[:m]), m)
+        b = 0
+        s = [y - l for y in ys[:m]]
+        fitted = []
+        for y in ys[m:]:
+            sm = s.pop(0)
+            fit = l + b + sm
+            lp = dv(y - sm + l + b, 2)
+            bp = dv(lp - l + 3 * b, 4)
+            st = dv(y - lp + sm, 2)
+            s.append(st)
+            l, b = lp, bp
+            fitted.append(fit)
+        fc = [l + h * b + s[(h - 1) % m] for h in range(1, horizon + 1)]
+        return fitted, fc
+
+    def test_matches_eager_reference(self, spark):
+        import random
+
+        from dpe_energy_performance_analysis_etl_spark.operators.temporal import (
+            holt_winters_fitted,
+        )
+
+        rng = random.Random(5)
+        n = 40
+        ys = [
+            1000 + 37 * t + [0, 150, -120, 60, -40, 200, -180, 90, 10, -60, 130, -90][t % 12]
+            + rng.randint(-25, 25)
+            for t in range(n)
+        ]
+        rows = [(t, y) for t, y in enumerate(ys)]
+        df = spark.createDataFrame(rows, "t long, y long")
+        got = holt_winters_fitted(df, "t", "y", period=12, horizon=3).collect()
+        fitted_ref, fc_ref = self._ref(ys)
+        got_fit = {r["t"]: r["fitted"] for r in got if r["y"] is not None}
+        assert got_fit == {t: f for t, f in zip(range(12, n), fitted_ref)}
+        got_fc = {r["t"]: r["fitted"] for r in got if r["y"] is None}
+        assert got_fc == {n - 1 + h: v for h, v in enumerate(fc_ref, 1)}
+
+    def test_pure_seasonal_series_forecast_repeats_pattern(self, spark):
+        from dpe_energy_performance_analysis_etl_spark.operators.temporal import (
+            holt_winters_fitted,
+        )
+
+        pattern = [100, 200, 50, 300]
+        rows = [(t, pattern[t % 4]) for t in range(24)]
+        df = spark.createDataFrame(rows, "t long, y long")
+        got = holt_winters_fitted(df, "t", "y", period=4, horizon=4).collect()
+        fc = sorted(
+            ((r["t"], r["fitted"]) for r in got if r["y"] is None)
+        )
+        # level converges to the season mean (162), trend to 0,
+        # seasonals to the offsets — forecasts repeat the pattern
+        vals = [v for _, v in fc]
+        assert vals[0] < vals[1] and vals[2] < vals[0] and vals[3] > vals[1]
