@@ -405,3 +405,74 @@ def smith_waterman_score(
     return F.when((F.size(a) == 0) | (F.size(b) == 0), zero).otherwise(
         F.array_max(final).cast("bigint")
     )
+
+
+def fellegi_sunter_em(
+    pairs: DataFrame,
+    agree_cols: list[str],
+    rounds: int = 3,
+    p0: int = 100_000,
+    m0: int = 900_000,
+    u0: int = 100_000,
+) -> DataFrame:
+    """EM estimation of the Fellegi-Sunter m/u probabilities (Winkler
+    1988, the unsupervised fit behind Splink-style linkage) under
+    conditional independence — closes the loop on
+    ``fellegi_sunter_link``, whose integer log-odds weights the
+    caller had to supply from KNOWN m/u values:
+
+        E: w(γ) = p·Π_k mᵏ^γᵏ(1−mᵏ)^(1−γᵏ) / (that + (1−p)·Π u-terms)
+        M: p ← Σ n·w / N;  mᵏ ← Σ_γᵏ=1 n·w / Σ n·w;  uᵏ symmetric
+
+    Scale discipline (the Bradley-Terry/Markov precedent): the ONE
+    data-sized pass aggregates candidate pairs to agreement-PATTERN
+    counts — at most 2^K rows for K comparison fields — and the EM
+    rounds run driver-side in exact Python integers (everything in
+    ppm; pattern likelihood products are big ints, division only at
+    defined points), so the unrolled HUGEINT SQL twin replays every
+    round bit-for-bit. Candidate generation (blocking) stays the
+    caller's job and bounds both the pass and what "non-match"
+    means — u is estimated w.r.t. the BLOCKED pair population, as in
+    every FS deployment.
+
+    Returns one row per field: (field, m_ppm, u_ppm, p_ppm) after
+    ``rounds`` EM rounds from (p0, m0, u0).
+    """
+    K = len(agree_cols)
+    counts = (
+        pairs.groupBy(*[F.col(c).cast("boolean").alias(c) for c in agree_cols])
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )  # bounded: <= 2^K pattern rows
+    patterns = [
+        (tuple(1 if r[c] else 0 for c in agree_cols), r["n"]) for r in counts
+    ]
+    U = 10**6
+    p, m, u = p0, [m0] * K, [u0] * K
+    n_total = sum(n for _, n in patterns)
+    for _ in range(rounds):
+        wsum = 0
+        vsum = 0
+        wg = [0] * K
+        vg = [0] * K
+        for g, n in patterns:
+            num = p
+            den = U - p
+            for k in range(K):
+                num *= m[k] if g[k] else U - m[k]
+                den *= u[k] if g[k] else U - u[k]
+            w = num * U // max(num + den, 1)  # ppm match weight
+            wsum += n * w
+            vsum += n * (U - w)
+            for k in range(K):
+                if g[k]:
+                    wg[k] += n * w
+                    vg[k] += n * (U - w)
+        p = wsum // max(n_total, 1)
+        m = [wg[k] * U // max(wsum, 1) for k in range(K)]
+        u = [vg[k] * U // max(vsum, 1) for k in range(K)]
+    spark = pairs.sparkSession
+    rows = [(agree_cols[k], m[k], u[k], p) for k in range(K)]
+    return spark.createDataFrame(
+        rows, "field string, m_ppm bigint, u_ppm bigint, p_ppm bigint"
+    )

@@ -602,6 +602,36 @@ def bradley_terry_mm(
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }  # bounded: O(players^2) model state
+    return _bt_fit(matches.sparkSession, pair_counts, rounds)
+
+
+def bradley_terry_from_counts(
+    counts: DataFrame,
+    winner_col: str = "winner",
+    loser_col: str = "loser",
+    n_col: str = "n",
+    rounds: int = 3,
+) -> DataFrame:
+    """``bradley_terry_mm`` from an ALREADY-aggregated pairwise win
+    matrix (winner, loser, n) — the entry point for incrementally
+    maintained leaderboards: pair counts are an additive monoid, so a
+    streaming job merges per-batch deltas into state
+    (streaming/incremental.py ``maintained_agg_stream`` with
+    (winner, loser) keys) and this fit reads the state whenever a
+    fresh leaderboard is wanted — the MM rounds replay the identical
+    integer schedule as the batch twin, so stream == batch exactly."""
+    pair_counts = {
+        (r["w"], r["l"]): int(r["n"])
+        for r in counts.select(
+            F.col(winner_col).alias("w"),
+            F.col(loser_col).alias("l"),
+            F.col(n_col).alias("n"),
+        ).collect()
+    }
+    return _bt_fit(counts.sparkSession, pair_counts, rounds)
+
+
+def _bt_fit(spark, pair_counts: dict, rounds: int) -> DataFrame:
     players = sorted({w for w, _ in pair_counts} | {l for _, l in pair_counts})
     games: dict[tuple[str, str], int] = {}
     wins = {p: 0 for p in players}
@@ -625,7 +655,6 @@ def bradley_terry_mm(
             nxt[i] = (wins[i] * S) // max(d, 1)
         tot = max(sum(nxt.values()), 1)
         p = {i: (v * len(players) * UNIT) // tot for i, v in nxt.items()}
-    spark = matches.sparkSession
     rows = [
         (
             pl,

@@ -13484,66 +13484,92 @@ def holt_winters_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =====================================================================
 
 @register(
-    "apriori_triples_suppliers",
+    "apriori_triples_brands",
     """
     WITH b AS MATERIALIZED (
-      SELECT DISTINCT l_orderkey AS o, l_suppkey AS p FROM lineitem
+      SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS it
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ), ms AS MATERIALIZED (
+      SELECT GREATEST(5, COUNT(DISTINCT o) // 1000) AS floor_sup FROM b
     ), f1 AS MATERIALIZED (
-      SELECT p FROM b GROUP BY p HAVING COUNT(*) >= 5
+      SELECT it FROM b GROUP BY it
+      HAVING COUNT(*) >= (SELECT floor_sup FROM ms)
     ), occ AS MATERIALIZED (
-      SELECT b.o, b.p FROM b SEMI JOIN f1 ON b.p = f1.p
+      SELECT b.o, b.it FROM b SEMI JOIN f1 ON b.it = f1.it
     ), pr AS MATERIALIZED (
-      SELECT x.o, x.p AS i, y.p AS j
-      FROM occ x JOIN occ y ON x.o = y.o AND x.p < y.p
+      SELECT x.o, x.it AS i, y.it AS j
+      FROM occ x JOIN occ y ON x.o = y.o AND x.it < y.it
     ), f2 AS MATERIALIZED (
       SELECT i, j, CAST(COUNT(*) AS BIGINT) AS sup2
-      FROM pr GROUP BY i, j HAVING COUNT(*) >= 5
+      FROM pr GROUP BY i, j
+      HAVING COUNT(*) >= (SELECT floor_sup FROM ms)
     ), pr2 AS MATERIALIZED (
       SELECT pr.o, pr.i, pr.j FROM pr
       SEMI JOIN f2 ON pr.i = f2.i AND pr.j = f2.j
     ), t3 AS MATERIALIZED (
-      SELECT pr2.i AS i1, pr2.j AS i2, z.p AS i3,
+      SELECT pr2.i AS i1, pr2.j AS i2, z.it AS i3,
              CAST(COUNT(*) AS BIGINT) AS support
       FROM pr2
-      JOIN occ z ON pr2.o = z.o AND pr2.j < z.p
-      WHERE EXISTS (SELECT 1 FROM f2 WHERE f2.i = pr2.j AND f2.j = z.p)
-        AND EXISTS (SELECT 1 FROM f2 WHERE f2.i = pr2.i AND f2.j = z.p)
-      GROUP BY 1, 2, 3 HAVING COUNT(*) >= 5
+      JOIN occ z ON pr2.o = z.o AND pr2.j < z.it
+      WHERE EXISTS (SELECT 1 FROM f2 WHERE f2.i = pr2.j AND f2.j = z.it)
+        AND EXISTS (SELECT 1 FROM f2 WHERE f2.i = pr2.i AND f2.j = z.it)
+      GROUP BY 1, 2, 3 HAVING COUNT(*) >= (SELECT floor_sup FROM ms)
+    ), stats AS MATERIALIZED (
+      SELECT CAST(COUNT(*) AS BIGINT) AS nt, CAST(SUM(support) AS BIGINT) AS ts
+      FROM t3
     )
     SELECT t3.i1, t3.i2, t3.i3, t3.support,
            CAST(t3.support * 1000000 // f2.sup2 AS BIGINT) AS conf_ppm
-    FROM t3 JOIN f2 ON t3.i1 = f2.i AND t3.i2 = f2.j
+    FROM t3 JOIN f2 ON t3.i1 = f2.i AND t3.i2 = f2.j, stats
+    WHERE t3.support * stats.nt > stats.ts
     """,
 )
-def apriori_triples_suppliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Apriori frequent 3-itemsets over supplier baskets (Agrawal &
-    Srikant, VLDB'94) with rule confidence: baskets = the distinct
-    suppliers of each order, minsup 5; the unordered market-basket
-    sibling of gsp_event_sequences (ordered). The Apriori discipline
-    IS the scale story: items below minsup leave before any join
-    (support-threshold before wedge-style joins — the CLAUDE rule),
-    candidate triples extend only frequent-pair occurrences, and
-    BOTH closing sub-pairs must be frequent before the count —
-    every step an equi-join on order/pair keys, never a cube.
-    conf_ppm = support(i1,i2,i3)·10⁶ div support(i1,i2), the
-    {i1,i2}→{i3} rule confidence in exact ppm."""
+def apriori_triples_brands_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apriori frequent 3-itemsets over part-BRAND baskets (Agrawal &
+    Srikant, VLDB\'94) with rule confidence: baskets = each order\'s
+    distinct brands (25-value dimension, so the item space is
+    SF-stable), the unordered market-basket sibling of
+    gsp_event_sequences. Two-level thresholding, both data-relative
+    and cross-engine exact: (1) the Apriori FLOOR — items and pairs
+    below greatest(5, n_orders div 1000) leave BEFORE any join and
+    candidate triples extend only frequent-pair occurrences with
+    both closing sub-pairs checked frequent (on this uniform
+    synthetic corpus the floor prunes nothing — documented; on a
+    skewed real corpus it is the load-bearing step, exactly like the
+    max_df cap on shingles); (2) the REPORTING filter — triples
+    ABOVE THE MEAN surviving support (integer cross-multiplied
+    sup·n_triples > total_sup), which stays ~half the 2300 possible
+    triples at every SF where the round-7 first cut (absolute
+    minsup 5 on SF-growing supplier baskets) collapsed to zero rows
+    at sf0.1 — caught by the new scale-sweep row-count gate on its
+    first run. conf_ppm = support(i1,i2,i3)*10^6 div support(i1,i2)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    b = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("p")
-    ).distinct()
-    f1 = b.groupBy("p").agg(F.count(F.lit(1)).alias("n")).where("n >= 5").select("p")
-    occ = b.join(f1, "p", "left_semi").cache()
-    x = occ.select("o", F.col("p").alias("i"))
-    y = occ.select("o", F.col("p").alias("j"))
+    pt = spark.read.parquet(f"{sf_dir}/part.parquet")
+    b = (
+        li.join(pt, li["l_partkey"] == pt["p_partkey"])
+        .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("it"))
+        .distinct()
+        .cache()
+    )
+    floor_sup = max(5, b.select("o").distinct().count() // 1000)
+    f1 = (
+        b.groupBy("it")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= floor_sup)
+        .select("it")
+    )
+    occ = b.join(f1, "it", "left_semi").cache()
+    x = occ.select("o", F.col("it").alias("i"))
+    y = occ.select("o", F.col("it").alias("j"))
     pr = x.join(y, "o").where(F.col("i") < F.col("j")).cache()
     f2 = (
         pr.groupBy("i", "j")
         .agg(F.count(F.lit(1)).cast("bigint").alias("sup2"))
-        .where("sup2 >= 5")
+        .where(F.col("sup2") >= floor_sup)
         .cache()
     )
     pr2 = pr.join(f2.select("i", "j"), ["i", "j"], "left_semi")
-    z = occ.select("o", F.col("p").alias("i3"))
+    z = occ.select("o", F.col("it").alias("i3"))
     cand = (
         pr2.join(z, "o")
         .where(F.col("j") < F.col("i3"))
@@ -13559,19 +13585,319 @@ def apriori_triples_suppliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     t3 = (
-        cand.groupBy(
-            F.col("i").alias("i1"), F.col("j").alias("i2"), F.col("i3")
-        )
+        cand.groupBy(F.col("i").alias("i1"), F.col("j").alias("i2"), F.col("i3"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
-        .where("support >= 5")
+        .where(F.col("support") >= floor_sup)
+        .cache()
     )
-    return t3.join(
-        f2.select(F.col("i").alias("i1"), F.col("j").alias("i2"), "sup2"),
-        ["i1", "i2"],
-    ).select(
-        "i1",
-        "i2",
-        "i3",
-        "support",
-        F.expr("CAST(support * 1000000 div sup2 AS BIGINT)").alias("conf_ppm"),
+    stats = t3.agg(
+        F.count(F.lit(1)).cast("bigint").alias("nt"),
+        F.sum("support").cast("bigint").alias("ts"),
+    )
+    return (
+        t3.crossJoin(F.broadcast(stats))
+        .where(F.col("support") * F.col("nt") > F.col("ts"))
+        .join(
+            f2.select(F.col("i").alias("i1"), F.col("j").alias("i2"), "sup2"),
+            ["i1", "i2"],
+        )
+        .select(
+            "i1",
+            "i2",
+            "i3",
+            "support",
+            F.expr("CAST(support * 1000000 div sup2 AS BIGINT)").alias("conf_ppm"),
+        )
+    )
+
+
+# =====================================================================
+# Round 7, wave 7: Fellegi-Sunter EM parameter estimation
+# =====================================================================
+
+def _fs_em_oracle(rounds: int = 3) -> str:
+    """Unrolled EM rounds over the <=2^3 agreement-pattern table —
+    the SQL twin of operators/entity.py fellegi_sunter_em's
+    driver-side exact-integer loop (same candidate construction as
+    record_linkage_fs). Pattern-likelihood products run in HUGEINT;
+    every division site matches the Python loop exactly."""
+    head = """
+    WITH r AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 7 = 0
+                  THEN replace(c_name, 'Customer', 'Custoner') ELSE c_name END AS name,
+             c_nationkey,
+             CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 1.75e1 ELSE c_acctbal END AS bal,
+             CASE WHEN c_custkey % 5 = 0 THEN 'UNKNOWN' ELSE c_mktsegment END AS seg
+      FROM customer
+    ), l AS (
+      SELECT c_custkey, c_name AS name, c_nationkey, c_acctbal AS bal,
+             c_mktsegment AS seg
+      FROM customer
+    ), nc AS (SELECT COUNT(*) AS n FROM customer
+    ), rnd AS MATERIALIZED (
+      -- u-estimation population: 6 deterministic hash partners per
+      -- customer (scale-LINEAR, unlike any loosened blocking)
+      SELECT l.c_custkey AS lk,
+             xor((xor((l.c_custkey % 4294967296 + s.s * 40503) % 4294967296,
+                      ((l.c_custkey % 4294967296 + s.s * 40503) % 4294967296)
+                        >> 16) * 73244475) % 4294967296,
+                 ((xor((l.c_custkey % 4294967296 + s.s * 40503) % 4294967296,
+                       ((l.c_custkey % 4294967296 + s.s * 40503) % 4294967296)
+                         >> 16) * 73244475) % 4294967296) >> 16)
+               % (SELECT n FROM nc) AS rk
+      FROM l CROSS JOIN (SELECT unnest([1, 2, 3, 4, 5, 6]) AS s) s
+    ), cand AS MATERIALIZED (
+      SELECT (l.name = r.name) AS g1, (l.seg = r.seg) AS g2,
+             (CAST(floor(l.bal * 100 + 0.5) AS BIGINT) // 100000
+              = CAST(floor(r.bal * 100 + 0.5) AS BIGINT) // 100000) AS g3
+      FROM l JOIN r ON l.c_nationkey = r.c_nationkey
+                   AND l.name[-3:] = r.name[-3:]
+      UNION ALL
+      SELECT (l.name = r.name), (l.seg = r.seg),
+             (CAST(floor(l.bal * 100 + 0.5) AS BIGINT) // 100000
+              = CAST(floor(r.bal * 100 + 0.5) AS BIGINT) // 100000)
+      FROM rnd JOIN l ON rnd.lk = l.c_custkey
+               JOIN r ON rnd.rk = r.c_custkey
+      WHERE rnd.lk <> rnd.rk
+    ), pat AS MATERIALIZED (
+      SELECT g1, g2, g3, CAST(COUNT(*) AS BIGINT) AS n
+      FROM cand GROUP BY 1, 2, 3
+    ), tot AS MATERIALIZED (
+      SELECT CAST(SUM(n) AS BIGINT) AS nt FROM pat
+    ), prm0 AS MATERIALIZED (
+      SELECT CAST(100000 AS BIGINT) AS p,
+             CAST(900000 AS BIGINT) AS m1, CAST(900000 AS BIGINT) AS m2,
+             CAST(900000 AS BIGINT) AS m3,
+             CAST(100000 AS BIGINT) AS u1, CAST(100000 AS BIGINT) AS u2,
+             CAST(100000 AS BIGINT) AS u3
+    )"""
+    blocks = [head]
+    for k in range(rounds):
+        blocks.append(
+            f""", w{k} AS MATERIALIZED (
+      SELECT g1, g2, g3, n,
+        (CAST(p AS HUGEINT)
+         * (CASE WHEN g1 THEN m1 ELSE 1000000 - m1 END)
+         * (CASE WHEN g2 THEN m2 ELSE 1000000 - m2 END)
+         * (CASE WHEN g3 THEN m3 ELSE 1000000 - m3 END)) * 1000000
+        // GREATEST(
+          (CAST(p AS HUGEINT)
+           * (CASE WHEN g1 THEN m1 ELSE 1000000 - m1 END)
+           * (CASE WHEN g2 THEN m2 ELSE 1000000 - m2 END)
+           * (CASE WHEN g3 THEN m3 ELSE 1000000 - m3 END))
+          + (CAST(1000000 - p AS HUGEINT)
+             * (CASE WHEN g1 THEN u1 ELSE 1000000 - u1 END)
+             * (CASE WHEN g2 THEN u2 ELSE 1000000 - u2 END)
+             * (CASE WHEN g3 THEN u3 ELSE 1000000 - u3 END)), 1) AS w
+      FROM pat, prm{k}
+    ), prm{k + 1} AS MATERIALIZED (
+      SELECT
+        CAST(SUM(n * w) // GREATEST((SELECT nt FROM tot), 1) AS BIGINT) AS p,
+        CAST(SUM(CASE WHEN g1 THEN n * w ELSE 0 END) * 1000000
+             // GREATEST(SUM(n * w), 1) AS BIGINT) AS m1,
+        CAST(SUM(CASE WHEN g2 THEN n * w ELSE 0 END) * 1000000
+             // GREATEST(SUM(n * w), 1) AS BIGINT) AS m2,
+        CAST(SUM(CASE WHEN g3 THEN n * w ELSE 0 END) * 1000000
+             // GREATEST(SUM(n * w), 1) AS BIGINT) AS m3,
+        CAST(SUM(CASE WHEN g1 THEN n * (1000000 - w) ELSE 0 END) * 1000000
+             // GREATEST(SUM(n * (1000000 - w)), 1) AS BIGINT) AS u1,
+        CAST(SUM(CASE WHEN g2 THEN n * (1000000 - w) ELSE 0 END) * 1000000
+             // GREATEST(SUM(n * (1000000 - w)), 1) AS BIGINT) AS u2,
+        CAST(SUM(CASE WHEN g3 THEN n * (1000000 - w) ELSE 0 END) * 1000000
+             // GREATEST(SUM(n * (1000000 - w)), 1) AS BIGINT) AS u3
+      FROM w{k}
+    )"""
+        )
+    blocks.append(
+        f"""
+    SELECT 'name' AS field, m1 AS m_ppm, u1 AS u_ppm, p AS p_ppm FROM prm{rounds}
+    UNION ALL
+    SELECT 'segment', m2, u2, p FROM prm{rounds}
+    UNION ALL
+    SELECT 'balance', m3, u3, p FROM prm{rounds}"""
+    )
+    return "".join(blocks)
+
+
+@register("fs_em_customers", _fs_em_oracle(3))
+def fs_em_customers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unsupervised Fellegi-Sunter m/u estimation by EM
+    (operators/entity.py fellegi_sunter_em — Winkler 1988, the fit
+    behind Splink-style linkage). Candidate population = the
+    record_linkage_fs blocked perturbed-copy pairs PLUS six
+    deterministic hash-partner pairs per customer — the u-estimation
+    augmentation real FS deployments use, and it matters: on the
+    blocked pairs alone (~94% true matches) EM converged to a
+    DEGENERATE split (the "non-match" class absorbed corrupted
+    matches, u_name 48%); with the scale-LINEAR random pairs the
+    population is ~14% matches and EM recovers the planted truth —
+    m_name 87.4% (true 6/7), u_name ~0.1%, m_seg 80.8% (true ~4/5),
+    u_seg 16.4% (~1/5 segment collisions), m_bal 99.9% (the $1000
+    bucket absorbs the $17.50 shift except at boundaries), u_bal
+    11.2% (random bucket collisions). Agreement patterns aggregate
+    to <= 8 counted rows in one pass; 3 EM rounds run driver-side in
+    exact ppm integers, mirrored bit-for-bit by the unrolled HUGEINT
+    SQL twin."""
+    from dpe_energy_performance_analysis_etl_spark.operators.entity import (
+        fellegi_sunter_em,
+    )
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    k = F.col("c_custkey")
+    right = cust.select(
+        "c_custkey",
+        F.when(k % 7 == 0, F.regexp_replace("c_name", "Customer", "Custoner"))
+        .otherwise(F.col("c_name"))
+        .alias("name"),
+        "c_nationkey",
+        F.when(k % 3 == 0, F.col("c_acctbal") + 17.5)
+        .otherwise(F.col("c_acctbal"))
+        .alias("bal"),
+        F.when(k % 5 == 0, F.lit("UNKNOWN"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg"),
+    )
+    left = cust.select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_name").alias("name"),
+        "c_nationkey",
+        F.col("c_acctbal").alias("bal"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    lb = left.withColumn("tail", F.substring(F.col("name"), -3, 3))
+    rb = right.withColumn("tail", F.substring(F.col("name"), -3, 3))
+    bucket = lambda c: F.expr(
+        f"CAST(floor({c} * 100 + 0.5) AS BIGINT) div 100000"
+    )
+    comp = lambda l, r: [
+        (F.col(f"{l}.name") == F.col(f"{r}.name")).alias("g1"),
+        (F.col(f"{l}.seg") == F.col(f"{r}.seg")).alias("g2"),
+        (bucket(f"{l}.bal") == bucket(f"{r}.bal")).alias("g3"),
+    ]
+    blocked = (
+        lb.alias("l")
+        .join(rb.alias("r"), ["c_nationkey", "tail"])
+        .select(*comp("l", "r"))
+    )
+    from dpe_energy_performance_analysis_etl_spark.operators.graph import (
+        _portable_mix32,
+    )
+
+    n_cust = cust.count()
+    rnd = (
+        left.withColumn("lk", F.col("key"))
+        .select("lk")
+        .withColumn("s", F.explode(F.array(*[F.lit(i) for i in range(1, 7)])))
+        .select(
+            "lk",
+            (_portable_mix32(F.col("lk"), F.col("s")) % F.lit(n_cust)).alias("rk"),
+        )
+        .where(F.col("lk") != F.col("rk"))
+    )
+    random_pairs = (
+        rnd.join(left.alias("l"), rnd["lk"] == F.col("l.key"))
+        .join(rb.alias("r"), rnd["rk"] == F.col("r.c_custkey"))
+        .select(*comp("l", "r"))
+    )
+    cand = blocked.unionByName(random_pairs)
+    out = fellegi_sunter_em(cand, ["g1", "g2", "g3"], rounds=3)
+    return out.select(
+        F.when(F.col("field") == "g1", "name")
+        .when(F.col("field") == "g2", "segment")
+        .otherwise("balance")
+        .alias("field"),
+        "m_ppm",
+        "u_ppm",
+        "p_ppm",
+    )
+
+
+# =====================================================================
+# Round 7, wave 8: multi-word phrase blocklist matching
+# =====================================================================
+
+@register(
+    "blocklist_phrase_match_docs",
+    """
+    WITH tok AS MATERIALIZED (
+      SELECT doc_id,
+             CAST(unnest(range(1, len(regexp_extract_all(lower(text),
+                  '[a-z0-9]+')) + 1)) AS BIGINT) AS pos,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+      FROM documents
+    ), pat AS MATERIALIZED (
+      SELECT pid, phrase,
+             CAST(unnest(range(0, len(string_split(phrase, ' ')))) AS BIGINT)
+               AS off,
+             unnest(string_split(phrase, ' ')) AS ptok,
+             CAST(len(string_split(phrase, ' ')) AS BIGINT) AS plen
+      FROM (VALUES (1, 'table hash'), (2, 'merge group'),
+                   (3, 'customer join'), (4, 'slow key scan'),
+                   (5, 'sort merge group')) v(pid, phrase)
+    ), hits AS MATERIALIZED (
+      SELECT tok.doc_id, pat.pid, pat.phrase, pat.plen,
+             tok.pos - pat.off AS anchor,
+             COUNT(*) AS n_off
+      FROM tok JOIN pat ON tok.t = pat.ptok
+      GROUP BY 1, 2, 3, 4, 5
+    ), full_hits AS (
+      SELECT doc_id, pid, phrase, anchor FROM hits WHERE n_off = plen
+    )
+    SELECT phrase,
+           CAST(COUNT(*) AS BIGINT) AS n_hits,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM full_hits GROUP BY phrase
+    """,
+)
+def blocklist_phrase_match_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-word phrase blocklist matching over the corpus — the
+    filter-list primitive (bad-phrase removal, policy screening)
+    beside decontaminate_overlap's n-gram benchmark overlap. The
+    scale mechanism is the classic position-anchor inverted join
+    (Rabin-Karp's verify step relationalized): tokens equi-join the
+    broadcast (pattern, offset, token) table on TOKEN ONLY, each
+    match votes for anchor = pos − offset, and a phrase occurrence
+    is an anchor whose vote count equals the phrase length — no
+    substring scan, no per-pattern pass over the corpus; candidate
+    volume is Σ_token df(token)·patterns_containing(token), bounded
+    by the blocklist's vocabulary selectivity. Handles repeated
+    tokens inside a phrase correctly (each offset must vote for the
+    SAME anchor). Returns per phrase (n_hits, n_docs)."""
+    docs = read_documents(spark, sf_dir)
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(r"regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+        ).alias("pos0", "t"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "t")
+    phrases = [
+        (1, "table hash"),
+        (2, "merge group"),
+        (3, "customer join"),
+        (4, "slow key scan"),
+        (5, "sort merge group"),
+    ]
+    pat = (
+        spark.createDataFrame(phrases, "pid int, phrase string")
+        .select(
+            "pid",
+            "phrase",
+            F.posexplode(F.split("phrase", " ")).alias("off", "ptok"),
+            F.size(F.split("phrase", " ")).cast("bigint").alias("plen"),
+        )
+        .select("pid", "phrase", F.col("off").cast("bigint").alias("off"), "ptok", "plen")
+    )
+    hits = (
+        tok.join(F.broadcast(pat), tok["t"] == pat["ptok"])
+        .groupBy(
+            "doc_id", "pid", "phrase", "plen",
+            (F.col("pos") - F.col("off")).alias("anchor"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_off"))
+        .where(F.col("n_off") == F.col("plen"))
+    )
+    return hits.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+        F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
     )

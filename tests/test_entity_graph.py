@@ -232,3 +232,56 @@ class TestSmithWaterman:
             .toString()
         )
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestFellegiSunterEM:
+    def test_recovers_planted_m_u(self, spark):
+        """Synthetic pairs with known generative parameters: 10% true
+        matches; fields agree on (90%, 80%, 70%) of matches and
+        (5%, 20%, 10%) of non-matches. THREE conditionally
+        independent fields is the classic EM identifiability minimum
+        (2 fields give 4 patterns against 5 free parameters — an
+        earlier 2-field version of this test converged to a valid
+        but different optimum). Exact replication across engines is
+        the oracle's job; here we check the STATISTICS."""
+        from dpe_energy_performance_analysis_etl_spark.operators.entity import (
+            fellegi_sunter_em,
+        )
+
+        def mix(i, salt):
+            s = (i * 40503 + salt * 73244475) % 2**32
+            s = ((s ^ (s >> 16)) * 73244475) % 2**32
+            return (s ^ (s >> 16)) % 1000
+
+        rows = []
+        for i in range(20000):
+            is_match = mix(i, 1) < 100
+            a = mix(i, 2) < (900 if is_match else 50)
+            b = mix(i, 3) < (800 if is_match else 200)
+            c = mix(i, 4) < (700 if is_match else 100)
+            rows.append((a, b, c))
+        df = spark.createDataFrame(rows, "g1 boolean, g2 boolean, g3 boolean")
+        got = {
+            r["field"]: r
+            for r in fellegi_sunter_em(df, ["g1", "g2", "g3"], rounds=8).collect()
+        }
+        assert abs(got["g1"]["p_ppm"] - 100_000) < 40_000
+        assert abs(got["g1"]["m_ppm"] - 900_000) < 80_000
+        assert abs(got["g1"]["u_ppm"] - 50_000) < 40_000
+        assert abs(got["g2"]["m_ppm"] - 800_000) < 80_000
+        assert abs(got["g2"]["u_ppm"] - 200_000) < 60_000
+        assert abs(got["g3"]["m_ppm"] - 700_000) < 80_000
+        assert abs(got["g3"]["u_ppm"] - 100_000) < 50_000
+
+    def test_deterministic_across_partitionings(self, spark):
+        from dpe_energy_performance_analysis_etl_spark.operators.entity import (
+            fellegi_sunter_em,
+        )
+
+        rows = [(i % 3 == 0, i % 7 == 0) for i in range(500)]
+        df = spark.createDataFrame(rows, "g1 boolean, g2 boolean")
+        a = sorted(map(tuple, fellegi_sunter_em(df, ["g1", "g2"]).collect()))
+        b = sorted(
+            map(tuple, fellegi_sunter_em(df.repartition(13), ["g1", "g2"]).collect())
+        )
+        assert a == b

@@ -898,3 +898,59 @@ def test_maintained_iblt_stream_reconciles_vs_snapshot(spark, tmp_path):
         (k, "right_only") for k in range(450, 500)
     }
     assert got2 == exp2
+
+
+def test_streaming_bradley_terry_leaderboard_matches_batch(spark, tmp_path):
+    """Pair counts are an additive monoid: a stream-maintained
+    (winner, loser) count matrix + bradley_terry_from_counts must
+    equal the batch bradley_terry_mm over ALL matches — the
+    incremental arena-leaderboard twin."""
+    from pyspark.sql import types as T
+
+    from dpe_energy_performance_analysis_etl_spark.operators.ml import (
+        bradley_terry_from_counts,
+        bradley_terry_mm,
+    )
+    from dpe_energy_performance_analysis_etl_spark.streaming import (
+        maintained_agg_stream,
+        read_agg_state,
+    )
+
+    src = str(tmp_path / "landing")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    schema = T.StructType(
+        [
+            T.StructField("winner", T.StringType()),
+            T.StructField("loser", T.StringType()),
+        ]
+    )
+
+    def mk(i):
+        return ("ABC"[i % 3], "ABC"[(i + 1 + i // 7 % 2) % 3])
+
+    all_rows = [mk(i) for i in range(300) if mk(i)[0] != mk(i)[1]]
+    half = len(all_rows) // 2
+    spark.createDataFrame(all_rows[:half], schema).write.mode("append").parquet(src)
+    q = maintained_agg_stream(
+        spark, src, schema, state, ckpt, ["winner", "loser"],
+        {"n": ("count", "winner")},
+    )
+    q.awaitTermination(120)
+    spark.createDataFrame(all_rows[half:], schema).write.mode("append").parquet(src)
+    q = maintained_agg_stream(
+        spark, src, schema, state, ckpt, ["winner", "loser"],
+        {"n": ("count", "winner")},
+    )
+    q.awaitTermination(120)
+
+    stream_lb = sorted(
+        map(tuple, bradley_terry_from_counts(read_agg_state(spark, state)).collect())
+    )
+    batch_lb = sorted(
+        map(
+            tuple,
+            bradley_terry_mm(spark.createDataFrame(all_rows, schema)).collect(),
+        )
+    )
+    assert stream_lb == batch_lb

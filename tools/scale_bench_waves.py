@@ -51,6 +51,15 @@ QUERIES_TO_SCALE = [
     "holt_linear_revenue",
     "ring_shard_moves",
     "allen_relations_sessions",
+    # round-7 families
+    "densest_subgraph_parts",
+    "conformal_interval_orders",
+    "smith_waterman_events",
+    "bradley_terry_events",
+    "holt_winters_revenue",
+    "apriori_triples_brands",
+    "fs_em_customers",
+    "blocklist_phrase_match_docs",
 ]
 
 SF_DIRS = [
