@@ -991,6 +991,9 @@ def holt_winters_fitted(
     tiers = (
         df.groupBy(F.col(time_col).cast("bigint").alias("t"))
         .agg(F.sum(F.col(value_col).cast("bigint")).alias("y"))
+        # the bounded tier table feeds the fold array AND the ranked
+        # fitted join — cached so the data-sized agg runs once
+        .cache()
     )
     arr = tiers.groupBy().agg(
         F.transform(

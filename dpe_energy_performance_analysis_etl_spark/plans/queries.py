@@ -13145,8 +13145,12 @@ def conformal_interval_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.where(F.col("sp") == 1)
         .join(F.broadcast(model), "grp")
         .select("grp", F.abs(F.col("cents") - F.col("m")).alias("score"))
+        # two consumers inside conformal_qhat (the count pass and the
+        # ranking pass) — cached, 2 pruned columns
+        .cache()
     )
-    qh = conformal_qhat(cal, "grp", "score", alpha_num=1, alpha_den=10)
+    # 5-row result consumed by the coverage agg AND the final join
+    qh = conformal_qhat(cal, "grp", "score", alpha_num=1, alpha_den=10).cache()
     test = (
         base.where(F.col("sp") >= 2)
         .join(F.broadcast(model), "grp")
@@ -13267,7 +13271,7 @@ def smith_waterman_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.collect_list(F.struct("rk", "tid"))),
             lambda s: s["tid"],
         ).alias("s")
-    )
+    ).cache()  # both sides of the consecutive-user self-join
     x = series.select(F.col("u").alias("user_a"), F.col("s").alias("a"))
     y = series.select((F.col("u") - 1).alias("user_a"), F.col("u").alias("user_b"), F.col("s").alias("b"))
     pairs = x.join(y, "user_a")

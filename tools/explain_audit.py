@@ -88,6 +88,11 @@ EXPECTED_MULTISTAGE = {
     # round-6 waves 13/17
     "sq8_recall_embeddings": "two deliberate scoring paths (quantized vs exact float brute force) — the query IS the comparison; each is broadcast+window over the 500-row embeddings table",
     "textrank_keywords_docs": "pagerank_fixed caches e/nodes/deg internally; the static print re-expands the cached word-graph subtree per round (runtime reads the cache)",
+    # round-7 waves (runtime cache reads measured at sf0.01)
+    "conformal_interval_orders": "cached base (3 split branches) + cal (count/rank passes) + ranged (grouped_kth_smallest two-pass rank) + 5-row qhat (coverage + output); 132 cache reads, 8.5 s sf0.01 incl. first materialization",
+    "smith_waterman_events": "cached per-user series feeds both sides of the consecutive-user self-join (2 cache reads); the 9th static exchange is the bounded dense_rank dim",
+    "holt_winters_revenue": "cached month-tier table feeds the fold array + the ranked fitted join; cached folded state feeds fitted + 3 forecast rows (7 cache reads)",
+    "apriori_triples_brands": "cached b/occ/pr/f2/t3 re-expand per Apriori level in the static print (the gsp_event_sequences shape, unordered); 665 cache reads at runtime, 9.4 s sf0.01 incl. the floor_sup scalar action",
 }
 
 
