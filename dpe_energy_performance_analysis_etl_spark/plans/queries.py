@@ -13905,3 +13905,142 @@ def blocklist_phrase_match_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).cast("bigint").alias("n_hits"),
         F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
     )
+
+
+# =====================================================================
+# Round 7, wave 9: rank-biased overlap between rankings
+# =====================================================================
+
+# RBO_p (Webber, Moffat & Zobel, TOIS 2010) at p = 1/2, depth 20:
+# RBO = (1-p)·Σ p^(d-1)·A_d = Σ_d overlap_d / (d·2^d). Every term is
+# made EXACT by scaling with D = 2^20 · lcm(1..20): the per-depth
+# integer weights below are D/(d·2^d) (all divisions exact), so
+# rbo_scaled = Σ overlap_d · w_d is a plain BIGINT sum ≤ D ≈ 2.44e14
+# — no floats anywhere, identical in both engines. Identical top-20
+# lists score D·(1 − 2⁻²⁰) (the truncated-series maximum).
+_RBO_D = 244100691394560
+_RBO_W = [
+    122050345697280, 30512586424320, 10170862141440, 3814073303040,
+    1525629321216, 635678883840, 272433807360, 119189790720,
+    52973240320, 23837958144, 10835435520, 4966241280, 2292111360,
+    1064194560, 496624128, 232792560, 109549440, 51731680, 24504480,
+    11639628,
+]
+
+
+@register(
+    "rbo_rankings_brands",
+    """
+    WITH agg AS MATERIALIZED (
+      SELECT p.p_brand AS brand, l.l_partkey AS pk,
+             CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(30,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS rev,
+             CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2
+    ), ra AS MATERIALIZED (
+      SELECT brand, pk,
+             row_number() OVER (PARTITION BY brand
+               ORDER BY rev DESC, pk ASC) AS r
+      FROM agg
+    ), rb AS MATERIALIZED (
+      SELECT brand, pk,
+             row_number() OVER (PARTITION BY brand
+               ORDER BY qty DESC, pk ASC) AS r
+      FROM agg
+    ), lists AS MATERIALIZED (
+      SELECT a.brand,
+             (SELECT list(pk ORDER BY r) FROM ra
+               WHERE ra.brand = a.brand AND ra.r <= 20) AS la,
+             (SELECT list(pk ORDER BY r) FROM rb
+               WHERE rb.brand = a.brand AND rb.r <= 20) AS lb
+      FROM (SELECT DISTINCT brand FROM agg) a
+    )
+    SELECT brand,
+           CAST(list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, 21), d ->
+                 CAST(len(list_intersect(la[1:CAST(d AS INT)],
+                                         lb[1:CAST(d AS INT)])) AS BIGINT)
+                 * ([122050345697280, 30512586424320, 10170862141440,
+                     3814073303040, 1525629321216, 635678883840,
+                     272433807360, 119189790720, 52973240320,
+                     23837958144, 10835435520, 4966241280, 2292111360,
+                     1064194560, 496624128, 232792560, 109549440,
+                     51731680, 24504480, 11639628])[CAST(d AS INT)])),
+             (acc, x) -> acc + x) AS BIGINT) AS rbo_scaled,
+           CAST(len(list_intersect(la[1:20], lb[1:20])) AS BIGINT)
+             AS overlap_20
+    FROM lists
+    """,
+)
+def rbo_rankings_brands_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (Webber-Moffat-Zobel, TOIS 2010) between
+    each brand's top-20 parts BY REVENUE and BY QUANTITY — the
+    top-weighted ranking-agreement metric that Kendall/Spearman
+    (all-pairs, depth-blind) and plain overlap@k (order-blind) both
+    miss; the eval primitive for comparing retrieval/recommender
+    rankings. p = 1/2 makes every geometric weight dyadic, and the
+    whole score is integer-scaled by D = 2^20·lcm(1..20) so
+    rbo_scaled = Σ_d |S_d ∩ T_d|·(D div (d·2^d)) is an exact BIGINT
+    on both engines. Rankings are deterministic ((metric DESC, pk)
+    order over exact integer aggregates); per-depth intersections
+    run on ≤20-element arrays inside codegen — O(k²) work per brand,
+    data shuffled once for the (brand, part) aggregate."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pt = spark.read.parquet(f"{sf_dir}/part.parquet")
+    from pyspark.sql import Window
+
+    agg = (
+        li.join(pt, li["l_partkey"] == pt["p_partkey"])
+        .groupBy(F.col("p_brand").alias("brand"), F.col("l_partkey").alias("pk"))
+        .agg(
+            F.sum((F.col("l_extendedprice").cast("decimal(30,2)") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("rev"),
+            F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("qty"),
+        )
+        .cache()
+    )
+    wa = Window.partitionBy("brand").orderBy(F.col("rev").desc(), F.col("pk").asc())
+    wb = Window.partitionBy("brand").orderBy(F.col("qty").desc(), F.col("pk").asc())
+    la = (
+        agg.withColumn("r", F.row_number().over(wa))
+        .where("r <= 20")
+        .groupBy("brand")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("r", "pk"))), lambda s: s["pk"]
+            ).alias("la")
+        )
+    )
+    lb = (
+        agg.withColumn("r", F.row_number().over(wb))
+        .where("r <= 20")
+        .groupBy("brand")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("r", "pk"))), lambda s: s["pk"]
+            ).alias("lb")
+        )
+    )
+    w_arr = F.array(*[F.lit(w).cast("bigint") for w in _RBO_W])
+    lists = la.join(lb, "brand")
+    rbo = F.aggregate(
+        F.sequence(F.lit(1), F.lit(20)),
+        F.lit(0).cast("bigint"),
+        lambda acc, d: acc
+        + F.size(
+            F.array_intersect(
+                F.slice(F.col("la"), 1, d), F.slice(F.col("lb"), 1, d)
+            )
+        ).cast("bigint")
+        * F.element_at(w_arr, d.cast("int")),
+    )
+    return lists.select(
+        "brand",
+        rbo.alias("rbo_scaled"),
+        F.size(F.array_intersect(F.col("la"), F.col("lb")))
+        .cast("bigint")
+        .alias("overlap_20"),
+    )

@@ -181,3 +181,60 @@ class TestJenksBreaks:
             (2, 7, 7, 1),
             (3, 9, 9, 1),
         ]
+
+
+class TestRboWeights:
+    def test_weights_are_exact_and_sum_to_truncated_series(self):
+        """w_d = D/(d*2^d) exactly, and identical lists score
+        D*(1 - 2^-20) (the truncated geometric series)."""
+        from math import gcd
+        from functools import reduce
+
+        from dpe_energy_performance_analysis_etl_spark.plans.queries import _RBO_D, _RBO_W
+
+        L = reduce(lambda a, b: a * b // gcd(a, b), range(1, 21))
+        assert _RBO_D == (1 << 20) * L
+        for d, w in enumerate(_RBO_W, 1):
+            assert _RBO_D % (d * (1 << d)) == 0
+            assert w == _RBO_D // (d * (1 << d))
+        # identical lists: overlap_d = d at every depth
+        assert sum(d * w for d, w in enumerate(_RBO_W, 1)) == _RBO_D - (
+            _RBO_D >> 20
+        )
+
+    def test_rbo_hand_cases(self, spark):
+        """Identical / disjoint / head-swapped rankings behave as the
+        metric demands: identical = max, disjoint = 0, and agreement
+        at the head outweighs the same agreement at the tail."""
+        from pyspark.sql import functions as F
+
+        from dpe_energy_performance_analysis_etl_spark.plans.queries import _RBO_D, _RBO_W
+
+        w_arr = F.array(*[F.lit(w).cast("bigint") for w in _RBO_W])
+
+        def rbo(la, lb):
+            return F.aggregate(
+                F.sequence(F.lit(1), F.lit(20)),
+                F.lit(0).cast("bigint"),
+                lambda acc, d: acc
+                + F.size(
+                    F.array_intersect(F.slice(la, 1, d), F.slice(lb, 1, d))
+                ).cast("bigint")
+                * F.element_at(w_arr, d.cast("int")),
+            )
+
+        a = list(range(1, 21))
+        cases = [
+            (a, a),                        # identical
+            (a, list(range(100, 120))),    # disjoint
+            (a, [2, 1] + a[2:]),           # head swap (depth-1 miss only)
+            (a, a[:18] + [19, 100]),       # tail miss
+        ]
+        df = spark.createDataFrame(cases, "la array<bigint>, lb array<bigint>")
+        got = [r["s"] for r in df.select(rbo(F.col("la"), F.col("lb")).alias("s")).collect()]
+        assert got[0] == _RBO_D - (_RBO_D >> 20)
+        assert got[1] == 0
+        # head swap loses exactly w_1 (depth-1 overlap 0 vs 1)
+        assert got[0] - got[2] == _RBO_W[0]
+        # a tail miss costs less than a head miss
+        assert got[0] > got[3] > got[2]
