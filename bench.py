@@ -85,6 +85,15 @@ HEADLINE = [
     "ktruss_parts_graph",
     "dbscan_customer_sites",
     "jaro_winkler_part_names",
+    # round-7 additions: the peel-argmax iterative graph family, the
+    # two-pass exact-rank conformal/normalization recipes, nested-DP
+    # codegen alignment, multi-level Apriori, and exact-integer RBO
+    "densest_subgraph_parts",
+    "conformal_interval_orders",
+    "smith_waterman_events",
+    "apriori_triples_brands",
+    "rbo_rankings_brands",
+    "quantile_normalize_doclen",
 ]
 
 

@@ -419,3 +419,77 @@ def grouped_kth_smallest(
         .select(group_col, F.col(value_col).alias("kth_value"))
     )
     return out
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Quantile normalization across groups (Bolstad et al.,
+    Bioinformatics 2003 — the microarray method, here the curation
+    tool that makes quality/length scores COMPARABLE across corpus
+    sources whose raw distributions differ): each row's value is
+    replaced by the GLOBAL distribution's value at the row's
+    within-group quantile, so every group's normalized distribution
+    is (a subsample of) the same global one, and cross-source
+    thresholds mean the same thing everywhere.
+
+    Exactness discipline — everything rank-based, no interpolation:
+    within-group rank r of n_g maps to the midpoint quantile
+    (2r−1)/(2n_g), realized as the global order statistic at
+    idx = ⌈(2r−1)·N / (2n_g)⌉ (exact integer ceiling division;
+    idx ∈ [1, N] for every r, and a singleton group maps to the
+    global median). Both rank passes avoid skew traps: the GLOBAL
+    ranking uses the repartitionByRange + per-partition row_number +
+    bounded-offset-table recipe (`equi_depth_bins`' two-pass
+    minimum), never an unpartitioned window; the per-GROUP rank is a
+    (group)-partitioned window — the caller's group cardinality is
+    the usual skew knob. The idx lookup is a plain equi-join on the
+    global rank.
+
+    Returns df's (group, tiebreak, value) plus ``qn_value``.
+    """
+    order = [F.col(value_col).asc(), F.col(tiebreak_col).asc()]
+    ranged = (
+        df.select(group_col, value_col, tiebreak_col)
+        .repartitionByRange(*order)
+        .withColumn("_pid", F.spark_partition_id())
+        .cache()
+    )
+    sizes = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offs = sizes.select(
+        "_pid",
+        F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).cast("bigint").alias("_off"),
+        F.sum("_cnt").over(w_all).cast("bigint").alias("_n"),
+    )
+    w_loc = Window.partitionBy("_pid").orderBy(*order)
+    ranked = (
+        ranged.withColumn("_lrn", F.row_number().over(w_loc).cast("bigint"))
+        .join(F.broadcast(offs), "_pid")
+        .withColumn("_grank", F.col("_off") + F.col("_lrn"))
+        .cache()
+    )
+    wg = Window.partitionBy(group_col).orderBy(*order)
+    grp = (
+        ranked.withColumn("_gr", F.row_number().over(wg).cast("bigint"))
+        .withColumn(
+            "_ng",
+            F.count(F.lit(1)).over(Window.partitionBy(group_col)).cast("bigint"),
+        )
+        .withColumn(
+            "_idx",
+            F.expr("((2 * _gr - 1) * _n + 2 * _ng - 1) div (2 * _ng)"),
+        )
+    )
+    ref = ranked.select(
+        F.col("_grank").alias("_idx"), F.col(value_col).alias("qn_value")
+    )
+    return grp.join(ref, "_idx").select(
+        group_col, tiebreak_col, value_col, "qn_value"
+    )

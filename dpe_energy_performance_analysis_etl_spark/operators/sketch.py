@@ -387,3 +387,23 @@ def kmv_set_ops(
         )
         .alias("inter_est"),
     )
+
+
+def cms_inner_product(s1: DataFrame, s2: DataFrame) -> DataFrame:
+    """Join-size (inner-product) estimate from two CMS sketches
+    (Cormode & Muthukrishnan's §4.2 estimator, J.Algorithms 2005):
+    for each hash row r, Σ_cell a[r,c]·b[r,c] ≥ Σ_k f_A(k)·f_B(k),
+    and the estimate is the MIN over rows — the planner's "how big
+    is this join" question answered from two ≤ depth×width sketches
+    without touching either table again. Always an OVERestimate
+    (collisions only add mass); error ≤ e/width · F1(A)·F1(B) per
+    the paper. Equi-join on (row, cell), then a depth-row min —
+    nothing data-sized.
+
+    Returns one row: (est,).
+    """
+    j = s1.alias("a").join(s2.alias("b"), ["row", "cell"])
+    per_row = j.groupBy("row").agg(
+        F.sum(F.col("a.cnt") * F.col("b.cnt")).cast("bigint").alias("dot")
+    )
+    return per_row.agg(F.min("dot").cast("bigint").alias("est"))

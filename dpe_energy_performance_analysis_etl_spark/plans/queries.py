@@ -14044,3 +14044,297 @@ def rbo_rankings_brands_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("overlap_20"),
     )
+
+
+# =====================================================================
+# Round 7, wave 10: quantile normalization across sources
+# =====================================================================
+
+@register(
+    "quantile_normalize_doclen",
+    """
+    WITH g AS MATERIALIZED (
+      SELECT source, doc_id, n_chars,
+             CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+               AS grank,
+             CAST(row_number() OVER (PARTITION BY source
+               ORDER BY n_chars, doc_id) AS BIGINT) AS gr,
+             CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS ng,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n
+      FROM documents
+    )
+    SELECT a.source, CAST(a.doc_id AS BIGINT) AS doc_id,
+           CAST(a.n_chars AS BIGINT) AS n_chars,
+           CAST(b.n_chars AS BIGINT) AS qn_value
+    FROM (SELECT source, doc_id, n_chars,
+                 ((2 * gr - 1) * n + 2 * ng - 1) // (2 * ng) AS idx
+          FROM g) a
+    JOIN (SELECT grank, n_chars FROM g) b ON a.idx = b.grank
+    """,
+)
+def quantile_normalize_doclen_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of document lengths across sources
+    (operators/quantiles.py quantile_normalize — Bolstad et al. 2003
+    applied to corpus curation): every doc's n_chars is replaced by
+    the GLOBAL length distribution's order statistic at the doc's
+    within-source midpoint quantile ⌈(2r−1)N / 2n_g⌉, making one
+    length threshold mean the same thing in every source regardless
+    of how skewed each source's raw lengths are. All rank-based —
+    no interpolation, engine-exact; the Spark global ranking is the
+    repartitionByRange two-pass recipe (the oracle's flat window is
+    the sf0.01 shortcut, the operator's plan is the 100 TB one)."""
+    from dpe_energy_performance_analysis_etl_spark.operators.quantiles import (
+        quantile_normalize,
+    )
+
+    docs = read_documents(spark, sf_dir).select("source", "doc_id", "n_chars")
+    out = quantile_normalize(docs, "source", "n_chars", "doc_id")
+    return out.select(
+        "source",
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.col("qn_value").cast("bigint").alias("qn_value"),
+    )
+
+
+# =====================================================================
+# Round 7, wave 11: CMS join-size estimate, walk-forward CV splits,
+# k-anonymity audit
+# =====================================================================
+
+@register(
+    "cms_join_size_estimate",
+    """
+    WITH lk AS (
+      SELECT CAST(l_orderkey AS VARCHAR) AS k FROM lineitem
+    ), ok AS (
+      SELECT CAST(o_orderkey AS VARCHAR) AS k FROM orders
+    ), lh AS MATERIALIZED (
+      SELECT list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(regexp_extract_all(k, '.'),
+                                c -> CAST(ascii(c) AS BIGINT))),
+               (acc, x) -> (acc * 131 + x) % 1000000000000000
+             ) % 999999937 AS hp
+      FROM lk
+    ), oh AS MATERIALIZED (
+      SELECT list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(regexp_extract_all(k, '.'),
+                                c -> CAST(ascii(c) AS BIGINT))),
+               (acc, x) -> (acc * 131 + x) % 1000000000000000
+             ) % 999999937 AS hp
+      FROM ok
+    ), ls AS MATERIALIZED (
+      SELECT row, cell, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        SELECT 0 AS row, ((31 * hp + 7) % 999999937) % 65536 AS cell FROM lh
+        UNION ALL SELECT 1, ((37 * hp + 11) % 999999937) % 65536 FROM lh
+        UNION ALL SELECT 2, ((41 * hp + 13) % 999999937) % 65536 FROM lh
+      ) GROUP BY 1, 2
+    ), os AS MATERIALIZED (
+      SELECT row, cell, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        SELECT 0 AS row, ((31 * hp + 7) % 999999937) % 65536 AS cell FROM oh
+        UNION ALL SELECT 1, ((37 * hp + 11) % 999999937) % 65536 FROM oh
+        UNION ALL SELECT 2, ((41 * hp + 13) % 999999937) % 65536 FROM oh
+      ) GROUP BY 1, 2
+    ), est AS (
+      SELECT CAST(MIN(dot) AS BIGINT) AS est FROM (
+        SELECT ls.row, SUM(ls.cnt * os.cnt) AS dot
+        FROM ls JOIN os ON ls.row = os.row AND ls.cell = os.cell
+        GROUP BY ls.row
+      )
+    ), exact AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS exact
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    )
+    SELECT est.est, exact.exact,
+           CAST((est.est - exact.exact) * 1000000 // exact.exact AS BIGINT)
+             AS over_ppm
+    FROM est, exact
+    """,
+)
+def cms_join_size_estimate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from two Count-Min sketches
+    (operators/sketch.py cms_inner_product — Cormode-Muthukrishnan
+    §4.2): |lineitem ⋈ orders| estimated as the min-over-rows sketch
+    dot product, beside the exact join count and the overestimate in
+    ppm — the planner-style "how big is this join" primitive that
+    needs only two ≤ 3×512-cell sketches, mergeable across
+    partitions/batches like every sketch in this repo. CM inner
+    products only OVERestimate (collisions add mass) — the oracle
+    certifies est, exact, and the gap bit-for-bit."""
+    from dpe_energy_performance_analysis_etl_spark.operators.sketch import (
+        cms_build,
+        cms_inner_product,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_orderkey").cast("string").alias("k")
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").cast("string").alias("k")
+    )
+    # width sized for the inner-product bound e/w * F1(L) * F1(O): at
+    # 512 the uniform 15k-key FK join is CM's worst case (measured 28x
+    # overestimate); 65536 cells bring the certified bound to ~1.6x
+    # while the sketch stays 3 x 64Ki rows - mergeable and tiny. Size
+    # w ~ e * F1A * F1B / (eps * J) for a target relative error.
+    est = cms_inner_product(
+        cms_build(li, "k", width=65536), cms_build(o, "k", width=65536)
+    )
+    li2 = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o2 = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    exact = (
+        li2.join(o2, li2["l_orderkey"] == o2["o_orderkey"])
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact"))
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "est",
+        "exact",
+        F.expr("CAST((est - exact) * 1000000 div exact AS BIGINT)").alias(
+            "over_ppm"
+        ),
+    )
+
+
+@register(
+    "walk_forward_splits_orders",
+    """
+    WITH m AS MATERIALIZED (
+      SELECT CAST(date_diff('month', DATE '1992-01-01',
+                            CAST(o_orderdate AS DATE)) AS BIGINT) AS mo
+      FROM orders
+    ), span AS MATERIALIZED (
+      SELECT CAST(MIN(mo) AS BIGINT) AS mn, CAST(MAX(mo) AS BIGINT) AS mx
+      FROM m
+    ), folds AS MATERIALIZED (
+      SELECT f, (SELECT mn FROM span)
+                + ((SELECT mx FROM span) - (SELECT mn FROM span)) * f // 6
+                AS train_end
+      FROM (SELECT unnest([1, 2, 3, 4]) AS f)
+    )
+    SELECT CAST(f AS BIGINT) AS fold, train_end,
+           train_end + 2 AS test_start,
+           LEAST(train_end + 7, (SELECT mx FROM span)) AS test_end,
+           CAST((SELECT COUNT(*) FROM m WHERE mo <= train_end) AS BIGINT)
+             AS n_train,
+           CAST((SELECT COUNT(*) FROM m
+                 WHERE mo BETWEEN train_end + 2
+                   AND LEAST(train_end + 7, (SELECT mx FROM span)))
+                AS BIGINT) AS n_test
+    FROM folds
+    """,
+)
+def walk_forward_splits_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walk-forward (expanding-window) cross-validation splits with a
+    purge embargo — the time-series CV discipline (de Prado 2018's
+    purged K-fold, walk-forward flavor) that random K-fold violates
+    by leaking future into train: 4 folds with train_end at
+    min + span·f/6 (anchored to the DATA's month range — a 1992
+    epoch anchor left fold 1 empty on this corpus, caught by
+    inspection), ONE embargoed month (orders placed in it belong
+    to neither side — label horizons overlap the boundary), then a
+    6-month test window. All boundaries are exact integer month
+    arithmetic from a single data-derived scalar; the per-fold
+    train/test counts are conditional aggregates over ONE pass of
+    the month column (no per-fold scans at scale — the fold table
+    is 4 rows, broadcast)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    m = o.select(
+        F.months_between(
+            F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+        )
+        .cast("bigint")
+        .alias("mo")
+    ).cache()
+    mn, mx = m.agg(F.min("mo"), F.max("mo")).collect()[0]
+    folds = spark.createDataFrame(
+        [
+            (
+                f,
+                mn + (mx - mn) * f // 6,
+                mn + (mx - mn) * f // 6 + 2,
+                min(mn + (mx - mn) * f // 6 + 7, mx),
+            )
+            for f in range(1, 5)
+        ],
+        "fold bigint, train_end bigint, test_start bigint, test_end bigint",
+    )
+    counts = m.crossJoin(F.broadcast(folds)).groupBy(
+        "fold", "train_end", "test_start", "test_end"
+    ).agg(
+        F.sum((F.col("mo") <= F.col("train_end")).cast("int"))
+        .cast("bigint")
+        .alias("n_train"),
+        F.sum(
+            (
+                (F.col("mo") >= F.col("test_start"))
+                & (F.col("mo") <= F.col("test_end"))
+            ).cast("int")
+        )
+        .cast("bigint")
+        .alias("n_test"),
+    )
+    return counts
+
+
+@register(
+    "k_anonymity_audit_customers",
+    """
+    WITH qi AS MATERIALIZED (
+      SELECT c_nationkey AS nat, c_mktsegment AS seg,
+             CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) // 100000 AS balb,
+             CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS sens
+      FROM customer
+    ), grp AS MATERIALIZED (
+      SELECT nat, seg, balb, CAST(COUNT(*) AS BIGINT) AS sz,
+             CAST(COUNT(DISTINCT sens) AS BIGINT) AS l_div
+      FROM qi GROUP BY 1, 2, 3
+    )
+    SELECT CAST(k.k AS BIGINT) AS k,
+           CAST(SUM(CASE WHEN sz < k.k THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating_groups,
+           CAST(SUM(CASE WHEN sz < k.k THEN sz ELSE 0 END) AS BIGINT)
+             AS rows_at_risk,
+           CAST(MIN(sz) AS BIGINT) AS min_group_size,
+           CAST(MIN(l_div) AS BIGINT) AS min_l_diversity
+    FROM grp CROSS JOIN (SELECT unnest([2, 5, 10, 25]) AS k) k
+    GROUP BY k.k
+    """,
+)
+def k_anonymity_audit_customers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala
+    et al. 2007) of the customer table under the quasi-identifier
+    (nation, segment, $1000-balance-bucket) with exact balance cents
+    as the sensitive attribute — the privacy-risk report that
+    belongs beside pseudonymize_pii/pii_redact: for each re-id
+    threshold k ∈ {2,5,10,25}, how many QI groups are smaller than k
+    and how many ROWS those groups expose, plus the global minimum
+    group size and minimum l-diversity. One (QI)-keyed aggregation
+    pass; the per-k report is a 4-row broadcast cross over the
+    bounded group table."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    cents = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("bigint")
+    qi = cust.select(
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+        F.expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) div 100000").alias(
+            "balb"
+        ),
+        cents.alias("sens"),
+    )
+    grp = qi.groupBy("nat", "seg", "balb").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz"),
+        F.count_distinct("sens").cast("bigint").alias("l_div"),
+    )
+    ks = spark.createDataFrame([(2,), (5,), (10,), (25,)], "k bigint")
+    return grp.crossJoin(F.broadcast(ks)).groupBy("k").agg(
+        F.sum(F.when(F.col("sz") < F.col("k"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_violating_groups"),
+        F.sum(F.when(F.col("sz") < F.col("k"), F.col("sz")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_at_risk"),
+        F.min("sz").cast("bigint").alias("min_group_size"),
+        F.min("l_div").cast("bigint").alias("min_l_diversity"),
+    )

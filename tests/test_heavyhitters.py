@@ -67,3 +67,43 @@ def test_merge_matches_whole_in_exact_regime(spark):
     s2 = mg_partials(_df(spark, ZIPF[half:]), "item", k).groupBy("item").sum("cnt").withColumnRenamed("sum(cnt)", "cnt")
     merged = {r["item"]: r["cnt"] for r in mg_merge(mg_compress(s1, k), mg_compress(s2, k), k).collect()}
     assert merged == dict(Counter(ZIPF))
+
+
+class TestCmsInnerProduct:
+    def test_overestimates_and_exact_when_collision_free(self, spark):
+        from dpe_energy_performance_analysis_etl_spark.operators.sketch import (
+            cms_build,
+            cms_inner_product,
+        )
+
+        # few distinct items in a wide sketch: collision-free, so the
+        # estimate is EXACTLY the true inner product
+        a = spark.createDataFrame(
+            [("x",)] * 5 + [("y",)] * 3 + [("z",)] * 2, "k string"
+        )
+        b = spark.createDataFrame([("x",)] * 4 + [("y",)] * 6, "k string")
+        est = cms_inner_product(cms_build(a, "k"), cms_build(b, "k")).collect()[0][
+            "est"
+        ]
+        assert est == 5 * 4 + 3 * 6  # 38
+
+    def test_never_underestimates(self, spark):
+        from pyspark.sql import functions as F
+
+        from dpe_energy_performance_analysis_etl_spark.operators.sketch import (
+            cms_build,
+            cms_inner_product,
+        )
+
+        a = spark.range(2000).select((F.col("id") % 700).cast("string").alias("k"))
+        b = spark.range(1500).select((F.col("id") % 500).cast("string").alias("k"))
+        exact = (
+            a.groupBy("k").count().withColumnRenamed("count", "ca")
+            .join(b.groupBy("k").count().withColumnRenamed("count", "cb"), "k")
+            .agg(F.sum(F.col("ca") * F.col("cb")))
+            .collect()[0][0]
+        )
+        est = cms_inner_product(
+            cms_build(a, "k", width=64), cms_build(b, "k", width=64)
+        ).collect()[0]["est"]
+        assert est >= exact  # collisions only ADD mass
