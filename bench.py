@@ -107,9 +107,12 @@ def _latest_prior_record() -> dict | None:
         return None
     paths.sort(key=lambda p: int(re.search(r"r(\d+)\.json$", p).group(1)))
     try:
-        return json.load(open(paths[-1]))
+        rec = json.load(open(paths[-1]))
     except Exception:  # noqa: BLE001
         return None
+    # the driver wraps the bench's JSON line under "parsed" (with the
+    # raw tail beside it) — unwrap; a bare record passes through
+    return rec.get("parsed", rec)
 
 
 def _drift_check(
