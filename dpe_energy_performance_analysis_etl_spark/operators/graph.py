@@ -1290,9 +1290,19 @@ def densest_subgraph(
         )
 
     def stats(ed: DataFrame) -> tuple[int, int]:
-        # two bounded scalar pulls per round (the convergence probe
-        # doubles as the density bookkeeping) over the cached table
-        return degrees(ed).count(), ed.count()
+        # ONE bounded scalar pull per round (the convergence probe
+        # doubles as the density bookkeeping) over the cached table:
+        # |V| = distinct exploded endpoints, 2|E| = exploded rows —
+        # fused into a single aggregation job (was two actions/round)
+        row = (
+            ed.select(F.explode(F.array("a", "b")).alias("v"))
+            .agg(
+                F.count_distinct("v").cast("bigint").alias("nv"),
+                (F.count(F.lit(1)) / 2).cast("bigint").alias("ne"),
+            )
+            .collect()[0]
+        )
+        return int(row["nv"]), int(row["ne"])
 
     best_key = -1
     best_round = -1

@@ -493,3 +493,68 @@ def quantile_normalize(
     return grp.join(ref, "_idx").select(
         group_col, tiebreak_col, value_col, "qn_value"
     )
+
+
+def grouped_running_totals(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    sum_cols: list[str],
+) -> DataFrame:
+    """Per-group EXCLUSIVE running totals of ``sum_cols`` in
+    ``order_col`` order — the skew-safe prefix-sum primitive behind
+    rank statistics (Mann-Whitney, Gini/Lorenz): a
+    `PARTITION BY group ORDER BY order` window sorts each group on
+    one executor (the audit's skew trap once groups are data-sized);
+    this is the same repartitionByRange + per-partition window +
+    bounded offset recipe as ``grouped_kth_smallest``, generalized
+    from ranks to arbitrary additive columns. ``order_col`` values
+    must be UNIQUE within a group (pre-aggregate to distinct keys —
+    which is also what makes the offset table bounded).
+
+    Returns df's columns plus ``{c}_before`` for each sum column.
+    """
+    order = [F.col(group_col).asc(), F.col(order_col).asc()]
+    ranged = (
+        df.repartitionByRange(*order)
+        .withColumn("_pid", F.spark_partition_id())
+        .cache()
+    )
+    sizes = ranged.groupBy("_pid", group_col).agg(
+        *[F.sum(c).cast("bigint").alias(f"_t_{c}") for c in sum_cols]
+    )
+    w_off = (
+        Window.partitionBy(group_col)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = sizes.select(
+        "_pid",
+        group_col,
+        *[
+            F.coalesce(F.sum(f"_t_{c}").over(w_off), F.lit(0))
+            .cast("bigint")
+            .alias(f"_o_{c}")
+            for c in sum_cols
+        ],
+    )
+    w_loc = (
+        Window.partitionBy("_pid", group_col)
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = ranged.select(
+        "*",
+        *[
+            F.coalesce(F.sum(c).over(w_loc), F.lit(0))
+            .cast("bigint")
+            .alias(f"_l_{c}")
+            for c in sum_cols
+        ],
+    )
+    out = local.join(F.broadcast(offs), ["_pid", group_col])
+    for c in sum_cols:
+        out = out.withColumn(f"{c}_before", F.col(f"_o_{c}") + F.col(f"_l_{c}"))
+    return out.drop(
+        "_pid", *[f"_l_{c}" for c in sum_cols], *[f"_o_{c}" for c in sum_cols]
+    )

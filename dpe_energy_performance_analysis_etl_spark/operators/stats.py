@@ -1340,3 +1340,79 @@ def conformal_qhat(
     return ks.join(kth, group_col, "left").select(
         group_col, "n_cal", "k", "qhat"
     )
+
+
+def mann_whitney_u(
+    df,
+    group_col: str,
+    side_col: str,
+    value_col: str,
+):
+    """Mann-Whitney U (Wilcoxon rank-sum) two-sample test per group —
+    the UNPAIRED counterpart of the grouped Wilcoxon signed-rank
+    UDAF, and unlike it fully inside codegen with EXACT integer rank
+    sums (so it sits behind the value-hash gate): are sample-1's
+    values stochastically larger than sample-2's?
+
+    Tie-exact integer ranks: mid-ranks are half-integers, so the
+    engine carries DOUBLED ranks — for a tie block of ``cnt`` equal
+    values after ``cnt_before`` smaller ones, every tied row's
+    doubled mid-rank is 2·cnt_before + cnt + 1 (an integer).
+    R1·2 = Σ cnt1·rank2 over distinct values; U1·2 = R1·2 − n1(n1+1);
+    U2·2 = 2n1n2 − U1·2. The normal approximation
+    z = (U1·2 − n1n2)/√(n1n2(n+1)/3) is one fixed-order double
+    expression per OUTPUT row (engine-exact); the tie-correction
+    term is omitted (documented — it shrinks |z| slightly when ties
+    are heavy). Groups with an empty side return z NULL.
+
+    Scale shape: one (group, value) aggregation, then the
+    ``grouped_running_totals`` range-partition recipe for the
+    per-group prefix counts — no PARTITION BY group sort window, so
+    data-sized groups cannot pin an executor.
+
+    Returns (group, n1, n2, u1_x2, u2_x2, z).
+    """
+    from pyspark.sql import functions as F
+
+    from dpe_energy_performance_analysis_etl_spark.operators.quantiles import (
+        grouped_running_totals,
+    )
+
+    vals = df.groupBy(
+        F.col(group_col).alias("g"), F.col(value_col).alias("v")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum(F.col(side_col).cast("int")).cast("bigint").alias("cnt1"),
+    )
+    pre = grouped_running_totals(vals, "g", "v", ["cnt"])
+    per = pre.groupBy("g").agg(
+        F.sum("cnt1").cast("bigint").alias("n1"),
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum(
+            F.col("cnt1") * (2 * F.col("cnt_before") + F.col("cnt") + 1)
+        )
+        .cast("bigint")
+        .alias("r1x2"),
+    )
+    out = per.select(
+        F.col("g").alias(group_col),
+        "n1",
+        (F.col("n") - F.col("n1")).alias("n2"),
+        (F.col("r1x2") - F.col("n1") * (F.col("n1") + 1)).alias("u1_x2"),
+        (
+            2 * F.col("n1") * (F.col("n") - F.col("n1"))
+            - (F.col("r1x2") - F.col("n1") * (F.col("n1") + 1))
+        ).alias("u2_x2"),
+    )
+    z = F.when(
+        (F.col("n1") == 0) | (F.col("n2") == 0), F.lit(None).cast("double")
+    ).otherwise(
+        (F.col("u1_x2") - F.col("n1") * F.col("n2")).cast("double")
+        / F.sqrt(
+            (F.col("n1") * F.col("n2") * (F.col("n1") + F.col("n2") + 1)).cast(
+                "double"
+            )
+            / F.lit(3.0)
+        )
+    )
+    return out.withColumn("z", z)

@@ -14338,3 +14338,186 @@ def k_anonymity_audit_customers_q(spark: SparkSession, sf_dir: str) -> DataFrame
         F.min("sz").cast("bigint").alias("min_group_size"),
         F.min("l_div").cast("bigint").alias("min_l_diversity"),
     )
+
+
+# =====================================================================
+# Round 7, wave 12: Mann-Whitney U rank-sum test
+# =====================================================================
+
+@register(
+    "mann_whitney_priority_nations",
+    """
+    WITH pool AS MATERIALIZED (
+      SELECT c.c_nationkey AS g,
+             CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+             CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS s
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE o.o_orderpriority IN ('1-URGENT', '5-LOW')
+    ), vals AS MATERIALIZED (
+      SELECT g, v, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(s) AS BIGINT) AS cnt1
+      FROM pool GROUP BY g, v
+    ), pre AS MATERIALIZED (
+      SELECT g, v, cnt, cnt1,
+             CAST(COALESCE(SUM(cnt) OVER (PARTITION BY g ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cnt_before
+      FROM vals
+    ), per AS MATERIALIZED (
+      SELECT g, CAST(SUM(cnt1) AS BIGINT) AS n1,
+             CAST(SUM(cnt) AS BIGINT) AS n,
+             CAST(SUM(cnt1 * (2 * cnt_before + cnt + 1)) AS BIGINT) AS r1x2
+      FROM pre GROUP BY g
+    )
+    SELECT CAST(g AS BIGINT) AS c_nationkey, n1, n - n1 AS n2,
+           r1x2 - n1 * (n1 + 1) AS u1_x2,
+           2 * n1 * (n - n1) - (r1x2 - n1 * (n1 + 1)) AS u2_x2,
+           CASE WHEN n1 = 0 OR n = n1 THEN NULL
+                ELSE CAST(r1x2 - n1 * (n1 + 1) - n1 * (n - n1) AS DOUBLE)
+                     / sqrt(CAST(n1 * (n - n1) * (n + 1) AS DOUBLE) / 3.0e0)
+           END AS z
+    FROM per
+    """,
+)
+def mann_whitney_priority_nations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U per customer nation (operators/stats.py
+    mann_whitney_u): do URGENT orders run stochastically larger
+    totals than LOW ones? The unpaired rank-sum counterpart of the
+    grouped Wilcoxon UDAF — and unlike it, pure codegen with exact
+    integer DOUBLED mid-ranks (2·cnt_before + cnt + 1 per tie
+    block), so the statistic itself is oracle-hashable; only the
+    final z is a fixed-order per-row double. The per-group prefix
+    counts come from the grouped_running_totals range-partition
+    recipe (the oracle's PARTITION BY window is the sf0.01
+    shortcut); tie correction omitted, documented."""
+    from dpe_energy_performance_analysis_etl_spark.operators.stats import (
+        mann_whitney_u,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    pool = (
+        o.where(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            F.col("c_nationkey"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("cents"),
+            (F.col("o_orderpriority") == "1-URGENT").alias("urgent"),
+        )
+    )
+    out = mann_whitney_u(pool, "c_nationkey", "urgent", "cents")
+    return out.select(
+        F.col("c_nationkey").cast("bigint").alias("c_nationkey"),
+        "n1",
+        "n2",
+        "u1_x2",
+        "u2_x2",
+        "z",
+    )
+
+
+# =====================================================================
+# Round 7, wave 13: market concentration (Gini + Herfindahl)
+# =====================================================================
+
+@register(
+    "concentration_supplier_nations",
+    """
+    WITH rev AS MATERIALIZED (
+      SELECT s.s_nationkey AS g, l.l_suppkey AS sk,
+             CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(30,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS r
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1, 2
+    ), pre AS MATERIALIZED (
+      SELECT g, r,
+             CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(COALESCE(SUM(COUNT(*)) OVER (PARTITION BY g ORDER BY r
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cnt_before,
+             CAST(SUM(SUM(CAST(r AS HUGEINT) * r)) OVER (PARTITION BY g)
+               AS HUGEINT) AS sum_r2,
+             CAST(SUM(SUM(r)) OVER (PARTITION BY g) AS BIGINT) AS s_tot,
+             CAST(SUM(COUNT(*)) OVER (PARTITION BY g) AS BIGINT) AS n
+      FROM rev GROUP BY g, r
+    ), agg AS MATERIALIZED (
+      SELECT g, MAX(n) AS n, MAX(s_tot) AS s_tot, MAX(sum_r2) AS sum_r2,
+             CAST(SUM(CAST(r AS HUGEINT)
+                      * (2 * cnt * cnt_before + cnt * cnt + cnt))
+                  AS HUGEINT) AS two_sum_ix
+      FROM pre GROUP BY g
+    )
+    SELECT CAST(g AS BIGINT) AS s_nationkey, CAST(n AS BIGINT) AS n_suppliers,
+           s_tot AS total_cents,
+           CAST((two_sum_ix - CAST(n + 1 AS HUGEINT) * s_tot) * 1000000
+                // (CAST(n AS HUGEINT) * s_tot) AS BIGINT) AS gini_ppm,
+           CAST(sum_r2 * 1000000
+                // (CAST(s_tot AS HUGEINT) * s_tot) AS BIGINT) AS hhi_ppm
+    FROM agg
+    """,
+)
+def concentration_supplier_nations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-concentration report per supplier nation: the Gini
+    coefficient (Lorenz-curve inequality of supplier revenues, exact
+    rational via G = (2Σᵢ i·xᵢ − (n+1)Σx)/(n·Σx) with the tie-block
+    identity 2Σ i·xᵢ = Σ_v v·(2·cnt·cnt_before + cnt² + cnt) — rank
+    order among equal values provably cancels) and the Herfindahl-
+    Hirschman index (Σ shareᵢ² = Σ rᵢ²/(Σr)²), both in exact ppm.
+    Squares of cent totals exceed int64, so the wide intermediates
+    run in DECIMAL(38,0) on Spark and HUGEINT on DuckDB — both exact
+    to 10³⁸. Prefix counts use grouped_running_totals' range-
+    partition recipe (the oracle's PARTITION BY window is the
+    sf0.01 shortcut); one (nation, supplier) aggregation is the
+    data-sized pass."""
+    from dpe_energy_performance_analysis_etl_spark.operators.quantiles import (
+        grouped_running_totals,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    su = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    rev = (
+        li.join(su, li["l_suppkey"] == su["s_suppkey"])
+        .groupBy(F.col("s_nationkey").alias("g"), F.col("l_suppkey").alias("sk"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice").cast("decimal(30,2)") * 100).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("r")
+        )
+    )
+    vals = rev.groupBy("g", "r").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    pre = grouped_running_totals(vals, "g", "r", ["cnt"])
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    agg = pre.groupBy("g").agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum(F.col("r") * F.col("cnt")).cast("bigint").alias("s_tot"),
+        F.sum(dec("r") * dec("r") * dec("cnt")).alias("sum_r2"),
+        F.sum(
+            dec("r")
+            * (
+                2 * dec("cnt") * dec("cnt_before")
+                + dec("cnt") * dec("cnt")
+                + dec("cnt")
+            )
+        ).alias("two_sum_ix"),
+    )
+    return agg.select(
+        F.col("g").cast("bigint").alias("s_nationkey"),
+        F.col("n").alias("n_suppliers"),
+        F.col("s_tot").alias("total_cents"),
+        F.expr(
+            "CAST((two_sum_ix - CAST(n + 1 AS DECIMAL(38,0))"
+            " * CAST(s_tot AS DECIMAL(38,0))) * 1000000"
+            " div (CAST(n AS DECIMAL(38,0)) * CAST(s_tot AS DECIMAL(38,0)))"
+            " AS BIGINT)"
+        ).alias("gini_ppm"),
+        F.expr(
+            "CAST(sum_r2 * 1000000 div (CAST(s_tot AS DECIMAL(38,0))"
+            " * CAST(s_tot AS DECIMAL(38,0))) AS BIGINT)"
+        ).alias("hhi_ppm"),
+    )

@@ -273,3 +273,91 @@ class TestConformalQhat:
         got = conformal_qhat(df, "g", "s", alpha_num=1, alpha_den=10).collect()
         # k = ceil(3 * 0.9) = 3 > n_cal = 2 -> no certifiable radius
         assert got[0]["k"] == 3 and got[0]["qhat"] is None
+
+
+class TestMannWhitneyU:
+    def test_hand_case_with_ties(self, spark):
+        """x=[1,2,3] vs y=[2,3,4]: mid-ranks 1, 2.5, 2.5, 4.5, 4.5, 6
+        -> R1=8, U1=2, U2=7 (doubled: 4 and 14)."""
+        from dpe_energy_performance_analysis_etl_spark.operators.stats import mann_whitney_u
+
+        rows = [("g", True, 1), ("g", True, 2), ("g", True, 3),
+                ("g", False, 2), ("g", False, 3), ("g", False, 4)]
+        df = spark.createDataFrame(rows, "g string, s boolean, v long")
+        r = mann_whitney_u(df, "g", "s", "v").collect()[0]
+        assert (r["n1"], r["n2"]) == (3, 3)
+        assert (r["u1_x2"], r["u2_x2"]) == (4, 14)
+        # z = (U1 - n1n2/2)/sqrt(n1n2(n+1)/12) = (2-4.5)/sqrt(5.25)
+        import math
+        assert abs(r["z"] - (2 - 4.5) / math.sqrt(9 * 7 / 12)) < 1e-12
+
+    def test_identical_distributions_z_near_zero(self, spark):
+        from dpe_energy_performance_analysis_etl_spark.operators.stats import mann_whitney_u
+
+        rows = [("g", i % 2 == 0, i % 37) for i in range(2000)]
+        df = spark.createDataFrame(rows, "g string, s boolean, v long")
+        r = mann_whitney_u(df, "g", "s", "v").collect()[0]
+        assert abs(r["z"]) < 1.0
+
+    def test_empty_side_null_z(self, spark):
+        from dpe_energy_performance_analysis_etl_spark.operators.stats import mann_whitney_u
+
+        df = spark.createDataFrame([("g", True, 1), ("g", True, 2)], "g string, s boolean, v long")
+        r = mann_whitney_u(df, "g", "s", "v").collect()[0]
+        assert r["z"] is None and r["n2"] == 0
+
+
+class TestConcentrationFormulas:
+    def test_gini_hhi_against_python_reference(self, spark):
+        """The tie-block identity 2*sum(i*x_i) = sum_v v*(2*cnt*before
+        + cnt^2 + cnt) must reproduce the textbook sorted-rank Gini,
+        and HHI the share-square sum — checked on a skewed fixture
+        via the same query pipeline on a tiny DataFrame."""
+        import itertools
+
+        from pyspark.sql import functions as F
+
+        from dpe_energy_performance_analysis_etl_spark.operators.quantiles import (
+            grouped_running_totals,
+        )
+
+        xs = [10, 10, 20, 500, 40, 10, 900, 20]
+        n, S = len(xs), sum(xs)
+        sx = sorted(xs)
+        gini = ((2 * sum(i * x for i, x in enumerate(sx, 1)) - (n + 1) * S)
+                * 10**6) // (n * S)
+        hhi = (sum(x * x for x in xs) * 10**6) // (S * S)
+
+        df = spark.createDataFrame([("g", x) for x in xs], "g string, r long")
+        vals = df.groupBy("g", "r").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        pre = grouped_running_totals(vals, "g", "r", ["cnt"])
+        dec = lambda c: F.col(c).cast("decimal(38,0)")
+        agg = pre.groupBy("g").agg(
+            F.sum("cnt").cast("bigint").alias("n"),
+            F.sum(F.col("r") * F.col("cnt")).cast("bigint").alias("s_tot"),
+            F.sum(dec("r") * dec("r") * dec("cnt")).alias("sum_r2"),
+            F.sum(dec("r") * (2 * dec("cnt") * dec("cnt_before")
+                              + dec("cnt") * dec("cnt") + dec("cnt"))).alias("two_sum_ix"),
+        )
+        row = agg.selectExpr(
+            "CAST((two_sum_ix - CAST(n + 1 AS DECIMAL(38,0)) * CAST(s_tot AS DECIMAL(38,0)))"
+            " * 1000000 div (CAST(n AS DECIMAL(38,0)) * CAST(s_tot AS DECIMAL(38,0))) AS BIGINT) AS g",
+            "CAST(sum_r2 * 1000000 div (CAST(s_tot AS DECIMAL(38,0)) * CAST(s_tot AS DECIMAL(38,0))) AS BIGINT) AS h",
+        ).collect()[0]
+        assert row["g"] == gini
+        assert row["h"] == hhi
+
+    def test_gini_extremes(self, spark):
+        """All-equal -> 0; one-holder -> (n-1)/n."""
+        from pyspark.sql import functions as F
+
+        from dpe_energy_performance_analysis_etl_spark.plans.queries import (
+            concentration_supplier_nations_q,  # noqa: F401  (import sanity)
+        )
+        # formula-level check in python ints
+        for xs, expect in [([5, 5, 5, 5], 0), ([0, 0, 0, 100], 750000)]:
+            n, S = len(xs), sum(xs)
+            sx = sorted(xs)
+            g = ((2 * sum(i * x for i, x in enumerate(sx, 1)) - (n + 1) * S)
+                 * 10**6) // (n * S)
+            assert g == expect
