@@ -1058,3 +1058,96 @@ def holt_winters_fitted(
         + ")) AS z"
     ).selectExpr("z.`0` AS t", "CAST(NULL AS BIGINT) AS y", "z.`1` AS fitted")
     return fitted.unionByName(fc)
+
+
+def shapley_attribution(
+    events: DataFrame,
+    conv_type: str = "purchase",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """EXACT Shapley-value channel attribution (Shapley 1953; the
+    coalition-game sibling of `markov_attribution`'s removal
+    effects): channel i's credit is
+
+        φᵢ = Σ_{S ∌ i} |S|!·(n−1−|S|)!/n! · (v(S∪{i}) − v(S))
+
+    with the data-derived characteristic function v(S) = number of
+    converting users whose pre-conversion channel-exposure set is
+    CONTAINED in S — the standard coalition reading of "how many
+    conversions could S alone have carried".
+
+    Exactness and scale (the Markov/Bradley-Terry discipline): one
+    data-sized pass reduces events to per-converter exposure
+    BITMASKS and aggregates to ≤ 2ⁿ (mask, count) rows; subset sums,
+    marginals and factorial weights run driver-side in exact Python
+    integers. φ is returned ×n! (``phi_x_fact``) so no division ever
+    happens — Σ phi_x_fact = n!·(v(full) − v(∅)) exactly, and the
+    unrolled SQL twin replays every coalition bit-for-bit. Intended
+    for n ≤ ~12 channels (2ⁿ coalition table) — the regime marketing
+    attribution actually runs at.
+
+    Returns (channel, phi_x_fact, fact_scale, conversions).
+    """
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(order_tiebreak).asc()
+    )
+    r = events.select(
+        F.col(user_col).alias("u"),
+        F.col(type_col).alias("et"),
+        F.row_number().over(w).alias("rk"),
+    )
+    conv = (
+        r.where(F.col("et") == conv_type)
+        .groupBy("u")
+        .agg(F.min("rk").alias("crk"))
+    )
+    channels = sorted(
+        row["et"]
+        for row in r.select("et").distinct().collect()
+        if row["et"] != conv_type
+    )  # bounded: the channel alphabet
+    bit = {ch: 1 << i for i, ch in enumerate(channels)}
+    n = len(channels)
+    bit_expr = F.create_map(
+        *[x for ch in channels for x in (F.lit(ch), F.lit(bit[ch]))]
+    )
+    exposure = (
+        conv.join(r, "u", "left")
+        .where((F.col("rk") < F.col("crk")) & (F.col("et") != conv_type))
+        .groupBy("u")
+        .agg(F.sum_distinct(bit_expr[F.col("et")]).alias("mask"))
+    )
+    # converters with NO prior channel events fall out of the join —
+    # re-attach them at mask 0
+    masks = (
+        conv.join(exposure, "u", "left")
+        .select(F.coalesce("mask", F.lit(0)).alias("mask"))
+        .groupBy("mask")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )  # bounded: <= 2^n rows
+    counts = {int(row["mask"]): int(row["c"]) for row in masks}
+
+    from math import factorial
+
+    v = [0] * (1 << n)
+    for s in range(1 << n):
+        v[s] = sum(c for m, c in counts.items() if m & s == m)
+    rows = []
+    for ch in channels:
+        b = bit[ch]
+        phi = 0
+        for s in range(1 << n):
+            if s & b:
+                continue
+            k = bin(s).count("1")
+            phi += factorial(k) * factorial(n - 1 - k) * (v[s | b] - v[s])
+        rows.append((ch, phi, factorial(n), v[(1 << n) - 1]))
+    return events.sparkSession.createDataFrame(
+        rows,
+        "channel string, phi_x_fact bigint, fact_scale bigint,"
+        " conversions bigint",
+    )

@@ -14521,3 +14521,76 @@ def concentration_supplier_nations_q(spark: SparkSession, sf_dir: str) -> DataFr
             " * CAST(s_tot AS DECIMAL(38,0))) AS BIGINT)"
         ).alias("hhi_ppm"),
     )
+
+
+# =====================================================================
+# Round 7, wave 14: exact Shapley attribution
+# =====================================================================
+
+@register(
+    "shapley_attribution_events",
+    """
+    WITH r AS MATERIALIZED (
+      SELECT user_id AS u, event_type AS et,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS rk
+      FROM events
+    ), conv AS MATERIALIZED (
+      SELECT u, MIN(rk) AS crk FROM r WHERE et = 'purchase' GROUP BY u
+    ), ch AS MATERIALIZED (
+      SELECT et, 1 << (CAST(dense_rank() OVER (ORDER BY et) AS INT) - 1)
+               AS bit
+      FROM (SELECT DISTINCT et FROM r WHERE et <> 'purchase')
+    ), nch AS MATERIALIZED (
+      SELECT CAST(COUNT(*) AS INT) AS n FROM ch
+    ), expo AS MATERIALIZED (
+      SELECT conv.u, CAST(COALESCE(SUM(DISTINCT ch.bit), 0) AS BIGINT) AS mask
+      FROM conv
+      LEFT JOIN r ON r.u = conv.u AND r.rk < conv.crk AND r.et <> 'purchase'
+      LEFT JOIN ch ON ch.et = r.et
+      GROUP BY conv.u
+    ), cnt AS MATERIALIZED (
+      SELECT mask, CAST(COUNT(*) AS BIGINT) AS c FROM expo GROUP BY mask
+    ), subsets AS MATERIALIZED (
+      SELECT CAST(unnest(range(0, 1 << (SELECT n FROM nch))) AS BIGINT) AS s
+    ), v AS MATERIALIZED (
+      SELECT subsets.s, CAST(COALESCE(SUM(cnt.c), 0) AS BIGINT) AS v
+      FROM subsets LEFT JOIN cnt ON (cnt.mask & subsets.s) = cnt.mask
+      GROUP BY subsets.s
+    ), fct AS MATERIALIZED (
+      SELECT [1, 1, 2, 6, 24, 120, 720, 5040, 40320, 362880] AS f
+    )
+    SELECT ch.et AS channel,
+           CAST(SUM(
+             (SELECT f FROM fct)[bit_count(s0.s) + 1]
+             * (SELECT f FROM fct)[(SELECT n FROM nch) - bit_count(s0.s)]
+             * (s1.v - s0.v)
+           ) AS BIGINT) AS phi_x_fact,
+           CAST((SELECT f FROM fct)[(SELECT n FROM nch) + 1] AS BIGINT)
+             AS fact_scale,
+           CAST((SELECT v FROM v
+                 WHERE s = (1 << (SELECT n FROM nch)) - 1) AS BIGINT)
+             AS conversions
+    FROM ch
+    JOIN v s0 ON (s0.s & ch.bit) = 0
+    JOIN v s1 ON s1.s = s0.s + ch.bit
+    GROUP BY ch.et
+    """,
+)
+def shapley_attribution_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Shapley-value conversion attribution across the four
+    non-purchase channels (operators/temporal.py shapley_attribution
+    — Shapley 1953, the coalition-game complement of
+    markov_attribution_events' removal effects): v(S) = converters
+    whose pre-purchase exposure set fits inside coalition S; φ
+    returned ×n! so the whole computation is division-free exact
+    integers. One data-sized pass to ≤2ⁿ exposure-mask counts; the
+    2ⁿ-coalition Shapley sum runs driver-side (Python ints) and the
+    oracle replays it relationally — subsets as a bitmask range,
+    containment as (mask & S) = mask, factorial weights from a
+    literal array."""
+    from dpe_energy_performance_analysis_etl_spark.operators.temporal import (
+        shapley_attribution,
+    )
+
+    return shapley_attribution(read_events(spark, sf_dir))

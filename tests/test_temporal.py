@@ -564,3 +564,43 @@ class TestHoltWinters:
         # seasonals to the offsets — forecasts repeat the pattern
         vals = [v for _, v in fc]
         assert vals[0] < vals[1] and vals[2] < vals[0] and vals[3] > vals[1]
+
+
+class TestShapleyAttribution:
+    def test_two_channel_hand_case(self, spark):
+        """Exposure sets {}x1, {a}x2, {b}x3, {a,b}x4 -> v = 1/3/4/10;
+        phi_a*2! = (v(a)-v({})) + (v(ab)-v(b)) = 2+6 = 8,
+        phi_b*2! = 3+7 = 10; sum = 2!*(v(full)-v(empty)) = 18."""
+        import datetime as dt
+
+        from dpe_energy_performance_analysis_etl_spark.operators.temporal import (
+            shapley_attribution,
+        )
+
+        rows = []
+        eid = 0
+
+        def add(u, et, minute):
+            nonlocal eid
+            eid += 1
+            rows.append((u, et, dt.datetime(2024, 1, 1, 0, minute), eid))
+
+        add(1, "purchase", 5)
+        for u in (2, 3):
+            add(u, "a", 1); add(u, "purchase", 5)
+        for u in (4, 5, 6):
+            add(u, "b", 1); add(u, "purchase", 5)
+        for u in (7, 8, 9, 10):
+            add(u, "a", 1); add(u, "b", 2); add(u, "purchase", 5)
+        # one non-converter: exposure must not count
+        add(11, "a", 1); add(11, "b", 2)
+        df = spark.createDataFrame(
+            rows, "user_id long, event_type string, ts timestamp, event_id long"
+        )
+        got = {r["channel"]: r for r in shapley_attribution(df).collect()}
+        assert got["a"]["phi_x_fact"] == 8
+        assert got["b"]["phi_x_fact"] == 10
+        assert got["a"]["fact_scale"] == 2
+        assert got["a"]["conversions"] == 10
+        # efficiency axiom: sum phi = n! * (v(full) - v(empty))
+        assert sum(r["phi_x_fact"] for r in got.values()) == 2 * (10 - 1)
