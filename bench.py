@@ -130,16 +130,43 @@ def _drift_check(
     for name, sec in timings.items():
         if name not in prev_q:
             continue
+        # Raw floor: below ~1 s a query's cost is the fixed scheduling
+        # floor (stages + actions), which does NOT scale with the CPU
+        # throughput the calib measures — normalizing it manufactures
+        # drift in both directions (measured: a host calib swing of
+        # 0.12→1.15 within one hour flagged 25/38 queries, all
+        # sub-second ones spurious). Same structural reason iterative
+        # stage-latency-bound queries mis-normalize (NOTES round 7).
+        if max(sec, prev_q[name]) < 1.0:
+            continue
         prev_u = prev_q[name] / prev_calib
         cur_u = sec / calib
-        if prev_u > 0 and abs(cur_u / prev_u - 1) > 0.30:
+        if prev_u <= 0:
+            continue
+        unit_move = cur_u / prev_u - 1
+        raw_move = sec / prev_q[name] - 1
+        # A real regression/improvement moves RAW seconds and
+        # calib-normalized units >30% in the SAME direction. A calib
+        # sample that is itself the outlier (measured 0.12→1.15 within
+        # one hour on this host) moves units opposite to (or without)
+        # raw — suppressed here rather than wasting a solo re-measure
+        # on arithmetic artifacts.
+        if (
+            abs(unit_move) > 0.30
+            and abs(raw_move) > 0.30
+            and unit_move * raw_move > 0
+        ):
             flagged.append((name, prev_u, cur_u))
     out: dict[str, dict] = {}
     for name, prev_u, cur_u in flagged:
         spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        spark.range(100_000_000).selectExpr("sum(id * 2 + 1)").collect()
-        solo_calib = time.perf_counter() - t0
+        # calib itself is noisy on this host — min-of-3 samples
+        solo_calib = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            spark.range(100_000_000).selectExpr("sum(id * 2 + 1)").collect()
+            s = time.perf_counter() - t0
+            solo_calib = s if solo_calib is None else min(solo_calib, s)
         fn = QUERIES[name]
         runs = []
         try:
