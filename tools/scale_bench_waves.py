@@ -60,6 +60,14 @@ QUERIES_TO_SCALE = [
     "apriori_triples_brands",
     "fs_em_customers",
     "blocklist_phrase_match_docs",
+    "rbo_rankings_brands",
+    "quantile_normalize_doclen",
+    "cms_join_size_estimate",
+    "walk_forward_splits_orders",
+    "k_anonymity_audit_customers",
+    "mann_whitney_priority_nations",
+    "concentration_supplier_nations",
+    "shapley_attribution_events",
 ]
 
 SF_DIRS = [
