@@ -136,57 +136,86 @@ from dpe_energy_performance_analysis_etl_spark.plans import QUERIES, ORACLE_SQL 
 # relations, rolling median, and decayed heavy users — all
 # oracle-backed, all green at sf0.01 under tools/check_queries.py
 # before rotation.
+# Round-8 rotation (VERDICT r7 asks #1 and #4, drawn MECHANICALLY from
+# tools/driver_ledger.py with the new per-group pressure metric in
+# tools/family_groups.py): ALL fifty r7 slots were recorded green in
+# CORRECTNESS_r07.json (and r4-r6 before it for most), so every one is
+# "recorded-green redundant" in the ledger sense — the whole window
+# rotates to never-recorded, oracle-backed families to retire the
+# backlog at the maximum rate (159 never-recorded after r7; 109 after
+# this window records). The 50 are:
+#   * the sixteen round-7 families VERDICT r7 ask #1 names
+#     (densest subgraph ... shapley attribution);
+#   * the nineteen never-recorded TPC-H queries as the themed block
+#     ask #4a requests (q2, q4, q6-q22; q1/q3/q5 are multi-round
+#     recorded) — the highest-external-validity rows the record lacks;
+#   * fifteen more chosen by the per-group ledger metric: ≥1 from
+#     language-model (the ONLY family group with zero recorded members
+#     before this round — kneser_ney_bigrams), then the groups with the
+#     deepest never-recorded backlogs: statistics (bootstrap CI,
+#     Benford, Cohen's kappa), text-curation (Flesch, unigram LM),
+#     packing/splits (time-embargo split, DSIR), sequence analytics
+#     (transition matrix, user paths), retrieval (inverted index,
+#     RAKE), temporal (cohort retention), privacy (l-diversity), and
+#     graph (clustering coefficient).
+# Every displaced family keeps its green history in the ledger (the
+# record is cumulative — rotation does not erase rows), and the judge's
+# full-registry re-run still covers all 295. All 50 carry DuckDB
+# oracles and scalar-only output schemas (test_front50_contract.py).
 _FRONT_50 = [
-    "q1_pricing_summary",
-    "filter_project",
-    "percentile_iqr",
-    "count_distinct_agg",
-    "pagerank_supplier_graph",
-    "join_inner_broadcast",
-    "ring_shard_moves",
-    "join_anti_new_rows",
-    "iblt_set_reconcile",
-    "q5_regional_revenue",
-    "allen_relations_sessions",
-    "dtw_user_value_series",
-    "emd_price_drift",
-    "window_running_sum",
-    "roc_auc_by_priority",
-    "nelson_aalen_orders",
-    "scalar_functions",
-    "jaro_winkler_part_names",
-    "markov_attribution_events",
-    "jenks_breaks_totalprice",
-    "gsp_event_sequences",
-    "asof_join_events",
-    "decayed_heavy_users",
-    "time_weighted_avg",
-    "rolling_median_revenue",
-    "text_quality",
-    "dedup_exact_groups",
-    "ngram_jaccard_capped",
-    "textrank_keywords_docs",
-    "ransac_line_custkeys",
-    "sq8_recall_embeddings",
-    "hll_distinct_orders",
-    "kmeans_lloyd_portable",
-    "naive_bayes_status_gate",
-    "holt_linear_revenue",
-    "gopher_repetition",
-    "decontaminate_overlap",
-    "isotonic_urgent_rate",
-    "coverage_select_docs",
-    "dbscan_customer_sites",
-    "geohash_cells_customers",
-    "heavy_hitters_tokens",
-    "scd2_customer_segments",
-    "cdc_apply_changelog",
-    "bm25_topk_docs",
-    "record_linkage_fs",
-    "encoding_advisor_lineitem",
-    "bpe_pair_stats",
-    "als_rank1_factors",
-    "expectations_orders",
+    # -- the sixteen r7 families (VERDICT r7 ask #1) --
+    "densest_subgraph_parts",
+    "conformal_interval_orders",
+    "smith_waterman_events",
+    "bradley_terry_events",
+    "holt_winters_revenue",
+    "apriori_triples_brands",
+    "fs_em_customers",
+    "blocklist_phrase_match_docs",
+    "rbo_rankings_brands",
+    "quantile_normalize_doclen",
+    "cms_join_size_estimate",
+    "walk_forward_splits_orders",
+    "k_anonymity_audit_customers",
+    "mann_whitney_priority_nations",
+    "concentration_supplier_nations",
+    "shapley_attribution_events",
+    # -- the never-recorded TPC-H block (VERDICT r7 ask #4a) --
+    "q2_min_cost_supplier",
+    "q4_priority_exists",
+    "q6_forecast_revenue",
+    "q7_nation_pair_revenue",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q10_returned_revenue",
+    "q11_important_parts",
+    "q12_priority_case_sum",
+    "q13_customer_distribution",
+    "q14_promo_ratio",
+    "q15_top_supplier",
+    "q16_supplier_part_count",
+    "q17_small_quantity_revenue",
+    "q18_large_orders_having",
+    "q19_or_of_ands",
+    "q20_part_suppliers",
+    "q21_waiting_suppliers",
+    "q22_balance_subquery",
+    # -- per-group backlog picks (VERDICT r7 ask #4b ledger metric) --
+    "kneser_ney_bigrams",
+    "bootstrap_mean_ci",
+    "benford_digit_audit",
+    "cohens_kappa_raters",
+    "flesch_readability_docs",
+    "unigram_lm_quality",
+    "time_embargo_split_events",
+    "dsir_importance_scores",
+    "event_transition_matrix",
+    "user_event_paths",
+    "inverted_index_postings",
+    "rake_keywords_docs",
+    "cohort_retention",
+    "l_diversity_customers",
+    "clustering_coeff_parts",
 ]
 
 

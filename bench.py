@@ -97,17 +97,36 @@ HEADLINE = [
 ]
 
 
-def _latest_prior_record() -> dict | None:
-    """Most recent BENCH_r*.json beside this file, or None."""
+def _latest_prior_record(here: str | None = None) -> dict | None:
+    """Most recent PRIOR BENCH_r*.json beside this file, or None.
+
+    Robustness (ADVICE r7): paths whose suffix is non-numeric are
+    skipped rather than crashing the drift check, and the in-progress
+    round's own record is excluded — set ``SPARK_GRAFT_CURRENT_ROUND``
+    (the driver's round number) to filter out any record with that
+    round number or higher; otherwise a re-run after the driver has
+    already written BENCH_r{N}.json would compare the run to itself
+    and report zero drift by construction.
+    """
     import glob
 
-    here = os.path.dirname(os.path.abspath(__file__))
-    paths = glob.glob(os.path.join(here, "BENCH_r*.json"))
-    if not paths:
+    here = here or os.path.dirname(os.path.abspath(__file__))
+    cur_env = os.environ.get("SPARK_GRAFT_CURRENT_ROUND", "")
+    cur_round = int(cur_env) if cur_env.isdigit() else None
+    numbered: list[tuple[int, str]] = []
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"r(\d+)\.json$", p)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        if cur_round is not None and rnd >= cur_round:
+            continue
+        numbered.append((rnd, p))
+    if not numbered:
         return None
-    paths.sort(key=lambda p: int(re.search(r"r(\d+)\.json$", p).group(1)))
+    numbered.sort()
     try:
-        rec = json.load(open(paths[-1]))
+        rec = json.load(open(numbered[-1][1]))
     except Exception:  # noqa: BLE001
         return None
     # the driver wraps the bench's JSON line under "parsed" (with the
@@ -115,21 +134,23 @@ def _latest_prior_record() -> dict | None:
     return rec.get("parsed", rec)
 
 
-def _drift_check(
-    spark, sf_dir: str, timings: dict[str, float], calib: float
-) -> dict[str, dict]:
-    """Flag >30% calib-normalized movement vs the prior round record
-    and solo-re-measure each flagged query with a FRESH calib sample
-    (the NOTES drift rule, mechanized)."""
-    prior = _latest_prior_record()
-    if not prior or not prior.get("calib_sec") or not calib:
-        return {}
-    prev_q = prior.get("queries", {})
-    prev_calib = prior["calib_sec"]
-    flagged = []
+def _drift_flags(
+    timings: dict[str, float],
+    prev_q: dict[str, float],
+    prev_calib: float,
+    calib: float,
+) -> list[tuple[str, float, float, str]]:
+    """Pure flag selection (unit-testable): returns
+    (name, prev_units, cur_units, mode) per flagged query, where mode
+    'units' means the calib-normalized rule fired and 'raw' means the
+    sub-second raw-doubling rule fired (r7 verdict ask #3)."""
+    flagged: list[tuple[str, float, float, str]] = []
     for name, sec in timings.items():
-        if name not in prev_q:
+        if name not in prev_q or prev_q[name] <= 0:
             continue
+        prev_u = prev_q[name] / prev_calib
+        cur_u = sec / calib
+        raw_move = sec / prev_q[name] - 1
         # Raw floor: below ~1 s a query's cost is the fixed scheduling
         # floor (stages + actions), which does NOT scale with the CPU
         # throughput the calib measures — normalizing it manufactures
@@ -137,14 +158,18 @@ def _drift_check(
         # 0.12→1.15 within one hour flagged 25/38 queries, all
         # sub-second ones spurious). Same structural reason iterative
         # stage-latency-bound queries mis-normalize (NOTES round 7).
+        # BUT (r7 verdict ask #3): the floor made a genuine 2× raw
+        # regression invisible (cramers_v doubled raw under it) — a
+        # raw DOUBLING (either direction) now flags regardless of
+        # magnitude, and its solo verdict compares RAW seconds per the
+        # CLAUDE.md scheduling-floor rule, not calib units.
         if max(sec, prev_q[name]) < 1.0:
+            if raw_move >= 1.0 or raw_move <= -0.5:
+                flagged.append((name, prev_u, cur_u, "raw"))
             continue
-        prev_u = prev_q[name] / prev_calib
-        cur_u = sec / calib
         if prev_u <= 0:
             continue
         unit_move = cur_u / prev_u - 1
-        raw_move = sec / prev_q[name] - 1
         # A real regression/improvement moves RAW seconds and
         # calib-normalized units >30% in the SAME direction. A calib
         # sample that is itself the outlier (measured 0.12→1.15 within
@@ -156,9 +181,25 @@ def _drift_check(
             and abs(raw_move) > 0.30
             and unit_move * raw_move > 0
         ):
-            flagged.append((name, prev_u, cur_u))
+            flagged.append((name, prev_u, cur_u, "units"))
+    return flagged
+
+
+def _drift_check(
+    spark, sf_dir: str, timings: dict[str, float], calib: float
+) -> dict[str, dict]:
+    """Flag >30% calib-normalized movement vs the prior round record
+    (or a raw doubling in the sub-second class) and solo-re-measure
+    each flagged query with a FRESH calib sample (the NOTES drift
+    rule, mechanized)."""
+    prior = _latest_prior_record()
+    if not prior or not prior.get("calib_sec") or not calib:
+        return {}
+    prev_q = prior.get("queries", {})
+    prev_calib = prior["calib_sec"]
+    flagged = _drift_flags(timings, prev_q, prev_calib, calib)
     out: dict[str, dict] = {}
-    for name, prev_u, cur_u in flagged:
+    for name, prev_u, cur_u, mode in flagged:
         spark.catalog.clearCache()
         # calib itself is noisy on this host — min-of-3 samples
         solo_calib = None
@@ -177,17 +218,27 @@ def _drift_check(
         except Exception:  # noqa: BLE001
             continue
         solo_u = min(runs) / solo_calib
-        verdict = "noise" if abs(solo_u / prev_u - 1) <= 0.30 else "reproduced"
+        if mode == "raw":
+            # Scheduling-floor class: calib units are structurally
+            # invalid here — the verdict compares solo RAW seconds to
+            # the prior round's raw (CLAUDE.md rule).
+            solo_raw_move = min(runs) / prev_q[name] - 1
+            verdict = "noise" if abs(solo_raw_move) <= 0.50 else "reproduced"
+        else:
+            verdict = (
+                "noise" if abs(solo_u / prev_u - 1) <= 0.30 else "reproduced"
+            )
         out[name] = {
             "prev_units": round(prev_u, 2),
             "units": round(cur_u, 2),
             "solo_units": round(solo_u, 2),
             "solo_sec": round(min(runs), 3),
             "solo_calib_sec": round(solo_calib, 3),
+            "flag_mode": mode,
             "verdict": verdict,
         }
         print(
-            f"bench drift: {name} {prev_u:.2f} -> {cur_u:.2f} units; "
+            f"bench drift [{mode}]: {name} {prev_u:.2f} -> {cur_u:.2f} units; "
             f"solo re-measure {solo_u:.2f} -> {verdict}",
             file=sys.stderr,
         )

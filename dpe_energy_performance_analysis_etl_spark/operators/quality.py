@@ -203,6 +203,36 @@ def l_diversity_violations(
     )
 
 
+def l_diversity_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l: int = 3,
+    bottom: int = 10,
+) -> DataFrame:
+    """Bottom-``bottom`` LEAST-diverse quasi-groups with a violates-l
+    flag — the audit view of :func:`l_diversity_violations` that stays
+    informative when no group actually violates (on well-mixed data the
+    violations set is empty, which tells an auditor nothing about how
+    close the margins are; the r8 driver-row lesson: a 0-row green
+    record checks nothing). Deterministic total order: (l_diversity,
+    quasi cols) — the quasi tuple is unique per group, so the limit is
+    tie-stable across engines. One groupBy + one bounded sort."""
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("group_size"),
+            F.countDistinct(sensitive_col).cast("bigint").alias("l_diversity"),
+        )
+        .withColumn(
+            "violates_l",
+            F.when(F.col("l_diversity") < l, F.lit(1)).otherwise(F.lit(0)).cast("bigint"),
+        )
+        .orderBy("l_diversity", *quasi_cols)
+        .limit(bottom)
+    )
+
+
 # Benford first-digit probabilities log10(1 + 1/d) as literal doubles:
 # literals are bit-identical across engines, so no libm runs anywhere.
 BENFORD_P = [

@@ -367,6 +367,38 @@ def jenks_breaks_binned(
     return out
 
 
+# Cache residency for the rank primitives (ADVICE r7): each of
+# grouped_kth_smallest / quantile_normalize / grouped_running_totals
+# caches a `ranged` (and `ranked`) intermediate that the returned lazy
+# plan consumes 2-3 times — the cache cannot be dropped inside the
+# function (the caller has not materialized yet), but left alone it
+# accumulates executor storage across calls (conformal, Mann-Whitney
+# and concentration all route through these in one session). Policy:
+# ONE-GENERATION residency — entering any of the three primitives
+# unpersists the caches left by the PREVIOUS invocation (by then the
+# caller of that invocation has materialized its result), and
+# `clear_rank_caches()` drops the final generation explicitly. Callers
+# that interleave materialization of two successive outputs must
+# materialize the first before requesting the second (every in-repo
+# caller does).
+_RANK_CACHES: list[DataFrame] = []
+
+
+def clear_rank_caches() -> None:
+    """Unpersist the cached intermediates of the most recent rank-
+    primitive invocation (see module note)."""
+    while _RANK_CACHES:
+        try:
+            _RANK_CACHES.pop().unpersist()
+        except Exception:  # noqa: BLE001 — session already stopped
+            pass
+
+
+def _retire_then_track(*dfs: DataFrame) -> None:
+    clear_rank_caches()
+    _RANK_CACHES.extend(dfs)
+
+
 def grouped_kth_smallest(
     df: DataFrame,
     group_col: str,
@@ -397,6 +429,7 @@ def grouped_kth_smallest(
         .withColumn("_pid", F.spark_partition_id())
         .cache()
     )
+    _retire_then_track(ranged)
     sizes = ranged.groupBy("_pid", group_col).agg(F.count(F.lit(1)).alias("_cnt"))
     w_off = (
         Window.partitionBy(group_col)
@@ -459,6 +492,7 @@ def quantile_normalize(
         .cache()
     )
     sizes = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    # (ranked is tracked below together with ranged — one generation)
     w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     w_all = Window.orderBy("_pid").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
@@ -475,6 +509,7 @@ def quantile_normalize(
         .withColumn("_grank", F.col("_off") + F.col("_lrn"))
         .cache()
     )
+    _retire_then_track(ranged, ranked)
     wg = Window.partitionBy(group_col).orderBy(*order)
     grp = (
         ranked.withColumn("_gr", F.row_number().over(wg).cast("bigint"))
@@ -520,6 +555,7 @@ def grouped_running_totals(
         .withColumn("_pid", F.spark_partition_id())
         .cache()
     )
+    _retire_then_track(ranged)
     sizes = ranged.groupBy("_pid", group_col).agg(
         *[F.sum(c).cast("bigint").alias(f"_t_{c}") for c in sum_cols]
     )

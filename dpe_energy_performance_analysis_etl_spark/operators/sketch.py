@@ -401,9 +401,23 @@ def cms_inner_product(s1: DataFrame, s2: DataFrame) -> DataFrame:
     nothing data-sized.
 
     Returns one row: (est,).
+
+    Sparse-row dropout guard (ADVICE r7): the sketches are stored
+    sparsely, so a hash row whose cells are fully disjoint between the
+    two sketches has a TRUE dot of 0 — it must participate in the min
+    as 0, not vanish from the inner join (which would weaken the
+    min-over-rows estimator, and with fully disjoint inputs leave
+    ``est`` NULL instead of 0). Left-join the per-row dots against the
+    union of observed row ids and coalesce missing dots to 0.
     """
     j = s1.alias("a").join(s2.alias("b"), ["row", "cell"])
-    per_row = j.groupBy("row").agg(
+    dots = j.groupBy("row").agg(
         F.sum(F.col("a.cnt") * F.col("b.cnt")).cast("bigint").alias("dot")
     )
-    return per_row.agg(F.min("dot").cast("bigint").alias("est"))
+    rows = s1.select("row").union(s2.select("row")).distinct()
+    per_row = rows.join(dots, "row", "left").select(
+        F.coalesce(F.col("dot"), F.lit(0)).cast("bigint").alias("dot")
+    )
+    return per_row.agg(
+        F.coalesce(F.min("dot"), F.lit(0)).cast("bigint").alias("est")
+    )

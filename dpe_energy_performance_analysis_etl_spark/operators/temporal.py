@@ -984,8 +984,11 @@ def holt_winters_fitted(
     list_reduce (see the ``holt_winters_revenue`` oracle).
 
     Returns per tier t > m (t, y, fitted) plus ``horizon`` forecast
-    rows (y NULL). Needs at least m+1 tiers; fewer yields only
-    forecast rows extrapolated from the init state.
+    rows (y NULL). Needs at least m+1 tiers for fitted rows and at
+    least m tiers for forecast rows; with fewer than m tiers the init
+    state is incomplete (the seasonal buffer would be shorter than
+    one period), so BOTH branches yield no rows rather than indexing
+    past the state array (which aborts under ANSI — ADVICE r7).
     """
     m = period
     tiers = (
@@ -1040,7 +1043,11 @@ def holt_winters_fitted(
             f"CAST(element_at(st, CAST(i + 2 AS INT)) AS BIGINT) AS fitted",
         )
     )
-    fc = folded.selectExpr(
+    # Forecast needs the FULL init state: m seasonal slots + the last
+    # observed tier. With size(ys) < m the element_at(st, 3+(h-1)%m)
+    # and element_at(ts, size(ts)) lookups index past the state /
+    # an empty array and abort under ANSI — emit no forecast rows.
+    fc = folded.where(F.expr(f"size(ys) >= {m}")).selectExpr(
         *[
             f"CAST(element_at(ts, size(ts)) + {h} AS BIGINT) AS t{h}" for h in range(1, horizon + 1)
         ],

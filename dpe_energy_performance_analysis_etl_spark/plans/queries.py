@@ -7305,24 +7305,34 @@ def winnow_match_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_nationkey, c_mktsegment,
            CAST(COUNT(*) AS BIGINT) AS group_size,
-           CAST(COUNT(DISTINCT c_acctbal) AS BIGINT) AS l_diversity
+           CAST(COUNT(DISTINCT c_acctbal) AS BIGINT) AS l_diversity,
+           CAST(CASE WHEN COUNT(DISTINCT c_acctbal) < 3 THEN 1 ELSE 0 END
+                AS BIGINT) AS violates_l
     FROM customer
     GROUP BY 1, 2
-    HAVING COUNT(DISTINCT c_acctbal) < 3
+    ORDER BY l_diversity, c_nationkey, c_mktsegment
+    LIMIT 10
     """,
 )
 def l_diversity_customers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """l-diversity audit (operators/quality.py l_diversity_violations,
-    Machanavajjhala 2007): quasi-groups (nation, segment) whose
-    sensitive attribute (account balance) takes < 3 distinct values —
-    the leak k-anonymity alone misses (a 50-anonymous cohort sharing
-    one balance still discloses it). One groupBy + count_distinct."""
+    """l-diversity audit (operators/quality.py l_diversity_audit,
+    Machanavajjhala 2007): the ten LEAST-diverse quasi-groups
+    (nation, segment) by distinct sensitive values (account balance),
+    flagged against l=3 — the leak k-anonymity alone misses (a
+    50-anonymous cohort sharing one balance still discloses it).
+    Reported as a bottom-10 margin audit rather than a violations
+    filter so the row is non-trivial at every SF (on well-mixed data
+    the violations set is empty — a 0-row green driver record checks
+    nothing). Deterministic: the quasi tuple is unique per group, so
+    (l_diversity, nation, segment) is a total order."""
     from dpe_energy_performance_analysis_etl_spark.operators.quality import (
-        l_diversity_violations,
+        l_diversity_audit,
     )
 
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    return l_diversity_violations(cust, ["c_nationkey", "c_mktsegment"], "c_acctbal", l=3)
+    return l_diversity_audit(
+        cust, ["c_nationkey", "c_mktsegment"], "c_acctbal", l=3, bottom=10
+    )
 
 
 @register(

@@ -1,0 +1,91 @@
+"""Unit tests for the bench/scale harness logic patched per VERDICT r7
+ask #3 and ADVICE r7 — pure-Python, no SparkSession needed."""
+
+from __future__ import annotations
+
+import json
+
+import bench
+from tools.scale_bench_waves import compute_flags
+
+
+class TestLatestPriorRecord:
+    def test_skips_non_numeric_suffixes(self, tmp_path):
+        (tmp_path / "BENCH_rX.json").write_text("{}")
+        (tmp_path / "BENCH_r3.json").write_text(
+            json.dumps({"calib_sec": 0.3, "queries": {"a": 1.0}})
+        )
+        rec = bench._latest_prior_record(here=str(tmp_path))
+        assert rec == {"calib_sec": 0.3, "queries": {"a": 1.0}}
+
+    def test_excludes_current_round_and_later(self, tmp_path, monkeypatch):
+        for r, calib in [(6, 0.1), (7, 0.2), (8, 0.9)]:
+            (tmp_path / f"BENCH_r{r:02d}.json").write_text(
+                json.dumps({"calib_sec": calib, "queries": {}})
+            )
+        monkeypatch.setenv("SPARK_GRAFT_CURRENT_ROUND", "8")
+        rec = bench._latest_prior_record(here=str(tmp_path))
+        assert rec["calib_sec"] == 0.2  # r7, not the in-progress r8
+        monkeypatch.delenv("SPARK_GRAFT_CURRENT_ROUND")
+        rec = bench._latest_prior_record(here=str(tmp_path))
+        assert rec["calib_sec"] == 0.9  # unset env -> latest on disk
+
+    def test_unwraps_driver_parsed_envelope(self, tmp_path):
+        (tmp_path / "BENCH_r5.json").write_text(
+            json.dumps({"parsed": {"calib_sec": 0.5, "queries": {}}, "raw": "x"})
+        )
+        assert bench._latest_prior_record(here=str(tmp_path))["calib_sec"] == 0.5
+
+    def test_none_when_no_records(self, tmp_path):
+        assert bench._latest_prior_record(here=str(tmp_path)) is None
+
+
+class TestDriftFlags:
+    def test_subsecond_raw_doubling_flags_raw_mode(self):
+        # cramers_v class: 0.45 -> 0.95 s raw (>=2x) under the 1 s floor
+        flags = bench._drift_flags({"q": 0.95}, {"q": 0.45}, 0.3, 0.3)
+        assert [(n, m) for n, _, _, m in flags] == [("q", "raw")]
+
+    def test_subsecond_small_move_stays_suppressed(self):
+        flags = bench._drift_flags({"q": 0.7}, {"q": 0.5}, 0.3, 0.3)
+        assert flags == []
+
+    def test_subsecond_halving_flags_raw_mode(self):
+        flags = bench._drift_flags({"q": 0.2}, {"q": 0.6}, 0.3, 0.3)
+        assert [(n, m) for n, _, _, m in flags] == [("q", "raw")]
+
+    def test_units_rule_requires_same_direction(self):
+        # raw +40% but calib also grew 2x -> units SHRANK: opposite
+        # directions = calib-sample artifact, suppressed
+        assert bench._drift_flags({"q": 2.8}, {"q": 2.0}, 0.3, 0.9) == []
+        # raw +40% at matched calib -> units +40%: flagged as 'units'
+        flags = bench._drift_flags({"q": 2.8}, {"q": 2.0}, 0.3, 0.3)
+        assert [(n, m) for n, _, _, m in flags] == [("q", "units")]
+
+    def test_unknown_and_zero_prior_queries_skipped(self):
+        assert bench._drift_flags({"new": 5.0}, {"old": 1.0}, 0.3, 0.3) == []
+        assert bench._drift_flags({"q": 5.0}, {"q": 0.0}, 0.3, 0.3) == []
+
+
+class TestScaleFlags:
+    def test_small_baseline_any_shrink_flags(self):
+        q = {"f": {"sf0.1": {"sec": 1, "rows": 5}, "sf5": {"sec": 2, "rows": 2}}}
+        assert "row-count collapse" in compute_flags(q)["f"]
+
+    def test_small_baseline_stable_ok(self):
+        q = {"f": {"sf0.1": {"sec": 1, "rows": 4}, "sf5": {"sec": 2, "rows": 4}}}
+        assert compute_flags(q) == {}
+
+    def test_big_baseline_needs_halving(self):
+        q = {"f": {"sf0.1": {"sec": 1, "rows": 100}, "sf5": {"sec": 2, "rows": 60}}}
+        assert compute_flags(q) == {}
+        q["f"]["sf5"]["rows"] = 40
+        assert "row-count collapse" in compute_flags(q)["f"]
+
+    def test_empty_flags_unless_allowlisted(self, monkeypatch):
+        q = {"f": {"sf0.1": {"sec": 1, "rows": 0}}}
+        assert "empty output" in compute_flags(q)["f"]
+        import tools.scale_bench_waves as sbw
+
+        monkeypatch.setitem(sbw.ALLOW_EMPTY, "f", "test reason")
+        assert compute_flags(q) == {}

@@ -107,3 +107,21 @@ class TestCmsInnerProduct:
             cms_build(a, "k", width=64), cms_build(b, "k", width=64)
         ).collect()[0]["est"]
         assert est >= exact  # collisions only ADD mass
+
+    def test_disjoint_inputs_estimate_zero_not_null(self, spark):
+        """ADVICE r7: a hash row with zero overlapping cells must
+        participate in the min as 0 — fully-disjoint, collision-free
+        inputs estimate 0 (the true inner product), not NULL."""
+        from dpe_energy_performance_analysis_etl_spark.operators.sketch import (
+            cms_build,
+            cms_inner_product,
+        )
+
+        a = spark.createDataFrame([("a1",), ("a2",)], "k string")
+        b = spark.createDataFrame([("b1",), ("b2",)], "k string")
+        # wide sketch: 4 keys in width 4096 — vanishingly unlikely to
+        # collide in EVERY depth row; any collision-free row pins 0
+        row = cms_inner_product(
+            cms_build(a, "k", width=4096), cms_build(b, "k", width=4096)
+        ).collect()[0]
+        assert row["est"] == 0

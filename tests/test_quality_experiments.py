@@ -135,6 +135,23 @@ def test_l_diversity_catches_homogeneous_group(spark):
     assert (viol[0].country, viol[0].l_diversity) == ("US", 1)
 
 
+def test_l_diversity_audit_bottom_n_nonempty_on_clean_data(spark):
+    """The audit view reports the LEAST-diverse groups with a
+    violates flag even when no group violates — a 0-row green driver
+    record checks nothing (r8 front-50 lesson)."""
+    from dpe_energy_performance_analysis_etl_spark.operators.quality import l_diversity_audit
+
+    rows = [("US", "A", "flu")] * 50  # 1 distinct -> violates l=3
+    rows += [("FR", "B", f"dx{i % 5}") for i in range(50)]  # 5 distinct
+    rows += [("DE", "C", f"dx{i % 4}") for i in range(40)]  # 4 distinct
+    df = spark.createDataFrame(rows, "country string, seg string, diagnosis string")
+    got = l_diversity_audit(df, ["country", "seg"], "diagnosis", l=3, bottom=2).collect()
+    assert [(r.country, r.l_diversity, r.violates_l) for r in got] == [
+        ("US", 1, 1),
+        ("DE", 4, 0),
+    ]
+
+
 def test_fd_violation_report(spark):
     from dpe_energy_performance_analysis_etl_spark.operators.quality import fd_violation_report
 

@@ -565,6 +565,29 @@ class TestHoltWinters:
         vals = [v for _, v in fc]
         assert vals[0] < vals[1] and vals[2] < vals[0] and vals[3] > vals[1]
 
+    def test_fewer_tiers_than_period_yields_no_rows(self, spark):
+        """ADVICE r7: with < m tiers the init state is incomplete —
+        both branches return no rows instead of an ANSI array-index
+        abort (element_at past the state / on an empty ts array)."""
+        from dpe_energy_performance_analysis_etl_spark.operators.temporal import (
+            holt_winters_fitted,
+        )
+
+        df = spark.createDataFrame(
+            [(t, 100 + t) for t in range(5)], "t long, y long"
+        )
+        assert holt_winters_fitted(df, "t", "y", period=12, horizon=3).count() == 0
+        empty = spark.createDataFrame([], "t long, y long")
+        assert (
+            holt_winters_fitted(empty, "t", "y", period=12, horizon=3).count() == 0
+        )
+        # exactly m tiers: forecast rows only (fit needs t > m)
+        df_m = spark.createDataFrame(
+            [(t, 100 + t) for t in range(12)], "t long, y long"
+        )
+        got = holt_winters_fitted(df_m, "t", "y", period=12, horizon=3).collect()
+        assert len(got) == 3 and all(r["y"] is None for r in got)
+
 
 class TestShapleyAttribution:
     def test_two_channel_hand_case(self, spark):

@@ -1,0 +1,210 @@
+"""Family-group map for the driver-record ledger (VERDICT r7 ask #4b).
+
+Every registry query is assigned to exactly ONE family group so the
+ledger can show never-recorded counts PER GROUP (rotation pressure) and
+assert the round-8 done-condition: every family group has >= 1
+driver-recorded member. The map is explicit — a completeness check in
+``tools/driver_ledger.py`` fails if a new registry query is added
+without a group assignment here.
+
+Groups follow COVERAGE.md's sectioning: SURVEY §2 core families first,
+then the training-data-pipeline families from the build mandate.
+"""
+
+from __future__ import annotations
+
+FAMILY_GROUPS: dict[str, list[str]] = {
+    "tpch": [
+        "q1_pricing_summary", "q2_min_cost_supplier", "q3_shipping_priority",
+        "q4_priority_exists", "q5_regional_revenue", "q6_forecast_revenue",
+        "q7_nation_pair_revenue", "q8_market_share", "q9_product_type_profit",
+        "q10_returned_revenue", "q11_important_parts", "q12_priority_case_sum",
+        "q13_customer_distribution", "q14_promo_ratio", "q15_top_supplier",
+        "q16_supplier_part_count", "q17_small_quantity_revenue",
+        "q18_large_orders_having", "q19_or_of_ands", "q20_part_suppliers",
+        "q21_waiting_suppliers", "q22_balance_subquery",
+    ],
+    "relational": [
+        "filter_project", "distinct_values", "dedup_full_rows",
+        "dedup_keep_first", "union_pages", "except_set", "intersect_set",
+        "unpivot_melt", "unpivot_measures", "posexplode_embeddings",
+        "deterministic_sample", "range_lookup_order_tiers",
+        "dictionary_encode_priority", "sql_in_subquery",
+        "pareto_front_parts",
+    ],
+    "aggregation": [
+        "count_distinct_agg", "rollup_agg", "cube_agg", "pivot_agg",
+        "grouping_sets_sql", "conditional_agg_functions", "percentile_iqr",
+        "histogram_bins", "value_histogram", "column_profile",
+        "equi_depth_bins_price", "abc_classification_brands",
+    ],
+    "join": [
+        "join_inner_broadcast", "join_left_cast_keys", "join_anti_new_rows",
+        "join_semi_exists", "bloom_prune_join", "salted_join_supplier_revenue",
+    ],
+    "window": [
+        "window_rank_lag", "window_running_sum", "topk_per_group",
+        "window_range_frame", "window_analytics_extended",
+        "percent_of_total_window", "rolling_median_revenue",
+    ],
+    "scalar-functions": [
+        "scalar_functions", "date_functions", "string_functions",
+        "null_conditional_functions", "math_functions", "array_functions",
+        "json_extract_props", "json_struct_parse",
+    ],
+    "temporal": [
+        "events_tumbling_window", "events_sessionize", "events_hopping_window",
+        "events_session_window_native", "events_resample_gapfill",
+        "asof_join_events", "asof_join_forward_events", "range_join_events",
+        "time_weighted_avg", "interarrival_percentiles",
+        "interval_coverage_users", "allen_relations_sessions",
+        "month_over_month_revenue", "cohort_retention",
+    ],
+    "sequence-analytics": [
+        "funnel_stages", "user_event_paths", "event_transition_matrix",
+        "event_trigram_probs", "attribution_first_last",
+        "markov_attribution_events", "shapley_attribution_events",
+        "gsp_event_sequences", "low_value_runs", "smith_waterman_events",
+    ],
+    "text-quality-curation": [
+        "text_quality", "lang_id", "token_counts", "gopher_repetition",
+        "quality_filter_heuristic", "decontaminate_overlap", "c4_line_filter",
+        "html_strip_corpus", "flesch_readability_docs", "unigram_lm_quality",
+        "hashed_classifier_gate", "curation_funnel_docs",
+        "blocklist_phrase_match_docs", "distinct_n_docs", "vocab_growth_docs",
+        "compression_ratio_docs", "coverage_select_docs", "text_clean_corpus",
+        "chunk_documents", "domain_document_stats",
+    ],
+    "dedup": [
+        "doc_fingerprint", "dedup_exact_groups", "ngram_jaccard_pairs",
+        "ngram_jaccard_capped", "embedding_near_dup", "minhash_lsh_pairs",
+        "minhash_lsh_portable_pairs", "simhash_near_dups",
+        "simhash_portable_near_dups", "dedup_clusters_cc",
+        "cluster_canonical_survivors", "paragraph_dedup_corpus",
+        "semantic_dedup_survivors", "url_canonical_dedup",
+        "substring_dup_spans", "substring_dup_stats", "substring_dedup_clean",
+        "winnow_fingerprints_docs", "winnow_match_pairs", "cdc_chunk_spans",
+        "cdc_chunk_dedup", "bigram_containment_pairs", "setsim_prefix_pairs",
+    ],
+    "ann-similarity": [
+        "embedding_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
+        "ann_ivf_seeded_topk", "pq_adc_seeded_topk", "ivfpq_topk_embeddings",
+        "sq8_recall_embeddings", "random_projection_compress",
+        "hard_negative_mining", "item_item_cosine_sim",
+    ],
+    "retrieval": [
+        "tfidf_top_terms", "bm25_topk_docs", "inverted_index_postings",
+        "phrase_search_docs", "rrf_hybrid_retrieval",
+        "ranking_metrics_by_source", "rake_keywords_docs",
+        "textrank_keywords_docs", "rbo_rankings_brands",
+        "distinctive_terms_source", "source_overlap_matrix",
+    ],
+    "language-model": [
+        "ngram_counts_pruned", "kneser_ney_bigrams", "stupid_backoff_docs",
+        "vocab_coverage_curve", "negative_sampling_words",
+        "walk_skipgram_pairs",
+    ],
+    "tokenizer": [
+        "wordpiece_tokens", "bpe_pair_stats", "bpe_learn_merges",
+        "bpe_encode_pieces", "vocab_id_assignment",
+    ],
+    "packing-mixing-splits": [
+        "sequence_pack_bins", "length_bucket_batches", "split_assign_docs",
+        "stratified_sample_mix", "temperature_mixture_sample",
+        "weighted_sample_docs", "group_sample_reservoir",
+        "target_mixture_weights_docs", "fim_transform_docs",
+        "preference_pairs_quality", "unimax_lang_budget",
+        "time_embargo_split_events", "walk_forward_splits_orders",
+        "dsir_importance_scores",
+    ],
+    "privacy": [
+        "pseudonymize_pii", "pii_redact", "k_anonymity_customers",
+        "k_anonymity_audit_customers", "l_diversity_customers",
+        "t_closeness_customers",
+    ],
+    "entity-resolution": [
+        "entity_match_ed1", "sorted_neighborhood_matches",
+        "jaro_winkler_part_names", "record_linkage_fs", "fs_em_customers",
+    ],
+    "graph": [
+        "pagerank_supplier_graph", "ppr_supplier_graph", "hits_supplier_graph",
+        "kcore_membership", "ktruss_parts_graph",
+        "label_propagation_communities", "landmark_bfs_parts",
+        "bellman_ford_parts", "deterministic_walks_supplier",
+        "link_prediction_parts", "triangle_count_parts",
+        "clustering_coeff_parts", "degree_assortativity_trade",
+        "community_modularity_nations", "mst_parts_forest",
+        "densest_subgraph_parts", "single_linkage_parts",
+        "link_graph_domains", "url_path_rollup_docs",
+    ],
+    "clustering": [
+        "kmeans_lloyd_portable", "dbscan_customer_sites",
+    ],
+    "sketches": [
+        "approx_distinct", "cms_token_frequency", "cms_join_size_estimate",
+        "kmv_distinct_tokens", "kmv_overlap_docs", "hll_distinct_orders",
+        "ams_f2_tokens", "heavy_hitters_tokens", "decayed_heavy_users",
+        "iblt_set_reconcile", "histogram_quantiles_price",
+    ],
+    "sharding": [
+        "epoch_shard_assign", "rendezvous_shard_moves", "ring_shard_moves",
+    ],
+    "statistics": [
+        "stats_moments", "correlation_matrix_lineitem",
+        "contingency_chi2_cells", "cramers_v_priority_status",
+        "roc_auc_by_priority", "calibration_ece_orders", "ab_test_conversion",
+        "bootstrap_mean_ci", "mann_kendall_user_values",
+        "mann_whitney_priority_nations", "cohens_kappa_raters",
+        "benford_digit_audit", "key_skew_gini_partkey",
+        "concentration_supplier_nations", "winsorize_acctbal",
+        "robust_outliers_mad", "group_linregress_qty_disc",
+        "fano_event_bursts", "lag_autocorr_revenue", "simpson_user_events",
+        "category_drift_halves", "pass_at_k_customers",
+        "quantile_normalize_doclen", "conformal_interval_orders",
+        "grouped_stats_udaf", "pandas_udf_parity",
+    ],
+    "ml": [
+        "als_rank1_factors", "isotonic_urgent_rate", "naive_bayes_status_gate",
+        "decision_stump_totalprice", "ransac_line_custkeys",
+        "principal_direction_power", "bradley_terry_events",
+        "target_encode_loo_acctbal", "feature_hash_customers",
+        "theil_sen_spend_trend", "jenks_breaks_totalprice",
+        "basket_cooccurrence_lift", "apriori_triples_brands",
+    ],
+    "timeseries-forecast": [
+        "holt_linear_revenue", "holt_winters_revenue", "seasonal_naive_mase",
+        "cusum_changepoint_revenue", "ewma_user_values",
+        "moving_zscore_anomalies", "dtw_user_value_series", "emd_price_drift",
+    ],
+    "survival": [
+        "kaplan_meier_orders", "nelson_aalen_orders",
+    ],
+    "spatial": [
+        "spatial_radius_join", "geohash_cells_customers",
+        "point_in_polygon_tags",
+    ],
+    "diff-scd-cdc": [
+        "scd2_customer_segments", "cdc_apply_changelog",
+        "snapshot_diff_orders", "incremental_agg_merge",
+        "join_view_delta_orders", "join_view_delta_signed_orders",
+    ],
+    "quality-gates": [
+        "expectations_orders", "fd_violation_orders",
+        "encoding_advisor_lineitem",
+    ],
+    "multimodal": [
+        "binary_metadata", "image_dhash_near_dups", "scene_cuts_rawvideo",
+        "audio_fp_match_clip", "gif_compression_stats",
+    ],
+}
+
+
+def group_of() -> dict[str, str]:
+    """Invert FAMILY_GROUPS to query -> group (asserts no duplicates)."""
+    out: dict[str, str] = {}
+    for grp, names in FAMILY_GROUPS.items():
+        for n in names:
+            if n in out:
+                raise AssertionError(f"{n} assigned to both {out[n]} and {grp}")
+            out[n] = grp
+    return out

@@ -76,6 +76,50 @@ SF_DIRS = [
     ("sf5", "/tmp/sparkgraft_sf5"),
 ]
 
+# Queries whose EMPTY output is a valid answer at some SF (ADVICE r7):
+# the zero-row gate skips these by name instead of forcing a nonzero
+# exit on legitimately-empty results. Keep this list justified — an
+# entry needs a one-line reason.
+ALLOW_EMPTY: dict[str, str] = {
+    # (none currently — every swept family is designed to emit rows at
+    # every SF; add with a reason if a legitimately-empty case appears)
+}
+
+
+def compute_flags(queries: dict[str, dict]) -> dict[str, str]:
+    """Row-count assertion (round-7 verdict ask #4, generalizing the
+    IBLT lesson from a habit into a gate): a scale entry whose output
+    is EMPTY, or whose row count COLLAPSES as data grows (smaller at a
+    larger SF than at sf0.1, beyond fixed-size outputs), is how silent
+    decode/threshold failures hide behind green-looking seconds.
+
+    Collapse rule (ADVICE r7 tightening): a big baseline (> 10 rows)
+    flags on halving; a SMALL fixed-size baseline (<= 10 rows — model
+    tables, top-k heads) flags on ANY shrink, since e.g. 5 -> 2 rows
+    without hitting zero is the same silent-threshold class. Queries
+    named in ALLOW_EMPTY are exempt from the zero-row rule only."""
+    flags: dict[str, str] = {}
+    for name, row in queries.items():
+        counts = {
+            lbl: cell["rows"]
+            for lbl, cell in row.items()
+            if isinstance(cell, dict) and "rows" in cell
+        }
+        if not counts:
+            continue
+        if any(c == 0 for c in counts.values()):
+            if name not in ALLOW_EMPTY:
+                flags[name] = f"empty output: {counts}"
+            continue
+        base = counts.get("sf0.1")
+        if base:
+            for lbl, c in counts.items():
+                if lbl == "sf0.1":
+                    continue
+                if (base > 10 and c < base // 2) or (base <= 10 and c < base):
+                    flags[name] = f"row-count collapse at {lbl}: {counts}"
+    return flags
+
 
 def main() -> int:
     sys.path.insert(0, "/root/repo")
@@ -108,29 +152,7 @@ def main() -> int:
         out["queries"][name] = row
         print(json.dumps({name: row}), flush=True)
 
-    # Row-count assertion (round-7 verdict ask #4, generalizing the
-    # IBLT lesson from a habit into a gate): a scale entry whose
-    # output is EMPTY, or whose row count COLLAPSES as data grows
-    # (smaller at a larger SF than at sf0.1, beyond fixed-size
-    # outputs), is how silent decode/threshold failures hide behind
-    # green-looking seconds. Flag both; nonzero exit when flagged.
-    flags: dict[str, str] = {}
-    for name, row in out["queries"].items():
-        counts = {
-            lbl: cell["rows"]
-            for lbl, cell in row.items()
-            if isinstance(cell, dict) and "rows" in cell
-        }
-        if not counts:
-            continue
-        if any(c == 0 for c in counts.values()):
-            flags[name] = f"empty output: {counts}"
-            continue
-        base = counts.get("sf0.1")
-        if base and base > 10:
-            for lbl, c in counts.items():
-                if lbl != "sf0.1" and c < base // 2:
-                    flags[name] = f"row-count collapse at {lbl}: {counts}"
+    flags = compute_flags(out["queries"])
     if flags:
         out["flags"] = flags
         for name, why in flags.items():
