@@ -94,6 +94,10 @@ HEADLINE = [
     "apriori_triples_brands",
     "rbo_rankings_brands",
     "quantile_normalize_doclen",
+    # round-8 additions: the bigram-join collocation pass and the
+    # exploded one-pass FD profiler — the two data-sized new shapes
+    "pmi_collocations_docs",
+    "fd_discovery_customer",
 ]
 
 

@@ -526,3 +526,57 @@ def encoding_advisor_int(
         "rle_runs",
         rec.alias("recommendation"),
     )
+
+
+def fd_discovery(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Single-column functional-dependency DISCOVERY over a bounded
+    candidate column set — the profiling sibling of
+    :func:`fd_violation_report` (which audits ONE user-stated FD):
+    for every ordered pair (A, B) of ``cols``, does A -> B hold, and
+    how badly is it broken? The TANE level-1 lattice (Huhtala et al.,
+    Comput. J. 1999, section 3: A -> B iff the (A) partition equals
+    the (A, B) partition in group count), restricted to single-column
+    LHS — the level where profiling finds key/category/hierarchy
+    structure (clerk -> nation, status -> shippriority) before anyone
+    writes a join.
+
+    Scale shape: ONE row-local explode stacks the |cols|^2 - |cols|
+    ordered pairs (P is schema-bounded, so the stream is P x input
+    rows, linear), then a distinct on (pair, lhs value, rhs value)
+    and two bounded aggregations — never a per-pair rescan of the
+    table (the oracle twin does rescan per pair: DuckDB at sf0.01 can
+    afford it; a 100 TB profiler cannot). NULL is a value (sentinel
+    coalesce) — (NULL -> x) and (NULL -> y) together violate.
+
+    Returns one row per ordered pair: (lhs, rhs, n_lhs_values,
+    n_lhs_rhs_pairs, n_violating_lhs, holds) with holds as 0/1
+    BIGINT (driver-canonicalizer-friendly).
+    """
+    sent = " NULL "
+    pair_structs = [
+        F.struct(
+            F.lit(a).alias("lhs"),
+            F.lit(b).alias("rhs"),
+            F.coalesce(F.col(a).cast("string"), F.lit(sent)).alias("lv"),
+            F.coalesce(F.col(b).cast("string"), F.lit(sent)).alias("rv"),
+        )
+        for a in cols
+        for b in cols
+        if a != b
+    ]
+    stacked = df.select(
+        F.explode(F.array(*pair_structs)).alias("p")
+    ).select("p.lhs", "p.rhs", "p.lv", "p.rv")
+    pair_values = stacked.distinct()
+    per_lv = pair_values.groupBy("lhs", "rhs", "lv").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rv")
+    )
+    return per_lv.groupBy("lhs", "rhs").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lhs_values"),
+        F.sum("n_rv").cast("bigint").alias("n_lhs_rhs_pairs"),
+        F.count_if(F.col("n_rv") > 1).cast("bigint").alias("n_violating_lhs"),
+        F.when(F.max("n_rv") > 1, F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("bigint")
+        .alias("holds"),
+    )

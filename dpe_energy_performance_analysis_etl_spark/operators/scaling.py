@@ -118,6 +118,7 @@ def ring_assign(
     n_nodes: int,
     vnodes: int = 64,
     salt: int = 0,
+    method: str = "tree",
 ) -> DataFrame:
     """Consistent-hash RING assignment (Karger et al., STOC'97 — the
     memcached/Dynamo placement scheme) of each key to one of
@@ -187,9 +188,40 @@ def ring_assign(
     # found index — both arrays are one shared literal each, so the
     # codegen size is O(points) data, O(log points) code.
     n_pts = len(points)
+    h = _portable_mix32(F.col(key_col), F.lit(97), F.lit(salt))
+
+    if method == "tree":
+        # Codegen'd UNROLLED when-tree (r7 verdict ask #6): the same
+        # lower-bound search as the fold below, but compiled as a
+        # STATIC balanced binary tree of nested CASE WHEN literal
+        # comparisons — per row it evaluates exactly ⌈log₂ points⌉
+        # long compares on ONE root-to-leaf path and returns the node
+        # id at the leaf (no element_at, no struct state, and none of
+        # the higher-order-function lambda interpretation the
+        # `aggregate` fold pays per step). Expression TREE size is
+        # O(points) — evaluation cost is the path, not the tree
+        # (measured comparison vs the fold: NOTES round 8,
+        # tools/measure_ring_bisect.py).
+        def lower_bound_tree(lo: int, hi: int):
+            # answer for h <= points[hi-1].pos: first idx in [lo, hi)
+            # with pos >= h, returned as that point's NODE id
+            if hi - lo == 1:
+                return F.lit(points[lo][1]).cast("bigint")
+            mid = (lo + hi) // 2
+            return (
+                F.when(F.lit(points[mid - 1][0]).cast("bigint") >= h,
+                       lower_bound_tree(lo, mid))
+                .otherwise(lower_bound_tree(mid, hi))
+            )
+
+        shard = F.when(
+            h > F.lit(points[-1][0]).cast("bigint"),
+            F.lit(points[0][1]).cast("bigint"),  # wrap to the global min
+        ).otherwise(lower_bound_tree(0, n_pts))
+        return df.withColumn("shard", shard)
+
     pos_arr = F.array(*[F.lit(p).cast("bigint") for p, _, _ in points])
     node_arr = F.array(*[F.lit(node).cast("bigint") for _, node, _ in points])
-    h = _portable_mix32(F.col(key_col), F.lit(97), F.lit(salt))
     steps = (n_pts + 1).bit_length()  # >= ceil(log2(n_pts+1)) halvings
 
     def bisect_step(acc, _step):

@@ -1416,3 +1416,160 @@ def mann_whitney_u(
         )
     )
     return out.withColumn("z", z)
+
+
+def logrank_test(
+    df,
+    time_col: str,
+    event_col: str,
+    group_col: str,
+    scale: int = 1_000_000,
+) -> "DataFrame":
+    """Two-sample log-rank test (Mantel, Cancer Chemother.Rep. 1966;
+    Peto & Peto JRSS-A'72) — "do these two cohorts have the same
+    survival curve?", the inference companion to the repo's
+    Kaplan-Meier / Nelson-Aalen estimators: at each event tier t,
+    under H0 the d_t events split between groups hypergeometrically,
+
+        E1_t = d_t * n1_t / n_t
+        V_t  = d_t * (n1_t/n_t) * (1 - n1_t/n_t) * (n_t - d_t) / (n_t - 1)
+
+    and chi^2 = (O1 - sum E1)^2 / sum V  with O1 = sum d1_t.
+
+    Exactness discipline (the KM rule): per-tier E1/V are rationals
+    with tier-varying denominators, so an exact rational sum is
+    unbounded — instead each tier's value is floored at ``scale``
+    (ppm) and the ppm INTEGERS are summed: deterministic, order-free,
+    bit-identical across engines. Products run in DECIMAL(38,0)
+    (HUGEINT twin): V's numerator d*n1*(n-n1)*(n-d)*scale stays
+    in-range to n ~ 10^6 subjects per... no — to n where n^4 * scale
+    < 10^38, i.e. n < 10^8 subjects; documented bound, ANSI aborts
+    loudly past it (widen to a coarser scale first).
+
+    Scale shape: one data-sized tier aggregation, then windows +
+    arithmetic over the BOUNDED tier table and one final fold to a
+    single row.
+
+    Returns one row: (n_subjects, n_group1, o1_events, e1_ppm,
+    v_ppm, chi2_milli) — chi2_milli = floor(chi^2 * 1000).
+    """
+    from pyspark.sql import Window, functions as F
+
+    t = F.col(time_col).cast("bigint")
+    ev = F.col(event_col).cast("bigint")
+    g = F.col(group_col).cast("bigint")
+    tiers = df.groupBy(t.alias("t")).agg(
+        F.sum(ev).alias("d"),
+        F.sum(ev * g).alias("d1"),
+        F.count(F.lit(1)).cast("bigint").alias("tot"),
+        F.sum(g).alias("tot1"),
+    )
+    # at-risk = subjects with time >= t: total minus the strict-prefix
+    # departures — windows over the bounded tier table only
+    w_pre = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    at_risk = tiers.select(
+        "t",
+        "d",
+        "d1",
+        (F.sum("tot").over(w_all) - F.coalesce(F.sum("tot").over(w_pre), F.lit(0)))
+        .cast("bigint")
+        .alias("n"),
+        (
+            F.sum("tot1").over(w_all)
+            - F.coalesce(F.sum("tot1").over(w_pre), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("n1"),
+        F.sum("tot").over(w_all).cast("bigint").alias("n_subjects"),
+        F.sum("tot1").over(w_all).cast("bigint").alias("n_group1"),
+    )
+    dec = "CAST({} AS DECIMAL(38,0))"
+    contrib = at_risk.where(F.col("d") > 0).selectExpr(
+        "n_subjects",
+        "n_group1",
+        "d1",
+        f"CAST(({dec.format('d')} * n1 * {scale}) div n AS BIGINT) AS e1_t",
+        # V_t floors to 0 on single-subject tiers (n = 1): guarded
+        f"CAST(CASE WHEN n > 1 THEN ({dec.format('d')} * n1 * (n - n1)"
+        f" * (n - d) * {scale}) div ({dec.format('n')} * n * (n - 1))"
+        f" ELSE 0 END AS BIGINT) AS v_t",
+    )
+    out = contrib.groupBy("n_subjects", "n_group1").agg(
+        F.sum("d1").cast("bigint").alias("o1_events"),
+        F.sum("e1_t").cast("bigint").alias("e1_ppm"),
+        F.sum("v_t").cast("bigint").alias("v_ppm"),
+    )
+    return out.selectExpr(
+        "n_subjects",
+        "n_group1",
+        "o1_events",
+        "e1_ppm",
+        "v_ppm",
+        # chi2 = ((O1*scale - E1_ppm)^2 / scale) / V_ppm, in milli
+        f"CAST(CASE WHEN v_ppm > 0 THEN"
+        f" (CAST(o1_events * {scale} - e1_ppm AS DECIMAL(38,0))"
+        f" * (o1_events * {scale} - e1_ppm) * 1000)"
+        f" div (CAST(v_ppm AS DECIMAL(38,0)) * {scale})"
+        f" ELSE 0 END AS BIGINT) AS chi2_milli",
+    )
+
+
+def diff_in_differences(
+    df,
+    group_col: str,
+    post_col: str,
+    outcome_col: str,
+    scale: int = 1000,
+) -> "DataFrame":
+    """Difference-in-differences estimator (Card & Krueger AER'94's
+    two-by-two design): with a 0/1 treatment group, a 0/1 pre/post
+    period, and an exact-INTEGER outcome (cents — the CLAUDE.md
+    decimal rule), the causal effect under parallel trends is
+
+        DiD = (mean_T_post - mean_T_pre) - (mean_C_post - mean_C_pre).
+
+    Exactness: the four cell sums and counts are exact BIGINTs from
+    ONE conditional-aggregate pass (no per-cell rescan); each cell
+    mean is floored once at ``scale`` (milli by default) and the DiD
+    is arithmetic on those four already-floored integers —
+    deterministic, order-free, bit-identical across engines
+    (truncating integer division of the positive sums; the
+    subtractions happen after flooring).
+
+    Returns one row: n_/sum_/mean_scaled per cell (tt, tp, ct, cp =
+    treated-post, treated-pre, control-post, control-pre) plus
+    ``did_scaled``.
+    """
+    from pyspark.sql import functions as F
+
+    g = F.col(group_col).cast("int")
+    p = F.col(post_col).cast("int")
+    y = F.col(outcome_col).cast("bigint")
+
+    def cell(gv: int, pv: int, tag: str):
+        in_cell = (g == gv) & (p == pv)
+        n = F.count_if(in_cell).cast("bigint").alias(f"n_{tag}")
+        s = F.sum(F.when(in_cell, y).otherwise(0)).cast("bigint").alias(f"sum_{tag}")
+        return [n, s]
+
+    aggs = cell(1, 1, "tt") + cell(1, 0, "tp") + cell(0, 1, "ct") + cell(0, 0, "cp")
+    cells = df.agg(*aggs)
+    means = cells.select(
+        "*",
+        *[
+            F.expr(f"(sum_{tag} * {scale}) div greatest(n_{tag}, 1)")
+            .cast("bigint")
+            .alias(f"mean_{tag}_scaled")
+            for tag in ("tt", "tp", "ct", "cp")
+        ],
+    )
+    return means.withColumn(
+        "did_scaled",
+        (
+            (F.col("mean_tt_scaled") - F.col("mean_tp_scaled"))
+            - (F.col("mean_ct_scaled") - F.col("mean_cp_scaled"))
+        ).cast("bigint"),
+    )

@@ -175,6 +175,77 @@ def event_transitions(
     )
 
 
+def next_event_hitrate(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_tiebreak: str = "event_id",
+    train_frac_num: int = 4,
+    train_frac_den: int = 5,
+) -> DataFrame:
+    """Backtest of the first-order Markov next-event predictor (the
+    :func:`event_transitions` model): split each user's event stream
+    by TIME — the first ``train_frac`` of rows (exact integer
+    cutoff ``(n * num) div den``) trains transition counts, the rest
+    evaluates top-1 accuracy — the eval loop that turns a transition
+    matrix into a measured baseline (and the honest split: a random
+    split would leak future behavior into the model, the CLAUDE.md
+    walk-forward lesson).
+
+    A transition (r-1 → r) is a TEST case iff its target row r is
+    past the user's cutoff; train cases are everything else, so the
+    boundary transition (last train row → first test row) is
+    evaluated, never trained on. Prediction = argmax train count with
+    lexicographic tie-break (min-struct over (-n, next)); test
+    contexts unseen in training predict nothing and count as misses.
+
+    Scale shape: one per-user window pass (the user key is the only
+    data-sized shuffle), a |types|² model table broadcast back, one
+    bounded output row per context type. hit_ppm divides two exact
+    BIGINTs.
+
+    Returns (prev_type, n_test, hits, hit_ppm).
+    """
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(order_tiebreak).asc()
+    )
+    w_all = Window.partitionBy(user_col)
+    seq = events.select(
+        F.col(user_col).alias("u"),
+        F.col(type_col).alias("et"),
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.lag(type_col).over(w).alias("prev_type"),
+    ).where(F.col("prev_type").isNotNull())
+    cutoff = F.expr(f"(n * {train_frac_num}) div {train_frac_den}")
+    train = seq.where(F.col("rk") <= cutoff)
+    test = seq.where(F.col("rk") > cutoff)
+    model = (
+        train.groupBy("prev_type", F.col("et").alias("next_type"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .groupBy("prev_type")
+        .agg(
+            F.min(F.struct((-F.col("cnt")).alias("neg"), F.col("next_type")))
+            .getField("next_type")
+            .alias("predicted")
+        )
+    )
+    scored = test.join(F.broadcast(model), "prev_type", "left")
+    return (
+        scored.groupBy("prev_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.count_if(F.col("predicted") == F.col("et"))
+            .cast("bigint")
+            .alias("hits"),
+        )
+        .withColumn(
+            "hit_ppm", F.expr("(hits * 1000000) div n_test").cast("bigint")
+        )
+    )
+
+
 def conversion_attribution(
     events: DataFrame,
     convert_type: str = "purchase",
@@ -1157,4 +1228,92 @@ def shapley_attribution(
         rows,
         "channel string, phi_x_fact bigint, fact_scale bigint,"
         " conversions bigint",
+    )
+
+
+def seasonal_decompose(
+    df,
+    time_col: str,
+    value_col: str,
+    period: int = 12,
+    scale: int = 1000,
+):
+    """Additive seasonal decomposition y = trend + seasonal + remainder
+    over integer time tiers — the classical-decomposition core of STL
+    (Cleveland et al., J.Off.Stat 1990 §1: moving-average trend,
+    per-phase seasonal summary, residual), in the repo's exact-integer
+    dialect:
+
+      trend_t    = floor(scale * Σ_{window} y / period)   (centered
+                   ROWS window of exactly ``period`` tiers: offsets
+                   -p/2 .. p/2-1 — the simple-MA variant; defined only
+                   where the window is FULL, so edges emit no row)
+      seasonal_p = LOW MEDIAN over phase p = t mod period of the
+                   detrended values (median, not mean: one outlier
+                   month must not leak into every year's seasonal)
+      remainder  = detrended - seasonal
+
+    Exactness: y is an exact BIGINT (cents); trend floors ONCE at
+    ``scale``; the low median is an order statistic (rank
+    (cnt+1) div 2 under (value, t) ordering — engine-exact,
+    tie-deterministic, per the NOTES order-statistics rule); every
+    later step is integer arithmetic on already-floored values.
+
+    Scale shape: one data-sized tier aggregation; ALL windows run
+    over the bounded tier table (≤ thousands of rows for monthly
+    tiers over decades) — the WindowExec single-partition warning is
+    the audited bounded-table exemption.
+
+    Returns interior tiers (t, y, trend_scaled, detrended_scaled,
+    seasonal_scaled, remainder_scaled).
+    """
+    from pyspark.sql import Window, functions as F
+
+    half = period // 2
+    tiers = df.groupBy(F.col(time_col).cast("bigint").alias("t")).agg(
+        F.sum(F.col(value_col).cast("bigint")).alias("y")
+    )
+    w_ma = Window.orderBy("t").rowsBetween(-half, period - half - 1)
+    ma = tiers.select(
+        "t",
+        "y",
+        F.count(F.lit(1)).over(w_ma).alias("_wn"),
+        F.sum("y").over(w_ma).alias("_ws"),
+    ).where(F.col("_wn") == period)
+    detr = ma.select(
+        "t",
+        "y",
+        F.expr(f"(_ws * {scale}) div {period}").cast("bigint").alias("trend_scaled"),
+    ).withColumn(
+        "detrended_scaled",
+        (F.col("y") * F.lit(scale) - F.col("trend_scaled")).cast("bigint"),
+    )
+    w_phase = Window.partitionBy(F.col("t") % period).orderBy(
+        F.col("detrended_scaled").asc(), F.col("t").asc()
+    )
+    w_cnt = Window.partitionBy(F.col("t") % period)
+    ranked = detr.select(
+        "*",
+        F.row_number().over(w_phase).alias("_rk"),
+        F.count(F.lit(1)).over(w_cnt).alias("_cnt"),
+    )
+    # low median rank: integer div — `/` is DOUBLE division in Spark,
+    # and (cnt+1)/2 on an even-count phase matches NO row (r8 gate catch)
+    med = ranked.where(
+        F.col("_rk") == F.expr("(_cnt + 1) div 2")
+    ).select(
+        (F.col("t") % period).alias("_phase"),
+        F.col("detrended_scaled").alias("seasonal_scaled"),
+    )
+    return (
+        detr.withColumn("_phase", F.col("t") % period)
+        .join(F.broadcast(med), "_phase")
+        .withColumn(
+            "remainder_scaled",
+            (F.col("detrended_scaled") - F.col("seasonal_scaled")).cast("bigint"),
+        )
+        .select(
+            "t", "y", "trend_scaled", "detrended_scaled",
+            "seasonal_scaled", "remainder_scaled",
+        )
     )

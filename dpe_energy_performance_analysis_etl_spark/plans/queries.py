@@ -14604,3 +14604,351 @@ def shapley_attribution_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return shapley_attribution(read_events(spark, sf_dir))
+
+
+# =====================================================================
+# Round 8, wave 1: collocations, FD discovery, log-rank, DiD,
+# seasonal decomposition, next-event backtest
+# =====================================================================
+
+@register(
+    "pmi_collocations_docs",
+    """
+    WITH tok AS MATERIALIZED (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w,
+             CAST(unnest(range(0, len(regexp_extract_all(lower(text), '[a-z0-9]+'))))
+                  AS BIGINT) AS pos
+      FROM documents
+    ), uni AS MATERIALIZED (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1
+    ), nt AS MATERIALIZED (
+      SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni
+    ), c12 AS MATERIALIZED (
+      SELECT a.w AS w1, b.w AS w2, CAST(COUNT(*) AS BIGINT) AS c12
+      FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      GROUP BY 1, 2 HAVING COUNT(*) >= 5
+    )
+    SELECT w1, w2, c12, a.c AS c1, b.c AS c2,
+           CAST((CAST(c12 - 5 AS HUGEINT) * nt.n * 1000000)
+                // (CAST(a.c AS HUGEINT) * b.c) AS BIGINT) AS score_ppm
+    FROM c12 JOIN uni a ON c12.w1 = a.w JOIN uni b ON c12.w2 = b.w, nt
+    ORDER BY score_ppm DESC, w1, w2 LIMIT 50
+    """,
+)
+def pmi_collocations_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2vec phrase-pass collocations (text/retrieval.py
+    pmi_collocations — Mikolov et al. NeurIPS'13 section 4: discounted
+    PMI score (c12 - 5)*N/(c1*c2), the preprocessing that promotes
+    'new york'-class bigrams to vocabulary units before tokenizer /
+    embedding training). Exact-integer score_ppm via DECIMAL(38,0) /
+    HUGEINT cross-multiplication — no log anywhere; top-50 with
+    deterministic (score, w1, w2) tie-break over the support-floored
+    pair table."""
+    from dpe_energy_performance_analysis_etl_spark.text.retrieval import (
+        pmi_collocations,
+    )
+
+    return pmi_collocations(
+        read_documents(spark, sf_dir), min_count=5, discount=5, top_k=50
+    )
+
+
+_FD_COLS = ["c_name", "c_nationkey", "c_mktsegment"]
+_FD_ARMS = "\n      UNION ALL\n".join(
+    f"""      SELECT '{a}' AS lhs, '{b}' AS rhs,
+             COALESCE(CAST({a} AS VARCHAR), ' NULL ') AS lv,
+             COALESCE(CAST({b} AS VARCHAR), ' NULL ') AS rv
+      FROM customer"""
+    for a in _FD_COLS
+    for b in _FD_COLS
+    if a != b
+)
+
+
+@register(
+    "fd_discovery_customer",
+    f"""
+    WITH stacked AS MATERIALIZED (
+{_FD_ARMS}
+    ), dv AS MATERIALIZED (
+      SELECT DISTINCT lhs, rhs, lv, rv FROM stacked
+    ), per_lv AS MATERIALIZED (
+      SELECT lhs, rhs, lv, CAST(COUNT(*) AS BIGINT) AS n_rv
+      FROM dv GROUP BY 1, 2, 3
+    )
+    SELECT lhs, rhs,
+           CAST(COUNT(*) AS BIGINT) AS n_lhs_values,
+           CAST(SUM(n_rv) AS BIGINT) AS n_lhs_rhs_pairs,
+           CAST(count_if(n_rv > 1) AS BIGINT) AS n_violating_lhs,
+           CAST(CASE WHEN MAX(n_rv) > 1 THEN 0 ELSE 1 END AS BIGINT) AS holds
+    FROM per_lv GROUP BY 1, 2
+    """,
+)
+def fd_discovery_customer_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level-1 functional-dependency discovery over the customer
+    category columns (operators/quality.py fd_discovery — the TANE
+    single-column lattice, Huhtala et al. 1999): all 6 ordered pairs
+    of (name, nationkey, mktsegment) profiled in ONE exploded pass
+    (the oracle rescans per pair — fine at sf0.01, exactly what the
+    Spark plan avoids at scale). c_name is a key in disguise, so
+    name -> nation and name -> segment HOLD (key discovery) while
+    every reverse direction violates — both branches of the gate
+    exercised."""
+    from dpe_energy_performance_analysis_etl_spark.operators.quality import fd_discovery
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return fd_discovery(c, _FD_COLS)
+
+
+@register(
+    "logrank_orders",
+    """
+    WITH subj AS MATERIALIZED (
+      SELECT CAST(date_diff('month', DATE '1992-01-01',
+                            CAST(o_orderdate AS DATE)) AS BIGINT) AS t,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS ev,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS g
+      FROM orders
+    ), tiers AS MATERIALIZED (
+      SELECT t, CAST(SUM(ev) AS BIGINT) AS d,
+             CAST(SUM(ev * g) AS BIGINT) AS d1,
+             CAST(COUNT(*) AS BIGINT) AS tot,
+             CAST(SUM(g) AS BIGINT) AS tot1
+      FROM subj GROUP BY 1
+    ), ar AS MATERIALIZED (
+      SELECT t, d, d1,
+             CAST(SUM(tot) OVER () - COALESCE(SUM(tot) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS n,
+             CAST(SUM(tot1) OVER () - COALESCE(SUM(tot1) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS n1,
+             CAST(SUM(tot) OVER () AS BIGINT) AS n_subjects,
+             CAST(SUM(tot1) OVER () AS BIGINT) AS n_group1
+      FROM tiers
+    ), contrib AS MATERIALIZED (
+      SELECT n_subjects, n_group1, d1,
+             CAST((CAST(d AS HUGEINT) * n1 * 1000000) // n AS BIGINT) AS e1_t,
+             CAST(CASE WHEN n > 1 THEN
+               (CAST(d AS HUGEINT) * n1 * (n - n1) * (n - d) * 1000000)
+               // (CAST(n AS HUGEINT) * n * (n - 1))
+             ELSE 0 END AS BIGINT) AS v_t
+      FROM ar WHERE d > 0
+    ), agg AS (
+      SELECT n_subjects, n_group1,
+             CAST(SUM(d1) AS BIGINT) AS o1_events,
+             CAST(SUM(e1_t) AS BIGINT) AS e1_ppm,
+             CAST(SUM(v_t) AS BIGINT) AS v_ppm
+      FROM contrib GROUP BY 1, 2
+    )
+    SELECT n_subjects, n_group1, o1_events, e1_ppm, v_ppm,
+           CAST(CASE WHEN v_ppm > 0 THEN
+             (CAST(o1_events * 1000000 - e1_ppm AS HUGEINT)
+              * (o1_events * 1000000 - e1_ppm) * 1000)
+             // (CAST(v_ppm AS HUGEINT) * 1000000)
+           ELSE 0 END AS BIGINT) AS chi2_milli
+    FROM agg
+    """,
+)
+def logrank_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample log-rank test (operators/stats.py logrank_test —
+    Mantel '66 / Peto & Peto '72): do URGENT/HIGH-priority orders
+    finalize on a different survival curve than the rest? Month tiers
+    since 1992-01 as in kaplan_meier_orders, status 'F' = event. The
+    per-tier hypergeometric E1/V are floored at ppm and summed as
+    exact integers (the KM fold discipline applied to inference);
+    products run in DECIMAL(38,0) / HUGEINT."""
+    from dpe_energy_performance_analysis_etl_spark.operators.stats import logrank_test
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    subj = o.select(
+        F.months_between(
+            F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+        )
+        .cast("bigint")
+        .alias("t"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("ev"),
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("int").alias("g"),
+    )
+    return logrank_test(subj, "t", "ev", "g")
+
+
+@register(
+    "did_priority_revenue",
+    """
+    WITH base AS MATERIALIZED (
+      SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS g,
+             CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT) AS cents,
+             CAST(date_diff('day', DATE '1992-01-01',
+                            CAST(o_orderdate AS DATE)) AS BIGINT) AS dd
+      FROM orders
+    ), bounds AS MATERIALIZED (
+      SELECT MIN(dd) AS d0, MAX(dd) AS d1 FROM base
+    ), cells AS (
+      SELECT
+        CAST(count_if(g = 1 AND (dd - d0) * 2 >= (d1 - d0)) AS BIGINT) AS n_tt,
+        CAST(SUM(CASE WHEN g = 1 AND (dd - d0) * 2 >= (d1 - d0) THEN cents ELSE 0 END) AS BIGINT) AS sum_tt,
+        CAST(count_if(g = 1 AND (dd - d0) * 2 < (d1 - d0)) AS BIGINT) AS n_tp,
+        CAST(SUM(CASE WHEN g = 1 AND (dd - d0) * 2 < (d1 - d0) THEN cents ELSE 0 END) AS BIGINT) AS sum_tp,
+        CAST(count_if(g = 0 AND (dd - d0) * 2 >= (d1 - d0)) AS BIGINT) AS n_ct,
+        CAST(SUM(CASE WHEN g = 0 AND (dd - d0) * 2 >= (d1 - d0) THEN cents ELSE 0 END) AS BIGINT) AS sum_ct,
+        CAST(count_if(g = 0 AND (dd - d0) * 2 < (d1 - d0)) AS BIGINT) AS n_cp,
+        CAST(SUM(CASE WHEN g = 0 AND (dd - d0) * 2 < (d1 - d0) THEN cents ELSE 0 END) AS BIGINT) AS sum_cp
+      FROM base, bounds
+    )
+    SELECT n_tt, sum_tt, n_tp, sum_tp, n_ct, sum_ct, n_cp, sum_cp,
+           CAST((sum_tt * 1000) // greatest(n_tt, 1) AS BIGINT) AS mean_tt_scaled,
+           CAST((sum_tp * 1000) // greatest(n_tp, 1) AS BIGINT) AS mean_tp_scaled,
+           CAST((sum_ct * 1000) // greatest(n_ct, 1) AS BIGINT) AS mean_ct_scaled,
+           CAST((sum_cp * 1000) // greatest(n_cp, 1) AS BIGINT) AS mean_cp_scaled,
+           CAST(((sum_tt * 1000) // greatest(n_tt, 1)
+                 - (sum_tp * 1000) // greatest(n_tp, 1))
+                - ((sum_ct * 1000) // greatest(n_ct, 1)
+                   - (sum_cp * 1000) // greatest(n_cp, 1)) AS BIGINT) AS did_scaled
+    FROM cells
+    """,
+)
+def did_priority_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences (operators/stats.py
+    diff_in_differences — the Card-Krueger 2x2): treated = URGENT/HIGH
+    orders, pre/post split at the MIDPOINT OF THE OBSERVED date range
+    (data-anchored, the r7 walk-forward lesson — never a schema
+    epoch), outcome = order value in exact cents. One
+    conditional-aggregate pass for all four cells; means floored once
+    at milli-cents; DiD is arithmetic on the floored integers."""
+    from dpe_energy_performance_analysis_etl_spark.operators.stats import (
+        diff_in_differences,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    base = o.select(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("int").alias("g"),
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+        )
+        .cast("bigint")
+        .alias("dd"),
+    )
+    bounds = base.agg(
+        F.min("dd").alias("d0"), F.max("dd").alias("d1")
+    )
+    flagged = base.crossJoin(F.broadcast(bounds)).withColumn(
+        "post",
+        ((F.col("dd") - F.col("d0")) * 2 >= (F.col("d1") - F.col("d0"))).cast("int"),
+    )
+    return diff_in_differences(flagged, "g", "post", "cents", scale=1000)
+
+
+@register(
+    "seasonal_decompose_revenue",
+    """
+    WITH tiers AS MATERIALIZED (
+      SELECT CAST(date_diff('month', DATE '1992-01-01',
+                            CAST(o_orderdate AS DATE)) AS BIGINT) AS t,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ), ma AS MATERIALIZED (
+      SELECT t, y,
+             COUNT(*) OVER w AS wn,
+             CAST(SUM(y) OVER w AS BIGINT) AS ws
+      FROM tiers
+      WINDOW w AS (ORDER BY t ROWS BETWEEN 6 PRECEDING AND 5 FOLLOWING)
+    ), detr AS MATERIALIZED (
+      SELECT t, y, CAST((ws * 1000) // 12 AS BIGINT) AS trend_scaled,
+             CAST(y * 1000 - (ws * 1000) // 12 AS BIGINT) AS detrended_scaled
+      FROM ma WHERE wn = 12
+    ), ranked AS MATERIALIZED (
+      SELECT t, detrended_scaled,
+             row_number() OVER (PARTITION BY t % 12
+               ORDER BY detrended_scaled, t) AS rk,
+             COUNT(*) OVER (PARTITION BY t % 12) AS cnt
+      FROM detr
+    ), med AS MATERIALIZED (
+      SELECT t % 12 AS phase, detrended_scaled AS seasonal_scaled
+      FROM ranked WHERE rk = (cnt + 1) // 2
+    )
+    SELECT d.t, d.y, d.trend_scaled, d.detrended_scaled, m.seasonal_scaled,
+           CAST(d.detrended_scaled - m.seasonal_scaled AS BIGINT)
+             AS remainder_scaled
+    FROM detr d JOIN med m ON d.t % 12 = m.phase
+    """,
+)
+def seasonal_decompose_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of monthly revenue
+    (operators/temporal.py seasonal_decompose — Cleveland et al. 1990
+    in exact-integer dialect): centered 12-month ROWS-window
+    moving-average trend (interior months only), per-calendar-month
+    LOW-MEDIAN seasonal (order statistic — engine-exact per the NOTES
+    rule), integer remainder. Every window runs over the bounded
+    month-tier table."""
+    from dpe_energy_performance_analysis_etl_spark.operators.temporal import (
+        seasonal_decompose,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    monthly = o.select(
+        F.months_between(
+            F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+        )
+        .cast("bigint")
+        .alias("m"),
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    return seasonal_decompose(monthly, "m", "cents", period=12, scale=1000)
+
+
+@register(
+    "markov_next_event_hitrate",
+    """
+    WITH seq AS MATERIALIZED (
+      SELECT user_id AS u, event_type AS et,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS rk,
+             COUNT(*) OVER (PARTITION BY user_id) AS n,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), tr AS MATERIALIZED (
+      SELECT * FROM seq WHERE prev_type IS NOT NULL
+    ), model AS MATERIALIZED (
+      SELECT prev_type, next_type AS predicted FROM (
+        SELECT prev_type, et AS next_type,
+               row_number() OVER (PARTITION BY prev_type
+                 ORDER BY COUNT(*) DESC, et) AS r
+        FROM tr WHERE rk <= (n * 4) // 5
+        GROUP BY prev_type, et
+      ) WHERE r = 1
+    )
+    SELECT t.prev_type,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(count_if(m.predicted = t.et) AS BIGINT) AS hits,
+           CAST((count_if(m.predicted = t.et) * 1000000) // COUNT(*)
+                AS BIGINT) AS hit_ppm
+    FROM tr t LEFT JOIN model m ON t.prev_type = m.prev_type
+    WHERE t.rk > (t.n * 4) // 5
+    GROUP BY 1
+    """,
+)
+def markov_next_event_hitrate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walk-forward backtest of the first-order Markov next-event
+    predictor (operators/temporal.py next_event_hitrate): train on
+    each user's first 80% of events (exact integer cutoff), evaluate
+    top-1 accuracy on the rest — the eval loop that turns
+    event_transition_matrix into a measured baseline, honest to time
+    (no future leakage; the boundary transition is evaluated, never
+    trained on). Argmax tie-break lexicographic via min-struct; one
+    user-keyed shuffle; bounded model table broadcast."""
+    from dpe_energy_performance_analysis_etl_spark.operators.temporal import (
+        next_event_hitrate,
+    )
+
+    return next_event_hitrate(read_events(spark, sf_dir))

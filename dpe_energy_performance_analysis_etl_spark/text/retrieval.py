@@ -707,3 +707,80 @@ def kneser_ney_bigram_probs(
         "n1p_bwd",
         f"(__num * {scale}) div __den AS p_kn_scaled",
     )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+    discount: int = 5,
+    top_k: int = 50,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Phrase/collocation detection by discounted PMI — the word2vec
+    phrase pass (Mikolov et al., NeurIPS'13 §4: score(w1,w2) =
+    (c12 − δ)·N / (c1·c2)), the standard preprocessing that decides
+    which adjacent token pairs become single vocabulary units before
+    tokenizer/embedding training. Plain PMI promotes hapax pairs; the
+    δ discount is exactly Mikolov's fix.
+
+    Exactness: the score is one rational — emitted as
+    ``score_ppm = ((c12 − δ)·N·scale) div (c1·c2)`` with the product
+    carried in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB), so ranking
+    and values replay bit-identically (c12·N·scale ≤ 1e9·1e12·1e6 =
+    1e27 < 1e38 — documented bound far past any real corpus shard).
+    exp/log never runs: monotone in true PMI at fixed δ-discounted
+    numerator, which is all a phrase threshold needs.
+
+    Scale shape: one bigram stream → one (w1,w2) count, two unigram
+    count broadcasts, top-k via a single bounded sort of the
+    min_count-filtered pair table (Zipf: pairs above a support floor
+    are a vanishing fraction of N). Deterministic tie-break (score,
+    w1, w2).
+
+    Returns top_k rows (w1, w2, c12, c1, c2, score_ppm).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens_expr(text_col)).alias("w"),
+    )
+    n_tok = toks.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    c1 = toks.groupBy(F.col("w").alias("w1")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c1")
+    )
+    c2 = toks.groupBy(F.col("w").alias("w2")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c2")
+    )
+    bg = _doc_bigrams(docs, id_col, text_col)
+    c12 = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c12"))
+        .where(F.col("c12") >= min_count)
+    )
+    scored = (
+        c12.join(F.broadcast(c1), "w1")
+        .join(F.broadcast(c2), "w2")
+        .crossJoin(F.broadcast(n_tok))
+        .selectExpr(
+            "w1",
+            "w2",
+            "c12",
+            "c1",
+            "c2",
+            # IntegralDivide on DECIMAL(38,0) operands: exact floor,
+            # returns BIGINT — the HUGEINT `//` twin in DuckDB
+            f"CAST((CAST(c12 - {discount} AS DECIMAL(38,0)) * n * {scale})"
+            f" div (CAST(c1 AS DECIMAL(38,0)) * c2) AS BIGINT) AS score_ppm",
+        )
+    )
+    w = Window.orderBy(
+        F.col("score_ppm").desc(), F.col("w1").asc(), F.col("w2").asc()
+    )
+    # global window over the BOUNDED min_count-filtered pair table
+    # (explain-audited class: support-floored Zipf tail, not data-sized)
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= top_k)
+        .drop("_rk")
+    )

@@ -1,6 +1,7 @@
 """Relational + aggregate operator tests (SURVEY §2)."""
 
 import pandas as pd
+import pytest
 
 from dpe_energy_performance_analysis_etl_spark.operators import (
     anti_join_new_rows,
@@ -789,8 +790,10 @@ class TestRingAssign:
         plan = ring_assign(keys, "k", 6)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange hash" not in plan
 
-    def test_bisection_matches_python_ring_walk(self, spark):
-        """The round-7 binary-search rewrite must agree with a
+    @pytest.mark.parametrize("method", ["fold", "tree"])
+    def test_bisection_matches_python_ring_walk(self, spark, method):
+        """Both lower-bound implementations — the r7 binary-search
+        FOLD and the r8 unrolled WHEN-tree — must agree with a
         direct Python evaluation of the ring rule (first sorted
         point >= h, wrap to minimum) — including at a REALISTIC
         ring size (256 nodes x 64 vnodes = 16384 points), the
@@ -835,6 +838,8 @@ class TestRingAssign:
             keys = spark.range(n_keys).withColumnRenamed("id", "k")
             got = {
                 r["k"]: r["shard"]
-                for r in ring_assign(keys, "k", n_nodes, vnodes=vnodes).collect()
+                for r in ring_assign(
+                    keys, "k", n_nodes, vnodes=vnodes, method=method
+                ).collect()
             }
             assert got == {k: expect(k) for k in range(n_keys)}

@@ -65,6 +65,7 @@ FAMILY_GROUPS: dict[str, list[str]] = {
         "event_trigram_probs", "attribution_first_last",
         "markov_attribution_events", "shapley_attribution_events",
         "gsp_event_sequences", "low_value_runs", "smith_waterman_events",
+        "markov_next_event_hitrate",
     ],
     "text-quality-curation": [
         "text_quality", "lang_id", "token_counts", "gopher_repetition",
@@ -100,7 +101,7 @@ FAMILY_GROUPS: dict[str, list[str]] = {
         "distinctive_terms_source", "source_overlap_matrix",
     ],
     "language-model": [
-        "ngram_counts_pruned", "kneser_ney_bigrams", "stupid_backoff_docs",
+        "ngram_counts_pruned", "kneser_ney_bigrams", "stupid_backoff_docs", "pmi_collocations_docs",
         "vocab_coverage_curve", "negative_sampling_words",
         "walk_skipgram_pairs",
     ],
@@ -160,7 +161,7 @@ FAMILY_GROUPS: dict[str, list[str]] = {
         "robust_outliers_mad", "group_linregress_qty_disc",
         "fano_event_bursts", "lag_autocorr_revenue", "simpson_user_events",
         "category_drift_halves", "pass_at_k_customers",
-        "quantile_normalize_doclen", "conformal_interval_orders",
+        "quantile_normalize_doclen", "conformal_interval_orders", "did_priority_revenue",
         "grouped_stats_udaf", "pandas_udf_parity",
     ],
     "ml": [
@@ -175,9 +176,10 @@ FAMILY_GROUPS: dict[str, list[str]] = {
         "holt_linear_revenue", "holt_winters_revenue", "seasonal_naive_mase",
         "cusum_changepoint_revenue", "ewma_user_values",
         "moving_zscore_anomalies", "dtw_user_value_series", "emd_price_drift",
+        "seasonal_decompose_revenue",
     ],
     "survival": [
-        "kaplan_meier_orders", "nelson_aalen_orders",
+        "kaplan_meier_orders", "nelson_aalen_orders", "logrank_orders",
     ],
     "spatial": [
         "spatial_radius_join", "geohash_cells_customers",
@@ -190,7 +192,7 @@ FAMILY_GROUPS: dict[str, list[str]] = {
     ],
     "quality-gates": [
         "expectations_orders", "fd_violation_orders",
-        "encoding_advisor_lineitem",
+        "encoding_advisor_lineitem", "fd_discovery_customer",
     ],
     "multimodal": [
         "binary_metadata", "image_dhash_near_dups", "scene_cuts_rawvideo",

@@ -63,23 +63,41 @@ def main():
     keys.count()
     sink = lambda df: df.groupBy("shard").count().collect()
 
-    print(f"{'ring':>12} {'points':>7} {'linear_r6':>10} {'bisect_r7':>10}")
+    # r8 extension (verdict ask #6): the bisection FOLD pays
+    # higher-order-function lambda interpretation per step; the
+    # unrolled WHEN-tree compiles the same lower-bound search as
+    # nested literal CASE comparisons. Compare all three.
+    print(
+        f"{'ring':>12} {'points':>7} {'linear_r6':>10} {'fold_r7':>10}"
+        f" {'tree_r8':>10}"
+    )
     for n_nodes, vnodes in [(4, 64), (16, 64), (64, 64), (256, 64)]:
         pts = len(_points(n_nodes, vnodes))
+        tree = min(
+            _time(sink, ring_assign(keys, "k", n_nodes, vnodes=vnodes, method="tree"))
+            for _ in range(2)
+        )
         bis = min(
-            _time(sink, ring_assign(keys, "k", n_nodes, vnodes=vnodes))
+            _time(sink, ring_assign(keys, "k", n_nodes, vnodes=vnodes, method="fold"))
             for _ in range(2)
         )
         lin = min(
             _time(sink, ring_assign_linear_r6(keys, "k", n_nodes, vnodes))
             for _ in range(2)
         )
-        print(f"{n_nodes}x{vnodes:>8} {pts:>7} {lin:>10.2f} {bis:>10.2f}", flush=True)
-    # sanity: identical assignments at the largest ring
+        print(
+            f"{n_nodes}x{vnodes:>8} {pts:>7} {lin:>10.2f} {bis:>10.2f}"
+            f" {tree:>10.2f}",
+            flush=True,
+        )
+    # sanity: identical assignments at the largest ring, all methods
     a = ring_assign_linear_r6(keys, "k", 256, 64).groupBy("shard").count()
-    b = ring_assign(keys, "k", 256, vnodes=64).groupBy("shard").count()
-    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
-    print("assignment parity at 256x64: OK")
+    b = ring_assign(keys, "k", 256, vnodes=64, method="fold").groupBy("shard").count()
+    c = ring_assign(keys, "k", 256, vnodes=64, method="tree").groupBy("shard").count()
+    ra = sorted(map(tuple, a.collect()))
+    assert ra == sorted(map(tuple, b.collect()))
+    assert ra == sorted(map(tuple, c.collect()))
+    print("assignment parity at 256x64 (linear/fold/tree): OK")
 
 
 def _time(sink, df):

@@ -68,6 +68,13 @@ QUERIES_TO_SCALE = [
     "mann_whitney_priority_nations",
     "concentration_supplier_nations",
     "shapley_attribution_events",
+    # round-8 wave-1 families
+    "pmi_collocations_docs",
+    "fd_discovery_customer",
+    "logrank_orders",
+    "did_priority_revenue",
+    "seasonal_decompose_revenue",
+    "markov_next_event_hitrate",
 ]
 
 SF_DIRS = [
