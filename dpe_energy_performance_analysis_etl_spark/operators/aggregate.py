@@ -262,3 +262,157 @@ def target_encode_loo(
         f"{cat_col}_target_enc",
         F.when(F.col("__n") > 1, loo),
     ).drop("__sum_cents", "__n")
+
+
+def ratio_to_parent(
+    df: DataFrame,
+    levels: list[str],
+    measure: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Ratio-to-parent along a dimension hierarchy (the MDX
+    ``RatioToParent`` / BI "percent of parent" measure): each leaf
+    group's share of every ANCESTOR prefix plus the grand total —
+    e.g. nation revenue as a share of its region and of the world.
+    One data-sized pass: leaf aggregation, then window sums over the
+    BOUNDED leaf-group table per ancestor prefix (never a second
+    scan), shares as exact integer ppm ((leaf * scale) div parent —
+    exact BIGINTs; the unpartitioned total window is the audited
+    bounded-table exemption).
+
+    Returns leaf rows: levels..., total, share_of_{level}_ppm per
+    ancestor prefix (named by the prefix's last level) and
+    share_of_total_ppm.
+    """
+    from pyspark.sql import Window
+
+    leaf = df.groupBy(*levels).agg(
+        F.sum(F.col(measure).cast("bigint")).cast("bigint").alias("total")
+    )
+    out = leaf
+    shares = []
+    for i in range(1, len(levels)):
+        out = out.withColumn(
+            f"_p{i}",
+            F.sum("total").over(Window.partitionBy(*levels[:i])).cast("bigint"),
+        )
+        shares.append(
+            f"CAST((total * {scale}) div _p{i} AS BIGINT)"
+            f" AS share_of_{levels[i - 1]}_ppm"
+        )
+    out = out.withColumn(
+        "_pt", F.sum("total").over(Window.partitionBy()).cast("bigint")
+    )
+    shares.append(f"CAST((total * {scale}) div _pt AS BIGINT) AS share_of_total_ppm")
+    return out.selectExpr(*levels, "total", *shares)
+
+
+def rfm_segments(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    amount_col: str,
+    n_bins: int = 5,
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) quintile segmentation —
+    the classic CRM scoring (Hughes '94): each entity gets 1..n_bins
+    scores on how recently, how often, and how much. Bins are EXACT
+    rank buckets, not NTILE: score = ((rank - 1) * n_bins) div n + 1
+    over a deterministic total order (metric, then key — engine-exact
+    under ties where NTILE's remainder placement is not pinned by the
+    standard). Recency ranks ASCENDING age (most recent = highest
+    score after inversion); one data-sized aggregation + three rank
+    passes over the BOUNDED per-entity table.
+
+    Returns (key, last_ts, n_orders, total_amount, r_score, f_score,
+    m_score, rfm) with rfm = 100*r + 10*f + m.
+    """
+    from pyspark.sql import Window
+
+    from pyspark.sql import Window
+
+    per = df.groupBy(F.col(key_col).alias("k")).agg(
+        F.max(F.col(ts_col)).alias("last_ts"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.col(amount_col).cast("bigint")).cast("bigint").alias("total_amount"),
+    )
+    ranked = per.select(
+        "*",
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint").alias("_n"),
+        F.row_number()
+        .over(Window.orderBy(F.col("last_ts").asc(), F.col("k").asc()))
+        .cast("bigint")
+        .alias("_rr"),
+        F.row_number()
+        .over(Window.orderBy(F.col("n_orders").asc(), F.col("k").asc()))
+        .cast("bigint")
+        .alias("_rf"),
+        F.row_number()
+        .over(Window.orderBy(F.col("total_amount").asc(), F.col("k").asc()))
+        .cast("bigint")
+        .alias("_rm"),
+    )
+    return ranked.selectExpr(
+        f"k AS {key_col}",
+        "last_ts",
+        "n_orders",
+        "total_amount",
+        f"CAST(((_rr - 1) * {n_bins}) div _n + 1 AS BIGINT) AS r_score",
+        f"CAST(((_rf - 1) * {n_bins}) div _n + 1 AS BIGINT) AS f_score",
+        f"CAST(((_rm - 1) * {n_bins}) div _n + 1 AS BIGINT) AS m_score",
+        f"CAST((((_rr - 1) * {n_bins}) div _n + 1) * 100"
+        f" + (((_rf - 1) * {n_bins}) div _n + 1) * 10"
+        f" + (((_rm - 1) * {n_bins}) div _n + 1) AS BIGINT) AS rfm",
+    )
+
+
+def xyz_volatility(
+    df: DataFrame,
+    key_col: str,
+    period_col: str,
+    amount_col: str,
+    cv_x_ppm: int = 500_000,
+    cv_y_ppm: int = 1_000_000,
+) -> DataFrame:
+    """XYZ demand-volatility classification (the forecastability
+    companion to ABC value classification in inventory analytics):
+    per key, the coefficient of variation of per-period demand —
+    X (steady, cv below ``cv_x_ppm``), Y (variable), Z (erratic,
+    above ``cv_y_ppm``). Exactness: per-period sums and the
+    co-moments n·Σy² − (Σy)² are exact integers (DECIMAL(38,0)
+    against overflow); cv is compared CROSS-MULTIPLIED and SQUARED —
+    n·Σy² − (Σy)² vs (thr·Σy/10⁶)² — so classification never
+    computes a sqrt or divides (emitted cv2_ppm2 = the exact integer
+    scaled squared cv for inspection). Zero-demand keys class as Z.
+
+    Returns (key, n_periods, total_amount, cv2_ppm2, xyz).
+    """
+    per = df.groupBy(
+        F.col(key_col).alias("k"), F.col(period_col).alias("p")
+    ).agg(F.sum(F.col(amount_col).cast("bigint")).alias("y"))
+    stats = per.groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("s"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("ss"),
+    )
+    # cv^2 = (n*ss - s^2) / s^2; scaled to ppm^2 via integer div
+    return stats.selectExpr(
+        "k",
+        "n AS n_periods",
+        "s AS total_amount",
+        "CAST(CASE WHEN s > 0 THEN"
+        " ((CAST(n AS DECIMAL(38,0)) * ss - CAST(s AS DECIMAL(38,0)) * s)"
+        "  * 1000000000000) div (CAST(s AS DECIMAL(38,0)) * s)"
+        " ELSE -1 END AS BIGINT) AS cv2_ppm2",
+    ).selectExpr(
+        "k",
+        "n_periods",
+        "total_amount",
+        "cv2_ppm2",
+        # thresholds squared in Python ints: cv2_ppm2 is cv^2 * 10^12,
+        # so cv < thr_ppm/10^6  <=>  cv2_ppm2 < thr_ppm^2
+        f"CASE WHEN cv2_ppm2 < 0 THEN 'Z'"
+        f" WHEN cv2_ppm2 < {cv_x_ppm * cv_x_ppm} THEN 'X'"
+        f" WHEN cv2_ppm2 <= {cv_y_ppm * cv_y_ppm} THEN 'Y'"
+        f" ELSE 'Z' END AS xyz",
+    )

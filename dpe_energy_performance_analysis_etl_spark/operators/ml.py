@@ -668,3 +668,93 @@ def _bt_fit(spark, pair_counts: dict, rounds: int) -> DataFrame:
     return spark.createDataFrame(
         rows, "player string, strength_ppm bigint, games bigint, wins bigint"
     )
+
+
+def ips_policy_value(
+    logged: DataFrame,
+    context_col: str,
+    action_col: str,
+    reward_col: str,
+    split_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Inverse-propensity-scored off-policy evaluation (Horvitz &
+    Thompson JASA'52; Li et al. WSDM'11's replay/IPS form for
+    contextual bandits): estimate what a NEW deterministic policy
+    would have earned from logs collected under a different policy,
+    without deploying it. ``split_col`` (0 = train, 1 = eval) must be
+    a TIME-based split (the walk-forward rule — a random split leaks
+    the eval period into both the policy and the propensities).
+
+    From the train split: empirical propensities p(a|x) =
+    n(x,a)/n(x), and the target policy pi(x) = argmax_a of
+    integer-scaled mean reward (sum_r * scale div n), ties to the
+    lexicographically smallest action. On the eval split each row
+    contributes reward * 1{a = pi(x)} / p(a|x) — realized exactly as
+    floor(reward * n_ctx * scale / n_ctx_act) per row, then an exact
+    integer sum (per-row flooring = deterministic, order-free,
+    engine-identical).
+
+    Scale shape: two bounded model tables (|contexts| x |actions|)
+    from one train aggregation, broadcast onto the eval stream; one
+    final single-row aggregate. Contexts unseen in training
+    contribute nothing (no propensity — standard IPS support
+    restriction, reported via n_unsupported).
+
+    Returns one row: (n_eval, n_matched, n_unsupported,
+    ips_value_scaled, matched_reward) — ips_value_scaled =
+    floor-summed IPS total at ``scale``; divide by n_eval for the
+    per-round value.
+    """
+    x = F.col(context_col).alias("x")
+    a = F.col(action_col).alias("a")
+    train = logged.where(F.col(split_col) == 0).select(
+        x, a, F.col(reward_col).cast("bigint").alias("r")
+    )
+    ev = logged.where(F.col(split_col) == 1).select(
+        x, a, F.col(reward_col).cast("bigint").alias("r")
+    )
+    ctx_act = train.groupBy("x", "a").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_xa"),
+        F.sum("r").cast("bigint").alias("s_xa"),
+    )
+    ctx = ctx_act.groupBy("x").agg(F.sum("n_xa").cast("bigint").alias("n_x"))
+    policy = (
+        ctx_act.withColumn("mean_scaled", F.expr(f"(s_xa * {scale}) div n_xa"))
+        .groupBy("x")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("mean_scaled")).alias("neg"), F.col("a").alias("a")
+                )
+            )
+            .getField("a")
+            .alias("pi_a")
+        )
+    )
+    scored = (
+        ev.join(F.broadcast(ctx), "x", "left")
+        .join(F.broadcast(policy), "x", "left")
+        .join(
+            F.broadcast(ctx_act.select("x", "a", "n_xa")),
+            ["x", "a"],
+            "left",
+        )
+    )
+    supported = F.col("n_xa").isNotNull()
+    matched = supported & (F.col("a") == F.col("pi_a"))
+    return scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+        F.count_if(matched).cast("bigint").alias("n_matched"),
+        F.count_if(~supported).cast("bigint").alias("n_unsupported"),
+        F.sum(
+            F.when(
+                matched, F.expr(f"(r * n_x * {scale}) div n_xa")
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("ips_value_scaled"),
+        F.sum(F.when(matched, F.col("r")).otherwise(0))
+        .cast("bigint")
+        .alias("matched_reward"),
+    )

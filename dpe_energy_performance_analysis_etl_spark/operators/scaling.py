@@ -118,7 +118,7 @@ def ring_assign(
     n_nodes: int,
     vnodes: int = 64,
     salt: int = 0,
-    method: str = "tree",
+    method: str = "auto",
 ) -> DataFrame:
     """Consistent-hash RING assignment (Karger et al., STOC'97 — the
     memcached/Dynamo placement scheme) of each key to one of
@@ -190,6 +190,20 @@ def ring_assign(
     n_pts = len(points)
     h = _portable_mix32(F.col(key_col), F.lit(97), F.lit(salt))
 
+    if method == "auto":
+        # Measured r8 (tools/measure_ring_bisect.py, 1M keys,
+        # min-of-2 end-to-end incl. plan build; NOTES round 8):
+        #   points   linear_r6   fold_r7   tree_r8
+        #     256       9.00       4.67      1.36   <- tree 3.4x
+        #    1024      14.88       5.57      6.00   <- tie
+        #    4096      64.65       8.04     26.32   <- build dominates
+        #   16384     186.42      10.01     killed (>13 min compile)
+        # The tree's per-row path is cheapest, but its O(points)
+        # expression build/compile overwhelms past ~1k leaves while
+        # the fold's two literal arrays build instantly and stay
+        # near-flat. Route by point count: tree small, fold large.
+        method = "tree" if n_pts <= 512 else "fold"
+
     if method == "tree":
         # Codegen'd UNROLLED when-tree (r7 verdict ask #6): the same
         # lower-bound search as the fold below, but compiled as a
@@ -199,8 +213,11 @@ def ring_assign(
         # id at the leaf (no element_at, no struct state, and none of
         # the higher-order-function lambda interpretation the
         # `aggregate` fold pays per step). Expression TREE size is
-        # O(points) — evaluation cost is the path, not the tree
-        # (measured comparison vs the fold: NOTES round 8,
+        # O(points) — evaluation cost is the path, not the tree.
+        # Measured vs the fold (1M keys, end-to-end incl. build):
+        # 3.4x faster at 256 points (1.36 vs 4.67 s), tie at 1024,
+        # LOSES past that as the O(points) build/compile dominates —
+        # hence the auto cap (NOTES round 8,
         # tools/measure_ring_bisect.py).
         def lower_bound_tree(lo: int, hi: int):
             # answer for h <= points[hi-1].pos: first idx in [lo, hi)

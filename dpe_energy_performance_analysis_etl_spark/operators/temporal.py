@@ -1317,3 +1317,138 @@ def seasonal_decompose(
             "seasonal_scaled", "remainder_scaled",
         )
     )
+
+
+def rolling_corr(
+    df,
+    time_col: str,
+    x_col: str,
+    y_col: str,
+    window: int = 12,
+):
+    """Trailing rolling Pearson correlation between two measures over
+    integer time tiers — the co-movement diagnostic (price vs volume,
+    revenue vs quantity). Exactness discipline: per-tier sums and the
+    five co-moments (Σx, Σy, Σx², Σy², Σxy over the ROWS window) are
+    EXACT integers carried in DECIMAL(38,0) — a float Σx² is
+    order-dependent; the classic one-pass identities
+
+        num  = n·Σxy − Σx·Σy
+        varx = n·Σx² − (Σx)²,  vary = n·Σy² − (Σy)²
+
+    then produce corr with exactly THREE IEEE ops from exactly-
+    rounded casts: CAST(num) / (sqrt(CAST(varx)) * sqrt(CAST(vary)))
+    — sqrt is correctly rounded (the NOTES float-parity rule), and
+    both engines round the same integers to the same doubles. Windows
+    with zero variance on either side emit NULL. Only FULL windows
+    emit rows. All windows run over the bounded tier table.
+
+    Returns (t, n, corr).
+    """
+    from pyspark.sql import Window, functions as F
+
+    tiers = df.groupBy(F.col(time_col).cast("bigint").alias("t")).agg(
+        F.sum(F.col(x_col).cast("bigint")).cast("decimal(38,0)").alias("x"),
+        F.sum(F.col(y_col).cast("bigint")).cast("decimal(38,0)").alias("y"),
+    )
+    w = Window.orderBy("t").rowsBetween(-(window - 1), 0)
+    agg = tiers.select(
+        "t",
+        F.count(F.lit(1)).over(w).cast("decimal(38,0)").alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+    ).where(F.col("n") == window)
+    return agg.selectExpr(
+        "t",
+        f"CAST({window} AS BIGINT) AS n",
+        "CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN"
+        " CAST(n * sxy - sx * sy AS DOUBLE)"
+        " / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))"
+        "    * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))"
+        " ELSE CAST(NULL AS DOUBLE) END AS corr",
+    )
+
+
+def seasonal_outliers(
+    df,
+    time_col: str,
+    value_col: str,
+    period: int = 12,
+    k_mad: int = 5,
+    scale: int = 1000,
+    top_n: int = 5,
+):
+    """Seasonal-adjusted anomaly audit — the composition
+    :func:`seasonal_decompose` was built for: a month is anomalous
+    when its REMAINDER (after removing trend and seasonality) sits
+    more than ``k_mad`` robust deviations from the remainder's
+    center (low-median and MAD, both exact order statistics over the
+    bounded interior-tier table — one outlier must not move its own
+    fence, hence median/MAD, not mean/stddev). The |dev| > k·MAD
+    comparison is pure integer arithmetic on already-scaled values.
+
+    Reported as the ``top_n`` LARGEST deviations with an is_outlier
+    flag rather than a bare filter — on well-behaved data the
+    violations set is empty and a 0-row green record checks nothing
+    (the r8 l_diversity lesson); the margins are the audit.
+    Deterministic order (dev desc, t).
+
+    Returns top_n interior tiers (t, y, remainder_scaled,
+    center_scaled, mad_scaled, dev_scaled, is_outlier).
+    """
+    from pyspark.sql import Window, functions as F
+
+    dec = seasonal_decompose(df, time_col, value_col, period=period, scale=scale)
+    # low median of remainder over ALL interior tiers (bounded table)
+    w_all = Window.partitionBy(F.lit(1))
+    w_rk = Window.partitionBy(F.lit(1)).orderBy(
+        F.col("remainder_scaled").asc(), F.col("t").asc()
+    )
+    ranked = dec.select(
+        "*",
+        F.row_number().over(w_rk).alias("_rk"),
+        F.count(F.lit(1)).over(w_all).alias("_cnt"),
+    )
+    center = ranked.where(F.col("_rk") == F.expr("(_cnt + 1) div 2")).select(
+        F.col("remainder_scaled").alias("center_scaled")
+    )
+    devs = dec.crossJoin(F.broadcast(center)).withColumn(
+        "dev_scaled",
+        F.abs(F.col("remainder_scaled") - F.col("center_scaled")).cast("bigint"),
+    )
+    w_rk2 = Window.partitionBy(F.lit(1)).orderBy(
+        F.col("dev_scaled").asc(), F.col("t").asc()
+    )
+    ranked2 = devs.select(
+        "*",
+        F.row_number().over(w_rk2).alias("_rk"),
+        F.count(F.lit(1)).over(w_all).alias("_cnt"),
+    )
+    mad = ranked2.where(F.col("_rk") == F.expr("(_cnt + 1) div 2")).select(
+        F.col("dev_scaled").alias("mad_scaled")
+    )
+    return (
+        devs.crossJoin(F.broadcast(mad))
+        .withColumn(
+            "is_outlier",
+            F.when(
+                F.col("dev_scaled") > F.lit(k_mad) * F.col("mad_scaled"), F.lit(1)
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint"),
+        )
+        .orderBy(F.col("dev_scaled").desc(), F.col("t").asc())
+        .limit(top_n)
+        .select(
+            "t",
+            "y",
+            "remainder_scaled",
+            "center_scaled",
+            "mad_scaled",
+            "dev_scaled",
+            "is_outlier",
+        )
+    )

@@ -14952,3 +14952,411 @@ def markov_next_event_hitrate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return next_event_hitrate(read_events(spark, sf_dir))
+
+
+# =====================================================================
+# Round 8, wave 2: off-policy evaluation, OLAP ratio-to-parent, RFM,
+# XYZ volatility, rolling correlation, seasonal anomaly audit
+# =====================================================================
+
+@register(
+    "ips_policy_value_events",
+    """
+    WITH base AS MATERIALIZED (
+      SELECT (epoch_us(ts) // 86400000000) % 7 AS x,
+             event_type AS a,
+             CAST(CAST(value AS DECIMAL(30,2)) * 100 AS BIGINT) AS r,
+             epoch_us(ts) AS eus
+      FROM events
+    ), bounds AS MATERIALIZED (
+      SELECT MIN(eus) AS e0, MAX(eus) AS e1 FROM base
+    ), flagged AS MATERIALIZED (
+      SELECT x, a, r,
+             CASE WHEN (eus - e0) * 5 >= (e1 - e0) * 4 THEN 1 ELSE 0 END AS sp
+      FROM base, bounds
+    ), ctx_act AS MATERIALIZED (
+      SELECT x, a, CAST(COUNT(*) AS BIGINT) AS n_xa,
+             CAST(SUM(r) AS BIGINT) AS s_xa
+      FROM flagged WHERE sp = 0 GROUP BY 1, 2
+    ), ctx AS MATERIALIZED (
+      SELECT x, CAST(SUM(n_xa) AS BIGINT) AS n_x FROM ctx_act GROUP BY 1
+    ), pol AS MATERIALIZED (
+      SELECT x, a AS pi_a FROM (
+        SELECT x, a, row_number() OVER (PARTITION BY x
+          ORDER BY (s_xa * 1000000) // n_xa DESC, a) AS rk
+        FROM ctx_act
+      ) WHERE rk = 1
+    ), ev AS (
+      SELECT f.x, f.a, f.r, c.n_x, p.pi_a, ca.n_xa
+      FROM flagged f
+      LEFT JOIN ctx c ON f.x = c.x
+      LEFT JOIN pol p ON f.x = p.x
+      LEFT JOIN ctx_act ca ON f.x = ca.x AND f.a = ca.a
+      WHERE f.sp = 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_eval,
+           CAST(count_if(n_xa IS NOT NULL AND a = pi_a) AS BIGINT) AS n_matched,
+           CAST(count_if(n_xa IS NULL) AS BIGINT) AS n_unsupported,
+           CAST(SUM(CASE WHEN n_xa IS NOT NULL AND a = pi_a
+                    THEN (r * n_x * 1000000) // n_xa ELSE 0 END) AS BIGINT)
+             AS ips_value_scaled,
+           CAST(SUM(CASE WHEN n_xa IS NOT NULL AND a = pi_a
+                    THEN r ELSE 0 END) AS BIGINT) AS matched_reward
+    FROM ev
+    """,
+)
+def ips_policy_value_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Off-policy IPS evaluation (operators/ml.py ips_policy_value —
+    Horvitz-Thompson '52 / Li et al. WSDM'11): what would the
+    argmax-mean-value policy (context = day-of-week) have earned on
+    the logged event stream? Propensities and the target policy train
+    on the first 80% of the OBSERVED time range (data-anchored
+    bounds — the walk-forward rule), evaluation on the rest; per-row
+    IPS terms floored at ppm then exactly summed; day-of-week via
+    pure integer epoch arithmetic (epoch_us div 86.4e9 mod 7, the
+    CLAUDE.md epoch rule — identical both engines)."""
+    from dpe_energy_performance_analysis_etl_spark.functions.temporal import (
+        epoch_micros,
+    )
+    from dpe_energy_performance_analysis_etl_spark.operators.ml import ips_policy_value
+
+    ev = read_events(spark, sf_dir)
+    base = ev.select(
+        epoch_micros(F.col("ts")).alias("eus"),
+        F.col("event_type").alias("a"),
+        F.expr("CAST(CAST(value AS DECIMAL(30,2)) * 100 AS BIGINT)").alias("r"),
+    ).selectExpr("(eus div 86400000000) % 7 AS x", "a", "r", "eus")
+    bounds = base.agg(F.min("eus").alias("e0"), F.max("eus").alias("e1"))
+    flagged = base.crossJoin(F.broadcast(bounds)).withColumn(
+        "sp",
+        (
+            (F.col("eus") - F.col("e0")) * 5 >= (F.col("e1") - F.col("e0")) * 4
+        ).cast("int"),
+    )
+    return ips_policy_value(flagged, "x", "a", "r", "sp")
+
+
+@register(
+    "ratio_to_parent_revenue",
+    """
+    WITH leaf AS MATERIALIZED (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(30,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS total
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2
+    ), p AS MATERIALIZED (
+      SELECT region, nation, total,
+             CAST(SUM(total) OVER (PARTITION BY region) AS BIGINT) AS p1,
+             CAST(SUM(total) OVER () AS BIGINT) AS pt
+      FROM leaf
+    )
+    SELECT region, nation, total,
+           CAST((total * 1000000) // p1 AS BIGINT) AS share_of_region_ppm,
+           CAST((total * 1000000) // pt AS BIGINT) AS share_of_total_ppm
+    FROM p
+    """,
+)
+def ratio_to_parent_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent OLAP measure (operators/aggregate.py
+    ratio_to_parent — the MDX RatioToParent): nation revenue (exact
+    cents) as an integer-ppm share of its region and of the world.
+    Leaf aggregation once; parent sums are windows over the BOUNDED
+    leaf table (25 nations); dimension joins broadcast."""
+    from dpe_energy_performance_analysis_etl_spark.operators.aggregate import (
+        ratio_to_parent,
+    )
+
+    t = load_tables(spark, sf_dir, ["orders", "customer", "nation", "region"])
+    base = (
+        t["orders"]
+        .join(t["customer"], t["orders"]["o_custkey"] == t["customer"]["c_custkey"])
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(t["region"]),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+            F.expr("CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+    )
+    return ratio_to_parent(base, ["region", "nation"], "cents")
+
+
+@register(
+    "rfm_segments_customers",
+    """
+    WITH per AS MATERIALIZED (
+      SELECT o_custkey AS c_custkey,
+             CAST(MAX(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000)
+                  AS BIGINT) AS last_day,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS total_amount
+      FROM orders GROUP BY 1
+    ), ranked AS MATERIALIZED (
+      SELECT *,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n,
+             CAST(row_number() OVER (ORDER BY last_day, c_custkey) AS BIGINT) AS rr,
+             CAST(row_number() OVER (ORDER BY n_orders, c_custkey) AS BIGINT) AS rf,
+             CAST(row_number() OVER (ORDER BY total_amount, c_custkey) AS BIGINT) AS rm
+      FROM per
+    ), scored AS (
+      SELECT c_custkey, last_day, n_orders, total_amount,
+             CAST(((rr - 1) * 5) // n + 1 AS BIGINT) AS r_score,
+             CAST(((rf - 1) * 5) // n + 1 AS BIGINT) AS f_score,
+             CAST(((rm - 1) * 5) // n + 1 AS BIGINT) AS m_score
+      FROM ranked
+    )
+    SELECT r_score, f_score, m_score,
+           CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS rfm,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(total_amount) AS BIGINT) AS segment_amount
+    FROM scored GROUP BY 1, 2, 3, 4
+    """,
+)
+def rfm_segments_customers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quintile segmentation (operators/aggregate.py rfm_segments
+    — Hughes '94), aggregated to segment counts and value so the
+    output is bounded (<=125 rows at any SF): recency = last order
+    day (integer epoch days — the CLAUDE.md epoch rule), scores via
+    exact rank buckets ((rank-1)*5 div n + 1 under a deterministic
+    (metric, key) order — NTILE's tie placement is not pinned by the
+    standard). Per-customer table is the one data-sized aggregation;
+    rank windows run over it once."""
+    from dpe_energy_performance_analysis_etl_spark.operators.aggregate import (
+        rfm_segments,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    base = o.select(
+        "o_custkey",
+        F.expr(
+            "unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000"
+        ).alias("oday"),
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    seg = rfm_segments(base, "o_custkey", "oday", "cents", n_bins=5)
+    return (
+        seg.groupBy("r_score", "f_score", "m_score", "rfm")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum("total_amount").cast("bigint").alias("segment_amount"),
+        )
+    )
+
+
+@register(
+    "xyz_volatility_brands",
+    """
+    WITH per AS MATERIALIZED (
+      SELECT p.p_brand AS k,
+             date_diff('month', DATE '1992-01-01', CAST(l.l_shipdate AS DATE)) AS p,
+             CAST(SUM(CAST(CAST(l.l_quantity AS DECIMAL(30,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS y
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2
+    ), stats AS MATERIALIZED (
+      SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS s,
+             SUM(CAST(y AS HUGEINT) * y) AS ss
+      FROM per GROUP BY 1
+    )
+    SELECT k, n AS n_periods, s AS total_amount,
+           CAST(CASE WHEN s > 0 THEN
+             ((CAST(n AS HUGEINT) * ss - CAST(s AS HUGEINT) * s)
+              * 1000000000000) // (CAST(s AS HUGEINT) * s)
+           ELSE -1 END AS BIGINT) AS cv2_ppm2,
+           CASE WHEN (CASE WHEN s > 0 THEN
+             ((CAST(n AS HUGEINT) * ss - CAST(s AS HUGEINT) * s)
+              * 1000000000000) // (CAST(s AS HUGEINT) * s)
+           ELSE -1 END) < 0 THEN 'Z'
+           WHEN (CASE WHEN s > 0 THEN
+             ((CAST(n AS HUGEINT) * ss - CAST(s AS HUGEINT) * s)
+              * 1000000000000) // (CAST(s AS HUGEINT) * s)
+           ELSE -1 END) < 250000000000 THEN 'X'
+           WHEN (CASE WHEN s > 0 THEN
+             ((CAST(n AS HUGEINT) * ss - CAST(s AS HUGEINT) * s)
+              * 1000000000000) // (CAST(s AS HUGEINT) * s)
+           ELSE -1 END) <= 1000000000000 THEN 'Y'
+           ELSE 'Z' END AS xyz
+    FROM stats
+    """,
+)
+def xyz_volatility_brands_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XYZ demand-volatility classification per brand
+    (operators/aggregate.py xyz_volatility — the forecastability
+    companion to abc_classification_brands): coefficient of variation
+    of monthly shipped quantity, compared CROSS-MULTIPLIED AND
+    SQUARED so no sqrt or float division ever runs (cv2_ppm2 =
+    exact (cv*10^6)^2 via DECIMAL(38)/HUGEINT). X < 0.5, Y <= 1.0,
+    else Z."""
+    from dpe_energy_performance_analysis_etl_spark.operators.aggregate import (
+        xyz_volatility,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pt = spark.read.parquet(f"{sf_dir}/part.parquet")
+    base = li.join(pt, li["l_partkey"] == pt["p_partkey"]).select(
+        F.col("p_brand").alias("b"),
+        F.months_between(
+            F.col("l_shipdate").cast("date"), F.lit("1992-01-01").cast("date")
+        )
+        .cast("bigint")
+        .alias("m"),
+        F.expr("CAST(CAST(l_quantity AS DECIMAL(30,2)) * 100 AS BIGINT)").alias(
+            "q"
+        ),
+    )
+    return xyz_volatility(base, "b", "m", "q").withColumnRenamed("k", "k")
+
+
+@register(
+    "rolling_corr_revenue_qty",
+    """
+    WITH tiers AS MATERIALIZED (
+      SELECT date_diff('month', DATE '1992-01-01',
+                       CAST(l_shipdate AS DATE)) AS t,
+             CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(30,2)) * 100
+                           AS BIGINT)) AS HUGEINT) AS x,
+             CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(30,2)) * 100
+                           AS BIGINT)) AS HUGEINT) AS y
+      FROM lineitem GROUP BY 1
+    ), agg AS MATERIALIZED (
+      SELECT t,
+             COUNT(*) OVER w AS n,
+             SUM(x) OVER w AS sx, SUM(y) OVER w AS sy,
+             SUM(x * x) OVER w AS sxx, SUM(y * y) OVER w AS syy,
+             SUM(x * y) OVER w AS sxy
+      FROM tiers
+      WINDOW w AS (ORDER BY t ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)
+    )
+    SELECT CAST(t AS BIGINT) AS t, CAST(12 AS BIGINT) AS n,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+             CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+           ELSE CAST(NULL AS DOUBLE) END AS corr
+    FROM agg WHERE n = 12
+    """,
+)
+def rolling_corr_revenue_qty_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """12-month trailing Pearson correlation between monthly revenue
+    and monthly shipped quantity (operators/temporal.py rolling_corr):
+    co-moments as exact DECIMAL(38)/HUGEINT integers inside the ROWS
+    window over the bounded month-tier table; corr is exactly three
+    IEEE ops (divide, two correctly-rounded sqrts) from
+    exactly-rounded casts of identical integers — the NOTES
+    float-parity recipe."""
+    from dpe_energy_performance_analysis_etl_spark.operators.temporal import rolling_corr
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    base = li.select(
+        F.months_between(
+            F.col("l_shipdate").cast("date"), F.lit("1992-01-01").cast("date")
+        )
+        .cast("bigint")
+        .alias("m"),
+        F.expr("CAST(CAST(l_extendedprice AS DECIMAL(30,2)) * 100 AS BIGINT)").alias(
+            "xc"
+        ),
+        F.expr("CAST(CAST(l_quantity AS DECIMAL(30,2)) * 100 AS BIGINT)").alias("yc"),
+    )
+    return rolling_corr(base, "m", "xc", "yc", window=12)
+
+
+@register(
+    "seasonal_outliers_revenue",
+    """
+    WITH tiers AS MATERIALIZED (
+      SELECT CAST(date_diff('month', DATE '1992-01-01',
+                            CAST(o_orderdate AS DATE)) AS BIGINT) AS t,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ), ma AS MATERIALIZED (
+      SELECT t, y, COUNT(*) OVER w AS wn, CAST(SUM(y) OVER w AS BIGINT) AS ws
+      FROM tiers
+      WINDOW w AS (ORDER BY t ROWS BETWEEN 6 PRECEDING AND 5 FOLLOWING)
+    ), detr AS MATERIALIZED (
+      SELECT t, y, CAST(y * 1000 - (ws * 1000) // 12 AS BIGINT)
+               AS detrended_scaled
+      FROM ma WHERE wn = 12
+    ), seas_r AS MATERIALIZED (
+      SELECT t, detrended_scaled,
+             row_number() OVER (PARTITION BY t % 12
+               ORDER BY detrended_scaled, t) AS rk,
+             COUNT(*) OVER (PARTITION BY t % 12) AS cnt
+      FROM detr
+    ), med AS MATERIALIZED (
+      SELECT t % 12 AS phase, detrended_scaled AS seasonal_scaled
+      FROM seas_r WHERE rk = (cnt + 1) // 2
+    ), rem AS MATERIALIZED (
+      SELECT d.t, d.y,
+             CAST(d.detrended_scaled - m.seasonal_scaled AS BIGINT)
+               AS remainder_scaled
+      FROM detr d JOIN med m ON d.t % 12 = m.phase
+    ), c_r AS MATERIALIZED (
+      SELECT *, row_number() OVER (ORDER BY remainder_scaled, t) AS rk,
+             COUNT(*) OVER () AS cnt
+      FROM rem
+    ), center AS MATERIALIZED (
+      SELECT remainder_scaled AS center_scaled FROM c_r
+      WHERE rk = (cnt + 1) // 2
+    ), devs AS MATERIALIZED (
+      SELECT r.t, r.y, r.remainder_scaled, c.center_scaled,
+             CAST(abs(r.remainder_scaled - c.center_scaled) AS BIGINT)
+               AS dev_scaled
+      FROM rem r, center c
+    ), d_r AS MATERIALIZED (
+      SELECT *, row_number() OVER (ORDER BY dev_scaled, t) AS rk,
+             COUNT(*) OVER () AS cnt
+      FROM devs
+    ), mad AS MATERIALIZED (
+      SELECT dev_scaled AS mad_scaled FROM d_r WHERE rk = (cnt + 1) // 2
+    )
+    SELECT d.t, d.y, d.remainder_scaled, d.center_scaled, m.mad_scaled,
+           d.dev_scaled,
+           CAST(CASE WHEN d.dev_scaled > 5 * m.mad_scaled THEN 1 ELSE 0 END
+                AS BIGINT) AS is_outlier
+    FROM devs d, mad m
+    ORDER BY d.dev_scaled DESC, d.t LIMIT 5
+    """,
+)
+def seasonal_outliers_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-adjusted anomaly audit of monthly revenue
+    (operators/temporal.py seasonal_outliers): remove the 12-month MA
+    trend and the per-calendar-month median seasonal, then rank
+    months by |remainder - median| against a 5-MAD fence — top-5
+    margins with an is_outlier flag (a bare violations filter is
+    0-row on well-behaved data and checks nothing). Median and MAD
+    are exact order statistics over the bounded interior-month
+    table."""
+    from dpe_energy_performance_analysis_etl_spark.operators.temporal import (
+        seasonal_outliers,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    monthly = o.select(
+        F.months_between(
+            F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+        )
+        .cast("bigint")
+        .alias("m"),
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    return seasonal_outliers(monthly, "m", "cents", period=12, k_mad=5, top_n=5)

@@ -37,6 +37,8 @@ FAMILY_GROUPS: dict[str, list[str]] = {
         "grouping_sets_sql", "conditional_agg_functions", "percentile_iqr",
         "histogram_bins", "value_histogram", "column_profile",
         "equi_depth_bins_price", "abc_classification_brands",
+        "ratio_to_parent_revenue", "rfm_segments_customers",
+        "xyz_volatility_brands",
     ],
     "join": [
         "join_inner_broadcast", "join_left_cast_keys", "join_anti_new_rows",
@@ -171,12 +173,14 @@ FAMILY_GROUPS: dict[str, list[str]] = {
         "target_encode_loo_acctbal", "feature_hash_customers",
         "theil_sen_spend_trend", "jenks_breaks_totalprice",
         "basket_cooccurrence_lift", "apriori_triples_brands",
+        "ips_policy_value_events",
     ],
     "timeseries-forecast": [
         "holt_linear_revenue", "holt_winters_revenue", "seasonal_naive_mase",
         "cusum_changepoint_revenue", "ewma_user_values",
         "moving_zscore_anomalies", "dtw_user_value_series", "emd_price_drift",
-        "seasonal_decompose_revenue",
+        "seasonal_decompose_revenue", "rolling_corr_revenue_qty",
+        "seasonal_outliers_revenue",
     ],
     "survival": [
         "kaplan_meier_orders", "nelson_aalen_orders", "logrank_orders",

@@ -73,10 +73,20 @@ def main():
     )
     for n_nodes, vnodes in [(4, 64), (16, 64), (64, 64), (256, 64)]:
         pts = len(_points(n_nodes, vnodes))
-        tree = min(
-            _time(sink, ring_assign(keys, "k", n_nodes, vnodes=vnodes, method="tree"))
-            for _ in range(2)
-        )
+        if pts > 8192:
+            # measured r8: a 16 384-leaf nested CaseWhen is
+            # COMPILE-pathological (Catalyst/py4j construction alone
+            # ran >13 min before being killed) — the tree path is
+            # size-capped in ring_assign; skip it here
+            tree = float("nan")
+        else:
+            tree = min(
+                _time(
+                    sink,
+                    ring_assign(keys, "k", n_nodes, vnodes=vnodes, method="tree"),
+                )
+                for _ in range(2)
+            )
         bis = min(
             _time(sink, ring_assign(keys, "k", n_nodes, vnodes=vnodes, method="fold"))
             for _ in range(2)
@@ -90,14 +100,15 @@ def main():
             f" {tree:>10.2f}",
             flush=True,
         )
-    # sanity: identical assignments at the largest ring, all methods
+    # sanity: identical assignments — fold vs linear at the largest
+    # ring; tree vs fold at the largest tree-eligible ring (64x64)
     a = ring_assign_linear_r6(keys, "k", 256, 64).groupBy("shard").count()
     b = ring_assign(keys, "k", 256, vnodes=64, method="fold").groupBy("shard").count()
-    c = ring_assign(keys, "k", 256, vnodes=64, method="tree").groupBy("shard").count()
-    ra = sorted(map(tuple, a.collect()))
-    assert ra == sorted(map(tuple, b.collect()))
-    assert ra == sorted(map(tuple, c.collect()))
-    print("assignment parity at 256x64 (linear/fold/tree): OK")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    c = ring_assign(keys, "k", 64, vnodes=64, method="fold").groupBy("shard").count()
+    d = ring_assign(keys, "k", 64, vnodes=64, method="tree").groupBy("shard").count()
+    assert sorted(map(tuple, c.collect())) == sorted(map(tuple, d.collect()))
+    print("assignment parity (fold==linear @256x64, tree==fold @64x64): OK")
 
 
 def _time(sink, df):

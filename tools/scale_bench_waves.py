@@ -75,6 +75,13 @@ QUERIES_TO_SCALE = [
     "did_priority_revenue",
     "seasonal_decompose_revenue",
     "markov_next_event_hitrate",
+    # round-8 wave-2 families
+    "ips_policy_value_events",
+    "ratio_to_parent_revenue",
+    "rfm_segments_customers",
+    "xyz_volatility_brands",
+    "rolling_corr_revenue_qty",
+    "seasonal_outliers_revenue",
 ]
 
 SF_DIRS = [
