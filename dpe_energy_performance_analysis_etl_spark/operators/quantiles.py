@@ -594,3 +594,123 @@ def grouped_running_totals(
     return out.drop(
         "_pid", *[f"_l_{c}" for c in sum_cols], *[f"_o_{c}" for c in sum_cols]
     )
+
+
+def grouped_weighted_median(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Weighted LOW median per group: the smallest value v whose
+    inclusive cumulative weight reaches half the group's total
+    (2 * cumw(v) >= W) — the robust center for weighted data
+    (price-per-unit medians weighted by quantity), exact and
+    tie-free because it is an order statistic over the
+    value-AGGREGATED table, never an interpolation.
+
+    Skew-safe: per-(group, value) weight aggregation first (the one
+    data-sized pass), then the running prefix via
+    :func:`grouped_running_totals` (repartitionByRange + bounded
+    offset table — value is unique within a group after aggregation,
+    satisfying its order-key contract), a broadcast of per-group
+    totals, and a min-struct pick of the first qualifying value.
+
+    Returns (group, w_total, weighted_median).
+    """
+    vals = df.groupBy(
+        F.col(group_col).alias("g"), F.col(value_col).alias("v")
+    ).agg(F.sum(F.col(weight_col).cast("bigint")).alias("w"))
+    pre = grouped_running_totals(vals, "g", "v", ["w"])
+    totals = vals.groupBy("g").agg(F.sum("w").cast("bigint").alias("w_total"))
+    qual = (
+        pre.join(F.broadcast(totals), "g")
+        .where((F.col("w_before") + F.col("w")) * 2 >= F.col("w_total"))
+    )
+    return (
+        qual.groupBy("g", "w_total")
+        .agg(F.min("v").alias("weighted_median"))
+        .select(
+            F.col("g").alias(group_col),
+            "w_total",
+            "weighted_median",
+        )
+    )
+
+
+def cumulative_gains(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    tiebreak_col: str,
+    n_buckets: int = 10,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Cumulative gains table (the lift/gains chart behind campaign
+    targeting and model-eval decks): sort by score DESCENDING, cut
+    into ``n_buckets`` exact rank buckets, and report how much of the
+    total positive class each cumulative prefix captures. Random
+    targeting gains linearly; the gap is the model's value.
+
+    Exactness and skew-safety: global ranks via the two-pass
+    repartitionByRange recipe (never an unpartitioned data-sized
+    window); bucket = ((rank-1) * B) div N + 1 (exact integer split
+    under the deterministic (score desc, tiebreak) order); the
+    cumulative window runs over the BOUNDED bucket table.
+    gain_ppm = (cum_positives * scale) div total_positives.
+
+    Returns (bucket, n_rows, positives, cum_positives, gain_ppm).
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(score_col).desc(), F.col(tiebreak_col).asc()]
+    ranged = (
+        df.select(
+            score_col, tiebreak_col, F.col(label_col).cast("bigint").alias("_y")
+        )
+        .repartitionByRange(*order)
+        .withColumn("_pid", F.spark_partition_id())
+        .cache()
+    )
+    _retire_then_track(ranged)
+    sizes = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offs = sizes.select(
+        "_pid",
+        F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).cast("bigint").alias("_off"),
+        F.sum("_cnt").over(w_all).cast("bigint").alias("_n"),
+    )
+    w_loc = Window.partitionBy("_pid").orderBy(*order)
+    ranked = (
+        ranged.withColumn("_lrn", F.row_number().over(w_loc).cast("bigint"))
+        .join(F.broadcast(offs), "_pid")
+        .selectExpr(
+            "_y",
+            f"(((_off + _lrn) - 1) * {n_buckets}) div _n + 1 AS bucket",
+        )
+    )
+    per = ranked.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("_y").cast("bigint").alias("positives"),
+    )
+    w_cum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    w_tot = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return per.select(
+        F.col("bucket").cast("bigint").alias("bucket"),
+        "n_rows",
+        "positives",
+        F.sum("positives").over(w_cum).cast("bigint").alias("cum_positives"),
+        F.sum("positives").over(w_tot).cast("bigint").alias("_tot"),
+    ).selectExpr(
+        "bucket",
+        "n_rows",
+        "positives",
+        "cum_positives",
+        f"CAST((cum_positives * {scale}) div greatest(_tot, 1) AS BIGINT)"
+        f" AS gain_ppm",
+    )

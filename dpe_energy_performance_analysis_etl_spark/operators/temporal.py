@@ -1452,3 +1452,149 @@ def seasonal_outliers(
             "is_outlier",
         )
     )
+
+
+def window_funnel(
+    events,
+    steps: list[str],
+    window_us: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_tiebreak: str = "event_id",
+):
+    """Windowed funnel depth (the ClickHouse ``windowFunnel``
+    analytics primitive): per user, the deepest prefix of ``steps``
+    completed IN ORDER with every step inside ``window_us``
+    microseconds of the chain's FIRST step. The unordered min-ts
+    cascade (`funnel_stages`) cannot express the window constraint —
+    a signup in 1992 must not chain to a purchase in 1995.
+
+    Exact DP, one pass over each user's sorted step events: the state
+    is anchors[k] = the LATEST possible chain-start t1 among chains
+    reaching level k (maximizing the anchor dominates — later anchors
+    leave strictly more slack for deeper levels), folded via the SQL
+    `aggregate` HOF over the per-user sorted array (events not in
+    ``steps`` are filtered BEFORE collection, so the array is the
+    user's step events only). anchors[k] set implies anchors[k-1]
+    set, so depth = count of set anchors. Everything integer epoch
+    micros.
+
+    Scale shape: one user-keyed shuffle (the only data-sized move),
+    per-user arrays bounded by the user's step-event count, output
+    bounded at len(steps)+1 rows.
+
+    Returns (depth, n_users) for depth 0..len(steps).
+    """
+    from dpe_energy_performance_analysis_etl_spark.functions.temporal import (
+        epoch_micros,
+    )
+
+    k_n = len(steps)
+    step_expr = F.create_map(
+        *[x for i, s in enumerate(steps) for x in (F.lit(s), F.lit(i + 1))]
+    )
+    base = events.select(
+        F.col(user_col).alias("u"),
+        epoch_micros(F.col(ts_col)).alias("t"),
+        F.col(order_tiebreak).cast("bigint").alias("eid"),
+        step_expr[F.col(type_col)].cast("int").alias("s"),
+    ).where(F.col("s").isNotNull())
+    arr = base.groupBy("u").agg(
+        F.array_sort(F.collect_list(F.struct("t", "eid", "s"))).alias("seq")
+    )
+    # try_element_at for the k-1 lookup: at k = 1 the guard is false
+    # but ANSI element_at may still evaluate the dead branch (the r4
+    # lesson) — try_element_at yields NULL there and the NULL
+    # comparison is falsy, which is exactly the unset-anchor meaning
+    step = (
+        "(acc, e) -> transform(sequence(1, {k}), k -> CASE "
+        "WHEN k = 1 AND e.s = 1 THEN greatest(element_at(acc, 1), e.t) "
+        "WHEN k > 1 AND e.s = k AND try_element_at(acc, k - 1) >= 0 "
+        " AND e.t - try_element_at(acc, k - 1) <= {w} "
+        "THEN greatest(element_at(acc, k), try_element_at(acc, k - 1)) "
+        "ELSE element_at(acc, k) END)"
+    ).format(k=k_n, w=window_us)
+    depth = arr.selectExpr(
+        "u",
+        f"size(filter(aggregate(seq,"
+        f" transform(sequence(1, {k_n}), k -> CAST(-1 AS BIGINT)),"
+        f" {step}), a -> a >= 0)) AS depth",
+    )
+    # count users at every depth 0..K, emitting zero-count depths too
+    # (bounded output contract: always K+1 rows)
+    spark = events.sparkSession
+    depths = spark.range(k_n + 1).select(F.col("id").cast("bigint").alias("depth"))
+    counts = depth.groupBy("depth").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    return (
+        depths.join(counts, "depth", "left")
+        .select(
+            "depth",
+            F.coalesce(F.col("n_users"), F.lit(0)).cast("bigint").alias("n_users"),
+        )
+    )
+
+
+def croston_intermittent(
+    df,
+    key_col: str,
+    period_col: str,
+    demand_col: str,
+    scale: int = 1_000_000,
+):
+    """Croston's method for intermittent demand (Croston, Op.Res.Q.
+    1972 — the standard forecast for sparse/lumpy series where
+    ordinary smoothing of the zero-filled series biases low): smooth
+    the NONZERO demand sizes z and the inter-demand intervals p
+    separately; the demand-rate forecast is z/p per period. Dyadic
+    variant (the holt/holt-winters discipline): alpha = 1/2, so both
+    updates are integer (a + x) div 2 folds — exact and bit-portable.
+
+    Init: z = first demand size; p = the first inter-demand interval
+    (needs >= 2 demand periods; keys with fewer emit no row — on
+    growing data the demand count only grows, so output never
+    shrinks). Updates from the third demand on. The fold runs over
+    each key's BOUNDED sorted (period, demand) tier array; the one
+    data-sized pass is the (key, period) aggregation.
+
+    Returns (key, n_demands, z_scaled..., p_scaled..., rate_ppm) —
+    z and p as plain BIGINTs (already integer), rate_ppm =
+    (z * scale) div p.
+    """
+    tiers = (
+        df.groupBy(
+            F.col(key_col).alias("k"), F.col(period_col).cast("bigint").alias("p")
+        )
+        .agg(F.sum(F.col(demand_col).cast("bigint")).alias("y"))
+        .where(F.col("y") > 0)
+    )
+    arr = tiers.groupBy("k").agg(
+        F.array_sort(F.collect_list(F.struct("p", "y"))).alias("seq")
+    )
+    # state: [z, p, prev_t, n]
+    step = (
+        "(acc, e) -> CASE "
+        "WHEN element_at(acc, 4) = 0 THEN array(e.y, CAST(-1 AS BIGINT), e.p, CAST(1 AS BIGINT)) "
+        "WHEN element_at(acc, 4) = 1 THEN array("
+        " (element_at(acc, 1) + e.y) div 2,"
+        " e.p - element_at(acc, 3), e.p, CAST(2 AS BIGINT)) "
+        "ELSE array("
+        " (element_at(acc, 1) + e.y) div 2,"
+        " (element_at(acc, 2) + (e.p - element_at(acc, 3))) div 2,"
+        " e.p, element_at(acc, 4) + 1) END"
+    )
+    folded = arr.selectExpr(
+        "k",
+        f"aggregate(seq, array(CAST(0 AS BIGINT), CAST(-1 AS BIGINT),"
+        f" CAST(0 AS BIGINT), CAST(0 AS BIGINT)), {step}) AS st",
+    )
+    return folded.selectExpr(
+        "k",
+        "element_at(st, 4) AS n_demands",
+        "element_at(st, 1) AS z_smoothed",
+        "element_at(st, 2) AS p_smoothed",
+        f"CAST((element_at(st, 1) * {scale}) div greatest(element_at(st, 2), 1)"
+        f" AS BIGINT) AS rate_ppm",
+    ).where(F.col("n_demands") >= 2)

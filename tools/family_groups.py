@@ -29,7 +29,7 @@ FAMILY_GROUPS: dict[str, list[str]] = {
         "dedup_keep_first", "union_pages", "except_set", "intersect_set",
         "unpivot_melt", "unpivot_measures", "posexplode_embeddings",
         "deterministic_sample", "range_lookup_order_tiers",
-        "dictionary_encode_priority", "sql_in_subquery",
+        "dictionary_encode_priority", "sql_in_subquery", "lateral_topk_orders",
         "pareto_front_parts",
     ],
     "aggregation": [
@@ -67,7 +67,7 @@ FAMILY_GROUPS: dict[str, list[str]] = {
         "event_trigram_probs", "attribution_first_last",
         "markov_attribution_events", "shapley_attribution_events",
         "gsp_event_sequences", "low_value_runs", "smith_waterman_events",
-        "markov_next_event_hitrate",
+        "markov_next_event_hitrate", "window_funnel_events",
     ],
     "text-quality-curation": [
         "text_quality", "lang_id", "token_counts", "gopher_repetition",
@@ -164,6 +164,7 @@ FAMILY_GROUPS: dict[str, list[str]] = {
         "fano_event_bursts", "lag_autocorr_revenue", "simpson_user_events",
         "category_drift_halves", "pass_at_k_customers",
         "quantile_normalize_doclen", "conformal_interval_orders", "did_priority_revenue",
+        "weighted_median_price_brand", "cumulative_gains_priority",
         "grouped_stats_udaf", "pandas_udf_parity",
     ],
     "ml": [
@@ -179,7 +180,7 @@ FAMILY_GROUPS: dict[str, list[str]] = {
         "holt_linear_revenue", "holt_winters_revenue", "seasonal_naive_mase",
         "cusum_changepoint_revenue", "ewma_user_values",
         "moving_zscore_anomalies", "dtw_user_value_series", "emd_price_drift",
-        "seasonal_decompose_revenue", "rolling_corr_revenue_qty",
+        "seasonal_decompose_revenue", "rolling_corr_revenue_qty", "croston_intermittent_parts",
         "seasonal_outliers_revenue",
     ],
     "survival": [

@@ -82,6 +82,11 @@ QUERIES_TO_SCALE = [
     "xyz_volatility_brands",
     "rolling_corr_revenue_qty",
     "seasonal_outliers_revenue",
+    # round-8 wave-3 families
+    "window_funnel_events",
+    "weighted_median_price_brand",
+    "croston_intermittent_parts",
+    "cumulative_gains_priority",
 ]
 
 SF_DIRS = [
