@@ -329,29 +329,28 @@ def rfm_segments(
     """
     from pyspark.sql import Window
 
-    from pyspark.sql import Window
+    from dpe_energy_performance_analysis_etl_spark.operators.quantiles import (
+        global_rank_column,
+    )
 
     per = df.groupBy(F.col(key_col).alias("k")).agg(
         F.max(F.col(ts_col)).alias("last_ts"),
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
         F.sum(F.col(amount_col).cast("bigint")).cast("bigint").alias("total_amount"),
     )
-    ranked = per.select(
-        "*",
-        F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint").alias("_n"),
-        F.row_number()
-        .over(Window.orderBy(F.col("last_ts").asc(), F.col("k").asc()))
-        .cast("bigint")
-        .alias("_rr"),
-        F.row_number()
-        .over(Window.orderBy(F.col("n_orders").asc(), F.col("k").asc()))
-        .cast("bigint")
-        .alias("_rf"),
-        F.row_number()
-        .over(Window.orderBy(F.col("total_amount").asc(), F.col("k").asc()))
-        .cast("bigint")
-        .alias("_rm"),
-    )
+    # THREE exact global ranks over the per-entity table — which is
+    # data-sized (one row per customer), so each rank rides the
+    # two-pass repartitionByRange recipe, never an unpartitioned
+    # window (the r8 sweep's row gate caught both defects in earlier
+    # cuts: three single-partition sorts first — 7.3x time at 50x
+    # data — then a cache-dependent rank inconsistency on the second
+    # build in one session; global_rank_column pins its intermediate
+    # with an eager localCheckpoint now). n comes from a 1-row agg.
+    n_row = per.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    r1 = global_rank_column(per, [F.col("last_ts").asc(), F.col("k").asc()], "_rr")
+    r2 = global_rank_column(r1, [F.col("n_orders").asc(), F.col("k").asc()], "_rf")
+    r3 = global_rank_column(r2, [F.col("total_amount").asc(), F.col("k").asc()], "_rm")
+    ranked = r3.crossJoin(F.broadcast(n_row))
     return ranked.selectExpr(
         f"k AS {key_col}",
         "last_ts",

@@ -160,16 +160,15 @@ def equi_depth_bins(
     in this module (no sort at all)."""
     order_cols = [value_col] + ([order_tiebreak] if order_tiebreak else [])
     order = [F.col(c).asc() for c in order_cols]
-    # cached: consumed by the per-partition size pass AND the ranked
-    # pass — the two-pass minimum for exact global ranks (N and the
-    # earlier-partition offsets must exist before bins assign); the
-    # cache holds exactly one shuffle's worth of pruned columns
-    # (MEMORY_AND_DISK — spills, never recomputes the range exchange)
-    ranged = (
+    # pinned (eager localCheckpoint): consumed by the per-partition
+    # size pass AND the ranked pass — the two-pass minimum for exact
+    # global ranks; see the module note on why cache() is not enough
+    # (two physical instantiations of repartitionByRange sample
+    # DIFFERENT boundaries and the ranks go silently wrong)
+    ranged = _pin(
         df.select(*order_cols)
         .repartitionByRange(*order)
         .withColumn("_pid", F.spark_partition_id())
-        .cache()
     )
     sizes = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
     w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
@@ -367,36 +366,61 @@ def jenks_breaks_binned(
     return out
 
 
-# Cache residency for the rank primitives (ADVICE r7): each of
-# grouped_kth_smallest / quantile_normalize / grouped_running_totals
-# caches a `ranged` (and `ranked`) intermediate that the returned lazy
-# plan consumes 2-3 times — the cache cannot be dropped inside the
-# function (the caller has not materialized yet), but left alone it
-# accumulates executor storage across calls (conformal, Mann-Whitney
-# and concentration all route through these in one session). Policy:
-# ONE-GENERATION residency — entering any of the three primitives
-# unpersists the caches left by the PREVIOUS invocation (by then the
-# caller of that invocation has materialized its result), and
-# `clear_rank_caches()` drops the final generation explicitly. Callers
-# that interleave materialization of two successive outputs must
-# materialize the first before requesting the second (every in-repo
-# caller does).
-_RANK_CACHES: list[DataFrame] = []
+# Materialization discipline for the rank primitives (r8, superseding
+# the r7 cache-retirement registry): every primitive here range-
+# partitions an intermediate (`ranged`/`ranked`) that the rest of the
+# plan consumes TWO OR MORE times. repartitionByRange SAMPLES its
+# boundaries per physical instantiation, so if the two consumptions
+# ever materialize as separate exchanges the offsets and the local
+# ranks come from DIFFERENT partitionings and the global ranks are
+# silently WRONG. `.cache()` appeared to pin one instantiation, but
+# correctness-by-cache is a trap: CacheManager matches entries by
+# logical plan, so unpersisting a PREVIOUS invocation's plan-identical
+# cache evicted the CURRENT invocation's entry (the r8 rfm row-gate
+# catch: run 1 returned 116 segments, run 2 returned 8), and a plain
+# spark.catalog.clearCache() between build and action does the same.
+# EAGER `localCheckpoint()` fixes the class: the intermediate is
+# materialized ONCE, deterministically, outside the CacheManager —
+# immune to unpersist/clearCache — and its blocks are freed by the
+# ContextCleaner when the plan is garbage-collected, which also
+# closes ADVICE r7's unbounded-cache-accumulation finding without a
+# manual registry. (Stats-carry checkpoint blowup does not apply:
+# these are single-shot plans, not iterative self-referencing ones.)
 
 
-def clear_rank_caches() -> None:
-    """Unpersist the cached intermediates of the most recent rank-
-    primitive invocation (see module note)."""
-    while _RANK_CACHES:
-        try:
-            _RANK_CACHES.pop().unpersist()
-        except Exception:  # noqa: BLE001 — session already stopped
-            pass
+def _pin(df: DataFrame) -> DataFrame:
+    """Eagerly materialize a multi-consumer range-partitioned
+    intermediate (see module note)."""
+    return df.localCheckpoint(eager=True)
 
 
-def _retire_then_track(*dfs: DataFrame) -> None:
-    clear_rank_caches()
-    _RANK_CACHES.extend(dfs)
+def global_rank_column(
+    df: DataFrame,
+    order: list,
+    out_col: str,
+) -> DataFrame:
+    """df + an exact GLOBAL 1-based rank column under ``order`` —
+    the reusable two-pass repartitionByRange recipe (range partition,
+    per-partition row_number, bounded offset table) so callers never
+    write the unpartitioned data-sized window the r6 audit bans. The
+    range-partitioned intermediate is pinned with an eager
+    localCheckpoint — correctness, not just perf (see module note)."""
+    ranged = _pin(
+        df.repartitionByRange(*order).withColumn("_pid", F.spark_partition_id())
+    )
+    sizes = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = sizes.select(
+        "_pid",
+        F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).cast("bigint").alias("_off"),
+    )
+    w_loc = Window.partitionBy("_pid").orderBy(*order)
+    return (
+        ranged.withColumn("_lrn", F.row_number().over(w_loc).cast("bigint"))
+        .join(F.broadcast(offs), "_pid")
+        .withColumn(out_col, (F.col("_off") + F.col("_lrn")).cast("bigint"))
+        .drop("_pid", "_lrn", "_off")
+    )
 
 
 def grouped_kth_smallest(
@@ -427,9 +451,8 @@ def grouped_kth_smallest(
         df.select(group_col, value_col)
         .repartitionByRange(*order)
         .withColumn("_pid", F.spark_partition_id())
-        .cache()
     )
-    _retire_then_track(ranged)
+    ranged = _pin(ranged)
     sizes = ranged.groupBy("_pid", group_col).agg(F.count(F.lit(1)).alias("_cnt"))
     w_off = (
         Window.partitionBy(group_col)
@@ -489,10 +512,9 @@ def quantile_normalize(
         df.select(group_col, value_col, tiebreak_col)
         .repartitionByRange(*order)
         .withColumn("_pid", F.spark_partition_id())
-        .cache()
     )
+    ranged = _pin(ranged)
     sizes = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
-    # (ranked is tracked below together with ranged — one generation)
     w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     w_all = Window.orderBy("_pid").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
@@ -507,9 +529,8 @@ def quantile_normalize(
         ranged.withColumn("_lrn", F.row_number().over(w_loc).cast("bigint"))
         .join(F.broadcast(offs), "_pid")
         .withColumn("_grank", F.col("_off") + F.col("_lrn"))
-        .cache()
     )
-    _retire_then_track(ranged, ranked)
+    ranked = _pin(ranked)
     wg = Window.partitionBy(group_col).orderBy(*order)
     grp = (
         ranked.withColumn("_gr", F.row_number().over(wg).cast("bigint"))
@@ -550,12 +571,9 @@ def grouped_running_totals(
     Returns df's columns plus ``{c}_before`` for each sum column.
     """
     order = [F.col(group_col).asc(), F.col(order_col).asc()]
-    ranged = (
-        df.repartitionByRange(*order)
-        .withColumn("_pid", F.spark_partition_id())
-        .cache()
+    ranged = _pin(
+        df.repartitionByRange(*order).withColumn("_pid", F.spark_partition_id())
     )
-    _retire_then_track(ranged)
     sizes = ranged.groupBy("_pid", group_col).agg(
         *[F.sum(c).cast("bigint").alias(f"_t_{c}") for c in sum_cols]
     )
@@ -670,9 +688,8 @@ def cumulative_gains(
         )
         .repartitionByRange(*order)
         .withColumn("_pid", F.spark_partition_id())
-        .cache()
     )
-    _retire_then_track(ranged)
+    ranged = _pin(ranged)
     sizes = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
     w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     w_all = Window.orderBy("_pid").rowsBetween(

@@ -1598,3 +1598,103 @@ def croston_intermittent(
         f"CAST((element_at(st, 1) * {scale}) div greatest(element_at(st, 2), 1)"
         f" AS BIGINT) AS rate_ppm",
     ).where(F.col("n_demands") >= 2)
+
+
+def sliding_distinct_daily(
+    events,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    window_days: int = 30,
+):
+    """EXACT trailing-window distinct users per day (the DAU/MAU
+    board metric) without ever running a per-day DISTINCT — the
+    boundary-diff algorithm: a user active on day d is "in the MAU"
+    for days [d, d+W-1]; merge each user's covered days into
+    intervals (consecutive active days less than W apart fuse — a
+    per-user sorted lag pass), emit +1 at each interval start and -1
+    one past its end, and the trailing-distinct count is the prefix
+    sum of the net deltas over the day grid. A naive exact MAU
+    re-counts distinct users per day (365 full-data distincts per
+    year); this is ONE (user, day) dedup + one per-user lag pass +
+    arithmetic over the bounded day-tier table.
+
+    DAU rides the same dedup (count per day); stickiness =
+    dau/mau as exact ppm. Day = integer epoch days (the CLAUDE.md
+    epoch rule).
+
+    Returns one row per day in [min_day, max_day] (gap-filled):
+    (day, dau, mau, stickiness_ppm).
+    """
+    from dpe_energy_performance_analysis_etl_spark.functions.temporal import (
+        epoch_micros,
+    )
+
+    ud = (
+        events.select(
+            F.col(user_col).alias("u"),
+            epoch_micros(F.col(ts_col)).alias("eus"),
+        )
+        .selectExpr("u", "eus div 86400000000 AS d")
+        .distinct()
+        .cache()
+    )
+    dau = ud.groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("dau"))
+    w_u = Window.partitionBy("u").orderBy("d")
+    marked = ud.withColumn("prev_d", F.lag("d").over(w_u)).withColumn(
+        "is_start",
+        (F.col("prev_d").isNull() | (F.col("d") - F.col("prev_d") > window_days))
+        .cast("bigint"),
+    )
+    grp = marked.withColumn(
+        "g",
+        F.sum("is_start").over(
+            Window.partitionBy("u")
+            .orderBy("d")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    intervals = grp.groupBy("u", "g").agg(
+        F.min("d").alias("s"), (F.max("d") + window_days).alias("e1")
+    )
+    deltas = (
+        intervals.selectExpr("s AS d", "CAST(1 AS BIGINT) AS delta")
+        .unionByName(intervals.selectExpr("e1 AS d", "CAST(-1 AS BIGINT) AS delta"))
+        .groupBy("d")
+        .agg(F.sum("delta").cast("bigint").alias("net"))
+    )
+    bounds = ud.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    grid = bounds.selectExpr(
+        "explode(sequence(d0, d1)) AS day"
+    )
+    w_cum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    # windows over the bounded day grid (a few thousand rows)
+    out = (
+        grid.join(deltas.withColumnRenamed("d", "day"), "day", "left")
+        .withColumn("net", F.coalesce(F.col("net"), F.lit(0)))
+        .withColumn("mau", F.sum("net").over(w_cum).cast("bigint"))
+        .join(dau.withColumnRenamed("d", "day"), "day", "left")
+        .withColumn("dau", F.coalesce(F.col("dau"), F.lit(0)).cast("bigint"))
+    )
+    return out.selectExpr(
+        "CAST(day AS BIGINT) AS day",
+        "dau",
+        "mau",
+        "CAST((dau * 1000000) div greatest(mau, 1) AS BIGINT) AS stickiness_ppm",
+    )
+
+
+def zorder_key(a, b, bits: int = 6):
+    """Morton/Z-order interleave of two ``bits``-bit non-negative
+    integer codes — the multi-dimensional SORT KEY behind data-
+    skipping layouts (Delta/Iceberg Z-ORDER BY): sorting by z keeps
+    rows close in BOTH dimensions physically adjacent, so per-file
+    min/max statistics prune multi-predicate scans that a
+    single-column sort cannot. Pure codegen bit arithmetic (literal
+    shifts only — F.shiftleft takes literal shift amounts)."""
+    z = None
+    for i in range(bits):
+        pa = F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i)
+        pb = F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        term = pa + pb
+        z = term if z is None else z + term
+    return z.cast("bigint")

@@ -15669,3 +15669,179 @@ def cumulative_gains_priority_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("tb"),
     )
     return cumulative_gains(base, "score", "y", "tb", n_buckets=10)
+
+
+# =====================================================================
+# Round 8, wave 4: exact sliding distinct (DAU/MAU), Z-order layout
+# key, Zipf rank-ratio descriptor
+# =====================================================================
+
+@register(
+    "dau_mau_stickiness_events",
+    """
+    WITH ud AS MATERIALIZED (
+      SELECT DISTINCT user_id AS u, epoch_us(ts) // 86400000000 AS d
+      FROM events
+    ), dau AS MATERIALIZED (
+      SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY 1
+    ), marked AS MATERIALIZED (
+      SELECT u, d,
+             CASE WHEN lag(d) OVER (PARTITION BY u ORDER BY d) IS NULL
+                    OR d - lag(d) OVER (PARTITION BY u ORDER BY d) > 30
+                  THEN 1 ELSE 0 END AS is_start
+      FROM ud
+    ), grp AS MATERIALIZED (
+      SELECT u, d, SUM(is_start) OVER (PARTITION BY u ORDER BY d
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+      FROM marked
+    ), intervals AS MATERIALIZED (
+      SELECT u, g, MIN(d) AS s, MAX(d) + 30 AS e1 FROM grp GROUP BY 1, 2
+    ), deltas AS MATERIALIZED (
+      SELECT d, CAST(SUM(delta) AS BIGINT) AS net FROM (
+        SELECT s AS d, 1 AS delta FROM intervals
+        UNION ALL SELECT e1 AS d, -1 AS delta FROM intervals
+      ) GROUP BY 1
+    ), bounds AS MATERIALIZED (
+      SELECT MIN(d) AS d0, MAX(d) AS d1 FROM ud
+    ), grid AS MATERIALIZED (
+      SELECT unnest(range(d0, d1 + 1)) AS day FROM bounds
+    ), mau AS MATERIALIZED (
+      SELECT grid.day,
+             CAST(SUM(COALESCE(deltas.net, 0)) OVER (ORDER BY grid.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS mau
+      FROM grid LEFT JOIN deltas ON grid.day = deltas.d
+    )
+    SELECT CAST(mau.day AS BIGINT) AS day,
+           CAST(COALESCE(dau.dau, 0) AS BIGINT) AS dau,
+           mau.mau,
+           CAST((COALESCE(dau.dau, 0) * 1000000) // greatest(mau.mau, 1)
+                AS BIGINT) AS stickiness_ppm
+    FROM mau LEFT JOIN dau ON mau.day = dau.d
+    """,
+)
+def dau_mau_stickiness_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / exact 30-day trailing MAU / stickiness per day
+    (operators/temporal.py sliding_distinct_daily): the boundary-diff
+    algorithm — merge each user's active days into coverage
+    intervals, emit +1/-1 boundary deltas, prefix-sum over the day
+    grid — so the exact sliding DISTINCT never re-counts users per
+    day (a naive exact MAU is 365 full-data distincts a year; this is
+    one (user, day) dedup + one per-user lag pass + bounded-table
+    arithmetic)."""
+    from dpe_energy_performance_analysis_etl_spark.operators.temporal import (
+        sliding_distinct_daily,
+    )
+
+    return sliding_distinct_daily(read_events(spark, sf_dir), window_days=30)
+
+
+@register(
+    "zorder_locality_customers",
+    """
+    WITH bal AS MATERIALIZED (
+      SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS a,
+             CAST(CAST(c_acctbal AS DECIMAL(30,2)) * 100 AS BIGINT) AS bal_c
+      FROM customer
+    ), bounds AS MATERIALIZED (
+      SELECT MIN(bal_c) AS lo, MAX(bal_c) AS hi FROM bal
+    ), coded AS MATERIALIZED (
+      SELECT a, ((bal_c - lo) * 64) // (hi - lo + 1) AS b
+      FROM bal, bounds
+    ), zed AS MATERIALIZED (
+      SELECT a, b,
+        ((a >> 0) & 1) * 1 + ((b >> 0) & 1) * 2
+        + ((a >> 1) & 1) * 4 + ((b >> 1) & 1) * 8
+        + ((a >> 2) & 1) * 16 + ((b >> 2) & 1) * 32
+        + ((a >> 3) & 1) * 64 + ((b >> 3) & 1) * 128
+        + ((a >> 4) & 1) * 256 + ((b >> 4) & 1) * 512
+        + ((a >> 5) & 1) * 1024 + ((b >> 5) & 1) * 2048 AS z
+      FROM coded
+    )
+    SELECT CAST(z // 64 AS BIGINT) AS z_prefix,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(a) AS BIGINT) AS min_nation,
+           CAST(MAX(a) AS BIGINT) AS max_nation,
+           CAST(MIN(b) AS BIGINT) AS min_balbucket,
+           CAST(MAX(b) AS BIGINT) AS max_balbucket
+    FROM zed GROUP BY 1
+    """,
+)
+def zorder_locality_customers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout key over (nation, balance-bucket)
+    (operators/temporal.py zorder_key — the Delta/Iceberg Z-ORDER BY
+    primitive): interleave the bits of two 6-bit codes so a sort by z
+    keeps rows adjacent in BOTH dimensions; each 64-row z-prefix's
+    bounding box stays a small quadrant (the per-file min/max stats a
+    multi-predicate scan prunes on). Balance bucketed equi-width over
+    the OBSERVED range in exact cents (data-anchored); pure codegen
+    bit arithmetic, identical in SQL."""
+    from dpe_energy_performance_analysis_etl_spark.operators.temporal import zorder_key
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    bal = c.select(
+        F.col("c_nationkey").cast("bigint").alias("a"),
+        F.expr("CAST(CAST(c_acctbal AS DECIMAL(30,2)) * 100 AS BIGINT)").alias(
+            "bal_c"
+        ),
+    )
+    bounds = bal.agg(F.min("bal_c").alias("lo"), F.max("bal_c").alias("hi"))
+    coded = bal.crossJoin(F.broadcast(bounds)).selectExpr(
+        "a", "((bal_c - lo) * 64) div (hi - lo + 1) AS b"
+    )
+    zed = coded.withColumn("z", zorder_key(F.col("a"), F.col("b"), bits=6))
+    return zed.selectExpr(
+        "z div 64 AS z_prefix", "a", "b"
+    ).groupBy("z_prefix").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min("a").cast("bigint").alias("min_nation"),
+        F.max("a").cast("bigint").alias("max_nation"),
+        F.min("b").cast("bigint").alias("min_balbucket"),
+        F.max("b").cast("bigint").alias("max_balbucket"),
+    ).withColumn("z_prefix", F.col("z_prefix").cast("bigint"))
+
+
+@register(
+    "zipf_ratio_tokens",
+    """
+    WITH vocab AS MATERIALIZED (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        FROM documents
+      ) GROUP BY 1
+    ), top AS MATERIALIZED (
+      SELECT w, freq, row_number() OVER (ORDER BY freq DESC, w) AS rank
+      FROM vocab ORDER BY freq DESC, w LIMIT 128
+    ), f1 AS (SELECT MAX(freq) AS f1 FROM top)
+    SELECT CAST(rank AS BIGINT) AS rank, w AS token, freq,
+           CAST((f1.f1 * 1000000) // freq AS BIGINT) AS f1_ratio_ppm
+    FROM top, f1
+    """,
+)
+def zipf_ratio_tokens_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency descriptor of the corpus vocabulary: the
+    top-128 tokens with the exact integer ratio f(1)/f(rank) in ppm —
+    the log-free diagnostic for "is this corpus Zipfian" (ratio ~rank
+    means alpha ~1; ratios collapsing toward 1 flag boilerplate
+    repetition). One vocabulary aggregation, one bounded top-k sort,
+    windows over the 128-row head only."""
+    docs = read_documents(spark, sf_dir)
+    from dpe_energy_performance_analysis_etl_spark.text.analysis import tokens_expr
+
+    vocab = (
+        docs.select(F.explode(tokens_expr("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    top = vocab.orderBy(F.col("freq").desc(), F.col("w").asc()).limit(128)
+    w = Window.orderBy(F.col("freq").desc(), F.col("w").asc())
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return top.select(
+        F.row_number().over(w).cast("bigint").alias("rank"),
+        F.col("w").alias("token"),
+        "freq",
+        F.max("freq").over(w_all).alias("_f1"),
+    ).selectExpr(
+        "rank", "token", "freq",
+        "CAST((_f1 * 1000000) div freq AS BIGINT) AS f1_ratio_ppm",
+    )

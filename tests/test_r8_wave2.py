@@ -145,3 +145,29 @@ class TestSeasonalOutliers:
         got2 = seasonal_outliers(clean, "t", "y", period=4, k_mad=5, top_n=3).collect()
         assert len(got2) == 3
         assert all(r["is_outlier"] == 0 for r in got2)
+
+
+class TestRankPrimitiveRebuildStability:
+    def test_second_build_in_one_session_identical(self, spark):
+        """r8 row-gate catch: correctness-by-cache. The rank recipe's
+        range-partitioned intermediate used .cache(); unpersisting a
+        plan-identical entry (previous invocation's retirement, or a
+        bare clearCache between build and action) left TWO physical
+        instantiations of repartitionByRange sampling DIFFERENT
+        boundaries — offsets from one, local ranks from the other,
+        silently wrong ranks (116 -> 8 segments at sf1). Pinning via
+        eager localCheckpoint makes every rebuild identical."""
+        from dpe_energy_performance_analysis_etl_spark.operators.quantiles import (
+            cumulative_gains,
+        )
+
+        rows = [((i * 37) % 1009, i % 4 == 0, i) for i in range(5000)]
+        df = spark.createDataFrame(rows, "score long, y boolean, tb long")
+        results = []
+        for _ in range(2):
+            spark.catalog.clearCache()
+            got = sorted(
+                map(tuple, cumulative_gains(df, "score", "y", "tb").collect())
+            )
+            results.append(got)
+        assert results[0] == results[1]

@@ -30,6 +30,7 @@ FAMILY_GROUPS: dict[str, list[str]] = {
         "unpivot_melt", "unpivot_measures", "posexplode_embeddings",
         "deterministic_sample", "range_lookup_order_tiers",
         "dictionary_encode_priority", "sql_in_subquery", "lateral_topk_orders",
+        "zorder_locality_customers",
         "pareto_front_parts",
     ],
     "aggregation": [
@@ -61,6 +62,7 @@ FAMILY_GROUPS: dict[str, list[str]] = {
         "time_weighted_avg", "interarrival_percentiles",
         "interval_coverage_users", "allen_relations_sessions",
         "month_over_month_revenue", "cohort_retention",
+        "dau_mau_stickiness_events",
     ],
     "sequence-analytics": [
         "funnel_stages", "user_event_paths", "event_transition_matrix",
@@ -103,7 +105,7 @@ FAMILY_GROUPS: dict[str, list[str]] = {
         "distinctive_terms_source", "source_overlap_matrix",
     ],
     "language-model": [
-        "ngram_counts_pruned", "kneser_ney_bigrams", "stupid_backoff_docs", "pmi_collocations_docs",
+        "ngram_counts_pruned", "kneser_ney_bigrams", "stupid_backoff_docs", "pmi_collocations_docs", "zipf_ratio_tokens",
         "vocab_coverage_curve", "negative_sampling_words",
         "walk_skipgram_pairs",
     ],
