@@ -731,3 +731,67 @@ def cumulative_gains(
         f"CAST((cum_positives * {scale}) div greatest(_tot, 1) AS BIGINT)"
         f" AS gain_ppm",
     )
+
+
+def grouped_trimmed_mean(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    trim_ppm: int = 100_000,
+    scale: int = 1000,
+) -> DataFrame:
+    """Exact per-group TRIMMED mean: drop the lowest and highest
+    ``trim_ppm`` fraction of rows (by exact rank under (value, group)
+    order — floor(n*trim/1e6) rows each side, the textbook definition)
+    and average the integer values that remain — the robust center
+    that, unlike the median, still uses the retained mass, and unlike
+    the plain mean, ignores tail garbage.
+
+    Skew-safe and exact: per-row global-within-group ranks via the
+    grouped_running_totals recipe's sibling (range partition + local
+    row_number + bounded offsets — grouped_kth_smallest's plan,
+    inlined here to also carry the running SUM), so no data-sized
+    PARTITION BY window; the trimmed sum/count are exact BIGINTs and
+    the mean floors once at ``scale``.
+
+    Returns (group, n, n_trimmed_each_side, trimmed_mean_scaled).
+    """
+    order = [F.col(group_col).asc(), F.col(value_col).asc()]
+    ranged = _pin(
+        df.select(group_col, value_col)
+        .repartitionByRange(*order)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    sizes = ranged.groupBy("_pid", group_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    w_off = (
+        Window.partitionBy(group_col)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = sizes.select(
+        "_pid",
+        group_col,
+        F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).cast("bigint").alias("_off"),
+    )
+    totals = sizes.groupBy(group_col).agg(
+        F.sum("_cnt").cast("bigint").alias("_n")
+    )
+    w_loc = Window.partitionBy("_pid", group_col).orderBy(F.col(value_col).asc())
+    ranked = (
+        ranged.withColumn("_lrn", F.row_number().over(w_loc).cast("bigint"))
+        .join(F.broadcast(offs), ["_pid", group_col])
+        .join(F.broadcast(totals), group_col)
+        .withColumn("_rk", F.col("_off") + F.col("_lrn"))
+        .withColumn("_k", F.expr(f"(_n * {trim_ppm}) div 1000000"))
+    )
+    kept = ranked.where(
+        (F.col("_rk") > F.col("_k")) & (F.col("_rk") <= F.col("_n") - F.col("_k"))
+    )
+    return kept.groupBy(group_col).agg(
+        F.max("_n").alias("n"),
+        F.max("_k").alias("n_trimmed_each_side"),
+        F.expr(
+            f"CAST((SUM(CAST({value_col} AS BIGINT)) * {scale})"
+            f" div COUNT(*) AS BIGINT)"
+        ).alias("trimmed_mean_scaled"),
+    )

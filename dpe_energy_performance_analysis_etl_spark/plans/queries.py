@@ -15845,3 +15845,90 @@ def zipf_ratio_tokens_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank", "token", "freq",
         "CAST((_f1 * 1000000) div freq AS BIGINT) AS f1_ratio_ppm",
     )
+
+
+# =====================================================================
+# Round 8, wave 5: trimmed mean, top-k WITH TIES
+# =====================================================================
+
+@register(
+    "trimmed_mean_price_brand",
+    """
+    WITH ranked AS MATERIALIZED (
+      SELECT p.p_brand AS g,
+             CAST(CAST(l.l_extendedprice AS DECIMAL(30,2)) * 100 AS BIGINT) AS v,
+             row_number() OVER (PARTITION BY p.p_brand
+               ORDER BY CAST(CAST(l.l_extendedprice AS DECIMAL(30,2)) * 100
+                             AS BIGINT)) AS rk,
+             COUNT(*) OVER (PARTITION BY p.p_brand) AS n
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    )
+    SELECT g AS p_brand, CAST(MAX(n) AS BIGINT) AS n,
+           CAST(MAX((n * 100000) // 1000000) AS BIGINT) AS n_trimmed_each_side,
+           CAST((SUM(v) * 1000) // COUNT(*) AS BIGINT) AS trimmed_mean_scaled
+    FROM ranked
+    WHERE rk > (n * 100000) // 1000000
+      AND rk <= n - (n * 100000) // 1000000
+    GROUP BY 1
+    """,
+)
+def trimmed_mean_price_brand_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10%-trimmed mean line price per brand
+    (operators/quantiles.py grouped_trimmed_mean): drop the exact
+    floor(n/10) lowest- and highest-ranked rows per brand and average
+    the rest in exact cents — the robust center that still uses the
+    retained mass. Ranks ride the range-partition recipe (the
+    oracle's PARTITION BY window is the sf0.01 shortcut; the Spark
+    plan never sorts a data-sized group on one executor); the mean
+    floors once at milli-cents."""
+    from dpe_energy_performance_analysis_etl_spark.operators.quantiles import (
+        grouped_trimmed_mean,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pt = spark.read.parquet(f"{sf_dir}/part.parquet")
+    base = li.join(pt, li["l_partkey"] == pt["p_partkey"]).select(
+        F.col("p_brand").alias("b"),
+        F.expr("CAST(CAST(l_extendedprice AS DECIMAL(30,2)) * 100 AS BIGINT)").alias(
+            "price"
+        ),
+    )
+    return grouped_trimmed_mean(
+        base, "b", "price", trim_ppm=100_000, scale=1000
+    ).withColumnRenamed("b", "p_brand")
+
+
+@register(
+    "topk_with_ties_quantity",
+    """
+    WITH per AS MATERIALIZED (
+      SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY 1, 2
+    ), r AS (
+      SELECT l_returnflag, qty, cnt,
+             rank() OVER (PARTITION BY l_returnflag ORDER BY cnt DESC) AS rnk
+      FROM per
+    )
+    SELECT l_returnflag, CAST(qty AS BIGINT) AS qty, cnt,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 2
+    """,
+)
+def topk_with_ties_quantity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k WITH TIES (the `FETCH FIRST k ROWS WITH TIES` / RANK()
+    idiom the row_number-based topk_per_group cannot express): the
+    two most frequent quantity values per return flag, keeping EVERY
+    value tied with the k-th — RANK over the bounded (flag, quantity)
+    aggregate (quantities are a small integer domain, so ties are
+    real). Window runs over the aggregated table, never raw rows."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    per = li.groupBy(
+        "l_returnflag", F.expr("CAST(l_quantity AS BIGINT)").alias("qty")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    w = Window.partitionBy("l_returnflag").orderBy(F.col("cnt").desc())
+    return (
+        per.withColumn("rnk", F.rank().over(w).cast("bigint"))
+        .where(F.col("rnk") <= 2)
+        .select("l_returnflag", F.col("qty").cast("bigint").alias("qty"), "cnt", "rnk")
+    )

@@ -49,6 +49,7 @@ FAMILY_GROUPS: dict[str, list[str]] = {
         "window_rank_lag", "window_running_sum", "topk_per_group",
         "window_range_frame", "window_analytics_extended",
         "percent_of_total_window", "rolling_median_revenue",
+        "topk_with_ties_quantity",
     ],
     "scalar-functions": [
         "scalar_functions", "date_functions", "string_functions",
@@ -167,6 +168,7 @@ FAMILY_GROUPS: dict[str, list[str]] = {
         "category_drift_halves", "pass_at_k_customers",
         "quantile_normalize_doclen", "conformal_interval_orders", "did_priority_revenue",
         "weighted_median_price_brand", "cumulative_gains_priority",
+        "trimmed_mean_price_brand",
         "grouped_stats_udaf", "pandas_udf_parity",
     ],
     "ml": [
