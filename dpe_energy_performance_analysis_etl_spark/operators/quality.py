@@ -580,3 +580,56 @@ def fd_discovery(df: DataFrame, cols: list[str]) -> DataFrame:
         .cast("bigint")
         .alias("holds"),
     )
+
+
+def referential_integrity_audit(
+    edges: "list[tuple[DataFrame, str, DataFrame, str, str]]",
+) -> DataFrame:
+    """Foreign-key orphan audit across a schema's join edges: for
+    each (child_df, fk_col, parent_df, pk_col, edge_name), count
+    child rows, orphan rows (fk with no parent — a LEFT ANTI join,
+    the exact complement of the join every query assumes is safe),
+    NULL fks (excused from orphanhood like SQL FKs), and the
+    distinct-fk-to-parent cardinality ratio in ppm. The data-contract
+    check that catches broken ingests BEFORE a silent inner join
+    drops rows.
+
+    One anti-join + two aggregates per edge, each equi-keyed; the
+    output is one bounded row per edge, unioned.
+
+    Returns (edge, n_child, n_null_fk, n_orphans, orphan_ppm,
+    n_distinct_fk, n_parent, fk_coverage_ppm).
+    """
+    outs = []
+    for child, fk, parent, pk, name in edges:
+        c = child.select(F.col(fk).alias("_fk"))
+        p = parent.select(F.col(pk).alias("_pk"))
+        nn = c.where(F.col("_fk").isNotNull())
+        orphans = nn.join(p, nn["_fk"] == p["_pk"], "left_anti")
+        stats = c.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_child"),
+            F.count_if(F.col("_fk").isNull()).cast("bigint").alias("n_null_fk"),
+            F.count_distinct(F.col("_fk")).cast("bigint").alias("n_distinct_fk"),
+        )
+        orf = orphans.agg(F.count(F.lit(1)).cast("bigint").alias("n_orphans"))
+        par = p.agg(F.count(F.lit(1)).cast("bigint").alias("n_parent"))
+        outs.append(
+            stats.crossJoin(orf)
+            .crossJoin(par)
+            .selectExpr(
+                f"'{name}' AS edge",
+                "n_child",
+                "n_null_fk",
+                "n_orphans",
+                "CAST((n_orphans * 1000000) div greatest(n_child - n_null_fk, 1)"
+                " AS BIGINT) AS orphan_ppm",
+                "n_distinct_fk",
+                "n_parent",
+                "CAST((n_distinct_fk * 1000000) div greatest(n_parent, 1)"
+                " AS BIGINT) AS fk_coverage_ppm",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

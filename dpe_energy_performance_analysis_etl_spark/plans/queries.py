@@ -15932,3 +15932,73 @@ def topk_with_ties_quantity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 2)
         .select("l_returnflag", F.col("qty").cast("bigint").alias("qty"), "cnt", "rnk")
     )
+
+
+# =====================================================================
+# Round 8, wave 6: referential-integrity audit
+# =====================================================================
+
+_RI_ARMS = []
+for _child, _fk, _parent, _pk, _name in [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey", "lineitem->orders"),
+    ("lineitem", "l_partkey", "part", "p_partkey", "lineitem->part"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey", "lineitem->supplier"),
+    ("orders", "o_custkey", "customer", "c_custkey", "orders->customer"),
+    ("customer", "c_nationkey", "nation", "n_nationkey", "customer->nation"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey", "supplier->nation"),
+    ("nation", "n_regionkey", "region", "r_regionkey", "nation->region"),
+]:
+    _RI_ARMS.append(f"""      SELECT '{_name}' AS edge,
+        CAST((SELECT COUNT(*) FROM {_child}) AS BIGINT) AS n_child,
+        CAST((SELECT count_if({_fk} IS NULL) FROM {_child}) AS BIGINT)
+          AS n_null_fk,
+        CAST((SELECT COUNT(*) FROM {_child} ch
+              WHERE ch.{_fk} IS NOT NULL
+                AND NOT EXISTS (SELECT 1 FROM {_parent} pa
+                                WHERE pa.{_pk} = ch.{_fk})) AS BIGINT)
+          AS n_orphans,
+        CAST((SELECT COUNT(DISTINCT {_fk}) FROM {_child}) AS BIGINT)
+          AS n_distinct_fk,
+        CAST((SELECT COUNT(*) FROM {_parent}) AS BIGINT) AS n_parent""")
+_RI_SQL = (
+    "\n    WITH arms AS (\n"
+    + "\n      UNION ALL\n".join(_RI_ARMS)
+    + """
+    )
+    SELECT edge, n_child, n_null_fk, n_orphans,
+           CAST((n_orphans * 1000000) // greatest(n_child - n_null_fk, 1)
+                AS BIGINT) AS orphan_ppm,
+           n_distinct_fk, n_parent,
+           CAST((n_distinct_fk * 1000000) // greatest(n_parent, 1) AS BIGINT)
+             AS fk_coverage_ppm
+    FROM arms
+    """
+)
+
+
+@register("ri_audit_star_schema", _RI_SQL)
+def ri_audit_star_schema_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over all seven FK edges of the
+    star schema (operators/quality.py referential_integrity_audit):
+    orphan counts/rates via LEFT ANTI joins (the exact complement of
+    the joins every TPC-H query assumes are lossless), NULL-fk
+    excusal, and distinct-fk-to-parent coverage — the data contract
+    that catches a broken ingest before a silent inner join drops
+    rows. One bounded row per edge."""
+    from dpe_energy_performance_analysis_etl_spark.operators.quality import (
+        referential_integrity_audit,
+    )
+
+    t = load_tables(
+        spark, sf_dir,
+        ["lineitem", "orders", "part", "supplier", "customer", "nation", "region"],
+    )
+    return referential_integrity_audit([
+        (t["lineitem"], "l_orderkey", t["orders"], "o_orderkey", "lineitem->orders"),
+        (t["lineitem"], "l_partkey", t["part"], "p_partkey", "lineitem->part"),
+        (t["lineitem"], "l_suppkey", t["supplier"], "s_suppkey", "lineitem->supplier"),
+        (t["orders"], "o_custkey", t["customer"], "c_custkey", "orders->customer"),
+        (t["customer"], "c_nationkey", t["nation"], "n_nationkey", "customer->nation"),
+        (t["supplier"], "s_nationkey", t["nation"], "n_nationkey", "supplier->nation"),
+        (t["nation"], "n_regionkey", t["region"], "r_regionkey", "nation->region"),
+    ])

@@ -38,3 +38,24 @@ class TestGroupedTrimmedMean:
         spark.catalog.clearCache()
         b = sorted(map(tuple, grouped_trimmed_mean(df, "g", "v").collect()))
         assert a == b
+
+
+class TestReferentialIntegrityAudit:
+    def test_orphans_nulls_and_coverage(self, spark):
+        from dpe_energy_performance_analysis_etl_spark.operators.quality import (
+            referential_integrity_audit,
+        )
+
+        child = spark.createDataFrame(
+            [(1,), (1,), (2,), (9,), (None,)], "fk int"
+        )
+        parent = spark.createDataFrame([(1,), (2,), (3,)], "pk int")
+        got = referential_integrity_audit(
+            [(child, "fk", parent, "pk", "c->p")]
+        ).collect()[0]
+        assert got["edge"] == "c->p"
+        assert (got["n_child"], got["n_null_fk"], got["n_orphans"]) == (5, 1, 1)
+        assert got["orphan_ppm"] == 1_000_000 // 4
+        # distinct fk incl. the orphan 9, excl. NULL: {1, 2, 9}
+        assert (got["n_distinct_fk"], got["n_parent"]) == (3, 3)
+        assert got["fk_coverage_ppm"] == 1_000_000

@@ -202,6 +202,7 @@ FAMILY_GROUPS: dict[str, list[str]] = {
     "quality-gates": [
         "expectations_orders", "fd_violation_orders",
         "encoding_advisor_lineitem", "fd_discovery_customer",
+        "ri_audit_star_schema",
     ],
     "multimodal": [
         "binary_metadata", "image_dhash_near_dups", "scene_cuts_rawvideo",
