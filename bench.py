@@ -189,6 +189,42 @@ def _drift_flags(
     return flagged
 
 
+def _solo_verdict(
+    mode: str,
+    solo_sec: float,
+    solo_u: float,
+    prev_raw: float,
+    prev_u: float,
+) -> str:
+    """Pure verdict for a solo re-measure (unit-testable).
+
+    'raw' mode (scheduling-floor class): calib units are structurally
+    invalid — compare solo RAW seconds to the prior round's raw
+    (CLAUDE.md rule); noise within ±50%.
+
+    'units' mode: the same-direction rule applied to the VERDICT too
+    (r8: five iterative/graph queries "reproduced" on units while
+    their solo RAW seconds sat at-or-below the prior round — the solo
+    calib sample had crashed to 0.06-0.10 on a host that swung 4x
+    within one bench run, inflating units 3x). A real change moves
+    solo units AND solo raw >30% in the SAME direction; units-only
+    movement is calib arithmetic.
+    """
+    solo_raw_move = solo_sec / prev_raw - 1
+    if mode == "raw":
+        return "noise" if abs(solo_raw_move) <= 0.50 else "reproduced"
+    unit_move = solo_u / prev_u - 1
+    return (
+        "reproduced"
+        if (
+            abs(unit_move) > 0.30
+            and abs(solo_raw_move) > 0.30
+            and unit_move * solo_raw_move > 0
+        )
+        else "noise"
+    )
+
+
 def _drift_check(
     spark, sf_dir: str, timings: dict[str, float], calib: float
 ) -> dict[str, dict]:
@@ -222,16 +258,7 @@ def _drift_check(
         except Exception:  # noqa: BLE001
             continue
         solo_u = min(runs) / solo_calib
-        if mode == "raw":
-            # Scheduling-floor class: calib units are structurally
-            # invalid here — the verdict compares solo RAW seconds to
-            # the prior round's raw (CLAUDE.md rule).
-            solo_raw_move = min(runs) / prev_q[name] - 1
-            verdict = "noise" if abs(solo_raw_move) <= 0.50 else "reproduced"
-        else:
-            verdict = (
-                "noise" if abs(solo_u / prev_u - 1) <= 0.30 else "reproduced"
-            )
+        verdict = _solo_verdict(mode, min(runs), solo_u, prev_q[name], prev_u)
         out[name] = {
             "prev_units": round(prev_u, 2),
             "units": round(cur_u, 2),

@@ -89,3 +89,18 @@ class TestScaleFlags:
 
         monkeypatch.setitem(sbw.ALLOW_EMPTY, "f", "test reason")
         assert compute_flags(q) == {}
+
+
+class TestSoloVerdict:
+    def test_units_inflated_by_calib_crash_is_noise(self):
+        # pagerank r8: solo raw 4.317 vs prev 5.496 (DOWN) while units
+        # tripled on a 0.077 solo calib -> noise
+        assert bench._solo_verdict("units", 4.317, 56.1, 5.496, 18.6) == "noise"
+
+    def test_same_direction_movement_reproduces(self):
+        # conformal r8: solo raw 1.103 vs prev 0.596 (+85%) AND units up
+        assert bench._solo_verdict("units", 1.103, 14.8, 0.596, 2.0) == "reproduced"
+
+    def test_raw_mode_compares_raw_only(self):
+        assert bench._solo_verdict("raw", 0.52, 9.9, 0.50, 1.0) == "noise"
+        assert bench._solo_verdict("raw", 1.2, 1.0, 0.5, 9.0) == "reproduced"
