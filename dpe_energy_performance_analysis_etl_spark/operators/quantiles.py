@@ -636,9 +636,14 @@ def grouped_weighted_median(
 
     Returns (group, w_total, weighted_median).
     """
-    vals = df.groupBy(
-        F.col(group_col).alias("g"), F.col(value_col).alias("v")
-    ).agg(F.sum(F.col(weight_col).cast("bigint")).alias("w"))
+    # the value-aggregated table feeds the running totals AND the
+    # per-group totals — pinned so the data-sized join+agg under it
+    # runs once (r8 plan audit)
+    vals = (
+        df.groupBy(F.col(group_col).alias("g"), F.col(value_col).alias("v"))
+        .agg(F.sum(F.col(weight_col).cast("bigint")).alias("w"))
+        .localCheckpoint(eager=True)
+    )
     pre = grouped_running_totals(vals, "g", "v", ["w"])
     totals = vals.groupBy("g").agg(F.sum("w").cast("bigint").alias("w_total"))
     qual = (

@@ -1270,8 +1270,15 @@ def seasonal_decompose(
     from pyspark.sql import Window, functions as F
 
     half = period // 2
-    tiers = df.groupBy(F.col(time_col).cast("bigint").alias("t")).agg(
-        F.sum(F.col(value_col).cast("bigint")).alias("y")
+    # the BOUNDED month-tier table feeds the MA window, the ranked
+    # seasonal pass and the output join — pinned (eager
+    # localCheckpoint) so the data-sized aggregation over df runs
+    # ONCE, not once per static re-expansion (r8 plan audit: the
+    # un-pinned plan re-read the orders scan 6x through this chain)
+    tiers = (
+        df.groupBy(F.col(time_col).cast("bigint").alias("t"))
+        .agg(F.sum(F.col(value_col).cast("bigint")).alias("y"))
+        .localCheckpoint(eager=True)
     )
     w_ma = Window.orderBy("t").rowsBetween(-half, period - half - 1)
     ma = tiers.select(
@@ -1401,7 +1408,11 @@ def seasonal_outliers(
     """
     from pyspark.sql import Window, functions as F
 
-    dec = seasonal_decompose(df, time_col, value_col, period=period, scale=scale)
+    # bounded interior-tier table, consumed by the center rank, the
+    # dev rank and the output — pinned once
+    dec = seasonal_decompose(
+        df, time_col, value_col, period=period, scale=scale
+    ).localCheckpoint(eager=True)
     # low median of remainder over ALL interior tiers (bounded table)
     w_all = Window.partitionBy(F.lit(1))
     w_rk = Window.partitionBy(F.lit(1)).orderBy(
@@ -1415,9 +1426,13 @@ def seasonal_outliers(
     center = ranked.where(F.col("_rk") == F.expr("(_cnt + 1) div 2")).select(
         F.col("remainder_scaled").alias("center_scaled")
     )
-    devs = dec.crossJoin(F.broadcast(center)).withColumn(
-        "dev_scaled",
-        F.abs(F.col("remainder_scaled") - F.col("center_scaled")).cast("bigint"),
+    devs = (
+        dec.crossJoin(F.broadcast(center))
+        .withColumn(
+            "dev_scaled",
+            F.abs(F.col("remainder_scaled") - F.col("center_scaled")).cast("bigint"),
+        )
+        .localCheckpoint(eager=True)  # bounded; feeds MAD rank + output
     )
     w_rk2 = Window.partitionBy(F.lit(1)).orderBy(
         F.col("dev_scaled").asc(), F.col("t").asc()

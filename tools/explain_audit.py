@@ -38,6 +38,20 @@ EXPECTED_MULTISTAGE = {
     "basket_cooccurrence_lift": "cached item set feeds supports, pairs, and basket count",
     "histogram_quantiles_price": "cached <=n_buckets bucket table feeds cum-scan + total",
     "ann_ivf_seeded_topk": "centroid subtree (8-row pushed-filter scan) appears in assign + probe branches; corpus read once per consumer, both broadcast-joined",
+    # round-8 additions: static prints re-expand shared subtrees that
+    # are pinned (localCheckpoint), cached, or recompute only bounded
+    # aggregates at runtime — each audited individually
+    "pmi_collocations_docs": "token stream feeds c1/c2/N/bigram aggregations; each is a pushdown-pruned re-scan of the small docs table (caching a corpus-sized token stream would be worse at scale)",
+    "markov_next_event_hitrate": "per-user window subtree feeds train agg + test scorer; two passes over one user-keyed shuffle",
+    "ips_policy_value_events": "flagged base feeds train aggregate + eval scorer; ctx/policy derive from the BOUNDED ctx_act table (broadcasts)",
+    "rfm_segments_customers": "three independent exact-rank passes (recency/frequency/monetary) over the pinned per-customer table - inherent",
+    "seasonal_outliers_revenue": "decompose tiers + interior table + devs all pinned (eager localCheckpoint); one orders scan at runtime",
+    "weighted_median_price_brand": "value-aggregated table pinned; one lineitem-part pass at runtime",
+    "cumulative_gains_priority": "ranged intermediate pinned; remaining windows run over the 10-row bucket table",
+    "dau_mau_stickiness_events": "(user, day) dedup cached (deterministic - cache is perf-only here); boundary windows over bounded tables",
+    "trimmed_mean_price_brand": "ranged intermediate pinned; offsets/totals are bounded tables",
+    "ri_audit_star_schema": "seven independent FK-edge audits unioned; each child table scanned once - inherent breadth, not a repeated subtree",
+    "apriori_triples_brands": "basket-array replan: baskets cached, pairs/triples explode row-locally; broadcast semi-joins re-expand f2 in the static print",
     # round-5 additions (static prints duplicate cached subtrees; all
     # measured FLAT sf0.1 -> sf1 cold-cache, NOTES round-5 table)
     "ngram_jaccard_capped": "uncapped pipeline + the df-count/cap subtree over the same CACHED posting list; 1.7->? s flat (shares ngram_jaccard_pairs' shape)",
