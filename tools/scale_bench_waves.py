@@ -87,6 +87,13 @@ QUERIES_TO_SCALE = [
     "weighted_median_price_brand",
     "croston_intermittent_parts",
     "cumulative_gains_priority",
+    # round-8 waves 4-6
+    "dau_mau_stickiness_events",
+    "zorder_locality_customers",
+    "zipf_ratio_tokens",
+    "trimmed_mean_price_brand",
+    "topk_with_ties_quantity",
+    "ri_audit_star_schema",
 ]
 
 SF_DIRS = [
