@@ -1653,6 +1653,15 @@ def sliding_distinct_daily(
         .distinct()
         .cache()
     )
+    return sliding_distinct_from_user_days(ud, window_days)
+
+
+def sliding_distinct_from_user_days(ud, window_days: int = 30):
+    """The boundary-diff core of :func:`sliding_distinct_daily`, from
+    an already-deduplicated (u, d) user-day table — shared with the
+    stream-maintained twin (streaming/incremental.py keeps the (u, d)
+    SET as mergeable state; this computes the metric from any state
+    snapshot)."""
     dau = ud.groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("dau"))
     w_u = Window.partitionBy("u").orderBy("d")
     marked = ud.withColumn("prev_d", F.lag("d").over(w_u)).withColumn(

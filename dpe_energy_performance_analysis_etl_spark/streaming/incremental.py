@@ -490,6 +490,51 @@ def maintained_agg_stream(
     )
 
 
+def maintained_user_days_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    state_dir: str,
+    checkpoint_dir: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Stream-maintained (user, day) activity SET — the state behind
+    exact sliding-distinct DAU/MAU (operators/temporal.py
+    sliding_distinct_from_user_days): each micro-batch reduces to its
+    distinct user-days and UNION-DISTINCT-merges into the versioned
+    state (a set is the simplest mergeable monoid — idempotent, so
+    checkpoint replays are exact-once for free under the versioned
+    protocol). State size is bounded by active-users x distinct days,
+    independent of event volume; the metric recomputes from any
+    snapshot in bounded-table arithmetic (no per-day DISTINCT, the
+    boundary-diff algorithm). Read with ``read_agg_state`` and feed
+    ``sliding_distinct_from_user_days``.
+    """
+    from dpe_energy_performance_analysis_etl_spark.functions.temporal import (
+        epoch_micros,
+    )
+
+    def merge(state: DataFrame | None, batch: DataFrame) -> DataFrame:
+        delta = (
+            batch.select(
+                F.col(user_col).alias("u"),
+                epoch_micros(F.col(ts_col)).alias("eus"),
+            )
+            .selectExpr("u", "eus div 86400000000 AS d")
+            .distinct()
+        )
+        if state is None:
+            return delta
+        return state.select("u", "d").unionByName(delta).distinct()
+
+    return versioned_merge_stream(
+        spark, source_dir, schema, state_dir, checkpoint_dir, merge,
+        available_now=available_now,
+    )
+
+
 def _state_fs(spark: SparkSession, path: str):
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)

@@ -954,3 +954,65 @@ def test_streaming_bradley_terry_leaderboard_matches_batch(spark, tmp_path):
         )
     )
     assert stream_lb == batch_lb
+
+
+def test_maintained_user_days_stream_dau_mau_matches_batch(spark, tmp_path):
+    """The (user, day) activity SET is an idempotent mergeable monoid:
+    the stream-maintained state fed through the boundary-diff metric
+    must equal batch sliding_distinct_daily over ALL events — the
+    exact-DAU/MAU streaming twin."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from dpe_energy_performance_analysis_etl_spark.operators.temporal import (
+        sliding_distinct_daily,
+        sliding_distinct_from_user_days,
+    )
+    from dpe_energy_performance_analysis_etl_spark.streaming import (
+        maintained_user_days_stream,
+        read_agg_state,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_id", T.LongType()),
+        ]
+    )
+    src = str(tmp_path / "src")
+    rows1 = [
+        (u, dt.datetime(2021, 3, 1) + dt.timedelta(days=d, hours=u), u * 100 + d)
+        for u in range(1, 6)
+        for d in range(0, 10, u)  # staggered activity patterns
+    ]
+    rows2 = [
+        (u, dt.datetime(2021, 3, 12) + dt.timedelta(days=d), 10_000 + u * 100 + d)
+        for u in range(3, 9)
+        for d in range(0, 6, 2)
+    ]
+    spark.createDataFrame(rows1, schema).write.mode("append").parquet(src)
+    spark.createDataFrame(rows2, schema).write.mode("append").parquet(src)
+
+    q = maintained_user_days_stream(
+        spark,
+        src,
+        schema,
+        str(tmp_path / "state"),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    state = read_agg_state(spark, str(tmp_path / "state"))
+    got = sorted(
+        map(
+            tuple,
+            sliding_distinct_from_user_days(state, window_days=7).collect(),
+        )
+    )
+    batch_events = spark.createDataFrame(rows1 + rows2, schema)
+    want = sorted(
+        map(tuple, sliding_distinct_daily(batch_events, window_days=7).collect())
+    )
+    assert got == want and len(got) >= 15
