@@ -160,62 +160,87 @@ from dpe_energy_performance_analysis_etl_spark.plans import QUERIES, ORACLE_SQL 
 #     graph (clustering coefficient).
 # Every displaced family keeps its green history in the ledger (the
 # record is cumulative — rotation does not erase rows), and the judge's
-# full-registry re-run still covers all 295. All 50 carry DuckDB
-# oracles and scalar-only output schemas (test_front50_contract.py).
+# full-registry re-run still covers the whole registry. All 50 carry
+# DuckDB oracles and scalar-only output schemas
+# (test_front50_contract.py).
+#
+# Round-9 rotation (VERDICT r8 asks #2, #3, #6, drawn MECHANICALLY
+# from tools/driver_ledger.py + tools/family_groups.py): all fifty r8
+# slots recorded green in CORRECTNESS_r08.json, so the whole window
+# rotates again to never-recorded, oracle-backed families (132
+# never-recorded after r8; 82 after this window records). The 50 are:
+#   * the ten core-relational/window leftovers ask #2 names
+#     (histogram_bins ... funnel_stages);
+#   * the seven r8-new analytics queries ask #2 names
+#     (rfm_segments_customers ... fd_discovery_customer) — including
+#     dau_mau_stickiness_events, the oracle-checked batch anchor for
+#     the r8 maintained_user_days_stream streaming surface (ask #6);
+#   * the two portable twins ask #3 names (simhash_portable_near_dups,
+#     ann_ivf_seeded_topk) so the bare-✗ minhash/simhash/IVF ledger
+#     families gain oracle-green driver rows;
+#   * the two streaming batch-twins ask #6 names
+#     (events_session_window_native, events_hopping_window);
+#   * twenty-nine more by the per-group never-recorded pressure
+#     metric: statistics (deepest backlog, 15 → 6 picks), curation
+#     (4), aggregation (4), packing/splits (3), relational (2), dedup
+#     (2), language-model (2), timeseries (2), sequence analytics
+#     (2), ML (1), privacy (1).
 _FRONT_50 = [
-    # -- the sixteen r7 families (VERDICT r7 ask #1) --
-    "densest_subgraph_parts",
-    "conformal_interval_orders",
-    "smith_waterman_events",
-    "bradley_terry_events",
-    "holt_winters_revenue",
-    "apriori_triples_brands",
-    "fs_em_customers",
-    "blocklist_phrase_match_docs",
-    "rbo_rankings_brands",
-    "quantile_normalize_doclen",
-    "cms_join_size_estimate",
-    "walk_forward_splits_orders",
-    "k_anonymity_audit_customers",
-    "mann_whitney_priority_nations",
-    "concentration_supplier_nations",
-    "shapley_attribution_events",
-    # -- the never-recorded TPC-H block (VERDICT r7 ask #4a) --
-    "q2_min_cost_supplier",
-    "q4_priority_exists",
-    "q6_forecast_revenue",
-    "q7_nation_pair_revenue",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "q10_returned_revenue",
-    "q11_important_parts",
-    "q12_priority_case_sum",
-    "q13_customer_distribution",
-    "q14_promo_ratio",
-    "q15_top_supplier",
-    "q16_supplier_part_count",
-    "q17_small_quantity_revenue",
-    "q18_large_orders_having",
-    "q19_or_of_ands",
-    "q20_part_suppliers",
-    "q21_waiting_suppliers",
-    "q22_balance_subquery",
-    # -- per-group backlog picks (VERDICT r7 ask #4b ledger metric) --
-    "kneser_ney_bigrams",
-    "bootstrap_mean_ci",
-    "benford_digit_audit",
-    "cohens_kappa_raters",
-    "flesch_readability_docs",
-    "unigram_lm_quality",
-    "time_embargo_split_events",
-    "dsir_importance_scores",
-    "event_transition_matrix",
-    "user_event_paths",
-    "inverted_index_postings",
-    "rake_keywords_docs",
-    "cohort_retention",
-    "l_diversity_customers",
-    "clustering_coeff_parts",
+    # -- core-relational/window leftovers (VERDICT r8 ask #2) --
+    "histogram_bins",
+    "unpivot_melt",
+    "posexplode_embeddings",
+    "array_functions",
+    "window_range_frame",
+    "json_struct_parse",
+    "deterministic_sample",
+    "tfidf_top_terms",
+    "events_resample_gapfill",
+    "funnel_stages",
+    # -- r8-new analytics block (ask #2) --
+    "rfm_segments_customers",
+    "weighted_median_price_brand",
+    "trimmed_mean_price_brand",
+    "dau_mau_stickiness_events",
+    "ri_audit_star_schema",
+    "pmi_collocations_docs",
+    "fd_discovery_customer",
+    # -- portable twins for the bare-✗ ledger families (ask #3) --
+    "simhash_portable_near_dups",
+    "ann_ivf_seeded_topk",
+    # -- streaming batch-twins (ask #6) --
+    "events_session_window_native",
+    "events_hopping_window",
+    # -- per-group backlog picks (ledger pressure metric) --
+    "ab_test_conversion",
+    "contingency_chi2_cells",
+    "robust_outliers_mad",
+    "winsorize_acctbal",
+    "key_skew_gini_partkey",
+    "lag_autocorr_revenue",
+    "c4_line_filter",
+    "html_strip_corpus",
+    "quality_filter_heuristic",
+    "vocab_growth_docs",
+    "conditional_agg_functions",
+    "value_histogram",
+    "column_profile",
+    "ratio_to_parent_revenue",
+    "stratified_sample_mix",
+    "split_assign_docs",
+    "length_bucket_batches",
+    "unpivot_measures",
+    "lateral_topk_orders",
+    "cdc_chunk_dedup",
+    "winnow_fingerprints_docs",
+    "zipf_ratio_tokens",
+    "ngram_counts_pruned",
+    "ewma_user_values",
+    "moving_zscore_anomalies",
+    "attribution_first_last",
+    "window_funnel_events",
+    "basket_cooccurrence_lift",
+    "pii_redact",
 ]
 
 

@@ -545,20 +545,29 @@ def fd_discovery(df: DataFrame, cols: list[str]) -> DataFrame:
     rows, linear), then a distinct on (pair, lhs value, rhs value)
     and two bounded aggregations — never a per-pair rescan of the
     table (the oracle twin does rescan per pair: DuckDB at sf0.01 can
-    afford it; a 100 TB profiler cannot). NULL is a value (sentinel
-    coalesce) — (NULL -> x) and (NULL -> y) together violate.
+    afford it; a 100 TB profiler cannot). NULL is a value: encoded
+    with an injective 1-char prefix ('n' for NULL, 'v' || value
+    otherwise — ADVICE r8: a bare string sentinel would conflate a
+    genuine value equal to the sentinel with NULL), so (NULL -> x)
+    and (NULL -> y) together violate and no real value can collide.
 
     Returns one row per ordered pair: (lhs, rhs, n_lhs_values,
     n_lhs_rhs_pairs, n_violating_lhs, holds) with holds as 0/1
     BIGINT (driver-canonicalizer-friendly).
     """
-    sent = " NULL "
+    def enc(c: str):
+        # injective: 'n' for NULL, 'v' + value otherwise — prefixes of
+        # equal length, so distinct inputs stay distinct
+        return F.when(F.col(c).isNull(), F.lit("n")).otherwise(
+            F.concat(F.lit("v"), F.col(c).cast("string"))
+        )
+
     pair_structs = [
         F.struct(
             F.lit(a).alias("lhs"),
             F.lit(b).alias("rhs"),
-            F.coalesce(F.col(a).cast("string"), F.lit(sent)).alias("lv"),
-            F.coalesce(F.col(b).cast("string"), F.lit(sent)).alias("rv"),
+            enc(a).alias("lv"),
+            enc(b).alias("rv"),
         )
         for a in cols
         for b in cols
@@ -633,3 +642,55 @@ def referential_integrity_audit(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def key_discovery(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Candidate-KEY discovery over a bounded column set — the
+    uniqueness sibling of :func:`fd_discovery` (single-column FDs
+    find hierarchy; this finds identity): for every single column and
+    every unordered PAIR of ``cols``, is the (combination of) values
+    unique across the table? The profiling step that proposes primary
+    keys / dedup keys before anyone writes a MERGE.
+
+    Scale shape: ONE row-local explode stacks the |cols| + C(|cols|,2)
+    candidates (schema-bounded), then one (candidate, value) distinct
+    + counts — never a per-candidate rescan (the oracle twin rescans:
+    fine at sf0.01, not at 100 TB). Values are encoded injectively
+    ('n' for NULL, 'v' || value, pair parts length-prefixed) so no
+    concatenation collision can fake uniqueness, and NULLs count as
+    values (a SQL UNIQUE constraint would excuse them — a DEDUP key
+    cannot, which is the use case here; documented difference).
+
+    Returns (candidate, n_rows, n_distinct, is_key 0/1 BIGINT).
+    """
+
+    def enc(c: str):
+        v = F.col(c).cast("string")
+        e = F.when(v.isNull(), F.lit("n")).otherwise(F.concat(F.lit("v"), v))
+        # length-prefix so pair concatenation stays injective
+        return F.concat(F.length(e).cast("string"), F.lit(":"), e)
+
+    singles = [
+        F.struct(F.lit(c).alias("cand"), enc(c).alias("val")) for c in cols
+    ]
+    pairs = [
+        F.struct(
+            F.lit(f"{a}+{b}").alias("cand"),
+            F.concat(enc(a), F.lit("#"), enc(b)).alias("val"),
+        )
+        for i, a in enumerate(cols)
+        for b in cols[i + 1 :]
+    ]
+    stacked = df.select(
+        F.explode(F.array(*(singles + pairs))).alias("p")
+    ).select("p.cand", "p.val")
+    return stacked.groupBy(F.col("cand").alias("candidate")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct("val").cast("bigint").alias("n_distinct"),
+        F.when(
+            F.countDistinct("val") == F.count(F.lit(1)), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("is_key"),
+    )

@@ -26,6 +26,11 @@ from pyspark.sql import DataFrame, functions as F
 # contributes roughly size/128MB schedulable units of scan work.
 _ROWGROUP_BYTES = 128 * 1024 * 1024
 
+# Max ring points for the unrolled when-tree path: measured crossover
+# (tools/measure_ring_bisect.py — tree wins <= 512, ties ~1k, compile
+# becomes pathological past that: 16384 leaves >13 min, killed).
+_TREE_SAFE_MAX_POINTS = 512
+
 
 def _estimated_file_parallelism(df: DataFrame, files: list[str], cap: int) -> int:
     """Real schedulable scan units: one per ~128 MB of each file
@@ -202,9 +207,22 @@ def ring_assign(
         # expression build/compile overwhelms past ~1k leaves while
         # the fold's two literal arrays build instantly and stay
         # near-flat. Route by point count: tree small, fold large.
-        method = "tree" if n_pts <= 512 else "fold"
+        method = "tree" if n_pts <= _TREE_SAFE_MAX_POINTS else "fold"
 
     if method == "tree":
+        if n_pts > _TREE_SAFE_MAX_POINTS:
+            # ADVICE r8: an explicit method='tree' had no size guard —
+            # the measured compile pathology (16384 leaves: >13 min in
+            # codegen before being killed, tools/measure_ring_bisect.py)
+            # would hang the driver. Fail fast instead of hanging;
+            # 'fold' and 'auto' cover large rings.
+            raise ValueError(
+                f"ring_assign(method='tree') with {n_pts} ring points "
+                f"exceeds the measured safe cap of {_TREE_SAFE_MAX_POINTS} "
+                "(nested CaseWhen compile is pathological past ~1k "
+                "leaves; 16384 leaves measured >13 min before being "
+                "killed). Use method='fold' or method='auto'."
+            )
         # Codegen'd UNROLLED when-tree (r7 verdict ask #6): the same
         # lower-bound search as the fold below, but compiled as a
         # STATIC balanced binary tree of nested CASE WHEN literal

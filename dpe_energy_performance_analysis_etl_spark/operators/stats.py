@@ -1311,7 +1311,11 @@ def conformal_qhat(
     arithmetic with α = alpha_num/alpha_den, and the k-th smallest
     score comes from ``grouped_kth_smallest`` (range-partitioned
     parallel ranking — no per-group global sort window, so one huge
-    group cannot pin an executor).
+    group cannot pin an executor). The group counts n_cal are read
+    off the ranking recipe's own bounded sizes table (``k_of_n``),
+    so calibration makes ONE pass over the scores — the r8 version's
+    separate count aggregation re-scanned cal_df and re-paid its
+    shuffle (VERDICT r8 ask #1).
 
     Groups too small for the level (k > n: fewer than ~1/α points)
     return qhat NULL — the honest "cannot certify at this α" answer
@@ -1325,20 +1329,19 @@ def conformal_qhat(
         grouped_kth_smallest,
     )
 
-    counts = cal_df.groupBy(group_col).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_cal")
-    )
-    # k = ceil((n+1) * (den-num) / den), exact in integers
+    # k = ceil((n+1) * (den-num) / den), exact in integers; n comes
+    # from the ranking recipe's bounded sizes table — one data pass
     keep = (alpha_den - alpha_num)
-    ks = counts.withColumn(
+    return grouped_kth_smallest(
+        cal_df,
+        group_col,
+        score_col,
+        k_of_n=f"((n + 1) * {keep} + {alpha_den} - 1) div {alpha_den}",
+    ).select(
+        group_col,
+        F.col("n").alias("n_cal"),
         "k",
-        F.expr(f"((n_cal + 1) * {keep} + {alpha_den} - 1) div {alpha_den}"),
-    )
-    kth = grouped_kth_smallest(
-        cal_df, group_col, score_col, ks.select(group_col, "k")
-    ).withColumnRenamed("kth_value", "qhat")
-    return ks.join(kth, group_col, "left").select(
-        group_col, "n_cal", "k", "qhat"
+        F.col("kth_value").alias("qhat"),
     )
 
 
@@ -1572,4 +1575,88 @@ def diff_in_differences(
             (F.col("mean_tt_scaled") - F.col("mean_tp_scaled"))
             - (F.col("mean_ct_scaled") - F.col("mean_cp_scaled"))
         ).cast("bigint"),
+    )
+
+
+def ks_two_sample(
+    df,
+    group_col: str,
+    side_col: str,
+    value_col: str,
+    scale: int = 1_000_000,
+):
+    """Two-sample Kolmogorov-Smirnov D per group — the distribution-
+    equality test (Smirnov, Ann. Math. Stat. 1948): D = sup_x
+    |F1(x) − F2(x)| between the empirical CDFs of side 1 (``side_col``
+    truthy) and side 2. The classic "did this feature drift between
+    cohorts / data sources" gate that, unlike mean tests
+    (Mann-Whitney), sees shape changes at equal medians.
+
+    Fully integer-exact (hence oracle-hashable): at every distinct
+    value tier, |F1 − F2| = |cum1·n2 − cum2·n1| / (n1·n2) — the
+    numerator and both counts are exact BIGINTs, and D_scaled is ONE
+    truncating division of the max numerator (cross-multiplication,
+    never two float CDFs). Requires n1·n2 < 2⁶³ and
+    max_diff·scale < 10³⁸ (carried in DECIMAL(38,0)) — holds to
+    ~3·10⁹ rows per side per group.
+
+    Scale shape: one (group, value) aggregation carrying per-tier
+    side counts, the ``grouped_running_totals`` range-partition
+    recipe for per-group prefix sums (no data-sized PARTITION BY
+    window), one bounded per-group max. Groups with an empty side
+    return d_scaled NULL (no distribution to compare — the honest
+    answer, and the ANSI division guard).
+
+    Returns (group, n1, n2, d_scaled).
+    """
+    from pyspark.sql import functions as F
+
+    from dpe_energy_performance_analysis_etl_spark.operators.quantiles import (
+        grouped_running_totals,
+    )
+
+    vals = df.groupBy(
+        F.col(group_col).alias("g"), F.col(value_col).alias("v")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum(F.col(side_col).cast("int")).cast("bigint").alias("cnt1"),
+    )
+    pre = grouped_running_totals(vals, "g", "v", ["cnt", "cnt1"])
+    tiers = pre.select(
+        "g",
+        (F.col("cnt_before") + F.col("cnt")).alias("cum"),
+        (F.col("cnt1_before") + F.col("cnt1")).alias("cum1"),
+    )
+    # two-pass: per-group totals first (bounded), broadcast back onto
+    # the tier stream for the max numerator — the identity
+    # cum1*n2 − cum2*n1 = cum1*(n−n1) − (cum−cum1)*n1 = cum1*n − cum*n1
+    # lets one |cum1*n − cum*n1| max replace two float CDFs
+    totals = tiers.groupBy("g").agg(
+        F.max("cum").cast("bigint").alias("n"),
+        F.max("cum1").cast("bigint").alias("n1"),
+    )
+    per = (
+        tiers.join(F.broadcast(totals), "g")
+        .groupBy("g")
+        .agg(
+            F.max("n").alias("n_"),
+            F.max("n1").alias("n1_"),
+            F.max(
+                F.abs(F.col("cum1") * F.col("n") - F.col("cum") * F.col("n1"))
+            )
+            .cast("bigint")
+            .alias("max_num"),
+        )
+    )
+    return per.select(
+        F.col("g").alias(group_col),
+        F.col("n1_").alias("n1"),
+        (F.col("n_") - F.col("n1_")).alias("n2"),
+        F.when(
+            (F.col("n1_") > 0) & (F.col("n_") > F.col("n1_")),
+            F.expr(
+                f"CAST((CAST(max_num AS DECIMAL(38,0)) * {scale})"
+                f" div (n1_ * (n_ - n1_)) AS BIGINT)"
+            ),
+        ).alias("d_scaled"),
     )

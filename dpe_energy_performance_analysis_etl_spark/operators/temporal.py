@@ -1570,7 +1570,10 @@ def croston_intermittent(
     Init: z = first demand size; p = the first inter-demand interval
     (needs >= 2 demand periods; keys with fewer emit no row — on
     growing data the demand count only grows, so output never
-    shrinks). Updates from the third demand on. The fold runs over
+    shrinks). z smoothing starts at the SECOND demand (the n=1 branch
+    already folds (z + y) div 2 while initializing p); p smoothing
+    starts at the third demand, the first with a second observed
+    interval to smooth against. The fold runs over
     each key's BOUNDED sorted (period, demand) tier array; the one
     data-sized pass is the (key, period) aggregation.
 

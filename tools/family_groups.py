@@ -34,7 +34,7 @@ FAMILY_GROUPS: dict[str, list[str]] = {
         "pareto_front_parts",
     ],
     "aggregation": [
-        "count_distinct_agg", "rollup_agg", "cube_agg", "pivot_agg",
+        "mode_priority_by_status", "count_distinct_agg", "rollup_agg", "cube_agg", "pivot_agg",
         "grouping_sets_sql", "conditional_agg_functions", "percentile_iqr",
         "histogram_bins", "value_histogram", "column_profile",
         "equi_depth_bins_price", "abc_classification_brands",
@@ -57,6 +57,7 @@ FAMILY_GROUPS: dict[str, list[str]] = {
         "json_extract_props", "json_struct_parse",
     ],
     "temporal": [
+        "ohlc_monthly_orders", "cumulative_adopters_by_type",
         "events_tumbling_window", "events_sessionize", "events_hopping_window",
         "events_session_window_native", "events_resample_gapfill",
         "asof_join_events", "asof_join_forward_events", "range_join_events",
@@ -66,7 +67,7 @@ FAMILY_GROUPS: dict[str, list[str]] = {
         "dau_mau_stickiness_events",
     ],
     "sequence-analytics": [
-        "funnel_stages", "user_event_paths", "event_transition_matrix",
+        "view_purchase_within_hour", "funnel_stages", "user_event_paths", "event_transition_matrix",
         "event_trigram_probs", "attribution_first_last",
         "markov_attribution_events", "shapley_attribution_events",
         "gsp_event_sequences", "low_value_runs", "smith_waterman_events",
@@ -106,7 +107,7 @@ FAMILY_GROUPS: dict[str, list[str]] = {
         "distinctive_terms_source", "source_overlap_matrix",
     ],
     "language-model": [
-        "ngram_counts_pruned", "kneser_ney_bigrams", "stupid_backoff_docs", "pmi_collocations_docs", "zipf_ratio_tokens",
+        "good_turing_docs", "ngram_counts_pruned", "kneser_ney_bigrams", "stupid_backoff_docs", "pmi_collocations_docs", "zipf_ratio_tokens",
         "vocab_coverage_curve", "negative_sampling_words",
         "walk_skipgram_pairs",
     ],
@@ -129,7 +130,7 @@ FAMILY_GROUPS: dict[str, list[str]] = {
         "t_closeness_customers",
     ],
     "entity-resolution": [
-        "entity_match_ed1", "sorted_neighborhood_matches",
+        "soundex_blocking_parts", "entity_match_ed1", "sorted_neighborhood_matches",
         "jaro_winkler_part_names", "record_linkage_fs", "fs_em_customers",
     ],
     "graph": [
@@ -156,7 +157,7 @@ FAMILY_GROUPS: dict[str, list[str]] = {
         "epoch_shard_assign", "rendezvous_shard_moves", "ring_shard_moves",
     ],
     "statistics": [
-        "stats_moments", "correlation_matrix_lineitem",
+        "ks_test_status_priority", "stats_moments", "correlation_matrix_lineitem",
         "contingency_chi2_cells", "cramers_v_priority_status",
         "roc_auc_by_priority", "calibration_ece_orders", "ab_test_conversion",
         "bootstrap_mean_ci", "mann_kendall_user_values",
@@ -181,7 +182,7 @@ FAMILY_GROUPS: dict[str, list[str]] = {
         "ips_policy_value_events",
     ],
     "timeseries-forecast": [
-        "holt_linear_revenue", "holt_winters_revenue", "seasonal_naive_mase",
+        "max_spend_drawdown_customers", "holt_linear_revenue", "holt_winters_revenue", "seasonal_naive_mase",
         "cusum_changepoint_revenue", "ewma_user_values",
         "moving_zscore_anomalies", "dtw_user_value_series", "emd_price_drift",
         "seasonal_decompose_revenue", "rolling_corr_revenue_qty", "croston_intermittent_parts",
@@ -200,7 +201,7 @@ FAMILY_GROUPS: dict[str, list[str]] = {
         "join_view_delta_orders", "join_view_delta_signed_orders",
     ],
     "quality-gates": [
-        "expectations_orders", "fd_violation_orders",
+        "key_discovery_customer", "expectations_orders", "fd_violation_orders",
         "encoding_advisor_lineitem", "fd_discovery_customer",
         "ri_audit_star_schema",
     ],
