@@ -1660,3 +1660,187 @@ def ks_two_sample(
             ),
         ).alias("d_scaled"),
     )
+
+
+def kruskal_wallis_h(
+    df,
+    group_col: str,
+    sample_col: str,
+    value_col: str,
+    samples: list[str],
+    scale: int = 1_000_000,
+):
+    """Kruskal-Wallis H per group — the k-sample generalization of
+    Mann-Whitney (Kruskal & Wallis, JASA 1952): do the ``samples``
+    classes of ``sample_col`` draw from the same distribution of
+    ``value_col``? Rank-based, so engine-exact: mid-ranks are carried
+    DOUBLED (a tie block of cnt values after cnt_before smaller ones
+    gives every tied row doubled mid-rank 2·cnt_before + cnt + 1 — an
+    integer), and with R2_s = Σ doubled ranks of sample s,
+
+        H = 3·Σ_s (R2_s²/n_s) / (N(N+1)) − 3(N+1)
+
+    (the 12/(N(N+1)) textbook constant absorbs the two halvings).
+    H_scaled applies one truncating division PER SAMPLE then one per
+    group — identical floor order in both engines, error bounded by
+    k/(N(N+1)) scale units. Tie-correction factor omitted (documented
+    — shrinks H slightly under heavy ties). ``samples`` must be the
+    bounded, known class list (conditional aggregation — never a
+    pivot over data-derived classes); rows outside it are ignored.
+    Empty samples contribute nothing and ``k_nonempty`` reports how
+    many classes actually appeared. Bounds: requires
+    3·scale·(2N²)² < 10³⁸, i.e. N ≲ 10⁷ rows per group at ppm scale.
+
+    Scale shape: one (group, value) tier aggregation with k
+    conditional counts, the grouped_running_totals range-partition
+    recipe for prefix counts (no data-sized PARTITION BY window), one
+    bounded per-group fold.
+
+    Returns (group, n, k_nonempty, h_scaled).
+    """
+    from pyspark.sql import functions as F
+
+    from dpe_energy_performance_analysis_etl_spark.operators.quantiles import (
+        grouped_running_totals,
+    )
+
+    tags = list(range(len(samples)))
+    tiers = df.groupBy(
+        F.col(group_col).alias("g"), F.col(value_col).alias("v")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        *[
+            F.count_if(F.col(sample_col) == samples[i])
+            .cast("bigint")
+            .alias(f"c{i}")
+            for i in tags
+        ],
+    )
+    pre = grouped_running_totals(tiers, "g", "v", ["cnt"])
+    mr = pre.withColumn(
+        "mr2", (2 * F.col("cnt_before") + F.col("cnt") + 1).cast("bigint")
+    )
+    per = mr.groupBy("g").agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        *[F.sum(f"c{i}").cast("bigint").alias(f"n{i}") for i in tags],
+        *[
+            F.sum(F.col(f"c{i}") * F.col("mr2")).cast("bigint").alias(f"r{i}")
+            for i in tags
+        ],
+    )
+    a_terms = " + ".join(
+        f"(CASE WHEN n{i} > 0 THEN (CAST(r{i} AS DECIMAL(38,0)) * r{i}"
+        f" * {3 * scale}) div n{i} ELSE CAST(0 AS DECIMAL(38,0)) END)"
+        for i in tags
+    )
+    k_nonempty = " + ".join(f"(CASE WHEN n{i} > 0 THEN 1 ELSE 0 END)" for i in tags)
+    return per.selectExpr(
+        f"g AS {group_col}",
+        "n",
+        f"CAST({k_nonempty} AS BIGINT) AS k_nonempty",
+        f"CAST(({a_terms}) div (n * (n + 1)) - {3 * scale} * (n + 1)"
+        f" AS BIGINT) AS h_scaled",
+    )
+
+
+def grouped_l_moments(
+    df,
+    group_col: str,
+    value_col: str,
+):
+    """Exact sample L-moments per group (Hosking, JRSS-B 1990): the
+    order-statistics moments — L-scale λ2, L-skewness t3 = λ3/λ2,
+    L-kurtosis t4 = λ4/λ2 — that stay FINITE and robust where
+    classical skewness/kurtosis explode on heavy tails (the standard
+    descriptors in flood-frequency / operational-risk work, and a
+    drift fingerprint that sees tail-shape change). Everything is an
+    exact integer rational on ranks:
+
+        S0=Σx, S1=Σ(i−1)x, T2=Σ(i−1)(i−2)x, T3=Σ(i−1)(i−2)(i−3)x
+        λ2 = (2S1 − (n−1)S0) / (n(n−1))
+        λ3·D3 = 6T2 − 6(n−2)S1 + (n−1)(n−2)S0,   D3 = n(n−1)(n−2)
+        λ4·D4 = 20T3 − 30(n−3)T2 + 12(n−2)(n−3)S1 − (n−1)(n−2)(n−3)S0
+
+    with t3 = num3/((n−2)·num2), t4 = num4/((n−2)(n−3)·num2). Ratios
+    are emitted as sign·(|num|·10⁶ div den) — the sign is factored
+    out BEFORE the truncating division because integer division of
+    negatives floors in one engine and truncates in the other
+    (CLAUDE.md rule). Tie order is irrelevant: within a tie block x
+    is constant, so Σ(rank polynomial)·x is invariant under any
+    within-block rank assignment. Bounds: n⁴·max|x| < 10³⁸ per group
+    (DECIMAL(38,0) carry) — n ≲ 10⁷ groups of cents values.
+
+    Ranks ride the range-partition + per-partition row_number +
+    bounded-offset recipe (no data-sized PARTITION BY window).
+    Groups with n < 4 emit no row; t3/t4 are NULL when λ2 = 0 (all
+    values equal).
+
+    Returns (group, n, mean_milli, l2_milli, t3_ppm, t4_ppm).
+    """
+    from pyspark.sql import Window, functions as F
+
+    from dpe_energy_performance_analysis_etl_spark.operators.quantiles import (
+        _pin,
+    )
+
+    order = [F.col(group_col).asc(), F.col(value_col).asc()]
+    ranged = _pin(
+        df.select(
+            F.col(group_col).alias("g"), F.col(value_col).cast("bigint").alias("v")
+        )
+        .repartitionByRange(F.col("g").asc(), F.col("v").asc())
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    sizes = ranged.groupBy("_pid", "g").agg(F.count(F.lit(1)).alias("_cnt"))
+    w_off = (
+        Window.partitionBy("g")
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = sizes.select(
+        "_pid",
+        "g",
+        F.coalesce(F.sum("_cnt").over(w_off), F.lit(0))
+        .cast("bigint")
+        .alias("_off"),
+    )
+    w_loc = Window.partitionBy("_pid", "g").orderBy(F.col("v").asc())
+    ranked = (
+        ranged.withColumn("_lrn", F.row_number().over(w_loc).cast("bigint"))
+        .join(F.broadcast(offs), ["_pid", "g"])
+        .selectExpr("g", "v", "(_off + _lrn) AS i")
+    )
+    agg = ranked.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.expr("CAST(v AS DECIMAL(38,0))")).alias("s0"),
+        F.sum(F.expr("CAST(i - 1 AS DECIMAL(38,0)) * v")).alias("s1"),
+        F.sum(F.expr("CAST((i - 1) * (i - 2) AS DECIMAL(38,0)) * v")).alias("t2"),
+        F.sum(
+            F.expr("CAST(i - 1 AS DECIMAL(38,0)) * ((i - 2) * (i - 3)) * v")
+        ).alias("t3"),
+    )
+    return agg.where(F.col("n") >= 4).selectExpr(
+        f"g AS {group_col}",
+        "n",
+        "CAST((s0 * 1000) div n AS BIGINT) AS mean_milli",
+        "CAST(((2 * s1 - (n - 1) * s0) * 1000) div (n * (n - 1)) AS BIGINT)"
+        " AS l2_milli",
+        """CASE WHEN 2 * s1 - (n - 1) * s0 > 0 THEN CAST(
+             (CASE WHEN 6 * t2 - 6 * (n - 2) * s1 + (n - 1) * (n - 2) * s0
+                        >= 0 THEN 1 ELSE -1 END)
+             * (abs(6 * t2 - 6 * (n - 2) * s1 + (n - 1) * (n - 2) * s0)
+                * 1000000)
+               div ((n - 2) * (2 * s1 - (n - 1) * s0)) AS BIGINT)
+           END AS t3_ppm""",
+        """CASE WHEN 2 * s1 - (n - 1) * s0 > 0 THEN CAST(
+             (CASE WHEN 20 * t3 - 30 * (n - 3) * t2
+                        + 12 * (n - 2) * (n - 3) * s1
+                        - (n - 1) * (n - 2) * (n - 3) * s0 >= 0
+                   THEN 1 ELSE -1 END)
+             * (abs(20 * t3 - 30 * (n - 3) * t2
+                    + 12 * (n - 2) * (n - 3) * s1
+                    - (n - 1) * (n - 2) * (n - 3) * s0) * 1000000)
+               div ((n - 2) * (n - 3) * (2 * s1 - (n - 1) * s0))
+             AS BIGINT)
+           END AS t4_ppm""",
+    )

@@ -16579,3 +16579,149 @@ def soundex_blocking_parts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pair_count"
         ),
     )
+
+
+# =====================================================================
+# Round 9, wave 2: Kruskal-Wallis k-sample test, exact L-moments
+# =====================================================================
+
+_KW_SAMPLES = ["1", "2", "3", "4", "5"]
+_KW_C = "\n             ".join(
+    f"CAST(count_if(substr(o_orderpriority, 1, 1) = '{s}') AS BIGINT) AS c{i},"
+    for i, s in enumerate(_KW_SAMPLES)
+)
+_KW_R = "\n             ".join(
+    f"CAST(SUM(c{i}) AS BIGINT) AS n{i}, CAST(SUM(c{i} * mr2) AS BIGINT) AS r{i},"
+    for i in range(5)
+)
+_KW_A = " + ".join(
+    f"(CASE WHEN n{i} > 0 THEN (r{i}::HUGEINT * r{i} * 3000000) // n{i}"
+    f" ELSE 0::HUGEINT END)"
+    for i in range(5)
+)
+_KW_K = " + ".join(f"(CASE WHEN n{i} > 0 THEN 1 ELSE 0 END)" for i in range(5))
+
+
+@register(
+    "kruskal_wallis_status_priority",
+    f"""
+    WITH tiers AS MATERIALIZED (
+      SELECT o_orderstatus AS g,
+             CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT) AS v,
+             CAST(COUNT(*) AS BIGINT) AS cnt,
+             {_KW_C[:-1]}
+      FROM orders GROUP BY 1, 2
+    ), pre AS MATERIALIZED (
+      SELECT *,
+             CAST(COALESCE(SUM(cnt) OVER (PARTITION BY g ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cnt_before
+      FROM tiers
+    ), mr AS MATERIALIZED (
+      SELECT g, cnt, c0, c1, c2, c3, c4,
+             2 * cnt_before + cnt + 1 AS mr2
+      FROM pre
+    ), per AS MATERIALIZED (
+      SELECT g, CAST(SUM(cnt) AS BIGINT) AS n,
+             {_KW_R[:-1]}
+      FROM mr GROUP BY 1
+    )
+    SELECT g AS o_orderstatus, n,
+           CAST({_KW_K} AS BIGINT) AS k_nonempty,
+           CAST(({_KW_A}) // (n * (n + 1)) - 3000000 * (n + 1)
+                AS BIGINT) AS h_scaled
+    FROM per
+    """,
+)
+def kruskal_wallis_status_priority_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across the five order-priority classes, per
+    order status (operators/stats.py kruskal_wallis_h — Kruskal &
+    Wallis 1952): does order value distribute identically across
+    priorities? The k-sample rank test with EXACT doubled mid-ranks
+    and per-sample truncating divisions applied in the same floor
+    order by both engines; prefix counts ride the
+    grouped_running_totals range-partition recipe (the oracle's
+    PARTITION BY window is the sf0.01 shortcut)."""
+    from dpe_energy_performance_analysis_etl_spark.operators.stats import (
+        kruskal_wallis_h,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    base = o.select(
+        F.col("o_orderstatus").alias("st"),
+        F.substring("o_orderpriority", 1, 1).alias("pr"),
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT)"
+        ).alias("cents"),
+    )
+    return kruskal_wallis_h(
+        base, "st", "pr", "cents", _KW_SAMPLES
+    ).withColumnRenamed("st", "o_orderstatus")
+
+
+@register(
+    "l_moments_price_flag",
+    """
+    WITH ranked AS MATERIALIZED (
+      SELECT l_returnflag AS g,
+             CAST(CAST(l_extendedprice AS DECIMAL(30,2)) * 100 AS BIGINT) AS v,
+             row_number() OVER (PARTITION BY l_returnflag
+               ORDER BY CAST(CAST(l_extendedprice AS DECIMAL(30,2)) * 100
+                             AS BIGINT)) AS i
+      FROM lineitem
+    ), agg AS MATERIALIZED (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(v::HUGEINT) AS s0,
+             SUM((i - 1)::HUGEINT * v) AS s1,
+             SUM(((i - 1) * (i - 2))::HUGEINT * v) AS t2,
+             SUM((i - 1)::HUGEINT * ((i - 2) * (i - 3)) * v) AS t3
+      FROM ranked GROUP BY 1
+    )
+    SELECT g AS l_returnflag, n,
+           CAST((s0 * 1000) // n AS BIGINT) AS mean_milli,
+           CAST(((2 * s1 - (n - 1) * s0) * 1000) // (n * (n - 1)) AS BIGINT)
+             AS l2_milli,
+           CASE WHEN 2 * s1 - (n - 1) * s0 > 0 THEN CAST(
+             (CASE WHEN 6 * t2 - 6 * (n - 2) * s1 + (n - 1) * (n - 2) * s0
+                        >= 0 THEN 1 ELSE -1 END)
+             * (abs(6 * t2 - 6 * (n - 2) * s1 + (n - 1) * (n - 2) * s0)
+                * 1000000)
+               // ((n - 2) * (2 * s1 - (n - 1) * s0)) AS BIGINT)
+           END AS t3_ppm,
+           CASE WHEN 2 * s1 - (n - 1) * s0 > 0 THEN CAST(
+             (CASE WHEN 20 * t3 - 30 * (n - 3) * t2
+                        + 12 * (n - 2) * (n - 3) * s1
+                        - (n - 1) * (n - 2) * (n - 3) * s0 >= 0
+                   THEN 1 ELSE -1 END)
+             * (abs(20 * t3 - 30 * (n - 3) * t2
+                    + 12 * (n - 2) * (n - 3) * s1
+                    - (n - 1) * (n - 2) * (n - 3) * s0) * 1000000)
+               // ((n - 2) * (n - 3) * (2 * s1 - (n - 1) * s0))
+             AS BIGINT)
+           END AS t4_ppm
+    FROM agg WHERE n >= 4
+    """,
+)
+def l_moments_price_flag_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample L-moments of line price per return flag
+    (operators/stats.py grouped_l_moments — Hosking 1990): L-scale,
+    L-skewness, L-kurtosis as exact integer rationals on ranks — the
+    robust tail-shape fingerprint classical moments can't give on
+    heavy tails. Sign factored out of every truncating division
+    (negative integer division floors/truncates differently across
+    engines); ranks ride the range-partition recipe (the oracle's
+    PARTITION BY window is the sf0.01 shortcut)."""
+    from dpe_energy_performance_analysis_etl_spark.operators.stats import (
+        grouped_l_moments,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    base = li.select(
+        F.col("l_returnflag").alias("fl"),
+        F.expr(
+            "CAST(CAST(l_extendedprice AS DECIMAL(30,2)) * 100 AS BIGINT)"
+        ).alias("cents"),
+    )
+    return grouped_l_moments(base, "fl", "cents").withColumnRenamed(
+        "fl", "l_returnflag"
+    )

@@ -157,7 +157,8 @@ FAMILY_GROUPS: dict[str, list[str]] = {
         "epoch_shard_assign", "rendezvous_shard_moves", "ring_shard_moves",
     ],
     "statistics": [
-        "ks_test_status_priority", "stats_moments", "correlation_matrix_lineitem",
+        "ks_test_status_priority", "kruskal_wallis_status_priority",
+        "l_moments_price_flag", "stats_moments", "correlation_matrix_lineitem",
         "contingency_chi2_cells", "cramers_v_priority_status",
         "roc_auc_by_priority", "calibration_ece_orders", "ab_test_conversion",
         "bootstrap_mean_ci", "mann_kendall_user_values",
