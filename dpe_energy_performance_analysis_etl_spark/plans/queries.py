@@ -16725,3 +16725,165 @@ def l_moments_price_flag_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped_l_moments(base, "fl", "cents").withColumnRenamed(
         "fl", "l_returnflag"
     )
+
+
+# =====================================================================
+# Round 9, wave 3: time-to-convert median (k_of_n reuse), longest
+# increasing subsequence per customer
+# =====================================================================
+
+@register(
+    "time_to_convert_median",
+    """
+    WITH v AS MATERIALIZED (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             epoch_us(ts) // 86400000000 AS d
+      FROM events WHERE event_type = 'view'
+    ), p AS MATERIALIZED (
+      SELECT user_id, epoch_us(ts) AS us FROM events
+      WHERE event_type = 'purchase'
+    ), conv AS MATERIALIZED (
+      SELECT v.d, v.event_id,
+             MIN(p.us - v.us) AS delta_us
+      FROM v JOIN p ON p.user_id = v.user_id
+        AND p.us > v.us AND p.us <= v.us + 3600000000
+      GROUP BY 1, 2
+    ), ranked AS MATERIALIZED (
+      SELECT d, delta_us,
+             row_number() OVER (PARTITION BY d ORDER BY delta_us) AS rk,
+             COUNT(*) OVER (PARTITION BY d) AS n
+      FROM conv
+    )
+    SELECT CAST(d AS BIGINT) AS day, CAST(MAX(n) AS BIGINT) AS n_conversions,
+           CAST(MAX(CASE WHEN rk = (n + 1) // 2 THEN delta_us END) // 1000
+                AS BIGINT) AS median_delta_ms
+    FROM ranked GROUP BY 1
+    """,
+)
+def time_to_convert_median_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median time from a 'view' to that view's FIRST 'purchase'
+    within one hour, per day — the latency half of the conversion
+    funnel (view_purchase_within_hour counts; this times). The median
+    is the exact lower-median order statistic via
+    grouped_kth_smallest's k_of_n path (k = (n+1) div 2 read off the
+    ranking recipe's own bounded sizes table — the r9 one-pass
+    conformal machinery reused; the oracle's PARTITION BY window is
+    the sf0.01 shortcut). Candidate pairs stay equi-keyed on
+    user_id."""
+    from dpe_energy_performance_analysis_etl_spark.functions.temporal import (
+        epoch_micros,
+    )
+    from dpe_energy_performance_analysis_etl_spark.operators.quantiles import (
+        grouped_kth_smallest,
+    )
+
+    ev = read_events(spark, sf_dir)
+    base = ev.select(
+        "user_id", "event_id", "event_type", epoch_micros("ts").alias("us")
+    )
+    v = base.where(F.col("event_type") == "view").selectExpr(
+        "user_id", "event_id", "us", "us div 86400000000 AS d"
+    )
+    p = base.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("us").alias("pus")
+    )
+    conv = (
+        v.join(
+            p,
+            (F.col("user_id") == F.col("pu"))
+            & (F.col("pus") > F.col("us"))
+            & (F.col("pus") <= F.col("us") + 3_600_000_000),
+        )
+        .groupBy("d", "event_id")
+        .agg(F.min(F.col("pus") - F.col("us")).alias("delta_us"))
+    )
+    med = grouped_kth_smallest(
+        conv, "d", "delta_us", k_of_n="(n + 1) div 2"
+    )
+    return med.select(
+        F.col("d").cast("bigint").alias("day"),
+        F.col("n").cast("bigint").alias("n_conversions"),
+        F.expr("CAST(kth_value div 1000 AS BIGINT)").alias("median_delta_ms"),
+    )
+
+
+_LIS_FOLD = """
+  size(aggregate(
+    vals,
+    CAST(array() AS ARRAY<BIGINT>),
+    (acc, y) -> IF(
+      size(filter(acc, t -> t < y)) = size(acc),
+      concat(acc, array(y)),
+      concat(
+        slice(acc, 1, size(filter(acc, t -> t < y))),
+        array(y),
+        slice(acc, size(filter(acc, t -> t < y)) + 2,
+              size(acc) - size(filter(acc, t -> t < y)) - 1)
+      )
+    )
+  ))
+"""
+
+
+@register(
+    "lis_order_values_customers",
+    """
+    WITH RECURSIVE seq AS MATERIALIZED (
+      SELECT * FROM (
+        SELECT o_custkey AS c,
+               row_number() OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey) AS i,
+               CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT) AS v,
+               COUNT(*) OVER (PARTITION BY o_custkey) AS n
+        FROM orders
+      ) WHERE n >= 12
+    ), chain AS (
+      SELECT c, i, v, 1 AS k FROM seq
+      UNION
+      SELECT s.c, s.i, s.v, chain.k + 1
+      FROM chain JOIN seq s
+        ON s.c = chain.c AND s.i > chain.i AND s.v > chain.v
+    )
+    SELECT chain.c AS o_custkey,
+           CAST(MAX(seq.n) AS BIGINT) AS n_orders,
+           CAST(MAX(chain.k) AS BIGINT) AS lis_len
+    FROM chain JOIN seq ON seq.c = chain.c AND seq.i = chain.i
+    GROUP BY 1
+    """,
+)
+def lis_order_values_customers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest strictly-increasing subsequence of each customer's
+    order values in time order (customers with >= 12 orders) — the
+    trend-persistence statistic ("how long a run of ever-bigger
+    orders does this account support"), and a showcase of the shared
+    SQL-fold machinery: Spark runs the O(n log n)-style patience
+    algorithm as ONE row-local `aggregate` fold whose state is the
+    tails array (replace the first tail >= y via filter-count +
+    slice concat — no indexed-lambda pitfalls), while the oracle —
+    whose folds are scalar-state only — climbs chain lengths with a
+    recursive CTE (level k = elements reachable by a strictly
+    increasing chain of length k, deduped per level; polynomial, and
+    bounded by the per-customer eligibility filter). Per-customer
+    arrays are activity-bounded (the user_event_paths class)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    seq = o.select(
+        F.col("o_custkey").alias("c"),
+        F.struct("o_orderdate", "o_orderkey").alias("ok"),
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT)"
+        ).alias("v"),
+    )
+    arrs = (
+        seq.groupBy("c")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(ok, v))), x -> x.v)"
+            ).alias("vals")
+        )
+        .where(F.size("vals") >= 12)
+    )
+    return arrs.select(
+        F.col("c").alias("o_custkey"),
+        F.size("vals").cast("bigint").alias("n_orders"),
+        F.expr(f"CAST({_LIS_FOLD} AS BIGINT)").alias("lis_len"),
+    )

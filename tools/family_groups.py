@@ -67,7 +67,7 @@ FAMILY_GROUPS: dict[str, list[str]] = {
         "dau_mau_stickiness_events",
     ],
     "sequence-analytics": [
-        "view_purchase_within_hour", "funnel_stages", "user_event_paths", "event_transition_matrix",
+        "view_purchase_within_hour", "time_to_convert_median", "lis_order_values_customers", "funnel_stages", "user_event_paths", "event_transition_matrix",
         "event_trigram_probs", "attribution_first_last",
         "markov_attribution_events", "shapley_attribution_events",
         "gsp_event_sequences", "low_value_runs", "smith_waterman_events",
