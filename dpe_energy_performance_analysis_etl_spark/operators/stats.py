@@ -1621,11 +1621,18 @@ def ks_two_sample(
         F.count(F.lit(1)).cast("bigint").alias("cnt"),
         F.sum(F.col(side_col).cast("int")).cast("bigint").alias("cnt1"),
     )
+    from dpe_energy_performance_analysis_etl_spark.operators.quantiles import _pin
+
     pre = grouped_running_totals(vals, "g", "v", ["cnt", "cnt1"])
-    tiers = pre.select(
-        "g",
-        (F.col("cnt_before") + F.col("cnt")).alias("cum"),
-        (F.col("cnt1_before") + F.col("cnt1")).alias("cum1"),
+    # pinned: the cumulative tier stream feeds BOTH the per-group
+    # totals and the max-numerator pass — without the pin each
+    # consumer re-runs the running-totals window from the ranged leaf
+    tiers = _pin(
+        pre.select(
+            "g",
+            (F.col("cnt_before") + F.col("cnt")).alias("cum"),
+            (F.col("cnt1_before") + F.col("cnt1")).alias("cum1"),
+        )
     )
     # two-pass: per-group totals first (bounded), broadcast back onto
     # the tier stream for the max numerator — the identity
@@ -1843,4 +1850,93 @@ def grouped_l_moments(
                div ((n - 2) * (n - 3) * (2 * s1 - (n - 1) * s0))
              AS BIGINT)
            END AS t4_ppm""",
+    )
+
+
+# Shared Spark/DuckDB SQL for the quadratic-fit Cramer determinants —
+# ONE string generator so the truncating-division structure is
+# bit-identical in both engines. Expects columns s0..s4 (Σx^k) and
+# t0..t2 (Σx^k·y) as DECIMAL(38,0)/HUGEINT.
+QUAD_DET = (
+    "(s0 * (s2 * s4 - s3 * s3) - s1 * (s1 * s4 - s2 * s3)"
+    " + s2 * (s1 * s3 - s2 * s2))"
+)
+QUAD_NUMS = {
+    # replace column k of the Gram matrix with the rhs (t0, t1, t2)
+    "a": (
+        "(t0 * (s2 * s4 - s3 * s3) - s1 * (t1 * s4 - t2 * s3)"
+        " + s2 * (t1 * s3 - t2 * s2))"
+    ),
+    "b": (
+        "(s0 * (t1 * s4 - t2 * s3) - t0 * (s1 * s4 - s2 * s3)"
+        " + s2 * (s1 * t2 - s2 * t1))"
+    ),
+    "c": (
+        "(s0 * (s2 * t2 - s3 * t1) - s1 * (s1 * t2 - s2 * t1)"
+        " + t0 * (s1 * s3 - s2 * s2))"
+    ),
+}
+
+
+def quad_coef_sql(which: str, scale: int, divop: str = "div") -> str:
+    """Sign-factored scaled coefficient: sign(num)·(|num|·scale div
+    det). The Gram determinant is positive for >= 3 distinct x, so
+    only the numerator carries sign — factored out BEFORE the
+    truncating division (negative integer division floors in one
+    engine and truncates in the other). ``divop`` is "div" for Spark
+    SQL and "//" for DuckDB — the one token the engines don't share;
+    everything else is one string."""
+    num = QUAD_NUMS[which]
+    return (
+        f"(CASE WHEN {num} >= 0 THEN 1 ELSE -1 END)"
+        f" * (abs({num}) * {scale}) {divop} {QUAD_DET}"
+    )
+
+
+def group_quadratic_fit(
+    df,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+    scale: int = 1000,
+):
+    """Per-group exact quadratic OLS y = a + b·x + c·x² via Cramer's
+    rule on the integer normal equations — the degree-2 sibling of
+    :func:`group_linregress`, for "is this trend accelerating"
+    questions (c's sign is the answer; the turning point is −b/2c).
+    All eight moments (Σx^k, Σx^k·y) are exact DECIMAL(38,0) sums, the
+    3×3 determinants exact integer polynomials, and each coefficient
+    ONE sign-factored truncating division — bit-portable. Requires
+    ≥ 3 distinct x per group (Gram determinant > 0; groups with
+    det = 0 emit NULL coefficients) and the documented magnitude
+    bound n·max|x|⁴·max|y|·scale < 10³⁸.
+
+    Returns (key, n_points, a_scaled, b_scaled, c_scaled).
+    """
+    from pyspark.sql import functions as F
+
+    s_aggs = [F.expr("CAST(count(1) AS DECIMAL(38,0))").alias("s0")] + [
+        F.sum(
+            F.expr(f"CAST({x_col} AS DECIMAL(38,0))" + f" * {x_col}" * (p - 1))
+        ).alias(f"s{p}")
+        for p in range(1, 5)
+    ]
+    t_aggs = [
+        F.sum(
+            F.expr(f"CAST({y_col} AS DECIMAL(38,0))" + f" * {x_col}" * p)
+        ).alias(f"t{p}")
+        for p in range(0, 3)
+    ]
+    moments = df.groupBy(F.col(key_col).alias("k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"), *s_aggs, *t_aggs
+    )
+    return moments.selectExpr(
+        f"k AS {key_col}",
+        "n AS n_points",
+        f"CASE WHEN {QUAD_DET} > 0 THEN"
+        f" CAST({quad_coef_sql('a', scale)} AS BIGINT) END AS a_scaled",
+        f"CASE WHEN {QUAD_DET} > 0 THEN"
+        f" CAST({quad_coef_sql('b', scale)} AS BIGINT) END AS b_scaled",
+        f"CASE WHEN {QUAD_DET} > 0 THEN"
+        f" CAST({quad_coef_sql('c', scale)} AS BIGINT) END AS c_scaled",
     )

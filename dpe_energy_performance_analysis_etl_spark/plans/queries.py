@@ -16298,7 +16298,11 @@ def good_turing_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("g")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )
-    cc = vocab.groupBy("c").agg(F.count(F.lit(1)).cast("bigint").alias("n_c"))
+    # bounded (one row per distinct count), consumed as BOTH join
+    # sides — cache, or the trigram aggregation runs twice
+    cc = vocab.groupBy("c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_c")
+    ).cache()
     a = cc.where(F.col("c") <= 20).alias("a")
     b = cc.select(
         (F.col("c") - 1).alias("c_prev"), F.col("n_c").alias("n_next")
@@ -16887,3 +16891,99 @@ def lis_order_values_customers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("vals").cast("bigint").alias("n_orders"),
         F.expr(f"CAST({_LIS_FOLD} AS BIGINT)").alias("lis_len"),
     )
+
+
+# =====================================================================
+# Round 9, wave 4: exact quadratic trend fit (Cramer determinants)
+# =====================================================================
+
+from dpe_energy_performance_analysis_etl_spark.operators.stats import (  # noqa: E402
+    QUAD_DET,
+    quad_coef_sql,
+)
+
+_QUAD_ORACLE = f"""
+    WITH monthly AS MATERIALIZED (
+      SELECT n.n_name,
+             CAST(EXTRACT(year FROM o.o_orderdate) * 12
+                  + EXTRACT(month FROM o.o_orderdate) AS BIGINT) AS mn,
+             CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(30,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS y
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    ), mn0 AS (SELECT MIN(mn) AS m0 FROM monthly),
+    xs AS MATERIALIZED (
+      SELECT n_name, CAST(mn - m0 AS BIGINT) AS x, y FROM monthly, mn0
+    ), moments AS MATERIALIZED (
+      SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(*) AS HUGEINT) AS s0,
+             SUM(x::HUGEINT) AS s1,
+             SUM(x::HUGEINT * x) AS s2,
+             SUM(x::HUGEINT * x * x) AS s3,
+             SUM(x::HUGEINT * x * x * x) AS s4,
+             SUM(y::HUGEINT) AS t0,
+             SUM(y::HUGEINT * x) AS t1,
+             SUM(y::HUGEINT * x * x) AS t2
+      FROM xs GROUP BY 1
+    )
+    SELECT n_name, n AS n_points,
+           CASE WHEN {QUAD_DET} > 0 THEN
+             CAST({quad_coef_sql('a', 1000, '//')} AS BIGINT) END AS a_scaled,
+           CASE WHEN {QUAD_DET} > 0 THEN
+             CAST({quad_coef_sql('b', 1000, '//')} AS BIGINT) END AS b_scaled,
+           CASE WHEN {QUAD_DET} > 0 THEN
+             CAST({quad_coef_sql('c', 1000, '//')} AS BIGINT) END AS c_scaled
+    FROM moments
+"""
+
+
+@register("quadratic_trend_nations", _QUAD_ORACLE)
+def quadratic_trend_nations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quadratic trend of monthly revenue per nation
+    (operators/stats.py group_quadratic_fit): y = a + b·x + c·x² fit
+    by Cramer's rule on integer normal equations — c's sign says
+    whether a nation's revenue is accelerating or rolling over, which
+    a straight line (group_linregress) can't. The regression runs
+    over the BOUNDED (nation, month) table; all moments/determinants
+    are exact integers; each coefficient is one sign-factored
+    truncating division replicated token-for-token in the oracle via
+    the shared QUAD_* SQL generators (only the `div` vs `//` operator
+    differs). Dimension joins broadcast."""
+    from dpe_energy_performance_analysis_etl_spark.operators.stats import (
+        group_quadratic_fit,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    monthly = (
+        o.join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+               o["o_custkey"] == F.col("c_custkey"))
+        .join(F.broadcast(n.select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            "n_name",
+            F.expr(
+                "CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)"
+            ).alias("mn"),
+        )
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT)"
+                )
+            )
+            .cast("bigint")
+            .alias("y")
+        )
+    )
+    # bounded (nations x months), consumed by the min scan AND the
+    # moment aggregation — cache
+    monthly = monthly.cache()
+    m0 = monthly.agg(F.min("mn").alias("m0"))
+    xs = monthly.crossJoin(F.broadcast(m0)).selectExpr(
+        "n_name", "CAST(mn - m0 AS BIGINT) AS x", "y"
+    )
+    return group_quadratic_fit(xs, "n_name", "x", "y", scale=1000)

@@ -38,6 +38,12 @@ EXPECTED_MULTISTAGE = {
     "basket_cooccurrence_lift": "cached item set feeds supports, pairs, and basket count",
     "histogram_quantiles_price": "cached <=n_buckets bucket table feeds cum-scan + total",
     "ann_ivf_seeded_topk": "centroid subtree (8-row pushed-filter scan) appears in assign + probe branches; corpus read once per consumer, both broadcast-joined",
+    # round-9: the k_of_n ranking recipe pins its ranged table AND its
+    # bounded sizes table eagerly (localCheckpoint at build) — the
+    # static print still shows the pre-pin subtrees plus the bounded
+    # offset/k-table windows; at runtime every consumer reads the two
+    # checkpointed leaves and the conv feed executes exactly once.
+    "time_to_convert_median": "k_of_n recipe leaves pinned; conv feed runs once; windows are over bounded (day) tables",
     # round-8 additions: static prints re-expand shared subtrees that
     # are pinned (localCheckpoint), cached, or recompute only bounded
     # aggregates at runtime — each audited individually

@@ -178,7 +178,7 @@ FAMILY_GROUPS: dict[str, list[str]] = {
         "decision_stump_totalprice", "ransac_line_custkeys",
         "principal_direction_power", "bradley_terry_events",
         "target_encode_loo_acctbal", "feature_hash_customers",
-        "theil_sen_spend_trend", "jenks_breaks_totalprice",
+        "theil_sen_spend_trend", "quadratic_trend_nations", "jenks_breaks_totalprice",
         "basket_cooccurrence_lift", "apriori_triples_brands",
         "ips_policy_value_events",
     ],
