@@ -98,6 +98,12 @@ HEADLINE = [
     # exploded one-pass FD profiler — the two data-sized new shapes
     "pmi_collocations_docs",
     "fd_discovery_customer",
+    # round-9 additions: the pinned-tier KS rank recipe, the
+    # tails-array patience fold, and the trigram counts-of-counts
+    # pass — the three data-sized new shapes
+    "ks_test_status_priority",
+    "lis_order_values_customers",
+    "good_turing_docs",
 ]
 
 

@@ -502,6 +502,7 @@ def landmark_bfs_distances(
     max_depth: int = 4,
     src: str = "src",
     dst: str = "dst",
+    sources: DataFrame | None = None,
 ) -> DataFrame:
     """Multi-source BFS from deterministic landmarks — the distance
     primitive behind landmark/sketch-based shortest-path estimation
@@ -524,6 +525,11 @@ def landmark_bfs_distances(
     carries its landmark id), so the cost is rounds × |E|-bounded, not
     landmarks × rounds. Returns (landmark, node, dist), dist ≤
     max_depth, including the landmark itself at dist 0.
+
+    ``sources`` (round 9): an explicit 1-column ``landmark`` frame of
+    start nodes overrides the smallest-ids default — the hook the
+    two-sweep diameter estimator uses to BFS from a data-derived
+    start (max-degree node, then the farthest discovered node).
     """
     e = edges.select(
         F.least(F.col(src), F.col(dst)).alias("a"),
@@ -534,10 +540,13 @@ def landmark_bfs_distances(
         .select(F.col("a").alias("z"), F.col("b").alias("nbr"))
         .cache()
     )
-    nodes = adj.select(F.col("z").alias("node")).distinct()
-    landmarks = nodes.orderBy("node").limit(n_landmarks).select(
-        F.col("node").alias("landmark")
-    )
+    if sources is not None:
+        landmarks = sources.select("landmark")
+    else:
+        nodes = adj.select(F.col("z").alias("node")).distinct()
+        landmarks = nodes.orderBy("node").limit(n_landmarks).select(
+            F.col("node").alias("landmark")
+        )
     visited = landmarks.select(
         "landmark", F.col("landmark").alias("node"), F.lit(0).alias("dist")
     ).localCheckpoint()
@@ -1356,3 +1365,73 @@ def densest_subgraph(
         F.lit((ne << 20) // nv).cast("bigint").alias("density_scaled"),
     )
     return out
+
+
+def diameter_two_sweep(
+    edges: DataFrame,
+    max_depth: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Two-sweep diameter lower bound (Magnien, Latapy & Habib, ACM
+    JEA 2009 — the standard cheap diameter estimator): BFS from a
+    high-degree start node, take the farthest discovered node u, BFS
+    again from u — u's eccentricity is a tight diameter lower bound
+    in practice (exact on trees). Both sweeps are hop-capped at
+    ``max_depth`` (an unreached periphery shows up as the bound
+    equalling the cap — the honest "at least this" answer).
+
+    Deterministic throughout: start = max-degree node (tie: smallest
+    id), u = max-distance node of sweep 1 (tie: smallest id), both
+    picked with min-of-struct aggregates — no RNG, no collect. Each
+    sweep is the landmark BFS machinery (frontier ⋈ adjacency +
+    visited anti-join per round, eager localCheckpoint rounds).
+
+    Returns ONE row: (start_node, ecc_start, far_node, diameter_lb,
+    n_reached_start, n_reached_far).
+    """
+    e = edges.select(
+        F.least(F.col(src), F.col(dst)).alias("a"),
+        F.greatest(F.col(src), F.col(dst)).alias("b"),
+    ).filter(F.col("a") != F.col("b")).distinct()
+    adj = e.unionAll(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).select(F.col("a").alias("z"), F.col("b").alias("nbr"))
+    deg = adj.groupBy("z").agg(F.count(F.lit(1)).alias("d"))
+    start = deg.agg(
+        F.min(F.struct((-F.col("d")).alias("nd"), F.col("z").alias("z"))).alias(
+            "s"
+        )
+    ).select(F.col("s.z").alias("landmark"))
+    d1 = landmark_bfs_distances(
+        edges, max_depth=max_depth, src=src, dst=dst, sources=start
+    )
+    # farthest node of sweep 1 (tie: smallest id) + sweep-1 stats —
+    # ONE aggregation row consumed twice (bounded) via broadcast
+    s1 = d1.agg(
+        F.min(
+            F.struct((-F.col("dist")).alias("nd"), F.col("node").alias("u"))
+        ).alias("far"),
+        F.count(F.lit(1)).cast("bigint").alias("n_reached_start"),
+        F.max("dist").cast("bigint").alias("ecc_start"),
+        F.min("landmark").cast("bigint").alias("start_node"),
+    )
+    far = s1.select(F.col("far.u").alias("landmark"))
+    d2 = landmark_bfs_distances(
+        edges, max_depth=max_depth, src=src, dst=dst, sources=far
+    )
+    s2 = d2.agg(
+        F.max("dist").cast("bigint").alias("diameter_lb"),
+        F.count(F.lit(1)).cast("bigint").alias("n_reached_far"),
+    )
+    return (
+        s1.crossJoin(F.broadcast(s2))
+        .select(
+            "start_node",
+            "ecc_start",
+            F.col("far.u").cast("bigint").alias("far_node"),
+            "diameter_lb",
+            "n_reached_start",
+            "n_reached_far",
+        )
+    )

@@ -16987,3 +16987,168 @@ def quadratic_trend_nations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_name", "CAST(mn - m0 AS BIGINT) AS x", "y"
     )
     return group_quadratic_fit(xs, "n_name", "x", "y", scale=1000)
+
+
+# =====================================================================
+# Round 9, wave 5: Wilson score lower bound (rate ranking under
+# uncertainty)
+# =====================================================================
+
+# z = 2 (dyadic, ~97.7% two-sided ~95.4%): every step is integer
+# except ONE bigint->double division, one sqrt (IEEE correctly
+# rounded), and a fixed-order combine; floor() BEFORE the int cast
+# (fractional->int casts round on DuckDB but truncate on Spark).
+_WILSON_LOWER = (
+    "CAST(floor((x + 2 - 2 * sqrt(CAST(x * (n - x) AS DOUBLE) / n + 1))"
+    " * 1000000e0 / (n + 4)) AS BIGINT)"
+)
+
+
+@register(
+    "wilson_return_rate_brands",
+    f"""
+    WITH a AS MATERIALIZED (
+      SELECT p.p_brand,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(count_if(l.l_returnflag = 'R') AS BIGINT) AS x
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1
+    )
+    SELECT p_brand, n, x,
+           CAST((x * 1000000) // n AS BIGINT) AS rate_ppm,
+           {_WILSON_LOWER} AS wilson_lower_ppm
+    FROM a
+    """,
+)
+def wilson_return_rate_brands_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score lower bound (z = 2) on each brand's return rate —
+    the "rank by lower confidence bound, not raw rate" correction
+    (Wilson 1927; the Reddit comment sort) that stops a 2-of-3 brand
+    outranking a 400-of-1300 one. The bound reduces to
+    (x + 2 − 2·√(x(n−x)/n + 1)) / (n + 4): exact integers up to ONE
+    bigint→double division, one correctly-rounded sqrt, and a
+    fixed-order combine with an explicit floor() before the cast
+    (fractional→int casts round on DuckDB but truncate on Spark —
+    CLAUDE.md rule). Dimension join broadcasts; one aggregation."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pt = spark.read.parquet(f"{sf_dir}/part.parquet")
+    a = (
+        li.join(
+            F.broadcast(pt.select("p_partkey", "p_brand")),
+            li["l_partkey"] == F.col("p_partkey"),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.count_if(F.col("l_returnflag") == "R").cast("bigint").alias("x"),
+        )
+    )
+    return a.selectExpr(
+        "p_brand",
+        "n",
+        "x",
+        "CAST((x * 1000000) div n AS BIGINT) AS rate_ppm",
+        f"{_WILSON_LOWER} AS wilson_lower_ppm",
+    )
+
+
+# =====================================================================
+# Round 9, wave 6: two-sweep diameter lower bound
+# =====================================================================
+
+def _two_sweep_oracle(max_depth: int) -> str:
+    head = """
+    WITH co AS (
+      SELECT x.l_partkey AS a, y.l_partkey AS b, COUNT(*) AS n
+      FROM lineitem x JOIN lineitem y
+        ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+      GROUP BY 1, 2
+    ), e AS MATERIALIZED (
+      SELECT a, b FROM co WHERE n >= 2
+    ), adj AS MATERIALIZED (
+      SELECT a AS z, b AS nbr FROM e UNION ALL SELECT b AS z, a AS nbr FROM e
+    ), deg AS MATERIALIZED (
+      SELECT z, COUNT(*) AS d FROM adj GROUP BY 1
+    ), st AS MATERIALIZED (
+      SELECT z AS s FROM deg ORDER BY d DESC, z LIMIT 1
+    ), a0 AS MATERIALIZED (
+      SELECT s AS node, 0 AS dist FROM st
+    )"""
+    blocks = [head]
+    for r in range(1, max_depth + 1):
+        blocks.append(
+            f""", a{r} AS MATERIALIZED (
+      SELECT * FROM a{r - 1}
+      UNION ALL
+      SELECT DISTINCT j.nbr AS node, {r} AS dist
+      FROM a{r - 1} f JOIN adj j ON j.z = f.node
+      WHERE f.dist = {r - 1}
+        AND NOT EXISTS (SELECT 1 FROM a{r - 1} v WHERE v.node = j.nbr)
+    )"""
+        )
+    blocks.append(
+        f""", far AS MATERIALIZED (
+      SELECT node AS u FROM a{max_depth} ORDER BY dist DESC, node LIMIT 1
+    ), b0 AS MATERIALIZED (
+      SELECT u AS node, 0 AS dist FROM far
+    )"""
+    )
+    for r in range(1, max_depth + 1):
+        blocks.append(
+            f""", b{r} AS MATERIALIZED (
+      SELECT * FROM b{r - 1}
+      UNION ALL
+      SELECT DISTINCT j.nbr AS node, {r} AS dist
+      FROM b{r - 1} f JOIN adj j ON j.z = f.node
+      WHERE f.dist = {r - 1}
+        AND NOT EXISTS (SELECT 1 FROM b{r - 1} v WHERE v.node = j.nbr)
+    )"""
+        )
+    blocks.append(
+        f"""
+    SELECT CAST(st.s AS BIGINT) AS start_node,
+           CAST((SELECT MAX(dist) FROM a{max_depth}) AS BIGINT) AS ecc_start,
+           CAST(far.u AS BIGINT) AS far_node,
+           CAST((SELECT MAX(dist) FROM b{max_depth}) AS BIGINT) AS diameter_lb,
+           CAST((SELECT COUNT(*) FROM a{max_depth}) AS BIGINT)
+             AS n_reached_start,
+           CAST((SELECT COUNT(*) FROM b{max_depth}) AS BIGINT)
+             AS n_reached_far
+    FROM st, far
+    """
+    )
+    return "".join(blocks)
+
+
+@register("diameter_two_sweep_parts", _two_sweep_oracle(6))
+def diameter_two_sweep_parts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sweep diameter lower bound of the recurring-pair part
+    graph (operators/graph.py diameter_two_sweep — Magnien, Latapy &
+    Habib 2009): BFS from the max-degree node, re-BFS from the
+    farthest node found; the second eccentricity is the classic cheap
+    diameter estimate (exact on trees). Both sweeps hop-capped at 6
+    (a bound equal to the cap means "at least 6" — honest).
+    Deterministic start/far picks via min-of-struct (tie: smallest
+    id); each BFS round is frontier ⋈ adjacency + visited anti-join
+    with eager localCheckpoint lineage cuts. The oracle unrolls both
+    sweeps as MATERIALIZED CTE rounds."""
+    from dpe_energy_performance_analysis_etl_spark.operators.graph import (
+        diameter_two_sweep,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pairs = (
+        li.alias("x")
+        .join(
+            li.alias("y"),
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .groupBy(
+            F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 2)
+        .select("src", "dst")
+    )
+    return diameter_two_sweep(pairs, max_depth=6)

@@ -1,0 +1,81 @@
+"""Round-9 wave-5/6 tests: Wilson lower bound, two-sweep diameter."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+
+class TestWilsonLowerBound:
+    def test_matches_python_and_orders_correctly(self, spark):
+        from dpe_energy_performance_analysis_etl_spark.plans.queries import (
+            _WILSON_LOWER,
+        )
+
+        cases = [
+            ("tiny_hot", 3, 2),       # 67% on n=3
+            ("big_warm", 1300, 400),  # 31% on n=1300
+            ("zero", 50, 0),
+            ("all", 7, 7),
+        ]
+        df = spark.createDataFrame(cases, "g string, n bigint, x bigint")
+        got = {
+            r["g"]: r["w"]
+            for r in df.select(
+                "g", F.expr(f"{_WILSON_LOWER} AS w")
+            ).collect()
+        }
+        for g, n, x in cases:
+            ref = math.floor(
+                (x + 2 - 2 * math.sqrt((x * (n - x)) / n + 1)) * 1e6 / (n + 4)
+            )
+            assert got[g] == ref, (g, got[g], ref)
+        # the whole point: the small-sample 67% ranks BELOW the
+        # well-supported 31%
+        assert got["tiny_hot"] < got["big_warm"]
+        assert got["zero"] >= 0 or got["zero"] < 0  # defined, no error
+        # bound is a lower bound on the rate
+        for g, n, x in cases:
+            assert got[g] <= x * 1_000_000 // n
+
+
+class TestDiameterTwoSweep:
+    def _run(self, spark, edges, max_depth=6):
+        from dpe_energy_performance_analysis_etl_spark.operators.graph import (
+            diameter_two_sweep,
+        )
+
+        df = spark.createDataFrame(edges, "src bigint, dst bigint")
+        return diameter_two_sweep(df, max_depth=max_depth).collect()[0]
+
+    def test_path_graph_exact(self, spark):
+        # path 0-1-2-3-4: diameter 4; max degree node = 1 (deg 2,
+        # smallest id among the internal nodes)
+        r = self._run(spark, [(i, i + 1) for i in range(4)])
+        assert r["diameter_lb"] == 4
+        assert r["start_node"] == 1
+        # farthest from node 1 at dist 3 is node 4; from 4 ecc = 4
+        assert r["far_node"] == 4
+        assert (r["n_reached_start"], r["n_reached_far"]) == (5, 5)
+
+    def test_star_graph(self, spark):
+        # star: center 0, leaves 1..6 -> diameter 2, start = center
+        r = self._run(spark, [(0, i) for i in range(1, 7)])
+        assert (r["start_node"], r["ecc_start"], r["diameter_lb"]) == (0, 1, 2)
+
+    def test_cap_reports_at_least(self, spark):
+        # path of length 10 with cap 3: bound saturates at the cap
+        r = self._run(spark, [(i, i + 1) for i in range(10)], max_depth=3)
+        assert r["diameter_lb"] == 3
+        assert r["n_reached_far"] < 11  # periphery unreached under cap
+
+    def test_two_components_stays_in_start_component(self, spark):
+        # component A: triangle 0-1-2; component B: path 10-11-12-13
+        # max-degree start is in A (degree 2 everywhere but tie ->
+        # node 0); BFS never crosses components
+        edges = [(0, 1), (1, 2), (0, 2), (10, 11), (11, 12), (12, 13)]
+        r = self._run(spark, edges)
+        assert r["start_node"] == 0
+        assert r["n_reached_start"] == 3
+        assert r["diameter_lb"] == 1

@@ -134,6 +134,7 @@ FAMILY_GROUPS: dict[str, list[str]] = {
         "jaro_winkler_part_names", "record_linkage_fs", "fs_em_customers",
     ],
     "graph": [
+        "diameter_two_sweep_parts",
         "pagerank_supplier_graph", "ppr_supplier_graph", "hits_supplier_graph",
         "kcore_membership", "ktruss_parts_graph",
         "label_propagation_communities", "landmark_bfs_parts",
@@ -157,7 +158,7 @@ FAMILY_GROUPS: dict[str, list[str]] = {
         "epoch_shard_assign", "rendezvous_shard_moves", "ring_shard_moves",
     ],
     "statistics": [
-        "ks_test_status_priority", "kruskal_wallis_status_priority",
+        "ks_test_status_priority", "kruskal_wallis_status_priority", "wilson_return_rate_brands",
         "l_moments_price_flag", "stats_moments", "correlation_matrix_lineitem",
         "contingency_chi2_cells", "cramers_v_priority_status",
         "roc_auc_by_priority", "calibration_ece_orders", "ab_test_conversion",
