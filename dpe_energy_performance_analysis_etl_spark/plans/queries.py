@@ -17152,3 +17152,127 @@ def diameter_two_sweep_parts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
     )
     return diameter_two_sweep(pairs, max_depth=6)
+
+
+# =====================================================================
+# Round 9, wave 7: CUPED variance-reduced experiment readout
+# =====================================================================
+
+@register(
+    "cuped_adjusted_lift_events",
+    """
+    WITH d AS MATERIALIZED (
+      SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+    ), d0 AS (SELECT MIN(day) AS d0 FROM d),
+    per_user AS MATERIALIZED (
+      SELECT user_id, CAST(user_id % 2 AS BIGINT) AS variant,
+             CAST(count_if(day <  d0.d0 + 15) AS BIGINT) AS x,
+             CAST(count_if(day >= d0.d0 + 15) AS BIGINT) AS y
+      FROM d, d0 GROUP BY 1, 2, d0.d0
+    ), g AS MATERIALIZED (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             SUM(x::HUGEINT * y) AS sxy, SUM(x::HUGEINT * x) AS sxx
+      FROM per_user
+    ), st AS MATERIALIZED (
+      SELECT n, sx, sy,
+             (n * sxy - sx::HUGEINT * sy) AS cov_num,
+             (n * sxx - sx::HUGEINT * sx) AS var_num
+      FROM g
+    ), pv AS MATERIALIZED (
+      SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_v,
+             CAST(SUM(x) AS BIGINT) AS sx_v, CAST(SUM(y) AS BIGINT) AS sy_v
+      FROM per_user GROUP BY 1
+    )
+    SELECT pv.variant, pv.n_v AS n_users,
+           CAST((sy_v * 1000) // n_v AS BIGINT) AS mean_y_milli,
+           CASE WHEN st.var_num > 0 THEN CAST(
+             (CASE WHEN st.cov_num >= 0 THEN 1 ELSE -1 END)
+             * (abs(st.cov_num) * 1000000) // st.var_num AS BIGINT)
+           END AS theta_micro,
+           CASE WHEN st.var_num > 0 THEN CAST(
+             (CASE WHEN sy_v::HUGEINT * st.var_num * st.n
+                        - st.cov_num * (sx_v::HUGEINT * st.n - st.sx * n_v)
+                        >= 0 THEN 1 ELSE -1 END)
+             * abs(sy_v::HUGEINT * st.var_num * st.n
+                   - st.cov_num * (sx_v::HUGEINT * st.n - st.sx * n_v))
+             * 1000 // (n_v::HUGEINT * st.var_num * st.n) AS BIGINT)
+           END AS adjusted_mean_y_milli
+    FROM pv, st
+    """,
+)
+def cuped_adjusted_lift_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced experiment readout (Deng et al.,
+    WSDM'13 — the standard pre-period covariate adjustment every A/B
+    platform runs): per synthetic variant (user_id parity), the raw
+    and CUPED-adjusted mean post-period activity, with
+    θ = cov(x,y)/var(x) from the pre-period covariate x. The entire
+    adjustment is ONE exact rational per variant —
+    [Σy_v·var·n − cov·(Σx_v·n − Σx·n_v)] / (n_v·var·n) — carried in
+    DECIMAL(38,0)/HUGEINT with the sign factored out of the one
+    truncating division. The pre/post split anchors to the DATA's
+    observed min day + 15 (never a schema epoch — CLAUDE.md rule).
+    One (user) aggregation, bounded scalar tables after."""
+    from dpe_energy_performance_analysis_etl_spark.functions.temporal import (
+        epoch_micros,
+    )
+
+    ev = read_events(spark, sf_dir)
+    d = ev.select(
+        "user_id", epoch_micros("ts").alias("us")
+    ).selectExpr("user_id", "us div 86400000000 AS day")
+    d0 = d.agg(F.min("day").alias("d0"))
+    per_user = (
+        d.crossJoin(F.broadcast(d0))
+        .groupBy("user_id")
+        .agg(
+            F.count_if(F.col("day") < F.col("d0") + 15)
+            .cast("bigint")
+            .alias("x"),
+            F.count_if(F.col("day") >= F.col("d0") + 15)
+            .cast("bigint")
+            .alias("y"),
+        )
+        .withColumn("variant", F.expr("CAST(user_id % 2 AS BIGINT)"))
+        # consumed by the global-stats agg AND the per-variant agg —
+        # bounded (one row per user is data-sized, but both consumers
+        # are cheap aggregations of a narrow projection); cache the
+        # small 4-column table
+        .cache()
+    )
+    g = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).alias("sxy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("sxx"),
+    )
+    st = g.selectExpr(
+        "n",
+        "sx",
+        "sy",
+        "(n * sxy - CAST(sx AS DECIMAL(38,0)) * sy) AS cov_num",
+        "(n * sxx - CAST(sx AS DECIMAL(38,0)) * sx) AS var_num",
+    )
+    pv = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_v"),
+        F.sum("x").cast("bigint").alias("sx_v"),
+        F.sum("y").cast("bigint").alias("sy_v"),
+    )
+    return pv.crossJoin(F.broadcast(st)).selectExpr(
+        "variant",
+        "n_v AS n_users",
+        "CAST((sy_v * 1000) div n_v AS BIGINT) AS mean_y_milli",
+        """CASE WHEN var_num > 0 THEN CAST(
+             (CASE WHEN cov_num >= 0 THEN 1 ELSE -1 END)
+             * (abs(cov_num) * 1000000) div var_num AS BIGINT)
+           END AS theta_micro""",
+        """CASE WHEN var_num > 0 THEN CAST(
+             (CASE WHEN CAST(sy_v AS DECIMAL(38,0)) * var_num * n
+                        - cov_num * (CAST(sx_v AS DECIMAL(38,0)) * n - sx * n_v)
+                        >= 0 THEN 1 ELSE -1 END)
+             * abs(CAST(sy_v AS DECIMAL(38,0)) * var_num * n
+                   - cov_num * (CAST(sx_v AS DECIMAL(38,0)) * n - sx * n_v))
+             * 1000 div (CAST(n_v AS DECIMAL(38,0)) * var_num * n) AS BIGINT)
+           END AS adjusted_mean_y_milli""",
+    )

@@ -79,3 +79,72 @@ class TestDiameterTwoSweep:
         assert r["start_node"] == 0
         assert r["n_reached_start"] == 3
         assert r["diameter_lb"] == 1
+
+
+class TestCupedRational:
+    def test_adjusted_mean_matches_fraction_reference(self, spark, tmp_path):
+        """Build a tiny events table where variant 1 has an inflated
+        PRE-period (covariate imbalance): CUPED must pull its adjusted
+        post mean back toward variant 0's, matching an exact Fraction
+        computation of th = cov/var and y_adj = y_v - th*(x_v - x)."""
+        import datetime as dt
+        import os
+        from fractions import Fraction
+
+        base = dt.datetime(2024, 5, 1, tzinfo=dt.timezone.utc)
+        rows = []
+        eid = 0
+        # users 0..19; even = variant 0, odd = variant 1. Give user u
+        # (u // 2 + 1) pre events; odd users get 3 extra pre events
+        # (imbalance) and the SAME post counts as their even neighbor.
+        for u in range(20):
+            pre = u // 2 + 1 + (3 if u % 2 else 0)
+            post = u // 2 + 2
+            for _ in range(pre):
+                eid += 1
+                rows.append((u, eid, base, "view", 0.0, "{}"))
+            for _ in range(post):
+                eid += 1
+                rows.append(
+                    (u, eid, base + dt.timedelta(days=20), "view", 0.0, "{}")
+                )
+        df = spark.createDataFrame(
+            rows,
+            "user_id long, event_id long, ts timestamp, event_type string,"
+            " value double, props string",
+        )
+        p = str(tmp_path / "events.parquet")
+        df.write.parquet(p)
+        from dpe_energy_performance_analysis_etl_spark.plans.queries import QUERIES
+
+        got = {
+            r["variant"]: r
+            for r in QUERIES["cuped_adjusted_lift_events"](
+                spark, os.path.dirname(p)
+            ).collect()
+        }
+        # Fraction reference
+        xs = {u: u // 2 + 1 + (3 if u % 2 else 0) for u in range(20)}
+        ys = {u: u // 2 + 2 for u in range(20)}
+        n = 20
+        sx, sy = sum(xs.values()), sum(ys.values())
+        sxy = sum(xs[u] * ys[u] for u in range(20))
+        sxx = sum(x * x for x in xs.values())
+        cov = Fraction(n * sxy - sx * sy)
+        var = Fraction(n * sxx - sx * sx)
+        th = cov / var
+        for v in (0, 1):
+            us = [u for u in range(20) if u % 2 == v]
+            nv = len(us)
+            xv = Fraction(sum(xs[u] for u in us), nv)
+            yv = Fraction(sum(ys[u] for u in us), nv)
+            adj = yv - th * (xv - Fraction(sx, n))
+            val = adj * 1000
+            exp = (1 if val >= 0 else -1) * (
+                abs(val.numerator) // val.denominator
+            )
+            assert got[v]["adjusted_mean_y_milli"] == exp
+        # raw post means are equal by construction; the covariate
+        # imbalance makes variant 1's ADJUSTED mean lower
+        assert got[0]["mean_y_milli"] == got[1]["mean_y_milli"]
+        assert got[1]["adjusted_mean_y_milli"] < got[0]["adjusted_mean_y_milli"]

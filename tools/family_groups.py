@@ -161,7 +161,7 @@ FAMILY_GROUPS: dict[str, list[str]] = {
         "ks_test_status_priority", "kruskal_wallis_status_priority", "wilson_return_rate_brands",
         "l_moments_price_flag", "stats_moments", "correlation_matrix_lineitem",
         "contingency_chi2_cells", "cramers_v_priority_status",
-        "roc_auc_by_priority", "calibration_ece_orders", "ab_test_conversion",
+        "roc_auc_by_priority", "calibration_ece_orders", "ab_test_conversion", "cuped_adjusted_lift_events",
         "bootstrap_mean_ci", "mann_kendall_user_values",
         "mann_whitney_priority_nations", "cohens_kappa_raters",
         "benford_digit_audit", "key_skew_gini_partkey",
