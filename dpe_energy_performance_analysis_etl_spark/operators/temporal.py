@@ -1725,3 +1725,64 @@ def zorder_key(a, b, bits: int = 6):
         term = pa + pb
         z = term if z is None else z + term
     return z.cast("bigint")
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_payload: list[str] | None = None,
+    suffix: str = "_near",
+) -> DataFrame:
+    """Nearest-match as-of join — the third as-of semantic after
+    backward/forward (:func:`asof_join`): for each left row, the
+    right row (same ``on`` key) with the SMALLEST |right_ts −
+    left_ts| in either direction; exact ties prefer the backward
+    (earlier-or-equal) match — the sensor-fusion / closest-reading
+    alignment rule. Composed as one backward pass then one forward
+    pass of the merge-sort-window as-of (each a single per-key
+    ordered window — NO candidate pair blowup, unlike the naive
+    user-keyed cross of all pairs the oracle twin runs at sf0.01),
+    then a per-column CASE pick on the two deltas.
+
+    Returns left + ``<payload><suffix>`` columns +
+    ``<right_ts><suffix>`` (the matched timestamp, NULL if the key
+    has no right rows) + ``__direction`` ('b'/'f'/NULL).
+    """
+    if right_payload is None:
+        right_payload = [c for c in right.columns if c not in (on, right_ts)]
+    r2 = right.withColumn("__rts", F.col(right_ts))
+    pay = list(right_payload) + ["__rts"]
+    b = asof_join(
+        left, r2, on, left_ts, right_ts, right_payload=pay,
+        direction="backward", suffix="_b",
+    )
+    bf = asof_join(
+        b, r2, on, left_ts, right_ts, right_payload=pay,
+        direction="forward", suffix="_f",
+    )
+    lts = F.col(left_ts)
+    db = lts - F.col("__rts_b")
+    df_ = F.col("__rts_f") - lts
+    pick_b = F.col("__rts_f").isNull() | (
+        F.col("__rts_b").isNotNull() & (db <= df_)
+    )
+    out = bf
+    for p in right_payload:
+        out = out.withColumn(
+            p + suffix,
+            F.when(pick_b, F.col(p + "_b")).otherwise(F.col(p + "_f")),
+        )
+    out = out.withColumn(
+        right_ts + suffix,
+        F.when(pick_b, F.col("__rts_b")).otherwise(F.col("__rts_f")),
+    ).withColumn(
+        "__direction",
+        F.when(F.col("__rts_b").isNull() & F.col("__rts_f").isNull(), F.lit(None).cast("string"))
+        .when(pick_b, F.lit("b"))
+        .otherwise(F.lit("f")),
+    )
+    drop = [p + "_b" for p in pay] + [p + "_f" for p in pay]
+    return out.drop(*drop)

@@ -17276,3 +17276,88 @@ def cuped_adjusted_lift_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
              * 1000 div (CAST(n_v AS DECIMAL(38,0)) * var_num * n) AS BIGINT)
            END AS adjusted_mean_y_milli""",
     )
+
+
+# =====================================================================
+# Round 9, wave 8: nearest as-of join (bidirectional)
+# =====================================================================
+
+@register(
+    "asof_nearest_error_click",
+    """
+    WITH e AS MATERIALIZED (
+      SELECT event_id AS eid, user_id, epoch_us(ts) AS us,
+             epoch_us(ts) // 86400000000 AS d
+      FROM events WHERE event_type = 'error'
+    ), c AS MATERIALIZED (
+      SELECT user_id, epoch_us(ts) AS cus FROM events
+      WHERE event_type = 'click'
+    ), pairs AS MATERIALIZED (
+      SELECT e.eid, e.d, e.us, c.cus
+      FROM e JOIN c ON c.user_id = e.user_id
+    ), best AS MATERIALIZED (
+      SELECT *, row_number() OVER (PARTITION BY eid
+        ORDER BY abs(cus - us), (cus > us), cus) AS rn
+      FROM pairs
+    ), matched AS MATERIALIZED (
+      SELECT eid, d, abs(cus - us) AS adel, (cus <= us) AS back
+      FROM best WHERE rn = 1
+    )
+    SELECT CAST(e2.d AS BIGINT) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_errors,
+           CAST(COUNT(m.eid) AS BIGINT) AS n_matched,
+           CAST(count_if(m.back) AS BIGINT) AS n_backward,
+           CASE WHEN COUNT(m.eid) > 0 THEN
+             CAST((SUM(m.adel) // 1000) // COUNT(m.eid) AS BIGINT)
+           END AS mean_abs_delta_ms
+    FROM e e2 LEFT JOIN matched m ON m.eid = e2.eid
+    GROUP BY 1
+    """,
+)
+def asof_nearest_error_click_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-match as-of join (operators/temporal.py
+    asof_join_nearest — the bidirectional third as-of semantic): for
+    each 'error' event, the temporally CLOSEST 'click' by the same
+    user in either direction (tie prefers the earlier-or-equal
+    match), rolled up per day. Spark runs two merge-sort-window as-of
+    passes (no candidate pair blowup); the oracle's all-pairs
+    user-keyed join + row_number is the sf0.01 shortcut. Mean |Δ| is exact: the µs delta SUM
+    floors to ms, then one truncating division by the match count —
+    the identical two-step floor order in both engines."""
+    from dpe_energy_performance_analysis_etl_spark.functions.temporal import (
+        epoch_micros,
+    )
+    from dpe_energy_performance_analysis_etl_spark.operators.temporal import (
+        asof_join_nearest,
+    )
+
+    ev = read_events(spark, sf_dir)
+    base = ev.select(
+        "event_id", "user_id", "event_type", epoch_micros("ts").alias("us")
+    )
+    e = base.where(F.col("event_type") == "error").selectExpr(
+        "event_id AS eid", "user_id", "us", "us div 86400000000 AS d"
+    )
+    c = base.where(F.col("event_type") == "click").select(
+        "user_id", F.col("us").alias("cus")
+    )
+    near = asof_join_nearest(
+        e, c, on="user_id", left_ts="us", right_ts="cus", right_payload=[]
+    )
+    return (
+        near.groupBy(F.col("d").cast("bigint").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_errors"),
+            F.count("cus_near").cast("bigint").alias("n_matched"),
+            F.count_if(F.col("__direction") == "b")
+            .cast("bigint")
+            .alias("n_backward"),
+            F.when(
+                F.count("cus_near") > 0,
+                F.expr(
+                    "CAST((sum(abs(cus_near - us)) div 1000)"
+                    " div count(cus_near) AS BIGINT)"
+                ),
+            ).alias("mean_abs_delta_ms"),
+        )
+    )

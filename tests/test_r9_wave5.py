@@ -148,3 +148,44 @@ class TestCupedRational:
         # imbalance makes variant 1's ADJUSTED mean lower
         assert got[0]["mean_y_milli"] == got[1]["mean_y_milli"]
         assert got[1]["adjusted_mean_y_milli"] < got[0]["adjusted_mean_y_milli"]
+
+
+class TestAsofNearest:
+    def test_direction_pick_and_ties(self, spark):
+        from dpe_energy_performance_analysis_etl_spark.operators.temporal import (
+            asof_join_nearest,
+        )
+
+        left = spark.createDataFrame(
+            [
+                ("u1", 100),  # clicks at 90 (d=10) and 105 (d=5) -> forward
+                ("u2", 100),  # clicks at 95 (d=5) and 105 (d=5) -> TIE -> backward
+                ("u3", 100),  # only a forward click at 200
+                ("u4", 100),  # no clicks at all
+                ("u5", 100),  # click exactly AT 100 -> backward, delta 0
+            ],
+            "k string, ts long",
+        )
+        right = spark.createDataFrame(
+            [
+                ("u1", 90), ("u1", 105),
+                ("u2", 95), ("u2", 105),
+                ("u3", 200),
+                ("u5", 100),
+            ],
+            "k string, rts long",
+        )
+        got = {
+            r["k"]: (r["rts_near"], r["__direction"])
+            for r in asof_join_nearest(
+                left, right, on="k", left_ts="ts", right_ts="rts",
+                right_payload=[],
+            ).collect()
+        }
+        assert got == {
+            "u1": (105, "f"),
+            "u2": (95, "b"),
+            "u3": (200, "f"),
+            "u4": (None, None),
+            "u5": (100, "b"),
+        }

@@ -60,7 +60,7 @@ FAMILY_GROUPS: dict[str, list[str]] = {
         "ohlc_monthly_orders", "cumulative_adopters_by_type",
         "events_tumbling_window", "events_sessionize", "events_hopping_window",
         "events_session_window_native", "events_resample_gapfill",
-        "asof_join_events", "asof_join_forward_events", "range_join_events",
+        "asof_join_events", "asof_join_forward_events", "asof_nearest_error_click", "range_join_events",
         "time_weighted_avg", "interarrival_percentiles",
         "interval_coverage_users", "allen_relations_sessions",
         "month_over_month_revenue", "cohort_retention",

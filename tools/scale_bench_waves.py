@@ -87,6 +87,24 @@ QUERIES_TO_SCALE = [
     "weighted_median_price_brand",
     "croston_intermittent_parts",
     "cumulative_gains_priority",
+    # round-9 families
+    "ks_test_status_priority",
+    "mode_priority_by_status",
+    "ohlc_monthly_orders",
+    "cumulative_adopters_by_type",
+    "good_turing_docs",
+    "key_discovery_customer",
+    "max_spend_drawdown_customers",
+    "view_purchase_within_hour",
+    "soundex_blocking_parts",
+    "kruskal_wallis_status_priority",
+    "l_moments_price_flag",
+    "time_to_convert_median",
+    "lis_order_values_customers",
+    "quadratic_trend_nations",
+    "wilson_return_rate_brands",
+    "diameter_two_sweep_parts",
+    "cuped_adjusted_lift_events",
     # round-8 waves 4-6
     "dau_mau_stickiness_events",
     "zorder_locality_customers",
