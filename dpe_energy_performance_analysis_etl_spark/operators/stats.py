@@ -1940,3 +1940,170 @@ def group_quadratic_fit(
         f"CASE WHEN {QUAD_DET} > 0 THEN"
         f" CAST({quad_coef_sql('c', scale)} AS BIGINT) END AS c_scaled",
     )
+
+
+def jonckheere_pairwise_u(
+    df,
+    group_col: str,
+    sample_col: str,
+    value_col: str,
+    samples: list[str],
+):
+    """Jonckheere-Terpstra building blocks per group: the DOUBLED
+    Mann-Whitney count 2·U_ij for every ordered sample pair i < j
+    (Jonckheere, Biometrika 1954; Terpstra 1952) — "does value shift
+    monotonically across the ordered classes?" JT itself is Σ_{i<j}
+    U_ij and its null expectation per pair is n_i·n_j/2, so the output
+    carries both doubled (``u2``, ``e2 = n_i·n_j``) and stays exact
+    integer end-to-end: with prefix_i(v) = #(sample i values < v),
+
+        2·U_ij = Σ_v  c_j(v) · (2·prefix_i(v) + c_i(v))
+
+    (strict-less pairs doubled + ties once — the standard tie
+    mid-count). ``samples`` must be the bounded, known ordered class
+    list (conditional aggregation, never a data-derived pivot).
+
+    Scale shape: one (group, value) tier aggregation with k
+    conditional counts, per-sample prefixes via the
+    grouped_running_totals range-partition recipe (no data-sized
+    PARTITION BY window), a bounded per-group fold, and the k·(k−1)/2
+    pair rows emitted with ONE explode(array(struct…)) — never a
+    unionAll of selects (CLAUDE.md subtree-re-evaluation rule).
+    Bounds: u2 ≤ 2·n_i·n_j must fit BIGINT — n ≲ 2·10⁹ rows per
+    sample per group.
+
+    Returns (group, pr_lo, pr_hi, n_lo, n_hi, u2, e2), one row per
+    ordered pair of ``samples`` (empty samples keep their zero rows).
+    """
+    from pyspark.sql import functions as F
+
+    from dpe_energy_performance_analysis_etl_spark.operators.quantiles import (
+        grouped_running_totals,
+    )
+
+    tags = list(range(len(samples)))
+    tiers = df.groupBy(
+        F.col(group_col).alias("g"), F.col(value_col).alias("v")
+    ).agg(
+        *[
+            F.count_if(F.col(sample_col) == samples[i])
+            .cast("bigint")
+            .alias(f"c{i}")
+            for i in tags
+        ],
+    )
+    pre = grouped_running_totals(tiers, "g", "v", [f"c{i}" for i in tags])
+    per = pre.groupBy("g").agg(
+        *[F.sum(f"c{i}").cast("bigint").alias(f"n{i}") for i in tags],
+        *[
+            F.sum(
+                F.col(f"c{j}") * (2 * F.col(f"c{i}_before") + F.col(f"c{i}"))
+            )
+            .cast("bigint")
+            .alias(f"u2_{i}_{j}")
+            for i in tags
+            for j in tags
+            if i < j
+        ],
+    )
+    pair_structs = ", ".join(
+        f"struct('{samples[i]}' AS pr_lo, '{samples[j]}' AS pr_hi,"
+        f" n{i} AS n_lo, n{j} AS n_hi, u2_{i}_{j} AS u2,"
+        f" n{i} * n{j} AS e2)"
+        for i in tags
+        for j in tags
+        if i < j
+    )
+    return per.selectExpr(
+        f"g AS {group_col}", f"explode(array({pair_structs})) AS p"
+    ).selectExpr(
+        group_col,
+        "p.pr_lo AS pr_lo",
+        "p.pr_hi AS pr_hi",
+        "CAST(p.n_lo AS BIGINT) AS n_lo",
+        "CAST(p.n_hi AS BIGINT) AS n_hi",
+        "CAST(p.u2 AS BIGINT) AS u2",
+        "CAST(p.e2 AS BIGINT) AS e2",
+    )
+
+
+def grouped_spearman(
+    df,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+):
+    """Spearman rank correlation per group with average-rank ties
+    (Spearman 1904; the tie-aware form = Pearson on mid-ranks).
+    Mid-ranks are carried DOUBLED so they stay integers
+    (mr2 = 2·cnt_before + cnt + 1), and because Σ mr2 = n(n+1)
+    identically, the centered sums collapse to
+
+        num = Σ mr2x·mr2y − n(n+1)²      (×4 the rank covariance)
+        dx  = Σ mr2x²     − n(n+1)²,  dy likewise
+        ρ   = num / √(dx·dy)
+
+    — exact DECIMAL(38,0) integers up to the final two int→double
+    conversions (scale-0 decimal→double is ONE round-to-nearest in
+    both engines — no double-rounding, unlike scaled decimals), one
+    sqrt, one division, sign factored out of the floor (CLAUDE.md
+    truncation rule). Bounds: n³ < 10³⁸ per group ≈ n ≲ 4·10¹²;
+    below n ≈ 2·10⁶ every intermediate is < 2⁵³ and the ppm output
+    is bit-exact, above it 1-ulp on a ppm boundary is possible
+    (documented; the oracle SF sits far below).
+
+    Scale shape: two (group, value) tier tables with prefixes via the
+    grouped_running_totals range-partition recipe, two equi-joins to
+    attach per-row mid-ranks (Catalyst broadcasts the bounded tier —
+    e.g. a 50-value quantity domain — and shuffles the dense one),
+    one bounded per-group fold. The input is consumed three times
+    (two tiers + the probe) and must be a cheap feed — parquet scan
+    or broadcast-dim join — per the NOTES histprune measurement;
+    pinning a data-sized feed costs more than re-scanning it.
+
+    Returns (group, n, rho_ppm); rho_ppm is NULL when either side is
+    constant (dx·dy = 0), groups of one row included.
+    """
+    from pyspark.sql import functions as F
+
+    from dpe_energy_performance_analysis_etl_spark.operators.quantiles import (
+        grouped_running_totals,
+    )
+
+    base = df.select(
+        F.col(group_col).alias("g"),
+        F.col(x_col).cast("bigint").alias("x"),
+        F.col(y_col).cast("bigint").alias("y"),
+    )
+
+    def midranks(col: str):
+        tiers = base.groupBy("g", F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt")
+        )
+        pre = grouped_running_totals(tiers, "g", "v", ["cnt"])
+        return pre.select(
+            "g",
+            F.col("v").alias(col),
+            (2 * F.col("cnt_before") + F.col("cnt") + 1)
+            .cast("bigint")
+            .alias(f"mr2{col}"),
+        )
+
+    ranked = base.join(midranks("x"), ["g", "x"]).join(midranks("y"), ["g", "y"])
+    agg = ranked.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.expr("CAST(mr2x AS DECIMAL(38,0)) * mr2y")).alias("sxy"),
+        F.sum(F.expr("CAST(mr2x AS DECIMAL(38,0)) * mr2x")).alias("sxx"),
+        F.sum(F.expr("CAST(mr2y AS DECIMAL(38,0)) * mr2y")).alias("syy"),
+    )
+    cn = "CAST(n AS DECIMAL(38,0)) * (n + 1) * (n + 1)"
+    return agg.selectExpr(
+        f"g AS {group_col}",
+        "n",
+        f"CASE WHEN sxx > {cn} AND syy > {cn} THEN CAST("
+        f" (CASE WHEN sxy >= {cn} THEN 1 ELSE -1 END)"
+        f" * floor(CAST(abs(sxy - ({cn})) AS DOUBLE) * 1000000e0"
+        f"   / sqrt(CAST(sxx - ({cn}) AS DOUBLE)"
+        f"     * CAST(syy - ({cn}) AS DOUBLE)))"
+        " AS BIGINT) END AS rho_ppm",
+    )

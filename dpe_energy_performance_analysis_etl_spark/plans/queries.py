@@ -17361,3 +17361,246 @@ def asof_nearest_error_click_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_abs_delta_ms"),
         )
     )
+
+
+# =====================================================================
+# Round 9, wave 9: Jonckheere-Terpstra pairwise U, grouped Spearman,
+# RSI momentum
+# =====================================================================
+
+_JT_SAMPLES = ["1", "2", "3", "4", "5"]
+_JT_C = ",\n             ".join(
+    f"CAST(count_if(substr(o_orderpriority, 1, 1) = '{s}') AS BIGINT) AS c{i}"
+    for i, s in enumerate(_JT_SAMPLES)
+)
+_JT_WIN = (
+    "OVER (PARTITION BY g ORDER BY v"
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+)
+_JT_PRE = ",\n             ".join(
+    f"CAST(COALESCE(SUM(c{i}) {_JT_WIN}, 0) AS BIGINT) AS c{i}_before"
+    for i in range(5)
+)
+_JT_PER = ",\n             ".join(
+    [f"CAST(SUM(c{i}) AS BIGINT) AS n{i}" for i in range(5)]
+    + [
+        f"CAST(SUM(c{j} * (2 * c{i}_before + c{i})) AS BIGINT) AS u2_{i}_{j}"
+        for i in range(5)
+        for j in range(5)
+        if i < j
+    ]
+)
+_JT_UNION = "\n    UNION ALL\n".join(
+    f"""    SELECT g AS o_orderstatus, '{_JT_SAMPLES[i]}' AS pr_lo,
+           '{_JT_SAMPLES[j]}' AS pr_hi, n{i} AS n_lo, n{j} AS n_hi,
+           u2_{i}_{j} AS u2, CAST(n{i} * n{j} AS BIGINT) AS e2 FROM per"""
+    for i in range(5)
+    for j in range(5)
+    if i < j
+)
+
+
+@register(
+    "jonckheere_u_status_priority",
+    f"""
+    WITH tiers AS MATERIALIZED (
+      SELECT o_orderstatus AS g,
+             CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT) AS v,
+             {_JT_C}
+      FROM orders GROUP BY 1, 2
+    ), pre AS MATERIALIZED (
+      SELECT *,
+             {_JT_PRE}
+      FROM tiers
+    ), per AS MATERIALIZED (
+      SELECT g,
+             {_JT_PER}
+      FROM pre GROUP BY 1
+    )
+{_JT_UNION}
+    """,
+)
+def jonckheere_u_status_priority_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jonckheere-Terpstra trend components per order status
+    (operators/stats.py jonckheere_pairwise_u): for every ordered
+    priority pair i < j, the doubled Mann-Whitney count 2·U_ij of
+    order-value pairs shifting upward, against the doubled null
+    expectation e2 = n_i·n_j — the ordered-alternative k-sample test
+    Kruskal-Wallis can't see (JT weights the ORDER of the classes).
+    Exact integers end to end: doubled strict-less counts plus tie
+    mid-counts off per-sample prefixes, which ride the
+    grouped_running_totals range-partition recipe (the oracle's
+    PARTITION BY window is the sf0.01 shortcut); the 10 pair rows
+    come off ONE explode(array(struct…)) per group."""
+    from dpe_energy_performance_analysis_etl_spark.operators.stats import (
+        jonckheere_pairwise_u,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    base = o.select(
+        F.col("o_orderstatus").alias("st"),
+        F.substring("o_orderpriority", 1, 1).alias("pr"),
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT)"
+        ).alias("v"),
+    )
+    return jonckheere_pairwise_u(
+        base, "st", "pr", "v", _JT_SAMPLES
+    ).withColumnRenamed("st", "o_orderstatus")
+
+
+_SP_CN = "CAST(n AS HUGEINT) * (n + 1) * (n + 1)"
+
+
+@register(
+    "spearman_qty_price_brands",
+    f"""
+    WITH base AS MATERIALIZED (
+      SELECT p.p_brand AS g,
+             CAST(l.l_quantity AS BIGINT) AS x,
+             CAST(CAST(l.l_extendedprice AS DECIMAL(30,2)) * 100 AS BIGINT)
+               AS y
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ), tx AS MATERIALIZED (
+      SELECT g, x,
+             2 * CAST(COALESCE(SUM(cnt) OVER (PARTITION BY g ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) + cnt + 1 AS mr2x
+      FROM (SELECT g, x, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM base GROUP BY 1, 2)
+    ), ty AS MATERIALIZED (
+      SELECT g, y,
+             2 * CAST(COALESCE(SUM(cnt) OVER (PARTITION BY g ORDER BY y
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) + cnt + 1 AS mr2y
+      FROM (SELECT g, y, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM base GROUP BY 1, 2)
+    ), agg AS MATERIALIZED (
+      SELECT b.g, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(tx.mr2x::HUGEINT * ty.mr2y) AS sxy,
+             SUM(tx.mr2x::HUGEINT * tx.mr2x) AS sxx,
+             SUM(ty.mr2y::HUGEINT * ty.mr2y) AS syy
+      FROM base b
+      JOIN tx ON tx.g = b.g AND tx.x = b.x
+      JOIN ty ON ty.g = b.g AND ty.y = b.y
+      GROUP BY 1
+    )
+    SELECT g AS p_brand, n,
+           CASE WHEN sxx > {_SP_CN} AND syy > {_SP_CN} THEN CAST(
+             (CASE WHEN sxy >= {_SP_CN} THEN 1 ELSE -1 END)
+             * floor(CAST(abs(sxy - ({_SP_CN})) AS DOUBLE) * 1000000e0
+               / sqrt(CAST(sxx - ({_SP_CN}) AS DOUBLE)
+                 * CAST(syy - ({_SP_CN}) AS DOUBLE)))
+           AS BIGINT) END AS rho_ppm
+    FROM agg
+    """,
+)
+def spearman_qty_price_brands_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between quantity and line price per
+    brand (operators/stats.py grouped_spearman): the tie-aware
+    mid-rank form, exact doubled-rank integers up to two scale-0
+    decimal→double conversions, one sqrt, one division, sign factored
+    out of the floor. Rank prefixes ride the grouped_running_totals
+    range-partition recipe (the oracle's PARTITION BY windows are the
+    sf0.01 shortcut); the bounded quantity tier broadcasts, the dense
+    price tier shuffle-joins — both equi-keyed. The feed is a
+    parquet scan ⋈ broadcast dim, cheap to consume three times (the
+    NOTES histprune rule)."""
+    from dpe_energy_performance_analysis_etl_spark.operators.stats import (
+        grouped_spearman,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pt = spark.read.parquet(f"{sf_dir}/part.parquet")
+    base = li.join(
+        F.broadcast(pt.select("p_partkey", "p_brand")),
+        li["l_partkey"] == F.col("p_partkey"),
+    ).select(
+        "p_brand",
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        F.expr(
+            "CAST(CAST(l_extendedprice AS DECIMAL(30,2)) * 100 AS BIGINT)"
+        ).alias("cents"),
+    )
+    return grouped_spearman(base, "p_brand", "qty", "cents")
+
+
+@register(
+    "rsi_monthly_revenue",
+    """
+    WITH monthly AS MATERIALIZED (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM orders GROUP BY 1
+    ), d AS MATERIALIZED (
+      SELECT month, rev_cents,
+             rev_cents - lag(rev_cents) OVER (ORDER BY month) AS delta
+      FROM monthly
+    ), w AS MATERIALIZED (
+      SELECT month, rev_cents,
+             CAST(SUM(CASE WHEN delta > 0 THEN delta ELSE 0 END)
+               OVER (ORDER BY month
+                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS gain14,
+             CAST(SUM(CASE WHEN delta < 0 THEN -delta ELSE 0 END)
+               OVER (ORDER BY month
+                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS loss14,
+             COUNT(delta) OVER (ORDER BY month
+               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS nd
+      FROM d
+    )
+    SELECT month, rev_cents, gain14, loss14,
+           CASE WHEN gain14 + loss14 > 0
+                THEN CAST((gain14 * 1000000) // (gain14 + loss14) AS BIGINT)
+           END AS rsi_ppm
+    FROM w WHERE nd = 14
+    """,
+)
+def rsi_monthly_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-period Relative Strength Index on monthly revenue (Wilder
+    1978, the SMA variant): gains and losses from month-over-month
+    deltas in EXACT integer cents, one 14-row sliding sum over the
+    bounded month table, and rsi_ppm = gain·10⁶ div (gain+loss) — a
+    single truncating integer division, zero float ops anywhere.
+    The only windows run over ~|months| rows, never the fact table;
+    rows before the 14th delta are excluded (nd = 14), months with
+    no movement emit NULL."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    monthly = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month")
+    ).agg(
+        F.sum(
+            F.expr("CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT)")
+        )
+        .cast("bigint")
+        .alias("rev_cents")
+    )
+    wm = Window.orderBy("month")
+    d = monthly.withColumn(
+        "delta", F.col("rev_cents") - F.lag("rev_cents").over(wm)
+    )
+    w14 = Window.orderBy("month").rowsBetween(-13, 0)
+    w = d.select(
+        "month",
+        "rev_cents",
+        F.sum(F.expr("CASE WHEN delta > 0 THEN delta ELSE 0 END"))
+        .over(w14)
+        .cast("bigint")
+        .alias("gain14"),
+        F.sum(F.expr("CASE WHEN delta < 0 THEN -delta ELSE 0 END"))
+        .over(w14)
+        .cast("bigint")
+        .alias("loss14"),
+        F.count("delta").over(w14).alias("nd"),
+    )
+    return w.where(F.col("nd") == 14).selectExpr(
+        "month",
+        "rev_cents",
+        "gain14",
+        "loss14",
+        "CASE WHEN gain14 + loss14 > 0 THEN"
+        " CAST((gain14 * 1000000) div (gain14 + loss14) AS BIGINT)"
+        " END AS rsi_ppm",
+    )

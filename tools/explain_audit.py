@@ -44,6 +44,12 @@ EXPECTED_MULTISTAGE = {
     # offset/k-table windows; at runtime every consumer reads the two
     # checkpointed leaves and the conv feed executes exactly once.
     "time_to_convert_median": "k_of_n recipe leaves pinned; conv feed runs once; windows are over bounded (day) tables",
+    # round-9 wave 9: two grouped_running_totals rank recipes (x and y
+    # sides) each pin their ranged table; the lineitem x broadcast(part)
+    # feed is consumed 3x BY DESIGN (parquet-scan feeds re-run cheaper
+    # than a data-sized pin — the NOTES histprune measurement). Runtime
+    # 14 exchanges vs 22 static; 1.9 s warm at sf0.1.
+    "spearman_qty_price_brands": "two rank recipes + thrice-consumed cheap scan feed; 14 exchanges / 1.9 s warm at sf0.1",
     # round-8 additions: static prints re-expand shared subtrees that
     # are pinned (localCheckpoint), cached, or recompute only bounded
     # aggregates at runtime — each audited individually
