@@ -17604,3 +17604,344 @@ def rsi_monthly_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         " CAST((gain14 * 1000000) div (gain14 + loss14) AS BIGINT)"
         " END AS rsi_ppm",
     )
+
+
+# =====================================================================
+# Round 9, wave 10: Copeland pairwise duels, Gini decision stump,
+# McNemar paired test
+# =====================================================================
+
+@register(
+    "copeland_brand_duels",
+    """
+    WITH cb AS MATERIALIZED (
+      SELECT o.o_custkey AS cust, p.p_brand AS b,
+             CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(30,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS s
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2
+    ), na AS MATERIALIZED (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS n FROM cb GROUP BY 1
+    ), cells AS MATERIALIZED (
+      SELECT x.b AS b1, y.b AS b2,
+             CAST(COUNT(*) AS BIGINT) AS nb,
+             CAST(count_if(x.s > y.s) AS BIGINT) AS gt1,
+             CAST(count_if(x.s < y.s) AS BIGINT) AS gt2
+      FROM cb x JOIN cb y ON x.cust = y.cust AND x.b < y.b
+      GROUP BY 1, 2
+    ), duel AS MATERIALIZED (
+      SELECT a.b AS b1, c.b AS b2,
+             a.n - COALESCE(p.nb, 0) + COALESCE(p.gt1, 0) AS w1,
+             c.n - COALESCE(p.nb, 0) + COALESCE(p.gt2, 0) AS w2
+      FROM na a JOIN na c ON a.b < c.b
+      LEFT JOIN cells p ON p.b1 = a.b AND p.b2 = c.b
+    ), pts AS MATERIALIZED (
+      SELECT b1 AS b,
+             CASE WHEN w1 > w2 THEN 2 WHEN w1 = w2 THEN 1 ELSE 0 END AS pt
+      FROM duel
+      UNION ALL
+      SELECT b2,
+             CASE WHEN w2 > w1 THEN 2 WHEN w1 = w2 THEN 1 ELSE 0 END
+      FROM duel
+    )
+    SELECT na.b AS p_brand, na.n AS n_buyers,
+           CAST(COALESCE(SUM(pts.pt), 0) AS BIGINT) AS copeland2,
+           CAST(COALESCE(SUM(pts.pt), 0) AS BIGINT)
+             = 2 * ((SELECT COUNT(*) FROM na) - 1) AS is_condorcet
+    FROM na LEFT JOIN pts ON pts.b = na.b
+    GROUP BY 1, 2
+    """,
+)
+def copeland_brand_duels_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copeland pairwise-duel ranking of brands by customer spend
+    (Copeland 1951): brand a beats brand b if MORE customers spent
+    more on a than on b (never-bought = zero spend, so a customer
+    buying only a prefers a; buying neither is a tie and cancels).
+    copeland2 = Σ over the 24 duels of 2·win + 1·draw; a brand with
+    copeland2 = 2·(k−1) is the Condorcet winner. Exact integer cents
+    everywhere; duel wins come off per-pair comparison counts.
+
+    Scale shape: the apriori basket-array replan pattern — one
+    (customer, brand) spend aggregation, per-customer sorted basket,
+    singles + pairwise comparisons exploded ROW-LOCALLY (≤ k(k−1)/2
+    per customer, k bounded by the brand domain — never a data-sized
+    self-join shuffle), one bounded (b1, b2) aggregation pinned
+    eagerly (its filters feed na / cells / scores), bounded-table
+    algebra after. The oracle's customer self-join is the sf0.01
+    shortcut."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    pt = spark.read.parquet(f"{sf_dir}/part.parquet")
+    cb = (
+        li.join(o.select("o_orderkey", "o_custkey"), li["l_orderkey"] == F.col("o_orderkey"))
+        .join(F.broadcast(pt.select("p_partkey", "p_brand")), li["l_partkey"] == F.col("p_partkey"))
+        .groupBy(F.col("o_custkey").alias("cust"), F.col("p_brand").alias("b"))
+        .agg(
+            F.sum(
+                F.expr("CAST(CAST(l_extendedprice AS DECIMAL(30,2)) * 100 AS BIGINT)")
+            )
+            .cast("bigint")
+            .alias("s")
+        )
+    )
+    baskets = cb.groupBy("cust").agg(
+        F.expr("sort_array(collect_list(struct(b, s)))").alias("items")
+    )
+    exploded = baskets.select(
+        F.explode(
+            F.expr(
+                """
+                concat(
+                  transform(items, x ->
+                    struct(x.b AS b1, CAST(NULL AS STRING) AS b2, 2 AS cmp)),
+                  flatten(transform(items, (x, i) ->
+                    transform(
+                      slice(items, i + 2, greatest(size(items) - i - 1, 0)),
+                      y -> struct(x.b AS b1, y.b AS b2,
+                                  CASE WHEN x.s > y.s THEN 1
+                                       WHEN x.s < y.s THEN -1
+                                       ELSE 0 END AS cmp)))))
+                """
+            )
+        ).alias("e")
+    ).select("e.b1", "e.b2", "e.cmp")
+    # bounded (≤ k + k(k-1)/2 rows) multi-consumer aggregate — pinned
+    # eagerly so na/cells/score branches never re-run the explode
+    agg = (
+        exploded.groupBy("b1", "b2")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("nb"),
+            F.count_if(F.col("cmp") == 1).cast("bigint").alias("gt1"),
+            F.count_if(F.col("cmp") == -1).cast("bigint").alias("gt2"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    na = agg.where(F.col("b2").isNull()).select(
+        F.col("b1").alias("b"), F.col("nb").alias("n")
+    )
+    cells = agg.where(F.col("b2").isNotNull())
+    grid = (
+        na.alias("a")
+        .join(F.broadcast(na.alias("c")), F.expr("a.b < c.b"))
+        .selectExpr("a.b AS b1", "c.b AS b2", "a.n AS n1", "c.n AS n2")
+    )
+    duel = grid.join(cells, ["b1", "b2"], "left").selectExpr(
+        "b1",
+        "b2",
+        "n1 - COALESCE(nb, 0) + COALESCE(gt1, 0) AS w1",
+        "n2 - COALESCE(nb, 0) + COALESCE(gt2, 0) AS w2",
+    )
+    pts = duel.selectExpr(
+        "explode(array("
+        " struct(b1 AS b, CASE WHEN w1 > w2 THEN 2 WHEN w1 = w2 THEN 1"
+        "                      ELSE 0 END AS pt),"
+        " struct(b2 AS b, CASE WHEN w2 > w1 THEN 2 WHEN w1 = w2 THEN 1"
+        "                      ELSE 0 END AS pt))) AS e"
+    ).select("e.b", "e.pt")
+    k = na.agg(F.count(F.lit(1)).alias("k"))
+    cop = pts.groupBy("b").agg(F.sum("pt").cast("bigint").alias("cop2"))
+    return (
+        na.join(cop, "b", "left")
+        .crossJoin(F.broadcast(k))
+        .selectExpr(
+            "b AS p_brand",
+            "n AS n_buyers",
+            "CAST(COALESCE(cop2, 0) AS BIGINT) AS copeland2",
+            "COALESCE(cop2, 0) = 2 * (k - 1) AS is_condorcet",
+        )
+    )
+
+
+@register(
+    "gini_stump_qty_returns",
+    """
+    WITH t AS MATERIALIZED (
+      SELECT CAST(l_quantity AS BIGINT) AS qty,
+             CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(count_if(l_returnflag = 'R') AS BIGINT) AS pos
+      FROM lineitem GROUP BY 1
+    ), c AS MATERIALIZED (
+      SELECT qty,
+             CAST(SUM(cnt) OVER (ORDER BY qty
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS n_le,
+             CAST(SUM(pos) OVER (ORDER BY qty
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS pos_le,
+             CAST(SUM(cnt) OVER () AS BIGINT) AS n_tot,
+             CAST(SUM(pos) OVER () AS BIGINT) AS p_tot
+      FROM t
+    ), s AS MATERIALIZED (
+      SELECT qty AS qty_threshold, n_le, pos_le,
+             CAST((2 * (pos_le::HUGEINT * (n_le - pos_le) * (n_tot - n_le)
+                   + (p_tot - pos_le)::HUGEINT
+                     * ((n_tot - n_le) - (p_tot - pos_le)) * n_le)
+                   * 1000000000)
+                  // (n_le::HUGEINT * (n_tot - n_le) * n_tot)
+                  AS BIGINT) AS impurity_ppb
+      FROM c WHERE n_le < n_tot
+    )
+    SELECT qty_threshold, n_le, pos_le, impurity_ppb,
+           impurity_ppb = MIN(impurity_ppb) OVER () AS is_best
+    FROM s
+    """,
+)
+def gini_stump_qty_returns_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump split search (CART, Breiman 1984): for every
+    quantity threshold t, the weighted Gini impurity of the split
+    qty ≤ t predicting l_returnflag = 'R' — as ONE exact integer
+    rational per candidate, impurity_ppb =
+    ⌊2·(p_L·q_L·n_R + p_R·q_R·n_L)·10⁹ / (n_L·n_R·N)⌋ (the common
+    2p(1−p) form cross-multiplied so zero float ops survive), and
+    the argmin flagged. One fact-table aggregation to the BOUNDED
+    (≤ |qty domain|) tier table; prefix sums and the min ride
+    windows over ≤ 50 rows. Magnitude bound n³·10⁹/2 < 10³⁸ —
+    n ≲ 5·10⁹ rows."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    t = li.groupBy(F.col("l_quantity").cast("bigint").alias("qty")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.count_if(F.col("l_returnflag") == "R").cast("bigint").alias("pos"),
+    )
+    w_cum = Window.orderBy("qty").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.orderBy("qty").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = t.select(
+        "qty",
+        F.sum("cnt").over(w_cum).cast("bigint").alias("n_le"),
+        F.sum("pos").over(w_cum).cast("bigint").alias("pos_le"),
+        F.sum("cnt").over(w_all).cast("bigint").alias("n_tot"),
+        F.sum("pos").over(w_all).cast("bigint").alias("p_tot"),
+    )
+    s = c.where(F.col("n_le") < F.col("n_tot")).selectExpr(
+        "qty AS qty_threshold",
+        "n_le",
+        "pos_le",
+        "CAST((2 * (CAST(pos_le AS DECIMAL(38,0)) * (n_le - pos_le)"
+        "            * (n_tot - n_le)"
+        "       + CAST(p_tot - pos_le AS DECIMAL(38,0))"
+        "         * ((n_tot - n_le) - (p_tot - pos_le)) * n_le)"
+        "       * 1000000000)"
+        "      div (CAST(n_le AS DECIMAL(38,0)) * (n_tot - n_le) * n_tot)"
+        "      AS BIGINT) AS impurity_ppb",
+    )
+    w_min = Window.orderBy("qty_threshold").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return s.select(
+        "qty_threshold",
+        "n_le",
+        "pos_le",
+        "impurity_ppb",
+        (F.col("impurity_ppb") == F.min("impurity_ppb").over(w_min)).alias(
+            "is_best"
+        ),
+    )
+
+
+@register(
+    "mcnemar_repeat_purchase",
+    """
+    WITH base AS MATERIALIZED (
+      SELECT user_id, event_type, epoch_us(ts) // 86400000000 AS d
+      FROM events
+    ), bounds AS MATERIALIZED (
+      SELECT MIN(d) AS dmin, MAX(d) AS dmax FROM base
+    ), u AS MATERIALIZED (
+      SELECT user_id,
+             count_if(event_type = 'purchase'
+                      AND d < (dmin + dmax + 1) // 2) > 0 AS p1,
+             count_if(event_type = 'purchase'
+                      AND d >= (dmin + dmax + 1) // 2) > 0 AS p2
+      FROM base, bounds GROUP BY 1
+    ), m AS MATERIALIZED (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(count_if(p1 AND p2) AS BIGINT) AS n_both,
+             CAST(count_if(NOT p1 AND NOT p2) AS BIGINT) AS n_neither,
+             CAST(count_if(p1 AND NOT p2) AS BIGINT) AS b_lapsed,
+             CAST(count_if(p2 AND NOT p1) AS BIGINT) AS c_adopted
+      FROM u
+    )
+    SELECT n_users, n_both, n_neither, b_lapsed, c_adopted,
+           CASE WHEN b_lapsed + c_adopted > 0 THEN
+             CAST(((b_lapsed - c_adopted) * (b_lapsed - c_adopted)
+                   * 1000000) // (b_lapsed + c_adopted) AS BIGINT)
+           END AS mcnemar_ppm,
+           CASE WHEN b_lapsed + c_adopted > 0 THEN
+             CAST((greatest(abs(b_lapsed - c_adopted) - 1, 0)
+                   * greatest(abs(b_lapsed - c_adopted) - 1, 0)
+                   * 1000000) // (b_lapsed + c_adopted) AS BIGINT)
+           END AS mcnemar_cc_ppm
+    FROM m
+    """,
+)
+def mcnemar_repeat_purchase_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test (McNemar 1947) on purchase behavior
+    across the two halves of the observed window: each user is their
+    own pair (purchased in H1? in H2?), the statistic lives on the
+    DISCORDANT counts only — χ² = (b−c)²/(b+c), emitted ppm-scaled
+    with one truncating division, plus the continuity-corrected
+    (|b−c|−1)² variant. The half boundary anchors to the DATA's
+    observed day range (CLAUDE.md: never a schema epoch), attached
+    as a broadcast scalar row; one user-keyed aggregation, one
+    bounded fold — zero float ops."""
+    from dpe_energy_performance_analysis_etl_spark.functions.temporal import (
+        epoch_micros,
+    )
+
+    ev = read_events(spark, sf_dir)
+    base = ev.select(
+        "user_id",
+        "event_type",
+        (epoch_micros("ts") / F.lit(86400000000)).cast("bigint").alias("d"),
+    )
+    bounds = base.agg(
+        F.min("d").alias("dmin"), F.max("d").alias("dmax")
+    )
+    u = (
+        base.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            (
+                F.count_if(
+                    (F.col("event_type") == "purchase")
+                    & F.expr("d < (dmin + dmax + 1) div 2")
+                )
+                > 0
+            ).alias("p1"),
+            (
+                F.count_if(
+                    (F.col("event_type") == "purchase")
+                    & F.expr("d >= (dmin + dmax + 1) div 2")
+                )
+                > 0
+            ).alias("p2"),
+        )
+    )
+    m = u.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.count_if(F.col("p1") & F.col("p2")).cast("bigint").alias("n_both"),
+        F.count_if(~F.col("p1") & ~F.col("p2"))
+        .cast("bigint")
+        .alias("n_neither"),
+        F.count_if(F.col("p1") & ~F.col("p2")).cast("bigint").alias("b_lapsed"),
+        F.count_if(F.col("p2") & ~F.col("p1"))
+        .cast("bigint")
+        .alias("c_adopted"),
+    )
+    return m.selectExpr(
+        "n_users",
+        "n_both",
+        "n_neither",
+        "b_lapsed",
+        "c_adopted",
+        "CASE WHEN b_lapsed + c_adopted > 0 THEN"
+        " CAST(((b_lapsed - c_adopted) * (b_lapsed - c_adopted) * 1000000)"
+        " div (b_lapsed + c_adopted) AS BIGINT) END AS mcnemar_ppm",
+        "CASE WHEN b_lapsed + c_adopted > 0 THEN"
+        " CAST((greatest(abs(b_lapsed - c_adopted) - 1, 0)"
+        "       * greatest(abs(b_lapsed - c_adopted) - 1, 0) * 1000000)"
+        " div (b_lapsed + c_adopted) AS BIGINT) END AS mcnemar_cc_ppm",
+    )

@@ -50,6 +50,11 @@ EXPECTED_MULTISTAGE = {
     # than a data-sized pin — the NOTES histprune measurement). Runtime
     # 14 exchanges vs 22 static; 1.9 s warm at sf0.1.
     "spearman_qty_price_brands": "two rank recipes + thrice-consumed cheap scan feed; 14 exchanges / 1.9 s warm at sf0.1",
+    # round-9 wave 10: the bounded (b1, b2) duel aggregate is pinned
+    # eagerly (≤ k + k(k−1)/2 rows); na/cells/k branches read the
+    # checkpoint leaf at runtime — the static print re-expands the
+    # basket-explode subtree per consumer. Runtime 7 exchanges.
+    "copeland_brand_duels": "pinned bounded duel aggregate feeds na/cells/k branches; 7 exchanges at runtime",
     # round-8 additions: static prints re-expand shared subtrees that
     # are pinned (localCheckpoint), cached, or recompute only bounded
     # aggregates at runtime — each audited individually
