@@ -2107,3 +2107,72 @@ def grouped_spearman(
         f"     * CAST(syy - ({cn}) AS DOUBLE)))"
         " AS BIGINT) END AS rho_ppm",
     )
+
+
+def cramer_von_mises_2samp(
+    df,
+    group_col: str,
+    flag_col: str,
+    value_col: str,
+):
+    """Two-sample Cramér-von Mises statistic per group (Anderson
+    1962): T = nm/N² · Σ over all N sample points of (F_n − G_m)² —
+    the ECDF-distance test that weights the WHOLE distribution where
+    Kolmogorov-Smirnov sees only the single worst gap. ``flag_col``
+    (boolean) marks sample 1. On the (group, value) tier table with
+    per-sample counts c1/c2 and INCLUSIVE prefixes A/B,
+
+        T_num = Σ_v (c1+c2)·(m·A − n·B)²
+              = m²·Σ cA² − 2nm·Σ cAB + n²·Σ cB²
+
+    — the expanded-square form makes it ONE pass (n = max A and
+    m = max B come out of the same aggregation, so the tier table is
+    never consumed twice). Everything is exact DECIMAL(38,0); the
+    output applies two truncating divisions in a fixed order,
+    cvm_ppm = ((T_num div N²) · 10⁶) div (n·m) — both engines floor
+    identically, and the two-step split keeps every intermediate
+    under 10³⁸ up to N ≈ 10⁸ rows per group (one-step would overflow
+    at 10³⁴·10⁶).
+
+    Prefixes ride the grouped_running_totals range-partition recipe.
+    Returns (group, n1, n2, cvm_ppm); groups where either sample is
+    empty emit NULL cvm_ppm.
+    """
+    from pyspark.sql import functions as F
+
+    from dpe_energy_performance_analysis_etl_spark.operators.quantiles import (
+        grouped_running_totals,
+    )
+
+    tiers = df.groupBy(
+        F.col(group_col).alias("g"), F.col(value_col).alias("v")
+    ).agg(
+        F.count_if(F.col(flag_col)).cast("bigint").alias("c1"),
+        F.count_if(~F.col(flag_col)).cast("bigint").alias("c2"),
+    )
+    pre = grouped_running_totals(tiers, "g", "v", ["c1", "c2"])
+    ab = pre.selectExpr(
+        "g",
+        "c1 + c2 AS c",
+        "c1_before + c1 AS a",
+        "c2_before + c2 AS b",
+    )
+    agg = ab.groupBy("g").agg(
+        F.max("a").cast("bigint").alias("n1"),
+        F.max("b").cast("bigint").alias("n2"),
+        F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * a * a")).alias("sa2"),
+        F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * a * b")).alias("sab"),
+        F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * b * b")).alias("sb2"),
+    )
+    return agg.selectExpr(
+        f"g AS {group_col}",
+        "n1",
+        "n2",
+        "CASE WHEN n1 > 0 AND n2 > 0 THEN CAST("
+        " (((CAST(n2 AS DECIMAL(38,0)) * n2 * sa2"
+        "    - 2 * CAST(n1 AS DECIMAL(38,0)) * n2 * sab"
+        "    + CAST(n1 AS DECIMAL(38,0)) * n1 * sb2)"
+        "   div (CAST(n1 + n2 AS DECIMAL(38,0)) * (n1 + n2))) * 1000000)"
+        " div (CAST(n1 AS DECIMAL(38,0)) * n2)"
+        " AS BIGINT) END AS cvm_ppm",
+    )

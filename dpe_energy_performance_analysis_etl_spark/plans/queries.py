@@ -17945,3 +17945,218 @@ def mcnemar_repeat_purchase_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "       * greatest(abs(b_lapsed - c_adopted) - 1, 0) * 1000000)"
         " div (b_lapsed + c_adopted) AS BIGINT) END AS mcnemar_cc_ppm",
     )
+
+
+# =====================================================================
+# Round 9, wave 11: Hodges-Lehmann pseudo-median, Cramér-von Mises
+# two-sample, Moran's I grid autocorrelation
+# =====================================================================
+
+@register(
+    "hl_pseudomedian_revenue",
+    """
+    WITH monthly AS MATERIALIZED (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS rev
+      FROM orders GROUP BY 1
+    ), w AS MATERIALIZED (
+      SELECT a.rev + b.rev AS walsh2
+      FROM monthly a JOIN monthly b ON a.month <= b.month
+    ), r AS MATERIALIZED (
+      SELECT walsh2, row_number() OVER (ORDER BY walsh2) AS rk,
+             COUNT(*) OVER () AS n
+      FROM w
+    )
+    SELECT CAST((SELECT COUNT(*) FROM monthly) AS BIGINT) AS n_months,
+           CAST(MAX(n) AS BIGINT) AS n_walsh_pairs,
+           CAST(MAX(CASE WHEN rk = (n + 1) // 2 THEN walsh2 END)
+                AS BIGINT) AS pseudo_median_2x_cents,
+           CAST(MAX(CASE WHEN rk = (n + 1) // 2 THEN walsh2 END) // 2
+                AS BIGINT) AS pseudo_median_cents
+    FROM r
+    """,
+)
+def hl_pseudomedian_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges-Lehmann one-sample pseudo-median of monthly revenue
+    (Hodges & Lehmann 1963): the exact LOW median of all n(n+1)/2
+    Walsh averages (x_i + x_j)/2 over i ≤ j — the location estimator
+    with 0.955 Gaussian efficiency AND a 29% breakdown point, where
+    the plain median wastes efficiency and the mean has no
+    robustness. Walsh averages are carried DOUBLED (x_i + x_j stays
+    exact integer cents); the pair table is bounded by |months|², so
+    the self-join is a broadcast of an eagerly-pinned ≤|months|-row
+    aggregate (the fact scan runs ONCE) and the rank window runs
+    over ≤ |months|² rows — never the fact table."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    monthly = (
+        orders.groupBy(
+            F.date_trunc("month", F.col("o_orderdate")).alias("month")
+        )
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT)"
+                )
+            )
+            .cast("bigint")
+            .alias("rev")
+        )
+        .localCheckpoint(eager=True)  # three consumers of a tiny table
+    )
+    w = (
+        monthly.alias("a")
+        .join(F.broadcast(monthly.alias("b")), F.expr("a.month <= b.month"))
+        .selectExpr("a.rev + b.rev AS walsh2")
+    )
+    wr = Window.orderBy("walsh2")
+    wa = Window.orderBy("walsh2").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    r = w.select(
+        "walsh2",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(wa).alias("n"),
+    )
+    nm = monthly.agg(F.count(F.lit(1)).cast("bigint").alias("n_months"))
+    return (
+        r.agg(
+            F.max("n").cast("bigint").alias("n_walsh_pairs"),
+            F.max(F.expr("CASE WHEN rk = (n + 1) div 2 THEN walsh2 END"))
+            .cast("bigint")
+            .alias("pseudo_median_2x_cents"),
+        )
+        .crossJoin(F.broadcast(nm))
+        .selectExpr(
+            "n_months",
+            "n_walsh_pairs",
+            "pseudo_median_2x_cents",
+            "CAST(pseudo_median_2x_cents div 2 AS BIGINT)"
+            " AS pseudo_median_cents",
+        )
+    )
+
+
+@register(
+    "cvm_urgency_status",
+    """
+    WITH tiers AS MATERIALIZED (
+      SELECT o_orderstatus AS g,
+             CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT) AS v,
+             CAST(count_if(o_orderpriority IN ('1-URGENT', '2-HIGH'))
+                  AS BIGINT) AS c1,
+             CAST(count_if(o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+                  AS BIGINT) AS c2
+      FROM orders GROUP BY 1, 2
+    ), pre AS MATERIALIZED (
+      SELECT g, c1 + c2 AS c,
+             CAST(COALESCE(SUM(c1) OVER win, 0) + c1 AS BIGINT) AS a,
+             CAST(COALESCE(SUM(c2) OVER win, 0) + c2 AS BIGINT) AS b
+      FROM tiers
+      WINDOW win AS (PARTITION BY g ORDER BY v
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), agg AS MATERIALIZED (
+      SELECT g, CAST(MAX(a) AS BIGINT) AS n1, CAST(MAX(b) AS BIGINT) AS n2,
+             SUM(c::HUGEINT * a * a) AS sa2,
+             SUM(c::HUGEINT * a * b) AS sab,
+             SUM(c::HUGEINT * b * b) AS sb2
+      FROM pre GROUP BY 1
+    )
+    SELECT g AS o_orderstatus, n1, n2,
+           CASE WHEN n1 > 0 AND n2 > 0 THEN CAST(
+             (((n2::HUGEINT * n2 * sa2 - 2 * n1::HUGEINT * n2 * sab
+                + n1::HUGEINT * n1 * sb2)
+               // ((n1 + n2)::HUGEINT * (n1 + n2))) * 1000000)
+             // (n1::HUGEINT * n2) AS BIGINT) END AS cvm_ppm
+    FROM agg
+    """,
+)
+def cvm_urgency_status_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér-von Mises two-sample test per order status
+    (operators/stats.py cramer_von_mises_2samp): urgent (priority
+    1-2) vs normal order values compared across the WHOLE ECDF —
+    the integrated-squared-distance alternative where KS sees only
+    the worst single gap. The expanded-square identity makes it one
+    pass over the (status, price) tier table (sample sizes fall out
+    of the same aggregation as max inclusive prefixes), exact
+    DECIMAL(38,0) throughout, two fixed-order truncating divisions;
+    prefixes ride the grouped_running_totals range-partition recipe
+    (the oracle's PARTITION BY window is the sf0.01 shortcut)."""
+    from dpe_energy_performance_analysis_etl_spark.operators.stats import (
+        cramer_von_mises_2samp,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    base = o.select(
+        F.col("o_orderstatus").alias("st"),
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("urgent"),
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT)"
+        ).alias("v"),
+    )
+    return cramer_von_mises_2samp(base, "st", "urgent", "v").withColumnRenamed(
+        "st", "o_orderstatus"
+    )
+
+
+@register(
+    "morans_i_balance_grid",
+    """
+    WITH cells AS MATERIALIZED (
+      SELECT (c_custkey // 100) % 100 AS cx, c_custkey % 100 AS cy,
+             CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(30,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS val
+      FROM customer GROUP BY 1, 2
+    ), tot AS MATERIALIZED (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(val) AS BIGINT) AS s
+      FROM cells
+    ), ctr AS MATERIALIZED (
+      SELECT cx, cy, (n::HUGEINT * val - s) AS d FROM cells, tot
+    ), nbr AS MATERIALIZED (
+      SELECT cx + 1 AS cx, cy, d AS d_nbr FROM ctr
+      UNION ALL SELECT cx - 1, cy, d FROM ctr
+      UNION ALL SELECT cx, cy + 1, d FROM ctr
+      UNION ALL SELECT cx, cy - 1, d FROM ctr
+    ), pairs AS MATERIALIZED (
+      SELECT CAST(COUNT(*) AS BIGINT) AS w, SUM(c.d * nbr.d_nbr) AS cross_sum
+      FROM ctr c JOIN nbr ON c.cx = nbr.cx AND c.cy = nbr.cy
+    ), var AS MATERIALIZED (
+      SELECT SUM(d * d) AS var_sum FROM ctr
+    )
+    SELECT tot.n AS n_cells, pairs.w AS w_pairs,
+           CASE WHEN pairs.w > 0 AND var.var_sum > 0 THEN CAST(
+             (CASE WHEN pairs.cross_sum >= 0 THEN 1 ELSE -1 END)
+             * ((abs(pairs.cross_sum) * tot.n * 1000000)
+                // (var.var_sum * pairs.w))
+           AS BIGINT) END AS morans_i_scaled
+    FROM tot, pairs, var
+    """,
+)
+def morans_i_balance_grid_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global Moran's I spatial autocorrelation (operators/spatial.py
+    morans_i_grid) of aggregate account balance over the synthesized
+    100×100 customer site grid (same coordinate derivation as
+    point_in_polygon_tags / dbscan_customer_sites), rook adjacency:
+    do neighboring cells hold similar wealth? The n-scaled centering
+    (n·x − S) keeps every term an exact integer, neighbor candidates
+    are equi-keyed (each cell explodes its 4 rook keys — never a
+    distance cross join), and the single division is sign-factored.
+    Near 0 here by construction — custkey-derived values are
+    spatially unstructured, which is exactly the null a detector
+    must not reject."""
+    from dpe_energy_performance_analysis_etl_spark.operators.spatial import (
+        morans_i_grid,
+    )
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    cells = c.groupBy(
+        F.expr("(c_custkey div 100) % 100").alias("cx"),
+        (F.col("c_custkey") % 100).alias("cy"),
+    ).agg(
+        F.sum(
+            F.expr("CAST(CAST(c_acctbal AS DECIMAL(30,2)) * 100 AS BIGINT)")
+        )
+        .cast("bigint")
+        .alias("val")
+    )
+    return morans_i_grid(cells, "cx", "cy", "val")

@@ -55,6 +55,12 @@ EXPECTED_MULTISTAGE = {
     # checkpoint leaf at runtime — the static print re-expands the
     # basket-explode subtree per consumer. Runtime 7 exchanges.
     "copeland_brand_duels": "pinned bounded duel aggregate feeds na/cells/k branches; 7 exchanges at runtime",
+    # round-9 wave 11: the ≤10⁴-row cell table is pinned eagerly (the
+    # one customer scan runs once); tot/ctr/nbr/pairs/var are all
+    # bounded-table algebra over the checkpoint leaf — exchange count
+    # reflects breadth over tiny tables, not fact-table passes.
+    # 2.5 s total at sf0.1 incl. the build-time pin.
+    "morans_i_balance_grid": "pinned bounded cell grid feeds centering + 3 consumers; all post-pin exchanges are over ≤10k rows",
     # round-8 additions: static prints re-expand shared subtrees that
     # are pinned (localCheckpoint), cached, or recompute only bounded
     # aggregates at runtime — each audited individually

@@ -105,6 +105,14 @@ QUERIES_TO_SCALE = [
     "wilson_return_rate_brands",
     "diameter_two_sweep_parts",
     "cuped_adjusted_lift_events",
+    "asof_nearest_error_click",
+    # round-9 waves 9-10
+    "jonckheere_u_status_priority",
+    "spearman_qty_price_brands",
+    "rsi_monthly_revenue",
+    "copeland_brand_duels",
+    "gini_stump_qty_returns",
+    "mcnemar_repeat_purchase",
     # round-8 waves 4-6
     "dau_mau_stickiness_events",
     "zorder_locality_customers",
