@@ -18160,3 +18160,311 @@ def morans_i_balance_grid_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("val")
     )
     return morans_i_grid(cells, "cx", "cy", "val")
+
+
+# =====================================================================
+# Round 9, wave 12: Friedman rank test, matrix-profile discord,
+# Mantel-Haenszel common odds ratio
+# =====================================================================
+
+_FR_R2 = ",\n             ".join(
+    f"CAST(SUM(CASE WHEN pr = '{s}' THEN mr2 ELSE 0 END) AS BIGINT) AS r2_p{s}"
+    for s in ["1", "2", "3", "4", "5"]
+)
+_FR_SUMSQ = " + ".join(f"r2_p{s} * r2_p{s}" for s in ["1", "2", "3", "4", "5"])
+
+
+@register(
+    "friedman_nation_priority",
+    f"""
+    WITH cell AS MATERIALIZED (
+      SELECT n.n_name AS blk, substr(o.o_orderpriority, 1, 1) AS pr,
+             CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(30,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS rev
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    ), rk AS MATERIALIZED (
+      SELECT blk, pr,
+             2 * (rank() OVER (PARTITION BY blk ORDER BY rev) - 1)
+               + COUNT(*) OVER (PARTITION BY blk, rev) + 1 AS mr2,
+             COUNT(*) OVER (PARTITION BY blk) AS k_in_block
+      FROM cell
+    ), agg AS MATERIALIZED (
+      SELECT CAST(COUNT(DISTINCT blk) AS BIGINT) AS b,
+             {_FR_R2}
+      FROM rk WHERE k_in_block = 5
+    )
+    SELECT b AS b_blocks, r2_p1, r2_p2, r2_p3, r2_p4, r2_p5,
+           CASE WHEN b > 0 THEN
+             CAST((3 * ({_FR_SUMSQ}) * 1000000) // (b * 5 * 6)
+                  - 3000000 * b * 6 AS BIGINT) END AS chi2_ppm
+    FROM agg
+    """,
+)
+def friedman_nation_priority_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank test (Friedman 1937): blocks = nations,
+    treatments = the 5 order priorities, value = total revenue cents
+    per cell — does any priority class systematically out-earn the
+    others once nation-level scale is blocked out? Ranks live WITHIN
+    each 5-cell block (doubled mid-ranks for exact ties), only
+    complete blocks count (the classic Friedman requirement), and
+    χ²_F = 3·Σ_j R2_j²/(b·k(k+1)) − 3b(k+1) is emitted ppm-scaled
+    with one truncating division — the doubled-rank absorption of
+    the 12/(bk(k+1)) constant, tie-correction omitted (documented;
+    cents totals tie with probability ~0). The rank windows run over
+    5-row blocks, never the fact table."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    cell = (
+        o.join(c.select("c_custkey", "c_nationkey"), o["o_custkey"] == F.col("c_custkey"))
+        .join(
+            F.broadcast(n.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(
+            F.col("n_name").alias("blk"),
+            F.substring("o_orderpriority", 1, 1).alias("pr"),
+        )
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT)"
+                )
+            )
+            .cast("bigint")
+            .alias("rev")
+        )
+    )
+    w_rank = Window.partitionBy("blk").orderBy("rev")
+    w_tie = Window.partitionBy("blk", "rev")
+    w_blk = Window.partitionBy("blk")
+    rk = cell.select(
+        "blk",
+        "pr",
+        (
+            2 * (F.rank().over(w_rank) - 1)
+            + F.count(F.lit(1)).over(w_tie)
+            + 1
+        ).alias("mr2"),
+        F.count(F.lit(1)).over(w_blk).alias("k_in_block"),
+    )
+    agg = rk.where(F.col("k_in_block") == 5).agg(
+        F.countDistinct("blk").cast("bigint").alias("b"),
+        *[
+            F.sum(F.expr(f"CASE WHEN pr = '{s}' THEN mr2 ELSE 0 END"))
+            .cast("bigint")
+            .alias(f"r2_p{s}")
+            for s in ["1", "2", "3", "4", "5"]
+        ],
+    )
+    return agg.selectExpr(
+        "b AS b_blocks",
+        "r2_p1",
+        "r2_p2",
+        "r2_p3",
+        "r2_p4",
+        "r2_p5",
+        f"CASE WHEN b > 0 THEN CAST((3 * ({_FR_SUMSQ}) * 1000000)"
+        " div (b * 5 * 6) - 3000000 * b * 6 AS BIGINT) END AS chi2_ppm",
+    )
+
+
+@register(
+    "matrix_profile_discord_revenue",
+    """
+    WITH monthly AS MATERIALIZED (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS rev
+      FROM orders GROUP BY 1
+    ), idx AS MATERIALIZED (
+      SELECT month, rev, row_number() OVER (ORDER BY month) AS i FROM monthly
+    ), win AS MATERIALIZED (
+      SELECT i, month,
+             rev AS v0,
+             lead(rev, 1) OVER (ORDER BY i) AS v1,
+             lead(rev, 2) OVER (ORDER BY i) AS v2,
+             lead(rev, 3) OVER (ORDER BY i) AS v3,
+             lead(rev, 4) OVER (ORDER BY i) AS v4,
+             lead(rev, 5) OVER (ORDER BY i) AS v5
+      FROM idx
+    ), w AS MATERIALIZED (
+      SELECT * FROM win WHERE v5 IS NOT NULL
+    ), dist AS MATERIALIZED (
+      SELECT a.i AS ia, b.i AS ib,
+             (a.v0 - b.v0)::HUGEINT * (a.v0 - b.v0)
+             + (a.v1 - b.v1)::HUGEINT * (a.v1 - b.v1)
+             + (a.v2 - b.v2)::HUGEINT * (a.v2 - b.v2)
+             + (a.v3 - b.v3)::HUGEINT * (a.v3 - b.v3)
+             + (a.v4 - b.v4)::HUGEINT * (a.v4 - b.v4)
+             + (a.v5 - b.v5)::HUGEINT * (a.v5 - b.v5) AS d2
+      FROM w a JOIN w b ON a.i + 6 <= b.i
+    ), both_dir AS MATERIALIZED (
+      SELECT ia AS i, d2 FROM dist UNION ALL SELECT ib AS i, d2 FROM dist
+    ), prof AS MATERIALIZED (
+      SELECT i, MIN(d2) AS p FROM both_dir GROUP BY 1
+    )
+    SELECT w.i AS win_start, w.month,
+           CAST(prof.p AS DOUBLE) AS profile_dist2,
+           prof.p = (SELECT MAX(p) FROM prof) AS is_discord
+    FROM prof JOIN w ON w.i = prof.i
+    """,
+)
+def matrix_profile_discord_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matrix-profile discord discovery (Yeh et al., ICDM 2016 —
+    un-normalized Euclidean variant) on the monthly revenue series:
+    for every length-6 subsequence, the distance to its nearest
+    NON-OVERLAPPING neighbor (exclusion zone |i−j| ≥ 6); the window
+    whose nearest neighbor is farthest is the discord — the most
+    anomalous stretch of months. Subsequences come off lead()
+    windows over the bounded month table, pair distances are exact
+    HUGEINT/DECIMAL(38,0) squares over the ≤|months|² bounded pair
+    join, and the only double appears at output (scale-0 int→double,
+    one identical rounding in both engines). The discord flag
+    compares EXACT integers. At 100 TB the monthly table is still
+    ≤ |calendar| rows — the fact scan is the only data-sized pass."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    monthly = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month")
+    ).agg(
+        F.sum(
+            F.expr("CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT)")
+        )
+        .cast("bigint")
+        .alias("rev")
+    )
+    wi = Window.orderBy("month")
+    idx = monthly.select(
+        "month", "rev", F.row_number().over(wi).alias("i")
+    )
+    wl = Window.orderBy("i")
+    win = idx.select(
+        "i",
+        "month",
+        F.col("rev").alias("v0"),
+        *[F.lead("rev", t).over(wl).alias(f"v{t}") for t in range(1, 6)],
+    )
+    # bounded (≤|months| rows) multi-consumer table: both pair sides +
+    # the output join — pinned eagerly so the fact scan runs once
+    w = win.where(F.col("v5").isNotNull()).localCheckpoint(eager=True)
+    d2_expr = " + ".join(
+        f"CAST(a.v{t} - b.v{t} AS DECIMAL(38,0)) * (a.v{t} - b.v{t})"
+        for t in range(6)
+    )
+    dist = (
+        w.alias("a")
+        .join(F.broadcast(w.alias("b")), F.expr("a.i + 6 <= b.i"))
+        .selectExpr("a.i AS ia", "b.i AS ib", f"{d2_expr} AS d2")
+    )
+    both_dir = dist.selectExpr(
+        "explode(array(struct(ia AS i, d2 AS d2),"
+        " struct(ib AS i, d2 AS d2))) AS e"
+    ).select("e.i", "e.d2")
+    prof = both_dir.groupBy("i").agg(F.min("d2").alias("p"))
+    w_max = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        prof.withColumn("pmax", F.max("p").over(w_max))
+        .join(w.select("i", "month"), "i")
+        .selectExpr(
+            "i AS win_start",
+            "month",
+            "CAST(p AS DOUBLE) AS profile_dist2",
+            "p = pmax AS is_discord",
+        )
+    )
+
+
+@register(
+    "mantel_haenszel_qty_returns",
+    """
+    WITH strata AS MATERIALIZED (
+      SELECT substr(o.o_orderpriority, 1, 1) AS pr,
+             CAST(count_if(l.l_quantity > 25 AND l.l_returnflag = 'R')
+                  AS BIGINT) AS a,
+             CAST(count_if(l.l_quantity > 25 AND l.l_returnflag <> 'R')
+                  AS BIGINT) AS b,
+             CAST(count_if(l.l_quantity <= 25 AND l.l_returnflag = 'R')
+                  AS BIGINT) AS c,
+             CAST(count_if(l.l_quantity <= 25 AND l.l_returnflag <> 'R')
+                  AS BIGINT) AS d
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1
+    ), scaled AS MATERIALIZED (
+      SELECT pr, a, b, c, d,
+             (a::HUGEINT * d * 1000000) // (a + b + c + d) AS ad_n,
+             (b::HUGEINT * c * 1000000) // (a + b + c + d) AS bc_n
+      FROM strata
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+           CAST(SUM(ad_n) AS BIGINT) AS sum_ad_scaled,
+           CAST(SUM(bc_n) AS BIGINT) AS sum_bc_scaled,
+           CASE WHEN SUM(bc_n) > 0 THEN
+             CAST((SUM(ad_n) * 1000000) // SUM(bc_n) AS BIGINT)
+           END AS mh_or_ppm,
+           CASE WHEN SUM(b::HUGEINT * c) > 0 THEN
+             CAST((SUM(a::HUGEINT * d) * 1000000) // SUM(b::HUGEINT * c)
+                  AS BIGINT)
+           END AS pooled_or_ppm
+    FROM scaled
+    """,
+)
+def mantel_haenszel_qty_returns_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mantel-Haenszel common odds ratio (Mantel & Haenszel 1959)
+    for "high quantity → return" stratified by order priority — the
+    confounder-adjusted 2×2 pooling that Simpson's paradox breaks
+    naive pooling on (the pooled OR is emitted alongside for the
+    contrast). Per-stratum terms a·d/n and b·c/n are each ONE
+    truncating division at ppm scale (a defined, documented variant:
+    per-stratum floor error ≤ 10⁻⁶ relative, identical in both
+    engines), summed exactly; the final ratio is one more truncating
+    division. One fact-table pass to the 5-row strata table; all
+    arithmetic DECIMAL(38,0)/HUGEINT."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    strata = (
+        li.select("l_orderkey", "l_quantity", "l_returnflag")
+        .join(
+            o.select("o_orderkey", "o_orderpriority"),
+            li["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .groupBy(F.substring("o_orderpriority", 1, 1).alias("pr"))
+        .agg(
+            F.count_if(
+                (F.col("l_quantity") > 25) & (F.col("l_returnflag") == "R")
+            ).cast("bigint").alias("a"),
+            F.count_if(
+                (F.col("l_quantity") > 25) & (F.col("l_returnflag") != "R")
+            ).cast("bigint").alias("b"),
+            F.count_if(
+                (F.col("l_quantity") <= 25) & (F.col("l_returnflag") == "R")
+            ).cast("bigint").alias("c"),
+            F.count_if(
+                (F.col("l_quantity") <= 25) & (F.col("l_returnflag") != "R")
+            ).cast("bigint").alias("d"),
+        )
+    )
+    scaled = strata.selectExpr(
+        "pr",
+        "a", "b", "c", "d",
+        "(CAST(a AS DECIMAL(38,0)) * d * 1000000) div (a + b + c + d) AS ad_n",
+        "(CAST(b AS DECIMAL(38,0)) * c * 1000000) div (a + b + c + d) AS bc_n",
+    )
+    return scaled.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_strata"),
+        F.sum("ad_n").cast("bigint").alias("sum_ad_scaled"),
+        F.sum("bc_n").cast("bigint").alias("sum_bc_scaled"),
+        F.expr(
+            "CASE WHEN SUM(bc_n) > 0 THEN"
+            " CAST((SUM(ad_n) * 1000000) div SUM(bc_n) AS BIGINT) END"
+        ).alias("mh_or_ppm"),
+        F.expr(
+            "CASE WHEN SUM(CAST(b AS DECIMAL(38,0)) * c) > 0 THEN"
+            " CAST((SUM(CAST(a AS DECIMAL(38,0)) * d) * 1000000)"
+            " div SUM(CAST(b AS DECIMAL(38,0)) * c) AS BIGINT) END"
+        ).alias("pooled_or_ppm"),
+    )
