@@ -18468,3 +18468,213 @@ def mantel_haenszel_qty_returns_q(spark: SparkSession, sf_dir: str) -> DataFrame
             " div SUM(CAST(b AS DECIMAL(38,0)) * c) AS BIGINT) END"
         ).alias("pooled_or_ppm"),
     )
+
+
+# =====================================================================
+# Round 9, wave 13: Cochran's Q, peak detection with prominence
+# =====================================================================
+
+_CQ_TYPES = ["view", "click", "purchase", "signup", "error"]
+_CQ_K = len(_CQ_TYPES)
+_CQ_T = ",\n             ".join(
+    f"CAST(SUM(x_{t}) AS BIGINT) AS t_{t}" for t in _CQ_TYPES
+)
+_CQ_SUMSQ = " + ".join(
+    f"({_CQ_K} * t_{t} - n_total) * ({_CQ_K} * t_{t} - n_total)"
+    for t in _CQ_TYPES
+)
+
+
+@register(
+    "cochran_q_event_types",
+    f"""
+    WITH u AS MATERIALIZED (
+      SELECT user_id,
+             {",".join(f"CASE WHEN count_if(event_type = '{t}') > 0 THEN 1 ELSE 0 END AS x_{t}" for t in _CQ_TYPES)}
+      FROM events GROUP BY 1
+    ), agg AS MATERIALIZED (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+             {_CQ_T},
+             CAST(SUM({" + ".join(f"x_{t}" for t in _CQ_TYPES)}) AS BIGINT)
+               AS su,
+             CAST(SUM(({" + ".join(f"x_{t}" for t in _CQ_TYPES)})
+                      * ({" + ".join(f"x_{t}" for t in _CQ_TYPES)}))
+                  AS BIGINT) AS su2
+      FROM u
+    )
+    SELECT n_users, {", ".join(f"t_{t}" for t in _CQ_TYPES)},
+           CASE WHEN {_CQ_K} * su - su2 > 0 THEN CAST(
+             (({_CQ_K} - 1) * (
+               {_CQ_SUMSQ.replace("n_total", f"({' + '.join(f't_{t}' for t in _CQ_TYPES)})")}
+             ) * 1000000)
+             // ({_CQ_K} * ({_CQ_K} * su - su2)) AS BIGINT)
+           END AS q_ppm
+    FROM agg
+    """,
+)
+def cochran_q_event_types_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q test (Cochran 1950) — the k-treatment
+    generalization of McNemar: do the five event types reach
+    DIFFERENT fractions of users, treating each user as their own
+    block of five binary outcomes?  With T_j = users reaching type j,
+    N = ΣT_j and U_i = types user i reached,
+
+        Q = (k−1)·Σ_j (k·T_j − N)² / (k·(k·ΣU_i − ΣU_i²))
+
+    — the k²-scaled centering keeps everything exact integer, one
+    ppm truncating division at the end. All-types and no-types users
+    drop out of the denominator by algebra, exactly as the statistic
+    requires. One user-keyed aggregation, one bounded fold; the type
+    list is the bounded known domain (conditional aggregation, never
+    a data-derived pivot)."""
+    ev = read_events(spark, sf_dir)
+    u = ev.groupBy("user_id").agg(
+        *[
+            F.when(F.count_if(F.col("event_type") == t) > 0, 1)
+            .otherwise(0)
+            .alias(f"x_{t}")
+            for t in _CQ_TYPES
+        ]
+    )
+    usum = " + ".join(f"x_{t}" for t in _CQ_TYPES)
+    agg = u.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        *[F.sum(f"x_{t}").cast("bigint").alias(f"t_{t}") for t in _CQ_TYPES],
+        F.sum(F.expr(usum)).cast("bigint").alias("su"),
+        F.sum(F.expr(f"({usum}) * ({usum})")).cast("bigint").alias("su2"),
+    )
+    ntot = "(" + " + ".join(f"t_{t}" for t in _CQ_TYPES) + ")"
+    sumsq = " + ".join(
+        f"({_CQ_K} * t_{t} - {ntot}) * ({_CQ_K} * t_{t} - {ntot})"
+        for t in _CQ_TYPES
+    )
+    return agg.selectExpr(
+        "n_users",
+        *[f"t_{t}" for t in _CQ_TYPES],
+        f"CASE WHEN {_CQ_K} * su - su2 > 0 THEN CAST("
+        f" (({_CQ_K} - 1) * ({sumsq}) * 1000000)"
+        f" div ({_CQ_K} * ({_CQ_K} * su - su2)) AS BIGINT)"
+        " END AS q_ppm",
+    )
+
+
+@register(
+    "peaks_monthly_revenue",
+    """
+    WITH monthly AS MATERIALIZED (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS rev
+      FROM orders GROUP BY 1
+    ), m AS MATERIALIZED (
+      SELECT month, rev, row_number() OVER (ORDER BY month) AS i FROM monthly
+    ), pk AS MATERIALIZED (
+      SELECT i, month, rev FROM (
+        SELECT *, lag(rev) OVER (ORDER BY i) AS pv,
+               lead(rev) OVER (ORDER BY i) AS nx
+        FROM m
+      ) WHERE pv IS NOT NULL AND nx IS NOT NULL AND rev > pv AND rev > nx
+    ), lh AS MATERIALIZED (
+      SELECT pk.i, MAX(m.i) AS lj FROM pk
+      JOIN m ON m.i < pk.i AND m.rev > pk.rev GROUP BY 1
+    ), rh AS MATERIALIZED (
+      SELECT pk.i, MIN(m.i) AS rj FROM pk
+      JOIN m ON m.i > pk.i AND m.rev > pk.rev GROUP BY 1
+    ), lb AS MATERIALIZED (
+      SELECT pk.i, MIN(m.rev) AS left_base
+      FROM pk LEFT JOIN lh ON lh.i = pk.i
+      JOIN m ON m.i >= COALESCE(lh.lj + 1, 1) AND m.i < pk.i
+      GROUP BY 1
+    ), rb AS MATERIALIZED (
+      SELECT pk.i, MIN(m.rev) AS right_base
+      FROM pk LEFT JOIN rh ON rh.i = pk.i
+      JOIN m ON m.i <= COALESCE(rh.rj - 1, 2147483647) AND m.i > pk.i
+      GROUP BY 1
+    )
+    SELECT pk.month, pk.rev AS rev_cents,
+           CAST(pk.rev - greatest(lb.left_base, rb.right_base) AS BIGINT)
+             AS prominence_cents
+    FROM pk JOIN lb ON lb.i = pk.i JOIN rb ON rb.i = pk.i
+    """,
+)
+def peaks_monthly_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak detection with topographic prominence (the scipy
+    find_peaks/peak_prominences semantics): strict local maxima of
+    monthly revenue, each scored by how far it rises above the higher
+    of its two key saddles — the min of the series between the peak
+    and the nearest STRICTLY higher point on each side (whole side
+    when no higher point exists). Prominence separates real seasonal
+    peaks from ripples in a way raw height can't. Exact integer
+    cents; every join and window runs over the bounded pinned month
+    table (≤|calendar|² pairs), the fact scan once."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    monthly = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month")
+    ).agg(
+        F.sum(
+            F.expr("CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT)")
+        )
+        .cast("bigint")
+        .alias("rev")
+    )
+    wi = Window.orderBy("month")
+    # bounded month table with index: five consumers (peaks + two
+    # higher-scans + two base-scans) — pinned eagerly
+    m = monthly.select(
+        "month", "rev", F.row_number().over(wi).alias("i")
+    ).localCheckpoint(eager=True)
+    wl = Window.orderBy("i")
+    pk = (
+        m.withColumn("pv", F.lag("rev").over(wl))
+        .withColumn("nx", F.lead("rev").over(wl))
+        .where(
+            F.col("pv").isNotNull()
+            & F.col("nx").isNotNull()
+            & (F.col("rev") > F.col("pv"))
+            & (F.col("rev") > F.col("nx"))
+        )
+        .select("i", "month", "rev")
+        .localCheckpoint(eager=True)
+    )
+    lh = (
+        pk.alias("p")
+        .join(F.broadcast(m.alias("q")), F.expr("q.i < p.i AND q.rev > p.rev"))
+        .groupBy(F.col("p.i").alias("i"))
+        .agg(F.max("q.i").alias("lj"))
+    )
+    rh = (
+        pk.alias("p")
+        .join(F.broadcast(m.alias("q")), F.expr("q.i > p.i AND q.rev > p.rev"))
+        .groupBy(F.col("p.i").alias("i"))
+        .agg(F.min("q.i").alias("rj"))
+    )
+    lb = (
+        pk.alias("p")
+        .join(lh, "i", "left")
+        .join(
+            F.broadcast(m.alias("q")),
+            F.expr("q.i >= COALESCE(lj + 1, 1) AND q.i < p.i"),
+        )
+        .groupBy(F.col("p.i").alias("i"))
+        .agg(F.min("q.rev").alias("left_base"))
+    )
+    rb = (
+        pk.alias("p")
+        .join(rh, "i", "left")
+        .join(
+            F.broadcast(m.alias("q")),
+            F.expr("q.i <= COALESCE(rj - 1, 2147483647) AND q.i > p.i"),
+        )
+        .groupBy(F.col("p.i").alias("i"))
+        .agg(F.min("q.rev").alias("right_base"))
+    )
+    return (
+        pk.join(lb, "i")
+        .join(rb, "i")
+        .selectExpr(
+            "month",
+            "rev AS rev_cents",
+            "CAST(rev - greatest(left_base, right_base) AS BIGINT)"
+            " AS prominence_cents",
+        )
+    )
