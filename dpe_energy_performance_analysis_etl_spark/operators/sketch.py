@@ -421,3 +421,106 @@ def cms_inner_product(s1: DataFrame, s2: DataFrame) -> DataFrame:
     return per_row.agg(
         F.coalesce(F.min("dot"), F.lit(0)).cast("bigint").alias("est")
     )
+
+
+def kmv_pairwise_setops(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Pairwise KMV set-operation estimates between groups (Beyer et
+    al., SIGMOD 2007): per group, the k smallest distinct item
+    hashes; per group PAIR, the union estimate off the MERGED k-min
+    sketch, the Jaccard estimate (fraction of the merged k-min
+    present in BOTH sketches — valid because the union's k-th
+    smallest is ≤ either side's, so membership is decidable from the
+    sketches alone), and the intersection estimate jaccard × union.
+    The workhorse for "how much does corpus A overlap corpus B"
+    without touching either corpus twice.
+
+    Scale shape: one distinct-shuffle to (group, hash); per-group
+    k-th-smallest THRESHOLDS via grouped_kth_smallest's
+    range-partition recipe (k_of_n = least(n, k) — no data-sized
+    PARTITION BY window, no NULL branch); one broadcast threshold
+    join cuts the sketches to ≤ k rows per group, pinned eagerly
+    (they feed per-group estimates AND every pair). Pair algebra
+    runs over ≤ |groups|²·2k bounded rows. Estimates follow
+    kmv_estimate: exact below k, else (k−1)·M/h_k — one double
+    division.
+
+    Returns (src_a, src_b, est_a, est_b, est_union, jaccard_ppm,
+    est_intersection), one row per unordered group pair.
+    """
+    from pyspark.sql import Window
+
+    from dpe_energy_performance_analysis_etl_spark.operators.quantiles import (
+        grouped_kth_smallest,
+    )
+
+    hashes = df.select(
+        F.col(group_col).alias("g"),
+        _raw_rolling_hash(F.rpad(F.col(item_col), KMV_PAD, "#")).alias("h"),
+    ).distinct()
+    th = grouped_kth_smallest(hashes, "g", "h", k_of_n=f"least(n, {k})")
+    sk = (
+        hashes.join(
+            F.broadcast(th.select("g", F.col("kth_value").alias("_thr"))), "g"
+        )
+        .where(F.col("h") <= F.col("_thr"))
+        .select("g", "h")
+        .localCheckpoint(eager=True)  # feeds per-group ests + all pairs
+    )
+    est = sk.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("held"),
+        F.max("h").alias("hk"),
+    )
+    big_m = float(k - 1) * float(KMV_MOD)
+    est = est.select(
+        "g",
+        F.when(F.col("held") < k, F.col("held").cast("double"))
+        .otherwise(F.lit(big_m) / F.col("hk").cast("double"))
+        .alias("est"),
+    ).localCheckpoint(eager=True)  # |groups| rows; feeds pairs + 2 joins
+    srcs = est.select("g")
+    pairs = (
+        srcs.alias("a")
+        .join(F.broadcast(srcs.alias("b")), F.expr("a.g < b.g"))
+        .selectExpr("a.g AS ga", "b.g AS gb")
+    )
+    sides = pairs.selectExpr(
+        "explode(array(struct(ga AS ga, gb AS gb, ga AS g),"
+        " struct(ga AS ga, gb AS gb, gb AS g))) AS e"
+    ).select("e.ga", "e.gb", "e.g")
+    ph = (
+        sides.join(sk, "g")
+        .groupBy("ga", "gb", "h")
+        .agg(F.count(F.lit(1)).alias("n_sides"))
+    )
+    w_pair = Window.partitionBy("ga", "gb").orderBy("h")
+    pr = ph.withColumn("pos", F.row_number().over(w_pair)).where(
+        F.col("pos") <= k
+    )
+    um = pr.groupBy("ga", "gb").agg(
+        F.count(F.lit(1)).cast("bigint").alias("u_held"),
+        F.max("h").alias("hu_k"),
+        F.count_if(F.col("n_sides") == 2).cast("bigint").alias("n_both"),
+    )
+    return (
+        um.join(F.broadcast(est.selectExpr("g AS ga", "est AS est_a")), "ga")
+        .join(F.broadcast(est.selectExpr("g AS gb", "est AS est_b")), "gb")
+        .selectExpr(
+            "ga AS src_a",
+            "gb AS src_b",
+            "est_a",
+            "est_b",
+            f"CASE WHEN u_held < {k} THEN CAST(u_held AS DOUBLE)"
+            f" ELSE CAST({big_m!r} AS DOUBLE) / CAST(hu_k AS DOUBLE)"
+            " END AS est_union",
+            "CAST((n_both * 1000000) div u_held AS BIGINT) AS jaccard_ppm",
+            "CAST(n_both AS DOUBLE) / u_held *"
+            f" (CASE WHEN u_held < {k} THEN CAST(u_held AS DOUBLE)"
+            f"  ELSE CAST({big_m!r} AS DOUBLE) / CAST(hu_k AS DOUBLE) END)"
+            " AS est_intersection",
+        )
+    )

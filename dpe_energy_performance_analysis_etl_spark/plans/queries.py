@@ -18678,3 +18678,88 @@ def peaks_monthly_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS prominence_cents",
         )
     )
+
+
+# =====================================================================
+# Round 9, wave 14: KMV pairwise set-operation estimates
+# =====================================================================
+
+_KMV_HASH = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT),"
+    " list_transform(regexp_extract_all(rpad(term, 16, '#'), '.'),"
+    " c -> CAST(ascii(c) AS BIGINT))),"
+    " (acc, x) -> (acc * 131 + x) % 1000000000000000)"
+)
+_KMV_EST = (
+    "CASE WHEN {held} < 64 THEN CAST({held} AS DOUBLE)"
+    " ELSE CAST(6.3e+16 AS DOUBLE) / CAST({hk} AS DOUBLE) END"
+)
+
+
+@register(
+    "kmv_source_overlap",
+    f"""
+    WITH tok AS MATERIALIZED (
+      SELECT DISTINCT source AS g,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      FROM documents
+    ), h AS MATERIALIZED (
+      SELECT DISTINCT g, {_KMV_HASH} AS h FROM tok
+    ), sk AS MATERIALIZED (
+      SELECT g, h FROM (
+        SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS pos
+        FROM h
+      ) WHERE pos <= 64
+    ), est AS MATERIALIZED (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS held, MAX(h) AS hk
+      FROM sk GROUP BY 1
+    ), srcs AS MATERIALIZED (
+      SELECT DISTINCT g FROM sk
+    ), pairs AS MATERIALIZED (
+      SELECT a.g AS ga, b.g AS gb FROM srcs a JOIN srcs b ON a.g < b.g
+    ), ph AS MATERIALIZED (
+      SELECT p.ga, p.gb, s.h, COUNT(*) AS n_sides
+      FROM pairs p JOIN sk s ON s.g = p.ga OR s.g = p.gb
+      GROUP BY 1, 2, 3
+    ), um AS MATERIALIZED (
+      SELECT ga, gb, CAST(COUNT(*) AS BIGINT) AS u_held, MAX(h) AS hu_k,
+             CAST(count_if(n_sides = 2) AS BIGINT) AS n_both
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS pos
+        FROM ph
+      ) WHERE pos <= 64 GROUP BY 1, 2
+    )
+    SELECT um.ga AS src_a, um.gb AS src_b,
+           {_KMV_EST.format(held="ea.held", hk="ea.hk")} AS est_a,
+           {_KMV_EST.format(held="eb.held", hk="eb.hk")} AS est_b,
+           {_KMV_EST.format(held="um.u_held", hk="um.hu_k")} AS est_union,
+           CAST((um.n_both * 1000000) // um.u_held AS BIGINT) AS jaccard_ppm,
+           CAST(um.n_both AS DOUBLE) / um.u_held *
+             ({_KMV_EST.format(held="um.u_held", hk="um.hu_k")})
+             AS est_intersection
+    FROM um JOIN est ea ON ea.g = um.ga JOIN est eb ON eb.g = um.gb
+    """,
+)
+def kmv_source_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise corpus-overlap estimates between document sources
+    (operators/sketch.py kmv_pairwise_setops — Beyer et al., SIGMOD
+    2007): per source a 64-min-hash KMV vocabulary sketch, per source
+    pair the union / Jaccard / intersection estimates computed from
+    the sketches ALONE — the planning query for "is corpus B worth
+    adding or is it a rehash of A" at 100 TB, where the exact answer
+    needs a full vocabulary join. Thresholds ride the
+    grouped_kth_smallest range-partition recipe (the oracle's
+    PARTITION BY window is the sf0.01 shortcut); sketches pin at
+    ≤ 64·|sources| rows and every pair op is bounded-table algebra.
+    Same rolling hash and estimator as kmv_distinct_tokens — exact
+    below k, one double division above."""
+    from dpe_energy_performance_analysis_etl_spark.operators.sketch import (
+        kmv_pairwise_setops,
+    )
+    from dpe_energy_performance_analysis_etl_spark.text.analysis import tokens_expr
+
+    docs = read_documents(spark, sf_dir)
+    items = docs.select(
+        F.col("source"), F.explode(tokens_expr("text")).alias("term")
+    )
+    return kmv_pairwise_setops(items, "source", "term", k=64)

@@ -61,6 +61,12 @@ EXPECTED_MULTISTAGE = {
     # reflects breadth over tiny tables, not fact-table passes.
     # 2.5 s total at sf0.1 incl. the build-time pin.
     "morans_i_balance_grid": "pinned bounded cell grid feeds centering + 3 consumers; all post-pin exchanges are over ≤10k rows",
+    # round-9 wave 14: per-source sketches (≤ 64·|sources| rows) and
+    # the |sources|-row estimate table are both pinned eagerly; the
+    # static print re-expands the distinct+threshold recipe per
+    # consumer. Runtime 7 exchanges / 10.2 s at sf0.1 (the data-sized
+    # cost is the one token-distinct pass at sketch build).
+    "kmv_source_overlap": "pinned sketch + estimate tables feed all pair algebra; 7 exchanges at runtime",
     # round-8 additions: static prints re-expand shared subtrees that
     # are pinned (localCheckpoint), cached, or recompute only bounded
     # aggregates at runtime — each audited individually

@@ -113,6 +113,17 @@ QUERIES_TO_SCALE = [
     "copeland_brand_duels",
     "gini_stump_qty_returns",
     "mcnemar_repeat_purchase",
+    # round-9 waves 11-13
+    "hl_pseudomedian_revenue",
+    "cvm_urgency_status",
+    "morans_i_balance_grid",
+    "friedman_nation_priority",
+    "matrix_profile_discord_revenue",
+    "mantel_haenszel_qty_returns",
+    "cochran_q_event_types",
+    "peaks_monthly_revenue",
+    # round-9 wave 14
+    "kmv_source_overlap",
     # round-8 waves 4-6
     "dau_mau_stickiness_events",
     "zorder_locality_customers",
