@@ -153,6 +153,7 @@ FAMILY_GROUPS: dict[str, list[str]] = {
         "kmv_distinct_tokens", "kmv_overlap_docs", "hll_distinct_orders",
         "ams_f2_tokens", "heavy_hitters_tokens", "decayed_heavy_users",
         "iblt_set_reconcile", "histogram_quantiles_price",
+        "kmv_source_overlap",
     ],
     "sharding": [
         "epoch_shard_assign", "rendezvous_shard_moves", "ring_shard_moves",
@@ -173,13 +174,19 @@ FAMILY_GROUPS: dict[str, list[str]] = {
         "weighted_median_price_brand", "cumulative_gains_priority",
         "trimmed_mean_price_brand",
         "grouped_stats_udaf", "pandas_udf_parity",
+        # round-9 waves 9-13
+        "jonckheere_u_status_priority", "spearman_qty_price_brands",
+        "mcnemar_repeat_purchase", "hl_pseudomedian_revenue",
+        "cvm_urgency_status", "friedman_nation_priority",
+        "mantel_haenszel_qty_returns", "cochran_q_event_types",
     ],
     "ml": [
         "als_rank1_factors", "isotonic_urgent_rate", "naive_bayes_status_gate",
-        "decision_stump_totalprice", "ransac_line_custkeys",
+        "decision_stump_totalprice", "gini_stump_qty_returns", "ransac_line_custkeys",
         "principal_direction_power", "bradley_terry_events",
         "target_encode_loo_acctbal", "feature_hash_customers",
         "theil_sen_spend_trend", "quadratic_trend_nations", "jenks_breaks_totalprice",
+        "copeland_brand_duels",
         "basket_cooccurrence_lift", "apriori_triples_brands",
         "ips_policy_value_events",
     ],
@@ -189,13 +196,15 @@ FAMILY_GROUPS: dict[str, list[str]] = {
         "moving_zscore_anomalies", "dtw_user_value_series", "emd_price_drift",
         "seasonal_decompose_revenue", "rolling_corr_revenue_qty", "croston_intermittent_parts",
         "seasonal_outliers_revenue",
+        "rsi_monthly_revenue", "matrix_profile_discord_revenue",
+        "peaks_monthly_revenue",
     ],
     "survival": [
         "kaplan_meier_orders", "nelson_aalen_orders", "logrank_orders",
     ],
     "spatial": [
         "spatial_radius_join", "geohash_cells_customers",
-        "point_in_polygon_tags",
+        "point_in_polygon_tags", "morans_i_balance_grid",
     ],
     "diff-scd-cdc": [
         "scd2_customer_segments", "cdc_apply_changelog",
