@@ -104,6 +104,13 @@ HEADLINE = [
     "ks_test_status_priority",
     "lis_order_values_customers",
     "good_turing_docs",
+    # round-9 wave 9-14 additions: the two-sided rank-recipe Spearman
+    # (thrice-consumed cheap feed), the basket-array pairwise duels
+    # (lineitem x orders shuffle + row-local pair explode), and the
+    # grouped KMV sketch build + all-pairs set algebra
+    "spearman_qty_price_brands",
+    "copeland_brand_duels",
+    "kmv_source_overlap",
 ]
 
 

@@ -436,8 +436,11 @@ def kmv_pairwise_setops(
     present in BOTH sketches — valid because the union's k-th
     smallest is ≤ either side's, so membership is decidable from the
     sketches alone), and the intersection estimate jaccard × union.
-    The workhorse for "how much does corpus A overlap corpus B"
-    without touching either corpus twice.
+    The N-group all-pairs generalization of :func:`kmv_set_ops` (two
+    fixed corpora): sketches build once per GROUP via the grouped
+    threshold recipe, then |groups|·(|groups|−1)/2 pair estimates
+    come out of bounded-table algebra — "how much does each corpus
+    overlap each other corpus" without touching any corpus twice.
 
     Scale shape: one distinct-shuffle to (group, hash); per-group
     k-th-smallest THRESHOLDS via grouped_kth_smallest's

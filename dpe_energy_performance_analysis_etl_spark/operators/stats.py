@@ -2176,3 +2176,63 @@ def cramer_von_mises_2samp(
         " div (CAST(n1 AS DECIMAL(38,0)) * n2)"
         " AS BIGINT) END AS cvm_ppm",
     )
+
+
+def mood_dispersion_2samp(
+    df,
+    group_col: str,
+    flag_col: str,
+    value_col: str,
+):
+    """Mood's squared-rank dispersion test per group (Mood 1954, the
+    mid-rank tie convention): does sample 1 (``flag_col`` true) SPREAD
+    differently from sample 2, locations aside? Each value scores its
+    squared centered rank — with doubled mid-ranks mr2 the score
+    (mr2 − (N+1))² is an exact integer — and the expanded square
+
+        Σ c·(mr2 − (N+1))²  =  Σ c·mr2² − 2(N+1)·Σ c·mr2 + (N+1)²·n
+
+    folds sample sizes and both score sums into ONE pass over the
+    (group, value) tier table. The output is the dispersion SHARE:
+    mood_ppm = sample 1's score mass over the total vs its null
+    expectation n1/N — both single truncating ppm divisions, no
+    float anywhere. Bounds: 4N³ < 10³⁸ per group (DECIMAL(38,0)).
+
+    Prefixes ride the grouped_running_totals range-partition recipe.
+    Returns (group, n1, n2, mood_ppm, expect_ppm); NULL mood_ppm
+    when the total score mass is zero (all values equal).
+    """
+    from pyspark.sql import functions as F
+
+    from dpe_energy_performance_analysis_etl_spark.operators.quantiles import (
+        grouped_running_totals,
+    )
+
+    tiers = df.groupBy(
+        F.col(group_col).alias("g"), F.col(value_col).alias("v")
+    ).agg(
+        F.count_if(F.col(flag_col)).cast("bigint").alias("c1"),
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+    )
+    pre = grouped_running_totals(tiers, "g", "v", ["c"])
+    mr = pre.selectExpr(
+        "g", "c1", "c", "2 * c_before + c + 1 AS mr2"
+    )
+    agg = mr.groupBy("g").agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.expr("CAST(c1 AS DECIMAL(38,0)) * mr2 * mr2")).alias("s1a"),
+        F.sum(F.expr("CAST(c1 AS DECIMAL(38,0)) * mr2")).alias("s1b"),
+        F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * mr2 * mr2")).alias("sta"),
+        F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * mr2")).alias("stb"),
+    )
+    m1 = "(s1a - 2 * (n + 1) * s1b + CAST(n + 1 AS DECIMAL(38,0)) * (n + 1) * n1)"
+    mt = "(sta - 2 * (n + 1) * stb + CAST(n + 1 AS DECIMAL(38,0)) * (n + 1) * n)"
+    return agg.selectExpr(
+        f"g AS {group_col}",
+        "n1",
+        "CAST(n - n1 AS BIGINT) AS n2",
+        f"CASE WHEN {mt} > 0 THEN CAST(({m1} * 1000000) div {mt} AS BIGINT)"
+        " END AS mood_ppm",
+        "CAST((n1 * 1000000) div n AS BIGINT) AS expect_ppm",
+    )

@@ -18763,3 +18763,584 @@ def kmv_source_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("source"), F.explode(tokens_expr("text")).alias("term")
     )
     return kmv_pairwise_setops(items, "source", "term", k=64)
+
+
+# =====================================================================
+# Round 9, wave 15: Mood dispersion, Ljung-Box, Bowker symmetry
+# =====================================================================
+
+@register(
+    "mood_dispersion_urgency",
+    """
+    WITH tiers AS MATERIALIZED (
+      SELECT o_orderstatus AS g,
+             CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT) AS v,
+             CAST(count_if(o_orderpriority IN ('1-URGENT', '2-HIGH'))
+                  AS BIGINT) AS c1,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM orders GROUP BY 1, 2
+    ), mr AS MATERIALIZED (
+      SELECT g, c1, c,
+             2 * CAST(COALESCE(SUM(c) OVER (PARTITION BY g ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) + c + 1 AS mr2
+      FROM tiers
+    ), agg AS MATERIALIZED (
+      SELECT g, CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c) AS BIGINT) AS n,
+             SUM(c1::HUGEINT * mr2 * mr2) AS s1a,
+             SUM(c1::HUGEINT * mr2) AS s1b,
+             SUM(c::HUGEINT * mr2 * mr2) AS sta,
+             SUM(c::HUGEINT * mr2) AS stb
+      FROM mr GROUP BY 1
+    )
+    SELECT g AS o_orderstatus, n1, CAST(n - n1 AS BIGINT) AS n2,
+           CASE WHEN (sta - 2 * (n + 1) * stb
+                      + (n + 1)::HUGEINT * (n + 1) * n) > 0 THEN
+             CAST(((s1a - 2 * (n + 1) * s1b
+                    + (n + 1)::HUGEINT * (n + 1) * n1) * 1000000)
+                  // (sta - 2 * (n + 1) * stb
+                      + (n + 1)::HUGEINT * (n + 1) * n) AS BIGINT)
+           END AS mood_ppm,
+           CAST((n1 * 1000000) // n AS BIGINT) AS expect_ppm
+    FROM agg
+    """,
+)
+def mood_dispersion_urgency_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's squared-rank dispersion test per order status
+    (operators/stats.py mood_dispersion_2samp): do urgent orders'
+    values SPREAD differently from normal ones, location aside? The
+    scale-test sibling of cvm_urgency_status (which sees any
+    difference) and mann_whitney (which sees location): squared
+    centered doubled mid-ranks, expanded-square one-pass identity,
+    the urgent sample's score share vs its n1/N null expectation —
+    two ppm truncating divisions, zero floats. Prefixes ride the
+    grouped_running_totals range-partition recipe (the oracle's
+    PARTITION BY window is the sf0.01 shortcut)."""
+    from dpe_energy_performance_analysis_etl_spark.operators.stats import (
+        mood_dispersion_2samp,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    base = o.select(
+        F.col("o_orderstatus").alias("st"),
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("urgent"),
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT)"
+        ).alias("v"),
+    )
+    return mood_dispersion_2samp(base, "st", "urgent", "v").withColumnRenamed(
+        "st", "o_orderstatus"
+    )
+
+
+_LB_LAGS = list(range(1, 13))
+_LB_LEADS = ",\n             ".join(
+    f"lead(d, {k}) OVER (ORDER BY i) AS d{k}" for k in _LB_LAGS
+)
+_LB_CK = ",\n             ".join(
+    f"CAST(SUM(d * d{k}) AS HUGEINT) AS c{k}" for k in _LB_LAGS
+)
+_LB_STRUCTS = ", ".join(
+    f"struct({k} AS lag, c{k} AS ck)" for k in _LB_LAGS
+)
+_LB_LAG_UNION = "\n      UNION ALL ".join(
+    f"SELECT {k} AS lag, c{k} AS ck FROM mom" for k in _LB_LAGS
+)
+
+
+@register(
+    "ljung_box_revenue",
+    f"""
+    WITH monthly AS MATERIALIZED (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS rev
+      FROM orders GROUP BY 1
+    ), idx AS MATERIALIZED (
+      SELECT row_number() OVER (ORDER BY month) AS i, rev FROM monthly
+    ), tot AS MATERIALIZED (
+      SELECT CAST(COUNT(*) AS BIGINT) AS nm, CAST(SUM(rev) AS BIGINT) AS s
+      FROM idx
+    ), ctr AS MATERIALIZED (
+      SELECT i, (nm::HUGEINT * rev - s) AS d FROM idx, tot
+    ), led AS MATERIALIZED (
+      SELECT i, d,
+             {_LB_LEADS}
+      FROM ctr
+    ), mom AS MATERIALIZED (
+      SELECT CAST(SUM(d * d) AS HUGEINT) AS c0,
+             {_LB_CK}
+      FROM led
+    ), lagrows AS MATERIALIZED (
+      {_LB_LAG_UNION}
+    ), lags AS MATERIALIZED (
+      SELECT lagrows.lag, lagrows.ck, mom.c0, tot.nm FROM lagrows, mom, tot
+    ), rr AS MATERIALIZED (
+      SELECT lag, nm,
+             (CASE WHEN ck >= 0 THEN 1 ELSE -1 END)
+             * floor(CAST(abs(ck) AS DOUBLE) * 1000000e0
+                     / CAST(c0 AS DOUBLE)) AS r_ppm_raw,
+             (CAST(ck AS DOUBLE) / CAST(c0 AS DOUBLE))
+             * (CAST(ck AS DOUBLE) / CAST(c0 AS DOUBLE))
+             / CAST(nm - lag AS DOUBLE) AS term
+      FROM lags
+    )
+    SELECT lag, CAST(r_ppm_raw AS BIGINT) AS r_ppm,
+           CAST(floor(CAST(nm AS DOUBLE) * (nm + 2) * 1000e0
+                      * SUM(term) OVER (ORDER BY lag
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                AS BIGINT) AS q_milli
+    FROM rr
+    """,
+)
+def ljung_box_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau autocorrelation test on monthly revenue
+    (Ljung & Box, Biometrika 1978): per lag k = 1..12 the sample
+    autocorrelation r_k (ppm, exact-integer covariances via n-scaled
+    centering, sign factored out of the floor) and the cumulative
+    Q(k) = N(N+2)·Σ_{{j≤k}} r_j²/(N−j) — the "is this series white
+    noise" gate that should FIRE on seasonal revenue. Covariances
+    stay exact HUGEINT/DECIMAL(38,0); r and Q move to doubles only
+    through scale-0 int→double conversions and an identical
+    fixed-order windowed fold in both engines. Everything after the
+    one fact scan runs over the bounded month table."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    monthly = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month")
+    ).agg(
+        F.sum(
+            F.expr("CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT)")
+        )
+        .cast("bigint")
+        .alias("rev")
+    )
+    wi = Window.orderBy("month")
+    idx = monthly.select(
+        F.row_number().over(wi).alias("i"), "rev"
+    ).localCheckpoint(eager=True)  # feeds totals + centered leads
+    tot = idx.agg(
+        F.count(F.lit(1)).cast("bigint").alias("nm"),
+        F.sum("rev").cast("bigint").alias("s"),
+    )
+    ctr = idx.crossJoin(F.broadcast(tot)).selectExpr(
+        "i", "nm", "CAST(nm * rev - s AS DECIMAL(38,0)) AS d"
+    )
+    wl = Window.orderBy("i")
+    led = ctr.select(
+        "nm",
+        "d",
+        *[F.lead("d", k).over(wl).alias(f"d{k}") for k in _LB_LAGS],
+    )
+    mom = led.agg(
+        F.max("nm").alias("nm"),
+        F.sum(F.expr("d * d")).alias("c0"),
+        *[F.sum(F.expr(f"d * d{k}")).alias(f"c{k}") for k in _LB_LAGS],
+    )
+    lags = mom.selectExpr(
+        "nm", "c0", f"explode(array({_LB_STRUCTS})) AS e"
+    ).select("nm", "c0", "e.lag", "e.ck")
+    rr = lags.selectExpr(
+        "lag",
+        "nm",
+        "(CASE WHEN ck >= 0 THEN 1 ELSE -1 END)"
+        " * floor(CAST(abs(ck) AS DOUBLE) * 1000000e0"
+        "         / CAST(c0 AS DOUBLE)) AS r_ppm_raw",
+        "(CAST(ck AS DOUBLE) / CAST(c0 AS DOUBLE))"
+        " * (CAST(ck AS DOUBLE) / CAST(c0 AS DOUBLE))"
+        " / CAST(nm - lag AS DOUBLE) AS term",
+    )
+    wq = Window.orderBy("lag").rowsBetween(Window.unboundedPreceding, 0)
+    return rr.select(
+        "lag",
+        F.expr("CAST(r_ppm_raw AS BIGINT)").alias("r_ppm"),
+        F.floor(
+            F.expr("CAST(nm AS DOUBLE) * (nm + 2) * 1000e0")
+            * F.sum("term").over(wq)
+        )
+        .cast("bigint")
+        .alias("q_milli"),
+    )
+
+
+_BW_TYPES = ["click", "error", "purchase", "signup", "view"]
+_BW_CELLS = ",\n             ".join(
+    f"CAST(count_if(prev_type = '{a}' AND next_type = '{b}') AS BIGINT)"
+    f" AS n_{i}_{j}"
+    for i, a in enumerate(_BW_TYPES)
+    for j, b in enumerate(_BW_TYPES)
+    if i != j
+)
+_BW_UNION = "\n    UNION ALL\n".join(
+    f"""    SELECT '{_BW_TYPES[i]}' AS t_lo, '{_BW_TYPES[j]}' AS t_hi,
+           n_{i}_{j} AS n_lo_hi, n_{j}_{i} AS n_hi_lo,
+           CASE WHEN n_{i}_{j} + n_{j}_{i} > 0 THEN
+             CAST(((n_{i}_{j} - n_{j}_{i}) * (n_{i}_{j} - n_{j}_{i})
+                   * 1000000) // (n_{i}_{j} + n_{j}_{i}) AS BIGINT)
+           END AS chi2_ppm FROM cells"""
+    for i in range(5)
+    for j in range(5)
+    if i < j
+)
+
+
+@register(
+    "bowker_symmetry_events",
+    f"""
+    WITH ordered AS MATERIALIZED (
+      SELECT user_id, event_type AS next_type,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), cells AS MATERIALIZED (
+      SELECT {_BW_CELLS}
+      FROM ordered WHERE prev_type IS NOT NULL
+    )
+{_BW_UNION}
+    """,
+)
+def bowker_symmetry_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bowker's symmetry test (Bowker, JASA 1948) on the event
+    transition matrix — the k×k generalization of McNemar: for every
+    unordered type pair, is traffic i→j balanced against j→i? Each
+    pair contributes (n_ij − n_ji)²/(n_ij + n_ji), emitted ppm-scaled
+    per pair (sum the column for the full statistic, df = pairs with
+    discordant traffic). The 20 off-diagonal cells come out of ONE
+    conditional aggregation over the lag-window pair stream (the
+    bounded known type domain — no data-derived pivot), and the 10
+    pair rows off one explode."""
+    ev = read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        F.col("event_type").alias("next_type"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).where(F.col("prev_type").isNotNull())
+    cells = ordered.agg(
+        *[
+            F.count_if(
+                (F.col("prev_type") == a) & (F.col("next_type") == b)
+            )
+            .cast("bigint")
+            .alias(f"n_{i}_{j}")
+            for i, a in enumerate(_BW_TYPES)
+            for j, b in enumerate(_BW_TYPES)
+            if i != j
+        ]
+    )
+    pair_structs = ", ".join(
+        f"struct('{_BW_TYPES[i]}' AS t_lo, '{_BW_TYPES[j]}' AS t_hi,"
+        f" n_{i}_{j} AS n_lo_hi, n_{j}_{i} AS n_hi_lo,"
+        f" CASE WHEN n_{i}_{j} + n_{j}_{i} > 0 THEN"
+        f" CAST(((n_{i}_{j} - n_{j}_{i}) * (n_{i}_{j} - n_{j}_{i})"
+        f" * 1000000) div (n_{i}_{j} + n_{j}_{i}) AS BIGINT)"
+        f" END AS chi2_ppm)"
+        for i in range(5)
+        for j in range(5)
+        if i < j
+    )
+    return cells.selectExpr(f"explode(array({pair_structs})) AS e").select(
+        "e.t_lo", "e.t_hi", "e.n_lo_hi", "e.n_hi_lo", "e.chi2_ppm"
+    )
+
+
+# =====================================================================
+# Round 9, wave 16: rich-club coefficient, runs test, turning points
+# =====================================================================
+
+_RC_KS = [2, 4, 8, 16]
+_RC_N = ",\n             ".join(
+    f"CAST(count_if(d > {k}) AS BIGINT) AS n{k}" for k in _RC_KS
+)
+_RC_E = ",\n             ".join(
+    f"CAST(count_if(da > {k} AND db > {k}) AS BIGINT) AS e{k}" for k in _RC_KS
+)
+_RC_UNION = "\n    UNION ALL\n".join(
+    f"""    SELECT {k} AS k_min_degree, n{k} AS n_nodes, e{k} AS n_edges,
+           CASE WHEN n{k} >= 2 THEN
+             CAST((2 * e{k} * 1000000) // (n{k} * (n{k} - 1)) AS BIGINT)
+           END AS phi_ppm FROM nn, ee"""
+    for k in _RC_KS
+)
+
+
+@register(
+    "rich_club_parts",
+    f"""
+    WITH co AS (
+      SELECT x.l_partkey AS a, y.l_partkey AS b, COUNT(*) AS n
+      FROM lineitem x JOIN lineitem y
+        ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+      GROUP BY 1, 2
+    ), e AS MATERIALIZED (
+      SELECT a, b FROM co WHERE n >= 2
+    ), adj AS MATERIALIZED (
+      SELECT a AS z FROM e UNION ALL SELECT b FROM e
+    ), deg AS MATERIALIZED (
+      SELECT z, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY 1
+    ), ed AS MATERIALIZED (
+      SELECT da.d AS da, db.d AS db
+      FROM e JOIN deg da ON da.z = e.a JOIN deg db ON db.z = e.b
+    ), nn AS MATERIALIZED (
+      SELECT {_RC_N} FROM deg
+    ), ee AS MATERIALIZED (
+      SELECT {_RC_E} FROM ed
+    )
+{_RC_UNION}
+    """,
+)
+def rich_club_parts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient (Zhou & Mondragón 2004) of the parts
+    co-occurrence graph: for each degree threshold k, the edge
+    density φ(k) = 2E_k / (N_k(N_k−1)) among nodes of degree > k —
+    do the hubs preferentially trade with each other? Same
+    support-≥2 canonical edge set as the other graph families; the
+    edge table pins eagerly (it feeds the degree aggregation AND the
+    density probe), degrees attach by two equi-joins, and ALL
+    thresholds come out of one conditional aggregation each over
+    edges and degrees — k is the bounded known list, one explode for
+    the output rows, one ppm division per row."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    lk = li.select("l_orderkey", "l_partkey")
+    e = (
+        lk.alias("x")
+        .join(
+            lk.alias("y"),
+            F.expr(
+                "x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey"
+            ),
+        )
+        .groupBy(
+            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 2)
+        .select("a", "b")
+        .localCheckpoint(eager=True)  # feeds degrees + the density probe
+    )
+    adj = e.selectExpr("explode(array(a, b)) AS z")
+    deg = (
+        adj.groupBy("z")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+        .localCheckpoint(eager=True)  # feeds two edge joins + node counts
+    )
+    ed = (
+        e.join(deg.selectExpr("z AS a", "d AS da"), "a")
+        .join(deg.selectExpr("z AS b", "d AS db"), "b")
+        .select("da", "db")
+    )
+    nn = deg.agg(
+        *[
+            F.count_if(F.col("d") > k).cast("bigint").alias(f"n{k}")
+            for k in _RC_KS
+        ]
+    )
+    ee = ed.agg(
+        *[
+            F.count_if((F.col("da") > k) & (F.col("db") > k))
+            .cast("bigint")
+            .alias(f"e{k}")
+            for k in _RC_KS
+        ]
+    )
+    structs = ", ".join(
+        f"struct({k} AS k_min_degree, n{k} AS n_nodes, e{k} AS n_edges,"
+        f" CASE WHEN n{k} >= 2 THEN"
+        f" CAST((2 * e{k} * 1000000) div (n{k} * (n{k} - 1)) AS BIGINT)"
+        f" END AS phi_ppm)"
+        for k in _RC_KS
+    )
+    return (
+        nn.crossJoin(F.broadcast(ee))
+        .selectExpr(f"explode(array({structs})) AS e")
+        .select("e.k_min_degree", "e.n_nodes", "e.n_edges", "e.phi_ppm")
+    )
+
+
+@register(
+    "runs_test_revenue_deltas",
+    """
+    WITH monthly AS MATERIALIZED (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS rev
+      FROM orders GROUP BY 1
+    ), d AS MATERIALIZED (
+      SELECT month,
+             CASE WHEN rev > lag(rev) OVER (ORDER BY month) THEN 1
+                  WHEN rev < lag(rev) OVER (ORDER BY month) THEN -1 END AS sg
+      FROM monthly
+    ), s AS MATERIALIZED (
+      SELECT sg, lag(sg) OVER (ORDER BY month) AS prev_sg
+      FROM d WHERE sg IS NOT NULL
+    ), agg AS MATERIALIZED (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(count_if(sg = 1) AS BIGINT) AS n_up,
+             CAST(count_if(sg = -1) AS BIGINT) AS n_down,
+             CAST(1 + count_if(prev_sg IS NOT NULL AND sg <> prev_sg)
+                  AS BIGINT) AS n_runs
+      FROM s
+    )
+    SELECT n AS n_deltas, n_up, n_down, n_runs,
+           CASE WHEN n > 0 THEN
+             CAST(1000 + (2000 * n_up * n_down) // n AS BIGINT)
+           END AS e_runs_milli,
+           CASE WHEN n > 1 AND 2 * n_up * n_down > n THEN CAST(
+             (CASE WHEN CAST(n_runs AS DOUBLE)
+                        >= 1e0 + 2e0 * n_up * n_down / n THEN 1 ELSE -1 END)
+             * floor(abs(CAST(n_runs AS DOUBLE)
+                         - (1e0 + 2e0 * n_up * n_down / n)) * 1000e0
+                     / sqrt(2e0 * n_up * n_down
+                            * (2e0 * n_up * n_down - n)
+                            / (CAST(n AS DOUBLE) * n * (n - 1))))
+           AS BIGINT) END AS z_milli
+    FROM agg
+    """,
+)
+def runs_test_revenue_deltas_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test (1940) on the SIGNS of month-over-
+    month revenue deltas: too few runs means momentum/trend, too many
+    means oscillation — the classic "is this sequence random"
+    diagnostic (flat months drop out, documented). Counts are exact
+    integers off two lag windows over the bounded month table;
+    E[R] = 1 + 2·n₊·n₋/n is emitted milli-scaled with one truncating
+    division, and z moves to doubles only through int→double
+    conversions and the IDENTICAL expression text in both engines
+    (sign factored out of the floor)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    monthly = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month")
+    ).agg(
+        F.sum(
+            F.expr("CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT)")
+        )
+        .cast("bigint")
+        .alias("rev")
+    )
+    wm = Window.orderBy("month")
+    d = monthly.select(
+        "month",
+        F.expr(
+            "CASE WHEN rev > lag(rev) OVER (ORDER BY month) THEN 1"
+            " WHEN rev < lag(rev) OVER (ORDER BY month) THEN -1 END"
+        ).alias("sg"),
+    )
+    s = d.where(F.col("sg").isNotNull()).select(
+        "sg", F.lag("sg").over(wm).alias("prev_sg")
+    )
+    agg = s.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count_if(F.col("sg") == 1).cast("bigint").alias("n_up"),
+        F.count_if(F.col("sg") == -1).cast("bigint").alias("n_down"),
+        (
+            1
+            + F.count_if(
+                F.col("prev_sg").isNotNull()
+                & (F.col("sg") != F.col("prev_sg"))
+            )
+        )
+        .cast("bigint")
+        .alias("n_runs"),
+    )
+    return agg.selectExpr(
+        "n AS n_deltas",
+        "n_up",
+        "n_down",
+        "n_runs",
+        "CASE WHEN n > 0 THEN"
+        " CAST(1000 + (2000 * n_up * n_down) div n AS BIGINT)"
+        " END AS e_runs_milli",
+        "CASE WHEN n > 1 AND 2 * n_up * n_down > n THEN CAST("
+        " (CASE WHEN CAST(n_runs AS DOUBLE)"
+        "            >= 1e0 + 2e0 * n_up * n_down / n THEN 1 ELSE -1 END)"
+        " * floor(abs(CAST(n_runs AS DOUBLE)"
+        "             - (1e0 + 2e0 * n_up * n_down / n)) * 1000e0"
+        "         / sqrt(2e0 * n_up * n_down"
+        "                * (2e0 * n_up * n_down - n)"
+        "                / (CAST(n AS DOUBLE) * n * (n - 1))))"
+        " AS BIGINT) END AS z_milli",
+    )
+
+
+@register(
+    "turning_points_revenue",
+    """
+    WITH monthly AS MATERIALIZED (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS rev
+      FROM orders GROUP BY 1
+    ), w AS MATERIALIZED (
+      SELECT rev,
+             lag(rev) OVER (ORDER BY month) AS pv,
+             lead(rev) OVER (ORDER BY month) AS nx
+      FROM monthly
+    ), agg AS MATERIALIZED (
+      SELECT CAST((SELECT COUNT(*) FROM monthly) AS BIGINT) AS n,
+             CAST(count_if(pv IS NOT NULL AND nx IS NOT NULL
+                           AND ((rev > pv AND rev > nx)
+                                OR (rev < pv AND rev < nx)))
+                  AS BIGINT) AS t
+      FROM w
+    )
+    SELECT n AS n_months, t AS turning_points,
+           CAST((2000 * (n - 2)) // 3 AS BIGINT) AS e_milli,
+           CASE WHEN 16 * n > 29 THEN CAST(
+             (CASE WHEN CAST(t AS DOUBLE) >= 2e0 * (n - 2) / 3e0
+                   THEN 1 ELSE -1 END)
+             * floor(abs(CAST(t AS DOUBLE) - 2e0 * (n - 2) / 3e0) * 1000e0
+                     / sqrt((16e0 * n - 29) / 90e0))
+           AS BIGINT) END AS z_milli
+    FROM agg
+    """,
+)
+def turning_points_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turning-point test of series randomness (Kendall's classic
+    diagnostic): count STRICT local extrema of monthly revenue and
+    compare to the i.i.d. expectation 2(n−2)/3 with variance
+    (16n−29)/90 — a trending or seasonal series turns too rarely or
+    too often. The count and expectation are exact integers (one
+    milli-scaled truncating division); z moves to doubles through
+    identical expression text in both engines, sign factored out of
+    the floor. Two windows over the bounded month table."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    monthly = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month")
+    ).agg(
+        F.sum(
+            F.expr("CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT)")
+        )
+        .cast("bigint")
+        .alias("rev")
+    ).localCheckpoint(eager=True)  # feeds the window scan + the count
+    wm = Window.orderBy("month")
+    w = monthly.select(
+        "rev",
+        F.lag("rev").over(wm).alias("pv"),
+        F.lead("rev").over(wm).alias("nx"),
+    )
+    nm = monthly.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    agg = (
+        w.agg(
+            F.count_if(
+                F.col("pv").isNotNull()
+                & F.col("nx").isNotNull()
+                & (
+                    ((F.col("rev") > F.col("pv")) & (F.col("rev") > F.col("nx")))
+                    | ((F.col("rev") < F.col("pv")) & (F.col("rev") < F.col("nx")))
+                )
+            )
+            .cast("bigint")
+            .alias("t")
+        )
+        .crossJoin(F.broadcast(nm))
+    )
+    return agg.selectExpr(
+        "n AS n_months",
+        "t AS turning_points",
+        "CAST((2000 * (n - 2)) div 3 AS BIGINT) AS e_milli",
+        "CASE WHEN 16 * n > 29 THEN CAST("
+        " (CASE WHEN CAST(t AS DOUBLE) >= 2e0 * (n - 2) / 3e0"
+        "       THEN 1 ELSE -1 END)"
+        " * floor(abs(CAST(t AS DOUBLE) - 2e0 * (n - 2) / 3e0) * 1000e0"
+        "         / sqrt((16e0 * n - 29) / 90e0))"
+        " AS BIGINT) END AS z_milli",
+    )

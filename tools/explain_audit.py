@@ -67,6 +67,11 @@ EXPECTED_MULTISTAGE = {
     # consumer. Runtime 7 exchanges / 10.2 s at sf0.1 (the data-sized
     # cost is the one token-distinct pass at sketch build).
     "kmv_source_overlap": "pinned sketch + estimate tables feed all pair algebra; 7 exchanges at runtime",
+    # round-9 wave 16: the canonical support-2 edge table and the
+    # degree table are both pinned (edge self-join runs once); the
+    # static print re-expands the co-occurrence join per consumer.
+    # Runtime 7 exchanges / 5.1 s at sf0.1.
+    "rich_club_parts": "pinned edge + degree tables feed density probe and threshold counts; 7 exchanges at runtime",
     # round-8 additions: static prints re-expand shared subtrees that
     # are pinned (localCheckpoint), cached, or recompute only bounded
     # aggregates at runtime — each audited individually

@@ -142,7 +142,7 @@ FAMILY_GROUPS: dict[str, list[str]] = {
         "link_prediction_parts", "triangle_count_parts",
         "clustering_coeff_parts", "degree_assortativity_trade",
         "community_modularity_nations", "mst_parts_forest",
-        "densest_subgraph_parts", "single_linkage_parts",
+        "densest_subgraph_parts", "single_linkage_parts", "rich_club_parts",
         "link_graph_domains", "url_path_rollup_docs",
     ],
     "clustering": [
@@ -179,6 +179,7 @@ FAMILY_GROUPS: dict[str, list[str]] = {
         "mcnemar_repeat_purchase", "hl_pseudomedian_revenue",
         "cvm_urgency_status", "friedman_nation_priority",
         "mantel_haenszel_qty_returns", "cochran_q_event_types",
+        "mood_dispersion_urgency", "bowker_symmetry_events",
     ],
     "ml": [
         "als_rank1_factors", "isotonic_urgent_rate", "naive_bayes_status_gate",
@@ -197,7 +198,8 @@ FAMILY_GROUPS: dict[str, list[str]] = {
         "seasonal_decompose_revenue", "rolling_corr_revenue_qty", "croston_intermittent_parts",
         "seasonal_outliers_revenue",
         "rsi_monthly_revenue", "matrix_profile_discord_revenue",
-        "peaks_monthly_revenue",
+        "peaks_monthly_revenue", "ljung_box_revenue",
+        "runs_test_revenue_deltas", "turning_points_revenue",
     ],
     "survival": [
         "kaplan_meier_orders", "nelson_aalen_orders", "logrank_orders",

@@ -124,6 +124,13 @@ QUERIES_TO_SCALE = [
     "peaks_monthly_revenue",
     # round-9 wave 14
     "kmv_source_overlap",
+    # round-9 waves 15-16
+    "mood_dispersion_urgency",
+    "ljung_box_revenue",
+    "bowker_symmetry_events",
+    "rich_club_parts",
+    "runs_test_revenue_deltas",
+    "turning_points_revenue",
     # round-8 waves 4-6
     "dau_mau_stickiness_events",
     "zorder_locality_customers",
