@@ -2236,3 +2236,112 @@ def mood_dispersion_2samp(
         " END AS mood_ppm",
         "CAST((n1 * 1000000) div n AS BIGINT) AS expect_ppm",
     )
+
+
+def kendall_tau_b_bounded(
+    df,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    x_values: list[int],
+):
+    """Kendall's tau-b (plus Somers' D and Goodman-Kruskal gamma) per
+    group, for an x whose domain is a BOUNDED known integer list —
+    the distributed dominance-count formulation that avoids the
+    O(n²) pair walk entirely: on the (group, y) tier table carrying
+    one conditional count per x class,
+
+        C = Σ_rows Σ_i c_i(y) · Σ_{j<i} prefix_j(y)
+        D = Σ_rows Σ_i c_i(y) · Σ_{j>i} prefix_j(y)
+
+    where prefix_j is the EXCLUSIVE running count of class j below
+    this y (same-y pairs are y-ties and belong to neither side).
+    Tie masses n1 = Σ t_x(t_x−1)/2 and n2 = Σ u_y(u_y−1)/2 come from
+    the same pass, and with n0 = n(n−1)/2:
+
+        tau_b   = (C − D) / √((n0 − n1)(n0 − n2))   (one sqrt)
+        somers_d = (C − D) / (n0 − n1)              (exact ppm div)
+        gamma   = (C − D) / (C + D)                 (exact ppm div)
+
+    Everything is DECIMAL(38,0)-exact up to tau's two scale-0
+    int→double conversions; signs factored out of every truncating
+    division (CLAUDE.md rule). Prefixes ride the
+    grouped_running_totals range-partition recipe — one data-sized
+    tier aggregation, one prefix pass, one bounded fold. The
+    |x_values|²/2 term expansion is generated SQL (50 classes →
+    ~1275 adds — far below the measured CaseWhen codegen cliff).
+
+    Returns (group, n, conc2 C, disc2 D, tau_b_ppm, somers_d_ppm,
+    gamma_ppm); the ratio columns are NULL when their denominators
+    vanish (all-tied data).
+    """
+    from pyspark.sql import functions as F
+
+    from dpe_energy_performance_analysis_etl_spark.operators.quantiles import (
+        grouped_running_totals,
+    )
+
+    tags = list(range(len(x_values)))
+    tiers = df.groupBy(
+        F.col(group_col).alias("g"), F.col(y_col).alias("y")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        *[
+            F.count_if(F.col(x_col) == x_values[i])
+            .cast("bigint")
+            .alias(f"c{i}")
+            for i in tags
+        ],
+    )
+    pre = grouped_running_totals(tiers, "g", "y", [f"c{i}" for i in tags])
+    conc_terms = " + ".join(
+        f"CAST(c{i} AS DECIMAL(38,0)) * ({' + '.join(f'c{j}_before' for j in tags[:i])})"
+        for i in tags
+        if i > 0
+    )
+    disc_terms = " + ".join(
+        f"CAST(c{i} AS DECIMAL(38,0)) * ({' + '.join(f'c{j}_before' for j in tags[i + 1:])})"
+        for i in tags
+        if i < len(tags) - 1
+    )
+    per_row = pre.selectExpr(
+        "g",
+        "cnt",
+        *[f"c{i}" for i in tags],
+        f"({conc_terms}) AS conc_row",
+        f"({disc_terms}) AS disc_row",
+    )
+    agg = per_row.groupBy("g").agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum("conc_row").alias("conc"),
+        F.sum("disc_row").alias("disc"),
+        F.sum(F.expr("CAST(cnt AS DECIMAL(38,0)) * (cnt - 1)")).alias("ty2"),
+        *[F.sum(f"c{i}").cast("bigint").alias(f"t{i}") for i in tags],
+    )
+    tx2 = " + ".join(f"CAST(t{i} AS DECIMAL(38,0)) * (t{i} - 1)" for i in tags)
+    base = agg.selectExpr(
+        "g",
+        "n",
+        "conc",
+        "disc",
+        "CAST(n AS DECIMAL(38,0)) * (n - 1) AS n02",
+        f"({tx2}) AS tx2",
+        "ty2",
+    )
+    sgn = "(CASE WHEN conc >= disc THEN 1 ELSE -1 END)"
+    return base.selectExpr(
+        f"g AS {group_col}",
+        "n",
+        "CAST(conc AS DOUBLE) AS concordant",
+        "CAST(disc AS DOUBLE) AS discordant",
+        "CASE WHEN n02 > tx2 AND n02 > ty2 THEN CAST("
+        f" {sgn} * floor(CAST(abs(conc - disc) AS DOUBLE) * 2000000e0"
+        "   / sqrt(CAST(n02 - tx2 AS DOUBLE) * CAST(n02 - ty2 AS DOUBLE)))"
+        " AS BIGINT) END AS tau_b_ppm",
+        "CASE WHEN n02 > tx2 THEN CAST("
+        f" {sgn} * ((abs(conc - disc) * 2000000) div (n02 - tx2))"
+        " AS BIGINT) END AS somers_d_ppm",
+        "CASE WHEN conc + disc > 0 THEN CAST("
+        f" {sgn} * ((abs(conc - disc) * 1000000) div (conc + disc))"
+        " AS BIGINT) END AS gamma_ppm",
+    )

@@ -19344,3 +19344,557 @@ def turning_points_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "         / sqrt((16e0 * n - 29) / 90e0))"
         " AS BIGINT) END AS z_milli",
     )
+
+
+# =====================================================================
+# Round 9, wave 17: Grubbs outlier, Chao1 richness, rescaled range
+# =====================================================================
+
+@register(
+    "grubbs_outlier_month",
+    """
+    WITH monthly AS MATERIALIZED (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS rev
+      FROM orders GROUP BY 1
+    ), tot AS MATERIALIZED (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(rev) AS BIGINT) AS s
+      FROM monthly
+    ), ctr AS MATERIALIZED (
+      SELECT month, rev, (n::HUGEINT * rev - s) AS d, n
+      FROM monthly, tot
+    ), var AS MATERIALIZED (
+      SELECT SUM(d * d) AS ss FROM ctr
+    ), pick AS MATERIALIZED (
+      SELECT month, rev, d, n FROM ctr
+      ORDER BY abs(d) DESC, month LIMIT 1
+    )
+    SELECT pick.month, pick.rev AS rev_cents, pick.n AS n_months,
+           CASE WHEN var.ss > 0 THEN CAST(
+             floor(CAST(abs(pick.d) AS DOUBLE) * 1000e0
+                   / sqrt(CAST(var.ss AS DOUBLE) / (pick.n - 1)))
+           AS BIGINT) END AS g_milli
+    FROM pick, var
+    """,
+)
+def grubbs_outlier_month_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs' outlier statistic (Grubbs 1950) on monthly revenue:
+    G = max|x − x̄| / s for the single most deviant month — the "is
+    my worst point an outlier" screen. n-scaled centering keeps the
+    deviations and the sum of squares exact integers (the n factors
+    cancel: G = |n·x − S| / √(Σ(n·x−S)²/(n−1)) ); doubles appear only
+    through scale-0 conversions, one sqrt, one division, floor. The
+    argmax rides a deterministic ORDER BY abs(d), month LIMIT 1 over
+    the bounded pinned month table."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    monthly = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month")
+    ).agg(
+        F.sum(
+            F.expr("CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT)")
+        )
+        .cast("bigint")
+        .alias("rev")
+    ).localCheckpoint(eager=True)  # feeds totals + centering
+    tot = monthly.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("rev").cast("bigint").alias("s"),
+    )
+    ctr = monthly.crossJoin(F.broadcast(tot)).selectExpr(
+        "month", "rev", "CAST(n * rev - s AS DECIMAL(38,0)) AS d", "n"
+    ).localCheckpoint(eager=True)  # feeds variance + argmax pick
+    var = ctr.agg(F.sum(F.expr("d * d")).alias("ss"))
+    pick = ctr.orderBy(F.abs(F.col("d")).desc(), F.col("month")).limit(1)
+    return pick.crossJoin(F.broadcast(var)).selectExpr(
+        "month",
+        "rev AS rev_cents",
+        "n AS n_months",
+        "CASE WHEN ss > 0 THEN CAST("
+        " floor(CAST(abs(d) AS DOUBLE) * 1000e0"
+        "       / sqrt(CAST(ss AS DOUBLE) / (n - 1)))"
+        " AS BIGINT) END AS g_milli",
+    )
+
+
+@register(
+    "chao1_vocab_richness",
+    """
+    WITH tf AS MATERIALIZED (
+      SELECT source,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      FROM documents
+    ), counts AS MATERIALIZED (
+      SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tf GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS d_observed,
+           CAST(count_if(c = 1) AS BIGINT) AS f1,
+           CAST(count_if(c = 2) AS BIGINT) AS f2,
+           CASE WHEN count_if(c = 2) > 0 THEN
+             CAST(COUNT(*) + (count_if(c = 1) * count_if(c = 1))
+                  // (2 * count_if(c = 2)) AS BIGINT)
+           ELSE
+             CAST(COUNT(*) + (count_if(c = 1) * (count_if(c = 1) - 1)) // 2
+                  AS BIGINT)
+           END AS chao1_estimate
+    FROM counts GROUP BY 1
+    """,
+)
+def chao1_vocab_richness_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 species-richness estimate of each source's UNSEEN
+    vocabulary (Chao 1984): D + f1²/(2·f2) from the singleton and
+    doubleton counts — how many more distinct terms would this
+    corpus surface if we kept sampling? The capture-recapture
+    counterpart of good_turing_docs' mass estimates, with the
+    bias-corrected f1(f1−1)/2 form when no doubletons exist. One
+    token aggregation to (source, term) counts, one bounded fold —
+    exact integers end to end, one truncating division."""
+    from dpe_energy_performance_analysis_etl_spark.text.analysis import tokens_expr
+
+    docs = read_documents(spark, sf_dir)
+    counts = (
+        docs.select("source", F.explode(tokens_expr("text")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    return counts.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("d_observed"),
+        F.count_if(F.col("c") == 1).cast("bigint").alias("f1"),
+        F.count_if(F.col("c") == 2).cast("bigint").alias("f2"),
+        F.expr(
+            "CASE WHEN count_if(c = 2) > 0 THEN"
+            " CAST(count(1) + (count_if(c = 1) * count_if(c = 1))"
+            "      div (2 * count_if(c = 2)) AS BIGINT)"
+            " ELSE CAST(count(1) + (count_if(c = 1) * (count_if(c = 1) - 1))"
+            "           div 2 AS BIGINT) END"
+        ).alias("chao1_estimate"),
+    )
+
+
+_RS_SIZES = [8, 16, 32]
+_RS_UNION_TMPL = (
+    "    SELECT {w} AS window_size, n_blocks,\n"
+    "           CASE WHEN n_blocks > 0\n"
+    "                THEN CAST(sum_rs_milli // n_blocks AS BIGINT)\n"
+    "           END AS mean_rs_milli FROM rs{w}"
+)
+
+
+def _rs_oracle_block(w: int) -> str:
+    return f"""
+    , blk{w} AS MATERIALIZED (
+      SELECT (i - 1) // {w} AS b, i, rev,
+             SUM(rev) OVER (PARTITION BY (i - 1) // {w}) AS bs,
+             COUNT(*) OVER (PARTITION BY (i - 1) // {w}) AS bn
+      FROM idx
+    ), dev{w} AS MATERIALIZED (
+      SELECT b,
+             CAST(SUM({w}::HUGEINT * rev - bs)
+                  OVER (PARTITION BY b ORDER BY i
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS HUGEINT) AS cum,
+             ({w}::HUGEINT * rev - bs) AS d
+      FROM blk{w} WHERE bn = {w}
+    ), rs{w} AS MATERIALIZED (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks,
+             CAST(SUM(rs_milli) AS BIGINT) AS sum_rs_milli
+      FROM (
+        SELECT b,
+               CAST(floor((CAST(MAX(cum) - MIN(LEAST(cum, 0)) AS DOUBLE))
+                          * 1000e0
+                          / sqrt(CAST(SUM(d * d) AS DOUBLE) / {w}))
+                    AS BIGINT) AS rs_milli
+        FROM dev{w} GROUP BY b HAVING SUM(d * d) > 0
+      )
+    )"""
+
+
+_RS_BLOCKS = "".join(_rs_oracle_block(w) for w in _RS_SIZES)
+_RS_UNION = "\n    UNION ALL\n".join(
+    _RS_UNION_TMPL.format(w=w) for w in _RS_SIZES
+)
+
+
+@register(
+    "rescaled_range_revenue",
+    f"""
+    WITH monthly AS MATERIALIZED (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS rev
+      FROM orders GROUP BY 1
+    ), idx AS MATERIALIZED (
+      SELECT row_number() OVER (ORDER BY month) AS i, rev FROM monthly
+    ){_RS_BLOCKS}
+{_RS_UNION}
+    """,
+)
+def rescaled_range_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rescaled-range (R/S) analysis of monthly revenue (Hurst 1951;
+    Mandelbrot's long-memory diagnostic): for block sizes 8/16/32,
+    split the series into full non-overlapping blocks, compute each
+    block's range of cumulative mean-deviations over its (biased)
+    std — R/S — and average across blocks. Growing mean R/S steeper
+    than √w signals long-range dependence (the Hurst slope, left to
+    the analyst — no logs in checked outputs). Deviations are exact
+    w-scaled integers (w·x − blocksum; the w factors cancel in R/S);
+    R uses MAX(cum) − MIN(least(cum, 0)) — the running minimum
+    clamped at the block start, Hurst's original convention; doubles
+    appear only via scale-0 conversions, one sqrt, one floor per
+    block, one truncating mean division per window size. All windows
+    run over the bounded month table."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    monthly = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month")
+    ).agg(
+        F.sum(
+            F.expr("CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT)")
+        )
+        .cast("bigint")
+        .alias("rev")
+    )
+    wi = Window.orderBy("month")
+    idx = monthly.select(
+        F.row_number().over(wi).alias("i"), "rev"
+    ).localCheckpoint(eager=True)  # feeds the three block layouts
+    outs = []
+    for w in _RS_SIZES:
+        wb = Window.partitionBy("b")
+        blk = idx.selectExpr(f"CAST((i - 1) div {w} AS BIGINT) AS b", "i", "rev")
+        blk = blk.select(
+            "b",
+            "i",
+            "rev",
+            F.sum("rev").over(wb).cast("bigint").alias("bs"),
+            F.count(F.lit(1)).over(wb).alias("bn"),
+        ).where(F.col("bn") == w)
+        wcum = Window.partitionBy("b").orderBy("i").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        dev = blk.select(
+            "b",
+            F.sum(F.expr(f"CAST({w} AS DECIMAL(38,0)) * rev - bs"))
+            .over(wcum)
+            .alias("cum"),
+            F.expr(f"CAST({w} AS DECIMAL(38,0)) * rev - bs").alias("d"),
+        )
+        per_block = (
+            dev.groupBy("b")
+            .agg(
+                F.max("cum").alias("mx"),
+                F.min(F.expr("least(cum, CAST(0 AS DECIMAL(38,0)))")).alias("mn"),
+                F.sum(F.expr("d * d")).alias("ss"),
+            )
+            .where(F.col("ss") > 0)
+            .selectExpr(
+                "CAST(floor(CAST(mx - mn AS DOUBLE) * 1000e0"
+                f" / sqrt(CAST(ss AS DOUBLE) / {w})) AS BIGINT) AS rs_milli"
+            )
+        )
+        outs.append(
+            per_block.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+                F.sum("rs_milli").cast("bigint").alias("sum_rs_milli"),
+            ).selectExpr(
+                f"{w} AS window_size",
+                "n_blocks",
+                "CASE WHEN n_blocks > 0 THEN"
+                " CAST(sum_rs_milli div n_blocks AS BIGINT)"
+                " END AS mean_rs_milli",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
+
+
+# =====================================================================
+# Round 9, wave 18: Neyman allocation, required sample size
+# =====================================================================
+
+_NEY_B = 10_000
+
+
+@register(
+    "neyman_allocation_nations",
+    f"""
+    WITH strata AS MATERIALIZED (
+      SELECT n.n_name,
+             CAST(COUNT(*) AS BIGINT) AS nh,
+             CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(30,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS sm,
+             SUM((CAST(CAST(o.o_totalprice AS DECIMAL(30,2)) * 100
+                  AS BIGINT))::HUGEINT
+                 * (CAST(CAST(o.o_totalprice AS DECIMAL(30,2)) * 100
+                    AS BIGINT))) AS ssq
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1
+    ), wts AS MATERIALIZED (
+      SELECT n_name, nh,
+             CASE WHEN nh > 1 THEN
+               sqrt(CAST(nh AS DOUBLE)
+                    * CAST(nh::HUGEINT * ssq - sm::HUGEINT * sm AS DOUBLE)
+                    / (nh - 1)) / nh
+             ELSE 0e0 END AS w
+      FROM strata
+    ), tot AS MATERIALIZED (
+      SELECT list_reduce(list_prepend(0e0, list(w ORDER BY n_name)),
+                         (acc, x) -> acc + x) AS wsum
+      FROM wts
+    ), alloc AS MATERIALIZED (
+      SELECT n_name, nh,
+             CAST(floor({_NEY_B}e0 * w / wsum) AS BIGINT) AS alloc_floor,
+             {_NEY_B}e0 * w / wsum
+               - floor({_NEY_B}e0 * w / wsum) AS rem
+      FROM wts, tot
+    ), ranked AS MATERIALIZED (
+      SELECT *,
+             row_number() OVER (ORDER BY rem DESC, n_name) AS rk,
+             CAST({_NEY_B} - SUM(alloc_floor) OVER () AS BIGINT) AS extra
+      FROM alloc
+    )
+    SELECT n_name, nh AS n_orders, alloc_floor,
+           CAST(alloc_floor + CASE WHEN rk <= extra THEN 1 ELSE 0 END
+                AS BIGINT) AS n_allocated
+    FROM ranked
+    """,
+)
+def neyman_allocation_nations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman optimal stratified-sampling allocation (Neyman 1934) of
+    a 10,000-row sample budget across nation strata: n_h ∝ N_h·S_h —
+    big AND volatile strata get more of the budget than proportional
+    allocation would give, the variance-minimizing design for a fixed
+    cost (the sampling-design step of any stratified corpus draw).
+    Stratum moments are exact integers (HUGEINT/DECIMAL(38,0) sum of
+    squares); N_h·S_h moves to doubles through scale-0 conversions
+    and one sqrt; the weight TOTAL is an ordered fold by stratum name
+    (a bare SUM over doubles has no defined order — CLAUDE.md rule);
+    integer allocations use the largest-remainder (Hamilton) method,
+    deterministic ties by name, so Σ n_allocated = budget EXACTLY.
+    Windows run over the ≤|nations| stratum table."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    cents = "CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT)"
+    strata = (
+        o.join(c.select("c_custkey", "c_nationkey"), o["o_custkey"] == F.col("c_custkey"))
+        .join(
+            F.broadcast(n.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("nh"),
+            F.sum(F.expr(cents)).cast("bigint").alias("sm"),
+            F.sum(F.expr(f"CAST({cents} AS DECIMAL(38,0)) * {cents}")).alias(
+                "ssq"
+            ),
+        )
+    )
+    wts = strata.selectExpr(
+        "n_name",
+        "nh",
+        "CASE WHEN nh > 1 THEN"
+        " sqrt(CAST(nh AS DOUBLE)"
+        "      * CAST(CAST(nh AS DECIMAL(38,0)) * ssq"
+        "             - CAST(sm AS DECIMAL(38,0)) * sm AS DOUBLE)"
+        "      / (nh - 1)) / nh"
+        " ELSE 0e0 END AS w",
+    ).localCheckpoint(eager=True)  # feeds the ordered fold + allocation
+    tot = wts.agg(
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(n_name, w))),"
+            " CAST(0 AS DOUBLE), (acc, s) -> acc + s.w) AS wsum"
+        )
+    )
+    alloc = wts.crossJoin(F.broadcast(tot)).selectExpr(
+        "n_name",
+        "nh",
+        f"CAST(floor({_NEY_B}e0 * w / wsum) AS BIGINT) AS alloc_floor",
+        f"{_NEY_B}e0 * w / wsum - floor({_NEY_B}e0 * w / wsum) AS rem",
+    )
+    w_rk = Window.orderBy(F.col("rem").desc(), F.col("n_name"))
+    w_all = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        alloc.withColumn("rk", F.row_number().over(w_rk))
+        .withColumn(
+            "extra",
+            (F.lit(_NEY_B) - F.sum("alloc_floor").over(w_all)).cast("bigint"),
+        )
+        .selectExpr(
+            "n_name",
+            "nh AS n_orders",
+            "alloc_floor",
+            "CAST(alloc_floor + CASE WHEN rk <= extra THEN 1 ELSE 0 END"
+            " AS BIGINT) AS n_allocated",
+        )
+    )
+
+
+@register(
+    "required_sample_size_brands",
+    """
+    WITH a AS MATERIALIZED (
+      SELECT p.p_brand,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(count_if(l.l_returnflag = 'R') AS BIGINT) AS x
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1
+    )
+    SELECT p_brand, n, x,
+           CAST((x * 1000000) // n AS BIGINT) AS rate_ppm,
+           CASE WHEN x > 0 THEN
+             CAST((800 * (n - x) + x - 1) // x AS BIGINT)
+           END AS n_required_per_arm
+    FROM a
+    """,
+)
+def required_sample_size_brands_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B-test sample-size requirement per brand: rows needed PER
+    ARM to detect a 10% relative change in that brand's return rate
+    at z = 2 (dyadic, the wilson_return_rate_brands convention) —
+    n = 2·z²·p(1−p)/(0.1·p)² = 800·(1−p)/p, which with p = x/N
+    collapses to the EXACT integer ceiling (800·(N−x) + x − 1) div x.
+    Zero float ops: the planning table that says which brands can
+    even be experimented on at current traffic. One broadcast-dim
+    aggregation pass."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pt = spark.read.parquet(f"{sf_dir}/part.parquet")
+    a = (
+        li.join(
+            F.broadcast(pt.select("p_partkey", "p_brand")),
+            li["l_partkey"] == F.col("p_partkey"),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.count_if(F.col("l_returnflag") == "R").cast("bigint").alias("x"),
+        )
+    )
+    return a.selectExpr(
+        "p_brand",
+        "n",
+        "x",
+        "CAST((x * 1000000) div n AS BIGINT) AS rate_ppm",
+        "CASE WHEN x > 0 THEN"
+        " CAST((800 * (n - x) + x - 1) div x AS BIGINT)"
+        " END AS n_required_per_arm",
+    )
+
+
+# =====================================================================
+# Round 9, wave 19: Kendall tau-b / Somers' D / gamma via bounded-
+# domain dominance counting
+# =====================================================================
+
+_KT_N = 50  # l_quantity domain 1..50
+_KT_C = ",\n             ".join(
+    f"CAST(count_if(qty = {i + 1}) AS BIGINT) AS c{i}" for i in range(_KT_N)
+)
+_KT_PRE = ",\n             ".join(
+    f"CAST(COALESCE(SUM(c{i}) OVER win, 0) AS BIGINT) AS c{i}_before"
+    for i in range(_KT_N)
+)
+_KT_CONC = " + ".join(
+    f"c{i}::HUGEINT * ({' + '.join(f'c{j}_before' for j in range(i))})"
+    for i in range(1, _KT_N)
+)
+_KT_DISC = " + ".join(
+    f"c{i}::HUGEINT * ({' + '.join(f'c{j}_before' for j in range(i + 1, _KT_N))})"
+    for i in range(_KT_N - 1)
+)
+_KT_T = ",\n             ".join(
+    f"CAST(SUM(c{i}) AS BIGINT) AS t{i}" for i in range(_KT_N)
+)
+_KT_TX2 = " + ".join(f"t{i}::HUGEINT * (t{i} - 1)" for i in range(_KT_N))
+_KT_SGN = "(CASE WHEN conc >= disc THEN 1 ELSE -1 END)"
+
+
+@register(
+    "kendall_tau_qty_price_brands",
+    f"""
+    WITH base AS MATERIALIZED (
+      SELECT p.p_brand AS g,
+             CAST(l.l_quantity AS BIGINT) AS qty,
+             CAST(CAST(l.l_extendedprice AS DECIMAL(30,2)) * 100 AS BIGINT)
+               AS y
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ), tiers AS MATERIALIZED (
+      SELECT g, y, CAST(COUNT(*) AS BIGINT) AS cnt,
+             {_KT_C}
+      FROM base GROUP BY 1, 2
+    ), pre AS MATERIALIZED (
+      SELECT *,
+             {_KT_PRE}
+      FROM tiers
+      WINDOW win AS (PARTITION BY g ORDER BY y
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), per AS MATERIALIZED (
+      SELECT g, CAST(SUM(cnt) AS BIGINT) AS n,
+             SUM({_KT_CONC}) AS conc,
+             SUM({_KT_DISC}) AS disc,
+             SUM(cnt::HUGEINT * (cnt - 1)) AS ty2,
+             {_KT_T}
+      FROM pre GROUP BY 1
+    ), fin AS MATERIALIZED (
+      SELECT g, n, conc, disc,
+             n::HUGEINT * (n - 1) AS n02,
+             ({_KT_TX2}) AS tx2,
+             ty2
+      FROM per
+    )
+    SELECT g AS p_brand, n,
+           CAST(conc AS DOUBLE) AS concordant,
+           CAST(disc AS DOUBLE) AS discordant,
+           CASE WHEN n02 > tx2 AND n02 > ty2 THEN CAST(
+             {_KT_SGN} * floor(CAST(abs(conc - disc) AS DOUBLE) * 2000000e0
+               / sqrt(CAST(n02 - tx2 AS DOUBLE) * CAST(n02 - ty2 AS DOUBLE)))
+           AS BIGINT) END AS tau_b_ppm,
+           CASE WHEN n02 > tx2 THEN CAST(
+             {_KT_SGN} * ((abs(conc - disc) * 2000000) // (n02 - tx2))
+           AS BIGINT) END AS somers_d_ppm,
+           CASE WHEN conc + disc > 0 THEN CAST(
+             {_KT_SGN} * ((abs(conc - disc) * 1000000) // (conc + disc))
+           AS BIGINT) END AS gamma_ppm
+    FROM fin
+    """,
+)
+def kendall_tau_qty_price_brands_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-b, Somers' D and Goodman-Kruskal gamma between
+    quantity and line price per brand (operators/stats.py
+    kendall_tau_b_bounded): the concordance triple computed WITHOUT
+    the O(n²) pair walk — quantity's bounded 1..50 domain turns
+    concordant/discordant counting into dominance sums over 50
+    running class-counts (one tier aggregation, one prefix pass via
+    the grouped_running_totals range-partition recipe, one bounded
+    fold; the oracle's PARTITION BY windows are the sf0.01
+    shortcut). Somers and gamma are exact ppm integer divisions;
+    tau-b pays two scale-0 int→double conversions and one sqrt.
+    The rank-concordance sibling of spearman_qty_price_brands —
+    tau weighs PAIRS, rho weighs rank displacement."""
+    from dpe_energy_performance_analysis_etl_spark.operators.stats import (
+        kendall_tau_b_bounded,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pt = spark.read.parquet(f"{sf_dir}/part.parquet")
+    base = li.join(
+        F.broadcast(pt.select("p_partkey", "p_brand")),
+        li["l_partkey"] == F.col("p_partkey"),
+    ).select(
+        "p_brand",
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        F.expr(
+            "CAST(CAST(l_extendedprice AS DECIMAL(30,2)) * 100 AS BIGINT)"
+        ).alias("cents"),
+    )
+    return kendall_tau_b_bounded(
+        base, "p_brand", "qty", "cents", list(range(1, _KT_N + 1))
+    )

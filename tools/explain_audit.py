@@ -72,6 +72,11 @@ EXPECTED_MULTISTAGE = {
     # static print re-expands the co-occurrence join per consumer.
     # Runtime 7 exchanges / 5.1 s at sf0.1.
     "rich_club_parts": "pinned edge + degree tables feed density probe and threshold counts; 7 exchanges at runtime",
+    # round-9 wave 17: the pinned ≤|months| index table feeds the
+    # three block-size layouts (one unionAll branch each); every
+    # post-pin exchange shuffles ≤84 rows — breadth over a bounded
+    # table, not fact-table passes (one orders scan at build).
+    "rescaled_range_revenue": "pinned month index feeds 3 block-size branches; all post-pin exchanges over ≤|months| rows",
     # round-8 additions: static prints re-expand shared subtrees that
     # are pinned (localCheckpoint), cached, or recompute only bounded
     # aggregates at runtime — each audited individually

@@ -80,6 +80,7 @@ FAMILY_GROUPS: dict[str, list[str]] = {
         "hashed_classifier_gate", "curation_funnel_docs",
         "blocklist_phrase_match_docs", "distinct_n_docs", "vocab_growth_docs",
         "compression_ratio_docs", "coverage_select_docs", "text_clean_corpus",
+        "chao1_vocab_richness",
         "chunk_documents", "domain_document_stats",
     ],
     "dedup": [
@@ -122,7 +123,7 @@ FAMILY_GROUPS: dict[str, list[str]] = {
         "target_mixture_weights_docs", "fim_transform_docs",
         "preference_pairs_quality", "unimax_lang_budget",
         "time_embargo_split_events", "walk_forward_splits_orders",
-        "dsir_importance_scores",
+        "dsir_importance_scores", "neyman_allocation_nations",
     ],
     "privacy": [
         "pseudonymize_pii", "pii_redact", "k_anonymity_customers",
@@ -176,10 +177,12 @@ FAMILY_GROUPS: dict[str, list[str]] = {
         "grouped_stats_udaf", "pandas_udf_parity",
         # round-9 waves 9-13
         "jonckheere_u_status_priority", "spearman_qty_price_brands",
+        "kendall_tau_qty_price_brands",
         "mcnemar_repeat_purchase", "hl_pseudomedian_revenue",
         "cvm_urgency_status", "friedman_nation_priority",
         "mantel_haenszel_qty_returns", "cochran_q_event_types",
         "mood_dispersion_urgency", "bowker_symmetry_events",
+        "required_sample_size_brands",
     ],
     "ml": [
         "als_rank1_factors", "isotonic_urgent_rate", "naive_bayes_status_gate",
@@ -200,6 +203,7 @@ FAMILY_GROUPS: dict[str, list[str]] = {
         "rsi_monthly_revenue", "matrix_profile_discord_revenue",
         "peaks_monthly_revenue", "ljung_box_revenue",
         "runs_test_revenue_deltas", "turning_points_revenue",
+        "grubbs_outlier_month", "rescaled_range_revenue",
     ],
     "survival": [
         "kaplan_meier_orders", "nelson_aalen_orders", "logrank_orders",

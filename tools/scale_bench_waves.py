@@ -131,6 +131,15 @@ QUERIES_TO_SCALE = [
     "rich_club_parts",
     "runs_test_revenue_deltas",
     "turning_points_revenue",
+    # round-9 wave 17
+    "grubbs_outlier_month",
+    "chao1_vocab_richness",
+    "rescaled_range_revenue",
+    # round-9 wave 18
+    "neyman_allocation_nations",
+    "required_sample_size_brands",
+    # round-9 wave 19
+    "kendall_tau_qty_price_brands",
     # round-8 waves 4-6
     "dau_mau_stickiness_events",
     "zorder_locality_customers",
