@@ -19898,3 +19898,177 @@ def kendall_tau_qty_price_brands_q(spark: SparkSession, sf_dir: str) -> DataFram
     return kendall_tau_b_bounded(
         base, "p_brand", "qty", "cents", list(range(1, _KT_N + 1))
     )
+
+
+# =====================================================================
+# Round 9, wave 20: semantic decontamination, Yule's K, effective
+# sample size
+# =====================================================================
+
+@register(
+    "semantic_decontaminate_embeddings",
+    """
+    WITH base AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), n AS MATERIALIZED (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM base
+    ), ev AS MATERIALIZED (
+      SELECT vec_id, v, nrm FROM n WHERE vec_id < 20
+    ), scored AS MATERIALIZED (
+      SELECT c.vec_id, e.vec_id AS eval_id,
+             list_dot_product(c.v, e.v) / (c.nrm * e.nrm) AS cosine
+      FROM n c JOIN ev e ON c.vec_id >= 20
+    ), best AS MATERIALIZED (
+      SELECT vec_id, eval_id, cosine FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+          ORDER BY cosine DESC, eval_id) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    )
+    SELECT vec_id, eval_id AS nearest_eval_id, cosine AS max_cosine,
+           cosine > 98e-2 AS contaminated
+    FROM best
+    """,
+)
+def semantic_decontaminate_embeddings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination against an evaluation set (the
+    embedding-space counterpart of the n-gram
+    `decontaminate_overlap`): for every corpus vector, the single
+    nearest eval-set vector by cosine and a contamination flag at
+    0.98 — near-duplicates of benchmark items that exact n-gram
+    matching misses (paraphrases, reformattings). The eval side
+    (vec_id < 20) broadcasts; the corpus scans ONCE with a 20-wide
+    bounded fan-out and a 20-row-per-vector argmax window — at
+    100 TB this is the shape you want: eval sets are small by
+    definition, the corpus never self-joins. Cosines are the same
+    deterministic left-to-right dot-product fold both engines run in
+    the other embedding families."""
+    from dpe_energy_performance_analysis_etl_spark.dedup.embedding import (
+        dot_double,
+        norm2_double,
+    )
+
+    emb = read_embeddings(spark, sf_dir)
+    ev = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("eval_id"),
+        F.col("embedding").alias("ev_emb"),
+        F.sqrt(norm2_double(F.col("embedding"))).alias("ev_nrm"),
+    )
+    corpus = emb.where(F.col("vec_id") >= 20).select(
+        "vec_id",
+        "embedding",
+        F.sqrt(norm2_double(F.col("embedding"))).alias("c_nrm"),
+    )
+    scored = corpus.join(F.broadcast(ev)).select(
+        "vec_id",
+        "eval_id",
+        (
+            dot_double(F.col("embedding"), F.col("ev_emb"))
+            / (F.col("c_nrm") * F.col("ev_nrm"))
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("eval_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .selectExpr(
+            "vec_id",
+            "eval_id AS nearest_eval_id",
+            "cosine AS max_cosine",
+            "cosine > 98e-2 AS contaminated",
+        )
+    )
+
+
+@register(
+    "yules_k_sources",
+    """
+    WITH tf AS MATERIALIZED (
+      SELECT source,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      FROM documents
+    ), counts AS MATERIALIZED (
+      SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tf GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS m1_tokens,
+           CAST(COUNT(*) AS BIGINT) AS v_types,
+           CAST(SUM(c::HUGEINT * c) AS BIGINT) AS m2,
+           CASE WHEN SUM(c) > 0 THEN
+             CAST((10000 * (SUM(c::HUGEINT * c) - SUM(c)) * 1000)
+                  // (SUM(c)::HUGEINT * SUM(c)) AS BIGINT)
+           END AS yules_k_milli
+    FROM counts GROUP BY 1
+    """,
+)
+def yules_k_sources_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yule's characteristic K per source (Yule 1944, the stylometry
+    staple): K = 10⁴·(M₂ − M₁)/M₁² with M₁ = tokens and
+    M₂ = Σ c² over term frequencies — vocabulary CONCENTRATION,
+    robust to text length where raw type-token ratios aren't. High K
+    = repetitive vocabulary (boilerplate, templated spam), low K =
+    lexically rich text; the repetition screen that complements
+    chao1_vocab_richness's unseen-mass estimate. One token
+    aggregation, one bounded fold, exact HUGEINT/DECIMAL integers,
+    one truncating milli division."""
+    from dpe_energy_performance_analysis_etl_spark.text.analysis import tokens_expr
+
+    docs = read_documents(spark, sf_dir)
+    counts = (
+        docs.select("source", F.explode(tokens_expr("text")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    return counts.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("m1_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("v_types"),
+        F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * c")).cast("bigint").alias("m2"),
+        F.expr(
+            "CASE WHEN SUM(c) > 0 THEN"
+            " CAST((10000 * (SUM(CAST(c AS DECIMAL(38,0)) * c) - SUM(c))"
+            "       * 1000)"
+            " div (CAST(SUM(c) AS DECIMAL(38,0)) * SUM(c)) AS BIGINT) END"
+        ).alias("yules_k_milli"),
+    )
+
+
+@register(
+    "ess_length_weights_sources",
+    """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS w_sum,
+           CASE WHEN SUM(n_chars::HUGEINT * n_chars) > 0 THEN
+             CAST((SUM(n_chars)::HUGEINT * SUM(n_chars) * 1000000)
+                  // (COUNT(*)::HUGEINT
+                      * SUM(n_chars::HUGEINT * n_chars)) AS BIGINT)
+           END AS ess_ratio_ppm
+    FROM documents GROUP BY source
+    """,
+)
+def ess_length_weights_sources_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective sample size of length-proportional sampling per
+    source (Kish 1965): ESS/n = (Σw)²/(n·Σw²) for w = n_chars — how
+    much of a source survives as INDEPENDENT signal when documents
+    are drawn proportional to length (the usual token-budget
+    sampling). A ppm near 10⁶ means uniform lengths (every doc
+    counts); a low ppm means a few giants dominate and the effective
+    corpus is far smaller than its row count — the diagnostic to run
+    BEFORE committing a mixture weight. One aggregation pass, exact
+    integers, one truncating division."""
+    docs = read_documents(spark, sf_dir)
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("w_sum"),
+        F.expr(
+            "CASE WHEN SUM(CAST(n_chars AS DECIMAL(38,0)) * n_chars) > 0 THEN"
+            " CAST((CAST(SUM(n_chars) AS DECIMAL(38,0)) * SUM(n_chars)"
+            "       * 1000000)"
+            " div (CAST(COUNT(1) AS DECIMAL(38,0))"
+            "      * SUM(CAST(n_chars AS DECIMAL(38,0)) * n_chars))"
+            " AS BIGINT) END"
+        ).alias("ess_ratio_ppm"),
+    )

@@ -80,7 +80,7 @@ FAMILY_GROUPS: dict[str, list[str]] = {
         "hashed_classifier_gate", "curation_funnel_docs",
         "blocklist_phrase_match_docs", "distinct_n_docs", "vocab_growth_docs",
         "compression_ratio_docs", "coverage_select_docs", "text_clean_corpus",
-        "chao1_vocab_richness",
+        "chao1_vocab_richness", "yules_k_sources",
         "chunk_documents", "domain_document_stats",
     ],
     "dedup": [
@@ -90,6 +90,7 @@ FAMILY_GROUPS: dict[str, list[str]] = {
         "simhash_portable_near_dups", "dedup_clusters_cc",
         "cluster_canonical_survivors", "paragraph_dedup_corpus",
         "semantic_dedup_survivors", "url_canonical_dedup",
+        "semantic_decontaminate_embeddings",
         "substring_dup_spans", "substring_dup_stats", "substring_dedup_clean",
         "winnow_fingerprints_docs", "winnow_match_pairs", "cdc_chunk_spans",
         "cdc_chunk_dedup", "bigram_containment_pairs", "setsim_prefix_pairs",
@@ -124,6 +125,7 @@ FAMILY_GROUPS: dict[str, list[str]] = {
         "preference_pairs_quality", "unimax_lang_budget",
         "time_embargo_split_events", "walk_forward_splits_orders",
         "dsir_importance_scores", "neyman_allocation_nations",
+        "ess_length_weights_sources",
     ],
     "privacy": [
         "pseudonymize_pii", "pii_redact", "k_anonymity_customers",

@@ -140,6 +140,10 @@ QUERIES_TO_SCALE = [
     "required_sample_size_brands",
     # round-9 wave 19
     "kendall_tau_qty_price_brands",
+    # round-9 wave 20
+    "semantic_decontaminate_embeddings",
+    "yules_k_sources",
+    "ess_length_weights_sources",
     # round-8 waves 4-6
     "dau_mau_stickiness_events",
     "zorder_locality_customers",
