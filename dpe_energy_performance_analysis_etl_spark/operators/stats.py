@@ -2345,3 +2345,94 @@ def kendall_tau_b_bounded(
         f" {sgn} * ((abs(conc - disc) * 1000000) div (conc + disc))"
         " AS BIGINT) END AS gamma_ppm",
     )
+
+
+def life_table_actuarial(
+    df,
+    time_col,
+    event_col,
+    scale: int = 1_000_000,
+):
+    """Actuarial life-table survival estimator (the grouped-interval
+    classic; Cutler & Ederer 1958) — the third survival surface next
+    to :func:`kaplan_meier` and Nelson-Aalen: censored subjects count
+    as HALF an exposure in their interval (they were observable for
+    roughly half of it), so
+
+        q_t = d_t / (n_t − c_t/2),    S(t) = Π_{s ≤ t} (1 − q_s)
+
+    Doubling clears the half: with a_t = 2n_t − c_t − 2d_t and
+    b_t = 2n_t − c_t, the survival fold is the exact integer
+    S_q(t) = (S_q(t−1) · a_t) div b_t from ``scale`` — the same
+    bit-portable sequential-fold-over-the-BOUNDED-tier-array recipe
+    as kaplan_meier (pack v = a·2³¹ + b; per-step floor). Zero-
+    exposure tiers (b = 0) leave survival unchanged — the honest
+    "nobody was effectively at risk" answer. Guarded bounds, not
+    assumed: b < 2³¹ (n ≲ 10⁹ subjects) raises ANSI-loud via
+    raise_error; the fold's acc·a ≤ scale·2³¹ stays far under 2⁶³.
+
+    Returns (t, n_at_risk, d_events, c_censored, q_ppm, surv_scaled);
+    q_ppm = ⌊2d·10⁶ / b⌋, NULL when b = 0.
+    """
+    from pyspark.sql import Window, functions as F
+
+    M = 1 << 31
+    t = F.col(time_col).cast("bigint")
+    ev = F.col(event_col).cast("int")
+    tiers = df.groupBy(t.alias("t")).agg(
+        F.sum(ev).cast("bigint").alias("d"),
+        F.sum(1 - ev).cast("bigint").alias("c"),
+    )
+    w_pre = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = (
+        tiers.withColumn(
+            "n",
+            (
+                F.sum(F.col("d") + F.col("c")).over(w_all)
+                - F.coalesce(
+                    F.sum(F.col("d") + F.col("c")).over(w_pre), F.lit(0)
+                )
+            ).cast("bigint"),
+        )
+        .withColumn("a", (2 * F.col("n") - F.col("c") - 2 * F.col("d")).cast("bigint"))
+        .withColumn("b", (2 * F.col("n") - F.col("c")).cast("bigint"))
+        .withColumn("i", F.row_number().over(Window.orderBy("t")))
+    )
+    ranked = ranked.withColumn(
+        "b",
+        F.when(F.col("b") < F.lit(M).cast("bigint"), F.col("b")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("life_table: tier "),
+                    F.col("t").cast("string"),
+                    F.lit(" has 2n - c >= 2^31; shard the analysis"),
+                )
+            ).cast("bigint")
+        ),
+    )
+    # bounded (~|tiers| rows) and consumed twice (array build + output
+    # rows) — pinned so the subject aggregation runs once
+    ranked = ranked.localCheckpoint(eager=True)
+    encs = ranked.agg(
+        F.expr(
+            f"array_sort(collect_list(struct(t AS t, a * CAST({M} AS BIGINT)"
+            " + b AS v))) AS xs"
+        )
+    )
+    out = ranked.crossJoin(F.broadcast(encs)).selectExpr(
+        "t",
+        "n AS n_at_risk",
+        "d AS d_events",
+        "c AS c_censored",
+        "CASE WHEN b > 0 THEN CAST((2 * d * 1000000) div b AS BIGINT)"
+        " END AS q_ppm",
+        f"CAST(aggregate(slice(transform(xs, s -> s.v), 1, i),"
+        f" CAST({scale} AS BIGINT),"
+        f" (acc, e) -> CASE WHEN e % {M} > 0 THEN"
+        f" (acc * (e div {M})) div (e % {M}) ELSE acc END)"
+        " AS BIGINT) AS surv_scaled",
+    )
+    return out

@@ -20072,3 +20072,73 @@ def ess_length_weights_sources_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT) END"
         ).alias("ess_ratio_ppm"),
     )
+
+
+# =====================================================================
+# Round 9, wave 21: actuarial life table
+# =====================================================================
+
+@register(
+    "life_table_orders",
+    """
+    WITH subj AS (
+      SELECT CAST(date_diff('month', DATE '1992-01-01',
+                            CAST(o_orderdate AS DATE)) AS BIGINT) AS t,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS ev
+      FROM orders
+    ), tiers AS MATERIALIZED (
+      SELECT t, CAST(SUM(ev) AS BIGINT) AS d,
+             CAST(SUM(1 - ev) AS BIGINT) AS c
+      FROM subj GROUP BY 1
+    ), ranked AS MATERIALIZED (
+      SELECT t, d, c,
+             CAST(SUM(d + c) OVER () -
+                  COALESCE(SUM(d + c) OVER (ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS n,
+             CAST(row_number() OVER (ORDER BY t) AS INT) AS i
+      FROM tiers
+    ), packed AS MATERIALIZED (
+      SELECT *,
+             (2 * n - c - 2 * d) * 2147483648 + (2 * n - c) AS v
+      FROM ranked
+    ), encs AS MATERIALIZED (
+      SELECT list(v ORDER BY t) AS xs FROM packed
+    )
+    SELECT t, n AS n_at_risk, d AS d_events, c AS c_censored,
+           CASE WHEN 2 * n - c > 0 THEN
+             CAST((2 * d * 1000000) // (2 * n - c) AS BIGINT)
+           END AS q_ppm,
+           CAST(list_reduce(
+             list_prepend(CAST(1000000 AS BIGINT), encs.xs[1:i]),
+             (acc, e) -> CASE WHEN e % 2147483648 > 0 THEN
+               (acc * (e // 2147483648)) // (e % 2147483648)
+               ELSE acc END
+           ) AS BIGINT) AS surv_scaled
+    FROM packed CROSS JOIN encs
+    """,
+)
+def life_table_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Actuarial life table over the SAME order-lifetime tiers as
+    `kaplan_meier_orders` / `nelson_aalen_orders` (operators/stats.py
+    life_table_actuarial — Cutler & Ederer 1958): censored subjects
+    count as HALF an exposure in their interval, q = 2d/(2n−c), and
+    survival folds as the exact integer (acc·(2n−c−2d)) div (2n−c)
+    per tier — the third classical survival surface, grouped-interval
+    semantics where KM is event-time exact. One data-sized tier
+    aggregation; the fold runs over the packed bounded tier array
+    (a·2³¹ + b, guarded) via the SQL `aggregate` function."""
+    from dpe_energy_performance_analysis_etl_spark.operators.stats import (
+        life_table_actuarial,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    subj = o.select(
+        F.months_between(
+            F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+        )
+        .cast("bigint")
+        .alias("t"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("ev"),
+    )
+    return life_table_actuarial(subj, "t", "ev")

@@ -209,6 +209,7 @@ FAMILY_GROUPS: dict[str, list[str]] = {
     ],
     "survival": [
         "kaplan_meier_orders", "nelson_aalen_orders", "logrank_orders",
+        "life_table_orders",
     ],
     "spatial": [
         "spatial_radius_join", "geohash_cells_customers",

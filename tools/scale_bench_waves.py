@@ -144,6 +144,8 @@ QUERIES_TO_SCALE = [
     "semantic_decontaminate_embeddings",
     "yules_k_sources",
     "ess_length_weights_sources",
+    # round-9 wave 21
+    "life_table_orders",
     # round-8 waves 4-6
     "dau_mau_stickiness_events",
     "zorder_locality_customers",
