@@ -20142,3 +20142,347 @@ def life_table_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderstatus") == "F").cast("int").alias("ev"),
     )
     return life_table_actuarial(subj, "t", "ev")
+
+
+# =====================================================================
+# Round 9, wave 22: partial correlation, lead-lag CCF, Mood's median
+# test
+# =====================================================================
+
+_PC_R = (
+    "(CAST({sab} AS DOUBLE)"
+    " / sqrt(CAST({saa} AS DOUBLE) * CAST({sbb} AS DOUBLE)))"
+)
+
+
+@register(
+    "partial_corr_rev_qty_disc",
+    f"""
+    WITH monthly AS MATERIALIZED (
+      SELECT date_trunc('month', l_shipdate) AS month,
+             CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(30,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS x,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS y,
+             CAST(SUM(CAST(CAST(l_discount AS DECIMAL(30,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS z
+      FROM lineitem GROUP BY 1
+    ), tot AS MATERIALIZED (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(z) AS BIGINT) AS sz
+      FROM monthly
+    ), ctr AS MATERIALIZED (
+      SELECT (n::HUGEINT * x - sx) AS dx, (n::HUGEINT * y - sy) AS dy,
+             (n::HUGEINT * z - sz) AS dz, n
+      FROM monthly, tot
+    ), mom AS MATERIALIZED (
+      SELECT MAX(n) AS n,
+             SUM(dx * dx) AS sxx, SUM(dy * dy) AS syy, SUM(dz * dz) AS szz,
+             SUM(dx * dy) AS sxy, SUM(dx * dz) AS sxz, SUM(dy * dz) AS syz
+      FROM ctr
+    )
+    SELECT CAST(n AS BIGINT) AS n_months,
+           CAST(floor({_PC_R.format(sab="sxy", saa="sxx", sbb="syy")}
+                      * 1000000e0) AS BIGINT) AS r_xy_ppm,
+           CAST(floor({_PC_R.format(sab="sxz", saa="sxx", sbb="szz")}
+                      * 1000000e0) AS BIGINT) AS r_xz_ppm,
+           CAST(floor({_PC_R.format(sab="syz", saa="syy", sbb="szz")}
+                      * 1000000e0) AS BIGINT) AS r_yz_ppm,
+           CAST(floor(
+             ({_PC_R.format(sab="sxy", saa="sxx", sbb="syy")}
+              - {_PC_R.format(sab="sxz", saa="sxx", sbb="szz")}
+                * {_PC_R.format(sab="syz", saa="syy", sbb="szz")})
+             / sqrt((1e0 - {_PC_R.format(sab="sxz", saa="sxx", sbb="szz")}
+                           * {_PC_R.format(sab="sxz", saa="sxx", sbb="szz")})
+                    * (1e0 - {_PC_R.format(sab="syz", saa="syy", sbb="szz")}
+                             * {_PC_R.format(sab="syz", saa="syy", sbb="szz")}))
+             * 1000000e0) AS BIGINT) AS partial_xy_given_z_ppm
+    FROM mom
+    """,
+)
+def partial_corr_rev_qty_disc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order partial correlation of monthly revenue and
+    quantity CONTROLLING for total discount —
+    r_xy·z = (r_xy − r_xz·r_yz) / √((1−r_xz²)(1−r_yz²)) — does the
+    revenue-volume link survive once discounting is held fixed? All
+    covariances are exact n-scaled integers (HUGEINT/DECIMAL(38,0));
+    the three pairwise r's and the partial move to doubles through
+    scale-0 conversions and IDENTICAL expression text in both
+    engines (each r is one division + one sqrt — the same subterm
+    repeated verbatim, so both engines evaluate the same IEEE ops).
+    One fact scan to the bounded month table."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    monthly = li.groupBy(
+        F.date_trunc("month", F.col("l_shipdate")).alias("month")
+    ).agg(
+        F.sum(
+            F.expr("CAST(CAST(l_extendedprice AS DECIMAL(30,2)) * 100 AS BIGINT)")
+        ).cast("bigint").alias("x"),
+        F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("y"),
+        F.sum(
+            F.expr("CAST(CAST(l_discount AS DECIMAL(30,2)) * 100 AS BIGINT)")
+        ).cast("bigint").alias("z"),
+    ).localCheckpoint(eager=True)  # feeds totals + centering
+    tot = monthly.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum("z").cast("bigint").alias("sz"),
+    )
+    ctr = monthly.crossJoin(F.broadcast(tot)).selectExpr(
+        "CAST(n * x - sx AS DECIMAL(38,0)) AS dx",
+        "CAST(n * y - sy AS DECIMAL(38,0)) AS dy",
+        "CAST(n * z - sz AS DECIMAL(38,0)) AS dz",
+        "n",
+    )
+    mom = ctr.agg(
+        F.max("n").alias("n"),
+        F.sum(F.expr("dx * dx")).alias("sxx"),
+        F.sum(F.expr("dy * dy")).alias("syy"),
+        F.sum(F.expr("dz * dz")).alias("szz"),
+        F.sum(F.expr("dx * dy")).alias("sxy"),
+        F.sum(F.expr("dx * dz")).alias("sxz"),
+        F.sum(F.expr("dy * dz")).alias("syz"),
+    )
+    rxy = _PC_R.format(sab="sxy", saa="sxx", sbb="syy")
+    rxz = _PC_R.format(sab="sxz", saa="sxx", sbb="szz")
+    ryz = _PC_R.format(sab="syz", saa="syy", sbb="szz")
+    return mom.selectExpr(
+        "CAST(n AS BIGINT) AS n_months",
+        f"CAST(floor({rxy} * 1000000e0) AS BIGINT) AS r_xy_ppm",
+        f"CAST(floor({rxz} * 1000000e0) AS BIGINT) AS r_xz_ppm",
+        f"CAST(floor({ryz} * 1000000e0) AS BIGINT) AS r_yz_ppm",
+        f"CAST(floor(({rxy} - {rxz} * {ryz})"
+        f" / sqrt((1e0 - {rxz} * {rxz}) * (1e0 - {ryz} * {ryz}))"
+        " * 1000000e0) AS BIGINT) AS partial_xy_given_z_ppm",
+    )
+
+
+_CCF_LAGS = list(range(-6, 7))
+
+
+@register(
+    "lead_lag_ccf_rev_qty",
+    f"""
+    WITH monthly AS MATERIALIZED (
+      SELECT date_trunc('month', l_shipdate) AS month,
+             CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(30,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS x,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS y
+      FROM lineitem GROUP BY 1
+    ), idx AS MATERIALIZED (
+      SELECT row_number() OVER (ORDER BY month) AS i, x, y FROM monthly
+    ), tot AS MATERIALIZED (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy
+      FROM idx
+    ), ctr AS MATERIALIZED (
+      SELECT i, (n::HUGEINT * x - sx) AS dx, (n::HUGEINT * y - sy) AS dy
+      FROM idx, tot
+    ), led AS MATERIALIZED (
+      SELECT i, dx, dy,
+             {",".join(f"lead(dy, {k}) OVER (ORDER BY i) AS dyp{k}" for k in range(1, 7))},
+             {",".join(f"lag(dy, {k}) OVER (ORDER BY i) AS dym{k}" for k in range(1, 7))}
+      FROM ctr
+    ), mom AS MATERIALIZED (
+      SELECT SUM(dx * dx) AS cxx, SUM(dy * dy) AS cyy,
+             SUM(dx * dy) AS c0,
+             {",".join(f"SUM(dx * dyp{k}) AS cp{k}" for k in range(1, 7))},
+             {",".join(f"SUM(dx * dym{k}) AS cm{k}" for k in range(1, 7))}
+      FROM led
+    ), lagrows AS MATERIALIZED (
+      SELECT 0 AS lag, c0 AS cv FROM mom
+      {" ".join(f"UNION ALL SELECT {k}, cp{k} FROM mom" for k in range(1, 7))}
+      {" ".join(f"UNION ALL SELECT -{k}, cm{k} FROM mom" for k in range(1, 7))}
+    ), scored AS MATERIALIZED (
+      SELECT lagrows.lag,
+             (CASE WHEN lagrows.cv >= 0 THEN 1 ELSE -1 END)
+             * floor(CAST(abs(lagrows.cv) AS DOUBLE) * 1000000e0
+                     / sqrt(CAST(mom.cxx AS DOUBLE)
+                            * CAST(mom.cyy AS DOUBLE))) AS r_raw
+      FROM lagrows, mom
+    )
+    SELECT lag, CAST(r_raw AS BIGINT) AS ccf_ppm,
+           abs(r_raw) = MAX(abs(r_raw)) OVER () AS is_peak
+    FROM scored
+    """,
+)
+def lead_lag_ccf_rev_qty_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation between monthly revenue and monthly
+    quantity at lags −6..+6 (positive lag = quantity LEADS revenue by
+    k months), peak flagged — the "which series moves first"
+    diagnostic behind demand forecasting; rolling_corr_revenue_qty
+    sees only the contemporaneous link. Cross-covariances are exact
+    n-scaled integers off lead/lag windows over the bounded month
+    table (unnormalized by the per-lag overlap — the standard biased
+    CCF, documented); the normalization √(cxx·cyy) and the floor are
+    the only double ops, sign factored. One fact scan."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    monthly = li.groupBy(
+        F.date_trunc("month", F.col("l_shipdate")).alias("month")
+    ).agg(
+        F.sum(
+            F.expr("CAST(CAST(l_extendedprice AS DECIMAL(30,2)) * 100 AS BIGINT)")
+        ).cast("bigint").alias("x"),
+        F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("y"),
+    )
+    wi = Window.orderBy("month")
+    idx = monthly.select(
+        F.row_number().over(wi).alias("i"), "x", "y"
+    ).localCheckpoint(eager=True)  # feeds totals + centering
+    tot = idx.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+    )
+    ctr = idx.crossJoin(F.broadcast(tot)).selectExpr(
+        "i",
+        "CAST(n * x - sx AS DECIMAL(38,0)) AS dx",
+        "CAST(n * y - sy AS DECIMAL(38,0)) AS dy",
+    )
+    wl = Window.orderBy("i")
+    led = ctr.select(
+        "dx",
+        "dy",
+        *[F.lead("dy", k).over(wl).alias(f"dyp{k}") for k in range(1, 7)],
+        *[F.lag("dy", k).over(wl).alias(f"dym{k}") for k in range(1, 7)],
+    )
+    mom = led.agg(
+        F.sum(F.expr("dx * dx")).alias("cxx"),
+        F.sum(F.expr("dy * dy")).alias("cyy"),
+        F.sum(F.expr("dx * dy")).alias("c0"),
+        *[F.sum(F.expr(f"dx * dyp{k}")).alias(f"cp{k}") for k in range(1, 7)],
+        *[F.sum(F.expr(f"dx * dym{k}")).alias(f"cm{k}") for k in range(1, 7)],
+    )
+    structs = ", ".join(
+        ["struct(0 AS lag, c0 AS cv)"]
+        + [f"struct({k} AS lag, cp{k} AS cv)" for k in range(1, 7)]
+        + [f"struct(-{k} AS lag, cm{k} AS cv)" for k in range(1, 7)]
+    )
+    scored = mom.selectExpr(
+        "cxx", "cyy", f"explode(array({structs})) AS e"
+    ).selectExpr(
+        "e.lag AS lag",
+        "(CASE WHEN e.cv >= 0 THEN 1 ELSE -1 END)"
+        " * floor(CAST(abs(e.cv) AS DOUBLE) * 1000000e0"
+        "         / sqrt(CAST(cxx AS DOUBLE) * CAST(cyy AS DOUBLE)))"
+        " AS r_raw",
+    )
+    w_all = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return scored.select(
+        "lag",
+        F.expr("CAST(r_raw AS BIGINT)").alias("ccf_ppm"),
+        (F.abs(F.col("r_raw")) == F.max(F.abs(F.col("r_raw"))).over(w_all)).alias(
+            "is_peak"
+        ),
+    )
+
+
+@register(
+    "moods_median_status",
+    """
+    WITH v AS MATERIALIZED (
+      SELECT o_orderstatus AS g,
+             CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT) AS v
+      FROM orders
+    ), med AS MATERIALIZED (
+      SELECT v AS gm FROM (
+        SELECT v, row_number() OVER (ORDER BY v) AS rk, COUNT(*) OVER () AS n
+        FROM v
+      ) WHERE rk = (n + 1) // 2
+    ), cells AS MATERIALIZED (
+      SELECT g,
+             CAST(count_if(v.v > med.gm) AS BIGINT) AS above,
+             CAST(count_if(v.v <= med.gm) AS BIGINT) AS at_or_below
+      FROM v, med GROUP BY 1
+    ), tot AS MATERIALIZED (
+      SELECT CAST(SUM(above) AS BIGINT) AS ta,
+             CAST(SUM(at_or_below) AS BIGINT) AS tb,
+             CAST(SUM(above + at_or_below) AS BIGINT) AS n
+      FROM cells
+    )
+    SELECT g AS o_orderstatus, above, at_or_below,
+           CAST(((above + at_or_below) * ta * 1000000) // tot.n AS BIGINT)
+             AS e_above_scaled,
+           CAST(
+             ((above::HUGEINT * tot.n - (above + at_or_below)::HUGEINT * ta)
+              * (above::HUGEINT * tot.n - (above + at_or_below)::HUGEINT * ta)
+              * 1000000)
+             // ((above + at_or_below)::HUGEINT * ta * tot.n)
+             + ((at_or_below::HUGEINT * tot.n
+                 - (above + at_or_below)::HUGEINT * tb)
+                * (at_or_below::HUGEINT * tot.n
+                   - (above + at_or_below)::HUGEINT * tb)
+                * 1000000)
+               // ((above + at_or_below)::HUGEINT * tb * tot.n)
+           AS BIGINT) AS chi2_contrib_ppm
+    FROM cells, tot
+    """,
+)
+def moods_median_status_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test across order statuses (the k-sample
+    location test on a single order statistic): split every order at
+    the GRAND lower median, count above / at-or-below per status,
+    and emit each status's chi-square contribution
+    Σ_cells (O·N − n_g·col)²/(n_g·col·N) ppm-scaled — cross-
+    multiplied so the expected counts never materialize as
+    fractions (two truncating divisions per row, both engines floor
+    identically). The grand median rides the same ranking recipe as
+    the other order statistics (the oracle's global window is the
+    sf0.01 shortcut); cells are ONE conditional aggregation."""
+    from dpe_energy_performance_analysis_etl_spark.operators.quantiles import (
+        grouped_kth_smallest,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    v = o.select(
+        F.col("o_orderstatus").alias("g"),
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT)"
+        ).alias("v"),
+    ).localCheckpoint(eager=True)  # feeds the median recipe + the cells
+    med = grouped_kth_smallest(
+        v.select(F.lit(1).alias("one"), "v"),
+        "one",
+        "v",
+        k_of_n="(n + 1) div 2",
+    ).select(F.col("kth_value").alias("gm"))
+    cells = (
+        v.crossJoin(F.broadcast(med))
+        .groupBy("g")
+        .agg(
+            F.count_if(F.col("v") > F.col("gm")).cast("bigint").alias("above"),
+            F.count_if(F.col("v") <= F.col("gm"))
+            .cast("bigint")
+            .alias("at_or_below"),
+        )
+        .localCheckpoint(eager=True)  # bounded; feeds totals + output
+    )
+    tot = cells.agg(
+        F.sum("above").cast("bigint").alias("ta"),
+        F.sum("at_or_below").cast("bigint").alias("tb"),
+        F.sum(F.col("above") + F.col("at_or_below")).cast("bigint").alias("n"),
+    )
+    return cells.crossJoin(F.broadcast(tot)).selectExpr(
+        "g AS o_orderstatus",
+        "above",
+        "at_or_below",
+        "CAST(((above + at_or_below) * ta * 1000000) div n AS BIGINT)"
+        " AS e_above_scaled",
+        "CAST("
+        " ((CAST(above AS DECIMAL(38,0)) * n"
+        "   - CAST(above + at_or_below AS DECIMAL(38,0)) * ta)"
+        "  * (CAST(above AS DECIMAL(38,0)) * n"
+        "     - CAST(above + at_or_below AS DECIMAL(38,0)) * ta)"
+        "  * 1000000)"
+        " div (CAST(above + at_or_below AS DECIMAL(38,0)) * ta * n)"
+        " + ((CAST(at_or_below AS DECIMAL(38,0)) * n"
+        "     - CAST(above + at_or_below AS DECIMAL(38,0)) * tb)"
+        "    * (CAST(at_or_below AS DECIMAL(38,0)) * n"
+        "       - CAST(above + at_or_below AS DECIMAL(38,0)) * tb)"
+        "    * 1000000)"
+        "   div (CAST(above + at_or_below AS DECIMAL(38,0)) * tb * n)"
+        " AS BIGINT) AS chi2_contrib_ppm",
+    )

@@ -184,7 +184,8 @@ FAMILY_GROUPS: dict[str, list[str]] = {
         "cvm_urgency_status", "friedman_nation_priority",
         "mantel_haenszel_qty_returns", "cochran_q_event_types",
         "mood_dispersion_urgency", "bowker_symmetry_events",
-        "required_sample_size_brands",
+        "required_sample_size_brands", "partial_corr_rev_qty_disc",
+        "moods_median_status",
     ],
     "ml": [
         "als_rank1_factors", "isotonic_urgent_rate", "naive_bayes_status_gate",
@@ -206,6 +207,7 @@ FAMILY_GROUPS: dict[str, list[str]] = {
         "peaks_monthly_revenue", "ljung_box_revenue",
         "runs_test_revenue_deltas", "turning_points_revenue",
         "grubbs_outlier_month", "rescaled_range_revenue",
+        "lead_lag_ccf_rev_qty",
     ],
     "survival": [
         "kaplan_meier_orders", "nelson_aalen_orders", "logrank_orders",

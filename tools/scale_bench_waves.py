@@ -146,6 +146,10 @@ QUERIES_TO_SCALE = [
     "ess_length_weights_sources",
     # round-9 wave 21
     "life_table_orders",
+    # round-9 wave 22
+    "partial_corr_rev_qty_disc",
+    "lead_lag_ccf_rev_qty",
+    "moods_median_status",
     # round-8 waves 4-6
     "dau_mau_stickiness_events",
     "zorder_locality_customers",
