@@ -20486,3 +20486,177 @@ def moods_median_status_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "   div (CAST(above + at_or_below AS DECIMAL(38,0)) * tb * n)"
         " AS BIGINT) AS chi2_contrib_ppm",
     )
+
+
+# =====================================================================
+# Round 9, wave 23: differential-privacy mechanisms (deterministic
+# seeded randomness — oracle bit-exact)
+# =====================================================================
+
+def _mix32_sql(expr: str, salt: int, xor_fn: str) -> str:
+    """Two rounds of the house xor-shift-multiply finalizer on
+    ``expr + salt``, both engines (CLAUDE.md portable-hash recipe);
+    ``xor_fn`` is 'xor' for DuckDB oracle SQL, '^'-style infix is not
+    shared, so Spark passes a lambda-free two-arg form too."""
+    s0 = f"(({expr}) % 4294967296 * 73244475 + {salt} * 2246822519) % 4294967296"
+    s1 = f"({xor_fn}({s0}, ({s0}) >> 16) * 73244475) % 4294967296"
+    return f"({xor_fn}({s1}, ({s1}) >> 16) * 73244475) % 4294967296"
+
+
+# ctz via the mod-37 de Bruijn trick: the lowest set bit v = h & -h is
+# a power of two, and 2^k mod 37 are DISTINCT for k = 0..31 (2 has
+# order 36 mod 37) — one bounded CASE maps residue -> k.
+_CTZ_POW37 = {pow(2, k, 37): k for k in range(32)}
+_CTZ_CASE = (
+    "CASE WHEN {h} = 0 THEN 32 ELSE "
+    + "CASE (({h}) & -({h})) % 37 "
+    + " ".join(f"WHEN {r} THEN {k}" for r, k in sorted(_CTZ_POW37.items()))
+    + " END END"
+)
+
+
+@register(
+    "dp_geometric_counts_nations",
+    f"""
+    WITH cnt AS MATERIALIZED (
+      SELECT n.n_name, n.n_nationkey,
+             CAST(COUNT(*) AS BIGINT) AS true_count
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    ), h AS MATERIALIZED (
+      SELECT n_name, true_count,
+             {_mix32_sql("n_nationkey * 2 + 1", 1091, "xor")} AS h1,
+             {_mix32_sql("n_nationkey * 2 + 2", 4639, "xor")} AS h2
+      FROM cnt
+    ), noise AS MATERIALIZED (
+      SELECT n_name, true_count,
+             CAST({_CTZ_CASE.format(h="h1")} AS BIGINT)
+             - CAST({_CTZ_CASE.format(h="h2")} AS BIGINT) AS z
+      FROM h
+    )
+    SELECT n_name, true_count, z AS noise,
+           CAST(true_count + z AS BIGINT) AS noisy_count
+    FROM noise
+    """,
+)
+def dp_geometric_counts_nations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε = ln 2 differentially-private customer counts per nation via
+    the DISCRETE Laplace (two-sided geometric) mechanism (Ghosh,
+    Roughgarden & Sundararajan, STOC'09 — the utility-optimal
+    mechanism for count queries): Z = G₁ − G₂ with G ~ Geometric(½),
+    and a Geometric(½) draw is EXACTLY the trailing-zero count of a
+    uniform 32-bit integer — here the house portable xor-shift hash
+    of the nation key, so the "randomness" is seeded, reproducible,
+    and bit-identical in both engines (release pipelines want
+    deterministic replays; swap the salt per release for fresh
+    draws). ctz is branch-free algebra: lowest-set-bit isolation
+    h & −h plus the mod-37 de Bruijn residue lookup (2 has order 36
+    mod 37, so 2^k mod 37 is injective for k < 32). Sensitivity-1
+    count + Laplace(p=½) noise ⇒ ε = ln 2. Zero floats, one bounded
+    CASE per draw."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    cnt = (
+        c.join(
+            F.broadcast(n.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name", "n_nationkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_count"))
+    )
+    def spark_xor(a: str, b: str) -> str:
+        return f"({a}) ^ ({b})"
+
+    def mix(expr: str, salt: int) -> str:
+        s0 = f"(({expr}) % 4294967296 * 73244475 + {salt} * 2246822519) % 4294967296"
+        s1 = f"((({s0}) ^ (({s0}) >> 16)) * 73244475) % 4294967296"
+        return f"((({s1}) ^ (({s1}) >> 16)) * 73244475) % 4294967296"
+
+    h = cnt.selectExpr(
+        "n_name",
+        "true_count",
+        f"{mix('n_nationkey * 2 + 1', 1091)} AS h1",
+        f"{mix('n_nationkey * 2 + 2', 4639)} AS h2",
+    )
+    noise = h.selectExpr(
+        "n_name",
+        "true_count",
+        f"CAST({_CTZ_CASE.format(h='h1')} AS BIGINT)"
+        f" - CAST({_CTZ_CASE.format(h='h2')} AS BIGINT) AS z",
+    )
+    return noise.selectExpr(
+        "n_name",
+        "true_count",
+        "z AS noise",
+        "CAST(true_count + z AS BIGINT) AS noisy_count",
+    )
+
+
+@register(
+    "randomized_response_returns",
+    f"""
+    WITH rr AS MATERIALIZED (
+      SELECT p.p_brand,
+             CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS t,
+             CASE WHEN ({_mix32_sql("l.l_orderkey * 8 + l.l_linenumber", 7211, "xor")}) % 4 = 0
+                  THEN 1 ELSE 0 END AS flip
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ), agg AS MATERIALIZED (
+      SELECT p_brand,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(t) AS BIGINT) AS true_returns,
+             CAST(count_if((t + flip) % 2 = 1) AS BIGINT) AS reported_returns
+      FROM rr GROUP BY 1
+    )
+    SELECT p_brand, n, true_returns, reported_returns,
+           CAST((true_returns * 1000000) // n AS BIGINT) AS true_ppm,
+           CAST((CASE WHEN 4 * reported_returns >= n THEN 1 ELSE -1 END)
+                * ((abs(4 * reported_returns - n) * 1000000) // (2 * n))
+                AS BIGINT) AS estimated_ppm
+    FROM agg
+    """,
+)
+def randomized_response_returns_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warner's randomized response (JASA 1965) on the per-row return
+    flag: each row reports the TRUTH with probability 3/4 and the
+    flip with probability 1/4 (the dyadic design — two seeded hash
+    bits decide, so the obfuscation is reproducible and bit-exact in
+    both engines), giving each individual row plausible deniability
+    (ε = ln 3 local DP) while the aggregate debiases EXACTLY:
+    P(report) = 1/4 + p/2 ⇒ p̂ = (4·obs − n)/(2n), emitted as a
+    sign-factored ppm integer next to the true rate the curator can
+    compare against. One broadcast-dim pass, zero floats."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pt = spark.read.parquet(f"{sf_dir}/part.parquet")
+
+    def mix(expr: str, salt: int) -> str:
+        s0 = f"(({expr}) % 4294967296 * 73244475 + {salt} * 2246822519) % 4294967296"
+        s1 = f"((({s0}) ^ (({s0}) >> 16)) * 73244475) % 4294967296"
+        return f"((({s1}) ^ (({s1}) >> 16)) * 73244475) % 4294967296"
+
+    rr = li.join(
+        F.broadcast(pt.select("p_partkey", "p_brand")),
+        li["l_partkey"] == F.col("p_partkey"),
+    ).selectExpr(
+        "p_brand",
+        "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS t",
+        f"CASE WHEN ({mix('l_orderkey * 8 + l_linenumber', 7211)}) % 4 = 0"
+        " THEN 1 ELSE 0 END AS flip",
+    )
+    agg = rr.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("t").cast("bigint").alias("true_returns"),
+        F.count_if(F.expr("(t + flip) % 2 = 1"))
+        .cast("bigint")
+        .alias("reported_returns"),
+    )
+    return agg.selectExpr(
+        "p_brand",
+        "n",
+        "true_returns",
+        "reported_returns",
+        "CAST((true_returns * 1000000) div n AS BIGINT) AS true_ppm",
+        "CAST((CASE WHEN 4 * reported_returns >= n THEN 1 ELSE -1 END)"
+        " * ((abs(4 * reported_returns - n) * 1000000) div (2 * n))"
+        " AS BIGINT) AS estimated_ppm",
+    )

@@ -130,7 +130,8 @@ FAMILY_GROUPS: dict[str, list[str]] = {
     "privacy": [
         "pseudonymize_pii", "pii_redact", "k_anonymity_customers",
         "k_anonymity_audit_customers", "l_diversity_customers",
-        "t_closeness_customers",
+        "t_closeness_customers", "dp_geometric_counts_nations",
+        "randomized_response_returns",
     ],
     "entity-resolution": [
         "soundex_blocking_parts", "entity_match_ed1", "sorted_neighborhood_matches",

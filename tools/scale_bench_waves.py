@@ -150,6 +150,9 @@ QUERIES_TO_SCALE = [
     "partial_corr_rev_qty_disc",
     "lead_lag_ccf_rev_qty",
     "moods_median_status",
+    # round-9 wave 23
+    "dp_geometric_counts_nations",
+    "randomized_response_returns",
     # round-8 waves 4-6
     "dau_mau_stickiness_events",
     "zorder_locality_customers",
