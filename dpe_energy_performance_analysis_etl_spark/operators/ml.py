@@ -53,37 +53,21 @@ def _sq_dist_int(a: Column, b: Column) -> Column:
     )
 
 
-def kmeans_lloyd_portable(
+def _lloyd_fit(
     vectors: DataFrame,
-    k: int = 8,
-    iterations: int = 2,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-) -> DataFrame:
-    """Lloyd's k-means (fixed rounds, deterministic seeds = the k
-    lowest-id vectors) in pure integer arithmetic:
-
-      assign: cluster = argmin_c Σ_d (x_d − c_d)², ties → smallest
-              cluster id (min-struct pick — engine-exact)
-      update: c_d = (Σ members x_d) div |members|  (non-negative
-              integer division — identical trunc/floor on both
-              engines thanks to the +offset shift in ``_int_vec``)
-
-    Every round is a pure function of the previous centroids, so an
-    unrolled SQL replay is bit-identical — the iterative-oracle
-    property PageRank/LPA/HITS use, now for clustering.
-
-    Scale shape per round: one broadcast of the k×dim centroid table,
-    one |V|-row argmin (array codegen, no explode of the corpus), one
-    (cluster, dim) aggregation of the EXPLODED members — |V|·dim rows
-    keyed on (cluster, dim), map-side combinable. Empty clusters drop
-    out (both engines agree). Distance bound: dim·(2·offset)² ≈ 2.7e8
-    per pair — int64 headroom to ~10^10-dim·count products.
-
-    Returns per surviving cluster: (cluster, n_members, inertia,
-    centroid_sum) — counts and integer sums only, scalar output for
-    the hash gate.
-    """
+    k: int,
+    iterations: int,
+    vec_col: str,
+    id_col: str,
+):
+    """The shared Lloyd loop behind :func:`kmeans_lloyd_portable` and
+    :func:`kmeans_validity_indices`: deterministic lowest-id seeds,
+    integer coordinates, min-struct argmin, integer-division centroid
+    updates, per-round eager checkpoint of the bounded centroid
+    table. Returns (cached base, last-round assignment, FINAL
+    post-update centroids) — note the assignment's ``dist`` is
+    against the centroids ENTERING the last round (the same
+    convention the unrolled oracle replays)."""
     base = vectors.select(
         F.col(id_col).alias("vid"), _int_vec(F.col(vec_col)).alias("v")
     ).cache()
@@ -131,6 +115,42 @@ def kmeans_lloyd_portable(
         # small (k×dim) table consumed by next round's broadcast AND
         # the final centroid_sum — materialize eagerly, cut lineage
         cents = cents.localCheckpoint()
+
+    return base, assigned, cents
+
+
+def kmeans_lloyd_portable(
+    vectors: DataFrame,
+    k: int = 8,
+    iterations: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Lloyd's k-means (fixed rounds, deterministic seeds = the k
+    lowest-id vectors) in pure integer arithmetic:
+
+      assign: cluster = argmin_c Σ_d (x_d − c_d)², ties → smallest
+              cluster id (min-struct pick — engine-exact)
+      update: c_d = (Σ members x_d) div |members|  (non-negative
+              integer division — identical trunc/floor on both
+              engines thanks to the +offset shift in ``_int_vec``)
+
+    Every round is a pure function of the previous centroids, so an
+    unrolled SQL replay is bit-identical — the iterative-oracle
+    property PageRank/LPA/HITS use, now for clustering.
+
+    Scale shape per round: one broadcast of the k×dim centroid table,
+    one |V|-row argmin (array codegen, no explode of the corpus), one
+    (cluster, dim) aggregation of the EXPLODED members — |V|·dim rows
+    keyed on (cluster, dim), map-side combinable. Empty clusters drop
+    out (both engines agree). Distance bound: dim·(2·offset)² ≈ 2.7e8
+    per pair — int64 headroom to ~10^10-dim·count products.
+
+    Returns per surviving cluster: (cluster, n_members, inertia,
+    centroid_sum) — counts and integer sums only, scalar output for
+    the hash gate.
+    """
+    base, assigned, cents = _lloyd_fit(vectors, k, iterations, vec_col, id_col)
 
     cent_sums = cents.select(
         "cluster",
@@ -757,4 +777,107 @@ def ips_policy_value(
         F.sum(F.when(matched, F.col("r")).otherwise(0))
         .cast("bigint")
         .alias("matched_reward"),
+    )
+
+
+def kmeans_validity_indices(
+    vectors: DataFrame,
+    k: int = 8,
+    iterations: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Internal clustering-validity indices for the portable k-means
+    fit — the "was k a good idea" readout, exact-integer throughout:
+
+    * **Simplified silhouette** (Hruschka et al. 2004 — centroid
+      distances instead of the O(n²) pairwise means), on SQUARED
+      integer distances to the FINAL centroids: per point
+      s' = (b² − a²)/max(a², b²) with a² = own centroid, b² = the
+      nearest OTHER centroid; each point floors to ppm (the
+      documented per-element floor variant), per-cluster mean is one
+      integer division. ``n_negative`` counts points whose nearest
+      final centroid is not their assigned one — the stability
+      residue of stopping Lloyd after ``iterations`` rounds.
+    * **Calinski-Harabasz** variance-ratio (1974):
+      CH = (B/(k−1)) / (W/(n−k)) with W = Σ a² and B = T − W from
+      the n-scaled total scatter (n² cancels in the ratio) —
+      emitted ppm with one truncating division.
+
+    Scale shape: one k-wide broadcast scoring pass over the
+    assignment (conditional-aggregation argmin — no second shuffle),
+    one bounded per-cluster fold, one scatter aggregation over the
+    cached base. Returns per surviving cluster (cluster, n_members,
+    mean_silhouette_ppm, n_negative, ch_ppm) — ch_ppm repeats per
+    row (a global scalar on the cluster grain).
+    """
+    base, assigned, cents = _lloyd_fit(vectors, k, iterations, vec_col, id_col)
+
+    scored = (
+        assigned.select("vid", F.col("cluster").alias("own"), "v")
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "vid",
+            "own",
+            "cluster",
+            _sq_dist_int(F.col("v"), F.col("c")).alias("dist"),
+        )
+    )
+    pts = scored.groupBy("vid", "own").agg(
+        F.min(F.expr("CASE WHEN cluster = own THEN dist END"))
+        .cast("bigint")
+        .alias("a2"),
+        F.min(F.expr("CASE WHEN cluster <> own THEN dist END"))
+        .cast("bigint")
+        .alias("b2"),
+    )
+    sil = pts.selectExpr(
+        "own AS cluster",
+        "a2",
+        "b2",
+        "CASE WHEN greatest(a2, b2) > 0 THEN"
+        " (CASE WHEN b2 >= a2 THEN 1 ELSE -1 END)"
+        " * ((abs(b2 - a2) * 1000000) div greatest(a2, b2))"
+        " ELSE 0 END AS s_ppm",
+    )
+    per_cluster = sil.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        # the sum can be negative — sign factored out of the
+        # truncating division (CLAUDE.md rule)
+        F.expr(
+            "CAST((CASE WHEN SUM(s_ppm) >= 0 THEN 1 ELSE -1 END)"
+            " * (abs(SUM(s_ppm)) div COUNT(1)) AS BIGINT)"
+        ).alias("mean_silhouette_ppm"),
+        F.count_if(F.col("b2") < F.col("a2")).cast("bigint").alias("n_negative"),
+        F.sum("a2").cast("bigint").alias("_w_part"),
+    ).localCheckpoint(eager=True)  # bounded; feeds output + W/k totals
+    totals = per_cluster.agg(
+        F.sum("_w_part").cast("bigint").alias("w"),
+        F.sum("n_members").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("kk"),
+    )
+    dims = base.select(F.posexplode("v").alias("d", "x"))
+    scatter = dims.groupBy("d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nd"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("sxx"),
+    )
+    tn2 = scatter.agg(
+        F.sum(
+            F.expr("nd * sxx - CAST(sx AS DECIMAL(38,0)) * sx")
+        ).alias("tn2")
+    )
+    return (
+        per_cluster.crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(tn2))
+        .selectExpr(
+            "cluster",
+            "n_members",
+            "mean_silhouette_ppm",
+            "n_negative",
+            "CASE WHEN kk > 1 AND w > 0 AND n > kk THEN CAST("
+            " ((tn2 - CAST(w AS DECIMAL(38,0)) * n) * (n - kk) * 1000000)"
+            " div (CAST(w AS DECIMAL(38,0)) * n * (kk - 1))"
+            " AS BIGINT) END AS ch_ppm",
+        )
     )

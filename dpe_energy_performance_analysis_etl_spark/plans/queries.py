@@ -20660,3 +20660,118 @@ def randomized_response_returns_q(spark: SparkSession, sf_dir: str) -> DataFrame
         " * ((abs(4 * reported_returns - n) * 1000000) div (2 * n))"
         " AS BIGINT) AS estimated_ppm",
     )
+
+
+# =====================================================================
+# Round 9, wave 24: clustering validity indices
+# =====================================================================
+
+@register(
+    "kmeans_validity_embeddings",
+    """
+    WITH vecs AS MATERIALIZED (
+      SELECT vec_id AS vid,
+             CAST(unnest(range(0, len(embedding))) AS BIGINT) AS d,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1024) + 1024
+                  AS BIGINT) AS x
+      FROM embeddings
+    ), seeds AS (
+      SELECT vid FROM (
+        SELECT vid, row_number() OVER (ORDER BY vid) AS rn
+        FROM (SELECT DISTINCT vid FROM vecs)
+      ) WHERE rn <= 8
+    ), c0 AS MATERIALIZED (
+      SELECT v.vid AS cluster, v.d, v.x AS cd
+      FROM vecs v JOIN seeds s ON s.vid = v.vid
+    ), a1 AS MATERIALIZED (
+      SELECT v.vid, c.cluster,
+             CAST(SUM((v.x - c.cd) * (v.x - c.cd)) AS BIGINT) AS dist
+      FROM vecs v JOIN c0 c ON v.d = c.d
+      GROUP BY 1, 2
+    ), b1 AS MATERIALIZED (
+      SELECT vid, cluster FROM (
+        SELECT vid, cluster,
+               row_number() OVER (PARTITION BY vid ORDER BY dist, cluster) AS rn
+        FROM a1
+      ) WHERE rn = 1
+    ), c1 AS MATERIALIZED (
+      SELECT b.cluster, v.d, CAST(SUM(v.x) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS cd
+      FROM b1 b JOIN vecs v ON v.vid = b.vid
+      GROUP BY 1, 2
+    ), a2 AS MATERIALIZED (
+      SELECT v.vid, c.cluster,
+             CAST(SUM((v.x - c.cd) * (v.x - c.cd)) AS BIGINT) AS dist
+      FROM vecs v JOIN c1 c ON v.d = c.d
+      GROUP BY 1, 2
+    ), b2 AS MATERIALIZED (
+      SELECT vid, cluster FROM (
+        SELECT vid, cluster, dist,
+               row_number() OVER (PARTITION BY vid ORDER BY dist, cluster) AS rn
+        FROM a2
+      ) WHERE rn = 1
+    ), c2 AS MATERIALIZED (
+      SELECT b.cluster, v.d, CAST(SUM(v.x) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS cd
+      FROM b2 b JOIN vecs v ON v.vid = b.vid
+      GROUP BY 1, 2
+    ), fin AS MATERIALIZED (
+      SELECT b.vid, b.cluster AS own, c.cluster,
+             CAST(SUM((v.x - c.cd) * (v.x - c.cd)) AS BIGINT) AS dist
+      FROM b2 b JOIN vecs v ON v.vid = b.vid JOIN c2 c ON c.d = v.d
+      GROUP BY 1, 2, 3
+    ), pts AS MATERIALIZED (
+      SELECT vid, own,
+             CAST(MIN(CASE WHEN cluster = own THEN dist END) AS BIGINT) AS a2d,
+             CAST(MIN(CASE WHEN cluster <> own THEN dist END) AS BIGINT) AS b2d
+      FROM fin GROUP BY 1, 2
+    ), sil AS MATERIALIZED (
+      SELECT own AS cluster, a2d, b2d,
+             CASE WHEN greatest(a2d, b2d) > 0 THEN
+               (CASE WHEN b2d >= a2d THEN 1 ELSE -1 END)
+               * ((abs(b2d - a2d) * 1000000) // greatest(a2d, b2d))
+             ELSE 0 END AS s_ppm
+      FROM pts
+    ), pc AS MATERIALIZED (
+      SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members,
+             CAST((CASE WHEN SUM(s_ppm) >= 0 THEN 1 ELSE -1 END)
+                  * (abs(SUM(s_ppm)) // COUNT(*)) AS BIGINT)
+               AS mean_silhouette_ppm,
+             CAST(count_if(b2d < a2d) AS BIGINT) AS n_negative,
+             CAST(SUM(a2d) AS BIGINT) AS w_part
+      FROM sil GROUP BY 1
+    ), tt AS MATERIALIZED (
+      SELECT CAST(SUM(w_part) AS BIGINT) AS w,
+             CAST(SUM(n_members) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS kk
+      FROM pc
+    ), sc AS MATERIALIZED (
+      SELECT SUM(nd::HUGEINT * sxx - sx::HUGEINT * sx) AS tn2 FROM (
+        SELECT d, CAST(COUNT(*) AS BIGINT) AS nd,
+               CAST(SUM(x) AS BIGINT) AS sx, SUM(x::HUGEINT * x) AS sxx
+        FROM vecs GROUP BY d
+      )
+    )
+    SELECT pc.cluster, pc.n_members, pc.mean_silhouette_ppm, pc.n_negative,
+           CASE WHEN tt.kk > 1 AND tt.w > 0 AND tt.n > tt.kk THEN CAST(
+             ((sc.tn2 - tt.w::HUGEINT * tt.n) * (tt.n - tt.kk) * 1000000)
+             // (tt.w::HUGEINT * tt.n * (tt.kk - 1)) AS BIGINT)
+           END AS ch_ppm
+    FROM pc, tt, sc
+    """,
+)
+def kmeans_validity_embeddings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Internal clustering-validity readout for the portable k-means
+    fit (operators/ml.py kmeans_validity_indices): per cluster the
+    SIMPLIFIED silhouette on exact squared integer distances to the
+    final centroids (per-point ppm floors, sign-factored mean), the
+    count of points whose nearest final centroid is not their
+    assigned one, and the Calinski-Harabasz variance ratio (global
+    scalar, n-scaled scatter so n cancels exactly) — the "was k = 8
+    a good idea" diagnostics, all integer divisions. Same unrolled
+    two-round Lloyd prefix as kmeans_lloyd_portable; one extra
+    k-wide broadcast scoring pass — no second corpus shuffle."""
+    from dpe_energy_performance_analysis_etl_spark.operators.ml import (
+        kmeans_validity_indices,
+    )
+
+    emb = read_embeddings(spark, sf_dir)
+    return kmeans_validity_indices(emb, k=8, iterations=2)

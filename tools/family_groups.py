@@ -151,6 +151,7 @@ FAMILY_GROUPS: dict[str, list[str]] = {
     ],
     "clustering": [
         "kmeans_lloyd_portable", "dbscan_customer_sites",
+        "kmeans_validity_embeddings",
     ],
     "sketches": [
         "approx_distinct", "cms_token_frequency", "cms_join_size_estimate",

@@ -153,6 +153,8 @@ QUERIES_TO_SCALE = [
     # round-9 wave 23
     "dp_geometric_counts_nations",
     "randomized_response_returns",
+    # round-9 wave 24
+    "kmeans_validity_embeddings",
     # round-8 waves 4-6
     "dau_mau_stickiness_events",
     "zorder_locality_customers",
