@@ -20775,3 +20775,126 @@ def kmeans_validity_embeddings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = read_embeddings(spark, sf_dir)
     return kmeans_validity_indices(emb, k=8, iterations=2)
+
+
+# =====================================================================
+# Round 9, wave 25: Haar wavelet energy decomposition
+# =====================================================================
+
+_HAAR_LEVELS = 4  # over the first 64 months: 32+16+8+4 detail coeffs
+
+
+def _haar_oracle_level(lvl: int) -> str:
+    src = "base0" if lvl == 1 else f"s{lvl - 1}"
+    return f"""
+    , d{lvl} AS MATERIALIZED (
+      SELECT (k - 1) // 2 AS k,
+             SUM(CASE WHEN k % 2 = 1 THEN v ELSE -v END) AS d,
+             SUM(v) AS s
+      FROM {src} GROUP BY 1 HAVING COUNT(*) = 2
+    ), s{lvl} AS MATERIALIZED (
+      SELECT k + 1 AS k, s AS v FROM d{lvl}
+    ), e{lvl} AS MATERIALIZED (
+      SELECT {lvl} AS level, CAST(COUNT(*) AS BIGINT) AS n_coeffs,
+             CAST(SUM(d::HUGEINT * d) * {1 << (_HAAR_LEVELS - lvl)}
+                  AS HUGEINT) AS e_scaled
+      FROM d{lvl}
+    )"""
+
+
+@register(
+    "haar_energy_revenue",
+    f"""
+    WITH monthly AS MATERIALIZED (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS rev
+      FROM orders GROUP BY 1
+    ), base0 AS MATERIALIZED (
+      SELECT k, rev AS v FROM (
+        SELECT row_number() OVER (ORDER BY month) AS k, rev FROM monthly
+      ) WHERE k <= 64
+    ){"".join(_haar_oracle_level(l) for l in range(1, _HAAR_LEVELS + 1))}
+    , alle AS MATERIALIZED (
+      {" UNION ALL ".join(f"SELECT * FROM e{l}" for l in range(1, _HAAR_LEVELS + 1))}
+    ), tot AS MATERIALIZED (
+      SELECT SUM(e_scaled) AS te FROM alle
+    )
+    SELECT level, n_coeffs, CAST(e_scaled AS DOUBLE) AS energy_scaled,
+           CASE WHEN tot.te > 0 THEN
+             CAST((e_scaled * 1000000) // tot.te AS BIGINT)
+           END AS share_ppm
+    FROM alle, tot
+    """,
+)
+def haar_energy_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Haar wavelet energy decomposition of the first 64 months of
+    revenue (Haar 1910; the wavelet variance spectrum): level-l
+    detail coefficients are UNNORMALIZED pairwise differences of the
+    level-(l−1) smooth — exact integers — and each level's energy is
+    rescaled by 2^(L−l) so the dyadic 1/2^l normalizations cancel
+    into one exact integer share: which time-scale (2-month swings
+    up to 16-month cycles) carries the variance? The scale-localized
+    complement of Ljung-Box (correlation per lag) and R/S (global
+    memory). Four levels of bounded stride-2 aggregations over the
+    pinned month table; energies emitted as scale-0 doubles, shares
+    as exact ppm integers."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    monthly = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month")
+    ).agg(
+        F.sum(
+            F.expr("CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT)")
+        )
+        .cast("bigint")
+        .alias("rev")
+    )
+    wi = Window.orderBy("month")
+    cur = (
+        monthly.select(F.row_number().over(wi).alias("k"), F.col("rev").alias("v"))
+        .where(F.col("k") <= 64)
+        .localCheckpoint(eager=True)
+    )
+    levels = []
+    for lvl in range(1, _HAAR_LEVELS + 1):
+        dd = (
+            cur.groupBy(F.expr("(k - 1) div 2").alias("k"))
+            .agg(
+                F.sum(F.expr("CASE WHEN k % 2 = 1 THEN v ELSE -v END")).alias("d"),
+                F.sum("v").alias("s"),
+                F.count(F.lit(1)).alias("_c"),
+            )
+            # a trailing orphan is not a pair — it carries no Haar
+            # difference and must not leak into the next level
+            .where(F.col("_c") == 2)
+            .drop("_c")
+        )
+        # bounded (≤64/2^l rows), consumed by the energy agg AND the
+        # next level — pinned
+        dd = dd.localCheckpoint(eager=True)
+        levels.append(
+            dd.agg(
+                F.lit(lvl).alias("level"),
+                F.count(F.lit(1)).cast("bigint").alias("n_coeffs"),
+                F.sum(F.expr("CAST(d AS DECIMAL(38,0)) * d"))
+                .alias("_raw_e"),
+            ).selectExpr(
+                "level",
+                "n_coeffs",
+                f"_raw_e * {1 << (_HAAR_LEVELS - lvl)} AS e_scaled",
+            )
+        )
+        # re-base k to 1 so (k - 1) div 2 never sees a negative
+        cur = dd.select((F.col("k") + 1).alias("k"), F.col("s").alias("v"))
+    alle = levels[0]
+    for o in levels[1:]:
+        alle = alle.unionAll(o)
+    alle = alle.localCheckpoint(eager=True)  # 4 rows; feeds total + output
+    tot = alle.agg(F.sum("e_scaled").alias("te"))
+    return alle.crossJoin(F.broadcast(tot)).selectExpr(
+        "level",
+        "n_coeffs",
+        "CAST(e_scaled AS DOUBLE) AS energy_scaled",
+        "CASE WHEN te > 0 THEN CAST((e_scaled * 1000000) div te AS BIGINT)"
+        " END AS share_ppm",
+    )

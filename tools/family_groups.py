@@ -209,7 +209,7 @@ FAMILY_GROUPS: dict[str, list[str]] = {
         "peaks_monthly_revenue", "ljung_box_revenue",
         "runs_test_revenue_deltas", "turning_points_revenue",
         "grubbs_outlier_month", "rescaled_range_revenue",
-        "lead_lag_ccf_rev_qty",
+        "lead_lag_ccf_rev_qty", "haar_energy_revenue",
     ],
     "survival": [
         "kaplan_meier_orders", "nelson_aalen_orders", "logrank_orders",

@@ -155,6 +155,8 @@ QUERIES_TO_SCALE = [
     "randomized_response_returns",
     # round-9 wave 24
     "kmeans_validity_embeddings",
+    # round-9 wave 25
+    "haar_energy_revenue",
     # round-8 waves 4-6
     "dau_mau_stickiness_events",
     "zorder_locality_customers",
