@@ -125,9 +125,12 @@ def shingle_pairs_jaccard(
     )
     sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_shingles").alias("size_a"))
     sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_shingles").alias("size_b"))
+    # sizes is one row per DOCUMENT — it grows with the corpus, so
+    # both attaches stream through shuffle joins (VERDICT r9
+    # broadcast-class audit); AQE promotes when measurably small
     out = (
-        common.join(F.broadcast(sa), on="doc_a")
-        .join(F.broadcast(sb), on="doc_b")
+        common.join(sa, on="doc_a")
+        .join(sb, on="doc_b")
         .withColumn(
             "jaccard",
             F.col("n_common").cast("double")

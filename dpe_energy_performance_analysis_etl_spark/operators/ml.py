@@ -875,9 +875,18 @@ def kmeans_validity_indices(
             "n_members",
             "mean_silhouette_ppm",
             "n_negative",
+            # B = tn2 - w*n can go negative on pathological inputs
+            # (integer-truncated centroids vs entering-round
+            # assignment), so the truncating division is sign-
+            # factored like mean_silhouette_ppm — never relying on
+            # engine-specific negative-operand floor/trunc behavior
+            # (ADVICE r9).
             "CASE WHEN kk > 1 AND w > 0 AND n > kk THEN CAST("
-            " ((tn2 - CAST(w AS DECIMAL(38,0)) * n) * (n - kk) * 1000000)"
-            " div (CAST(w AS DECIMAL(38,0)) * n * (kk - 1))"
+            " (CASE WHEN tn2 >= CAST(w AS DECIMAL(38,0)) * n"
+            "       THEN 1 ELSE -1 END)"
+            " * ((abs(tn2 - CAST(w AS DECIMAL(38,0)) * n)"
+            "     * (n - kk) * 1000000)"
+            "    div (CAST(w AS DECIMAL(38,0)) * n * (kk - 1)))"
             " AS BIGINT) END AS ch_ppm",
         )
     )

@@ -1981,6 +1981,14 @@ def jonckheere_pairwise_u(
         grouped_running_totals,
     )
 
+    if len(samples) < 2:
+        # an empty/singleton class list generates explode(array())
+        # with no pair structs -> cryptic analyzer error downstream
+        raise ValueError(
+            "jonckheere_pairwise_u needs >=2 ordered samples (got"
+            f" {len(samples)}): U_ij is defined on sample pairs"
+        )
+
     tags = list(range(len(samples)))
     tiers = df.groupBy(
         F.col(group_col).alias("g"), F.col(value_col).alias("v")
@@ -2280,6 +2288,14 @@ def kendall_tau_b_bounded(
     from dpe_energy_performance_analysis_etl_spark.operators.quantiles import (
         grouped_running_totals,
     )
+
+    if len(x_values) < 2:
+        # with <2 classes the generated conc/disc term lists are
+        # empty strings -> '() AS conc_row' is a cryptic parse error
+        raise ValueError(
+            "kendall_tau_b_bounded needs >=2 x_values (got"
+            f" {len(x_values)}): concordance is a pairwise notion"
+        )
 
     tags = list(range(len(x_values)))
     tiers = df.groupBy(

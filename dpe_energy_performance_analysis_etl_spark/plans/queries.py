@@ -1774,7 +1774,7 @@ def q14_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = spark.read.parquet(f"{sf_dir}/part.parquet")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
-    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).filter(
+    joined = li.join(part, li.l_partkey == part.p_partkey).filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
     )
@@ -1829,7 +1829,7 @@ def q19_or_of_ands(spark: SparkSession, sf_dir: str) -> DataFrame:
     pushes the common parts and plans one join."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     part = spark.read.parquet(f"{sf_dir}/part.parquet")
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    j = li.join(part, li.l_partkey == part.p_partkey)
     b = (
         ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 21))
         | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 30) & F.col("l_quantity").between(10, 30))
@@ -2155,8 +2155,8 @@ def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     bad = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
     return (
         t["lineitem"]
-        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
-        .join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .join(bad, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(pt, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -2190,7 +2190,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     pt = t["part"].filter((F.col("p_brand") == "Brand#23") & (F.col("p_size") < 5)).select("p_partkey")
     return (
         t["lineitem"]
-        .join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .join(pt, F.col("l_partkey") == F.col("p_partkey"))
         .join(avg_qty, F.col("l_partkey") == F.col("ap_partkey"))
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
         .agg((dsum_fast("l_extendedprice") / 7.0).alias("avg_yearly"))
@@ -2246,7 +2246,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_orderkey") == F.col("l3_orderkey")) & (F.col("l_suppkey") != F.col("l3_suppkey")),
             "left_anti",
         )
-        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
@@ -2284,7 +2284,7 @@ def q20_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
         )
-        .join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .join(pt, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_suppkey")
         .agg(dsum_fast("l_quantity").alias("tot_qty"))
         .filter(F.col("tot_qty") > 150.0)
@@ -2346,7 +2346,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cost = (
         t["lineitem"]
-        .join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .join(pt, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_partkey", "l_suppkey")
         .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
     )
@@ -2354,7 +2354,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # grouped rows are already partitioned compatibly)
     w = Window.partitionBy("p_partkey")
     return (
-        cost.join(F.broadcast(eu_dim), F.col("l_suppkey") == F.col("s_suppkey"))
+        cost.join(eu_dim, F.col("l_suppkey") == F.col("s_suppkey"))
         .withColumn("min_cost", F.min("unit_cost").over(w))
         .filter(F.col("unit_cost") == F.col("min_cost"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "unit_cost")
@@ -2401,7 +2401,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
         .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(t["part"].filter(F.col("p_type") == "ECONOMY").select("p_partkey")),
+        .join(t["part"].filter(F.col("p_type") == "ECONOMY").select("p_partkey"),
               F.col("l_partkey") == F.col("p_partkey"))
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
         .join(F.broadcast(t["region"].filter(F.col("r_name") == "AMERICA")),
@@ -2453,7 +2453,7 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = (
         t["lineitem"]
-        .join(F.broadcast(t["part"].filter(F.col("p_name").like("%gear%")).select("p_partkey", "p_retailprice")),
+        .join(t["part"].filter(F.col("p_name").like("%gear%")).select("p_partkey", "p_retailprice"),
               F.col("l_partkey") == F.col("p_partkey"))
         .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
         .join(t["orders"].select("o_orderkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
@@ -2496,7 +2496,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_suppkey")
     )
-    base = t["lineitem"].join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey")).select(
+    base = t["lineitem"].join(sup, F.col("l_suppkey") == F.col("s_suppkey")).select(
         "l_partkey", "l_extendedprice"
     )
     value = base.groupBy("l_partkey").agg(dsum_fast("l_extendedprice").alias("value"))
@@ -2544,7 +2544,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue.join(F.broadcast(max_rev))
         .filter(F.col("total_revenue") == F.col("max_rev"))
-        .join(F.broadcast(t["supplier"].select("s_suppkey", "s_name")),
+        .join(t["supplier"].select("s_suppkey", "s_name"),
               F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
@@ -2898,7 +2898,7 @@ def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens = docs.select("doc_id", F.explode(tokens_expr("text")).alias("term"))
     tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(F.broadcast(dfreq), on="term").withColumn(
+    scored = tf.join(dfreq, on="term").withColumn(
         "score", F.col("tf").cast("double") / F.col("df").cast("double")
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
@@ -15896,7 +15896,7 @@ def trimmed_mean_price_brand_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # than pinning, measured r9), so the feed must be a broadcast
     # probe, not a shuffle join re-executed per pass
     base = li.join(
-        F.broadcast(pt.select("p_partkey", "p_brand")),
+        pt.select("p_partkey", "p_brand"),
         li["l_partkey"] == F.col("p_partkey"),
     ).select(
         F.col("p_brand").alias("b"),
@@ -16959,7 +16959,7 @@ def quadratic_trend_nations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = spark.read.parquet(f"{sf_dir}/customer.parquet")
     n = spark.read.parquet(f"{sf_dir}/nation.parquet")
     monthly = (
-        o.join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+        o.join(c.select("c_custkey", "c_nationkey"),
                o["o_custkey"] == F.col("c_custkey"))
         .join(F.broadcast(n.select("n_nationkey", "n_name")),
               F.col("c_nationkey") == F.col("n_nationkey"))
@@ -17034,7 +17034,7 @@ def wilson_return_rate_brands_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     pt = spark.read.parquet(f"{sf_dir}/part.parquet")
     a = (
         li.join(
-            F.broadcast(pt.select("p_partkey", "p_brand")),
+            pt.select("p_partkey", "p_brand"),
             li["l_partkey"] == F.col("p_partkey"),
         )
         .groupBy("p_brand")
@@ -17513,7 +17513,7 @@ def spearman_qty_price_brands_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     pt = spark.read.parquet(f"{sf_dir}/part.parquet")
     base = li.join(
-        F.broadcast(pt.select("p_partkey", "p_brand")),
+        pt.select("p_partkey", "p_brand"),
         li["l_partkey"] == F.col("p_partkey"),
     ).select(
         "p_brand",
@@ -17676,7 +17676,7 @@ def copeland_brand_duels_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     pt = spark.read.parquet(f"{sf_dir}/part.parquet")
     cb = (
         li.join(o.select("o_orderkey", "o_custkey"), li["l_orderkey"] == F.col("o_orderkey"))
-        .join(F.broadcast(pt.select("p_partkey", "p_brand")), li["l_partkey"] == F.col("p_partkey"))
+        .join(pt.select("p_partkey", "p_brand"), li["l_partkey"] == F.col("p_partkey"))
         .groupBy(F.col("o_custkey").alias("cust"), F.col("p_brand").alias("b"))
         .agg(
             F.sum(
@@ -19769,7 +19769,7 @@ def required_sample_size_brands_q(spark: SparkSession, sf_dir: str) -> DataFrame
     pt = spark.read.parquet(f"{sf_dir}/part.parquet")
     a = (
         li.join(
-            F.broadcast(pt.select("p_partkey", "p_brand")),
+            pt.select("p_partkey", "p_brand"),
             li["l_partkey"] == F.col("p_partkey"),
         )
         .groupBy("p_brand")
@@ -19886,7 +19886,7 @@ def kendall_tau_qty_price_brands_q(spark: SparkSession, sf_dir: str) -> DataFram
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     pt = spark.read.parquet(f"{sf_dir}/part.parquet")
     base = li.join(
-        F.broadcast(pt.select("p_partkey", "p_brand")),
+        pt.select("p_partkey", "p_brand"),
         li["l_partkey"] == F.col("p_partkey"),
     ).select(
         "p_brand",
@@ -20406,7 +20406,7 @@ def lead_lag_ccf_rev_qty_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT g AS o_orderstatus, above, at_or_below,
            CAST(((above + at_or_below) * ta * 1000000) // tot.n AS BIGINT)
              AS e_above_scaled,
-           CAST(
+           CASE WHEN ta > 0 AND tb > 0 THEN CAST(
              ((above::HUGEINT * tot.n - (above + at_or_below)::HUGEINT * ta)
               * (above::HUGEINT * tot.n - (above + at_or_below)::HUGEINT * ta)
               * 1000000)
@@ -20417,7 +20417,7 @@ def lead_lag_ccf_rev_qty_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                    - (above + at_or_below)::HUGEINT * tb)
                 * 1000000)
                // ((above + at_or_below)::HUGEINT * tb * tot.n)
-           AS BIGINT) AS chi2_contrib_ppm
+           AS BIGINT) END AS chi2_contrib_ppm
     FROM cells, tot
     """,
 )
@@ -20471,7 +20471,10 @@ def moods_median_status_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "at_or_below",
         "CAST(((above + at_or_below) * ta * 1000000) div n AS BIGINT)"
         " AS e_above_scaled",
-        "CAST("
+        # ta=0 happens when the grand lower median equals the max
+        # value (every row at-or-below); ANSI div would raise — emit
+        # NULL instead (ADVICE r9; oracle mirrors the CASE).
+        "CASE WHEN ta > 0 AND tb > 0 THEN CAST("
         " ((CAST(above AS DECIMAL(38,0)) * n"
         "   - CAST(above + at_or_below AS DECIMAL(38,0)) * ta)"
         "  * (CAST(above AS DECIMAL(38,0)) * n"
@@ -20484,7 +20487,7 @@ def moods_median_status_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "       - CAST(above + at_or_below AS DECIMAL(38,0)) * tb)"
         "    * 1000000)"
         "   div (CAST(above + at_or_below AS DECIMAL(38,0)) * tb * n)"
-        " AS BIGINT) AS chi2_contrib_ppm",
+        " AS BIGINT) END AS chi2_contrib_ppm",
     )
 
 
@@ -20635,7 +20638,7 @@ def randomized_response_returns_q(spark: SparkSession, sf_dir: str) -> DataFrame
         return f"((({s1}) ^ (({s1}) >> 16)) * 73244475) % 4294967296"
 
     rr = li.join(
-        F.broadcast(pt.select("p_partkey", "p_brand")),
+        pt.select("p_partkey", "p_brand"),
         li["l_partkey"] == F.col("p_partkey"),
     ).selectExpr(
         "p_brand",
@@ -20752,8 +20755,10 @@ def randomized_response_returns_q(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     SELECT pc.cluster, pc.n_members, pc.mean_silhouette_ppm, pc.n_negative,
            CASE WHEN tt.kk > 1 AND tt.w > 0 AND tt.n > tt.kk THEN CAST(
-             ((sc.tn2 - tt.w::HUGEINT * tt.n) * (tt.n - tt.kk) * 1000000)
-             // (tt.w::HUGEINT * tt.n * (tt.kk - 1)) AS BIGINT)
+             (CASE WHEN sc.tn2 >= tt.w::HUGEINT * tt.n THEN 1 ELSE -1 END)
+             * ((abs(sc.tn2 - tt.w::HUGEINT * tt.n)
+                 * (tt.n - tt.kk) * 1000000)
+                // (tt.w::HUGEINT * tt.n * (tt.kk - 1))) AS BIGINT)
            END AS ch_ppm
     FROM pc, tt, sc
     """,

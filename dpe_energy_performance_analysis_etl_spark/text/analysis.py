@@ -361,7 +361,10 @@ def rake_keywords(
     scored_words = occ.select(
         "phrase", "n_words", "n_occurrences",
         F.explode(F.split("phrase", " ")).alias("word"),
-    ).join(F.broadcast(stats), "word")
+        # stats is one row per word TYPE — corpus-growing, so it
+        # streams through a shuffle join (VERDICT r9 broadcast-class
+        # audit); AQE promotes to broadcast when measurably small.
+    ).join(stats, "word")
     return scored_words.groupBy("phrase", "n_words", "n_occurrences").agg(
         F.sum(F.expr(f"(deg * {RAKE_SCALE}) div freq"))
         .cast("bigint")

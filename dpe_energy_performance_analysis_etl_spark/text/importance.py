@@ -92,9 +92,12 @@ def importance_score(
     )
 
     toks = _tokens(candidates, id_col, text_col)
+    # the vocab tables grow with the target/reference corpora — they
+    # stream through shuffle joins on `tok` (VERDICT r9 broadcast-
+    # class audit); AQE promotes to broadcast when measurably small
     joined = (
-        toks.join(F.broadcast(tvoc), on="tok", how="left")
-        .join(F.broadcast(rvoc), on="tok", how="left")
+        toks.join(tvoc, on="tok", how="left")
+        .join(rvoc, on="tok", how="left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
@@ -130,7 +133,7 @@ def dsir_log_ratio(
 ) -> DataFrame:
     """The paper's score: Σ_tokens log(p̂_target(w) / p̂_ref(w)) with
     add-one smoothing over the UNION vocabulary. Same plan shape as
-    ``importance_score`` (broadcast vocab joins, one per-doc agg);
+    ``importance_score`` (shuffle vocab joins, one per-doc agg);
     float log-sums make it pytest-verified, not oracle-hashed."""
     ref = reference if reference is not None else candidates
     tvoc = unigram_counts(target, text_col, id_col).withColumnRenamed("cnt", "tc")
@@ -155,7 +158,9 @@ def dsir_log_ratio(
         - F.log((F.col("rc") + 1).cast("double") / (F.col("r_total") + F.col("v")))
     )
     return (
-        toks.join(F.broadcast(vocab), on="tok", how="left")
+        # union-vocab table grows with the corpora — shuffle join on
+        # `tok`, never broadcast (VERDICT r9 broadcast-class audit)
+        toks.join(vocab, on="tok", how="left")
         .crossJoin(F.broadcast(sizes))
         # OOV tokens (absent from both corpora) carry weight 0 by the
         # smoothing symmetry only when totals match; keep them explicit:
