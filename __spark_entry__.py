@@ -186,61 +186,70 @@ from dpe_energy_performance_analysis_etl_spark.plans import QUERIES, ORACLE_SQL 
 #     (2), language-model (2), timeseries (2), sequence analytics
 #     (2), ML (1), privacy (1).
 _FRONT_50 = [
-    # -- core-relational/window leftovers (VERDICT r8 ask #2) --
-    "histogram_bins",
-    "unpivot_melt",
-    "posexplode_embeddings",
-    "array_functions",
-    "window_range_frame",
-    "json_struct_parse",
-    "deterministic_sample",
-    "tfidf_top_terms",
-    "events_resample_gapfill",
-    "funnel_stages",
-    # -- r8-new analytics block (ask #2) --
-    "rfm_segments_customers",
-    "weighted_median_price_brand",
-    "trimmed_mean_price_brand",
-    "dau_mau_stickiness_events",
-    "ri_audit_star_schema",
-    "pmi_collocations_docs",
-    "fd_discovery_customer",
-    # -- portable twins for the bare-✗ ledger families (ask #3) --
-    "simhash_portable_near_dups",
-    "ann_ivf_seeded_topk",
-    # -- streaming batch-twins (ask #6) --
-    "events_session_window_native",
-    "events_hopping_window",
-    # -- per-group backlog picks (ledger pressure metric) --
-    "ab_test_conversion",
-    "contingency_chi2_cells",
-    "robust_outliers_mad",
-    "winsorize_acctbal",
-    "key_skew_gini_partkey",
-    "lag_autocorr_revenue",
-    "c4_line_filter",
-    "html_strip_corpus",
-    "quality_filter_heuristic",
-    "vocab_growth_docs",
-    "conditional_agg_functions",
-    "value_histogram",
-    "column_profile",
-    "ratio_to_parent_revenue",
-    "stratified_sample_mix",
-    "split_assign_docs",
-    "length_bucket_batches",
-    "unpivot_measures",
-    "lateral_topk_orders",
-    "cdc_chunk_dedup",
-    "winnow_fingerprints_docs",
-    "zipf_ratio_tokens",
-    "ngram_counts_pruned",
-    "ewma_user_values",
-    "moving_zscore_anomalies",
-    "attribution_first_last",
-    "window_funnel_events",
-    "basket_cooccurrence_lift",
-    "pii_redact",
+    # Round-10 rotation (VERDICT r9 ask #2, drawn MECHANICALLY from
+    # tools/driver_ledger.py): all fifty r9 slots recorded green in
+    # CORRECTNESS_r09.json, so the whole window rotates once more to
+    # never-recorded, oracle-backed families (138 never-recorded
+    # after r9, of which 128 carry oracles; 88 total remain after
+    # this window records). These 50 are exactly the OLDEST of the
+    # oracle-backed backlog in registry order — the pre-r9 families
+    # the per-group pressure metric kept deferring (curation,
+    # packing/splits, retrieval, spatial, feature encoding, sampling,
+    # sharding, view-delta, similarity, sequence analytics) — so the
+    # deepest debt retires first; the r9 statistical block (waves
+    # 12-25) queues behind them for r11. All 50 were green in this
+    # round's full 360-oracle gate re-run before rotation, and all
+    # carry scalar-only output schemas (test_front50_contract.py).
+    "text_clean_corpus",
+    "percent_of_total_window",
+    "kmv_distinct_tokens",
+    "interarrival_percentiles",
+    "cluster_canonical_survivors",
+    "chunk_documents",
+    "epoch_shard_assign",
+    "hashed_classifier_gate",
+    "group_sample_reservoir",
+    "low_value_runs",
+    "item_item_cosine_sim",
+    "equi_depth_bins_price",
+    "phrase_search_docs",
+    "month_over_month_revenue",
+    "k_anonymity_customers",
+    "weighted_sample_docs",
+    "target_encode_loo_acctbal",
+    "feature_hash_customers",
+    "vocab_id_assignment",
+    "point_in_polygon_tags",
+    "group_linregress_qty_disc",
+    "hard_negative_mining",
+    "source_overlap_matrix",
+    "negative_sampling_words",
+    "fim_transform_docs",
+    "preference_pairs_quality",
+    "distinctive_terms_source",
+    "ivfpq_topk_embeddings",
+    "substring_dup_stats",
+    "substring_dedup_clean",
+    "salted_join_supplier_revenue",
+    "domain_document_stats",
+    "target_mixture_weights_docs",
+    "join_view_delta_signed_orders",
+    "range_lookup_order_tiers",
+    "abc_classification_brands",
+    "dictionary_encode_priority",
+    "link_graph_domains",
+    "asof_join_forward_events",
+    "seasonal_naive_mase",
+    "walk_skipgram_pairs",
+    "t_closeness_customers",
+    "cdc_chunk_spans",
+    "landmark_bfs_parts",
+    "pass_at_k_customers",
+    "bigram_containment_pairs",
+    "distinct_n_docs",
+    "simpson_user_events",
+    "degree_assortativity_trade",
+    "community_modularity_nations",
 ]
 
 
