@@ -1,0 +1,18 @@
+"""Family chunks of the query registry — imported IN ORDER
+by plans/queries.py (QUERIES insertion order is the
+contract; never reorder these imports)."""
+
+FAMILY_MODULES = [
+    "f00_q1_pricing_summary",
+    "f01_json_struct_parse",
+    "f02_interarrival_percentiles",
+    "f03_inverted_index_postings",
+    "f04_l_diversity_customers",
+    "f05_bigram_containment_pairs",
+    "f06_iblt_set_reconcile",
+    "f07_emd_price_drift",
+    "f08_mann_whitney_priority_nation",
+    "f09_ohlc_monthly_orders",
+    "f10_mcnemar_repeat_purchase",
+    "f11_neyman_allocation_nations",
+]

@@ -1,0 +1,1811 @@
+"""Query-registry family chunk 3 (auto-split from the
+historical plans/queries.py lines 5523-7300; registration
+order preserved — see plans/queries.py facade)."""
+
+from __future__ import annotations
+
+from dpe_energy_performance_analysis_etl_spark.plans._core import (  # noqa: F401
+    Callable,
+    DataFrame,
+    SparkSession,
+    Window,
+    F,
+    epoch_double,
+    epoch_micros,
+    epoch_seconds,
+    exact_cents_sum,
+    exact_sum_agg,
+    from_cents,
+    scaled_long,
+    TABLES,
+    load_tables,
+    read_events,
+    read_documents,
+    read_embeddings,
+    dsum,
+    davg,
+    dsum_fast,
+    davg_fast,
+    QUERIES,
+    ORACLE_SQL,
+    register,
+)
+
+@register(
+    "inverted_index_postings",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      FROM documents
+    ), flat AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t) + 1),
+                    i -> struct_pack(term := t[i], pos := CAST(i - 1 AS BIGINT)))) AS o
+      FROM toks
+    )
+    SELECT o.term AS term, doc_id,
+           CAST(COUNT(*) AS BIGINT) AS tf,
+           array_to_string(list(o.pos ORDER BY o.pos), ',') AS positions
+    FROM flat GROUP BY 1, 2
+    """,
+)
+def inverted_index_postings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional inverted index over the corpus
+    (text/retrieval.py inverted_postings): posexplode inside codegen,
+    one (term, doc) aggregation, row-local sort_array for
+    deterministic posting lists. The posting list is emitted as a
+    comma-joined string — the driver's canonicalizer rejects ARRAY
+    output columns (r4 snapshot_diff lesson)."""
+    from dpe_energy_performance_analysis_etl_spark.text.retrieval import inverted_postings
+
+    return inverted_postings(read_documents(spark, sf_dir)).withColumn(
+        "positions",
+        F.array_join(F.transform("positions", lambda x: x.cast("string")), ","),
+    )
+
+
+@register(
+    "phrase_search_docs",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      FROM documents
+    ), flat AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t) + 1),
+                    i -> struct_pack(term := t[i], pos := CAST(i - 1 AS BIGINT)))) AS o
+      FROM toks
+    ), post AS (
+      SELECT o.term AS term, doc_id, list(o.pos ORDER BY o.pos) AS positions
+      FROM flat GROUP BY 1, 2
+    ), p0 AS (
+      SELECT doc_id, positions AS a FROM post WHERE term = 'spark'
+    ), p1 AS (
+      SELECT doc_id, positions AS b FROM post WHERE term = 'join'
+    )
+    SELECT p0.doc_id,
+           CAST(len(list_intersect(a, list_transform(b, x -> x - 1))) AS BIGINT) AS n_matches
+    FROM p0 JOIN p1 ON p0.doc_id = p1.doc_id
+    WHERE len(list_intersect(a, list_transform(b, x -> x - 1))) > 0
+    """,
+)
+def phrase_search_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase search for the adjacent pair 'spark join'
+    (text/retrieval.py phrase_search): term-filtered posting lists,
+    one doc-keyed equi-join, adjacency via shifted position-set
+    intersection — entirely row-local after the join."""
+    from dpe_energy_performance_analysis_etl_spark.text.retrieval import phrase_search
+
+    return phrase_search(read_documents(spark, sf_dir), ["spark", "join"])
+
+
+@register(
+    "ewma_user_values",
+    """
+    WITH clean AS (
+      SELECT user_id, ts, event_id, value FROM events WHERE value IS NOT NULL
+    ), arrs AS (
+      SELECT user_id, ts, event_id, value,
+             list_reverse(list(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)) AS arr
+      FROM clean
+    )
+    SELECT user_id, ts, event_id, value,
+           list_reduce(list_prepend(0.0,
+             list_transform(range(1, len(arr) + 1),
+                            i -> arr[i] / CAST((1::BIGINT << i) AS DOUBLE))),
+             (acc, x) -> acc + x)
+           / (1.0 - 1.0 / CAST((1::BIGINT << len(arr)) AS DOUBLE)) AS ewma
+    FROM arrs
+    """,
+)
+def ewma_user_values_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dyadic EWMA smoothing of per-user event values
+    (operators/temporal.py ewma_dyadic): alpha = 1/2 trailing-8
+    window; every weight an exact power of two so the smoothed series
+    is bit-identical across engines. One user-key shuffle."""
+    from dpe_energy_performance_analysis_etl_spark.operators.temporal import ewma_dyadic
+
+    ev = read_events(spark, sf_dir).select("user_id", "ts", "event_id", "value")
+    return ewma_dyadic(ev, "user_id", ["ts", "event_id"], "value", window=8)
+
+
+# =====================================================================
+# Periodic analytics, experimentation, governance (operators/quality.py,
+# stats.py)
+# =====================================================================
+
+@register(
+    "month_over_month_revenue",
+    """
+    WITH monthly AS (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT month, revenue,
+           lag(revenue) OVER (ORDER BY month) AS prev_revenue,
+           CASE WHEN lag(revenue) OVER (ORDER BY month) IS NULL THEN NULL
+                ELSE (revenue - lag(revenue) OVER (ORDER BY month))
+                     / lag(revenue) OVER (ORDER BY month) END AS mom_change
+    FROM monthly
+    """,
+)
+def month_over_month_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue with percent change: exact decimal
+    monthly sums (dsum), one lag window over the tiny month table —
+    the period-over-period reporting staple. The window runs over
+    ~|months| rows, never the fact table."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    monthly = orders.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month")).agg(
+        dsum("o_totalprice").alias("revenue")
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "month",
+        "revenue",
+        prev.alias("prev_revenue"),
+        F.when(prev.isNull(), F.lit(None).cast("double"))
+        .otherwise((F.col("revenue") - prev) / prev)
+        .alias("mom_change"),
+    )
+
+
+@register(
+    "expectations_orders",
+    """
+    WITH m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(count_if(o_custkey IS NULL) AS BIGINT) AS v0,
+             CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS v1,
+             CAST(count_if(o_totalprice IS NOT NULL
+                           AND (o_totalprice < 0 OR o_totalprice > 300000)) AS BIGINT) AS v2,
+             CAST(count_if(o_orderstatus IS NOT NULL
+                           AND o_orderstatus NOT IN ('F', 'O', 'P')) AS BIGINT) AS v3
+      FROM orders
+    )
+    SELECT 'not_null' AS rule, 'o_custkey' AS col, n AS n_rows, v0 AS n_violations,
+           CAST(v0 AS DOUBLE) / CAST(greatest(n, 1) AS DOUBLE) AS violation_rate,
+           v0 = 0 AS passed FROM m
+    UNION ALL
+    SELECT 'unique', 'o_orderkey', n, v1,
+           CAST(v1 AS DOUBLE) / CAST(greatest(n, 1) AS DOUBLE), v1 = 0 FROM m
+    UNION ALL
+    SELECT 'range', 'o_totalprice', n, v2,
+           CAST(v2 AS DOUBLE) / CAST(greatest(n, 1) AS DOUBLE), v2 = 0 FROM m
+    UNION ALL
+    SELECT 'in_set', 'o_orderstatus', n, v3,
+           CAST(v3 AS DOUBLE) / CAST(greatest(n, 1) AS DOUBLE), v3 = 0 FROM m
+    """,
+)
+def expectations_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative expectation report (operators/quality.py
+    expectation_report): four rules — not-null key, unique PK, price
+    range (deliberately tight so the report shows real violations),
+    status domain — all evaluated in ONE aggregation pass over the
+    table regardless of rule count."""
+    from dpe_energy_performance_analysis_etl_spark.operators.quality import expectation_report
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    rules = [
+        {"rule": "not_null", "col": "o_custkey"},
+        {"rule": "unique", "col": "o_orderkey"},
+        {"rule": "range", "col": "o_totalprice", "min": 0, "max": 300000},
+        {"rule": "in_set", "col": "o_orderstatus", "values": ["F", "O", "P"]},
+    ]
+    return expectation_report(orders, rules)
+
+
+@register(
+    "k_anonymity_customers",
+    """
+    SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS group_size
+    FROM customer
+    GROUP BY 1, 2
+    HAVING COUNT(*) < 5
+    """,
+)
+def k_anonymity_customers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (operators/quality.py
+    k_anonymity_violations): quasi-identifier groups (nation,
+    segment) smaller than k=5 — the re-identifiable cohorts to
+    suppress before sharing. One groupBy on the quasi key."""
+    from dpe_energy_performance_analysis_etl_spark.operators.quality import k_anonymity_violations
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return k_anonymity_violations(cust, ["c_nationkey", "c_mktsegment"], k=5)
+
+
+@register(
+    "ab_test_conversion",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             CASE WHEN ((user_id * 2654435761) % 4294967296) % 2 = 0
+                  THEN 'A' ELSE 'B' END AS arm,
+             count_if(event_type = 'purchase') >= 15 AS converted
+      FROM events GROUP BY user_id
+    ), arms AS (
+      SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(count_if(converted) AS BIGINT) AS succ
+      FROM per_user GROUP BY 1
+    ), a AS (
+      SELECT arm AS arm_a, n AS n_a, succ AS succ_a FROM arms ORDER BY arm LIMIT 1
+    ), b AS (
+      SELECT arm AS arm_b, n AS n_b, succ AS succ_b FROM arms ORDER BY arm DESC LIMIT 1
+    )
+    SELECT arm_a, arm_b, n_a, n_b, succ_a, succ_b,
+           CAST(succ_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
+           CAST(succ_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
+           CASE WHEN sqrt((CAST(succ_a + succ_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                  * (1.0 - CAST(succ_a + succ_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                  * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) > 0
+           THEN (CAST(succ_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+            - CAST(succ_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+           / sqrt((CAST(succ_a + succ_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                  * (1.0 - CAST(succ_a + succ_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                  * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) END AS z
+    FROM a CROSS JOIN b
+    """,
+)
+def ab_test_conversion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout (operators/stats.py
+    two_proportion_ztest): users hash-split into two arms (the same
+    portable Knuth hash as split_assign — assignment is reproducible
+    and growth-stable), conversion = any purchase event, pooled
+    two-proportion z statistic in fixed-order IEEE arithmetic."""
+    from dpe_energy_performance_analysis_etl_spark.operators.stats import two_proportion_ztest
+
+    ev = read_events(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        (F.count_if(F.col("event_type") == "purchase") >= 15).alias("converted")
+    ).withColumn(
+        "arm",
+        F.when(((F.col("user_id") * 2654435761) % 4294967296) % 2 == 0, F.lit("A")).otherwise(
+            F.lit("B")
+        ),
+    )
+    return two_proportion_ztest(per_user, "arm", "converted")
+
+
+@register(
+    "weighted_sample_docs",
+    """
+    WITH p AS (
+      SELECT doc_id, source, n_chars,
+             (((((doc_id * 2654435761) % 4294967296) % 10000) + 1) * 1000000) // n_chars
+               AS priority
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars, priority, CAST(rn AS BIGINT) AS sample_rank FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY priority, doc_id) AS rn FROM p
+    ) WHERE rn <= 20
+    """,
+)
+def weighted_sample_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-biased document sample (text/mixing.py
+    weighted_sample_topk): integer priority hash DIV weight — longer
+    documents preferentially selected, bit-reproducible, no RNG/pow.
+    The global window ranks |corpus| rows; the documented hash
+    pre-filter caps it at extreme scale."""
+    from dpe_energy_performance_analysis_etl_spark.text.mixing import weighted_sample_topk
+
+    docs = read_documents(spark, sf_dir).select("doc_id", "source", "n_chars")
+    return weighted_sample_topk(docs, k=20, weight_col="n_chars")
+
+
+@register("wordpiece_tokens")  # rows-only: greedy longest-match is not SQL
+def wordpiece_tokens_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece subword tokenization (text/tokenizer.py): greedy
+    longest-match pandas UDF (Arrow-batched — the legitimate Python
+    path; per-word iteration isn't expressible in Catalyst), vocab
+    indexed once per executor. Rows-only in the driver gate, same
+    class as the UDAF stats; exactness pinned by the pure-Python
+    reference tests."""
+    from dpe_energy_performance_analysis_etl_spark.text.tokenizer import wordpiece_tokenize
+
+    docs = read_documents(spark, sf_dir)
+    return wordpiece_tokenize(docs, "text").select(
+        "doc_id", "n_pieces", "n_unk", F.slice("pieces", 1, 8).alias("head_pieces")
+    )
+
+
+@register(
+    "target_encode_loo_acctbal",
+    """
+    WITH cents AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal,
+             CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM customer
+    ), g AS (
+      SELECT c_mktsegment, CAST(SUM(cents) AS BIGINT) AS s,
+             CAST(COUNT(c_acctbal) AS BIGINT) AS n
+      FROM cents GROUP BY 1
+    )
+    SELECT c_custkey, c.c_mktsegment, c_acctbal,
+           CASE WHEN n > 1
+                THEN CAST(s - cents AS DOUBLE) / CAST(n - 1 AS DOUBLE) / 100.0
+           END AS c_mktsegment_target_enc
+    FROM cents c JOIN g USING (c_mktsegment)
+    """,
+)
+def target_encode_loo_acctbal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of market segment by account
+    balance (operators/aggregate.py target_encode_loo): integer-cents
+    group sums so the LOO subtraction is exact; one tiny broadcast
+    join, no window, no label leakage."""
+    from dpe_energy_performance_analysis_etl_spark.operators.aggregate import target_encode_loo
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    return target_encode_loo(cust, "c_mktsegment", "c_acctbal").select(
+        "c_custkey", "c_mktsegment", "c_acctbal", "c_mktsegment_target_enc"
+    )
+
+
+@register(
+    "feature_hash_customers",
+    """
+    WITH h AS (
+      SELECT c_custkey, c_mktsegment, c_nationkey,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(regexp_extract_all('c_mktsegment:' || c_mktsegment, '.'),
+                              x -> CAST(ascii(x) AS BIGINT))),
+               (acc, x) -> (acc * 131 + x) % 1000000000000000) % 256 AS h1,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(regexp_extract_all('c_nationkey:' || CAST(c_nationkey AS VARCHAR), '.'),
+                              x -> CAST(ascii(x) AS BIGINT))),
+               (acc, x) -> (acc * 131 + x) % 1000000000000000) % 256 AS h2
+      FROM customer
+    )
+    SELECT c_custkey, c_mktsegment, c_nationkey,
+           array_to_string(list_sort(list_distinct([h1, h2])), ',') AS feature_idx
+    FROM h
+    """,
+)
+def feature_hash_customers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing of categoricals into a 256-slot index space
+    (operators/relational.py feature_hash_indices): vocabulary-free,
+    state-free, portable rolling hash — zero shuffle, the sparse-ML
+    input prep at scan speed. Indices emitted comma-joined (driver
+    shape contract: no ARRAY output columns)."""
+    from dpe_energy_performance_analysis_etl_spark.operators.relational import feature_hash_indices
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment", "c_nationkey"
+    )
+    return feature_hash_indices(cust, ["c_mktsegment", "c_nationkey"], 256).withColumn(
+        "feature_idx",
+        F.array_join(F.transform("feature_idx", lambda x: x.cast("string")), ","),
+    )
+
+
+@register(
+    "vocab_id_assignment",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+    ), tf AS (
+      SELECT doc_id, unnest(t) AS term FROM toks
+    ), tfc AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tf GROUP BY 1, 2
+    ), vocab AS (
+      SELECT term, CAST(SUM(tf) AS BIGINT) AS n_occurrences,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM tfc GROUP BY 1
+    )
+    SELECT term, n_occurrences, n_docs,
+           CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, term) - 1 AS BIGINT)
+             AS token_id
+    FROM vocab
+    """,
+)
+def vocab_id_assignment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-ordered vocabulary with contiguous 0-based token ids
+    (text/retrieval.py vocab_with_ids) — the tokenizer/embedding
+    lookup artifact. Corpus aggregates once; the ranking window runs
+    over the tiny vocab table only."""
+    from dpe_energy_performance_analysis_etl_spark.text.retrieval import vocab_with_ids
+
+    return vocab_with_ids(read_documents(spark, sf_dir)).select(
+        "term", "n_occurrences", "n_docs", "token_id"
+    )
+
+
+@register(
+    "point_in_polygon_tags",
+    """
+    WITH pts AS (
+      SELECT c_custkey,
+             CAST((c_custkey // 100) % 100 AS DOUBLE) / 10 AS lon,
+             CAST(c_custkey % 100 AS DOUBLE) / 10 AS lat
+      FROM customer
+    ), polys AS (
+      SELECT 'square' AS poly_id,
+             [struct_pack(x := 2.0, y := 2.0), struct_pack(x := 2.0, y := 6.0),
+              struct_pack(x := 6.0, y := 6.0), struct_pack(x := 6.0, y := 2.0)] AS v
+      UNION ALL
+      SELECT 'triangle',
+             [struct_pack(x := 5.0, y := 1.0), struct_pack(x := 9.0, y := 1.0),
+              struct_pack(x := 7.0, y := 8.0)]
+      UNION ALL
+      SELECT 'lshape',
+             [struct_pack(x := 0.0, y := 0.0), struct_pack(x := 4.0, y := 0.0),
+              struct_pack(x := 4.0, y := 2.0), struct_pack(x := 2.0, y := 2.0),
+              struct_pack(x := 2.0, y := 4.0), struct_pack(x := 0.0, y := 4.0)]
+    ), tagged AS (
+      SELECT c_custkey, lon, lat, poly_id,
+             list_reduce(list_prepend(0,
+               list_transform(range(1, len(v) + 1), i ->
+                 CASE WHEN ((v[i].y > lat) <> (v[(i % len(v)) + 1].y > lat))
+                       AND (lon < (v[(i % len(v)) + 1].x - v[i].x) * (lat - v[i].y)
+                                  / (v[(i % len(v)) + 1].y - v[i].y) + v[i].x)
+                      THEN 1 ELSE 0 END)),
+               (acc, c) -> acc + c) AS crossings,
+             lon >= list_min(list_transform(v, s -> s.x))
+               AND lon <= list_max(list_transform(v, s -> s.x))
+               AND lat >= list_min(list_transform(v, s -> s.y))
+               AND lat <= list_max(list_transform(v, s -> s.y)) AS bbox_hit
+      FROM pts CROSS JOIN polys
+    )
+    SELECT c_custkey, lon, lat, poly_id
+    FROM tagged WHERE bbox_hit AND crossings % 2 = 1
+    """,
+)
+def point_in_polygon_tags_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon geofencing (operators/spatial.py
+    point_in_polygon_tag): even-odd ray casting as a codegen'd fold
+    over broadcast polygon rings (square, triangle, concave L) on the
+    synthesized customer coordinates — bbox prefilter, |polys|
+    bounded fan-out, the point table never shuffles."""
+    from dpe_energy_performance_analysis_etl_spark.operators.spatial import point_in_polygon_tag
+
+    pts = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey",
+        ((F.expr("c_custkey div 100") % 100).cast("double") / 10).alias("lon"),
+        ((F.col("c_custkey") % 100).cast("double") / 10).alias("lat"),
+    )
+    polys = spark.createDataFrame(
+        [
+            ("square", [(2.0, 2.0), (2.0, 6.0), (6.0, 6.0), (6.0, 2.0)]),
+            ("triangle", [(5.0, 1.0), (9.0, 1.0), (7.0, 8.0)]),
+            ("lshape", [(0.0, 0.0), (4.0, 0.0), (4.0, 2.0), (2.0, 2.0), (2.0, 4.0), (0.0, 4.0)]),
+        ],
+        "poly_id string, vertices array<struct<x: double, y: double>>",
+    )
+    return point_in_polygon_tag(pts, polys)
+
+
+# =====================================================================
+# Wave 4 — grouped OLS, robust outliers, hopping windows, hard negatives
+# =====================================================================
+
+@register(
+    "group_linregress_qty_disc",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS sxi,
+             CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS syi
+      FROM lineitem
+    ), g AS (
+      SELECT l_returnflag, COUNT(*) AS n_obs,
+             SUM(CAST(sxi AS HUGEINT)) AS sx, SUM(CAST(syi AS HUGEINT)) AS sy,
+             SUM(CAST(sxi AS HUGEINT) * sxi) AS sxx,
+             SUM(CAST(sxi AS HUGEINT) * syi) AS sxy,
+             SUM(CAST(syi AS HUGEINT) * syi) AS syy
+      FROM s GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n_obs,
+           CASE WHEN CAST(n_obs * sxx - sx * sx AS DOUBLE) > 0
+                THEN CAST(n_obs * sxy - sx * sy AS DOUBLE)
+                     / CAST(n_obs * sxx - sx * sx AS DOUBLE) * 1.0
+           END AS slope,
+           CASE WHEN CAST(n_obs * sxx - sx * sx AS DOUBLE) > 0
+                THEN CAST(sy AS DOUBLE) / 100 / CAST(n_obs AS DOUBLE)
+                     - CAST(n_obs * sxy - sx * sy AS DOUBLE)
+                       / CAST(n_obs * sxx - sx * sx AS DOUBLE) * 1.0
+                       * (CAST(sx AS DOUBLE) / 100 / CAST(n_obs AS DOUBLE))
+           END AS intercept,
+           CASE WHEN CAST(n_obs * sxx - sx * sx AS DOUBLE) > 0
+                 AND CAST(n_obs * syy - sy * sy AS DOUBLE) > 0
+                THEN (CAST(n_obs * sxy - sx * sy AS DOUBLE) * CAST(n_obs * sxy - sx * sy AS DOUBLE))
+                     / (CAST(n_obs * sxx - sx * sx AS DOUBLE) * CAST(n_obs * syy - sy * sy AS DOUBLE))
+           END AS r2
+    FROM g
+    """,
+)
+def group_linregress_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group closed-form OLS (operators/stats.py group_linregress):
+    quantity → discount per returnflag. Exact integer moment sums in
+    decimal(38) (order-free), one double cast per closed-form piece,
+    fixed-shape IEEE finals — engine-reproducible without any libm.
+    One map-side-partial groupBy shuffle of 5 long partials/group.
+    Generalizes the reference's per-group statistics step
+    (``transform.py:313-376``) to a regression."""
+    from dpe_energy_performance_analysis_etl_spark.operators.stats import group_linregress
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return group_linregress(li, "l_returnflag", "l_quantity", "l_discount", 2, 2)
+
+
+@register(
+    "robust_outliers_mad",
+    """
+    WITH base AS (
+      SELECT l_returnflag,
+             CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS DOUBLE) AS cents
+      FROM lineitem
+    ), med AS (
+      SELECT l_returnflag, quantile_cont(cents, 0.5) AS median_cents
+      FROM base GROUP BY 1
+    ), dev AS (
+      SELECT b.l_returnflag, abs(b.cents - m.median_cents) AS dev
+      FROM base b JOIN med m USING (l_returnflag)
+    ), mad AS (
+      SELECT l_returnflag, quantile_cont(dev, 0.5) AS mad_cents
+      FROM dev GROUP BY 1
+    ), f AS (
+      SELECT d.l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_obs,
+             CAST(SUM(CASE WHEN d.dev > 1.5 * a.mad_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      FROM dev d JOIN mad a USING (l_returnflag) GROUP BY 1
+    )
+    SELECT m.l_returnflag, f.n_obs, m.median_cents, a.mad_cents, f.n_outliers
+    FROM med m JOIN mad a USING (l_returnflag) JOIN f USING (l_returnflag)
+    """,
+)
+def robust_outliers_mad_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-Absolute-Deviation outlier report
+    (operators/stats.py mad_outlier_report) on extendedprice per
+    returnflag. Integer-cents domain keeps every quantile
+    interpolation exactly representable (dyadic), so the report is
+    bit-identical across engines; k = 3/2 is dyadic by design. The
+    robust counterpart of the IQR fences (``transform.py:120-126``)."""
+    from dpe_energy_performance_analysis_etl_spark.operators.stats import mad_outlier_report
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return mad_outlier_report(li, "l_returnflag", "l_extendedprice", 2)
+
+
+@register(
+    "events_hopping_window",
+    """
+    WITH w AS (
+      SELECT unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR, date_trunc('hour', ts)]) AS window_start,
+             event_type, value
+      FROM events
+    )
+    SELECT window_start, event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS total_value
+    FROM w GROUP BY 1, 2
+    """,
+)
+def events_hopping_window_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) event-time windows: 2-hour windows advancing
+    every hour, so each event lands in exactly two overlapping
+    windows. ``F.window(slide=...)`` explodes to the |window/slide|
+    assignments BEFORE the shuffle, keeping aggregation map-side
+    partial — the streaming-native sibling of events_tumbling_window
+    (identical groupBy works under readStream with a watermark)."""
+    ev = read_events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", 2).alias("total_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "hard_negative_mining",
+    """
+    WITH base AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), n AS (
+      SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM base
+    ), scored AS (
+      SELECT q.vec_id AS query_id, q.label AS query_label,
+             c.vec_id AS neighbor_id, c.label AS neg_label,
+             list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cosine
+      FROM n q JOIN n c ON q.vec_id != c.vec_id AND q.label <> c.label
+      WHERE q.vec_id < 10
+    )
+    SELECT query_id, query_label, neighbor_id, neg_label, cosine,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def hard_negative_mining_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training
+    (similarity/ann.py hard_negative_topk): per query vector, the 5
+    most-cosine-similar corpus vectors with a DIFFERENT label. Query
+    set broadcasts with labels; the corpus streams past once and never
+    shuffles; label inequality prunes pairs inside the join condition
+    before any scoring."""
+    from dpe_energy_performance_analysis_etl_spark.similarity.ann import hard_negative_topk
+
+    emb = read_embeddings(spark, sf_dir)
+    return hard_negative_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@register(
+    "bpe_pair_stats",
+    """
+    WITH tok AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word FROM documents
+    ), vocab AS (
+      SELECT word, COUNT(*) AS wcount FROM tok GROUP BY word
+    ), inner_pairs AS (
+      SELECT substr(word, i, 1) || ' ' || substr(word, i + 1, 1) AS pair, wcount
+      FROM (SELECT word, wcount, unnest(generate_series(1, length(word) - 1)) AS i FROM vocab)
+    ), eow_pairs AS (
+      SELECT substr(word, length(word), 1) || ' </w>' AS pair, wcount FROM vocab
+    ), counts AS (
+      SELECT pair, SUM(wcount) AS pair_count FROM (
+        SELECT * FROM inner_pairs UNION ALL SELECT * FROM eow_pairs
+      ) GROUP BY pair
+    )
+    SELECT pair, CAST(pair_count AS BIGINT) AS pair_count, rank FROM (
+      SELECT pair, pair_count,
+             row_number() OVER (ORDER BY pair_count DESC, pair) AS rank
+      FROM counts
+    ) WHERE rank <= 20
+    """,
+)
+def bpe_pair_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE iteration-0 pair statistics (text/tokenizer.py
+    bpe_pair_counts): corpus-weighted adjacent character-pair counts
+    incl. the terminal (char, </w>) pair; the top-1 row IS the first
+    BPE merge. One corpus-scale explode+groupBy (the word-count
+    table); all pair math runs over |vocab| rows, and the global
+    ranking window covers only the |alphabet|^2-bounded pair table."""
+    from dpe_energy_performance_analysis_etl_spark.text.tokenizer import bpe_pair_counts
+
+    return bpe_pair_counts(read_documents(spark, sf_dir), "text", top_k=20)
+
+
+@register("bpe_learn_merges")
+def bpe_learn_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 6 learned BPE merges (text/tokenizer.py
+    bpe_learn_merges): greedy argmax of exact integer pair counts per
+    round, lexicographic tiebreak — deterministic across
+    partitionings. Rows-only by design: the merge chosen each round
+    depends on the previous round's output (iterative control flow,
+    not a SQL shape); correctness is pinned by the pure-Python
+    reference tests in tests/test_tokenizer.py."""
+    from dpe_energy_performance_analysis_etl_spark.text.tokenizer import bpe_learn_merges
+
+    return bpe_learn_merges(read_documents(spark, sf_dir), "text", n_merges=6)
+
+
+@register(
+    "setsim_prefix_pairs",
+    """
+    WITH tok AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shset
+      FROM tok WHERE len(t) >= 3
+    ), post AS (
+      SELECT doc_id, unnest(shset) AS shingle FROM sh
+    ), dfreq AS (
+      SELECT shingle, COUNT(*) AS dfreq FROM post GROUP BY shingle
+    ), ranked AS (
+      SELECT p.doc_id, p.shingle,
+             row_number() OVER (PARTITION BY p.doc_id ORDER BY d.dfreq, p.shingle) AS pos,
+             COUNT(*) OVER (PARTITION BY p.doc_id) AS n
+      FROM post p JOIN dfreq d USING (shingle)
+    ), prefix AS (
+      -- integer ceil(t*n) with t = 1/2 rational: (1*n + 2 - 1) // 2
+      SELECT doc_id, shingle FROM ranked
+      WHERE pos <= n - ((1 * n + 1) // 2) + 1
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM prefix a JOIN prefix b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ), verified AS (
+      SELECT doc_a, doc_b,
+             len(list_intersect(sa.shset, sb.shset)) AS n_common,
+             len(sa.shset) AS len_a, len(sb.shset) AS len_b,
+             CAST(len(list_intersect(sa.shset, sb.shset)) AS DOUBLE)
+               / CAST(len(sa.shset) + len(sb.shset) - len(list_intersect(sa.shset, sb.shset)) AS DOUBLE) AS jaccard
+      FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b
+    )
+    SELECT doc_a, doc_b, CAST(n_common AS BIGINT) AS n_common, jaccard
+    FROM verified
+    WHERE n_common * 2 >= 1 * (len_a + len_b - n_common)
+    """,
+)
+def setsim_prefix_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AllPairs/PPJoin prefix-filtered EXACT Jaccard >= 0.5 self-join
+    (dedup/setsim.py): identical output to the full posting-list join
+    at this threshold, but only the rarest |x|-ceil(t|x|)+1 tokens of
+    each record generate candidates — the frequency-ascending prefix
+    order keeps hot tokens (the quadratic killers) out of the join.
+    Third dedup candidate strategy next to posting-list-exact and
+    MinHash-LSH-approximate."""
+    from dpe_energy_performance_analysis_etl_spark.dedup.setsim import prefix_filter_jaccard_join
+
+    return prefix_filter_jaccard_join(
+        read_documents(spark, sf_dir), "text", "doc_id", n=3, threshold=0.5
+    ).withColumn("n_common", F.col("n_common").cast("bigint"))
+
+
+@register(
+    "pq_adc_seeded_topk",
+    """
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), ss AS (
+      SELECT unnest(generate_series(0, 7)) AS s
+    ), subs AS (
+      SELECT vec_id, s, v[s*8+1 : s*8+8] AS sv FROM base CROSS JOIN ss
+    ), cents AS (
+      SELECT vec_id AS cid, s, sv AS cv FROM subs WHERE vec_id < 16
+    ), dists AS (
+      SELECT sub.vec_id, sub.s, c.cid,
+             list_dot_product(
+               list_transform(range(1, 9), i -> sub.sv[i] - c.cv[i]),
+               list_transform(range(1, 9), i -> sub.sv[i] - c.cv[i])) AS d2
+      FROM subs sub JOIN cents c USING (s)
+    ), codes AS (
+      SELECT vec_id, s, cid AS code FROM (
+        SELECT vec_id, s, cid,
+               row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) AS r
+        FROM dists
+      ) WHERE r = 1
+    ), luts AS (
+      SELECT vec_id AS query_id, s, cid, d2 FROM dists WHERE vec_id < 10
+    ), terms AS (
+      SELECT l.query_id, c.vec_id AS neighbor_id, c.s, l.d2 AS term
+      FROM codes c JOIN luts l ON l.s = c.s AND l.cid = c.code
+      WHERE l.query_id <> c.vec_id
+    ), scored AS (
+      SELECT query_id, neighbor_id,
+             list_dot_product(list(term ORDER BY s),
+                              list_transform(list(term ORDER BY s), t -> 1.0)) AS adist
+      FROM terms GROUP BY query_id, neighbor_id
+    )
+    SELECT query_id, neighbor_id, adist, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def pq_adc_seeded_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric-distance scoring
+    (similarity/pq.py): 64-dim vectors -> 8 subspace codes against a
+    16-centroid seeded codebook (32x memory compression); per-query
+    full-precision LUTs broadcast; corpus CODES stream past the
+    scorer — raw vectors are never touched after encoding. Seeded
+    twin of the Lloyd-trained pq_topk (same split as IVF), replayed
+    bit-exactly by the SQL oracle; the ADC fold is dot-with-ones so
+    both engines sum subspace terms in identical order."""
+    from dpe_energy_performance_analysis_etl_spark.similarity.pq import seeded_pq_topk
+
+    emb = read_embeddings(spark, sf_dir)
+    return seeded_pq_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+def _kcore_oracle(k: int, iterations: int) -> str:
+    """Chained-CTE replay of ``iterations`` bulk peel rounds — each
+    round is a pure function of the previous edge set, so a fixed
+    unrolling is bit-identical to the Spark loop's prefix.
+
+    Every CTE is AS MATERIALIZED: each e_i is referenced three times
+    by round i+1, so DuckDB's default inlining re-evaluates the whole
+    peel prefix per reference — measured 150 s vs 0.6 s materialized
+    at sf0.01 (the SQL mirror of the Spark loop's per-round cache)."""
+    blocks = [
+        """
+    WITH e0 AS MATERIALIZED (
+      SELECT least(a.l_partkey, b.l_partkey) AS a,
+             greatest(a.l_partkey, b.l_partkey) AS b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    )"""
+    ]
+    for i in range(iterations):
+        blocks.append(
+            f""", k{i} AS MATERIALIZED (
+      SELECT v FROM (SELECT a AS v FROM e{i} UNION ALL SELECT b FROM e{i})
+      GROUP BY v HAVING COUNT(*) >= {k}
+    ), e{i + 1} AS MATERIALIZED (
+      SELECT e{i}.a, e{i}.b FROM e{i}
+      JOIN k{i} x ON e{i}.a = x.v JOIN k{i} y ON e{i}.b = y.v
+    )"""
+        )
+    last = iterations
+    blocks.append(
+        f"""
+    SELECT v, CAST(deg AS BIGINT) AS core_degree FROM (
+      SELECT v, COUNT(*) AS deg
+      FROM (SELECT a AS v FROM e{last} UNION ALL SELECT b AS v FROM e{last})
+      GROUP BY v
+    ) WHERE deg >= {k}"""
+    )
+    return "".join(blocks)
+
+
+@register("kcore_membership", _kcore_oracle(k=3, iterations=4))
+def kcore_membership_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core membership after 4 bulk peel rounds
+    (operators/graph.py kcore_peel) on the recurring-pair part graph
+    (same scale-stable support>=2 graph as triangle_count_parts).
+    Fixed-round prefix registered for oracle parity — peeling is
+    confluent, so the unrolled CTE replay matches the loop exactly;
+    the operator's iterations=None mode runs the same rounds to
+    fixpoint with one count-action per round."""
+    from dpe_energy_performance_analysis_etl_spark.operators.graph import kcore_peel
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pairs = (
+        li.alias("x")
+        .join(
+            li.alias("y"),
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .groupBy(
+            F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 2)
+        .select("src", "dst")
+    )
+    return kcore_peel(pairs, k=3, iterations=4)
+
+
+@register(
+    "source_overlap_matrix",
+    """
+    WITH tok AS (
+      SELECT source, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+    ), sg AS MATERIALIZED (
+      SELECT DISTINCT source,
+             unnest(list_distinct(list_transform(range(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS gram
+      FROM tok WHERE len(t) >= 3
+    ), sizes AS (
+      SELECT source, COUNT(*) AS n_grams FROM sg GROUP BY source
+    ), pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM sg a JOIN sg b ON a.gram = b.gram AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, n_shared,
+           CAST(n_shared AS DOUBLE) / CAST(least(sa.n_grams, sb.n_grams) AS DOUBLE) AS overlap_coef
+    FROM pairs
+    JOIN sizes sa ON sa.source = source_a
+    JOIN sizes sb ON sb.source = source_b
+    """,
+)
+def source_overlap_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix (text/curation.py
+    source_overlap_matrix): distinct 3-gram overlap counts + overlap
+    coefficient per source pair. Per-gram join fan-out bounded by
+    |sources| after the distinct; per-source sizes broadcast."""
+    from dpe_energy_performance_analysis_etl_spark.text.curation import source_overlap_matrix
+
+    return source_overlap_matrix(read_documents(spark, sf_dir))
+
+
+@register(
+    "length_bucket_batches",
+    """
+    WITH seqs AS (
+      SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens
+      FROM documents
+    ), assigned AS (
+      SELECT doc_id, n_tokens, n_tokens // 64 AS bucket,
+             (row_number() OVER (PARTITION BY (n_tokens // 64) ORDER BY doc_id) - 1) // 8 AS batch_id
+      FROM seqs
+    )
+    SELECT bucket, batch_id, CAST(COUNT(*) AS BIGINT) AS n_seqs,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_len,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_len,
+           CAST(COUNT(*) * MAX(n_tokens) - SUM(n_tokens) AS BIGINT) AS pad_waste
+    FROM assigned GROUP BY 1, 2
+    """,
+)
+def length_bucket_batches_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch planning (text/packing.py
+    length_bucket_batches): token-length buckets of width 64,
+    deterministic batches of 8 within each bucket, per-batch padding
+    bill. One bucket-keyed exchange; batches stable across
+    partitionings (window ordered by the unique doc id)."""
+    from dpe_energy_performance_analysis_etl_spark.text.packing import length_bucket_batches
+
+    return length_bucket_batches(read_documents(spark, sf_dir))
+
+
+@register(
+    "negative_sampling_words",
+    """
+    WITH tok AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word FROM documents
+    ), vocab AS (
+      SELECT word, COUNT(*) AS wcount FROM tok GROUP BY word
+    ), scored AS (
+      SELECT word, wcount,
+             sqrt(sqrt(CAST(wcount AS DOUBLE) * CAST(wcount AS DOUBLE) * CAST(wcount AS DOUBLE))) AS weight,
+             CAST(((list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list_transform(regexp_extract_all(word, '.'),
+                                    c -> CAST(ascii(c) AS BIGINT))),
+                   (acc, x) -> (acc * 131 + x) % 1000000000000000) % 10000) + 1) AS DOUBLE)
+               / sqrt(sqrt(CAST(wcount AS DOUBLE) * CAST(wcount AS DOUBLE) * CAST(wcount AS DOUBLE))) AS priority
+      FROM vocab
+    )
+    SELECT word, wcount, weight, CAST(rank AS BIGINT) AS sample_rank FROM (
+      SELECT word, wcount, weight,
+             row_number() OVER (ORDER BY priority, word) AS rank
+      FROM scored
+    ) WHERE rank <= 25
+    """,
+)
+def negative_sampling_words_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SGNS negative-sampling table (text/mixing.py
+    negative_sampling_table): unigram^(3/4) weights computed as
+    sqrt(sqrt(cnt^3)) — the libm-free exact form — and a deterministic
+    25-word weight-biased draw via portable-hash/weight priorities.
+    One corpus explode+groupBy; the ranking window covers only the
+    bounded vocab table."""
+    from dpe_energy_performance_analysis_etl_spark.text.mixing import negative_sampling_table
+
+    return negative_sampling_table(read_documents(spark, sf_dir), k=25)
+
+
+@register(
+    "bootstrap_mean_ci",
+    """
+    WITH base AS (
+      SELECT l_returnflag AS k, l_orderkey * 10 + l_linenumber AS rid,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM lineitem
+    ), weighted AS (
+      SELECT k, b, cents,
+             CASE WHEN h < 3679 THEN 0 WHEN h < 7358 THEN 1 WHEN h < 9197 THEN 2
+                  WHEN h < 9810 THEN 3 WHEN h < 9963 THEN 4 WHEN h < 9994 THEN 5
+                  WHEN h < 9999 THEN 6 ELSE 7 END AS w
+      FROM (
+        SELECT k, cents, b, xor(s2, s2 >> 16) % 10000 AS h
+        FROM (
+          SELECT k, cents, b, (xor(s1, s1 >> 16) * 73244475) % 4294967296 AS s2
+          FROM (
+            SELECT k, cents, b, (xor(s0, s0 >> 16) * 73244475) % 4294967296 AS s1
+            FROM (
+              SELECT k, cents, b,
+                     ((rid % 4294967296) * 73244475 + b * 2246822519) % 4294967296 AS s0
+              FROM base, (SELECT unnest(generate_series(0, 31)) AS b)
+            )
+          )
+        )
+      )
+    ), rep AS (
+      SELECT k, b, SUM(CAST(w AS HUGEINT) * cents) AS wsum, SUM(w) AS wn
+      FROM weighted GROUP BY k, b HAVING SUM(w) > 0
+    ), means AS (
+      SELECT k, b, CAST(wsum AS DOUBLE) / CAST(wn AS DOUBLE) AS rep_mean FROM rep
+    ), ranked AS (
+      SELECT k, b, rep_mean,
+             row_number() OVER (PARTITION BY k ORDER BY rep_mean ASC, b) AS r_lo,
+             row_number() OVER (PARTITION BY k ORDER BY rep_mean DESC, b) AS r_hi
+      FROM means
+    ), ci AS (
+      SELECT k, CAST(COUNT(*) AS BIGINT) AS n_replicas,
+             MAX(CASE WHEN r_lo = 2 THEN rep_mean END) AS ci_lo,
+             MAX(CASE WHEN r_hi = 2 THEN rep_mean END) AS ci_hi
+      FROM ranked GROUP BY k
+    ), pt AS (
+      SELECT k, CAST(SUM(CAST(cents AS HUGEINT)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_cents
+      FROM base GROUP BY k
+    )
+    SELECT pt.k AS l_returnflag, mean_cents, n_replicas, ci_lo, ci_hi
+    FROM pt JOIN ci USING (k)
+    """,
+)
+def bootstrap_mean_ci_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson-bootstrap CI for the per-returnflag mean
+    price (operators/stats.py bootstrap_mean_ci): portable-hash
+    pseudo-Poisson(1) multiplicities, exact-integer replica sums,
+    rank-based interval (2nd/2nd-last of 32 replica means — order
+    statistics are engine-exact where percentile interpolation is
+    not). Replicas collapse map-side before the (group x B) shuffle."""
+    from dpe_energy_performance_analysis_etl_spark.operators.stats import bootstrap_mean_ci
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").withColumn(
+        "rid", F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    )
+    return bootstrap_mean_ci(li, "l_returnflag", "l_extendedprice", "rid", 2, 32).withColumnRenamed(
+        "k", "l_returnflag"
+    )
+
+
+@register(
+    "fim_transform_docs",
+    """
+    SELECT doc_id,
+           CASE WHEN pick AND n >= 3 THEN 'psm' ELSE 'plain' END AS mode,
+           CASE WHEN pick AND n >= 3
+                THEN '<PRE>' || substr(text, 1, lo) || '<SUF>' || substr(text, hi + 1, n)
+                     || '<MID>' || substr(text, lo + 1, hi - lo)
+                ELSE text END AS fim_text
+    FROM (
+      SELECT doc_id, text, n,
+             (((doc_id % 4294967296) * 73244475) % 4294967296) % 100 < 50 AS pick,
+             1 + least(h1, h2) AS lo, 1 + greatest(h1, h2) AS hi
+      FROM (
+        SELECT doc_id, text, length(text) AS n,
+               ((doc_id * 2654435761) % 4294967296) % greatest(length(text) - 1, 1) AS h1,
+               ((doc_id * 2246822519) % 4294967296) % greatest(length(text) - 1, 1) AS h2
+        FROM documents
+      )
+    )
+    """,
+)
+def fim_transform_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle PSM rewrite (text/mixing.py fim_transform):
+    hash-deterministic 50% selection and split points — the published
+    RNG recipe made reproducible. Entirely row-local codegen: zero
+    shuffles, zero joins."""
+    from dpe_energy_performance_analysis_etl_spark.text.mixing import fim_transform
+
+    return fim_transform(read_documents(spark, sf_dir))
+
+
+@register(
+    "preference_pairs_quality",
+    """
+    WITH scored AS (
+      SELECT source, doc_id,
+             CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE) AS score
+      FROM documents
+    ), ranked AS (
+      SELECT source, doc_id, score,
+             row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id DESC) AS rb,
+             row_number() OVER (PARTITION BY source ORDER BY score ASC, doc_id ASC) AS rw
+      FROM scored
+    )
+    SELECT b.source, b.doc_id AS chosen_id, w.doc_id AS rejected_id,
+           b.score AS chosen_score, w.score AS rejected_score
+    FROM (SELECT * FROM ranked WHERE rb = 1) b
+    JOIN (SELECT * FROM ranked WHERE rw = 1) w USING (source)
+    WHERE b.doc_id <> w.doc_id
+    """,
+)
+def preference_pairs_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO/RLHF preference-pair construction (text/mixing.py
+    preference_pairs_by_quality): per source, extreme-quality docs
+    paired as chosen/rejected via min/max-struct aggregates — two
+    partial-aggregatable extremes instead of a per-group sort, ids
+    break ties deterministically. Score here = token count (any
+    row-local quality signal slots in)."""
+    from dpe_energy_performance_analysis_etl_spark.text.analysis import token_count
+    from dpe_energy_performance_analysis_etl_spark.text.mixing import preference_pairs_by_quality
+
+    docs = read_documents(spark, sf_dir)
+    return preference_pairs_by_quality(docs, token_count(F.col("text")).cast("double"))
+
+
+@register("bpe_encode_pieces")
+def bpe_encode_pieces_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE train -> apply, end to end: learn 6 merges from the corpus
+    (bpe_learn_merges) and tokenize the same corpus with them
+    (bpe_encode). Rows-only like the trainer (the merge list is
+    data-dependent iterative state); the encoder itself is pinned by
+    the trainer-roundtrip reference tests."""
+    from dpe_energy_performance_analysis_etl_spark.text.tokenizer import (
+        bpe_encode,
+        bpe_learn_merges,
+    )
+
+    docs = read_documents(spark, sf_dir)
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_learn_merges(docs, n_merges=6).orderBy("merge_rank").collect()
+    ]
+    return bpe_encode(docs, merges).select("doc_id", "pieces", "n_pieces")
+
+
+@register(
+    "distinctive_terms_source",
+    """
+    WITH tf AS MATERIALIZED (
+      SELECT source AS grp, term, COUNT(*) AS tf FROM (
+        SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        FROM documents
+      ) GROUP BY 1, 2
+    ), gt AS (
+      SELECT grp, SUM(tf) AS grp_total FROM tf GROUP BY grp
+    ), tt AS (
+      SELECT term, SUM(tf) AS term_total FROM tf GROUP BY term
+    ), sc AS (
+      SELECT COUNT(DISTINCT term) AS vocab, SUM(tf) AS grand_total FROM tf
+    ), scored AS (
+      SELECT tf.grp, tf.term, tf.tf,
+             (CAST(tf.tf + 1 AS DOUBLE) / CAST(gt.grp_total + sc.vocab AS DOUBLE))
+             / (CAST(tt.term_total - tf.tf + 1 AS DOUBLE)
+                / CAST(sc.grand_total - gt.grp_total + sc.vocab AS DOUBLE)) AS score
+      FROM tf JOIN gt USING (grp) JOIN tt USING (term) CROSS JOIN sc
+    )
+    SELECT grp AS source, term, CAST(tf AS BIGINT) AS tf, score, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY grp ORDER BY score DESC, term) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def distinctive_terms_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinctive vocabulary (text/analysis.py
+    distinctive_terms_by_source): add-one-smoothed frequency-ratio
+    ranking — the log-odds family with the monotone log dropped, so
+    the score stays an exact-integer rational in three fixed IEEE
+    divisions. One token explode; totals are broadcast aggregates of
+    the cached tf table."""
+    from dpe_energy_performance_analysis_etl_spark.text.analysis import distinctive_terms_by_source
+
+    return distinctive_terms_by_source(read_documents(spark, sf_dir), k=5)
+
+
+@register(
+    "benford_digit_audit",
+    """
+    WITH base AS (
+      SELECT l_returnflag AS grp,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM lineitem
+    ), obs AS (
+      SELECT grp, CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+             CAST(COUNT(*) AS BIGINT) AS obs
+      FROM base WHERE cents > 0 GROUP BY 1, 2
+    ), tot AS (
+      SELECT grp, CAST(SUM(obs) AS BIGINT) AS n FROM obs GROUP BY grp
+    ), cells AS (
+      -- every (group, digit 1..9) cell: a digit with ZERO occurrences
+      -- is the strongest Benford violation and must contribute its
+      -- (0-exp)^2/exp term
+      SELECT grp, n, CAST(d AS INTEGER) AS digit
+      FROM tot, (SELECT unnest(generate_series(1, 9)) AS d)
+    ), expd AS (
+      SELECT c.grp, c.digit, CAST(COALESCE(o.obs, 0) AS BIGINT) AS obs, c.n,
+             -- e-notation literals parse as DOUBLE; plain decimals
+             -- parse as DECIMAL(17,16) whose double conversion is
+             -- double-rounded (measured 1-ulp skew on 19926 * P(3))
+             CAST(c.n AS DOUBLE) * ([3.010299956639812e-1, 1.7609125905568124e-1,
+               1.2493873660829993e-1, 9.691001300805642e-2, 7.918124604762482e-2,
+               6.694678963061322e-2, 5.799194697768673e-2, 5.115252244738129e-2,
+               4.575749056067514e-2][c.digit]) AS expected
+      FROM cells c LEFT JOIN obs o ON o.grp = c.grp AND o.digit = c.digit
+    )
+    SELECT grp AS l_returnflag, digit, obs, n, expected,
+           (CAST(obs AS DOUBLE) - expected) * (CAST(obs AS DOUBLE) - expected) / expected AS chi2_contrib
+    FROM expd
+    """,
+)
+def benford_digit_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit (operators/quality.py
+    benford_digit_report) on extendedprice per returnflag: leading
+    digit of the exact integer cents vs literal Benford
+    probabilities (literals are bit-identical across engines — no
+    libm evaluated anywhere). Per-cell chi-square contributions; the
+    global statistic is the caller's fixed-order sum."""
+    from dpe_energy_performance_analysis_etl_spark.operators.quality import benford_digit_report
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return benford_digit_report(li, "l_returnflag", "l_extendedprice", 2)
+
+
+@register(
+    "ivfpq_topk_embeddings",
+    """
+    WITH base AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), coarse AS MATERIALIZED (
+      SELECT vec_id AS cluster, v AS centroid FROM base WHERE vec_id < 8
+    ), cdist AS MATERIALIZED (
+      SELECT b.vec_id, c.cluster,
+             list_dot_product(
+               list_transform(range(1, 65), i -> b.v[i] - c.centroid[i]),
+               list_transform(range(1, 65), i -> b.v[i] - c.centroid[i])) AS d
+      FROM base b CROSS JOIN coarse c
+    ), assigned AS MATERIALIZED (
+      SELECT a.vec_id, a.cluster,
+             list_transform(range(1, 65), i -> b.v[i] - c.centroid[i]) AS resid
+      FROM (
+        SELECT vec_id, cluster,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS r
+        FROM cdist
+      ) a JOIN base b ON b.vec_id = a.vec_id JOIN coarse c ON c.cluster = a.cluster
+      WHERE a.r = 1
+    ), ss AS (SELECT unnest(generate_series(0, 7)) AS s
+    ), subs AS MATERIALIZED (
+      SELECT vec_id, cluster, s, resid[s*8+1 : s*8+8] AS sv
+      FROM assigned CROSS JOIN ss
+    ), cents AS MATERIALIZED (
+      SELECT vec_id AS cid, s, sv AS cv FROM subs WHERE vec_id < 16
+    ), dists AS MATERIALIZED (
+      SELECT sub.vec_id, sub.cluster, sub.s, c.cid,
+             list_dot_product(
+               list_transform(range(1, 9), i -> sub.sv[i] - c.cv[i]),
+               list_transform(range(1, 9), i -> sub.sv[i] - c.cv[i])) AS d2
+      FROM subs sub JOIN cents c USING (s)
+    ), codes AS MATERIALIZED (
+      SELECT vec_id, cluster, s, cid AS code FROM (
+        SELECT vec_id, cluster, s, cid,
+               row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) AS r
+        FROM dists
+      ) WHERE r = 1
+    ), probed AS MATERIALIZED (
+      SELECT q.vec_id AS query_id, q.cluster,
+             list_transform(range(1, 65), i -> b.v[i] - c.centroid[i]) AS qresid
+      FROM (
+        SELECT vec_id, cluster,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS r
+        FROM cdist WHERE vec_id < 10
+      ) q JOIN base b ON b.vec_id = q.vec_id JOIN coarse c ON c.cluster = q.cluster
+      WHERE q.r <= 4
+    ), luts AS MATERIALIZED (
+      SELECT p.query_id, p.cluster, ss.s, c.cid,
+             list_dot_product(
+               list_transform(range(1, 9), i -> p.qresid[ss.s*8+i] - c.cv[i]),
+               list_transform(range(1, 9), i -> p.qresid[ss.s*8+i] - c.cv[i])) AS d2
+      FROM probed p CROSS JOIN ss JOIN cents c ON c.s = ss.s
+    ), terms AS (
+      SELECT l.query_id, co.vec_id AS neighbor_id, l.s, l.d2 AS term
+      FROM codes co
+      JOIN luts l ON l.cluster = co.cluster AND l.s = co.s AND l.cid = co.code
+      WHERE l.query_id <> co.vec_id
+    ), scored AS (
+      SELECT query_id, neighbor_id,
+             list_dot_product(list(term ORDER BY s),
+                              list_transform(list(term ORDER BY s), t -> 1.0)) AS adist
+      FROM terms GROUP BY query_id, neighbor_id
+    ), shortlist AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS r
+        FROM scored
+      ) WHERE r <= 40
+    ), refined AS (
+      SELECT s.query_id, s.neighbor_id,
+             list_dot_product(
+               list_transform(range(1, 65), i -> qb.v[i] - nb.v[i]),
+               list_transform(range(1, 65), i -> qb.v[i] - nb.v[i])) AS dist
+      FROM shortlist s
+      JOIN base qb ON qb.vec_id = s.query_id
+      JOIN base nb ON nb.vec_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, dist, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+      FROM refined
+    ) WHERE rank <= 5
+    """,
+)
+def ivfpq_topk_embeddings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ ANN (similarity/ivfpq.py): coarse inverted-file probe +
+    product quantization on RESIDUALS + exact refine — the FAISS
+    billion-vector layout. The SQL oracle replays the full seeded
+    composition end-to-end (coarse argmin -> residual -> seeded
+    residual codebook -> per-subspace encode -> probe top-4 clusters
+    -> ADC ordered fold -> 40-candidate shortlist -> exact-L2 refine)
+    — every argmin/rank carries the same id tie-break and every
+    double fold is the list_dot_product shape both engines share
+    (closed the last rows-only ANN gap, VERDICT r3 ask #8)."""
+    from dpe_energy_performance_analysis_etl_spark.similarity.ivfpq import ivfpq_topk
+
+    emb = read_embeddings(spark, sf_dir)
+    return ivfpq_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, ncoarse=8, nprobe=4)
+
+
+# =====================================================================
+# Round 4: exact substring-span dedup (Lee et al. ACL'22 ExactSubstr)
+# =====================================================================
+
+_SUBSTRING_SPANS_SQL = """
+    WITH tok AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+    ), g AS MATERIALIZED (
+      SELECT doc_id,
+             unnest(range(0, greatest(len(t) - 8 + 1, 0))) AS pos,
+             unnest(list_transform(range(0, greatest(len(t) - 8 + 1, 0)),
+                    i -> array_to_string(t[i+1:i+8], ' '))) AS gram
+      FROM tok
+    ), hot AS (
+      SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+    ), cov AS (
+      SELECT doc_id, pos FROM g JOIN hot USING (gram)
+    ), isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+                  THEN 1 ELSE 0 END AS brk
+      FROM cov
+    ), grp AS (
+      SELECT doc_id, pos,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+      FROM isl
+    ), spans AS (
+      SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+             CAST(MAX(pos) + 7 AS BIGINT) AS span_end,
+             CAST(MAX(pos) + 8 - MIN(pos) AS BIGINT) AS span_tokens
+      FROM grp GROUP BY doc_id, gid
+    )"""
+
+
+@register(
+    "substring_dup_spans",
+    _SUBSTRING_SPANS_SQL
+    + """
+    SELECT doc_id, span_start, span_end, span_tokens FROM spans
+    """,
+)
+def substring_dup_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-span dedup (text/substring.py, the Lee et al.
+    ACL'22 ExactSubstr operator, Spark-first): maximal cross-document
+    duplicated token runs of length >= 8, found WITHOUT a suffix
+    array and WITHOUT enumerating document pairs — position-tagged
+    k-grams, one linear document-frequency groupBy, one equi-join
+    back, per-doc gaps-and-islands interval merge. Corpus-wide
+    boilerplate costs posting rows, never pair blowup."""
+    from dpe_energy_performance_analysis_etl_spark.text.substring import duplicated_spans
+
+    out = duplicated_spans(read_documents(spark, sf_dir), k=8)
+    return out.select(
+        "doc_id",
+        F.col("span_start").cast("bigint").alias("span_start"),
+        F.col("span_end").cast("bigint").alias("span_end"),
+        F.col("span_tokens").cast("bigint").alias("span_tokens"),
+    )
+
+
+@register(
+    "substring_dup_stats",
+    _SUBSTRING_SPANS_SQL
+    + """
+    , per_doc AS (
+      SELECT doc_id, CAST(SUM(span_tokens) AS BIGINT) AS dup_tokens
+      FROM spans GROUP BY doc_id
+    )
+    SELECT p.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens, p.dup_tokens,
+           CAST(p.dup_tokens AS DOUBLE) / CAST(len(t.t) AS DOUBLE) AS dup_fraction
+    FROM per_doc p JOIN tok t ON t.doc_id = p.doc_id
+    """,
+)
+def substring_dup_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplication profile over the substring spans —
+    the remove-or-filter decision input (integer token counts, one
+    final double division)."""
+    from dpe_energy_performance_analysis_etl_spark.text.substring import substring_dup_stats
+
+    out = substring_dup_stats(read_documents(spark, sf_dir), k=8)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("dup_tokens").cast("bigint").alias("dup_tokens"),
+        "dup_fraction",
+    )
+
+
+@register(
+    "substring_dedup_clean",
+    _SUBSTRING_SPANS_SQL
+    + """
+    , toks2 AS (
+      SELECT doc_id, unnest(range(0, len(t))) AS p, unnest(t) AS tok FROM tok
+    ), cut AS (
+      SELECT DISTINCT t2.doc_id, t2.p
+      FROM toks2 t2 JOIN spans s
+        ON s.doc_id = t2.doc_id AND t2.p BETWEEN s.span_start AND s.span_end
+    ), agg AS (
+      SELECT t2.doc_id,
+             COALESCE(string_agg(CASE WHEN c.p IS NULL THEN t2.tok END, ' ' ORDER BY t2.p), '') AS clean_text,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) FILTER (WHERE c.p IS NULL) AS BIGINT) AS kept_tokens
+      FROM toks2 t2
+      LEFT JOIN cut c ON c.doc_id = t2.doc_id AND c.p = t2.p
+      GROUP BY t2.doc_id
+    )
+    -- left-join back to tok so a document whose text tokenizes to
+    -- ZERO tokens still emits (n_tokens=0, kept_tokens=0, '') — the
+    -- Spark side does (ADVICE r4 latent row-count mismatch)
+    SELECT tok.doc_id,
+           COALESCE(a.clean_text, '') AS clean_text,
+           CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(a.kept_tokens, 0) AS BIGINT) AS kept_tokens
+    FROM tok LEFT JOIN agg a ON a.doc_id = tok.doc_id
+    """,
+)
+def substring_dedup_clean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The paper's action applied: duplicated spans cut out of every
+    document, surrounding tokens kept (row-local reconstruction — the
+    span list per doc is bounded by n_tokens / k)."""
+    from dpe_energy_performance_analysis_etl_spark.text.substring import remove_duplicated_spans
+
+    out = remove_duplicated_spans(read_documents(spark, sf_dir), k=8)
+    return out.select(
+        "doc_id",
+        "clean_text",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("kept_tokens").cast("bigint").alias("kept_tokens"),
+    )
+
+
+@register(
+    "salted_join_supplier_revenue",
+    """
+    SELECT s.s_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_nationkey
+    """,
+)
+def salted_join_supplier_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join (operators/skew.py): the fact side spread
+    across 8 salt buckets per key, the dim side replicated 8x, join
+    on (key, salt) — results identical to the plain equi-join (the
+    oracle IS the plain join), with any hot supplier's reducer work
+    spread 8 ways. The explicit plan-time fix for hot keys AQE's
+    runtime skew-split can't reach (it only splits sort-merge
+    partitions after the fact)."""
+    from dpe_energy_performance_analysis_etl_spark.operators.skew import salted_join
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_suppkey").alias("s_suppkey"), "l_extendedprice"
+    )
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_nationkey"
+    )
+    joined = salted_join(li, sup, on="s_suppkey", salt_buckets=8)
+    return (
+        joined.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum_fast("l_extendedprice", 2).alias("revenue"),
+        )
+        .select("s_nationkey", "n_items", "revenue")
+    )
+
+
+@register(
+    "calibration_ece_orders",
+    """
+    WITH scored AS (
+      SELECT least((CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) // 50), 1000000) AS p,
+             o_orderstatus = 'F' AS y
+      FROM orders
+    ), binned AS (
+      SELECT least((p * 10) // 1000000, 9) AS bin, p, y FROM scored
+    ), agg AS (
+      SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(p) AS BIGINT) AS sum_p,
+             CAST(count_if(y) AS BIGINT) AS n_pos
+      FROM binned GROUP BY bin
+    )
+    SELECT bin, n, n_pos,
+           CAST(sum_p AS DOUBLE) / (CAST(n AS DOUBLE) * 1.0e6) AS mean_conf,
+           CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS frac_pos,
+           abs(CAST(sum_p AS DOUBLE) / (CAST(n AS DOUBLE) * 1.0e6)
+               - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)) AS abs_gap,
+           CAST(n AS DOUBLE) / CAST(CAST(SUM(n) OVER () AS BIGINT) AS DOUBLE) AS weight
+    FROM agg
+    """,
+)
+def calibration_ece_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability / ECE calibration audit (operators/quality.py
+    calibration_report): a price-derived integer-scaled 'probability'
+    that an order reaches final status, binned into 10 equal-width
+    confidence bins — per-bin mean confidence vs observed frequency,
+    gap, and weight (the scalar ECE is the caller's fixed-order
+    sum(weight*abs_gap), the benford/contingency contract). Per-bin
+    sums are BIGINT-exact in both engines; only the two final
+    divisions are doubles."""
+    from dpe_energy_performance_analysis_etl_spark.operators.quality import calibration_report
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+    # floor(cents/50) == cents // 50 exactly: cents < 2^53 so the
+    # double division floors to the true integer quotient
+    scored = orders.select(
+        F.least(F.floor(cents / 50).cast("bigint"), F.lit(1_000_000)).alias("p"),
+        (F.col("o_orderstatus") == "F").alias("y"),
+    )
+    return calibration_report(scored, "p", "y", n_bins=10, scale=1_000_000)
+
+
+def _lpa_oracle(iterations: int) -> str:
+    """Chained-CTE replay of synchronous min-tie-break label
+    propagation — each round is a pure function of the previous
+    labeling (same unrolling contract as the PageRank/k-core
+    oracles). Every CTE is MATERIALIZED: round i+1 references round i
+    once per aggregation but DuckDB's default inlining would
+    re-evaluate the whole prefix."""
+    blocks = [
+        """
+    WITH pairs AS MATERIALIZED (
+      -- long node ids (cust*2 / supp*2+1), not string prefixes: the
+      -- per-round (node,label) shuffle is the whole cost of LPA and
+      -- 8-byte keys measured 2x faster than 'c123'-style strings
+      SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ), e AS MATERIALIZED (
+      SELECT c AS s, s AS d FROM pairs
+      UNION ALL
+      SELECT s AS s, c AS d FROM pairs
+    ), l0 AS MATERIALIZED (
+      SELECT DISTINCT s AS node, s AS label FROM e
+    )"""
+    ]
+    for i in range(iterations):
+        blocks.append(
+            f""", l{i + 1} AS MATERIALIZED (
+      SELECT node, label FROM (
+        SELECT x.node, x.label,
+               row_number() OVER (PARTITION BY x.node ORDER BY x.c DESC, x.label) AS rn
+        FROM (
+          SELECT e.d AS node, l{i}.label, COUNT(*) AS c
+          FROM e JOIN l{i} ON e.s = l{i}.node GROUP BY e.d, l{i}.label
+        ) x
+      ) WHERE rn = 1
+    )"""
+        )
+    blocks.append(f"\n    SELECT node, label FROM l{iterations}")
+    return "".join(blocks)
+
+
+@register("label_propagation_communities", _lpa_oracle(3))
+def label_propagation_communities_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LPA community detection (operators/graph.py label_propagation)
+    on the customer-supplier bipartite graph: 3 synchronous rounds,
+    most-frequent-neighbor label with min tie-break — the
+    deterministic variant of Raghavan et al. that a fixed SQL
+    unrolling replays bit-identically. Per round: one |E| equi-join +
+    one map-side-combinable (node,label) count + one min_by argmax;
+    static edge table cached, per-round labels cached with the parent
+    unpersisted."""
+    from dpe_energy_performance_analysis_etl_spark.operators.graph import label_propagation
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pairs = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    return label_propagation(pairs, iterations=3)
+
+
+# =====================================================================
+# Round 4: URL canonicalization + domain analytics (text/urls.py)
+# =====================================================================
+
+@register(
+    "url_canonical_dedup",
+    """
+    WITH raw AS (
+      SELECT doc_id,
+             'HTTPS://WWW.' || source || '.Example.COM:443/p' || (doc_id % 7)
+               || '?utm_source=feed&b=2&a=1&id=' || (doc_id % 5) || '#frag' AS url
+      FROM documents
+    ), nf AS (
+      SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM raw
+    ), parts AS (
+      SELECT doc_id,
+             lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
+             lower(regexp_extract(u, '^[^:]+://([^/?#]*)', 1)) AS hostport,
+             regexp_extract(u, '^[^:]+://[^/?#]*(.*)$', 1) AS rest
+      FROM nf
+    ), comps AS (
+      SELECT doc_id, scheme,
+             CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+                  WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+                  ELSE hostport END AS host,
+             CASE WHEN regexp_extract(rest, '^([^?]*)', 1) = '' THEN '/'
+                  ELSE regexp_extract(rest, '^([^?]*)', 1) END AS path,
+             list_sort(list_filter(string_split(regexp_extract(rest, '\\?(.*)$', 1), '&'),
+               p -> p <> '' AND NOT regexp_matches(p, '^(utm_[a-z0-9_]*|gclid|fbclid|msclkid|mc_eid|ref)=.*$'))) AS params
+      FROM parts
+    ), canon AS (
+      SELECT doc_id,
+             scheme || '://' || host || path ||
+             CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&') ELSE '' END AS canonical_url
+      FROM comps
+    )
+    SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS first_doc_id
+    FROM canon GROUP BY canonical_url
+    """,
+)
+def url_canonical_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup (text/urls.py) — the cheapest pass in a web
+    pipeline, run before any content hashing: lowercase scheme/host,
+    default port stripped, fragment dropped, tracking params removed,
+    remaining params sorted; keep-first per canonical URL. The messy
+    input URL is derived deterministically from the documents table
+    (mixed case, :443, utm_*, unsorted params, fragment) so both
+    engines normalize the identical strings. Pure codegen expressions
+    + one groupBy."""
+    from dpe_energy_performance_analysis_etl_spark.text.urls import canonical_url_dedup
+
+    docs = read_documents(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://WWW."),
+            F.col("source"),
+            F.lit(".Example.COM:443/p"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit("?utm_source=feed&b=2&a=1&id="),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit("#frag"),
+        ).alias("url"),
+    )
+    return canonical_url_dedup(docs)
+
+
+@register(
+    "domain_document_stats",
+    """
+    WITH raw AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'news.' || source || '.co.uk'
+                  ELSE 'www.' || source || '.example.com' END AS host
+      FROM documents
+    ), dom AS (
+      SELECT doc_id, host, string_split(host, '.') AS labels FROM raw
+    ), tagged AS (
+      SELECT doc_id, host,
+             CASE WHEN len(labels) >= 3
+                       AND (labels[-2] || '.' || labels[-1]) IN
+                           ('co.uk','ac.uk','gov.uk','com.au','co.jp','co.in','com.br','co.nz')
+                  THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
+                  WHEN len(labels) >= 2 THEN labels[-2] || '.' || labels[-1]
+                  ELSE host END AS domain
+      FROM dom
+    )
+    SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts
+    FROM tagged GROUP BY domain
+    """,
+)
+def domain_document_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered-domain analytics (text/urls.py): public-suffix
+    heuristic (last two labels, or three under co.uk-style
+    registries), per-domain doc + distinct-host counts — the input to
+    domain caps / blocklists / crawl-bias weighting. Hosts derived
+    deterministically from the documents table with a co.uk branch so
+    BOTH suffix rules are exercised."""
+    from dpe_energy_performance_analysis_etl_spark.text.urls import domain_document_stats
+
+    docs = read_documents(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit("news."), F.col("source"), F.lit(".co.uk")),
+            ).otherwise(F.concat(F.lit("www."), F.col("source"), F.lit(".example.com"))),
+            F.lit("/x"),
+        ).alias("url"),
+    )
+    return domain_document_stats(docs)
+
+
+# =====================================================================
+# Round 4: winnowing fingerprints (Schleimer et al. SIGMOD'03 / MOSS)
+# =====================================================================
+
+_WINNOW_FP_SQL = """
+    WITH tok AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+    ), g AS (
+      SELECT doc_id,
+             unnest(range(0, greatest(len(t) - 4 + 1, 0))) AS pos,
+             unnest(list_transform(range(0, greatest(len(t) - 4 + 1, 0)),
+                    i -> array_to_string(t[i+1:i+4], ' '))) AS gram
+      FROM tok
+    ), hashed AS (
+      SELECT doc_id, pos,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(regexp_extract_all(gram, '.'), c -> CAST(ascii(c) AS BIGINT))),
+               (acc, x) -> (acc * 131 + x) % 2147483647
+             ) AS h
+      FROM g
+    ), sel AS (
+      -- rightmost-min of SOME full window: offset d = how many
+      -- window positions precede j (ties break rightward: prev >= h,
+      -- next > h); each offset is a (count, min) pair per side
+      SELECT doc_id, pos, h,
+             count(h) OVER w_p1 AS cp1, min(h) OVER w_p1 AS mp1,
+             count(h) OVER w_p2 AS cp2, min(h) OVER w_p2 AS mp2,
+             count(h) OVER w_p3 AS cp3, min(h) OVER w_p3 AS mp3,
+             count(h) OVER w_n1 AS cn1, min(h) OVER w_n1 AS mn1,
+             count(h) OVER w_n2 AS cn2, min(h) OVER w_n2 AS mn2,
+             count(h) OVER w_n3 AS cn3, min(h) OVER w_n3 AS mn3
+      FROM hashed
+      WINDOW
+        w_p1 AS (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN 1 PRECEDING AND 1 PRECEDING),
+        w_p2 AS (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING),
+        w_p3 AS (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING),
+        w_n1 AS (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN 1 FOLLOWING AND 1 FOLLOWING),
+        w_n2 AS (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING),
+        w_n3 AS (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING)
+    ), fp AS (
+      SELECT doc_id, pos, h AS fingerprint FROM sel
+      WHERE (cn3 = 3 AND h < mn3)
+         OR (cp1 = 1 AND mp1 >= h AND cn2 = 2 AND h < mn2)
+         OR (cp2 = 2 AND mp2 >= h AND cn1 = 1 AND h < mn1)
+         OR (cp3 = 3 AND mp3 >= h)
+    )"""
+
+
+@register(
+    "winnow_fingerprints_docs",
+    _WINNOW_FP_SQL
+    + """
+    SELECT doc_id, pos, fingerprint FROM fp
+    """,
+)
+def winnow_fingerprints_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (text/winnow.py — the MOSS scheme):
+    rightmost-minimum of every 4-hash window over 4-gram rolling
+    hashes, computed as ONE window-frame comparison (h < min of next
+    3) — no per-window explode. Guarantees a shared fingerprint for
+    any common run of >= window+k-1 = 7 tokens at ~2/(window+1)
+    sampling density. Portable polynomial hash = bit-exact SQL
+    replay."""
+    from dpe_energy_performance_analysis_etl_spark.text.winnow import winnowing_fingerprints
+
+    return winnowing_fingerprints(read_documents(spark, sf_dir), k=4, window=4)
+
+
+@register(
+    "winnow_match_pairs",
+    _WINNOW_FP_SQL
+    + """
+    , dfp AS (SELECT DISTINCT doc_id, fingerprint FROM fp)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM dfp a JOIN dfp b ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    """,
+)
+def winnow_match_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS candidate pairs: documents sharing >= 2 winnowed
+    fingerprints, joined on the ~40%-sampled fingerprint postings
+    (support threshold applied inside the aggregation — no
+    coincidental single-hit pairs leave the shuffle)."""
+    from dpe_energy_performance_analysis_etl_spark.text.winnow import winnow_match_pairs
+
+    return winnow_match_pairs(read_documents(spark, sf_dir), k=4, window=4, min_shared=2)

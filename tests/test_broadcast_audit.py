@@ -24,9 +24,18 @@ def test_no_stale_allowlist_entries():
 
 
 def _src(rel):
-    with open(
-        os.path.join(REPO, "dpe_energy_performance_analysis_etl_spark", rel)
-    ) as fh:
+    pkg = os.path.join(REPO, "dpe_energy_performance_analysis_etl_spark")
+    if rel == "plans/queries.py":
+        # the registry is chunked into plans/families/*.py; the pin
+        # covers the whole logical file
+        import glob
+
+        parts = []
+        for p in sorted(glob.glob(os.path.join(pkg, "plans", "families", "*.py"))):
+            with open(p) as fh:
+                parts.append(fh.read())
+        return "\n".join(parts)
+    with open(os.path.join(pkg, rel)) as fh:
         return fh.read()
 
 

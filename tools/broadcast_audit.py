@@ -179,6 +179,12 @@ def scan() -> list[tuple[str, str, int, str]]:
     sites = []
     for path in sorted(glob.glob(os.path.join(PKG, "**", "*.py"), recursive=True)):
         rel = os.path.relpath(path, PKG)
+        # The query registry is chunked into plans/families/fNN_*.py
+        # (mechanical split of the historical plans/queries.py);
+        # classify sites under the stable logical identity so the
+        # allowlist survives re-chunking.
+        if rel.startswith(os.path.join("plans", "families") + os.sep):
+            rel = os.path.join("plans", "queries.py")
         curdef = "<module>"
         with open(path) as fh:
             for i, ln in enumerate(fh, 1):
