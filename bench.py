@@ -111,6 +111,14 @@ HEADLINE = [
     "spearman_qty_price_brands",
     "copeland_brand_duels",
     "kmv_source_overlap",
+    # round-10 additions (VERDICT r9 ask #7): the heaviest r9
+    # second-session shapes — the doubled-rank tier Kendall τ-b over
+    # lineitem x part, the k-means fit + silhouette + CH over the
+    # embeddings table, and the corpus x eval-broadcast semantic
+    # decontamination scan
+    "kendall_tau_qty_price_brands",
+    "kmeans_validity_embeddings",
+    "semantic_decontaminate_embeddings",
 ]
 
 
@@ -142,13 +150,24 @@ def _latest_prior_record(here: str | None = None) -> dict | None:
     if not numbered:
         return None
     numbered.sort()
-    try:
-        rec = json.load(open(numbered[-1][1]))
-    except Exception:  # noqa: BLE001
-        return None
-    # the driver wraps the bench's JSON line under "parsed" (with the
-    # raw tail beside it) — unwrap; a bare record passes through
-    return rec.get("parsed", rec)
+    # Walk newest-first until a USABLE record: the r9 driver record
+    # shipped {"parsed": null, "tail": "<fragment>"} (its bench line
+    # was truncated), which the old unwrap returned as None — and the
+    # whole drift check silently no-op'd for the round. A usable
+    # record has queries + calib_sec.
+    for _, path in reversed(numbered):
+        try:
+            rec = json.load(open(path))
+        except Exception:  # noqa: BLE001
+            continue
+        rec = rec.get("parsed") or rec
+        if (
+            isinstance(rec, dict)
+            and rec.get("queries") is not None
+            and rec.get("calib_sec")
+        ):
+            return rec
+    return None
 
 
 def _drift_flags(
@@ -242,6 +261,29 @@ def _noop_run(spark, sf_dir: str, name: str) -> None:
     QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
 
 
+def _release_query_state(spark) -> None:
+    """Inter-QUERY cleanup (r10): drop CacheManager entries and nudge
+    both GCs so the previous query's cached tables and eager
+    localCheckpoint RDDs are actually released before the next query
+    is timed. Without this, a 49-query sweep ACCUMULATES every
+    query's pinned leaves in executor memory — measured: pagerank
+    23.1 s in-sweep vs 6.9 s solo on the same host minutes apart
+    (the r9 'iterative class drift' watch item reproduced exactly
+    this way; see NOTES r10). ContextCleaner only frees a checkpoint
+    after the driver-side reference dies, which for PySpark means a
+    Python gc pass, a py4j proxy release, and a JVM gc. Safe ONLY
+    between queries — never between a recipe's build and its action
+    (the CLAUDE.md cache-eviction rule)."""
+    import gc
+
+    try:
+        spark.catalog.clearCache()
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+    except Exception:  # noqa: BLE001
+        pass
+
+
 def _warm_preamble(
     spark,
     sf_dir: str,
@@ -298,7 +340,7 @@ def _drift_check(
     flagged = _drift_flags(timings, prev_q, prev_calib, calib)
     out: dict[str, dict] = {}
     for name, prev_u, cur_u, mode in flagged:
-        spark.catalog.clearCache()
+        _release_query_state(spark)
         # calib itself is noisy on this host — min-of-3 samples
         solo_calib = None
         for _ in range(3):
@@ -362,7 +404,7 @@ def solo_main(names: list[str], min_preamble_sec: float = 180.0) -> None:
     prev_calib = (prior or {}).get("calib_sec") or 0.0
     out: dict[str, dict] = {}
     for name in names:
-        spark.catalog.clearCache()
+        _release_query_state(spark)
         solo_calib = None
         for _ in range(3):
             t0 = time.perf_counter()
@@ -436,6 +478,7 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             failures[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"bench: {name} FAILED: {failures[name]}", file=sys.stderr)
+        _release_query_state(spark)
 
     drift = _drift_check(
         spark,

@@ -1669,6 +1669,101 @@ def ks_two_sample(
     )
 
 
+def anderson_darling_two_sample(
+    df,
+    group_col: str,
+    side_col: str,
+    value_col: str,
+    scale: int = 1_000_000,
+):
+    """Two-sample Anderson-Darling statistic per group (Scholz &
+    Stephens JASA 1987, ties-adjusted k=2 form) — the tail-weighted
+    companion to :func:`ks_two_sample`: AD up-weights CDF differences
+    near the extremes where KS's single max is insensitive.
+
+    With tiers j over distinct values ascending, l_j the tier count,
+    B_j the cumulative count, M_j the cumulative side-1 count,
+    N = n1 + n2, the k=2 identity N·M₂ − n₂·B = −(N·M₁ − n₁·B)
+    collapses Scholz-Stephens eq. 6 to
+
+        A² = (1/(n1·n2)) · Σ_{j: B_j < N} l_j·D_j² / (B_j·(N−B_j)),
+        D_j = N·M_j − n1·B_j.
+
+    QUANTIZED-SUM exactness: each tier term is floored independently
+    ((l_j·D_j²·scale) div (B_j·(N−B_j)·n1·n2)) and the BIGINT floors
+    are summed — both engines floor identically, so the sum is
+    bit-portable; the result equals A²·scale up to one ulp-of-scale
+    per tier (documented, deterministic). DECIMAL(38,0)/HUGEINT
+    bound: l·D²·scale < 10³⁸ → holds to ~10⁸ rows per group; ANSI
+    aborts loudly past it.
+
+    Scale shape: identical to ks_two_sample — one (group, value)
+    aggregation, the grouped_running_totals range-partition recipe
+    (no data-sized PARTITION BY window), pinned tier stream feeding
+    the bounded totals and the term sum.
+
+    Returns (group, n1, n2, a2_qscaled).
+    """
+    from pyspark.sql import functions as F
+
+    from dpe_energy_performance_analysis_etl_spark.operators.quantiles import (
+        _pin,
+        grouped_running_totals,
+    )
+
+    vals = df.groupBy(
+        F.col(group_col).alias("g"), F.col(value_col).alias("v")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum(F.col(side_col).cast("int")).cast("bigint").alias("cnt1"),
+    )
+    pre = grouped_running_totals(vals, "g", "v", ["cnt", "cnt1"])
+    tiers = _pin(
+        pre.select(
+            "g",
+            "cnt",
+            (F.col("cnt_before") + F.col("cnt")).alias("cum"),
+            (F.col("cnt1_before") + F.col("cnt1")).alias("cum1"),
+        )
+    )
+    totals = tiers.groupBy("g").agg(
+        F.max("cum").cast("bigint").alias("n"),
+        F.max("cum1").cast("bigint").alias("n1"),
+    )
+    term = (
+        "CAST((CAST(cnt AS DECIMAL(38,0))"
+        " * (CAST(cum1 AS DECIMAL(38,0)) * n - CAST(cum AS DECIMAL(38,0)) * n1)"
+        " * (CAST(cum1 AS DECIMAL(38,0)) * n - CAST(cum AS DECIMAL(38,0)) * n1)"
+        f" * {scale})"
+        " div (CAST(cum AS DECIMAL(38,0)) * (n - cum) * n1 * (n - n1))"
+        " AS BIGINT)"
+    )
+    per = (
+        tiers.join(F.broadcast(totals), "g")
+        .filter(F.col("cum") < F.col("n"))
+        .filter((F.col("n1") > 0) & (F.col("n") > F.col("n1")))
+        .groupBy("g")
+        .agg(
+            F.max("n").alias("n_"),
+            F.max("n1").alias("n1_"),
+            F.sum(F.expr(term)).cast("bigint").alias("a2"),
+        )
+    )
+    # groups with an empty side are filtered above — re-attach them
+    # with NULL a2 so the output keeps one row per group (the honest
+    # "no distribution to compare" answer, same contract as KS)
+    base = vals.groupBy("g").agg(
+        F.sum("cnt").cast("bigint").alias("nb"),
+        F.sum("cnt1").cast("bigint").alias("n1b"),
+    )
+    return base.join(per, "g", "left").select(
+        F.col("g").alias(group_col),
+        F.col("n1b").alias("n1"),
+        (F.col("nb") - F.col("n1b")).alias("n2"),
+        F.col("a2").alias("a2_qscaled"),
+    )
+
+
 def kruskal_wallis_h(
     df,
     group_col: str,

@@ -15,4 +15,9 @@ FAMILY_MODULES = [
     "f09_ohlc_monthly_orders",
     "f10_mcnemar_repeat_purchase",
     "f11_neyman_allocation_nations",
+    # round-10 additions (new registrations append to the registry
+    # tail; pre-existing order unchanged)
+    "f12_r10_wave1",
+    "f13_r10_wave2",
+    "f14_r10_wave3",
 ]

@@ -39,6 +39,19 @@ class TestLatestPriorRecord:
     def test_none_when_no_records(self, tmp_path):
         assert bench._latest_prior_record(here=str(tmp_path)) is None
 
+    def test_null_parsed_falls_back_to_prior_round(self, tmp_path):
+        # the r9 driver record shipped {"parsed": null, "tail": ...}
+        # (truncated bench line) — the loader must walk back to the
+        # newest USABLE record instead of silently disabling drift
+        (tmp_path / "BENCH_r8.json").write_text(
+            json.dumps({"calib_sec": 0.4, "queries": {"q": 1.0}})
+        )
+        (tmp_path / "BENCH_r9.json").write_text(
+            json.dumps({"parsed": None, "tail": "fragment", "rc": 0})
+        )
+        rec = bench._latest_prior_record(here=str(tmp_path))
+        assert rec["calib_sec"] == 0.4
+
 
 class TestDriftFlags:
     def test_subsecond_raw_doubling_flags_raw_mode(self):

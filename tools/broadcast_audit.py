@@ -97,6 +97,7 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("operators/stats.py", "kaplan_meier"): "scalar: encoding row",
     ("operators/stats.py", "ransac_line_fit"): "model: candidate midpoint pairs / best model row",
     ("operators/stats.py", "ks_two_sample"): "domain: per-group totals",
+    ("operators/stats.py", "anderson_darling_two_sample"): "domain: per-group totals",
     ("operators/stats.py", "grouped_l_moments"): "partitions: offsets",
     ("operators/stats.py", "life_table_actuarial"): "scalar: encoding row",
     ("operators/temporal.py", "event_transitions"): "domain: per-event-type totals",
@@ -171,6 +172,15 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("plans/queries.py", "moods_median_status_q"): "scalar: grand median/total",
     ("plans/queries.py", "dp_geometric_counts_nations_q"): "domain: nation",
     ("plans/queries.py", "haar_energy_revenue_q"): "scalar: totals",
+    # --- round-10 additions ---
+    ("plans/queries.py", "durbin_watson_revenue_q"): "scalar: OLS coefficient row",
+    ("plans/queries.py", "youden_j_threshold_q"): "scalar: P/N totals row",
+    ("plans/queries.py", "anderson_darling_status_q"): "domain: per-group totals (inside stats op)",
+    ("plans/queries.py", "variance_ratio_revenue_q"): "scalar: q-list/endpoint/variance rows",
+    ("plans/queries.py", "page_trend_nations_q"): "domain: nation",
+    ("plans/queries.py", "quade_test_nations_q"): "domain/scalar: nation + k/b row",
+    ("plans/queries.py", "jm_query_likelihood_docs_q"): "scalar: corpus stats row",
+    ("plans/queries.py", "chow_break_revenue_q"): "scalar: 3 coefficient rows",
 }
 
 
