@@ -20,4 +20,6 @@ FAMILY_MODULES = [
     "f12_r10_wave1",
     "f13_r10_wave2",
     "f14_r10_wave3",
+    "f15_r10_wave4",
+    "f16_r10_wave5",
 ]

@@ -181,6 +181,10 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("plans/queries.py", "quade_test_nations_q"): "domain/scalar: nation + k/b row",
     ("plans/queries.py", "jm_query_likelihood_docs_q"): "scalar: corpus stats row",
     ("plans/queries.py", "chow_break_revenue_q"): "scalar: 3 coefficient rows",
+    ("plans/queries.py", "hl_shift_monthly_q"): "domain: month-grain halves + scalar counts",
+    ("plans/queries.py", "kpss_level_revenue_q"): "scalar/domain: sums + lag list + month grain",
+    ("plans/queries.py", "average_precision_priority_q"): "scalar: total-count row",
+    ("plans/queries.py", "cucconi_status_q"): "domain: per-group totals",
 }
 
 
