@@ -449,3 +449,97 @@ def morans_i_grid(
             " AS BIGINT) END AS morans_i_scaled",
         )
     )
+
+
+def getis_ord_gi_grid(
+    cells,
+    x_col: str = "cx",
+    y_col: str = "cy",
+    value_col: str = "val",
+    top_k: int = 5,
+):
+    """Getis-Ord Gi* LOCAL hotspot statistic over a grid (Getis & Ord
+    GeogAnal 1992/1995, the star variant that includes the focal
+    cell) — the per-cell companion to the GLOBAL :func:`morans_i_grid`:
+    Moran answers "is there spatial structure anywhere?", Gi* points
+    AT the hot and cold cells. Rook adjacency + self, so the local
+    weight Wᵢ = 1 + #neighbors ≤ 5.
+
+    Determinism: with Lᵢ the local (self + rook) value sum,
+    Aᵢ = n·Lᵢ − Wᵢ·S and D₂ = n·Σx² − S² are exact integers, and
+
+        zᵢ = Aᵢ / sqrt(D₂·(n·Wᵢ − Wᵢ²)/(n−1))
+
+    — one sqrt/divide/floor on doubles converted once from exact
+    integers, the identical IEEE expression on both engines (the
+    z_milli class). Emits the ``top_k`` hottest and ``top_k``
+    coldest cells by z with a (z, cx, cy) tie-break.
+
+    Scale shape: one bounded cell table (caller aggregates the data-
+    sized input); neighbor candidates are EQUI-KEYED (each cell
+    explodes its 4 rook keys + itself — never a distance cross join);
+    ranking windows run over the bounded cell table.
+
+    Returns 2·top_k rows (cx, cy, val, w_local, gi_z_milli, bucket,
+    rk) with bucket ∈ {'hot', 'cold'}.
+    """
+    from pyspark.sql import Window, functions as F
+
+    base = cells.select(
+        F.col(x_col).cast("bigint").alias("cx"),
+        F.col(y_col).cast("bigint").alias("cy"),
+        F.col(value_col).cast("bigint").alias("val"),
+    ).localCheckpoint(eager=True)  # consumed by totals + both join sides
+    tot = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("val").cast("bigint").alias("s"),
+        F.sum(F.expr("CAST(val AS DECIMAL(38,0)) * val")).alias("s2"),
+    )
+    nbr = base.selectExpr(
+        "explode(array("
+        " struct(cx AS cx, cy AS cy, val AS v_nbr),"
+        " struct(cx + 1 AS cx, cy AS cy, val AS v_nbr),"
+        " struct(cx - 1 AS cx, cy AS cy, val AS v_nbr),"
+        " struct(cx AS cx, cy + 1 AS cy, val AS v_nbr),"
+        " struct(cx AS cx, cy - 1 AS cy, val AS v_nbr))) AS e"
+    ).select("e.cx", "e.cy", "e.v_nbr")
+    local = base.join(nbr, ["cx", "cy"]).groupBy("cx", "cy", "val").agg(
+        F.count(F.lit(1)).cast("bigint").alias("w_local"),
+        F.sum("v_nbr").cast("bigint").alias("l_sum"),
+    )
+    scored = local.crossJoin(F.broadcast(tot)).selectExpr(
+        "cx",
+        "cy",
+        "val",
+        "w_local",
+        "CASE WHEN n > 1 AND (CAST(n AS DECIMAL(38,0)) * s2 - CAST(s AS"
+        " DECIMAL(38,0)) * s) * (n * w_local - w_local * w_local) > 0"
+        " THEN CAST(floor("
+        "  CAST(CAST(n AS DECIMAL(38,0)) * l_sum"
+        "       - CAST(w_local AS DECIMAL(38,0)) * s AS DOUBLE)"
+        "  / sqrt(CAST(CAST(n AS DECIMAL(38,0)) * s2"
+        "              - CAST(s AS DECIMAL(38,0)) * s AS DOUBLE)"
+        "         * CAST(n * w_local - w_local * w_local AS DOUBLE)"
+        "         / (CAST(n AS DOUBLE) - 1e0))"
+        "  * 1000e0) AS BIGINT) END AS gi_z_milli",
+    ).localCheckpoint(eager=True)  # bounded; feeds both rank windows
+    hot_w = Window.orderBy(
+        F.col("gi_z_milli").desc(), F.col("cx").asc(), F.col("cy").asc()
+    )
+    cold_w = Window.orderBy(
+        F.col("gi_z_milli").asc(), F.col("cx").asc(), F.col("cy").asc()
+    )
+    nn = scored.filter(F.col("gi_z_milli").isNotNull())
+    hot = (
+        nn.withColumn("rk", F.row_number().over(hot_w).cast("bigint"))
+        .filter(F.col("rk") <= top_k)
+        .withColumn("bucket", F.lit("hot"))
+    )
+    cold = (
+        nn.withColumn("rk", F.row_number().over(cold_w).cast("bigint"))
+        .filter(F.col("rk") <= top_k)
+        .withColumn("bucket", F.lit("cold"))
+    )
+    return hot.unionByName(cold).select(
+        "cx", "cy", "val", "w_local", "gi_z_milli", "bucket", "rk"
+    )

@@ -22,4 +22,5 @@ FAMILY_MODULES = [
     "f14_r10_wave3",
     "f15_r10_wave4",
     "f16_r10_wave5",
+    "f17_r10_wave6",
 ]

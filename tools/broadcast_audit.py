@@ -185,6 +185,7 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("plans/queries.py", "kpss_level_revenue_q"): "scalar/domain: sums + lag list + month grain",
     ("plans/queries.py", "average_precision_priority_q"): "scalar: total-count row",
     ("plans/queries.py", "cucconi_status_q"): "domain: per-group totals",
+    ("operators/spatial.py", "getis_ord_gi_grid"): "scalar: n/s/s2 totals row",
 }
 
 
