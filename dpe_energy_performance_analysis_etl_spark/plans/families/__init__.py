@@ -23,4 +23,5 @@ FAMILY_MODULES = [
     "f15_r10_wave4",
     "f16_r10_wave5",
     "f17_r10_wave6",
+    "f18_r10_wave7",
 ]

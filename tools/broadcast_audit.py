@@ -186,6 +186,9 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("plans/queries.py", "average_precision_priority_q"): "scalar: total-count row",
     ("plans/queries.py", "cucconi_status_q"): "domain: per-group totals",
     ("operators/spatial.py", "getis_ord_gi_grid"): "scalar: n/s/s2 totals row",
+    ("plans/queries.py", "dominant_period_revenue_q"): "scalar: sums/lag-list/g0 rows",
+    ("plans/queries.py", "engle_granger_rev_qty_q"): "scalar: coefficient row",
+    ("plans/queries.py", "arc_elasticity_brands_q"): "scalar: epoch bounds row",
 }
 
 
