@@ -24,4 +24,5 @@ FAMILY_MODULES = [
     "f16_r10_wave5",
     "f17_r10_wave6",
     "f18_r10_wave7",
+    "f19_r10_wave8",
 ]

@@ -189,6 +189,7 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("plans/queries.py", "dominant_period_revenue_q"): "scalar: sums/lag-list/g0 rows",
     ("plans/queries.py", "engle_granger_rev_qty_q"): "scalar: coefficient row",
     ("plans/queries.py", "arc_elasticity_brands_q"): "scalar: epoch bounds row",
+    ("plans/queries.py", "quantile_sketch_error_audit_q"): "scalar: one-row histogram estimate",
 }
 
 
