@@ -25,4 +25,5 @@ FAMILY_MODULES = [
     "f17_r10_wave6",
     "f18_r10_wave7",
     "f19_r10_wave8",
+    "f20_r10_wave9",
 ]

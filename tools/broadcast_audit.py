@@ -190,6 +190,8 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("plans/queries.py", "engle_granger_rev_qty_q"): "scalar: coefficient row",
     ("plans/queries.py", "arc_elasticity_brands_q"): "scalar: epoch bounds row",
     ("plans/queries.py", "quantile_sketch_error_audit_q"): "scalar: one-row histogram estimate",
+    ("plans/queries.py", "multiset_ops_quantity_q"): "scalar: epoch bounds row",
+    ("plans/queries.py", "brier_decomposition_orders_q"): "scalar: bounds/totals rows",
 }
 
 
