@@ -119,6 +119,11 @@ HEADLINE = [
     "kendall_tau_qty_price_brands",
     "kmeans_validity_embeddings",
     "semantic_decontaminate_embeddings",
+    # round-10 wave representatives: the tail-weighted tier-recipe AD
+    # test and the double-global-rank average precision — the two
+    # data-sized new shapes of the r10 statistical block
+    "anderson_darling_status",
+    "average_precision_priority",
 ]
 
 

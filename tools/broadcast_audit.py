@@ -175,7 +175,6 @@ ALLOWED: dict[tuple[str, str], str] = {
     # --- round-10 additions ---
     ("plans/queries.py", "durbin_watson_revenue_q"): "scalar: OLS coefficient row",
     ("plans/queries.py", "youden_j_threshold_q"): "scalar: P/N totals row",
-    ("plans/queries.py", "anderson_darling_status_q"): "domain: per-group totals (inside stats op)",
     ("plans/queries.py", "variance_ratio_revenue_q"): "scalar: q-list/endpoint/variance rows",
     ("plans/queries.py", "page_trend_nations_q"): "domain: nation",
     ("plans/queries.py", "quade_test_nations_q"): "domain/scalar: nation + k/b row",
