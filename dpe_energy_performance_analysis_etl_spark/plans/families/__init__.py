@@ -26,4 +26,5 @@ FAMILY_MODULES = [
     "f18_r10_wave7",
     "f19_r10_wave8",
     "f20_r10_wave9",
+    "f21_r10_wave10",
 ]

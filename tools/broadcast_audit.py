@@ -191,6 +191,8 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("plans/queries.py", "quantile_sketch_error_audit_q"): "scalar: one-row histogram estimate",
     ("plans/queries.py", "multiset_ops_quantity_q"): "scalar: epoch bounds row",
     ("plans/queries.py", "brier_decomposition_orders_q"): "scalar: bounds/totals rows",
+    ("plans/queries.py", "pacf_lag2_revenue_q"): "scalar: sums/gamma rows",
+    ("plans/queries.py", "median_polish_nation_priority_q"): "domain: nation",
 }
 
 
