@@ -25,6 +25,8 @@ FAMILY_GROUPS: dict[str, list[str]] = {
         "q21_waiting_suppliers", "q22_balance_subquery",
     ],
     "relational": [
+        # round-10 additions
+        "multiset_ops_quantity",
         "filter_project", "distinct_values", "dedup_full_rows",
         "dedup_keep_first", "union_pages", "except_set", "intersect_set",
         "unpivot_melt", "unpivot_measures", "posexplode_embeddings",
@@ -102,6 +104,8 @@ FAMILY_GROUPS: dict[str, list[str]] = {
         "hard_negative_mining", "item_item_cosine_sim",
     ],
     "retrieval": [
+        # round-10 additions
+        "jm_query_likelihood_docs",
         "tfidf_top_terms", "bm25_topk_docs", "inverted_index_postings",
         "phrase_search_docs", "rrf_hybrid_retrieval",
         "ranking_metrics_by_source", "rake_keywords_docs",
@@ -114,6 +118,8 @@ FAMILY_GROUPS: dict[str, list[str]] = {
         "walk_skipgram_pairs",
     ],
     "tokenizer": [
+        # round-10 additions
+        "tokenizer_fertility_sources",
         "wordpiece_tokens", "bpe_pair_stats", "bpe_learn_merges",
         "bpe_encode_pieces", "vocab_id_assignment",
     ],
@@ -138,6 +144,9 @@ FAMILY_GROUPS: dict[str, list[str]] = {
         "jaro_winkler_part_names", "record_linkage_fs", "fs_em_customers",
     ],
     "graph": [
+        # round-10 additions
+        "edge_embeddedness_parts",
+        "closeness_centrality_landmarks",
         "diameter_two_sweep_parts",
         "pagerank_supplier_graph", "ppr_supplier_graph", "hits_supplier_graph",
         "kcore_membership", "ktruss_parts_graph",
@@ -154,6 +163,9 @@ FAMILY_GROUPS: dict[str, list[str]] = {
         "kmeans_validity_embeddings",
     ],
     "sketches": [
+        # round-10 additions
+        "hll_error_audit_tokens",
+        "quantile_sketch_error_audit",
         "approx_distinct", "cms_token_frequency", "cms_join_size_estimate",
         "kmv_distinct_tokens", "kmv_overlap_docs", "hll_distinct_orders",
         "ams_f2_tokens", "heavy_hitters_tokens", "decayed_heavy_users",
@@ -164,6 +176,20 @@ FAMILY_GROUPS: dict[str, list[str]] = {
         "epoch_shard_assign", "rendezvous_shard_moves", "ring_shard_moves",
     ],
     "statistics": [
+        # round-10 additions
+        "durbin_watson_revenue",
+        "fleiss_kappa_orders",
+        "anderson_darling_status",
+        "page_trend_nations",
+        "quade_test_nations",
+        "chow_break_revenue",
+        "hl_shift_monthly",
+        "cucconi_status",
+        "krippendorff_alpha_orders",
+        "cochran_armitage_priority_returns",
+        "jarque_bera_order_values",
+        "brier_decomposition_orders",
+        "median_polish_nation_priority",
         "ks_test_status_priority", "kruskal_wallis_status_priority", "wilson_return_rate_brands",
         "l_moments_price_flag", "stats_moments", "correlation_matrix_lineitem",
         "contingency_chi2_cells", "cramers_v_priority_status",
@@ -190,6 +216,10 @@ FAMILY_GROUPS: dict[str, list[str]] = {
         "moods_median_status",
     ],
     "ml": [
+        # round-10 additions
+        "youden_j_threshold",
+        "average_precision_priority",
+        "arc_elasticity_brands",
         "als_rank1_factors", "isotonic_urgent_rate", "naive_bayes_status_gate",
         "decision_stump_totalprice", "gini_stump_qty_returns", "ransac_line_custkeys",
         "principal_direction_power", "bradley_terry_events",
@@ -200,6 +230,13 @@ FAMILY_GROUPS: dict[str, list[str]] = {
         "ips_policy_value_events",
     ],
     "timeseries-forecast": [
+        # round-10 additions
+        "variance_ratio_revenue",
+        "kpss_level_revenue",
+        "dominant_period_revenue",
+        "engle_granger_rev_qty",
+        "pacf_lag2_revenue",
+        "seasonal_strength_revenue",
         "max_spend_drawdown_customers", "holt_linear_revenue", "holt_winters_revenue", "seasonal_naive_mase",
         "cusum_changepoint_revenue", "ewma_user_values",
         "moving_zscore_anomalies", "dtw_user_value_series", "emd_price_drift",
@@ -216,6 +253,8 @@ FAMILY_GROUPS: dict[str, list[str]] = {
         "life_table_orders",
     ],
     "spatial": [
+        # round-10 additions
+        "getis_ord_hotspots_grid",
         "spatial_radius_join", "geohash_cells_customers",
         "point_in_polygon_tags", "morans_i_balance_grid",
     ],
