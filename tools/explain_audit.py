@@ -119,6 +119,19 @@ EXPECTED_MULTISTAGE = {
     # sf0.01: exchanges merge via per-round localCheckpoint/cache —
     # cachereads/reused counts recorded per query)
     "vocab_id_assignment": "static 10, runtime 6 — under budget once AQE merges the shared tf subtree",
+    # round-10: bounded-table algebra downstream of eagerly-pinned
+    # leaves — the static print re-expands what the runtime reads
+    # from localCheckpoint/cache; every exchange past the first
+    # data-sized aggregation moves <=~85 month rows / <=125 grid
+    # cells / <=|query terms| matched docs
+    "variance_ratio_revenue": "pinned month-index leaf feeds the q-lag and 1-lag joins; all post-agg exchanges are <=85-row",
+    "quade_test_nations": "pinned 125-cell grid feeds rank/range/qrank windows; post-agg exchanges are grid-sized",
+    "jm_query_likelihood_docs": "cached tf feeds corpus scalars + matched-doc agg; 9 static vs bounded runtime",
+    "kpss_level_revenue": "pinned centered-residual leaf feeds partial sums + 4 lag joins; all post-agg exchanges <=85-row",
+    "average_precision_priority": "two global_rank repartitionByRange recipes (pinned ranged leaves) — the spearman class",
+    "edge_embeddedness_parts": "pinned support-floored edge leaf feeds the 3-way wedge join + credit join (triangle-count class)",
+    "hll_error_audit_tokens": "cached token explode feeds exact-distinct AND the 64-register sketch; audit join is |sources| rows",
+    "quantile_sketch_error_audit": "cached 1024-bucket histogram + grouped_kth_smallest rank recipe; static print re-expands both",
     "deterministic_walks_supplier": "8 fixed walk steps, cached nbr/deg tables; 108 cache reads + 52 reused exchanges at runtime, 5.3 s sf0.01",
     "ppr_supplier_graph": "fixed power-iteration rounds over cached edge/deg; 228 cache reads + 114 reused exchanges, each round |E|-bounded",
     "hits_supplier_graph": "per-half-round checkpointed scores; 15 cache reads, 0.35 s sf0.01",
