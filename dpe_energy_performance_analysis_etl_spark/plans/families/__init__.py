@@ -27,4 +27,5 @@ FAMILY_MODULES = [
     "f19_r10_wave8",
     "f20_r10_wave9",
     "f21_r10_wave10",
+    "f22_r10_wave11",
 ]

@@ -193,6 +193,8 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("plans/queries.py", "brier_decomposition_orders_q"): "scalar: bounds/totals rows",
     ("plans/queries.py", "pacf_lag2_revenue_q"): "scalar: sums/gamma rows",
     ("plans/queries.py", "median_polish_nation_priority_q"): "domain: nation",
+    ("plans/queries.py", "gmd_dispersion_brands_q"): "domain: per-brand totals",
+    ("plans/queries.py", "var_es_monthly_revenue_q"): "scalar: m/k/tail rows",
 }
 
 
