@@ -299,6 +299,67 @@ def benford_digit_report(df, key_col: str, value_col: str, scale: int = 2):
     )
 
 
+# Benford SECOND-digit probabilities P2(d) = Σ_{k=1..9} log10(1 +
+# 1/(10k+d)), d = 0..9, as literal doubles (same no-libm contract as
+# BENFORD_P — literals are bit-identical across engines).
+BENFORD_P2 = [
+    0.11967926859688073, 0.1138901034075564, 0.10882149900550823,
+    0.10432956023095939, 0.10030820226757937, 0.09667723580232243,
+    0.09337473578303615, 0.09035198926960332, 0.08757005357886138,
+    0.08499735205769224,
+]
+
+
+def benford_second_digit_report(df, key_col: str, value_col: str, scale: int = 2):
+    """Second-significant-digit Benford audit (Nigrini's forensic-
+    accounting battery: fabricated amounts often pass the FIRST-digit
+    screen — psychological anchoring shows up in the second digit,
+    e.g. price points like 19.99/4.95). Same contract as
+    :func:`benford_digit_report`: per (group, digit 0..9) observed
+    count, expected n·P₂(d), chi-square contribution; every cell
+    emitted (missing digit = strongest violation); values with fewer
+    than two significant digits are excluded (no second digit
+    exists). Exactness: the digit is a string op on exact integer
+    cents; expected/chi2 are fixed IEEE expressions over literal
+    probabilities."""
+    from pyspark.sql import functions as F
+
+    from dpe_energy_performance_analysis_etl_spark.operators.exact import scaled_long
+
+    cents = scaled_long(F.col(value_col), scale)
+    digit = F.substring(cents.cast("string"), 2, 1).cast("int")
+    obs = (
+        df.where(cents >= 10)
+        .select(F.col(key_col).alias("grp"), digit.alias("digit"))
+        .groupBy("grp", "digit")
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    tot = obs.groupBy("grp").agg(F.sum("obs").alias("n"))
+    cells = tot.withColumn(
+        "digit", F.explode(F.sequence(F.lit(0), F.lit(9)))
+    )
+    p = F.element_at(
+        F.array(*[F.lit(x) for x in BENFORD_P2]), F.col("digit") + 1
+    )
+    expected = F.col("n").cast("double") * p
+    return (
+        cells.join(F.broadcast(obs), ["grp", "digit"], "left")
+        .withColumn("obs", F.coalesce(F.col("obs"), F.lit(0)))
+        .select(
+            F.col("grp").alias(key_col),
+            "digit",
+            "obs",
+            "n",
+            expected.alias("expected"),
+            (
+                (F.col("obs").cast("double") - expected)
+                * (F.col("obs").cast("double") - expected)
+                / expected
+            ).alias("chi2_contrib"),
+        )
+    )
+
+
 def calibration_report(
     df,
     prob_scaled_col: str,

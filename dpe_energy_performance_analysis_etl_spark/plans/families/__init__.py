@@ -28,4 +28,5 @@ FAMILY_MODULES = [
     "f20_r10_wave9",
     "f21_r10_wave10",
     "f22_r10_wave11",
+    "f23_r10_wave12",
 ]

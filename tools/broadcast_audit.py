@@ -195,6 +195,8 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("plans/queries.py", "median_polish_nation_priority_q"): "domain: nation",
     ("plans/queries.py", "gmd_dispersion_brands_q"): "domain: per-brand totals",
     ("plans/queries.py", "var_es_monthly_revenue_q"): "scalar: m/k/tail rows",
+    ("plans/queries.py", "p_chart_monthly_returns_q"): "scalar: pooled-rate row",
+    ("operators/quality.py", "benford_second_digit_report"): "domain: group x 10 digits",
 }
 
 

@@ -176,6 +176,9 @@ FAMILY_GROUPS: dict[str, list[str]] = {
         "epoch_shard_assign", "rendezvous_shard_moves", "ring_shard_moves",
     ],
     "statistics": [
+        # round-10 waves 11-12
+        "gmd_dispersion_brands",
+        "bowley_skewness_status",
         # round-10 additions
         "durbin_watson_revenue",
         "fleiss_kappa_orders",
@@ -230,6 +233,8 @@ FAMILY_GROUPS: dict[str, list[str]] = {
         "ips_policy_value_events",
     ],
     "timeseries-forecast": [
+        # round-10 waves 11-12
+        "var_es_monthly_revenue",
         # round-10 additions
         "variance_ratio_revenue",
         "kpss_level_revenue",
@@ -264,6 +269,10 @@ FAMILY_GROUPS: dict[str, list[str]] = {
         "join_view_delta_orders", "join_view_delta_signed_orders",
     ],
     "quality-gates": [
+        # round-10 waves 11-12
+        "p_chart_monthly_returns",
+        "process_capability_quantity",
+        "benford_second_digit_audit",
         "key_discovery_customer", "expectations_orders", "fd_violation_orders",
         "encoding_advisor_lineitem", "fd_discovery_customer",
         "ri_audit_star_schema",
