@@ -266,34 +266,49 @@ def bowley_skewness_status_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     the statistic is one sign-factored integer division. Degenerate
     Q3 = Q1 emits NULL.
 
-    Scale shape: per-group ranks ride the grouped_kth_smallest
-    range-partition recipe three times on the Spark side (the
-    oracle's PARTITION BY window is the sf0.01 shortcut); everything
-    after is a bounded per-group aggregate."""
+    Scale shape: ONE (group, value) tier aggregation + the
+    grouped_running_totals prefix recipe — all three quartiles come
+    out of a single pass as conditional first-crossing minima
+    (q = MIN(v) over tiers whose cumulative count reaches k; values
+    ascend with the cumulative, so the min IS the crossing tier) —
+    never three separate rank recipes over the same scan. The
+    oracle's PARTITION BY window is the sf0.01 shortcut."""
     from dpe_energy_performance_analysis_etl_spark.operators.quantiles import (
-        grouped_kth_smallest,
+        _pin,
+        grouped_running_totals,
     )
 
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    v = o.select(
+    vals = o.groupBy(
         F.col("o_orderstatus").alias("g"),
         F.expr(
             "CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT)"
         ).alias("v"),
-    ).localCheckpoint(eager=True)  # feeds three rank recipes
-    q1 = grouped_kth_smallest(v, "g", "v", k_of_n="(n + 3) div 4").select(
-        F.col("g"), F.col("kth_value").alias("q1")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    pre = grouped_running_totals(vals, "g", "v", ["cnt"])
+    tiers = _pin(
+        pre.select(
+            "g", "v", (F.col("cnt_before") + F.col("cnt")).alias("cum")
+        )
     )
-    q2 = grouped_kth_smallest(v, "g", "v", k_of_n="(n + 1) div 2").select(
-        F.col("g"), F.col("kth_value").alias("q2")
-    )
-    q3 = grouped_kth_smallest(v, "g", "v", k_of_n="(3 * n + 1) div 4").select(
-        F.col("g"), F.col("kth_value").alias("q3"), F.col("n")
+    totals = tiers.groupBy("g").agg(F.max("cum").cast("bigint").alias("n"))
+    qs = (
+        tiers.join(F.broadcast(totals), "g")
+        .groupBy("g", "n")
+        .agg(
+            F.min(F.expr("CASE WHEN cum >= (n + 3) div 4 THEN v END"))
+            .cast("bigint")
+            .alias("q1"),
+            F.min(F.expr("CASE WHEN cum >= (n + 1) div 2 THEN v END"))
+            .cast("bigint")
+            .alias("q2"),
+            F.min(F.expr("CASE WHEN cum >= (3 * n + 1) div 4 THEN v END"))
+            .cast("bigint")
+            .alias("q3"),
+        )
     )
     return (
-        q1.join(q2, "g")
-        .join(q3, "g")
-        .selectExpr(
+        qs.selectExpr(
             "g AS o_orderstatus",
             "n",
             "q1",
