@@ -29,4 +29,5 @@ FAMILY_MODULES = [
     "f21_r10_wave10",
     "f22_r10_wave11",
     "f23_r10_wave12",
+    "f24_r10_wave13",
 ]

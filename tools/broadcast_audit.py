@@ -197,6 +197,9 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("plans/queries.py", "var_es_monthly_revenue_q"): "scalar: m/k/tail rows",
     ("plans/queries.py", "p_chart_monthly_returns_q"): "scalar: pooled-rate row",
     ("operators/quality.py", "benford_second_digit_report"): "domain: group x 10 digits",
+    ("plans/queries.py", "blomqvist_beta_rev_qty_q"): "scalar: median rows",
+    ("plans/queries.py", "gk_lambda_status_priority_q"): "scalar: mode/total rows",
+    ("plans/queries.py", "bowley_skewness_status_q"): "domain: per-group totals",
 }
 
 

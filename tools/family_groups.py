@@ -59,6 +59,8 @@ FAMILY_GROUPS: dict[str, list[str]] = {
         "json_extract_props", "json_struct_parse",
     ],
     "temporal": [
+        # round-10 wave 13
+        "nrr_monthly_customers",
         "ohlc_monthly_orders", "cumulative_adopters_by_type",
         "events_tumbling_window", "events_sessionize", "events_hopping_window",
         "events_session_window_native", "events_resample_gapfill",
@@ -176,6 +178,9 @@ FAMILY_GROUPS: dict[str, list[str]] = {
         "epoch_shard_assign", "rendezvous_shard_moves", "ring_shard_moves",
     ],
     "statistics": [
+        # round-10 wave 13
+        "blomqvist_beta_rev_qty",
+        "gk_lambda_status_priority",
         # round-10 waves 11-12
         "gmd_dispersion_brands",
         "bowley_skewness_status",
