@@ -30,4 +30,5 @@ FAMILY_MODULES = [
     "f22_r10_wave11",
     "f23_r10_wave12",
     "f24_r10_wave13",
+    "f25_r10_wave14",
 ]

@@ -200,6 +200,8 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("plans/queries.py", "blomqvist_beta_rev_qty_q"): "scalar: median rows",
     ("plans/queries.py", "gk_lambda_status_priority_q"): "scalar: mode/total rows",
     ("plans/queries.py", "bowley_skewness_status_q"): "domain: per-group totals",
+    ("plans/queries.py", "anova_f_revenue_nations_q"): "domain: nation",
+    ("plans/queries.py", "brown_forsythe_status_q"): "domain: per-group totals/medians",
 }
 
 

@@ -178,6 +178,10 @@ FAMILY_GROUPS: dict[str, list[str]] = {
         "epoch_shard_assign", "rendezvous_shard_moves", "ring_shard_moves",
     ],
     "statistics": [
+        # round-10 wave 14
+        "anova_f_revenue_nations",
+        "brown_forsythe_status",
+        "icc1_orders_per_customer",
         # round-10 wave 13
         "blomqvist_beta_rev_qty",
         "gk_lambda_status_priority",
