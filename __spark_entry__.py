@@ -186,70 +186,70 @@ from dpe_energy_performance_analysis_etl_spark.plans import QUERIES, ORACLE_SQL 
 #     (2), language-model (2), timeseries (2), sequence analytics
 #     (2), ML (1), privacy (1).
 _FRONT_50 = [
-    # Round-10 rotation (VERDICT r9 ask #2, drawn MECHANICALLY from
-    # tools/driver_ledger.py): all fifty r9 slots recorded green in
-    # CORRECTNESS_r09.json, so the whole window rotates once more to
-    # never-recorded, oracle-backed families (138 never-recorded
-    # after r9, of which 128 carry oracles; 88 total remain after
+    # Round-11 rotation (VERDICT r10 ask #3, drawn MECHANICALLY from
+    # tools/driver_ledger.py): all fifty r10 slots recorded green in
+    # CORRECTNESS_r10.json, so the whole window rotates once more to
+    # never-recorded, oracle-backed families (130 never-recorded
+    # after r10, of which 120 carry oracles; 80 total remain after
     # this window records). These 50 are exactly the OLDEST of the
-    # oracle-backed backlog in registry order — the pre-r9 families
-    # the per-group pressure metric kept deferring (curation,
-    # packing/splits, retrieval, spatial, feature encoding, sampling,
-    # sharding, view-delta, similarity, sequence analytics) — so the
-    # deepest debt retires first; the r9 statistical block (waves
-    # 12-25) queues behind them for r11. All 50 were green in this
-    # round's full 360-oracle gate re-run before rotation, and all
-    # carry scalar-only output schemas (test_front50_contract.py).
-    "text_clean_corpus",
-    "percent_of_total_window",
-    "kmv_distinct_tokens",
-    "interarrival_percentiles",
-    "cluster_canonical_survivors",
-    "chunk_documents",
-    "epoch_shard_assign",
-    "hashed_classifier_gate",
-    "group_sample_reservoir",
-    "low_value_runs",
-    "item_item_cosine_sim",
-    "equi_depth_bins_price",
-    "phrase_search_docs",
-    "month_over_month_revenue",
-    "k_anonymity_customers",
-    "weighted_sample_docs",
-    "target_encode_loo_acctbal",
-    "feature_hash_customers",
-    "vocab_id_assignment",
-    "point_in_polygon_tags",
-    "group_linregress_qty_disc",
-    "hard_negative_mining",
-    "source_overlap_matrix",
-    "negative_sampling_words",
-    "fim_transform_docs",
-    "preference_pairs_quality",
-    "distinctive_terms_source",
-    "ivfpq_topk_embeddings",
-    "substring_dup_stats",
-    "substring_dedup_clean",
-    "salted_join_supplier_revenue",
-    "domain_document_stats",
-    "target_mixture_weights_docs",
-    "join_view_delta_signed_orders",
-    "range_lookup_order_tiers",
-    "abc_classification_brands",
-    "dictionary_encode_priority",
-    "link_graph_domains",
-    "asof_join_forward_events",
-    "seasonal_naive_mase",
-    "walk_skipgram_pairs",
-    "t_closeness_customers",
-    "cdc_chunk_spans",
-    "landmark_bfs_parts",
-    "pass_at_k_customers",
-    "bigram_containment_pairs",
-    "distinct_n_docs",
-    "simpson_user_events",
-    "degree_assortativity_trade",
-    "community_modularity_nations",
+    # oracle-backed backlog in registry order — the r6-r8
+    # graph/sketch/sequence block the verdict names plus the front of
+    # the r9 statistical wave. Per ask #7, the window-class rewrites
+    # landed FIRST: vocab_coverage_curve (global_rank_column recipe)
+    # and zorder_locality_customers record their rewritten plans, not
+    # ones about to be replaced. All 50 were green in this round's
+    # full oracle gate before rotation, and all carry scalar-only
+    # output schemas (test_front50_contract.py).
+    "sorted_neighborhood_matches",
+    "theil_sen_spend_trend",
+    "fano_event_bursts",
+    "event_trigram_probs",
+    "url_path_rollup_docs",
+    "category_drift_halves",
+    "stupid_backoff_docs",
+    "vocab_coverage_curve",
+    "unimax_lang_budget",
+    "principal_direction_power",
+    "logrank_orders",
+    "did_priority_revenue",
+    "seasonal_decompose_revenue",
+    "markov_next_event_hitrate",
+    "ips_policy_value_events",
+    "xyz_volatility_brands",
+    "rolling_corr_revenue_qty",
+    "seasonal_outliers_revenue",
+    "croston_intermittent_parts",
+    "cumulative_gains_priority",
+    "zorder_locality_customers",
+    "topk_with_ties_quantity",
+    "ks_test_status_priority",
+    "mode_priority_by_status",
+    "ohlc_monthly_orders",
+    "cumulative_adopters_by_type",
+    "good_turing_docs",
+    "key_discovery_customer",
+    "max_spend_drawdown_customers",
+    "view_purchase_within_hour",
+    "soundex_blocking_parts",
+    "kruskal_wallis_status_priority",
+    "l_moments_price_flag",
+    "time_to_convert_median",
+    "lis_order_values_customers",
+    "quadratic_trend_nations",
+    "wilson_return_rate_brands",
+    "diameter_two_sweep_parts",
+    "cuped_adjusted_lift_events",
+    "asof_nearest_error_click",
+    "jonckheere_u_status_priority",
+    "spearman_qty_price_brands",
+    "rsi_monthly_revenue",
+    "copeland_brand_duels",
+    "gini_stump_qty_returns",
+    "mcnemar_repeat_purchase",
+    "hl_pseudomedian_revenue",
+    "cvm_urgency_status",
+    "morans_i_balance_grid",
+    "friedman_nation_priority",
 ]
 
 

@@ -16,6 +16,13 @@ suppressed. A fixed JVM calibration workload is timed alongside
 comparable; queries that fail are reported in ``failed`` without
 aborting the rest of the record.
 
+Record size (round-11, VERDICT r10 ask #2): the stdout line is kept
+under the driver's ~2000-char capture window (2-dec timings, compact
+separators, drift collapsed to reproduced-names + noise count) so the
+recorded BENCH_r*.json stays parseable; the full-fidelity record
+(3-dec timings, per-query drift evidence) lands in the
+``bench_full_last.json`` sidecar beside this file.
+
 Drift auto-flag (round-7 verdict ask #3): manual adjudication of
 cross-round movement was the bench's weakest step once records
 straddled a 0.268→0.429 calib gap. After the timed sweep, every query
@@ -262,6 +269,57 @@ def _solo_verdict(
     )
 
 
+def _compact_record(record: dict, limit: int = 1900) -> dict:
+    """Bound the STDOUT record under the driver's ~2000-char capture
+    window (VERDICT r10 ask #2: BENCH_r09.json AND BENCH_r10.json both
+    shipped ``{"parsed": null, "tail": ...}`` because the verbose
+    drift block overflowed it — which left the drift loader comparing
+    to r8 for two rounds). Timings round to 2 decimals; the drift
+    block collapses to the reproduced names + a noise count; failures
+    keep 3 truncated examples + the total. Full detail (prev/solo
+    units, calib samples, messages) goes to the ``bench_full_last``
+    sidecar and stderr, not stdout. A final guard trims drift/failed
+    further if the line would still overflow — the queries+calib core
+    (what ``_latest_prior_record`` needs) is never dropped."""
+    out: dict = {
+        "metric": record["metric"],
+        "value": round(record["value"], 2),
+        "unit": record["unit"],
+        "queries": {k: round(v, 2) for k, v in record["queries"].items()},
+        "sf": record["sf"],
+        "calib_sec": record["calib_sec"],
+    }
+    drift = record.get("drift") or {}
+    if drift:
+        rep = sorted(n for n, d in drift.items() if d.get("verdict") == "reproduced")
+        out["drift"] = {"reproduced": rep, "noise_n": len(drift) - len(rep)}
+    failed = record.get("failed") or {}
+    if failed:
+        out["failed_n"] = len(failed)
+        out["failed"] = {k: failed[k][:60] for k in sorted(failed)[:3]}
+
+    def _len() -> int:
+        return len(json.dumps(out, separators=(",", ":")))
+
+    if _len() > limit and "failed" in out:
+        del out["failed"]
+    if _len() > limit and out.get("drift", {}).get("reproduced", [])[3:]:
+        rep = out["drift"]["reproduced"]
+        out["drift"]["reproduced"] = rep[:3] + [f"+{len(rep) - 3} more"]
+    if _len() > limit:
+        out.pop("drift", None)
+    # Last resort (headliner list outgrew the window): shed the
+    # longest-named queries first — the sidecar keeps every timing,
+    # and the loader degrades to a smaller comparison set instead of
+    # the whole record going unparseable (the r9/r10 failure mode).
+    omitted = 0
+    while _len() > limit and len(out["queries"]) > 1:
+        out["queries"].pop(max(out["queries"], key=len))
+        omitted += 1
+        out["q_omitted"] = omitted
+    return out
+
+
 def _noop_run(spark, sf_dir: str, name: str) -> None:
     QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
 
@@ -506,7 +564,16 @@ def main() -> None:
         record["drift"] = drift
     if failures:
         record["failed"] = failures
-    print(json.dumps(record))
+    # Full-fidelity record (3-dec timings, per-query drift evidence)
+    # to the sidecar; a bounded compact line to stdout — the driver
+    # captures only ~2000 chars of stdout (VERDICT r10 ask #2).
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "bench_full_last.json"), "w") as fh:
+            json.dump(record, fh, indent=1)
+    except Exception as exc:  # noqa: BLE001
+        print(f"bench: sidecar write failed: {exc}", file=sys.stderr)
+    print(json.dumps(_compact_record(record), separators=(",", ":")))
     spark.stop()
     # Non-zero exit only when NOTHING ran; partial results are a valid record.
     if not timings:

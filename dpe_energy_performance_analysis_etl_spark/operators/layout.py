@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 
 def _interleave_bits(cols: list[Column], bits: int) -> Column:
@@ -46,20 +46,45 @@ def _interleave_bits(cols: list[Column], bits: int) -> Column:
 
 def zorder_key(df: DataFrame, cols: list[str], bits: int = 16) -> DataFrame:
     """Add a ``__zorder`` column: Morton interleave of the
-    rank-normalized values of ``cols``.
+    tier-rank-normalized values of ``cols``.
 
-    Rank normalization (percent_rank scaled to 2^bits) is one window
-    pass per column over an unpartitioned sort — at cluster scale
-    replace with approx-quantile bucketing (one agg, no global sort);
-    the curve only needs a monotone map onto [0, 2^bits)."""
+    The curve only needs a MONOTONE map onto [0, 2^bits) per column.
+    That map is built from the DISTINCT-value (tier) table: exact
+    tier rank via ``global_rank_column``'s partition-offset two-pass,
+    scaled to the code range, joined back on value. No unpartitioned
+    window ever touches the data OR the tier table (tiers grow with
+    the data for high-cardinality columns — the r11 window-class
+    sweep; the old percent_rank-over-global-sort spelling moved the
+    whole table into one task)."""
+    from dpe_energy_performance_analysis_etl_spark.operators.quantiles import (
+        global_rank_column,
+    )
+
     out = df
     scale = (1 << bits) - 1
     rank_cols = []
     for c in cols:
         rc = f"__r_{c}"
-        w = Window.orderBy(F.col(c))
-        out = out.withColumn(
-            rc, (F.percent_rank().over(w) * scale).cast("long")
+        tiers = df.select(F.col(c).alias("__tv")).where(
+            F.col("__tv").isNotNull()
+        ).distinct()
+        ranked = global_rank_column(tiers, [F.col("__tv").asc()], "__tr")
+        m = ranked.groupBy().agg(F.max("__tr").alias("__tm"))
+        code = (
+            ranked.crossJoin(F.broadcast(m))
+            .select(
+                F.col("__tv").alias(c),
+                (
+                    (F.col("__tr") - 1)
+                    * F.lit(scale)
+                    / F.greatest(F.col("__tm") - 1, F.lit(1))
+                )
+                .cast("long")
+                .alias(rc),
+            )
+        )
+        out = out.join(code, c, "left").withColumn(
+            rc, F.coalesce(F.col(rc), F.lit(0))
         )
         rank_cols.append(rc)
     key = _interleave_bits([F.col(rc) for rc in rank_cols], bits)

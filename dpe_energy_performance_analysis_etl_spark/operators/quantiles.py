@@ -394,6 +394,77 @@ def _pin(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+def take_ordered_ranked(
+    df: DataFrame,
+    order: list,
+    k: int,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Exact global top-k under ``order`` plus a 1-based BIGINT rank —
+    the scale-safe spelling of "top-k with rank" (VERDICT r10 ask #1).
+
+    ``orderBy().limit(k)`` compiles to TakeOrderedAndProject:
+    per-partition k-row heaps merged k-at-a-time on the driver — no
+    partition ever holds more than k rows, no matter how large the
+    input. The rank window then runs over the k-row RESULT only
+    (bounded by construction), never over the data-sized input. The
+    alternative — ``row_number`` over an unpartitioned window, then
+    ``rank <= k`` — moves the ENTIRE input into one task first and is
+    a scale-killer whenever the input grows with the corpus.
+
+    ``order`` must be a total order (include a unique-id tiebreak) or
+    the selected k-set is nondeterministic at the boundary.
+    """
+    topk = df.orderBy(*order).limit(k)
+    w = Window.orderBy(*order)
+    return topk.withColumn(rank_col, F.row_number().over(w).cast("bigint"))
+
+
+def global_rank_and_prefix(
+    df: DataFrame,
+    order: list,
+    sum_col: str,
+    rank_col: str = "rank",
+    cum_col: str = "cum",
+) -> DataFrame:
+    """df + an exact global 1-based rank AND the INCLUSIVE running
+    total of ``sum_col``, both under ``order`` — the distributed
+    Pareto/Lorenz primitive (ABC classification, cumulative share
+    curves). Same two-pass shape as ``global_rank_column``: range
+    partition on the order, per-partition row_number + running sum,
+    and ONE bounded offset table (a row per partition) carrying both
+    the row-count and sum prefixes from earlier partitions. No
+    data-sized single-partition window anywhere. ``sum_col`` must be
+    integral (the running total is kept exact in BIGINT)."""
+    ranged = _pin(
+        df.repartitionByRange(*order).withColumn("_pid", F.spark_partition_id())
+    )
+    sizes = ranged.groupBy("_pid").agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.sum(sum_col).cast("bigint").alias("_sum"),
+    )
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = sizes.select(
+        "_pid",
+        F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).cast("bigint").alias("_roff"),
+        F.coalesce(F.sum("_sum").over(w_off), F.lit(0)).cast("bigint").alias("_soff"),
+    )
+    w_rank = Window.partitionBy("_pid").orderBy(*order)
+    w_cum = (
+        Window.partitionBy("_pid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        ranged.withColumn("_lrn", F.row_number().over(w_rank).cast("bigint"))
+        .withColumn("_lcs", F.sum(sum_col).over(w_cum).cast("bigint"))
+        .join(F.broadcast(offs), "_pid")
+        .withColumn(rank_col, (F.col("_roff") + F.col("_lrn")).cast("bigint"))
+        .withColumn(cum_col, (F.col("_soff") + F.col("_lcs")).cast("bigint"))
+        .drop("_pid", "_lrn", "_lcs", "_roff", "_soff")
+    )
+
+
 def global_rank_column(
     df: DataFrame,
     order: list,

@@ -209,27 +209,50 @@ def pareto_front_2d(
     descending. A ROWS frame on the deduplicated tiers is exact for
     ANY x spacing; a RANGE -1 frame on the raw rows would silently
     treat x values less than 1 apart as the same tier. Minimization
-    flips signs row-locally. The only global sort runs over distinct
-    x values, not data; d >= 3 needs a different algorithm by design
-    (documented non-goal)."""
+    flips signs row-locally. The tier table is |distinct x| rows —
+    which still GROWS with the data for continuous metrics (r11
+    window-class sweep), so the running max is the partition-offset
+    two-pass: range partition by x desc, per-partition exclusive
+    running max, plus a BOUNDED offset table (one exclusive
+    prefix-max row per partition, broadcast). d >= 3 needs a
+    different algorithm by design (documented non-goal)."""
     from pyspark.sql import Window, functions as F
 
     sx = F.col(x_col) if maximize_x else -F.col(x_col)
     sy = F.col(y_col) if maximize_y else -F.col(y_col)
     base = df.select(F.col(id_col), F.col(x_col), F.col(y_col), sx.alias("__x"), sy.alias("__y"))
     tiers = base.groupBy("__x").agg(F.max("__y").alias("__ty"))
-    w = Window.orderBy(F.col("__x").desc()).rowsBetween(Window.unboundedPreceding, -1)
+    ranged = (
+        tiers.repartitionByRange(F.col("__x").desc())
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    pmax = ranged.groupBy("_pid").agg(F.max("__ty").alias("_pm"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = pmax.select("_pid", F.max("_pm").over(w_off).alias("_mo"))
+    w_loc = (
+        Window.partitionBy("_pid")
+        .orderBy(F.col("__x").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     front_tiers = (
-        tiers.withColumn("__bp", F.max("__ty").over(w))
+        ranged.withColumn("_lm", F.max("__ty").over(w_loc))
+        .join(F.broadcast(offs), "_pid")
+        # greatest() skips nulls: null iff neither a local nor an
+        # earlier-partition predecessor exists (the global first tier)
+        .withColumn("__bp", F.greatest(F.col("_lm"), F.col("_mo")))
         .where(F.col("__bp").isNull() | (F.col("__ty") > F.col("__bp")))
-        .select("__x", "__ty")
+        # rename: the tier recipe self-joins the checkpointed leaf
+        # (ranged vs its offsets), so positional df["col"] references
+        # would be flagged ambiguous — join on fresh names instead
+        .select(F.col("__x").alias("__fx"), F.col("__ty").alias("__fy"))
     )
     # no broadcast hint: the surviving tier table is usually tiny but
     # adversarially |distinct x| (strictly staircase data) — let
     # AQE pick the strategy from the runtime size
     return base.join(
         front_tiers,
-        (base["__x"] == front_tiers["__x"]) & (base["__y"] == front_tiers["__ty"]),
+        (F.col("__x") == F.col("__fx")) & (F.col("__y") == F.col("__fy")),
     ).select(id_col, x_col, y_col)
 
 
@@ -305,22 +328,31 @@ def abc_classification(
 
     Exactness: the class boundary compares ``cum * 100 <= pct *
     total`` in INTEGER cents — no float share ever decides a
-    boundary. The window runs over the PER-KEY aggregate (bounded),
-    never raw rows; ties rank deterministically by key."""
-    from pyspark.sql import Window, functions as F
+    boundary; ties rank deterministically by key.
+
+    Scale shape (r11 window-class sweep): the per-key aggregate
+    GROWS WITH THE DATA (customer/part keys scale with SF), so rank
+    and running share come from ``global_rank_and_prefix``'s
+    partition-offset two-pass — never a single-partition window over
+    the key table; the grand total is one scalar aggregate."""
+    from pyspark.sql import functions as F
+
+    from dpe_energy_performance_analysis_etl_spark.operators.quantiles import (
+        global_rank_and_prefix,
+    )
 
     vcol = value_cents if not isinstance(value_cents, str) else F.col(value_cents)
     per = df.groupBy(F.col(key_col).alias("key")).agg(
         F.sum(vcol.cast("bigint")).alias("value_cents")
     )
-    w = Window.orderBy(F.col("value_cents").desc(), F.col("key"))
-    w_all = Window.partitionBy()
-    ranked = per.withColumn(
-        "cum_cents",
-        F.sum("value_cents").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    ).withColumn("rank", F.row_number().over(w)).withColumn(
-        "total", F.sum("value_cents").over(w_all)
-    )
+    total = per.agg(F.sum("value_cents").cast("bigint").alias("total"))
+    ranked = global_rank_and_prefix(
+        per,
+        [F.col("value_cents").desc(), F.col("key").asc()],
+        "value_cents",
+        rank_col="rank",
+        cum_col="cum_cents",
+    ).crossJoin(F.broadcast(total))
     cls = (
         F.when(F.col("cum_cents") * 100 <= F.lit(a_pct) * F.col("total"), "A")
         .when(F.col("cum_cents") * 100 <= F.lit(b_pct) * F.col("total"), "B")
@@ -348,19 +380,27 @@ def encode_dictionary(
     string key per round pays the key width every round (measured on
     this engine: long ids 1.5x faster than short prefixed strings at
     sf5 for LPA/PageRank). Encode once, iterate on longs, decode at
-    the end. The mapping table is |distinct| rows; the window that
-    assigns ids runs over that table, never the data — and the join
+    the end. The mapping table is |distinct| rows — which still
+    GROWS WITH THE DATA (the r9 verdict's vocabulary class), so ids
+    come from ``global_rank_column``'s partition-offset two-pass,
+    never a single-partition window over the dictionary; the join
     back is the one extra equi-join the encoding costs (broadcast
     when the dictionary fits)."""
-    from pyspark.sql import Window, functions as F
+    from pyspark.sql import functions as F
+
+    from dpe_energy_performance_analysis_etl_spark.operators.quantiles import (
+        global_rank_column,
+    )
 
     out_col = id_col or f"{col}_id"
-    mapping = (
+    distinct_vals = (
         df.select(F.col(col).alias("value"))
         .where(F.col("value").isNotNull())
         .distinct()
-        .select(F.col("value"), (F.row_number().over(Window.orderBy("value")) - 1).cast("bigint").alias("id"))
     )
+    mapping = global_rank_column(
+        distinct_vals, [F.col("value").asc()], "id"
+    ).select("value", (F.col("id") - F.lit(1)).cast("bigint").alias("id"))
     encoded = df.join(
         mapping.select(F.col("value").alias(col), F.col("id").alias(out_col)),
         col,

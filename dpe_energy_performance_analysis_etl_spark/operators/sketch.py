@@ -135,27 +135,28 @@ def kmv_build(df: DataFrame, item_col: str, k: int = 64) -> DataFrame:
     hashes = df.select(
         _raw_rolling_hash(F.rpad(F.col(item_col), KMV_PAD, "#")).alias("h")
     ).distinct()
-    from pyspark.sql import Window
+    # k smallest via TakeOrderedAndProject (per-partition k-row heaps)
+    # — the distinct-hash table grows with the data, so never a global
+    # row_number window over it (r11 window-class sweep).
+    from dpe_energy_performance_analysis_etl_spark.operators.quantiles import (
+        take_ordered_ranked,
+    )
 
-    w = Window.orderBy("h")
-    return (
-        hashes.withColumn("pos", F.row_number().over(w))
-        .filter(F.col("pos") <= k)
-        .select("pos", "h")
+    return take_ordered_ranked(hashes, [F.col("h").asc()], k, rank_col="pos").select(
+        "pos", "h"
     )
 
 
 def kmv_merge(s1: DataFrame, s2: DataFrame, k: int = 64) -> DataFrame:
     """Union the hash sets, keep the k smallest — associative and
     commutative, so per-batch/per-partition sketches combine."""
-    from pyspark.sql import Window
-
     u = s1.select("h").unionAll(s2.select("h")).distinct()
-    w = Window.orderBy("h")
-    return (
-        u.withColumn("pos", F.row_number().over(w))
-        .filter(F.col("pos") <= k)
-        .select("pos", "h")
+    from dpe_energy_performance_analysis_etl_spark.operators.quantiles import (
+        take_ordered_ranked,
+    )
+
+    return take_ordered_ranked(u, [F.col("h").asc()], k, rank_col="pos").select(
+        "pos", "h"
     )
 
 

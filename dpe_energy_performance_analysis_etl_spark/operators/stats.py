@@ -754,22 +754,26 @@ def gini_concentration(df, key_col: str):
     the PLAN is deterministic too.
 
     Scale shape: one hash aggregation to the key histogram (the only
-    pass over data), then a global sort of the HISTOGRAM (n keys —
-    orders of magnitude smaller than rows; the partition-less window
-    is a deliberate single-reducer pass over it; for >10^8 distinct
-    keys switch to the two-level prefix-scan rank used by
-    sequence_pack_bins).
+    pass over data), then the exact global rank over the HISTOGRAM
+    comes from ``global_rank_column``'s partition-offset two-pass —
+    the histogram is |distinct keys| rows, which GROWS with the data
+    (r11 window-class sweep: never a single-reducer window over it).
 
     Returns a single row (n_keys, total_rows, rank_weighted_sum,
     gini).
     """
-    from pyspark.sql import Window, functions as F
+    from pyspark.sql import functions as F
+
+    from dpe_energy_performance_analysis_etl_spark.operators.quantiles import (
+        global_rank_column,
+    )
 
     counts = df.groupBy(F.col(key_col).alias("k")).agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
     )
-    w = Window.orderBy("c", "k")
-    ranked = counts.select("c", F.row_number().over(w).cast("bigint").alias("r"))
+    ranked = global_rank_column(
+        counts, [F.col("c").asc(), F.col("k").asc()], "r"
+    ).select("c", "r")
     sums = ranked.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_keys"),
         F.sum("c").alias("total_rows"),

@@ -308,8 +308,8 @@ def weighted_sample_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Size-biased document sample (text/mixing.py
     weighted_sample_topk): integer priority hash DIV weight — longer
     documents preferentially selected, bit-reproducible, no RNG/pow.
-    The global window ranks |corpus| rows; the documented hash
-    pre-filter caps it at extreme scale."""
+    The ungrouped top-k is TakeOrderedAndProject (per-partition k-row
+    heaps + driver merge of k rows — r11 window-class sweep)."""
     from dpe_energy_performance_analysis_etl_spark.text.mixing import weighted_sample_topk
 
     docs = read_documents(spark, sf_dir).select("doc_id", "source", "n_chars")

@@ -235,18 +235,28 @@ def weighted_sample_topk(
     textbook A-ES key ``u^(1/w)`` is engine-nondeterministic).
 
     Weights must be positive integers (token counts, byte sizes).
-    One window per group (global window when ``group_cols`` is None —
-    cap with a hash pre-filter at extreme scale, as in
-    ``group_sample_topk``).
+    One hash-partitioned window per group; the UNGROUPED path is
+    TakeOrderedAndProject via ``take_ordered_ranked`` (per-partition
+    k-row heaps) — a global row_number window there would
+    single-partition the whole corpus (r11 window-class sweep).
     """
     from pyspark.sql import Window
 
     prio = F.expr(
         f"((((({key_col} * 2654435761) % 4294967296) % 10000) + 1) * 1000000) DIV {weight_col}"
     )
-    w = (
-        Window.partitionBy(*group_cols) if group_cols else Window.partitionBy()
-    ).orderBy(prio.asc(), F.col(key_col).asc())
+    if not group_cols:
+        from dpe_energy_performance_analysis_etl_spark.operators.quantiles import (
+            take_ordered_ranked,
+        )
+
+        return take_ordered_ranked(
+            df.withColumn("priority", prio),
+            [F.col("priority").asc(), F.col(key_col).asc()],
+            k,
+            rank_col="sample_rank",
+        )
+    w = Window.partitionBy(*group_cols).orderBy(prio.asc(), F.col(key_col).asc())
     return (
         df.withColumn("priority", prio)
         .withColumn("sample_rank", F.row_number().over(w).cast("bigint"))

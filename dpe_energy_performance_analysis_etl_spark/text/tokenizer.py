@@ -25,7 +25,7 @@ from __future__ import annotations
 from typing import Iterable
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame, Window, functions as F, types as T
+from pyspark.sql import Column, DataFrame, functions as F, types as T
 
 UNK = "[UNK]"
 CONT = "##"
@@ -174,12 +174,16 @@ def bpe_pair_counts(df: DataFrame, text_col: str = "text", top_k: int = 20) -> D
         F.explode(F.concat(inner, F.array(eow_pair))).alias("pair"), "wcount"
     )
     counts = pairs.groupBy("pair").agg(F.sum("wcount").alias("pair_count"))
-    win = Window.orderBy(F.col("pair_count").desc(), F.col("pair"))
-    return (
-        counts.withColumn("rank", F.row_number().over(win))
-        .where(F.col("rank") <= top_k)
-        .select("pair", "pair_count", "rank")
+    # Top-k via TakeOrderedAndProject — the pair table grows with the
+    # symbol vocabulary across BPE iterations (merged symbols compound),
+    # so no global row_number window over it (VERDICT r10 ask #1).
+    from dpe_energy_performance_analysis_etl_spark.operators.quantiles import (
+        take_ordered_ranked,
     )
+
+    return take_ordered_ranked(
+        counts, [F.col("pair_count").desc(), F.col("pair").asc()], top_k
+    ).select("pair", "pair_count", "rank")
 
 
 def _merge_symbols_udf(a: str, b: str):

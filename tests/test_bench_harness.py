@@ -118,6 +118,94 @@ class TestSoloVerdict:
         assert bench._solo_verdict("raw", 0.52, 9.9, 0.50, 1.0) == "noise"
         assert bench._solo_verdict("raw", 1.2, 1.0, 0.5, 9.0) == "reproduced"
 
+    def test_r10_judge_pmi_case_is_noise(self):
+        """VERDICT r10 ask #4's synthetic: pmi solo RAW 1.53 s sat at
+        its r8 record (1.41 s, prev calib ~0.41 -> prev_u 3.44) while
+        a crashed 0.067 solo calib inflated solo units to 22.8 — the
+        same-direction rule must adjudicate to noise."""
+        solo_sec, solo_calib = 1.53, 0.067
+        prev_raw, prev_calib = 1.41, 0.41
+        v = bench._solo_verdict(
+            "units", solo_sec, solo_sec / solo_calib, prev_raw, prev_raw / prev_calib
+        )
+        assert v == "noise"
+
+
+class TestCompactRecord:
+    """VERDICT r10 ask #2: the stdout record must survive the
+    driver's ~2000-char capture window with 51+ queries."""
+
+    def _record(self, n_queries=51, n_drift=0, n_failed=0, reproduced=0):
+        # 22-char names = the real headliner average
+        q = {f"typical_query_name_{i:03d}": 12.345 for i in range(n_queries)}
+        rec = {
+            "metric": "headline_queries_total",
+            "value": sum(q.values()),
+            "unit": "sec",
+            "queries": q,
+            "sf": 0.1,
+            "calib_sec": 0.201,
+        }
+        if n_drift:
+            names = list(q)[:n_drift]
+            rec["drift"] = {
+                n: {
+                    "prev_units": 1.0,
+                    "units": 2.0,
+                    "solo_units": 2.0,
+                    "solo_sec": 1.0,
+                    "solo_calib_sec": 0.2,
+                    "flag_mode": "units",
+                    "verdict": "reproduced" if i < reproduced else "noise",
+                }
+                for i, n in enumerate(names)
+            }
+        if n_failed:
+            rec["failed"] = {
+                f"failing_query_{i}": "SomeError: " + "x" * 250 for i in range(n_failed)
+            }
+        return rec
+
+    def test_base_record_under_limit(self):
+        out = bench._compact_record(self._record())
+        assert len(json.dumps(out, separators=(",", ":"))) <= 1900
+        assert len(out["queries"]) == 51
+        assert out["calib_sec"] == 0.201
+
+    def test_worst_case_drift_and_failures_still_fit(self):
+        rec = self._record(n_drift=51, n_failed=20, reproduced=51)
+        out = bench._compact_record(rec)
+        assert len(json.dumps(out, separators=(",", ":"))) <= 1900
+        # the queries+calib core (what _latest_prior_record needs)
+        # survives intact at the realistic scale
+        assert len(out["queries"]) == 51
+        assert out["calib_sec"] == 0.201
+
+    def test_oversized_headliner_list_degrades_not_truncates(self):
+        """If the headliner list ever outgrows the window, the line
+        must STAY parseable (shedding queries, recording how many) —
+        never the r9/r10 parsed:null failure mode."""
+        out = bench._compact_record(self._record(n_queries=120))
+        line = json.dumps(out, separators=(",", ":"))
+        assert len(line) <= 1900
+        assert json.loads(line)["calib_sec"] == 0.201
+        assert out["q_omitted"] == 120 - len(out["queries"])
+        assert len(out["queries"]) >= 1
+
+    def test_drift_collapses_to_verdict_summary(self):
+        out = bench._compact_record(self._record(n_drift=5, reproduced=2))
+        assert out["drift"]["noise_n"] == 3
+        assert len([n for n in out["drift"]["reproduced"] if "more" not in n]) >= 2
+
+    def test_loader_accepts_compact_record(self, tmp_path):
+        out = bench._compact_record(self._record(n_drift=3))
+        (tmp_path / "BENCH_r11.json").write_text(
+            json.dumps({"parsed": out, "tail": ""})
+        )
+        rec = bench._latest_prior_record(here=str(tmp_path))
+        assert rec is not None and rec["calib_sec"] == 0.201
+        assert len(rec["queries"]) == 51
+
 
 class TestWarmPreamble:
     """r8 verdict ask #5: the solo-measure preamble, unit-tested with

@@ -76,6 +76,10 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("operators/quantiles.py", "histogram_quantiles"): "scalar: total count",
     ("operators/quantiles.py", "idiv"): "partitions: per-partition offsets",
     ("operators/quantiles.py", "global_rank_column"): "partitions: per-partition offsets",
+    ("operators/quantiles.py", "global_rank_and_prefix"): "partitions: per-partition offsets",
+    ("operators/relational.py", "pareto_front_2d"): "partitions: per-partition prefix-max offsets",
+    ("operators/relational.py", "abc_classification"): "scalar: grand-total row",
+    ("operators/layout.py", "zorder_key"): "scalar: tier-count row",
     ("operators/quantiles.py", "grouped_kth_smallest"): "partitions/domain: offsets + per-group k",
     ("operators/quantiles.py", "quantile_normalize"): "partitions: offsets",
     ("operators/quantiles.py", "grouped_running_totals"): "partitions: offsets",
