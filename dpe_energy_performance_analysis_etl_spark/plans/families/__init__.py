@@ -31,4 +31,7 @@ FAMILY_MODULES = [
     "f23_r10_wave12",
     "f24_r10_wave13",
     "f25_r10_wave14",
+    # round-11 additions
+    "f26_r11_wave1",
+    "f27_r11_wave2",
 ]

@@ -1,0 +1,550 @@
+"""Round 11, wave 1: the ordinal-association suite — Somers' D,
+Goodman-Kruskal gamma, Cliff's delta, Kendall's W, Welch's t,
+Cohen's d.
+
+Shared exactness recipe: every pair statistic runs over a BOUNDED
+contingency/count table (quantity 1..50 x returnflag 3, quantity x
+priority 5, 25 nations x 5 priorities), never over row pairs —
+concordant/discordant/tie masses are integer cross-products of cell
+counts; the only doubles are one final fixed-form ratio per query,
+floored at a declared scale (the f25 variance-trio contract). No
+integral division ever sees a negative numerator (Spark ``div``
+truncates toward zero, DuckDB ``//`` floors — CLAUDE.md rule): signed
+ratios go through ``floor()`` in DOUBLE, identical in both engines.
+
+Reference scope: the reference's grouped statistical tests
+(scripts/transform.py group-stats block) stop at location/scale; the
+ordinal-association family is the superset a data-quality pipeline
+needs for monotone-relationship checks between bounded codes.
+"""
+
+from __future__ import annotations
+
+from dpe_energy_performance_analysis_etl_spark.plans._core import (  # noqa: F401
+    DataFrame,
+    SparkSession,
+    Window,
+    F,
+    QUERIES,
+    ORACLE_SQL,
+    register,
+)
+
+
+@register(
+    "somers_d_qty_returns",
+    """
+    WITH cells AS MATERIALIZED (
+      SELECT CAST(l_quantity AS BIGINT) AS x,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY 1, 2
+    ), pairs AS MATERIALIZED (
+      SELECT
+        CAST(SUM(CASE WHEN b.x > a.x AND b.y > a.y
+                      THEN a.n::HUGEINT * b.n ELSE 0 END) AS HUGEINT) AS c,
+        CAST(SUM(CASE WHEN b.x > a.x AND b.y < a.y
+                      THEN a.n::HUGEINT * b.n ELSE 0 END) AS HUGEINT) AS d
+      FROM cells a JOIN cells b ON (b.x > a.x)
+    ), tots AS MATERIALIZED (
+      SELECT CAST(SUM(n) AS BIGINT) AS nn,
+             (SELECT SUM((rx::HUGEINT * (rx - 1)) // 2) FROM (
+                SELECT CAST(SUM(n) AS BIGINT) AS rx FROM cells GROUP BY x
+             )) AS tx
+      FROM cells
+    )
+    SELECT CAST(p.c AS BIGINT) AS concordant,
+           CAST(p.d AS BIGINT) AS discordant,
+           CAST(t.nn AS BIGINT) AS n_rows,
+           CAST(floor(1e6 *
+             (CAST(p.c AS DOUBLE) - CAST(p.d AS DOUBLE))
+             / (CAST(t.nn AS DOUBLE) * (CAST(t.nn AS DOUBLE) - 1e0) / 2e0
+                - CAST(t.tx AS DOUBLE))) AS BIGINT) AS somers_d_ppm
+    FROM pairs p, tots t
+    """,
+)
+def somers_d_qty_returns_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Somers' D(Y|X) of return flag on quantity (Somers 1962): the
+    ASYMMETRIC concordance measure — of all pairs not tied on X
+    (quantity), the net fraction where the returned indicator moves
+    with it. d_YX = (C - D) / (n(n-1)/2 - T_X).
+
+    Exactness: one grouped aggregation to the 50 x 2 cell table; C/D
+    are integer cross-products over cell pairs with x2 > x1 (each
+    unordered pair counted exactly once); T_X from per-quantity row
+    totals. One floored double ratio (ppm).
+
+    Scale shape: one corpus aggregation onto <= 100 cells; the cell
+    self-join and everything after are domain-bounded."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cells = (
+        li.selectExpr(
+            "CAST(l_quantity AS BIGINT) AS x",
+            "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y",
+        )
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .cache()
+    )
+    a = cells.select(
+        F.col("x").alias("x1"), F.col("y").alias("y1"), F.col("n").alias("n1")
+    )
+    b = cells.select(
+        F.col("x").alias("x2"), F.col("y").alias("y2"), F.col("n").alias("n2")
+    )
+    pairs = (
+        a.join(b, F.col("x2") > F.col("x1"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("y2") > F.col("y1"),
+                    F.expr("CAST(n1 AS DECIMAL(38,0)) * n2"),
+                ).otherwise(F.lit(0).cast("decimal(38,0)"))
+            ).alias("c"),
+            F.sum(
+                F.when(
+                    F.col("y2") < F.col("y1"),
+                    F.expr("CAST(n1 AS DECIMAL(38,0)) * n2"),
+                ).otherwise(F.lit(0).cast("decimal(38,0)"))
+            ).alias("d"),
+        )
+    )
+    rowt = cells.groupBy("x").agg(F.sum("n").cast("bigint").alias("rx"))
+    tots = cells.agg(F.sum("n").cast("bigint").alias("nn")).crossJoin(
+        F.broadcast(
+            rowt.agg(
+                F.sum(F.expr("(CAST(rx AS DECIMAL(38,0)) * (rx - 1)) div 2")).alias(
+                    "tx"
+                )
+            )
+        )
+    )
+    return pairs.crossJoin(F.broadcast(tots)).selectExpr(
+        "CAST(c AS BIGINT) AS concordant",
+        "CAST(d AS BIGINT) AS discordant",
+        "nn AS n_rows",
+        "CAST(floor(1e6 *"
+        " (CAST(c AS DOUBLE) - CAST(d AS DOUBLE))"
+        " / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1e0) / 2e0"
+        "    - CAST(tx AS DOUBLE))) AS BIGINT) AS somers_d_ppm",
+    )
+
+
+@register(
+    "gk_gamma_qty_priority",
+    """
+    WITH cells AS MATERIALIZED (
+      SELECT CAST(l_quantity AS BIGINT) AS x,
+             CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS y,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2
+    ), pairs AS MATERIALIZED (
+      SELECT
+        SUM(CASE WHEN b.x > a.x AND b.y > a.y
+                 THEN a.n::HUGEINT * b.n ELSE 0 END) AS c,
+        SUM(CASE WHEN b.x > a.x AND b.y < a.y
+                 THEN a.n::HUGEINT * b.n ELSE 0 END) AS d
+      FROM cells a JOIN cells b ON (b.x > a.x)
+    )
+    SELECT CAST(c AS BIGINT) AS concordant,
+           CAST(d AS BIGINT) AS discordant,
+           CAST(floor(1e6 *
+             (CAST(c AS DOUBLE) - CAST(d AS DOUBLE))
+             / (CAST(c AS DOUBLE) + CAST(d AS DOUBLE))) AS BIGINT)
+             AS gamma_ppm
+    FROM pairs
+    """,
+)
+def gk_gamma_qty_priority_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goodman-Kruskal gamma between line quantity and order priority
+    rank (Goodman & Kruskal 1954): concordance among UNTIED pairs
+    only — gamma = (C - D) / (C + D), the sibling of
+    ``gk_lambda_status_priority`` (association) and the tie-insensitive
+    complement of Kendall tau-b. Cells are the 50 x 5 bounded
+    contingency table; C/D integer cross-products; one floored ppm
+    ratio."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cells = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .selectExpr(
+            "CAST(l_quantity AS BIGINT) AS x",
+            "CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS y",
+        )
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .cache()
+    )
+    a = cells.select(
+        F.col("x").alias("x1"), F.col("y").alias("y1"), F.col("n").alias("n1")
+    )
+    b = cells.select(
+        F.col("x").alias("x2"), F.col("y").alias("y2"), F.col("n").alias("n2")
+    )
+    return (
+        a.join(b, F.col("x2") > F.col("x1"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("y2") > F.col("y1"),
+                    F.expr("CAST(n1 AS DECIMAL(38,0)) * n2"),
+                ).otherwise(F.lit(0).cast("decimal(38,0)"))
+            ).alias("c"),
+            F.sum(
+                F.when(
+                    F.col("y2") < F.col("y1"),
+                    F.expr("CAST(n1 AS DECIMAL(38,0)) * n2"),
+                ).otherwise(F.lit(0).cast("decimal(38,0)"))
+            ).alias("d"),
+        )
+        .selectExpr(
+            "CAST(c AS BIGINT) AS concordant",
+            "CAST(d AS BIGINT) AS discordant",
+            "CAST(floor(1e6 *"
+            " (CAST(c AS DOUBLE) - CAST(d AS DOUBLE))"
+            " / (CAST(c AS DOUBLE) + CAST(d AS DOUBLE))) AS BIGINT)"
+            " AS gamma_ppm",
+        )
+    )
+
+
+@register(
+    "cliffs_delta_returns_qty",
+    """
+    WITH per AS MATERIALIZED (
+      SELECT CAST(l_quantity AS BIGINT) AS v,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END)
+                  AS BIGINT) AS n2
+      FROM lineitem GROUP BY 1
+    ), cum AS MATERIALIZED (
+      SELECT v, n1, n2,
+             COALESCE(SUM(n2) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lt2,
+             COALESCE(SUM(n2) OVER (ORDER BY v DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS gt2
+      FROM per
+    ), agg AS MATERIALIZED (
+      SELECT SUM(n1::HUGEINT * lt2) AS gt, SUM(n1::HUGEINT * gt2) AS lt,
+             CAST(SUM(n1) AS BIGINT) AS m,
+             CAST(SUM(n2) AS BIGINT) AS n
+      FROM cum
+    )
+    SELECT CAST(gt AS BIGINT) AS n_greater, CAST(lt AS BIGINT) AS n_less,
+           m AS n_returned, n AS n_other,
+           CAST(floor(1e6 * (CAST(gt AS DOUBLE) - CAST(lt AS DOUBLE))
+             / (CAST(m AS DOUBLE) * CAST(n AS DOUBLE))) AS BIGINT)
+             AS cliffs_delta_ppm
+    FROM agg
+    """,
+)
+def cliffs_delta_returns_qty_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff's delta between returned and non-returned line
+    quantities (Cliff 1993): the ordinal effect size —
+    P(X > Y) - P(X < Y) — that Cohen's d cannot give on a bounded
+    discrete scale. Counted exactly on the 50-value grid: per-value
+    counts for each group, exclusive prefix sums of the OTHER group
+    give #(x > y) and #(x < y) as integer cross-products.
+
+    The prefix sums run over the <= 50-row value grid (domain-bounded
+    window). One floored ppm ratio at the end."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    per = (
+        li.selectExpr(
+            "CAST(l_quantity AS BIGINT) AS v",
+            "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS in1",
+        )
+        .groupBy("v")
+        .agg(
+            F.sum("in1").cast("bigint").alias("n1"),
+            F.sum(F.expr("1 - in1")).cast("bigint").alias("n2"),
+        )
+        .cache()  # <= 50 rows; feeds the prefix windows AND the n total
+    )
+    w_lt = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    w_gt = Window.orderBy(F.col("v").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = per.select(
+        "v",
+        "n1",
+        F.coalesce(F.sum("n2").over(w_lt), F.lit(0)).cast("bigint").alias("lt2"),
+        F.coalesce(F.sum("n2").over(w_gt), F.lit(0)).cast("bigint").alias("gt2"),
+    )
+    return cum.agg(
+        F.sum(F.expr("CAST(n1 AS DECIMAL(38,0)) * lt2")).alias("gt"),
+        F.sum(F.expr("CAST(n1 AS DECIMAL(38,0)) * gt2")).alias("lt"),
+        F.sum("n1").cast("bigint").alias("m"),
+    ).crossJoin(
+        F.broadcast(
+            per.agg(F.sum("n2").cast("bigint").alias("n"))
+        )
+    ).selectExpr(
+        "CAST(gt AS BIGINT) AS n_greater",
+        "CAST(lt AS BIGINT) AS n_less",
+        "m AS n_returned",
+        "n AS n_other",
+        "CAST(floor(1e6 * (CAST(gt AS DOUBLE) - CAST(lt AS DOUBLE))"
+        " / (CAST(m AS DOUBLE) * CAST(n AS DOUBLE))) AS BIGINT)"
+        " AS cliffs_delta_ppm",
+    )
+
+
+@register(
+    "kendalls_w_nation_priority",
+    """
+    WITH rev AS MATERIALIZED (
+      SELECT n.n_name AS nation,
+             CAST(substr(o.o_orderpriority, 1, 1) AS BIGINT) AS judge,
+             CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(30,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    ), ranked AS MATERIALIZED (
+      SELECT nation, judge,
+             CAST(row_number() OVER (PARTITION BY judge
+               ORDER BY cents DESC, nation) AS BIGINT) AS r
+      FROM rev
+    ), sums AS MATERIALIZED (
+      SELECT nation, CAST(SUM(r) AS BIGINT) AS ri FROM ranked GROUP BY 1
+    ), agg AS MATERIALIZED (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(ri::HUGEINT * ri) AS s2, CAST(SUM(ri) AS BIGINT) AS s1,
+             (SELECT CAST(COUNT(DISTINCT judge) AS BIGINT) FROM ranked) AS m
+      FROM sums
+    )
+    SELECT n AS n_items, m AS n_judges,
+           CAST(floor(1e6 *
+             (12e0 * CAST(s2 AS DOUBLE)
+              - 3e0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)
+                * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1e0)
+                * (CAST(n AS DOUBLE) + 1e0))
+             / (CAST(m AS DOUBLE) * CAST(m AS DOUBLE)
+                * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                   - CAST(n AS DOUBLE)))) AS BIGINT) AS w_ppm
+    FROM agg
+    """,
+)
+def kendalls_w_nation_priority_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's coefficient of concordance W (Kendall & Babington
+    Smith 1939): do the five priority classes ("judges") rank the 25
+    nations by revenue consistently? W = (12 SUM R_i^2 - 3 m^2 n
+    (n+1)^2) / (m^2 (n^3 - n)) over rank sums R_i — the k-judge
+    generalization the pairwise Spearman/Kendall families can't see.
+
+    Exactness: revenue in exact cents; ranks are row_number within
+    each judge over the 25-nation table (deterministic nation
+    tiebreak, matching the oracle); every sum integer; one floored
+    ppm expression. All windows run over nation x priority <= 125
+    rows."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    rev = (
+        o.join(c.select("c_custkey", "c_nationkey"), o["o_custkey"] == F.col("c_custkey"))
+        .join(
+            F.broadcast(n.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .selectExpr(
+            "n_name AS nation",
+            "CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS judge",
+            "CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT) AS cents",
+        )
+        .groupBy("nation", "judge")
+        .agg(F.sum("cents").cast("bigint").alias("cents"))
+    )
+    w = Window.partitionBy("judge").orderBy(F.col("cents").desc(), F.col("nation"))
+    ranked = rev.select(
+        "nation", "judge", F.row_number().over(w).cast("bigint").alias("r")
+    )
+    sums = ranked.groupBy("nation").agg(F.sum("r").cast("bigint").alias("ri"))
+    m_tbl = ranked.agg(
+        F.countDistinct("judge").cast("bigint").alias("m")
+    )
+    agg = sums.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.expr("CAST(ri AS DECIMAL(38,0)) * ri")).alias("s2"),
+        F.sum("ri").cast("bigint").alias("s1"),
+    ).crossJoin(F.broadcast(m_tbl))
+    return agg.selectExpr(
+        "n AS n_items",
+        "m AS n_judges",
+        "CAST(floor(1e6 *"
+        " (12e0 * CAST(s2 AS DOUBLE)"
+        "  - 3e0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)"
+        "    * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1e0)"
+        "    * (CAST(n AS DOUBLE) + 1e0))"
+        " / (CAST(m AS DOUBLE) * CAST(m AS DOUBLE)"
+        "    * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)"
+        "       - CAST(n AS DOUBLE)))) AS BIGINT) AS w_ppm",
+    )
+
+
+@register(
+    "welch_t_returns_value",
+    """
+    WITH vals AS MATERIALIZED (
+      SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS g,
+             CAST(CAST(l_extendedprice AS DECIMAL(30,2)) * 100 AS BIGINT)
+               // 100 AS x
+      FROM lineitem
+    ), grp AS MATERIALIZED (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n_g,
+             CAST(SUM(x) AS BIGINT) AS s_g,
+             SUM(x::HUGEINT * x) AS q_g
+      FROM vals GROUP BY 1
+    ), wide AS MATERIALIZED (
+      SELECT
+        MAX(CASE WHEN g = 1 THEN n_g END) AS n1,
+        MAX(CASE WHEN g = 1 THEN s_g END) AS s1,
+        MAX(CASE WHEN g = 1 THEN q_g END) AS q1,
+        MAX(CASE WHEN g = 0 THEN n_g END) AS n2,
+        MAX(CASE WHEN g = 0 THEN s_g END) AS s2,
+        MAX(CASE WHEN g = 0 THEN q_g END) AS q2
+      FROM grp
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_returned, CAST(n2 AS BIGINT) AS n_other,
+           CAST(floor(1000e0 *
+             (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+              - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+             / sqrt(
+               ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                   / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1e0))
+                 / CAST(n1 AS DOUBLE)
+               + ((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+                   / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1e0))
+                 / CAST(n2 AS DOUBLE))) AS BIGINT) AS t_milli
+    FROM wide
+    """,
+)
+def welch_t_returns_value_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t between returned and non-returned
+    line values (Welch 1947): the parametric two-sample companion —
+    ``ks_test_status_priority`` is the distribution-free version,
+    ``anova_f_revenue_nations`` the k-group one. t = (m1 - m2) /
+    sqrt(s1^2/n1 + s2^2/n2) from exact whole-dollar (n, S, Q) per
+    group; one fixed double expression, floored milli (sqrt is IEEE
+    correctly-rounded — safe cross-engine)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    grp = (
+        li.selectExpr(
+            "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS g",
+            "CAST(CAST(l_extendedprice AS DECIMAL(30,2)) * 100 AS BIGINT)"
+            " div 100 AS x",
+        )
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_g"),
+            F.sum("x").cast("bigint").alias("s_g"),
+            F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("q_g"),
+        )
+    )
+    wide = grp.agg(
+        F.max(F.when(F.col("g") == 1, F.col("n_g"))).alias("n1"),
+        F.max(F.when(F.col("g") == 1, F.col("s_g"))).alias("s1"),
+        F.max(F.when(F.col("g") == 1, F.col("q_g"))).alias("q1"),
+        F.max(F.when(F.col("g") == 0, F.col("n_g"))).alias("n2"),
+        F.max(F.when(F.col("g") == 0, F.col("s_g"))).alias("s2"),
+        F.max(F.when(F.col("g") == 0, F.col("q_g"))).alias("q2"),
+    )
+    return wide.selectExpr(
+        "CAST(n1 AS BIGINT) AS n_returned",
+        "CAST(n2 AS BIGINT) AS n_other",
+        "CAST(floor(1000e0 *"
+        " (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
+        "  - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))"
+        " / sqrt("
+        "   ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)"
+        "       / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1e0))"
+        "     / CAST(n1 AS DOUBLE)"
+        "   + ((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)"
+        "       / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1e0))"
+        "     / CAST(n2 AS DOUBLE))) AS BIGINT) AS t_milli",
+    )
+
+
+@register(
+    "cohens_d_urgent_value",
+    """
+    WITH vals AS MATERIALIZED (
+      SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g,
+             CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT)
+               // 100 AS x
+      FROM orders
+    ), grp AS MATERIALIZED (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n_g,
+             CAST(SUM(x) AS BIGINT) AS s_g,
+             SUM(x::HUGEINT * x) AS q_g
+      FROM vals GROUP BY 1
+    ), wide AS MATERIALIZED (
+      SELECT
+        MAX(CASE WHEN g = 1 THEN n_g END) AS n1,
+        MAX(CASE WHEN g = 1 THEN s_g END) AS s1,
+        MAX(CASE WHEN g = 1 THEN q_g END) AS q1,
+        MAX(CASE WHEN g = 0 THEN n_g END) AS n2,
+        MAX(CASE WHEN g = 0 THEN s_g END) AS s2,
+        MAX(CASE WHEN g = 0 THEN q_g END) AS q2
+      FROM grp
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_urgent, CAST(n2 AS BIGINT) AS n_other,
+           CAST(floor(1e6 *
+             (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+              - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+             / sqrt(
+               ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                   / CAST(n1 AS DOUBLE))
+                + (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+                   / CAST(n2 AS DOUBLE)))
+               / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2e0)))
+             AS BIGINT) AS cohens_d_ppm
+    FROM wide
+    """,
+)
+def cohens_d_urgent_value_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d for urgent vs non-urgent order values (Cohen 1988):
+    the standardized mean difference — the EFFECT SIZE the
+    significance families (Welch t, ANOVA F) deliberately don't
+    report. d = (m1 - m2) / s_pooled with the pooled SD from exact
+    per-group (n, S, Q). Same exactness contract as
+    ``welch_t_returns_value``; floored ppm."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    grp = (
+        o.selectExpr(
+            "CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g",
+            "CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT)"
+            " div 100 AS x",
+        )
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_g"),
+            F.sum("x").cast("bigint").alias("s_g"),
+            F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("q_g"),
+        )
+    )
+    wide = grp.agg(
+        F.max(F.when(F.col("g") == 1, F.col("n_g"))).alias("n1"),
+        F.max(F.when(F.col("g") == 1, F.col("s_g"))).alias("s1"),
+        F.max(F.when(F.col("g") == 1, F.col("q_g"))).alias("q1"),
+        F.max(F.when(F.col("g") == 0, F.col("n_g"))).alias("n2"),
+        F.max(F.when(F.col("g") == 0, F.col("s_g"))).alias("s2"),
+        F.max(F.when(F.col("g") == 0, F.col("q_g"))).alias("q2"),
+    )
+    return wide.selectExpr(
+        "CAST(n1 AS BIGINT) AS n_urgent",
+        "CAST(n2 AS BIGINT) AS n_other",
+        "CAST(floor(1e6 *"
+        " (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
+        "  - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))"
+        " / sqrt("
+        "   ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)"
+        "       / CAST(n1 AS DOUBLE))"
+        "    + (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)"
+        "       / CAST(n2 AS DOUBLE)))"
+        "   / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2e0)))"
+        " AS BIGINT) AS cohens_d_ppm",
+    )

@@ -206,6 +206,14 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("plans/queries.py", "bowley_skewness_status_q"): "domain: per-group totals",
     ("plans/queries.py", "anova_f_revenue_nations_q"): "domain: nation",
     ("plans/queries.py", "brown_forsythe_status_q"): "domain: per-group totals/medians",
+    # --- round-11 additions ---
+    ("plans/queries.py", "somers_d_qty_returns_q"): "scalar: tie/total rows",
+    ("plans/queries.py", "cliffs_delta_returns_qty_q"): "scalar: group-total row",
+    ("plans/queries.py", "kendalls_w_nation_priority_q"): "domain/scalar: nation dim + judge-count row",
+    ("plans/queries.py", "tv_distance_nation_halves_q"): "scalar: totals row",
+    ("plans/queries.py", "chisq_homogeneity_priority_halves_q"): "scalar: totals row",
+    ("plans/queries.py", "cr4_brand_concentration_q"): "scalar: total row",
+    ("plans/queries.py", "dice_overlap_source_vocab_q"): "domain: per-source size table (bounded source domain)",
 }
 
 

@@ -132,6 +132,8 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("plans/queries.py", "variance_ratio_revenue_q"): "series: month grain",
     ("plans/queries.py", "youden_j_threshold_q"): "domain: integer quantity thresholds",
     ("plans/queries.py", "zipf_ratio_tokens_q"): "post-limit: 128-row head",
+    # --- round-11 additions ---
+    ("plans/queries.py", "cliffs_delta_returns_qty_q"): "domain: integer quantity grid (<= 50 rows)",
 }
 
 
