@@ -34,4 +34,6 @@ FAMILY_MODULES = [
     # round-11 additions
     "f26_r11_wave1",
     "f27_r11_wave2",
+    "f28_r11_wave3",
+    "f29_r11_wave4",
 ]

@@ -214,6 +214,9 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("plans/queries.py", "chisq_homogeneity_priority_halves_q"): "scalar: totals row",
     ("plans/queries.py", "cr4_brand_concentration_q"): "scalar: total row",
     ("plans/queries.py", "dice_overlap_source_vocab_q"): "domain: per-source size table (bounded source domain)",
+    ("plans/queries.py", "western_electric_revenue_q"): "scalar: (n, S, Q) stats row",
+    ("plans/queries.py", "c_chart_monthly_returns_q"): "scalar: (n, S) stats row",
+    ("plans/queries.py", "precision_at_k_value_q"): "scalar: base-rate row",
 }
 
 

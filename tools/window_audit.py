@@ -134,6 +134,11 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("plans/queries.py", "zipf_ratio_tokens_q"): "post-limit: 128-row head",
     # --- round-11 additions ---
     ("plans/queries.py", "cliffs_delta_returns_qty_q"): "domain: integer quantity grid (<= 50 rows)",
+    ("plans/queries.py", "theil_u2_monthly_revenue_q"): "series: month grain",
+    ("plans/queries.py", "smape_wape_naive_monthly_q"): "series: month grain",
+    ("plans/queries.py", "cox_stuart_trend_revenue_q"): "series: month grain",
+    ("plans/queries.py", "tracking_signal_naive_monthly_q"): "series: month grain",
+    ("plans/queries.py", "western_electric_revenue_q"): "series: month grain",
 }
 
 
