@@ -451,6 +451,71 @@ def morans_i_grid(
     )
 
 
+def geary_c_grid(
+    cells,
+    x_col: str = "cx",
+    y_col: str = "cy",
+    value_col: str = "val",
+    scale: int = 1_000_000,
+):
+    """Global Geary's C spatial autocorrelation over a grid with rook
+    adjacency (Geary 1954): the LOCAL-difference complement of
+    Moran's I — I correlates values, C accumulates squared neighbor
+    DIFFERENCES, so C is the more sensitive of the two to small-range
+    structure (C < 1 positive autocorrelation, > 1 negative). With n
+    cells, value sum S, d_i = n·x_i − S and W directed neighbor
+    pairs,
+
+        C = (n−1) · Σ_pairs (d_i − d_j)² / (2W · Σ_i d_i²)
+
+    — the n² centering factors cancel, every term is an exact
+    integer, and the single division is a truncating div on a
+    NONNEGATIVE numerator (identical both engines). Neighbor pairs
+    are equi-keyed exactly as in ``morans_i_grid``. Magnitude bound:
+    (n−1)·W·max(d_i−d_j)²·scale must stay under 10³⁸ — pass values
+    in coarse units (whole dollars, not cents) on dense grids.
+
+    Returns one row (n_cells, w_pairs, geary_c_scaled); NULL when
+    the variance or W is zero."""
+    from pyspark.sql import functions as F
+
+    base = cells.select(
+        F.col(x_col).cast("bigint").alias("cx"),
+        F.col(y_col).cast("bigint").alias("cy"),
+        F.col(value_col).cast("bigint").alias("val"),
+    ).localCheckpoint(eager=True)  # consumed by totals + both join sides
+    tot = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("val").cast("bigint").alias("s"),
+    )
+    ctr = base.crossJoin(F.broadcast(tot)).selectExpr(
+        "cx", "cy", "CAST(n * val - s AS DECIMAL(38,0)) AS d"
+    )
+    nbr = ctr.selectExpr(
+        "explode(array("
+        " struct(cx + 1 AS cx, cy AS cy, d AS d_nbr),"
+        " struct(cx - 1 AS cx, cy AS cy, d AS d_nbr),"
+        " struct(cx AS cx, cy + 1 AS cy, d AS d_nbr),"
+        " struct(cx AS cx, cy - 1 AS cy, d AS d_nbr))) AS e"
+    ).select("e.cx", "e.cy", "e.d_nbr")
+    pairs = ctr.join(nbr, ["cx", "cy"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("w"),
+        F.sum(F.expr("(d - d_nbr) * (d - d_nbr)")).alias("diff_sq"),
+    )
+    var = ctr.agg(F.sum(F.expr("d * d")).alias("var_sum"))
+    return (
+        tot.crossJoin(F.broadcast(pairs))
+        .crossJoin(F.broadcast(var))
+        .selectExpr(
+            "n AS n_cells",
+            "w AS w_pairs",
+            "CASE WHEN w > 0 AND var_sum > 0 THEN CAST("
+            f" ((n - 1) * diff_sq * {scale}) div (2 * w * var_sum)"
+            " AS BIGINT) END AS geary_c_scaled",
+        )
+    )
+
+
 def getis_ord_gi_grid(
     cells,
     x_col: str = "cx",

@@ -36,4 +36,6 @@ FAMILY_MODULES = [
     "f27_r11_wave2",
     "f28_r11_wave3",
     "f29_r11_wave4",
+    "f30_r11_wave5",
+    "f31_r11_wave6",
 ]

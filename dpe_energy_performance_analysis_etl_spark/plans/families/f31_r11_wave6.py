@@ -1,0 +1,397 @@
+"""Round 11, wave 6: corpus-quality text statistics + OLAP CUBE +
+position-based attribution + exact grouped percentile — hapax/TTR
+per source, per-term Fano burstiness, bigram novelty across halves,
+CUBE with grouping flags, exact P90 document length per source,
+U-shaped multi-touch attribution.
+
+Shared exactness recipe: token statistics are integer counts from
+one explode+aggregate; novelty is an anti-join of distinct n-gram
+sets (equi-keyed); attribution credit is quantized to integer basis
+points PER TOUCH with a deterministic remainder rule (no per-
+conversion fractions ever summed as doubles); the exact percentile
+is a rank-based order statistic (engine-exact, no interpolation)."""
+
+from __future__ import annotations
+
+from dpe_energy_performance_analysis_etl_spark.plans._core import (  # noqa: F401
+    DataFrame,
+    SparkSession,
+    Window,
+    F,
+    QUERIES,
+    ORACLE_SQL,
+    read_documents,
+    read_events,
+    register,
+)
+
+
+@register(
+    "hapax_ttr_sources",
+    """
+    WITH tf AS MATERIALIZED (
+      SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (
+        SELECT source,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        FROM documents
+      ) GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS vocab_size,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           CAST(floor(1e6 * CAST(COUNT(*) AS DOUBLE) / SUM(c)) AS BIGINT)
+             AS ttr_ppm,
+           CAST(floor(1e6 * CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                                 AS DOUBLE) / COUNT(*)) AS BIGINT)
+             AS hapax_vocab_ppm
+    FROM tf GROUP BY 1 ORDER BY 1
+    """,
+)
+def hapax_ttr_sources_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source type-token ratio and hapax-legomena share (the
+    lexical-richness pair a corpus-quality dashboard reads next to
+    ``yules_k_sources`` / ``chao1_vocab_richness``: TTR falls with
+    boilerplate repetition; the hapax share is the vocabulary's
+    growth edge). One explode + (source, term) aggregation; integer
+    counts; two floored ppm ratios per source row."""
+    from dpe_energy_performance_analysis_etl_spark.text.analysis import tokens_expr
+
+    docs = read_documents(spark, sf_dir)
+    tf = (
+        docs.select("source", F.explode(tokens_expr("text")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    return (
+        tf.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.sum(F.expr("CASE WHEN c = 1 THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("n_hapax"),
+        )
+        .selectExpr(
+            "source",
+            "vocab_size",
+            "n_tokens",
+            "n_hapax",
+            "CAST(floor(1e6 * CAST(vocab_size AS DOUBLE) / n_tokens)"
+            " AS BIGINT) AS ttr_ppm",
+            "CAST(floor(1e6 * CAST(n_hapax AS DOUBLE) / vocab_size)"
+            " AS BIGINT) AS hapax_vocab_ppm",
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "term_fano_burstiness_docs",
+    """
+    WITH tf AS MATERIALIZED (
+      SELECT w, doc_id, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        FROM documents
+      ) GROUP BY 1, 2
+    ), per_term AS MATERIALIZED (
+      SELECT w, CAST(SUM(c) AS BIGINT) AS total,
+             CAST(SUM(c * c) AS BIGINT) AS sum_sq
+      FROM tf GROUP BY 1
+    ), nd AS MATERIALIZED (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT DISTINCT doc_id FROM documents)
+    ), top AS MATERIALIZED (
+      SELECT w, total, sum_sq FROM per_term
+      ORDER BY total DESC, w LIMIT 20
+    )
+    SELECT w AS term, total AS n_occurrences,
+           CAST(row_number() OVER (ORDER BY total DESC, w) AS BIGINT) AS rank,
+           CAST(floor(1000e0 *
+             (CAST(n AS DOUBLE) * sum_sq - CAST(total AS DOUBLE) * total)
+             / ((CAST(n AS DOUBLE) - 1e0) * total)) AS BIGINT) AS fano_milli
+    FROM top, nd
+    """,
+)
+def term_fano_burstiness_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-term Fano burstiness across documents (Church & Gale 1995:
+    content words are BURSTY — variance of per-doc counts far above
+    Poisson; function words are not): Fano = Var/mean over per-doc
+    tf with absent docs counted as 0, which collapses to
+    (N SUM(tf^2) - S^2)/((N-1) S) — all integers, one double ratio.
+    Top-20 terms by corpus count via ``take_ordered_ranked``
+    (TakeOrderedAndProject; the per-term table grows with the
+    vocabulary). The events-table sibling is ``fano_event_bursts``;
+    this one reads per-document token dispersion."""
+    from dpe_energy_performance_analysis_etl_spark.operators.quantiles import (
+        take_ordered_ranked,
+    )
+    from dpe_energy_performance_analysis_etl_spark.text.analysis import tokens_expr
+
+    docs = read_documents(spark, sf_dir)
+    tf = (
+        docs.select("doc_id", F.explode(tokens_expr("text")).alias("w"))
+        .groupBy("w", "doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    per_term = tf.groupBy("w").agg(
+        F.sum("c").cast("bigint").alias("total"),
+        F.sum(F.expr("c * c")).cast("bigint").alias("sum_sq"),
+    )
+    nd = docs.select("doc_id").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    top = take_ordered_ranked(
+        per_term, [F.col("total").desc(), F.col("w").asc()], 20
+    )
+    return top.crossJoin(F.broadcast(nd)).selectExpr(
+        "w AS term",
+        "total AS n_occurrences",
+        "rank",
+        "CAST(floor(1000e0 *"
+        " (CAST(n AS DOUBLE) * sum_sq - CAST(total AS DOUBLE) * total)"
+        " / ((CAST(n AS DOUBLE) - 1e0) * total)) AS BIGINT) AS fano_milli",
+    )
+
+
+@register(
+    "bigram_novelty_halves",
+    """
+    WITH bounds AS MATERIALIZED (
+      SELECT (MIN(doc_id) + MAX(doc_id)) // 2 AS mid FROM documents
+    ), grams AS MATERIALIZED (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)),
+                    i -> t[i] || ' ' || t[i+1])) AS g
+      FROM (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        FROM documents
+      ) WHERE len(t) >= 2
+    ), early AS MATERIALIZED (
+      SELECT DISTINCT g FROM grams, bounds WHERE doc_id <= mid
+    ), late AS MATERIALIZED (
+      SELECT DISTINCT g FROM grams, bounds WHERE doc_id > mid
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM early) AS n_early_bigrams,
+           CAST(COUNT(*) AS BIGINT) AS n_late_bigrams,
+           CAST(SUM(CASE WHEN e.g IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           CAST(floor(1e6 * CAST(SUM(CASE WHEN e.g IS NULL THEN 1 ELSE 0 END)
+                                 AS DOUBLE) / COUNT(*)) AS BIGINT)
+             AS novelty_ppm
+    FROM late l LEFT JOIN early e ON l.g = e.g
+    """,
+)
+def bigram_novelty_halves_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram novelty of the second half of the corpus against the
+    first (split at the midpoint of the OBSERVED doc_id range — a
+    data-anchored boundary, never a schema constant): what fraction
+    of the late half's distinct bigrams never appeared early — the
+    freshness/drift signal a continual-pretraining curator tracks
+    (``category_drift_halves`` reads unigram drift; bigrams see
+    phrasing). Distinct sets via one explode + distinct; novelty is
+    an equi-keyed LEFT anti-style join on the gram; exact counts,
+    one floored ppm."""
+    from dpe_energy_performance_analysis_etl_spark.text.analysis import ngrams_expr
+
+    docs = read_documents(spark, sf_dir)
+    bounds = docs.agg(
+        F.expr("(MIN(doc_id) + MAX(doc_id)) div 2").alias("mid")
+    )
+    grams = (
+        docs.crossJoin(F.broadcast(bounds))
+        .select(
+            F.col("doc_id"),
+            F.col("mid"),
+            F.explode(ngrams_expr("text", 2)).alias("g"),
+        )
+        .cache()  # consumed by both halves' distinct sets
+    )
+    early = grams.where(F.col("doc_id") <= F.col("mid")).select("g").distinct()
+    late = grams.where(F.col("doc_id") > F.col("mid")).select("g").distinct()
+    n_early = early.agg(F.count(F.lit(1)).cast("bigint").alias("n_early_bigrams"))
+    marked = late.join(
+        early.withColumn("seen", F.lit(1)), "g", "left"
+    )
+    return (
+        marked.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_late_bigrams"),
+            F.sum(F.expr("CASE WHEN seen IS NULL THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+        .crossJoin(F.broadcast(n_early))
+        .selectExpr(
+            "n_early_bigrams",
+            "n_late_bigrams",
+            "n_novel",
+            "CAST(floor(1e6 * CAST(n_novel AS DOUBLE) / n_late_bigrams)"
+            " AS BIGINT) AS novelty_ppm",
+        )
+    )
+
+
+@register(
+    "cube_status_priority_revenue",
+    """
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY status, priority
+    """,
+)
+def cube_status_priority_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE over (status, priority) with grouping flags — the
+    OLAP subtotal lattice in ONE pass (4 grouping sets: detail, two
+    rollups, grand total), the operator ``rollup_agg`` covers only
+    the hierarchical prefix of. Spark ``cube()`` and the SQL CUBE
+    produce identical sets; the per-dimension ``grouping()`` flags
+    disambiguate subtotal rows portably (keys coalesced to 'ALL' —
+    the source columns are never null, so the coalesce is
+    unambiguous). Exact cents."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(
+                F.expr("CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT)")
+            )
+            .cast("bigint")
+            .alias("revenue_cents"),
+            F.grouping("o_orderstatus").cast("bigint").alias("g_status"),
+            F.grouping("o_orderpriority").cast("bigint").alias("g_priority"),
+        )
+        .selectExpr(
+            "COALESCE(o_orderstatus, 'ALL') AS status",
+            "COALESCE(o_orderpriority, 'ALL') AS priority",
+            "g_status",
+            "g_priority",
+            "n_orders",
+            "revenue_cents",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+@register(
+    "p90_doclen_sources",
+    """
+    WITH lens AS MATERIALIZED (
+      SELECT source, n_chars,
+             row_number() OVER (PARTITION BY source ORDER BY n_chars) AS r,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM documents
+    )
+    SELECT source, CAST(n AS BIGINT) AS n,
+           CAST((n * 9 + 9) // 10 AS BIGINT) AS k,
+           CAST(n_chars AS BIGINT) AS kth_value
+    FROM lens WHERE r = (n * 9 + 9) // 10
+    ORDER BY source
+    """,
+)
+def p90_doclen_sources_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 90th-percentile document length per source via
+    ``grouped_kth_smallest`` (k = ceil(0.9 n) — a rank-based order
+    statistic, engine-exact with no interpolation formula to
+    disagree on): the per-source length budget a chunking/packing
+    config reads. The operator is the skew-safe two-pass recipe
+    (range partition + bounded offsets), never a per-group window
+    sort of a data-sized group."""
+    from dpe_energy_performance_analysis_etl_spark.operators.quantiles import (
+        grouped_kth_smallest,
+    )
+
+    docs = read_documents(spark, sf_dir).select("source", "n_chars")
+    out = grouped_kth_smallest(
+        docs, "source", "n_chars", k_of_n="(n * 9 + 9) div 10"
+    )
+    return out.selectExpr(
+        "source",
+        "CAST(n AS BIGINT) AS n",
+        "CAST(k AS BIGINT) AS k",
+        "CAST(kth_value AS BIGINT) AS kth_value",
+    ).orderBy("source")
+
+
+@register(
+    "u_shape_attribution_events",
+    """
+    WITH touches AS MATERIALIZED (
+      SELECT user_id, event_type, ts, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS pos,
+             COUNT(*) OVER (PARTITION BY user_id) AS k
+      FROM events
+      WHERE event_type IN ('view', 'click')
+        AND user_id IN (SELECT DISTINCT user_id FROM events
+                        WHERE event_type = 'purchase')
+    ), credited AS MATERIALIZED (
+      SELECT event_type,
+        CASE
+          WHEN k = 1 THEN 10000
+          WHEN k = 2 THEN 5000
+          WHEN pos = 1 OR pos = k THEN 4000
+          ELSE 2000 // (k - 2)
+               + (CASE WHEN pos - 1 <= 2000 % (k - 2) THEN 1 ELSE 0 END)
+        END AS bp
+      FROM touches
+    )
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(SUM(bp) AS BIGINT) AS credit_bp
+    FROM credited GROUP BY 1 ORDER BY 1
+    """,
+)
+def u_shape_attribution_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped, 40/20/40) multi-touch attribution
+    over converting users' view/click touch sequences — the marketing
+    credit split ``attribution_first_last`` (100/0 and 0/100) and
+    ``markov_attribution_events`` (removal effect) bracket. Credit is
+    INTEGER basis points per touch: 4000 to first and last, the
+    middle 2000 floor-divided across middles with the remainder
+    assigned to the EARLIEST middles one bp each (deterministic,
+    sums to exactly 10000 per converting user). Per-user windows are
+    hash-partitioned; all sums exact."""
+    ev = read_events(spark, sf_dir)
+    converters = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+    )
+    touches = ev.where(F.col("event_type").isin("view", "click")).join(
+        converters, "user_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wk = Window.partitionBy("user_id")
+    pos = touches.select(
+        "event_type",
+        F.row_number().over(w).alias("pos"),
+        F.count(F.lit(1)).over(wk).alias("k"),
+    )
+    credited = pos.selectExpr(
+        "event_type",
+        "CASE"
+        " WHEN k = 1 THEN 10000"
+        " WHEN k = 2 THEN 5000"
+        " WHEN pos = 1 OR pos = k THEN 4000"
+        " ELSE 2000 div (k - 2)"
+        "      + (CASE WHEN pos - 1 <= 2000 % (k - 2) THEN 1 ELSE 0 END)"
+        " END AS bp",
+    )
+    return (
+        credited.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+            F.sum("bp").cast("bigint").alias("credit_bp"),
+        )
+        .orderBy("event_type")
+    )

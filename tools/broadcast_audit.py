@@ -217,6 +217,11 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("plans/queries.py", "western_electric_revenue_q"): "scalar: (n, S, Q) stats row",
     ("plans/queries.py", "c_chart_monthly_returns_q"): "scalar: (n, S) stats row",
     ("plans/queries.py", "precision_at_k_value_q"): "scalar: base-rate row",
+    ("plans/queries.py", "jackknife_nation_mean_q"): "domain/scalar: nation dim + totals row",
+    ("plans/queries.py", "page_hinkley_revenue_q"): "scalar: PH max row",
+    ("operators/spatial.py", "geary_c_grid"): "scalar: totals/variance rows",
+    ("plans/queries.py", "term_fano_burstiness_docs_q"): "scalar: doc-count row",
+    ("plans/queries.py", "bigram_novelty_halves_q"): "scalar: midpoint/early-count rows",
 }
 
 

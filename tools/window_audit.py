@@ -139,6 +139,8 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("plans/queries.py", "cox_stuart_trend_revenue_q"): "series: month grain",
     ("plans/queries.py", "tracking_signal_naive_monthly_q"): "series: month grain",
     ("plans/queries.py", "western_electric_revenue_q"): "series: month grain",
+    ("plans/queries.py", "page_hinkley_revenue_q"): "series: month grain",
+    ("plans/queries.py", "poisson_rate_halves_errors_q"): "series: calendar-day grain",
 }
 
 
