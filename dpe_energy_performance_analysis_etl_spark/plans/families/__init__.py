@@ -38,4 +38,5 @@ FAMILY_MODULES = [
     "f29_r11_wave4",
     "f30_r11_wave5",
     "f31_r11_wave6",
+    "f32_r11_wave7",
 ]

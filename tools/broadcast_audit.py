@@ -222,6 +222,8 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("operators/spatial.py", "geary_c_grid"): "scalar: totals/variance rows",
     ("plans/queries.py", "term_fano_burstiness_docs_q"): "scalar: doc-count row",
     ("plans/queries.py", "bigram_novelty_halves_q"): "scalar: midpoint/early-count rows",
+    ("plans/queries.py", "user_churn_daily_q"): "scalar: max-day row",
+    ("plans/queries.py", "brand_hhi_by_nation_q"): "domain: nation",
 }
 
 
