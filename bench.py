@@ -131,6 +131,13 @@ HEADLINE = [
     # data-sized new shapes of the r10 statistical block
     "anderson_darling_status",
     "average_precision_priority",
+    # round-11 additions: the three data-sized new shapes — the
+    # distributed Lorenz rank (global_rank_and_prefix over per-customer
+    # spend), the posting-list source-vocab pair join, and the
+    # explode-heavy per-term dispersion pass with a TakeOrdered head
+    "spend_gini_customers",
+    "dice_overlap_source_vocab",
+    "term_fano_burstiness_docs",
 ]
 
 

@@ -164,6 +164,49 @@ QUERIES_TO_SCALE = [
     "trimmed_mean_price_brand",
     "topk_with_ties_quantity",
     "ri_audit_star_schema",
+    # round-11 waves 1-7
+    "somers_d_qty_returns",
+    "gk_gamma_qty_priority",
+    "cliffs_delta_returns_qty",
+    "kendalls_w_nation_priority",
+    "welch_t_returns_value",
+    "cohens_d_urgent_value",
+    "bhattacharyya_status_halves",
+    "hellinger_priority_halves",
+    "tv_distance_nation_halves",
+    "chisq_homogeneity_priority_halves",
+    "cr4_brand_concentration",
+    "dice_overlap_source_vocab",
+    "theil_u2_monthly_revenue",
+    "smape_wape_naive_monthly",
+    "cox_stuart_trend_revenue",
+    "tracking_signal_naive_monthly",
+    "western_electric_revenue",
+    "c_chart_monthly_returns",
+    "scotts_pi_orders",
+    "gwets_ac1_orders",
+    "mcc_discount_returns",
+    "precision_at_k_value",
+    "lins_ccc_order_qty_value",
+    "odds_ratio_discount_returns",
+    "srm_check_events",
+    "jackknife_nation_mean",
+    "geary_c_balance_grid",
+    "trade_reciprocity_nations",
+    "page_hinkley_revenue",
+    "poisson_rate_halves_errors",
+    "hapax_ttr_sources",
+    "term_fano_burstiness_docs",
+    "bigram_novelty_halves",
+    "cube_status_priority_revenue",
+    "p90_doclen_sources",
+    "u_shape_attribution_events",
+    "spend_gini_customers",
+    "two_proportion_z_returns",
+    "brand_hhi_by_nation",
+    "user_churn_daily",
+    "new_vs_returning_monthly",
+    "segment_beta_monthly",
 ]
 
 SF_DIRS = [
