@@ -39,4 +39,5 @@ FAMILY_MODULES = [
     "f30_r11_wave5",
     "f31_r11_wave6",
     "f32_r11_wave7",
+    "f33_r11_wave8",
 ]

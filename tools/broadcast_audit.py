@@ -224,6 +224,9 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("plans/queries.py", "bigram_novelty_halves_q"): "scalar: midpoint/early-count rows",
     ("plans/queries.py", "user_churn_daily_q"): "scalar: max-day row",
     ("plans/queries.py", "brand_hhi_by_nation_q"): "domain: nation",
+    ("plans/queries.py", "kendall_tau_c_qty_priority_q"): "scalar: totals row",
+    ("plans/queries.py", "assoc_suite_status_priority_q"): "domain/scalar: cell margins + totals",
+    ("plans/queries.py", "cochran_c_hartley_nations_q"): "scalar: max/argmax rows",
 }
 
 

@@ -141,6 +141,7 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("plans/queries.py", "western_electric_revenue_q"): "series: month grain",
     ("plans/queries.py", "page_hinkley_revenue_q"): "series: month grain",
     ("plans/queries.py", "poisson_rate_halves_errors_q"): "series: calendar-day grain",
+    ("plans/queries.py", "rmst_orders_q"): "tiers: month-grain event table",
 }
 
 
