@@ -40,4 +40,5 @@ FAMILY_MODULES = [
     "f31_r11_wave6",
     "f32_r11_wave7",
     "f33_r11_wave8",
+    "f34_r11_wave9",
 ]

@@ -227,6 +227,8 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("plans/queries.py", "kendall_tau_c_qty_priority_q"): "scalar: totals row",
     ("plans/queries.py", "assoc_suite_status_priority_q"): "domain/scalar: cell margins + totals",
     ("plans/queries.py", "cochran_c_hartley_nations_q"): "scalar: max/argmax rows",
+    ("plans/queries.py", "pareto_8020_customers_q"): "scalar: totals row",
+    ("plans/queries.py", "dayk_retention_events_q"): "scalar: first-day/cohort-size rows",
 }
 
 

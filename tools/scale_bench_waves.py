@@ -207,6 +207,20 @@ QUERIES_TO_SCALE = [
     "user_churn_daily",
     "new_vs_returning_monthly",
     "segment_beta_monthly",
+    # round-11 wave 8
+    "rmst_orders",
+    "kendall_tau_c_qty_priority",
+    "assoc_suite_status_priority",
+    "stuart_maxwell_first_last_priority",
+    "cochran_c_hartley_nations",
+    "median_ci_status",
+    # round-11 wave 9
+    "wilcoxon_signed_rank_monthly",
+    "ma_crossover_monthly",
+    "pareto_8020_customers",
+    "dayk_retention_events",
+    "yules_q_word_cooccurrence",
+    "paired_cosine_embeddings",
 ]
 
 SF_DIRS = [

@@ -142,6 +142,8 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("plans/queries.py", "page_hinkley_revenue_q"): "series: month grain",
     ("plans/queries.py", "poisson_rate_halves_errors_q"): "series: calendar-day grain",
     ("plans/queries.py", "rmst_orders_q"): "tiers: month-grain event table",
+    ("plans/queries.py", "wilcoxon_signed_rank_monthly_q"): "series: month grain (ranks over <= 80 diffs)",
+    ("plans/queries.py", "ma_crossover_monthly_q"): "series: month grain",
 }
 
 
