@@ -36,6 +36,13 @@ FAMILY_GROUPS: dict[str, list[str]] = {
         "pareto_front_parts",
     ],
     "aggregation": [
+        # round-11 additions
+        "cr4_brand_concentration",
+        "brand_hhi_by_nation",
+        "cube_status_priority_revenue",
+        "new_vs_returning_monthly",
+        "precision_at_k_value",
+
         "mode_priority_by_status", "count_distinct_agg", "rollup_agg", "cube_agg", "pivot_agg",
         "grouping_sets_sql", "conditional_agg_functions", "percentile_iqr",
         "histogram_bins", "value_histogram", "column_profile",
@@ -71,6 +78,13 @@ FAMILY_GROUPS: dict[str, list[str]] = {
         "dau_mau_stickiness_events",
     ],
     "sequence-analytics": [
+        # round-11 additions
+        "srm_check_events",
+        "poisson_rate_halves_errors",
+        "user_churn_daily",
+        "dayk_retention_events",
+        "u_shape_attribution_events",
+
         "view_purchase_within_hour", "time_to_convert_median", "lis_order_values_customers", "funnel_stages", "user_event_paths", "event_transition_matrix",
         "event_trigram_probs", "attribution_first_last",
         "markov_attribution_events", "shapley_attribution_events",
@@ -78,6 +92,13 @@ FAMILY_GROUPS: dict[str, list[str]] = {
         "markov_next_event_hitrate", "window_funnel_events",
     ],
     "text-quality-curation": [
+        # round-11 additions
+        "dice_overlap_source_vocab",
+        "hapax_ttr_sources",
+        "term_fano_burstiness_docs",
+        "bigram_novelty_halves",
+        "p90_doclen_sources",
+
         "text_quality", "lang_id", "token_counts", "gopher_repetition",
         "quality_filter_heuristic", "decontaminate_overlap", "c4_line_filter",
         "html_strip_corpus", "flesch_readability_docs", "unigram_lm_quality",
@@ -100,6 +121,9 @@ FAMILY_GROUPS: dict[str, list[str]] = {
         "cdc_chunk_dedup", "bigram_containment_pairs", "setsim_prefix_pairs",
     ],
     "ann-similarity": [
+        # round-11 additions
+        "paired_cosine_embeddings",
+
         "embedding_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
         "ann_ivf_seeded_topk", "pq_adc_seeded_topk", "ivfpq_topk_embeddings",
         "sq8_recall_embeddings", "random_projection_compress",
@@ -146,6 +170,9 @@ FAMILY_GROUPS: dict[str, list[str]] = {
         "jaro_winkler_part_names", "record_linkage_fs", "fs_em_customers",
     ],
     "graph": [
+        # round-11 additions
+        "trade_reciprocity_nations",
+
         # round-10 additions
         "edge_embeddedness_parts",
         "closeness_centrality_landmarks",
@@ -178,6 +205,34 @@ FAMILY_GROUPS: dict[str, list[str]] = {
         "epoch_shard_assign", "rendezvous_shard_moves", "ring_shard_moves",
     ],
     "statistics": [
+        # round-11 additions
+        "somers_d_qty_returns",
+        "gk_gamma_qty_priority",
+        "cliffs_delta_returns_qty",
+        "kendalls_w_nation_priority",
+        "welch_t_returns_value",
+        "cohens_d_urgent_value",
+        "bhattacharyya_status_halves",
+        "hellinger_priority_halves",
+        "tv_distance_nation_halves",
+        "chisq_homogeneity_priority_halves",
+        "scotts_pi_orders",
+        "gwets_ac1_orders",
+        "mcc_discount_returns",
+        "lins_ccc_order_qty_value",
+        "odds_ratio_discount_returns",
+        "jackknife_nation_mean",
+        "two_proportion_z_returns",
+        "kendall_tau_c_qty_priority",
+        "assoc_suite_status_priority",
+        "stuart_maxwell_first_last_priority",
+        "cochran_c_hartley_nations",
+        "median_ci_status",
+        "wilcoxon_signed_rank_monthly",
+        "yules_q_word_cooccurrence",
+        "spend_gini_customers",
+        "pareto_8020_customers",
+
         # round-10 wave 14
         "anova_f_revenue_nations",
         "brown_forsythe_status",
@@ -242,6 +297,17 @@ FAMILY_GROUPS: dict[str, list[str]] = {
         "ips_policy_value_events",
     ],
     "timeseries-forecast": [
+        # round-11 additions
+        "theil_u2_monthly_revenue",
+        "smape_wape_naive_monthly",
+        "cox_stuart_trend_revenue",
+        "tracking_signal_naive_monthly",
+        "western_electric_revenue",
+        "c_chart_monthly_returns",
+        "page_hinkley_revenue",
+        "ma_crossover_monthly",
+        "segment_beta_monthly",
+
         # round-10 waves 11-12
         "var_es_monthly_revenue",
         # round-10 additions
@@ -263,10 +329,16 @@ FAMILY_GROUPS: dict[str, list[str]] = {
         "lead_lag_ccf_rev_qty", "haar_energy_revenue",
     ],
     "survival": [
+        # round-11 additions
+        "rmst_orders",
+
         "kaplan_meier_orders", "nelson_aalen_orders", "logrank_orders",
         "life_table_orders",
     ],
     "spatial": [
+        # round-11 additions
+        "geary_c_balance_grid",
+
         # round-10 additions
         "getis_ord_hotspots_grid",
         "spatial_radius_join", "geohash_cells_customers",
