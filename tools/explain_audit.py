@@ -159,6 +159,28 @@ EXPECTED_MULTISTAGE = {
     "smith_waterman_events": "cached per-user series feeds both sides of the consecutive-user self-join (2 cache reads); the 9th static exchange is the bounded dense_rank dim",
     "holt_winters_revenue": "cached month-tier table feeds the fold array + the ranked fitted join; cached folded state feeds fitted + 3 forecast rows (7 cache reads)",
     "apriori_triples_brands": "cached b/occ/pr/f2/t3 re-expand per Apriori level in the static print (the gsp_event_sequences shape, unordered); 665 cache reads at runtime, 9.4 s sf0.01 incl. the floor_sup scalar action",
+    # round-11 waves
+    "somers_d_qty_returns": "cached 100-cell table feeds both pair-join sides + row totals + grand total; static print re-expands the cache per consumer",
+    "gk_gamma_qty_priority": "cached 250-cell table feeds both pair-join sides (same shape as somers)",
+    "kendall_tau_c_qty_priority": "cached 250-cell table feeds both pair-join sides + the dim-count total",
+    "dice_overlap_source_vocab": "cached (source, term) vocab feeds per-source sizes + BOTH posting-join sides; static print re-expands 3x",
+    "bigram_novelty_halves": "cached exploded-bigram table feeds the early and late distinct sets + the early-count scalar; fanout rebalance on the one-file docs scan",
+    "user_churn_daily": "cached (day, user) activity feeds the max-day scalar, the shifted next-day probe side, and the probe left side",
+    "median_ci_status": "three grouped_kth_smallest two-pass recipes (lo/median/hi rank picks), each with its own pinned ranged leaf + bounded sizes/offsets tables, joined on the 3-row status key",
+    "pareto_8020_customers": "global_rank_and_prefix pinned ranged leaf + per-partition sizes/offsets + the (n, total) scalar join",
+    "spend_gini_customers": "global_rank_and_prefix pinned ranged leaf + offsets + final scalar aggregate",
+    "assoc_suite_status_priority": "cached 15-cell table feeds row/col margins + totals (bounded 4-way reuse)",
+    "cochran_c_hartley_nations": "cached 25-row variance table feeds the aggregate + the argmax probe",
+    "trade_reciprocity_nations": "cached <=600-edge list feeds both sides of the reverse-direction probe",
+    "c_chart_monthly_returns": "cached month-count table feeds the (n, S) scalar + the violation scan",
+    "western_electric_revenue": "cached month table feeds the (n, S, Q) stats row + the z/rules scan",
+    "tv_distance_nation_halves": "cached 25-cell table feeds the totals row + the |d| sum",
+    "chisq_homogeneity_priority_halves": "cached 5-cell table feeds totals + quantized terms",
+    "cr4_brand_concentration": "cached 25-brand table feeds the TakeOrdered top-4 + the total",
+    "cliffs_delta_returns_qty": "cached 50-value grid feeds both prefix windows + the group total",
+    "page_hinkley_revenue": "cached 80-row PH table feeds the max scalar + the argmax scan",
+    "dayk_retention_events": "distinct (day, user) feeds the day-0 cohort + the activity join; first-day and cohort-size scalars broadcast",
+    "jackknife_nation_mean": "cached 25-row per-nation table feeds the totals row + the LOO output",
 }
 
 
