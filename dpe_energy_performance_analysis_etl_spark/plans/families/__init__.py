@@ -41,4 +41,5 @@ FAMILY_MODULES = [
     "f32_r11_wave7",
     "f33_r11_wave8",
     "f34_r11_wave9",
+    "f35_r11_wave10",
 ]

@@ -36,6 +36,7 @@ FAMILY_GROUPS: dict[str, list[str]] = {
         "pareto_front_parts",
     ],
     "aggregation": [
+        "basket_size_histogram",
         # round-11 additions
         "cr4_brand_concentration",
         "brand_hhi_by_nation",
@@ -66,6 +67,7 @@ FAMILY_GROUPS: dict[str, list[str]] = {
         "json_extract_props", "json_struct_parse",
     ],
     "temporal": [
+        "hourly_event_profile", "dow_revenue_mix",
         # round-10 wave 13
         "nrr_monthly_customers",
         "ohlc_monthly_orders", "cumulative_adopters_by_type",
@@ -79,6 +81,7 @@ FAMILY_GROUPS: dict[str, list[str]] = {
     ],
     "sequence-analytics": [
         # round-11 additions
+        "bounce_rate_sessions",
         "srm_check_events",
         "poisson_rate_halves_errors",
         "user_churn_daily",
@@ -205,6 +208,7 @@ FAMILY_GROUPS: dict[str, list[str]] = {
         "epoch_shard_assign", "rendezvous_shard_moves", "ring_shard_moves",
     ],
     "statistics": [
+        "repeat_interval_median_days", "ship_delay_percentiles_priority",
         # round-11 additions
         "somers_d_qty_returns",
         "gk_gamma_qty_priority",

@@ -221,6 +221,13 @@ QUERIES_TO_SCALE = [
     "dayk_retention_events",
     "yules_q_word_cooccurrence",
     "paired_cosine_embeddings",
+    # round-11 wave 10
+    "bounce_rate_sessions",
+    "basket_size_histogram",
+    "ship_delay_percentiles_priority",
+    "repeat_interval_median_days",
+    "dow_revenue_mix",
+    "hourly_event_profile",
 ]
 
 SF_DIRS = [
