@@ -229,3 +229,64 @@ class TestGroupedTrimmedMeanMethods:
         )
         with _pytest.raises(ValueError, match="unknown method"):
             quantiles.grouped_trimmed_mean(df, "g", "v", method="nope")
+
+
+class TestR11ScaleSafePrimitives:
+    """Round-11 window-class sweep primitives: take_ordered_ranked
+    (TakeOrderedAndProject top-k + rank over the k-row head) and
+    global_rank_and_prefix (exact global rank + inclusive running
+    total via range partition + bounded offsets)."""
+
+    def test_take_ordered_ranked_matches_sorted_head(self, spark):
+        from pyspark.sql import functions as F
+
+        from dpe_energy_performance_analysis_etl_spark.operators.quantiles import (
+            take_ordered_ranked,
+        )
+
+        df = spark.range(1000).select(
+            F.col("id"), (F.col("id") * 37 % 101).alias("v")
+        ).repartition(7)
+        got = (
+            take_ordered_ranked(df, [F.col("v").desc(), F.col("id").asc()], 15)
+            .orderBy("rank")
+            .collect()
+        )
+        want = sorted(
+            [(r["id"], r["v"]) for r in df.collect()],
+            key=lambda t: (-t[1], t[0]),
+        )[:15]
+        assert [(r["id"], r["v"]) for r in got] == want
+        assert [r["rank"] for r in got] == list(range(1, 16))
+        # the physical plan is a TakeOrderedAndProject, not a
+        # data-sized global sort + window
+        plan = (
+            take_ordered_ranked(df, [F.col("v").desc(), F.col("id").asc()], 15)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "TakeOrderedAndProject" in plan
+
+    def test_global_rank_and_prefix_exact(self, spark):
+        from pyspark.sql import functions as F
+
+        from dpe_energy_performance_analysis_etl_spark.operators.quantiles import (
+            global_rank_and_prefix,
+        )
+
+        df = spark.range(500).select(
+            F.col("id"), ((F.col("id") * 13) % 97).cast("bigint").alias("x")
+        ).repartition(9)
+        out = global_rank_and_prefix(
+            df, [F.col("x").asc(), F.col("id").asc()], "x",
+            rank_col="r", cum_col="cum",
+        ).collect()
+        rows = sorted(((r["x"], r["id"], r["r"], r["cum"]) for r in out))
+        want = sorted(((r["x"], r["id"]) for r in out))
+        cum = 0
+        for i, ((x, did, r, c), (wx, wid)) in enumerate(zip(rows, want), 1):
+            cum += x
+            assert (x, did) == (wx, wid)
+            assert r == i, f"rank mismatch at {i}: {r}"
+            assert c == cum, f"cum mismatch at {i}: {c} != {cum}"
