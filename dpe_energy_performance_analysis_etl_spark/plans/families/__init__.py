@@ -42,4 +42,5 @@ FAMILY_MODULES = [
     "f33_r11_wave8",
     "f34_r11_wave9",
     "f35_r11_wave10",
+    "f36_r11_wave11",
 ]

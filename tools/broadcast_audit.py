@@ -229,6 +229,8 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("plans/queries.py", "cochran_c_hartley_nations_q"): "scalar: max/argmax rows",
     ("plans/queries.py", "pareto_8020_customers_q"): "scalar: totals row",
     ("plans/queries.py", "dayk_retention_events_q"): "scalar: first-day/cohort-size rows",
+    ("plans/queries.py", "seasonal_index_monthly_q"): "scalar: grand totals row",
+    ("plans/queries.py", "top_customer_share_nations_q"): "domain: nation",
 }
 
 

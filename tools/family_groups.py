@@ -36,6 +36,7 @@ FAMILY_GROUPS: dict[str, list[str]] = {
         "pareto_front_parts",
     ],
     "aggregation": [
+        "top_customer_share_nations",
         "basket_size_histogram",
         # round-11 additions
         "cr4_brand_concentration",
@@ -124,6 +125,7 @@ FAMILY_GROUPS: dict[str, list[str]] = {
         "cdc_chunk_dedup", "bigram_containment_pairs", "setsim_prefix_pairs",
     ],
     "ann-similarity": [
+        "label_centroid_separation_embeddings",
         # round-11 additions
         "paired_cosine_embeddings",
 
@@ -208,6 +210,7 @@ FAMILY_GROUPS: dict[str, list[str]] = {
         "epoch_shard_assign", "rendezvous_shard_moves", "ring_shard_moves",
     ],
     "statistics": [
+        "split_half_reliability_nations", "daily_error_autocorr_events",
         "repeat_interval_median_days", "ship_delay_percentiles_priority",
         # round-11 additions
         "somers_d_qty_returns",
@@ -301,6 +304,7 @@ FAMILY_GROUPS: dict[str, list[str]] = {
         "ips_policy_value_events",
     ],
     "timeseries-forecast": [
+        "seasonal_index_monthly",
         # round-11 additions
         "theil_u2_monthly_revenue",
         "smape_wape_naive_monthly",
@@ -354,6 +358,7 @@ FAMILY_GROUPS: dict[str, list[str]] = {
         "join_view_delta_orders", "join_view_delta_signed_orders",
     ],
     "quality-gates": [
+        "round_number_bias_orders",
         # round-10 waves 11-12
         "p_chart_monthly_returns",
         "process_capability_quantity",

@@ -228,6 +228,13 @@ QUERIES_TO_SCALE = [
     "repeat_interval_median_days",
     "dow_revenue_mix",
     "hourly_event_profile",
+    # round-11 wave 11
+    "round_number_bias_orders",
+    "split_half_reliability_nations",
+    "seasonal_index_monthly",
+    "label_centroid_separation_embeddings",
+    "top_customer_share_nations",
+    "daily_error_autocorr_events",
 ]
 
 SF_DIRS = [

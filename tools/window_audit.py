@@ -144,6 +144,7 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("plans/queries.py", "rmst_orders_q"): "tiers: month-grain event table",
     ("plans/queries.py", "wilcoxon_signed_rank_monthly_q"): "series: month grain (ranks over <= 80 diffs)",
     ("plans/queries.py", "ma_crossover_monthly_q"): "series: month grain",
+    ("plans/queries.py", "daily_error_autocorr_events_q"): "series: calendar-day grain",
 }
 
 
