@@ -43,4 +43,5 @@ FAMILY_MODULES = [
     "f34_r11_wave9",
     "f35_r11_wave10",
     "f36_r11_wave11",
+    "f37_r11_wave12",
 ]

@@ -231,6 +231,7 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("plans/queries.py", "dayk_retention_events_q"): "scalar: first-day/cohort-size rows",
     ("plans/queries.py", "seasonal_index_monthly_q"): "scalar: grand totals row",
     ("plans/queries.py", "top_customer_share_nations_q"): "domain: nation",
+    ("plans/queries.py", "loyalty_tier_mix_q"): "scalar: grand-total row",
 }
 
 

@@ -36,6 +36,7 @@ FAMILY_GROUPS: dict[str, list[str]] = {
         "pareto_front_parts",
     ],
     "aggregation": [
+        "discount_roi_brands", "loyalty_tier_mix",
         "top_customer_share_nations",
         "basket_size_histogram",
         # round-11 additions
@@ -68,6 +69,7 @@ FAMILY_GROUPS: dict[str, list[str]] = {
         "json_extract_props", "json_struct_parse",
     ],
     "temporal": [
+        "interarrival_median_by_type",
         "hourly_event_profile", "dow_revenue_mix",
         # round-10 wave 13
         "nrr_monthly_customers",
@@ -96,6 +98,7 @@ FAMILY_GROUPS: dict[str, list[str]] = {
         "markov_next_event_hitrate", "window_funnel_events",
     ],
     "text-quality-curation": [
+        "token_length_stats_sources",
         # round-11 additions
         "dice_overlap_source_vocab",
         "hapax_ttr_sources",
@@ -113,6 +116,7 @@ FAMILY_GROUPS: dict[str, list[str]] = {
         "chunk_documents", "domain_document_stats",
     ],
     "dedup": [
+        "dup_rate_sources",
         "doc_fingerprint", "dedup_exact_groups", "ngram_jaccard_pairs",
         "ngram_jaccard_capped", "embedding_near_dup", "minhash_lsh_pairs",
         "minhash_lsh_portable_pairs", "simhash_near_dups",
@@ -304,6 +308,7 @@ FAMILY_GROUPS: dict[str, list[str]] = {
         "ips_policy_value_events",
     ],
     "timeseries-forecast": [
+        "run_rate_vs_trailing",
         "seasonal_index_monthly",
         # round-11 additions
         "theil_u2_monthly_revenue",

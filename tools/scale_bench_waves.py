@@ -235,6 +235,13 @@ QUERIES_TO_SCALE = [
     "label_centroid_separation_embeddings",
     "top_customer_share_nations",
     "daily_error_autocorr_events",
+    # round-11 wave 12
+    "discount_roi_brands",
+    "loyalty_tier_mix",
+    "dup_rate_sources",
+    "interarrival_median_by_type",
+    "run_rate_vs_trailing",
+    "token_length_stats_sources",
 ]
 
 SF_DIRS = [

@@ -145,6 +145,7 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("plans/queries.py", "wilcoxon_signed_rank_monthly_q"): "series: month grain (ranks over <= 80 diffs)",
     ("plans/queries.py", "ma_crossover_monthly_q"): "series: month grain",
     ("plans/queries.py", "daily_error_autocorr_events_q"): "series: calendar-day grain",
+    ("plans/queries.py", "run_rate_vs_trailing_q"): "series: month grain",
 }
 
 
