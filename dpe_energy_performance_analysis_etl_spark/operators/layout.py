@@ -70,17 +70,18 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 16) -> DataFrame:
         ).distinct()
         ranked = global_rank_column(tiers, [F.col("__tv").asc()], "__tr")
         m = ranked.groupBy().agg(F.max("__tr").alias("__tm"))
+        # Exact integer floor-division (`div` on bigints), never
+        # double-divide + cast("long"): Spark truncates the double
+        # quotient while DuckDB rounds, and a quotient 1 ulp above an
+        # integer boundary would shift a tier code (r11 advice).
         code = (
             ranked.crossJoin(F.broadcast(m))
             .select(
                 F.col("__tv").alias(c),
-                (
-                    (F.col("__tr") - 1)
-                    * F.lit(scale)
-                    / F.greatest(F.col("__tm") - 1, F.lit(1))
-                )
-                .cast("long")
-                .alias(rc),
+                F.expr(
+                    f"((__tr - 1) * CAST({scale} AS BIGINT))"
+                    " div greatest(__tm - 1, 1)"
+                ).alias(rc),
             )
         )
         out = out.join(code, c, "left").withColumn(

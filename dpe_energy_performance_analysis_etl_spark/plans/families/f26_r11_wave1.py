@@ -56,10 +56,12 @@ from dpe_energy_performance_analysis_etl_spark.plans._core import (  # noqa: F40
     SELECT CAST(p.c AS BIGINT) AS concordant,
            CAST(p.d AS BIGINT) AS discordant,
            CAST(t.nn AS BIGINT) AS n_rows,
-           CAST(floor(1e6 *
+           CASE WHEN CAST(t.nn AS DOUBLE) * (CAST(t.nn AS DOUBLE) - 1e0) / 2e0
+                     - CAST(t.tx AS DOUBLE) > 0e0
+                THEN CAST(floor(1e6 *
              (CAST(p.c AS DOUBLE) - CAST(p.d AS DOUBLE))
              / (CAST(t.nn AS DOUBLE) * (CAST(t.nn AS DOUBLE) - 1e0) / 2e0
-                - CAST(t.tx AS DOUBLE))) AS BIGINT) AS somers_d_ppm
+                - CAST(t.tx AS DOUBLE))) AS BIGINT) END AS somers_d_ppm
     FROM pairs p, tots t
     """,
 )
@@ -123,10 +125,12 @@ def somers_d_qty_returns_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(c AS BIGINT) AS concordant",
         "CAST(d AS BIGINT) AS discordant",
         "nn AS n_rows",
-        "CAST(floor(1e6 *"
+        "CASE WHEN CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1e0) / 2e0"
+        "          - CAST(tx AS DOUBLE) > 0e0"
+        " THEN CAST(floor(1e6 *"
         " (CAST(c AS DOUBLE) - CAST(d AS DOUBLE))"
         " / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1e0) / 2e0"
-        "    - CAST(tx AS DOUBLE))) AS BIGINT) AS somers_d_ppm",
+        "    - CAST(tx AS DOUBLE))) AS BIGINT) END AS somers_d_ppm",
     )
 
 
@@ -149,9 +153,10 @@ def somers_d_qty_returns_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(c AS BIGINT) AS concordant,
            CAST(d AS BIGINT) AS discordant,
-           CAST(floor(1e6 *
+           CASE WHEN c + d > 0
+                THEN CAST(floor(1e6 *
              (CAST(c AS DOUBLE) - CAST(d AS DOUBLE))
-             / (CAST(c AS DOUBLE) + CAST(d AS DOUBLE))) AS BIGINT)
+             / (CAST(c AS DOUBLE) + CAST(d AS DOUBLE))) AS BIGINT) END
              AS gamma_ppm
     FROM pairs
     """,
@@ -201,9 +206,10 @@ def gk_gamma_qty_priority_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr(
             "CAST(c AS BIGINT) AS concordant",
             "CAST(d AS BIGINT) AS discordant",
-            "CAST(floor(1e6 *"
+            "CASE WHEN c + d > 0"
+            " THEN CAST(floor(1e6 *"
             " (CAST(c AS DOUBLE) - CAST(d AS DOUBLE))"
-            " / (CAST(c AS DOUBLE) + CAST(d AS DOUBLE))) AS BIGINT)"
+            " / (CAST(c AS DOUBLE) + CAST(d AS DOUBLE))) AS BIGINT) END"
             " AS gamma_ppm",
         )
     )
@@ -234,8 +240,9 @@ def gk_gamma_qty_priority_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(gt AS BIGINT) AS n_greater, CAST(lt AS BIGINT) AS n_less,
            m AS n_returned, n AS n_other,
-           CAST(floor(1e6 * (CAST(gt AS DOUBLE) - CAST(lt AS DOUBLE))
-             / (CAST(m AS DOUBLE) * CAST(n AS DOUBLE))) AS BIGINT)
+           CASE WHEN m > 0 AND n > 0
+                THEN CAST(floor(1e6 * (CAST(gt AS DOUBLE) - CAST(lt AS DOUBLE))
+             / (CAST(m AS DOUBLE) * CAST(n AS DOUBLE))) AS BIGINT) END
              AS cliffs_delta_ppm
     FROM agg
     """,
@@ -286,8 +293,9 @@ def cliffs_delta_returns_qty_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(lt AS BIGINT) AS n_less",
         "m AS n_returned",
         "n AS n_other",
-        "CAST(floor(1e6 * (CAST(gt AS DOUBLE) - CAST(lt AS DOUBLE))"
-        " / (CAST(m AS DOUBLE) * CAST(n AS DOUBLE))) AS BIGINT)"
+        "CASE WHEN m > 0 AND n > 0"
+        " THEN CAST(floor(1e6 * (CAST(gt AS DOUBLE) - CAST(lt AS DOUBLE))"
+        " / (CAST(m AS DOUBLE) * CAST(n AS DOUBLE))) AS BIGINT) END"
         " AS cliffs_delta_ppm",
     )
 
@@ -318,14 +326,15 @@ def cliffs_delta_returns_qty_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM sums
     )
     SELECT n AS n_items, m AS n_judges,
-           CAST(floor(1e6 *
+           CASE WHEN n > 1 AND m > 0
+                THEN CAST(floor(1e6 *
              (12e0 * CAST(s2 AS DOUBLE)
               - 3e0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)
                 * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1e0)
                 * (CAST(n AS DOUBLE) + 1e0))
              / (CAST(m AS DOUBLE) * CAST(m AS DOUBLE)
                 * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
-                   - CAST(n AS DOUBLE)))) AS BIGINT) AS w_ppm
+                   - CAST(n AS DOUBLE)))) AS BIGINT) END AS w_ppm
     FROM agg
     """,
 )
@@ -374,14 +383,15 @@ def kendalls_w_nation_priority_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.selectExpr(
         "n AS n_items",
         "m AS n_judges",
-        "CAST(floor(1e6 *"
+        "CASE WHEN n > 1 AND m > 0"
+        " THEN CAST(floor(1e6 *"
         " (12e0 * CAST(s2 AS DOUBLE)"
         "  - 3e0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)"
         "    * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1e0)"
         "    * (CAST(n AS DOUBLE) + 1e0))"
         " / (CAST(m AS DOUBLE) * CAST(m AS DOUBLE)"
         "    * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)"
-        "       - CAST(n AS DOUBLE)))) AS BIGINT) AS w_ppm",
+        "       - CAST(n AS DOUBLE)))) AS BIGINT) END AS w_ppm",
     )
 
 
@@ -409,7 +419,14 @@ def kendalls_w_nation_priority_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM grp
     )
     SELECT CAST(n1 AS BIGINT) AS n_returned, CAST(n2 AS BIGINT) AS n_other,
-           CAST(floor(1000e0 *
+           CASE WHEN n1 > 1 AND n2 > 1 AND
+               ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                   / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1e0))
+                 / CAST(n1 AS DOUBLE)
+               + ((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+                   / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1e0))
+                 / CAST(n2 AS DOUBLE) > 0e0
+           THEN CAST(floor(1000e0 *
              (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
               - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
              / sqrt(
@@ -418,7 +435,7 @@ def kendalls_w_nation_priority_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / CAST(n1 AS DOUBLE)
                + ((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
                    / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1e0))
-                 / CAST(n2 AS DOUBLE))) AS BIGINT) AS t_milli
+                 / CAST(n2 AS DOUBLE))) AS BIGINT) END AS t_milli
     FROM wide
     """,
 )
@@ -455,7 +472,14 @@ def welch_t_returns_value_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.selectExpr(
         "CAST(n1 AS BIGINT) AS n_returned",
         "CAST(n2 AS BIGINT) AS n_other",
-        "CAST(floor(1000e0 *"
+        "CASE WHEN n1 > 1 AND n2 > 1 AND"
+        "   ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)"
+        "       / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1e0))"
+        "     / CAST(n1 AS DOUBLE)"
+        "   + ((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)"
+        "       / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1e0))"
+        "     / CAST(n2 AS DOUBLE) > 0e0"
+        " THEN CAST(floor(1000e0 *"
         " (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
         "  - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))"
         " / sqrt("
@@ -464,7 +488,7 @@ def welch_t_returns_value_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "     / CAST(n1 AS DOUBLE)"
         "   + ((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)"
         "       / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1e0))"
-        "     / CAST(n2 AS DOUBLE))) AS BIGINT) AS t_milli",
+        "     / CAST(n2 AS DOUBLE))) AS BIGINT) END AS t_milli",
     )
 
 
@@ -492,7 +516,12 @@ def welch_t_returns_value_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM grp
     )
     SELECT CAST(n1 AS BIGINT) AS n_urgent, CAST(n2 AS BIGINT) AS n_other,
-           CAST(floor(1e6 *
+           CASE WHEN n1 + n2 > 2 AND
+               (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                  / CAST(n1 AS DOUBLE))
+               + (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+                  / CAST(n2 AS DOUBLE)) > 0e0
+           THEN CAST(floor(1e6 *
              (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
               - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
              / sqrt(
@@ -501,7 +530,7 @@ def welch_t_returns_value_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
                    / CAST(n2 AS DOUBLE)))
                / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2e0)))
-             AS BIGINT) AS cohens_d_ppm
+             AS BIGINT) END AS cohens_d_ppm
     FROM wide
     """,
 )
@@ -537,7 +566,12 @@ def cohens_d_urgent_value_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.selectExpr(
         "CAST(n1 AS BIGINT) AS n_urgent",
         "CAST(n2 AS BIGINT) AS n_other",
-        "CAST(floor(1e6 *"
+        "CASE WHEN n1 + n2 > 2 AND"
+        "   (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)"
+        "      / CAST(n1 AS DOUBLE))"
+        "   + (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)"
+        "      / CAST(n2 AS DOUBLE)) > 0e0"
+        " THEN CAST(floor(1e6 *"
         " (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
         "  - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))"
         " / sqrt("
@@ -546,5 +580,5 @@ def cohens_d_urgent_value_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "    + (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)"
         "       / CAST(n2 AS DOUBLE)))"
         "   / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2e0)))"
-        " AS BIGINT) AS cohens_d_ppm",
+        " AS BIGINT) END AS cohens_d_ppm",
     )
