@@ -1759,6 +1759,10 @@ def dtw_user_value_series_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda s: s["v"],
             ).alias("s")
         )
+        .cache()  # bounded (one <=12-element row per user) and
+        # consumed by BOTH sides of the self-join — uncached, the
+        # per-user window + collect re-runs per side (the shuffle is
+        # exchange-reused but the post-shuffle work is not)
     )
     a = series.select(F.col("u").alias("user_a"), F.col("s").alias("a"))
     b = series.select(F.col("u").alias("user_b"), F.col("s").alias("b"))

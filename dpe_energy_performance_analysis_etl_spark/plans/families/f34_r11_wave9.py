@@ -293,15 +293,21 @@ def dayk_retention_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     day-0 users active again on day k, k = 0..7. Exact distinct
     (user, day) counts; one floored ppm per row."""
     ev = read_events(spark, sf_dir)
-    days = ev.select(
-        F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
-    ).distinct()
+    days = (
+        ev.select(F.date_trunc("day", F.col("ts")).alias("day"), "user_id")
+        .distinct()
+        .cache()  # bounded (users x days << events) and consumed by
+        # THREE branches (d0 min, cohort filter, activity join) — the
+        # distinct's post-shuffle dedup agg would re-run per branch
+    )
     d0 = days.agg(F.min("day").alias("d0"))
     cohort = (
         days.crossJoin(F.broadcast(d0))
         .where(F.col("day") == F.col("d0"))
         .select("user_id")
         .distinct()
+        .cache()  # bounded (day-0 users), consumed by the activity
+        # join AND the cohort-size aggregate
     )
     activity = (
         days.join(cohort, "user_id")
