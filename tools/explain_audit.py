@@ -195,6 +195,36 @@ EXPECTED_MULTISTAGE = {
 WINDOW_CHILD_BOUND = 10_000
 WINDOW_BOUND_EXEMPT: dict[str, str] = {}
 
+# The exchange budget a query's STATIC plan must stay under unless it
+# carries an EXPECTED_MULTISTAGE justification.
+EXCHANGE_BUDGET = 8
+
+
+def stale_missing_entries(expected=None, registry=None):
+    """EXPECTED_MULTISTAGE keys naming queries that no longer exist in
+    the registry — a rotted exemption (r11 verdict ask #4: the map must
+    stay an inventory, not a graveyard). Cheap: no SparkSession."""
+    if expected is None:
+        expected = EXPECTED_MULTISTAGE
+    if registry is None:
+        sys.path.insert(0, "/root/repo")
+        from dpe_energy_performance_analysis_etl_spark.plans import QUERIES
+
+        registry = QUERIES
+    return sorted(k for k in expected if k not in registry)
+
+
+def stale_under_budget(counts, expected=None, budget=EXCHANGE_BUDGET):
+    """EXPECTED_MULTISTAGE keys whose measured static exchange count
+    dropped to or below the budget — the exemption no longer fires and
+    must be pruned. ``counts`` maps query name -> static exchange
+    count (only audited queries are judged)."""
+    if expected is None:
+        expected = EXPECTED_MULTISTAGE
+    return sorted(
+        k for k, n in counts.items() if k in expected and n <= budget
+    )
+
 
 def unpartitioned_window_children(df):
     """(child_jplan, pretty_name) per global-window node in the
@@ -233,10 +263,16 @@ def main() -> int:
     argv = [a for a in sys.argv[2:] if a != "--no-window-audit"]
     window_audit = "--no-window-audit" not in sys.argv
     only = set(argv)
+    stale_missing = stale_missing_entries(registry=QUERIES)
+    if stale_missing:
+        print(f"STALE EXPECTED_MULTISTAGE entries (query gone): {stale_missing}")
+        return 1
+
     spark = get_spark("explain_audit")
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
 
     suspicious = []
+    exchange_counts = {}
     for name, fn in QUERIES.items():
         if only and name not in only:
             continue
@@ -258,6 +294,7 @@ def main() -> int:
         # don't count against the shuffle budget.
         n_roundrobin = len(re.findall(r"RoundRobinPartitioning", plan))
         n_exchange = n_exchange_all - n_roundrobin
+        exchange_counts[name] = n_exchange
         # formatted mode annotates operators with "[codegen id : N]"
         n_codegen = len(set(re.findall(r"\[codegen id : (\d+)\]", plan)))
         flags = []
@@ -289,9 +326,16 @@ def main() -> int:
             f"{name:30s} joins={len(joins):2d} exchanges={n_exchange:2d} "
             f"codegen_spans={n_codegen:2d} {' '.join(flags)}"
         )
+    stale_under = stale_under_budget(exchange_counts)
     print(f"\nsuspicious: {suspicious if suspicious else 'none'}")
+    if stale_under:
+        print(
+            "STALE EXPECTED_MULTISTAGE entries (static plan now within "
+            f"the {EXCHANGE_BUDGET}-exchange budget; prune them): "
+            f"{stale_under}"
+        )
     spark.stop()
-    return 0
+    return 1 if stale_under else 0
 
 
 if __name__ == "__main__":
