@@ -186,70 +186,66 @@ from dpe_energy_performance_analysis_etl_spark.plans import QUERIES, ORACLE_SQL 
 #     (2), language-model (2), timeseries (2), sequence analytics
 #     (2), ML (1), privacy (1).
 _FRONT_50 = [
-    # Round-11 rotation (VERDICT r10 ask #3, drawn MECHANICALLY from
-    # tools/driver_ledger.py): all fifty r10 slots recorded green in
-    # CORRECTNESS_r10.json, so the whole window rotates once more to
-    # never-recorded, oracle-backed families (130 never-recorded
-    # after r10, of which 120 carry oracles; 80 total remain after
-    # this window records). These 50 are exactly the OLDEST of the
-    # oracle-backed backlog in registry order — the r6-r8
-    # graph/sketch/sequence block the verdict names plus the front of
-    # the r9 statistical wave. Per ask #7, the window-class rewrites
-    # landed FIRST: vocab_coverage_curve (global_rank_column recipe)
-    # and zorder_locality_customers record their rewritten plans, not
-    # ones about to be replaced. All 50 were green in this round's
-    # full oracle gate before rotation, and all carry scalar-only
-    # output schemas (test_front50_contract.py).
-    "sorted_neighborhood_matches",
-    "theil_sen_spend_trend",
-    "fano_event_bursts",
-    "event_trigram_probs",
-    "url_path_rollup_docs",
-    "category_drift_halves",
-    "stupid_backoff_docs",
-    "vocab_coverage_curve",
-    "unimax_lang_budget",
-    "principal_direction_power",
-    "logrank_orders",
-    "did_priority_revenue",
-    "seasonal_decompose_revenue",
-    "markov_next_event_hitrate",
-    "ips_policy_value_events",
-    "xyz_volatility_brands",
-    "rolling_corr_revenue_qty",
-    "seasonal_outliers_revenue",
-    "croston_intermittent_parts",
-    "cumulative_gains_priority",
-    "zorder_locality_customers",
-    "topk_with_ties_quantity",
-    "ks_test_status_priority",
-    "mode_priority_by_status",
-    "ohlc_monthly_orders",
-    "cumulative_adopters_by_type",
-    "good_turing_docs",
-    "key_discovery_customer",
-    "max_spend_drawdown_customers",
-    "view_purchase_within_hour",
-    "soundex_blocking_parts",
-    "kruskal_wallis_status_priority",
-    "l_moments_price_flag",
-    "time_to_convert_median",
-    "lis_order_values_customers",
-    "quadratic_trend_nations",
-    "wilson_return_rate_brands",
-    "diameter_two_sweep_parts",
-    "cuped_adjusted_lift_events",
-    "asof_nearest_error_click",
-    "jonckheere_u_status_priority",
-    "spearman_qty_price_brands",
-    "rsi_monthly_revenue",
-    "copeland_brand_duels",
-    "gini_stump_qty_returns",
-    "mcnemar_repeat_purchase",
-    "hl_pseudomedian_revenue",
-    "cvm_urgency_status",
-    "morans_i_balance_grid",
-    "friedman_nation_priority",
+    # Round-12 rotation (VERDICT r11 ask #1, drawn MECHANICALLY from
+    # tools/driver_ledger.py): all fifty r11 slots recorded green in
+    # CORRECTNESS_r11.json, so the window rotates again to the 50
+    # OLDEST never-recorded oracle-backed families in registry order
+    # (152 never-recorded after r11, of which 142 carry oracles; 92
+    # remain after this window records — under the <125 target, and
+    # round-12 caps new-family additions below the recording rate so
+    # the backlog keeps shrinking). All 50 were green in the r11 full
+    # oracle gate and carry scalar-only output schemas
+    # (test_front50_contract.py).
+    "matrix_profile_discord_revenue",
+    "mantel_haenszel_qty_returns",
+    "cochran_q_event_types",
+    "peaks_monthly_revenue",
+    "kmv_source_overlap",
+    "mood_dispersion_urgency",
+    "ljung_box_revenue",
+    "bowker_symmetry_events",
+    "rich_club_parts",
+    "runs_test_revenue_deltas",
+    "turning_points_revenue",
+    "grubbs_outlier_month",
+    "chao1_vocab_richness",
+    "rescaled_range_revenue",
+    "neyman_allocation_nations",
+    "required_sample_size_brands",
+    "kendall_tau_qty_price_brands",
+    "semantic_decontaminate_embeddings",
+    "yules_k_sources",
+    "ess_length_weights_sources",
+    "life_table_orders",
+    "partial_corr_rev_qty_disc",
+    "lead_lag_ccf_rev_qty",
+    "moods_median_status",
+    "dp_geometric_counts_nations",
+    "randomized_response_returns",
+    "kmeans_validity_embeddings",
+    "haar_energy_revenue",
+    "durbin_watson_revenue",
+    "youden_j_threshold",
+    "fleiss_kappa_orders",
+    "anderson_darling_status",
+    "variance_ratio_revenue",
+    "page_trend_nations",
+    "quade_test_nations",
+    "jm_query_likelihood_docs",
+    "chow_break_revenue",
+    "hl_shift_monthly",
+    "kpss_level_revenue",
+    "average_precision_priority",
+    "cucconi_status",
+    "krippendorff_alpha_orders",
+    "edge_embeddedness_parts",
+    "cochran_armitage_priority_returns",
+    "getis_ord_hotspots_grid",
+    "jarque_bera_order_values",
+    "dominant_period_revenue",
+    "engle_granger_rev_qty",
+    "arc_elasticity_brands",
+    "tokenizer_fertility_sources",
 ]
 
 
