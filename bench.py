@@ -23,6 +23,17 @@ recorded BENCH_r*.json stays parseable; the full-fidelity record
 (3-dec timings, per-query drift evidence) lands in the
 ``bench_full_last.json`` sidecar beside this file.
 
+Headliner policy (round-12, VERDICT r11 ask #7): the sweep is a
+REGRESSION harness, not a coverage ledger — correctness coverage
+lives in the 488-query oracle gate. The list is CAPPED at 56 names
+(pinned by tests/test_bench_harness.py): a new round may add a
+headliner only for a genuinely new data-sized plan shape, and past
+the cap it must REPLACE the least-informative existing representative
+of the same class (e.g. a second rank-recipe query yields its slot to
+the new one). 54 names measure ~1,620-1,820 stdout chars; the cap
+keeps worst-case drift+failure records under the ~1,900-char capture
+window without invoking the shedding fallback.
+
 Drift auto-flag (round-7 verdict ask #3): manual adjudication of
 cross-round movement was the bench's weakest step once records
 straddled a 0.268→0.429 calib gap. After the timed sweep, every query

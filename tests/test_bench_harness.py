@@ -192,6 +192,22 @@ class TestCompactRecord:
         assert out["q_omitted"] == 120 - len(out["queries"])
         assert len(out["queries"]) >= 1
 
+    def test_headliner_cap_policy(self):
+        """Round-12 policy (VERDICT r11 ask #7): the headliner list is
+        capped at 56 — a regression harness, not a coverage ledger.
+        Past the cap, a new shape must REPLACE an existing
+        representative (see bench.py docstring), so the worst-case
+        drift+failure record never needs the shedding fallback."""
+        assert len(bench.HEADLINE) <= 56, (
+            f"{len(bench.HEADLINE)} headliners — replace a same-class "
+            "representative instead of appending (bench.py policy)"
+        )
+        # worst-case record AT the cap still fits without shedding
+        rec = self._record(n_queries=56, n_drift=56, n_failed=20, reproduced=56)
+        out = bench._compact_record(rec)
+        assert len(json.dumps(out, separators=(",", ":"))) <= 1900
+        assert "q_omitted" not in out
+
     def test_drift_collapses_to_verdict_summary(self):
         out = bench._compact_record(self._record(n_drift=5, reproduced=2))
         assert out["drift"]["noise_n"] == 3
