@@ -578,6 +578,83 @@ def grouped_kth_smallest(
     return out
 
 
+def grouped_kths_smallest(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    ks: dict[str, str],
+) -> DataFrame:
+    """SEVERAL exact order statistics per group from ONE pinned
+    ranged subtree — the multi-k sibling of ``grouped_kth_smallest``
+    for queries that want e.g. P50 AND P90 (ship-delay SLA, repeat-
+    purchase cadence) or a median plus its CI rank bounds. Calling
+    the single-k recipe once per percentile rebuilds (and re-pins)
+    the data-sized ``repartitionByRange`` per call; here the ranged
+    table, the sizes/offsets pass, and the rank join all run once,
+    and only the bounded k-table grows (|groups| x |ks| rows).
+
+    ``ks`` maps output column name -> SQL expression over the BIGINT
+    group size ``n`` (the ``k_of_n`` contract). Returns one row per
+    group: (group, n, <name> ...), each <name> NULL when its k is
+    out of [1, n].
+    """
+    order = [F.col(group_col).asc(), F.col(value_col).asc()]
+    ranged = (
+        df.select(group_col, value_col)
+        .repartitionByRange(*order)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    ranged = _pin(ranged)
+    sizes = _pin(
+        ranged.groupBy("_pid", group_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    totals = sizes.groupBy(group_col).agg(
+        F.sum("_cnt").cast("bigint").alias("n")
+    )
+    # one (group, name, k) row per requested order statistic —
+    # explode(array(...)) over the bounded totals table, never a
+    # unionAll-of-selects re-running the subtree per k
+    k_long = totals.select(
+        group_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("_kname"),
+                        F.expr(expr).cast("bigint").alias("k"),
+                    )
+                    for name, expr in ks.items()
+                ]
+            )
+        ).alias("_ks"),
+    ).select(group_col, F.col("_ks._kname").alias("_kname"), F.col("_ks.k").alias("k"))
+    w_off = (
+        Window.partitionBy(group_col)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = sizes.select(
+        "_pid",
+        group_col,
+        F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).cast("bigint").alias("_off"),
+    )
+    w_loc = Window.partitionBy("_pid", group_col).orderBy(F.col(value_col).asc())
+    local = ranged.withColumn("_lrn", F.row_number().over(w_loc).cast("bigint"))
+    ranked = local.join(F.broadcast(offs), ["_pid", group_col]).withColumn(
+        "_rk", F.col("_off") + F.col("_lrn")
+    )
+    picks = (
+        ranked.join(F.broadcast(k_long), group_col)
+        .where(F.col("_rk") == F.col("k"))
+        .groupBy(group_col)
+        .pivot("_kname", list(ks))
+        .agg(F.first(value_col))
+    )
+    return totals.join(picks, group_col, "left").select(
+        group_col, "n", *ks
+    )
+
+
 def quantile_normalize(
     df: DataFrame,
     group_col: str,

@@ -95,7 +95,7 @@ def somers_d_qty_returns_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("x").alias("x2"), F.col("y").alias("y2"), F.col("n").alias("n2")
     )
     pairs = (
-        a.join(b, F.col("x2") > F.col("x1"))
+        a.join(F.broadcast(b), F.col("x2") > F.col("x1"))
         .agg(
             F.sum(
                 F.when(
@@ -188,7 +188,7 @@ def gk_gamma_qty_priority_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("x").alias("x2"), F.col("y").alias("y2"), F.col("n").alias("n2")
     )
     return (
-        a.join(b, F.col("x2") > F.col("x1"))
+        a.join(F.broadcast(b), F.col("x2") > F.col("x1"))
         .agg(
             F.sum(
                 F.when(

@@ -201,7 +201,7 @@ def kendall_tau_c_qty_priority_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = cells.select(
         F.col("x").alias("x2"), F.col("y").alias("y2"), F.col("n").alias("n2")
     )
-    pairs = a.join(b, F.col("x2") > F.col("x1")).agg(
+    pairs = a.join(F.broadcast(b), F.col("x2") > F.col("x1")).agg(
         F.sum(
             F.when(
                 F.col("y2") > F.col("y1"),
@@ -610,7 +610,7 @@ def median_ci_status_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines. The two-pass recipe never sorts a data-sized group
     on one executor."""
     from dpe_energy_performance_analysis_etl_spark.operators.quantiles import (
-        grouped_kth_smallest,
+        grouped_kths_smallest,
     )
 
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
@@ -618,26 +618,21 @@ def median_ci_status_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus AS g",
         "CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT) AS x",
     )
-    lo = grouped_kth_smallest(
-        vals,
-        "g",
-        "x",
-        k_of_n="greatest(1, CAST(floor((CAST(n AS DOUBLE)"
-        " - 1.96e0 * sqrt(CAST(n AS DOUBLE))) / 2e0) AS BIGINT))",
-    ).selectExpr("g", "n", "kth_value AS ci_lo_cents")
-    med = grouped_kth_smallest(
-        vals, "g", "x", k_of_n="(n + 1) div 2"
-    ).selectExpr("g", "kth_value AS median_cents")
-    hi = grouped_kth_smallest(
-        vals,
-        "g",
-        "x",
-        k_of_n="n + 1 - greatest(1, CAST(floor((CAST(n AS DOUBLE)"
-        " - 1.96e0 * sqrt(CAST(n AS DOUBLE))) / 2e0) AS BIGINT))",
-    ).selectExpr("g", "kth_value AS ci_hi_cents")
+    k_lo = (
+        "greatest(1, CAST(floor((CAST(n AS DOUBLE)"
+        " - 1.96e0 * sqrt(CAST(n AS DOUBLE))) / 2e0) AS BIGINT))"
+    )
     return (
-        lo.join(med, "g")
-        .join(hi, "g")
+        grouped_kths_smallest(
+            vals,
+            "g",
+            "x",
+            {
+                "ci_lo_cents": k_lo,
+                "median_cents": "(n + 1) div 2",
+                "ci_hi_cents": f"n + 1 - {k_lo}",
+            },
+        )
         .selectExpr(
             "g AS status",
             "CAST(n AS BIGINT) AS n",

@@ -176,11 +176,13 @@ def ship_delay_percentiles_priority_q(
     per order priority — the SLA check a fulfillment dashboard runs
     (do urgent orders actually ship faster, and how bad is the
     tail?). Both percentiles are rank picks via
-    ``grouped_kth_smallest``'s two-pass recipe (order statistics,
-    engine-exact; no per-group data-sized sort window); day
-    differences are exact integers on DATE-cast timestamps."""
+    ``grouped_kths_smallest``'s multi-k two-pass recipe (order
+    statistics, engine-exact; ONE pinned ranged subtree feeds both
+    picks — the single-k recipe rebuilt the corpus join per
+    percentile); day differences are exact integers on DATE-cast
+    timestamps."""
     from dpe_energy_performance_analysis_etl_spark.operators.quantiles import (
-        grouped_kth_smallest,
+        grouped_kths_smallest,
     )
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -190,14 +192,16 @@ def ship_delay_percentiles_priority_q(
         "CAST(datediff(CAST(l_shipdate AS DATE), CAST(o_orderdate AS DATE))"
         " AS BIGINT) AS d",
     )
-    p50 = grouped_kth_smallest(
-        delays, "g", "d", k_of_n="(n + 1) div 2"
-    ).selectExpr("g", "n", "kth_value AS p50_days")
-    p90 = grouped_kth_smallest(
-        delays, "g", "d", k_of_n="(n * 9 + 9) div 10"
-    ).selectExpr("g", "kth_value AS p90_days")
     return (
-        p50.join(p90, "g")
+        grouped_kths_smallest(
+            delays,
+            "g",
+            "d",
+            {
+                "p50_days": "(n + 1) div 2",
+                "p90_days": "(n * 9 + 9) div 10",
+            },
+        )
         .selectExpr(
             "g AS priority",
             "CAST(n AS BIGINT) AS n_lines",
@@ -238,11 +242,12 @@ def repeat_interval_median_days_q(spark: SparkSession, sf_dir: str) -> DataFrame
     on; ``time_to_convert_median`` reads the event funnel — this
     reads the order ledger). Per-customer gaps come from a
     hash-partitioned lag window; the GLOBAL median/P90 are rank picks
-    through the two-pass recipe on a constant group key (range
-    partitioning on (group, value) still spreads one group across
-    partitions — no single-executor sort)."""
+    through the multi-k two-pass recipe on a constant group key
+    (range partitioning on (group, value) still spreads one group
+    across partitions — no single-executor sort; one pinned ranged
+    subtree feeds both picks)."""
     from dpe_energy_performance_analysis_etl_spark.operators.quantiles import (
-        grouped_kth_smallest,
+        grouped_kths_smallest,
     )
 
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
@@ -256,13 +261,15 @@ def repeat_interval_median_days_q(spark: SparkSession, sf_dir: str) -> DataFrame
         .alias("gap_days")
     ).where(F.col("gap_days").isNotNull())
     tagged = gaps.withColumn("g", F.lit("all"))
-    p50 = grouped_kth_smallest(
-        tagged, "g", "gap_days", k_of_n="(n + 1) div 2"
-    ).selectExpr("n", "kth_value AS median_gap_days")
-    p90 = grouped_kth_smallest(
-        tagged, "g", "gap_days", k_of_n="(n * 9 + 9) div 10"
-    ).selectExpr("kth_value AS p90_gap_days")
-    return p50.crossJoin(p90).selectExpr(
+    return grouped_kths_smallest(
+        tagged,
+        "g",
+        "gap_days",
+        {
+            "median_gap_days": "(n + 1) div 2",
+            "p90_gap_days": "(n * 9 + 9) div 10",
+        },
+    ).selectExpr(
         "CAST(n AS BIGINT) AS n_intervals",
         "CAST(median_gap_days AS BIGINT) AS median_gap_days",
         "CAST(p90_gap_days AS BIGINT) AS p90_gap_days",

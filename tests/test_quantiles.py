@@ -290,3 +290,52 @@ class TestR11ScaleSafePrimitives:
             assert (x, did) == (wx, wid)
             assert r == i, f"rank mismatch at {i}: {r}"
             assert c == cum, f"cum mismatch at {i}: {c} != {cum}"
+
+
+class TestGroupedKthsSmallest:
+    def test_multi_k_matches_single_k_recipe(self, spark):
+        """r12 (VERDICT r11 plan-audit follow-up): several order
+        statistics from ONE pinned ranged subtree must agree with the
+        single-k recipe run once per k."""
+        import random
+
+        from dpe_energy_performance_analysis_etl_spark.operators.quantiles import (
+            grouped_kth_smallest,
+            grouped_kths_smallest,
+        )
+
+        rng = random.Random(12)
+        rows = [(g, rng.randint(0, 99)) for g in ("a", "b", "c") for _ in range(150)]
+        rows += [("d", 5)]  # singleton: median defined, p90 k=1 too
+        df = spark.createDataFrame(rows, "g string, v long")
+        ks = {
+            "p50": "(n + 1) div 2",
+            "p90": "(n * 9 + 9) div 10",
+            "minv": "1",
+        }
+        got = {
+            r["g"]: (r["n"], r["p50"], r["p90"], r["minv"])
+            for r in grouped_kths_smallest(df, "g", "v", ks).collect()
+        }
+        for name, expr in ks.items():
+            single = {
+                r["g"]: (r["n"], r["kth_value"])
+                for r in grouped_kth_smallest(df, "g", "v", k_of_n=expr).collect()
+            }
+            idx = list(ks).index(name) + 1
+            for g, (n, kv) in single.items():
+                assert got[g][0] == n
+                assert got[g][idx] == kv, (name, g)
+
+    def test_out_of_range_k_is_null_row_kept(self, spark):
+        from dpe_energy_performance_analysis_etl_spark.operators.quantiles import (
+            grouped_kths_smallest,
+        )
+
+        df = spark.createDataFrame([("a", 1), ("a", 2)], "g string, v long")
+        rows = grouped_kths_smallest(
+            df, "g", "v", {"ok": "n", "too_big": "n + 5", "zero": "0"}
+        ).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r["n"], r["ok"], r["too_big"], r["zero"]) == (2, 2, None, None)

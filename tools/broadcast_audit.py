@@ -81,6 +81,7 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("operators/relational.py", "abc_classification"): "scalar: grand-total row",
     ("operators/layout.py", "zorder_key"): "scalar: tier-count row",
     ("operators/quantiles.py", "grouped_kth_smallest"): "partitions/domain: offsets + per-group k",
+    ("operators/quantiles.py", "grouped_kths_smallest"): "partitions/domain: offsets + per-(group, k-name) table",
     ("operators/quantiles.py", "quantile_normalize"): "partitions: offsets",
     ("operators/quantiles.py", "grouped_running_totals"): "partitions: offsets",
     ("operators/quantiles.py", "grouped_weighted_median"): "domain: per-group totals",
@@ -207,8 +208,10 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("plans/queries.py", "anova_f_revenue_nations_q"): "domain: nation",
     ("plans/queries.py", "brown_forsythe_status_q"): "domain: per-group totals/medians",
     # --- round-11 additions ---
-    ("plans/queries.py", "somers_d_qty_returns_q"): "scalar: tie/total rows",
+    ("plans/queries.py", "somers_d_qty_returns_q"): "scalar: tie/total rows + domain: <=100-cell pair side",
     ("plans/queries.py", "cliffs_delta_returns_qty_q"): "scalar: group-total row",
+    ("plans/queries.py", "gk_gamma_qty_priority_q"): "domain: <=250-cell pair side (50 qty x 5 priority)",
+    ("plans/queries.py", "repeat_interval_median_days_q"): "scalar: p90 rank-pick row",
     ("plans/queries.py", "kendalls_w_nation_priority_q"): "domain/scalar: nation dim + judge-count row",
     ("plans/queries.py", "tv_distance_nation_halves_q"): "scalar: totals row",
     ("plans/queries.py", "chisq_homogeneity_priority_halves_q"): "scalar: totals row",
@@ -224,7 +227,7 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("plans/queries.py", "bigram_novelty_halves_q"): "scalar: midpoint/early-count rows",
     ("plans/queries.py", "user_churn_daily_q"): "scalar: max-day row",
     ("plans/queries.py", "brand_hhi_by_nation_q"): "domain: nation",
-    ("plans/queries.py", "kendall_tau_c_qty_priority_q"): "scalar: totals row",
+    ("plans/queries.py", "kendall_tau_c_qty_priority_q"): "scalar: totals row + domain: <=250-cell pair side",
     ("plans/queries.py", "assoc_suite_status_priority_q"): "domain/scalar: cell margins + totals",
     ("plans/queries.py", "cochran_c_hartley_nations_q"): "scalar: max/argmax rows",
     ("plans/queries.py", "pareto_8020_customers_q"): "scalar: totals row",

@@ -66,7 +66,6 @@ EXPECTED_MULTISTAGE = {
     # static print re-expands the distinct+threshold recipe per
     # consumer. Runtime 7 exchanges / 10.2 s at sf0.1 (the data-sized
     # cost is the one token-distinct pass at sketch build).
-    "kmv_source_overlap": "pinned sketch + estimate tables feed all pair algebra; 7 exchanges at runtime",
     # round-9 wave 16: the canonical support-2 edge table and the
     # degree table are both pinned (edge self-join runs once); the
     # static print re-expands the co-occurrence join per consumer.
@@ -84,7 +83,6 @@ EXPECTED_MULTISTAGE = {
     "markov_next_event_hitrate": "per-user window subtree feeds train agg + test scorer; two passes over one user-keyed shuffle",
     "ips_policy_value_events": "flagged base feeds train aggregate + eval scorer; ctx/policy derive from the BOUNDED ctx_act table (broadcasts)",
     "rfm_segments_customers": "three independent exact-rank passes (recency/frequency/monetary) over the pinned per-customer table - inherent",
-    "seasonal_outliers_revenue": "decompose tiers + interior table + devs all pinned (eager localCheckpoint); one orders scan at runtime",
     "weighted_median_price_brand": "value-aggregated table pinned; one lineitem-part pass at runtime",
     "cumulative_gains_priority": "ranged intermediate pinned; remaining windows run over the 10-row bucket table",
     "dau_mau_stickiness_events": "(user, day) dedup cached (deterministic - cache is perf-only here); boundary windows over bounded tables",
@@ -107,18 +105,15 @@ EXPECTED_MULTISTAGE = {
     "robust_outliers_mad": "cached med/mad per-group tables feed dev + flag + output branches (10 cache reads; 3 scans by design — exact medians)",
     "setsim_prefix_pairs": "cached shingle-set table feeds both posting derivations + both verify sides (explodes re-run from memory, not from the corpus scan)",
     "pq_adc_seeded_topk": "cached seeded codebook feeds encode + query-LUT branches (2 cache reads)",
-    "kcore_membership": "iterative peel: per-round cached edge table, final action reads ONLY the last cache (print re-expands all rounds; warm runtime 6.4 s engine-session)",
     "source_overlap_matrix": "cached (source, gram) distinct feeds sizes + both join sides (4 cache reads at runtime)",
     "distinctive_terms_source": "cached tf table feeds group totals, term totals, vocab scalars, output (4 cache reads at runtime)",
     # round 4
     "ivfpq_topk_embeddings": "cached residual/codebook tables feed coarse-assign + encode + LUT + refine branches; static print re-expands the composition (pq_adc pattern, one level deeper)",
     "substring_dup_stats": "cached position-gram table feeds df-agg + cover join; the 9th exchange is the separate per-doc size scan (a fresh parquet read, not a cached-subtree re-run)",
     "substring_dedup_clean": "same cached gram table; extra exchange is the token re-read for reconstruction",
-    "label_propagation_communities": "iterative: per-round cached label tables, final action reads ONLY the last cache (the kcore pattern — static print re-expands all rounds)",
     # round 6 triage of waves 8-15 (runtime executedPlan measured at
     # sf0.01: exchanges merge via per-round localCheckpoint/cache —
     # cachereads/reused counts recorded per query)
-    "vocab_id_assignment": "static 10, runtime 6 — under budget once AQE merges the shared tf subtree",
     # round-10: bounded-table algebra downstream of eagerly-pinned
     # leaves — the static print re-expands what the runtime reads
     # from localCheckpoint/cache; every exchange past the first
@@ -144,7 +139,6 @@ EXPECTED_MULTISTAGE = {
     "category_drift_halves": "cached per-half distribution tables feed both drift-term branches; 12 cache reads",
     "stupid_backoff_docs": "cached n-gram count tables (uni/bi/tri) feed backoff joins; 3 reused exchanges",
     "vocab_coverage_curve": "static 10, runtime 8 — rank table feeds cumulative + total branches",
-    "equi_depth_bins_price": "cached range-partitioned table feeds the size pass + the ranked pass (the two-pass exact-rank minimum); static print re-expands the cache",
     # round-6 wave 3/4 (runtime cache reads measured at sf0.01)
     "cohens_kappa_raters": "cached cell table feeds marginals x2 + agree/total branches (9 cache reads)",
     "kneser_ney_bigrams": "cached c12 table feeds context/fan-out/type-count aggs + output join (12 cache reads)",
@@ -161,26 +155,37 @@ EXPECTED_MULTISTAGE = {
     "apriori_triples_brands": "cached b/occ/pr/f2/t3 re-expand per Apriori level in the static print (the gsp_event_sequences shape, unordered); 665 cache reads at runtime, 9.4 s sf0.01 incl. the floor_sup scalar action",
     # round-11 waves
     "somers_d_qty_returns": "cached 100-cell table feeds both pair-join sides + row totals + grand total; static print re-expands the cache per consumer",
-    "gk_gamma_qty_priority": "cached 250-cell table feeds both pair-join sides (same shape as somers)",
     "kendall_tau_c_qty_priority": "cached 250-cell table feeds both pair-join sides + the dim-count total",
     "dice_overlap_source_vocab": "cached (source, term) vocab feeds per-source sizes + BOTH posting-join sides; static print re-expands 3x",
     "bigram_novelty_halves": "cached exploded-bigram table feeds the early and late distinct sets + the early-count scalar; fanout rebalance on the one-file docs scan",
     "user_churn_daily": "cached (day, user) activity feeds the max-day scalar, the shifted next-day probe side, and the probe left side",
-    "median_ci_status": "three grouped_kth_smallest two-pass recipes (lo/median/hi rank picks), each with its own pinned ranged leaf + bounded sizes/offsets tables, joined on the 3-row status key",
+    "median_ci_status": "grouped_kths_smallest multi-k recipe: ONE pinned ranged leaf feeds all three rank picks (lo/median/hi); static print re-expands the pinned subtrees",
     "pareto_8020_customers": "global_rank_and_prefix pinned ranged leaf + per-partition sizes/offsets + the (n, total) scalar join",
-    "spend_gini_customers": "global_rank_and_prefix pinned ranged leaf + offsets + final scalar aggregate",
     "assoc_suite_status_priority": "cached 15-cell table feeds row/col margins + totals (bounded 4-way reuse)",
     "cochran_c_hartley_nations": "cached 25-row variance table feeds the aggregate + the argmax probe",
     "trade_reciprocity_nations": "cached <=600-edge list feeds both sides of the reverse-direction probe",
     "c_chart_monthly_returns": "cached month-count table feeds the (n, S) scalar + the violation scan",
-    "western_electric_revenue": "cached month table feeds the (n, S, Q) stats row + the z/rules scan",
-    "tv_distance_nation_halves": "cached 25-cell table feeds the totals row + the |d| sum",
-    "chisq_homogeneity_priority_halves": "cached 5-cell table feeds totals + quantized terms",
-    "cr4_brand_concentration": "cached 25-brand table feeds the TakeOrdered top-4 + the total",
-    "cliffs_delta_returns_qty": "cached 50-value grid feeds both prefix windows + the group total",
     "page_hinkley_revenue": "cached 80-row PH table feeds the max scalar + the argmax scan",
     "dayk_retention_events": "distinct (day, user) feeds the day-0 cohort + the activity join; first-day and cohort-size scalars broadcast",
-    "jackknife_nation_mean": "cached 25-row per-nation table feeds the totals row + the LOO output",
+    # round-12 full-sweep triage: the late r11 waves were never run
+    # through this audit as a set — each entry below verified
+    # bounded-by-design (pinned rank-recipe leaves, bounded
+    # contingency/grid/centroid tables, or an explicit sketch-vs-exact
+    # comparison); the stale-entry gate now prunes any that drop back
+    # under budget.
+    "abc_classification_brands": "global_rank_and_prefix pinned ranged leaf over the 25-brand aggregate + offsets + boundary scalar join; one lineitem pass",
+    "cms_join_size_estimate": "the query IS the sketch-vs-exact comparison: two CMS builds (one corpus pass each) + the exact join count; every post-agg table <= 3x65536 cells",
+    "cuped_adjusted_lift_events": "one per-user aggregation; all downstream exchanges over bounded variant/scalar tables",
+    "gk_lambda_status_priority": "bounded 15-cell contingency feeds row-mode + column-margin + total branches",
+    "kendalls_w_nation_priority": "bounded 125-row (nation x judge) table feeds per-judge rank windows + rank-sum + judge-count branches",
+    "geary_c_balance_grid": "pinned bounded cell grid feeds centering + neighbor-pair + variance branches (the morans_i pattern)",
+    "term_fano_burstiness_docs": "per-term (tf, tf2) aggregate + TakeOrdered head + doc-count scalar; fanout rebalance on the one-file docs scan",
+    "p90_doclen_sources": "grouped_kth_smallest pinned ranged leaf + bounded sizes/offsets/k tables",
+    "ship_delay_percentiles_priority": "grouped_kths_smallest multi-k recipe: one pinned ranged leaf feeds both rank picks (was two full single-k recipes before r12)",
+    "repeat_interval_median_days": "multi-k recipe on a constant group key: one pinned ranged leaf + bounded offsets; the gaps window is per-customer",
+    "label_centroid_separation_embeddings": "per-(label, dim) integer sums onto a bounded centroid table; pair algebra over labels^2 rows; fanout rebalance on the one-file embeddings scan",
+    "loyalty_tier_mix": "one per-customer aggregation onto a 3-tier rollup + grand-total scalar",
+    "interarrival_median_by_type": "per-(type, user) lag window + grouped_kth_smallest pinned leaf; k table bounded by the event-type domain",
 }
 
 
