@@ -211,7 +211,6 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("plans/queries.py", "somers_d_qty_returns_q"): "scalar: tie/total rows + domain: <=100-cell pair side",
     ("plans/queries.py", "cliffs_delta_returns_qty_q"): "scalar: group-total row",
     ("plans/queries.py", "gk_gamma_qty_priority_q"): "domain: <=250-cell pair side (50 qty x 5 priority)",
-    ("plans/queries.py", "repeat_interval_median_days_q"): "scalar: p90 rank-pick row",
     ("plans/queries.py", "kendalls_w_nation_priority_q"): "domain/scalar: nation dim + judge-count row",
     ("plans/queries.py", "tv_distance_nation_halves_q"): "scalar: totals row",
     ("plans/queries.py", "chisq_homogeneity_priority_halves_q"): "scalar: totals row",
