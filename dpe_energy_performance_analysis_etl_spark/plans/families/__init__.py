@@ -44,4 +44,7 @@ FAMILY_MODULES = [
     "f35_r11_wave10",
     "f36_r11_wave11",
     "f37_r11_wave12",
+    # round-12 additions
+    "f38_r12_wave1",
+    "f39_r12_wave2",
 ]

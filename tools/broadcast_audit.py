@@ -211,6 +211,19 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("plans/queries.py", "somers_d_qty_returns_q"): "scalar: tie/total rows + domain: <=100-cell pair side",
     ("plans/queries.py", "cliffs_delta_returns_qty_q"): "scalar: group-total row",
     ("plans/queries.py", "gk_gamma_qty_priority_q"): "domain: <=250-cell pair side (50 qty x 5 priority)",
+    # --- round-12 wave 1 ---
+    ("plans/queries.py", "price_indices_yearly_q"): "scalar: (y0, y1) bounds row",
+    ("plans/queries.py", "hoover_index_nations_q"): "scalar: totals + deviation rows",
+    ("plans/queries.py", "share_of_parent_regions_q"): "domain: nation/region dims",
+    ("plans/queries.py", "aging_buckets_open_orders_q"): "scalar: snapshot-date row",
+    ("plans/queries.py", "demand_classes_brands_q"): "scalar: calendar-span row",
+    ("plans/queries.py", "single_source_parts_q"): "scalar: traded-part-count row",
+    # --- round-12 wave 2 ---
+    ("plans/queries.py", "littles_law_sessions_q"): "scalar: peak-concurrency row",
+    ("plans/queries.py", "clark_evans_grid_q"): "scalar: point-count row",
+    ("plans/queries.py", "ari_label_buckets_embeddings_q"): "scalar: marginal pair-count rows",
+    ("plans/queries.py", "lorenz_asymmetry_customers_q"): "scalar: (n, T) totals row",
+    ("plans/queries.py", "customer_migration_matrix_q"): "scalar/model: (y0, y1) bounds + 2-row tertile thresholds",
     ("plans/queries.py", "kendalls_w_nation_priority_q"): "domain/scalar: nation dim + judge-count row",
     ("plans/queries.py", "tv_distance_nation_halves_q"): "scalar: totals row",
     ("plans/queries.py", "chisq_homogeneity_priority_halves_q"): "scalar: totals row",

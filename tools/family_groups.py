@@ -52,6 +52,14 @@ FAMILY_GROUPS: dict[str, list[str]] = {
         "equi_depth_bins_price", "abc_classification_brands",
         "ratio_to_parent_revenue", "rfm_segments_customers",
         "xyz_volatility_brands",
+        # round-12 wave 1
+        "abc_xyz_matrix",
+        "share_of_parent_regions",
+        "aging_buckets_open_orders",
+        "single_source_parts",
+        "hoover_index_nations",
+        "price_indices_yearly",
+        "customer_migration_matrix",
     ],
     "join": [
         "join_inner_broadcast", "join_left_cast_keys", "join_anti_new_rows",
@@ -69,6 +77,7 @@ FAMILY_GROUPS: dict[str, list[str]] = {
         "json_extract_props", "json_struct_parse",
     ],
     "temporal": [
+        "littles_law_sessions",
         "interarrival_median_by_type",
         "hourly_event_profile", "dow_revenue_mix",
         # round-10 wave 13
@@ -83,6 +92,7 @@ FAMILY_GROUPS: dict[str, list[str]] = {
         "dau_mau_stickiness_events",
     ],
     "sequence-analytics": [
+        "next_event_gini",
         # round-11 additions
         "bounce_rate_sessions",
         "srm_check_events",
@@ -197,6 +207,7 @@ FAMILY_GROUPS: dict[str, list[str]] = {
         "link_graph_domains", "url_path_rollup_docs",
     ],
     "clustering": [
+        "ari_label_buckets_embeddings",
         "kmeans_lloyd_portable", "dbscan_customer_sites",
         "kmeans_validity_embeddings",
     ],
@@ -243,6 +254,10 @@ FAMILY_GROUPS: dict[str, list[str]] = {
         "yules_q_word_cooccurrence",
         "spend_gini_customers",
         "pareto_8020_customers",
+        # round-12 wave 2
+        "gk_tau_status_priority",
+        "quartile_dispersion_brands",
+        "lorenz_asymmetry_customers",
 
         # round-10 wave 14
         "anova_f_revenue_nations",
@@ -334,6 +349,7 @@ FAMILY_GROUPS: dict[str, list[str]] = {
         "cusum_changepoint_revenue", "ewma_user_values",
         "moving_zscore_anomalies", "dtw_user_value_series", "emd_price_drift",
         "seasonal_decompose_revenue", "rolling_corr_revenue_qty", "croston_intermittent_parts",
+        "bullwhip_ratio_monthly", "demand_classes_brands",
         "seasonal_outliers_revenue",
         "rsi_monthly_revenue", "matrix_profile_discord_revenue",
         "peaks_monthly_revenue", "ljung_box_revenue",
@@ -349,6 +365,7 @@ FAMILY_GROUPS: dict[str, list[str]] = {
         "life_table_orders",
     ],
     "spatial": [
+        "clark_evans_grid",
         # round-11 additions
         "geary_c_balance_grid",
 

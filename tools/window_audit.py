@@ -146,6 +146,9 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("plans/queries.py", "ma_crossover_monthly_q"): "series: month grain",
     ("plans/queries.py", "daily_error_autocorr_events_q"): "series: calendar-day grain",
     ("plans/queries.py", "run_rate_vs_trailing_q"): "series: month grain",
+    # --- round-12 additions ---
+    ("plans/queries.py", "abc_xyz_matrix_q"): "domain: cum/total windows over the 25-brand aggregate",
+    ("plans/queries.py", "share_of_parent_regions_q"): "domain: grand-total window over the 25-row (region, nation) aggregate",
 }
 
 
