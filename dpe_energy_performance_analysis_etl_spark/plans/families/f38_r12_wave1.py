@@ -733,7 +733,13 @@ def single_source_parts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ps = li.select(
         F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
     ).distinct()
-    per = ps.groupBy("pk").agg(F.count(F.lit(1)).cast("bigint").alias("n_suppliers"))
+    per = (
+        ps.groupBy("pk")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_suppliers"))
+        .cache()  # |parts|-bounded; feeds the histogram AND the
+        # traded-part total — uncached, the (part, supplier) distinct's
+        # post-shuffle dedup would re-run per branch
+    )
     tot = per.agg(F.count(F.lit(1)).cast("bigint").alias("n_parts_tot"))
     return (
         per.groupBy("n_suppliers")

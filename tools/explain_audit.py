@@ -186,6 +186,16 @@ EXPECTED_MULTISTAGE = {
     "label_centroid_separation_embeddings": "per-(label, dim) integer sums onto a bounded centroid table; pair algebra over labels^2 rows; fanout rebalance on the one-file embeddings scan",
     "loyalty_tier_mix": "one per-customer aggregation onto a 3-tier rollup + grand-total scalar",
     "interarrival_median_by_type": "per-(type, user) lag window + grouped_kth_smallest pinned leaf; k table bounded by the event-type domain",
+    # round-12 wave 1/2 (all cached/pinned bounded intermediates that
+    # the static print re-expands per consumer)
+    "price_indices_yearly": "cached per-(part, year) aggregate feeds both year self-join sides; bounds scalar broadcasts re-expand in the print",
+    "hoover_index_nations": "cached 25-nation table feeds totals + deviation branches",
+    "demand_classes_brands": "cached (brand, month) aggregate feeds the calendar scalar + per-brand stats",
+    "single_source_parts": "cached per-part supplier-count table feeds histogram + traded-part total",
+    "littles_law_sessions": "cached session table feeds the scalar aggregate + both sweep-delta arms; global_rank_and_prefix leaves pinned",
+    "ari_label_buckets_embeddings": "cached <=40-cell contingency feeds pair-sum + both marginal branches",
+    "quartile_dispersion_brands": "grouped_kths_smallest multi-k recipe: one pinned ranged leaf feeds both quartile picks",
+    "customer_migration_matrix": "cached per-(customer, year) totals feed the multi-k threshold recipe AND both tier-join sides; bounds scalar broadcasts re-expand per consumer in the print",
 }
 
 

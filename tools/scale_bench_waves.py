@@ -242,6 +242,24 @@ QUERIES_TO_SCALE = [
     "interarrival_median_by_type",
     "run_rate_vs_trailing",
     "token_length_stats_sources",
+    # round-12 wave 1
+    "price_indices_yearly",
+    "bullwhip_ratio_monthly",
+    "hoover_index_nations",
+    "abc_xyz_matrix",
+    "share_of_parent_regions",
+    "aging_buckets_open_orders",
+    "demand_classes_brands",
+    "single_source_parts",
+    # round-12 wave 2
+    "gk_tau_status_priority",
+    "littles_law_sessions",
+    "next_event_gini",
+    "clark_evans_grid",
+    "ari_label_buckets_embeddings",
+    "quartile_dispersion_brands",
+    "lorenz_asymmetry_customers",
+    "customer_migration_matrix",
 ]
 
 SF_DIRS = [
