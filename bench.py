@@ -149,6 +149,11 @@ HEADLINE = [
     "spend_gini_customers",
     "dice_overlap_source_vocab",
     "term_fano_burstiness_docs",
+    # round-12 additions (AT the 56 cap — next addition must replace):
+    # the ring-keyed nearest-neighbor candidate join and the
+    # sessionize + global prefix-sweep — the two new data-sized shapes
+    "clark_evans_grid",
+    "littles_law_sessions",
 ]
 
 
