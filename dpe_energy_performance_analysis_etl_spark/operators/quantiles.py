@@ -529,6 +529,19 @@ def grouped_kth_smallest(
     """
     if (k_df is None) == (k_of_n is None):
         raise ValueError("pass exactly one of k_df / k_of_n")
+    if k_of_n is not None:
+        # the single-k k_of_n path IS the 1-entry multi-k recipe —
+        # ONE shared implementation of the pinned two-pass ranking so
+        # the pinning discipline can never drift between copies (the
+        # r8 RFM incident class); k is re-derived from the returned
+        # group size for the documented (group, n, k, kth_value)
+        # shape, with NULL kth_value when k is out of [1, n]
+        out = grouped_kths_smallest(
+            df, group_col, value_col, {"kth_value": k_of_n}
+        )
+        return out.withColumn("k", F.expr(k_of_n).cast("bigint")).select(
+            group_col, "n", "k", "kth_value"
+        )
     order = [F.col(group_col).asc(), F.col(value_col).asc()]
     ranged = (
         df.select(group_col, value_col)
@@ -537,18 +550,6 @@ def grouped_kth_smallest(
     )
     ranged = _pin(ranged)
     sizes = ranged.groupBy("_pid", group_col).agg(F.count(F.lit(1)).alias("_cnt"))
-    k_tbl = None
-    if k_of_n is not None:
-        # sizes gains a second consumer (offsets AND group totals) —
-        # pin the BOUNDED table so both read one materialization
-        # instead of re-aggregating the ranged data per consumer
-        sizes = _pin(sizes)
-        k_tbl = (
-            sizes.groupBy(group_col)
-            .agg(F.sum("_cnt").cast("bigint").alias("n"))
-            .withColumn("k", F.expr(k_of_n).cast("bigint"))
-        )
-        k_df = k_tbl.select(group_col, "k")
     w_off = (
         Window.partitionBy(group_col)
         .orderBy("_pid")
@@ -564,18 +565,11 @@ def grouped_kth_smallest(
     ranked = local.join(F.broadcast(offs), ["_pid", group_col]).withColumn(
         "_rk", F.col("_off") + F.col("_lrn")
     )
-    out = (
+    return (
         ranked.join(F.broadcast(k_df), group_col)
         .where(F.col("_rk") == F.col("k"))
         .select(group_col, F.col(value_col).alias("kth_value"))
     )
-    if k_tbl is not None:
-        # keep the k > n groups as NULL rows — the honest "no k-th
-        # order statistic at this size" answer conformal needs
-        return k_tbl.join(out, group_col, "left").select(
-            group_col, "n", "k", "kth_value"
-        )
-    return out
 
 
 def grouped_kths_smallest(

@@ -222,7 +222,9 @@ def stale_missing_entries(expected=None, registry=None):
     if expected is None:
         expected = EXPECTED_MULTISTAGE
     if registry is None:
-        sys.path.insert(0, "/root/repo")
+        import os
+
+        sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
         from dpe_energy_performance_analysis_etl_spark.plans import QUERIES
 
         registry = QUERIES
@@ -270,7 +272,9 @@ def audit_global_windows(spark, df) -> list[int]:
 
 
 def main() -> int:
-    sys.path.insert(0, "/root/repo")
+    import os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from dpe_energy_performance_analysis_etl_spark import get_spark
     from dpe_energy_performance_analysis_etl_spark.plans import QUERIES
 
@@ -318,7 +322,7 @@ def main() -> int:
             bad.append("CARTESIAN")
         if n_roundrobin:
             flags.append(f"fanout={n_roundrobin}")  # informational only
-        if n_exchange > 8:
+        if n_exchange > EXCHANGE_BUDGET:
             if name in EXPECTED_MULTISTAGE:
                 flags.append(f"exchanges={n_exchange} expected: {EXPECTED_MULTISTAGE[name]}")
             else:
