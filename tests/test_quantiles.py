@@ -339,3 +339,59 @@ class TestGroupedKthsSmallest:
         assert len(rows) == 1
         r = rows[0]
         assert (r["n"], r["ok"], r["too_big"], r["zero"]) == (2, 2, None, None)
+
+    def test_randomized_edge_shapes_match_python(self, spark):
+        """Multi-seed adversarial shapes for the UNIFIED rank recipe
+        (post r12 delegation it is the single implementation every
+        order-statistic family runs on): ties-heavy domains, one
+        giant group beside singletons, negative values, and a
+        two-row frame — each checked against Python sorted() picks
+        for min / p25 / median / p90 / max ranks."""
+        import random
+
+        from dpe_energy_performance_analysis_etl_spark.operators.quantiles import (
+            grouped_kths_smallest,
+        )
+
+        ks = {
+            "kmin": "1",
+            "kq1": "(n + 3) div 4",
+            "kmed": "(n + 1) div 2",
+            "kp90": "(n * 9 + 9) div 10",
+            "kmax": "n",
+        }
+        shapes = []
+        rng = random.Random(1207)
+        # ties-heavy: 3 groups over a 5-value domain
+        shapes.append(
+            [(f"g{i % 3}", rng.randint(0, 4)) for i in range(300)]
+        )
+        # skew: one giant group + two singletons, negatives allowed
+        shapes.append(
+            [("big", rng.randint(-1000, 1000)) for _ in range(500)]
+            + [("s1", -7), ("s2", 0)]
+        )
+        # tiny frame
+        shapes.append([("a", 2), ("a", 1)])
+        for rows in shapes:
+            df = spark.createDataFrame(rows, "g string, v long")
+            got = {
+                r["g"]: r for r in grouped_kths_smallest(df, "g", "v", ks).collect()
+            }
+            by_g = {}
+            for g, v in rows:
+                by_g.setdefault(g, []).append(v)
+            for g, vs in by_g.items():
+                xs = sorted(vs)
+                n = len(xs)
+                expect = {
+                    "kmin": xs[0],
+                    "kq1": xs[(n + 3) // 4 - 1],
+                    "kmed": xs[(n + 1) // 2 - 1],
+                    "kp90": xs[(n * 9 + 9) // 10 - 1],
+                    "kmax": xs[-1],
+                }
+                r = got[g]
+                assert r["n"] == n
+                for name, want in expect.items():
+                    assert r[name] == want, (g, name)
