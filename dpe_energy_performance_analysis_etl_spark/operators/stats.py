@@ -2372,21 +2372,43 @@ def kendall_tau_b_bounded(
 
     Everything is DECIMAL(38,0)-exact up to tau's two scale-0
     int→double conversions; signs factored out of every truncating
-    division (CLAUDE.md rule). Prefixes ride the
-    grouped_running_totals range-partition recipe — one data-sized
-    tier aggregation, one prefix pass, one bounded fold. The
-    |x_values|²/2 term expansion is generated SQL (50 classes →
-    ~1275 adds — far below the measured CaseWhen codegen cliff).
+    division (CLAUDE.md rule). The concordant |x_values|²/2 term
+    expansion is generated SQL (50 classes → ~1275 adds — far below
+    the measured CaseWhen codegen cliff).
+
+    Scale recipe (r12 optimization round; guide §2.3/§2.4): because
+    the output needs only PER-GROUP dominance sums — never per-row
+    prefixes — the global two-pass prefix (grouped_running_totals:
+    eager pin + sizes agg + offsets broadcast-join, i.e. two extra
+    data-sized passes over a 52-column table) is replaced by the
+    LOCAL + CROSS decomposition over the range partitioning:
+
+      conc = Σ_p conc_local(p) + Σ_p Σ_i n_{p,i} · Σ_{j<i} N_{<p,j}
+
+    where conc_local is the within-partition dominance (one
+    50-column window over the ranged tier table, LONG arithmetic —
+    exact: per-partition products are bounded by the partition's
+    squared count mass, ≲10¹⁴ at AQE-sized partitions, and every
+    cross-partition/global accumulation is DECIMAL(38,0)) and
+    N_{<p,j} are class totals of EARLIER partitions — folded via a
+    posexplode of the 50 class totals over the bounded
+    (partitions × groups) summary plus two tiny windows (a ~1275-term
+    generated DECIMAL expansion there measured ~+2 s/run of pure
+    Catalyst/codegen cost). Equality to the per-row global-prefix
+    form is term-by-term reassociation of integer sums (range
+    partitioning orders y strictly across partitions within a group,
+    so cross-partition pairs are never y-ties). The DISCORDANT side
+    is never expanded at all: D is recovered from the exact pairs
+    identity 2(C+D) = nc(nc−1) − tx2 − ty2c + txy2 over in-class tie
+    masses computed in the same single data-sized pass. Measured at
+    sf0.1: 9.7 s before → see OPTIMIZATION_r12.md.
 
     Returns (group, n, conc2 C, disc2 D, tau_b_ppm, somers_d_ppm,
     gamma_ppm); the ratio columns are NULL when their denominators
     vanish (all-tied data).
     """
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
-
-    from dpe_energy_performance_analysis_etl_spark.operators.quantiles import (
-        grouped_running_totals,
-    )
 
     if len(x_values) < 2:
         # with <2 classes the generated conc/disc term lists are
@@ -2408,39 +2430,118 @@ def kendall_tau_b_bounded(
             for i in tags
         ],
     )
-    pre = grouped_running_totals(tiers, "g", "y", [f"c{i}" for i in tags])
+    # One range shuffle orders y within each group across partitions;
+    # the tier subtree has a SINGLE consumer (no pin needed — the r8
+    # multi-instantiation hazard needs 2+ consumptions).
+    ranged = tiers.repartitionByRange(
+        F.col("g").asc(), F.col("y").asc()
+    ).withColumn("_pid", F.spark_partition_id())
+    w_loc = (
+        Window.partitionBy("_pid", "g")
+        .orderBy(F.col("y").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = ranged.select(
+        "_pid",
+        "g",
+        "cnt",
+        *[F.col(f"c{i}") for i in tags],
+        *[F.coalesce(F.sum(f"c{i}").over(w_loc), F.lit(0)).alias(f"p{i}") for i in tags],
+    )
+    # Per-row local dominance in LONG (bounded by partition mass²).
+    # Only the CONCORDANT expansion is generated; the discordant count
+    # is recovered exactly from the pairs identity
+    #   2(C + D) = nc(nc−1) − tx2 − ty2c + txy2
+    # (nc = in-class rows, tx2/ty2c/txy2 = doubled x-/y-/joint-tie
+    # masses among in-class rows), which halves both the per-row
+    # arithmetic and the generated-expression codegen.
     conc_terms = " + ".join(
-        f"CAST(c{i} AS DECIMAL(38,0)) * ({' + '.join(f'c{j}_before' for j in tags[:i])})"
+        f"c{i} * ({' + '.join(f'p{j}' for j in tags[:i])})"
         for i in tags
         if i > 0
     )
-    disc_terms = " + ".join(
-        f"CAST(c{i} AS DECIMAL(38,0)) * ({' + '.join(f'c{j}_before' for j in tags[i + 1:])})"
-        for i in tags
-        if i < len(tags) - 1
-    )
-    per_row = pre.selectExpr(
+    s_terms = " + ".join(f"c{i}" for i in tags)
+    txy_terms = " + ".join(f"c{i} * (c{i} - 1)" for i in tags)
+    per_row = local.selectExpr(
+        "_pid",
         "g",
         "cnt",
         *[f"c{i}" for i in tags],
         f"({conc_terms}) AS conc_row",
-        f"({disc_terms}) AS disc_row",
+        f"({s_terms}) AS s_row",
+        f"({txy_terms}) AS txy2_row",
     )
-    agg = per_row.groupBy("g").agg(
-        F.sum("cnt").cast("bigint").alias("n"),
-        F.sum("conc_row").alias("conc"),
-        F.sum("disc_row").alias("disc"),
-        F.sum(F.expr("CAST(cnt AS DECIMAL(38,0)) * (cnt - 1)")).alias("ty2"),
-        *[F.sum(f"c{i}").cast("bigint").alias(f"t{i}") for i in tags],
+    # ONE data-sized aggregation: local dominance + tie masses + class
+    # totals per (partition, group) — a bounded summary from here on.
+    part = per_row.groupBy("_pid", "g").agg(
+        F.sum("cnt").cast("bigint").alias("cnt_s"),
+        F.sum(F.expr("CAST(conc_row AS DECIMAL(38,0))")).alias("conc_loc"),
+        F.sum(F.expr("CAST(cnt AS DECIMAL(38,0)) * (cnt - 1)")).alias("ty2p"),
+        F.sum(F.expr("CAST(s_row AS DECIMAL(38,0)) * (s_row - 1)")).alias(
+            "ty2cp"
+        ),
+        F.sum(F.expr("CAST(txy2_row AS DECIMAL(38,0))")).alias("txy2p"),
+        *[F.sum(f"c{i}").cast("bigint").alias(f"n{i}") for i in tags],
     )
-    tx2 = " + ".join(f"CAST(t{i} AS DECIMAL(38,0)) * (t{i} - 1)" for i in tags)
+    # Cross-partition fold via posexplode of the 50 class totals over
+    # the bounded (partitions × groups) summary — tiny windows and
+    # tiny expressions instead of a ~1275-term generated DECIMAL
+    # expansion (whose Catalyst/codegen cost measured ~+2 s per run):
+    #   bv = class total over EARLIER partitions (same group, class)
+    #   sv = Σ_{j<i} bv — the exclusive class prefix within the row
+    #   cross-conc contribution = nv · sv
+    #   tx2 row form: Σ_p nv(nv−1) + 2·nv·bv  telescopes to t_i(t_i−1)
+    ex = part.select(
+        "_pid",
+        "g",
+        "cnt_s",
+        "conc_loc",
+        "ty2p",
+        "ty2cp",
+        "txy2p",
+        F.posexplode(F.array(*[F.col(f"n{i}") for i in tags])).alias(
+            "i", "nv"
+        ),
+    )
+    w_b = (
+        Window.partitionBy("g", "i")
+        .orderBy(F.col("_pid").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    exb = ex.withColumn("bv", F.coalesce(F.sum("nv").over(w_b), F.lit(0)))
+    w_s = (
+        Window.partitionBy("g", "_pid")
+        .orderBy(F.col("i").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    exs = exb.withColumn("sv", F.coalesce(F.sum("bv").over(w_s), F.lit(0)))
+    first = "CASE WHEN i = 0 THEN {c} END"
+    agg = exs.groupBy("g").agg(
+        F.sum(F.expr(first.format(c="cnt_s"))).cast("bigint").alias("n"),
+        F.sum(F.expr(first.format(c="conc_loc"))).alias("conc_l"),
+        F.sum(F.expr("CAST(nv AS DECIMAL(38,0)) * sv")).alias("conc_x"),
+        F.sum(F.expr(first.format(c="ty2p"))).alias("ty2"),
+        F.sum(F.expr(first.format(c="ty2cp"))).alias("ty2c"),
+        F.sum(F.expr(first.format(c="txy2p"))).alias("txy2"),
+        F.sum("nv").cast("bigint").alias("ncls"),
+        F.sum(
+            F.expr(
+                "CAST(nv AS DECIMAL(38,0)) * (nv - 1)"
+                " + 2 * CAST(nv AS DECIMAL(38,0)) * bv"
+            )
+        ).alias("tx2"),
+    )
     base = agg.selectExpr(
         "g",
         "n",
-        "conc",
-        "disc",
+        "conc_l + conc_x AS conc",
+        # numerator = 2·D (provably even) -> /2 is exact and the cast
+        # back to DECIMAL(38,0) keeps the pre-rewrite column type
+        # (div would narrow to BIGINT and shrink the overflow range)
+        "CAST((CAST(ncls AS DECIMAL(38,0)) * (ncls - 1) - tx2 - ty2c + txy2"
+        " - 2 * (conc_l + conc_x)) / 2 AS DECIMAL(38,0)) AS disc",
         "CAST(n AS DECIMAL(38,0)) * (n - 1) AS n02",
-        f"({tx2}) AS tx2",
+        "tx2",
         "ty2",
     )
     sgn = "(CASE WHEN conc >= disc THEN 1 ELSE -1 END)"
