@@ -786,6 +786,78 @@ def grouped_running_totals(
     )
 
 
+def grouped_local_prefix(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    sum_cols: list[str],
+) -> DataFrame:
+    """Range-partitioned tier table with ``_pid`` and per-partition
+    EXCLUSIVE local prefixes ``_l_{c}`` (LONG) — the shared first
+    stage of the r12 LOCAL+CROSS prefix recipes for operators whose
+    output needs only per-group FOLDS of prefix expressions, never
+    the per-row global prefix itself.
+
+    Unlike :func:`grouped_running_totals` this makes exactly ONE pass
+    over the ranged table: no eager pin (the subtree has a single
+    consumer, so the r8 range-boundary multi-instantiation hazard
+    cannot arise), no sizes aggregation, no per-row offsets join.
+    The caller aggregates the result to a bounded (``_pid``, group)
+    partial table that must carry ``F.sum(c)`` per-partition totals,
+    then reconstructs the cross-partition offsets from those totals
+    with :func:`partition_offsets` and folds them in at the BOUNDED
+    level (global prefix = ``_o_{c} + _l_{c}`` term-by-term — exact
+    integer reassociation; range partitioning guarantees every row of
+    an earlier partition orders strictly below within the group).
+    ``order_col`` values must be unique within a group, as for
+    grouped_running_totals.
+    """
+    order = [F.col(group_col).asc(), F.col(order_col).asc()]
+    ranged = df.repartitionByRange(*order).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_loc = (
+        Window.partitionBy("_pid", group_col)
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return ranged.select(
+        "*",
+        *[
+            F.coalesce(F.sum(c).over(w_loc), F.lit(0))
+            .cast("bigint")
+            .alias(f"_l_{c}")
+            for c in sum_cols
+        ],
+    )
+
+
+def partition_offsets(
+    part_df: DataFrame,
+    group_col: str,
+    total_cols: list[str],
+) -> DataFrame:
+    """EXCLUSIVE running totals of ``total_cols`` in ``_pid`` order
+    within each group, over a BOUNDED per-(``_pid``, group) partial
+    table (the aggregate of :func:`grouped_local_prefix` output):
+    adds ``_o_{c}`` (BIGINT) via one tiny window — bounded by
+    construction, never data-sized."""
+    w_off = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col("_pid").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return part_df.select(
+        "*",
+        *[
+            F.coalesce(F.sum(c).over(w_off), F.lit(0))
+            .cast("bigint")
+            .alias(f"_o_{c}")
+            for c in total_cols
+        ],
+    )
+
+
 def grouped_weighted_median(
     df: DataFrame,
     group_col: str,

@@ -2159,14 +2159,26 @@ def grouped_spearman(
     is bit-exact, above it 1-ulp on a ppm boundary is possible
     (documented; the oracle SF sits far below).
 
-    Scale shape: two (group, value) tier tables with prefixes via the
-    grouped_running_totals range-partition recipe, two equi-joins to
-    attach per-row mid-ranks (Catalyst broadcasts the bounded tier —
-    e.g. a 50-value quantity domain — and shuffles the dense one),
-    one bounded per-group fold. The input is consumed three times
-    (two tiers + the probe) and must be a cheap feed — parquet scan
-    or broadcast-dim join — per the NOTES histprune measurement;
-    pinning a data-sized feed costs more than re-scanning it.
+    Scale shape (r12 optimization round; guide §2.1/§2.2): only the
+    X side attaches per-row mid-ranks (one tier prefix + one
+    equi-join — Catalyst broadcasts a bounded domain, e.g. 50
+    quantity values). The Y side never joins back to the rows at
+    all: the probe aggregates to (group, y) tiers carrying the
+    x-rank mass per tier, and because mr2y = mr2_local + 2·off with
+    off constant per range partition, the three Y-rank moments
+    expand into per-partition partials
+
+        Σ w·mr2y  = Σ w·mr2l + 2·off·Σ w
+        Σ w·mr2y² = Σ w·mr2l² + 4·off·Σ w·mr2l + 4·off²·Σ w
+
+    folded at the bounded (partitions × groups) level
+    (grouped_local_prefix / partition_offsets) — removing the old
+    recipe's data-sized y-tier join, its eager pin, and its second
+    data-sized pass, replacing them with one narrow range shuffle.
+    NULL semantics are preserved exactly: x-tier ranks count rows
+    with NULL y, y-tier ranks count rows with NULL x (left-join +
+    dual counts), and the moment sums cover only rows non-NULL on
+    both — exactly what the two inner joins produced.
 
     Returns (group, n, rho_ppm); rho_ppm is NULL when either side is
     constant (dx·dy = 0), groups of one row included.
@@ -2174,7 +2186,9 @@ def grouped_spearman(
     from pyspark.sql import functions as F
 
     from dpe_energy_performance_analysis_etl_spark.operators.quantiles import (
+        grouped_local_prefix,
         grouped_running_totals,
+        partition_offsets,
     )
 
     base = df.select(
@@ -2183,28 +2197,71 @@ def grouped_spearman(
         F.col(y_col).cast("bigint").alias("y"),
     )
 
-    def midranks(col: str):
-        tiers = base.groupBy("g", F.col(col).alias("v")).agg(
-            F.count(F.lit(1)).cast("bigint").alias("cnt")
-        )
-        pre = grouped_running_totals(tiers, "g", "v", ["cnt"])
-        return pre.select(
-            "g",
-            F.col("v").alias(col),
-            (2 * F.col("cnt_before") + F.col("cnt") + 1)
-            .cast("bigint")
-            .alias(f"mr2{col}"),
-        )
-
-    ranked = base.join(midranks("x"), ["g", "x"]).join(midranks("y"), ["g", "y"])
-    agg = ranked.groupBy("g").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(F.expr("CAST(mr2x AS DECIMAL(38,0)) * mr2y")).alias("sxy"),
-        F.sum(F.expr("CAST(mr2x AS DECIMAL(38,0)) * mr2x")).alias("sxx"),
-        F.sum(F.expr("CAST(mr2y AS DECIMAL(38,0)) * mr2y")).alias("syy"),
+    xt = base.groupBy("g", F.col("x").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    mrx = grouped_running_totals(xt, "g", "v", ["cnt"]).select(
+        "g",
+        F.col("v").alias("x"),
+        (2 * F.col("cnt_before") + F.col("cnt") + 1)
+        .cast("bigint")
+        .alias("mr2x"),
+    )
+    # LEFT join: rows with NULL x keep flowing so the y-tier counts
+    # below see them (their mr2x stays NULL and drops out of every
+    # rank-product sum, mirroring the old inner-join row set)
+    rx = base.join(mrx, ["g", "x"], "left")
+    yt = rx.groupBy("g", "y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.count("mr2x").cast("bigint").alias("cxy"),
+        F.sum(F.expr("CAST(mr2x AS DECIMAL(38,0))")).alias("sxs"),
+        F.sum(F.expr("CAST(mr2x AS DECIMAL(38,0)) * mr2x")).alias("sxx2"),
+    )
+    # The NULL-y tier sorts first (NULLS FIRST) and must keep feeding
+    # the prefix counts — the old per-row recipe ranked y tiers over
+    # ALL rows and only then dropped NULL-y rows via the inner join —
+    # but its own rows contribute to no moment sum: zero the matched
+    # mass, keep cnt.
+    loc = grouped_local_prefix(yt, "g", "y", ["cnt"])
+    per = loc.selectExpr(
+        "_pid",
+        "g",
+        "cnt",
+        "CASE WHEN y IS NULL THEN 0 ELSE cxy END AS cxy",
+        "CASE WHEN y IS NULL THEN NULL ELSE sxs END AS sxs",
+        "CASE WHEN y IS NULL THEN NULL ELSE sxx2 END AS sxx2",
+        "2 * _l_cnt + cnt + 1 AS mr2l",
+    )
+    part = per.groupBy("_pid", "g").agg(
+        F.sum("cnt").cast("bigint").alias("cnt_p"),
+        F.sum("cxy").cast("bigint").alias("n_p"),
+        F.sum(F.expr("sxs * mr2l")).alias("sxy_a"),
+        F.sum("sxs").alias("sxy_b"),
+        F.sum(F.expr("CAST(cxy AS DECIMAL(38,0)) * mr2l * mr2l")).alias(
+            "syy_a"
+        ),
+        F.sum(F.expr("CAST(cxy AS DECIMAL(38,0)) * mr2l")).alias("syy_b"),
+        F.sum("sxx2").alias("sxx_p"),
+    )
+    folded = partition_offsets(part, "g", ["cnt_p"]).selectExpr(
+        "g",
+        "n_p",
+        "sxx_p",
+        "sxy_a + 2 * CAST(_o_cnt_p AS DECIMAL(38,0)) * sxy_b AS sxy_p",
+        "syy_a + 4 * CAST(_o_cnt_p AS DECIMAL(38,0)) * syy_b"
+        " + 4 * CAST(_o_cnt_p AS DECIMAL(38,0)) * _o_cnt_p * n_p AS syy_p",
+    )
+    agg = folded.groupBy("g").agg(
+        F.sum("n_p").cast("bigint").alias("n"),
+        F.sum("sxy_p").alias("sxy"),
+        F.sum("sxx_p").alias("sxx"),
+        F.sum("syy_p").alias("syy"),
     )
     cn = "CAST(n AS DECIMAL(38,0)) * (n + 1) * (n + 1)"
-    return agg.selectExpr(
+    # n > 0 mirrors the old inner-join recipe exactly: a group whose
+    # rows are all NULL on either side produced no ranked row there,
+    # hence no output row.
+    return agg.where(F.col("n") > 0).selectExpr(
         f"g AS {group_col}",
         "n",
         f"CASE WHEN sxx > {cn} AND syy > {cn} THEN CAST("
