@@ -728,7 +728,8 @@ def grouped_running_totals(
     group_col: str,
     order_col: str,
     sum_cols: list[str],
-) -> DataFrame:
+    with_totals: bool = False,
+):
     """Per-group EXCLUSIVE running totals of ``sum_cols`` in
     ``order_col`` order — the skew-safe prefix-sum primitive behind
     rank statistics (Mann-Whitney, Gini/Lorenz): a
@@ -741,6 +742,17 @@ def grouped_running_totals(
     which is also what makes the offset table bounded).
 
     Returns df's columns plus ``{c}_before`` for each sum column.
+
+    ``with_totals=True`` additionally returns a BOUNDED per-group
+    totals table ``(group, _n_{c} = Σ c)`` as a second value,
+    aggregated from the recipe's own bounded per-(partition, group)
+    sizes table — i.e. one cheap re-scan of the already-pinned
+    ranged leaf, NOT a second pass over the caller's input and NOT a
+    second consumption of the (unpinned) prefix output. Callers that
+    previously pinned the prefix stream just to split it into
+    totals + a per-row pass (r12 sweep: ks/anderson-darling/bowley)
+    should take the totals here and leave the prefix stream with its
+    single consumer.
     """
     order = [F.col(group_col).asc(), F.col(order_col).asc()]
     ranged = _pin(
@@ -781,9 +793,15 @@ def grouped_running_totals(
     out = local.join(F.broadcast(offs), ["_pid", group_col])
     for c in sum_cols:
         out = out.withColumn(f"{c}_before", F.col(f"_o_{c}") + F.col(f"_l_{c}"))
-    return out.drop(
+    out = out.drop(
         "_pid", *[f"_l_{c}" for c in sum_cols], *[f"_o_{c}" for c in sum_cols]
     )
+    if not with_totals:
+        return out
+    totals = sizes.groupBy(group_col).agg(
+        *[F.sum(f"_t_{c}").cast("bigint").alias(f"_n_{c}") for c in sum_cols]
+    )
+    return out, totals
 
 
 def grouped_local_prefix(

@@ -1607,9 +1607,14 @@ def ks_two_sample(
     Scale shape: one (group, value) aggregation carrying per-tier
     side counts, the ``grouped_running_totals`` range-partition
     recipe for per-group prefix sums (no data-sized PARTITION BY
-    window), one bounded per-group max. Groups with an empty side
-    return d_scaled NULL (no distribution to compare — the honest
-    answer, and the ANSI division guard).
+    window), one bounded per-group max. The per-group totals ride
+    the recipe's ``with_totals`` side table (aggregated from its
+    bounded internal sizes table), so the tier stream has exactly
+    ONE consumer — no second eager pin (r12: the old pin was a full
+    tier-table materialization just to split totals from the max
+    pass). Groups with an empty side return d_scaled NULL (no
+    distribution to compare — the honest answer, and the ANSI
+    division guard).
 
     Returns (group, n1, n2, d_scaled).
     """
@@ -1625,26 +1630,21 @@ def ks_two_sample(
         F.count(F.lit(1)).cast("bigint").alias("cnt"),
         F.sum(F.col(side_col).cast("int")).cast("bigint").alias("cnt1"),
     )
-    from dpe_energy_performance_analysis_etl_spark.operators.quantiles import _pin
-
-    pre = grouped_running_totals(vals, "g", "v", ["cnt", "cnt1"])
-    # pinned: the cumulative tier stream feeds BOTH the per-group
-    # totals and the max-numerator pass — without the pin each
-    # consumer re-runs the running-totals window from the ranged leaf
-    tiers = _pin(
-        pre.select(
-            "g",
-            (F.col("cnt_before") + F.col("cnt")).alias("cum"),
-            (F.col("cnt1_before") + F.col("cnt1")).alias("cum1"),
-        )
+    pre, tot = grouped_running_totals(
+        vals, "g", "v", ["cnt", "cnt1"], with_totals=True
     )
-    # two-pass: per-group totals first (bounded), broadcast back onto
-    # the tier stream for the max numerator — the identity
+    tiers = pre.select(
+        "g",
+        (F.col("cnt_before") + F.col("cnt")).alias("cum"),
+        (F.col("cnt1_before") + F.col("cnt1")).alias("cum1"),
+    )
+    # the identity
     # cum1*n2 − cum2*n1 = cum1*(n−n1) − (cum−cum1)*n1 = cum1*n − cum*n1
     # lets one |cum1*n − cum*n1| max replace two float CDFs
-    totals = tiers.groupBy("g").agg(
-        F.max("cum").cast("bigint").alias("n"),
-        F.max("cum1").cast("bigint").alias("n1"),
+    totals = tot.select(
+        "g",
+        F.col("_n_cnt").alias("n"),
+        F.col("_n_cnt1").alias("n1"),
     )
     per = (
         tiers.join(F.broadcast(totals), "g")
@@ -1703,15 +1703,18 @@ def anderson_darling_two_sample(
 
     Scale shape: identical to ks_two_sample — one (group, value)
     aggregation, the grouped_running_totals range-partition recipe
-    (no data-sized PARTITION BY window), pinned tier stream feeding
-    the bounded totals and the term sum.
+    (no data-sized PARTITION BY window); the per-group totals ride
+    the recipe's ``with_totals`` side table so the tier stream has
+    exactly ONE consumer (r12: removes the old eager pin — a full
+    tier-table materialization — AND the separate ``base``
+    re-aggregation of ``vals``, which computed the same totals a
+    third time for the empty-side left join).
 
     Returns (group, n1, n2, a2_qscaled).
     """
     from pyspark.sql import functions as F
 
     from dpe_energy_performance_analysis_etl_spark.operators.quantiles import (
-        _pin,
         grouped_running_totals,
     )
 
@@ -1721,18 +1724,19 @@ def anderson_darling_two_sample(
         F.count(F.lit(1)).cast("bigint").alias("cnt"),
         F.sum(F.col(side_col).cast("int")).cast("bigint").alias("cnt1"),
     )
-    pre = grouped_running_totals(vals, "g", "v", ["cnt", "cnt1"])
-    tiers = _pin(
-        pre.select(
-            "g",
-            "cnt",
-            (F.col("cnt_before") + F.col("cnt")).alias("cum"),
-            (F.col("cnt1_before") + F.col("cnt1")).alias("cum1"),
-        )
+    pre, tot = grouped_running_totals(
+        vals, "g", "v", ["cnt", "cnt1"], with_totals=True
     )
-    totals = tiers.groupBy("g").agg(
-        F.max("cum").cast("bigint").alias("n"),
-        F.max("cum1").cast("bigint").alias("n1"),
+    tiers = pre.select(
+        "g",
+        "cnt",
+        (F.col("cnt_before") + F.col("cnt")).alias("cum"),
+        (F.col("cnt1_before") + F.col("cnt1")).alias("cum1"),
+    )
+    totals = tot.select(
+        "g",
+        F.col("_n_cnt").alias("n"),
+        F.col("_n_cnt1").alias("n1"),
     )
     term = (
         "CAST((CAST(cnt AS DECIMAL(38,0))"
@@ -1748,22 +1752,18 @@ def anderson_darling_two_sample(
         .filter((F.col("n1") > 0) & (F.col("n") > F.col("n1")))
         .groupBy("g")
         .agg(
-            F.max("n").alias("n_"),
-            F.max("n1").alias("n1_"),
             F.sum(F.expr(term)).cast("bigint").alias("a2"),
         )
     )
     # groups with an empty side are filtered above — re-attach them
     # with NULL a2 so the output keeps one row per group (the honest
-    # "no distribution to compare" answer, same contract as KS)
-    base = vals.groupBy("g").agg(
-        F.sum("cnt").cast("bigint").alias("nb"),
-        F.sum("cnt1").cast("bigint").alias("n1b"),
-    )
-    return base.join(per, "g", "left").select(
+    # "no distribution to compare" answer, same contract as KS);
+    # the totals side table is bounded, so its second consumption
+    # here is a cheap re-agg of the pinned ranged leaf
+    return totals.join(per, "g", "left").select(
         F.col("g").alias(group_col),
-        F.col("n1b").alias("n1"),
-        (F.col("nb") - F.col("n1b")).alias("n2"),
+        F.col("n1").alias("n1"),
+        (F.col("n") - F.col("n1")).alias("n2"),
         F.col("a2").alias("a2_qscaled"),
     )
 
