@@ -1372,17 +1372,24 @@ def mann_whitney_u(
     term is omitted (documented — it shrinks |z| slightly when ties
     are heavy). Groups with an empty side return z NULL.
 
-    Scale shape: one (group, value) aggregation, then the
-    ``grouped_running_totals`` range-partition recipe for the
-    per-group prefix counts — no PARTITION BY group sort window, so
-    data-sized groups cannot pin an executor.
+    Scale shape (r12 LOCAL+CROSS fold; guide §2.1): one (group,
+    value) aggregation, then ONE pass over the range-partitioned
+    tier table — the rank sum R1·2 = Σ cnt1·mr2 is LINEAR in the
+    per-group prefix, so with mr2 = (2·l + cnt + 1) + 2·off (l the
+    within-partition exclusive prefix, off the cross-partition
+    offset, constant per partition) it folds exactly at the bounded
+    (partitions × groups) level: R1·2 = Σ_p [Σ cnt1·mr2_local +
+    2·off_p·Σ cnt1]. No eager pin, no per-row offsets join, no
+    PARTITION BY group sort window (grouped_local_prefix /
+    partition_offsets — the kendall/spearman recipe family).
 
     Returns (group, n1, n2, u1_x2, u2_x2, z).
     """
     from pyspark.sql import functions as F
 
     from dpe_energy_performance_analysis_etl_spark.operators.quantiles import (
-        grouped_running_totals,
+        grouped_local_prefix,
+        partition_offsets,
     )
 
     vals = df.groupBy(
@@ -1391,13 +1398,18 @@ def mann_whitney_u(
         F.count(F.lit(1)).cast("bigint").alias("cnt"),
         F.sum(F.col(side_col).cast("int")).cast("bigint").alias("cnt1"),
     )
-    pre = grouped_running_totals(vals, "g", "v", ["cnt"])
-    per = pre.groupBy("g").agg(
-        F.sum("cnt1").cast("bigint").alias("n1"),
-        F.sum("cnt").cast("bigint").alias("n"),
-        F.sum(
-            F.col("cnt1") * (2 * F.col("cnt_before") + F.col("cnt") + 1)
-        )
+    loc = grouped_local_prefix(vals, "g", "v", ["cnt"])
+    part = loc.groupBy("_pid", "g").agg(
+        F.sum("cnt").cast("bigint").alias("cnt_p"),
+        F.sum("cnt1").cast("bigint").alias("n1_p"),
+        F.sum(F.col("cnt1") * (2 * F.col("_l_cnt") + F.col("cnt") + 1))
+        .cast("bigint")
+        .alias("r1x2_l"),
+    )
+    per = partition_offsets(part, "g", ["cnt_p"]).groupBy("g").agg(
+        F.sum("n1_p").cast("bigint").alias("n1"),
+        F.sum("cnt_p").cast("bigint").alias("n"),
+        F.sum(F.col("r1x2_l") + 2 * F.col("_o_cnt_p") * F.col("n1_p"))
         .cast("bigint")
         .alias("r1x2"),
     )
@@ -1797,17 +1809,21 @@ def kruskal_wallis_h(
     many classes actually appeared. Bounds: requires
     3·scale·(2N²)² < 10³⁸, i.e. N ≲ 10⁷ rows per group at ppm scale.
 
-    Scale shape: one (group, value) tier aggregation with k
-    conditional counts, the grouped_running_totals range-partition
-    recipe for prefix counts (no data-sized PARTITION BY window), one
-    bounded per-group fold.
+    Scale shape (r12 LOCAL+CROSS fold; guide §2.1): one (group,
+    value) tier aggregation with k conditional counts, ONE pass over
+    the range-partitioned tier table — each rank sum R2_s is LINEAR
+    in the prefix, so it folds per partition exactly as in
+    :func:`mann_whitney_u` (R2_s = Σ_p [Σ c_s·mr2_local +
+    2·off_p·Σ c_s]); no eager pin, no offsets join, no data-sized
+    PARTITION BY window.
 
     Returns (group, n, k_nonempty, h_scaled).
     """
     from pyspark.sql import functions as F
 
     from dpe_energy_performance_analysis_etl_spark.operators.quantiles import (
-        grouped_running_totals,
+        grouped_local_prefix,
+        partition_offsets,
     )
 
     tags = list(range(len(samples)))
@@ -1822,15 +1838,28 @@ def kruskal_wallis_h(
             for i in tags
         ],
     )
-    pre = grouped_running_totals(tiers, "g", "v", ["cnt"])
-    mr = pre.withColumn(
-        "mr2", (2 * F.col("cnt_before") + F.col("cnt") + 1).cast("bigint")
+    loc = grouped_local_prefix(tiers, "g", "v", ["cnt"]).withColumn(
+        "mr2l", (2 * F.col("_l_cnt") + F.col("cnt") + 1).cast("bigint")
     )
-    per = mr.groupBy("g").agg(
-        F.sum("cnt").cast("bigint").alias("n"),
-        *[F.sum(f"c{i}").cast("bigint").alias(f"n{i}") for i in tags],
+    part = loc.groupBy("_pid", "g").agg(
+        F.sum("cnt").cast("bigint").alias("cnt_p"),
+        *[F.sum(f"c{i}").cast("bigint").alias(f"n{i}_p") for i in tags],
         *[
-            F.sum(F.col(f"c{i}") * F.col("mr2")).cast("bigint").alias(f"r{i}")
+            F.sum(F.col(f"c{i}") * F.col("mr2l"))
+            .cast("bigint")
+            .alias(f"r{i}_l")
+            for i in tags
+        ],
+    )
+    per = partition_offsets(part, "g", ["cnt_p"]).groupBy("g").agg(
+        F.sum("cnt_p").cast("bigint").alias("n"),
+        *[F.sum(f"n{i}_p").cast("bigint").alias(f"n{i}") for i in tags],
+        *[
+            F.sum(
+                F.col(f"r{i}_l") + 2 * F.col("_o_cnt_p") * F.col(f"n{i}_p")
+            )
+            .cast("bigint")
+            .alias(f"r{i}")
             for i in tags
         ],
     )
@@ -2062,11 +2091,14 @@ def jonckheere_pairwise_u(
     mid-count). ``samples`` must be the bounded, known ordered class
     list (conditional aggregation, never a data-derived pivot).
 
-    Scale shape: one (group, value) tier aggregation with k
-    conditional counts, per-sample prefixes via the
-    grouped_running_totals range-partition recipe (no data-sized
-    PARTITION BY window), a bounded per-group fold, and the k·(k−1)/2
-    pair rows emitted with ONE explode(array(struct…)) — never a
+    Scale shape (r12 LOCAL+CROSS fold; guide §2.1): one (group,
+    value) tier aggregation with k conditional counts, ONE pass over
+    the range-partitioned tier table — each 2·U_ij is LINEAR in
+    prefix_i, so it folds per partition (2·U_ij = Σ_p [Σ c_j·(2·l_i
+    + c_i) + 2·off_i_p·Σ c_j], grouped_local_prefix /
+    partition_offsets with per-class offsets); no eager pin, no
+    offsets join, no data-sized PARTITION BY window. The k·(k−1)/2
+    pair rows are emitted with ONE explode(array(struct…)) — never a
     unionAll of selects (CLAUDE.md subtree-re-evaluation rule).
     Bounds: u2 ≤ 2·n_i·n_j must fit BIGINT — n ≲ 2·10⁹ rows per
     sample per group.
@@ -2077,7 +2109,8 @@ def jonckheere_pairwise_u(
     from pyspark.sql import functions as F
 
     from dpe_energy_performance_analysis_etl_spark.operators.quantiles import (
-        grouped_running_totals,
+        grouped_local_prefix,
+        partition_offsets,
     )
 
     if len(samples) < 2:
@@ -2099,12 +2132,27 @@ def jonckheere_pairwise_u(
             for i in tags
         ],
     )
-    pre = grouped_running_totals(tiers, "g", "v", [f"c{i}" for i in tags])
-    per = pre.groupBy("g").agg(
-        *[F.sum(f"c{i}").cast("bigint").alias(f"n{i}") for i in tags],
+    loc = grouped_local_prefix(tiers, "g", "v", [f"c{i}" for i in tags])
+    part = loc.groupBy("_pid", "g").agg(
+        *[F.sum(f"c{i}").cast("bigint").alias(f"n{i}_p") for i in tags],
         *[
             F.sum(
-                F.col(f"c{j}") * (2 * F.col(f"c{i}_before") + F.col(f"c{i}"))
+                F.col(f"c{j}") * (2 * F.col(f"_l_c{i}") + F.col(f"c{i}"))
+            )
+            .cast("bigint")
+            .alias(f"u2l_{i}_{j}")
+            for i in tags
+            for j in tags
+            if i < j
+        ],
+    )
+    folded = partition_offsets(part, "g", [f"n{i}_p" for i in tags])
+    per = folded.groupBy("g").agg(
+        *[F.sum(f"n{i}_p").cast("bigint").alias(f"n{i}") for i in tags],
+        *[
+            F.sum(
+                F.col(f"u2l_{i}_{j}")
+                + 2 * F.col(f"_o_n{i}_p") * F.col(f"n{j}_p")
             )
             .cast("bigint")
             .alias(f"u2_{i}_{j}")
@@ -2298,14 +2346,21 @@ def cramer_von_mises_2samp(
     under 10³⁸ up to N ≈ 10⁸ rows per group (one-step would overflow
     at 10³⁴·10⁶).
 
-    Prefixes ride the grouped_running_totals range-partition recipe.
+    Prefixes fold LOCAL+CROSS (r12; guide §2.1): the three moment
+    sums are degree-2 polynomials in the two inclusive prefixes
+    a = a_local + off1, b = b_local + off2 (offsets constant per
+    range partition), so they expand into per-partition partials
+    (Σc·al², Σc·al·bl, Σc·al, Σc·bl, Σc, …) folded at the bounded
+    (partitions × groups) level — no eager pin, no offsets join;
+    n1 = max(a) becomes the exact Σc1 from the same partials.
     Returns (group, n1, n2, cvm_ppm); groups where either sample is
     empty emit NULL cvm_ppm.
     """
     from pyspark.sql import functions as F
 
     from dpe_energy_performance_analysis_etl_spark.operators.quantiles import (
-        grouped_running_totals,
+        grouped_local_prefix,
+        partition_offsets,
     )
 
     tiers = df.groupBy(
@@ -2314,19 +2369,43 @@ def cramer_von_mises_2samp(
         F.count_if(F.col(flag_col)).cast("bigint").alias("c1"),
         F.count_if(~F.col(flag_col)).cast("bigint").alias("c2"),
     )
-    pre = grouped_running_totals(tiers, "g", "v", ["c1", "c2"])
-    ab = pre.selectExpr(
+    ab = grouped_local_prefix(tiers, "g", "v", ["c1", "c2"]).selectExpr(
+        "_pid",
         "g",
+        "c1",
+        "c2",
         "c1 + c2 AS c",
-        "c1_before + c1 AS a",
-        "c2_before + c2 AS b",
+        "_l_c1 + c1 AS al",
+        "_l_c2 + c2 AS bl",
     )
-    agg = ab.groupBy("g").agg(
-        F.max("a").cast("bigint").alias("n1"),
-        F.max("b").cast("bigint").alias("n2"),
-        F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * a * a")).alias("sa2"),
-        F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * a * b")).alias("sab"),
-        F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * b * b")).alias("sb2"),
+    part = ab.groupBy("_pid", "g").agg(
+        F.sum("c1").cast("bigint").alias("c1_p"),
+        F.sum("c2").cast("bigint").alias("c2_p"),
+        F.sum(F.expr("CAST(c AS DECIMAL(38,0))")).alias("sc"),
+        F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * al")).alias("sal"),
+        F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * bl")).alias("sbl"),
+        F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * al * al")).alias("sa2l"),
+        F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * al * bl")).alias("sabl"),
+        F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * bl * bl")).alias("sb2l"),
+    )
+    folded = partition_offsets(part, "g", ["c1_p", "c2_p"]).selectExpr(
+        "g",
+        "c1_p",
+        "c2_p",
+        "sa2l + 2 * CAST(_o_c1_p AS DECIMAL(38,0)) * sal"
+        " + CAST(_o_c1_p AS DECIMAL(38,0)) * _o_c1_p * sc AS sa2_p",
+        "sabl + CAST(_o_c1_p AS DECIMAL(38,0)) * sbl"
+        " + CAST(_o_c2_p AS DECIMAL(38,0)) * sal"
+        " + CAST(_o_c1_p AS DECIMAL(38,0)) * _o_c2_p * sc AS sab_p",
+        "sb2l + 2 * CAST(_o_c2_p AS DECIMAL(38,0)) * sbl"
+        " + CAST(_o_c2_p AS DECIMAL(38,0)) * _o_c2_p * sc AS sb2_p",
+    )
+    agg = folded.groupBy("g").agg(
+        F.sum("c1_p").cast("bigint").alias("n1"),
+        F.sum("c2_p").cast("bigint").alias("n2"),
+        F.sum("sa2_p").alias("sa2"),
+        F.sum("sab_p").alias("sab"),
+        F.sum("sb2_p").alias("sb2"),
     )
     return agg.selectExpr(
         f"g AS {group_col}",
@@ -2362,14 +2441,19 @@ def mood_dispersion_2samp(
     expectation n1/N — both single truncating ppm divisions, no
     float anywhere. Bounds: 4N³ < 10³⁸ per group (DECIMAL(38,0)).
 
-    Prefixes ride the grouped_running_totals range-partition recipe.
+    Prefixes fold LOCAL+CROSS (r12; guide §2.1): the score sums are
+    degree-2 in mr2 = mr2_local + 2·off (off constant per range
+    partition), so they expand into per-partition partials
+    (Σc1·mr2l², Σc1·mr2l, Σc1, …) folded at the bounded (partitions
+    × groups) level — no eager pin, no offsets join.
     Returns (group, n1, n2, mood_ppm, expect_ppm); NULL mood_ppm
     when the total score mass is zero (all values equal).
     """
     from pyspark.sql import functions as F
 
     from dpe_energy_performance_analysis_etl_spark.operators.quantiles import (
-        grouped_running_totals,
+        grouped_local_prefix,
+        partition_offsets,
     )
 
     tiers = df.groupBy(
@@ -2378,17 +2462,35 @@ def mood_dispersion_2samp(
         F.count_if(F.col(flag_col)).cast("bigint").alias("c1"),
         F.count(F.lit(1)).cast("bigint").alias("c"),
     )
-    pre = grouped_running_totals(tiers, "g", "v", ["c"])
-    mr = pre.selectExpr(
-        "g", "c1", "c", "2 * c_before + c + 1 AS mr2"
+    mr = grouped_local_prefix(tiers, "g", "v", ["c"]).selectExpr(
+        "_pid", "g", "c1", "c", "2 * _l_c + c + 1 AS mr2l"
     )
-    agg = mr.groupBy("g").agg(
-        F.sum("c1").cast("bigint").alias("n1"),
-        F.sum("c").cast("bigint").alias("n"),
-        F.sum(F.expr("CAST(c1 AS DECIMAL(38,0)) * mr2 * mr2")).alias("s1a"),
-        F.sum(F.expr("CAST(c1 AS DECIMAL(38,0)) * mr2")).alias("s1b"),
-        F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * mr2 * mr2")).alias("sta"),
-        F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * mr2")).alias("stb"),
+    part = mr.groupBy("_pid", "g").agg(
+        F.sum("c").cast("bigint").alias("c_p"),
+        F.sum("c1").cast("bigint").alias("n1_p"),
+        F.sum(F.expr("CAST(c1 AS DECIMAL(38,0)) * mr2l * mr2l")).alias("s1a_l"),
+        F.sum(F.expr("CAST(c1 AS DECIMAL(38,0)) * mr2l")).alias("s1b_l"),
+        F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * mr2l * mr2l")).alias("sta_l"),
+        F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * mr2l")).alias("stb_l"),
+    )
+    folded = partition_offsets(part, "g", ["c_p"]).selectExpr(
+        "g",
+        "n1_p",
+        "c_p",
+        "s1a_l + 4 * CAST(_o_c_p AS DECIMAL(38,0)) * s1b_l"
+        " + 4 * CAST(_o_c_p AS DECIMAL(38,0)) * _o_c_p * n1_p AS s1a_p",
+        "s1b_l + 2 * CAST(_o_c_p AS DECIMAL(38,0)) * n1_p AS s1b_p",
+        "sta_l + 4 * CAST(_o_c_p AS DECIMAL(38,0)) * stb_l"
+        " + 4 * CAST(_o_c_p AS DECIMAL(38,0)) * _o_c_p * c_p AS sta_p",
+        "stb_l + 2 * CAST(_o_c_p AS DECIMAL(38,0)) * c_p AS stb_p",
+    )
+    agg = folded.groupBy("g").agg(
+        F.sum("n1_p").cast("bigint").alias("n1"),
+        F.sum("c_p").cast("bigint").alias("n"),
+        F.sum("s1a_p").alias("s1a"),
+        F.sum("s1b_p").alias("s1b"),
+        F.sum("sta_p").alias("sta"),
+        F.sum("stb_p").alias("stb"),
     )
     m1 = "(s1a - 2 * (n + 1) * s1b + CAST(n + 1 AS DECIMAL(38,0)) * (n + 1) * n1)"
     mt = "(sta - 2 * (n + 1) * stb + CAST(n + 1 AS DECIMAL(38,0)) * (n + 1) * n)"
