@@ -206,18 +206,62 @@ def iblt_decode(
 ) -> DataFrame:
     """Peel a merged cell summary back into (key, side) rows. Per
     round, pure cells (count ±1, checksum matches) reveal keys; the
-    revealed set re-encodes (bounded explode) and subtracts from the
-    ORIGINAL cells — recompute-from-recovered, not incremental
-    mutation, so a round is a pure function of (cells0, recovered)
-    and replays exactly. Early exit on a zero-new-reveals round (one
-    bounded count action per round — the kcore convergence pattern).
+    NEW reveals re-encode (bounded explode) and subtract from the
+    running RESIDUAL summary, which is eagerly checkpointed per
+    round (r12; guide §2.2 shuffle fewer bytes).
+
+    Equivalence with the original recompute-from-recovered form is
+    exact: the cell summary is a linear monoid (SUM, BIT_XOR,
+    BIT_XOR), so subtracting each recovered key's stream ONCE —
+    incrementally, round by round — yields cell-for-cell the same
+    residual as re-subtracting the whole recovered set from
+    ``cells0`` every round, and the anti-join guarantees exactly
+    once even if a forged pure cell re-reveals an already-recovered
+    key (the case the old groupBy-max dedup absorbed). All-zero
+    cells drop from the residual (a pure cell has cnt ±1, so this
+    never hides a reveal); the residual therefore SHRINKS as keys
+    peel, making every round after the first proportional to what
+    remains undecoded instead of to the full sketch — at scale the
+    loop does one pass over O(cells) total plus O(k·|diff|) of
+    telescoped residual work, where the old form re-aggregated
+    O(cells + k·|recovered|) every round. Early exit on a
+    zero-new-reveals round (one bounded count action per round — the
+    kcore convergence pattern) now skips the final residual build
+    outright.
+
+    The loop-state checkpoints are LAZY (``eager=False``): the one
+    count action per round materializes both the round's reveals and
+    the pending residual in a single job, halving the per-round job
+    count — safe here because every consumer runs strictly after
+    that count, and nothing in the loop is nondeterministic (hash
+    partitioning only, no range sampling).
     """
     sub = n_cells // k
     recovered = spark.createDataFrame([], "x bigint, side bigint").localCheckpoint()
-    n_rec = 0
+    residual = cells0
     for _ in range(peel_rounds):
-        rec_stream = (
-            recovered.selectExpr("x AS k_x", "side")
+        pure = residual.filter(
+            F.col("cnt").isin(1, -1)
+            & (_iblt_mix(F.col("xk"), 999) == F.col("xc"))
+        ).select(F.col("xk").alias("x"), F.col("cnt").alias("side"))
+        new = (
+            # within a round the same key may surface from up to k
+            # pure cells, always with the same side — max is the
+            # deterministic dedup; the anti join keeps the removal
+            # stream exactly-once per key
+            pure.groupBy("x")
+            .agg(F.max("side").alias("side"))
+            .join(recovered.select("x"), "x", "anti")
+            .localCheckpoint(eager=False)
+        )
+        if new.count() == 0:
+            break
+        # recovered = disjoint union of pinned per-round reveals; no
+        # re-dedup and no extra pin needed (lineage is a shallow
+        # union of checkpointed leaves, one per round)
+        recovered = recovered.unionAll(new)
+        new_stream = (
+            new.selectExpr("x AS k_x", "side")
             .join(
                 spark.range(k).selectExpr("CAST(id AS INT) AS i"), how="cross"
             )
@@ -230,33 +274,25 @@ def iblt_decode(
                         F.lit(sub),
                     )
                 ).alias("cell"),
-                F.col("side").alias("w"),
+                (-F.col("side")).cast("bigint").alias("w"),
                 F.col("k_x").alias("x"),
                 _iblt_mix(F.col("k_x"), 999).alias("chk"),
             )
         )
-        residual = iblt_summarize(
-            cells0.select(
-                "cell", F.col("cnt").alias("w"), F.col("xk").alias("x"), F.col("xc").alias("chk")
-            ).unionAll(rec_stream.select("cell", (-F.col("w")).alias("w"), "x", "chk"))
+        residual = (
+            iblt_summarize(
+                residual.select(
+                    "cell",
+                    F.col("cnt").alias("w"),
+                    F.col("xk").alias("x"),
+                    F.col("xc").alias("chk"),
+                ).unionAll(new_stream)
+            )
+            .filter(
+                (F.col("cnt") != 0) | (F.col("xk") != 0) | (F.col("xc") != 0)
+            )
+            .localCheckpoint(eager=False)
         )
-        # the cells0 row re-enters as one pre-aggregated element:
-        # summing cnt and xoring xk/xc against the removal stream is
-        # exactly "subtract the recovered keys' contributions"
-        pure = residual.filter(
-            F.col("cnt").isin(1, -1)
-            & (_iblt_mix(F.col("xk"), 999) == F.col("xc"))
-        ).select(F.col("xk").alias("x"), F.col("cnt").alias("side"))
-        recovered = (
-            # within a round the same key may surface from up to k
-            # pure cells, always with the same side — max is the
-            # deterministic dedup
-            recovered.unionAll(pure).groupBy("x").agg(F.max("side").alias("side"))
-        ).localCheckpoint()
-        new_n = recovered.count()
-        if new_n == n_rec:
-            break
-        n_rec = new_n
     return recovered.select(
         "x",
         F.when(F.col("side") == 1, "left_only").otherwise("right_only").alias("side"),

@@ -102,6 +102,32 @@ class TestIbltSetDiff:
             else:
                 assert 3000 <= r["k"] < 4000
 
+    def test_tight_cells_multi_round_peel(self, spark):
+        # r12: decode keeps an INCREMENTAL residual (subtract only
+        # each round's new reveals, drop zeroed cells). At ~2.56
+        # cells per diff key the first round leaves a large
+        # undecoded tail, so full recovery REQUIRES several content
+        # rounds through the shrinking residual — a single-round or
+        # double-subtraction bug cannot pass. Exactly-once is pinned
+        # by the no-duplicate-keys check.
+        from dpe_energy_performance_analysis_etl_spark.operators.diff import iblt_set_diff
+
+        left = self._mk(spark, range(0, 1100))
+        right = self._mk(spark, range(200, 1300))
+        got = iblt_set_diff(left, right, "k", n_cells=1024, k=3).collect()
+        keys = [r["k"] for r in got]
+        assert len(keys) == len(set(keys))
+        want = {(k, "left_only") for k in range(0, 200)} | {
+            (k, "right_only") for k in range(1100, 1300)
+        }
+        # a stuck hash 2-cycle may strand a couple of keys at this
+        # ratio (old recompute form stranded the IDENTICAL set —
+        # verified side by side); everything recovered must be real
+        # and near-complete, which takes several content rounds
+        recovered = {(r["k"], r["side"]) for r in got}
+        assert recovered <= want
+        assert len(recovered) >= 380
+
     def test_partitioning_invariance(self, spark):
         from dpe_energy_performance_analysis_etl_spark.operators.diff import iblt_set_diff
 
