@@ -500,7 +500,8 @@ def grouped_kth_smallest(
     value_col: str,
     k_df: DataFrame | None = None,
     k_of_n: str | None = None,
-) -> DataFrame:
+    with_ranged: bool = False,
+):
     """Exact k-th smallest ``value_col`` per group — the per-group
     generalization of ``equi_depth_bins``' distributed-ranking
     recipe, for when a window `PARTITION BY group` would be a skew
@@ -536,12 +537,17 @@ def grouped_kth_smallest(
         # r8 RFM incident class); k is re-derived from the returned
         # group size for the documented (group, n, k, kth_value)
         # shape, with NULL kth_value when k is out of [1, n]
-        out = grouped_kths_smallest(
-            df, group_col, value_col, {"kth_value": k_of_n}
+        res = grouped_kths_smallest(
+            df, group_col, value_col, {"kth_value": k_of_n},
+            with_ranged=with_ranged,
         )
-        return out.withColumn("k", F.expr(k_of_n).cast("bigint")).select(
+        out, ranged = res if with_ranged else (res, None)
+        out = out.withColumn("k", F.expr(k_of_n).cast("bigint")).select(
             group_col, "n", "k", "kth_value"
         )
+        return (out, ranged) if with_ranged else out
+    if with_ranged:
+        raise ValueError("with_ranged requires the k_of_n path")
     order = [F.col(group_col).asc(), F.col(value_col).asc()]
     ranged = (
         df.select(group_col, value_col)
@@ -577,7 +583,8 @@ def grouped_kths_smallest(
     group_col: str,
     value_col: str,
     ks: dict[str, str],
-) -> DataFrame:
+    with_ranged: bool = False,
+):
     """SEVERAL exact order statistics per group from ONE pinned
     ranged subtree — the multi-k sibling of ``grouped_kth_smallest``
     for queries that want e.g. P50 AND P90 (ship-delay SLA, repeat-
@@ -591,6 +598,15 @@ def grouped_kths_smallest(
     group size ``n`` (the ``k_of_n`` contract). Returns one row per
     group: (group, n, <name> ...), each <name> NULL when its k is
     out of [1, n].
+
+    ``with_ranged=True`` returns ``(result, ranged)`` where
+    ``ranged`` is the recipe's own PINNED range-partitioned copy of
+    ``df`` (columns: group, value, ``_pid``) — for callers that
+    must join the picked statistics back onto the very rows the
+    recipe ranked (e.g. a threshold cut). Reusing the pinned leaf
+    avoids recomputing ``df``'s upstream in a SECOND action (the
+    r12 `with_totals` precedent: a pin is an action of its own, so
+    exchange reuse never spans it).
     """
     order = [F.col(group_col).asc(), F.col(value_col).asc()]
     ranged = (
@@ -644,9 +660,12 @@ def grouped_kths_smallest(
         .pivot("_kname", list(ks))
         .agg(F.first(value_col))
     )
-    return totals.join(picks, group_col, "left").select(
+    out = totals.join(picks, group_col, "left").select(
         group_col, "n", *ks
     )
+    if with_ranged:
+        return out, ranged
+    return out
 
 
 def quantile_normalize(

@@ -466,9 +466,15 @@ def kmv_pairwise_setops(
         F.col(group_col).alias("g"),
         _raw_rolling_hash(F.rpad(F.col(item_col), KMV_PAD, "#")).alias("h"),
     ).distinct()
-    th = grouped_kth_smallest(hashes, "g", "h", k_of_n=f"least(n, {k})")
+    # with_ranged: the threshold cut joins back onto the recipe's
+    # OWN pinned ranged copy of `hashes` — without it the sk pin is
+    # a second action and recomputes the whole tokenize+distinct
+    # upstream (r12; guide §5 avoid needless recomputation)
+    th, ranged = grouped_kth_smallest(
+        hashes, "g", "h", k_of_n=f"least(n, {k})", with_ranged=True
+    )
     sk = (
-        hashes.join(
+        ranged.join(
             F.broadcast(th.select("g", F.col("kth_value").alias("_thr"))), "g"
         )
         .where(F.col("h") <= F.col("_thr"))

@@ -395,3 +395,37 @@ class TestGroupedKthsSmallest:
                 assert r["n"] == n
                 for name, want in expect.items():
                     assert r[name] == want, (g, name)
+
+
+def test_with_ranged_returns_pinned_copy_of_input(spark):
+    # r12: with_ranged hands back the recipe's own pinned ranged
+    # table so threshold cuts join onto it instead of recomputing
+    # the input's upstream in a second action (kmv_pairwise_setops).
+    from dpe_energy_performance_analysis_etl_spark.operators.quantiles import (
+        grouped_kth_smallest,
+    )
+
+    rows = [("a", v) for v in range(100)] + [("b", v * 3) for v in range(40)]
+    df = spark.createDataFrame(rows, "g string, h long")
+    th, ranged = grouped_kth_smallest(
+        df, "g", "h", k_of_n="least(n, 16)", with_ranged=True
+    )
+    # the ranged copy holds exactly the input rows (plus _pid)
+    assert sorted(
+        (r["g"], r["h"]) for r in ranged.select("g", "h").collect()
+    ) == sorted(rows)
+    # a threshold cut over the ranged copy == the cut over the input
+    from pyspark.sql import functions as F
+
+    cut = (
+        ranged.join(
+            F.broadcast(th.select("g", F.col("kth_value").alias("t"))), "g"
+        )
+        .where(F.col("h") <= F.col("t"))
+        .select("g", "h")
+    )
+    want = {("a", v) for v in range(16)} | {("b", v * 3) for v in range(16)}
+    assert {(r["g"], r["h"]) for r in cut.collect()} == want
+    # single-k result shape unchanged
+    got = {r["g"]: (r["n"], r["k"], r["kth_value"]) for r in th.collect()}
+    assert got == {"a": (100, 16, 15), "b": (40, 16, 45)}
