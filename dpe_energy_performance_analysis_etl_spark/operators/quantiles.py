@@ -465,6 +465,46 @@ def global_rank_and_prefix(
     )
 
 
+def global_prefix_max(
+    df: DataFrame,
+    order: list,
+    sum_col: str,
+    out_col: str = "prefix_max",
+) -> DataFrame:
+    """MAX over the exact inclusive global running total of
+    ``sum_col`` under ``order`` — for sweep-line peaks (peak
+    concurrency, max drawdown-style folds) that need ONLY the
+    extremum, never the per-row prefix. r12 LOCAL+CROSS fold (guide
+    §2.1): max of the global prefix = max over range partitions of
+    (sum of all earlier partitions + the partition's local inclusive
+    max), because the cross-partition offset is constant within a
+    partition. One pass over the ranged table (single consumer — no
+    pin needed, the r8 multi-instantiation hazard cannot arise), a
+    bounded per-partition fold, no offsets join, no per-row rank.
+    ``sum_col`` must be integral. Returns a 1-row DataFrame
+    (``out_col`` BIGINT, NULL on empty input)."""
+    ranged = df.repartitionByRange(*order).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_loc = (
+        Window.partitionBy("_pid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    loc = ranged.withColumn("_lcs", F.sum(sum_col).over(w_loc).cast("bigint"))
+    part = loc.groupBy("_pid").agg(
+        F.sum(sum_col).cast("bigint").alias("_s"),
+        F.max("_lcs").alias("_m"),
+    )
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    folded = part.withColumn(
+        "_off", F.coalesce(F.sum("_s").over(w_off), F.lit(0)).cast("bigint")
+    )
+    return folded.agg(
+        F.max(F.col("_off") + F.col("_m")).cast("bigint").alias(out_col)
+    )
+
+
 def global_rank_column(
     df: DataFrame,
     order: list,

@@ -194,19 +194,22 @@ def littles_law_sessions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: whole-second epochs (epoch_us div 1e6 — the r6 rule);
     every term a nonnegative integer truncating div. The
     concurrency sweep aggregates +1/-1 deltas PER DISTINCT SECOND
-    first (so the running sum is order-independent), then takes the
-    exact global prefix via ``global_rank_and_prefix``'s
-    partition-offset two-pass — never a data-sized single-partition
-    window (the sweep table is ~2x sessions).
+    first (so the running sum is order-independent), then — r12 —
+    folds the peak via ``global_prefix_max``'s LOCAL+CROSS
+    decomposition (only the extremum is reported, so the per-row
+    global prefix, its eager pin and its offsets join are never
+    built); the delta stream itself is ONE explode over the cached
+    session table instead of a unionAll of two selects (CLAUDE.md
+    subtree rule: one scan, one plan branch).
 
     Scale shape: sessionization is per-user windows over one
-    user-keyed shuffle; the sweep is the scale-safe prefix
+    user-keyed shuffle; the sweep is the scale-safe fold
     primitive; output is one row."""
     from dpe_energy_performance_analysis_etl_spark.functions.temporal import (
         epoch_micros,
     )
     from dpe_energy_performance_analysis_etl_spark.operators.quantiles import (
-        global_rank_and_prefix,
+        global_prefix_max,
     )
 
     ev = read_events(spark, sf_dir).select(
@@ -247,13 +250,17 @@ def littles_law_sessions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(MAX(e) - MIN(s) AS BIGINT)").alias("span"),
     )
     deltas = (
-        sess.selectExpr("s AS t", "CAST(1 AS BIGINT) AS d")
-        .unionAll(sess.selectExpr("e + 1 AS t", "CAST(-1 AS BIGINT) AS d"))
+        sess.selectExpr(
+            "explode(array(struct(s AS t, CAST(1 AS BIGINT) AS d),"
+            " struct(e + 1 AS t, CAST(-1 AS BIGINT) AS d))) AS ev"
+        )
+        .selectExpr("ev.t AS t", "ev.d AS d")
         .groupBy("t")
         .agg(F.sum("d").cast("bigint").alias("d"))
     )
-    swept = global_rank_and_prefix(deltas, [F.col("t").asc()], "d", cum_col="conc")
-    peak = swept.agg(F.max("conc").cast("bigint").alias("peak_concurrency"))
+    peak = global_prefix_max(
+        deltas, [F.col("t").asc()], "d", out_col="peak_concurrency"
+    )
     return agg.crossJoin(F.broadcast(peak)).selectExpr(
         "n AS n_sessions",
         "busy AS busy_sec",

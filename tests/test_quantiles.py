@@ -429,3 +429,37 @@ def test_with_ranged_returns_pinned_copy_of_input(spark):
     # single-k result shape unchanged
     got = {r["g"]: (r["n"], r["k"], r["kth_value"]) for r in th.collect()}
     assert got == {"a": (100, 16, 15), "b": (40, 16, 45)}
+
+
+def test_global_prefix_max_multi_partition(spark):
+    # r12: peak-of-running-sum folds LOCAL+CROSS without per-row
+    # prefixes. Force several range partitions so the cross-offset
+    # term is exercised (AQE would coalesce the tiny exchange).
+    import random
+
+    from pyspark.sql import functions as F
+
+    from dpe_energy_performance_analysis_etl_spark.operators.quantiles import (
+        global_prefix_max,
+    )
+
+    old = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        rng = random.Random(7)
+        rows = [(t, rng.randint(-5, 5)) for t in range(2000)]
+        df = spark.createDataFrame(rows, "t long, d long")
+        got = global_prefix_max(df, [F.col("t").asc()], "d").collect()[0][0]
+        run = best = None
+        for _, d in sorted(rows):
+            run = d if run is None else run + d
+            best = run if best is None else max(best, run)
+        assert got == best
+        # empty input -> NULL
+        empty = spark.createDataFrame([], "t long, d long")
+        assert (
+            global_prefix_max(empty, [F.col("t").asc()], "d").collect()[0][0]
+            is None
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", old)

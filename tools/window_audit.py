@@ -73,6 +73,7 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("operators/quality.py", "calibration_report"): "bins: fixed probability bins",
     ("operators/quantiles.py", "cumulative_gains"): "partitions: offset table (recipe)",
     ("operators/quantiles.py", "equi_depth_bins"): "partitions: offset table (recipe)",
+    ("operators/quantiles.py", "global_prefix_max"): "partitions: offset table (the scale-safe recipe itself)",
     ("operators/quantiles.py", "global_rank_and_prefix"): "partitions: offset table (the scale-safe recipe itself)",
     ("operators/quantiles.py", "global_rank_column"): "partitions: offset table (the scale-safe recipe itself)",
     ("operators/quantiles.py", "histogram_quantiles"): "bins: n_buckets table",
