@@ -52,9 +52,19 @@ def connected_components(
     reachable from node. ``nodes`` optionally supplies the full node
     universe so isolated nodes appear as singleton components.
     """
-    und = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).unionAll(
-        edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
-    )
+    # symmetrize via ONE explode — the unionAll-of-selects form
+    # re-evaluated the (possibly expensive) edge subtree once per
+    # branch during the checkpoint build: the two branches project
+    # different column orders, so their exchanges are not
+    # plan-identical and ReusedExchange cannot dedupe them (r12)
+    und = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(src).alias("s"), F.col(dst).alias("d")),
+                F.struct(F.col(dst).alias("s"), F.col(src).alias("d")),
+            )
+        ).alias("e")
+    ).select("e.s", "e.d")
     if nodes is not None:
         universe = nodes.select(F.col(node_col).alias("node")).distinct()
     else:
@@ -73,7 +83,11 @@ def connected_components(
         )
         new_labels = (
             labels.unionAll(msgs).groupBy("node").agg(F.min("comp").alias("comp"))
-        ).localCheckpoint()
+            # LAZY: the sum-probe collect below is the round's one
+            # action and materializes the checkpoint in the same job
+            # (eager here scheduled two jobs per round for the same
+            # work — the IBLT loop-state rule, r12)
+        ).localCheckpoint(eager=False)
         labels = new_labels
         new_sum = labels.agg(F.sum("comp")).collect()[0][0]
         if new_sum == prev_sum:

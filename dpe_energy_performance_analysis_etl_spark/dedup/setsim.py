@@ -102,12 +102,24 @@ def prefix_filter_jaccard_join(
         (num * F.col("n") + F.lit(frac.denominator - 1)) / den
     ).cast("bigint")
     prefix = ranked.where(F.col("pos") <= F.col("n") - ceil_tn + 1).select(
-        "doc_id", "shingle"
+        "doc_id", "shingle", "n"
     )
+    # AllPairs length filter (Bayardo WWW'07 §3.1): J(a,b) >= num/den
+    # implies den·min(|a|,|b|) >= num·max(|a|,|b|) (c <= min and
+    # c·(num+den) >= num·(|a|+|b|)). Applying it AT candidate
+    # generation prunes size-mismatched pairs before the distinct and
+    # the set-payload verify join, for one extra int column in the
+    # prefix shuffle (r12; exact — no qualifying pair can fail it).
     cand = (
         prefix.alias("a")
         .join(prefix.alias("b"), "shingle")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .where(
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                den * F.least(F.col("a.n"), F.col("b.n"))
+                >= num * F.greatest(F.col("a.n"), F.col("b.n"))
+            )
+        )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )

@@ -55,25 +55,28 @@ def pagerank_fixed(
     # upstream of every round's join — uncached, each of the
     # 2·iterations actions re-derives them from source (measured 3.7x
     # on the supplier graph at sf1: 19.1 s -> 5.2 s with caching).
-    e = (
-        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .distinct()
-        .cache()
-    )
+    # Out-degree rides a per-src window on the edge table itself (one
+    # hash(src) exchange) instead of a separate deg table: each round
+    # then runs ONE |E|-keyed join instead of ranks⋈deg followed by
+    # ⋈e, and the cached table is hash-partitioned AND sorted on src,
+    # so the per-round sort-merge join reads the cached layout with no
+    # re-exchange of the static |E| side (guide §2.4: share one
+    # exchange across operations keyed the same way).
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).distinct()
+    ew = e.withColumn(
+        "deg", F.count(F.lit(1)).over(Window.partitionBy("src"))
+    ).cache()
     nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionAll(e.select(F.col("dst").alias("node")))
+        ew.select(F.explode(F.array("src", "dst")).alias("node"))
         .distinct()
         .cache()
     )
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).cache()
     ranks = nodes.withColumn("rank_scaled", F.lit(SCALE).cast("long"))
 
     base = (damping_den - damping_num) * SCALE // damping_den
     for i in range(iterations):
         contrib = (
-            ranks.join(deg, ranks["node"] == deg["src"], "inner")
-            .join(e, on="src")
+            ranks.join(ew, ranks["node"] == ew["src"], "inner")
             .select(
                 F.col("dst").alias("node"),
                 # SQL `div` = true int64 division: `floor(a / b)` would
@@ -219,7 +222,7 @@ def kcore_peel(
             .agg(F.count(F.lit(1)).alias("deg"))
         )
 
-    prev_count = e.count()
+    prev_count = e.count() if iterations is None else None
     rounds = 0
     while iterations is None or rounds < iterations:
         # keep feeds both semi-joins: its degree-agg re-runs per
@@ -237,13 +240,17 @@ def kcore_peel(
             # see NOTES round-5; checkpoint() on a real cluster)
             .localCheckpoint()
         )
-        n = nxt.count()
         e.unpersist()
         e = nxt
         rounds += 1
-        if iterations is None and n == prev_count:
-            break
-        prev_count = n
+        if iterations is None:
+            # the count is ONLY the fixpoint probe — a fixed-round
+            # prefix skips it (the eager checkpoint already
+            # materialized the round; one job per round, not two)
+            n = nxt.count()
+            if n == prev_count:
+                break
+            prev_count = n
     out = degrees(e).where(F.col("deg") >= k).select(
         F.col("v"), F.col("deg").alias("core_degree")
     )
@@ -465,12 +472,26 @@ def link_prediction_scores(
     adj = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).select(
         F.col("a").alias("z"), F.col("b").alias("nbr")
     )
-    deg = adj.groupBy("z").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    # deg feeds three consumers (wedge left side, du, dv) — uncached,
+    # the |V|-sized final aggregation re-runs per consumer (r12; the
+    # map side dedupes via ReusedExchange, the post-shuffle agg does
+    # not). |V| rows, cheap to hold.
+    deg = adj.groupBy("z").agg(F.count(F.lit(1)).cast("bigint").alias("deg")).cache()
     mids = adj.join(deg, "z")
     if max_middle_degree is not None:
         mids = mids.filter(F.col("deg") <= max_middle_degree)
     left = mids.select("z", F.col("nbr").alias("u"), F.col("deg"))
-    right = mids.select("z", F.col("nbr").alias("v"))
+    # the right wedge side never reads deg: plain adjacency, so the
+    # data-sized adj⋈deg join executes ONCE (it was consumed by both
+    # wedge sides and re-ran per branch — joins above deduplicated
+    # exchanges still re-execute per consumer, r12)
+    right = adj.select("z", F.col("nbr").alias("v"))
+    if max_middle_degree is not None:
+        right = (
+            adj.join(deg, "z")
+            .filter(F.col("deg") <= max_middle_degree)
+            .select("z", F.col("nbr").alias("v"))
+        )
     wedges = left.join(right, "z").filter(F.col("u") < F.col("v"))
     scored = wedges.groupBy("u", "v").agg(
         F.count(F.lit(1)).cast("bigint").alias("common_neighbors"),
@@ -535,9 +556,19 @@ def landmark_bfs_distances(
         F.least(F.col(src), F.col(dst)).alias("a"),
         F.greatest(F.col(src), F.col(dst)).alias("b"),
     ).filter(F.col("a") != F.col("b")).distinct()
+    # ONE explode, not unionAll-of-selects: e is uncached and its
+    # build (often a data-sized graph construction) would re-run once
+    # per union branch during the adj cache materialization (r12)
     adj = (
-        e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .select(F.col("a").alias("z"), F.col("b").alias("nbr"))
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("z"), F.col("b").alias("nbr")),
+                    F.struct(F.col("b").alias("z"), F.col("a").alias("nbr")),
+                )
+            ).alias("x")
+        )
+        .select("x.z", "x.nbr")
         .cache()
     )
     if sources is not None:
@@ -642,18 +673,18 @@ def personalized_pagerank(
     one src-keyed join + one dst-keyed agg, |E|-bounded; static
     edge/degree/node/seed tables cached once.
     """
-    e = (
-        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .distinct()
-        .cache()
-    )
+    # Same static-table layout as pagerank_fixed (r12): out-degree via
+    # a per-src window, cached hash(src)-partitioned, so each round is
+    # ONE |E|-keyed join with no re-exchange of the static side.
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).distinct()
+    ew = e.withColumn(
+        "deg", F.count(F.lit(1)).over(Window.partitionBy("src"))
+    ).cache()
     nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionAll(e.select(F.col("dst").alias("node")))
+        ew.select(F.explode(F.array("src", "dst")).alias("node"))
         .distinct()
         .cache()
     )
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).cache()
     seeds = nodes.orderBy("node").limit(n_seeds).select(
         "node", F.lit(True).alias("__seed")
     ).cache()
@@ -670,8 +701,7 @@ def personalized_pagerank(
     )
     for _ in range(iterations):
         contrib = (
-            ranks.join(deg, ranks["node"] == deg["src"], "inner")
-            .join(e, on="src")
+            ranks.join(ew, ranks["node"] == ew["src"], "inner")
             .select(
                 F.col("dst").alias("node"),
                 F.expr("rank_scaled div deg").alias("c"),
@@ -738,11 +768,15 @@ def hits_fixed(
     hubs = nodes.select("node", F.lit(HITS_SCALE).cast("long").alias("h"))
 
     def _renorm(df: DataFrame, col: str) -> DataFrame:
-        # eager checkpoint FIRST: the raw table feeds both the max
+        # checkpoint FIRST: the raw table feeds both the max
         # aggregate and the renormalized projection — uncached, the
         # double consumption compounds through the h->a->h chain into
-        # 2^rounds re-evaluations (measured 28 s -> 7 s at sf0.01)
-        df = df.localCheckpoint()
+        # 2^rounds re-evaluations (measured 28 s -> 7 s at sf0.01).
+        # LAZY (r12): the broadcast build of __mx is the first
+        # consumer and materializes the blocks inside the final
+        # action — eager here scheduled 2 extra jobs per round for
+        # the same work
+        df = df.localCheckpoint(eager=False)
         mx = df.agg(F.max(col).alias("__mx"))
         return df.crossJoin(F.broadcast(mx)).select(
             "node",
@@ -1040,13 +1074,19 @@ def ktruss_edges(
             .select("a", "b", F.coalesce(F.col("support"), F.lit(0)).alias("support"))
             .localCheckpoint()
         )
-        n = nxt.count()
         support = nxt
-        e = nxt.select("a", "b").localCheckpoint()
+        # lazy projection over the checkpointed leaf — a second eager
+        # localCheckpoint here re-materialized a full copy of the same
+        # rows minus one column, one extra pass per round (r12)
+        e = nxt.select("a", "b")
         rounds += 1
-        if iterations is None and n == prev:
-            break
-        prev = n
+        if iterations is None:
+            # count = fixpoint probe only; a fixed-round prefix skips
+            # it (the eager checkpoint already ran the round's job)
+            n = nxt.count()
+            if n == prev:
+                break
+            prev = n
     if support is None:
         return e.withColumn("support", F.lit(0).cast("bigint"))
     return support
@@ -1338,15 +1378,23 @@ def densest_subgraph(
             e.join(keep.withColumnRenamed("v", "a"), "a", "left_semi")
             .join(keep.withColumnRenamed("v", "b"), "b", "left_semi")
             .select("a", "b")
-            .localCheckpoint()
+            # LAZY checkpoint: the stats() collect below is the one
+            # action per round and materializes checkpoint + cache in
+            # a single job (the IBLT loop-state rule, r12) — eager
+            # here doubled the per-round job count
+            .localCheckpoint(eager=False)
         )
         nxt.cache()
-        if e is not best_e_df:
-            e.unpersist()
+        prev_e = e
         e = nxt
         rounds += 1
         prev = (nv, ne)
         nv, ne = stats(e)
+        if prev_e is not best_e_df:
+            # safe only after stats() materialized nxt: unpersist
+            # drops the cache entry, and the checkpoint blocks of the
+            # prior round remain for any still-lazy consumers
+            prev_e.unpersist()
         if iterations is None and (nv, ne) == prev:
             break
     if best_e_df is None:
@@ -1394,9 +1442,15 @@ def diameter_two_sweep(
         F.least(F.col(src), F.col(dst)).alias("a"),
         F.greatest(F.col(src), F.col(dst)).alias("b"),
     ).filter(F.col("a") != F.col("b")).distinct()
-    adj = e.unionAll(
-        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).select(F.col("a").alias("z"), F.col("b").alias("nbr"))
+    # explode-symmetrize (see landmark BFS note — e is uncached)
+    adj = e.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("z"), F.col("b").alias("nbr")),
+                F.struct(F.col("b").alias("z"), F.col("a").alias("nbr")),
+            )
+        ).alias("x")
+    ).select("x.z", "x.nbr")
     deg = adj.groupBy("z").agg(F.count(F.lit(1)).alias("d"))
     start = deg.agg(
         F.min(F.struct((-F.col("d")).alias("nd"), F.col("z").alias("z"))).alias(

@@ -79,24 +79,30 @@ def _lloyd_fit(
 
     assigned = None
     for _ in range(iterations):
-        # argmin over k broadcast centroids; min-struct = (dist, id) pick
-        scored = base.crossJoin(F.broadcast(cents)).select(
+        # argmin over the k broadcast centroids, ROW-LOCALLY: the
+        # centroids fold to a ONE-row array and each vector picks its
+        # min-(dist, id) struct with array_min(transform(...)) inside
+        # the projection. The previous crossJoin-k-rows + groupBy(vid)
+        # form shuffled k copies of every full vector per round (r12;
+        # guide §2.3 — the argmin needs no exchange at all). The two
+        # field reads of `best` are codegen-CSE'd (one array scan).
+        cents_arr = cents.agg(
+            F.collect_list(F.struct("cluster", "c")).alias("cs")
+        )
+        best = F.array_min(
+            F.transform(
+                F.col("cs"),
+                lambda s: F.struct(
+                    _sq_dist_int(F.col("v"), s["c"]).alias("dist"),
+                    s["cluster"].alias("cluster"),
+                ),
+            )
+        )
+        assigned = base.crossJoin(F.broadcast(cents_arr)).select(
             "vid",
             "v",
-            F.struct(
-                _sq_dist_int(F.col("v"), F.col("c")).alias("dist"),
-                F.col("cluster").alias("cluster"),
-            ).alias("dc"),
-        )
-        assigned = (
-            scored.groupBy("vid")
-            .agg(F.min("dc").alias("best"), F.first("v").alias("v"))
-            .select(
-                "vid",
-                "v",
-                F.col("best.cluster").alias("cluster"),
-                F.col("best.dist").alias("dist"),
-            )
+            best["cluster"].alias("cluster"),
+            best["dist"].alias("dist"),
         )
         dims = assigned.select(
             "cluster", F.posexplode("v").alias("d", "x")
@@ -813,23 +819,36 @@ def kmeans_validity_indices(
     """
     base, assigned, cents = _lloyd_fit(vectors, k, iterations, vec_col, id_col)
 
-    scored = (
+    # k-wide scoring pass, ROW-LOCAL like the Lloyd argmin (r12): the
+    # final centroids fold to a one-row broadcast array; a² (own
+    # centroid) and b² (nearest other) are array_min over filtered
+    # transforms — the crossJoin-k-rows + groupBy(vid, own) form
+    # shuffled |V|·k scored rows for a per-row reduction.
+    # array_min([]) = NULL matches the old min(CASE...)-over-empty.
+    cents_arr = cents.agg(F.collect_list(F.struct("cluster", "c")).alias("cs"))
+    pts = (
         assigned.select("vid", F.col("cluster").alias("own"), "v")
-        .crossJoin(F.broadcast(cents))
+        .crossJoin(F.broadcast(cents_arr))
         .select(
             "vid",
             "own",
-            "cluster",
-            _sq_dist_int(F.col("v"), F.col("c")).alias("dist"),
+            F.array_min(
+                F.transform(
+                    F.filter(F.col("cs"), lambda s: s["cluster"] == F.col("own")),
+                    lambda s: _sq_dist_int(F.col("v"), s["c"]),
+                )
+            )
+            .cast("bigint")
+            .alias("a2"),
+            F.array_min(
+                F.transform(
+                    F.filter(F.col("cs"), lambda s: s["cluster"] != F.col("own")),
+                    lambda s: _sq_dist_int(F.col("v"), s["c"]),
+                )
+            )
+            .cast("bigint")
+            .alias("b2"),
         )
-    )
-    pts = scored.groupBy("vid", "own").agg(
-        F.min(F.expr("CASE WHEN cluster = own THEN dist END"))
-        .cast("bigint")
-        .alias("a2"),
-        F.min(F.expr("CASE WHEN cluster <> own THEN dist END"))
-        .cast("bigint")
-        .alias("b2"),
     )
     sil = pts.selectExpr(
         "own AS cluster",

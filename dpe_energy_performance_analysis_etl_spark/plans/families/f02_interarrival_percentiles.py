@@ -1034,9 +1034,18 @@ def pagerank_supplier_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
-        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
-    )
+    # symmetrize via explode(array(...)) — the unionAll-of-selects form
+    # re-ran the orders⋈lineitem distinct once per branch (the
+    # repeated-subtree rule; both BroadcastHashJoin branches were
+    # visible in plans/r12/pagerank_supplier_graph_before.txt)
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("c").alias("src"), F.col("s").alias("dst")),
+                F.struct(F.col("s").alias("src"), F.col("c").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     return pagerank_fixed(edges, iterations=3)
 
 

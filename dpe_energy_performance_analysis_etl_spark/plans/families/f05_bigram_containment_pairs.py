@@ -215,9 +215,16 @@ def ppr_supplier_graph_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
-        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
-    )
+    # symmetrize via explode(array(...)) — unionAll-of-selects re-runs
+    # the orders⋈lineitem distinct per branch (repeated-subtree rule)
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("c").alias("src"), F.col("s").alias("dst")),
+                F.struct(F.col("s").alias("src"), F.col("c").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     return personalized_pagerank(edges, n_seeds=4, iterations=3)
 
 

@@ -90,30 +90,58 @@ def seeded_pq_centroids(
     return dense_reindex(cents)
 
 
+def _codebook_row(cents: DataFrame) -> DataFrame:
+    """Fold the (cid, s, cv) codebook into ONE row: sl = array over
+    subspaces (sorted by s) of (s, cl) with cl the cid-sorted
+    centroid list. m·ksub rows — trivially broadcastable."""
+    return (
+        cents.groupBy("s")
+        .agg(F.array_sort(F.collect_list(F.struct("cid", "cv"))).alias("cl"))
+        .groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("s", "cl"))).alias("sl"))
+    )
+
+
+def _subvectors(m: int, dsub: int, vec_col: str) -> Column:
+    """array over s=0..m-1 of the s-th dsub-dim double subvector —
+    positionally aligned with the codebook's s-sorted sl array."""
+    return F.array(
+        *[
+            F.transform(
+                F.slice(F.col(vec_col), s * dsub + 1, dsub),
+                lambda x: x.cast("double"),
+            )
+            for s in range(m)
+        ]
+    )
+
+
 def pq_encode(
     corpus: DataFrame, cents: DataFrame, m: int, dsub: int, vec_col: str = "embedding", id_col: str = "vec_id"
 ) -> DataFrame:
     """(id, codes array<int>): per-subspace argmin-distance centroid
-    ids, assembled in subspace order. The codebook is broadcast
-    (m*ksub rows); assignment is a map-side min_by aggregation — the
-    corpus shuffles once on its own id to assemble the code array."""
-    subs = explode_subspaces(corpus, m, dsub, vec_col, id_col)
-    assigned = (
-        subs.join(F.broadcast(cents), "s")
-        .groupBy("vid", "s")
-        .agg(
-            F.min_by(
-                "cid", F.struct(_sq_dist(F.col("sv"), F.col("cv")).alias("d"), F.col("cid").alias("c"))
-            ).alias("code")
-        )
+    ids, assembled in subspace order. ROW-LOCAL (r12): the codebook
+    folds to a one-row broadcast array and every vector computes its
+    m argmins inside a single projection — the previous broadcast-
+    join + groupBy(vid, s) + groupBy(vid) form shuffled m·ksub scored
+    rows per vector twice for a per-row reduction (guide §2.3). Tie
+    semantics identical: array_min over (d, cid) structs = the old
+    min_by (d, cid) pick."""
+    cb = _codebook_row(cents)
+    codes = F.zip_with(
+        _subvectors(m, dsub, vec_col),
+        F.col("sl"),
+        lambda sv, e: F.array_min(
+            F.transform(
+                e["cl"],
+                lambda c: F.struct(
+                    _sq_dist(sv, c["cv"]).alias("d"), c["cid"].alias("c")
+                ),
+            )
+        )["c"],
     )
-    return (
-        assigned.groupBy("vid")
-        .agg(F.array_sort(F.collect_list(F.struct("s", "code"))).alias("sc"))
-        .select(
-            F.col("vid").alias("neighbor_id"),
-            F.transform("sc", lambda x: x.getField("code")).alias("codes"),
-        )
+    return corpus.crossJoin(F.broadcast(cb)).select(
+        F.col(id_col).alias("neighbor_id"), codes.alias("codes")
     )
 
 
@@ -122,22 +150,19 @@ def pq_query_luts(
 ) -> DataFrame:
     """(query_id, luts array<array<double>>): luts[s][cid+1] =
     ||q_s - cent_{s,cid}||^2 — the full-precision side of ADC, one
-    m x ksub table per query, tiny and broadcastable."""
-    qsubs = explode_subspaces(queries, m, dsub, vec_col, id_col)
-    per_s = (
-        qsubs.join(F.broadcast(cents), "s")
-        .withColumn("d2", _sq_dist(F.col("sv"), F.col("cv")))
-        .groupBy("vid", "s")
-        .agg(F.array_sort(F.collect_list(F.struct("cid", "d2"))).alias("cd"))
-        .select("vid", "s", F.transform("cd", lambda x: x.getField("d2")).alias("lut"))
+    m x ksub table per query. ROW-LOCAL like pq_encode (r12): each
+    query builds its LUT in one projection over the broadcast
+    codebook row; cl is cid-sorted, so the transform output is
+    positionally aligned for ADC's element_at lookups exactly as the
+    old array_sort(collect_list(struct(cid, d2))) was."""
+    cb = _codebook_row(cents)
+    luts = F.zip_with(
+        _subvectors(m, dsub, vec_col),
+        F.col("sl"),
+        lambda sv, e: F.transform(e["cl"], lambda c: _sq_dist(sv, c["cv"])),
     )
-    return (
-        per_s.groupBy("vid")
-        .agg(F.array_sort(F.collect_list(F.struct("s", "lut"))).alias("sl"))
-        .select(
-            F.col("vid").alias("query_id"),
-            F.transform("sl", lambda x: x.getField("lut")).alias("luts"),
-        )
+    return queries.crossJoin(F.broadcast(cb)).select(
+        F.col(id_col).alias("query_id"), luts.alias("luts")
     )
 
 
