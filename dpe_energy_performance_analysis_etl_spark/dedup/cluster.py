@@ -69,7 +69,11 @@ def connected_components(
         universe = nodes.select(F.col(node_col).alias("node")).distinct()
     else:
         universe = und.select(F.col("s").alias("node")).distinct()
-    und = und.localCheckpoint()
+    # lay the static message table out on the per-round join key
+    # BEFORE the pin: localCheckpoint preserves partitioning and
+    # ordering, so every round's sort-merge join reads the |E| side
+    # with no re-exchange / re-sort (r12; guide §2.4)
+    und = und.repartition("s").sortWithinPartitions("s").localCheckpoint()
     labels = universe.select("node", F.col("node").alias("comp")).localCheckpoint()
     # Convergence probe: labels only ever DECREASE, so the total
     # sum(comp) is strictly monotone until fixpoint — an O(1)-row

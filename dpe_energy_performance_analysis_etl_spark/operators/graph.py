@@ -100,6 +100,45 @@ def pagerank_fixed(
     return ranks
 
 
+def cooccurrence_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+) -> DataFrame:
+    """(src, dst, n): ordered within-basket co-occurrence pairs with
+    multiplicity — src < dst, n = Σ over baskets of (#src copies ×
+    #dst copies), support-floored. The basket-array replan (r12) of
+    the self-equi-join `x ⋈ y ON basket AND x.item < y.item`:
+    ONE shuffle of (basket, item) + a row-local sorted-array pair
+    explode (bounded by basket size²) replaces the sort-merge
+    self-join — measured 2.94 -> 1.81 s min-of-3 same-session on the
+    sf0.1 lineitem part graph, byte-identical output (exceptAll both
+    ways = 0). Duplicate items inside a basket keep the join's
+    multiplicity: the array is sorted, so every (i < j) position pair
+    with values a < b appears exactly n_a·n_b times."""
+    b = df.groupBy(F.col(basket_col).alias("__bk")).agg(
+        F.sort_array(F.collect_list(F.col(item_col))).alias("__ps")
+    )
+    pairs = b.select(
+        F.explode(
+            F.expr(
+                """
+                flatten(transform(__ps, (x, i) ->
+                  transform(
+                    filter(slice(__ps, i + 2, greatest(size(__ps) - i - 1, 0)),
+                           y -> y > x),
+                    y -> struct(x AS src, y AS dst))))
+                """
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    out = pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    if min_support > 1:
+        out = out.where(F.col("n") >= min_support)
+    return out
+
+
 def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Per-node triangle counts over an undirected simple graph.
 
@@ -292,6 +331,12 @@ def label_propagation(
                                   F.struct(F.col("v").alias("s"), F.col("u").alias("d")))).alias("x"))
         .select(F.col("x.s").alias("s"), F.col("x.d").alias("d"))
         .distinct()
+        # cache hash-partitioned + sorted on the per-round join key:
+        # the distinct's (s, d) layout forced every round's sort-merge
+        # join to re-exchange AND re-sort the static |E| side (r12;
+        # guide §2.4 — one layout, reused by all rounds)
+        .repartition("s")
+        .sortWithinPartitions("s")
         .cache()
     )
     nodes = e.select(F.col("s").alias("node")).distinct().cache()
@@ -569,6 +614,9 @@ def landmark_bfs_distances(
             ).alias("x")
         )
         .select("x.z", "x.nbr")
+        # laid out on the per-round frontier-join key (r12; §2.4)
+        .repartition("z")
+        .sortWithinPartitions("z")
         .cache()
     )
     if sources is not None:
@@ -635,7 +683,8 @@ def bounded_bellman_ford(
     dist = sources.select(
         "source", F.col("source").alias("node"), F.lit(0).cast("bigint").alias("dist")
     ).localCheckpoint()
-    e = e.cache()
+    # static relaxation table laid out on the per-round join key (r12)
+    e = e.repartition("u").sortWithinPartitions("u").cache()
     for _ in range(rounds):
         relaxed = (
             dist.join(e, dist["node"] == e["u"])
@@ -754,14 +803,23 @@ def hits_fixed(
     overflowed on the sf0.01 graph — measured, ANSI aborted loudly
     as designed).
     """
-    e = (
-        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .distinct()
-        .cache()
+    # TWO cached copies of the static edge table, each hash-
+    # partitioned AND sorted on its round's join key (r12): the hub
+    # half-round joins on src, the authority half-round on dst — with
+    # one (src,dst)-hashed cache both sort-merge joins re-exchanged
+    # AND re-sorted |E| every half-round (4 static-side exchanges at
+    # 2 iterations); pre-laying-out each copy pays that once at build
+    # (guide §2.4). Memory: 2·|E| — the standard in/out adjacency
+    # layout.
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    e_src = e.repartition("src").sortWithinPartitions("src").cache()
+    e_dst = (
+        e_src.repartition("dst").sortWithinPartitions("dst").cache()
     )
     nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionAll(e.select(F.col("dst").alias("node")))
+        e_src.select(F.explode(F.array("src", "dst")).alias("node"))
         .distinct()
         .cache()
     )
@@ -786,13 +844,13 @@ def hits_fixed(
     auths = None
     for _ in range(iterations):
         auths = _renorm(
-            e.join(hubs, e["src"] == hubs["node"])
+            e_src.join(hubs, e_src["src"] == hubs["node"])
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("h").alias("a")),
             "a",
         )
         hubs = _renorm(
-            e.join(auths, e["dst"] == auths["node"])
+            e_dst.join(auths, e_dst["dst"] == auths["node"])
             .groupBy(F.col("src").alias("node"))
             .agg(F.sum("a").alias("h")),
             "h",

@@ -450,9 +450,16 @@ def deterministic_walks_supplier_q(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .distinct()
     )
-    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
-        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
-    )
+    # symmetrize via ONE explode — the unionAll form re-ran the
+    # orders x lineitem distinct once per branch (r12)
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("c").alias("src"), F.col("s").alias("dst")),
+                F.struct(F.col("s").alias("src"), F.col("c").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     return deterministic_random_walks(edges, walk_len=4, walks_per_node=2)
 
 
@@ -1171,9 +1178,16 @@ def walk_skipgram_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
-        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
-    )
+    # symmetrize via ONE explode — the unionAll form re-ran the
+    # orders x lineitem distinct once per branch (r12)
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("c").alias("src"), F.col("s").alias("dst")),
+                F.struct(F.col("s").alias("src"), F.col("c").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     walks = deterministic_random_walks(edges, walk_len=4, walks_per_node=2)
     return walk_skipgram_pairs(walks, window=2)
 
@@ -1272,20 +1286,16 @@ def link_prediction_parts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    pairs = (
-        li.alias("x")
-        .join(
-            li.alias("y"),
-            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
-            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
-        )
-        .groupBy(
-            F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst")
-        )
-        .agg(F.count(F.lit(1)).alias("n"))
-        .where(F.col("n") >= 2)
-        .select("src", "dst")
+    from dpe_energy_performance_analysis_etl_spark.operators.graph import (
+        cooccurrence_pairs,
     )
+
+    # basket-array pair build — one (order, part) shuffle + row-local
+    # sorted-array pair explode instead of the lineitem self-join
+    # (r12: 2.94 -> 1.81 s min-of-3 same-session, identical rows)
+    pairs = cooccurrence_pairs(
+        li.select("l_orderkey", "l_partkey"), "l_orderkey", "l_partkey"
+    ).select("src", "dst")
     return link_prediction_scores(pairs, min_common=2)
 
 
@@ -1565,20 +1575,16 @@ def landmark_bfs_parts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    pairs = (
-        li.alias("x")
-        .join(
-            li.alias("y"),
-            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
-            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
-        )
-        .groupBy(
-            F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst")
-        )
-        .agg(F.count(F.lit(1)).alias("n"))
-        .where(F.col("n") >= 2)
-        .select("src", "dst")
+    from dpe_energy_performance_analysis_etl_spark.operators.graph import (
+        cooccurrence_pairs,
     )
+
+    # basket-array pair build — one (order, part) shuffle + row-local
+    # sorted-array pair explode instead of the lineitem self-join
+    # (r12: 2.94 -> 1.81 s min-of-3 same-session, identical rows)
+    pairs = cooccurrence_pairs(
+        li.select("l_orderkey", "l_partkey"), "l_orderkey", "l_partkey"
+    ).select("src", "dst")
     return landmark_bfs_distances(pairs, n_landmarks=4, max_depth=4)
 
 
@@ -1710,26 +1716,30 @@ def bellman_ford_parts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    co = (
-        li.alias("x")
-        .join(
-            li.alias("y"),
-            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
-            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
-        )
-        .groupBy(
-            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
-        )
-        .agg(F.count(F.lit(1)).alias("n"))
-        .where(F.col("n") >= 2)
+    from dpe_energy_performance_analysis_etl_spark.operators.graph import (
+        cooccurrence_pairs,
+    )
+
+    # basket-array pair build (r12, see cooccurrence_pairs);
+    # symmetrize via ONE explode — the unionAll-of-selects form
+    # re-ran the uncached pair aggregation once per branch
+    co = cooccurrence_pairs(
+        li.select("l_orderkey", "l_partkey"), "l_orderkey", "l_partkey"
     )
     edges = co.select(
-        F.col("a").alias("src"), F.col("b").alias("dst"), F.col("n").alias("w")
-    ).unionAll(
-        co.select(
-            F.col("b").alias("src"), F.col("a").alias("dst"), F.col("n").alias("w")
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("src"), F.col("dst"), F.col("n").alias("w")
+                ),
+                F.struct(
+                    F.col("dst").alias("src"),
+                    F.col("src").alias("dst"),
+                    F.col("n").alias("w"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst", "e.w")
     return bounded_bellman_ford(edges, n_sources=4, rounds=4)
 
 

@@ -421,17 +421,13 @@ def clustering_coeff_parts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey", "l_partkey")
-    a = li.alias("a")
-    b = li.alias("b")
-    edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .groupBy(
-            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
-        )
-        .agg(F.count(F.lit(1)).alias("n_cooccur"))
-        .filter(F.col("n_cooccur") >= 2)
-        .select("src", "dst")
+    from dpe_energy_performance_analysis_etl_spark.operators.graph import (
+        cooccurrence_pairs,
+    )
+
+    # basket-array pair build (r12, see cooccurrence_pairs)
+    edges = cooccurrence_pairs(li, "l_orderkey", "l_partkey").select(
+        "src", "dst"
     )
     return clustering_coefficients(edges)
 

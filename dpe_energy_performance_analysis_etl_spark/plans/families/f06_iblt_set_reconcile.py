@@ -195,20 +195,16 @@ def ktruss_parts_graph_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dpe_energy_performance_analysis_etl_spark.operators.graph import ktruss_edges
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    pairs = (
-        li.alias("x")
-        .join(
-            li.alias("y"),
-            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
-            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
-        )
-        .groupBy(
-            F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst")
-        )
-        .agg(F.count(F.lit(1)).alias("n"))
-        .where(F.col("n") >= 2)
-        .select("src", "dst")
+    from dpe_energy_performance_analysis_etl_spark.operators.graph import (
+        cooccurrence_pairs,
     )
+
+    # basket-array pair build — one (order, part) shuffle + row-local
+    # sorted-array pair explode instead of the lineitem self-join
+    # (r12: 2.94 -> 1.81 s min-of-3 same-session, identical rows)
+    pairs = cooccurrence_pairs(
+        li.select("l_orderkey", "l_partkey"), "l_orderkey", "l_partkey"
+    ).select("src", "dst")
     return ktruss_edges(pairs, k=3, iterations=3)
 
 
@@ -344,22 +340,16 @@ def mst_parts_forest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dpe_energy_performance_analysis_etl_spark.operators.graph import boruvka_mst
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    pairs = (
-        li.alias("x")
-        .join(
-            li.alias("y"),
-            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
-            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
-        )
-        .groupBy(
-            F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst")
-        )
-        .agg(F.count(F.lit(1)).alias("n"))
-        .where(F.col("n") >= 2)
-        # weight = inverse co-occurrence: the forest keeps the
-        # STRONGEST links needed to span (ties broken by endpoints)
-        .select("src", "dst", (F.lit(1000) - F.col("n")).alias("weight"))
+    from dpe_energy_performance_analysis_etl_spark.operators.graph import (
+        cooccurrence_pairs,
     )
+
+    # basket-array pair build (r12, see cooccurrence_pairs);
+    # weight = inverse co-occurrence: the forest keeps the
+    # STRONGEST links needed to span (ties broken by endpoints)
+    pairs = cooccurrence_pairs(
+        li.select("l_orderkey", "l_partkey"), "l_orderkey", "l_partkey"
+    ).select("src", "dst", (F.lit(1000) - F.col("n")).alias("weight"))
     return boruvka_mst(pairs)
 
 
@@ -1106,18 +1096,15 @@ def single_linkage_parts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dpe_energy_performance_analysis_etl_spark.operators.graph import boruvka_mst
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    from dpe_energy_performance_analysis_etl_spark.operators.graph import (
+        cooccurrence_pairs,
+    )
+
+    # basket-array pair build (r12, see cooccurrence_pairs)
     pairs = (
-        li.alias("x")
-        .join(
-            li.alias("y"),
-            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
-            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        cooccurrence_pairs(
+            li.select("l_orderkey", "l_partkey"), "l_orderkey", "l_partkey"
         )
-        .groupBy(
-            F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst")
-        )
-        .agg(F.count(F.lit(1)).alias("n"))
-        .where(F.col("n") >= 2)
         .select("src", "dst", (F.lit(1000) - F.col("n")).alias("weight"))
         .localCheckpoint()
     )
