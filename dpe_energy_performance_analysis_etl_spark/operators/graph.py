@@ -71,6 +71,15 @@ def pagerank_fixed(
         .distinct()
         .cache()
     )
+    # Materialize BOTH static caches in one job BEFORE the rounds are
+    # planned: an InMemoryRelation over an unfinished AdaptiveSparkPlan
+    # reports unknown partitioning, so a single-action plan re-exchanges
+    # + re-sorts the cached side every round; once materialized, the
+    # planner sees the final hash(src)/hash(node) layouts and every
+    # round's sort-merge join reads them exchange-free (r12; probe:
+    # cached-window join plans Exchange+Sort un-materialized, bare
+    # InMemoryTableScan after a count).
+    nodes.count()
     ranks = nodes.withColumn("rank_scaled", F.lit(SCALE).cast("long"))
 
     base = (damping_den - damping_num) * SCALE // damping_den
@@ -737,6 +746,9 @@ def personalized_pagerank(
     seeds = nodes.orderBy("node").limit(n_seeds).select(
         "node", F.lit(True).alias("__seed")
     ).cache()
+    # materialize the static caches before round planning (see
+    # pagerank_fixed — unmaterialized cached layouts are re-exchanged)
+    nodes.count()
 
     base_seed = (damping_den - damping_num) * SCALE // (damping_den * n_seeds)
     init_seed = SCALE // n_seeds
@@ -825,16 +837,19 @@ def hits_fixed(
     )
     hubs = nodes.select("node", F.lit(HITS_SCALE).cast("long").alias("h"))
 
-    def _renorm(df: DataFrame, col: str) -> DataFrame:
+    def _renorm(df: DataFrame, col: str, eager: bool) -> DataFrame:
         # checkpoint FIRST: the raw table feeds both the max
         # aggregate and the renormalized projection — uncached, the
         # double consumption compounds through the h->a->h chain into
         # 2^rounds re-evaluations (measured 28 s -> 7 s at sf0.01).
-        # LAZY (r12): the broadcast build of __mx is the first
-        # consumer and materializes the blocks inside the final
-        # action — eager here scheduled 2 extra jobs per round for
-        # the same work
-        df = df.localCheckpoint(eager=False)
+        # Only the FIRST checkpoint is eager (r12): its job also
+        # materializes the static edge caches, so every later
+        # half-round is PLANNED against the measured, laid-out
+        # InMemoryRelations (unmaterialized cached layouts report
+        # unknown partitioning and would be re-exchanged); the rest
+        # are lazy — the broadcast build of __mx materializes them
+        # inside the final action without extra scheduled jobs.
+        df = df.localCheckpoint(eager=eager)
         mx = df.agg(F.max(col).alias("__mx"))
         return df.crossJoin(F.broadcast(mx)).select(
             "node",
@@ -842,18 +857,22 @@ def hits_fixed(
         )
 
     auths = None
-    for _ in range(iterations):
+    for it in range(iterations):
         auths = _renorm(
             e_src.join(hubs, e_src["src"] == hubs["node"])
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("h").alias("a")),
             "a",
+            eager=(it == 0),
         )
         hubs = _renorm(
             e_dst.join(auths, e_dst["dst"] == auths["node"])
             .groupBy(F.col("src").alias("node"))
             .agg(F.sum("a").alias("h")),
             "h",
+            # round 1's hub checkpoint also materializes e_dst so the
+            # later hub half-rounds plan against its layout
+            eager=(it == 0),
         )
     return (
         nodes.join(hubs, "node", "left")
