@@ -1616,24 +1616,33 @@ def ks_two_sample(
     max_diff·scale < 10³⁸ (carried in DECIMAL(38,0)) — holds to
     ~3·10⁹ rows per side per group.
 
-    Scale shape: one (group, value) aggregation carrying per-tier
-    side counts, the ``grouped_running_totals`` range-partition
-    recipe for per-group prefix sums (no data-sized PARTITION BY
-    window), one bounded per-group max. The per-group totals ride
-    the recipe's ``with_totals`` side table (aggregated from its
-    bounded internal sizes table), so the tier stream has exactly
-    ONE consumer — no second eager pin (r12: the old pin was a full
-    tier-table materialization just to split totals from the max
-    pass). Groups with an empty side return d_scaled NULL (no
-    distribution to compare — the honest answer, and the ANSI
-    division guard).
+    Scale shape (r13): one (group, value) aggregation carrying
+    per-tier side counts, then the LOCAL+CROSS max fold — the r12
+    rank-fold recipe extended from polynomial sums to the running
+    MAX. The per-tier statistic |cum1·n − cum·n1| is a LINEAR
+    combination of the two running sums with GROUP-constant
+    coefficients (n, n1), so with totals broadcast-joined onto the
+    windowed tier stream (no new exchange), cum = local + offset decomposes it
+    as |t + K_p| with t = l1·n − l·n1 per row and K_p = O1·n − O·n1
+    CONSTANT per range partition — and max_tiers|t + K_p| =
+    greatest(max t + K_p, −(min t + K_p)) folds from a bounded
+    (partition × group) summary, exactly like
+    ``quantiles.global_prefix_max``. Deletes the r12 form's eager
+    pin (a full tier-table materialization — the repartitionByRange
+    double-consumption guard, unnecessary once the ranged subtree
+    has a single consumer) and the per-row offsets join; the tier
+    aggregation's reduce side runs twice (totals branch — map side
+    deduped by ReusedExchange, the CLAUDE.md r12 rule). Groups with
+    an empty side return d_scaled NULL (no distribution to compare —
+    the honest answer, and the ANSI division guard).
 
     Returns (group, n1, n2, d_scaled).
     """
     from pyspark.sql import functions as F
 
     from dpe_energy_performance_analysis_etl_spark.operators.quantiles import (
-        grouped_running_totals,
+        grouped_local_prefix,
+        partition_offsets,
     )
 
     vals = df.groupBy(
@@ -1642,34 +1651,37 @@ def ks_two_sample(
         F.count(F.lit(1)).cast("bigint").alias("cnt"),
         F.sum(F.col(side_col).cast("int")).cast("bigint").alias("cnt1"),
     )
-    pre, tot = grouped_running_totals(
-        vals, "g", "v", ["cnt", "cnt1"], with_totals=True
-    )
-    tiers = pre.select(
-        "g",
-        (F.col("cnt_before") + F.col("cnt")).alias("cum"),
-        (F.col("cnt1_before") + F.col("cnt1")).alias("cum1"),
-    )
     # the identity
     # cum1*n2 − cum2*n1 = cum1*(n−n1) − (cum−cum1)*n1 = cum1*n − cum*n1
     # lets one |cum1*n − cum*n1| max replace two float CDFs
-    totals = tot.select(
-        "g",
-        F.col("_n_cnt").alias("n"),
-        F.col("_n_cnt1").alias("n1"),
+    totals = vals.groupBy("g").agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum("cnt1").cast("bigint").alias("n1"),
     )
-    per = (
-        tiers.join(F.broadcast(totals), "g")
-        .groupBy("g")
-        .agg(
-            F.max("n").alias("n_"),
-            F.max("n1").alias("n1_"),
-            F.max(
-                F.abs(F.col("cum1") * F.col("n") - F.col("cum") * F.col("n1"))
-            )
-            .cast("bigint")
-            .alias("max_num"),
-        )
+    # totals attach AFTER the window pass (broadcast joins preserve
+    # partitioning — no new exchange), so the range and window
+    # exchanges carry only the tier columns, not (n, n1)
+    loc = grouped_local_prefix(vals, "g", "v", ["cnt", "cnt1"]).join(
+        F.broadcast(totals), "g"
+    )
+    # INCLUSIVE local term of the cross-multiplied CDF difference
+    t = (F.col("_l_cnt1") + F.col("cnt1")) * F.col("n") - (
+        F.col("_l_cnt") + F.col("cnt")
+    ) * F.col("n1")
+    part = loc.groupBy("_pid", "g", "n", "n1").agg(
+        F.max(t).alias("_tmax"),
+        F.min(t).alias("_tmin"),
+        F.sum("cnt").cast("bigint").alias("cnt"),
+        F.sum("cnt1").cast("bigint").alias("cnt1"),
+    )
+    offs = partition_offsets(part, "g", ["cnt", "cnt1"])
+    k_off = F.col("_o_cnt1") * F.col("n") - F.col("_o_cnt") * F.col("n1")
+    per = offs.groupBy("g").agg(
+        F.max("n").alias("n_"),
+        F.max("n1").alias("n1_"),
+        F.max(F.greatest(F.col("_tmax") + k_off, -(F.col("_tmin") + k_off)))
+        .cast("bigint")
+        .alias("max_num"),
     )
     return per.select(
         F.col("g").alias(group_col),

@@ -1,6 +1,7 @@
 """Capture ``.explain("formatted")`` output for named queries into
-``plans/r12/<query>_<tag>.txt`` — the optimization-round evidence files
-(the judge cannot run Spark; plan claims are checked against these).
+``plans/$SPARK_GRAFT_PLANS_ROUND/<query>_<tag>.txt`` (round dir
+defaults to ``r13``) — the optimization-round evidence files (the
+judge cannot run Spark; plan claims are checked against these).
 
 Usage:
     python tools/capture_plans.py <tag> <query> [<query> ...]
@@ -40,7 +41,7 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r12",
+        os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r13"),
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("capture_plans")
