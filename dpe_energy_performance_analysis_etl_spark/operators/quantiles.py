@@ -954,19 +954,19 @@ def grouped_weighted_median(
     offset table — value is unique within a group after aggregation,
     satisfying its order-key contract), a broadcast of per-group
     totals, and a min-struct pick of the first qualifying value.
+    The per-group totals ride the recipe's ``with_totals`` side table
+    (aggregated from its bounded internal sizes table), so the tier
+    stream has exactly ONE consumer and needs no eager pin of its own
+    (r13 — the r12 KS/AD treatment applied here; the old pin was a
+    full tier-table materialization).
 
     Returns (group, w_total, weighted_median).
     """
-    # the value-aggregated table feeds the running totals AND the
-    # per-group totals — pinned so the data-sized join+agg under it
-    # runs once (r8 plan audit)
-    vals = (
-        df.groupBy(F.col(group_col).alias("g"), F.col(value_col).alias("v"))
-        .agg(F.sum(F.col(weight_col).cast("bigint")).alias("w"))
-        .localCheckpoint(eager=True)
+    vals = df.groupBy(F.col(group_col).alias("g"), F.col(value_col).alias("v")).agg(
+        F.sum(F.col(weight_col).cast("bigint")).alias("w")
     )
-    pre = grouped_running_totals(vals, "g", "v", ["w"])
-    totals = vals.groupBy("g").agg(F.sum("w").cast("bigint").alias("w_total"))
+    pre, tot = grouped_running_totals(vals, "g", "v", ["w"], with_totals=True)
+    totals = tot.select("g", F.col("_n_w").alias("w_total"))
     qual = (
         pre.join(F.broadcast(totals), "g")
         .where((F.col("w_before") + F.col("w")) * 2 >= F.col("w_total"))

@@ -157,12 +157,15 @@ def concentration_supplier_nations_q(spark: SparkSession, sf_dir: str) -> DataFr
     Hirschman index (Σ shareᵢ² = Σ rᵢ²/(Σr)²), both in exact ppm.
     Squares of cent totals exceed int64, so the wide intermediates
     run in DECIMAL(38,0) on Spark and HUGEINT on DuckDB — both exact
-    to 10³⁸. Prefix counts use grouped_running_totals' range-
-    partition recipe (the oracle's PARTITION BY window is the
-    sf0.01 shortcut); one (nation, supplier) aggregation is the
-    data-sized pass."""
+    to 10³⁸. Prefix counts fold LOCAL+CROSS (grouped_local_prefix +
+    partition_offsets, r13 — the aggregate is linear in the prefix,
+    so no per-row global prefix, no pin, no offsets join; the old
+    form rode the pinned two-pass recipe) (the oracle's PARTITION BY
+    window is the sf0.01 shortcut); one (nation, supplier)
+    aggregation is the data-sized pass."""
     from dpe_energy_performance_analysis_etl_spark.operators.quantiles import (
-        grouped_running_totals,
+        grouped_local_prefix,
+        partition_offsets,
     )
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -181,20 +184,30 @@ def concentration_supplier_nations_q(spark: SparkSession, sf_dir: str) -> DataFr
         )
     )
     vals = rev.groupBy("g", "r").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-    pre = grouped_running_totals(vals, "g", "r", ["cnt"])
+    loc = grouped_local_prefix(vals, "g", "r", ["cnt"])
     dec = lambda c: F.col(c).cast("decimal(38,0)")
-    agg = pre.groupBy("g").agg(
-        F.sum("cnt").cast("bigint").alias("n"),
+    part = loc.groupBy("_pid", "g").agg(
+        F.sum("cnt").cast("bigint").alias("cnt"),
         F.sum(F.col("r") * F.col("cnt")).cast("bigint").alias("s_tot"),
         F.sum(dec("r") * dec("r") * dec("cnt")).alias("sum_r2"),
         F.sum(
             dec("r")
             * (
-                2 * dec("cnt") * dec("cnt_before")
+                2 * dec("cnt") * dec("_l_cnt")
                 + dec("cnt") * dec("cnt")
                 + dec("cnt")
             )
-        ).alias("two_sum_ix"),
+        ).alias("tl"),
+        F.sum(2 * dec("r") * dec("cnt")).alias("rc2"),
+    )
+    offs = partition_offsets(part, "g", ["cnt"])
+    agg = offs.groupBy("g").agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum("s_tot").cast("bigint").alias("s_tot"),
+        F.sum("sum_r2").alias("sum_r2"),
+        F.sum(F.expr("tl + CAST(_o_cnt AS DECIMAL(38,0)) * rc2")).alias(
+            "two_sum_ix"
+        ),
     )
     return agg.select(
         F.col("g").cast("bigint").alias("s_nationkey"),

@@ -280,13 +280,18 @@ def average_precision_priority_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     floors are summed — deterministic on both engines; the mean
     divides once more by P (documented quantization ≤ 1e-6/term).
 
-    Scale shape: the global ranking rides the two-pass
-    repartitionByRange recipe twice (all rows, then the relevant
-    subset — no data-sized unpartitioned window); everything after
-    is two scalar aggregates. The oracle's global windows are the
-    sf0.01 shortcut."""
+    Scale shape (r13): ONE two-pass repartitionByRange recipe —
+    ``global_rank_and_prefix`` under the (value desc, key) total
+    order yields the global rank k AND, as the inclusive running
+    total of the 0/1 ``rel`` column, each relevant row's
+    relevant-only rank r in the SAME pass (r at a relevant row =
+    #relevant with k' <= k because k is a total order — exactly what
+    the old second ``global_rank_column`` over the relevant subset
+    computed, minus its second pin, second range exchange and second
+    window); everything after is two scalar aggregates. The oracle's
+    global windows are the sf0.01 shortcut."""
     from dpe_energy_performance_analysis_etl_spark.operators.quantiles import (
-        global_rank_column,
+        global_rank_and_prefix,
     )
 
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
@@ -299,15 +304,21 @@ def average_precision_priority_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CASE WHEN substr(o_orderpriority, 1, 1) = '1' THEN 1 ELSE 0 END"
         ).alias("rel"),
     ).withColumn("nv", -F.col("v"))
-    ranked = global_rank_column(scored, ["nv", "o_orderkey"], "k")
-    rel = ranked.filter(F.col("rel") == 1).select("k")
-    relranked = global_rank_column(rel, ["k"], "r")
-    terms = relranked.agg(
-        F.sum(F.expr("(r * 1000000) div k")).cast("bigint").alias("ap_sum"),
-        F.count(F.lit(1)).cast("bigint").alias("p"),
+    ranked = global_rank_and_prefix(
+        scored, ["nv", "o_orderkey"], "rel", rank_col="k", cum_col="r"
     )
-    n_all = ranked.agg(F.count(F.lit(1)).cast("bigint").alias("n_ranked"))
-    return terms.crossJoin(F.broadcast(n_all)).selectExpr(
+    # ONE scalar aggregate over the ranked stream: conditional sums
+    # replace the old relevant-subset branch + separate n_all branch
+    # (which re-ran the post-pin window+join a second time) + the
+    # crossJoin stitch
+    terms = ranked.agg(
+        F.sum(F.when(F.col("rel") == 1, F.expr("(r * 1000000) div k")))
+        .cast("bigint")
+        .alias("ap_sum"),
+        F.count_if(F.col("rel") == 1).cast("bigint").alias("p"),
+        F.count(F.lit(1)).cast("bigint").alias("n_ranked"),
+    )
+    return terms.selectExpr(
         "p AS n_relevant",
         "n_ranked",
         "ap_sum AS ap_qppm_sum",

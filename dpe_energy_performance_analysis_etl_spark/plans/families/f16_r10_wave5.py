@@ -91,14 +91,20 @@ def cucconi_status_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     class — sqrt is exact, one floor). Tie handling is the standard
     mid-rank substitution, documented.
 
-    Scale shape: one (group, value) tier aggregation; Spark's prefix
-    sums ride the same grouped_running_totals range-partition recipe
-    as ks_two_sample (no data-sized PARTITION BY window — the
-    oracle's window is the sf0.01 shortcut); the moment algebra is a
-    bounded per-group aggregate."""
+    Scale shape (r13): one (group, value) tier aggregation, then the
+    LOCAL+CROSS fold (grouped_local_prefix + partition_offsets) — both
+    tier terms are degree-2 polynomials in the prefix (m = m_loc + 2·O
+    with the offset O constant per range partition), so they fold from
+    a bounded (partition × group) partial table: Σc₂m² = ΣA + 4O·ΣB +
+    4O²·ΣC and Σc₂(K−m)² = K²·n₂ − 2K·Σc₂m + Σc₂m² with K = 2(n+1) a
+    group constant. No per-row global prefix, no pin (single ranged
+    consumer), no offsets join, no totals broadcast — the old form
+    pinned twice (the recipe's internal pin + a second pin to split
+    totals from the moment pass). The oracle's window is the sf0.01
+    shortcut; the moment algebra is a bounded per-group aggregate."""
     from dpe_energy_performance_analysis_etl_spark.operators.quantiles import (
-        _pin,
-        grouped_running_totals,
+        grouped_local_prefix,
+        partition_offsets,
     )
 
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
@@ -115,35 +121,34 @@ def cucconi_status_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cnt2"),
     )
-    pre = grouped_running_totals(vals, "g", "v", ["cnt", "cnt2"])
-    tiers = _pin(
-        pre.select(
-            "g",
-            "cnt",
-            "cnt2",
-            F.col("cnt_before").alias("cum_before"),
-        )
+    loc = grouped_local_prefix(vals, "g", "v", ["cnt"])
+    # m_loc = 2·c_local + l + 1 (the doubled mid-rank's local part)
+    part = loc.groupBy("_pid", "g").agg(
+        F.sum("cnt").cast("bigint").alias("cnt"),
+        F.sum("cnt2").cast("bigint").alias("c2"),
+        F.sum(
+            F.expr("CAST(cnt2 AS DECIMAL(38,0)) * (2 * _l_cnt + cnt + 1)")
+        ).alias("b"),
+        F.sum(
+            F.expr(
+                "CAST(cnt2 AS DECIMAL(38,0)) * (2 * _l_cnt + cnt + 1)"
+                " * (2 * _l_cnt + cnt + 1)"
+            )
+        ).alias("a"),
     )
-    tot = tiers.groupBy("g").agg(
-        (F.sum("cnt")).cast("bigint").alias("n"),
-        (F.sum("cnt2")).cast("bigint").alias("n2"),
-    )
-    sums = (
-        tiers.join(F.broadcast(tot), "g")
-        .selectExpr(
-            "g",
-            "CAST(cnt2 AS DECIMAL(38,0))"
-            " * (2 * cum_before + cnt + 1)"
-            " * (2 * cum_before + cnt + 1) AS r2x4",
-            "CAST(cnt2 AS DECIMAL(38,0))"
-            " * (2 * (n + 1) - (2 * cum_before + cnt + 1))"
-            " * (2 * (n + 1) - (2 * cum_before + cnt + 1)) AS s2x4",
-        )
-        .groupBy("g")
-        .agg(
-            F.sum("r2x4").alias("sr2x4"),
-            F.sum("s2x4").alias("ss2x4"),
-        )
+    offs = partition_offsets(part, "g", ["cnt"])
+    agg = offs.groupBy("g").agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum("c2").cast("bigint").alias("n2"),
+        F.sum(
+            F.expr(
+                "a + 4 * CAST(_o_cnt AS DECIMAL(38,0)) * b"
+                " + 4 * CAST(_o_cnt AS DECIMAL(38,0)) * _o_cnt * c2"
+            )
+        ).alias("sr2x4"),
+        F.sum(F.expr("b + 2 * CAST(_o_cnt AS DECIMAL(38,0)) * c2")).alias(
+            "sm"
+        ),
     )
     zexpr = (
         "CASE WHEN n2 > 0 AND n > n2 AND n > 1 THEN"
@@ -154,15 +159,20 @@ def cucconi_status_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "        * (8e0 * n + 11) / 180e0)"
         " * 1000e0) AS BIGINT) END AS {out}"
     )
-    return (
-        tot.join(sums, "g")
-        .selectExpr(
-            "g AS o_orderstatus",
-            "n2",
-            "CAST(n - n2 AS BIGINT) AS n1",
-            zexpr.format(col="sr2x4", out="u_milli"),
-            zexpr.format(col="ss2x4", out="v_milli"),
-        )
+    return agg.selectExpr(
+        "g",
+        "n",
+        "n2",
+        "sr2x4",
+        # K²·n₂ − 2K·Σc₂m + Σc₂m² with K = 2(n+1), exact in DECIMAL
+        "CAST(2 * (n + 1) AS DECIMAL(38,0)) * (2 * (n + 1)) * n2"
+        " - 2 * CAST(2 * (n + 1) AS DECIMAL(38,0)) * sm + sr2x4 AS ss2x4",
+    ).selectExpr(
+        "g AS o_orderstatus",
+        "n2",
+        "CAST(n - n2 AS BIGINT) AS n1",
+        zexpr.format(col="sr2x4", out="u_milli"),
+        zexpr.format(col="ss2x4", out="v_milli"),
     )
 
 

@@ -65,16 +65,18 @@ def gmd_dispersion_brands_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     all: values aggregate into (group, value) TIERS and a tier of
     size l after c predecessors contributes the arithmetic-series
     closed form l·(2c + l − n)·v — tie handling is exact by
-    construction and the prefix c rides the grouped_running_totals
-    range-partition recipe (the oracle's per-row PARTITION BY window
+    construction and the prefix c folds LOCAL+CROSS
+    (grouped_local_prefix + partition_offsets, r13 — degree-2
+    polynomial in the prefix, so no per-row global prefix is ever
+    built) (the oracle's per-row PARTITION BY window
     is the sf0.01 shortcut; equal values contribute symmetrically,
     so both formulations agree exactly).
 
     Scale shape: one equi-keyed lineitem x part join, one tier
     aggregation + prefix pass, one bounded per-brand aggregate."""
     from dpe_energy_performance_analysis_etl_spark.operators.quantiles import (
-        _pin,
-        grouped_running_totals,
+        grouped_local_prefix,
+        partition_offsets,
     )
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -95,37 +97,37 @@ def gmd_dispersion_brands_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tier-grouped rank identity: values in a tier of size l starting
     # after c predecessors contribute Σ_{i=c+1..c+l}(2i−n−1)·v
     # = l·(2c + l − n)·v exactly (arithmetic series) — no per-row rank
-    pre = grouped_running_totals(vals, "g", "v", ["cnt"])
-    tiers = _pin(
-        pre.select(
-            "g",
-            "v",
-            "cnt",
-            F.col("cnt_before").alias("c"),
-        )
+    # r13: the tier contrib 2·l·c·v + l²·v − n·l·v is a degree-2
+    # polynomial in the prefix c, so with c = c_local + O_p (offset
+    # constant per range partition) it folds LOCAL+CROSS at the
+    # bounded (partition × group) level: Σ l·c·v = Σ l·c_loc·v +
+    # Σ_p O_p·(Σ_p l·v). One pass over the ranged tier table, no pin
+    # (single consumer), no per-row offsets join, no totals broadcast
+    # — the old form pinned TWICE (the recipe's internal pin + a
+    # second pin of the prefix stream to split totals from contribs).
+    loc = grouped_local_prefix(vals, "g", "v", ["cnt"])
+    part = loc.groupBy("_pid", "g").agg(
+        F.sum("cnt").cast("bigint").alias("cnt"),
+        F.sum(F.expr("CAST(cnt AS DECIMAL(38,0)) * v")).alias("slv"),
+        F.sum(F.expr("CAST(cnt AS DECIMAL(38,0)) * cnt * v")).alias("sl2v"),
+        F.sum(F.expr("CAST(cnt AS DECIMAL(38,0)) * _l_cnt * v")).alias("slcv"),
     )
-    totals = tiers.groupBy("g").agg(
+    offs = partition_offsets(part, "g", ["cnt"])
+    agg = offs.groupBy("g").agg(
         F.sum("cnt").cast("bigint").alias("n"),
-        F.sum(F.expr("CAST(cnt AS DECIMAL(38,0)) * v")).alias("sv"),
-    )
-    agg = (
-        tiers.join(F.broadcast(totals), "g")
-        .selectExpr(
-            "g",
-            "n",
-            "sv",
-            "CAST(cnt AS DECIMAL(38,0)) * (2 * c + cnt - n) * v AS contrib",
-        )
-        .groupBy("g", "n", "sv")
-        .agg(F.sum("contrib").alias("s"))
+        F.sum("slv").alias("sv"),
+        F.sum(F.expr("slcv + CAST(_o_cnt AS DECIMAL(38,0)) * slv")).alias("scv"),
+        F.sum("sl2v").alias("sl2v"),
     )
     return agg.selectExpr(
         "g AS p_brand",
         "n",
-        "CASE WHEN n > 1 THEN CAST((2 * s) div (CAST(n AS DECIMAL(38,0))"
+        "CASE WHEN n > 1 THEN CAST((2 * (2 * scv + sl2v"
+        " - CAST(n AS DECIMAL(38,0)) * sv)) div (CAST(n AS DECIMAL(38,0))"
         " * (n - 1)) AS BIGINT) END AS gmd_cents",
         "CASE WHEN sv > 0 AND n > 1 THEN CAST("
-        " (s * 1000000) div (CAST(sv AS DECIMAL(38,0)) * (n - 1))"
+        " ((2 * scv + sl2v - CAST(n AS DECIMAL(38,0)) * sv) * 1000000)"
+        " div (CAST(sv AS DECIMAL(38,0)) * (n - 1))"
         " AS BIGINT) END AS gini_ppm",
     ).orderBy("p_brand")
 
@@ -274,7 +276,6 @@ def bowley_skewness_status_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     never three separate rank recipes over the same scan. The
     oracle's PARTITION BY window is the sf0.01 shortcut."""
     from dpe_energy_performance_analysis_etl_spark.operators.quantiles import (
-        _pin,
         grouped_running_totals,
     )
 
@@ -285,13 +286,16 @@ def bowley_skewness_status_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT)"
         ).alias("v"),
     ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-    pre = grouped_running_totals(vals, "g", "v", ["cnt"])
-    tiers = _pin(
-        pre.select(
-            "g", "v", (F.col("cnt_before") + F.col("cnt")).alias("cum")
-        )
+    # r13: per-group totals ride the recipe's with_totals side table
+    # (max inclusive prefix == Σcnt), so the prefix stream has ONE
+    # consumer and the old second eager pin is deleted
+    pre, tot = grouped_running_totals(
+        vals, "g", "v", ["cnt"], with_totals=True
     )
-    totals = tiers.groupBy("g").agg(F.max("cum").cast("bigint").alias("n"))
+    tiers = pre.select(
+        "g", "v", (F.col("cnt_before") + F.col("cnt")).alias("cum")
+    )
+    totals = tot.select("g", F.col("_n_cnt").alias("n"))
     qs = (
         tiers.join(F.broadcast(totals), "g")
         .groupBy("g", "n")

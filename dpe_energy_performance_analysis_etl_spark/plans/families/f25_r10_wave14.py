@@ -25,7 +25,11 @@ from dpe_energy_performance_analysis_etl_spark.plans._core import (  # noqa: F40
 # between-term quantization scale: 1 — the per-group floored term
 # (S_g^2 div n_g) must fit BIGINT because Spark's decimal
 # IntegralDivide RETURNS LONG; floors at whole dollar^2 lose <= 1
-# per group against SSB magnitudes of 1e12+ (documented)
+# per group against SSB magnitudes of 1e12+ (documented). The SUM of
+# those BIGINT floors is carried in DECIMAL(38,0) (r13): at sf0.1
+# brown_forsythe's three cent-scale terms are ~8e18 each, and their
+# long sum overflowed — the DuckDB oracle always summed in HUGEINT,
+# so widening Spark's container changes no value anywhere.
 _Q = 1
 
 
@@ -112,7 +116,8 @@ def anova_f_revenue_nations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("q_g").alias("q"),
         F.sum(
             F.expr(
-                f"(CAST(s_g AS DECIMAL(38,0)) * s_g) div n_g"
+                "CAST((CAST(s_g AS DECIMAL(38,0)) * s_g) div n_g"
+                " AS DECIMAL(38,0))"
             )
         ).alias("bq"),
     )
@@ -193,7 +198,6 @@ def brown_forsythe_status_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one tier pass for medians, one deviation scan, one
     grouped aggregation onto ≤3 rows."""
     from dpe_energy_performance_analysis_etl_spark.operators.quantiles import (
-        _pin,
         grouped_running_totals,
     )
 
@@ -205,11 +209,17 @@ def brown_forsythe_status_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiers = vals.groupBy("g", "v").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
     )
-    pre = grouped_running_totals(tiers, "g", "v", ["cnt"])
-    cum = _pin(
-        pre.select("g", "v", (F.col("cnt_before") + F.col("cnt")).alias("cum"))
+    # r13: per-group totals ride the recipe's with_totals side table
+    # (max inclusive prefix == Σcnt), so the prefix stream has ONE
+    # consumer and the old second eager pin is deleted (the r12 KS/AD
+    # treatment)
+    pre, tot = grouped_running_totals(
+        tiers, "g", "v", ["cnt"], with_totals=True
     )
-    totals = cum.groupBy("g").agg(F.max("cum").cast("bigint").alias("n"))
+    cum = pre.select(
+        "g", "v", (F.col("cnt_before") + F.col("cnt")).alias("cum")
+    )
+    totals = tot.select("g", F.col("_n_cnt").alias("n"))
     med = (
         cum.join(F.broadcast(totals), "g")
         .groupBy("g")
@@ -233,7 +243,10 @@ def brown_forsythe_status_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("s_g").cast("bigint").alias("s"),
         F.sum("q_g").alias("q"),
         F.sum(
-            F.expr(f"(CAST(s_g AS DECIMAL(38,0)) * s_g) div n_g")
+            F.expr(
+                "CAST((CAST(s_g AS DECIMAL(38,0)) * s_g) div n_g"
+                " AS DECIMAL(38,0))"
+            )
         ).alias("bq"),
     )
     return agg.selectExpr(
@@ -338,7 +351,10 @@ def icc1_orders_per_customer_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("s_g").cast("bigint").alias("s"),
         F.sum("q_g").alias("q"),
         F.sum(
-            F.expr(f"(CAST(s_g AS DECIMAL(38,0)) * s_g) div n_g")
+            F.expr(
+                "CAST((CAST(s_g AS DECIMAL(38,0)) * s_g) div n_g"
+                " AS DECIMAL(38,0))"
+            )
         ).alias("bq"),
         F.sum(F.expr("CAST(n_g AS DECIMAL(38,0)) * n_g")).alias("n2"),
     )
