@@ -123,7 +123,21 @@ EXPECTED_MULTISTAGE = {
     "quade_test_nations": "pinned 125-cell grid feeds rank/range/qrank windows; post-agg exchanges are grid-sized",
     "jm_query_likelihood_docs": "cached tf feeds corpus scalars + matched-doc agg; 9 static vs bounded runtime",
     "kpss_level_revenue": "pinned centered-residual leaf feeds partial sums + 4 lag joins; all post-agg exchanges <=85-row",
-    "average_precision_priority": "two global_rank repartitionByRange recipes (pinned ranged leaves) — the spearman class",
+    # r13: average_precision_priority dropped under the budget (one
+    # global_rank_and_prefix pass instead of two rank recipes) — its
+    # entry pruned per the stale-entry gate. The un-pinned LOCAL+CROSS
+    # fold rewrites (r12 kendall, r13 ks/gmd/concentration) make the
+    # WHOLE pipeline visible in the static print (no pinned leaf
+    # truncates it), so their budget is the honest end-to-end count:
+    # tier-agg hash + range + (_pid,g)-window exchange pairs + bounded
+    # fold tables, with zero data-sized exchange repeated per branch.
+    "kendall_tau_qty_price_brands": "r12 un-pinned local+cross pipeline end-to-end: tier-agg + range + (_pid,g)-window exchanges + bounded explode/fold aggs; 12 static, no repeated data-sized subtree",
+    "ks_test_status_priority": "r13 un-pinned local+cross max fold end-to-end: tier agg (reduce side x2, map side reused) + range + window exchanges + bounded offset fold; 12 static",
+    "gmd_dispersion_brands": "r13 un-pinned local+cross fold end-to-end: lineitem x part agg + tier range + window exchanges + bounded partials; 10 static",
+    "concentration_supplier_nations": "r13 un-pinned local+cross fold end-to-end: (nation,supplier) revenue agg + tier range + window exchanges + bounded partials; 10 static",
+    "anderson_darling_status": "with_totals recipe: the single pinned ranged leaf re-expands per consumer (per-row term + sizes/offsets + totals branches) in the static print; runtime reads one materialization",
+    "bowley_skewness_status": "with_totals recipe (r13: second pin deleted): pinned ranged leaf re-expands per consumer (local window + sizes/offsets + totals) in the static print",
+    "brown_forsythe_status": "with_totals recipe (r13: second pin deleted) + deviation scan re-reading the pinned vals leaf; static print re-expands the pinned subtrees per consumer",
     "edge_embeddedness_parts": "pinned support-floored edge leaf feeds the 3-way wedge join + credit join (triangle-count class)",
     "hll_error_audit_tokens": "cached token explode feeds exact-distinct AND the 64-register sketch; audit join is |sources| rows",
     "quantile_sketch_error_audit": "cached 1024-bucket histogram + grouped_kth_smallest rank recipe; static print re-expands both",
