@@ -187,8 +187,6 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("plans/queries.py", "chow_break_revenue_q"): "scalar: 3 coefficient rows",
     ("plans/queries.py", "hl_shift_monthly_q"): "domain: month-grain halves + scalar counts",
     ("plans/queries.py", "kpss_level_revenue_q"): "scalar/domain: sums + lag list + month grain",
-    ("plans/queries.py", "average_precision_priority_q"): "scalar: total-count row",
-    ("plans/queries.py", "cucconi_status_q"): "domain: per-group totals",
     ("operators/spatial.py", "getis_ord_gi_grid"): "scalar: n/s/s2 totals row",
     ("plans/queries.py", "dominant_period_revenue_q"): "scalar: sums/lag-list/g0 rows",
     ("plans/queries.py", "engle_granger_rev_qty_q"): "scalar: coefficient row",
@@ -198,7 +196,6 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("plans/queries.py", "brier_decomposition_orders_q"): "scalar: bounds/totals rows",
     ("plans/queries.py", "pacf_lag2_revenue_q"): "scalar: sums/gamma rows",
     ("plans/queries.py", "median_polish_nation_priority_q"): "domain: nation",
-    ("plans/queries.py", "gmd_dispersion_brands_q"): "domain: per-brand totals",
     ("plans/queries.py", "var_es_monthly_revenue_q"): "scalar: m/k/tail rows",
     ("plans/queries.py", "p_chart_monthly_returns_q"): "scalar: pooled-rate row",
     ("operators/quality.py", "benford_second_digit_report"): "domain: group x 10 digits",
